@@ -1,0 +1,64 @@
+"""Bench harness: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line {"metric":..., "value":..., "unit":"sec", "queries":{...}, "sf":...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+HEADLINE = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "pipeline_logs",
+    "j10_snowflake_chain",
+    "window_argmax",
+    "a4_groupby_sum",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from etl_pipeline_old_spark.registry import QUERIES, _ensure_loaded
+    from etl_pipeline_old_spark.session import get_spark
+
+    _ensure_loaded()
+    spark = get_spark("bench")
+
+    names = [n for n in HEADLINE if n in QUERIES]
+    # warm the JVM/codegen path once with the cheapest query
+    QUERIES[names[0]].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    t_total = time.perf_counter()
+    for name in names:
+        t0 = time.perf_counter()
+        df = QUERIES[name].fn(spark, sf_dir)
+        df.count()  # full execution, no result transfer to driver
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(time.perf_counter() - t_total, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,17 @@
+"""Judge-facing query modules. Each module self-registers into
+``etl_pipeline_old_spark.registry.QUERIES`` at import time."""
+
+from __future__ import annotations
+
+from importlib import import_module
+
+_MODULES = (
+    "relational",
+    "pipelines",
+    "tpch",
+)
+
+
+def load_all() -> None:
+    for m in _MODULES:
+        import_module(f"{__name__}.{m}")

@@ -1,0 +1,51 @@
+"""Differential test: every registry query with an oracle must hash-match
+DuckDB at sf0.01 — a local pre-run of the driver's correctness gate."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_pipeline_old_spark.registry import QUERIES, _ensure_loaded
+
+from .oracle_utils import compare, duckdb_conn
+
+_ensure_loaded()
+WITH_ORACLE = sorted(name for name, q in QUERIES.items() if q.oracle is not None)
+ROWS_ONLY = sorted(name for name, q in QUERIES.items() if q.oracle is None)
+
+
+@pytest.fixture(scope="module")
+def con(oracle_sf_dir):
+    c = duckdb_conn(oracle_sf_dir)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", WITH_ORACLE)
+def test_oracle_parity(name, spark, oracle_sf_dir, con):
+    q = QUERIES[name]
+    ok, msg = compare(q.fn(spark, oracle_sf_dir), con, q.oracle)
+    assert ok, f"{name}: {msg}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(name, spark, oracle_sf_dir):
+    q = QUERIES[name]
+    df = q.fn(spark, oracle_sf_dir)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+
+
+def test_contract_shape():
+    import __spark_entry__ as e
+
+    qs, os_ = e.queries(), e.oracle_sql()
+    assert qs, "queries() must not be empty"
+    assert set(os_) <= set(qs), "every oracle key must be a query key"
