@@ -8,6 +8,7 @@ from importlib import import_module
 _MODULES = (
     "relational",
     "scalars",
+    "workdays",
     "pipelines",
     "tpch",
 )

@@ -1,0 +1,89 @@
+"""Golden tests for workdays_diff — hand-computed expectations from the
+reference's algorithm (create_yougile_dataset.ipynb:177-225), plus
+cross-implementation equality of the frame and pandas-UDF variants."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from etl_pipeline_old_spark.operators.workdays import (
+    make_workdays_udf,
+    workdays_diff_frame,
+)
+
+# (start_utc, end_utc, expected) — times chosen in UTC so local (+5) wall
+# time hits the documented cases. 2024-01-16 is a Tuesday.
+GOLDEN = [
+    # same working day: local 09:30 → 12:00 = 2.5h / 9h
+    (datetime(2024, 1, 16, 4, 30), datetime(2024, 1, 16, 7, 0), 0.28),
+    # start before workday: local 06:00 → 10:30 = 2.5h / 9h
+    (datetime(2024, 1, 16, 1, 0), datetime(2024, 1, 16, 5, 30), 0.28),
+    # same-day weekend (local Sat 2024-01-20) → 0
+    (datetime(2024, 1, 20, 4, 0), datetime(2024, 1, 20, 7, 0), 0.0),
+    # Mon 16:00 → Wed 09:00: delta=2, between=1, first=1/9, last=1/9
+    (datetime(2024, 1, 15, 11, 0), datetime(2024, 1, 17, 4, 0), 1.22),
+    # Fri 16:00 → Sat 12:00: delta=0 → between=0, last=0, first=1/9
+    (datetime(2024, 1, 19, 11, 0), datetime(2024, 1, 20, 7, 0), 0.11),
+    # across New Year holidays: Fri 2023-12-29 10:00 → Tue 2024-01-09 10:00
+    # working days in (Dec29, Jan9] = {Jan 9} → between=0; first=7/9, last=2/9
+    (datetime(2023, 12, 29, 5, 0), datetime(2024, 1, 9, 5, 0), 1.0),
+    # end is a non-working day далеко: Mon 10:00 → Sun 10:00 same week:
+    # delta = Tue..Fri = 4 → between=3 (reference's -1 quirk), first=7/9
+    (datetime(2024, 1, 15, 5, 0), datetime(2024, 1, 21, 5, 0), 3.78),
+    # null end → null
+    (datetime(2024, 1, 16, 4, 30), None, None),
+]
+
+
+@pytest.fixture(scope="module")
+def golden_df(spark):
+    return spark.createDataFrame(
+        [(i, s, e) for i, (s, e, _) in enumerate(GOLDEN)],
+        "id long, createdAt timestamp, closedAt timestamp",
+    )
+
+
+def _by_id(rows):
+    return {r["id"]: r["work_days_duration"] for r in rows}
+
+
+def test_frame_variant_golden(spark, golden_df):
+    out = _by_id(workdays_diff_frame(golden_df, "createdAt", "closedAt").collect())
+    for i, (_, _, exp) in enumerate(GOLDEN):
+        assert out[i] == (pytest.approx(exp, abs=1e-9) if exp is not None else None), f"case {i}"
+
+
+def test_udf_variant_golden(spark, golden_df):
+    udf = make_workdays_udf()
+    out = _by_id(
+        golden_df.select("id", udf("createdAt", "closedAt").alias("work_days_duration")).collect()
+    )
+    for i, (_, _, exp) in enumerate(GOLDEN):
+        if exp is None:
+            assert out[i] is None or out[i] != out[i]  # NaN/null
+        else:
+            assert out[i] == pytest.approx(exp, abs=1e-9), f"case {i}"
+
+
+def test_variants_agree_on_events(spark, oracle_sf_dir):
+    from etl_pipeline_old_spark.registry import QUERIES, _ensure_loaded
+
+    _ensure_loaded()
+    a = _by_id(
+        QUERIES["workdays_diff_sql"].fn(spark, oracle_sf_dir)
+        .withColumnRenamed("event_id", "id").collect()
+    )
+    b = _by_id(
+        QUERIES["workdays_diff_pandas_udf"].fn(spark, oracle_sf_dir)
+        .withColumnRenamed("event_id", "id").collect()
+    )
+    assert set(a) == set(b)
+    diffs = {
+        k: (a[k], b[k])
+        for k in a
+        if (a[k] is None) != (b[k] is None)
+        or (a[k] is not None and abs(a[k] - b[k]) > 1e-9)
+    }
+    assert not diffs, f"{len(diffs)} disagreements, e.g. {list(diffs.items())[:5]}"
