@@ -1,0 +1,228 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Not present in the reference (its only dedup is the monotone-key append,
+fetch_asterisk_cdr.py:53); these are the north-star extensions from
+BASELINE.json, designed partition-parallel:
+
+- exact dedup: one hash-groupBy — a single shuffle of (hash, id);
+- MinHash + LSH near-dedup: shingle → k-min signature → banded bucket
+  join — candidate generation never compares all pairs, so cost scales
+  with collisions, not O(n²);
+- SimHash: per-token hashed bit votes folded into a 48-bit fingerprint —
+  one narrow groupBy per doc;
+- n-gram Jaccard verification: exact set-overlap join used both as the
+  LSH verifier and as a standalone (quadratic-in-collisions) baseline.
+
+All hashes derive from md5 (deterministic, engine-portable), so every
+operator here is hash-checkable against a DuckDB oracle — including the
+full MinHash+LSH pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# hashing / normalization primitives (portable across Spark and DuckDB)
+# ---------------------------------------------------------------------------
+
+
+def md5_long(col: Column) -> Column:
+    """First 60 bits of md5 as a non-negative BIGINT.
+
+    Portable: DuckDB computes the identical value via
+    ``('0x' || substr(md5(x), 1, 15))::UBIGINT::BIGINT``.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+MD5_LONG_SQL = "('0x' || substr(md5({x}), 1, 15))::UBIGINT::BIGINT"
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Whitespace-collapse + trim + lowercase (dedup canonical form)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.trim(F.regexp_replace(c, "\\s+", " ")))
+
+
+NORMALIZE_SQL = "lower(trim(regexp_replace({x}, '\\s+', ' ', 'g')))"
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Array of word n-gram shingles (empty array if fewer than n words)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(c, " ")
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(
+    df: DataFrame, text_col: str, id_col: str, normalized: bool = True
+) -> DataFrame:
+    """Group identical texts: (content_hash, keep_id = min id, n_copies).
+
+    One map-side-combined shuffle on the 128-bit content hash — at 100 TB
+    this is the cheapest possible exact dedup (no text comparison after
+    hashing; md5 collisions are ignorable at these cardinalities).
+    """
+    key = normalize_text(text_col) if normalized else F.col(text_col)
+    return (
+        df.select(F.md5(key).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingle sets + exact Jaccard (verification / baseline)
+# ---------------------------------------------------------------------------
+
+
+def shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) distinct pairs over normalized text."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(word_shingles(normalize_text(text_col), n))).alias("sh"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(sh: DataFrame, candidates: DataFrame | None = None) -> DataFrame:
+    """Exact Jaccard over shingle sets: (id_a < id_b, jaccard).
+
+    With ``candidates`` (id_a, id_b) the intersection join is restricted to
+    those pairs (the LSH verify step); without, every co-shingle pair is
+    scored — the quadratic-in-collisions baseline.
+    """
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("id").alias("id_a"), "sh")
+    b = sh.select(F.col("id").alias("id_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_a", "id_b"], "inner")
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(sh: DataFrame, num_hashes: int = 16) -> DataFrame:
+    """k-min-value signature per id: h_i = min over shingles of
+    md5_long(i || ':' || shingle). One groupBy computes all k mins."""
+    aggs = [
+        F.min(md5_long(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(sig: DataFrame, bands: int = 4, rows: int = 4) -> DataFrame:
+    """Band the signature (``bands`` × ``rows``) and bucket-join.
+
+    Two docs become a candidate pair iff some band's row-slice matches
+    exactly — the classic banding scheme: P(candidate) = 1-(1-j^rows)^bands.
+    The join key is (band_id, md5(joined rows)), so the shuffle carries one
+    short row per (doc, band).
+    """
+    band_structs = [
+        F.struct(
+            F.lit(bid).alias("band"),
+            F.md5(
+                F.concat_ws(",", *[F.col(f"h{bid * rows + r}") for r in range(rows)])
+            ).alias("bkey"),
+        )
+        for bid in range(bands)
+    ]
+    banded = sig.select(
+        "id", F.explode(F.array(*band_structs)).alias("b")
+    ).select("id", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey"))
+    a = banded.select(F.col("id").alias("id_a"), "band", "bkey")
+    b = banded.select(F.col("id").alias("id_b"), "band", "bkey")
+    return (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full near-dup pipeline: shingle → sign → band → bucket-join →
+    exact-Jaccard verify ≥ threshold. Returns (id_a, id_b, jaccard)."""
+    sh = shingle_sets(df, text_col, id_col, shingle_n)
+    sig = minhash_signatures(sh, num_hashes)
+    cand = lsh_candidate_pairs(sig, bands, rows)
+    return jaccard_pairs(sh, candidates=cand).filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 48) -> DataFrame:
+    """Charikar SimHash fingerprint: per-token md5-derived bit votes,
+    weighted by token count, folded into a ``bits``-wide BIGINT.
+
+    One (id, token) aggregate then one per-id aggregate with ``bits``
+    conditional sums — no per-bit explode, so the shuffle volume is just
+    the distinct (id, token) pairs.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
+    )
+    tok_counts = toks.groupBy("id", "tok").agg(F.count("*").alias("cnt"))
+    hashed = tok_counts.withColumn("h", md5_long(F.col("tok")))
+    votes = hashed.groupBy("id").agg(
+        *[
+            F.sum(
+                (F.shiftright(F.col("h"), p).bitwiseAND(F.lit(1)) * 2 - 1) * F.col("cnt")
+            ).alias(f"v{p}")
+            for p in range(bits)
+        ]
+    )
+    fingerprint = None
+    for p in range(bits):
+        term = F.when(F.col(f"v{p}") > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return votes.select("id", fingerprint.alias("simhash"))

@@ -9,6 +9,8 @@ _MODULES = (
     "relational",
     "scalars",
     "workdays",
+    "dedup_text",
+    "similarity",
     "pipelines",
     "tpch",
 )

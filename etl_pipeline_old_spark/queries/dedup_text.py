@@ -1,0 +1,255 @@
+"""Registry entries: dedup + text-analysis operators over ``documents``.
+
+The MinHash/SimHash oracles are generated programmatically — the same
+md5-derived hash algebra expressed in DuckDB SQL — so even the LSH
+pipeline is value-hash-checked end-to-end, not just rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import dedup as DD
+from ..operators import text as TX
+from ..registry import register
+
+NORM = DD.NORMALIZE_SQL.format(x="text")
+_H = DD.MD5_LONG_SQL
+
+# shared oracle CTEs: normalized tokens + distinct 3-gram word shingles
+_SHINGLE_CTE = f"""
+tok AS (
+  SELECT doc_id, string_split({NORM}, ' ') AS toks FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(toks, i, i + 2), ' ') AS sh
+  FROM tok, UNNEST(generate_series(1, greatest(len(toks) - 2, 0))) AS u(i)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+    doc="Exact dedup via content-hash groupBy (one map-combined shuffle of "
+    "(hash,id) pairs — the minimal exact dedup at 100 TB).",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return DD.exact_dedup_groups(d, "text", "doc_id", normalized=False)
+
+
+@register(
+    "dedup_exact_normalized",
+    oracle=f"""
+    SELECT md5({NORM}) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+    doc="Exact dedup after whitespace/case normalization.",
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return DD.exact_dedup_groups(d, "text", "doc_id", normalized=True)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
+    """,
+    doc="Exact word-3-gram Jaccard near-dup pairs (j >= 0.2) — the "
+    "quadratic-in-collisions baseline the LSH path approximates.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sh = DD.shingle_sets(d, "text", "doc_id", 3)
+    return DD.jaccard_pairs(sh).filter(F.col("jaccard") >= 0.2)
+
+
+def _minhash_oracle(num_hashes: int = 16, bands: int = 4, rows: int = 4, thr: float = 0.5) -> str:
+    mins = ",\n         ".join(
+        "min({h}) AS h{i}".format(h=_H.format(x=f"'{i}:' || sh"), i=i)
+        for i in range(num_hashes)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({key}) AS bkey FROM sig".format(
+            b=bid,
+            key="||','||".join(f"h{bid * rows + r}::VARCHAR" for r in range(rows)),
+        )
+        for bid in range(bands)
+    )
+    return f"""
+    WITH {_SHINGLE_CTE},
+    sig AS (
+      SELECT doc_id,
+         {mins}
+      FROM sh GROUP BY doc_id),
+    banded AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT i.id_a, i.id_b,
+           round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+    FROM inter i
+    JOIN cand c ON c.id_a = i.id_a AND c.id_b = i.id_b
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= {thr}
+    """
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_minhash_oracle(),
+    doc="MinHash(16) + LSH(4 bands x 4 rows) near-dedup with exact-Jaccard "
+    "verification (j >= 0.5). Candidate generation is a bucket join — "
+    "cost scales with collisions, not O(n^2). Fully oracle-checked: the "
+    "md5-based hash algebra is reproduced in DuckDB.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return DD.minhash_lsh_dedup(d, "text", "doc_id")
+
+
+def _simhash_oracle(bits: int = 48) -> str:
+    votes = ",\n         ".join(
+        f"sum((((h >> {p}) & 1) * 2 - 1) * cnt) AS v{p}" for p in range(bits)
+    )
+    fp = " + ".join(f"CASE WHEN v{p} > 0 THEN {1 << p}::BIGINT ELSE 0 END" for p in range(bits))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({NORM}, ' ')) AS tok FROM documents),
+    tc AS (
+      SELECT doc_id, tok, count(*) AS cnt, {_H.format(x='tok')} AS h
+      FROM toks GROUP BY doc_id, tok),
+    votes AS (
+      SELECT doc_id,
+         {votes}
+      FROM tc GROUP BY doc_id)
+    SELECT doc_id AS id, {fp} AS simhash FROM votes
+    """
+
+
+@register(
+    "dedup_simhash",
+    oracle=_simhash_oracle(),
+    doc="SimHash 48-bit fingerprints (token-count-weighted md5 bit votes); "
+    "near-dups share fingerprints / low Hamming distance. One narrow "
+    "groupBy per doc — no per-bit explode.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return DD.simhash(d, "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def _langid_oracle() -> str:
+    hits = {
+        lang: f"len(list_filter(string_split({NORM}, ' '), x -> x IN {tuple(words)}))"
+        for lang, words in TX.LANG_STOPWORDS
+    }
+    best = f"greatest({', '.join(hits.values())})"
+    chain = " ".join(
+        f"WHEN {hits[lang]} = best AND best > 0 THEN '{lang}'" for lang, _ in TX.LANG_STOPWORDS
+    )
+    return f"""
+    WITH scored AS (SELECT doc_id, {best} AS best, text FROM documents)
+    SELECT doc_id, CASE {chain} ELSE 'und' END AS lang_pred FROM scored
+    """
+
+
+@register(
+    "text_lang_id",
+    oracle=_langid_oracle(),
+    doc="Stopword-heuristic language ID with deterministic priority "
+    "tiebreak ('und' when no stopword hits).",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.lang_id("text").alias("lang_pred"))
+
+
+@register(
+    "text_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split({NORM}, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '{TX.BPE_ISH_PATTERN}')) AS n_bpe_tokens
+    FROM documents
+    """,
+    doc="Token counting: whitespace tokens + BPE-ish regex tokens.",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count_ws("text").alias("n_ws_tokens"),
+        TX.token_count_bpe_ish("text").alias("n_bpe_tokens"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split({NORM}, ' ')) AS n_tok,
+             len(list_filter(string_split({NORM}, ' '),
+                 x -> x IN ('the','a','of','and','is'))) AS sw,
+             length({NORM}) AS n_chars
+      FROM documents)
+    SELECT doc_id,
+           round(0.5 * least(n_tok / 64.0, 1.0)
+               + 0.3 * (sw / n_tok)
+               + 0.2 * (CASE WHEN n_chars / n_tok BETWEEN 3.0 AND 8.0
+                             THEN 1.0 ELSE 0.5 END), 4) AS quality
+    FROM t
+    """,
+    doc="Composite quality heuristic: length saturation + stopword density "
+    "+ mean-word-length band.",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.quality_score("text").alias("quality"))
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {NORM} AS t FROM documents),
+    grams AS (
+      SELECT doc_id, substring(t, i, 8) AS g
+      FROM norm, UNNEST(generate_series(1, greatest(length(t) - 7, 1))) AS u(i))
+    SELECT doc_id, min({_H.format(x='g')}) AS fingerprint
+    FROM grams GROUP BY doc_id
+    """,
+    doc="Winnowing-lite rolling fingerprint: min 60-bit md5 over char "
+    "8-grams of normalized text.",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.char_shingle_fingerprint("text", 8).alias("fingerprint"))

@@ -1,0 +1,80 @@
+"""Behavioral tests for the LLM-pipeline operators: dedup recall on planted
+duplicates, LSH-vs-brute-force ANN recall, fingerprint stability."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_pipeline_old_spark.operators import dedup as DD
+from etl_pipeline_old_spark.operators import similarity as SIM
+
+
+def _planted_docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep dark forest to find some food for the winter"
+    )
+    near = base.replace("winter", "summer")  # one word changed
+    far = "completely different text about spark query engines and shuffles here"
+    return spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # exact dup of 1
+            (3, "  " + base.upper() + "  "),  # normalized dup of 1
+            (4, near),  # near dup of 1
+            (5, far),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_dedup_groups(spark):
+    d = _planted_docs(spark)
+    strict = DD.exact_dedup_groups(d, "text", "doc_id", normalized=False)
+    assert strict.filter(F.col("n_copies") > 1).count() == 1  # only 1&2
+    norm = DD.exact_dedup_groups(d, "text", "doc_id", normalized=True)
+    grp = norm.filter(F.col("n_copies") > 1).collect()
+    assert len(grp) == 1 and grp[0]["n_copies"] == 3 and grp[0]["keep_id"] == 1
+
+
+def test_minhash_lsh_finds_planted_near_dup(spark):
+    d = _planted_docs(spark)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DD.minhash_lsh_dedup(d, "text", "doc_id", threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 4) in pairs and 0.5 <= pairs[(1, 4)] < 1.0  # near dup found
+    assert not any(5 in p for p in pairs)  # unrelated doc not paired
+
+
+def test_simhash_near_dups_close(spark):
+    d = _planted_docs(spark)
+    fp = {r["id"]: r["simhash"] for r in DD.simhash(d, "text", "doc_id").collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert fp[1] == fp[2]  # identical text → identical fingerprint
+    assert ham(fp[1], fp[4]) < ham(fp[1], fp[5])  # near closer than far
+
+
+def test_lsh_ann_recall_vs_brute_force(spark, oracle_sf_dir):
+    from etl_pipeline_old_spark.catalog import load_table
+
+    emb = load_table(spark, oracle_sf_dir, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    exact = SIM.brute_force_topk(emb, qids, 10).collect()
+    approx = SIM.lsh_topk(emb, qids, 10, n_bits=8).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(1 for r in approx if r["neighbor_id"] in exact_sets.get(r["query_id"], set()))
+    # LSH candidates must (a) exist, (b) be enriched in true top-k far above
+    # chance (10/500 = 2% at sf0.01)
+    assert len(approx) > 0
+    assert hits / max(len(approx), 1) >= 0.2
+
+
+def test_lsh_candidates_subset_verified(spark):
+    # every emitted LSH pair must meet the threshold (verify step works)
+    d = _planted_docs(spark)
+    out = DD.minhash_lsh_dedup(d, "text", "doc_id", threshold=0.5)
+    assert out.filter(F.col("jaccard") < 0.5).count() == 0
