@@ -11,6 +11,8 @@ _MODULES = (
     "workdays",
     "dedup_text",
     "similarity",
+    "streaming_inc",
+    "sources_multimodal",
     "pipelines",
     "tpch",
 )

@@ -1,0 +1,121 @@
+"""Registry entries: file-source roundtrips (S1/S3) and multimodal binary
+plumbing. The roundtrip queries write a real CSV/JSON copy of the
+documents table and read it back through the engine's source adapters —
+so header handling, schema enforcement, and struct flattening are
+oracle-checked end-to-end against the original parquet."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.multimodal import decode_meta, feature_extract, frame_sample, make_media_table
+from ..registry import register
+from ..sources.files import flatten_structs, read_csv, read_json
+
+_CACHE = "/tmp/etl_pipeline_old_spark_cache"
+
+
+def _tag(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir))
+
+
+@register(
+    "s1_csv_roundtrip",
+    oracle="SELECT doc_id, text, lang, source, n_chars FROM documents",
+    doc="S1/K1: write documents as header-CSV (UTF-8), read back through "
+    "the engine's CSV source with an enforced schema — roundtrip must "
+    "hash-equal the parquet original "
+    "(ref: create_scripts_dataset.ipynb:62-66,76-77).",
+)
+def s1_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    path = os.path.join(_CACHE, f"csv_docs_{_tag(sf_dir)}")
+    (
+        d.write.mode("overwrite")
+        .option("header", True)
+        .option("encoding", "UTF-8")
+        .option("escape", '"')
+        .csv(path)
+    )
+    return read_csv(
+        spark, path, schema="doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+@register(
+    "s3_json_flatten",
+    oracle="""
+    SELECT doc_id, lang AS meta_lang, source AS meta_source, n_chars AS stats_n
+    FROM documents
+    """,
+    doc="S3: JSON scan + json_normalize-style struct flattening — nested "
+    "{meta:{lang,source},stats:{n}} docs become parent_child columns "
+    "(ref: create_scripts_dataset.ipynb:68-74 dotted names).",
+)
+def s3_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    nested = d.select(
+        "doc_id",
+        F.struct(F.col("lang"), F.col("source")).alias("meta"),
+        F.struct(F.col("n_chars").alias("n")).alias("stats"),
+    )
+    path = os.path.join(_CACHE, f"json_docs_{_tag(sf_dir)}")
+    nested.write.mode("overwrite").json(path)
+    back = read_json(
+        spark,
+        path,
+        schema="doc_id long, meta struct<lang:string,source:string>, stats struct<n:long>",
+    )
+    return flatten_structs(back)
+
+
+@register(
+    "multimodal_decode_meta",
+    oracle="""
+    SELECT doc_id,
+           1 + octet_length(text::BLOB) % 64 AS width,
+           1 + (octet_length(text::BLOB) // 64) % 64 AS height,
+           md5(text) AS checksum
+    FROM documents
+    """,
+    doc="Multimodal plumbing: binary payload column → mapInPandas 'decode' "
+    "(deterministic fake codec; real decode stubbed — no image libs in "
+    "container) → typed metadata. Arrow binary batching is exercised for "
+    "real and hash-checked.",
+)
+def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = make_media_table(load_table(spark, sf_dir, "documents"))
+    return decode_meta(media)
+
+
+@register(
+    "multimodal_feature_extract",
+    oracle=None,  # md5-seeded float vectors aren't reasonably SQL-expressible
+    doc="Multimodal: binary payload → pseudo-embedding array<float> via "
+    "mapInPandas (stand-in for a vision encoder; batch shape is real).",
+)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = make_media_table(load_table(spark, sf_dir, "documents"))
+    return feature_extract(media)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id, 4::INT AS n_frames, octet_length(text::BLOB) // 4 AS frame_bytes
+    FROM documents WHERE octet_length(text::BLOB) >= 4
+    """,
+    doc="Multimodal: frame sampling (1 payload row → N binary frame rows) "
+    "via mapInPandas; checked on per-doc frame count + frame size.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = make_media_table(load_table(spark, sf_dir, "documents"))
+    frames = frame_sample(media, 4)
+    return frames.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_frames"),
+        F.max(F.octet_length("frame")).cast("long").alias("frame_bytes"),
+    )

@@ -1,0 +1,1 @@
+"""Source adapters (SURVEY.md §2.1 S1-S10)."""

@@ -11,6 +11,7 @@ from __future__ import annotations
 import math
 import os
 from datetime import date, datetime
+from decimal import Decimal
 
 import duckdb
 
@@ -30,6 +31,8 @@ def _canon(v):
     """Canonicalize a cell so Spark and DuckDB renderings compare equal."""
     if v is None:
         return None
+    if isinstance(v, Decimal):
+        v = int(v) if v == v.to_integral_value() else float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
