@@ -19,6 +19,14 @@ HEADLINE = [
     "j10_snowflake_chain",
     "window_argmax",
     "a4_groupby_sum",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "text_fingerprint",
+    "workdays_diff_sql",
+    "sessionization",
+    "stream_tumbling_window_counts",
 ]
 
 

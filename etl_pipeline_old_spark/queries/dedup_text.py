@@ -82,9 +82,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle(num_hashes: int = 16, bands: int = 4, rows: int = 4, thr: float = 0.5) -> str:
+    base = DD.MD5_INT32_SQL.format(x="sh")
     mins = ",\n         ".join(
-        "min({h}) AS h{i}".format(h=_H.format(x=f"'{i}:' || sh"), i=i)
-        for i in range(num_hashes)
+        f"min(({a} * {base} + {b}) % {DD.MINHASH_PRIME}) AS h{i}"
+        for i, (a, b) in enumerate(DD.minhash_seeds(num_hashes))
     )
     band_rows = " UNION ALL ".join(
         "SELECT doc_id, {b} AS band, md5({key}) AS bkey FROM sig".format(
