@@ -13,6 +13,8 @@ _MODULES = (
     "similarity",
     "streaming_inc",
     "sources_multimodal",
+    "pipelines2",
+    "advanced",
     "pipelines",
     "tpch",
 )

@@ -36,8 +36,11 @@ def _pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ORACLE = f"""
-WITH src AS (
+# CTE chain ending in relation j(event_id, createdAt, closedAt, sl, el,
+# s_working/s_cum/e_working/e_cum, s_frac, e_frac) — reusable by any oracle
+# needing per-task durations (also the yougile pipeline oracle).
+WORKDAYS_CTE = f"""
+src AS (
   SELECT event_id,
          ts AS createdAt,
          -- floor() to match Spark's truncating cast(double AS int)
@@ -58,7 +61,9 @@ j AS (
   FROM loc l
   LEFT JOIN cal cs ON cs.d = l.sl::DATE
   LEFT JOIN cal ce ON ce.d = l.el::DATE)
-SELECT event_id,
+"""
+
+DURATION_EXPR = """
        CASE WHEN createdAt IS NULL OR closedAt IS NULL THEN NULL
             ELSE round(
               CASE WHEN sl::DATE < el::DATE THEN
@@ -74,7 +79,12 @@ SELECT event_id,
                      THEN least(greatest(least(e_frac, 17.0) - greatest(s_frac, 8.0), 0.0), 9.0) / 9.0
                      ELSE 0.0 END
               END, 2)
-       END AS work_days_duration
+       END
+"""
+
+_ORACLE = f"""
+WITH {WORKDAYS_CTE}
+SELECT event_id, {DURATION_EXPR} AS work_days_duration
 FROM j
 """
 
