@@ -1,0 +1,90 @@
+"""Physical-plan regression tests: the properties that make these queries
+survive 100 TB must be visible in the plan, not assumed — predicate/column
+pushdown into the parquet scan, broadcast joins for dims, map-side partial
+aggregation, and no Python evaluation nodes in JVM-only paths."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from etl_pipeline_old_spark.registry import QUERIES, _ensure_loaded
+
+_ensure_loaded()
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def nodes_of(plan: str) -> list[str]:
+    """Node names from the formatted plan's detail section ('(3) NodeName')."""
+    import re
+
+    return re.findall(r"^\(\d+\) (\S+)", plan, flags=re.M)
+
+
+@pytest.fixture(scope="module")
+def sf(oracle_sf_dir):
+    return oracle_sf_dir
+
+
+def test_scan_pushes_filter_and_prunes_columns(spark, sf):
+    plan = plan_of(QUERIES["s11_parquet_scan_prune"].fn(spark, sf))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in plan
+    # projection pruned to the 3 referenced columns — the full 11-column
+    # lineitem schema must NOT be read
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" in read_schema and "l_extendedprice" in read_schema
+    assert "l_quantity" not in read_schema and "l_partkey" not in read_schema
+
+
+def test_dim_enrich_is_broadcast_join(spark, sf):
+    plan = plan_of(QUERIES["j1_dim_enrich"].fn(spark, sf))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_snowflake_chain_all_broadcast(spark, sf):
+    plan = plan_of(QUERIES["j10_snowflake_chain"].fn(spark, sf))
+    nodes = nodes_of(plan)
+    assert nodes.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in nodes
+
+
+def test_q1_partial_aggregation(spark, sf):
+    plan = plan_of(QUERIES["tpch_q1_pricing_summary"].fn(spark, sf))
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+    assert nodes_of(plan).count("Exchange") == 1  # one shuffle: the groupBy
+
+
+def test_jvm_only_paths_have_no_python_nodes(spark, sf):
+    for name in [
+        "pipeline_logs",
+        "pipeline_projectsync",
+        "workdays_diff_sql",
+        "dedup_exact",
+        "text_quality_score",
+        "ann_cosine_topk",
+    ]:
+        plan = plan_of(QUERIES[name].fn(spark, sf))
+        assert "EvalPython" not in plan, f"{name} must stay JVM-side"
+
+
+def test_pandas_udf_path_is_arrow_not_row_python(spark, sf):
+    plan = plan_of(QUERIES["workdays_diff_pandas_udf"].fn(spark, sf))
+    assert "ArrowEvalPython" in plan  # vectorized, not BatchEvalPython
+    assert "BatchEvalPython" not in plan
+
+
+def test_flagship_fact_never_shuffles_before_aggregate(spark, sf):
+    # logs pipeline: scan -> broadcast join -> flag -> groupBy; the only
+    # Exchange allowed is the final aggregation shuffle
+    plan = plan_of(QUERIES["pipeline_logs"].fn(spark, sf))
+    assert nodes_of(plan).count("Exchange") == 1
+    assert "BroadcastHashJoin" in plan
