@@ -15,6 +15,7 @@ _MODULES = (
     "sources_multimodal",
     "pipelines2",
     "advanced",
+    "merge_scd",
     "pipelines",
     "tpch",
 )

@@ -103,8 +103,8 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN nation n   ON s.s_nationkey = n.n_nationkey
     JOIN region r   ON n.n_regionkey = r.r_regionkey
     WHERE r.r_name = 'ASIA'
-      AND o.o_orderdate >= TIMESTAMP '1994-01-01'
-      AND o.o_orderdate <  TIMESTAMP '1995-01-01'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
     GROUP BY n.n_name
     """,
     doc="TPC-H Q5 shape: 6-table snowflake join with a co-nation predicate — "
@@ -114,8 +114,8 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp_ntz"))
-        & (F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp_ntz"))
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
     )
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")

@@ -1,0 +1,67 @@
+"""Storage-layout evidence for the 100 TB design: partitioned writes give
+partition pruning (PartitionFilters in the scan), bucketed tables give
+shuffle-free co-located joins (no Exchange in the join plan)."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pipeline_old_spark.catalog import load_table
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "dt", F.date_format("ts", "yyyy-MM-dd")
+    )
+    out = str(tmp_path / "events_by_day")
+    ev.write.mode("overwrite").partitionBy("dt").parquet(out)
+
+    back = spark.read.parquet(out).filter(F.col("dt") == "2024-01-05")
+    plan = plan_of(back)
+    assert "PartitionFilters" in plan and "2024-01-05" in plan
+    # the data filter must NOT appear as a post-scan filter — pruning only
+    assert back.count() > 0
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    # warehouse dir is a static conf — tables land in ./spark-warehouse
+    # (gitignored) and are dropped in the finally block
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    (
+        o.write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("b_orders")
+    )
+    (
+        li.write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("b_lineitem")
+    )
+    # disable broadcast so the join strategy depends on co-location
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = plan_of(joined)
+        assert "Exchange" not in plan, "bucketed co-located join must not shuffle"
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
