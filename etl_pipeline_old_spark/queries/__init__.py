@@ -16,6 +16,7 @@ _MODULES = (
     "pipelines2",
     "advanced",
     "merge_scd",
+    "stateful_stream",
     "pipelines",
     "tpch",
 )

@@ -1,0 +1,131 @@
+"""Stateful Structured Streaming operators (SURVEY.md §2.11 extension).
+
+The reference's incremental CDR pull deduplicates by a monotone key
+against the already-loaded file (fetch_asterisk_cdr.py:39-58). Its
+streaming-native form is stateful streaming deduplication: the engine
+keeps the seen-key set as managed state and drops replays exactly-once.
+
+Also here: a custom stateful operator via ``applyInPandasWithState``
+(running per-user aggregates across micro-batches) — the extension point
+for operators Spark's built-ins can't express.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..catalog import table_path
+from ..session import ensure_session_confs
+
+
+def _duplicated_event_feed(spark: SparkSession, sf_dir: str) -> tuple[str, object]:
+    """Stage the events table TWICE (two files) so the stream sees every
+    record replayed — the dedup operator must emit each exactly once."""
+    src = table_path(sf_dir, "events")
+    feed = os.path.join(
+        "/tmp/etl_pipeline_old_spark_cache",
+        f"dup_feed_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(feed, ignore_errors=True)
+    os.makedirs(feed)
+    shutil.copy(src, os.path.join(feed, "batch1.parquet"))
+    shutil.copy(src, os.path.join(feed, "batch2.parquet"))
+    schema = spark.read.parquet(src).schema
+    return feed, schema
+
+
+def stream_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dropDuplicates over a deliberately duplicated
+    feed: 2x rows in, each event out exactly once. The managed dedup state
+    is the streaming-native high-watermark of K2."""
+    ensure_session_confs(spark)
+    feed, schema = _duplicated_event_feed(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # force 2 micro-batches → state crosses batches
+        .parquet(feed)
+        .withColumn("ts", F.timestamp_micros(F.expr("`ts` div 1000")))
+    )
+    deduped = stream.select("event_id", "user_id", "event_type").dropDuplicates(["event_id"])
+    name = f"dedup_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+RUNNING_SCHEMA = "user_id long, n_events long, total_value double"
+STATE_SCHEMA = "n long, total double"
+
+
+def _running_totals(key, pdfs, state: GroupState):
+    (user_id,) = key
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame({"user_id": [user_id], "n_events": [n], "total_value": [total]})
+
+
+def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running (count, sum) carried across micro-batches as explicit state —
+    the escape hatch for stateful logic built-in aggregations can't
+    express. Emits one row per (user, batch); the LAST row per user is
+    the exact batch answer (asserted in tests)."""
+    ensure_session_confs(spark)
+    path = table_path(sf_dir, "events")
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("`ts` div 1000")))
+    )
+    updated = (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            _running_totals,
+            outputStructType=RUNNING_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    name = f"running_{uuid.uuid4().hex[:8]}"
+    q = (
+        updated.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # keep the final state per user: the cumulative totals after the last
+    # batch that touched that user (rows arrive in batch order; aggregate
+    # with max since counts are monotone)
+    out = spark.table(name)
+    return out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.round(F.max("total_value"), 2).alias("total_value"),
+    )

@@ -1,0 +1,97 @@
+"""Hypothesis property tests (SURVEY.md §5.3): the Column-expression
+implementations must agree with straightforward pure-Python reference
+implementations on arbitrary (incl. Cyrillic/whitespace-weird) inputs."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from etl_pipeline_old_spark.functions import classify as C
+from etl_pipeline_old_spark.functions import strings as S
+
+# words with Cyrillic, Latin, digits; joined with single underscores/spaces
+token = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+    min_size=1,
+    max_size=8,
+)
+
+
+def py_short_name(name: str | None, delim: str = "_") -> str | None:
+    # the reference's semantics (create_scripts_dataset.ipynb:95-99)
+    if name is None:
+        return None
+    parts = name.split(delim)
+    return delim.join(parts[:2]) if len(parts) >= 2 else name
+
+
+def py_strip_trailing(path: str | None, user: str | None, delim: str = "_") -> str | None:
+    # create_projectsync_dataset.ipynb:175-194
+    if path is None:
+        return None
+    if user is None:
+        return path
+    parts = path.split(delim)
+    if parts and parts[-1].lower() == user.lower():
+        return delim.join(parts[:-1])
+    return path
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.one_of(st.none(), st.lists(token, min_size=1, max_size=5).map("_".join)),
+                min_size=1, max_size=30))
+def test_short_name_matches_python_reference(spark, names):
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    got = [r["s"] for r in df.select(S.short_name("name").alias("s")).collect()]
+    assert got == [py_short_name(n) for n in names]
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.lists(token, min_size=1, max_size=4).map("_".join)),
+            st.one_of(st.none(), token),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_strip_trailing_matches_python_reference(spark, rows):
+    df = spark.createDataFrame(rows, "path string, user string")
+    got = [r["s"] for r in df.select(S.strip_trailing_token("path", "user").alias("s")).collect()]
+    assert got == [py_strip_trailing(p, u) for p, u in rows]
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.one_of(st.none(), st.text(min_size=0, max_size=40)), min_size=1, max_size=30),
+       st.permutations(["АТОМ", "ДОУ", "ИКП"]))
+def test_classifier_first_match_wins_property(spark, texts, rule_order):
+    rules = [(p, f"label_{p}") for p in rule_order]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = [r["c"] for r in df.select(C.classify_contains("t", rules, "НД").alias("c")).collect()]
+
+    def py_classify(t):
+        if t is None:
+            return "НД"
+        for pat, label in rules:
+            if pat in t:
+                return label
+        return "НД"
+
+    assert got == [py_classify(t) for t in texts]
+
+
+def test_join_left_cardinality_with_duplicate_dim_keys(spark):
+    # property boundary: the enrich contract assumes unique-keyed dims;
+    # a duplicate dim key MUST fan out (documenting, not hiding, the edge)
+    from etl_pipeline_old_spark.operators import joins as J
+
+    fact = spark.createDataFrame([(1,), (2,)], "k long")
+    dim = spark.createDataFrame([(1, "a"), (1, "b")], "k long, v string")
+    out = J.enrich(fact, dim, "k", ["v"])
+    assert out.count() == 3  # row 1 fans out to 2 — caller's contract to dedupe
