@@ -97,6 +97,75 @@ def hyperplane_lsh_buckets(
     )
 
 
+def ivf_topk(
+    vectors: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 3,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k via an IVF coarse quantizer: KMeans(n_clusters) partitions
+    the corpus; each query probes its ``n_probe`` nearest centroids and
+    re-ranks exactly inside them.
+
+    At scale the clustered table is written partitioned by ``cluster`` so a
+    probe touches n_probe/n_clusters of the data. Training samples the
+    corpus; assignment is one broadcast of the centroid matrix.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    ml_df = vectors.select(
+        F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("features")
+    )
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(ml_df)
+    centers = model.clusterCenters()
+
+    assigned = model.transform(ml_df).select(
+        F.col(id_col), F.col(vec_col), F.col("prediction").alias("cluster")
+    )
+
+    def center_dist(c_idx: int) -> Column:
+        arr = F.array(*[F.lit(float(x)) for x in centers[c_idx]])
+        return F.aggregate(
+            F.zip_with(F.col(vec_col), arr, lambda a, b: (a.cast("double") - b) ** 2),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    # per-query: n_probe nearest centroids (tiny driver-side-free expression:
+    # build an array of (dist, idx) structs, sort, slice)
+    dist_structs = F.array(
+        *[F.struct(center_dist(i).alias("d"), F.lit(i).alias("c")) for i in range(n_clusters)]
+    )
+    probes = F.slice(F.array_sort(dist_structs), 1, n_probe)
+    q = (
+        assigned.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            F.explode(probes).alias("__p"),
+        )
+        .select("query_id", "__qv", F.col("__p.c").alias("cluster"))
+    )
+    cand = assigned.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"), "cluster"
+    )
+    pairs = cand.join(F.broadcast(q), "cluster").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_topk(
     vectors: DataFrame,
     query_ids: list[int],

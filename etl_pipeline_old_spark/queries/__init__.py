@@ -17,6 +17,7 @@ _MODULES = (
     "advanced",
     "merge_scd",
     "stateful_stream",
+    "sql_api",
     "pipelines",
     "tpch",
 )

@@ -50,3 +50,17 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.lsh_topk(emb, QUERY_IDS, K, n_bits=8)
+
+
+@register(
+    "ann_ivf_cosine_topk",
+    oracle=None,  # KMeans centroids are iterative/fp-order-sensitive; recall
+    # vs the exact baseline is asserted in tests/test_llm_ops.py
+    doc="ANN top-10 via IVF coarse quantizer: KMeans(16) clusters the "
+    "corpus, each query probes its 3 nearest centroids and re-ranks "
+    "exactly — the partition-pruned ANN shape for 100 TB (cluster = "
+    "partition key).",
+)
+def ann_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk(emb, QUERY_IDS, K, n_clusters=16, n_probe=3)

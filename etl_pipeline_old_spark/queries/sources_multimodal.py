@@ -20,7 +20,7 @@ _CACHE = "/tmp/etl_pipeline_old_spark_cache"
 
 
 def _tag(sf_dir: str) -> str:
-    return os.path.basename(os.path.normpath(sf_dir))
+    return f"{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}"
 
 
 @register(

@@ -115,7 +115,7 @@ def k5_incremental_idempotency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     target = os.path.join(
         "/tmp/etl_pipeline_old_spark_cache",
-        f"incr_{os.path.basename(os.path.normpath(sf_dir))}",
+        f"incr_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
     )
     shutil.rmtree(target, ignore_errors=True)
 

@@ -34,6 +34,9 @@ _RUNTIME_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Spark's 200 default drowns small/medium local runs in empty tasks;
+    # AQE coalescing keeps this safe for large inputs too
+    "spark.sql.shuffle.partitions": "32",
 }
 
 

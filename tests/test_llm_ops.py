@@ -73,6 +73,22 @@ def test_lsh_ann_recall_vs_brute_force(spark, oracle_sf_dir):
     assert hits / max(len(approx), 1) >= 0.2
 
 
+def test_ivf_ann_recall_vs_brute_force(spark, oracle_sf_dir):
+    from etl_pipeline_old_spark.catalog import load_table
+
+    emb = load_table(spark, oracle_sf_dir, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    exact = SIM.brute_force_topk(emb, qids, 10).collect()
+    approx = SIM.ivf_topk(emb, qids, 10, n_clusters=16, n_probe=3).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(1 for r in approx if r["neighbor_id"] in exact_sets.get(r["query_id"], set()))
+    assert len(approx) > 0
+    # probing 3/16 clusters must beat chance (≈19% of corpus) on true top-k
+    assert hits / max(len(approx), 1) >= 0.3
+
+
 def test_lsh_candidates_subset_verified(spark):
     # every emitted LSH pair must meet the threshold (verify step works)
     d = _planted_docs(spark)

@@ -109,7 +109,8 @@ COVERAGE: list[tuple[str, str, list[str], str]] = [
     ("PIPE", "notebook pipelines", ["pipeline_logs", "pipeline_projectsync", "pipeline_yougile", "pipeline_gitlab_lines"], ""),
     # north-star extensions (BASELINE.json)
     ("X-dedup", "dedup family", ["dedup_exact", "dedup_exact_normalized", "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_cosine"], ""),
-    ("X-ann", "similarity search", ["ann_cosine_topk", "ann_lsh_cosine_topk"], ""),
+    ("X-ann", "similarity search", ["ann_cosine_topk", "ann_lsh_cosine_topk", "ann_ivf_cosine_topk"], ""),
+    ("X-sql", "Spark SQL API surface", ["sql_api_nation_spend"], "identical SQL text runs on both engines"),
     ("X-mm", "multimodal columns", ["multimodal_decode_meta", "multimodal_feature_extract", "multimodal_frame_sample"], "codecs stubbed (no image libs); plumbing real"),
     ("X-text", "text analysis", ["text_lang_id", "text_quality_score", "text_token_count", "text_fingerprint"], ""),
     ("X-olap", "advanced OLAP", ["pivot_status_by_priority", "unpivot_roundtrip", "cube_counts", "rollup_counts", "a7_count_distinct", "a8_approx_count_distinct", "a9_percentiles", "a10_percentile_approx", "global_topk", "join_salted_skew", "asof_join_last_signup", "range_join_neighbor_counts", "merge_upsert_corrections", "scd2_order_history"], ""),
