@@ -20,6 +20,7 @@ _MODULES = (
     "sql_api",
     "pipelines",
     "tpch",
+    "tpch2",
 )
 
 

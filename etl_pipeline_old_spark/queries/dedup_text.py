@@ -152,6 +152,26 @@ def _simhash_oracle(bits: int = 48) -> str:
 
 
 @register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH fp AS ({_simhash_oracle()})
+    SELECT a.id AS id_a, b.id AS id_b
+    FROM fp a JOIN fp b ON a.simhash = b.simhash AND a.id < b.id
+    """,
+    doc="SimHash near-dup candidate pairs: identical 48-bit fingerprints "
+    "(one groupBy bucket join; banded sub-fingerprints generalize to "
+    "Hamming-distance-k at scale).",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    fp = DD.simhash(d, "text", "doc_id").persist()
+    fp.count()  # both self-join sides hit the cache
+    a = fp.select(F.col("id").alias("id_a"), "simhash")
+    b = fp.select(F.col("id").alias("id_b"), "simhash")
+    return a.join(b, "simhash").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+
+
+@register(
     "dedup_simhash",
     oracle=_simhash_oracle(),
     doc="SimHash 48-bit fingerprints (token-count-weighted md5 bit votes); "

@@ -79,6 +79,8 @@ COVERAGE: list[tuple[str, str, list[str], str]] = [
     # §2.8 set ops
     ("U1", "union all by name", ["u1_union_by_name"], ""),
     ("U2", "anti-join EXCEPT", ["u2_anti_join"], ""),
+    ("U3", "INTERSECT", ["u3_intersect"], "beyond reference (legacy arrays-overlap note)"),
+    ("U4", "EXCEPT ALL", ["u4_except_all"], "beyond reference"),
     # §2.9 scalar functions
     ("F1", "short name", ["f1_short_name"], ""),
     ("F2", "ordered classifier", ["f2_ordered_classifier"], ""),
@@ -102,19 +104,20 @@ COVERAGE: list[tuple[str, str, list[str], str]] = [
     ("F20", "ci equality", ["j10_snowflake_chain"], ""),
     ("F21", "clip / fractional hours", ["f21_clip_frac_hours"], ""),
     ("F22", "round", ["f22_round"], ""),
+    ("F23", "arrays_overlap", ["f23_arrays_overlap"], "legacy intersection check, fetch_yougile_programming.py:505-509"),
     ("§2.10", "business-day duration", ["workdays_diff_sql", "workdays_diff_pandas_udf", "pipeline_yougile"], "golden tests in test_workdays.py"),
     ("§2.11", "streaming", ["stream_tumbling_window_counts", "stream_append_watermark", "stream_stateful_dedup", "stream_stateful_running_totals"], ""),
     ("§2.12", "UDF surface", ["workdays_diff_pandas_udf", "udf_extension_point", "multimodal_decode_meta"], ""),
     # pipelines (§3 end-to-end)
     ("PIPE", "notebook pipelines", ["pipeline_logs", "pipeline_projectsync", "pipeline_yougile", "pipeline_gitlab_lines"], ""),
     # north-star extensions (BASELINE.json)
-    ("X-dedup", "dedup family", ["dedup_exact", "dedup_exact_normalized", "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_cosine"], ""),
+    ("X-dedup", "dedup family", ["dedup_exact", "dedup_exact_normalized", "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs", "dedup_embedding_cosine"], ""),
     ("X-ann", "similarity search", ["ann_cosine_topk", "ann_lsh_cosine_topk", "ann_ivf_cosine_topk"], ""),
     ("X-sql", "Spark SQL API surface", ["sql_api_nation_spend"], "identical SQL text runs on both engines"),
     ("X-mm", "multimodal columns", ["multimodal_decode_meta", "multimodal_feature_extract", "multimodal_frame_sample"], "codecs stubbed (no image libs); plumbing real"),
     ("X-text", "text analysis", ["text_lang_id", "text_quality_score", "text_token_count", "text_fingerprint"], ""),
     ("X-olap", "advanced OLAP", ["pivot_status_by_priority", "unpivot_roundtrip", "cube_counts", "rollup_counts", "a7_count_distinct", "a8_approx_count_distinct", "a9_percentiles", "a10_percentile_approx", "global_topk", "join_salted_skew", "asof_join_last_signup", "range_join_neighbor_counts", "merge_upsert_corrections", "scd2_order_history"], ""),
-    ("X-tpch", "bench queries", ["tpch_q1_pricing_summary", "tpch_q3_shipping_priority", "tpch_q5_local_supplier_volume", "tpch_q6_forecast_revenue", "tpch_q14_promo_effect"], ""),
+    ("X-tpch", "bench queries", ["tpch_q1_pricing_summary", "tpch_q3_shipping_priority", "tpch_q5_local_supplier_volume", "tpch_q6_forecast_revenue", "tpch_q14_promo_effect", "tpch_q4_order_priority", "tpch_q16_supplier_cnt", "tpch_q18_large_orders"], ""),
 ]
 
 
