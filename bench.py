@@ -27,6 +27,14 @@ HEADLINE = [
     "workdays_diff_sql",
     "sessionization",
     "stream_tumbling_window_counts",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q14_promo_effect",
+    "tpch_q16_supplier_cnt",
+    "tpch_q18_large_orders",
+    "asof_join_last_signup",
+    "range_join_neighbor_counts",
+    "grouped_map_zscore",
 ]
 
 

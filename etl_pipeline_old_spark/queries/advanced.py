@@ -291,7 +291,7 @@ def range_join_neighbor_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-COS_THRESHOLD = 0.8
+COS_THRESHOLD = 0.4  # the synthetic embeddings' pairwise cosines top out ~0.5
 
 
 @register(
@@ -303,16 +303,25 @@ COS_THRESHOLD = 0.8
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {COS_THRESHOLD}
     """,
-    doc="Embedding-cosine near-dup pairs (cos >= 0.8), exact all-pairs "
-    "baseline; the LSH-bucketed variant (ann_lsh buckets as candidate "
-    "generator) is the 100 TB path.",
+    doc="Embedding-cosine near-dup pairs (cos >= 0.4), exact all-pairs "
+    "baseline with norms precomputed per vector (NOT per pair); the "
+    "LSH/IVF-bucketed candidate generators are the 100 TB path.",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import dot, norm
+
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__ea"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__eb"))
+    # one narrow projection per side: norm computed n times, not n² times
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("__ea"),
+        norm(F.col("embedding")).alias("__na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("__eb"),
+        norm(F.col("embedding")).alias("__nb"),
+    )
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    cos = cosine(F.col("__ea"), F.col("__eb"))
+    cos = dot(F.col("__ea"), F.col("__eb")) / (F.col("__na") * F.col("__nb"))
     return (
         pairs.select("id_a", "id_b", cos.alias("__cos"))
         .filter(F.col("__cos") >= COS_THRESHOLD)

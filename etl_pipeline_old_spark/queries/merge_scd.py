@@ -71,6 +71,37 @@ def udf_extension_point(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "grouped_map_zscore",
+    oracle="""
+    SELECT c_custkey,
+           round((c_acctbal - avg(c_acctbal) OVER (PARTITION BY c_nationkey))
+                 / stddev_samp(c_acctbal) OVER (PARTITION BY c_nationkey), 4) AS zscore
+    FROM customer
+    """,
+    doc="§2.12 grouped-map UDF: per-nation balance z-scores via "
+    "applyInPandas (whole group as a pandas frame in/out — the per-group "
+    "escape hatch); hash-checked against the window-function formulation.",
+)
+def grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["c_acctbal"].mean()
+        sd = pdf["c_acctbal"].std(ddof=1)  # sample stddev = stddev_samp
+        return pd.DataFrame(
+            {
+                "c_custkey": pdf["c_custkey"],
+                "zscore": ((pdf["c_acctbal"] - mu) / sd).round(4),
+            }
+        )
+
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").applyInPandas(
+        zscore, schema="c_custkey long, zscore double"
+    )
+
+
+@register(
     "tpch_q6_forecast_revenue",
     oracle="""
     SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
