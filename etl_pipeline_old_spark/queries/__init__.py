@@ -18,6 +18,7 @@ _MODULES = (
     "merge_scd",
     "stateful_stream",
     "sql_api",
+    "datasource_q19",
     "pipelines",
     "tpch",
     "tpch2",

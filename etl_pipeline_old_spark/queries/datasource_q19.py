@@ -1,0 +1,77 @@
+"""Registry entries: the custom Python DataSource roundtrip (S7 scale
+path) and TPC-H Q19's disjunctive-predicate join shape."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+from ..sources import python_datasource
+
+PAGE_SIZE = 100
+
+
+@register(
+    "s7_python_datasource_pages",
+    oracle="SELECT doc_id, lang, n_chars FROM documents",
+    doc="S7 scale path: a custom Spark Python DataSource (DataSource V2) "
+    "reading a paginated JSON feed — one InputPartition per page, fetched "
+    "in parallel ON the executors (vs the reference's driver-side loop, "
+    "fetch_yougile_programming.py:128-158). Roundtrip hash-equals the "
+    "source table.",
+)
+def s7_python_datasource_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    feed = os.path.join(
+        "/tmp/etl_pipeline_old_spark_cache",
+        f"pages_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    shutil.rmtree(feed, ignore_errors=True)
+    os.makedirs(feed)
+    rows = [r.asDict() for r in docs.collect()]  # staging only (driver-side
+    # dump simulating the API's existence; the READ is the operator under test)
+    for page_no in range(0, len(rows), PAGE_SIZE):
+        with open(os.path.join(feed, f"page-{page_no // PAGE_SIZE:05d}.json"), "w") as f:
+            for rec in rows[page_no : page_no + PAGE_SIZE]:
+                f.write(json.dumps(rec) + "\n")
+
+    python_datasource.register(spark)
+    return (
+        spark.read.format("paged_json")
+        .schema("doc_id long, lang string, n_chars long")
+        .option("path", feed)
+        .load()
+    )
+
+
+@register(
+    "tpch_q19_disjunctive_join",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity >= 10)
+       OR (p.p_brand = 'Brand#19' AND p.p_size BETWEEN 10 AND 25 AND l.l_quantity >= 20)
+       OR (p.p_brand = 'Brand#5'  AND p.p_size BETWEEN 20 AND 40 AND l.l_quantity >= 30)
+    """,
+    doc="TPC-H Q19 shape: OR-of-conjunctions across both join sides — "
+    "exercises CNF conversion / partial predicate pushdown through the "
+    "broadcast join.",
+)
+def tpch_q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"], "inner")
+    cond = (
+        ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 10) & (F.col("l_quantity") >= 10))
+        | ((F.col("p_brand") == "Brand#19") & F.col("p_size").between(10, 25) & (F.col("l_quantity") >= 20))
+        | ((F.col("p_brand") == "Brand#5") & F.col("p_size").between(20, 40) & (F.col("l_quantity") >= 30))
+    )
+    return j.filter(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )

@@ -1,0 +1,66 @@
+"""Custom Spark Python DataSource (Spark 4 DataSource V2 API) for paginated
+JSON feeds — the Spark-native form of the reference's driver-side REST
+pagination loop (S7, extractors/fetch_yougile_programming.py:128-158).
+
+Each page becomes an InputPartition, so page fetches run ON THE EXECUTORS
+in parallel (the 100 TB shape for 10⁶-page APIs), with Catalyst seeing an
+ordinary relation: ``spark.read.format("paged_json").load(dir)``.
+
+The "API" here is a directory of page files (``page-*.json``, one JSON
+object per line) — the offline-testable stand-in for an HTTP transport;
+swapping ``_read_page`` for a real session call is the only change needed
+for a live API.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+class PagedJsonDataSource(DataSource):
+    """``spark.read.format("paged_json").schema(...).load(dir)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "paged_json"
+
+    def schema(self) -> str:
+        # schema must be supplied by the caller (.schema(...)); offering a
+        # default keeps the source usable for quick exploration
+        return "value string"
+
+    def reader(self, schema) -> "PagedJsonReader":
+        return PagedJsonReader(schema, self.options)
+
+
+class _PagePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class PagedJsonReader(DataSourceReader):
+    def __init__(self, schema, options):
+        self.schema = schema
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("paged_json requires a path")
+
+    def partitions(self):
+        pages = sorted(glob.glob(os.path.join(self.path, "page-*.json")))
+        return [_PagePartition(p) for p in pages]
+
+    def read(self, partition: _PagePartition):
+        fields = [f.name for f in self.schema.fields]
+        with open(partition.path, encoding="utf-8") as f:
+            for line in f:
+                if line.strip():
+                    rec = json.loads(line)
+                    yield tuple(rec.get(k) for k in fields)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(PagedJsonDataSource)

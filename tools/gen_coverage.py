@@ -23,7 +23,7 @@ COVERAGE: list[tuple[str, str, list[str], str]] = [
     ("S4", "JDBC full-table scan", [], "code: sources/jdbc.py jdbc_scan (no DB in container); option-builder unit-tested"),
     ("S5", "JDBC incremental predicate scan", [], "code: sources/jdbc.py incremental_subquery; pushdown SQL unit-tested"),
     ("S6", "Postgres bulk export", [], "code: sources/jdbc.py jdbc_scan(partitionColumn=...) — parallel-pull replacement"),
-    ("S7", "paginated REST source", [], "code: sources/rest.py paginate/backoff/fan-out; offline transport tests"),
+    ("S7", "paginated REST source", ["s7_python_datasource_pages"], "custom Python DataSource (one InputPartition/page, executor-parallel); HTTP transport adapter in sources/rest.py with offline tests"),
     ("S8", "REST single-shot source", [], "code: sources/rest.py rest_to_dataframe"),
     ("S9", "Google Sheets scan", [], "code: sources/sheets.py; ragged/CRLF/BOM tests"),
     ("S10", "git LOC scan", ["pipeline_gitlab_lines"], "compute modeled per SURVEY (I/O out of scope)"),
@@ -117,7 +117,7 @@ COVERAGE: list[tuple[str, str, list[str], str]] = [
     ("X-mm", "multimodal columns", ["multimodal_decode_meta", "multimodal_feature_extract", "multimodal_frame_sample"], "codecs stubbed (no image libs); plumbing real"),
     ("X-text", "text analysis", ["text_lang_id", "text_quality_score", "text_token_count", "text_fingerprint"], ""),
     ("X-olap", "advanced OLAP", ["pivot_status_by_priority", "unpivot_roundtrip", "cube_counts", "rollup_counts", "a7_count_distinct", "a8_approx_count_distinct", "a9_percentiles", "a10_percentile_approx", "global_topk", "join_salted_skew", "asof_join_last_signup", "range_join_neighbor_counts", "merge_upsert_corrections", "scd2_order_history"], ""),
-    ("X-tpch", "bench queries", ["tpch_q1_pricing_summary", "tpch_q3_shipping_priority", "tpch_q5_local_supplier_volume", "tpch_q6_forecast_revenue", "tpch_q14_promo_effect", "tpch_q4_order_priority", "tpch_q16_supplier_cnt", "tpch_q18_large_orders"], ""),
+    ("X-tpch", "bench queries", ["tpch_q1_pricing_summary", "tpch_q3_shipping_priority", "tpch_q5_local_supplier_volume", "tpch_q6_forecast_revenue", "tpch_q14_promo_effect", "tpch_q4_order_priority", "tpch_q16_supplier_cnt", "tpch_q18_large_orders", "tpch_q19_disjunctive_join"], ""),
 ]
 
 
