@@ -19,6 +19,7 @@ _MODULES = (
     "stateful_stream",
     "sql_api",
     "datasource_q19",
+    "tpch3",
     "pipelines",
     "tpch",
     "tpch2",

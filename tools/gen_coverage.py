@@ -106,7 +106,7 @@ COVERAGE: list[tuple[str, str, list[str], str]] = [
     ("F22", "round", ["f22_round"], ""),
     ("F23", "arrays_overlap", ["f23_arrays_overlap"], "legacy intersection check, fetch_yougile_programming.py:505-509"),
     ("§2.10", "business-day duration", ["workdays_diff_sql", "workdays_diff_pandas_udf", "pipeline_yougile"], "golden tests in test_workdays.py"),
-    ("§2.11", "streaming", ["stream_tumbling_window_counts", "stream_append_watermark", "stream_stateful_dedup", "stream_stateful_running_totals"], ""),
+    ("§2.11", "streaming", ["stream_tumbling_window_counts", "stream_append_watermark", "stream_stateful_dedup", "stream_stateful_running_totals", "stream_stream_join"], ""),
     ("§2.12", "UDF surface", ["workdays_diff_pandas_udf", "udf_extension_point", "multimodal_decode_meta"], ""),
     # pipelines (§3 end-to-end)
     ("PIPE", "notebook pipelines", ["pipeline_logs", "pipeline_projectsync", "pipeline_yougile", "pipeline_gitlab_lines"], ""),
@@ -117,7 +117,7 @@ COVERAGE: list[tuple[str, str, list[str], str]] = [
     ("X-mm", "multimodal columns", ["multimodal_decode_meta", "multimodal_feature_extract", "multimodal_frame_sample"], "codecs stubbed (no image libs); plumbing real"),
     ("X-text", "text analysis", ["text_lang_id", "text_quality_score", "text_token_count", "text_fingerprint"], ""),
     ("X-olap", "advanced OLAP", ["pivot_status_by_priority", "unpivot_roundtrip", "cube_counts", "rollup_counts", "a7_count_distinct", "a8_approx_count_distinct", "a9_percentiles", "a10_percentile_approx", "global_topk", "join_salted_skew", "asof_join_last_signup", "range_join_neighbor_counts", "merge_upsert_corrections", "scd2_order_history"], ""),
-    ("X-tpch", "bench queries", ["tpch_q1_pricing_summary", "tpch_q3_shipping_priority", "tpch_q5_local_supplier_volume", "tpch_q6_forecast_revenue", "tpch_q14_promo_effect", "tpch_q4_order_priority", "tpch_q16_supplier_cnt", "tpch_q18_large_orders", "tpch_q19_disjunctive_join"], ""),
+    ("X-tpch", "bench queries", ["tpch_q1_pricing_summary", "tpch_q3_shipping_priority", "tpch_q5_local_supplier_volume", "tpch_q6_forecast_revenue", "tpch_q14_promo_effect", "tpch_q4_order_priority", "tpch_q16_supplier_cnt", "tpch_q18_large_orders", "tpch_q19_disjunctive_join", "tpch_q12_shipmode_buckets", "tpch_q22_global_sales_opportunity"], ""),
 ]
 
 
