@@ -1,0 +1,44 @@
+"""The engine's ``run.py`` equivalent (SURVEY.md §3.1).
+
+The reference orchestrates extractors + five notebooks as separate OS
+processes communicating through a file landing zone, aborting on first
+failure (run.py:11-27, check=True). Here the whole pipeline is ONE driver
+program over ONE SparkSession: each dataset is a lazy plan; only the sink
+writes are actions; failures propagate naturally. The file landing zone
+becomes an optional bronze layer (parquet dir).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sinks.incremental import full_refresh
+from . import pipelines as P1
+from . import pipelines2 as P2
+
+# dataset name → builder, in the reference's execution order
+# (run.py:31: scripts, gitlab, projectsync, yougile, logs — 'scripts' has
+# no testdata analog of its own; its operator content is covered by the
+# projectsync/logs analogs per FIXTURES.md)
+DATASETS = {
+    "gitlab": P2.gitlab_lines_pipeline,
+    "projectsync": P2.projectsync_pipeline,
+    "yougile": P2.yougile_pipeline,
+    "logs": P1.logs_pipeline,
+}
+
+
+def run_pipeline(
+    spark: SparkSession, sf_dir: str, out_dir: str | None = None
+) -> dict[str, DataFrame]:
+    """Build every dataset; if ``out_dir`` is given, full-refresh each to
+    parquet (K4) — the datalake-load step of the reference notebooks."""
+    outputs: dict[str, DataFrame] = {}
+    for name, build in DATASETS.items():
+        df = build(spark, sf_dir)
+        if out_dir is not None:
+            full_refresh(df, os.path.join(out_dir, name))
+        outputs[name] = df
+    return outputs

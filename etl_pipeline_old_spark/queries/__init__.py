@@ -20,6 +20,7 @@ _MODULES = (
     "sql_api",
     "datasource_q19",
     "tpch3",
+    "orchestrator_q",
     "pipelines",
     "tpch",
     "tpch2",

@@ -1,0 +1,50 @@
+"""Registry entry: the full-pipeline orchestrator (run.py equivalent) —
+every reference dataset built and loaded in one call, summarized as
+(dataset, n_rows) and hash-checked against the composed oracles."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.orchestrator import run_pipeline
+from ..plans.pipelines import LOGS_PIPELINE_ORACLE
+from ..plans.pipelines2 import GITLAB_ORACLE, PROJECTSYNC_ORACLE
+from ..registry import register
+from .pipelines2 import _YOUGILE_ORACLE
+
+_ORACLE = f"""
+SELECT 'gitlab' AS dataset, count(*) AS n_rows FROM ({GITLAB_ORACLE})
+UNION ALL
+SELECT 'projectsync', count(*) FROM ({PROJECTSYNC_ORACLE})
+UNION ALL
+SELECT 'yougile', count(*) FROM ({_YOUGILE_ORACLE})
+UNION ALL
+SELECT 'logs', count(*) FROM ({LOGS_PIPELINE_ORACLE})
+"""
+
+
+@register(
+    "run_full_pipeline",
+    oracle=_ORACLE,
+    doc="run.py equivalent (SURVEY §3.1): builds ALL reference datasets in "
+    "one SparkSession, full-refreshes each to the datalake dir (K4), and "
+    "reports per-dataset row counts read back from the sink — the whole "
+    "reference pipeline as one driver program, hash-checked against the "
+    "composed dataset oracles.",
+)
+def run_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out_dir = os.path.join(
+        "/tmp/etl_pipeline_old_spark_cache",
+        f"datalake_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    run_pipeline(spark, sf_dir, out_dir)
+    parts = []
+    for name in ("gitlab", "projectsync", "yougile", "logs"):
+        n = spark.read.parquet(os.path.join(out_dir, name)).count()
+        parts.append((name, n))
+    return spark.createDataFrame(parts, "dataset string, n_rows long")

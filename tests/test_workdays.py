@@ -67,6 +67,35 @@ def test_udf_variant_golden(spark, golden_df):
             assert out[i] == pytest.approx(exp, abs=1e-9), f"case {i}"
 
 
+def test_workdays_invariants(spark, oracle_sf_dir):
+    """Invariants over real data: 0 <= duration <= calendar-day span + 1,
+    and closed tasks always get a non-null duration."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_old_spark.registry import QUERIES, _ensure_loaded
+
+    _ensure_loaded()
+    out = QUERIES["workdays_diff_sql"].fn(spark, oracle_sf_dir)
+    from etl_pipeline_old_spark.catalog import load_table
+
+    ev = load_table(spark, oracle_sf_dir, "events").select(
+        "event_id", "event_type", (F.floor("value")).alias("span_hours")
+    )
+    j = out.join(ev, "event_id")
+    bad_null = j.filter(
+        (F.col("event_type") != "error") & F.col("work_days_duration").isNull()
+    ).count()
+    assert bad_null == 0
+    bad_range = j.filter(
+        F.col("work_days_duration").isNotNull()
+        & (
+            (F.col("work_days_duration") < 0)
+            | (F.col("work_days_duration") > F.col("span_hours") / 24.0 + 1.0)
+        )
+    ).count()
+    assert bad_range == 0
+
+
 def test_variants_agree_on_events(spark, oracle_sf_dir):
     from etl_pipeline_old_spark.registry import QUERIES, _ensure_loaded
 

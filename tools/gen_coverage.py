@@ -110,6 +110,7 @@ COVERAGE: list[tuple[str, str, list[str], str]] = [
     ("§2.12", "UDF surface", ["workdays_diff_pandas_udf", "udf_extension_point", "multimodal_decode_meta"], ""),
     # pipelines (§3 end-to-end)
     ("PIPE", "notebook pipelines", ["pipeline_logs", "pipeline_projectsync", "pipeline_yougile", "pipeline_gitlab_lines"], ""),
+    ("RUN", "run.py orchestrator", ["run_full_pipeline"], "all datasets in one SparkSession + K4 loads"),
     # north-star extensions (BASELINE.json)
     ("X-dedup", "dedup family", ["dedup_exact", "dedup_exact_normalized", "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs", "dedup_embedding_cosine"], ""),
     ("X-ann", "similarity search", ["ann_cosine_topk", "ann_lsh_cosine_topk", "ann_ivf_cosine_topk"], ""),
