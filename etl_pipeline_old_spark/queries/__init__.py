@@ -21,6 +21,7 @@ _MODULES = (
     "datasource_q19",
     "tpch3",
     "orchestrator_q",
+    "tpch4",
     "pipelines",
     "tpch",
     "tpch2",

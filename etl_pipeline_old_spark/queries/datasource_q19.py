@@ -53,7 +53,7 @@ def s7_python_datasource_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q19_disjunctive_join",
     oracle="""
-    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity >= 10)
        OR (p.p_brand = 'Brand#19' AND p.p_size BETWEEN 10 AND 25 AND l.l_quantity >= 20)
@@ -73,5 +73,5 @@ def tpch_q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#5") & F.col("p_size").between(20, 40) & (F.col("l_quantity") >= 30))
     )
     return j.filter(cond).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue")
     )
