@@ -22,6 +22,7 @@ _MODULES = (
     "tpch3",
     "orchestrator_q",
     "tpch4",
+    "corpus",
     "pipelines",
     "tpch",
     "tpch2",
