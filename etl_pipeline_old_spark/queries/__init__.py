@@ -23,6 +23,7 @@ _MODULES = (
     "orchestrator_q",
     "tpch4",
     "corpus",
+    "robustness",
     "pipelines",
     "tpch",
     "tpch2",
