@@ -89,6 +89,27 @@ def feature_extract(media: DataFrame, dim: int = 8) -> DataFrame:
     return media.mapInPandas(op, schema="doc_id long, features array<float>")
 
 
+def resize(media: DataFrame, factor: int = 2) -> DataFrame:
+    """'Resize' payloads by an integer factor — DETERMINISTIC FAKE
+    (byte-stride downsample standing in for pixel resampling); keeps the
+    binary-in/binary-out batch shape of a real resize kernel."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = pdf["payload"].map(lambda b: bytes(b[::factor]))
+            n = resized.map(len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": resized,
+                    "width": 1 + n % 64,
+                    "height": 1 + (n // 64) % 64,
+                }
+            )
+
+    return media.mapInPandas(op, schema="doc_id long, payload binary, width long, height long")
+
+
 def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
     """Sample N equal-size byte slices ("frames") per payload —
     the video-frame-sampling batch shape: one row in, N rows out."""

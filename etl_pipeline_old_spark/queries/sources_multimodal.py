@@ -12,7 +12,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..operators.multimodal import decode_meta, feature_extract, frame_sample, make_media_table
+from ..operators.multimodal import (
+    decode_meta,
+    feature_extract,
+    frame_sample,
+    make_media_table,
+    resize,
+)
 from ..registry import register
 from ..sources.files import flatten_structs, read_csv, read_json
 
@@ -101,6 +107,28 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = make_media_table(load_table(spark, sf_dir, "documents"))
     return feature_extract(media)
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+    SELECT doc_id,
+           (octet_length(text::BLOB) + 1) // 2 AS resized_bytes,
+           1 + ((octet_length(text::BLOB) + 1) // 2) % 64 AS width,
+           1 + (((octet_length(text::BLOB) + 1) // 2) // 64) % 64 AS height
+    FROM documents
+    """,
+    doc="Multimodal: resize via mapInPandas (deterministic byte-stride "
+    "fake standing in for pixel resampling — binary in, binary + new dims "
+    "out); checked on resized byte counts and dims.",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = make_media_table(load_table(spark, sf_dir, "documents"))
+    out = resize(media, factor=2)
+    return out.select(
+        "doc_id", F.octet_length("payload").cast("long").alias("resized_bytes"),
+        "width", "height",
+    )
 
 
 @register(
