@@ -24,6 +24,7 @@ _MODULES = (
     "tpch4",
     "corpus",
     "robustness",
+    "profiling",
     "pipelines",
     "tpch",
     "tpch2",
