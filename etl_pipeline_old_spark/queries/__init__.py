@@ -25,6 +25,7 @@ _MODULES = (
     "corpus",
     "robustness",
     "profiling",
+    "tfidf_clusters",
     "pipelines",
     "tpch",
     "tpch2",
