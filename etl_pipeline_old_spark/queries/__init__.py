@@ -26,6 +26,7 @@ _MODULES = (
     "robustness",
     "profiling",
     "tfidf_clusters",
+    "training_corpus",
     "pipelines",
     "tpch",
     "tpch2",

@@ -1,0 +1,91 @@
+"""The north-star capstone: end-to-end training-corpus preparation.
+
+Composes the engine's text-pipeline operators into the pass a 100 TB
+pretraining-data pipeline runs: normalize → quality filter → exact-dedup
+(keep the canonical copy) → language filter → deterministic train/test
+split → per-(lang, split) manifest. Every stage is a shuffle-lean
+relational op; the split is md5-hash-based so it is reproducible across
+engines, runs, and cluster sizes (no rand()).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.dedup import MD5_LONG_SQL, md5_long, normalize_text
+from ..operators.text import quality_score
+from ..registry import register
+from .dedup_text import NORM
+
+QUALITY_MIN = 0.55
+TRAIN_PCT = 8  # of 10 hash buckets
+
+_H_DOC = MD5_LONG_SQL.format(x="'split:' || doc_id::VARCHAR")
+
+
+@register(
+    "pipeline_training_corpus",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang, n_chars,
+             {NORM} AS norm_text,
+             round(0.5 * least(len(string_split({NORM}, ' ')) / 64.0, 1.0)
+                 + 0.3 * (len(list_filter(string_split({NORM}, ' '),
+                       x -> x IN ('the','a','of','and','is')))
+                       / len(string_split({NORM}, ' ')))
+                 + 0.2 * (CASE WHEN length({NORM})
+                                    / len(string_split({NORM}, ' '))
+                               BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END), 4)
+               AS quality
+      FROM documents),
+    quality_pass AS (SELECT * FROM scored WHERE quality >= {QUALITY_MIN}),
+    canonical AS (
+      SELECT min(doc_id) AS doc_id FROM quality_pass GROUP BY md5(norm_text)),
+    kept AS (
+      SELECT q.* FROM quality_pass q JOIN canonical c ON q.doc_id = c.doc_id
+      WHERE q.lang IN ('en', 'de', 'fr', 'es')),
+    split AS (
+      SELECT *, CASE WHEN {_H_DOC} % 10 < {TRAIN_PCT} THEN 'train' ELSE 'test' END AS subset
+      FROM kept)
+    SELECT lang, subset,
+           count(*) AS n_docs,
+           sum(n_chars)::BIGINT AS total_chars,
+           round(sum(quality), 4) AS sum_quality
+    FROM split GROUP BY lang, subset
+    """,
+    doc="Capstone training-data pipeline: normalize → quality >= 0.55 → "
+    "exact-dedup to the canonical (min doc_id) copy → language allowlist → "
+    "deterministic md5-bucket 80/20 split → per-(lang, subset) manifest. "
+    "One Catalyst plan; the only shuffles are the dedup hash-group and the "
+    "final summary.",
+)
+def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        normalize_text("text").alias("norm_text"),
+        quality_score("text").alias("quality"),
+    ).filter(F.col("quality") >= QUALITY_MIN)
+
+    canonical = (
+        scored.groupBy(F.md5("norm_text").alias("__h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = scored.join(canonical, "doc_id", "left_semi").filter(
+        F.col("lang").isin("en", "de", "fr", "es")
+    )
+    split_hash = md5_long(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
+    split = kept.withColumn(
+        "subset",
+        F.when(split_hash % 10 < TRAIN_PCT, F.lit("train")).otherwise(F.lit("test")),
+    )
+    return split.groupBy("lang", "subset").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.sum("quality"), 4).alias("sum_quality"),
+    )
