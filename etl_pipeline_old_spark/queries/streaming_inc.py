@@ -53,6 +53,70 @@ SESSION_GAP_US = 30 * 60 * 1_000_000
 
 
 @register(
+    "stream_session_window",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+      FROM g)
+    SELECT user_id,
+           make_timestamp(min(epoch_us(ts))) AS session_start,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, session_id
+    """,
+    doc="§2.11: streaming session windows (session_window(ts, 30 min) per "
+    "user, complete mode) — the stream drained with availableNow equals "
+    "the batch lag-gap sessionization, hash-checked.",
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from ..catalog import table_path
+    from ..session import ensure_session_confs
+
+    ensure_session_confs(spark)
+    path = table_path(sf_dir, "events")
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("`ts` div 1000")))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    name = f"sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        "n_events",
+    )
+
+
+@register(
     "sessionization",
     oracle=f"""
     WITH g AS (
