@@ -58,6 +58,35 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stacked.select("p.*")
 
 
+N_BINS = 10
+PRICE_LO, PRICE_HI = 0.0, 600_000.0
+_BIN_W = (PRICE_HI - PRICE_LO) / N_BINS
+
+
+@register(
+    "histogram_order_totals",
+    oracle=f"""
+    SELECT least(floor((o_totalprice - {PRICE_LO}) / {_BIN_W}), {N_BINS - 1})::BIGINT AS bin,
+           count(*) AS n_orders,
+           round(min(o_totalprice), 2) AS bin_min,
+           round(max(o_totalprice), 2) AS bin_max
+    FROM orders GROUP BY 1
+    """,
+    doc="Equi-width histogram via floor binning (no width_bucket needed — "
+    "portable arithmetic): order-value distribution in 10 bins.",
+)
+def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    bin_col = F.least(
+        F.floor((F.col("o_totalprice") - PRICE_LO) / _BIN_W), F.lit(N_BINS - 1)
+    ).cast("long")
+    return o.groupBy(bin_col.alias("bin")).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.min("o_totalprice"), 2).alias("bin_min"),
+        F.round(F.max("o_totalprice"), 2).alias("bin_max"),
+    )
+
+
 @register(
     "tpch_q11_important_parts",
     oracle="""

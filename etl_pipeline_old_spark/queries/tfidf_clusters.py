@@ -86,3 +86,36 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     pairs = DD.minhash_lsh_dedup(d, "text", "doc_id").select("id_a", "id_b")
     return connected_components(pairs)
+
+
+@register(
+    "dedup_apply",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT id_a, id_b FROM ({_minhash_oracle()})
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    reach (node, target) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT r.node, e.v FROM reach r JOIN edges e ON r.target = e.u),
+    comp AS (SELECT node, min(target) AS component FROM reach GROUP BY node),
+    losers AS (SELECT node FROM comp WHERE node <> component)
+    SELECT d.doc_id, d.lang FROM documents d
+    WHERE d.doc_id NOT IN (SELECT node FROM losers)
+    """,
+    doc="Dedup APPLY: the corpus with every near-dup cluster reduced to "
+    "its canonical (min doc_id) member — pairs → components → anti-join. "
+    "The final step of the dedup chain; output is the deduped dataset.",
+)
+def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_dedup(d, "text", "doc_id").select("id_a", "id_b")
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    return d.join(losers, "doc_id", "left_anti").select("doc_id", "lang")
