@@ -49,3 +49,25 @@ def test_contract_shape():
     qs, os_ = e.queries(), e.oracle_sql()
     assert qs, "queries() must not be empty"
     assert set(os_) <= set(qs), "every oracle key must be a query key"
+
+
+def test_registry_orders_unverified_first():
+    """Never-driver-verified queries must precede already-green ones.
+
+    The driver verifies a bounded prefix of ``queries()`` per round;
+    ``registry._ordered_names`` rotates unverified queries to the front by
+    reading past CORRECTNESS_r*.json files (see registry.py).
+    """
+    import glob
+    import os
+
+    from etl_pipeline_old_spark import registry
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if not glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        pytest.skip("no driver correctness files yet (round 1)")
+    seen = registry._verification_priority()
+    names = list(registry.all_queries().keys())
+    counts = [seen.get(n, 0) for n in names]
+    assert counts == sorted(counts), "registry order must be ascending by verified-count"
+    assert set(names) == set(registry.QUERIES), "ordering must not drop queries"
