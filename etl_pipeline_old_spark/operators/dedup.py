@@ -182,6 +182,23 @@ def md5_int32(col: Column) -> Column:
 MD5_INT32_SQL = "('0x' || substr(md5({x}), 1, 8))::UBIGINT::BIGINT"
 
 
+def materialize_release(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Materialize ``result`` and release the pipeline's persisted inputs.
+
+    ``localCheckpoint(eager=True)`` computes the result once into executor
+    blocks that the ContextCleaner frees as soon as the frame is
+    unreferenced, whereas ``persist`` entries live in the CacheManager until
+    explicitly unpersisted — so a long-lived session running many queries
+    (the 136-query bench) would otherwise accumulate every intermediate
+    cache. Call with the small RESULT of a pipeline and its large cached
+    intermediates.
+    """
+    out = result.localCheckpoint(eager=True)
+    for c in cached:
+        c.unpersist()
+    return out
+
+
 def minhash_signatures(sh: DataFrame, num_hashes: int = 16) -> DataFrame:
     """k-min-value signature per id.
 
@@ -224,12 +241,15 @@ def lsh_candidate_pairs(sig: DataFrame, bands: int = 4, rows: int = 4) -> DataFr
     banded.count()  # eager: both self-join sides must HIT the cache, not race it
     a = banded.select(F.col("id").alias("id_a"), "band", "bkey")
     b = banded.select(F.col("id").alias("id_b"), "band", "bkey")
-    return (
+    pairs = (
         a.join(b, ["band", "bkey"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
+    # pairs are tiny (two ids/row) — materialize them and drop the banded
+    # cache so it doesn't outlive this call in the session's CacheManager.
+    return materialize_release(pairs, banded)
 
 
 def minhash_lsh_dedup(
@@ -254,7 +274,8 @@ def minhash_lsh_dedup(
     sh.count()  # eager: signature + both verify sides reuse the cache
     sig = minhash_signatures(sh, num_hashes)
     cand = lsh_candidate_pairs(sig, bands, rows)
-    return jaccard_pairs(sh, candidates=cand).filter(F.col("jaccard") >= threshold)
+    verified = jaccard_pairs(sh, candidates=cand).filter(F.col("jaccard") >= threshold)
+    return materialize_release(verified, sh)
 
 
 # ---------------------------------------------------------------------------

@@ -168,7 +168,8 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp.count()  # both self-join sides hit the cache
     a = fp.select(F.col("id").alias("id_a"), "simhash")
     b = fp.select(F.col("id").alias("id_b"), "simhash")
-    return a.join(b, "simhash").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+    pairs = a.join(b, "simhash").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+    return DD.materialize_release(pairs, fp)
 
 
 @register(

@@ -26,7 +26,7 @@ from ..registry import register
     oracle="""
     SELECT l_orderkey, l_extendedprice
     FROM lineitem
-    WHERE l_shipdate < TIMESTAMP '1995-01-01'
+    WHERE l_shipdate < TIMESTAMP '1996-07-01'
     """,
     doc="S2/S11: column-pruned, predicate-pushed parquet scan "
     "(ref: extractors/fetch_asterisk_cdr.py:43 usecols=['uniqueid']).",
@@ -35,8 +35,10 @@ def s11_parquet_scan_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     # Catalyst pushes both the projection and the filter into the parquet
     # scan — check .explain(): PushedFilters + 2-column ReadSchema.
+    # Cutoff sits inside the testdata shipdate range (1995-01..2001-11) so the
+    # oracle comparison exercises real rows, not a vacuous empty set.
     return li.select("l_orderkey", "l_extendedprice").filter(
-        F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp_ntz")
+        F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp_ntz")
     )
 
 

@@ -49,6 +49,12 @@ def stream_append_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return append_mode_with_watermark(spark, sf_dir)
 
 
+# Boundary convention: an event EXACTLY ``gap`` after its predecessor starts
+# a NEW session. This matches Spark's session_window, whose per-event windows
+# [t, t+gap) merge only when they OVERLAP — touching endpoints don't merge —
+# so the lag-gap formulations below use ``>= SESSION_GAP_US`` for the
+# new-session predicate (not ``>``), keeping batch, streaming, and oracle
+# definitions the same function even on exact-boundary timestamps.
 SESSION_GAP_US = 30 * 60 * 1_000_000
 
 
@@ -58,7 +64,7 @@ SESSION_GAP_US = 30 * 60 * 1_000_000
     WITH g AS (
       SELECT user_id, event_id, ts,
              CASE WHEN lag(ts) OVER w IS NULL
-                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= {SESSION_GAP_US}
                   THEN 1 ELSE 0 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
@@ -122,7 +128,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH g AS (
       SELECT user_id, event_id, ts,
              CASE WHEN lag(ts) OVER w IS NULL
-                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= {SESSION_GAP_US}
                   THEN 1 ELSE 0 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
@@ -144,7 +150,7 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     ts_us = F.unix_micros(F.col("ts"))
     new_s = F.when(
-        F.lag("ts").over(w).isNull() | ((ts_us - F.lag(ts_us).over(w)) > SESSION_GAP_US),
+        F.lag("ts").over(w).isNull() | ((ts_us - F.lag(ts_us).over(w)) >= SESSION_GAP_US),
         F.lit(1),
     ).otherwise(F.lit(0))
     sessions = ev.withColumn("new_session", new_s).withColumn(

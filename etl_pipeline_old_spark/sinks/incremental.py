@@ -31,15 +31,26 @@ def full_refresh(df: DataFrame, path: str) -> None:
 
 
 def read_watermark(spark: SparkSession, path: str, col: str) -> Any:
-    """A1: ``SELECT max(col) FROM target`` — null if target absent/empty.
+    """A1: ``SELECT max(col) FROM target`` — null iff the target does not
+    exist yet.
+
+    Only the path-missing case maps to "no watermark"; any other read
+    failure (permissions, corrupt footer, FS hiccup) on an EXISTING target
+    propagates — treating it as "target absent" would make
+    :func:`incremental_append` silently re-append the whole input and break
+    its idempotency contract.
 
     At scale this is a metadata-cheap aggregate: parquet min/max footer
     stats let Spark answer it without scanning data pages.
     """
+    from pyspark.errors import AnalysisException
+
     try:
         return spark.read.parquet(path).agg(F.max(col)).first()[0]
-    except Exception:
-        return None
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+            return None
+        raise
 
 
 def incremental_append(

@@ -24,3 +24,34 @@ def test_long_chain_converges(spark):
     )
     comp = {r["node"]: r["component"] for r in connected_components(edges).collect()}
     assert set(comp.values()) == {0}
+
+
+def test_reliable_checkpoint_mode(spark, tmp_path):
+    # cluster-safe mode: .checkpoint() to a fault-tolerant dir instead of
+    # executor-lifetime localCheckpoint blocks
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    comp = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            edges, checkpoint_dir=str(tmp_path / "ckpt")
+        ).collect()
+    }
+    assert {comp[1], comp[2], comp[3]} == {1}
+    assert {comp[10], comp[11]} == {10}
+    import os
+
+    assert os.listdir(tmp_path / "ckpt"), "reliable checkpoint dir must be used"
+
+
+def test_iteration_cap_raises(spark):
+    # a 12-node path needs ~11 propagation rounds; cap of 3 must RAISE, not
+    # return partially-propagated labels
+    import pytest
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iterations=3).collect()
