@@ -3,9 +3,7 @@ path) and TPC-H Q19's disjunctive-predicate join shape."""
 
 from __future__ import annotations
 
-import json
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -32,14 +30,14 @@ def s7_python_datasource_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         "/tmp/etl_pipeline_old_spark_cache",
         f"pages_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
     )
-    shutil.rmtree(feed, ignore_errors=True)
-    os.makedirs(feed)
-    rows = [r.asDict() for r in docs.collect()]  # staging only (driver-side
-    # dump simulating the API's existence; the READ is the operator under test)
-    for page_no in range(0, len(rows), PAGE_SIZE):
-        with open(os.path.join(feed, f"page-{page_no // PAGE_SIZE:05d}.json"), "w") as f:
-            for rec in rows[page_no : page_no + PAGE_SIZE]:
-                f.write(json.dumps(rec) + "\n")
+    # Stage the paginated "API" DISTRIBUTED: executors write ≤PAGE_SIZE-row
+    # JSONL page files directly (no driver collect); the READ through the
+    # custom DataSource is the operator under test.
+    (
+        docs.write.mode("overwrite")
+        .option("maxRecordsPerFile", PAGE_SIZE)
+        .json(feed)
+    )
 
     python_datasource.register(spark)
     return (

@@ -8,9 +8,7 @@ deliberately 10%-corrupted JSONL feed and reports the good/bad split.
 
 from __future__ import annotations
 
-import json
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -32,19 +30,24 @@ from ..registry import register
     "_corrupt_record and are counted, good rows keep their values.",
 )
 def s3b_corrupt_json_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars").collect()
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     feed = os.path.join(
         "/tmp/etl_pipeline_old_spark_cache",
         f"corrupt_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
     )
-    shutil.rmtree(feed, ignore_errors=True)
-    os.makedirs(feed)
-    with open(os.path.join(feed, "part-0.json"), "w") as f:
-        for r in docs:
-            line = json.dumps({"doc_id": r["doc_id"], "n_chars": r["n_chars"]})
-            if r["doc_id"] % 10 == 3:
-                line = line[: len(line) // 2]  # truncate mid-record
-            f.write(line + "\n")
+    # Stage the corrupt feed DISTRIBUTED: serialize each row to a JSON line
+    # and truncate every doc_id%10==3 line mid-record, all executor-side —
+    # no driver materialization, so staging scales with the table.
+    line = F.to_json(F.struct("doc_id", "n_chars"))
+    staged = docs.select(
+        F.when(
+            F.col("doc_id") % 10 == 3,
+            line.substr(F.lit(1), (F.length(line) / 2).cast("int")),
+        )
+        .otherwise(line)
+        .alias("value")
+    )
+    staged.write.mode("overwrite").text(feed)
 
     parsed = (
         spark.read.schema("doc_id long, n_chars long, _corrupt_record string")

@@ -50,7 +50,13 @@ class PagedJsonReader(DataSourceReader):
             raise ValueError("paged_json requires a path")
 
     def partitions(self):
-        pages = sorted(glob.glob(os.path.join(self.path, "page-*.json")))
+        # page-*.json: hand-staged API pages; part-*.json: pages staged by a
+        # distributed Spark write (maxRecordsPerFile) — either way, one
+        # InputPartition per page file.
+        pages = sorted(
+            glob.glob(os.path.join(self.path, "page-*.json"))
+            + glob.glob(os.path.join(self.path, "part-*.json"))
+        )
         return [_PagePartition(p) for p in pages]
 
     def read(self, partition: _PagePartition):
