@@ -29,15 +29,19 @@ Two implementations behind the same semantics:
    exact-parity/readability variant and as the UDF extension-point demo.
 
 Calendar: the reference uses ``workalendar.europe.Russia`` (not available
-here); we embed the Russian statutory federal holidays (the same fixed list
-workalendar uses). Weekend = Sat/Sun. Local-time conversion uses the fixed
-UTC+5 offset — exact for Yekaterinburg since 2016; the engine's input data
-(events, 2024) is entirely in that range.
+here); we embed the Russian statutory federal holidays PLUS the official
+production calendars 2020-2026 (weekend-transferred holidays, decreed
+bridge days, and decreed working Saturdays — public annual government
+decrees, the same data workalendar encodes). Outside 2020-2026 the engine
+falls back to the fixed-list + Sat/Sun rule. Local-time conversion uses
+the fixed UTC+5 offset — exact for Yekaterinburg since 2016; the engine's
+input data (events, 2024) is entirely in that range.
 """
 
 from __future__ import annotations
 
 from datetime import date, timedelta
+from functools import lru_cache
 
 import numpy as np
 import pandas as pd
@@ -57,17 +61,70 @@ RU_FIXED_HOLIDAYS: tuple[tuple[int, int], ...] = (
     (2, 23), (3, 8), (5, 1), (5, 9), (6, 12), (11, 4),
 )
 
+# Official Russian production calendar, 2020-2026 (public annual government
+# transfer decrees — the same data workalendar.europe.Russia encodes):
+# weekday days off BEYOND the fixed federal list (weekend-transferred
+# holidays and decreed bridge days), and the rare decreed WORKING Saturdays
+# that pay for a bridge. Outside this window the engine falls back to the
+# fixed-list + Sat/Sun rule (documented approximation).
+RU_EXTRA_NON_WORKING: dict[int, tuple[tuple[int, int], ...]] = {
+    # Feb 23→Feb 24, Mar 8→Mar 9, Jan 4→May 4, Jan 5→May 5, May 9→May 11
+    2020: ((2, 24), (3, 9), (5, 4), (5, 5), (5, 11)),
+    # Feb 20(Sat work)→Feb 22, May 1→May 3, May 9→May 10, Jun 12→Jun 14,
+    # Jan 2→Nov 5, Jan 3→Dec 31
+    2021: ((2, 22), (5, 3), (5, 10), (6, 14), (11, 5), (12, 31)),
+    # Mar 5(Sat work)→Mar 7, May 1→May 2, Jan 1→May 3, Jan 2→May 10,
+    # Jun 12→Jun 13
+    2022: ((3, 7), (5, 2), (5, 3), (5, 10), (6, 13)),
+    # Jan 1→Feb 24, Jan 8→May 8, Nov 4(Sat)→Nov 6
+    2023: ((2, 24), (5, 8), (11, 6)),
+    # Apr 27(Sat work)→Apr 29, Nov 2(Sat work)→Apr 30, Jan 6→May 10,
+    # Dec 28(Sat work)→Dec 30, Jan 7→Dec 31
+    2024: ((4, 29), (4, 30), (5, 10), (12, 30), (12, 31)),
+    # Jan 4→May 2, Feb 23→May 8, Mar 8→Jun 13, Nov 1(Sat work)→Nov 3,
+    # Jan 5→Dec 31
+    2025: ((5, 2), (5, 8), (6, 13), (11, 3), (12, 31)),
+    # Jan 3→Jan 9, Mar 8→Mar 9, May 9→May 11, Jan 4→Dec 31
+    2026: ((1, 9), (3, 9), (5, 11), (12, 31)),
+}
+RU_WORKING_SATURDAYS: dict[int, tuple[tuple[int, int], ...]] = {
+    2021: ((2, 20),),
+    2022: ((3, 5),),
+    2024: ((4, 27), (11, 2), (12, 28)),
+    2025: ((11, 1),),
+}
 
-def ru_holidays(year_from: int, year_to: int) -> list[date]:
-    return [
+
+def ru_non_working_weekdays(year_from: int, year_to: int) -> list[date]:
+    """All dates that are days off despite falling Mon-Fri: the fixed
+    federal holidays plus the production-calendar transfers/bridges."""
+    out = []
+    for y in range(year_from, year_to + 1):
+        for m, d in RU_FIXED_HOLIDAYS + RU_EXTRA_NON_WORKING.get(y, ()):
+            dt = date(y, m, d)
+            if dt.weekday() < 5:
+                out.append(dt)
+    return sorted(out)
+
+
+def ru_working_saturdays(year_from: int, year_to: int) -> list[date]:
+    return sorted(
         date(y, m, d)
         for y in range(year_from, year_to + 1)
-        for m, d in RU_FIXED_HOLIDAYS
-    ]
+        for m, d in RU_WORKING_SATURDAYS.get(y, ())
+    )
 
 
 def is_working_date(d: date) -> bool:
-    return d.weekday() < 5 and (d.month, d.day) not in RU_FIXED_HOLIDAYS
+    md = (d.month, d.day)
+    if md in RU_WORKING_SATURDAYS.get(d.year, ()):
+        return True
+    if d.weekday() >= 5:
+        return False
+    return (
+        md not in RU_FIXED_HOLIDAYS
+        and md not in RU_EXTRA_NON_WORKING.get(d.year, ())
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -75,14 +132,12 @@ def is_working_date(d: date) -> bool:
 # ---------------------------------------------------------------------------
 
 
-def calendar_dim(spark: SparkSession, start: date, end: date) -> DataFrame:
-    """Calendar dimension [start-1day, end] with ``cum_working`` = number of
-    working days ≤ d. ``delta(a, b] = cum[b] - cum[a]``.
+CAL_LO = date(1990, 1, 1)
+CAL_HI = date(2100, 12, 31)
 
-    Driver-built (a few KB per decade) and broadcast — the classic
-    pre-computed-holiday-table formulation of SURVEY.md §2.10 option 2.
-    """
-    start = start - timedelta(days=1)  # need cum[] at the day before start
+
+@lru_cache(maxsize=4)
+def _calendar_rows(start: date, end: date) -> tuple[tuple[date, bool, int], ...]:
     days = []
     cum = 0
     d = start
@@ -91,7 +146,24 @@ def calendar_dim(spark: SparkSession, start: date, end: date) -> DataFrame:
         cum += int(w)
         days.append((d, w, cum))
         d += timedelta(days=1)
-    return spark.createDataFrame(days, "d date, is_working boolean, cum_working int")
+    return tuple(days)
+
+
+def calendar_dim(
+    spark: SparkSession, start: date = CAL_LO, end: date = CAL_HI
+) -> DataFrame:
+    """Calendar dimension [start-1day, end] with ``cum_working`` = number of
+    working days ≤ d. ``delta(a, b] = cum[b] - cum[a]``.
+
+    Driver-built and broadcast; the full 1990-2100 default is ~40k rows
+    (≈1 MB) — still trivially broadcastable, and a FIXED range means the
+    operator never needs to scan the fact table for bounds, keeping
+    :func:`workdays_diff_frame` a pure lazy transform.
+    """
+    start = start - timedelta(days=1)  # need cum[] at the day before start
+    return spark.createDataFrame(
+        list(_calendar_rows(start, end)), "d date, is_working boolean, cum_working int"
+    )
 
 
 def _frac_hour(local_ts: Column) -> Column:
@@ -116,12 +188,9 @@ def workdays_diff_frame(
     s_loc = F.col(start_col) + shift
     e_loc = F.col(end_col) + shift
 
-    bounds = df.agg(
-        F.min(F.to_date(s_loc)).alias("lo"), F.max(F.to_date(e_loc)).alias("hi")
-    ).first()
-    if bounds["lo"] is None:
-        return df.withColumn(out_col, F.lit(None).cast("double"))
-    cal = calendar_dim(spark, bounds["lo"], bounds["hi"])
+    # fixed-range calendar (no bounds scan of the fact table — building the
+    # plan triggers NO Spark job; see tests/test_workdays.py)
+    cal = calendar_dim(spark)
 
     w = df.withColumn("__s_loc", s_loc).withColumn("__e_loc", e_loc)
     w = w.withColumn("__s_d", F.to_date("__s_loc")).withColumn("__e_d", F.to_date("__e_loc"))
@@ -187,12 +256,26 @@ def calendar_oracle_cte(lo: str, hi: str) -> str:
     holiday_pred = " OR ".join(
         f"(month(d) = {m} AND day(d) = {dd})" for m, dd in RU_FIXED_HOLIDAYS
     )
+    extra = [
+        f"DATE '{y}-{m:02d}-{dd:02d}'"
+        for y, mds in sorted(RU_EXTRA_NON_WORKING.items())
+        for m, dd in mds
+    ]
+    work_sat = [
+        f"DATE '{y}-{m:02d}-{dd:02d}'"
+        for y, mds in sorted(RU_WORKING_SATURDAYS.items())
+        for m, dd in mds
+    ]
+    working = (
+        f"((dayofweek(d) NOT IN (0, 6) AND NOT ({holiday_pred})"
+        f" AND d::DATE NOT IN ({', '.join(extra)}))"
+        f" OR d::DATE IN ({', '.join(work_sat)}))"
+    )
     return f"""
     cal AS (
       SELECT d::DATE AS d,
-             (dayofweek(d) NOT IN (0, 6) AND NOT ({holiday_pred})) AS is_working,
-             sum(CASE WHEN dayofweek(d) NOT IN (0, 6) AND NOT ({holiday_pred})
-                      THEN 1 ELSE 0 END) OVER (ORDER BY d) AS cum_working
+             {working} AS is_working,
+             sum(CASE WHEN {working} THEN 1 ELSE 0 END) OVER (ORDER BY d) AS cum_working
       FROM (SELECT unnest(generate_series(({lo})::DATE - INTERVAL 1 DAY,
                                           ({hi})::DATE, INTERVAL 1 DAY)) AS d)
     )
@@ -213,7 +296,12 @@ def make_workdays_udf():
     from pyspark.sql.types import DoubleType
 
     holidays = np.array(
-        [np.datetime64(d) for d in ru_holidays(1990, 2100)], dtype="datetime64[D]"
+        [np.datetime64(d) for d in ru_non_working_weekdays(1990, 2100)],
+        dtype="datetime64[D]",
+    )
+    working_sats = np.array(
+        [np.datetime64(d) for d in ru_working_saturdays(1990, 2100)],
+        dtype="datetime64[D]",
     )
 
     @F.pandas_udf(DoubleType())
@@ -229,13 +317,15 @@ def make_workdays_udf():
 
         def working(days: np.ndarray) -> np.ndarray:
             dow = (days.astype("int64") + 3) % 7  # 1970-01-01 (day 0) is Thursday=3
-            return (dow < 5) & ~np.isin(days, holidays)
+            return ((dow < 5) & ~np.isin(days, holidays)) | np.isin(days, working_sats)
 
         s_working = working(s_day)
         e_working = working(e_day)
         # delta = working days in (s_day, e_day] = busday_count with our
         # calendar; np.busday_count counts [s, e) on working days, so shift
-        # both endpoints by one day.
+        # both endpoints by one day. Decreed working Saturdays can't be
+        # expressed in a busday weekmask — add each (a handful of dates)
+        # as an explicit membership correction on the half-open interval.
         one = np.timedelta64(1, "D")
         delta = np.busday_count(
             (s_day + one).astype("datetime64[D]"),
@@ -243,6 +333,8 @@ def make_workdays_udf():
             weekmask="1111100",
             holidays=holidays,
         )
+        for ws in working_sats:
+            delta = delta + ((s_day < ws) & (ws <= e_day)).astype(delta.dtype)
         days_between = np.maximum(delta - 1, 0)
 
         s_frac = s.dt.hour.to_numpy(float) + s.dt.minute.to_numpy(float) / 60.0

@@ -116,3 +116,58 @@ def test_variants_agree_on_events(spark, oracle_sf_dir):
         or (a[k] is not None and abs(a[k] - b[k]) > 1e-9)
     }
     assert not diffs, f"{len(diffs)} disagreements, e.g. {list(diffs.items())[:5]}"
+
+
+# Production-calendar goldens: spans crossing 2024's decreed transfers
+# (Apr 27 working Saturday, Apr 29-30 bridge days, May 10 transferred from
+# Jan 6). Times UTC; local = +5.
+GOLDEN_TRANSFERS = [
+    # Wed 2024-05-08 16:00 -> Mon 2024-05-13 10:00 local: May 9 holiday,
+    # May 10 TRANSFERRED OFF, weekend; delta={May 13}=1 -> between=0,
+    # first=1/9, last=2/9
+    (datetime(2024, 5, 8, 11, 0), datetime(2024, 5, 13, 5, 0), 0.33),
+    # decreed WORKING Saturday 2024-04-27, same day local 09:00->12:00 = 3h/9h
+    (datetime(2024, 4, 27, 4, 0), datetime(2024, 4, 27, 7, 0), 0.33),
+    # Fri 2024-04-26 16:00 -> Thu 2024-05-02 10:00 local: working days in
+    # (Apr 26, May 2] = {Apr 27 (working Sat), May 2} = 2 -> between=1,
+    # first=1/9, last=2/9 (Apr 29-30 bridge + May 1 holiday drop out)
+    (datetime(2024, 4, 26, 11, 0), datetime(2024, 5, 2, 5, 0), 1.33),
+]
+
+
+@pytest.fixture(scope="module")
+def transfers_df(spark):
+    return spark.createDataFrame(
+        [(i, s, e) for i, (s, e, _) in enumerate(GOLDEN_TRANSFERS)],
+        "id long, createdAt timestamp, closedAt timestamp",
+    )
+
+
+def test_frame_variant_production_calendar(spark, transfers_df):
+    out = _by_id(workdays_diff_frame(transfers_df, "createdAt", "closedAt").collect())
+    for i, (_, _, exp) in enumerate(GOLDEN_TRANSFERS):
+        assert out[i] == pytest.approx(exp, abs=1e-9), f"transfer case {i}"
+
+
+def test_udf_variant_production_calendar(spark, transfers_df):
+    udf = make_workdays_udf()
+    out = _by_id(
+        transfers_df.select(
+            "id", udf("createdAt", "closedAt").alias("work_days_duration")
+        ).collect()
+    )
+    for i, (_, _, exp) in enumerate(GOLDEN_TRANSFERS):
+        assert out[i] == pytest.approx(exp, abs=1e-9), f"transfer case {i}"
+
+
+def test_frame_build_triggers_no_job(spark, golden_df):
+    """workdays_diff_frame must be a pure lazy transform: building the plan
+    (fixed-range calendar, no fact-table bounds scan) runs zero Spark jobs."""
+    sc = spark.sparkContext
+    sc.setJobGroup("wd_build_probe", "workdays build probe")
+    try:
+        workdays_diff_frame(golden_df, "createdAt", "closedAt")
+        ids = sc.statusTracker().getJobIdsForGroup("wd_build_probe")
+    finally:
+        sc.setJobGroup("", "")
+    assert list(ids) == [], f"plan build launched jobs: {ids}"
