@@ -71,6 +71,53 @@ def brute_force_topk(
     )
 
 
+def lsh_planes(n_bits: int = 8, dim: int = 64, seed: int = 42) -> np.ndarray:
+    """Seeded-deterministic random hyperplanes (shared with the DuckDB
+    oracle, which embeds the same numbers as literals)."""
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_bits, dim)
+
+
+def quantize_planes(planes: np.ndarray, scale: int) -> np.ndarray:
+    """Integerize planes with round-half-up: floor(p*scale + 0.5) — an
+    operation every engine computes identically on IEEE doubles."""
+    return np.floor(planes * scale + 0.5).astype(np.int64)
+
+
+def _bucket_expr(
+    vec_col: str, n_bits: int, dim: int, seed: int, quantize_scale: int | None
+) -> Column:
+    """Bit-string bucket for one LSH table (one plane set)."""
+    if quantize_scale is None:
+        planes = lsh_planes(n_bits, dim, seed)
+        bits = [
+            F.when(
+                dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in planes[i]])) >= 0,
+                "1",
+            ).otherwise("0")
+            for i in range(n_bits)
+        ]
+    else:
+        iplanes = quantize_planes(lsh_planes(n_bits, dim, seed), quantize_scale)
+        qv = F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * quantize_scale + F.lit(0.5)),
+        )
+
+        def int_dot(plane_row: np.ndarray) -> Column:
+            arr = F.array(*[F.lit(int(p)) for p in plane_row])
+            return F.aggregate(
+                F.zip_with(qv, arr, lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+
+        bits = [
+            F.when(int_dot(iplanes[i]) >= 0, "1").otherwise("0") for i in range(n_bits)
+        ]
+    return F.concat(*bits)
+
+
 def hyperplane_lsh_buckets(
     vectors: DataFrame,
     n_bits: int = 8,
@@ -78,23 +125,42 @@ def hyperplane_lsh_buckets(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantize_scale: int | None = None,
+    n_tables: int = 1,
 ) -> DataFrame:
-    """Assign each vector a sign-bucket from ``n_bits`` random hyperplanes.
+    """Assign each vector its sign-bucket(s) from random hyperplanes —
+    output (id, vec, tbl, bucket), one row per LSH table.
 
-    Planes are seeded-deterministic, shipped as literal arrays (a few KB);
-    bucket = bit-string of sign(v·plane). Cosine-similar vectors agree on
-    most bits, so near neighbors collide in buckets.
+    Planes are seeded-deterministic (table t uses ``seed + t``), shipped as
+    literal arrays (a few KB); bucket = bit-string of sign(v·plane).
+    Cosine-similar vectors agree on most bits, so near neighbors collide.
+
+    ``n_tables`` is the classic OR-amplification knob: recall rises as
+    1-(1-p^bits)^tables at the cost of ``n_tables``× bucket rows — tune
+    (n_bits, n_tables) so per-bucket candidate counts stay bounded while
+    true neighbors are still likely to collide somewhere.
+
+    ``quantize_scale`` integerizes both the vector and the planes
+    (floor(x·scale + 0.5)) so every dot product is a sum of int64 products
+    — order-independent and bit-identical across engines, which makes the
+    bucketing (and anything derived from it, e.g. recall) exactly
+    reproducible in a SQL oracle. Semantically it's still random-hyperplane
+    LSH, just with planes rounded to 1/scale.
     """
-    rng = np.random.RandomState(seed)
-    planes = rng.randn(n_bits, dim)
-    bucket_bits = [
-        F.when(dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in planes[i]])) >= 0, "1")
-        .otherwise("0")
-        for i in range(n_bits)
+    table_structs = [
+        F.struct(
+            F.lit(t).alias("tbl"),
+            _bucket_expr(vec_col, n_bits, 64 if dim is None else dim, seed + t, quantize_scale).alias(
+                "bucket"
+            ),
+        )
+        for t in range(n_tables)
     ]
     return vectors.select(
-        F.col(id_col), F.col(vec_col), F.concat(*bucket_bits).alias("bucket")
-    )
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(F.array(*table_structs)).alias("__b"),
+    ).select(id_col, vec_col, F.col("__b.tbl").alias("tbl"), F.col("__b.bucket").alias("bucket"))
 
 
 def ivf_topk(
@@ -175,24 +241,34 @@ def lsh_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantize_scale: int | None = None,
+    n_tables: int = 1,
 ) -> DataFrame:
-    """ANN top-k: candidates restricted to the query's LSH bucket, then
-    exact cosine re-rank within the bucket.
+    """ANN top-k: candidates restricted to the query's LSH bucket(s) across
+    ``n_tables`` tables (OR-amplified), then exact cosine re-rank over the
+    deduplicated candidate set.
 
-    At scale, repartition the bucketed table by ``bucket`` (or write it
-    bucketed) so each query probes one partition instead of the full set.
+    At scale, repartition the bucketed table by (tbl, bucket) (or write it
+    bucketed) so each query probes n_tables partitions instead of the full
+    set.
     """
-    bucketed = hyperplane_lsh_buckets(vectors, n_bits, dim, seed, id_col, vec_col)
+    bucketed = hyperplane_lsh_buckets(
+        vectors, n_bits, dim, seed, id_col, vec_col, quantize_scale, n_tables
+    )
     q = bucketed.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
-        F.col("bucket"),
+        "tbl",
+        "bucket",
     )
     cand = bucketed.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"), "bucket"
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"), "tbl", "bucket"
     )
-    pairs = cand.join(F.broadcast(q), "bucket").filter(
-        F.col("neighbor_id") != F.col("query_id")
+    pairs = (
+        cand.join(F.broadcast(q), ["tbl", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        # a pair colliding in several tables must be scored once
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = pairs.select(
         "query_id",
@@ -201,3 +277,22 @@ def lsh_topk(
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def recall_vs_exact(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
+    """Per-query recall@k of an ANN result against the exact top-k.
+
+    Both inputs carry (query_id, neighbor_id). Computed entirely in-plan:
+    one broadcastable left join + one aggregate over (n_queries · k) rows —
+    negligible next to the searches themselves.
+    """
+    hits = approx.select("query_id", "neighbor_id", F.lit(1).alias("__hit"))
+    return (
+        exact.select("query_id", "neighbor_id")
+        .join(hits, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("__hit").alias("n_hits"),
+            (F.count("__hit") / F.lit(float(k))).alias(f"recall_at_{k}"),
+        )
+    )

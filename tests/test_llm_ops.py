@@ -62,7 +62,7 @@ def test_lsh_ann_recall_vs_brute_force(spark, oracle_sf_dir):
     emb = load_table(spark, oracle_sf_dir, "embeddings")
     qids = [0, 1, 2, 3, 4]
     exact = SIM.brute_force_topk(emb, qids, 10).collect()
-    approx = SIM.lsh_topk(emb, qids, 10, n_bits=8).collect()
+    approx = SIM.lsh_topk(emb, qids, 10, n_bits=5, n_tables=6).collect()
     exact_sets = {}
     for r in exact:
         exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
@@ -94,3 +94,24 @@ def test_lsh_candidates_subset_verified(spark):
     d = _planted_docs(spark)
     out = DD.minhash_lsh_dedup(d, "text", "doc_id", threshold=0.5)
     assert out.filter(F.col("jaccard") < 0.5).count() == 0
+
+
+def test_ann_recall_queries_floor(spark, oracle_sf_dir):
+    """The registered recall@10 queries must report usable recall: LSH
+    (5 bits x 6 tables) and IVF (probe 3/16) both probe ~18% of the corpus;
+    both must beat the ~2% random-chance recall by a wide margin."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_old_spark.registry import QUERIES, _ensure_loaded
+
+    _ensure_loaded()
+    lsh = (
+        QUERIES["ann_lsh_recall_at_10"].fn(spark, oracle_sf_dir)
+        .agg(F.avg("recall_at_10")).first()[0]
+    )
+    ivf = (
+        QUERIES["ann_ivf_recall_at_10"].fn(spark, oracle_sf_dir)
+        .agg(F.avg("recall_at_10")).first()[0]
+    )
+    assert lsh >= 0.2, f"LSH avg recall@10 {lsh} below floor"
+    assert ivf >= 0.4, f"IVF avg recall@10 {ivf} below floor"
