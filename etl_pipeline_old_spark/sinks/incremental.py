@@ -117,11 +117,19 @@ def jdbc_incremental_append(
     properties: dict | None = None,
 ) -> None:
     """K5 to a live database: read-back max via a pushdown subquery, then
-    batched append (batchsize ≈ the reference's CHUNK_SIZE=5000)."""
+    batched append (batchsize ≈ the reference's CHUNK_SIZE=5000).
+
+    The watermark column is double-quoted in the pushdown SQL: Spark's JDBC
+    writers create case-sensitive quoted identifiers, so an unquoted name
+    would upcase and miss (exercised live in tests/test_jdbc_derby.py).
+    """
     props = properties or {}
     mx = (
-        spark.read.jdbc(url, f"(SELECT max({watermark_col}) AS mx FROM {table}) t", properties=props)
-        .first()["mx"]
+        spark.read.jdbc(
+            url, f'(SELECT max("{watermark_col}") AS mx FROM {table}) t', properties=props
+        )
+        # positional: databases differ on unquoted-alias case (Derby upcases)
+        .first()[0]
     )
     fresh = df if mx is None else df.filter(F.col(watermark_col) > F.lit(mx))
     fresh.write.mode("append").option("batchsize", 5000).jdbc(url, table, properties=props)

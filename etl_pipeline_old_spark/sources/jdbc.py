@@ -19,12 +19,30 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 
 
-def incremental_subquery(table: str, watermark_col: str, last_value: Any | None) -> str:
+def sql_literal(value: Any) -> str:
+    """Render a watermark value as a SQL literal: numbers bare (databases
+    like Derby don't coerce VARCHAR to BIGINT), everything else quoted."""
+    if isinstance(value, bool):
+        return "TRUE" if value else "FALSE"
+    if isinstance(value, (int, float)):
+        return str(value)
+    return "'" + str(value).replace("'", "''") + "'"
+
+
+def incremental_subquery(
+    table: str, watermark_col: str, last_value: Any | None, quote: str = '"'
+) -> str:
     """S5: the pushdown subquery for an incremental pull —
-    ``WHERE uniqueid > '<max>'`` semantics, DB-side."""
+    ``WHERE uniqueid > <max>`` semantics, DB-side.
+
+    The column is quoted (ANSI double quotes by default; pass ``quote='`'``
+    for MySQL) because Spark's JDBC writers create case-sensitive quoted
+    identifiers, so an unquoted name would upcase and miss.
+    """
     if last_value is None:
         return table
-    return f"(SELECT * FROM {table} WHERE {watermark_col} > '{last_value}') t"
+    col = f"{quote}{watermark_col}{quote}"
+    return f"(SELECT * FROM {table} WHERE {col} > {sql_literal(last_value)}) t"
 
 
 def jdbc_scan(

@@ -79,8 +79,10 @@ def test_sheet_adapter_pads_and_cleans(spark):
 # ---------------------------------------------------------------- JDBC (S5)
 def test_incremental_subquery_pushdown():
     q = incremental_subquery("asteriskcdrdb.cdr", "uniqueid", "1700000000.123")
-    assert q == "(SELECT * FROM asteriskcdrdb.cdr WHERE uniqueid > '1700000000.123') t"
+    assert q == "(SELECT * FROM asteriskcdrdb.cdr WHERE \"uniqueid\" > '1700000000.123') t"
     assert incremental_subquery("t", "k", None) == "t"
+    # numeric watermarks stay bare (Derby won't coerce VARCHAR to BIGINT)
+    assert incremental_subquery("t", "k", 89) == '(SELECT * FROM t WHERE "k" > 89) t'
 
 
 # ------------------------------------------------------- incremental (K5)
