@@ -35,6 +35,13 @@ HEADLINE = [
     "asof_join_last_signup",
     "range_join_neighbor_counts",
     "grouped_map_zscore",
+    # iterative / stateful / end-to-end paths (r1 verdict #8): regressions in
+    # connected components, the capstone corpus pipeline, ANN recall, and
+    # stateful streaming must be visible round-over-round
+    "dedup_clusters",
+    "pipeline_training_corpus",
+    "ann_lsh_recall_at_10",
+    "stream_stateful_dedup",
 ]
 
 
