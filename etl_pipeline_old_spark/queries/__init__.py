@@ -30,6 +30,7 @@ _MODULES = (
     "pipelines",
     "tpch",
     "tpch2",
+    "tpch5",
 )
 
 
