@@ -1,0 +1,166 @@
+"""Training-corpus curation operators, part 2: the governance stages a
+large-scale LLM data pipeline runs between cleaning and training —
+benchmark-contamination detection, sequence packing, deterministic
+stratified sampling, and per-language quota capping.
+
+All four are pure relational shapes (shingle joins, window cumsums,
+portable md5 hashing) — no Python in the hot path, every one
+oracle-checked value-for-value against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import dedup as DD
+from ..registry import register
+
+NORM = DD.NORMALIZE_SQL.format(x="text")
+
+# eval/benchmark membership: deterministic id rule (stand-in for joining a
+# real benchmark table; the shape — tiny eval side, huge train side — holds)
+EVAL_MOD = 37
+CONTAM_N = 4  # word-n-gram length: at the testdata scale 4-grams flag a small,
+# non-vacuous contaminated set (5-grams match ~1 doc; 3-grams over-flag)
+
+
+@register(
+    "corpus_contamination_check",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split({NORM}, ' ') AS toks FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(toks, i, i + {CONTAM_N - 1}), ' ') AS sh
+      FROM tok, UNNEST(generate_series(1, greatest(len(toks) - {CONTAM_N - 1}, 0))) AS u(i)),
+    eval_sh AS (
+      SELECT DISTINCT sh FROM sh WHERE doc_id % {EVAL_MOD} = 0),
+    hits AS (
+      SELECT s.doc_id, count(*) AS n_shared_grams
+      FROM sh s JOIN eval_sh e ON s.sh = e.sh
+      WHERE s.doc_id % {EVAL_MOD} <> 0
+      GROUP BY s.doc_id)
+    SELECT doc_id, n_shared_grams FROM hits
+    """,
+    doc="Train/eval contamination check: training docs sharing any word-"
+    f"{CONTAM_N}-gram with the benchmark set, with the shared-gram count. "
+    "The eval shingle set is tiny (a benchmark suite) → broadcast; the "
+    "train side streams one shingle pass — the 100 TB decontamination "
+    "shape (cf. GPT-3/FineWeb n-gram decontamination).",
+)
+def corpus_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sh = DD.shingle_sets(d, "text", "doc_id", CONTAM_N)
+    is_eval = F.col("id") % EVAL_MOD == 0
+    eval_sh = sh.filter(is_eval).select("sh").distinct()
+    train_sh = sh.filter(~is_eval)
+    return (
+        train_sh.join(F.broadcast(eval_sh), "sh")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(F.count("*").alias("n_shared_grams"))
+    )
+
+
+PACK_BUDGET = 2048
+PACK_BUCKETS = 64
+
+
+@register(
+    "corpus_token_pack",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT
+               % {PACK_BUCKETS} AS bucket,
+             len(string_split({NORM}, ' '))::BIGINT AS n_tokens
+      FROM documents)
+    SELECT doc_id, bucket, n_tokens,
+           ((sum(n_tokens) OVER (
+               PARTITION BY bucket ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) - n_tokens) // {PACK_BUDGET})::BIGINT
+             AS pack_id
+    FROM t
+    """,
+    doc=f"Sequence packing for training: docs are token-counted (word "
+    f"proxy), hashed into {PACK_BUCKETS} md5 buckets, and packed into "
+    f"{PACK_BUDGET}-token windows by start-offset (cumsum // budget). "
+    "Bucketing keeps the ordered cumsum window PARALLEL (one partition "
+    "per bucket, no global sort) — the scale-safe form of greedy packing; "
+    "docs straddling a boundary overflow into the next pack by design.",
+)
+def corpus_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        (DD.md5_long(F.col("doc_id").cast("string")) % PACK_BUCKETS).alias("bucket"),
+        F.size(F.split(DD.normalize_text("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    w = W.partitionBy("bucket").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    start_offset = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return t.select(
+        "doc_id",
+        "bucket",
+        "n_tokens",
+        F.floor(start_offset / PACK_BUDGET).alias("pack_id"),
+    )
+
+
+# per-language keep rates (‰): downsample the over-represented head, keep
+# the tail — the standard corpus-rebalancing move
+SAMPLE_PERMILLE = {"en": 300, "de": 800, "fr": 800, "es": 800, "zh": 800}
+SAMPLE_DEFAULT_PERMILLE = 500
+
+
+@register(
+    "corpus_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT % 1000
+          < CASE lang
+              {" ".join(f"WHEN '{k}' THEN {v}" for k, v in SAMPLE_PERMILLE.items())}
+              ELSE {SAMPLE_DEFAULT_PERMILLE} END
+    """,
+    doc="Deterministic stratified sampling: per-language keep rates "
+    "applied via a portable md5-of-id hash (‰ threshold) — reproducible "
+    "across engines and runs, no RNG state, embarrassingly parallel "
+    "(pure filter, no shuffle).",
+)
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    rate = F.lit(SAMPLE_DEFAULT_PERMILLE)
+    for k, v in SAMPLE_PERMILLE.items():
+        rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
+    keep = (DD.md5_long(F.col("doc_id").cast("string")) % 1000) < rate
+    return d.filter(keep).select("doc_id", "lang")
+
+
+QUOTA_PER_LANG = 80
+
+
+@register(
+    "corpus_lang_quota",
+    oracle=f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents)
+    WHERE rn <= {QUOTA_PER_LANG}
+    """,
+    doc=f"Per-language quota cap: keep the top {QUOTA_PER_LANG} docs per "
+    "language by length (quality proxy), deterministic tiebreak — one "
+    "window per group partition; at scale combine with a pre-aggregated "
+    "per-group count to skip under-quota groups entirely.",
+)
+def corpus_lang_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= QUOTA_PER_LANG)
+        .select("doc_id", "lang")
+    )

@@ -33,3 +33,32 @@ def stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_running_totals(spark, sf_dir)
+
+
+from ..streaming.stateful import transform_with_state_supported
+
+if transform_with_state_supported():
+    # Registered ONLY where the 'protobuf' package exists: Spark 4's
+    # transformWithState state-server wire format needs it, and a registered
+    # query must never hand the driver a guaranteed error row. In gated-off
+    # environments tests/test_streaming_recovery.py still documents the
+    # ImportError branch; applyInPandasWithState (above) is the supported
+    # stateful path.
+
+    @register(
+        "stream_user_profile_tws",
+        oracle="""
+        SELECT user_id,
+               (2 * count(*))::BIGINT AS n_events,
+               min(ts // 1000) AS first_us,
+               max(ts // 1000) AS last_us
+        FROM events GROUP BY user_id
+        """,
+        doc="Per-user profile via the Spark 4 transformWithState "
+        "StatefulProcessor API (ValueState crossing 2 micro-batches over a "
+        "doubled feed; RocksDB store). Integer-only outputs -> exact oracle.",
+    )
+    def stream_user_profile_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..streaming.stateful import stream_user_profile_tws as _tws
+
+        return _tws(spark, sf_dir)

@@ -82,9 +82,22 @@ def read_evolved(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.option("mergeSchema", "true").parquet(path)
 
 
-def csv_overwrite(df: DataFrame, path: str, quote_all: bool = False, sep: str = ",") -> None:
+def csv_overwrite(
+    df: DataFrame,
+    path: str,
+    quote_all: bool = False,
+    sep: str = ",",
+    bom: bool = False,
+) -> None:
     """K1: header CSV overwrite (QUOTE_ALL variant for the Sheets dump,
-    extractors/fetch_gsheet_instructions.py:56-62)."""
+    extractors/fetch_gsheet_instructions.py:56-62).
+
+    ``bom=True`` reproduces the reference's ``utf-8-sig`` output (Excel
+    compatibility): Java charsets have no utf-8-sig, so after the
+    distributed write each part file gets the 3-byte BOM prepended
+    driver-side — a per-file metadata-sized rewrite-in-place of the first
+    bytes, not a data pass.
+    """
     (
         df.write.mode("overwrite")
         .option("header", True)
@@ -93,6 +106,16 @@ def csv_overwrite(df: DataFrame, path: str, quote_all: bool = False, sep: str = 
         .option("encoding", "UTF-8")
         .csv(path)
     )
+    if bom:
+        import glob
+        import os
+
+        for part in glob.glob(os.path.join(path, "part-*.csv")):
+            with open(part, "rb") as fh:
+                data = fh.read()
+            if not data.startswith(b"\xef\xbb\xbf"):
+                with open(part, "wb") as fh:
+                    fh.write(b"\xef\xbb\xbf" + data)
 
 
 def json_overwrite(df: DataFrame, path: str) -> None:

@@ -129,3 +129,113 @@ def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_events").alias("n_events"),
         F.round(F.max("total_value"), 2).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState (Spark 4 arbitrary-state API)
+# ---------------------------------------------------------------------------
+
+
+def transform_with_state_supported() -> bool:
+    """The Spark 4 ``transformWithStateInPandas`` API needs the
+    ``protobuf`` package for its state-server wire format; absent from
+    this container (no installs), so the operator below is gated. The
+    working stateful path in this environment is
+    ``applyInPandasWithState`` (stream_running_totals)."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def stream_user_profile_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user profile (event count, first/last seen micros) via the
+    Spark 4 ``transformWithStateInPandas`` StatefulProcessor API, state
+    crossing two micro-batches (the feed is staged twice).
+
+    Integer-only outputs — exactly comparable to a batch oracle: with the
+    doubled feed, n_events = 2·count(*), first/last unchanged.
+
+    Requires ``protobuf`` (see :func:`transform_with_state_supported`);
+    raises ImportError otherwise. RocksDB state store is mandatory for
+    this operator class.
+    """
+    if not transform_with_state_supported():
+        raise ImportError(
+            "transformWithStateInPandas needs the 'protobuf' package, "
+            "which is not available in this environment"
+        )
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserProfile(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle):
+            self._st = handle.getValueState(
+                "profile", "n BIGINT, first_us BIGINT, last_us BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            if self._st.exists():
+                n, first_us, last_us = self._st.get()
+            else:
+                n, first_us, last_us = 0, None, None
+            for pdf in rows:
+                n += len(pdf)
+                mn, mx = int(pdf["ts_us"].min()), int(pdf["ts_us"].max())
+                first_us = mn if first_us is None else min(first_us, mn)
+                last_us = mx if last_us is None else max(last_us, mx)
+            self._st.update((n, first_us, last_us))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "first_us": [first_us],
+                    "last_us": [last_us],
+                }
+            )
+
+        def close(self):
+            pass
+
+    ensure_session_confs(spark)
+    feed, schema = _duplicated_event_feed(spark, sf_dir)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # 2 micro-batches → state crosses batches
+        .parquet(feed)
+        .select("user_id", F.expr("`ts` div 1000").alias("ts_us"))
+    )
+    out = stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserProfile(),
+        outputStructType="user_id BIGINT, n_events BIGINT, first_us BIGINT, last_us BIGINT",
+        outputMode="Update",
+        timeMode="None",
+    )
+    name = f"tws_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # update mode emits one row per (user, batch); keep each user's final
+    # state (n_events is strictly increasing per user)
+    res = spark.table(name)
+    return res.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.min("first_us").alias("first_us"),
+        F.max("last_us").alias("last_us"),
+    )

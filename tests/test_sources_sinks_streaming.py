@@ -125,3 +125,25 @@ def test_append_mode_is_prefix_of_complete(spark, sf_dir):
     assert len(appended) < len(complete), "append mode must withhold open windows"
     for r in appended:
         assert complete[(r["window_start"], r["event_type"])] == r["n_events"]
+
+
+def test_csv_overwrite_utf8_sig(spark, tmp_path):
+    """bom=True reproduces the reference's utf-8-sig CSVs
+    (fetch_gsheet_instructions.py:56-62): every part file starts with the
+    BOM and pandas reads it back clean under encoding='utf-8-sig'."""
+    import glob
+
+    from etl_pipeline_old_spark.sinks.incremental import csv_overwrite
+
+    df = spark.createDataFrame([(1, "Привет"), (2, "héllo")], "id long, txt string")
+    out = str(tmp_path / "bom_csv")
+    csv_overwrite(df, out, quote_all=True, bom=True)
+    parts = glob.glob(out + "/part-*.csv")
+    assert parts
+    for p in parts:
+        with open(p, "rb") as fh:
+            assert fh.read(3) == b"\xef\xbb\xbf"
+    import pandas as pd
+
+    back = pd.concat(pd.read_csv(p, encoding="utf-8-sig") for p in parts)
+    assert set(back["txt"]) == {"Привет", "héllo"}

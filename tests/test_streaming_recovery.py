@@ -48,3 +48,33 @@ def test_checkpoint_restart_processes_nothing_new(spark, sf_dir, tmp_path):
     n2 = spark.read.parquet(out_dir).count()
     assert n2 == n1, "restart must not reprocess committed offsets"
     assert os.path.isdir(os.path.join(checkpoint, "commits"))
+
+
+def test_transform_with_state_user_profile(spark, oracle_sf_dir):
+    """Spark 4 transformWithState operator — runs only where 'protobuf'
+    exists (its state-server wire format needs it); this container lacks
+    it, so the operator is capability-gated and this test documents both
+    branches."""
+    import pytest
+
+    from etl_pipeline_old_spark.streaming.stateful import (
+        stream_user_profile_tws,
+        transform_with_state_supported,
+    )
+
+    if not transform_with_state_supported():
+        with pytest.raises(ImportError, match="protobuf"):
+            stream_user_profile_tws(spark, oracle_sf_dir)
+        pytest.skip("protobuf not available: transformWithState gated off")
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_old_spark.catalog import load_table
+
+    got = stream_user_profile_tws(spark, oracle_sf_dir)
+    ev = load_table(spark, oracle_sf_dir, "events")
+    exp = ev.groupBy("user_id").agg(
+        (2 * F.count("*")).alias("n_events"),
+        F.min(F.unix_micros("ts")).alias("first_us"),
+        F.max(F.unix_micros("ts")).alias("last_us"),
+    )
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
