@@ -164,3 +164,89 @@ def corpus_lang_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= QUOTA_PER_LANG)
         .select("doc_id", "lang")
     )
+
+
+CHUNK_SIZE = 100  # words per chunk
+CHUNK_STRIDE = 80  # start-to-start distance -> 20-word overlap
+
+
+@register(
+    "corpus_chunk_overlap",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split({NORM}, ' ') AS toks FROM documents),
+    starts AS (
+      SELECT doc_id, toks, i AS start
+      FROM tok, UNNEST(generate_series(1, greatest(len(toks), 1), {CHUNK_STRIDE})) AS u(i))
+    SELECT doc_id,
+           ((start - 1) // {CHUNK_STRIDE})::BIGINT AS chunk_idx,
+           len(list_slice(toks, start, start + {CHUNK_SIZE - 1}))::BIGINT AS n_words,
+           md5(array_to_string(list_slice(toks, start, start + {CHUNK_SIZE - 1}), ' '))
+             AS chunk_hash
+    FROM starts
+    """,
+    doc=f"Overlapping document chunking ({CHUNK_SIZE}-word windows, stride "
+    f"{CHUNK_STRIDE} → {CHUNK_SIZE - CHUNK_STRIDE}-word overlap) — the "
+    "RAG/context-window prep stage. Explodes a cheap arithmetic start "
+    "sequence and slices tokens in a separate projection (the measured "
+    "anti-O(n²) generator pattern); chunk text is hash-fingerprinted so "
+    "the oracle compares values without shipping chunk bodies.",
+)
+def corpus_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(DD.normalize_text("text"), " ").alias("__toks"))
+    starts = F.explode(
+        F.sequence(
+            F.lit(1), F.greatest(F.size("__toks"), F.lit(1)), F.lit(CHUNK_STRIDE)
+        )
+    )
+    with_start = toks.select("doc_id", "__toks", starts.alias("start"))
+    chunk = F.slice(F.col("__toks"), F.col("start"), CHUNK_SIZE)
+    return with_start.select(
+        "doc_id",
+        F.floor((F.col("start") - 1) / CHUNK_STRIDE).alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("n_words"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )
+
+
+@register(
+    "corpus_repetition_score",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split({NORM}, ' ') AS toks FROM documents),
+    grams AS (
+      SELECT doc_id, array_to_string(list_slice(toks, i, i + 1), ' ') AS g
+      FROM tok, UNNEST(generate_series(1, greatest(len(toks) - 1, 0))) AS u(i))
+    SELECT doc_id,
+           count(*)::BIGINT AS total_2grams,
+           count(DISTINCT g)::BIGINT AS uniq_2grams,
+           ((count(*) - count(DISTINCT g)) * 1000 // count(*))::BIGINT AS dup_permille
+    FROM grams GROUP BY doc_id
+    """,
+    doc="Intra-document repetition score (Gopher-style quality rule): "
+    "duplicate word-2-gram fraction per doc, reported in integer permille "
+    "(floor division — exact in every engine, no float rounding surface). "
+    "One shingle pass + one grouped distinct aggregate.",
+)
+def corpus_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(DD.normalize_text("text"), " ").alias("__toks"))
+    # positions exploded separately from gram assembly (generator re-eval rule)
+    pos = F.explode(
+        F.when(
+            F.size("__toks") >= 2, F.sequence(F.lit(1), F.size("__toks") - 1)
+        ).otherwise(F.array().cast("array<int>"))
+    )
+    with_pos = toks.select("doc_id", "__toks", pos.alias("__i"))
+    gram = F.concat_ws(
+        " ", F.element_at("__toks", F.col("__i")), F.element_at("__toks", F.col("__i") + 1)
+    )
+    grams = with_pos.select("doc_id", gram.alias("g"))
+    return grams.groupBy("doc_id").agg(
+        F.count("*").alias("total_2grams"),
+        F.countDistinct("g").alias("uniq_2grams"),
+        F.floor(
+            (F.count("*") - F.countDistinct("g")) * 1000 / F.count("*")
+        ).alias("dup_permille"),
+    )
