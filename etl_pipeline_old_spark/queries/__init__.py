@@ -32,6 +32,8 @@ _MODULES = (
     "tpch2",
     "tpch5",
     "corpus2",
+    "sources_formats",
+    "spark4_surface",
 )
 
 
