@@ -232,6 +232,128 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+IVF_GRP_BITS = 4
+IVF_GRP_SEED = 777
+
+
+def ivf_topk_quantized(
+    vectors: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_probe: int = 3,
+    scale: int = 10_000,
+    dim: int = 64,
+    grp_bits: int = IVF_GRP_BITS,
+    grp_seed: int = IVF_GRP_SEED,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN with a DETERMINISTIC coarse quantizer: centroids are one
+    averaging step over integer-quantized LSH-seeded groups.
+
+    Training = group vectors by a ``grp_bits``-bit quantized-hyperplane
+    bucket (seed ``grp_seed``), then per-group per-dim INTEGER sums — i.e.
+    one Lloyd iteration from an LSH initialization, kept in exact int64
+    arithmetic so cluster assignment, probe selection, and therefore the
+    final top-k are bit-identical in any engine (the DuckDB oracle
+    reproduces them; see queries/similarity.py). Distances compare
+    sum((n·q_d - s_d)²)/n² using exact integer numerators converted to
+    double — IEEE conversion + division are correctly rounded, hence
+    engine-independent.
+
+    The seeded-KMeans variant (:func:`ivf_topk`) remains the production
+    trainer; this variant is the verification-grade IVF. NOTE on ranges:
+    exact-int distance needs n·q_d to stay inside int64 — fine up to
+    ~10^8 rows/cluster at scale=10^4; beyond that use the KMeans path
+    (double centroids).
+
+    Query path is identical to classic IVF: each query probes its
+    ``n_probe`` nearest centroids, candidates are the vectors assigned to
+    those clusters (partition-pruned at scale when the table is written
+    partitioned by cluster), exact cosine re-rank inside.
+    """
+    q_expr = F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long")
+    )
+    grp = _bucket_expr(vec_col, grp_bits, dim, grp_seed, scale).alias("grp")
+    base = vectors.select(F.col(id_col), F.col(vec_col), q_expr.alias("__q"), grp)
+
+    def collect_centroids(df: DataFrame, grp_col: str) -> list[tuple[str, int, list[int]]]:
+        # training action: ≤2^grp_bits rows of (grp, n, per-dim int sums) —
+        # the same driver-side materialization KMeans.fit performs, but exact
+        rows = (
+            df.groupBy(grp_col)
+            .agg(
+                F.count("*").alias("n"),
+                *[F.sum(F.element_at("__q", d + 1)).alias(f"s{d}") for d in range(dim)],
+            )
+            .collect()
+        )
+        return [(r[grp_col], int(r["n"]), [int(r[f"s{d}"]) for d in range(dim)]) for r in rows]
+
+    def dist_structs(cents: list[tuple[str, int, list[int]]]) -> Column:
+        def dist_to(n: int, sums: list[int]) -> Column:
+            s_arr = F.array(*[F.lit(s) for s in sums])
+            num = F.aggregate(
+                F.zip_with(
+                    F.col("__q"), s_arr, lambda x, s: (F.lit(n) * x - s) * (F.lit(n) * x - s)
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            return num.cast("double") / F.lit(float(n * n))
+
+        # struct ordering = (d, c): double distance first, bitstring tiebreak
+        return F.array(
+            *[
+                F.struct(dist_to(n, sums).alias("d"), F.lit(g).alias("c"))
+                for g, n, sums in cents
+            ]
+        )
+
+    # one exact-integer Lloyd refinement: re-partition by the seed-group
+    # means, then probe with the REFINED partition's own means (a cluster's
+    # representative is its own mean — probing seed centroids instead costs
+    # ~0.16 recall@10, measured at sf0.01)
+    cent0 = collect_centroids(base, "grp")
+    refined = base.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("__q"),
+        F.element_at(F.array_sort(dist_structs(cent0)), 1).getField("c").alias("cluster"),
+    )
+    cent1 = collect_centroids(refined, "cluster")
+
+    assigned = refined.select(
+        F.col(id_col),
+        F.col(vec_col),
+        "cluster",
+        F.slice(F.array_sort(dist_structs(cent1)), 1, n_probe).alias("__probes"),
+    )
+    q = (
+        assigned.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            F.explode("__probes").alias("__p"),
+        )
+        .select("query_id", "__qv", F.col("__p.c").alias("cluster"))
+    )
+    cand = assigned.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"), "cluster"
+    )
+    pairs = cand.join(F.broadcast(q), "cluster").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_topk(
     vectors: DataFrame,
     query_ids: list[int],

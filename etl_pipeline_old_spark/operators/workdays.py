@@ -182,6 +182,10 @@ def workdays_diff_frame(
     Two broadcast joins against the calendar dim (one per endpoint date);
     everything else is codegen'd arithmetic. Requires the endpoints to be
     non-null-bounded — rows with null endpoints yield null.
+
+    Supported date range: [CAL_LO, CAL_HI] (1990-2100, the fixed broadcast
+    calendar). A non-null endpoint outside that range raises at execution
+    time (fail loud) rather than silently yielding a null duration.
     """
     spark = df.sparkSession
     shift = F.expr(f"INTERVAL {LOCAL_UTC_OFFSET_HOURS} HOURS")
@@ -232,7 +236,20 @@ def workdays_diff_frame(
         / WORK_HOURS,
     ).otherwise(F.lit(0.0))
 
+    # fail loud outside the fixed calendar range: a non-null endpoint whose
+    # calendar lookup missed means to_date(endpoint) ∉ [CAL_LO, CAL_HI]
+    out_of_range = (F.col(start_col).isNotNull() & F.col("__s_cum").isNull()) | (
+        F.col(end_col).isNotNull() & F.col("__e_cum").isNull()
+    )
     total = F.when(
+        out_of_range,
+        F.raise_error(
+            F.lit(
+                f"workdays_diff_frame: endpoint date outside the supported "
+                f"calendar range [{CAL_LO}, {CAL_HI}]"
+            )
+        ).cast("double"),
+    ).when(
         F.col(start_col).isNull() | F.col(end_col).isNull(), F.lit(None).cast("double")
     ).otherwise(
         F.round(

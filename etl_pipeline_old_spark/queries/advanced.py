@@ -101,16 +101,30 @@ def a7_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "a8_approx_count_distinct",
-    oracle=None,  # HLL++ estimates are engine-specific by construction;
-    # bounded-error vs the exact count is asserted in tests/test_advanced.py
+    oracle="""
+    SELECT count(DISTINCT l_partkey)::BIGINT AS n_parts_exact,
+           TRUE AS approx_within_5pct
+    FROM lineitem
+    """,
     doc="approx_count_distinct (HyperLogLog++): the 100 TB path for "
-    "distinct cardinality — one pass, fixed memory, no expand.",
+    "distinct cardinality — one pass, fixed memory, no expand. HLL++ "
+    "estimates are engine-specific by construction, so the oracle checks a "
+    "derived deterministic assertion: the exact count (value-hashed) plus "
+    "the boolean |approx-exact|/exact <= 5%% (rsd=2%%, so 2.5σ headroom), "
+    "computed wholly in-plan on the Spark side and literal TRUE in DuckDB.",
 )
 def a8_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("n_parts_approx"),
         F.count_distinct("l_partkey").alias("n_parts_exact"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey", rsd=0.02)
+                - F.count_distinct("l_partkey")
+            )
+            / F.count_distinct("l_partkey")
+            <= 0.05
+        ).alias("approx_within_5pct"),
     )
 
 
@@ -136,16 +150,29 @@ def a9_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "a10_percentile_approx",
-    oracle=None,  # KLL/GK sketch results are engine-specific; bounded error
-    # asserted in tests/test_advanced.py
+    oracle="""
+    SELECT round(quantile_cont(l_quantity, 0.5), 4) AS p50_exact,
+           TRUE AS approx_within_1
+    FROM lineitem
+    """,
     doc="percentile_approx (quantile sketch) — fixed-memory single-pass "
-    "quantiles for the 100 TB path.",
+    "quantiles for the 100 TB path. GK-sketch picks an actual data value, "
+    "engine-specific, so the oracle checks a derived assertion: the exact "
+    "interpolated median (value-hashed) plus the boolean "
+    "|approx - exact| <= 1.0 computed in-plan (accuracy=10000 on an "
+    "integer-valued 1..50 domain leaves generous headroom).",
 )
 def a10_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.agg(
-        F.percentile_approx("l_quantity", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
         F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("p50_exact"),
+        (
+            F.abs(
+                F.percentile_approx("l_quantity", F.lit(0.5), F.lit(10000))
+                - F.percentile("l_quantity", F.lit(0.5))
+            )
+            <= 1.0
+        ).alias("approx_within_1"),
     )
 
 

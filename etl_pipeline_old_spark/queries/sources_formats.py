@@ -125,19 +125,20 @@ def s14_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="SELECT doc_id, text AS content FROM documents",
     doc="wholetext source: each staged file read as ONE row (file-per-record "
     "semantics — the reference's pandas one-file-one-frame model, "
-    "distributed). Spark's wholetext reader drops the trailing record "
-    "delimiter the text sink appended, so content must equal the original "
-    "text exactly; doc_id recovered from the file path.",
+    "distributed). NOTE: wholetext must be passed as the ``text()`` kwarg — "
+    "``.option('wholetext', True)`` is clobbered by the reader method's "
+    "``wholetext=False`` default. The whole file INCLUDES the trailing "
+    "newline the text sink appended, so it is stripped to recover the "
+    "original text exactly; doc_id recovered from the file path.",
 )
 def s15_wholetext_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _stage_one_file_per_doc(spark, sf_dir)
     wt = (
-        spark.read.option("wholetext", True)
-        .option("pathGlobFilter", "part-*")
+        spark.read.option("pathGlobFilter", "part-*")
         .option("recursiveFileLookup", "true")
-        .text(path)
+        .text(path, wholetext=True)
     )
     return wt.select(
         F.regexp_extract(F.input_file_name(), r"doc_id=(\d+)", 1).cast("long").alias("doc_id"),
-        F.col("value").alias("content"),
+        F.regexp_replace(F.col("value"), r"\n$", "").alias("content"),
     )

@@ -100,13 +100,37 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_feature_extract",
-    oracle=None,  # md5-seeded float vectors aren't reasonably SQL-expressible
+    # Each feature i is int16(md5(payload)[2i:2i+2]) / 65536 — an exact
+    # binary fraction — so quantizing back to the int16 and joining gives a
+    # value the oracle reproduces exactly by hex-parsing DuckDB's md5().
+    # The signature column (not the raw array<float>) is emitted because the
+    # driver's comparator hashes cells and lists are unhashable.
+    oracle="""
+    SELECT doc_id,
+           concat_ws(',', """
+    + ", ".join(f"('0x' || substr(md5(text), {4 * i + 1}, 4))::INT" for i in range(8))
+    + """) AS features_sig
+    FROM documents
+    """,
     doc="Multimodal: binary payload → pseudo-embedding array<float> via "
-    "mapInPandas (stand-in for a vision encoder; batch shape is real).",
+    "mapInPandas (stand-in for a vision encoder; batch shape is real). "
+    "Checked on an exact integer signature of the full vector: every "
+    "element is a 16-bit md5 slice / 65536, exactly representable in "
+    "float32, so round(x*65536) recovers the slice losslessly.",
 )
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = make_media_table(load_table(spark, sf_dir, "documents"))
-    return feature_extract(media)
+    feats = feature_extract(media)
+    return feats.select(
+        "doc_id",
+        F.concat_ws(
+            ",",
+            F.transform(
+                "features",
+                lambda x: F.round(x.cast("double") * 65536).cast("int").cast("string"),
+            ),
+        ).alias("features_sig"),
+    )
 
 
 @register(

@@ -50,8 +50,8 @@ if transform_with_state_supported():
         oracle="""
         SELECT user_id,
                (2 * count(*))::BIGINT AS n_events,
-               min(ts // 1000) AS first_us,
-               max(ts // 1000) AS last_us
+               min(epoch_us(ts)) AS first_us,
+               max(epoch_us(ts)) AS last_us
         FROM events GROUP BY user_id
         """,
         doc="Per-user profile via the Spark 4 transformWithState "

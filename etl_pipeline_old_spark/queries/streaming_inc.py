@@ -38,12 +38,25 @@ def stream_tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @register(
     "stream_append_watermark",
-    oracle=None,  # append mode withholds windows the watermark hasn't closed
-    # — intentionally not a batch-SQL-expressible result (rows-only check);
-    # tests/test_streaming_inc.py asserts it is a strict prefix of the
-    # complete-mode answer.
+    # Append mode emits exactly the windows the final watermark has closed.
+    # With availableNow draining the whole log, the final watermark is
+    # max(event_time_ms) - 30min (Spark tracks event time in ms), so the
+    # emitted set IS batch-expressible: 6h windows whose end <= watermark.
+    # (An exact microsecond tie between a window end and the watermark could
+    # distinguish <= from < — measure-zero on real event data.)
+    oracle=f"""
+    WITH w AS (SELECT max(epoch_ms(ts)) - 30*60*1000 AS wm_ms FROM events)
+    SELECT make_timestamp((epoch_us(ts) // {_6H_US}) * {_6H_US}) AS window_start,
+           event_type,
+           count(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    HAVING (epoch_us(window_start) + {_6H_US}) // 1000 <= (SELECT wm_ms FROM w)
+    """,
     doc="§2.11: append-mode + watermark — only finalized windows are "
-    "emitted; demonstrates late-data closure semantics.",
+    "emitted; demonstrates late-data closure semantics. Value-hash checked "
+    "against the batch equivalent (windows closed by the final watermark), "
+    "the same technique as stream_session_window.",
 )
 def stream_append_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return append_mode_with_watermark(spark, sf_dir)

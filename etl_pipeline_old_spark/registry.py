@@ -72,7 +72,17 @@ def _verification_priority() -> dict[str, int]:
         if not isinstance(rows, dict):
             continue
         for name, row in rows.items():
-            ok = isinstance(row, dict) and not row.get("err")
+            if not isinstance(row, dict):
+                continue
+            # A green row counts as verified.  An err='no_oracle' row with a
+            # recorded spark row count ALSO counts as "seen": the driver ran
+            # the query and will never produce more than that for an
+            # oracle-less entry, so leaving it at 0 would permanently pin it
+            # to the front of the capped per-round verification prefix,
+            # crowding out queries that could actually earn green rows.
+            ok = not row.get("err") or (
+                row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+            )
             counts[name] = counts.get(name, 0) + (1 if ok else 0)
     return counts
 

@@ -138,18 +138,23 @@ def jdbc_incremental_append(
     table: str,
     watermark_col: str,
     properties: dict | None = None,
+    quote: str = '"',
 ) -> None:
     """K5 to a live database: read-back max via a pushdown subquery, then
     batched append (batchsize ≈ the reference's CHUNK_SIZE=5000).
 
-    The watermark column is double-quoted in the pushdown SQL: Spark's JDBC
+    The watermark column is quoted in the pushdown SQL: Spark's JDBC
     writers create case-sensitive quoted identifiers, so an unquoted name
     would upcase and miss (exercised live in tests/test_jdbc_derby.py).
+    ``quote`` selects the dialect's identifier quote — ANSI double-quote by
+    default, backtick for MySQL without ANSI_QUOTES (the reference's CDR
+    database, fetch_asterisk_cdr.py) — matching ``incremental_subquery``.
     """
     props = properties or {}
+    q = quote
     mx = (
         spark.read.jdbc(
-            url, f'(SELECT max("{watermark_col}") AS mx FROM {table}) t', properties=props
+            url, f"(SELECT max({q}{watermark_col}{q}) AS mx FROM {table}) t", properties=props
         )
         # positional: databases differ on unquoted-alias case (Derby upcases)
         .first()[0]

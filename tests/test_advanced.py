@@ -10,13 +10,13 @@ _ensure_loaded()
 
 def test_approx_count_distinct_bounded_error(spark, oracle_sf_dir):
     r = QUERIES["a8_approx_count_distinct"].fn(spark, oracle_sf_dir).first()
-    rel_err = abs(r["n_parts_approx"] - r["n_parts_exact"]) / r["n_parts_exact"]
-    assert rel_err < 0.1, f"HLL++ rsd=0.02 should be well within 10%: {rel_err}"
+    assert r["approx_within_5pct"], "HLL++ rsd=0.02 must be within 5% of exact"
+    assert r["n_parts_exact"] > 0
 
 
 def test_percentile_approx_bounded_error(spark, oracle_sf_dir):
     r = QUERIES["a10_percentile_approx"].fn(spark, oracle_sf_dir).first()
-    assert abs(r["p50_approx"] - r["p50_exact"]) <= 1.0
+    assert r["approx_within_1"], "GK sketch median must be within 1.0 of exact"
 
 
 def test_asof_join_self_match(spark, oracle_sf_dir):
