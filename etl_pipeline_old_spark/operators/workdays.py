@@ -61,13 +61,36 @@ RU_FIXED_HOLIDAYS: tuple[tuple[int, int], ...] = (
     (2, 23), (3, 8), (5, 1), (5, 9), (6, 12), (11, 4),
 )
 
-# Official Russian production calendar, 2020-2026 (public annual government
+# Official Russian production calendar, 2012-2026 (public annual government
 # transfer decrees — the same data workalendar.europe.Russia encodes):
 # weekday days off BEYOND the fixed federal list (weekend-transferred
-# holidays and decreed bridge days), and the rare decreed WORKING Saturdays
+# holidays and decreed bridge days), and the decreed WORKING Saturdays
 # that pay for a bridge. Outside this window the engine falls back to the
-# fixed-list + Sat/Sun rule (documented approximation).
+# statutory automatic transfer rule (see _auto_transfer_days).
 RU_EXTRA_NON_WORKING: dict[int, tuple[tuple[int, int], ...]] = {
+    # decree 581/2011: Apr 28(Sat work)→Apr 30, May 5(Sat work)→May 7,
+    # May 12(Sat work)→May 8, Jun 9(Sat work)→Jun 11, Dec 29(Sat work)→Dec 31;
+    # statutory: Jan 7(Sat)→Jan 9
+    2012: ((1, 9), (4, 30), (5, 7), (5, 8), (6, 11), (12, 31)),
+    # decree 1048/2012: Jan 5→May 2, Jan 6→May 3, Feb 23→May 10
+    2013: ((5, 2), (5, 3), (5, 10)),
+    # decree 444/2013: Jan 4→May 2, Jan 5→Jun 13, Feb 23→Nov 3;
+    # statutory: Mar 8(Sat)→Mar 10
+    2014: ((3, 10), (5, 2), (6, 13), (11, 3)),
+    # decree 860/2014: Jan 3→Jan 9, Jan 4→May 4;
+    # statutory: Mar 8(Sun)→Mar 9, May 9(Sat)→May 11
+    2015: ((1, 9), (3, 9), (5, 4), (5, 11)),
+    # decree 1017/2015: Jan 2→May 3, Jan 3→Mar 7, Feb 20(Sat work)→Feb 22;
+    # statutory: May 1(Sun)→May 2, Jun 12(Sun)→Jun 13
+    2016: ((2, 22), (3, 7), (5, 2), (5, 3), (6, 13)),
+    # decree 756/2016: Jan 1→Feb 24, Jan 7→May 8; statutory: Nov 4(Sat)→Nov 6
+    2017: ((2, 24), (5, 8), (11, 6)),
+    # decree 1250/2017: Jan 6→Mar 9, Jan 7→May 2, Apr 28(Sat work)→Apr 30,
+    # Jun 9(Sat work)→Jun 11, Dec 29(Sat work)→Dec 31;
+    # statutory: Nov 4(Sun)→Nov 5
+    2018: ((3, 9), (4, 30), (5, 2), (6, 11), (11, 5), (12, 31)),
+    # decree 1163/2018: Jan 5→May 2, Jan 6→May 3, Feb 23→May 10
+    2019: ((5, 2), (5, 3), (5, 10)),
     # Feb 23→Feb 24, Mar 8→Mar 9, Jan 4→May 4, Jan 5→May 5, May 9→May 11
     2020: ((2, 24), (3, 9), (5, 4), (5, 5), (5, 11)),
     # Feb 20(Sat work)→Feb 22, May 1→May 3, May 9→May 10, Jun 12→Jun 14,
@@ -88,19 +111,55 @@ RU_EXTRA_NON_WORKING: dict[int, tuple[tuple[int, int], ...]] = {
     2026: ((1, 9), (3, 9), (5, 11), (12, 31)),
 }
 RU_WORKING_SATURDAYS: dict[int, tuple[tuple[int, int], ...]] = {
+    2012: ((4, 28), (5, 5), (5, 12), (6, 9), (12, 29)),
+    2016: ((2, 20),),
+    2018: ((4, 28), (6, 9), (12, 29)),
     2021: ((2, 20),),
     2022: ((3, 5),),
     2024: ((4, 27), (11, 2), (12, 28)),
     2025: ((11, 1),),
 }
 
+# years with full production-calendar decree data embedded above
+DECREE_YEAR_LO, DECREE_YEAR_HI = 2012, 2026
+
+
+@lru_cache(maxsize=None)
+def _auto_transfer_days(year: int) -> tuple[tuple[int, int], ...]:
+    """Statutory fallback for years without embedded decree data: a fixed
+    holiday falling on Sat/Sun transfers its day off to the next weekday
+    that is not itself a holiday or an earlier transfer (TK RF art. 112
+    default — what workalendar computes when no decree overrides it).
+    Approximation: real years also had decreed bridge days / transfer
+    targets (often moved into May) that only the annual decree defines."""
+    fixed = {date(year, m, d) for m, d in RU_FIXED_HOLIDAYS}
+    claimed: set[date] = set()
+    for m, d in sorted(RU_FIXED_HOLIDAYS):
+        h = date(year, m, d)
+        if h.weekday() >= 5:
+            c = h + timedelta(days=1)
+            while c.weekday() >= 5 or c in fixed or c in claimed:
+                c += timedelta(days=1)
+            claimed.add(c)
+    return tuple(sorted((c.month, c.day) for c in claimed))
+
+
+def extra_non_working_days(year: int) -> tuple[tuple[int, int], ...]:
+    """Weekday days off beyond the fixed federal list for ``year``: decree
+    data inside [DECREE_YEAR_LO, DECREE_YEAR_HI], statutory auto-transfers
+    outside it."""
+    if DECREE_YEAR_LO <= year <= DECREE_YEAR_HI:
+        return RU_EXTRA_NON_WORKING.get(year, ())
+    return _auto_transfer_days(year)
+
 
 def ru_non_working_weekdays(year_from: int, year_to: int) -> list[date]:
     """All dates that are days off despite falling Mon-Fri: the fixed
-    federal holidays plus the production-calendar transfers/bridges."""
+    federal holidays plus the production-calendar transfers/bridges (or
+    statutory auto-transfers outside the decree window)."""
     out = []
     for y in range(year_from, year_to + 1):
-        for m, d in RU_FIXED_HOLIDAYS + RU_EXTRA_NON_WORKING.get(y, ()):
+        for m, d in RU_FIXED_HOLIDAYS + extra_non_working_days(y):
             dt = date(y, m, d)
             if dt.weekday() < 5:
                 out.append(dt)
@@ -121,10 +180,7 @@ def is_working_date(d: date) -> bool:
         return True
     if d.weekday() >= 5:
         return False
-    return (
-        md not in RU_FIXED_HOLIDAYS
-        and md not in RU_EXTRA_NON_WORKING.get(d.year, ())
-    )
+    return md not in RU_FIXED_HOLIDAYS and md not in extra_non_working_days(d.year)
 
 
 # ---------------------------------------------------------------------------
@@ -273,10 +329,13 @@ def calendar_oracle_cte(lo: str, hi: str) -> str:
     holiday_pred = " OR ".join(
         f"(month(d) = {m} AND day(d) = {dd})" for m, dd in RU_FIXED_HOLIDAYS
     )
+    # decree extras inside the decree window, statutory auto-transfers
+    # outside it — same function the Python/Spark calendar uses, so the
+    # differential stays exact over the whole supported range
     extra = [
         f"DATE '{y}-{m:02d}-{dd:02d}'"
-        for y, mds in sorted(RU_EXTRA_NON_WORKING.items())
-        for m, dd in mds
+        for y in range(CAL_LO.year, CAL_HI.year + 1)
+        for m, dd in extra_non_working_days(y)
     ]
     work_sat = [
         f"DATE '{y}-{m:02d}-{dd:02d}'"

@@ -34,6 +34,18 @@ GOLDEN = [
     (datetime(2024, 1, 15, 5, 0), datetime(2024, 1, 21, 5, 0), 3.78),
     # null end → null
     (datetime(2024, 1, 16, 4, 30), None, None),
+    # 2019 decree (1163/2018): May 2+3 off (transferred from Jan 5/6).
+    # Tue Apr 30 local 14:00 → Mon May 6 local 10:00: working days in
+    # (Apr30, May6] = {May 6} → between=0; first=3/9, last=2/9
+    (datetime(2019, 4, 30, 9, 0), datetime(2019, 5, 6, 5, 0), 0.56),
+    # 2018 decreed WORKING Saturday Apr 28 (pays for Apr 30 bridge):
+    # Fri 16:00 → Sat 16:00: delta={Apr28}=1 → between=0; first=1/9, last=8/9
+    (datetime(2018, 4, 27, 11, 0), datetime(2018, 4, 28, 11, 0), 1.0),
+    # 2027: outside the decree window → statutory auto-transfers
+    # (Jan 2 Sat → Jan 11, Jan 3 Sun → Jan 12). Thu 2026-12-31 (off, decree
+    # 2026) local 16:00 → Wed 2027-01-13 local 11:00: working days in
+    # (Dec31, Jan13] = {Jan 13} → between=0; first=0, last=3/9
+    (datetime(2026, 12, 31, 11, 0), datetime(2027, 1, 13, 6, 0), 0.33),
 ]
 
 
@@ -65,6 +77,15 @@ def test_udf_variant_golden(spark, golden_df):
             assert out[i] is None or out[i] != out[i]  # NaN/null
         else:
             assert out[i] == pytest.approx(exp, abs=1e-9), f"case {i}"
+
+
+def test_frame_variant_raises_outside_calendar(spark):
+    df = spark.createDataFrame(
+        [(datetime(1901, 1, 3, 5, 0), datetime(1901, 1, 4, 5, 0))],
+        "createdAt timestamp, closedAt timestamp",
+    )
+    with pytest.raises(Exception, match="outside the supported calendar range"):
+        workdays_diff_frame(df, "createdAt", "closedAt").collect()
 
 
 def test_workdays_invariants(spark, oracle_sf_dir):
