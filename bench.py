@@ -12,6 +12,9 @@ import sys
 import time
 
 HEADLINE = [
+    # first-in-suite on purpose (r2 verdict #4): its r2 delta (0.84->1.62s)
+    # needed disambiguating from suite-position/GC effects — see SCALE.md
+    "sessionization",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
@@ -25,7 +28,6 @@ HEADLINE = [
     "ann_cosine_topk",
     "text_fingerprint",
     "workdays_diff_sql",
-    "sessionization",
     "stream_tumbling_window_counts",
     "tpch_q4_order_priority",
     "tpch_q6_forecast_revenue",
@@ -42,6 +44,10 @@ HEADLINE = [
     "pipeline_training_corpus",
     "ann_lsh_recall_at_10",
     "stream_stateful_dedup",
+    # r2 verdict #7: track the orchestrator path and the biggest-join TPC-H
+    # shape round-over-round
+    "run_full_pipeline",
+    "tpch_q21_waiting_suppliers",
 ]
 
 
