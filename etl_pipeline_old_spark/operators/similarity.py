@@ -401,6 +401,74 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def write_lsh_layout(
+    vectors: DataFrame,
+    path: str,
+    n_bits: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantize_scale: int | None = None,
+    n_tables: int = 1,
+) -> None:
+    """Persist the OR-amplified bucket table partitioned by (tbl, bucket) —
+    the 100 TB ANN layout: a probe reads its n_tables bucket partitions,
+    not the corpus (partition pruning, asserted in
+    tests/test_storage_layout.py::test_lsh_bucketed_probe_prunes)."""
+    bucketed = hyperplane_lsh_buckets(
+        vectors, n_bits, dim, seed, id_col, vec_col, quantize_scale, n_tables
+    )
+    bucketed.write.mode("overwrite").partitionBy("tbl", "bucket").parquet(path)
+
+
+def lsh_topk_bucketed(
+    spark,
+    path: str,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k probing a :func:`write_lsh_layout` table.
+
+    The query side is tiny (n_queries × n_tables rows) and is collected to
+    build LITERAL (tbl, bucket) predicates, so Catalyst prunes the
+    candidate scan to the probed partitions statically — the plan shows
+    PartitionFilters and touches n_queries·n_tables partitions instead of
+    the corpus. Same result as :func:`lsh_topk` on the same parameters.
+    """
+    b = spark.read.parquet(path)
+    q_rows = (
+        b.filter(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"), "tbl", "bucket")
+        .collect()
+    )
+    probe_pred = None
+    for r in q_rows:
+        p = (F.col("tbl") == r["tbl"]) & (F.col("bucket") == r["bucket"])
+        probe_pred = p if probe_pred is None else (probe_pred | p)
+    cand = b.filter(probe_pred).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"), "tbl", "bucket"
+    )
+    q = spark.createDataFrame(
+        [(r["query_id"], r["__qv"], r["tbl"], r["bucket"]) for r in q_rows],
+        "query_id long, __qv array<float>, tbl int, bucket string",
+    )
+    pairs = (
+        cand.join(F.broadcast(q), ["tbl", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def recall_vs_exact(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
     """Per-query recall@k of an ANN result against the exact top-k.
 

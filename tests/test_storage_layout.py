@@ -34,6 +34,34 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     assert back.count() > 0
 
 
+def test_lsh_bucketed_probe_prunes(spark, sf_dir, tmp_path):
+    """The ANN scale path (r2 verdict #8): probing a (tbl, bucket)-
+    partitioned LSH layout must partition-prune the candidate scan — and
+    return exactly what the in-memory lsh_topk computes."""
+    from etl_pipeline_old_spark.operators import similarity as SIM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "lsh_layout")
+    params = dict(n_bits=4, quantize_scale=10_000, n_tables=3)
+    SIM.write_lsh_layout(emb, path, **params)
+
+    qids = [0, 1, 2]
+    probed = SIM.lsh_topk_bucketed(spark, path, qids, k=5)
+    plan = plan_of(probed)
+    assert "PartitionFilters" in plan and "bucket" in plan, plan
+    # at most n_queries × n_tables distinct (tbl, bucket) partitions probed
+    import glob as g
+
+    n_parts = len(g.glob(f"{path}/tbl=*/bucket=*"))
+    probed_rows = probed.collect()
+    assert n_parts > len(qids) * params["n_tables"], "layout must have more partitions than a probe touches"
+
+    reference = SIM.lsh_topk(emb, qids, k=5, **params).collect()
+    assert sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in probed_rows) == sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"]) for r in reference
+    )
+
+
 def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
     # warehouse dir is a static conf — tables land in ./spark-warehouse
     # (gitignored) and are dropped in the finally block
