@@ -89,8 +89,12 @@ def exact_dedup_groups(
 # ---------------------------------------------------------------------------
 
 
-def shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) distinct pairs over normalized text.
+def shingle_sets(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, distinct: bool = True
+) -> DataFrame:
+    """(id, shingle) pairs over normalized text — distinct by default
+    (set semantics for Jaccard/MinHash); ``distinct=False`` keeps
+    occurrence multiplicity (bag semantics, e.g. DSIR gram counts).
 
     PERF: explodes a cheap position sequence and assembles each shingle
     with ``element_at`` — NOT ``explode(word_shingles(...))``: Spark's
@@ -114,7 +118,8 @@ def shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataF
     shingle = F.concat_ws(
         " ", *[F.element_at("__toks", F.col("__i") + j) for j in range(n)]
     )
-    return with_pos.select("id", shingle.alias("sh")).distinct()
+    out = with_pos.select("id", shingle.alias("sh"))
+    return out.distinct() if distinct else out
 
 
 def jaccard_pairs(sh: DataFrame, candidates: DataFrame | None = None) -> DataFrame:

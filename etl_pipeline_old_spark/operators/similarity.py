@@ -236,6 +236,76 @@ IVF_GRP_BITS = 4
 IVF_GRP_SEED = 777
 
 
+def _collect_centroids(df: DataFrame, grp_col: str, dim: int) -> list[tuple[str, int, list[int]]]:
+    """Training action: ≤2^grp_bits rows of (grp, n, per-dim int sums) —
+    the same driver-side materialization KMeans.fit performs, but exact."""
+    rows = (
+        df.groupBy(grp_col)
+        .agg(
+            F.count("*").alias("n"),
+            *[F.sum(F.element_at("__q", d + 1)).alias(f"s{d}") for d in range(dim)],
+        )
+        .collect()
+    )
+    return [(r[grp_col], int(r["n"]), [int(r[f"s{d}"]) for d in range(dim)]) for r in rows]
+
+
+def _dist_structs(cents: list[tuple[str, int, list[int]]]) -> Column:
+    """Array of (distance, cluster) structs over the ``__q`` quantized
+    vector: sum((n·q_d - s_d)²)/n² with exact integer numerators converted
+    to double — IEEE conversion + division are correctly rounded, hence
+    engine-independent."""
+
+    def dist_to(n: int, sums: list[int]) -> Column:
+        s_arr = F.array(*[F.lit(s) for s in sums])
+        num = F.aggregate(
+            F.zip_with(
+                F.col("__q"), s_arr, lambda x, s: (F.lit(n) * x - s) * (F.lit(n) * x - s)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        return num.cast("double") / F.lit(float(n * n))
+
+    # struct ordering = (d, c): double distance first, bitstring tiebreak
+    return F.array(
+        *[
+            F.struct(dist_to(n, sums).alias("d"), F.lit(g).alias("c"))
+            for g, n, sums in cents
+        ]
+    )
+
+
+def ivf_assign_quantized(
+    vectors: DataFrame,
+    scale: int = 10_000,
+    dim: int = 64,
+    grp_bits: int = IVF_GRP_BITS,
+    grp_seed: int = IVF_GRP_SEED,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic coarse-quantizer assignment: (id, vec, __q, cluster).
+
+    Training = group vectors by a ``grp_bits``-bit quantized-hyperplane
+    bucket (seed ``grp_seed``), then one exact-integer Lloyd refinement:
+    re-partition every vector to its nearest seed-group mean, all in int64
+    arithmetic so the assignment is bit-identical in any engine (the
+    DuckDB oracles reproduce it; see queries/similarity.py)."""
+    q_expr = F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long")
+    )
+    grp = _bucket_expr(vec_col, grp_bits, dim, grp_seed, scale).alias("grp")
+    base = vectors.select(F.col(id_col), F.col(vec_col), q_expr.alias("__q"), grp)
+    cent0 = _collect_centroids(base, "grp", dim)
+    return base.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("__q"),
+        F.element_at(F.array_sort(_dist_structs(cent0)), 1).getField("c").alias("cluster"),
+    )
+
+
 def ivf_topk_quantized(
     vectors: DataFrame,
     query_ids: list[int],
@@ -248,18 +318,10 @@ def ivf_topk_quantized(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF ANN with a DETERMINISTIC coarse quantizer: centroids are one
-    averaging step over integer-quantized LSH-seeded groups.
-
-    Training = group vectors by a ``grp_bits``-bit quantized-hyperplane
-    bucket (seed ``grp_seed``), then per-group per-dim INTEGER sums — i.e.
-    one Lloyd iteration from an LSH initialization, kept in exact int64
-    arithmetic so cluster assignment, probe selection, and therefore the
-    final top-k are bit-identical in any engine (the DuckDB oracle
-    reproduces them; see queries/similarity.py). Distances compare
-    sum((n·q_d - s_d)²)/n² using exact integer numerators converted to
-    double — IEEE conversion + division are correctly rounded, hence
-    engine-independent.
+    """IVF ANN with the DETERMINISTIC coarse quantizer of
+    :func:`ivf_assign_quantized`; probes rank by the REFINED partition's
+    own means (a cluster's representative is its own mean — probing seed
+    centroids instead costs ~0.16 recall@10, measured at sf0.01).
 
     The seeded-KMeans variant (:func:`ivf_topk`) remains the production
     trainer; this variant is the verification-grade IVF. NOTE on ranges:
@@ -272,63 +334,14 @@ def ivf_topk_quantized(
     those clusters (partition-pruned at scale when the table is written
     partitioned by cluster), exact cosine re-rank inside.
     """
-    q_expr = F.transform(
-        F.col(vec_col), lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long")
-    )
-    grp = _bucket_expr(vec_col, grp_bits, dim, grp_seed, scale).alias("grp")
-    base = vectors.select(F.col(id_col), F.col(vec_col), q_expr.alias("__q"), grp)
-
-    def collect_centroids(df: DataFrame, grp_col: str) -> list[tuple[str, int, list[int]]]:
-        # training action: ≤2^grp_bits rows of (grp, n, per-dim int sums) —
-        # the same driver-side materialization KMeans.fit performs, but exact
-        rows = (
-            df.groupBy(grp_col)
-            .agg(
-                F.count("*").alias("n"),
-                *[F.sum(F.element_at("__q", d + 1)).alias(f"s{d}") for d in range(dim)],
-            )
-            .collect()
-        )
-        return [(r[grp_col], int(r["n"]), [int(r[f"s{d}"]) for d in range(dim)]) for r in rows]
-
-    def dist_structs(cents: list[tuple[str, int, list[int]]]) -> Column:
-        def dist_to(n: int, sums: list[int]) -> Column:
-            s_arr = F.array(*[F.lit(s) for s in sums])
-            num = F.aggregate(
-                F.zip_with(
-                    F.col("__q"), s_arr, lambda x, s: (F.lit(n) * x - s) * (F.lit(n) * x - s)
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            return num.cast("double") / F.lit(float(n * n))
-
-        # struct ordering = (d, c): double distance first, bitstring tiebreak
-        return F.array(
-            *[
-                F.struct(dist_to(n, sums).alias("d"), F.lit(g).alias("c"))
-                for g, n, sums in cents
-            ]
-        )
-
-    # one exact-integer Lloyd refinement: re-partition by the seed-group
-    # means, then probe with the REFINED partition's own means (a cluster's
-    # representative is its own mean — probing seed centroids instead costs
-    # ~0.16 recall@10, measured at sf0.01)
-    cent0 = collect_centroids(base, "grp")
-    refined = base.select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.col("__q"),
-        F.element_at(F.array_sort(dist_structs(cent0)), 1).getField("c").alias("cluster"),
-    )
-    cent1 = collect_centroids(refined, "cluster")
+    refined = ivf_assign_quantized(vectors, scale, dim, grp_bits, grp_seed, id_col, vec_col)
+    cent1 = _collect_centroids(refined, "cluster", dim)
 
     assigned = refined.select(
         F.col(id_col),
         F.col(vec_col),
         "cluster",
-        F.slice(F.array_sort(dist_structs(cent1)), 1, n_probe).alias("__probes"),
+        F.slice(F.array_sort(_dist_structs(cent1)), 1, n_probe).alias("__probes"),
     )
     q = (
         assigned.filter(F.col(id_col).isin(query_ids))
@@ -399,6 +412,53 @@ def lsh_topk(
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    tau: float,
+    scale: int = 10_000,
+    dim: int = 64,
+    grp_bits: int = IVF_GRP_BITS,
+    grp_seed: int = IVF_GRP_SEED,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster embeddings with the
+    deterministic coarse quantizer, compare pairs ONLY within a cluster,
+    and drop every vector that has a smaller-id neighbor with cosine ≥ τ.
+
+    Output: (vec_id, dup_of, kept) for every input vector, where dup_of =
+    the smallest qualifying neighbor id (null ⇒ kept). This is the exact
+    shape of SemDeDup (Abbas et al. 2023): k-means-cluster then intra-
+    cluster pairwise — the cross product is bounded by cluster size, never
+    corpus size. At 100 TB, cluster count grows with the corpus (keep
+    cluster size roughly constant) and the pair join runs per cluster
+    partition; the keep-min rule is deterministic, so reruns are stable.
+    """
+    a = ivf_assign_quantized(vectors, scale, dim, grp_bits, grp_seed, id_col, vec_col)
+    left = a.select(F.col(id_col).alias("ia"), F.col(vec_col).alias("__va"), "cluster")
+    right = a.select(F.col(id_col).alias("ib"), F.col(vec_col).alias("__vb"), "cluster")
+    pairs = (
+        left.join(right, "cluster")
+        .filter(F.col("ia") < F.col("ib"))
+        .select(
+            "ia",
+            "ib",
+            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cs"),
+        )
+        .filter(F.col("cs") >= tau)
+    )
+    dup = (
+        pairs.groupBy("ib")
+        .agg(F.min("ia").alias("dup_of"))
+        .withColumnRenamed("ib", id_col)
+    )
+    return (
+        vectors.select(id_col)
+        .join(dup, id_col, "left")
+        .select(id_col, "dup_of", F.col("dup_of").isNull().alias("kept"))
+    )
 
 
 def write_lsh_layout(

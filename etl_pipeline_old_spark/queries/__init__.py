@@ -32,6 +32,7 @@ _MODULES = (
     "tpch2",
     "tpch5",
     "corpus2",
+    "corpus3",
     "sources_formats",
     "spark4_surface",
 )

@@ -108,11 +108,11 @@ _RECALL_SELECT = f"""
     GROUP BY e.query_id"""
 
 
-def _ivf_candidates_cte(n_probe: int = 3) -> str:
-    """CTEs reproducing ivf_topk_quantized's deterministic coarse quantizer:
-    integer centroid sums over LSH-seeded groups, one exact-int Lloyd
-    refinement (distance comparison sum((n·q_d - s_d)²)/n²), probes by the
-    refined partition's own means, assignment/probes via row_number."""
+def _ivf_assign_cte() -> str:
+    """CTEs reproducing ivf_assign_quantized: integer centroid sums over
+    LSH-seeded groups, one exact-int Lloyd refinement (distance comparison
+    sum((n·q_d - s_d)²)/n²), assignment via row_number. Ends at assign
+    (vec_id, cluster)."""
     grp_bits = _table_bits(SIM.IVF_GRP_BITS, SIM.IVF_GRP_SEED)
     return f"""
     WITH {_BASE_CTE},
@@ -136,7 +136,13 @@ def _ivf_candidates_cte(n_probe: int = 3) -> str:
         SELECT vec_id, grp,
                row_number() OVER (PARTITION BY vec_id ORDER BY dd, grp) AS rn
         FROM dist0)
-      WHERE rn = 1),
+      WHERE rn = 1)"""
+
+
+def _ivf_candidates_cte(n_probe: int = 3) -> str:
+    """_ivf_assign_cte + probes by the refined partition's own means +
+    candidate pairs."""
+    return _ivf_assign_cte() + f""",
     bu1 AS (
       SELECT bu.vec_id, a.cluster, bu.qd, bu.d
       FROM bu JOIN assign a ON a.vec_id = bu.vec_id),
@@ -284,3 +290,38 @@ def ann_ivf_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = SIM.ivf_topk_quantized(emb, QUERY_IDS, K, n_probe=3, scale=QUANT_SCALE)
     exact = SIM.brute_force_topk(emb, QUERY_IDS, K)
     return SIM.recall_vs_exact(approx, exact, K)
+
+
+SEMDEDUP_TAU = 0.35  # non-vacuous on the synthetic embeddings: 68 intra-
+# cluster pairs ≥ τ at sf0.01 (the corpus has no true near-dups; real
+# corpora use τ ≈ 0.95+)
+
+
+@register(
+    "dedup_semantic",
+    oracle=_ivf_assign_cte()
+    + f""",
+    sd_pairs AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6)
+               AS cs
+      FROM assign a
+      JOIN assign b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id),
+    dup AS (
+      SELECT ib AS vec_id, min(ia) AS dup_of
+      FROM sd_pairs WHERE cs >= {SEMDEDUP_TAU} GROUP BY ib)
+    SELECT e.vec_id, d.dup_of, d.dup_of IS NULL AS kept
+    FROM embeddings e LEFT JOIN dup d USING (vec_id)
+    """,
+    doc="SemDeDup-style semantic deduplication: deterministic-IVF cluster "
+    "the embeddings, compare pairs only WITHIN a cluster, drop every "
+    "vector with a smaller-id neighbor at cosine >= τ. Intra-cluster "
+    "pairwise bounds the cross product by cluster size — the corpus-scale "
+    "semantic-dedup shape (Abbas et al. 2023) — and the exact-integer "
+    "quantizer makes the keep/drop decisions oracle-checkable.",
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.semantic_dedup(emb, SEMDEDUP_TAU, scale=QUANT_SCALE)

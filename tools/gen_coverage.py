@@ -120,14 +120,14 @@ COVERAGE: list[tuple[str, str, list[str], str]] = [
     ("PIPE", "notebook pipelines", ["pipeline_logs", "pipeline_projectsync", "pipeline_yougile", "pipeline_gitlab_lines"], ""),
     ("RUN", "run.py orchestrator", ["run_full_pipeline"], "all datasets in one SparkSession + K4 loads"),
     # north-star extensions (BASELINE.json)
-    ("X-dedup", "dedup family", ["dedup_exact", "dedup_exact_normalized", "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs", "dedup_embedding_cosine", "dedup_clusters", "dedup_apply"], ""),
+    ("X-dedup", "dedup family", ["dedup_exact", "dedup_exact_normalized", "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs", "dedup_embedding_cosine", "dedup_clusters", "dedup_apply", "dedup_semantic"], "exact, MinHash-LSH, SimHash, Jaccard, embedding-cosine, connected components, SemDeDup"),
     ("X-ann", "similarity search", ["ann_cosine_topk", "ann_lsh_cosine_topk", "ann_ivf_cosine_topk", "ann_lsh_recall_at_10", "ann_ivf_recall_at_10"], "recall@10 vs exact baseline, in-plan"),
     ("X-sql", "Spark SQL API surface", ["sql_api_nation_spend"], "identical SQL text runs on both engines"),
     ("X-mm", "multimodal columns", ["multimodal_decode_meta", "multimodal_feature_extract", "multimodal_resize", "multimodal_frame_sample"], "codecs stubbed (no image libs); plumbing real"),
     ("X-text", "text analysis", ["text_lang_id", "text_quality_score", "text_token_count", "text_fingerprint", "text_fuzzy_name_pairs", "corpus_normalize", "corpus_pii_redact", "corpus_stats_by_lang", "corpus_top_bigrams", "text_tfidf_top_terms"], ""),
     ("X-profile", "data profiling", ["profile_table", "histogram_order_totals"], "one-pass column stats; floor-bin histogram"),
     ("X-corpus", "training-corpus capstone", ["pipeline_training_corpus"], "normalize→quality→dedup→deterministic split→manifest"),
-    ("X-gov", "corpus governance", ["corpus_contamination_check", "corpus_token_pack", "corpus_stratified_sample", "corpus_lang_quota", "corpus_chunk_overlap", "corpus_repetition_score"], "eval-contamination, token packing, quota sampling, chunking, Gopher repetition"),
+    ("X-gov", "corpus governance", ["corpus_contamination_check", "corpus_token_pack", "corpus_stratified_sample", "corpus_lang_quota", "corpus_chunk_overlap", "corpus_repetition_score", "corpus_gopher_rules", "corpus_dsir_weights", "corpus_mix_weights"], "eval-contamination, token packing, quota sampling, chunking, Gopher repetition + rule set, DSIR importance weights, UniMax mixture weights"),
     ("X-olap", "advanced OLAP", ["pivot_status_by_priority", "unpivot_roundtrip", "cube_counts", "rollup_counts", "a7_count_distinct", "a8_approx_count_distinct", "a9_percentiles", "a10_percentile_approx", "global_topk", "join_salted_skew", "asof_join_last_signup", "range_join_neighbor_counts", "merge_upsert_corrections", "scd2_order_history", "agg_listagg_median_mode"], ""),
     ("X-tpch", "bench queries", ["tpch_q1_pricing_summary", "tpch_q2_min_cost_supplier", "tpch_q3_shipping_priority", "tpch_q5_local_supplier_volume", "tpch_q6_forecast_revenue", "tpch_q14_promo_effect", "tpch_q4_order_priority", "tpch_q9_nation_profit", "tpch_q16_supplier_cnt", "tpch_q18_large_orders", "tpch_q19_disjunctive_join", "tpch_q12_shipmode_buckets", "tpch_q20_excess_shippers", "tpch_q22_global_sales_opportunity", "tpch_q7_volume_shipping", "tpch_q10_returned_items", "tpch_q13_order_count_distribution", "tpch_q15_top_supplier", "tpch_q17_small_quantity_revenue", "tpch_q21_waiting_suppliers", "tpch_q8_market_share", "tpch_q11_important_parts"], "all 22 TPC-H shapes"),
 ]
