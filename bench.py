@@ -48,6 +48,10 @@ HEADLINE = [
     # shape round-over-round
     "run_full_pipeline",
     "tpch_q21_waiting_suppliers",
+    # r3: the two heaviest new curation ops (intra-cluster pairwise;
+    # two gram-bucket aggregates + broadcast)
+    "dedup_semantic",
+    "corpus_dsir_weights",
 ]
 
 
