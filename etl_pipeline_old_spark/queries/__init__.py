@@ -31,6 +31,7 @@ _MODULES = (
     "tpch",
     "tpch2",
     "tpch5",
+    "analytics",
     "corpus2",
     "corpus3",
     "sources_formats",

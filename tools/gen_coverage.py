@@ -126,6 +126,7 @@ COVERAGE: list[tuple[str, str, list[str], str]] = [
     ("X-mm", "multimodal columns", ["multimodal_decode_meta", "multimodal_feature_extract", "multimodal_resize", "multimodal_frame_sample"], "codecs stubbed (no image libs); plumbing real"),
     ("X-text", "text analysis", ["text_lang_id", "text_quality_score", "text_token_count", "text_fingerprint", "text_fuzzy_name_pairs", "corpus_normalize", "corpus_pii_redact", "corpus_stats_by_lang", "corpus_top_bigrams", "text_tfidf_top_terms"], ""),
     ("X-profile", "data profiling", ["profile_table", "histogram_order_totals"], "one-pass column stats; floor-bin histogram"),
+    ("X-analytics", "event analytics", ["events_funnel", "events_retention_cohorts", "events_rate_anomaly"], "ordered funnel w/ conversion window, retention cohorts, integer-exact rolling z-score anomaly"),
     ("X-corpus", "training-corpus capstone", ["pipeline_training_corpus"], "normalize→quality→dedup→deterministic split→manifest"),
     ("X-gov", "corpus governance", ["corpus_contamination_check", "corpus_token_pack", "corpus_stratified_sample", "corpus_lang_quota", "corpus_chunk_overlap", "corpus_repetition_score", "corpus_gopher_rules", "corpus_dsir_weights", "corpus_mix_weights"], "eval-contamination, token packing, quota sampling, chunking, Gopher repetition + rule set, DSIR importance weights, UniMax mixture weights"),
     ("X-olap", "advanced OLAP", ["pivot_status_by_priority", "unpivot_roundtrip", "cube_counts", "rollup_counts", "a7_count_distinct", "a8_approx_count_distinct", "a9_percentiles", "a10_percentile_approx", "global_topk", "join_salted_skew", "asof_join_last_signup", "range_join_neighbor_counts", "merge_upsert_corrections", "scd2_order_history", "agg_listagg_median_mode"], ""),
