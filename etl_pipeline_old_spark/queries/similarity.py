@@ -292,36 +292,6 @@ def ann_ivf_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.recall_vs_exact(approx, exact, K)
 
 
-SEMDEDUP_TAU = 0.35  # non-vacuous on the synthetic embeddings: 68 intra-
-# cluster pairs ≥ τ at sf0.01 (the corpus has no true near-dups; real
-# corpora use τ ≈ 0.95+)
-
-
-@register(
-    "dedup_semantic",
-    oracle=_ivf_assign_cte()
-    + f""",
-    sd_pairs AS (
-      SELECT a.vec_id AS ia, b.vec_id AS ib,
-             round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6)
-               AS cs
-      FROM assign a
-      JOIN assign b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-      JOIN embeddings ea ON ea.vec_id = a.vec_id
-      JOIN embeddings eb ON eb.vec_id = b.vec_id),
-    dup AS (
-      SELECT ib AS vec_id, min(ia) AS dup_of
-      FROM sd_pairs WHERE cs >= {SEMDEDUP_TAU} GROUP BY ib)
-    SELECT e.vec_id, d.dup_of, d.dup_of IS NULL AS kept
-    FROM embeddings e LEFT JOIN dup d USING (vec_id)
-    """,
-    doc="SemDeDup-style semantic deduplication: deterministic-IVF cluster "
-    "the embeddings, compare pairs only WITHIN a cluster, drop every "
-    "vector with a smaller-id neighbor at cosine >= τ. Intra-cluster "
-    "pairwise bounds the cross product by cluster size — the corpus-scale "
-    "semantic-dedup shape (Abbas et al. 2023) — and the exact-integer "
-    "quantizer makes the keep/drop decisions oracle-checkable.",
-)
-def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    return SIM.semantic_dedup(emb, SEMDEDUP_TAU, scale=QUANT_SCALE)
+# NOTE: dedup_semantic (SemDeDup over these CTEs) is registered in
+# queries/corpus3.py — round-3 modules load last so the driver's capped
+# verification prefix reaches older never-checked queries first.
