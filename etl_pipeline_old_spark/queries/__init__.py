@@ -39,6 +39,7 @@ _MODULES = (
     # older never-checked ones (VERDICT r2 #2), not displace them
     "analytics",
     "corpus3",
+    "streaming2",
 )
 
 

@@ -239,3 +239,51 @@ def stream_user_profile_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("first_us").alias("first_us"),
         F.max("last_us").alias("last_us"),
     )
+
+
+def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once delivery via SINK-side idempotency: ``foreachBatch``
+    anti-join-merges every micro-batch into a parquet target keyed by
+    event_id, so replays (the feed is staged twice) write zero rows.
+
+    This is the production pattern for exactly-once into non-transactional
+    stores — the streaming-driven form of the reference's monotone-key
+    incremental append (fetch_asterisk_cdr.py:39-58), with the dedup done
+    by the sink merge instead of engine state (contrast
+    :func:`stream_dedup_exactly_once`, which holds the seen-key set as
+    managed streaming state).
+    """
+    ensure_session_confs(spark)
+    feed, schema = _duplicated_event_feed(spark, sf_dir)
+    target = feed + "_target"
+    chk = feed + "_chk"
+    shutil.rmtree(target, ignore_errors=True)
+    shutil.rmtree(chk, ignore_errors=True)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # force 2 micro-batches: write + replay
+        .parquet(feed)
+        .select("event_id", "user_id", "event_type")
+    )
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        if os.path.exists(target):
+            existing = s.read.parquet(target).select("event_id")
+            novel = batch_df.join(existing, "event_id", "left_anti")
+        else:
+            novel = batch_df
+        novel.write.mode("append").parquet(target)
+
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(target)
