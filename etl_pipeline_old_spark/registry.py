@@ -75,13 +75,18 @@ def _verification_priority() -> dict[str, int]:
             if not isinstance(row, dict):
                 continue
             # A green row counts as verified.  An err='no_oracle' row with a
-            # recorded spark row count ALSO counts as "seen": the driver ran
-            # the query and will never produce more than that for an
-            # oracle-less entry, so leaving it at 0 would permanently pin it
-            # to the front of the capped per-round verification prefix,
-            # crowding out queries that could actually earn green rows.
+            # recorded spark row count ALSO counts as "seen" — but only while
+            # the entry STILL has no oracle: the driver ran it and will never
+            # produce more for an oracle-less entry, so leaving it at 0 would
+            # permanently pin it to the front of the capped per-round
+            # verification prefix.  Once the entry gains an oracle it can earn
+            # a real green row, so the stale no_oracle record must count 0
+            # again to re-surface it at the front of the rotation.
             ok = not row.get("err") or (
-                row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+                and name in QUERIES
+                and QUERIES[name].oracle is None
             )
             counts[name] = counts.get(name, 0) + (1 if ok else 0)
     return counts
