@@ -211,14 +211,44 @@ def calendar_dim(
     """Calendar dimension [start-1day, end] with ``cum_working`` = number of
     working days ≤ d. ``delta(a, b] = cum[b] - cum[a]``.
 
-    Driver-built and broadcast; the full 1990-2100 default is ~40k rows
-    (≈1 MB) — still trivially broadcastable, and a FIXED range means the
+    Built entirely JVM-side: only the exception-date lists (weekday holidays
+    and working Saturdays, ~1.5k short strings for the full range) enter the
+    plan as array literals; the 40k-day ``sequence`` explode, the working-day
+    flag, and the running counter are whole-stage-codegen expressions. This
+    avoids shipping 40k Python rows through ``createDataFrame`` (measured
+    ~5 s of driver-side pickling on first use). A FIXED range also means the
     operator never needs to scan the fact table for bounds, keeping
     :func:`workdays_diff_frame` a pure lazy transform.
+
+    The single-partition window is deliberate: this is a broadcast dimension
+    (~40k rows ≈ 1 MB); computing its prefix sum on one task is trivial and
+    keeps the dim deterministic.
     """
+    from pyspark.sql.window import Window
+
     start = start - timedelta(days=1)  # need cum[] at the day before start
-    return spark.createDataFrame(
-        list(_calendar_rows(start, end)), "d date, is_working boolean, cum_working int"
+    # only the exception dates cross the Python->JVM boundary (~1.6k rows);
+    # inlining them as array literals instead blows up the codegen'd
+    # expression and costs seconds to compile
+    exceptions = [
+        (d, False) for d in ru_non_working_weekdays(start.year, end.year)
+    ] + [(d, True) for d in ru_working_saturdays(start.year, end.year)]
+    exc = spark.createDataFrame(exceptions, "d date, forced_working boolean")
+    days = spark.range(1).select(
+        F.explode(F.sequence(F.lit(start), F.lit(end))).alias("d")
+    )
+    weekday = F.dayofweek("d")  # 1 = Sunday ... 7 = Saturday
+    # mirrors is_working_date(): decreed exceptions win (working Saturdays
+    # forced on, weekday holidays/transfers forced off), else Mon-Fri
+    is_working = F.coalesce(F.col("forced_working"), ~weekday.isin(1, 7))
+    win = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        days.join(F.broadcast(exc), "d", "left")
+        .withColumn("is_working", is_working)
+        .withColumn(
+            "cum_working", F.sum(F.col("is_working").cast("int")).over(win).cast("int")
+        )
+        .drop("forced_working")
     )
 
 
@@ -255,21 +285,21 @@ def workdays_diff_frame(
     w = df.withColumn("__s_loc", s_loc).withColumn("__e_loc", e_loc)
     w = w.withColumn("__s_d", F.to_date("__s_loc")).withColumn("__e_d", F.to_date("__e_loc"))
 
-    cal_s = F.broadcast(
-        cal.select(
-            F.col("d").alias("__s_d"),
-            F.col("is_working").alias("__s_working"),
-            F.col("cum_working").alias("__s_cum"),
-        )
+    # join the SAME broadcast frame twice (projection above the join, not
+    # below it) so the two BroadcastExchanges canonicalize identically and
+    # the second becomes a ReusedExchange — the dim subplan executes once
+    c1, c2 = cal.alias("__cal_s"), cal.alias("__cal_e")
+    w = (
+        w.join(F.broadcast(c1), F.col("__s_d") == F.col("__cal_s.d"), "left")
+        .join(F.broadcast(c2), F.col("__e_d") == F.col("__cal_e.d"), "left")
+        .withColumn("__s_working", F.col("__cal_s.is_working"))
+        .withColumn("__s_cum", F.col("__cal_s.cum_working"))
+        .withColumn("__e_working", F.col("__cal_e.is_working"))
+        .withColumn("__e_cum", F.col("__cal_e.cum_working"))
+        .drop(F.col("__cal_s.d")).drop(F.col("__cal_s.is_working"))
+        .drop(F.col("__cal_s.cum_working")).drop(F.col("__cal_e.d"))
+        .drop(F.col("__cal_e.is_working")).drop(F.col("__cal_e.cum_working"))
     )
-    cal_e = F.broadcast(
-        cal.select(
-            F.col("d").alias("__e_d"),
-            F.col("is_working").alias("__e_working"),
-            F.col("cum_working").alias("__e_cum"),
-        )
-    )
-    w = w.join(cal_s, "__s_d", "left").join(cal_e, "__e_d", "left")
 
     s_frac = _frac_hour(F.col("__s_loc"))
     e_frac = _frac_hour(F.col("__e_loc"))
