@@ -40,6 +40,8 @@ _MODULES = (
     "analytics",
     "corpus3",
     "streaming2",
+    "timeseries",
+    "corpus4",
 )
 
 

@@ -121,11 +121,14 @@ COVERAGE: list[tuple[str, str, list[str], str]] = [
     ("RUN", "run.py orchestrator", ["run_full_pipeline"], "all datasets in one SparkSession + K4 loads"),
     # north-star extensions (BASELINE.json)
     ("X-dedup", "dedup family", ["dedup_exact", "dedup_exact_normalized", "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs", "dedup_embedding_cosine", "dedup_clusters", "dedup_apply", "dedup_semantic"], "exact, MinHash-LSH, SimHash, Jaccard, embedding-cosine, connected components, SemDeDup"),
-    ("X-ann", "similarity search", ["ann_cosine_topk", "ann_lsh_cosine_topk", "ann_ivf_cosine_topk", "ann_lsh_recall_at_10", "ann_ivf_recall_at_10"], "recall@10 vs exact baseline, in-plan"),
+    ("X-boiler", "boilerplate detection", ["corpus_boilerplate_ngrams"], "cross-doc verbatim n-grams (Lee et al. 2022 exact-substring candidates)"),
+    ("X-ann", "similarity search", ["ann_cosine_topk", "ann_lsh_cosine_topk", "ann_ivf_cosine_topk", "ann_lsh_recall_at_10", "ann_ivf_recall_at_10", "ann_hard_negatives"], "recall@10 vs exact baseline, in-plan"),
     ("X-sql", "Spark SQL API surface", ["sql_api_nation_spend"], "identical SQL text runs on both engines"),
     ("X-mm", "multimodal columns", ["multimodal_decode_meta", "multimodal_feature_extract", "multimodal_resize", "multimodal_frame_sample"], "codecs stubbed (no image libs); plumbing real"),
-    ("X-text", "text analysis", ["text_lang_id", "text_quality_score", "text_token_count", "text_fingerprint", "text_fuzzy_name_pairs", "corpus_normalize", "corpus_pii_redact", "corpus_stats_by_lang", "corpus_top_bigrams", "text_tfidf_top_terms"], ""),
+    ("X-text", "text analysis", ["text_lang_id", "text_quality_score", "text_token_count", "text_fingerprint", "text_fuzzy_name_pairs", "corpus_normalize", "corpus_pii_redact", "corpus_stats_by_lang", "corpus_top_bigrams", "text_tfidf_top_terms", "corpus_unigram_logprob"], ""),
     ("X-profile", "data profiling", ["profile_table", "histogram_order_totals"], "one-pass column stats; floor-bin histogram"),
+    ("X-ts", "time-series / CDC", ["cdc_changelog_compact", "ts_gapfill_ffill", "ts_resample_ohlc"], "changelog compaction w/ tombstones, dense ffill series, OHLC bars"),
+    ("X-layout", "storage layout", ["zorder_zvalue"], "Z-order keys; clustering asserted on parquet footers in test_storage_layout.py"),
     ("X-analytics", "event analytics", ["events_funnel", "events_retention_cohorts", "events_rate_anomaly"], "ordered funnel w/ conversion window, retention cohorts, integer-exact rolling z-score anomaly"),
     ("X-corpus", "training-corpus capstone", ["pipeline_training_corpus"], "normalize→quality→dedup→deterministic split→manifest"),
     ("X-gov", "corpus governance", ["corpus_contamination_check", "corpus_token_pack", "corpus_stratified_sample", "corpus_lang_quota", "corpus_chunk_overlap", "corpus_repetition_score", "corpus_gopher_rules", "corpus_dsir_weights", "corpus_mix_weights"], "eval-contamination, token packing, quota sampling, chunking, Gopher repetition + rule set, DSIR importance weights, UniMax mixture weights"),
