@@ -101,3 +101,77 @@ def connected_components(
             "of returning partially-propagated, incorrect labels"
         )
     return labels.select("node", "component")
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 3,
+    damping: float = 0.85,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """(node, rank) after ``n_iter`` power iterations with uniform teleport
+    and dangling-mass redistribution (ranks sum to 1 every iteration).
+
+    Like connected_components, each iteration MATERIALIZES its rank frame
+    (localCheckpoint, or reliable checkpoint when ``checkpoint_dir`` is
+    given): the update references the previous ranks three times (degree
+    join, dangling mass, contribution sum), so a lazy formulation
+    re-evaluates the whole prefix ~3^k times — measured 93s vs 3s at
+    sf0.01 for k=3. The static graph (edges, out-degrees) is persisted
+    once and reused every iteration; each iteration is then one
+    edges⋈ranks join + one sum-aggregate, the minimal shuffle shape.
+    """
+    sc = edges.sparkSession.sparkContext
+    if checkpoint_dir is not None and sc.getCheckpointDir() != checkpoint_dir:
+        sc.setCheckpointDir(checkpoint_dir)
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).persist()
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = float(nodes.count())
+    deg = e.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("outdeg")).persist()
+    ranks = _truncate(nodes.select("node", F.lit(1.0 / n).alias("rank")))
+    for _ in range(n_iter):
+        wd = ranks.join(deg, "node", "left")
+        dang = wd.filter(F.col("outdeg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
+        )
+        contrib = (
+            e.join(
+                wd.filter(F.col("outdeg").isNotNull()).withColumnRenamed("node", "u"),
+                "u",
+            )
+            .select(
+                F.col("v").alias("node"),
+                (F.col("rank") / F.col("outdeg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = _truncate(
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                (
+                    (1.0 - damping) / n
+                    + damping
+                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("dm") / n)
+                ).alias("rank"),
+            )
+        )
+    e.unpersist()
+    nodes.unpersist()
+    deg.unpersist()
+    return ranks

@@ -42,6 +42,7 @@ _MODULES = (
     "streaming2",
     "timeseries",
     "corpus4",
+    "quality_inc",
 )
 
 

@@ -172,3 +172,94 @@ def test_zvalue_locality_beats_concatenation(spark, oracle_sf_dir):
     by_z = sorted(rows, key=lambda r: r["z"])
     by_concat = sorted(rows, key=lambda r: (r["x"], r["y"]))
     assert mean_step(by_z) < mean_step(by_concat)
+
+
+def test_dq_suite_clean_on_generated_data(spark, oracle_sf_dir):
+    """The generated TPC-H-ish data satisfies every expectation."""
+    rows = QUERIES["dq_check_suite"].fn(spark, oracle_sf_dir).collect()
+    assert len(rows) == 6
+    assert all(r["passed"] and r["n_violations"] == 0 for r in rows)
+
+
+def test_dq_suite_flags_injected_violations(spark, oracle_sf_dir, tmp_path):
+    """Each check must actually fire: corrupt a copy of the tables with
+    one violation per expectation and assert the exact counts."""
+    o = load_table(spark, oracle_sf_dir, "orders").limit(100).cache()
+    li = (
+        load_table(spark, oracle_sf_dir, "lineitem")
+        .join(o.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .cache()
+    )
+    first = o.first()
+    bad_o = o.unionByName(
+        spark.createDataFrame(
+            [
+                # duplicate PK + bad status (counts for both checks)
+                (first["o_orderkey"], 1, "X", 1.0, first["o_orderdate"], "1-URGENT"),
+                # null custkey
+                (10**9, None, "O", 1.0, first["o_orderdate"], "1-URGENT"),
+            ],
+            o.schema,
+        )
+    )
+    li_first = li.first()
+    bad_li = li.unionByName(
+        spark.createDataFrame(
+            [
+                # orphan orderkey + out-of-range quantity + non-positive price
+                (
+                    10**9 + 7,
+                    li_first["l_partkey"],
+                    li_first["l_suppkey"],
+                    1,
+                    999.0,
+                    -5.0,
+                    0.0,
+                    0.0,
+                    "N",
+                    "O",
+                    li_first["l_shipdate"],
+                )
+            ],
+            li.schema,
+        )
+    )
+    sf = str(tmp_path / "corrupted")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    bad_o.coalesce(1).write.mode("overwrite").parquet(f"{sf}/orders.parquet")
+    bad_li.coalesce(1).write.mode("overwrite").parquet(f"{sf}/lineitem.parquet")
+    got = {
+        r["check_name"]: r["n_violations"]
+        for r in QUERIES["dq_check_suite"].fn(spark, sf).collect()
+    }
+    assert got["orders_pk_unique"] == 1
+    assert got["orders_custkey_not_null"] == 1
+    assert got["orders_status_domain"] == 1
+    assert got["lineitem_qty_range"] == 1
+    assert got["lineitem_price_positive"] == 1
+    assert got["lineitem_fk_orders"] == 1
+
+
+def test_incremental_merge_covers_every_user_once(spark, oracle_sf_dir):
+    out = QUERIES["incremental_agg_merge"].fn(spark, oracle_sf_dir)
+    ev = load_table(spark, oracle_sf_dir, "events")
+    assert out.count() == ev.select("user_id").distinct().count()
+    assert out.agg(F.sum("n_events")).first()[0] == ev.count()
+
+
+def test_pagerank_mass_and_structure(spark, oracle_sf_dir):
+    """Rank mass sums to 1 (teleport + dangling redistribution conserve
+    it), every rank >= the teleport floor, and rank is non-uniform on a
+    non-regular graph."""
+    rows = QUERIES["graph_pagerank"].fn(spark, oracle_sf_dir).collect()
+    from etl_pipeline_old_spark.queries.quality_inc import PR_DAMPING
+
+    n = len(rows)
+    assert n > 1
+    total = sum(r["pagerank"] for r in rows)
+    assert abs(total - 1.0) < 1e-3
+    floor = (1.0 - PR_DAMPING) / n
+    assert all(r["pagerank"] >= floor - 1e-9 for r in rows)
+    assert len({r["pagerank"] for r in rows}) > 1

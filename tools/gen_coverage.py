@@ -127,6 +127,9 @@ COVERAGE: list[tuple[str, str, list[str], str]] = [
     ("X-mm", "multimodal columns", ["multimodal_decode_meta", "multimodal_feature_extract", "multimodal_resize", "multimodal_frame_sample"], "codecs stubbed (no image libs); plumbing real"),
     ("X-text", "text analysis", ["text_lang_id", "text_quality_score", "text_token_count", "text_fingerprint", "text_fuzzy_name_pairs", "corpus_normalize", "corpus_pii_redact", "corpus_stats_by_lang", "corpus_top_bigrams", "text_tfidf_top_terms", "corpus_unigram_logprob"], ""),
     ("X-profile", "data profiling", ["profile_table", "histogram_order_totals"], "one-pass column stats; floor-bin histogram"),
+    ("X-dq", "data-quality expectations", ["dq_check_suite"], "fused per-table checks + FK anti-join; negative test injects violations"),
+    ("X-ivm", "incremental aggregate maintenance", ["incremental_agg_merge"], "partial-state merge; oracle IS the IVM invariant"),
+    ("X-graph", "graph analytics", ["graph_pagerank", "dedup_clusters"], "bounded power iteration w/ dangling mass; label propagation"),
     ("X-ts", "time-series / CDC", ["cdc_changelog_compact", "ts_gapfill_ffill", "ts_resample_ohlc"], "changelog compaction w/ tombstones, dense ffill series, OHLC bars"),
     ("X-layout", "storage layout", ["zorder_zvalue"], "Z-order keys; clustering asserted on parquet footers in test_storage_layout.py"),
     ("X-analytics", "event analytics", ["events_funnel", "events_retention_cohorts", "events_rate_anomaly"], "ordered funnel w/ conversion window, retention cohorts, integer-exact rolling z-score anomaly"),
