@@ -52,6 +52,11 @@ HEADLINE = [
     # two gram-bucket aggregates + broadcast)
     "dedup_semantic",
     "corpus_dsir_weights",
+    # r3 second wave: iterative graph ranking, the corpus-wide LM scoring
+    # join, and the CDC compaction single-shuffle path
+    "graph_pagerank",
+    "corpus_unigram_logprob",
+    "cdc_changelog_compact",
 ]
 
 

@@ -111,6 +111,15 @@ def ts_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select(
         "user_id", F.expr(f"unix_micros(ts) div {_DAY_US}").alias("day"), "value"
     )
+    # one map-combined shuffle compacts raw events to (user, day) maxima;
+    # the bounds branch re-derives from the same lineage, which Catalyst
+    # prunes to a narrower (ts, user_id) scan — two projected scans of the
+    # fact, each 2-3 columns, with everything after the compaction sized
+    # by |users × active days|, not by raw events. (Exchange reuse cannot
+    # kick in here: column pruning specializes each branch's aggregate, so
+    # the subtrees no longer canonicalize identically — verified on the
+    # executed plan. A caller looping many gap-fill variants would persist
+    # `daily` instead.)
     daily = e.groupBy("user_id", "day").agg(F.max("value").alias("v"))
     allday = (
         daily.groupBy("user_id")
