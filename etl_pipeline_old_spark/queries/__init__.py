@@ -43,6 +43,7 @@ _MODULES = (
     "timeseries",
     "corpus4",
     "quality_inc",
+    "extras3",
 )
 
 

@@ -105,3 +105,47 @@ def append_mode_with_watermark(
     return out.select(
         F.col("window.start").alias("window_start"), "event_type", "n_events"
     )
+
+
+def sliding_window_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "6 hours",
+    slide: str = "3 hours",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Sliding (hopping) windows: width > slide, so every event lands in
+    width/slide windows (2 here). Complete mode + availableNow drains the
+    log, so the final state equals the batch answer — each event expanded
+    to both its window starts — which the DuckDB oracle computes directly.
+
+    Scale: state size is (n_windows_open × groups), NOT events — the
+    overlap multiplies the aggregation fan-out (×2), never the raw stream.
+    """
+    agg = (
+        _event_stream(spark, sf_dir)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    name = f"stream_slide_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        F.col("window.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )

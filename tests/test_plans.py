@@ -9,6 +9,7 @@ import io
 from contextlib import redirect_stdout
 
 import pytest
+from pyspark.sql import functions as F
 
 from etl_pipeline_old_spark.registry import QUERIES, _ensure_loaded
 
@@ -88,3 +89,45 @@ def test_flagship_fact_never_shuffles_before_aggregate(spark, sf):
     plan = plan_of(QUERIES["pipeline_logs"].fn(spark, sf))
     assert nodes_of(plan).count("Exchange") == 1
     assert "BroadcastHashJoin" in plan
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark, sf):
+    """Runtime row-level filtering (the 100 TB selective-join path): with a
+    selective filter on the build side of a shuffle join, Spark injects a
+    bloom filter into the probe-side scan, discarding non-matching fact
+    rows BEFORE the shuffle. Thresholds are lowered to make the optimizer
+    fire at test scale — at real scale the defaults (10MB build / 10GB
+    probe) gate it to exactly the joins that need it."""
+    from etl_pipeline_old_spark.catalog import load_table
+
+    saved = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    try:
+        li = load_table(spark, sf, "lineitem")
+        o = load_table(spark, sf, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, "bloom build missing"
+        assert "might_contain" in plan.lower(), "probe-side bloom test missing"
+        # and the result is still correct
+        expected = li.join(
+            o.hint("broadcast"), F.col("l_orderkey") == F.col("o_orderkey")
+        ).count()
+        assert j.count() == expected
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold",
+            saved["spark.sql.autoBroadcastJoinThreshold"],
+        )
+        spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")

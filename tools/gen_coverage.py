@@ -80,6 +80,7 @@ COVERAGE: list[tuple[str, str, list[str], str]] = [
     ("S15", "wholetext scan", ["s15_wholetext_scan"], "file-per-record semantics"),
     ("S16", "VARIANT semi-structured", ["variant_props_extract"], "parse_json + variant_get"),
     ("S17", "Python UDTF", ["udtf_word_explode"], "one-row-in N-rows-out table function"),
+    ("S18", "mergeSchema evolution scan", ["s16_mergeschema_evolution"], "footer-merge read across pipeline versions; NULL backfill"),
     # §2.7 sorts/limits
     ("O1", "deterministic ordering", ["global_topk"], ""),
     ("O2", "LIMIT 0 schema", ["o2_limit0_schema"], ""),
@@ -114,7 +115,7 @@ COVERAGE: list[tuple[str, str, list[str], str]] = [
     ("F22", "round", ["f22_round"], ""),
     ("F23", "arrays_overlap", ["f23_arrays_overlap"], "legacy intersection check, fetch_yougile_programming.py:505-509"),
     ("§2.10", "business-day duration", ["workdays_diff_sql", "workdays_diff_pandas_udf", "pipeline_yougile"], "golden tests in test_workdays.py"),
-    ("§2.11", "streaming", ["stream_tumbling_window_counts", "stream_append_watermark", "stream_stateful_dedup", "stream_stateful_running_totals", "stream_stream_join", "stream_session_window", "stream_foreachbatch_upsert"], "engine-state AND sink-side exactly-once variants"),
+    ("§2.11", "streaming", ["stream_tumbling_window_counts", "stream_append_watermark", "stream_stateful_dedup", "stream_stateful_running_totals", "stream_stream_join", "stream_session_window", "stream_foreachbatch_upsert", "stream_sliding_window_counts"], "engine-state AND sink-side exactly-once variants"),
     ("§2.12", "UDF surface", ["workdays_diff_pandas_udf", "udf_extension_point", "multimodal_decode_meta", "grouped_map_zscore"], ""),
     # pipelines (§3 end-to-end)
     ("PIPE", "notebook pipelines", ["pipeline_logs", "pipeline_projectsync", "pipeline_yougile", "pipeline_gitlab_lines"], ""),
@@ -126,7 +127,7 @@ COVERAGE: list[tuple[str, str, list[str], str]] = [
     ("X-sql", "Spark SQL API surface", ["sql_api_nation_spend"], "identical SQL text runs on both engines"),
     ("X-mm", "multimodal columns", ["multimodal_decode_meta", "multimodal_feature_extract", "multimodal_resize", "multimodal_frame_sample"], "codecs stubbed (no image libs); plumbing real"),
     ("X-text", "text analysis", ["text_lang_id", "text_quality_score", "text_token_count", "text_fingerprint", "text_fuzzy_name_pairs", "corpus_normalize", "corpus_pii_redact", "corpus_stats_by_lang", "corpus_top_bigrams", "text_tfidf_top_terms", "corpus_unigram_logprob"], ""),
-    ("X-profile", "data profiling", ["profile_table", "histogram_order_totals"], "one-pass column stats; floor-bin histogram"),
+    ("X-profile", "data profiling", ["profile_table", "histogram_order_totals", "histogram_equi_depth"], "one-pass column stats; floor-bin histogram"),
     ("X-dq", "data-quality expectations", ["dq_check_suite"], "fused per-table checks + FK anti-join; negative test injects violations"),
     ("X-ivm", "incremental aggregate maintenance", ["incremental_agg_merge"], "partial-state merge; oracle IS the IVM invariant"),
     ("X-graph", "graph analytics", ["graph_pagerank", "dedup_clusters"], "bounded power iteration w/ dangling mass; label propagation"),
