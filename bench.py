@@ -74,6 +74,19 @@ def main() -> None:
     names = [n for n in HEADLINE if n in QUERIES]
     # warm the JVM/codegen path once with the cheapest query
     QUERIES[names[0]].fn(spark, sf_dir).count()
+    # warm the Python/Arrow worker daemon too: it is session infrastructure
+    # (like the JVM), and without this the first pandas-UDF query in the
+    # suite pays the one-time daemon spawn inside ITS measurement
+    # (grouped_map_zscore read 4.5s cold vs 1.6s warm at sf0.1)
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    # no type hints: `from __future__ import annotations` stringifies them,
+    # which the pandas-UDF hint inference can't evaluate here
+    @pandas_udf("long")
+    def _warm(s):
+        return s
+
+    spark.range(32, numPartitions=32).select(_warm("id")).count()
 
     timings: dict[str, float] = {}
     t_total = time.perf_counter()
