@@ -44,6 +44,7 @@ _MODULES = (
     "corpus4",
     "quality_inc",
     "extras3",
+    "scale_ops",
 )
 
 

@@ -1,0 +1,246 @@
+"""Registry entries: storage-layout and scale-operations suite — Hive-style
+partitioned write with partition-pruned readback, small-file compaction
+planning, shuffle-skew diagnosis, and triangle counting on a derived graph.
+
+The reference's layout story is a flat ``raw_data/`` directory of whole-file
+CSVs rewritten per run (``/root/reference/run.py:8-9``, CSV write at
+``/root/reference/extractors/fetch_asterisk_devices.py:31``) — workable at
+250k rows, fatal at 100 TB. These operators are the engine-side answers:
+
+* ``k7_partitioned_write_prune`` — the datalake layout the reference's
+  date-keyed incremental append (``create_projectsync_dataset.ipynb:410-441``)
+  actually wants: Hive-partitioned output so an incremental reader touches
+  only the new date directories instead of re-scanning the table.
+* ``layout_compaction_bins`` — the OPTIMIZE/compaction planning pass every
+  long-lived partitioned table needs once small incremental appends
+  accumulate (each reference run appends one small batch = one small file).
+* ``skew_diagnosis`` — measurement side of the salted-join remedy
+  (``join_salted_skew``): find the hot keys and size the salt factor from
+  observed counts instead of guessing.
+* ``graph_triangle_count`` — cohesion metric over a relationship graph
+  derived relationally from the fact tables (same family as
+  ``graph_pagerank`` / ``dedup_clusters``).
+
+Scale notes (100 TB): the partitioned write is a pure distributed shuffle-free
+write (each task writes its partition-local day directories); the pruned
+readback reads ONLY the matching day directories — partition pruning is
+asserted in ``tests/test_plans.py``. Compaction planning is one window pass
+over file/group metadata (at real scale the input is the table's file
+listing, a metadata-sized relation, not the data). Skew diagnosis is one
+map-combined groupBy. Triangle counting joins an edge list oriented
+``lo < hi``, which bounds each join's fan-out by node degree; at web scale
+you orient by degree instead of id (Schank-Wagner) — same plan shape.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..catalog import load_table
+from ..registry import register
+
+_CACHE = "/tmp/etl_pipeline_old_spark_cache"
+
+
+def _tag(sf_dir: str) -> str:
+    return f"{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}"
+
+
+@register(
+    "k7_partitioned_write_prune",
+    oracle="""
+        SELECT event_type,
+               count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users
+        FROM events
+        WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-01' AND DATE '2024-01-07'
+        GROUP BY event_type
+    """,
+    doc="Hive-partitioned datalake write + partition-pruned readback: events "
+    "written partitionBy(day), read back with a day-range predicate that "
+    "must prune to 7 of 30 date directories (asserted in test_plans.py), "
+    "then aggregated. The layout the reference's date-keyed incremental "
+    "append (create_projectsync_dataset.ipynb:410-441) wants at scale.",
+)
+def k7_partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    path = os.path.join(_CACHE, f"events_by_day_{_tag(sf_dir)}")
+    (
+        ev.withColumn("day", F.to_date("ts"))
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.filter(F.col("day").between("2024-01-01", "2024-01-07"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+# compaction target: bins of ~4 KiB of document text — small enough that
+# even sf0.01 (~7.5 KiB/source) splits every source into multiple bins, so
+# the packing algebra is actually exercised. Real deployments size this to
+# the output-file target (128-512 MiB); the algebra is scale-free.
+_BIN_CHARS = 4096
+
+
+@register(
+    "layout_compaction_bins",
+    oracle=f"""
+        WITH sized AS (
+            SELECT source, doc_id, n_chars,
+                   sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS run_chars
+            FROM documents
+        )
+        SELECT source,
+               CAST(floor((run_chars - n_chars) / {_BIN_CHARS}.0) AS BIGINT) AS bin,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS chars
+        FROM sized
+        GROUP BY source, bin
+    """,
+    doc="Small-file compaction planner (OPTIMIZE's planning pass): pack each "
+    "source's documents, in stable doc_id order, into ~4 KiB bins via a "
+    "running-size cumulative window — bin = floor(start_offset / target). "
+    "Executing the plan is repartitionByRange((source, bin)) + write; at "
+    "100 TB the input is the table's file-listing metadata, not the data.",
+)
+def layout_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        d.select("source", "doc_id", "n_chars")
+        .withColumn("run_chars", F.sum("n_chars").over(w))
+        .withColumn(
+            "bin",
+            F.floor((F.col("run_chars") - F.col("n_chars")) / F.lit(float(_BIN_CHARS))),
+        )
+        .groupBy("source", "bin")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("chars"))
+    )
+
+
+@register(
+    "skew_diagnosis",
+    oracle="""
+        WITH counts AS (
+            SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+        ),
+        stats AS (
+            SELECT count(*) AS n_keys, sum(cnt) AS total FROM counts
+        )
+        SELECT c.user_id, c.cnt,
+               CAST(ceil(c.cnt * 1.0 * s.n_keys / s.total) AS BIGINT) AS salt_factor
+        FROM counts c, stats s
+        WHERE 10 * c.cnt * s.n_keys > 11 * s.total
+    """,
+    doc="Shuffle-skew diagnosis: per-key counts, then keys >10% above the "
+    "mean (exact integer comparison: 10*cnt*n_keys > 11*total — no float "
+    "threshold to disagree across engines) with a recommended salt factor "
+    "ceil(cnt/mean). The measurement half of join_salted_skew: at 100 TB "
+    "you diagnose on a sample or on shuffle metrics, then salt exactly the "
+    "keys this emits. One map-combined groupBy + a broadcast of 2 scalars.",
+)
+def skew_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    stats = counts.agg(
+        F.count("*").alias("n_keys"), F.sum("cnt").alias("total")
+    )
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .filter(10 * F.col("cnt") * F.col("n_keys") > 11 * F.col("total"))
+        .select(
+            "user_id",
+            "cnt",
+            F.ceil(F.col("cnt") * F.lit(1.0) * F.col("n_keys") / F.col("total"))
+            .cast("bigint")
+            .alias("salt_factor"),
+        )
+    )
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+        WITH pairs AS (
+            SELECT c.c_nationkey AS a, s.s_nationkey AS b,
+                   sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS rev_cents
+            FROM lineitem l
+            JOIN orders o   ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey  = c.c_custkey
+            JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+            GROUP BY a, b
+        ),
+        tot AS (
+            SELECT count(*) AS n, sum(rev_cents) AS total FROM pairs
+        ),
+        edges AS (
+            SELECT DISTINCT least(a, b) AS lo, greatest(a, b) AS hi
+            FROM pairs, tot
+            WHERE a <> b AND 10 * n * rev_cents > 12 * total
+        )
+        SELECT count(*) AS triangles
+        FROM edges e1
+        JOIN edges e2 ON e2.lo = e1.hi
+        JOIN edges e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+    """,
+    doc="Triangle count over the strong-trade graph: nations are vertices, "
+    "an edge exists where customer-nation -> supplier-nation trade revenue "
+    "exceeds 1.2x the mean pair revenue (summed as exact BIGINT cents so "
+    "the edge set cannot differ across engines by float summation order). "
+    "Edges oriented lo < hi, so each triangle is counted once and join "
+    "fan-out is bounded by ordered degree (Schank-Wagner; orient by degree "
+    "at web scale).",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    pairs = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .groupBy(
+            c.c_nationkey.alias("a"), s.s_nationkey.alias("b")
+        )
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+                "rev_cents"
+            )
+        )
+    )
+    tot = pairs.agg(F.count("*").alias("n"), F.sum("rev_cents").alias("total"))
+    edges = (
+        pairs.crossJoin(F.broadcast(tot))
+        .filter(
+            (F.col("a") != F.col("b"))
+            & (10 * F.col("n") * F.col("rev_cents") > 12 * F.col("total"))
+        )
+        .select(
+            F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi")
+        )
+        .distinct()
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    return (
+        e1.join(e2, F.col("e2.lo") == F.col("e1.hi"))
+        .join(
+            e3,
+            (F.col("e3.lo") == F.col("e1.lo")) & (F.col("e3.hi") == F.col("e2.hi")),
+        )
+        .agg(F.count("*").alias("triangles"))
+    )

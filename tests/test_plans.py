@@ -131,3 +131,17 @@ def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark, sf):
             saved["spark.sql.autoBroadcastJoinThreshold"],
         )
         spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+
+
+def test_partitioned_readback_prunes_partitions(spark, sf):
+    """k7's readback must prune to the 7 requested day directories via
+    PartitionFilters — NOT read all 30 days and row-filter. At 100 TB this
+    is the difference between scanning 7/30 and 30/30 of the table."""
+    plan = plan_of(QUERIES["k7_partitioned_write_prune"].fn(spark, sf))
+    pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "day" in pf and ">= 2024-01-01" in pf and "<= 2024-01-07" in pf
+    # the day predicate is satisfied entirely by directory pruning: it must
+    # not also appear as a pushed row-group filter on the data columns
+    # (absence of any PushedFilters line means no row-level filtering at all)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert all("day" not in l for l in pushed)
