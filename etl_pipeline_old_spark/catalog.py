@@ -58,16 +58,47 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def restore_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize a parquet-sourced timestamp column to TIMESTAMP (UTC).
+
+    Handles every annotation the driver testdata has shipped, so batch and
+    streaming readers share one conversion (pure column exprs — codegen'd,
+    streaming-safe):
+
+    - BIGINT — legacy ``nanosAsLong`` read of TIMESTAMP(NANOS,false):
+      integer-``div`` truncation to micros, matching DuckDB's nanos read
+      (float division would lose precision at 1e18 ns);
+    - TIMESTAMP_NTZ — TIMESTAMP(MICROS,false) read on a session where the
+      pinned ``inferTimestampNTZ.enabled=false`` conf could not be applied:
+      reinterpreted as UTC wall time (session tz is pinned UTC);
+    - TIMESTAMP — unchanged.
+    """
+    dt = dict(df.dtypes).get(col)
+    if dt == "bigint":
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    if dt == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one testdata table, restoring nanos-timestamp columns."""
+    """Read one testdata table, normalizing the event-time column.
+
+    Data-model contract (SURVEY.md §1.2): ``events.ts`` is an *instant* —
+    always surfaced as TIMESTAMP (UTC), whether the file stored nanos
+    (legacy) or micros (current). Dimension/fact date columns
+    (``l_shipdate``, ``o_orderdate``) are wall-clock values and keep
+    Spark's native read type (TIMESTAMP_NTZ under default inference),
+    matching DuckDB's naive read for the differential oracle.
+    """
     ensure_session_confs(spark)
     path = table_path(sf_dir, name)
     df = spark.read.parquet(path)
     for c in _nanos_timestamp_cols(path):
         if c in df.columns:
-            # integer ns → µs truncation matches DuckDB's nanos read;
-            # MUST be integer `div` — float division loses precision at 1e18 ns
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+            df = restore_ts(df, c)
+    if name == "events":
+        df = restore_ts(df, "ts")
     return df
 
 

@@ -99,7 +99,7 @@ SESSION_GAP_US = 30 * 60 * 1_000_000
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
-    from ..catalog import table_path
+    from ..catalog import restore_ts, table_path
     from ..session import ensure_session_confs
 
     ensure_session_confs(spark)
@@ -109,8 +109,8 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("`ts` div 1000")))
     )
+    stream = restore_ts(stream)
     agg = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))

@@ -7,7 +7,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table, table_path
+from ..catalog import load_table, restore_ts, table_path
 from ..registry import register
 from ..session import ensure_session_confs
 
@@ -101,11 +101,10 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(path).schema
 
     def stream():
-        return (
+        return restore_ts(
             spark.readStream.schema(schema)
             .option("pathGlobFilter", "events.parquet")
             .parquet(sf_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("`ts` div 1000")))
         )
 
     purchases = (

@@ -15,9 +15,12 @@ Scale notes
 - ``spark.sql.session.timeZone=UTC``: the reference treats naive timestamps
   as UTC (SURVEY.md §1.2); pinning UTC also aligns Spark TIMESTAMP with
   DuckDB's UTC-naive timestamps for the differential oracle.
-- ``spark.sql.legacy.parquet.nanosAsLong``: the driver testdata stores
+- ``spark.sql.legacy.parquet.nanosAsLong``: earlier driver testdata stored
   ``events.ts`` as parquet TIMESTAMP(NANOS,false), which Spark 4 otherwise
-  refuses to read; the catalog converts the long back to a timestamp.
+  refuses to read; the catalog converts the long back to a timestamp. Current
+  testdata stores it as TIMESTAMP(MICROS,false) (→ TIMESTAMP_NTZ under the
+  default NTZ inference); :func:`~.catalog.restore_ts` normalizes either
+  shape to a UTC TIMESTAMP, so both generations of testdata stay readable.
 """
 
 from __future__ import annotations

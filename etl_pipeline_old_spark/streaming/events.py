@@ -7,9 +7,9 @@ readStream over the event log with a watermark + windowed aggregation
 driven to completion with ``processAllAvailable`` against a memory sink;
 on a cluster the same plan runs against Kafka/files with a real trigger.
 
-The testdata parquet stores ``ts`` as TIMESTAMP(NANOS) → with
-``nanosAsLong`` the streaming schema sees BIGINT nanoseconds, converted in
-the plan exactly like the batch catalog does.
+``ts`` is normalized to TIMESTAMP via :func:`~..catalog.restore_ts`
+exactly like the batch catalog does (handles both the TIMESTAMP(NANOS)
+nanosAsLong BIGINT read and the TIMESTAMP(MICROS) read).
 """
 
 from __future__ import annotations
@@ -19,14 +19,14 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import table_path
+from ..catalog import restore_ts, table_path
 from ..session import ensure_session_confs
 
 
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session_confs(spark)
     path = table_path(sf_dir, "events")
-    schema = spark.read.parquet(path).schema  # ts arrives as long (nanos)
+    schema = spark.read.parquet(path).schema
     # the file-stream source wants a directory: stream the sf_dir with a
     # glob filter selecting just the events table
     stream = (
@@ -35,7 +35,7 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("`ts` div 1000")))
+    return restore_ts(stream)
 
 
 def tumbling_window_counts(

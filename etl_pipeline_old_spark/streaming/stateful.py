@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from ..catalog import table_path
+from ..catalog import restore_ts, table_path
 from ..session import ensure_session_confs
 
 
@@ -51,8 +51,8 @@ def stream_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)  # force 2 micro-batches → state crosses batches
         .parquet(feed)
-        .withColumn("ts", F.timestamp_micros(F.expr("`ts` div 1000")))
     )
+    stream = restore_ts(stream)
     deduped = stream.select("event_id", "user_id", "event_type").dropDuplicates(["event_id"])
     name = f"dedup_out_{uuid.uuid4().hex[:8]}"
     q = (
@@ -97,8 +97,8 @@ def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .option("maxFilesPerTrigger", 1)
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("`ts` div 1000")))
     )
+    stream = restore_ts(stream)
     updated = (
         stream.groupBy("user_id")
         .applyInPandasWithState(
@@ -211,8 +211,8 @@ def stream_user_profile_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)  # 2 micro-batches → state crosses batches
         .parquet(feed)
-        .select("user_id", F.expr("`ts` div 1000").alias("ts_us"))
     )
+    stream = restore_ts(stream).select("user_id", F.unix_micros("ts").alias("ts_us"))
     out = stream.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=UserProfile(),
         outputStructType="user_id BIGINT, n_events BIGINT, first_us BIGINT, last_us BIGINT",

@@ -8,7 +8,7 @@ import os
 
 from pyspark.sql import functions as F
 
-from etl_pipeline_old_spark.catalog import table_path
+from etl_pipeline_old_spark.catalog import restore_ts, table_path
 from etl_pipeline_old_spark.session import ensure_session_confs
 
 
@@ -18,9 +18,8 @@ def _run_once(spark, sf_dir, checkpoint, out_dir):
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("`ts` div 1000")))
-        .select("event_id", "user_id")
     )
+    stream = restore_ts(stream).select("event_id", "user_id")
     q = (
         stream.writeStream.outputMode("append")
         .format("parquet")
