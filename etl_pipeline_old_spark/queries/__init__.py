@@ -45,6 +45,7 @@ _MODULES = (
     "quality_inc",
     "extras3",
     "scale_ops",
+    "extras4",
 )
 
 

@@ -1,0 +1,277 @@
+"""Curation + stats operators, wave 3: exact-substring span dedup with
+document reconstruction (the Lee et al. 2022 "deduplicating training data"
+shape), quality-aware dedup apply, per-source distribution drift (KL
+divergence), regression/correlation aggregates, and time-range window
+frames.
+
+All five are pure relational shapes — no Python in the hot path — and every
+one is value-oracle-checked against DuckDB. Reference provenance: the
+reference pipeline has no corpus curation (these extend SURVEY.md §2's
+LLM-pipeline family); the stats aggregates generalize its groupby-mean
+notebooks (/root/reference/datasets/create_scripts_dataset.ipynb aggregate
+cells) to the full ANSI regression-aggregate surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import dedup as DD
+from ..operators.graph import connected_components
+from ..registry import register
+from .dedup_text import NORM, _minhash_oracle
+
+# span length for exact-substring dedup: at testdata vocabulary (~30 words)
+# 5-grams mark a real-but-bounded duplicate set (~4.6% of spans, 36 docs at
+# sf0.01); 4-grams over-flag, 6-grams degenerate to near-identical docs only
+SPAN_K = 5
+
+
+@register(
+    "dedup_span_reconstruct",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split({NORM}, ' ') AS toks FROM documents),
+    t AS (
+      SELECT doc_id, i AS pos, toks[i] AS tok
+      FROM tok, UNNEST(generate_series(1, len(toks))) u(i)),
+    g AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(list_slice(toks, i, i + {SPAN_K - 1}), ' ') AS gram
+      FROM tok, UNNEST(generate_series(1, greatest(len(toks) - {SPAN_K - 1}, 0))) u(i)),
+    r AS (
+      SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+      FROM g),
+    cov AS (
+      SELECT DISTINCT doc_id, pos + j AS pos
+      FROM r, UNNEST(generate_series(0, {SPAN_K - 1})) v(j)
+      WHERE rn > 1),
+    kept AS (
+      SELECT t.doc_id, t.pos, t.tok
+      FROM t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+      WHERE c.doc_id IS NULL),
+    rec AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(rec.clean_text, '') AS clean_text,
+           len(string_split({NORM}, ' ')) - coalesce(rec.n_kept, 0) AS n_removed
+    FROM documents d LEFT JOIN rec ON d.doc_id = rec.doc_id
+    """,
+    doc=f"Exact-substring span dedup WITH reconstruction (Lee et al. 2022): "
+    f"every word-{SPAN_K}-gram keeps only its globally first occurrence "
+    "(ordered by doc_id, position); later occurrences mark their token span "
+    "for removal, and each document is re-assembled from surviving tokens. "
+    "One wide shuffle (window over gram — same key a groupBy would use); "
+    "reconstruction is a per-doc sort-aggregate. At 100 TB the gram window "
+    "runs bucketed by gram hash and the rest stays embarrassingly parallel "
+    "— no all-pairs stage anywhere.",
+)
+def dedup_span_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    # tokenize in a SEPARATE projection (generator re-evaluation, see
+    # operators/dedup.py:105) — 1-based positions to match DuckDB list_slice
+    toks = d.select("doc_id", F.split(DD.normalize_text("text"), " ").alias("__toks"))
+    t = toks.select(
+        "doc_id", F.posexplode("__toks").alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    positions = F.explode(
+        F.when(
+            F.size("__toks") >= SPAN_K,
+            F.sequence(F.lit(1), F.size("__toks") - (SPAN_K - 1)),
+        ).otherwise(F.array().cast("array<int>"))
+    )
+    g = toks.select("doc_id", "__toks", positions.alias("pos")).select(
+        "doc_id", "pos", F.concat_ws(" ", F.slice("__toks", F.col("pos"), SPAN_K)).alias("gram")
+    )
+    rn = F.row_number().over(W.partitionBy("gram").orderBy("doc_id", "pos"))
+    dup = g.withColumn("rn", rn).filter(F.col("rn") > 1)
+    covered = dup.select(
+        "doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + SPAN_K - 1)).alias("pos")
+    ).distinct()
+    kept = t.join(covered, ["doc_id", "pos"], "left_anti")
+    rec = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("pos", "tok"))), lambda s: s["tok"]),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    return (
+        d.select("doc_id", F.size(F.split(DD.normalize_text("text"), " ")).alias("__n"))
+        .join(rec, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            (F.col("__n") - F.coalesce("n_kept", F.lit(0))).cast("long").alias("n_removed"),
+        )
+    )
+
+
+@register(
+    "dedup_apply_keep_best",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT id_a, id_b FROM ({_minhash_oracle()})
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    reach (node, target) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT r.node, e.v FROM reach r JOIN edges e ON r.target = e.u),
+    comp AS (SELECT node, min(target) AS component FROM reach GROUP BY node),
+    ranked AS (
+      SELECT c.node,
+             row_number() OVER (
+               PARTITION BY c.component
+               ORDER BY d.n_chars DESC, c.node) AS rn
+      FROM comp c JOIN documents d ON c.node = d.doc_id),
+    losers AS (SELECT node FROM ranked WHERE rn > 1)
+    SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+    WHERE d.doc_id NOT IN (SELECT node FROM losers)
+    """,
+    doc="Quality-aware dedup APPLY: near-dup clusters keep their HIGHEST-"
+    "QUALITY member (longest doc, tie-broken by id) instead of the min-id "
+    "canonical — the production keep-best policy (RefinedWeb/FineWeb keep "
+    "the longer duplicate). Same pairs → components machinery as "
+    "dedup_apply; the keeper choice is one row_number window per component.",
+)
+def dedup_apply_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_dedup(d, "text", "doc_id").select("id_a", "id_b")
+    comp = connected_components(pairs)
+    members = comp.join(
+        d.select(F.col("doc_id").alias("node"), "n_chars"), "node"
+    )
+    w = W.partitionBy("component").orderBy(F.desc("n_chars"), F.asc("node"))
+    losers = (
+        members.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .select(F.col("node").alias("doc_id"))
+    )
+    return d.join(losers, "doc_id", "left_anti").select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "corpus_kl_by_source",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest(string_split({NORM}, ' ')) AS term FROM documents),
+    st AS (SELECT source, term, count(*) AS c_s FROM tok GROUP BY 1, 2),
+    gt AS (SELECT term, count(*) AS c_g FROM tok GROUP BY 1),
+    ns AS (SELECT source, count(*) AS n_s FROM tok GROUP BY 1),
+    ng AS (SELECT count(*) AS n_g FROM tok)
+    SELECT st.source,
+           max(ns.n_s) AS n_tokens,
+           round(sum((c_s::DOUBLE / ns.n_s)
+                     * ln((c_s::DOUBLE / ns.n_s) / (c_g::DOUBLE / ng.n_g))), 6)
+             AS kl_nats
+    FROM st
+    JOIN ns ON st.source = ns.source
+    JOIN gt ON st.term = gt.term
+    CROSS JOIN ng
+    GROUP BY st.source
+    """,
+    doc="Distribution drift per source: KL(P_source ‖ P_corpus) over the "
+    "unigram token distribution — the mixture-monitoring statistic a "
+    "training-data pipeline tracks per shard/source (cf. DoReMi/DSIR domain "
+    "weighting). Two partial-aggregated token counts + one broadcast join; "
+    "the global total is an aggregated sub-plan (broadcast), NOT a driver "
+    "action, so the whole statistic is one declarative plan.",
+)
+def corpus_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(F.split(DD.normalize_text("text"), " ")).alias("term")
+    )
+    st = tok.groupBy("source", "term").agg(F.count("*").alias("c_s"))
+    gt = tok.groupBy("term").agg(F.count("*").alias("c_g"))
+    ns = tok.groupBy("source").agg(F.count("*").alias("n_s"))
+    ng = gt.agg(F.sum("c_g").alias("n_g"))
+    p = F.col("c_s") / F.col("n_s")
+    q = F.col("c_g") / F.col("n_g")
+    return (
+        st.join(F.broadcast(ns), "source")
+        .join(F.broadcast(gt), "term")
+        .crossJoin(F.broadcast(ng))
+        .groupBy("source")
+        .agg(
+            F.max("n_s").alias("n_tokens"),
+            F.round(F.sum(p * F.log(p / q)), 6).alias("kl_nats"),
+        )
+    )
+
+
+@register(
+    "stats_corr_regression",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           round(corr(l_extendedprice, l_quantity), 6) AS corr_price_qty,
+           round(covar_samp(l_extendedprice, l_quantity), 2) AS covar_price_qty,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="ANSI regression/correlation aggregates per group: corr, "
+    "covar_samp, regr_slope/intercept/r2 of extendedprice on quantity — "
+    "single-pass partial-aggregable moments (each is algebra over "
+    "Σx, Σy, Σxy, Σx², Σy², n), so the plan is one map-side-combined "
+    "shuffle exactly like a SUM. Ratio statistics are rounded at 6dp, "
+    "magnitude statistics at 2-4dp, so cross-engine summation order "
+    "cannot flip the value hash.",
+)
+def stats_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_price_qty"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 2).alias("covar_price_qty"),
+        F.round(F.expr("regr_slope(l_extendedprice, l_quantity)"), 4).alias("slope"),
+        F.round(F.expr("regr_intercept(l_extendedprice, l_quantity)"), 2).alias("intercept"),
+        F.round(F.expr("regr_r2(l_extendedprice, l_quantity)"), 6).alias("r2"),
+    )
+
+
+HOUR_US = 3_600_000_000
+
+
+@register(
+    "window_range_1h_movstats",
+    oracle=f"""
+    SELECT event_id,
+           count(*) OVER w AS n_1h,
+           round(avg(value) OVER w, 6) AS avg_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN {HOUR_US} PRECEDING AND CURRENT ROW)
+    """,
+    doc="Time-range window frame: per-user trailing-1-hour event count and "
+    "mean value via RANGE BETWEEN on epoch micros — the value-based frame "
+    "(vs ROWS) that makes 'last hour' exact regardless of event density. "
+    "RANGE peers (equal timestamps) are included identically in both "
+    "engines, so the result is deterministic. One shuffle on user_id; the "
+    "frame scan is a per-partition sorted sliding aggregate.",
+)
+def window_range_1h_movstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-HOUR_US, 0)
+    )
+    return e.select(
+        "event_id",
+        F.count("*").over(w).alias("n_1h"),
+        F.round(F.avg("value").over(w), 6).alias("avg_1h"),
+    )

@@ -72,6 +72,10 @@ def test_jvm_only_paths_have_no_python_nodes(spark, sf):
         "dedup_exact",
         "text_quality_score",
         "ann_cosine_topk",
+        "dedup_span_reconstruct",
+        "corpus_kl_by_source",
+        "stats_corr_regression",
+        "window_range_1h_movstats",
     ]:
         plan = plan_of(QUERIES[name].fn(spark, sf))
         assert "EvalPython" not in plan, f"{name} must stay JVM-side"
