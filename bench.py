@@ -57,8 +57,10 @@ HEADLINE = [
     "graph_pagerank",
     "corpus_unigram_logprob",
     "cdc_changelog_compact",
-    # r3 fourth wave: the gram-window span-dedup reconstruction path
+    # r3 fourth wave: the gram-window span-dedup reconstruction path and
+    # the incremental delta-vs-base LSH probe (corpus-refresh shape)
     "dedup_span_reconstruct",
+    "dedup_incremental_probe",
     # r3 third wave: the partitioned-write+pruned-read layout path and the
     # four-table-join triangle graph — both dominated by real multi-stage
     # work, so perf drift is meaningful round-over-round

@@ -220,13 +220,13 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 16) -> DataFrame:
     return sh.groupBy("id").agg(*aggs)
 
 
-def lsh_candidate_pairs(sig: DataFrame, bands: int = 4, rows: int = 4) -> DataFrame:
-    """Band the signature (``bands`` × ``rows``) and bucket-join.
+def lsh_bands(sig: DataFrame, bands: int = 4, rows: int = 4) -> DataFrame:
+    """(id, band, bkey) banding of a minhash signature.
 
-    Two docs become a candidate pair iff some band's row-slice matches
-    exactly — the classic banding scheme: P(candidate) = 1-(1-j^rows)^bands.
-    The join key is (band_id, md5(joined rows)), so the shuffle carries one
-    short row per (doc, band).
+    The band key is md5 over the band's row-slice, so a bucket row is two
+    small columns regardless of ``rows`` — this is the relation a
+    production deployment PERSISTS (bucketed by (band, bkey)) as the
+    near-dup index that incremental probes join against.
     """
     band_structs = [
         F.struct(
@@ -237,9 +237,20 @@ def lsh_candidate_pairs(sig: DataFrame, bands: int = 4, rows: int = 4) -> DataFr
         )
         for bid in range(bands)
     ]
-    banded = sig.select(
+    return sig.select(
         "id", F.explode(F.array(*band_structs)).alias("b")
     ).select("id", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey"))
+
+
+def lsh_candidate_pairs(sig: DataFrame, bands: int = 4, rows: int = 4) -> DataFrame:
+    """Band the signature (``bands`` × ``rows``) and bucket-join.
+
+    Two docs become a candidate pair iff some band's row-slice matches
+    exactly — the classic banding scheme: P(candidate) = 1-(1-j^rows)^bands.
+    The join key is (band_id, md5(joined rows)), so the shuffle carries one
+    short row per (doc, band).
+    """
+    banded = lsh_bands(sig, bands, rows)
     # the self-join consumes `banded` twice — persist so the signature
     # computation (and everything upstream) runs once
     banded = banded.persist()

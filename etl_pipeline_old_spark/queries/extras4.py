@@ -275,3 +275,121 @@ def window_range_1h_movstats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("n_1h"),
         F.round(F.avg("value").over(w), 6).alias("avg_1h"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: probe a new shard against the existing corpus index
+# ---------------------------------------------------------------------------
+
+DELTA_MOD = 5  # doc_id % 5 == 0 plays the "newly arrived shard" (~20%)
+
+
+def _incremental_oracle(thr: float = 0.5) -> str:
+    from .dedup_text import _SHINGLE_CTE
+
+    base = DD.MD5_INT32_SQL.format(x="sh")
+    mins = ",\n         ".join(
+        f"min(({a} * {base} + {b}) % {DD.MINHASH_PRIME}) AS h{i}"
+        for i, (a, b) in enumerate(DD.minhash_seeds(16))
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({key}) AS bkey FROM sig".format(
+            b=bid, key="||','||".join(f"h{bid * 4 + r}::VARCHAR" for r in range(4))
+        )
+        for bid in range(4)
+    )
+    return f"""
+    WITH {_SHINGLE_CTE},
+    sig AS (
+      SELECT doc_id,
+         {mins}
+      FROM sh GROUP BY doc_id),
+    banded AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT d.doc_id AS id_d, o.doc_id AS id_o
+      FROM banded d JOIN banded o
+        ON d.band = o.band AND d.bkey = o.bkey
+       AND d.doc_id % {DELTA_MOD} = 0
+       AND (o.doc_id % {DELTA_MOD} <> 0 OR o.doc_id < d.doc_id)
+       AND o.doc_id <> d.doc_id),
+    inter AS (
+      SELECT c.id_d, c.id_o, count(*) AS n_inter
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_d
+      JOIN sh b ON b.doc_id = c.id_o AND b.sh = a.sh
+      GROUP BY 1, 2),
+    matches AS (
+      SELECT i.id_d, i.id_o
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.id_d
+      JOIN sizes sb ON sb.doc_id = i.id_o
+      WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= {thr})
+    SELECT doc_id,
+           CASE WHEN matched_id IS NULL THEN 'keep' ELSE 'drop' END AS action,
+           matched_id
+    FROM (
+      SELECT d.doc_id, min(m.id_o) AS matched_id
+      FROM (SELECT doc_id FROM documents WHERE doc_id % {DELTA_MOD} = 0) d
+      LEFT JOIN matches m ON m.id_d = d.doc_id
+      GROUP BY d.doc_id)
+    """
+
+
+@register(
+    "dedup_incremental_probe",
+    oracle=_incremental_oracle(),
+    doc="Incremental near-dedup: a newly arrived shard (doc_id % 5 == 0 "
+    "stands in for the delta) probes the EXISTING corpus's LSH band index "
+    "plus earlier-id docs within its own shard; verified matches (exact "
+    "Jaccard >= 0.5) mark the delta doc 'drop' with its lowest matched id. "
+    "The production corpus-refresh shape: the base band index is a "
+    "persisted relation bucketed by (band, bkey) — probing costs "
+    "O(delta x collisions), never a corpus rescan, so daily refresh work "
+    "scales with the NEW data, not the 100 TB accumulated corpus. Policy: "
+    "a delta doc is dropped if it matches base or ANY smaller-id delta doc "
+    "(batch-delta semantics — deterministic, no sequential dependency).",
+)
+def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sh = DD.shingle_sets(d, "text", "doc_id").persist()
+    sh.count()  # eager: signature + both verify sides reuse the cache
+    banded = DD.lsh_bands(DD.minhash_signatures(sh)).persist()
+    banded.count()  # eager: probe consumes the banding twice
+    is_delta = F.col("id") % DELTA_MOD == 0
+    delta_b = banded.filter(is_delta).select(
+        F.col("id").alias("id_d"), "band", "bkey"
+    )
+    other_b = banded.select(F.col("id").alias("id_o"), "band", "bkey")
+    cand = (
+        delta_b.join(other_b, ["band", "bkey"])
+        .filter(
+            (
+                (F.col("id_o") % DELTA_MOD != 0) | (F.col("id_o") < F.col("id_d"))
+            )
+            & (F.col("id_o") != F.col("id_d"))
+        )
+        .select(F.col("id_d").alias("id_a"), F.col("id_o").alias("id_b"))
+        .distinct()
+    )
+    # materialize the (tiny) candidate set so the verify joins plan against
+    # a known-small broadcast side, and release the band cache with it
+    cand = DD.materialize_release(cand, banded)
+    matches = (
+        DD.jaccard_pairs(sh, candidates=cand)
+        .filter(F.col("jaccard") >= 0.5)
+        .select(F.col("id_a").alias("id_d"), F.col("id_b").alias("id_o"))
+    )
+    delta_docs = d.filter(F.col("doc_id") % DELTA_MOD == 0).select("doc_id")
+    out = (
+        delta_docs.join(matches, delta_docs["doc_id"] == matches["id_d"], "left")
+        .groupBy("doc_id")
+        .agg(F.min("id_o").alias("matched_id"))
+        .select(
+            "doc_id",
+            F.when(F.col("matched_id").isNull(), F.lit("keep"))
+            .otherwise(F.lit("drop"))
+            .alias("action"),
+            "matched_id",
+        )
+    )
+    return DD.materialize_release(out, sh)

@@ -121,7 +121,7 @@ COVERAGE: list[tuple[str, str, list[str], str]] = [
     ("PIPE", "notebook pipelines", ["pipeline_logs", "pipeline_projectsync", "pipeline_yougile", "pipeline_gitlab_lines"], ""),
     ("RUN", "run.py orchestrator", ["run_full_pipeline"], "all datasets in one SparkSession + K4 loads"),
     # north-star extensions (BASELINE.json)
-    ("X-dedup", "dedup family", ["dedup_exact", "dedup_exact_normalized", "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs", "dedup_embedding_cosine", "dedup_clusters", "dedup_apply", "dedup_apply_keep_best", "dedup_semantic", "dedup_span_reconstruct"], "exact, MinHash-LSH, SimHash, Jaccard, embedding-cosine, connected components, keep-best apply, SemDeDup, exact-substring span dedup w/ reconstruction (Lee et al. 2022)"),
+    ("X-dedup", "dedup family", ["dedup_exact", "dedup_exact_normalized", "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs", "dedup_embedding_cosine", "dedup_clusters", "dedup_apply", "dedup_apply_keep_best", "dedup_semantic", "dedup_span_reconstruct", "dedup_incremental_probe"], "exact, MinHash-LSH, SimHash, Jaccard, embedding-cosine, connected components, keep-best apply, SemDeDup, exact-substring span dedup w/ reconstruction (Lee et al. 2022), incremental delta-vs-base index probe"),
     ("X-boiler", "boilerplate detection", ["corpus_boilerplate_ngrams"], "cross-doc verbatim n-grams (Lee et al. 2022 exact-substring candidates)"),
     ("X-ann", "similarity search", ["ann_cosine_topk", "ann_lsh_cosine_topk", "ann_ivf_cosine_topk", "ann_lsh_recall_at_10", "ann_ivf_recall_at_10", "ann_hard_negatives"], "recall@10 vs exact baseline, in-plan"),
     ("X-sql", "Spark SQL API surface", ["sql_api_nation_spend"], "identical SQL text runs on both engines"),
