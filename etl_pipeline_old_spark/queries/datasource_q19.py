@@ -73,3 +73,48 @@ def tpch_q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.filter(cond).agg(
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue")
     )
+
+
+@register(
+    "s7b_python_datasource_stream",
+    oracle="SELECT doc_id, lang, n_chars FROM documents",
+    doc="S7 streaming path: the SAME custom Python DataSource consumed via "
+    "readStream — offsets are consumed-page counts ({'pages': n}), each "
+    "micro-batch maps new pages to executor-parallel InputPartitions, and "
+    "restart recovery replays from the committed offset. Drained with "
+    "processAllAvailable, the memory-sink state hash-equals the source "
+    "table — the streaming-native form of the reference's monotone-cursor "
+    "incremental fetch (extractors/fetch_asterisk_cdr.py:39-58).",
+)
+def s7b_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    feed = os.path.join(
+        "/tmp/etl_pipeline_old_spark_cache",
+        f"stream_pages_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    (
+        docs.write.mode("overwrite")
+        .option("maxRecordsPerFile", PAGE_SIZE)
+        .json(feed)
+    )
+    python_datasource.register(spark)
+    stream = (
+        spark.readStream.format("paged_json")
+        .schema("doc_id long, lang string, n_chars long")
+        .option("path", feed)
+        .load()
+    )
+    name = f"pages_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -36,6 +36,9 @@ class PagedJsonDataSource(DataSource):
     def reader(self, schema) -> "PagedJsonReader":
         return PagedJsonReader(schema, self.options)
 
+    def streamReader(self, schema) -> "PagedJsonStreamReader":
+        return PagedJsonStreamReader(schema, self.options)
+
 
 class _PagePartition(InputPartition):
     def __init__(self, path: str):
@@ -70,3 +73,68 @@ class PagedJsonReader(DataSourceReader):
 
 def register(spark) -> None:
     spark.dataSource.register(PagedJsonDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Streaming reader: offset-tracked consumption of a growing page feed
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.datasource import DataSourceStreamReader  # noqa: E402
+
+
+class PagedJsonStreamReader(DataSourceStreamReader):
+    """Offset-tracked streaming read of the page feed.
+
+    The offset is ``{"upto": name}`` — the lexicographically LAST page
+    file consumed, the streaming-native form of the reference's
+    incremental fetch loop keyed on a monotone cursor
+    (extractors/fetch_asterisk_cdr.py:39-58). The feed contract is the
+    same as the K2 sink's: new pages must sort strictly AFTER consumed
+    ones (page numbers/cursors are monotone). A name-watermark offset is
+    chosen over a count offset deliberately: an out-of-contract file that
+    sorts into the consumed prefix is SKIPPED (visible data gap), whereas
+    a count offset would silently RE-EMIT already-committed pages —
+    duplicates are the worse failure for an exactly-once pipeline.
+    Each micro-batch turns the newly arrived pages into one
+    InputPartition each, so page reads still run ON THE EXECUTORS in
+    parallel; the driver only lists the feed. Restart recovery is free:
+    Structured Streaming replays from the last committed offset, and
+    ``partitions(start, end)`` regenerates exactly the uncommitted range.
+    """
+
+    def __init__(self, schema, options):
+        self._schema = schema
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("paged_json requires a path")
+
+    def _pages(self) -> list[str]:
+        return sorted(
+            glob.glob(os.path.join(self.path, "page-*.json"))
+            + glob.glob(os.path.join(self.path, "part-*.json"))
+        )
+
+    def initialOffset(self) -> dict:
+        return {"upto": ""}
+
+    def latestOffset(self) -> dict:
+        pages = self._pages()
+        return {"upto": os.path.basename(pages[-1]) if pages else ""}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["upto"], end["upto"]
+        pages = [
+            p for p in self._pages() if lo < os.path.basename(p) <= hi
+        ]
+        return [_PagePartition(p) for p in pages]
+
+    def read(self, partition: _PagePartition):
+        fields = [f.name for f in self._schema.fields]
+        with open(partition.path, encoding="utf-8") as f:
+            for line in f:
+                if line.strip():
+                    rec = json.loads(line)
+                    yield tuple(rec.get(k) for k in fields)
+
+    def commit(self, end: dict) -> None:
+        pass  # feed files are immutable; nothing to release

@@ -77,3 +77,57 @@ def test_transform_with_state_user_profile(spark, oracle_sf_dir):
         F.max(F.unix_micros("ts")).alias("last_us"),
     )
     assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+
+
+def _run_paged_stream(spark, feed, checkpoint, out_dir):
+    from etl_pipeline_old_spark.sources import python_datasource
+
+    python_datasource.register(spark)
+    stream = (
+        spark.readStream.format("paged_json")
+        .schema("doc_id long, lang string, n_chars long")
+        .option("path", feed)
+        .load()
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_python_stream_source_offset_recovery(spark, sf_dir, tmp_path):
+    """The custom streaming DataSource must checkpoint its page offset:
+    a restart against the same checkpoint reprocesses nothing, and newly
+    arrived pages are picked up exactly once."""
+    import json as _json
+
+    from etl_pipeline_old_spark.catalog import load_table
+
+    ensure_session_confs(spark)
+    feed = str(tmp_path / "feed")
+    checkpoint = str(tmp_path / "chk")
+    out_dir = str(tmp_path / "out")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    docs.write.mode("overwrite").option("maxRecordsPerFile", 100).json(feed)
+    n_docs = docs.count()
+
+    _run_paged_stream(spark, feed, checkpoint, out_dir)
+    assert spark.read.parquet(out_dir).count() == n_docs
+
+    # restart with no new pages: nothing reprocessed
+    _run_paged_stream(spark, feed, checkpoint, out_dir)
+    assert spark.read.parquet(out_dir).count() == n_docs
+
+    # a new page arrives (monotone naming: sorts AFTER consumed pages):
+    # consumed exactly once
+    with open(os.path.join(feed, "part-zzz-new.json"), "w", encoding="utf-8") as f:
+        f.write(_json.dumps({"doc_id": 10**9, "lang": "xx", "n_chars": 1}) + "\n")
+    _run_paged_stream(spark, feed, checkpoint, out_dir)
+    out = spark.read.parquet(out_dir)
+    assert out.count() == n_docs + 1
+    assert out.filter("doc_id = 1000000000").count() == 1

@@ -24,7 +24,7 @@ COVERAGE: list[tuple[str, str, list[str], str]] = [
     ("S4", "JDBC full-table scan", [], "code: sources/jdbc.py jdbc_scan (no DB in container); option-builder unit-tested"),
     ("S5", "JDBC incremental predicate scan", [], "code: sources/jdbc.py incremental_subquery; pushdown SQL unit-tested"),
     ("S6", "Postgres bulk export", [], "code: sources/jdbc.py jdbc_scan(partitionColumn=...) — parallel-pull replacement"),
-    ("S7", "paginated REST source", ["s7_python_datasource_pages"], "custom Python DataSource (one InputPartition/page, executor-parallel); HTTP transport adapter in sources/rest.py with offline tests"),
+    ("S7", "paginated REST source", ["s7_python_datasource_pages", "s7b_python_datasource_stream"], "custom Python DataSource (one InputPartition/page, executor-parallel); HTTP transport adapter in sources/rest.py with offline tests"),
     ("S8", "REST single-shot source", [], "code: sources/rest.py rest_to_dataframe"),
     ("S9", "Google Sheets scan", [], "code: sources/sheets.py; ragged/CRLF/BOM tests"),
     ("S10", "git LOC scan", ["pipeline_gitlab_lines"], "compute modeled per SURVEY (I/O out of scope)"),
@@ -115,7 +115,7 @@ COVERAGE: list[tuple[str, str, list[str], str]] = [
     ("F22", "round", ["f22_round"], ""),
     ("F23", "arrays_overlap", ["f23_arrays_overlap"], "legacy intersection check, fetch_yougile_programming.py:505-509"),
     ("§2.10", "business-day duration", ["workdays_diff_sql", "workdays_diff_pandas_udf", "pipeline_yougile"], "golden tests in test_workdays.py"),
-    ("§2.11", "streaming", ["stream_tumbling_window_counts", "stream_append_watermark", "stream_stateful_dedup", "stream_stateful_running_totals", "stream_stream_join", "stream_session_window", "stream_foreachbatch_upsert", "stream_sliding_window_counts"], "engine-state AND sink-side exactly-once variants"),
+    ("§2.11", "streaming", ["stream_tumbling_window_counts", "stream_append_watermark", "stream_stateful_dedup", "stream_stateful_running_totals", "stream_stream_join", "stream_session_window", "stream_foreachbatch_upsert", "stream_sliding_window_counts", "s7b_python_datasource_stream"], "engine-state AND sink-side exactly-once variants"),
     ("§2.12", "UDF surface", ["workdays_diff_pandas_udf", "udf_extension_point", "multimodal_decode_meta", "grouped_map_zscore"], ""),
     # pipelines (§3 end-to-end)
     ("PIPE", "notebook pipelines", ["pipeline_logs", "pipeline_projectsync", "pipeline_yougile", "pipeline_gitlab_lines"], ""),
