@@ -141,3 +141,116 @@ def udtf_word_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE d.doc_id % 5 = 0
         """
     )
+
+
+@register(
+    "lateral_top3_orders",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+      FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o.o_totalprice DESC, o.o_orderkey
+      LIMIT 3) t
+    """,
+    doc="Spark 4 DataFrame.lateralJoin: top-3 orders per customer via a "
+    "correlated LATERAL subquery (outer() column references). Catalyst "
+    "rewrites the correlated limit into a window/join plan — the "
+    "DataFrame-native form of the per-group top-k the reference does with "
+    "groupby().head() (datasets/create_scripts_dataset.ipynb) — and the "
+    "oracle runs the equivalent SQL LATERAL on DuckDB.",
+)
+def lateral_top3_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders")
+    top3 = (
+        o.where(F.col("o_custkey") == F.col("c_custkey").outer())
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(3)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+    return c.lateralJoin(top3)
+
+
+@register(
+    "dq_observe_metrics",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           round(sum(value), 2) AS total_value,
+           round(min(value), 2) AS min_value,
+           round(max(value), 2) AS max_value
+    FROM events
+    """,
+    doc="In-flight pipeline metrics via DataFrame.observe: the metrics "
+    "(count, sum, min, max over events) are accumulated ON THE EXECUTORS "
+    "while the same pass writes to a noop sink — zero extra scans, the "
+    "Spark-native form of the reference's ad-hoc len(df) sanity prints. "
+    "The observed values are returned as a one-row frame and value-checked "
+    "against DuckDB computing the identical aggregates, proving the "
+    "observation path reports exactly what a dedicated aggregation would.",
+)
+def dq_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    e = load_table(spark, sf_dir, "events")
+    obs = Observation()
+    observed = e.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.round(F.min("value"), 2).alias("min_value"),
+        F.round(F.max("value"), 2).alias("max_value"),
+    )
+    # one pass, no result materialization: the noop sink drives the scan,
+    # the observation rides it
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (m["n_rows"], m["total_value"], m["min_value"], m["max_value"])
+        ],
+        "n_rows long, total_value double, min_value double, max_value double",
+    )
+
+
+@register(
+    "pandas_api_migration",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total,
+           round(avg(o_totalprice), 2) AS avg_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="pandas API on Spark (pyspark.pandas): the reference's notebook "
+    "idiom — read, groupby, agg, reset_index — written EXACTLY as pandas "
+    "(datasets/create_scripts_dataset.ipynb groupby cells) but executing "
+    "as a distributed Catalyst plan; .to_spark() hands the result to the "
+    "DataFrame world. This is the drop-in migration path for the "
+    "reference's users: same source, same syntax, cluster execution — "
+    "value-checked against the SQL equivalent.",
+)
+def pandas_api_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    import pyspark.pandas as ps
+
+    from ..session import ensure_session_confs
+
+    ensure_session_confs(spark)
+    # verbatim reference-notebook shape, on the distributed engine
+    pdf = ps.read_parquet(os.path.join(sf_dir, "orders.parquet"))
+    g = pdf.groupby("o_orderpriority")["o_totalprice"]
+    out = ps.concat(
+        [g.count().rename("count"), g.sum().rename("sum"), g.mean().rename("mean")],
+        axis=1,
+    ).reset_index()
+    sdf = out.to_spark()
+    return sdf.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("count").cast("long").alias("n_orders"),
+        F.round("sum", 2).alias("total"),
+        F.round("mean", 2).alias("avg_price"),
+    )
