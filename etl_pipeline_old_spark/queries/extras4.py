@@ -393,3 +393,80 @@ def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return DD.materialize_release(out, sh)
+
+
+# ---------------------------------------------------------------------------
+# Time-hierarchy rollup cascade + explicit grouping sets
+# ---------------------------------------------------------------------------
+
+_MIN_US = 60 * 1_000_000
+_HOUR_US2 = 3_600 * 1_000_000
+_DAY_US2 = 86_400 * 1_000_000
+
+
+@register(
+    "rollup_cascade_daily",
+    oracle=f"""
+    SELECT epoch_us(ts) // {_DAY_US2} AS day,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1
+    """,
+    doc="Time-hierarchy rollup CASCADE: minute-level partial aggregates "
+    "(count, raw sum) roll up to hours, hours to days — the day answer is "
+    "computed entirely from the minute pre-aggregate, never rescanning the "
+    "events, and the oracle aggregates the raw table directly, proving "
+    "cascade == direct (the algebraic-aggregate invariant that makes "
+    "hypertable/continuous-aggregate rollups valid). At 100 TB the minute "
+    "relation IS the stored rollup (~5 orders of magnitude smaller than "
+    "raw); hourly/daily serving reads it, and each level is one "
+    "map-combined shuffle over the level below.",
+)
+def rollup_cascade_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    # level 0 → 1: raw events → minute grain (the only scan of the raw
+    # data); all bucketing is integer div — exact at any epoch, no float
+    minute = e.groupBy(
+        F.expr(f"unix_micros(ts) div {_MIN_US}").alias("minute")
+    ).agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+    # level 1 → 2 → 3: each level aggregates ONLY the level below
+    hour = minute.groupBy(
+        F.expr("minute div 60").alias("hour")
+    ).agg(F.sum("n_events").alias("n_events"), F.sum("sum_value").alias("sum_value"))
+    day = hour.groupBy(F.expr("hour div 24").alias("day")).agg(
+        F.sum("n_events").alias("n_events"),
+        F.round(F.sum("sum_value"), 2).alias("total_value"),
+    )
+    return day
+
+
+@register(
+    "grouping_sets_spend",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS gid,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+    doc="Explicit GROUPING SETS with grouping_id disambiguation: per-"
+    "priority totals, per-status totals, and the grand total in ONE scan "
+    "(vs three queries / a UNION ALL of aggregates); grouping() bits "
+    "distinguish 'NULL because aggregated away' from a NULL data value. "
+    "Spark expands the sets into a single Expand + one shuffle — the "
+    "multi-report pass a 100 TB daily summary job wants.",
+)
+def grouping_sets_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS gid,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """
+    )
