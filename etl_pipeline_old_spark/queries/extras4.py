@@ -470,3 +470,43 @@ def grouping_sets_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
         """
     )
+
+
+@register(
+    "sketch_hll_partitioned_union",
+    oracle=f"""
+    SELECT count(DISTINCT user_id)::BIGINT AS n_users_exact,
+           count(DISTINCT epoch_us(ts) // {_DAY_US2})::BIGINT AS n_days,
+           TRUE AS merged_within_5pct
+    FROM events
+    """,
+    doc="Mergeable-sketch serving pattern: ONE scan builds a Datasketches "
+    "HLL sketch of user_id PER DAY (hll_sketch_agg); any date-range "
+    "distinct count is then answered by merging the stored per-day "
+    "sketches (hll_union_agg) — never rescanning events. The 100 TB "
+    "dashboard shape: sketches are bytes columns in the daily rollup "
+    "table; range queries cost O(days), not O(rows). Sketch estimates are "
+    "engine-specific, so the oracle checks the exact distinct count "
+    "(value-hashed) plus an in-plan boolean: merged estimate within 5% of "
+    "exact — literal TRUE in DuckDB (same contract as "
+    "a8_approx_count_distinct).",
+)
+def sketch_hll_partitioned_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.expr(f"unix_micros(ts) div {_DAY_US2}").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_users_merged"),
+        F.count("*").alias("n_days"),
+    )
+    exact = e.agg(F.count_distinct("user_id").alias("n_users_exact"))
+    return exact.crossJoin(F.broadcast(merged)).select(
+        "n_users_exact",
+        "n_days",
+        (
+            F.abs(F.col("n_users_merged") - F.col("n_users_exact"))
+            / F.col("n_users_exact")
+            <= 0.05
+        ).alias("merged_within_5pct"),
+    )

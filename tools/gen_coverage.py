@@ -129,7 +129,7 @@ COVERAGE: list[tuple[str, str, list[str], str]] = [
     ("X-text", "text analysis", ["text_lang_id", "text_quality_score", "text_token_count", "text_fingerprint", "text_fuzzy_name_pairs", "corpus_normalize", "corpus_pii_redact", "corpus_stats_by_lang", "corpus_top_bigrams", "text_tfidf_top_terms", "corpus_unigram_logprob"], ""),
     ("X-profile", "data profiling", ["profile_table", "histogram_order_totals", "histogram_equi_depth"], "one-pass column stats; floor-bin histogram"),
     ("X-dq", "data-quality expectations", ["dq_check_suite", "dq_observe_metrics"], "fused per-table checks + FK anti-join; negative test injects violations"),
-    ("X-ivm", "incremental aggregate maintenance", ["incremental_agg_merge", "rollup_cascade_daily"], "partial-state merge; oracle IS the IVM invariant"),
+    ("X-ivm", "incremental aggregate maintenance", ["incremental_agg_merge", "rollup_cascade_daily", "sketch_hll_partitioned_union"], "partial-state merge; oracle IS the IVM invariant"),
     ("X-graph", "graph analytics", ["graph_pagerank", "dedup_clusters", "graph_triangle_count"], "bounded power iteration w/ dangling mass; label propagation; oriented-edge triangle count"),
     ("X-ts", "time-series / CDC", ["cdc_changelog_compact", "ts_gapfill_ffill", "ts_resample_ohlc"], "changelog compaction w/ tombstones, dense ffill series, OHLC bars"),
     ("X-layout", "storage layout", ["zorder_zvalue", "k7_partitioned_write_prune", "layout_compaction_bins"], "Z-order keys (clustering asserted on parquet footers); Hive-partitioned write w/ pruned readback (PartitionFilters asserted in test_plans.py); small-file compaction planner"),
