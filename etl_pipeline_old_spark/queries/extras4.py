@@ -510,3 +510,60 @@ def sketch_hll_partitioned_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05
         ).alias("merged_within_5pct"),
     )
+
+
+@register(
+    "stream_static_enrich",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           count(*) AS n_events,
+           round(sum(e.value), 2) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+    doc="Stream-static join (§2.11): the event stream enriches against the "
+    "STATIC customer dimension — Spark re-plans the static side per "
+    "micro-batch as an ordinary broadcast join, no state store involved "
+    "(unlike stream-stream joins), so the dimension can be arbitrarily "
+    "refreshed between batches. Complete-mode segment totals drained with "
+    "availableNow hash-equal the batch join — the streaming form of the "
+    "J1 broadcast-enrich contract.",
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from ..catalog import restore_ts, table_path
+    from ..session import ensure_session_confs
+
+    ensure_session_confs(spark)
+    path = table_path(sf_dir, "events")
+    schema = spark.read.parquet(path).schema
+    stream = restore_ts(
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    agg = (
+        stream.join(F.broadcast(cust), "user_id")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    name = f"ss_enrich_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
