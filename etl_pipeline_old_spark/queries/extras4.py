@@ -567,3 +567,41 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+@register(
+    "grouped_arrow_minmax",
+    oracle="""
+    SELECT event_id,
+           round(CASE WHEN mx = mn THEN 0
+                      ELSE (value - mn) / (mx - mn) END, 6) AS value_norm
+    FROM (
+      SELECT event_id, value,
+             min(value) OVER (PARTITION BY event_type) AS mn,
+             max(value) OVER (PARTITION BY event_type) AS mx
+      FROM events)
+    """,
+    doc="applyInArrow grouped map (§2.12): per-event-type min-max "
+    "normalization computed directly on pyarrow batches — no pandas "
+    "conversion layer at all, the lowest-overhead Python extension point "
+    "Spark offers (one Arrow IPC hop each way). Rounding happens JVM-side "
+    "after the UDF so both engines share HALF_UP semantics; hash-checked "
+    "against a window-function oracle.",
+)
+def grouped_arrow_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def _minmax(table: pa.Table) -> pa.Table:
+        v = table.column("value")
+        mn = pc.min(v).as_py()
+        mx = pc.max(v).as_py()
+        rng = (mx - mn) or 1.0
+        norm = pc.divide(pc.subtract(v, mn), rng)
+        return pa.table({"event_id": table.column("event_id"), "value_norm": norm})
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = e.groupBy("event_type").applyInArrow(
+        _minmax, schema="event_id long, value_norm double"
+    )
+    return out.select("event_id", F.round("value_norm", 6).alias("value_norm"))
