@@ -605,3 +605,88 @@ def grouped_arrow_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         _minmax, schema="event_id long, value_norm double"
     )
     return out.select("event_id", F.round("value_norm", 6).alias("value_norm"))
+
+
+@register(
+    "pipeline_streaming_corpus",
+    oracle=f"""
+    WITH norm AS (
+      SELECT md5({NORM}) AS text_hash,
+             len(string_split({NORM}, ' ')) AS n_tokens
+      FROM documents)
+    SELECT DISTINCT text_hash, n_tokens
+    FROM norm WHERE n_tokens >= 30
+    """,
+    doc="Streaming corpus-ingestion capstone: documents arrive through the "
+    "custom paged-feed STREAM source, each micro-batch is normalized, "
+    "quality-gated (>= 30 tokens), content-hashed, and merged into the "
+    "corpus store with a sink-side anti-join keyed on text hash — then a "
+    "REPLAY batch (every 7th doc re-staged as new pages) writes ZERO rows, "
+    "proving content-level exactly-once across batches. The streaming "
+    "composition of S7b + corpus_normalize + K2's idempotent merge: at "
+    "100 TB the target is a bucketed table on text_hash and each arriving "
+    "shard costs one broadcast anti-join against its hash range.",
+)
+def pipeline_streaming_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import uuid
+
+    from ..session import ensure_session_confs
+    from ..sources import python_datasource
+
+    ensure_session_confs(spark)
+    base = os.path.join(
+        "/tmp/etl_pipeline_old_spark_cache",
+        f"stream_corpus_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}_{uuid.uuid4().hex[:6]}",
+    )
+    feed, target, chk = base + "_feed", base + "_target", base + "_chk"
+    for p in (feed, target, chk):
+        shutil.rmtree(p, ignore_errors=True)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.write.mode("overwrite").option("maxRecordsPerFile", 100).json(feed)
+
+    python_datasource.register(spark)
+    stream = (
+        spark.readStream.format("paged_json")
+        .schema("doc_id long, text string")
+        .option("path", feed)
+        .load()
+    )
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        norm = F.lower(F.trim(F.regexp_replace(F.col("text"), "\\s+", " ")))
+        curated = (
+            batch_df.select(
+                F.md5(norm).alias("text_hash"),
+                F.size(F.split(norm, " ")).cast("long").alias("n_tokens"),
+            )
+            .filter(F.col("n_tokens") >= 30)
+            .dropDuplicates(["text_hash"])
+        )
+        if os.path.exists(target):
+            existing = s.read.parquet(target).select("text_hash")
+            curated = curated.join(existing, "text_hash", "left_anti")
+        curated.write.mode("append").parquet(target)
+
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # replay shard: every 7th doc re-arrives as NEW pages (names sort
+        # after the originals) — content dedup must write zero rows for them
+        (
+            docs.filter(F.col("doc_id") % 7 == 0)
+            .write.mode("append")
+            .option("maxRecordsPerFile", 100)
+            .json(feed)
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(target)
