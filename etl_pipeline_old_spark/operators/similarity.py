@@ -504,10 +504,12 @@ def lsh_topk_bucketed(
         .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"), "tbl", "bucket")
         .collect()
     )
-    probe_pred = None
+    # lit(False) seed: an empty probe set (no query_ids in the layout)
+    # yields an empty result, not a filter(None) TypeError
+    probe_pred = F.lit(False)
     for r in q_rows:
         p = (F.col("tbl") == r["tbl"]) & (F.col("bucket") == r["bucket"])
-        probe_pred = p if probe_pred is None else (probe_pred | p)
+        probe_pred = probe_pred | p
     cand = b.filter(probe_pred).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"), "tbl", "bucket"
     )

@@ -79,9 +79,11 @@ def tpch_q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s7b_python_datasource_stream",
     oracle="SELECT doc_id, lang, n_chars FROM documents",
     doc="S7 streaming path: the SAME custom Python DataSource consumed via "
-    "readStream — offsets are consumed-page counts ({'pages': n}), each "
-    "micro-batch maps new pages to executor-parallel InputPartitions, and "
-    "restart recovery replays from the committed offset. Drained with "
+    "readStream — the offset is a lexicographic page-name watermark "
+    "({'upto': name}; monotone-cursor contract, skip-not-reemit on "
+    "out-of-order arrivals), each micro-batch maps new pages to "
+    "executor-parallel InputPartitions, and restart recovery replays from "
+    "the committed offset. Drained with "
     "processAllAvailable, the memory-sink state hash-equals the source "
     "table — the streaming-native form of the reference's monotone-cursor "
     "incremental fetch (extractors/fetch_asterisk_cdr.py:39-58).",

@@ -657,7 +657,7 @@ def pipeline_streaming_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
-        norm = F.lower(F.trim(F.regexp_replace(F.col("text"), "\\s+", " ")))
+        norm = DD.normalize_text("text")
         curated = (
             batch_df.select(
                 F.md5(norm).alias("text_hash"),
@@ -678,14 +678,26 @@ def pipeline_streaming_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         q.processAllAvailable()
-        # replay shard: every 7th doc re-arrives as NEW pages (names sort
-        # after the originals) — content dedup must write zero rows for them
+        # replay shard: every 7th doc re-arrives as NEW pages. The stream's
+        # offset is a lexicographic name watermark, so replay pages MUST
+        # sort after every consumed page (a bare append would write
+        # part-00000-<newuuid> names that sort INTO the consumed prefix and
+        # be skipped, making this check vacuous): stage, then rename into
+        # the feed under a 'part-zzz-replay' prefix.
+        staging = base + "_replay"
         (
             docs.filter(F.col("doc_id") % 7 == 0)
-            .write.mode("append")
+            .write.mode("overwrite")
             .option("maxRecordsPerFile", 100)
-            .json(feed)
+            .json(staging)
         )
+        for i, f in enumerate(
+            sorted(p for p in os.listdir(staging) if p.startswith("part-"))
+        ):
+            os.rename(
+                os.path.join(staging, f),
+                os.path.join(feed, f"part-zzz-replay-{i:05d}.json"),
+            )
         q.processAllAvailable()
     finally:
         q.stop()

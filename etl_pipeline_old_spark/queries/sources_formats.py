@@ -140,5 +140,8 @@ def s15_wholetext_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return wt.select(
         F.regexp_extract(F.input_file_name(), r"doc_id=(\d+)", 1).cast("long").alias("doc_id"),
-        F.regexp_replace(F.col("value"), r"\n$", "").alias("content"),
+        # \z (absolute end) not $: Java $ also matches BEFORE a final line
+        # terminator, so '\n$' would strip two trailing newlines from a doc
+        # that itself ends with one — only the sink's delimiter must go
+        F.regexp_replace(F.col("value"), "\\n\\z", "").alias("content"),
     )

@@ -135,6 +135,7 @@ def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark, sf):
             saved["spark.sql.autoBroadcastJoinThreshold"],
         )
         spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+        spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
 
 
 def test_partitioned_readback_prunes_partitions(spark, sf):

@@ -56,6 +56,9 @@ def test_lsh_bucketed_probe_prunes(spark, sf_dir, tmp_path):
     probed_rows = probed.collect()
     assert n_parts > len(qids) * params["n_tables"], "layout must have more partitions than a probe touches"
 
+    # absent query ids: empty result, not a filter(None) TypeError
+    assert SIM.lsh_topk_bucketed(spark, path, [10**9], k=5).count() == 0
+
     reference = SIM.lsh_topk(emb, qids, k=5, **params).collect()
     assert sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in probed_rows) == sorted(
         (r["query_id"], r["rank"], r["neighbor_id"]) for r in reference
