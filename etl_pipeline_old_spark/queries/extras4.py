@@ -702,3 +702,63 @@ def pipeline_streaming_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.read.parquet(target)
+
+
+@register(
+    "u5_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey % 10 <> 0),
+    new AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0
+                  THEN round(o_totalprice * 1.1, 2)
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 <> 1)
+    SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_orderstatus <> n.o_orderstatus
+       OR o.o_totalprice <> n.o_totalprice
+    """,
+    doc="Snapshot reconciliation diff: two table versions (deterministic "
+    "modular slices with a simulated price restatement) FULL OUTER join on "
+    "the key; rows classify as added / removed / changed, unchanged rows "
+    "drop out. The audit pass an ETL runs after any backfill — one "
+    "co-partitioned shuffle join on the key; at 100 TB both snapshots "
+    "bucket by key and the diff is zero-exchange. Generalizes the "
+    "reference's one-sided EXCEPT anti-join (U2) to a symmetric diff.",
+)
+def u5_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    old = o.filter(F.col("o_orderkey") % 10 != 0)
+    new = o.filter(F.col("o_orderkey") % 10 != 1).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.round(F.col("o_totalprice") * 1.1, 2)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    j = old.alias("o").join(
+        new.alias("n"), F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer"
+    )
+    change = (
+        F.when(F.col("o.o_orderkey").isNull(), F.lit("added"))
+        .when(F.col("n.o_orderkey").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+    )
+    differs = (
+        F.col("o.o_orderkey").isNull()
+        | F.col("n.o_orderkey").isNull()
+        | (F.col("o.o_orderstatus") != F.col("n.o_orderstatus"))
+        | (F.col("o.o_totalprice") != F.col("n.o_totalprice"))
+    )
+    return j.filter(differs).select(
+        F.coalesce(F.col("o.o_orderkey"), F.col("n.o_orderkey")).alias("o_orderkey"),
+        change.alias("change"),
+    )

@@ -87,7 +87,7 @@ COVERAGE: list[tuple[str, str, list[str], str]] = [
     ("O3", "top-1 per group", ["window_argmax"], ""),
     # §2.8 set ops
     ("U1", "union all by name", ["u1_union_by_name"], ""),
-    ("U2", "anti-join EXCEPT", ["u2_anti_join"], ""),
+    ("U2", "anti-join EXCEPT", ["u2_anti_join", "u5_snapshot_diff"], "u5 generalizes to a symmetric full-outer snapshot diff (added/removed/changed)"),
     ("U3", "INTERSECT", ["u3_intersect"], "beyond reference (legacy arrays-overlap note)"),
     ("U4", "EXCEPT ALL", ["u4_except_all"], "beyond reference"),
     # §2.9 scalar functions
