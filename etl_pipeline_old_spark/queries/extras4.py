@@ -1,15 +1,18 @@
 """Curation + stats operators, wave 3: exact-substring span dedup with
 document reconstruction (the Lee et al. 2022 "deduplicating training data"
 shape), quality-aware dedup apply, per-source distribution drift (KL
-divergence), regression/correlation aggregates, and time-range window
-frames.
+divergence), regression/correlation aggregates, time-range window frames,
+incremental delta-vs-base dedup, the rollup cascade + HLL sketch serving
+patterns, grouping sets, stream-static enrich, the streaming corpus
+capstone, an applyInArrow grouped map, and the full-outer snapshot diff.
 
-All five are pure relational shapes — no Python in the hot path — and every
-one is value-oracle-checked against DuckDB. Reference provenance: the
-reference pipeline has no corpus curation (these extend SURVEY.md §2's
-LLM-pipeline family); the stats aggregates generalize its groupby-mean
-notebooks (/root/reference/datasets/create_scripts_dataset.ipynb aggregate
-cells) to the full ANSI regression-aggregate surface.
+Apart from the two Python extension-point demos (applyInArrow, foreachBatch
+merge) everything is pure relational shapes — no Python in the hot path —
+and every entry is value-oracle-checked against DuckDB. Reference
+provenance: the reference pipeline has no corpus curation (these extend
+SURVEY.md §2's LLM-pipeline family); the stats aggregates generalize its
+groupby-mean notebooks (/root/reference/datasets/create_scripts_dataset.ipynb
+aggregate cells) to the full ANSI regression-aggregate surface.
 """
 
 from __future__ import annotations
