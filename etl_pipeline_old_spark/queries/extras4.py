@@ -765,3 +765,48 @@ def u5_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("o.o_orderkey"), F.col("n.o_orderkey")).alias("o_orderkey"),
         change.alias("change"),
     )
+
+
+@register(
+    "ts_time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, value, epoch_us(ts) AS us,
+             lead(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS next_us
+      FROM events),
+    seg AS (
+      SELECT user_id, value, next_us - us AS dur_us
+      FROM seq WHERE next_us IS NOT NULL)
+    SELECT user_id,
+           round(sum(value * dur_us) / sum(dur_us), 6) AS twap,
+           count(*) AS n_segments
+    FROM seg GROUP BY user_id
+    """,
+    doc="Time-weighted average (TWAP): each observation is weighted by how "
+    "long it 'held' (until the user's next event), the correct mean for "
+    "irregularly sampled series — a plain average over-weights bursts. "
+    "One user_id shuffle for the lead() window, then an ordinary "
+    "map-combined aggregate; integer micros durations keep the weights "
+    "exact cross-engine, and the final ratio is rounded at 6dp. "
+    "Deterministic tie-break (ts, event_id) pins equal-timestamp ordering "
+    "in both engines.",
+)
+def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = W.partitionBy("user_id").orderBy(us.asc(), F.col("event_id").asc())
+    seq = e.select(
+        "user_id", "value", us.alias("us"), F.lead(us).over(w).alias("next_us")
+    ).filter(F.col("next_us").isNotNull())
+    dur = F.col("next_us") - F.col("us")
+    return (
+        seq.select("user_id", "value", dur.alias("dur_us"))
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us"), 6
+            ).alias("twap"),
+            F.count("*").alias("n_segments"),
+        )
+    )

@@ -131,7 +131,7 @@ COVERAGE: list[tuple[str, str, list[str], str]] = [
     ("X-dq", "data-quality expectations", ["dq_check_suite", "dq_observe_metrics"], "fused per-table checks + FK anti-join; negative test injects violations"),
     ("X-ivm", "incremental aggregate maintenance", ["incremental_agg_merge", "rollup_cascade_daily", "sketch_hll_partitioned_union"], "partial-state merge; oracle IS the IVM invariant"),
     ("X-graph", "graph analytics", ["graph_pagerank", "dedup_clusters", "graph_triangle_count"], "bounded power iteration w/ dangling mass; label propagation; oriented-edge triangle count"),
-    ("X-ts", "time-series / CDC", ["cdc_changelog_compact", "ts_gapfill_ffill", "ts_resample_ohlc"], "changelog compaction w/ tombstones, dense ffill series, OHLC bars"),
+    ("X-ts", "time-series / CDC", ["cdc_changelog_compact", "ts_gapfill_ffill", "ts_resample_ohlc", "ts_time_weighted_avg"], "changelog compaction w/ tombstones, dense ffill series, OHLC bars"),
     ("X-layout", "storage layout", ["zorder_zvalue", "k7_partitioned_write_prune", "layout_compaction_bins"], "Z-order keys (clustering asserted on parquet footers); Hive-partitioned write w/ pruned readback (PartitionFilters asserted in test_plans.py); small-file compaction planner"),
     ("X-analytics", "event analytics", ["events_funnel", "events_retention_cohorts", "events_rate_anomaly"], "ordered funnel w/ conversion window, retention cohorts, integer-exact rolling z-score anomaly"),
     ("X-corpus", "training-corpus capstone", ["pipeline_training_corpus", "pipeline_streaming_corpus"], "normalize→quality→dedup→deterministic split→manifest"),
