@@ -810,3 +810,63 @@ def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_segments"),
         )
     )
+
+
+@register(
+    "a9b_percentile_disc_by_group",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_disc(l_quantity, 0.5) AS qty_p50,
+           quantile_disc(l_extendedprice, 0.9) AS price_p90
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Exact DISCRETE percentiles per group (percentile_disc WITHIN "
+    "GROUP): returns an actual data value, never an interpolation — so the "
+    "result is bit-identical across engines with NO rounding contract "
+    "(unlike percentile_cont, whose interpolation arithmetic needs one). "
+    "The right statistic when the percentile must be an observable value "
+    "(a real order size, a real price).",
+)
+def a9b_percentile_disc_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__pd_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS qty_p50,
+               percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice) AS price_p90
+        FROM __pd_lineitem GROUP BY l_returnflag
+        """
+    )
+
+
+@register(
+    "collation_ci_grouping",
+    oracle="""
+    SELECT lower(c_mktsegment) AS segment, count(*) AS n
+    FROM (SELECT CASE WHEN c_custkey % 3 = 0 THEN lower(c_mktsegment)
+                      WHEN c_custkey % 3 = 1 THEN upper(c_mktsegment)
+                      ELSE c_mktsegment END AS c_mktsegment
+          FROM customer)
+    GROUP BY 1
+    """,
+    doc="Spark 4 collations: grouping on a UTF8_LCASE-collated column "
+    "unifies case variants ENGINE-side — no lower() rewrite of the data, "
+    "and comparisons/joins on the column inherit the collation (the "
+    "declarative fix for the reference's scattered .str.lower() "
+    "normalizations, fetch_ad_users.py:37). The mixed-case input is built "
+    "deterministically from c_custkey; output is canonicalized to lower "
+    "for the cross-engine hash.",
+)
+def collation_ci_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    mixed = c.select(
+        F.when(F.col("c_custkey") % 3 == 0, F.lower("c_mktsegment"))
+        .when(F.col("c_custkey") % 3 == 1, F.upper("c_mktsegment"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg_mixed")
+    )
+    collated = mixed.select(F.collate(F.col("seg_mixed"), "UTF8_LCASE").alias("seg"))
+    return collated.groupBy("seg").agg(F.count("*").alias("n")).select(
+        F.lower(F.col("seg")).alias("segment"), "n"
+    )

@@ -124,7 +124,7 @@ COVERAGE: list[tuple[str, str, list[str], str]] = [
     ("X-dedup", "dedup family", ["dedup_exact", "dedup_exact_normalized", "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs", "dedup_embedding_cosine", "dedup_clusters", "dedup_apply", "dedup_apply_keep_best", "dedup_semantic", "dedup_span_reconstruct", "dedup_incremental_probe"], "exact, MinHash-LSH, SimHash, Jaccard, embedding-cosine, connected components, keep-best apply, SemDeDup, exact-substring span dedup w/ reconstruction (Lee et al. 2022), incremental delta-vs-base index probe"),
     ("X-boiler", "boilerplate detection", ["corpus_boilerplate_ngrams"], "cross-doc verbatim n-grams (Lee et al. 2022 exact-substring candidates)"),
     ("X-ann", "similarity search", ["ann_cosine_topk", "ann_lsh_cosine_topk", "ann_ivf_cosine_topk", "ann_lsh_recall_at_10", "ann_ivf_recall_at_10", "ann_hard_negatives"], "recall@10 vs exact baseline, in-plan"),
-    ("X-sql", "Spark SQL API surface", ["sql_api_nation_spend", "lateral_top3_orders", "pandas_api_migration"], "identical SQL text runs on both engines"),
+    ("X-sql", "Spark SQL API surface", ["sql_api_nation_spend", "lateral_top3_orders", "pandas_api_migration", "collation_ci_grouping"], "identical SQL text runs on both engines"),
     ("X-mm", "multimodal columns", ["multimodal_decode_meta", "multimodal_feature_extract", "multimodal_resize", "multimodal_frame_sample"], "codecs stubbed (no image libs); plumbing real"),
     ("X-text", "text analysis", ["text_lang_id", "text_quality_score", "text_token_count", "text_fingerprint", "text_fuzzy_name_pairs", "corpus_normalize", "corpus_pii_redact", "corpus_stats_by_lang", "corpus_top_bigrams", "text_tfidf_top_terms", "corpus_unigram_logprob"], ""),
     ("X-profile", "data profiling", ["profile_table", "histogram_order_totals", "histogram_equi_depth"], "one-pass column stats; floor-bin histogram"),
@@ -136,7 +136,7 @@ COVERAGE: list[tuple[str, str, list[str], str]] = [
     ("X-analytics", "event analytics", ["events_funnel", "events_retention_cohorts", "events_rate_anomaly"], "ordered funnel w/ conversion window, retention cohorts, integer-exact rolling z-score anomaly"),
     ("X-corpus", "training-corpus capstone", ["pipeline_training_corpus", "pipeline_streaming_corpus"], "normalize→quality→dedup→deterministic split→manifest"),
     ("X-gov", "corpus governance", ["corpus_contamination_check", "corpus_token_pack", "corpus_stratified_sample", "corpus_lang_quota", "corpus_chunk_overlap", "corpus_repetition_score", "corpus_gopher_rules", "corpus_dsir_weights", "corpus_mix_weights", "corpus_kl_by_source"], "eval-contamination, token packing, quota sampling, chunking, Gopher repetition + rule set, DSIR importance weights, UniMax mixture weights, per-source KL drift"),
-    ("X-olap", "advanced OLAP", ["pivot_status_by_priority", "unpivot_roundtrip", "cube_counts", "rollup_counts", "a7_count_distinct", "a8_approx_count_distinct", "a9_percentiles", "a10_percentile_approx", "global_topk", "join_salted_skew", "skew_diagnosis", "asof_join_last_signup", "range_join_neighbor_counts", "merge_upsert_corrections", "scd2_order_history", "agg_listagg_median_mode", "stats_corr_regression", "window_range_1h_movstats", "grouping_sets_spend"], ""),
+    ("X-olap", "advanced OLAP", ["pivot_status_by_priority", "unpivot_roundtrip", "cube_counts", "rollup_counts", "a7_count_distinct", "a8_approx_count_distinct", "a9_percentiles", "a9b_percentile_disc_by_group", "a10_percentile_approx", "global_topk", "join_salted_skew", "skew_diagnosis", "asof_join_last_signup", "range_join_neighbor_counts", "merge_upsert_corrections", "scd2_order_history", "agg_listagg_median_mode", "stats_corr_regression", "window_range_1h_movstats", "grouping_sets_spend"], ""),
     ("X-tpch", "bench queries", ["tpch_q1_pricing_summary", "tpch_q2_min_cost_supplier", "tpch_q3_shipping_priority", "tpch_q5_local_supplier_volume", "tpch_q6_forecast_revenue", "tpch_q14_promo_effect", "tpch_q4_order_priority", "tpch_q9_nation_profit", "tpch_q16_supplier_cnt", "tpch_q18_large_orders", "tpch_q19_disjunctive_join", "tpch_q12_shipmode_buckets", "tpch_q20_excess_shippers", "tpch_q22_global_sales_opportunity", "tpch_q7_volume_shipping", "tpch_q10_returned_items", "tpch_q13_order_count_distribution", "tpch_q15_top_supplier", "tpch_q17_small_quantity_revenue", "tpch_q21_waiting_suppliers", "tpch_q8_market_share", "tpch_q11_important_parts"], "all 22 TPC-H shapes"),
 ]
 
