@@ -870,3 +870,39 @@ def collation_ci_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return collated.groupBy("seg").agg(F.count("*").alias("n")).select(
         F.lower(F.col("seg")).alias("segment"), "n"
     )
+
+
+@register(
+    "j13_null_safe_join",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                  ELSE o_orderkey % 97 END AS grp
+      FROM orders),
+    b AS (SELECT DISTINCT grp FROM a)
+    SELECT coalesce(a.grp, -1) AS grp_key, count(*) AS n_orders
+    FROM a JOIN b ON a.grp IS NOT DISTINCT FROM b.grp
+    GROUP BY 1
+    """,
+    doc="Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys "
+    "MATCH each other instead of silently dropping — the semantic an "
+    "equi-join on a nullable business key actually needs (a plain = join "
+    "loses every NULL-keyed row with no error). Spark plans <=> as an "
+    "ordinary hash join (NULL hashes to a regular bucket), so it stays "
+    "shuffle-efficient; the NULL group surfaces as coalesce(-1) in the "
+    "output for a portable hash.",
+)
+def j13_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    a = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("o_orderkey") % 97)
+        .alias("grp"),
+    )
+    b = a.select("grp").distinct().withColumnRenamed("grp", "b_grp")
+    j = a.join(b, F.col("grp").eqNullSafe(F.col("b_grp")), "inner")
+    return j.groupBy(F.coalesce(F.col("grp"), F.lit(-1)).alias("grp_key")).agg(
+        F.count("*").alias("n_orders")
+    )
