@@ -64,6 +64,7 @@ COVERAGE: list[tuple[str, str, list[str], str]] = [
     ("J10", "snowflake probe chain", ["j10_snowflake_chain"], ""),
     ("J11", "array remap via dict", ["j11_array_remap_join"], ""),
     ("J12", "semi-join pushdown", ["j12_semi_join"], ""),
+    ("J13", "null-safe equality join", ["j13_null_safe_join"], "<=> — NULL business keys match instead of dropping"),
     # §2.5 aggregations
     ("A1", "MAX watermark", ["a1_max_watermark"], ""),
     ("A2", "COUNT(*)", ["a2_count"], ""),
