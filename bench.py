@@ -61,6 +61,9 @@ HEADLINE = [
     # the incremental delta-vs-base LSH probe (corpus-refresh shape)
     "dedup_span_reconstruct",
     "dedup_incremental_probe",
+    # r3 fifth wave: sketch-serving and the streaming corpus capstone
+    "sketch_hll_partitioned_union",
+    "pipeline_streaming_corpus",
     # r3 third wave: the partitioned-write+pruned-read layout path and the
     # four-table-join triangle graph — both dominated by real multi-stage
     # work, so perf drift is meaningful round-over-round
