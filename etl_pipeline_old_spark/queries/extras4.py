@@ -906,3 +906,111 @@ def j13_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy(F.coalesce(F.col("grp"), F.lit(-1)).alias("grp_key")).agg(
         F.count("*").alias("n_orders")
     )
+
+
+@register(
+    "basket_brand_lift",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey, p.p_brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM ob),
+    bf AS (SELECT p_brand, count(*) AS n_b FROM ob GROUP BY 1),
+    pairs AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, count(*) AS n_ab
+      FROM ob a JOIN ob b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY 1, 2)
+    SELECT brand_a, brand_b, n_ab,
+           round((n_ab::DOUBLE * n.n_orders) / (fa.n_b::DOUBLE * fb.n_b), 4)
+             AS lift
+    FROM pairs
+    JOIN bf fa ON fa.p_brand = brand_a
+    JOIN bf fb ON fb.p_brand = brand_b
+    CROSS JOIN n
+    WHERE n_ab >= 10
+    """,
+    doc="Market-basket brand co-occurrence with lift: distinct brands per "
+    "order, pairs via a WITHIN-ORDER self-join (fan-out bounded by "
+    "items/order, never all-pairs over the catalog), lift = "
+    "P(a,b)/(P(a)·P(b)) over orders, support-thresholded. The association-"
+    "rules shape: one shuffle on orderkey for the pair join, brand "
+    "frequencies broadcast back. At 100 TB the orderkey join is the only "
+    "data-sized stage and AQE handles its skew; the pair space is "
+    "vocabulary-bounded (brands²), not data-bounded.",
+)
+def basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n_orders = ob.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    bf = ob.groupBy("p_brand").agg(F.count("*").alias("n_b"))
+    a = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_a"))
+    b = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 10)
+    )
+    fa = bf.withColumnsRenamed({"p_brand": "brand_a", "n_b": "n_a_cnt"})
+    fb = bf.withColumnsRenamed({"p_brand": "brand_b", "n_b": "n_b_cnt"})
+    return (
+        pairs.join(F.broadcast(fa), "brand_a")
+        .join(F.broadcast(fb), "brand_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_ab",
+            F.round(
+                (F.col("n_ab") * F.col("n_orders"))
+                / (F.col("n_a_cnt") * F.col("n_b_cnt")).cast("double"),
+                4,
+            ).alias("lift"),
+        )
+    )
+
+
+DECAY_TAU_US = 7 * 86_400 * 1_000_000  # 7-day e-folding
+
+
+@register(
+    "events_decayed_value",
+    oracle=f"""
+    WITH mx AS (SELECT max(epoch_us(ts)) AS t_max FROM events)
+    SELECT user_id,
+           round(sum(value * exp(-(mx.t_max - epoch_us(ts))::DOUBLE
+                                 / {DECAY_TAU_US})), 4) AS decayed_value,
+           count(*) AS n_events
+    FROM events CROSS JOIN mx
+    GROUP BY user_id
+    """,
+    doc="Exponentially time-decayed engagement value per user (7-day "
+    "e-folding): the recency-weighted feature a ranking/feature-store "
+    "pipeline maintains. The anchor t_max is an aggregated sub-plan "
+    "(broadcast scalar), weights are exp over exact integer micro "
+    "deltas, and the weighted sum is one map-combined shuffle. "
+    "Incremental maintenance at scale: a stored (sum, anchor) pair "
+    "rescales by exp(-Δ/τ) when the anchor advances — the same algebraic "
+    "trick as the rollup cascade.",
+)
+def events_decayed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    mx = e.agg(F.max(F.unix_micros("ts")).alias("t_max"))
+    w = F.exp(
+        -(F.col("t_max") - F.unix_micros("ts")).cast("double") / F.lit(DECAY_TAU_US)
+    )
+    return (
+        e.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum(F.col("value") * w), 4).alias("decayed_value"),
+            F.count("*").alias("n_events"),
+        )
+    )
