@@ -1014,3 +1014,75 @@ def events_decayed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
         )
     )
+
+
+BIGRAM_LAMBDA = 0.75  # interpolation weight on the bigram term
+
+
+@register(
+    "corpus_bigram_perplexity",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split({NORM}, ' ') AS toks FROM documents),
+    t AS (
+      SELECT doc_id, i AS pos, toks[i] AS w
+      FROM tok, UNNEST(generate_series(1, len(toks))) u(i)),
+    bg AS (
+      SELECT doc_id, toks[i-1] AS w1, toks[i] AS w2
+      FROM tok, UNNEST(generate_series(2, len(toks))) u(i)),
+    uc AS (SELECT w, count(*) AS c_w FROM t GROUP BY 1),
+    nn AS (SELECT count(*) AS n_tok FROM t),
+    bc AS (SELECT w1, w2, count(*) AS c_b FROM bg GROUP BY 1, 2),
+    scored AS (
+      SELECT b.doc_id,
+             ln({BIGRAM_LAMBDA} * c_b::DOUBLE / u1.c_w
+                + {1 - BIGRAM_LAMBDA} * u2.c_w::DOUBLE / nn.n_tok) AS lp
+      FROM bg b
+      JOIN bc ON bc.w1 = b.w1 AND bc.w2 = b.w2
+      JOIN uc u1 ON u1.w = b.w1
+      JOIN uc u2 ON u2.w = b.w2
+      CROSS JOIN nn)
+    SELECT doc_id,
+           round(exp(-avg(lp)), 4) AS perplexity,
+           count(*) AS n_bigrams
+    FROM scored GROUP BY doc_id
+    """,
+    doc="Per-document perplexity under an interpolated bigram LM trained "
+    "on the corpus itself (λ·p(w2|w1) + (1-λ)·p(w2)): the classic "
+    "KenLM-style quality signal for training-data filtering, one step up "
+    "from the unigram scorer. Two vocabulary-bounded count aggregates "
+    "(unigram, bigram) broadcast back onto the bigram stream; scoring is "
+    "one join pass + a per-doc mean — no Python, no model file. Every "
+    "count is integer-exact cross-engine; only the final ln/exp is "
+    "floating (rounded 4dp).",
+)
+def corpus_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(DD.normalize_text("text"), " ").alias("__toks"))
+    t = toks.select("doc_id", F.explode("__toks").alias("w"))
+    bg = (
+        toks.select("doc_id", "__toks", F.posexplode("__toks").alias("p0", "w2"))
+        .filter(F.col("p0") >= 1)
+        .withColumn("w1", F.expr("__toks[p0 - 1]"))
+        .select("doc_id", "w1", "w2")
+    )
+    uc = t.groupBy("w").agg(F.count("*").alias("c_w"))
+    nn = t.agg(F.count("*").alias("n_tok"))
+    bc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c_b"))
+    u1 = uc.withColumnsRenamed({"w": "w1", "c_w": "c_w1"})
+    u2 = uc.withColumnsRenamed({"w": "w2", "c_w": "c_w2"})
+    lp = F.log(
+        F.lit(BIGRAM_LAMBDA) * F.col("c_b") / F.col("c_w1")
+        + F.lit(1 - BIGRAM_LAMBDA) * F.col("c_w2") / F.col("n_tok")
+    )
+    return (
+        bg.join(F.broadcast(bc), ["w1", "w2"])
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(nn))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.exp(-F.avg(lp)), 4).alias("perplexity"),
+            F.count("*").alias("n_bigrams"),
+        )
+    )
