@@ -1086,3 +1086,42 @@ def corpus_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_bigrams"),
         )
     )
+
+
+@register(
+    "events_cumulative_uniques",
+    oracle=f"""
+    WITH firsts AS (
+      SELECT user_id, min(epoch_us(ts) // {_DAY_US2}) AS first_day
+      FROM events GROUP BY user_id),
+    per_day AS (
+      SELECT first_day AS day, count(*) AS new_users
+      FROM firsts GROUP BY 1)
+    SELECT day, new_users,
+           sum(new_users) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+             AS cumulative_users
+    FROM per_day
+    """,
+    doc="Exact cumulative distinct users per day via the FIRST-SEEN trick: "
+    "each user contributes 1 on their first-activity day, and a running "
+    "sum over days gives the exact cumulative-unique curve — no "
+    "distinct-per-window recomputation (which would rescan every prior "
+    "day per output row). One user_id aggregate + a days-sized window: "
+    "the growth-dashboard query at any scale, and the exact counterpart "
+    "to the mergeable-HLL range counts.",
+)
+def events_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.expr(f"unix_micros(ts) div {_DAY_US2}")).alias("first_day")
+    )
+    per_day = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").alias("new_users")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return per_day.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).alias("cumulative_users"),
+    )
