@@ -1125,3 +1125,83 @@ def events_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).alias("cumulative_users"),
     )
+
+
+PQ_SCALE = 10_000  # integer quantization: round(x * 1e4) — exact cross-engine
+PQ_NQ = 5  # probe queries: vec_id < 5
+PQ_K = 10
+
+
+@register(
+    "ann_pq_binary_topk",
+    oracle=f"""
+    WITH xq AS (
+      SELECT vec_id, d, round(x * {PQ_SCALE})::BIGINT AS xq
+      FROM (SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS d
+            FROM embeddings)),
+    mu AS (
+      SELECT d, sum(abs(xq)) // count(*) AS muq FROM xq GROUP BY d),
+    recon AS (
+      SELECT xq.vec_id, xq.d,
+             CASE WHEN xq.xq >= 0 THEN mu.muq ELSE -mu.muq END AS xhat
+      FROM xq JOIN mu ON xq.d = mu.d),
+    q AS (SELECT vec_id AS query_id, d, xq FROM xq WHERE vec_id < {PQ_NQ}),
+    scores AS (
+      SELECT q.query_id, r.vec_id AS neighbor_id,
+             sum(q.xq * r.xhat)::BIGINT AS score
+      FROM q JOIN recon r ON q.d = r.d
+      WHERE r.vec_id <> q.query_id
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT query_id, neighbor_id, score,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, neighbor_id) AS rank
+      FROM scores)
+    SELECT query_id, rank, neighbor_id, score
+    FROM ranked WHERE rank <= {PQ_K}
+    """,
+    doc="Binary product quantization with ASYMMETRIC scoring: each vector "
+    "compresses to one sign bit per dimension plus a SHARED per-dimension "
+    "magnitude (64 dims -> 8 bytes + one 64-value table: 32x smaller), "
+    "and queries score full-precision against the reconstruction "
+    "(sign x magnitude) — the PQ/ADC memory-bandwidth play that makes "
+    "100 TB vector search fit in RAM. Every step is integer arithmetic "
+    "(inputs quantized at 1e4, magnitudes via integer div), so scores and "
+    "ranks are bit-exact cross-engine — same machinery that made the LSH/"
+    "IVF oracles exact. At scale: codes live in the bucketed layout, the "
+    "magnitude table broadcasts, scoring is one map-side join pass.",
+)
+def ann_pq_binary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    xq = e.select(
+        "vec_id", F.posexplode("embedding").alias("d0", "x")
+    ).select(
+        "vec_id",
+        (F.col("d0") + 1).alias("d"),
+        F.round(F.col("x") * PQ_SCALE).cast("long").alias("xq"),
+    )
+    mu = xq.groupBy("d").agg(
+        F.expr("sum(abs(xq)) div count(*)").alias("muq")
+    )
+    recon = xq.join(F.broadcast(mu), "d").select(
+        F.col("vec_id").alias("neighbor_id"),
+        "d",
+        F.when(F.col("xq") >= 0, F.col("muq")).otherwise(-F.col("muq")).alias("xhat"),
+    )
+    q = xq.filter(F.col("vec_id") < PQ_NQ).select(
+        F.col("vec_id").alias("query_id"), "d", F.col("xq").alias("qx")
+    )
+    scores = (
+        F.broadcast(q)
+        .join(recon, "d")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum(F.col("qx") * F.col("xhat")).alias("score"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= PQ_K)
+        .select("query_id", "rank", "neighbor_id", "score")
+    )
