@@ -46,6 +46,7 @@ _MODULES = (
     "extras3",
     "scale_ops",
     "extras4",
+    "extras5",
 )
 
 

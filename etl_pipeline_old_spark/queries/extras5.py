@@ -1,0 +1,274 @@
+"""Scale-governance operators, wave 5: min/max file-stats pruning (the
+data-skipping decision that makes layout choice matter at 100 TB),
+a k-anonymity audit with one generalization step (privacy gate for
+training-data release), a count-min sketch with point-query estimates
+(mergeable heavy-hitter serving, the CM companion to the HLL entry), and
+deterministic hash-weighted mixture sampling (the execution step behind
+``corpus_mix_weights``-style language rebalancing).
+
+Everything is pure relational built-ins — one shuffle per aggregate, no
+Python in any hot path — and every entry is value-oracle-checked against
+DuckDB (the md5-prefix integer hash is bit-identical cross-engine, see
+``operators/dedup.md5_long``). Reference provenance: the reference
+pipeline has none of these (its notebooks stop at pandas groupbys, e.g.
+/root/reference/datasets/create_scripts_dataset.ipynb aggregate cells);
+they extend SURVEY.md §2's LLM-pipeline family the way the corpus/dedup
+waves do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.dedup import MD5_LONG_SQL, md5_long
+from ..registry import register
+
+# data-skipping predicate: one second-half-of-1996 scan window
+PRUNE_LO, PRUNE_HI = "1996-07-01", "1996-12-31"
+N_HASH_FILES = 16
+
+K_ANON = 8
+
+CMS_ROWS = 4
+CMS_WIDTH = 64
+CMS_TOPN = 10
+CMS_USER_MOD = 97
+
+# per-language keep probability, in 1/10000ths (integer thresholds so the
+# keep decision is exact in both engines): downsample the dominant 'en',
+# keep the rarest streams nearly whole — the corpus_mix_weights shape,
+# executed.
+MIX_KEEP_PM = {"en": 3500, "de": 8000, "es": 9000, "fr": 10000, "zh": 7000}
+MIX_DEFAULT_PM = 5000
+
+
+@register(
+    "layout_minmax_prune",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT 'hash' AS layout, o_orderkey % {N_HASH_FILES} AS file_id, o_orderdate
+      FROM orders
+      UNION ALL
+      SELECT 'date' AS layout,
+             (year(o_orderdate) - 1995) * 2
+               + CASE WHEN month(o_orderdate) >= 7 THEN 1 ELSE 0 END AS file_id,
+             o_orderdate
+      FROM orders)
+    SELECT layout, file_id, count(*)::BIGINT AS n_rows,
+           strftime(min(o_orderdate), '%Y-%m-%d') AS min_day,
+           strftime(max(o_orderdate), '%Y-%m-%d') AS max_day,
+           (max(o_orderdate) < TIMESTAMP '{PRUNE_LO}'
+             OR min(o_orderdate) > TIMESTAMP '{PRUNE_HI}') AS can_skip
+    FROM tagged GROUP BY layout, file_id
+    """,
+    doc="Min/max file-stats manifest + data-skipping decision (the "
+    "Delta/Iceberg/parquet-footer pruning algebra) under two write "
+    "layouts of the same table: 'hash' (arrival-order bucketing — every "
+    "file spans the full date range, nothing prunes) vs 'date' "
+    "(sort-on-write by half-year — every file outside the predicate "
+    "window prunes away). One unionByName + one groupBy = one shuffle; "
+    "the manifest is metadata-sized. This is WHY zorder_zvalue / "
+    "k7_partitioned_write_prune matter at 100 TB: the skip column is the "
+    "scan-cost model, computed here explicitly so the layouts are "
+    "comparable in-plan.",
+)
+def layout_minmax_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    hash_files = o.select(
+        F.lit("hash").alias("layout"),
+        (F.col("o_orderkey") % N_HASH_FILES).alias("file_id"),
+        "o_orderdate",
+    )
+    date_files = o.select(
+        F.lit("date").alias("layout"),
+        (
+            (F.year("o_orderdate") - F.lit(1995)) * 2
+            + F.when(F.month("o_orderdate") >= 7, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("file_id"),
+        "o_orderdate",
+    )
+    lo = F.lit(PRUNE_LO).cast("timestamp_ntz")
+    hi = F.lit(PRUNE_HI).cast("timestamp_ntz")
+    return (
+        hash_files.unionByName(date_files)
+        .groupBy("layout", "file_id")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("min_day"),
+            F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("max_day"),
+            ((F.max("o_orderdate") < lo) | (F.min("o_orderdate") > hi)).alias(
+                "can_skip"
+            ),
+        )
+    )
+
+
+@register(
+    "privacy_k_anonymity",
+    oracle=f"""
+    WITH g1 AS (
+      SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS n
+      FROM customer GROUP BY c_nationkey, c_mktsegment),
+    gen AS (
+      SELECT c_nationkey,
+             CASE WHEN n < {K_ANON} THEN '*' ELSE c_mktsegment END AS segment,
+             n
+      FROM g1)
+    SELECT c_nationkey, segment,
+           sum(n)::BIGINT AS n_people,
+           sum(n) >= {K_ANON} AS k_ok
+    FROM gen GROUP BY c_nationkey, segment
+    """,
+    doc=f"k-anonymity audit over the quasi-identifier pair (nation, market "
+    f"segment), k={K_ANON}: equivalence classes below k get their segment "
+    "generalized to '*' (one rung of the generalization ladder) and are "
+    "re-aggregated; the k_ok flag stays honest for merged classes that "
+    "remain small. Two map-side-combined groupBys on aligned keys — the "
+    "second reuses the first's partitioning, so one real shuffle. The "
+    "release gate a training-data pipeline runs before shipping "
+    "user-derived tables.",
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment")
+    g1 = c.groupBy("c_nationkey", "c_mktsegment").agg(F.count("*").alias("n"))
+    gen = g1.withColumn(
+        "segment",
+        F.when(F.col("n") < K_ANON, F.lit("*")).otherwise(F.col("c_mktsegment")),
+    )
+    return gen.groupBy("c_nationkey", "segment").agg(
+        F.sum("n").cast("long").alias("n_people"),
+        (F.sum("n") >= K_ANON).alias("k_ok"),
+    )
+
+
+def _cms_bucket_sql(row_expr: str, key_expr: str) -> str:
+    h = MD5_LONG_SQL.format(x=f"'cms' || {row_expr}::VARCHAR || ':' || {key_expr}")
+    return f"{h} % {CMS_WIDTH}"
+
+
+def _cms_bucket(row_col: F.Column, key_col: F.Column) -> F.Column:
+    return (
+        md5_long(
+            F.concat(F.lit("cms"), row_col.cast("string"), F.lit(":"), key_col)
+        )
+        % CMS_WIDTH
+    )
+
+
+@register(
+    "sketch_cms_event_counts",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type || '#' || (user_id % {CMS_USER_MOD})::VARCHAR AS key
+      FROM events),
+    exact AS (SELECT key, count(*)::BIGINT AS exact_n FROM e GROUP BY key),
+    r AS (SELECT unnest([0, 1, 2, 3]) AS r),
+    sk AS (
+      SELECT r.r, {_cms_bucket_sql("r.r", "e.key")} AS bucket,
+             count(*)::BIGINT AS c
+      FROM e, r GROUP BY 1, 2),
+    top AS (
+      SELECT key, exact_n FROM (
+        SELECT *, row_number() OVER (ORDER BY exact_n DESC, key) AS rn
+        FROM exact)
+      WHERE rn <= {CMS_TOPN}),
+    probes AS (
+      SELECT t.key, t.exact_n, r.r, {_cms_bucket_sql("r.r", "t.key")} AS bucket
+      FROM top t, r)
+    SELECT p.key, p.exact_n,
+           min(sk.c)::BIGINT AS cms_est,
+           min(sk.c) >= p.exact_n AS over_ok
+    FROM probes p JOIN sk ON sk.r = p.r AND sk.bucket = p.bucket
+    GROUP BY p.key, p.exact_n
+    """,
+    doc=f"Count-min sketch (d={CMS_ROWS}, w={CMS_WIDTH}) over ~485 "
+    "(event_type, user-bucket) keys, then point-query estimates for the "
+    f"top-{CMS_TOPN} keys by exact count: est = min over rows of the "
+    "hashed bucket's counter, with the CM one-sided guarantee asserted "
+    "in-plan (over_ok — estimates never undercount). The sketch is one "
+    f"groupBy of {CMS_ROWS}x{CMS_WIDTH} cells — mergeable across "
+    "partitions/days exactly like the HLL entry, and the probe join "
+    "broadcasts the 256-row sketch. Same md5-prefix integer hash both "
+    "engines, so every counter and estimate hash-matches DuckDB.",
+)
+def sketch_cms_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = F.array(*[F.lit(i) for i in range(CMS_ROWS)])
+    e = load_table(spark, sf_dir, "events").select(
+        F.concat_ws(
+            "#", "event_type", (F.col("user_id") % CMS_USER_MOD).cast("string")
+        ).alias("key")
+    )
+    exact = e.groupBy("key").agg(F.count("*").cast("long").alias("exact_n"))
+    sketch = (
+        e.select(F.explode(rows).alias("r"), "key")
+        .select("r", _cms_bucket(F.col("r"), F.col("key")).alias("bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    top = (
+        exact.withColumn(
+            "rn", F.row_number().over(W.orderBy(F.desc("exact_n"), "key"))
+        )
+        .filter(F.col("rn") <= CMS_TOPN)
+        .drop("rn")
+    )
+    probes = top.select(
+        "key", "exact_n", F.explode(rows).alias("r")
+    ).withColumn("bucket", _cms_bucket(F.col("r"), F.col("key")))
+    return (
+        probes.join(F.broadcast(sketch), ["r", "bucket"])
+        .groupBy("key", "exact_n")
+        .agg(
+            F.min("c").alias("cms_est"),
+            (F.min("c") >= F.first("exact_n")).alias("over_ok"),
+        )
+    )
+
+
+def _mix_threshold_sql() -> str:
+    arms = " ".join(
+        f"WHEN '{lang}' THEN {pm}" for lang, pm in sorted(MIX_KEEP_PM.items())
+    )
+    return f"CASE lang {arms} ELSE {MIX_DEFAULT_PM} END"
+
+
+@register(
+    "sample_weighted_hash",
+    oracle=f"""
+    WITH s AS (
+      SELECT lang,
+             {MD5_LONG_SQL.format(x="'mix:' || doc_id::VARCHAR")} % 10000 AS u
+      FROM documents)
+    SELECT lang, count(*)::BIGINT AS n_total,
+           sum(CASE WHEN u < {_mix_threshold_sql()} THEN 1 ELSE 0 END)::BIGINT
+             AS n_kept
+    FROM s GROUP BY lang
+    """,
+    doc="Deterministic hash-weighted mixture sampling: each document keeps "
+    "iff md5('mix:'||doc_id) mod 10000 falls under its language's integer "
+    "keep-threshold (en downsampled to 35%, fr kept whole) — the "
+    "execution step that applies corpus_mix_weights-style target rates. "
+    "Hash-thresholding beats rand() at scale: reproducible across "
+    "retries/engines, stable under repartitioning, and incremental "
+    "shards sample consistently with no coordination. One "
+    "map-side-combined groupBy.",
+)
+def sample_weighted_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    u = md5_long(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))) % 10000
+    thr = F.lit(MIX_DEFAULT_PM)
+    for lang, pm in sorted(MIX_KEEP_PM.items()):
+        thr = F.when(F.col("lang") == lang, F.lit(pm)).otherwise(thr)
+    return (
+        d.select("lang", (u < thr).cast("int").alias("kept"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_total"),
+            F.sum("kept").cast("long").alias("n_kept"),
+        )
+    )

@@ -1,0 +1,64 @@
+"""Semantic invariants for the wave-5 scale-governance operators (value
+parity vs DuckDB is covered by test_oracle_parity; these assert the
+*claims* each operator makes)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_pipeline_old_spark.catalog import load_table
+from etl_pipeline_old_spark.queries.extras5 import (
+    K_ANON,
+    MIX_KEEP_PM,
+    layout_minmax_prune,
+    privacy_k_anonymity,
+    sample_weighted_hash,
+    sketch_cms_event_counts,
+)
+
+
+def test_date_layout_prunes_hash_layout_does_not(spark, oracle_sf_dir):
+    rows = layout_minmax_prune(spark, oracle_sf_dir).collect()
+    skipped = {
+        layout: sum(1 for r in rows if r.layout == layout and r.can_skip)
+        for layout in ("hash", "date")
+    }
+    total_date = sum(1 for r in rows if r.layout == "date")
+    # arrival-order files all span the full date range: nothing skips;
+    # sort-on-write files prune everything outside the one-half-year window
+    assert skipped["hash"] == 0
+    assert skipped["date"] == total_date - 1
+
+
+def test_k_anonymity_generalized_and_lossless(spark, oracle_sf_dir):
+    out = privacy_k_anonymity(spark, oracle_sf_dir).collect()
+    # every surviving named segment meets k; only '*' classes may stay small
+    assert all(r.n_people >= K_ANON for r in out if r.segment != "*")
+    total = load_table(spark, oracle_sf_dir, "customer").count()
+    assert sum(r.n_people for r in out) == total  # suppression-free audit
+
+
+def test_cms_never_undercounts(spark, oracle_sf_dir):
+    out = sketch_cms_event_counts(spark, oracle_sf_dir).collect()
+    assert len(out) == 10
+    assert all(r.over_ok for r in out)
+    assert all(r.cms_est >= r.exact_n for r in out)
+
+
+def test_weighted_sample_rates(spark, oracle_sf_dir):
+    out = {r.lang: r for r in sample_weighted_hash(spark, oracle_sf_dir).collect()}
+    assert set(MIX_KEEP_PM) <= set(out)
+    for lang, r in out.items():
+        assert 0 <= r.n_kept <= r.n_total
+    # weight 1.0 keeps everything; the en downsample must actually bite
+    assert out["fr"].n_kept == out["fr"].n_total
+    en = out["en"]
+    assert en.n_kept < en.n_total
+    rate = en.n_kept / en.n_total
+    assert 0.20 < rate < 0.50  # md5 uniformity at ~230 docs, pm=3500
+
+
+def test_prune_manifest_single_shuffle(spark, oracle_sf_dir):
+    plan = layout_minmax_prune(spark, oracle_sf_dir)._jdf.queryExecution().executedPlan().toString()
+    # one union of two projections of the same scan, one aggregate exchange
+    assert plan.count("Exchange hashpartitioning") == 1
