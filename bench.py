@@ -69,6 +69,11 @@ HEADLINE = [
     # work, so perf drift is meaningful round-over-round
     "k7_partitioned_write_prune",
     "graph_triangle_count",
+    # r3 final wave: the compressed-vector ANN path, the heaviest text-LM
+    # scoring join, and the CMS sketch build+probe
+    "ann_pq_binary_topk",
+    "corpus_bigram_perplexity",
+    "sketch_cms_event_counts",
 ]
 
 

@@ -272,3 +272,179 @@ def sample_weighted_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("kept").cast("long").alias("n_kept"),
         )
     )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    t AS (
+      SELECT prev_type, event_type AS next_type, count(*)::BIGINT AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type)
+    SELECT prev_type, next_type, n,
+           round(n / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+    FROM t
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: lag window keyed (user_id | ts, event_id) -> (prev, next) "
+    "pair counts -> row-normalized P(next|prev). One shuffle for the "
+    "sequence window, one for the pair groupBy, and the normalizing "
+    "window runs on the 25-row matrix. The user-journey model behind "
+    "next-action prediction and funnel-shortcut detection; at 100 TB the "
+    "sequence window is the same per-user partitioning sessionization "
+    "already uses, so the two share one exchange when composed.",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    seq = e.withColumn(
+        "prev_type",
+        F.lag("event_type").over(
+            W.partitionBy("user_id").orderBy("ts", "event_id")
+        ),
+    )
+    t = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    return t.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(W.partitionBy("prev_type")), 6).alias("p"),
+    )
+
+
+@register(
+    "events_anomaly_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, median(value) AS med
+      FROM events GROUP BY event_type),
+    dev AS (
+      SELECT e.event_type, e.value, m.med,
+             abs(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)),
+    mad AS (
+      SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type)
+    SELECT d.event_type,
+           count(*)::BIGINT AS n,
+           sum(CASE WHEN d.adev > 3 * 1.4826 * m.mad THEN 1 ELSE 0 END)::BIGINT
+             AS n_outliers,
+           round(max(d.med), 6) AS med,
+           round(m.mad, 6) AS mad
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type, m.mad
+    """,
+    doc="Robust outlier detection via median absolute deviation: per "
+    "event_type, |value - median| > 3 * 1.4826 * MAD flags outliers "
+    "without the mean/stddev masking effect (a single huge value inflates "
+    "stddev and hides itself; the median pair is breakdown-50% robust — "
+    "the complement to events_rate_anomaly's z-score). Two "
+    "median-aggregate passes over the same grouping key plus broadcast "
+    "joins of the 5-row stats — both engines compute the identical "
+    "interpolated median, so flags hash-match exactly.",
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "mad")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(
+                (F.col("adev") > 3 * 1.4826 * F.col("mad")).cast("int")
+            )
+            .cast("long")
+            .alias("n_outliers"),
+            F.round(F.max("med"), 6).alias("med"),
+        )
+        .select(
+            "event_type", "n", "n_outliers", "med", F.round("mad", 6).alias("mad")
+        )
+    )
+
+
+ERASE_MOD = 20  # ~5% of users file erasure requests
+
+
+@register(
+    "gdpr_erasure_propagation",
+    oracle=f"""
+    WITH erase AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE {MD5_LONG_SQL.format(x="'erase:' || user_id::VARCHAR")}
+              % {ERASE_MOD} = 0),
+    daily AS (
+      SELECT user_id, date_trunc('day', ts) AS day, count(*) AS n
+      FROM events GROUP BY 1, 2),
+    profile AS (
+      SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id),
+    report AS (
+      SELECT 'events' AS table_name,
+             count(*)::BIGINT AS rows_before,
+             sum(CASE WHEN x.user_id IS NULL THEN 0 ELSE 1 END)::BIGINT
+               AS rows_deleted
+      FROM events e LEFT JOIN erase x USING (user_id)
+      UNION ALL
+      SELECT 'daily_counts', count(*)::BIGINT,
+             sum(CASE WHEN x.user_id IS NULL THEN 0 ELSE 1 END)::BIGINT
+      FROM daily d LEFT JOIN erase x USING (user_id)
+      UNION ALL
+      SELECT 'user_profile', count(*)::BIGINT,
+             sum(CASE WHEN x.user_id IS NULL THEN 0 ELSE 1 END)::BIGINT
+      FROM profile p LEFT JOIN erase x USING (user_id))
+    SELECT table_name, rows_before, rows_deleted,
+           rows_before - rows_deleted AS rows_after
+    FROM report
+    """,
+    doc="Right-to-erasure propagation: a deterministic ~5% erasure "
+    "manifest (hash-selected users, standing in for the DSAR queue) is "
+    "anti-joined through the raw fact table AND its derived aggregates "
+    "(daily rollup, per-user profile), reporting before/deleted/after "
+    "counts per table — the audit artifact a GDPR/CCPA deletion job must "
+    "emit. The manifest broadcasts (it is small by construction), so "
+    "each table pays one scan and no shuffle; pairs with "
+    "privacy_k_anonymity as the governance gate family.",
+)
+def gdpr_erasure_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    erase = (
+        e.select("user_id")
+        .distinct()
+        .filter(
+            md5_long(F.concat(F.lit("erase:"), F.col("user_id").cast("string")))
+            % ERASE_MOD
+            == 0
+        )
+        .withColumn("__erased", F.lit(1))
+    )
+    daily = e.groupBy("user_id", F.date_trunc("day", "ts").alias("day")).count()
+    profile = e.groupBy("user_id").count()
+
+    def audit(df: DataFrame, name: str) -> DataFrame:
+        j = df.join(F.broadcast(erase), "user_id", "left")
+        return j.agg(
+            F.lit(name).alias("table_name"),
+            F.count("*").cast("long").alias("rows_before"),
+            F.coalesce(F.sum("__erased"), F.lit(0)).cast("long").alias("rows_deleted"),
+        )
+
+    rep = (
+        audit(e, "events")
+        .unionByName(audit(daily, "daily_counts"))
+        .unionByName(audit(profile, "user_profile"))
+    )
+    return rep.withColumn(
+        "rows_after", (F.col("rows_before") - F.col("rows_deleted")).cast("long")
+    )

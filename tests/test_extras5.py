@@ -10,6 +10,9 @@ from etl_pipeline_old_spark.catalog import load_table
 from etl_pipeline_old_spark.queries.extras5 import (
     K_ANON,
     MIX_KEEP_PM,
+    events_anomaly_mad,
+    events_markov_transitions,
+    gdpr_erasure_propagation,
     layout_minmax_prune,
     privacy_k_anonymity,
     sample_weighted_hash,
@@ -56,6 +59,34 @@ def test_weighted_sample_rates(spark, oracle_sf_dir):
     assert en.n_kept < en.n_total
     rate = en.n_kept / en.n_total
     assert 0.20 < rate < 0.50  # md5 uniformity at ~230 docs, pm=3500
+
+
+def test_markov_rows_sum_to_one(spark, oracle_sf_dir):
+    rows = events_markov_transitions(spark, oracle_sf_dir).collect()
+    by_prev: dict[str, float] = {}
+    for r in rows:
+        by_prev[r.prev_type] = by_prev.get(r.prev_type, 0.0) + r.p
+    assert by_prev and all(abs(s - 1.0) < 1e-4 for s in by_prev.values())
+
+
+def test_mad_flags_are_robust(spark, oracle_sf_dir):
+    out = events_anomaly_mad(spark, oracle_sf_dir).collect()
+    assert out
+    for r in out:
+        assert r.mad >= 0
+        assert 0 <= r.n_outliers < r.n  # never flags a majority
+
+
+def test_erasure_propagates_consistently(spark, oracle_sf_dir):
+    rep = {r.table_name: r for r in gdpr_erasure_propagation(spark, oracle_sf_dir).collect()}
+    assert set(rep) == {"events", "daily_counts", "user_profile"}
+    for r in rep.values():
+        assert r.rows_after == r.rows_before - r.rows_deleted
+        assert r.rows_deleted > 0  # the 5% manifest is non-empty at sf0.01
+    # an erased user disappears from EVERY derived table, so the profile
+    # table loses exactly as many rows as there are erased users
+    ev, prof = rep["events"], rep["user_profile"]
+    assert prof.rows_deleted <= ev.rows_deleted
 
 
 def test_prune_manifest_single_shuffle(spark, oracle_sf_dir):
