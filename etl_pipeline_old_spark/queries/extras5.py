@@ -23,7 +23,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..operators.dedup import MD5_LONG_SQL, md5_long
+from ..operators.dedup import MD5_LONG_SQL, NORMALIZE_SQL, md5_long
 from ..registry import register
 
 # data-skipping predicate: one second-half-of-1996 scan window
@@ -447,4 +447,157 @@ def gdpr_erasure_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return rep.withColumn(
         "rows_after", (F.col("rows_before") - F.col("rows_deleted")).cast("long")
+    )
+
+
+PPJOIN_T = 0.7  # Jaccard threshold; prefix math below is exact for t = 7/10
+_DOC_NORM = NORMALIZE_SQL.format(x="text")
+
+# set elements are word-3-gram shingles (same universe as
+# dedup_ngram_jaccard / MinHash): distinct UNIGRAMS of the ~30-word
+# synthetic vocabulary make nearly every doc-pair similar, which is not a
+# property of the algorithm but of degenerate sets — shingles keep the
+# set universe large enough that Jaccard discriminates
+_PP_SH_CTE = f"""
+    tok AS (
+      SELECT doc_id, string_split({_DOC_NORM}, ' ') AS toks FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(toks, i, i + 2), ' ') AS sh
+      FROM tok, UNNEST(generate_series(1, greatest(len(toks) - 2, 0))) u(i))"""
+
+
+@register(
+    "dedup_prefix_filter_join",
+    oracle=f"""
+    WITH {_PP_SH_CTE},
+    sizes AS (SELECT doc_id, count(*)::BIGINT AS len FROM sh GROUP BY doc_id),
+    df AS (SELECT sh, count(*)::BIGINT AS df FROM sh GROUP BY sh),
+    ranked AS (
+      SELECT s.doc_id, s.sh, z.len,
+             row_number() OVER (
+               PARTITION BY s.doc_id ORDER BY d.df, s.sh) AS rn
+      FROM sh s JOIN df d USING (sh) JOIN sizes z USING (doc_id)),
+    pref AS (
+      SELECT doc_id, sh FROM ranked
+      WHERE rn <= len - (7 * len + 9) // 10 + 1),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM pref a JOIN pref b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*)::BIGINT AS n_inter
+      FROM cand c
+      JOIN sh ta ON ta.doc_id = c.id_a
+      JOIN sh tb ON tb.doc_id = c.id_b AND tb.sh = ta.sh
+      GROUP BY c.id_a, c.id_b)
+    SELECT id_a, id_b,
+           round(n_inter / (sa.len + sb.len - n_inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_inter / (sa.len + sb.len - n_inter) >= {PPJOIN_T}
+    """,
+    doc=f"EXACT set-similarity self-join (shingle Jaccard >= {PPJOIN_T}) "
+    "via prefix filtering (the PPJoin family, Xiao et al. 2008): shingles "
+    "are globally ordered rarest-first, each document exposes only its "
+    "first len - ceil(t*len) + 1 shingles, and only documents sharing a "
+    "PREFIX shingle become candidates — a pair sharing zero prefix "
+    "elements provably cannot reach t, so the exact-verify join runs on "
+    "a candidate set that scales with rare-shingle collisions, not n². "
+    "The deterministic alternative to MinHash-LSH: no missed-pair "
+    "probability, same shuffle shape (element-keyed joins + one pair "
+    "aggregate), and the rarest-first order keeps prefix buckets small "
+    "(frequency skew works FOR the filter). Prefix length uses exact "
+    "integer ceil algebra so both engines cut identical prefixes.",
+)
+def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import shingle_sets
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingle_sets(d, "text", "doc_id", 3).withColumnRenamed("id", "doc_id")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("len"))
+    df_ = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    ranked = (
+        sh.join(df_, "sh")
+        .join(sizes, "doc_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("doc_id").orderBy("df", "sh")),
+        )
+    )
+    pref = ranked.filter(
+        F.col("rn") <= F.col("len") - F.expr("(7 * len + 9) DIV 10") + 1
+    ).select("doc_id", "sh")
+    cand = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    inter = (
+        cand.join(sh.alias("ta"), F.col("ta.doc_id") == F.col("id_a"))
+        .join(
+            sh.alias("tb"),
+            (F.col("tb.doc_id") == F.col("id_b"))
+            & (F.col("tb.sh") == F.col("ta.sh")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("len", "len_a")
+    sb = sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("len", "len_b")
+    union_size = F.col("len_a") + F.col("len_b") - F.col("n_inter")
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .filter(F.col("n_inter") / union_size >= PPJOIN_T)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("n_inter") / union_size, 4).alias("jaccard"),
+        )
+    )
+
+
+N_RANGE_PARTS = 8
+
+
+@register(
+    "layout_range_partition_plan",
+    oracle=f"""
+    WITH t AS (
+      SELECT o_totalprice,
+             ntile({N_RANGE_PARTS}) OVER (
+               ORDER BY o_totalprice, o_orderkey) AS pid
+      FROM orders)
+    SELECT pid, count(*)::BIGINT AS n_rows,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM t GROUP BY pid
+    """,
+    doc=f"Range-partition plan for a sorted write: ntile({N_RANGE_PARTS}) "
+    "over (o_totalprice, o_orderkey) assigns perfectly balanced "
+    "partitions and the per-partition min/max ARE the range boundaries a "
+    "writer hands to repartitionByRange — plus the row counts that prove "
+    "the plan is skew-free (every partition within one row of even). At "
+    "100 TB the boundaries come from approx quantiles on a sample and "
+    "this query is the balance AUDIT after the write; here the exact "
+    "ntile makes the whole plan oracle-checkable. The missing piece "
+    "between zorder_zvalue (what to sort by) and layout_minmax_prune "
+    "(what sorting buys).",
+)
+def layout_range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    t = o.withColumn(
+        "pid",
+        F.ntile(N_RANGE_PARTS).over(W.orderBy("o_totalprice", "o_orderkey")),
+    )
+    return t.groupBy("pid").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
     )

@@ -10,10 +10,14 @@ from etl_pipeline_old_spark.catalog import load_table
 from etl_pipeline_old_spark.queries.extras5 import (
     K_ANON,
     MIX_KEEP_PM,
+    N_RANGE_PARTS,
+    PPJOIN_T,
+    dedup_prefix_filter_join,
     events_anomaly_mad,
     events_markov_transitions,
     gdpr_erasure_propagation,
     layout_minmax_prune,
+    layout_range_partition_plan,
     privacy_k_anonymity,
     sample_weighted_hash,
     sketch_cms_event_counts,
@@ -87,6 +91,34 @@ def test_erasure_propagates_consistently(spark, oracle_sf_dir):
     # table loses exactly as many rows as there are erased users
     ev, prof = rep["events"], rep["user_profile"]
     assert prof.rows_deleted <= ev.rows_deleted
+
+
+def test_prefix_filter_join_is_exact(spark, oracle_sf_dir):
+    """Prefix filtering must lose NOTHING vs the brute co-shingle join."""
+    from etl_pipeline_old_spark.operators.dedup import jaccard_pairs, shingle_sets
+
+    pp = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup_prefix_filter_join(spark, oracle_sf_dir).collect()
+    }
+    sh = shingle_sets(load_table(spark, oracle_sf_dir, "documents"), "text", "doc_id", 3)
+    brute = {
+        (r.id_a, r.id_b): round(r.jaccard, 4)
+        for r in jaccard_pairs(sh).collect()
+        if r.jaccard >= PPJOIN_T
+    }
+    assert pp.keys() == brute.keys()
+    assert pp  # planted near-dupes exist at sf0.01
+
+
+def test_range_partition_plan_is_balanced(spark, oracle_sf_dir):
+    rows = layout_range_partition_plan(spark, oracle_sf_dir).collect()
+    assert len(rows) == N_RANGE_PARTS
+    counts = [r.n_rows for r in rows]
+    assert max(counts) - min(counts) <= 1  # skew-free by construction
+    by_pid = sorted(rows, key=lambda r: r.pid)
+    for lo_r, hi_r in zip(by_pid, by_pid[1:]):
+        assert lo_r.hi <= hi_r.lo  # boundaries are monotone
 
 
 def test_prune_manifest_single_shuffle(spark, oracle_sf_dir):

@@ -122,7 +122,7 @@ COVERAGE: list[tuple[str, str, list[str], str]] = [
     ("PIPE", "notebook pipelines", ["pipeline_logs", "pipeline_projectsync", "pipeline_yougile", "pipeline_gitlab_lines"], ""),
     ("RUN", "run.py orchestrator", ["run_full_pipeline"], "all datasets in one SparkSession + K4 loads"),
     # north-star extensions (BASELINE.json)
-    ("X-dedup", "dedup family", ["dedup_exact", "dedup_exact_normalized", "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs", "dedup_embedding_cosine", "dedup_clusters", "dedup_apply", "dedup_apply_keep_best", "dedup_semantic", "dedup_span_reconstruct", "dedup_incremental_probe"], "exact, MinHash-LSH, SimHash, Jaccard, embedding-cosine, connected components, keep-best apply, SemDeDup, exact-substring span dedup w/ reconstruction (Lee et al. 2022), incremental delta-vs-base index probe"),
+    ("X-dedup", "dedup family", ["dedup_exact", "dedup_exact_normalized", "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs", "dedup_embedding_cosine", "dedup_clusters", "dedup_apply", "dedup_apply_keep_best", "dedup_semantic", "dedup_span_reconstruct", "dedup_incremental_probe", "dedup_prefix_filter_join"], "exact, MinHash-LSH, SimHash, Jaccard, embedding-cosine, connected components, keep-best apply, SemDeDup, exact-substring span dedup w/ reconstruction (Lee et al. 2022), incremental delta-vs-base index probe, PPJoin prefix-filter exact similarity join"),
     ("X-boiler", "boilerplate detection", ["corpus_boilerplate_ngrams"], "cross-doc verbatim n-grams (Lee et al. 2022 exact-substring candidates)"),
     ("X-ann", "similarity search", ["ann_cosine_topk", "ann_lsh_cosine_topk", "ann_ivf_cosine_topk", "ann_lsh_recall_at_10", "ann_ivf_recall_at_10", "ann_hard_negatives", "ann_pq_binary_topk"], "recall@10 vs exact baseline, in-plan"),
     ("X-sql", "Spark SQL API surface", ["sql_api_nation_spend", "lateral_top3_orders", "pandas_api_migration", "collation_ci_grouping"], "identical SQL text runs on both engines"),
@@ -133,7 +133,7 @@ COVERAGE: list[tuple[str, str, list[str], str]] = [
     ("X-ivm", "incremental aggregate maintenance", ["incremental_agg_merge", "rollup_cascade_daily", "sketch_hll_partitioned_union", "sketch_cms_event_counts"], "partial-state merge; oracle IS the IVM invariant; mergeable count-min sketch w/ in-plan one-sided-error assertion"),
     ("X-graph", "graph analytics", ["graph_pagerank", "dedup_clusters", "graph_triangle_count"], "bounded power iteration w/ dangling mass; label propagation; oriented-edge triangle count"),
     ("X-ts", "time-series / CDC", ["cdc_changelog_compact", "ts_gapfill_ffill", "ts_resample_ohlc", "ts_time_weighted_avg"], "changelog compaction w/ tombstones, dense ffill series, OHLC bars"),
-    ("X-layout", "storage layout", ["zorder_zvalue", "k7_partitioned_write_prune", "layout_compaction_bins", "layout_minmax_prune"], "Z-order keys (clustering asserted on parquet footers); Hive-partitioned write w/ pruned readback (PartitionFilters asserted in test_plans.py); small-file compaction planner; min/max file-stats skipping manifest (hash vs sort-on-write layouts)"),
+    ("X-layout", "storage layout", ["zorder_zvalue", "k7_partitioned_write_prune", "layout_compaction_bins", "layout_minmax_prune", "layout_range_partition_plan"], "Z-order keys (clustering asserted on parquet footers); Hive-partitioned write w/ pruned readback (PartitionFilters asserted in test_plans.py); small-file compaction planner; min/max file-stats skipping manifest (hash vs sort-on-write layouts); balanced range-partition plan for sorted writes"),
     ("X-analytics", "event analytics", ["events_funnel", "events_retention_cohorts", "events_rate_anomaly", "basket_brand_lift", "events_decayed_value", "events_cumulative_uniques", "events_markov_transitions", "events_anomaly_mad"], "ordered funnel w/ conversion window, retention cohorts, integer-exact rolling z-score anomaly, Markov transition matrix, MAD robust outlier flags"),
     ("X-corpus", "training-corpus capstone", ["pipeline_training_corpus", "pipeline_streaming_corpus"], "normalize→quality→dedup→deterministic split→manifest"),
     ("X-gov", "corpus governance", ["corpus_contamination_check", "corpus_token_pack", "corpus_stratified_sample", "corpus_lang_quota", "corpus_chunk_overlap", "corpus_repetition_score", "corpus_gopher_rules", "corpus_dsir_weights", "corpus_mix_weights", "corpus_kl_by_source", "sample_weighted_hash", "privacy_k_anonymity", "gdpr_erasure_propagation"], "eval-contamination, token packing, quota sampling, chunking, Gopher repetition + rule set, DSIR importance weights, UniMax mixture weights, per-source KL drift, hash-weighted mixture sampling, k-anonymity release gate, right-to-erasure propagation audit"),
