@@ -70,10 +70,13 @@ HEADLINE = [
     "k7_partitioned_write_prune",
     "graph_triangle_count",
     # r3 final wave: the compressed-vector ANN path, the heaviest text-LM
-    # scoring join, and the CMS sketch build+probe
+    # scoring join, the CMS sketch build+probe, and the deterministic
+    # prefix-filter similarity join (the exact counterpart to MinHash-LSH,
+    # so their relative cost stays visible round-over-round)
     "ann_pq_binary_topk",
     "corpus_bigram_perplexity",
     "sketch_cms_event_counts",
+    "dedup_prefix_filter_join",
 ]
 
 

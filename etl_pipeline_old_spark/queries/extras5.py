@@ -563,6 +563,98 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KNN_K = 5
+
+
+def _knn_graph_oracle() -> str:
+    """Directed LSH kNN graph over ALL vectors: the bucket CTEs from
+    queries/similarity.py without the query-id restriction."""
+    from .similarity import N_BITS, N_TABLES, _BASE_CTE, _table_bits
+
+    tables = "\n      UNION ALL\n".join(
+        f"SELECT vec_id, {t} AS tbl, {_table_bits(N_BITS, 42 + t)} AS bucket FROM base"
+        for t in range(N_TABLES)
+    )
+    return f"""
+    WITH {_BASE_CTE},
+    b AS ({tables}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS src, b2.vec_id AS dst
+      FROM b a JOIN b b2 USING (tbl, bucket) WHERE a.vec_id <> b2.vec_id),
+    scored AS (
+      SELECT c.src, c.dst,
+             round(list_cosine_similarity(
+               qe.embedding::DOUBLE[], ne.embedding::DOUBLE[]), 6) AS cos_sim
+      FROM cand c
+      JOIN embeddings qe ON qe.vec_id = c.src
+      JOIN embeddings ne ON ne.vec_id = c.dst)
+    SELECT src, dst, cos_sim, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY src ORDER BY cos_sim DESC, dst) AS rank
+      FROM scored)
+    WHERE rank <= {KNN_K}
+    """
+
+
+@register(
+    "ann_knn_graph_lsh",
+    oracle=_knn_graph_oracle(),
+    doc=f"Directed k-NN graph (k={KNN_K}) over ALL vectors via hyperplane-"
+    "LSH: every vector is simultaneously query and candidate, so the "
+    "bucket table self-joins on (tbl, bucket) — candidate cost scales "
+    "with per-bucket occupancy, never all-pairs — and each source keeps "
+    "its exact-cosine top-k among collided candidates. THE construction "
+    "step for graph-based corpus curation (SemDeDup clustering, "
+    "graph-connected dedup, hubness audits): downstream ops consume the "
+    "edge list, not the vectors. Same integer-quantized planes as the "
+    "other ANN entries, so the whole graph hash-matches the DuckDB "
+    "oracle. At 100 TB the bucket table is written partitioned by "
+    "(tbl, bucket) (write_lsh_layout) and the self-join becomes "
+    "per-partition local.",
+)
+def ann_knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity as SIM
+    from .similarity import N_BITS, N_TABLES, QUANT_SCALE
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = SIM.hyperplane_lsh_buckets(
+        emb,
+        n_bits=N_BITS,
+        dim=64,
+        seed=42,
+        quantize_scale=QUANT_SCALE,
+        n_tables=N_TABLES,
+    ).select("vec_id", "tbl", "bucket")
+    cand = (
+        b.alias("a")
+        .join(b.alias("c"), ["tbl", "bucket"])
+        .filter(F.col("a.vec_id") != F.col("c.vec_id"))
+        .select(F.col("a.vec_id").alias("src"), F.col("c.vec_id").alias("dst"))
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("vb"))
+    scored = (
+        cand.join(ea, "src")
+        .join(eb, "dst")
+        .select(
+            "src",
+            "dst",
+            F.round(SIM.cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+    )
+    return (
+        scored.withColumn(
+            "rank",
+            F.row_number().over(
+                W.partitionBy("src").orderBy(F.desc("cos_sim"), "dst")
+            ),
+        )
+        .filter(F.col("rank") <= KNN_K)
+        .select("src", "dst", "cos_sim", "rank")
+    )
+
+
 N_RANGE_PARTS = 8
 
 

@@ -10,8 +10,10 @@ from etl_pipeline_old_spark.catalog import load_table
 from etl_pipeline_old_spark.queries.extras5 import (
     K_ANON,
     MIX_KEEP_PM,
+    KNN_K,
     N_RANGE_PARTS,
     PPJOIN_T,
+    ann_knn_graph_lsh,
     dedup_prefix_filter_join,
     events_anomaly_mad,
     events_markov_transitions,
@@ -109,6 +111,32 @@ def test_prefix_filter_join_is_exact(spark, oracle_sf_dir):
     }
     assert pp.keys() == brute.keys()
     assert pp  # planted near-dupes exist at sf0.01
+
+
+def test_knn_graph_shape_and_quality(spark, oracle_sf_dir):
+    rows = ann_knn_graph_lsh(spark, oracle_sf_dir).collect()
+    n_vectors = load_table(spark, oracle_sf_dir, "embeddings").count()
+    per_src: dict[int, int] = {}
+    for r in rows:
+        per_src[r.src] = per_src.get(r.src, 0) + 1
+        assert r.src != r.dst
+        assert 1 <= r.rank <= KNN_K
+    # OR-amplified buckets give every vector a full candidate set here
+    assert len(per_src) == n_vectors
+    assert all(v == KNN_K for v in per_src.values())
+    # within each source, similarity is non-increasing in rank, and the
+    # sign-bucket collision premise holds: collided top-1 neighbors are
+    # positively similar (these embeddings have no planted clusters, so a
+    # strong absolute threshold would be asserting a property of the
+    # random testdata, not of the operator)
+    by_src: dict[int, list] = {}
+    for r in rows:
+        by_src.setdefault(r.src, []).append(r)
+    for edges in by_src.values():
+        edges.sort(key=lambda r: r.rank)
+        sims = [r.cos_sim for r in edges]
+        assert sims == sorted(sims, reverse=True)
+    assert all(r.cos_sim > 0 for r in rows if r.rank == 1)
 
 
 def test_range_partition_plan_is_balanced(spark, oracle_sf_dir):
