@@ -86,6 +86,54 @@ def test_classifier_first_match_wins_property(spark, texts, rule_order):
     assert got == [py_classify(t) for t in texts]
 
 
+# printable-ASCII + the whitespace the NORM regex targets: both engines'
+# \s and lower() agree on this range unconditionally (Unicode case/space
+# mapping edge cases — ß, İ, NBSP — are out of the oracle contract: the
+# testdata is ASCII and both NORM implementations are ASCII-\s regexes)
+ascii_ws = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+    min_size=0,
+    max_size=50,
+).map(lambda s: s.replace("\x7f", " "))
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.one_of(ascii_ws, st.text(" \t\n\r", max_size=6)), min_size=1, max_size=20))
+def test_md5_long_matches_duckdb(spark, texts):
+    """The cross-engine hash underpinning dedup/sampling/split oracles:
+    Spark md5_long(s) must equal DuckDB's MD5_LONG_SQL for arbitrary
+    strings, or every hash-keyed oracle in the registry is coincidence."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_old_spark.operators.dedup import MD5_LONG_SQL, md5_long
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, s string")
+    got = {r.i: r.h for r in df.select("i", md5_long(F.col("s")).alias("h")).collect()}
+    con = duckdb.connect()
+    sql = "SELECT " + MD5_LONG_SQL.format(x="?")
+    for i, t in enumerate(texts):
+        assert got[i] == con.execute(sql, [t]).fetchone()[0], repr(t)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.one_of(ascii_ws, st.text(" \t\n\r", max_size=6)), min_size=1, max_size=20))
+def test_normalize_text_matches_duckdb(spark, texts):
+    """normalize_text (Spark) vs NORMALIZE_SQL (DuckDB) — the shared
+    canonical form every text-dedup oracle starts from."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_old_spark.operators.dedup import NORMALIZE_SQL, normalize_text
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, s string")
+    got = {r.i: r.n for r in df.select("i", normalize_text(F.col("s")).alias("n")).collect()}
+    con = duckdb.connect()
+    sql = "SELECT " + NORMALIZE_SQL.format(x="?")
+    for i, t in enumerate(texts):
+        assert got[i] == con.execute(sql, [t]).fetchone()[0], repr(t)
+
+
 def test_join_left_cardinality_with_duplicate_dim_keys(spark):
     # property boundary: the enrich contract assumes unique-keyed dims;
     # a duplicate dim key MUST fan out (documenting, not hiding, the edge)
