@@ -563,6 +563,129 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ATTRIB_WINDOW_US = 86_400_000_000  # 24h last-touch lookback, microseconds
+
+
+@register(
+    "events_attribution_last_touch",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, ts, event_type, value,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS touch_type,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN epoch_us(ts) END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS touch_us
+      FROM events),
+    p AS (
+      SELECT CASE WHEN touch_us IS NOT NULL
+                   AND epoch_us(ts) - touch_us <= {ATTRIB_WINDOW_US}
+                  THEN touch_type ELSE 'none' END AS touch_type,
+             value
+      FROM seq WHERE event_type = 'purchase')
+    SELECT touch_type, count(*)::BIGINT AS n_purchases,
+           round(sum(value), 2) AS value_sum
+    FROM p GROUP BY touch_type
+    """,
+    doc="Last-touch marketing attribution in ONE window pass: a running "
+    "last-non-null (touch type, touch time) over each user's ordered "
+    "stream, then every purchase credits its most recent click/view "
+    "within a 24h lookback (else 'none'). No self-join of purchases "
+    "against touches — the running-state window is the same per-user "
+    "(ts, event_id) ordering sessionization and the Markov entry use, so "
+    "at 100 TB the whole behavioral family shares one sort-shuffle. "
+    "Value sums rounded identically in both engines.",
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    is_touch = F.col("event_type").isin("click", "view")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    seq = e.withColumn(
+        "touch_type",
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True).over(w),
+    ).withColumn(
+        "touch_us",
+        F.last(F.when(is_touch, F.unix_micros("ts")), ignorenulls=True).over(w),
+    )
+    p = seq.filter(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("touch_us").isNotNull()
+            & (F.unix_micros("ts") - F.col("touch_us") <= ATTRIB_WINDOW_US),
+            F.col("touch_type"),
+        )
+        .otherwise(F.lit("none"))
+        .alias("touch_type"),
+        "value",
+    )
+    return p.groupBy("touch_type").agg(
+        F.count("*").cast("long").alias("n_purchases"),
+        F.round(F.sum("value"), 2).alias("value_sum"),
+    )
+
+
+PATH_TOPN = 20
+
+
+@register(
+    "events_path_topn",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type AS t0,
+             lead(event_type, 1) OVER w AS t1,
+             lead(event_type, 2) OVER w AS t2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    paths AS (
+      SELECT t0 || '>' || t1 || '>' || t2 AS path, count(*)::BIGINT AS n
+      FROM seq WHERE t2 IS NOT NULL
+      GROUP BY 1)
+    SELECT path, n, rank FROM (
+      SELECT path, n, row_number() OVER (ORDER BY n DESC, path) AS rank
+      FROM paths)
+    WHERE rank <= {PATH_TOPN}
+    """,
+    doc=f"Top-{PATH_TOPN} 3-step behavioral paths: two leads over the "
+    "shared per-user (ts, event_id) window -> path string -> count -> "
+    "deterministic top-N. The n-gram generalization of the Markov entry "
+    "(order-2 context instead of order-1); the path alphabet is "
+    "|event_types|³ so the aggregate output stays tiny no matter the "
+    "fact-table size.",
+)
+def events_path_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("t0"),
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+    )
+    paths = (
+        seq.filter(F.col("t2").isNotNull())
+        .groupBy(F.concat_ws(">", "t0", "t1", "t2").alias("path"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    return (
+        paths.withColumn(
+            "rank", F.row_number().over(W.orderBy(F.desc("n"), "path"))
+        )
+        .filter(F.col("rank") <= PATH_TOPN)
+        .select("path", "n", "rank")
+    )
+
+
 KNN_K = 5
 
 

@@ -13,7 +13,10 @@ from etl_pipeline_old_spark.queries.extras5 import (
     KNN_K,
     N_RANGE_PARTS,
     PPJOIN_T,
+    PATH_TOPN,
     ann_knn_graph_lsh,
+    events_attribution_last_touch,
+    events_path_topn,
     dedup_prefix_filter_join,
     events_anomaly_mad,
     events_markov_transitions,
@@ -111,6 +114,24 @@ def test_prefix_filter_join_is_exact(spark, oracle_sf_dir):
     }
     assert pp.keys() == brute.keys()
     assert pp  # planted near-dupes exist at sf0.01
+
+
+def test_attribution_conserves_purchases(spark, oracle_sf_dir):
+    out = events_attribution_last_touch(spark, oracle_sf_dir).collect()
+    assert {r.touch_type for r in out} <= {"click", "view", "none"}
+    total = (
+        load_table(spark, oracle_sf_dir, "events")
+        .filter("event_type = 'purchase'")
+        .count()
+    )
+    assert sum(r.n_purchases for r in out) == total  # every purchase lands once
+
+
+def test_path_topn_is_ranked_and_bounded(spark, oracle_sf_dir):
+    rows = sorted(events_path_topn(spark, oracle_sf_dir).collect(), key=lambda r: r.rank)
+    assert len(rows) == PATH_TOPN
+    assert all(a.n >= b.n for a, b in zip(rows, rows[1:]))
+    assert all(len(r.path.split(">")) == 3 for r in rows)
 
 
 def test_knn_graph_shape_and_quality(spark, oracle_sf_dir):
