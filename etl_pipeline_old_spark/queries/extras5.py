@@ -128,10 +128,11 @@ def layout_minmax_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"segment), k={K_ANON}: equivalence classes below k get their segment "
     "generalized to '*' (one rung of the generalization ladder) and are "
     "re-aggregated; the k_ok flag stays honest for merged classes that "
-    "remain small. Two map-side-combined groupBys on aligned keys — the "
-    "second reuses the first's partitioning, so one real shuffle. The "
-    "release gate a training-data pipeline runs before shipping "
-    "user-derived tables.",
+    "remain small. One fact-scale map-side-combined groupBy; the "
+    "re-aggregation shuffles only the first pass's OUTPUT (one row per "
+    "equivalence class — metadata-sized at any fact scale). The release "
+    "gate a training-data pipeline runs before shipping user-derived "
+    "tables.",
 )
 def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment")
