@@ -23,7 +23,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..operators.dedup import MD5_LONG_SQL, NORMALIZE_SQL, md5_long
+from ..operators.dedup import MD5_LONG_SQL, md5_long
 from ..registry import register
 
 # data-skipping predicate: one second-half-of-1996 scan window
@@ -168,7 +168,7 @@ def _cms_bucket(row_col: F.Column, key_col: F.Column) -> F.Column:
       SELECT event_type || '#' || (user_id % {CMS_USER_MOD})::VARCHAR AS key
       FROM events),
     exact AS (SELECT key, count(*)::BIGINT AS exact_n FROM e GROUP BY key),
-    r AS (SELECT unnest([0, 1, 2, 3]) AS r),
+    r AS (SELECT unnest([{", ".join(str(i) for i in range(CMS_ROWS))}]) AS r),
     sk AS (
       SELECT r.r, {_cms_bucket_sql("r.r", "e.key")} AS bucket,
              count(*)::BIGINT AS c
@@ -452,36 +452,28 @@ def gdpr_erasure_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PPJOIN_T = 0.7  # Jaccard threshold; prefix math below is exact for t = 7/10
-_DOC_NORM = NORMALIZE_SQL.format(x="text")
-
-# set elements are word-3-gram shingles (same universe as
-# dedup_ngram_jaccard / MinHash): distinct UNIGRAMS of the ~30-word
-# synthetic vocabulary make nearly every doc-pair similar, which is not a
-# property of the algorithm but of degenerate sets — shingles keep the
-# set universe large enough that Jaccard discriminates
-_PP_SH_CTE = f"""
-    tok AS (
-      SELECT doc_id, string_split({_DOC_NORM}, ' ') AS toks FROM documents),
-    sh AS (
-      SELECT DISTINCT doc_id,
-             array_to_string(list_slice(toks, i, i + 2), ' ') AS sh
-      FROM tok, UNNEST(generate_series(1, greatest(len(toks) - 2, 0))) u(i))"""
 
 
-@register(
-    "dedup_prefix_filter_join",
-    oracle=f"""
-    WITH {_PP_SH_CTE},
-    sizes AS (SELECT doc_id, count(*)::BIGINT AS len FROM sh GROUP BY doc_id),
+def _ppjoin_oracle() -> str:
+    """Prefix-filter join over the SAME shingle universe as
+    dedup_ngram_jaccard / MinHash (shared _SHINGLE_CTE: tok, sh, sizes).
+    Distinct UNIGRAMS of the ~30-word synthetic vocabulary would make
+    nearly every doc-pair similar — a property of degenerate sets, not of
+    the algorithm — so the set elements are word-3-grams. The final
+    filter applies to the ROUNDED ratio, matching jaccard_pairs' output."""
+    from .dedup_text import _SHINGLE_CTE
+
+    return f"""
+    WITH {_SHINGLE_CTE},
     df AS (SELECT sh, count(*)::BIGINT AS df FROM sh GROUP BY sh),
     ranked AS (
-      SELECT s.doc_id, s.sh, z.len,
+      SELECT s.doc_id, s.sh, z.n_sh,
              row_number() OVER (
                PARTITION BY s.doc_id ORDER BY d.df, s.sh) AS rn
       FROM sh s JOIN df d USING (sh) JOIN sizes z USING (doc_id)),
     pref AS (
       SELECT doc_id, sh FROM ranked
-      WHERE rn <= len - (7 * len + 9) // 10 + 1),
+      WHERE rn <= n_sh - (7 * n_sh + 9) // 10 + 1),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM pref a JOIN pref b ON a.sh = b.sh AND a.doc_id < b.doc_id),
@@ -492,12 +484,17 @@ _PP_SH_CTE = f"""
       JOIN sh tb ON tb.doc_id = c.id_b AND tb.sh = ta.sh
       GROUP BY c.id_a, c.id_b)
     SELECT id_a, id_b,
-           round(n_inter / (sa.len + sb.len - n_inter), 4) AS jaccard
+           round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
     FROM inter
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
-    WHERE n_inter / (sa.len + sb.len - n_inter) >= {PPJOIN_T}
-    """,
+    WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) >= {PPJOIN_T}
+    """
+
+
+@register(
+    "dedup_prefix_filter_join",
+    oracle=_ppjoin_oracle(),
     doc=f"EXACT set-similarity self-join (shingle Jaccard >= {PPJOIN_T}) "
     "via prefix filtering (the PPJoin family, Xiao et al. 2008): shingles "
     "are globally ordered rarest-first, each document exposes only its "
@@ -512,56 +509,36 @@ _PP_SH_CTE = f"""
     "integer ceil algebra so both engines cut identical prefixes.",
 )
 def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import shingle_sets
+    from ..operators import dedup as DD
 
     d = load_table(spark, sf_dir, "documents")
-    sh = shingle_sets(d, "text", "doc_id", 3).withColumnRenamed("id", "doc_id")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("len"))
+    # (id, sh) — persisted: it feeds the df/size/prefix builds AND the
+    # candidates-first verify (same pattern as dedup_incremental_probe)
+    sh = DD.shingle_sets(d, "text", "doc_id", 3).persist()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     df_ = sh.groupBy("sh").agg(F.count("*").alias("df"))
     ranked = (
         sh.join(df_, "sh")
-        .join(sizes, "doc_id")
+        .join(sizes, "id")
         .withColumn(
             "rn",
-            F.row_number().over(W.partitionBy("doc_id").orderBy("df", "sh")),
+            F.row_number().over(W.partitionBy("id").orderBy("df", "sh")),
         )
     )
     pref = ranked.filter(
-        F.col("rn") <= F.col("len") - F.expr("(7 * len + 9) DIV 10") + 1
-    ).select("doc_id", "sh")
+        F.col("rn") <= F.col("n_sh") - F.expr("(7 * n_sh + 9) DIV 10") + 1
+    ).select("id", "sh")
     cand = (
         pref.alias("a")
         .join(
             pref.alias("b"),
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")),
         )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    inter = (
-        cand.join(sh.alias("ta"), F.col("ta.doc_id") == F.col("id_a"))
-        .join(
-            sh.alias("tb"),
-            (F.col("tb.doc_id") == F.col("id_b"))
-            & (F.col("tb.sh") == F.col("ta.sh")),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    sa = sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("len", "len_a")
-    sb = sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("len", "len_b")
-    union_size = F.col("len_a") + F.col("len_b") - F.col("n_inter")
-    return (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
-        .filter(F.col("n_inter") / union_size >= PPJOIN_T)
-        .select(
-            "id_a",
-            "id_b",
-            F.round(F.col("n_inter") / union_size, 4).alias("jaccard"),
-        )
-    )
+    out = DD.jaccard_pairs(sh, candidates=cand).filter(F.col("jaccard") >= PPJOIN_T)
+    return DD.materialize_release(out, sh)
 
 
 ATTRIB_WINDOW_US = 86_400_000_000  # 24h last-touch lookback, microseconds

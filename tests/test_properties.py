@@ -94,7 +94,7 @@ ascii_ws = st.text(
     alphabet=st.characters(min_codepoint=32, max_codepoint=126),
     min_size=0,
     max_size=50,
-).map(lambda s: s.replace("\x7f", " "))
+)
 
 
 @settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
