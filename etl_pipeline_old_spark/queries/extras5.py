@@ -541,6 +541,119 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.materialize_release(out, sh)
 
 
+@register(
+    "stream_scd2_apply",
+    oracle="""
+    WITH chg AS (
+      SELECT o_orderkey, o_orderstatus AS status, o_orderdate AS eff_ts
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, 'X', o_orderdate + INTERVAL 30 DAY
+      FROM orders WHERE o_orderkey % 11 = 0)
+    SELECT o_orderkey, status,
+           eff_ts AS valid_from,
+           lead(eff_ts) OVER w AS valid_to,
+           (lead(eff_ts) OVER w IS NULL) AS is_current
+    FROM chg
+    WINDOW w AS (PARTITION BY o_orderkey ORDER BY eff_ts, status)
+    """,
+    doc="STREAMING SCD2 (type-2) apply: a two-shard changelog (initial "
+    "statuses, then 30-days-later corrections for every 11th order) "
+    "arrives through the file stream source one file per micro-batch; "
+    "foreachBatch re-chains ONLY the touched keys — prior versions of "
+    "batch keys + the batch rows get a fresh [valid_from, valid_to) "
+    "lead() chain, untouched keys are carried over — and the final "
+    "history equals the batch SCD2 of the whole changelog regardless of "
+    "how the stream was batched. The type-2 companion to "
+    "stream_foreachbatch_upsert's type-1 merge; the full-table rewrite "
+    "is the parquet stand-in for a lakehouse MERGE — at 100 TB the "
+    "target is a transactional table partitioned by key-bucket and each "
+    "batch rewrites only its touched buckets.",
+)
+def stream_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import uuid
+
+    from ..session import ensure_session_confs
+
+    ensure_session_confs(spark)
+    base = os.path.join(
+        "/tmp/etl_pipeline_old_spark_cache",
+        f"scd2_stream_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}_{uuid.uuid4().hex[:6]}",
+    )
+    feed, target, chk = base + "_feed", base + "_target", base + "_chk"
+    os.makedirs(feed, exist_ok=True)
+
+    o = load_table(spark, sf_dir, "orders")
+    v1 = o.select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderdate").alias("eff_ts"),
+    )
+    v2 = (
+        o.filter(F.col("o_orderkey") % 11 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("X").alias("status"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("eff_ts"),
+        )
+    )
+    # stage the two changelog shards as ONE parquet file each, renamed so
+    # the corrections shard sorts (and is admitted) after the initial load
+    for tag, shard in (("aaa-initial", v1), ("zzz-corrections", v2)):
+        tmp = f"{base}_stage_{tag}"
+        shard.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(p for p in os.listdir(tmp) if p.startswith("part-"))
+        os.rename(os.path.join(tmp, part), os.path.join(feed, f"{tag}.parquet"))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        batch = batch_df.select("o_orderkey", "status", "eff_ts")
+        if os.path.exists(target):
+            cur = s.read.parquet(target)
+            touched = batch.select("o_orderkey").distinct()
+            keep = cur.join(touched, "o_orderkey", "left_anti")
+            prior = (
+                cur.join(touched, "o_orderkey", "semi")
+                .select(
+                    "o_orderkey", "status", F.col("valid_from").alias("eff_ts")
+                )
+            )
+            versions = prior.unionByName(batch)
+        else:
+            keep = None
+            versions = batch
+        w = W.partitionBy("o_orderkey").orderBy("eff_ts", "status")
+        chained = versions.select(
+            "o_orderkey",
+            "status",
+            F.col("eff_ts").alias("valid_from"),
+            F.lead("eff_ts").over(w).alias("valid_to"),
+            F.lead("eff_ts").over(w).isNull().alias("is_current"),
+        )
+        out = chained if keep is None else keep.unionByName(chained)
+        out.write.mode("overwrite").parquet(target + "_next")
+        shutil.rmtree(target, ignore_errors=True)
+        os.rename(target + "_next", target)
+
+    q = (
+        spark.readStream.schema("o_orderkey long, status string, eff_ts timestamp_ntz")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+        .writeStream.foreachBatch(merge)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.read.parquet(target)
+
+
 ATTRIB_WINDOW_US = 86_400_000_000  # 24h last-touch lookback, microseconds
 
 

@@ -26,6 +26,7 @@ from etl_pipeline_old_spark.queries.extras5 import (
     privacy_k_anonymity,
     sample_weighted_hash,
     sketch_cms_event_counts,
+    stream_scd2_apply,
 )
 
 
@@ -168,6 +169,29 @@ def test_range_partition_plan_is_balanced(spark, oracle_sf_dir):
     by_pid = sorted(rows, key=lambda r: r.pid)
     for lo_r, hi_r in zip(by_pid, by_pid[1:]):
         assert lo_r.hi <= hi_r.lo  # boundaries are monotone
+
+
+def test_stream_scd2_closes_and_keeps_one_current(spark, sf_dir):
+    rows = stream_scd2_apply(spark, sf_dir).collect()
+    by_key: dict[int, list] = {}
+    for r in rows:
+        by_key.setdefault(r.o_orderkey, []).append(r)
+    assert by_key
+    saw_two_versions = False
+    for key, versions in by_key.items():
+        current = [r for r in versions if r.is_current]
+        assert len(current) == 1  # exactly one open row per key
+        assert current[0].valid_to is None
+        if key % 11 == 0:
+            saw_two_versions = True
+            assert len(versions) == 2
+            old = next(r for r in versions if not r.is_current)
+            new = current[0]
+            assert new.status == "X"
+            assert old.valid_to == new.valid_from  # chain is gap-free
+        else:
+            assert len(versions) == 1
+    assert saw_two_versions
 
 
 def test_prune_manifest_single_shuffle(spark, oracle_sf_dir):
