@@ -542,6 +542,56 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "udaf_grouped_agg_gini",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderpriority, o_totalprice,
+             row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, o_orderkey) AS i,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n,
+             sum(o_totalprice) OVER (PARTITION BY o_orderpriority) AS s
+      FROM orders)
+    SELECT o_orderpriority,
+           round(2.0 * sum(i * o_totalprice) / (max(n) * max(s))
+                 - (max(n) + 1.0) / max(n), 6) AS gini
+    FROM r GROUP BY o_orderpriority
+    """,
+    doc="§2.12 pandas GROUPED_AGG UDAF (the Series -> scalar aggregation "
+    "extension point — the one UDF surface the registry didn't yet "
+    "exercise): Gini concentration of order totals per priority class, "
+    "computed from each group's sorted vector in numpy. Inherently "
+    "rank-dependent, so no built-in aggregate expresses it directly; the "
+    "oracle reproduces it with a rank window. Tied amounts contribute "
+    "identically under any tie order (equal values x equal-sum rank "
+    "blocks), so both engines agree exactly at 6 decimals.",
+)
+def udaf_grouped_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    def _gini(v):
+        x = np.sort(v.to_numpy(dtype="float64"))
+        n = len(x)
+        s = x.sum()
+        if n == 0 or s == 0:
+            return float("nan")
+        ranks = np.arange(1, n + 1, dtype="float64")
+        return float(2.0 * ranks.dot(x) / (n * s) - (n + 1.0) / n)
+
+    # `from __future__ import annotations` stringifies inline hints, which
+    # pandas-UDF inference can't evaluate — attach REAL annotation objects
+    # so Series -> float selects the GROUPED_AGG eval type
+    _gini.__annotations__ = {"v": pd.Series, "return": float}
+    gini = F.pandas_udf(_gini, "double")
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(gini("o_totalprice"), 6).alias("gini")
+    )
+
+
+@register(
     "stream_scd2_apply",
     oracle="""
     WITH chg AS (
