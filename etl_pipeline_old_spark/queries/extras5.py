@@ -592,6 +592,50 @@ def udaf_grouped_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "udf_scalar_iter_classify",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN regexp_matches(text, '[0-9]') THEN 'has_digit'
+                WHEN length(text) > 200 THEN 'long'
+                ELSE 'plain' END AS doc_class
+    FROM documents
+    """,
+    doc="§2.12 SCALAR_ITER pandas UDF (Iterator[Series] -> "
+    "Iterator[Series]): the per-partition init-once pattern — the "
+    "classifier 'model' (here a compiled regex + threshold table, "
+    "standing in for a real tokenizer/ONNX session) is constructed ONCE "
+    "per worker before the batch loop, then streamed over Arrow batches. "
+    "The variant scalar pandas UDFs can't express: their function body "
+    "pays init per BATCH. Logic mirrored in the oracle as a CASE chain.",
+)
+def udf_scalar_iter_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    def _classify_batches(batches):
+        import re
+
+        digit = re.compile(r"[0-9]")  # init-once-per-worker section
+
+        for s in batches:
+            has_digit = s.map(lambda t: bool(digit.search(t)) if t is not None else False)
+            yield pd.Series(
+                ["has_digit" if d else ("long" if t is not None and len(t) > 200 else "plain")
+                 for d, t in zip(has_digit, s)]
+            )
+
+    from collections.abc import Iterator
+
+    _classify_batches.__annotations__ = {
+        "batches": Iterator[pd.Series],
+        "return": Iterator[pd.Series],
+    }
+    classify = F.pandas_udf(_classify_batches, "string")
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", classify("text").alias("doc_class"))
+
+
+@register(
     "stream_scd2_apply",
     oracle="""
     WITH chg AS (
