@@ -47,6 +47,7 @@ _MODULES = (
     "scale_ops",
     "extras4",
     "extras5",
+    "entity_resolution",
 )
 
 
