@@ -77,6 +77,9 @@ HEADLINE = [
     "corpus_bigram_perplexity",
     "sketch_cms_event_counts",
     "dedup_prefix_filter_join",
+    # r3 late wave: entity resolution end-to-end (blocking self-join +
+    # scoring + iterative components + golden-record agg in one plan)
+    "er_golden_record",
 ]
 
 

@@ -253,6 +253,115 @@ def er_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "er_incremental_link",
+    oracle=f"""
+    WITH {_RECORDS_CTE},
+    base AS (SELECT * FROM records WHERE rec_id < {DIRTY_OFFSET}),
+    delta AS (SELECT * FROM records WHERE rec_id >= {DIRTY_OFFSET}),
+    bblocks AS (
+      SELECT rec_id, 'A' || '|' || seg || '|' || bal_cents::VARCHAR AS bkey
+      FROM base
+      UNION ALL
+      SELECT rec_id,
+             'B' || '|' || nation::VARCHAR || '|'
+                 || CAST(floor(bal_cents / {float(BAL_BAND)}) AS BIGINT)::VARCHAR
+      FROM base),
+    dblocks AS (
+      SELECT rec_id, 'A' || '|' || seg || '|' || bal_cents::VARCHAR AS bkey
+      FROM delta
+      UNION ALL
+      SELECT rec_id,
+             'B' || '|' || nation::VARCHAR || '|'
+                 || CAST(floor(bal_cents / {float(BAL_BAND)}) AS BIGINT)::VARCHAR
+      FROM delta),
+    cand AS (
+      SELECT DISTINCT d.rec_id AS rec_id, b.rec_id AS base_rec_id
+      FROM dblocks d JOIN bblocks b ON d.bkey = b.bkey),
+    scored AS (
+      SELECT c.rec_id, c.base_rec_id,
+             round(0.7 * (1.0 - levenshtein(rd.name, rb.name)::DOUBLE
+                            / greatest(length(rd.name), length(rb.name)))
+                 + 0.3 * (1.0 - least(abs(rd.bal_cents - rb.bal_cents), 100)
+                            / 100.0), 6) AS score
+      FROM cand c
+      JOIN delta rd ON rd.rec_id = c.rec_id
+      JOIN base rb ON rb.rec_id = c.base_rec_id),
+    best AS (
+      SELECT rec_id, base_rec_id, score FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY rec_id ORDER BY score DESC, base_rec_id) AS rn
+        FROM scored WHERE score >= {MATCH_THRESHOLD})
+      WHERE rn = 1)
+    SELECT d.rec_id,
+           b.base_rec_id AS matched_rec_id,
+           b.score,
+           b.base_rec_id IS NULL AS is_new
+    FROM delta d LEFT JOIN best b ON b.rec_id = d.rec_id
+    """,
+    doc="ER incremental path — link a DELTA batch (the dirty variants, "
+    "standing in for newly arriving records) against the clean BASE "
+    "master: same two-pass blocking and scoring, then best-match-per-"
+    "delta-record via row_number (ties broken by base id), unmatched "
+    "marked is_new. No clustering and no delta×delta work — the shape a "
+    "foreachBatch MDM sink runs per micro-batch; base blocks are a "
+    "pre-built index at 100 TB, so each batch costs O(|delta| × "
+    "block-occupancy).",
+)
+def er_incremental_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    records = _records(spark, sf_dir)
+    base = records.filter(F.col("rec_id") < DIRTY_OFFSET)
+    delta = records.filter(F.col("rec_id") >= DIRTY_OFFSET)
+    bblocks = base.select("rec_id", F.explode(_block_keys()).alias("bkey"))
+    dblocks = delta.select("rec_id", F.explode(_block_keys()).alias("bkey"))
+    cand = (
+        dblocks.alias("d")
+        .join(bblocks.alias("b"), F.col("d.bkey") == F.col("b.bkey"))
+        .select(
+            F.col("d.rec_id").alias("rec_id"),
+            F.col("b.rec_id").alias("base_rec_id"),
+        )
+        .distinct()
+    )
+    rd = delta.alias("rd")
+    rb = base.alias("rb")
+    name_sim = F.lit(1.0) - F.levenshtein(F.col("rd.name"), F.col("rb.name")).cast(
+        "double"
+    ) / F.greatest(F.length("rd.name"), F.length("rb.name"))
+    bal_sim = F.lit(1.0) - F.least(
+        F.abs(F.col("rd.bal_cents") - F.col("rb.bal_cents")), F.lit(100)
+    ) / F.lit(100.0)
+    scored = (
+        cand.alias("c")
+        .join(rd, F.col("rd.rec_id") == F.col("c.rec_id"))
+        .join(rb, F.col("rb.rec_id") == F.col("c.base_rec_id"))
+        .select(
+            F.col("c.rec_id").alias("rec_id"),
+            F.col("c.base_rec_id").alias("base_rec_id"),
+            F.round(F.lit(0.7) * name_sim + F.lit(0.3) * bal_sim, 6).alias("score"),
+        )
+    )
+    w = W.partitionBy("rec_id").orderBy(F.desc("score"), F.asc("base_rec_id"))
+    best = (
+        scored.filter(F.col("score") >= MATCH_THRESHOLD)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("rec_id", "base_rec_id", "score")
+    )
+    return (
+        delta.select("rec_id")
+        .join(best, "rec_id", "left")
+        .select(
+            "rec_id",
+            F.col("base_rec_id").alias("matched_rec_id"),
+            "score",
+            F.col("base_rec_id").isNull().alias("is_new"),
+        )
+    )
+
+
+@register(
     "er_golden_record",
     oracle=f"""
     WITH RECURSIVE {_RECORDS_CTE},{_CAND_CTE},{_SCORED_CTE},{_MATCHED_CTE},{_COMP_CTE},
