@@ -21,3 +21,18 @@ from ..streaming.stateful import stream_foreachbatch_upsert
 )
 def stream_foreachbatch_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_foreachbatch_upsert(spark, sf_dir)
+
+
+@register(
+    "stream_dedup_within_watermark",
+    oracle="SELECT event_id, user_id, event_type FROM events",
+    doc="Bounded-state streaming dedup: dropDuplicatesWithinWatermark over "
+    "the twice-staged feed. Unlike plain dropDuplicates (state grows with "
+    "all-time distinct keys), seen-key state is evicted when the watermark "
+    "passes event-time + 90d — the dedup that survives an unbounded stream. "
+    "Testdata spans 30d, so the result equals exact global dedup.",
+)
+def stream_dedup_within_watermark_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stateful import stream_dedup_within_watermark
+
+    return stream_dedup_within_watermark(spark, sf_dir)

@@ -287,3 +287,43 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.read.parquet(target)
+
+
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup via ``dropDuplicatesWithinWatermark``.
+
+    Same duplicated two-micro-batch feed as :func:`stream_dedup_exactly_once`,
+    but the seen-key state is EVICTED once the watermark passes an event's
+    time plus the delay — the 100 TB-capable form of streaming dedup:
+    plain ``dropDuplicates`` keys state forever (state ∝ all-time distinct
+    keys), while the watermark variant bounds state to the delay window
+    (state ∝ keys per 90 days here). The testdata spans 30 days, so no
+    event is ever late and every replay lands inside its original's
+    window → output equals exact global dedup, which the oracle checks.
+    """
+    ensure_session_confs(spark)
+    feed, schema = _duplicated_event_feed(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # 2 micro-batches → state crosses batches
+        .parquet(feed)
+    )
+    stream = restore_ts(stream)
+    deduped = (
+        stream.select("event_id", "user_id", "event_type", "ts")
+        .withWatermark("ts", "90 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    name = f"dedup_wm_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select("event_id", "user_id", "event_type")
