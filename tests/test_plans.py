@@ -150,3 +150,23 @@ def test_partitioned_readback_prunes_partitions(spark, sf):
     # (absence of any PushedFilters line means no row-level filtering at all)
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
     assert all("day" not in l for l in pushed)
+
+
+def test_er_scoring_stays_jvm_and_scales_by_candidates(spark, sf):
+    """The ER hot path must be pure JVM (levenshtein is a codegen builtin)
+    and must score only blocked candidates: the plan joins on the exploded
+    block key, never a cross/nested-loop product of the registry."""
+    plan = plan_of(QUERIES["er_pairwise_match"].fn(spark, sf))
+    assert "EvalPython" not in plan
+    assert "levenshtein" in plan
+    nodes = nodes_of(plan)
+    assert "CartesianProduct" not in nodes
+    assert "BroadcastNestedLoopJoin" not in nodes
+
+
+def test_er_incremental_link_no_delta_cross_delta(spark, sf):
+    plan = plan_of(QUERIES["er_incremental_link"].fn(spark, sf))
+    assert "EvalPython" not in plan
+    nodes = nodes_of(plan)
+    assert "CartesianProduct" not in nodes
+    assert "BroadcastNestedLoopJoin" not in nodes
