@@ -48,6 +48,7 @@ _MODULES = (
     "extras4",
     "extras5",
     "entity_resolution",
+    "corpus5",
 )
 
 
