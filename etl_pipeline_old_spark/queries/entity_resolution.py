@@ -9,7 +9,12 @@ clustering → golden record. Re-expressed Spark-first:
 - a deterministic "dirty registry" is derived in-plan from ``customer``
   (half the records gain a variant with one hash-chosen character
   deleted and the balance perturbed ±1 cent) so both engines see the
-  identical linkage problem with no synthetic inputs;
+  identical linkage problem with no synthetic inputs. Clean records get
+  ``rec_id = 2·custkey`` and dirty variants ``2·custkey + 1`` — a
+  parity split that stays collision-free at ANY table size (an additive
+  offset would silently collide once custkey exceeds it) and makes the
+  clean record the min id of every true pair, so min-label components
+  canonicalize onto clean records;
 - multi-pass blocking (exact balance-cents pass + nation × balance-band
   pass) unions candidate keys via ``explode`` — ONE shuffle on the block
   key, candidate count O(N) because both keys are near-unique;
@@ -30,15 +35,20 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..catalog import load_table
 from ..operators.dedup import MD5_LONG_SQL, md5_long
 from ..operators.graph import connected_components
 from ..registry import register
 
-DIRTY_OFFSET = 1_000_000
 MATCH_THRESHOLD = 0.85
 BAL_BAND = 100  # cents per blocking band (pass B)
+
+
+def is_delta(rec_id: Column) -> Column:
+    """Dirty/delta records carry odd rec_ids (2·custkey + 1)."""
+    return rec_id % 2 == 1
 
 
 # ---------------------------------------------------------------------------
@@ -50,18 +60,25 @@ def _records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clean customers ∪ deterministic dirty variants (hash-seeded)."""
     c = load_table(spark, sf_dir, "customer")
     clean = c.select(
-        F.col("c_custkey").alias("rec_id"),
+        (F.col("c_custkey") * 2).alias("rec_id"),
+        F.col("c_custkey").alias("ck"),
         F.col("c_name").alias("name"),
         F.col("c_mktsegment").alias("seg"),
         F.col("c_nationkey").alias("nation"),
         F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
     )
-    key = F.col("rec_id").cast("string")
+    key = F.col("ck").cast("string")
     dup_sel = md5_long(F.concat(F.lit("dup:"), key)) % 10
-    p = md5_long(F.concat(F.lit("typo:"), key)) % (F.length("name") - 1) + 2
+    # delete position in [2, len]; greatest() guards the len==1 degenerate
+    # case (Spark nulls on %0 where DuckDB errors — keep both off that path)
+    p = (
+        md5_long(F.concat(F.lit("typo:"), key))
+        % F.greatest(F.length("name") - 1, F.lit(1))
+        + 2
+    )
     d_bal = md5_long(F.concat(F.lit("bal:"), key)) % 3 - 1
     dirty = clean.filter(dup_sel < 5).select(
-        (F.col("rec_id") + DIRTY_OFFSET).alias("rec_id"),
+        (F.col("rec_id") + 1).alias("rec_id"),
         F.concat(
             F.substring(F.col("name"), F.lit(1), p - 1),
             F.substring(F.col("name"), p + 1, F.length("name")),
@@ -70,7 +87,7 @@ def _records(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nation"),
         (F.col("bal_cents") + d_bal).alias("bal_cents"),
     )
-    return clean.unionByName(dirty)
+    return clean.drop("ck").unionByName(dirty)
 
 
 def _block_keys() -> Column:
@@ -83,6 +100,17 @@ def _block_keys() -> Column:
         F.floor(F.col("bal_cents") / F.lit(float(BAL_BAND))),
     )
     return F.array(key_a, key_b)
+
+
+def _sim_score(left: str, right: str) -> Column:
+    """Weighted name/balance similarity between two aliased record sides."""
+    name_sim = F.lit(1.0) - F.levenshtein(
+        F.col(f"{left}.name"), F.col(f"{right}.name")
+    ).cast("double") / F.greatest(F.length(f"{left}.name"), F.length(f"{right}.name"))
+    bal_sim = F.lit(1.0) - F.least(
+        F.abs(F.col(f"{left}.bal_cents") - F.col(f"{right}.bal_cents")), F.lit(100)
+    ) / F.lit(100.0)
+    return F.round(F.lit(0.7) * name_sim + F.lit(0.3) * bal_sim, 6)
 
 
 def _candidates(records: DataFrame) -> DataFrame:
@@ -104,23 +132,11 @@ def _candidates(records: DataFrame) -> DataFrame:
 
 def _scored(records: DataFrame) -> DataFrame:
     """Candidates + weighted name/balance similarity (JVM built-ins only)."""
-    cand = _candidates(records)
-    ra = records.alias("ra")
-    rb = records.alias("rb")
-    name_sim = F.lit(1.0) - F.levenshtein(F.col("ra.name"), F.col("rb.name")).cast(
-        "double"
-    ) / F.greatest(F.length("ra.name"), F.length("rb.name"))
-    bal_sim = F.lit(1.0) - F.least(
-        F.abs(F.col("ra.bal_cents") - F.col("rb.bal_cents")), F.lit(100)
-    ) / F.lit(100.0)
     return (
-        cand.join(ra, F.col("ra.rec_id") == F.col("rec_id_a"))
-        .join(rb, F.col("rb.rec_id") == F.col("rec_id_b"))
-        .select(
-            "rec_id_a",
-            "rec_id_b",
-            F.round(F.lit(0.7) * name_sim + F.lit(0.3) * bal_sim, 6).alias("score"),
-        )
+        _candidates(records)
+        .join(records.alias("ra"), F.col("ra.rec_id") == F.col("rec_id_a"))
+        .join(records.alias("rb"), F.col("rb.rec_id") == F.col("rec_id_b"))
+        .select("rec_id_a", "rec_id_b", _sim_score("ra", "rb").alias("score"))
     )
 
 
@@ -129,12 +145,14 @@ def _matched(records: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# shared builders — DuckDB oracle side (mirror the Spark expressions exactly)
+# shared builders — DuckDB oracle side (mirror the Spark expressions exactly;
+# concat_ws both sides so NULL slots are skipped identically)
 # ---------------------------------------------------------------------------
 
 _RECORDS_CTE = f"""
     clean AS (
-      SELECT c_custkey AS rec_id,
+      SELECT c_custkey * 2 AS rec_id,
+             c_custkey AS ck,
              c_name AS name,
              c_mktsegment AS seg,
              c_nationkey AS nation,
@@ -142,40 +160,50 @@ _RECORDS_CTE = f"""
       FROM customer),
     seeded AS (
       SELECT *,
-             {MD5_LONG_SQL.format(x="'dup:' || rec_id::VARCHAR")} % 10 AS dup_sel,
-             {MD5_LONG_SQL.format(x="'typo:' || rec_id::VARCHAR")}
-               % (length(name) - 1) + 2 AS p,
-             {MD5_LONG_SQL.format(x="'bal:' || rec_id::VARCHAR")} % 3 - 1 AS d_bal
+             {MD5_LONG_SQL.format(x="'dup:' || ck::VARCHAR")} % 10 AS dup_sel,
+             {MD5_LONG_SQL.format(x="'typo:' || ck::VARCHAR")}
+               % greatest(length(name) - 1, 1) + 2 AS p,
+             {MD5_LONG_SQL.format(x="'bal:' || ck::VARCHAR")} % 3 - 1 AS d_bal
       FROM clean),
     records AS (
       SELECT rec_id, name, seg, nation, bal_cents FROM clean
       UNION ALL
-      SELECT rec_id + {DIRTY_OFFSET},
+      SELECT rec_id + 1,
              substr(name, 1, p - 1) || substr(name, p + 1),
              seg, nation, bal_cents + d_bal
       FROM seeded WHERE dup_sel < 5)"""
 
-_CAND_CTE = f"""
-    blocks AS (
-      SELECT rec_id, 'A' || '|' || seg || '|' || bal_cents::VARCHAR AS bkey
-      FROM records
+_BKEY_A_SQL = "concat_ws('|', 'A', seg, bal_cents::VARCHAR)"
+_BKEY_B_SQL = (
+    "concat_ws('|', 'B', nation::VARCHAR, "
+    f"CAST(floor(bal_cents / {float(BAL_BAND)}) AS BIGINT)::VARCHAR)"
+)
+
+
+def _blocks_sql(src: str) -> str:
+    return f"""(
+      SELECT rec_id, {_BKEY_A_SQL} AS bkey FROM {src}
       UNION ALL
-      SELECT rec_id,
-             'B' || '|' || nation::VARCHAR || '|'
-                 || CAST(floor(bal_cents / {float(BAL_BAND)}) AS BIGINT)::VARCHAR
-      FROM records),
+      SELECT rec_id, {_BKEY_B_SQL} FROM {src})"""
+
+
+def _score_sql(a: str, b: str) -> str:
+    return f"""round(0.7 * (1.0 - levenshtein({a}.name, {b}.name)::DOUBLE
+                      / greatest(length({a}.name), length({b}.name)))
+           + 0.3 * (1.0 - least(abs({a}.bal_cents - {b}.bal_cents), 100)
+                      / 100.0), 6)"""
+
+
+_CAND_CTE = f"""
+    blocks AS (SELECT * FROM {_blocks_sql("records")}),
     cand AS (
       SELECT DISTINCT a.rec_id AS rec_id_a, b.rec_id AS rec_id_b
       FROM blocks a JOIN blocks b
         ON a.bkey = b.bkey AND a.rec_id < b.rec_id)"""
 
-_SCORED_CTE = """
+_SCORED_CTE = f"""
     scored AS (
-      SELECT c.rec_id_a, c.rec_id_b,
-             round(0.7 * (1.0 - levenshtein(ra.name, rb.name)::DOUBLE
-                            / greatest(length(ra.name), length(rb.name)))
-                 + 0.3 * (1.0 - least(abs(ra.bal_cents - rb.bal_cents), 100)
-                            / 100.0), 6) AS score
+      SELECT c.rec_id_a, c.rec_id_b, {_score_sql("ra", "rb")} AS score
       FROM cand c
       JOIN records ra ON ra.rec_id = c.rec_id_a
       JOIN records rb ON rb.rec_id = c.rec_id_b)"""
@@ -210,9 +238,9 @@ _COMP_CTE = """
     "nation × 100-cent-band pass, explode(block keys) + self-join on the "
     "key, distinct ordered pairs. One shuffle; candidate count O(N) "
     "because both keys are near-unique. The dirty registry (half the "
-    "customers gain a one-char-deleted, ±1-cent variant) is derived "
-    "in-plan with portable md5 arithmetic, so the oracle sees the "
-    "identical problem.",
+    "customers gain a one-char-deleted, ±1-cent variant at rec_id "
+    "2·custkey+1) is derived in-plan with portable md5 arithmetic, so "
+    "the oracle sees the identical problem.",
 )
 def er_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _candidates(_records(spark, sf_dir))
@@ -245,7 +273,8 @@ def er_pairwise_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     "propagation (operators/graph.py connected_components), checked "
     "against a recursive-CTE reachability oracle. Chains (A~B~C with no "
     "direct A~C match) collapse into one entity — the reason linkage "
-    "needs components, not just pairs.",
+    "needs components, not just pairs. Clean rec_ids (even, smaller) "
+    "become the component labels of their pairs by construction.",
 )
 def er_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = _matched(_records(spark, sf_dir)).select("rec_id_a", "rec_id_b")
@@ -256,33 +285,15 @@ def er_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "er_incremental_link",
     oracle=f"""
     WITH {_RECORDS_CTE},
-    base AS (SELECT * FROM records WHERE rec_id < {DIRTY_OFFSET}),
-    delta AS (SELECT * FROM records WHERE rec_id >= {DIRTY_OFFSET}),
-    bblocks AS (
-      SELECT rec_id, 'A' || '|' || seg || '|' || bal_cents::VARCHAR AS bkey
-      FROM base
-      UNION ALL
-      SELECT rec_id,
-             'B' || '|' || nation::VARCHAR || '|'
-                 || CAST(floor(bal_cents / {float(BAL_BAND)}) AS BIGINT)::VARCHAR
-      FROM base),
-    dblocks AS (
-      SELECT rec_id, 'A' || '|' || seg || '|' || bal_cents::VARCHAR AS bkey
-      FROM delta
-      UNION ALL
-      SELECT rec_id,
-             'B' || '|' || nation::VARCHAR || '|'
-                 || CAST(floor(bal_cents / {float(BAL_BAND)}) AS BIGINT)::VARCHAR
-      FROM delta),
+    base AS (SELECT * FROM records WHERE rec_id % 2 = 0),
+    delta AS (SELECT * FROM records WHERE rec_id % 2 = 1),
+    bblocks AS (SELECT * FROM {_blocks_sql("base")}),
+    dblocks AS (SELECT * FROM {_blocks_sql("delta")}),
     cand AS (
       SELECT DISTINCT d.rec_id AS rec_id, b.rec_id AS base_rec_id
       FROM dblocks d JOIN bblocks b ON d.bkey = b.bkey),
     scored AS (
-      SELECT c.rec_id, c.base_rec_id,
-             round(0.7 * (1.0 - levenshtein(rd.name, rb.name)::DOUBLE
-                            / greatest(length(rd.name), length(rb.name)))
-                 + 0.3 * (1.0 - least(abs(rd.bal_cents - rb.bal_cents), 100)
-                            / 100.0), 6) AS score
+      SELECT c.rec_id, c.base_rec_id, {_score_sql("rd", "rb")} AS score
       FROM cand c
       JOIN delta rd ON rd.rec_id = c.rec_id
       JOIN base rb ON rb.rec_id = c.base_rec_id),
@@ -308,11 +319,9 @@ def er_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "block-occupancy).",
 )
 def er_incremental_link(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     records = _records(spark, sf_dir)
-    base = records.filter(F.col("rec_id") < DIRTY_OFFSET)
-    delta = records.filter(F.col("rec_id") >= DIRTY_OFFSET)
+    base = records.filter(~is_delta(F.col("rec_id")))
+    delta = records.filter(is_delta(F.col("rec_id")))
     bblocks = base.select("rec_id", F.explode(_block_keys()).alias("bkey"))
     dblocks = delta.select("rec_id", F.explode(_block_keys()).alias("bkey"))
     cand = (
@@ -324,22 +333,14 @@ def er_incremental_link(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    rd = delta.alias("rd")
-    rb = base.alias("rb")
-    name_sim = F.lit(1.0) - F.levenshtein(F.col("rd.name"), F.col("rb.name")).cast(
-        "double"
-    ) / F.greatest(F.length("rd.name"), F.length("rb.name"))
-    bal_sim = F.lit(1.0) - F.least(
-        F.abs(F.col("rd.bal_cents") - F.col("rb.bal_cents")), F.lit(100)
-    ) / F.lit(100.0)
     scored = (
         cand.alias("c")
-        .join(rd, F.col("rd.rec_id") == F.col("c.rec_id"))
-        .join(rb, F.col("rb.rec_id") == F.col("c.base_rec_id"))
+        .join(delta.alias("rd"), F.col("rd.rec_id") == F.col("c.rec_id"))
+        .join(base.alias("rb"), F.col("rb.rec_id") == F.col("c.base_rec_id"))
         .select(
             F.col("c.rec_id").alias("rec_id"),
             F.col("c.base_rec_id").alias("base_rec_id"),
-            F.round(F.lit(0.7) * name_sim + F.lit(0.3) * bal_sim, 6).alias("score"),
+            _sim_score("rd", "rb").alias("score"),
         )
     )
     w = W.partitionBy("rec_id").orderBy(F.desc("score"), F.asc("base_rec_id"))
@@ -379,8 +380,10 @@ def er_incremental_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(singletons stay their own entity via coalesce), then one grouped "
     "aggregate emits the surviving entity: min-rec_id canonical name "
     "(min_by ↔ arg_min) and the balance span across merged records. "
-    "Output size = #entities; the broadcast-sized comp map joins against "
-    "the full registry without a wide shuffle.",
+    "Output size = #entities. comp is match-pair-sized (≪ registry) and "
+    "explicitly broadcast, so the assignment join never shuffles the "
+    "registry; drop the hint if match volume ever approaches registry "
+    "size.",
 )
 def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     records = _records(spark, sf_dir)
@@ -389,10 +392,11 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         src="rec_id_a",
         dst="rec_id_b",
     )
-    assigned = (
-        records.join(comp, records["rec_id"] == comp["node"], "left")
-        .withColumn("entity_id", F.coalesce(F.col("component"), F.col("rec_id")))
-    )
+    # localCheckpoint output has no size stats — hint the broadcast the doc
+    # promises (comp ≤ 2 × matched pairs, always dwarfed by the registry)
+    assigned = records.join(
+        F.broadcast(comp), records["rec_id"] == comp["node"], "left"
+    ).withColumn("entity_id", F.coalesce(F.col("component"), F.col("rec_id")))
     return assigned.groupBy("entity_id").agg(
         F.count("*").alias("n_records"),
         F.min_by("name", "rec_id").alias("canonical_name"),

@@ -164,9 +164,20 @@ def test_er_scoring_stays_jvm_and_scales_by_candidates(spark, sf):
     assert "BroadcastNestedLoopJoin" not in nodes
 
 
-def test_er_incremental_link_no_delta_cross_delta(spark, sf):
+def test_er_incremental_link_plan_no_product(spark, sf):
+    """No cartesian/nested-loop node in the incremental-link plan. The
+    stronger no-delta-cross-delta guarantee is behavioral and asserted in
+    tests/test_entity_resolution.py (sides-never-mix)."""
     plan = plan_of(QUERIES["er_incremental_link"].fn(spark, sf))
     assert "EvalPython" not in plan
     nodes = nodes_of(plan)
     assert "CartesianProduct" not in nodes
     assert "BroadcastNestedLoopJoin" not in nodes
+
+
+def test_er_golden_record_assignment_join_broadcasts(spark, sf):
+    """The registry-side assignment join must broadcast the comp map —
+    without the explicit hint the localCheckpoint'ed comp has no stats
+    and Spark falls back to shuffling the full registry."""
+    plan = plan_of(QUERIES["er_golden_record"].fn(spark, sf))
+    assert "BroadcastHashJoin" in plan
