@@ -49,6 +49,7 @@ _MODULES = (
     "extras5",
     "entity_resolution",
     "corpus5",
+    "extras6",
 )
 
 

@@ -117,7 +117,7 @@ COVERAGE: list[tuple[str, str, list[str], str]] = [
     ("F23", "arrays_overlap", ["f23_arrays_overlap"], "legacy intersection check, fetch_yougile_programming.py:505-509"),
     ("§2.10", "business-day duration", ["workdays_diff_sql", "workdays_diff_pandas_udf", "pipeline_yougile"], "golden tests in test_workdays.py"),
     ("§2.11", "streaming", ["stream_tumbling_window_counts", "stream_append_watermark", "stream_stateful_dedup", "stream_stateful_running_totals", "stream_stream_join", "stream_session_window", "stream_foreachbatch_upsert", "stream_sliding_window_counts", "s7b_python_datasource_stream", "stream_static_enrich", "stream_scd2_apply", "stream_dedup_within_watermark"], "engine-state AND sink-side exactly-once variants; type-1 (upsert) and type-2 (SCD2 re-chain) streaming merges; watermark-bounded dedup state"),
-    ("§2.12", "UDF surface", ["workdays_diff_pandas_udf", "udf_extension_point", "multimodal_decode_meta", "grouped_map_zscore", "grouped_arrow_minmax", "udaf_grouped_agg_gini", "udf_scalar_iter_classify"], "scalar pandas UDF, SCALAR_ITER (init-once-per-worker), row UDF, mapInPandas, applyInPandas, applyInArrow, GROUPED_AGG UDAF"),
+    ("§2.12", "UDF surface", ["workdays_diff_pandas_udf", "udf_extension_point", "multimodal_decode_meta", "grouped_map_zscore", "grouped_arrow_minmax", "udaf_grouped_agg_gini", "udf_scalar_iter_classify", "udf_map_in_arrow"], "scalar pandas UDF, SCALAR_ITER (init-once-per-worker), row UDF, mapInPandas, applyInPandas, applyInArrow, mapInArrow, GROUPED_AGG UDAF"),
     # pipelines (§3 end-to-end)
     ("PIPE", "notebook pipelines", ["pipeline_logs", "pipeline_projectsync", "pipeline_yougile", "pipeline_gitlab_lines"], ""),
     ("RUN", "run.py orchestrator", ["run_full_pipeline"], "all datasets in one SparkSession + K4 loads"),
@@ -139,7 +139,7 @@ COVERAGE: list[tuple[str, str, list[str], str]] = [
     ("X-loader", "dataloader layout", ["corpus_epoch_shuffle", "corpus_shard_manifest"], "deterministic per-epoch permutation (per-shard windows, no global sort) + per-shard doc/token manifest"),
     ("X-gov", "corpus governance", ["corpus_contamination_check", "corpus_token_pack", "corpus_stratified_sample", "corpus_lang_quota", "corpus_chunk_overlap", "corpus_repetition_score", "corpus_gopher_rules", "corpus_dsir_weights", "corpus_mix_weights", "corpus_kl_by_source", "sample_weighted_hash", "privacy_k_anonymity", "gdpr_erasure_propagation"], "eval-contamination, token packing, quota sampling, chunking, Gopher repetition + rule set, DSIR importance weights, UniMax mixture weights, per-source KL drift, hash-weighted mixture sampling, k-anonymity release gate, right-to-erasure propagation audit"),
     ("X-er", "entity resolution", ["er_blocking_pairs", "er_pairwise_match", "er_entity_clusters", "er_golden_record", "er_incremental_link"], "multi-pass blocking (explode keys, one shuffle), levenshtein+balance weighted scoring over candidates only, transitive clusters vs recursive-CTE oracle, golden-record merge incl. singletons, incremental delta-vs-master best-match linkage"),
-    ("X-olap", "advanced OLAP", ["pivot_status_by_priority", "unpivot_roundtrip", "cube_counts", "rollup_counts", "a7_count_distinct", "a8_approx_count_distinct", "a9_percentiles", "a9b_percentile_disc_by_group", "a10_percentile_approx", "global_topk", "join_salted_skew", "skew_diagnosis", "asof_join_last_signup", "range_join_neighbor_counts", "merge_upsert_corrections", "scd2_order_history", "agg_listagg_median_mode", "stats_corr_regression", "window_range_1h_movstats", "grouping_sets_spend"], ""),
+    ("X-olap", "advanced OLAP", ["pivot_status_by_priority", "unpivot_roundtrip", "cube_counts", "rollup_counts", "a7_count_distinct", "a8_approx_count_distinct", "a9_percentiles", "a9b_percentile_disc_by_group", "a10_percentile_approx", "global_topk", "join_salted_skew", "skew_diagnosis", "asof_join_last_signup", "range_join_neighbor_counts", "merge_upsert_corrections", "scd2_order_history", "agg_listagg_median_mode", "stats_corr_regression", "stats_skew_kurtosis", "window_range_1h_movstats", "grouping_sets_spend"], ""),
     ("X-tpch", "bench queries", ["tpch_q1_pricing_summary", "tpch_q2_min_cost_supplier", "tpch_q3_shipping_priority", "tpch_q5_local_supplier_volume", "tpch_q6_forecast_revenue", "tpch_q14_promo_effect", "tpch_q4_order_priority", "tpch_q9_nation_profit", "tpch_q16_supplier_cnt", "tpch_q18_large_orders", "tpch_q19_disjunctive_join", "tpch_q12_shipmode_buckets", "tpch_q20_excess_shippers", "tpch_q22_global_sales_opportunity", "tpch_q7_volume_shipping", "tpch_q10_returned_items", "tpch_q13_order_count_distribution", "tpch_q15_top_supplier", "tpch_q17_small_quantity_revenue", "tpch_q21_waiting_suppliers", "tpch_q8_market_share", "tpch_q11_important_parts"], "all 22 TPC-H shapes"),
 ]
 
