@@ -106,3 +106,153 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     return d.mapInArrow(kernel, MAP_ARROW_SCHEMA)
+
+
+ATTRIB_WINDOW_US = 86_400_000_000  # 24h lookback, microseconds
+
+
+@register(
+    "events_attribution_linear",
+    oracle=f"""
+    WITH touches AS (
+      SELECT user_id, event_type AS touch_type, epoch_us(ts) AS touch_us
+      FROM events WHERE event_type IN ('click', 'view')),
+    purchases AS (
+      SELECT user_id, event_id, epoch_us(ts) AS p_us, value
+      FROM events WHERE event_type = 'purchase'),
+    pt AS (
+      SELECT p.event_id, p.value, t.touch_type,
+             count(t.touch_type) OVER (PARTITION BY p.event_id) AS n_touches
+      FROM purchases p
+      LEFT JOIN touches t
+        ON t.user_id = p.user_id
+       AND t.touch_us <= p.p_us
+       AND p.p_us - t.touch_us <= {ATTRIB_WINDOW_US}),
+    credits AS (
+      SELECT coalesce(touch_type, 'none') AS touch_type,
+             CASE WHEN touch_type IS NULL THEN value
+                  ELSE value / n_touches END AS credit
+      FROM pt)
+    SELECT touch_type,
+           count(*)::BIGINT AS n_credits,
+           round(sum(credit), 2) AS value_sum
+    FROM credits GROUP BY touch_type
+    """,
+    doc="Linear multi-touch attribution: every purchase splits its value "
+    "equally across ALL click/view touches in its 24h lookback (touchless "
+    "purchases credit 'none' in full), so total credited value equals "
+    "total purchase value — conservation the last-touch model also "
+    "satisfies, making the two models' channel shares directly "
+    "comparable. The purchase×touch join is user-keyed (one shuffle, "
+    "bounded per-user fan-out of window-constrained pairs); the per-"
+    "purchase touch count is a window over the join output, not a second "
+    "aggregation pass.",
+)
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    touches = e.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_type").alias("touch_type"),
+        F.unix_micros("ts").alias("touch_us"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("p_us"), "value"
+    )
+    pt = purchases.join(
+        touches,
+        (F.col("t_user") == F.col("user_id"))
+        & (F.col("touch_us") <= F.col("p_us"))
+        & (F.col("p_us") - F.col("touch_us") <= ATTRIB_WINDOW_US),
+        "left",
+    ).withColumn(
+        "n_touches", F.count("touch_type").over(W.partitionBy("event_id"))
+    )
+    credits = pt.select(
+        F.coalesce(F.col("touch_type"), F.lit("none")).alias("touch_type"),
+        F.when(F.col("touch_type").isNull(), F.col("value"))
+        .otherwise(F.col("value") / F.col("n_touches"))
+        .alias("credit"),
+    )
+    return credits.groupBy("touch_type").agg(
+        F.count("*").cast("long").alias("n_credits"),
+        F.round(F.sum("credit"), 2).alias("value_sum"),
+    )
+
+
+@register(
+    "events_rfm_segments",
+    oracle="""
+    WITH anchor AS (SELECT max(o_orderdate) AS a FROM orders),
+    base AS (
+      SELECT o_custkey AS custkey,
+             date_diff('day', max(o_orderdate), (SELECT a FROM anchor))
+               AS recency_days,
+             count(*)::BIGINT AS n_orders,
+             round(sum(o_totalprice), 2) AS monetary
+      FROM orders GROUP BY o_custkey),
+    q AS (
+      SELECT *,
+             ntile(5) OVER (ORDER BY recency_days DESC, custkey) AS r,
+             ntile(5) OVER (ORDER BY n_orders ASC, custkey) AS f,
+             ntile(5) OVER (ORDER BY monetary ASC, custkey) AS m
+      FROM base)
+    SELECT custkey, recency_days, n_orders, monetary, r, f, m,
+           r::VARCHAR || f::VARCHAR || m::VARCHAR AS segment
+    FROM q
+    """,
+    doc="RFM segmentation: per-customer recency (days from the corpus max "
+    "order date, computed via a broadcast one-row anchor — not a global "
+    "window), frequency, monetary, each quintiled by ntile(5) with a "
+    "custkey tiebreak so tile assignment is deterministic in both "
+    "engines; segment = concatenated quintiles (5 = best). NOTE the "
+    "ntile windows are unpartitioned — fine for customer-grain (1 row "
+    "per customer), and at true scale quintiles come from "
+    "approx_percentile cutoffs instead of a global sort.",
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("a"))
+    base = (
+        o.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "custkey",
+            F.datediff(F.col("a"), F.col("last_order")).alias("recency_days"),
+            "n_orders",
+            "monetary",
+        )
+    )
+    q = (
+        base.withColumn(
+            "r", F.ntile(5).over(W.orderBy(F.desc("recency_days"), F.asc("custkey")))
+        )
+        .withColumn(
+            "f", F.ntile(5).over(W.orderBy(F.asc("n_orders"), F.asc("custkey")))
+        )
+        .withColumn(
+            "m", F.ntile(5).over(W.orderBy(F.asc("monetary"), F.asc("custkey")))
+        )
+    )
+    return q.select(
+        "custkey",
+        "recency_days",
+        "n_orders",
+        "monetary",
+        "r",
+        "f",
+        "m",
+        F.concat(
+            F.col("r").cast("string"),
+            F.col("f").cast("string"),
+            F.col("m").cast("string"),
+        ).alias("segment"),
+    )
