@@ -1,10 +1,11 @@
 """Registry entries: entity resolution (record linkage) over ``customer``.
 
-The canonical large-scale master-data pipeline the reference's user-sync
-notebooks approximate by exact-key joins (ad users ↔ tracker users,
-/root/reference/transform/transform_users.py): when the shared key is
-dirty, linkage becomes blocking → pairwise scoring → transitive
-clustering → golden record. Re-expressed Spark-first:
+The canonical large-scale master-data pipeline the reference approximates
+by exact-name joins (project_sync ⟕ ad_user on user_display_name =
+display_name, /root/reference/datasets/create_projectsync_dataset.ipynb:72-76):
+when the shared key is dirty, exact joins silently drop records, and
+linkage becomes blocking → pairwise scoring → transitive clustering →
+golden record. Re-expressed Spark-first:
 
 - a deterministic "dirty registry" is derived in-plan from ``customer``
   (half the records gain a variant with one hash-chosen character
