@@ -256,3 +256,65 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m").cast("string"),
         ).alias("segment"),
     )
+
+
+CLAMP_SCHEMA = "user_id long, rn int, bal double"
+
+
+@register(
+    "events_running_balance_clamp",
+    oracle="""
+    WITH RECURSIVE rows_ AS (
+      SELECT user_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn,
+             CASE WHEN event_type = 'purchase' THEN -value ELSE value END
+               AS delta
+      FROM events),
+    rec (user_id, rn, bal) AS (
+      SELECT user_id, rn, greatest(delta, 0) FROM rows_ WHERE rn = 1
+      UNION ALL
+      SELECT x.user_id, x.rn, greatest(r.bal + x.delta, 0)
+      FROM rec r JOIN rows_ x ON x.user_id = r.user_id AND x.rn = r.rn + 1)
+    SELECT user_id, rn::INTEGER AS rn, round(bal, 6) AS bal FROM rec
+    """,
+    doc="Clamped running balance (credits accrue, purchases deduct, floor "
+    "at 0): bal_i = max(0, bal_{i-1} + delta_i). The clamp makes each "
+    "step depend on the SEQUENTIAL prior state, which no window frame "
+    "can express (plain cumsum + greatest is wrong once any prefix dips "
+    "below 0) — the canonical justification for a grouped applyInPandas "
+    "scan: Arrow ships each user's ordered rows to one Python kernel, "
+    "keys partition the work, and both engines accumulate in the same "
+    "per-user order so the doubles agree exactly. Oracle = per-key "
+    "recursive CTE. At 100 TB the group key bounds memory (one user's "
+    "history per kernel call), and the shuffle is the same (user_id) "
+    "partitioning the behavioral family shares.",
+)
+def events_running_balance_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("event_type") == "purchase", -F.col("value"))
+        .otherwise(F.col("value"))
+        .alias("delta"),
+    )
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        bal = 0.0
+        out = []
+        for d in pdf["delta"]:
+            bal = max(bal + float(d), 0.0)
+            out.append(round(bal, 6))
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "rn": range(1, len(pdf) + 1),
+                "bal": out,
+            }
+        )
+
+    return e.groupBy("user_id").applyInPandas(scan, CLAMP_SCHEMA)
