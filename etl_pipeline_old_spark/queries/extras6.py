@@ -318,3 +318,72 @@ def events_running_balance_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return e.groupBy("user_id").applyInPandas(scan, CLAMP_SCHEMA)
+
+
+def _phash_pixel_sql(j: int) -> str:
+    """Fake pixel j in SQL: byte j%16 of md5('p{j//16}:' || text)."""
+    return (
+        f"('0x' || substr(md5('p{j // 16}:' || text), {(j % 16) * 2 + 1}, 2))::INT"
+    )
+
+
+def _phash_oracle() -> str:
+    px_list = ", ".join(_phash_pixel_sql(j) for j in range(64))
+    return f"""
+    WITH px AS (
+      SELECT doc_id, [{px_list}] AS p FROM documents),
+    h AS (
+      SELECT doc_id,
+             list_aggregate(
+               list_transform(p, x -> CASE WHEN x > list_sum(p) / 64.0
+                                           THEN '1' ELSE '0' END),
+               'string_agg', '') AS ahash
+      FROM px)
+    SELECT doc_id, ahash,
+           count(*) OVER (PARTITION BY ahash) AS n_dups
+    FROM h
+    """
+
+
+@register(
+    "multimodal_phash_dedup",
+    oracle=_phash_oracle(),
+    doc="Perceptual-hash near-dup over the multimodal path: the stub "
+    "decode (4 seeded md5 digests of the payload standing in for an 8x8 "
+    "grayscale thumbnail — the honest fake, the real path swaps in a "
+    "codec + DCT) feeds an average-hash kernel inside the SAME Arrow "
+    "mapInPandas plumbing as the other multimodal ops: bit j = pixel_j > "
+    "mean, emitted as a 64-char bit string, then one hash-group window "
+    "counts duplicates. Exact-duplicate payloads provably collide; at "
+    "100 TB the group-by-hash is the usual map-combined shuffle, and "
+    "near-dup (Hamming ≤ k) generalizes by banding the bit string into "
+    "k+1 sub-keys exactly like SimHash.",
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.window import Window as W
+
+    from ..operators.multimodal import make_media_table
+
+    media = make_media_table(load_table(spark, sf_dir, "documents"))
+
+    def op(batches):
+        for pdf in batches:
+            def ahash(payload: bytes) -> str:
+                px = []
+                for k in range(4):
+                    d = hashlib.md5(f"p{k}:".encode() + bytes(payload)).hexdigest()
+                    px.extend(int(d[2 * i : 2 * i + 2], 16) for i in range(16))
+                mean = sum(px) / 64.0
+                return "".join("1" if x > mean else "0" for x in px)
+
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "ahash": pdf["payload"].map(ahash)}
+            )
+
+    h = media.mapInPandas(op, schema="doc_id long, ahash string")
+    return h.withColumn(
+        "n_dups", F.count("*").over(W.partitionBy("ahash")).cast("long")
+    )
