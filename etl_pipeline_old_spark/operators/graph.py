@@ -175,3 +175,109 @@ def pagerank(
     nodes.unpersist()
     deg.unpersist()
     return ranks
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 25,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """(node, component) via alternating large-star / small-star rounds.
+
+    The log-rounds connected-components algorithm (Kiveris et al. 2014,
+    "Connected Components in MapReduce and Beyond"): each round rewires
+    every node toward its neighborhood minimum —
+
+    - large-star: for each node u, neighbors v > u re-attach to
+      m = min(N(u) ∪ {u});
+    - small-star: orient edges large→small, then every neighbor (and u)
+      re-attaches to the minimum.
+
+    Convergence needs O(log n) rounds versus min-label propagation's
+    O(diameter) (``connected_components``) — the difference between ~40
+    and ~4 shuffles on a 10⁹-node chain-heavy dedup graph, which makes
+    THIS the 100 TB variant. Both implementations are equality-tested
+    against each other and the same recursive-CTE oracle.
+
+    Output matches ``connected_components``: one row per node appearing
+    in ``edges``, labeled with the component's min node id.
+    """
+    sc = edges.sparkSession.sparkContext
+    if checkpoint_dir is not None and sc.getCheckpointDir() != checkpoint_dir:
+        sc.setCheckpointDir(checkpoint_dir)
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", F.col("u")).alias("m"))
+        )
+        return (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        dir_e = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        mins = (
+            dir_e.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", F.col("u")).alias("m"))
+        )
+        rewired = (
+            dir_e.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins.select(F.col("u"), F.col("m").alias("v")))
+        )
+        return rewired.filter(F.col("u") != F.col("v")).distinct()
+
+    nodes = (
+        edges.select(F.col(src).alias("n"))
+        .union(edges.select(F.col(dst).alias("n")))
+        .distinct()
+        .persist()
+    )
+    e = _truncate(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    converged = False
+    for _ in range(max_iterations):
+        new_e = _truncate(small_star(large_star(e)))
+        # fixpoint: identical edge sets (both are distinct sets)
+        if (
+            new_e.count() == e.count()
+            and new_e.exceptAll(e).limit(1).count() == 0
+        ):
+            e = new_e
+            converged = True
+            break
+        e = new_e
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge within "
+            f"{max_iterations} rounds"
+        )
+    # e is now a star forest: (node, root). Roots label themselves; nodes
+    # absent from e (singletons within the edge node set cannot happen —
+    # every input node has a neighbor) are covered by the union.
+    labels = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = nodes.join(
+        labels.select(F.col("node").alias("n")), "n", "left_anti"
+    ).select(F.col("n").alias("node"), F.col("n").alias("component"))
+    out = labels.union(roots)
+    nodes.unpersist()
+    return out

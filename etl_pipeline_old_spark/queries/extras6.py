@@ -387,3 +387,49 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h.withColumn(
         "n_dups", F.count("*").over(W.partitionBy("ahash")).cast("long")
     )
+
+
+# same pair-generation and recursive-CTE reachability oracle as
+# dedup_clusters (queries/tfidf_clusters.py) — only the CC algorithm
+# differs, so the two entries value-check both implementations.
+_STAR_ORACLE = """
+    WITH RECURSIVE pairs AS (
+      SELECT id_a, id_b FROM ({minhash})
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    reach (node, target) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT r.node, e.v FROM reach r JOIN edges e ON r.target = e.u)
+    SELECT node, min(target) AS component
+    FROM reach GROUP BY node
+    """
+
+
+def _register_dedup_clusters_star() -> None:
+    from ..operators.graph import connected_components_star
+    from ..operators import dedup as DD
+    from .dedup_text import _minhash_oracle
+
+    @register(
+        "dedup_clusters_star",
+        oracle=_STAR_ORACLE.format(minhash=_minhash_oracle()),
+        doc="Dedup clusters via the log-rounds large-star/small-star CC "
+        "(Kiveris et al. 2014) over the same MinHash-LSH pairs as "
+        "dedup_clusters: rounds grow with log(n), not component diameter "
+        "— the variant that survives chain-heavy dedup graphs at 10^10 "
+        "docs, where min-label propagation needs diameter-many shuffles. "
+        "Equality with the min-label implementation is asserted in "
+        "tests/test_graph_star.py; values check against the identical "
+        "recursive-CTE reachability oracle.",
+    )
+    def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+        d = load_table(spark, sf_dir, "documents")
+        pairs = DD.minhash_lsh_dedup(d, "text", "doc_id").select("id_a", "id_b")
+        return connected_components_star(pairs)
+
+
+_register_dedup_clusters_star()
