@@ -78,8 +78,11 @@ HEADLINE = [
     "sketch_cms_event_counts",
     "dedup_prefix_filter_join",
     # r3 late wave: entity resolution end-to-end (blocking self-join +
-    # scoring + iterative components + golden-record agg in one plan)
+    # scoring + iterative components + golden-record agg in one plan),
+    # and the log-rounds CC beside min-label dedup_clusters so the two
+    # algorithms' cost stays comparable round-over-round
     "er_golden_record",
+    "dedup_clusters_star",
 ]
 
 
