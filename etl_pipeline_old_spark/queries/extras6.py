@@ -433,3 +433,33 @@ def _register_dedup_clusters_star() -> None:
 
 
 _register_dedup_clusters_star()
+
+
+# identical SQL text for both engines (the sql_api family contract):
+# integer division spelled as floor(x/10.0) so no dialect operator appears
+_RECURSIVE_HIERARCHY_SQL = """
+    WITH RECURSIVE chain (custkey, cur, depth) AS (
+      SELECT c_custkey, c_custkey, 0 FROM customer
+      UNION ALL
+      SELECT custkey, CAST(floor(cur / 10.0) AS BIGINT), depth + 1
+      FROM chain WHERE cur > 0)
+    SELECT custkey, max(depth) AS depth_to_root
+    FROM chain GROUP BY custkey
+"""
+
+
+@register(
+    "sql_recursive_hierarchy",
+    oracle=_RECURSIVE_HIERARCHY_SQL,
+    doc="Native WITH RECURSIVE (new in Spark 4): per-customer depth of "
+    "the synthetic referrer chain custkey -> floor(custkey/10) -> ... -> "
+    "0 — hierarchy walks (org charts, BOM explosions, folder trees) "
+    "without driver-side loops. The IDENTICAL SQL text runs on both "
+    "engines. Scale note: the planner materializes one step per level, "
+    "so recursion depth = hierarchy depth (fine: log-scale here); for "
+    "diameter-unbounded graphs the star CC operator remains the scale "
+    "path.",
+)
+def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_RECURSIVE_HIERARCHY_SQL)
