@@ -463,3 +463,34 @@ _RECURSIVE_HIERARCHY_SQL = """
 def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(_RECURSIVE_HIERARCHY_SQL)
+
+
+@register(
+    "join_shuffle_hash_hint",
+    oracle="""
+    SELECT o.o_orderpriority,
+           count(*)::BIGINT AS n_items,
+           round(sum(l.l_extendedprice), 2) AS price_sum
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    doc="Join-strategy control: the same fact-fact join Catalyst would "
+    "default to sort-merge runs under a SHUFFLE_HASH hint — no sort on "
+    "either side, one hash table per partition of the smaller side. The "
+    "right strategy when the build side fits per-partition memory but "
+    "exceeds the broadcast threshold (typical for mid-size dims at "
+    "100 TB); semantics are hint-independent, which is exactly what the "
+    "shared oracle checks. Strategy presence is plan-locked in "
+    "tests/test_plans.py.",
+)
+def join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").hint("shuffle_hash")
+    return (
+        li.join(o, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("price_sum"),
+        )
+    )

@@ -181,3 +181,9 @@ def test_er_golden_record_assignment_join_broadcasts(spark, sf):
     and Spark falls back to shuffling the full registry."""
     plan = plan_of(QUERIES["er_golden_record"].fn(spark, sf))
     assert "BroadcastHashJoin" in plan
+
+
+def test_shuffle_hash_hint_selects_shuffled_hash_join(spark, sf):
+    plan = plan_of(QUERIES["join_shuffle_hash_hint"].fn(spark, sf))
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
