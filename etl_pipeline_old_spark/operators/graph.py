@@ -31,6 +31,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _make_truncate(edges: DataFrame, checkpoint_dir: str | None):
+    """Shared lineage-truncation setup for the iterative operators: set the
+    reliable checkpoint dir once if requested, return the per-iteration
+    truncation function (reliable checkpoint, else localCheckpoint)."""
+    sc = edges.sparkSession.sparkContext
+    if checkpoint_dir is not None and sc.getCheckpointDir() != checkpoint_dir:
+        sc.setCheckpointDir(checkpoint_dir)
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    return _truncate
+
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
@@ -48,14 +65,7 @@ def connected_components(
     fixpoint: min-label propagation needs iterations proportional to the
     component diameter, and a capped exit would return wrong labels.
     """
-    sc = edges.sparkSession.sparkContext
-    if checkpoint_dir is not None and sc.getCheckpointDir() != checkpoint_dir:
-        sc.setCheckpointDir(checkpoint_dir)
-
-    def _truncate(df: DataFrame) -> DataFrame:
-        if checkpoint_dir is not None:
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
+    _truncate = _make_truncate(edges, checkpoint_dir)
 
     # symmetric adjacency, persisted: reused every iteration
     adj = (
@@ -123,14 +133,7 @@ def pagerank(
     once and reused every iteration; each iteration is then one
     edges⋈ranks join + one sum-aggregate, the minimal shuffle shape.
     """
-    sc = edges.sparkSession.sparkContext
-    if checkpoint_dir is not None and sc.getCheckpointDir() != checkpoint_dir:
-        sc.setCheckpointDir(checkpoint_dir)
-
-    def _truncate(df: DataFrame) -> DataFrame:
-        if checkpoint_dir is not None:
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
+    _truncate = _make_truncate(edges, checkpoint_dir)
 
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).persist()
     nodes = (
@@ -204,14 +207,7 @@ def connected_components_star(
     Output matches ``connected_components``: one row per node appearing
     in ``edges``, labeled with the component's min node id.
     """
-    sc = edges.sparkSession.sparkContext
-    if checkpoint_dir is not None and sc.getCheckpointDir() != checkpoint_dir:
-        sc.setCheckpointDir(checkpoint_dir)
-
-    def _truncate(df: DataFrame) -> DataFrame:
-        if checkpoint_dir is not None:
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
+    _truncate = _make_truncate(edges, checkpoint_dir)
 
     def large_star(e: DataFrame) -> DataFrame:
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -247,7 +243,6 @@ def connected_components_star(
         edges.select(F.col(src).alias("n"))
         .union(edges.select(F.col(dst).alias("n")))
         .distinct()
-        .persist()
     )
     e = _truncate(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -278,6 +273,4 @@ def connected_components_star(
     roots = nodes.join(
         labels.select(F.col("node").alias("n")), "n", "left_anti"
     ).select(F.col("n").alias("node"), F.col("n").alias("component"))
-    out = labels.union(roots)
-    nodes.unpersist()
-    return out
+    return labels.union(roots)

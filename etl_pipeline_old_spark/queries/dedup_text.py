@@ -81,6 +81,29 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.jaccard_pairs(sh).filter(F.col("jaccard") >= 0.2)
 
 
+# Recursive-CTE transitive-closure oracle over a pair relation: shared by
+# dedup_clusters, dedup_apply (queries/tfidf_clusters.py) and
+# dedup_clusters_star (queries/extras6.py) so the three entries provably
+# check against the IDENTICAL reachability semantics. ``pairs_sql`` must
+# select columns (id_a, id_b); the template ends at CTE ``comp``
+# (node, component) followed by {select}.
+REACH_ORACLE_TEMPLATE = """
+    WITH RECURSIVE pairs AS (
+      SELECT id_a, id_b FROM ({pairs_sql})
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    reach (node, target) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT r.node, e.v FROM reach r JOIN edges e ON r.target = e.u),
+    comp AS (SELECT node, min(target) AS component FROM reach GROUP BY node)
+    {select}
+"""
+
+
 def _minhash_oracle(num_hashes: int = 16, bands: int = 4, rows: int = 4, thr: float = 0.5) -> str:
     base = DD.MD5_INT32_SQL.format(x="sh")
     mins = ",\n         ".join(

@@ -10,7 +10,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..operators import dedup as DD
+from ..operators.graph import connected_components_star
 from ..registry import register
+from .dedup_text import REACH_ORACLE_TEMPLATE, _minhash_oracle
 
 # o_totalprice spans ~[900, 500k]; scaling before the moment sums keeps
 # x^4 terms near 1 so the two engines' float error stays far below the
@@ -389,50 +392,26 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# same pair-generation and recursive-CTE reachability oracle as
-# dedup_clusters (queries/tfidf_clusters.py) — only the CC algorithm
-# differs, so the two entries value-check both implementations.
-_STAR_ORACLE = """
-    WITH RECURSIVE pairs AS (
-      SELECT id_a, id_b FROM ({minhash})
+@register(
+    "dedup_clusters_star",
+    oracle=REACH_ORACLE_TEMPLATE.format(
+        pairs_sql=_minhash_oracle(),
+        select="SELECT node, component FROM comp",
     ),
-    edges AS (
-      SELECT id_a AS u, id_b AS v FROM pairs
-      UNION SELECT id_b, id_a FROM pairs),
-    nodes AS (SELECT DISTINCT u AS node FROM edges),
-    reach (node, target) AS (
-      SELECT node, node FROM nodes
-      UNION
-      SELECT r.node, e.v FROM reach r JOIN edges e ON r.target = e.u)
-    SELECT node, min(target) AS component
-    FROM reach GROUP BY node
-    """
-
-
-def _register_dedup_clusters_star() -> None:
-    from ..operators.graph import connected_components_star
-    from ..operators import dedup as DD
-    from .dedup_text import _minhash_oracle
-
-    @register(
-        "dedup_clusters_star",
-        oracle=_STAR_ORACLE.format(minhash=_minhash_oracle()),
-        doc="Dedup clusters via the log-rounds large-star/small-star CC "
-        "(Kiveris et al. 2014) over the same MinHash-LSH pairs as "
-        "dedup_clusters: rounds grow with log(n), not component diameter "
-        "— the variant that survives chain-heavy dedup graphs at 10^10 "
-        "docs, where min-label propagation needs diameter-many shuffles. "
-        "Equality with the min-label implementation is asserted in "
-        "tests/test_graph_star.py; values check against the identical "
-        "recursive-CTE reachability oracle.",
-    )
-    def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
-        d = load_table(spark, sf_dir, "documents")
-        pairs = DD.minhash_lsh_dedup(d, "text", "doc_id").select("id_a", "id_b")
-        return connected_components_star(pairs)
-
-
-_register_dedup_clusters_star()
+    doc="Dedup clusters via the log-rounds large-star/small-star CC "
+    "(Kiveris et al. 2014) over the same MinHash-LSH pairs as "
+    "dedup_clusters: rounds grow with log(n), not component diameter "
+    "— the variant that survives chain-heavy dedup graphs at 10^10 "
+    "docs, where min-label propagation needs diameter-many shuffles. "
+    "Equality with the min-label implementation is asserted in "
+    "tests/test_graph_star.py; values check against the identical "
+    "recursive-CTE reachability oracle (REACH_ORACLE_TEMPLATE, shared "
+    "with dedup_clusters/dedup_apply).",
+)
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_dedup(d, "text", "doc_id").select("id_a", "id_b")
+    return connected_components_star(pairs)
 
 
 # identical SQL text for both engines (the sql_api family contract):

@@ -11,7 +11,7 @@ from ..catalog import load_table
 from ..operators import dedup as DD
 from ..operators.graph import connected_components
 from ..registry import register
-from .dedup_text import NORM, _minhash_oracle
+from .dedup_text import NORM, REACH_ORACLE_TEMPLATE, _minhash_oracle
 
 
 @register(
@@ -62,21 +62,10 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_clusters",
-    oracle=f"""
-    WITH RECURSIVE pairs AS (
-      SELECT id_a, id_b FROM ({_minhash_oracle()})
+    oracle=REACH_ORACLE_TEMPLATE.format(
+        pairs_sql=_minhash_oracle(),
+        select="SELECT node, component FROM comp",
     ),
-    edges AS (
-      SELECT id_a AS u, id_b AS v FROM pairs
-      UNION SELECT id_b, id_a FROM pairs),
-    nodes AS (SELECT DISTINCT u AS node FROM edges),
-    reach (node, target) AS (
-      SELECT node, node FROM nodes
-      UNION
-      SELECT r.node, e.v FROM reach r JOIN edges e ON r.target = e.u)
-    SELECT node, min(target) AS component
-    FROM reach GROUP BY node
-    """,
     doc="Dedup clusters: transitive closure of MinHash-LSH near-dup pairs "
     "via iterative min-label propagation (one self-join + aggregate per "
     "iteration, stops at fixpoint) — verified against a recursive-CTE "
@@ -90,23 +79,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_apply",
-    oracle=f"""
-    WITH RECURSIVE pairs AS (
-      SELECT id_a, id_b FROM ({_minhash_oracle()})
+    oracle=REACH_ORACLE_TEMPLATE.format(
+        pairs_sql=_minhash_oracle(),
+        select="""SELECT d.doc_id, d.lang FROM documents d
+    WHERE d.doc_id NOT IN (
+      SELECT node FROM comp WHERE node <> component)""",
     ),
-    edges AS (
-      SELECT id_a AS u, id_b AS v FROM pairs
-      UNION SELECT id_b, id_a FROM pairs),
-    nodes AS (SELECT DISTINCT u AS node FROM edges),
-    reach (node, target) AS (
-      SELECT node, node FROM nodes
-      UNION
-      SELECT r.node, e.v FROM reach r JOIN edges e ON r.target = e.u),
-    comp AS (SELECT node, min(target) AS component FROM reach GROUP BY node),
-    losers AS (SELECT node FROM comp WHERE node <> component)
-    SELECT d.doc_id, d.lang FROM documents d
-    WHERE d.doc_id NOT IN (SELECT node FROM losers)
-    """,
     doc="Dedup APPLY: the corpus with every near-dup cluster reduced to "
     "its canonical (min doc_id) member — pairs → components → anti-join. "
     "The final step of the dedup chain; output is the deduped dataset.",
