@@ -282,9 +282,7 @@ def er_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(m, src="rec_id_a", dst="rec_id_b")
 
 
-@register(
-    "er_incremental_link",
-    oracle=f"""
+_INC_LINK_ORACLE = f"""
     WITH {_RECORDS_CTE},
     base AS (SELECT * FROM records WHERE rec_id % 2 = 0),
     delta AS (SELECT * FROM records WHERE rec_id % 2 = 1),
@@ -309,7 +307,12 @@ def er_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
            b.score,
            b.base_rec_id IS NULL AS is_new
     FROM delta d LEFT JOIN best b ON b.rec_id = d.rec_id
-    """,
+    """
+
+
+@register(
+    "er_incremental_link",
+    oracle=_INC_LINK_ORACLE,
     doc="ER incremental path — link a DELTA batch (the dirty variants, "
     "standing in for newly arriving records) against the clean BASE "
     "master: same two-pass blocking and scoring, then best-match-per-"
@@ -323,6 +326,12 @@ def er_incremental_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     records = _records(spark, sf_dir)
     base = records.filter(~is_delta(F.col("rec_id")))
     delta = records.filter(is_delta(F.col("rec_id")))
+    return link_delta(delta, base)
+
+
+def link_delta(delta: DataFrame, base: DataFrame) -> DataFrame:
+    """Best-match linkage of a delta record set against the base master —
+    the unit of work a foreachBatch MDM sink runs per micro-batch."""
     bblocks = base.select("rec_id", F.explode(_block_keys()).alias("bkey"))
     dblocks = delta.select("rec_id", F.explode(_block_keys()).alias("bkey"))
     cand = (
@@ -403,3 +412,58 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("name", "rec_id").alias("canonical_name"),
         (F.max("bal_cents") - F.min("bal_cents")).alias("bal_cents_span"),
     )
+
+
+@register(
+    "stream_er_incremental_link",
+    oracle=_INC_LINK_ORACLE,
+    doc="STREAMING MDM: the delta registry arrives as a 2-micro-batch "
+    "parquet feed; foreachBatch runs link_delta (the same blocking + "
+    "scoring + best-match unit as er_incremental_link) against the "
+    "static base master and appends each batch's links to the target. "
+    "Linkage is per-delta-record independent, so the union over ANY "
+    "batching equals the batch answer — the associativity the shared "
+    "oracle checks. The composition pattern for a live MDM feed: "
+    "pre-built base block index + per-batch probe, pairing with "
+    "stream_scd2_apply for history maintenance.",
+)
+def stream_er_incremental_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from ..session import ensure_session_confs
+
+    ensure_session_confs(spark)
+    records = _records(spark, sf_dir)
+    base = records.filter(~is_delta(F.col("rec_id")))
+    delta = records.filter(is_delta(F.col("rec_id")))
+
+    tag = f"er_feed_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}"
+    feed = os.path.join("/tmp/etl_pipeline_old_spark_cache", tag)
+    target = feed + "_target"
+    chk = feed + "_chk"
+    for d in (feed, target, chk):
+        shutil.rmtree(d, ignore_errors=True)
+    delta.repartition(2).write.parquet(feed)
+
+    schema = spark.read.parquet(feed).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # 2+ micro-batches
+        .parquet(feed)
+    )
+
+    def link_batch(batch_df: DataFrame, batch_id: int) -> None:
+        link_delta(batch_df, base).write.mode("append").parquet(target)
+
+    q = (
+        stream.writeStream.foreachBatch(link_batch)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(target)
