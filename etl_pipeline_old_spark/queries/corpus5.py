@@ -126,3 +126,45 @@ def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
     )
+
+
+TRAIN_BUCKETS = 8  # of 10
+
+
+@register(
+    "corpus_group_split",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT event_id, user_id,
+             CASE WHEN {MD5_LONG_SQL.format(
+                 x="'gsplit:' || user_id::VARCHAR")} % 10 < {TRAIN_BUCKETS}
+                  THEN 'train' ELSE 'test' END AS subset
+      FROM events)
+    SELECT subset,
+           count(*)::BIGINT AS n_rows,
+           count(DISTINCT user_id)::BIGINT AS n_users
+    FROM assigned GROUP BY subset
+    """,
+    doc="Group-aware train/test split: the subset is a hash of the GROUP "
+    "key (user_id), not the row, so every event of a user lands in one "
+    "subset — the leakage-safe split for behavioral data, where row-level "
+    "splitting puts the same identity on both sides and inflates eval. "
+    "Stateless per-row arithmetic (no shuffle for the assignment itself); "
+    "tests/test_group_split.py asserts no user crosses subsets (train + "
+    "test distinct-user counts sum to the global distinct count).",
+)
+def corpus_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    subset = F.when(
+        md5_long(F.concat(F.lit("gsplit:"), F.col("user_id").cast("string"))) % 10
+        < TRAIN_BUCKETS,
+        F.lit("train"),
+    ).otherwise(F.lit("test"))
+    return (
+        e.select("event_id", "user_id", subset.alias("subset"))
+        .groupBy("subset")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
