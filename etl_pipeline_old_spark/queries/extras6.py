@@ -473,3 +473,76 @@ def join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("price_sum"),
         )
     )
+
+
+@register(
+    "p14_ragged_csv_padding",
+    oracle=f"""
+    WITH k AS (
+      SELECT c_custkey,
+             2 + ('0x' || substr(md5('pad:' || c_custkey::VARCHAR), 1, 15))::UBIGINT::BIGINT % 3 AS kept
+      FROM customer)
+    SELECT kept,
+           count(*)::BIGINT AS n_rows,
+           sum(CASE WHEN kept < 3 THEN 1 ELSE 0 END)::BIGINT AS n_seg_padded,
+           sum(CASE WHEN kept < 4 THEN 1 ELSE 0 END)::BIGINT AS n_nation_null
+    FROM k GROUP BY kept
+    """,
+    doc="P14 ragged-row padding, driver-checkable: customer rows are "
+    "staged as a ragged CSV (each line keeps a hash-chosen 2-4 column "
+    "prefix, written DISTRIBUTED via .text), read back schema-enforced "
+    "(missing trailing columns -> null, Spark PERMISSIVE CSV), string "
+    "nulls filled '' exactly like the reference pads sheet rows "
+    "(/root/reference/extractors/fetch_gsheet_instructions.py:44). The "
+    "Spark side infers each row's kept-column count from the observed "
+    "null pattern, so the oracle (pure hash arithmetic over customer) "
+    "only matches if the reader truly padded instead of dropping or "
+    "misaligning rows.",
+)
+def p14_ragged_csv_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    c = load_table(spark, sf_dir, "customer")
+    kept = (
+        F.lit(2)
+        + F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("pad:"), F.col("c_custkey").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 3
+    )
+    cols = [
+        F.col("c_custkey").cast("string"),
+        F.col("c_name"),
+        F.col("c_mktsegment"),
+        F.col("c_nationkey").cast("string"),
+    ]
+    line = F.when(kept == 2, F.concat_ws(",", *cols[:2])).when(
+        kept == 3, F.concat_ws(",", *cols[:3])
+    ).otherwise(F.concat_ws(",", *cols))
+
+    tag = f"ragged_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}"
+    feed = os.path.join("/tmp/etl_pipeline_old_spark_cache", tag)
+    shutil.rmtree(feed, ignore_errors=True)
+    c.select(line.alias("value")).write.text(feed)
+
+    raw = spark.read.csv(
+        feed, schema="custkey LONG, name STRING, seg STRING, nation LONG"
+    )
+    inferred_kept = (
+        F.lit(2)
+        + F.col("seg").isNotNull().cast("int")
+        + F.col("nation").isNotNull().cast("int")
+    )
+    padded = raw.withColumn("kept", inferred_kept).na.fill("", ["seg"])
+    return padded.groupBy("kept").agg(
+        F.count("*").alias("n_rows"),
+        F.sum((F.col("seg") == "").cast("long")).alias("n_seg_padded"),
+        F.sum(F.col("nation").isNull().cast("long")).alias("n_nation_null"),
+    )

@@ -50,7 +50,7 @@ COVERAGE: list[tuple[str, str, list[str], str]] = [
     ("P11", "drop all-null rows/columns", ["p11_drop_all_null_columns"], ""),
     ("P12", "column exclusion", ["p2_drop_columns"], ""),
     ("P13", "exclusion-set dedup", ["p13_exclusion_dedup"], ""),
-    ("P14", "ragged-row padding", [], "code: sources/sheets.py; schema-enforced CSV read"),
+    ("P14", "ragged-row padding", ["p14_ragged_csv_padding"], "staged ragged CSV, schema-enforced read pads missing trailing cols, fill '' — plus code: sources/sheets.py"),
     # §2.4 joins
     ("J1", "dim-to-dim enrich", ["j1_dim_enrich"], ""),
     ("J2", "fact ⟕ dim", ["j1_dim_enrich"], ""),
