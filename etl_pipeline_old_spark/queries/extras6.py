@@ -477,17 +477,17 @@ def join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "p14_ragged_csv_padding",
-    oracle=f"""
+    oracle="""
     WITH k AS (
       SELECT c_custkey,
-             2 + ('0x' || substr(md5('pad:' || c_custkey::VARCHAR), 1, 15))::UBIGINT::BIGINT % 3 AS kept
+             2 + {pad_md5} % 3 AS kept
       FROM customer)
     SELECT kept,
            count(*)::BIGINT AS n_rows,
            sum(CASE WHEN kept < 3 THEN 1 ELSE 0 END)::BIGINT AS n_seg_padded,
            sum(CASE WHEN kept < 4 THEN 1 ELSE 0 END)::BIGINT AS n_nation_null
     FROM k GROUP BY kept
-    """,
+    """.format(pad_md5=DD.MD5_LONG_SQL.format(x="'pad:' || c_custkey::VARCHAR")),
     doc="P14 ragged-row padding, driver-checkable: customer rows are "
     "staged as a ragged CSV (each line keeps a hash-chosen 2-4 column "
     "prefix, written DISTRIBUTED via .text), read back schema-enforced "
@@ -506,16 +506,7 @@ def p14_ragged_csv_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     kept = (
         F.lit(2)
-        + F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("pad:"), F.col("c_custkey").cast("string"))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 3
+        + DD.md5_long(F.concat(F.lit("pad:"), F.col("c_custkey").cast("string"))) % 3
     )
     cols = [
         F.col("c_custkey").cast("string"),

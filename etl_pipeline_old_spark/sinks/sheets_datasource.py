@@ -9,13 +9,15 @@ transport is injectable exactly like ``sources/sheets.py`` — a gspread
 (or any HTTP) client plugs in on a real deployment; tests use a
 filesystem transport.
 
-Delivery semantics (documented, not hidden): a sheet-style append API is
-not transactional, so a retried task can append its batch twice WITHIN a
-job — identical to the reference's behavior on a crashed loop. The K6
-flow's anti-join pre-filter makes re-RUNS idempotent (already-present
-keys are skipped), which is the same guarantee the reference relies on.
-For exactly-once within a job, write to a staging location and have
-``commit`` publish (the ``file`` transport shows the staging shape).
+Delivery semantics: a transport that appends directly (a real sheet API)
+is not transactional — a retried task can append its batch twice within a
+job, identical to the reference's behavior on a crashed loop, and the K6
+anti-join pre-filter is what keeps re-RUNS idempotent. A transport that
+can STAGE gets exactly-once: ``write()`` stages each partition batch
+under a fresh token, ``commit()`` publishes only the tokens returned in
+the successful attempts' commit messages (a failed/retried attempt's
+stage is never published), ``abort()`` discards. The ``file`` transport
+implements the staged recipe and the tests assert publish-on-commit.
 """
 
 from __future__ import annotations
@@ -46,9 +48,11 @@ def _resolve_factory(dotted: str):
 
 
 def file_transport_factory(options: dict):
-    """Test/offline transport: append batches as JSON-lines files under
-    ``options['path']``. One file per write() call, named by a fresh uuid
-    — the staging shape a commit-publishing transport would finalize."""
+    """Test/offline transport implementing the STAGED recipe: write()
+    stages a JSON-lines file per batch under a fresh token; publish()
+    (driver, at commit) renames exactly the committed tokens final;
+    discard() (driver, at abort) removes stages. A retried task's
+    orphaned stage is never published."""
     path = options["path"]
 
     class _FileTransport:
@@ -59,9 +63,18 @@ def file_transport_factory(options: dict):
             with open(tmp, "w", encoding="utf-8") as fh:
                 for r in rows:
                     fh.write(json.dumps(r, ensure_ascii=False, default=str) + "\n")
-            final = os.path.join(path, f"part-{token}.jsonl")
-            os.rename(tmp, final)
             return token
+
+        def publish(self, tokens: list[str]) -> None:
+            for token in tokens:
+                tmp = os.path.join(path, f".part-{token}.jsonl.tmp")
+                os.rename(tmp, os.path.join(path, f"part-{token}.jsonl"))
+
+        def discard(self, tokens: list[str]) -> None:
+            for token in tokens:
+                tmp = os.path.join(path, f".part-{token}.jsonl.tmp")
+                if os.path.exists(tmp):
+                    os.remove(tmp)
 
     return _FileTransport()
 
@@ -83,15 +96,24 @@ class SheetAppendWriter(DataSourceWriter):
         token = transport.append_rows(rows) if rows else ""
         return SheetCommit(n_rows=len(rows), token=token)
 
-    # driver-side: all partitions succeeded
-    def commit(self, messages) -> None:
-        total = sum(m.n_rows for m in messages if m is not None)
-        self.options["_committed_rows"] = total  # observable via logs/tests
+    def _transport(self):
+        return _resolve_factory(self.options["transport_factory"])(self.options)
 
+    def _tokens(self, messages) -> list[str]:
+        return [m.token for m in messages if m is not None and m.token]
+
+    # driver-side: every partition succeeded exactly once -> publish those
+    # attempts' stages (and only those; a retried attempt's stage stays dark)
+    def commit(self, messages) -> None:
+        transport = self._transport()
+        if hasattr(transport, "publish"):
+            transport.publish(self._tokens(messages))
+
+    # driver-side: the job failed -> discard whatever was staged
     def abort(self, messages) -> None:
-        # sheet appends cannot be unwound; a staging transport would delete
-        # its uncommitted files here
-        pass
+        transport = self._transport()
+        if hasattr(transport, "discard"):
+            transport.discard(self._tokens(messages))
 
 
 class SheetAppendDataSource(DataSource):

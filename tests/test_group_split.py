@@ -7,10 +7,12 @@ from pyspark.sql import functions as F
 from etl_pipeline_old_spark.catalog import load_table
 from etl_pipeline_old_spark.queries.corpus5 import corpus_group_split
 
-SF = "/root/testdata/sf0.01"  # sf0.001 has ~15 users; all can hash one-sided
+# uses the oracle SF (sf0.01): sf0.001 has ~15 users and they can all
+# hash one-sided, leaving a single subset
 
 
-def test_no_group_crosses_subsets(spark):
+def test_no_group_crosses_subsets(spark, oracle_sf_dir):
+    SF = oracle_sf_dir
     out = {r.subset: r for r in corpus_group_split(spark, SF).collect()}
     assert set(out) == {"train", "test"}
     global_users = (

@@ -5,6 +5,8 @@ from __future__ import annotations
 import json
 import os
 
+import pytest
+
 from etl_pipeline_old_spark.sinks.sheets_datasource import (
     FORMAT_NAME,
     append_missing_distributed,
@@ -39,12 +41,14 @@ def test_writer_appends_all_rows_exactly_once(spark, tmp_path):
     # multiple partitions really wrote in parallel (one file per non-empty part)
     n_files = len([f for f in os.listdir(out) if f.endswith(".jsonl")])
     assert n_files > 1
+    # staged recipe: commit published every stage; no orphaned .tmp remains
+    assert not [f for f in os.listdir(out) if f.endswith(".tmp")]
 
 
 def test_writer_rejects_overwrite(spark, tmp_path):
     register(spark)
     df = spark.range(3)
-    try:
+    with pytest.raises(Exception, match="append-only"):
         (
             df.write.format(FORMAT_NAME)
             .mode("overwrite")
@@ -52,9 +56,6 @@ def test_writer_rejects_overwrite(spark, tmp_path):
             .option("path", str(tmp_path / "x"))
             .save()
         )
-        raise AssertionError("overwrite must be rejected")
-    except Exception as e:
-        assert "append-only" in str(e)
 
 
 def test_k6_anti_join_flow_appends_only_missing(spark, tmp_path):
