@@ -148,3 +148,26 @@ def append_missing_distributed(
     for k, v in options.items():
         w = w.option(k, v)
     w.save()
+
+
+def failing_transport_factory(options: dict):
+    """Failure-injection transport for tests: behaves like the file
+    transport but raises on any batch containing a row whose first field
+    equals options['poison'] (as a string) — used to prove that a failed
+    job publishes NOTHING (abort discards all stages)."""
+    poison = options["poison"]
+    inner = file_transport_factory(options)
+
+    class _FailingTransport:
+        def append_rows(self, rows: list[list]) -> str:
+            if any(str(r[0]) == poison for r in rows):
+                raise RuntimeError(f"injected failure on row {poison}")
+            return inner.append_rows(rows)
+
+        def publish(self, tokens: list[str]) -> None:
+            inner.publish(tokens)
+
+        def discard(self, tokens: list[str]) -> None:
+            inner.discard(tokens)
+
+    return _FailingTransport()

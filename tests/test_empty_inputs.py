@@ -1,0 +1,48 @@
+"""Empty-input behavior of the core composite operators.
+
+An empty partition/table is the permanent steady state of incremental
+pipelines (no new data this run); every operator must return an empty —
+not erroring, not null-schema — result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_pipeline_old_spark.operators.dedup import minhash_lsh_dedup
+from etl_pipeline_old_spark.operators.graph import (
+    connected_components,
+    connected_components_star,
+)
+from etl_pipeline_old_spark.operators.similarity import brute_force_topk
+from etl_pipeline_old_spark.queries.entity_resolution import link_delta
+
+
+def test_connected_components_empty_edges(spark):
+    e = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(e).count() == 0
+    assert connected_components_star(e).count() == 0
+
+
+def test_minhash_empty_corpus(spark):
+    d = spark.createDataFrame([], "doc_id long, text string")
+    assert minhash_lsh_dedup(d, "text", "doc_id").count() == 0
+
+
+def test_link_delta_empty_delta(spark):
+    base = spark.createDataFrame(
+        [(0, "Customer#1", "AUTO", 1, 100)],
+        "rec_id long, name string, seg string, nation int, bal_cents long",
+    )
+    empty = base.filter(F.lit(False))
+    assert link_delta(empty, base).count() == 0
+    # and an empty base: every delta record is new
+    out = link_delta(base, empty).collect()
+    assert len(out) == 1 and out[0].is_new
+
+
+def test_brute_force_topk_empty_queries(spark):
+    emb = spark.createDataFrame(
+        [(0, [0.1, 0.2]), (1, [0.3, 0.4])], "vec_id long, embedding array<float>"
+    )
+    assert brute_force_topk(emb, [], 5).count() == 0

@@ -69,3 +69,30 @@ def test_k6_anti_join_flow_appends_only_missing(spark, tmp_path):
     )
     rows = _read_all(out)
     assert sorted(r[0] for r in rows) == [2, 4]
+
+
+def test_failed_job_publishes_nothing(spark, tmp_path):
+    """One poisoned partition fails its write; the job aborts and NO final
+    file may exist — the staged-commit exactly-once guarantee."""
+    register(spark)
+    df = spark.range(20).repartition(4)
+    out = str(tmp_path / "sheet3")
+    with pytest.raises(Exception):
+        (
+            df.write.format(FORMAT_NAME)
+            .mode("append")
+            .option(
+                "transport_factory",
+                "etl_pipeline_old_spark.sinks.sheets_datasource."
+                "failing_transport_factory",
+            )
+            .option("path", out)
+            .option("poison", "7")
+            .save()
+        )
+    published = (
+        [f for f in os.listdir(out) if f.endswith(".jsonl")]
+        if os.path.exists(out)
+        else []
+    )
+    assert published == []
