@@ -348,25 +348,11 @@ def _phash_oracle() -> str:
     """
 
 
-@register(
-    "multimodal_phash_dedup",
-    oracle=_phash_oracle(),
-    doc="Perceptual-hash near-dup over the multimodal path: the stub "
-    "decode (4 seeded md5 digests of the payload standing in for an 8x8 "
-    "grayscale thumbnail — the honest fake, the real path swaps in a "
-    "codec + DCT) feeds an average-hash kernel inside the SAME Arrow "
-    "mapInPandas plumbing as the other multimodal ops: bit j = pixel_j > "
-    "mean, emitted as a 64-char bit string, then one hash-group window "
-    "counts duplicates. Exact-duplicate payloads provably collide; at "
-    "100 TB the group-by-hash is the usual map-combined shuffle, and "
-    "near-dup (Hamming ≤ k) generalizes by banding the bit string into "
-    "k+1 sub-keys exactly like SimHash.",
-)
-def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ahash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, ahash) via the Arrow mapInPandas decode+hash kernel."""
     import hashlib
 
     import pandas as pd
-    from pyspark.sql.window import Window as W
 
     from ..operators.multimodal import make_media_table
 
@@ -386,7 +372,27 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"doc_id": pdf["doc_id"], "ahash": pdf["payload"].map(ahash)}
             )
 
-    h = media.mapInPandas(op, schema="doc_id long, ahash string")
+    return media.mapInPandas(op, schema="doc_id long, ahash string")
+
+
+@register(
+    "multimodal_phash_dedup",
+    oracle=_phash_oracle(),
+    doc="Perceptual-hash near-dup over the multimodal path: the stub "
+    "decode (4 seeded md5 digests of the payload standing in for an 8x8 "
+    "grayscale thumbnail — the honest fake, the real path swaps in a "
+    "codec + DCT) feeds an average-hash kernel inside the SAME Arrow "
+    "mapInPandas plumbing as the other multimodal ops: bit j = pixel_j > "
+    "mean, emitted as a 64-char bit string, then one hash-group window "
+    "counts duplicates. Exact-duplicate payloads provably collide; at "
+    "100 TB the group-by-hash is the usual map-combined shuffle, and "
+    "near-dup (Hamming ≤ k) generalizes by banding the bit string into "
+    "k+1 sub-keys exactly like SimHash.",
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    h = _ahash_frame(spark, sf_dir)
     return h.withColumn(
         "n_dups", F.count("*").over(W.partitionBy("ahash")).cast("long")
     )
@@ -536,4 +542,86 @@ def p14_ragged_csv_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.sum((F.col("seg") == "").cast("long")).alias("n_seg_padded"),
         F.sum(F.col("nation").isNull().cast("long")).alias("n_nation_null"),
+    )
+
+
+
+PHASH_BANDS = 4
+PHASH_HAM_K = 3  # bands = K+1 guarantees a colliding band for Hamming <= K
+
+
+def _phash_near_oracle() -> str:
+    h_cte = _phash_oracle().split("SELECT doc_id, ahash,")[0]  # up to final SELECT
+    return (
+        h_cte
+        + f""",
+    bands AS (
+      SELECT doc_id, ahash, i AS band_idx,
+             substr(ahash, (i - 1) * 16 + 1, 16) AS band
+      FROM h CROSS JOIN unnest([1, 2, 3, 4]) AS t(i)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.ahash AS ha, b.ahash AS hb
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band = b.band
+       AND a.doc_id < b.doc_id),
+    ham AS (
+      SELECT doc_a, doc_b,
+             list_sum(list_transform(range(1, 65), i ->
+               CASE WHEN substr(ha, i::INTEGER, 1) <> substr(hb, i::INTEGER, 1)
+                    THEN 1 ELSE 0 END))::BIGINT AS hamming
+      FROM cand)
+    SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= {PHASH_HAM_K}
+    """
+    )
+
+
+@register(
+    "multimodal_phash_near",
+    oracle=_phash_near_oracle(),
+    doc=f"Hamming-banded perceptual near-dup (the generalization the "
+    f"phash_dedup doc promises): the 64-bit aHash splits into "
+    f"{PHASH_BANDS} 16-bit bands; by pigeonhole any pair with Hamming "
+    f"<= {PHASH_HAM_K} shares at least one intact band, so the band "
+    f"bucket-join finds ALL such pairs (no misses), then the exact "
+    f"Hamming verify (a 64-step in-plan fold, JVM-side) filters false "
+    f"candidates. Identical shape to SimHash banding — shuffle cost is "
+    f"band rows, verify cost is candidates, never n².",
+)
+def multimodal_phash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = _ahash_frame(spark, sf_dir)
+    bands = h.select(
+        "doc_id",
+        "ahash",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(1, PHASH_BANDS + 1)])
+        ).alias("band_idx"),
+    ).withColumn(
+        "band", F.expr("substr(ahash, (band_idx - 1) * 16 + 1, 16)")
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.ahash").alias("ha"),
+            F.col("b.ahash").alias("hb"),
+        )
+        .distinct()
+    )
+    ham = cand.withColumn(
+        "hamming",
+        F.expr(
+            "aggregate(sequence(1, 64), 0, (acc, i) -> "
+            "acc + IF(substr(ha, i, 1) != substr(hb, i, 1), 1, 0))"
+        ).cast("long"),
+    )
+    return ham.filter(F.col("hamming") <= PHASH_HAM_K).select(
+        "doc_a", "doc_b", "hamming"
     )
