@@ -104,3 +104,31 @@ def rest_pages_parallel(
         .repartition(min(n_pages, 64))
         .mapInPandas(op, schema=schema)
     )
+
+
+def oauth_headers(token: str) -> dict[str, str]:
+    """OAuth bearer-style header for token-authenticated single-shot APIs —
+    the Yandex Metrika management probe's auth shape
+    (/root/reference/extractors/fetch_yandex_token.py: ``Authorization:
+    OAuth <token>``; the reference script only prints the counter list and
+    feeds nothing downstream). Token comes from the caller's secret store,
+    never from code."""
+    return {"Authorization": f"OAuth {token}"}
+
+
+def metrika_counters(
+    spark: SparkSession,
+    transport: Callable[[str, dict[str, str]], list[dict]],
+    token: str,
+    url: str = "https://api-metrika.yandex.net/management/v1/counters",
+) -> DataFrame:
+    """Single-shot authenticated REST source (S8 family, OAuth variant):
+    ``transport(url, headers) -> list[dict]`` is injectable like every
+    other adapter here, so offline tests (and air-gapped runs) stub it.
+    Mirrors rest_to_dataframe's driver-side fetch — counter lists are
+    dim-sized."""
+    rows = transport(url, oauth_headers(token))
+    return spark.createDataFrame(
+        [(r.get("id"), r.get("name"), r.get("site")) for r in rows],
+        "counter_id long, name string, site string",
+    )
