@@ -467,3 +467,70 @@ def stream_er_incremental_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.read.parquet(target)
+
+
+@register(
+    "pipeline_mdm",
+    oracle=f"""
+    WITH RECURSIVE {_RECORDS_CTE},{_CAND_CTE},{_SCORED_CTE},{_MATCHED_CTE},{_COMP_CTE},
+    assigned AS (
+      SELECT r.rec_id, coalesce(c.component, r.rec_id) AS entity_id
+      FROM records r LEFT JOIN comp c ON c.node = r.rec_id),
+    ent AS (SELECT entity_id, count(*) AS n FROM assigned GROUP BY entity_id),
+    base AS (SELECT * FROM records WHERE rec_id % 2 = 0),
+    delta AS (SELECT * FROM records WHERE rec_id % 2 = 1),
+    bblocks AS (SELECT * FROM {_blocks_sql("base")}),
+    dblocks AS (SELECT * FROM {_blocks_sql("delta")}),
+    icand AS (
+      SELECT DISTINCT d.rec_id AS rec_id, b.rec_id AS base_rec_id
+      FROM dblocks d JOIN bblocks b ON d.bkey = b.bkey),
+    iscored AS (
+      SELECT c.rec_id, c.base_rec_id, {_score_sql("rd", "rb")} AS score
+      FROM icand c
+      JOIN delta rd ON rd.rec_id = c.rec_id
+      JOIN base rb ON rb.rec_id = c.base_rec_id),
+    ibest AS (
+      SELECT rec_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY rec_id ORDER BY score DESC, base_rec_id) AS rn
+        FROM iscored WHERE score >= {MATCH_THRESHOLD})
+      WHERE rn = 1)
+    SELECT (SELECT count(*) FROM records)::BIGINT AS n_records,
+           (SELECT count(*) FROM ent)::BIGINT AS n_entities,
+           (SELECT count(*) FROM ent WHERE n > 1)::BIGINT AS n_merged_entities,
+           (SELECT count(*) FROM ibest)::BIGINT AS n_delta_matched,
+           (SELECT count(*) FROM delta)::BIGINT
+             - (SELECT count(*) FROM ibest)::BIGINT AS n_delta_new
+    """,
+    doc="MDM capstone: the full master-build (blocking → scoring → "
+    "clusters → golden entities) AND the incremental delta linkage run "
+    "as ONE audited summary — registry size, entity count, merged-entity "
+    "count, and the delta batch's matched/new split. The one-row audit a "
+    "master-data job publishes per run; every number cross-checks the "
+    "composed CTE oracle.",
+)
+def pipeline_mdm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    records = _records(spark, sf_dir)
+    golden = er_golden_record(spark, sf_dir)
+    link = er_incremental_link(spark, sf_dir)
+
+    n_records = records.agg(F.count("*").alias("n_records"))
+    ent = golden.agg(
+        F.count("*").alias("n_entities"),
+        F.sum((F.col("n_records") > 1).cast("long")).alias("n_merged_entities"),
+    )
+    delta_stats = link.agg(
+        F.sum((~F.col("is_new")).cast("long")).alias("n_delta_matched"),
+        F.sum(F.col("is_new").cast("long")).alias("n_delta_new"),
+    )
+    return (
+        n_records.crossJoin(F.broadcast(ent))
+        .crossJoin(F.broadcast(delta_stats))
+        .select(
+            "n_records",
+            "n_entities",
+            "n_merged_entities",
+            "n_delta_matched",
+            "n_delta_new",
+        )
+    )
