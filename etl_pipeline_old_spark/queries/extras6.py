@@ -625,3 +625,57 @@ def multimodal_phash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ham.filter(F.col("hamming") <= PHASH_HAM_K).select(
         "doc_a", "doc_b", "hamming"
     )
+
+
+def _lsh_recall_oracle() -> str:
+    from .extras5 import PPJOIN_T, _ppjoin_oracle
+
+    return f"""
+    WITH truth AS (SELECT id_a, id_b FROM ({_ppjoin_oracle()})),
+    pred AS (SELECT id_a, id_b FROM ({_minhash_oracle(thr=PPJOIN_T)}))
+    SELECT (SELECT count(*) FROM truth)::BIGINT AS n_true,
+           (SELECT count(*) FROM pred)::BIGINT AS n_pred,
+           (SELECT count(*) FROM truth JOIN pred USING (id_a, id_b))::BIGINT
+             AS n_hit,
+           round((SELECT count(*) FROM truth JOIN pred USING (id_a, id_b))
+                 / greatest((SELECT count(*) FROM truth), 1) * 1.0, 6)
+             AS recall
+    """
+
+
+@register(
+    "dedup_lsh_recall_vs_exact",
+    oracle=_lsh_recall_oracle(),
+    doc="Dedup-quality instrumentation (the ANN-recall pattern applied to "
+    "near-dedup): ground truth = the COMPLETE exact similarity join "
+    "(prefix filtering, provably no misses at t=0.7); prediction = "
+    "MinHash-LSH verified pairs at the same threshold. Recall measures "
+    "exactly the banding miss-probability the LSH docs quote; precision "
+    "is 1.0 by construction (LSH pairs are exact-verified), so only "
+    "recall is emitted. In-plan, no collect — the harness a curation "
+    "team runs per corpus before trusting LSH at scale.",
+)
+def dedup_lsh_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .extras5 import PPJOIN_T, dedup_prefix_filter_join
+
+    truth = dedup_prefix_filter_join(spark, sf_dir).select("id_a", "id_b")
+    d = load_table(spark, sf_dir, "documents")
+    pred = (
+        DD.minhash_lsh_dedup(d, "text", "doc_id", threshold=PPJOIN_T)
+        .select("id_a", "id_b")
+    )
+    n_true = truth.agg(F.count("*").alias("n_true"))
+    n_pred = pred.agg(F.count("*").alias("n_pred"))
+    n_hit = truth.join(pred, ["id_a", "id_b"]).agg(F.count("*").alias("n_hit"))
+    return (
+        n_true.crossJoin(F.broadcast(n_pred))
+        .crossJoin(F.broadcast(n_hit))
+        .select(
+            "n_true",
+            "n_pred",
+            "n_hit",
+            F.round(
+                F.col("n_hit") / F.greatest(F.col("n_true"), F.lit(1)) * 1.0, 6
+            ).alias("recall"),
+        )
+    )

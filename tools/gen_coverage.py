@@ -122,7 +122,7 @@ COVERAGE: list[tuple[str, str, list[str], str]] = [
     ("PIPE", "notebook pipelines", ["pipeline_logs", "pipeline_projectsync", "pipeline_yougile", "pipeline_gitlab_lines"], ""),
     ("RUN", "run.py orchestrator", ["run_full_pipeline"], "all datasets in one SparkSession + K4 loads"),
     # north-star extensions (BASELINE.json)
-    ("X-dedup", "dedup family", ["dedup_exact", "dedup_exact_normalized", "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs", "dedup_embedding_cosine", "dedup_clusters", "dedup_apply", "dedup_apply_keep_best", "dedup_semantic", "dedup_span_reconstruct", "dedup_incremental_probe", "dedup_prefix_filter_join"], "exact, MinHash-LSH, SimHash, Jaccard, embedding-cosine, connected components, keep-best apply, SemDeDup, exact-substring span dedup w/ reconstruction (Lee et al. 2022), incremental delta-vs-base index probe, PPJoin prefix-filter exact similarity join"),
+    ("X-dedup", "dedup family", ["dedup_exact", "dedup_exact_normalized", "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs", "dedup_embedding_cosine", "dedup_clusters", "dedup_apply", "dedup_apply_keep_best", "dedup_semantic", "dedup_span_reconstruct", "dedup_incremental_probe", "dedup_prefix_filter_join", "dedup_lsh_recall_vs_exact"], "LSH recall measured in-plan against the complete exact join; exact, MinHash-LSH, SimHash, Jaccard, embedding-cosine, connected components, keep-best apply, SemDeDup, exact-substring span dedup w/ reconstruction (Lee et al. 2022), incremental delta-vs-base index probe, PPJoin prefix-filter exact similarity join"),
     ("X-boiler", "boilerplate detection", ["corpus_boilerplate_ngrams"], "cross-doc verbatim n-grams (Lee et al. 2022 exact-substring candidates)"),
     ("X-ann", "similarity search", ["ann_cosine_topk", "ann_lsh_cosine_topk", "ann_ivf_cosine_topk", "ann_lsh_recall_at_10", "ann_ivf_recall_at_10", "ann_hard_negatives", "ann_pq_binary_topk", "ann_knn_graph_lsh"], "recall@10 vs exact baseline, in-plan; directed kNN graph over all vectors via per-bucket self-join"),
     ("X-sql", "Spark SQL API surface", ["sql_api_nation_spend", "lateral_top3_orders", "pandas_api_migration", "collation_ci_grouping", "sql_recursive_hierarchy"], "identical SQL text runs on both engines; native WITH RECURSIVE (Spark 4)"),
