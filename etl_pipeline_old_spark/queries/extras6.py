@@ -679,3 +679,69 @@ def dedup_lsh_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+@register(
+    "f24_try_arithmetic",
+    oracle="""
+    WITH d AS (
+      SELECT c_custkey,
+             CASE WHEN ('0x' || substr(md5('dirty:' || c_custkey::VARCHAR),
+                        1, 15))::UBIGINT::BIGINT % 3 = 0
+                  THEN c_name
+                  ELSE substr(c_name, 10) END AS raw_num,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer),
+    t AS (
+      SELECT c_custkey,
+             TRY_CAST(raw_num AS BIGINT) AS parsed,
+             CASE WHEN c_custkey % 5 = 0 THEN NULL
+                  ELSE round(bal_cents / (c_custkey % 5) * 1.0, 6) END
+               AS safe_div
+      FROM d)
+    SELECT count(*)::BIGINT AS n_rows,
+           sum(CASE WHEN parsed IS NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_unparsed,
+           sum(parsed)::BIGINT AS parsed_sum,
+           sum(CASE WHEN safe_div IS NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_div_null,
+           round(sum(coalesce(safe_div, 0)), 4) AS div_sum
+    FROM t
+    """,
+    doc="ANSI-safe error handling (Spark 4 try_* family): a third of the "
+    "rows get a non-numeric string — try_cast yields NULL instead of the "
+    "ANSI-mode throw; try_divide nulls the custkey%5==0 divisor rows. "
+    "The oracle spells the same semantics as TRY_CAST + an explicit "
+    "CASE, so the null-on-error contract is value-checked. This is how "
+    "F11-style coercion stays correct when the engine session runs "
+    "ANSI-on (the external driver may) — the sweep in "
+    "tools/hostile_sweep.py runs every query that way.",
+)
+def f24_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    dirty_sel = (
+        DD.md5_long(F.concat(F.lit("dirty:"), F.col("c_custkey").cast("string")))
+        % 3
+        == 0
+    )
+    d = c.select(
+        "c_custkey",
+        F.when(dirty_sel, F.col("c_name"))
+        .otherwise(F.expr("substr(c_name, 10)"))
+        .alias("raw_num"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    t = d.select(
+        "c_custkey",
+        F.expr("try_cast(raw_num AS BIGINT)").alias("parsed"),
+        F.round(
+            F.try_divide(F.col("bal_cents"), F.col("c_custkey") % 5) * 1.0, 6
+        ).alias("safe_div"),
+    )
+    return t.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("parsed").isNull().cast("long")).alias("n_unparsed"),
+        F.sum("parsed").alias("parsed_sum"),
+        F.sum(F.col("safe_div").isNull().cast("long")).alias("n_div_null"),
+        F.round(F.sum(F.coalesce(F.col("safe_div"), F.lit(0))), 4).alias("div_sum"),
+    )
