@@ -745,3 +745,45 @@ def f24_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("safe_div").isNull().cast("long")).alias("n_div_null"),
         F.round(F.sum(F.coalesce(F.col("safe_div"), F.lit(0))), 4).alias("div_sum"),
     )
+
+
+@register(
+    "privacy_pseudonymize_mask",
+    oracle="""
+    WITH p AS (
+      SELECT ('0x' || substr(md5('tenant-key-1:' || c_custkey::VARCHAR),
+              1, 15))::UBIGINT::BIGINT AS pseudo_id,
+             'Customer#****' || substr(c_name, 14) AS masked_name,
+             c_mktsegment AS seg
+      FROM customer)
+    SELECT seg,
+           count(*)::BIGINT AS n_rows,
+           count(DISTINCT pseudo_id)::BIGINT AS n_distinct_pseudo,
+           count(DISTINCT masked_name)::BIGINT AS n_distinct_masked
+    FROM p GROUP BY seg
+    """,
+    doc="Pseudonymization + column masking (the governance pair beside "
+    "k-anonymity and erasure propagation): identities become a KEYED "
+    "hash — md5(tenant_key || id), joinability preserved (distinct count "
+    "per segment unchanged, which the output proves) while the raw id "
+    "never leaves the plan; the display name masks its middle digits. "
+    "Key rotation = recompute with a new tenant key; per-row arithmetic, "
+    "no shuffle beyond the audit aggregate. The tenant key here is a "
+    "fixture literal — production reads it from the secret store.",
+)
+def privacy_pseudonymize_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    p = c.select(
+        DD.md5_long(
+            F.concat(F.lit("tenant-key-1:"), F.col("c_custkey").cast("string"))
+        ).alias("pseudo_id"),
+        F.concat(F.lit("Customer#****"), F.expr("substr(c_name, 14)")).alias(
+            "masked_name"
+        ),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    return p.groupBy("seg").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("pseudo_id").alias("n_distinct_pseudo"),
+        F.countDistinct("masked_name").alias("n_distinct_masked"),
+    )
