@@ -211,6 +211,12 @@ def calendar_dim(
     """Calendar dimension [start-1day, end] with ``cum_working`` = number of
     working days ≤ d. ``delta(a, b] = cum[b] - cum[a]``.
 
+    Cached per SparkSession (persisted MEMORY_ONLY): the dim is static, so
+    the 40k-day explode + prefix-sum window executes at most once per
+    session; every later workdays query broadcast-joins the in-memory
+    relation directly. ``persist()`` is lazy, so plan construction still
+    launches zero jobs (tests/test_workdays.py::test_frame_build_triggers_no_job).
+
     Built entirely JVM-side: only the exception-date lists (weekday holidays
     and working Saturdays, ~1.5k short strings for the full range) enter the
     plan as array literals; the 40k-day ``sequence`` explode, the working-day
@@ -225,6 +231,15 @@ def calendar_dim(
     keeps the dim deterministic.
     """
     from pyspark.sql.window import Window
+
+    # per-session memo, stored ON the session object so its lifetime (and the
+    # persisted block's) is tied to the session, not to a module global that
+    # could outlive a stopped session
+    cache: dict = spark.__dict__.setdefault("_etl_calendar_dim_cache", {})
+    cached = cache.get((start, end))
+    if cached is not None:
+        return cached
+    req = (start, end)
 
     start = start - timedelta(days=1)  # need cum[] at the day before start
     # only the exception dates cross the Python->JVM boundary (~1.6k rows);
@@ -242,14 +257,17 @@ def calendar_dim(
     # forced on, weekday holidays/transfers forced off), else Mon-Fri
     is_working = F.coalesce(F.col("forced_working"), ~weekday.isin(1, 7))
     win = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return (
+    dim = (
         days.join(F.broadcast(exc), "d", "left")
         .withColumn("is_working", is_working)
         .withColumn(
             "cum_working", F.sum(F.col("is_working").cast("int")).over(win).cast("int")
         )
         .drop("forced_working")
+        .persist()  # lazy; ~1 MB once materialized, lives with the session
     )
+    cache[req] = dim
+    return dim
 
 
 def _frac_hour(local_ts: Column) -> Column:
