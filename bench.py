@@ -83,6 +83,11 @@ HEADLINE = [
     # algorithms' cost stays comparable round-over-round
     "er_golden_record",
     "dedup_clusters_star",
+    # r4: C4-style line-level dedup (window-by-span + single doc-level
+    # reassembly agg) and the BPE pair-count tokenizer inner loop
+    # (vocabulary-sized explode)
+    "dedup_line_level",
+    "corpus_bpe_pair_counts",
 ]
 
 

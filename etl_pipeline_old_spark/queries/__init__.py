@@ -50,6 +50,7 @@ _MODULES = (
     "entity_resolution",
     "corpus5",
     "extras6",
+    "corpus6",
 )
 
 

@@ -76,6 +76,9 @@ def test_jvm_only_paths_have_no_python_nodes(spark, sf):
         "corpus_kl_by_source",
         "stats_corr_regression",
         "window_range_1h_movstats",
+        "dedup_line_level",
+        "sketch_mg_heavy_hitters",
+        "corpus_bpe_pair_counts",
     ]:
         plan = plan_of(QUERIES[name].fn(spark, sf))
         assert "EvalPython" not in plan, f"{name} must stay JVM-side"

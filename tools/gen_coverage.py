@@ -123,15 +123,15 @@ COVERAGE: list[tuple[str, str, list[str], str]] = [
     ("PIPE", "notebook pipelines", ["pipeline_logs", "pipeline_projectsync", "pipeline_yougile", "pipeline_gitlab_lines"], ""),
     ("RUN", "run.py orchestrator", ["run_full_pipeline"], "all datasets in one SparkSession + K4 loads"),
     # north-star extensions (BASELINE.json)
-    ("X-dedup", "dedup family", ["dedup_exact", "dedup_exact_normalized", "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs", "dedup_embedding_cosine", "dedup_clusters", "dedup_apply", "dedup_apply_keep_best", "dedup_semantic", "dedup_span_reconstruct", "dedup_incremental_probe", "dedup_prefix_filter_join", "dedup_lsh_recall_vs_exact"], "LSH recall measured in-plan against the complete exact join; exact, MinHash-LSH, SimHash, Jaccard, embedding-cosine, connected components, keep-best apply, SemDeDup, exact-substring span dedup w/ reconstruction (Lee et al. 2022), incremental delta-vs-base index probe, PPJoin prefix-filter exact similarity join"),
+    ("X-dedup", "dedup family", ["dedup_exact", "dedup_exact_normalized", "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs", "dedup_embedding_cosine", "dedup_clusters", "dedup_apply", "dedup_apply_keep_best", "dedup_semantic", "dedup_span_reconstruct", "dedup_incremental_probe", "dedup_prefix_filter_join", "dedup_lsh_recall_vs_exact", "dedup_line_level"], "LSH recall measured in-plan against the complete exact join; exact, MinHash-LSH, SimHash, Jaccard, embedding-cosine, connected components, keep-best apply, SemDeDup, exact-substring span dedup w/ reconstruction (Lee et al. 2022), incremental delta-vs-base index probe, PPJoin prefix-filter exact similarity join, C4-style line-level dedup w/ ordered document reassembly"),
     ("X-boiler", "boilerplate detection", ["corpus_boilerplate_ngrams"], "cross-doc verbatim n-grams (Lee et al. 2022 exact-substring candidates)"),
     ("X-ann", "similarity search", ["ann_cosine_topk", "ann_lsh_cosine_topk", "ann_ivf_cosine_topk", "ann_lsh_recall_at_10", "ann_ivf_recall_at_10", "ann_hard_negatives", "ann_pq_binary_topk", "ann_knn_graph_lsh"], "recall@10 vs exact baseline, in-plan; directed kNN graph over all vectors via per-bucket self-join"),
     ("X-sql", "Spark SQL API surface", ["sql_api_nation_spend", "lateral_top3_orders", "pandas_api_migration", "collation_ci_grouping", "sql_recursive_hierarchy"], "identical SQL text runs on both engines; native WITH RECURSIVE (Spark 4)"),
     ("X-mm", "multimodal columns", ["multimodal_decode_meta", "multimodal_feature_extract", "multimodal_resize", "multimodal_frame_sample", "multimodal_phash_dedup", "multimodal_phash_near"], "codecs stubbed (no image libs); plumbing real; aHash exact-collision dedup + Hamming-banded near-dup (pigeonhole-complete for Hamming<=3) bridge to the dedup family"),
-    ("X-text", "text analysis", ["text_lang_id", "text_quality_score", "text_token_count", "text_fingerprint", "text_fuzzy_name_pairs", "corpus_normalize", "corpus_pii_redact", "corpus_stats_by_lang", "corpus_top_bigrams", "text_tfidf_top_terms", "corpus_unigram_logprob", "corpus_bigram_perplexity"], ""),
+    ("X-text", "text analysis", ["text_lang_id", "text_quality_score", "text_token_count", "text_fingerprint", "text_fuzzy_name_pairs", "corpus_normalize", "corpus_pii_redact", "corpus_stats_by_lang", "corpus_top_bigrams", "text_tfidf_top_terms", "corpus_unigram_logprob", "corpus_bigram_perplexity", "corpus_bpe_pair_counts"], "incl. the BPE tokenizer-training pair-count step (aggregate-to-vocabulary first)"),
     ("X-profile", "data profiling", ["profile_table", "histogram_order_totals", "histogram_equi_depth"], "one-pass column stats; floor-bin histogram"),
     ("X-dq", "data-quality expectations", ["dq_check_suite", "dq_observe_metrics"], "fused per-table checks + FK anti-join; negative test injects violations"),
-    ("X-ivm", "incremental aggregate maintenance", ["incremental_agg_merge", "rollup_cascade_daily", "sketch_hll_partitioned_union", "sketch_cms_event_counts"], "partial-state merge; oracle IS the IVM invariant; mergeable count-min sketch w/ in-plan one-sided-error assertion"),
+    ("X-ivm", "incremental aggregate maintenance", ["incremental_agg_merge", "rollup_cascade_daily", "sketch_hll_partitioned_union", "sketch_cms_event_counts", "sketch_mg_heavy_hitters"], "partial-state merge; oracle IS the IVM invariant; mergeable count-min sketch w/ in-plan one-sided-error assertion; Misra-Gries heavy-hitter summaries merged across data shards w/ both MG guarantees asserted in-plan"),
     ("X-graph", "graph analytics", ["graph_pagerank", "dedup_clusters", "dedup_clusters_star", "graph_triangle_count"], "bounded power iteration w/ dangling mass; label propagation AND log-rounds large-star/small-star CC (equality-tested); oriented-edge triangle count"),
     ("X-ts", "time-series / CDC", ["cdc_changelog_compact", "ts_gapfill_ffill", "ts_resample_ohlc", "ts_time_weighted_avg"], "changelog compaction w/ tombstones, dense ffill series, OHLC bars"),
     ("X-layout", "storage layout", ["zorder_zvalue", "k7_partitioned_write_prune", "layout_compaction_bins", "layout_minmax_prune", "layout_range_partition_plan"], "Z-order keys (clustering asserted on parquet footers); Hive-partitioned write w/ pruned readback (PartitionFilters asserted in test_plans.py); small-file compaction planner; min/max file-stats skipping manifest (hash vs sort-on-write layouts); balanced range-partition plan for sorted writes"),
