@@ -87,20 +87,30 @@ def connected_components(
             adj.join(labels, adj["v"] == labels["node"])
             .select(F.col("u").alias("node"), F.col("component"))
         )
+        # the changed flag rides IN the materialized frame (labels propagate
+        # monotonically downward, so changed ⇔ new < old): the convergence
+        # probe is then a limit-1 scan of already-checkpointed blocks, not a
+        # separate shuffle join of the old and new label frames per round
         new_labels = _truncate(
-            labels.select("node", "component")
-            .union(neighbor_labels)
+            labels.select(
+                "node", F.col("component").alias("__lab"), F.lit(True).alias("__own")
+            )
+            .union(
+                neighbor_labels.select(
+                    "node", F.col("component").alias("__lab"), F.lit(False).alias("__own")
+                )
+            )
             .groupBy("node")
-            .agg(F.min("component").alias("component"))
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
+            .agg(
+                F.min("__lab").alias("component"),
+                # exactly one __own row per node: its label is the old one
+                (
+                    F.min("__lab") < F.min(F.when(F.col("__own"), F.col("__lab")))
+                ).alias("__shrunk"),
+            )
         )
         labels = new_labels
-        if changed == 0:
+        if new_labels.filter("__shrunk").limit(1).isEmpty():
             converged = True
             break
     adj.unpersist()
