@@ -88,6 +88,8 @@ HEADLINE = [
     # (vocabulary-sized explode)
     "dedup_line_level",
     "corpus_bpe_pair_counts",
+    # r4: the RAG retrieval capstone (chunk -> embed -> LSH probe -> rerank)
+    "pipeline_rag_retrieval",
 ]
 
 

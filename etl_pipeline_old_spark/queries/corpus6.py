@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators import dedup as DD
+from ..operators import similarity as SIM
 from ..operators.dedup import MD5_LONG_SQL, md5_long
 from ..registry import register
 
@@ -299,4 +300,250 @@ def corpus_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= BPE_TOPN)
         .drop("rn")
+    )
+
+
+# --- RAG retrieval capstone ------------------------------------------------
+# chunk -> embed -> LSH index -> retrieve, end-to-end over documents only.
+# The "embedding model" is an exact md5-slice stand-in (16-bit signed slices
+# of md5(chunk), the multimodal feature_extract convention) so every score
+# is integer-derived and the full retrieval ranking cross-checks DuckDB.
+RAG_CHUNK = 8  # tokens per chunk (documents average ~30 words)
+RAG_QMOD = 97  # doc_id % RAG_QMOD == 0 -> the doc's first chunk is a query
+RAG_BITS = 6
+RAG_TABLES = 2
+RAG_TOPK = 3
+RAG_DIM = 8
+RAG_SCALE = 10_000
+
+
+def _rag_planes(t: int):
+    return SIM.quantize_planes(
+        SIM.lsh_planes(RAG_BITS, RAG_DIM, seed=202 + t), RAG_SCALE
+    )
+
+
+def _rag_emb_cols():
+    """RAG_DIM exact-int embedding dims from md5(chunk_text)."""
+    h = F.md5("chunk_text")
+    return [
+        (F.conv(F.substring(h, 4 * d + 1, 4), 16, 10).cast("long") - 32768)
+        for d in range(RAG_DIM)
+    ]
+
+
+def _rag_bucket_col(t: int):
+    planes = _rag_planes(t)
+    bits = [
+        F.when(
+            sum(
+                int(planes[b][d]) * F.element_at("e", d + 1)
+                for d in range(RAG_DIM)
+            )
+            >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for b in range(RAG_BITS)
+    ]
+    return F.concat(*bits)
+
+
+def _rag_emb_sql() -> str:
+    dims = ", ".join(
+        f"('0x' || substr(md5(chunk_text), {4 * d + 1}, 4))::BIGINT - 32768"
+        for d in range(RAG_DIM)
+    )
+    return f"[{dims}]"
+
+
+def _rag_bucket_sql(t: int) -> str:
+    planes = _rag_planes(t)
+    return " || ".join(
+        "(CASE WHEN "
+        + " + ".join(
+            f"({int(planes[b][d])} * e[{d + 1}])" for d in range(RAG_DIM)
+        )
+        + " >= 0 THEN '1' ELSE '0' END)"
+        for b in range(RAG_BITS)
+    )
+
+
+@register(
+    "pipeline_rag_retrieval",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split({NORM}, ' ') AS toks FROM documents),
+    ch AS (
+      SELECT doc_id, ((i - 1) // {RAG_CHUNK})::BIGINT AS chunk_idx,
+             array_to_string(list_slice(toks, i, i + {RAG_CHUNK - 1}), ' ') AS chunk_text
+      FROM tok,
+           UNNEST(generate_series(1, greatest(len(toks), 1), {RAG_CHUNK})) AS u(i)),
+    emb AS (
+      SELECT doc_id, chunk_idx, {_rag_emb_sql()} AS e FROM ch),
+    b AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, chunk_idx, e, {t} AS tbl, {{}} AS bucket FROM emb".format(
+            _rag_bucket_sql(t))
+        for t in range(RAG_TABLES))}),
+    qq AS (
+      SELECT doc_id AS query_doc_id, e AS qe, tbl, bucket FROM b
+      WHERE doc_id % {RAG_QMOD} = 0 AND chunk_idx = 0),
+    cand AS (
+      SELECT DISTINCT qq.query_doc_id, b.doc_id, b.chunk_idx
+      FROM b JOIN qq USING (tbl, bucket)
+      WHERE b.doc_id % {RAG_QMOD} <> 0),
+    scored AS (
+      SELECT c.query_doc_id, c.doc_id, c.chunk_idx,
+             round(
+               list_dot_product(q.e::DOUBLE[], n.e::DOUBLE[])
+               / sqrt(list_dot_product(q.e::DOUBLE[], q.e::DOUBLE[])
+                      * list_dot_product(n.e::DOUBLE[], n.e::DOUBLE[])),
+               6) AS cos_sim
+      FROM cand c
+      JOIN emb q ON q.doc_id = c.query_doc_id AND q.chunk_idx = 0
+      JOIN emb n ON n.doc_id = c.doc_id AND n.chunk_idx = c.chunk_idx)
+    SELECT query_doc_id, rank, doc_id, chunk_idx, cos_sim FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_doc_id
+        ORDER BY cos_sim DESC, doc_id, chunk_idx) AS rank
+      FROM scored)
+    WHERE rank <= {RAG_TOPK}
+    """,
+    doc=f"RAG retrieval capstone, end-to-end: {RAG_CHUNK}-token chunking -> "
+    "md5-slice integer embedding (deterministic encoder stand-in, the "
+    "multimodal feature convention) -> "
+    f"{RAG_TABLES}-table {RAG_BITS}-bit hyperplane-LSH index -> bucket-join "
+    f"candidate retrieval -> exact cosine rerank -> top-{RAG_TOPK} chunks "
+    "per query. Queries (first chunks of the doc_id % "
+    f"{RAG_QMOD} == 0 docs) are a broadcast side; the index side is one "
+    "chunk pass, so retrieval cost is bucket-collision-sized, never "
+    "corpus-sized — at 100 TB the index frame is the bucketed-write "
+    "layout of operators/similarity.write_lsh_layout and each query "
+    "probes only its (tbl, bucket) partitions. Every score is "
+    "integer-derived, so the full ranking is value-checked cross-engine.",
+)
+def pipeline_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(DD.normalize_text("text"), " ").alias("__toks"))
+    starts = F.explode(
+        F.sequence(F.lit(1), F.greatest(F.size("__toks"), F.lit(1)), F.lit(RAG_CHUNK))
+    )
+    ch = toks.select("doc_id", "__toks", starts.alias("start")).select(
+        "doc_id",
+        F.floor((F.col("start") - 1) / RAG_CHUNK).cast("long").alias("chunk_idx"),
+        F.concat_ws(" ", F.slice("__toks", F.col("start"), RAG_CHUNK)).alias("chunk_text"),
+    )
+    emb = ch.select("doc_id", "chunk_idx", F.array(*_rag_emb_cols()).alias("e"))
+    tables = [
+        emb.select(
+            "doc_id", "chunk_idx", "e",
+            F.lit(t).alias("tbl"), _rag_bucket_col(t).alias("bucket"),
+        )
+        for t in range(RAG_TABLES)
+    ]
+    b = tables[0]
+    for frame in tables[1:]:
+        b = b.unionByName(frame)
+    is_query = F.col("doc_id") % RAG_QMOD == 0
+    qq = b.filter(is_query & (F.col("chunk_idx") == 0)).select(
+        F.col("doc_id").alias("query_doc_id"), F.col("e").alias("qe"), "tbl", "bucket"
+    )
+    cand = (
+        b.filter(~is_query)
+        .join(F.broadcast(qq), ["tbl", "bucket"])
+        # identical (qe, e) payloads on every duplicate row -> dedup is safe
+        .dropDuplicates(["query_doc_id", "doc_id", "chunk_idx"])
+    )
+    dot = lambda a, bb: F.aggregate(  # noqa: E731
+        F.zip_with(a, bb, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    scored = cand.select(
+        "query_doc_id",
+        "doc_id",
+        "chunk_idx",
+        F.round(
+            dot(F.col("qe"), F.col("e")).cast("double")
+            / F.sqrt(
+                dot(F.col("qe"), F.col("qe")).cast("double")
+                * dot(F.col("e"), F.col("e")).cast("double")
+            ),
+            6,
+        ).alias("cos_sim"),
+    )
+    w = W.partitionBy("query_doc_id").orderBy(
+        F.desc("cos_sim"), "doc_id", "chunk_idx"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= RAG_TOPK)
+        .select("query_doc_id", "rank", "doc_id", "chunk_idx", "cos_sim")
+    )
+
+
+# --- linear quality classifier --------------------------------------------
+# fastText-style linear model over engineered integer features. Weights are
+# fixed (a stand-in for trained ones); every feature and the logit are
+# integer milli-units, so the keep decision is exact in both engines.
+QC_STOPWORDS = ("the", "a", "of", "to", "and")
+QC_W_NWORDS = 20
+QC_W_STOP = 4
+QC_THRESHOLD = -3100  # ~median logit over the testdata -> non-vacuous split
+
+
+@register(
+    "text_quality_classifier",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {NORM} AS t, string_split({NORM}, ' ') AS toks
+      FROM documents),
+    f AS (
+      SELECT doc_id, len(toks) AS n_words,
+             (1000 * len(list_filter(toks,
+                w -> w IN {QC_STOPWORDS}))) // len(toks) AS stop_pm,
+             (1000 * (length(t) - (len(toks) - 1))) // len(toks) AS awl_milli
+      FROM tok)
+    SELECT doc_id,
+           n_words::BIGINT AS n_words,
+           stop_pm::BIGINT AS stop_pm,
+           awl_milli::BIGINT AS awl_milli,
+           ({QC_W_NWORDS} * n_words + {QC_W_STOP} * stop_pm - awl_milli)::BIGINT
+             AS logit_milli,
+           {QC_W_NWORDS} * n_words + {QC_W_STOP} * stop_pm - awl_milli
+             >= {QC_THRESHOLD} AS keep
+    FROM f
+    """,
+    doc="Model-based quality filtering (fastText-style linear classifier "
+    "shape): integer engineered features — word count, stopword permille, "
+    "mean word length in milli-chars — folded through fixed weights into "
+    "an integer logit; keep = logit >= threshold. The execution shape of "
+    "a learned quality filter (CCNet/GPT-3 style): one narrow projection, "
+    "no shuffle at all, so at 100 TB it streams map-side and fuses into "
+    "whatever sink or dedup stage follows.",
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = DD.normalize_text("text")
+    base = d.select("doc_id", t.alias("t"), F.split(t, " ").alias("toks"))
+    nw = F.size("toks").cast("long")
+    stop_hits = F.size(
+        F.filter("toks", lambda w: w.isin(*QC_STOPWORDS))
+    ).cast("long")
+    f = base.select(
+        "doc_id",
+        nw.alias("n_words"),
+        F.floor(1000 * stop_hits / nw).cast("long").alias("stop_pm"),
+        F.floor(1000 * (F.length("t") - (nw - 1)) / nw).cast("long").alias("awl_milli"),
+    )
+    logit = (
+        QC_W_NWORDS * F.col("n_words")
+        + QC_W_STOP * F.col("stop_pm")
+        - F.col("awl_milli")
+    )
+    return f.select(
+        "doc_id",
+        "n_words",
+        "stop_pm",
+        "awl_milli",
+        logit.cast("long").alias("logit_milli"),
+        (logit >= QC_THRESHOLD).alias("keep"),
     )

@@ -79,6 +79,8 @@ def test_jvm_only_paths_have_no_python_nodes(spark, sf):
         "dedup_line_level",
         "sketch_mg_heavy_hitters",
         "corpus_bpe_pair_counts",
+        "pipeline_rag_retrieval",
+        "text_quality_classifier",
     ]:
         plan = plan_of(QUERIES[name].fn(spark, sf))
         assert "EvalPython" not in plan, f"{name} must stay JVM-side"
