@@ -51,6 +51,7 @@ _MODULES = (
     "corpus5",
     "extras6",
     "corpus6",
+    "streaming3",
 )
 
 
