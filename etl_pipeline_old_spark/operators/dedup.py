@@ -326,3 +326,53 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 48) -> DataFr
         term = F.when(F.col(f"v{p}") > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
         fingerprint = term if fingerprint is None else fingerprint + term
     return votes.select("id", fingerprint.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# line-level dedup (C4-style)
+# ---------------------------------------------------------------------------
+
+
+def line_level_dedup(
+    df: DataFrame, text_col: str, id_col: str, line_tokens: int = 3
+) -> DataFrame:
+    """C4-style line dedup: split each text into consecutive
+    ``line_tokens``-token spans, keep ONE occurrence of every distinct span
+    corpus-wide (first by (id, position)), reassemble per id.
+
+    Output: (id col, n_lines_total, n_lines_kept, text_deduped). Two
+    shuffles: a window keyed BY THE SPAN (dedup decision is local to a
+    span's hash partition — scales like exact dedup, never like a
+    self-join), then one id-keyed aggregate producing totals, kept counts,
+    and the newline-joined surviving text in a single pass.
+    """
+    from pyspark.sql import Window as W
+
+    L = line_tokens
+    # tokenize in its OWN projection so the explode below does not
+    # re-evaluate the split per emitted row (see shingle_sets note)
+    toks = df.select(
+        F.col(id_col), F.split(normalize_text(text_col), " ").alias("__toks")
+    )
+    n_lines = F.ceil(F.size("__toks") / float(L)).cast("int")
+    with_idx = toks.select(
+        id_col, "__toks", F.explode(F.sequence(F.lit(0), n_lines - 1)).alias("line_idx")
+    )
+    lines = with_idx.select(
+        id_col,
+        "line_idx",
+        F.array_join(F.slice("__toks", F.col("line_idx") * L + 1, L), " ").alias("line"),
+    )
+    first_wins = W.partitionBy("line").orderBy(id_col, "line_idx")
+    ranked = lines.withColumn("rn", F.row_number().over(first_wins))
+    kept_struct = F.when(F.col("rn") == 1, F.struct("line_idx", "line"))
+    return ranked.groupBy(id_col).agg(
+        F.count("*").alias("n_lines_total"),
+        F.sum((F.col("rn") == 1).cast("long")).alias("n_lines_kept"),
+        F.array_join(
+            # collect_list drops the nulls the when() leaves for
+            # non-first occurrences
+            F.transform(F.array_sort(F.collect_list(kept_struct)), lambda s: s["line"]),
+            "\n",
+        ).alias("text_deduped"),
+    )

@@ -93,42 +93,7 @@ EOW = "</w>"  # end-of-word marker, per the original BPE formulation
 )
 def dedup_line_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    L = LINE_TOKENS
-    # tokenize in its OWN projection so the explode below does not
-    # re-evaluate the split per emitted row (see operators/dedup.py note)
-    toks = d.select(
-        "doc_id", F.split(DD.normalize_text("text"), " ").alias("__toks")
-    )
-    n_lines = F.ceil(F.size("__toks") / float(L)).cast("int")
-    with_idx = toks.select(
-        "doc_id", "__toks", F.explode(F.sequence(F.lit(0), n_lines - 1)).alias("line_idx")
-    )
-    lines = with_idx.select(
-        "doc_id",
-        "line_idx",
-        F.array_join(
-            F.slice("__toks", F.col("line_idx") * L + 1, L), " "
-        ).alias("line"),
-    )
-    # single pass: rank within each span's hash partition (shuffle 1), then
-    # ONE doc-level aggregate (shuffle 2) computes totals, kept counts, and
-    # the reassembled text together — no second scan of the lines subplan
-    first_wins = W.partitionBy("line").orderBy("doc_id", "line_idx")
-    ranked = lines.withColumn("rn", F.row_number().over(first_wins))
-    kept_struct = F.when(F.col("rn") == 1, F.struct("line_idx", "line"))
-    return ranked.groupBy("doc_id").agg(
-        F.count("*").alias("n_lines_total"),
-        F.sum((F.col("rn") == 1).cast("long")).alias("n_lines_kept"),
-        F.array_join(
-            F.transform(
-                # collect_list drops the nulls the when() leaves for
-                # non-first occurrences
-                F.array_sort(F.collect_list(kept_struct)),
-                lambda s: s["line"],
-            ),
-            "\n",
-        ).alias("text_deduped"),
-    )
+    return DD.line_level_dedup(d, "text", "doc_id", LINE_TOKENS)
 
 
 def _mg_key_sql() -> str:

@@ -143,3 +143,46 @@ def test_join_left_cardinality_with_duplicate_dim_keys(spark):
     dim = spark.createDataFrame([(1, "a"), (1, "b")], "k long, v string")
     out = J.enrich(fact, dim, "k", ["v"])
     assert out.count() == 3  # row 1 fans out to 2 — caller's contract to dedupe
+
+
+# ---------------------------------------------------------------------------
+# line-level dedup vs pure-Python reference
+# ---------------------------------------------------------------------------
+
+_word = st.sampled_from(["aa", "bb", "cc", "dd"])  # tiny vocab -> collisions
+
+
+def py_line_dedup(texts: list[str], L: int = 3):
+    """Reference: global first-occurrence span dedup + ordered reassembly."""
+    seen: set[str] = set()
+    out = []
+    for i, t in enumerate(texts):
+        toks = re.sub(r"\s+", " ", t).strip().lower().split(" ")
+        lines = [" ".join(toks[j : j + L]) for j in range(0, len(toks), L)]
+        kept = []
+        for line in lines:
+            if line not in seen:
+                seen.add(line)
+                kept.append(line)
+        out.append((i, len(lines), len(kept), "\n".join(kept)))
+    return out
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(_word, min_size=1, max_size=10).map(" ".join),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_line_level_dedup_matches_python_reference(spark, texts):
+    from etl_pipeline_old_spark.operators.dedup import line_level_dedup
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_lines_total"], r["n_lines_kept"], r["text_deduped"])
+        for r in line_level_dedup(df, "text", "doc_id").collect()
+    }
+    for i, total, kept, text in py_line_dedup(texts):
+        assert got[i] == (total, kept, text), f"doc {i}"
