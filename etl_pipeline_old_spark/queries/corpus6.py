@@ -512,3 +512,74 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         logit.cast("long").alias("logit_milli"),
         (logit >= QC_THRESHOLD).alias("keep"),
     )
+
+
+# --- mergeable histogram-quantile sketch -----------------------------------
+HQ_SHARDS = 8
+HQ_BUCKET = 10_000  # o_totalprice in [1e3, 5e5] -> ~50 buckets
+
+
+@register(
+    "sketch_histogram_quantile",
+    oracle=f"""
+    WITH h AS (
+      SELECT o_orderkey % {HQ_SHARDS} AS pid,
+             floor(o_totalprice / {HQ_BUCKET})::BIGINT AS b,
+             count(*)::BIGINT AS c
+      FROM orders GROUP BY 1, 2),
+    merged AS (SELECT b, sum(c)::BIGINT AS c FROM h GROUP BY b),
+    cum AS (
+      SELECT b, sum(c) OVER (ORDER BY b) AS cum,
+             (SELECT sum(c) FROM merged) AS n
+      FROM merged),
+    med_bucket AS (
+      SELECT min(b) AS mb, max(n)::BIGINT AS n FROM cum
+      WHERE cum * 2 >= n),
+    exact AS (SELECT median(o_totalprice) AS m FROM orders)
+    SELECT med_bucket.n AS n_rows,
+           (med_bucket.mb * {HQ_BUCKET} + {HQ_BUCKET} // 2)::BIGINT AS est_median,
+           round(exact.m, 2) AS exact_median,
+           abs(med_bucket.mb * {HQ_BUCKET} + {HQ_BUCKET} // 2 - exact.m)
+             <= {HQ_BUCKET} / 2.0 AS within_half_bucket
+    FROM med_bucket, exact
+    """,
+    doc=f"Mergeable fixed-width histogram quantile sketch: {HQ_SHARDS} "
+    f"data shards each build a {HQ_BUCKET}-wide bucket histogram of "
+    "order totals, summaries merge by summing bucket counters (lossless, "
+    "like the HLL/CMS/MG entries), and the merged histogram answers the "
+    "median with error <= bucket/2 — asserted in-plan against the exact "
+    "interpolated median. Communication is O(shards x buckets), "
+    "independent of row count: the only shape that lets 100 TB of shards "
+    "answer percentile dashboards without a global sort. The estimate "
+    "itself is integer bucket arithmetic, so every output value "
+    "hash-checks cross-engine.",
+)
+def sketch_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    h = (
+        o.select(
+            (F.col("o_orderkey") % HQ_SHARDS).alias("pid"),
+            F.floor(F.col("o_totalprice") / HQ_BUCKET).cast("long").alias("b"),
+        )
+        .groupBy("pid", "b")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    merged = h.groupBy("b").agg(F.sum("c").cast("long").alias("c"))
+    wcum = W.orderBy("b").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = merged.select(
+        "b", F.sum("c").over(wcum).alias("cum"), F.sum("c").over(
+            W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        ).alias("n"),
+    )
+    med_bucket = (
+        cum.filter(F.col("cum") * 2 >= F.col("n"))
+        .agg(F.min("b").alias("mb"), F.max("n").cast("long").alias("n"))
+    )
+    exact = o.agg(F.expr("percentile(o_totalprice, 0.5)").alias("m"))
+    est = F.col("mb") * HQ_BUCKET + HQ_BUCKET // 2
+    return med_bucket.crossJoin(F.broadcast(exact)).select(
+        F.col("n").alias("n_rows"),
+        est.cast("long").alias("est_median"),
+        F.round("m", 2).alias("exact_median"),
+        (F.abs(est - F.col("m")) <= HQ_BUCKET / 2.0).alias("within_half_bucket"),
+    )

@@ -131,7 +131,7 @@ COVERAGE: list[tuple[str, str, list[str], str]] = [
     ("X-text", "text analysis", ["text_lang_id", "text_quality_score", "text_token_count", "text_fingerprint", "text_fuzzy_name_pairs", "corpus_normalize", "corpus_pii_redact", "corpus_stats_by_lang", "corpus_top_bigrams", "text_tfidf_top_terms", "corpus_unigram_logprob", "corpus_bigram_perplexity", "corpus_bpe_pair_counts", "text_quality_classifier"], "incl. the BPE tokenizer-training pair-count step (aggregate-to-vocabulary first) and a fastText-shape linear quality classifier (integer logit, shuffle-free)"),
     ("X-profile", "data profiling", ["profile_table", "histogram_order_totals", "histogram_equi_depth"], "one-pass column stats; floor-bin histogram"),
     ("X-dq", "data-quality expectations", ["dq_check_suite", "dq_observe_metrics"], "fused per-table checks + FK anti-join; negative test injects violations"),
-    ("X-ivm", "incremental aggregate maintenance", ["incremental_agg_merge", "rollup_cascade_daily", "sketch_hll_partitioned_union", "sketch_cms_event_counts", "sketch_mg_heavy_hitters"], "partial-state merge; oracle IS the IVM invariant; mergeable count-min sketch w/ in-plan one-sided-error assertion; Misra-Gries heavy-hitter summaries merged across data shards w/ both MG guarantees asserted in-plan"),
+    ("X-ivm", "incremental aggregate maintenance", ["incremental_agg_merge", "rollup_cascade_daily", "sketch_hll_partitioned_union", "sketch_cms_event_counts", "sketch_mg_heavy_hitters", "sketch_histogram_quantile"], "partial-state merge; oracle IS the IVM invariant; mergeable count-min sketch w/ in-plan one-sided-error assertion; Misra-Gries heavy-hitter summaries merged across data shards w/ both MG guarantees asserted in-plan; mergeable histogram quantile sketch w/ half-bucket error asserted vs the exact median"),
     ("X-graph", "graph analytics", ["graph_pagerank", "dedup_clusters", "dedup_clusters_star", "graph_triangle_count"], "bounded power iteration w/ dangling mass; label propagation AND log-rounds large-star/small-star CC (equality-tested); oriented-edge triangle count"),
     ("X-ts", "time-series / CDC", ["cdc_changelog_compact", "ts_gapfill_ffill", "ts_resample_ohlc", "ts_time_weighted_avg"], "changelog compaction w/ tombstones, dense ffill series, OHLC bars"),
     ("X-layout", "storage layout", ["zorder_zvalue", "k7_partitioned_write_prune", "layout_compaction_bins", "layout_minmax_prune", "layout_range_partition_plan"], "Z-order keys (clustering asserted on parquet footers); Hive-partitioned write w/ pruned readback (PartitionFilters asserted in test_plans.py); small-file compaction planner; min/max file-stats skipping manifest (hash vs sort-on-write layouts); balanced range-partition plan for sorted writes"),
