@@ -46,3 +46,23 @@ def test_brute_force_topk_empty_queries(spark):
         [(0, [0.1, 0.2]), (1, [0.3, 0.4])], "vec_id long, embedding array<float>"
     )
     assert brute_force_topk(emb, [], 5).count() == 0
+
+
+def test_line_level_dedup_empty_corpus(spark):
+    from etl_pipeline_old_spark.operators.dedup import line_level_dedup
+
+    d = spark.createDataFrame([], "doc_id long, text string")
+    out = line_level_dedup(d, "text", "doc_id")
+    assert out.columns == [
+        "doc_id", "n_lines_total", "n_lines_kept", "text_deduped",
+    ]
+    assert out.count() == 0
+
+
+def test_line_level_dedup_single_empty_text(spark):
+    from etl_pipeline_old_spark.operators.dedup import line_level_dedup
+
+    d = spark.createDataFrame([(7, "")], "doc_id long, text string")
+    row = line_level_dedup(d, "text", "doc_id").collect()[0]
+    # one empty span: kept (first occurrence), reassembles to ''
+    assert (row.n_lines_total, row.n_lines_kept, row.text_deduped) == (1, 1, "")
