@@ -52,6 +52,7 @@ _MODULES = (
     "extras6",
     "corpus6",
     "streaming3",
+    "lakehouse",
 )
 
 

@@ -1,0 +1,83 @@
+"""Lakehouse-style sink semantics over plain parquet: dynamic partition
+overwrite — the day-correction pattern every date-partitioned incremental
+pipeline eventually needs (a late-arriving restatement replaces ONE day's
+directory; every other partition's files stay untouched).
+
+The reference's date-keyed incremental append
+(/root/reference/datasets/create_projectsync_dataset.ipynb:410-441) can
+only add rows; restating a day there means a manual DELETE + reload. With
+``partitionOverwriteMode=dynamic`` the overwrite is scoped to exactly the
+partitions present in the incoming frame — at 100 TB that is one
+directory swap per restated day, not a table rewrite, and it is atomic
+per partition (the job commits each day directory whole).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+_CACHE = "/tmp/etl_pipeline_old_spark_cache"
+
+# the restated day and the audit window proving its neighbors were untouched
+FIX_DAY = "2024-01-03"
+AUDIT_LO, AUDIT_HI = "2024-01-01", "2024-01-05"
+
+
+@register(
+    "k8_dynamic_partition_overwrite",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT CAST(ts AS DATE) AS day, event_id,
+             CASE WHEN CAST(ts AS DATE) = DATE '{FIX_DAY}'
+                  THEN value * 2 ELSE value END AS value
+      FROM events)
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           count(*)::BIGINT AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM tagged
+    WHERE day BETWEEN DATE '{AUDIT_LO}' AND DATE '{AUDIT_HI}'
+    GROUP BY day
+    """,
+    doc="Dynamic partition overwrite (K8): events written day-partitioned, "
+    f"then the {FIX_DAY} partition is RESTATED (values doubled) by writing "
+    "only that day's corrected rows in overwrite mode with "
+    "partitionOverwriteMode=dynamic — the writer replaces exactly the "
+    "partitions present in the incoming frame and leaves all others' "
+    "files untouched (verified: the readback aggregates the restated day "
+    "against its unchanged neighbors). The restatement pattern for "
+    "date-partitioned incremental tables; at 100 TB one directory swap "
+    "per restated day instead of a table rewrite.",
+)
+def k8_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    path = os.path.join(
+        _CACHE,
+        f"events_dyn_overwrite_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    ev.write.mode("overwrite").partitionBy("day").parquet(path)
+
+    corrections = ev.filter(F.col("day") == FIX_DAY).withColumn(
+        "value", F.col("value") * 2
+    )
+    (
+        corrections.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day")
+        .parquet(path)
+    )
+
+    back = spark.read.parquet(path)
+    return (
+        back.filter(F.col("day").between(AUDIT_LO, AUDIT_HI))
+        .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
