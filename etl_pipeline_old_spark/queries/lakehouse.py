@@ -81,3 +81,52 @@ def k8_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFram
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+_SCRIPT = """
+BEGIN
+  DECLARE total BIGINT;
+  DECLARE days INT DEFAULT 0;
+  DECLARE acc BIGINT DEFAULT 0;
+  SET total = (SELECT count(*) FROM events);
+  WHILE acc * 2 < total DO
+    SET days = days + 1;
+    SET acc = (SELECT count(*) FROM events
+               WHERE to_date(ts) < date_add(DATE'2024-01-01', days));
+  END WHILE;
+  SELECT CAST(days AS BIGINT) AS window_days, acc AS n_events, total AS n_total;
+END
+"""
+
+
+@register(
+    "sql_scripting_backfill_window",
+    oracle="""
+    WITH tot AS (SELECT count(*)::BIGINT AS n_total FROM events),
+    cum AS (
+      SELECT i, (SELECT count(*) FROM events
+                 WHERE CAST(ts AS DATE) < DATE '2024-01-01' + i::INT)::BIGINT AS acc
+      FROM UNNEST(generate_series(1, 60)) AS u(i))
+    SELECT i::BIGINT AS window_days, acc AS n_events, n_total
+    FROM cum, tot WHERE acc * 2 >= n_total
+    ORDER BY i LIMIT 1
+    """,
+    doc="Spark 4 SQL scripting (BEGIN/DECLARE/WHILE): an iterative "
+    "backfill-window sizing loop — grow the day window until it covers "
+    "half the event volume, each iteration a real aggregate over the "
+    "table. The procedural-SQL surface (ANSI/PSM subset) the reference's "
+    "run.py-style orchestration would use for in-warehouse control flow; "
+    "the oracle derives the same fixpoint declaratively (min prefix whose "
+    "cumulative count reaches half). Joins the WITH RECURSIVE / VARIANT / "
+    "UDTF entries as the Spark 4 SQL-surface exhibits.",
+)
+def sql_scripting_backfill_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import load_tables
+
+    prev = spark.conf.get("spark.sql.scripting.enabled", None)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    load_tables(spark, sf_dir, ("events",), register_views=True)
+    df = spark.sql(_SCRIPT)
+    if prev is not None:
+        spark.conf.set("spark.sql.scripting.enabled", prev)
+    return df
