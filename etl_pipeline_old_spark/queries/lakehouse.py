@@ -130,3 +130,39 @@ def sql_scripting_backfill_window(spark: SparkSession, sf_dir: str) -> DataFrame
     if prev is not None:
         spark.conf.set("spark.sql.scripting.enabled", prev)
     return df
+
+
+# --- l-diversity audit ------------------------------------------------------
+L_DIV = 3
+BAL_BAND = 2000  # sensitive attribute: account balance band
+
+
+@register(
+    "privacy_l_diversity",
+    oracle=f"""
+    SELECT c_nationkey, c_mktsegment,
+           count(*)::BIGINT AS n_people,
+           count(DISTINCT floor(c_acctbal / {BAL_BAND})::BIGINT)::BIGINT
+             AS n_bands,
+           count(DISTINCT floor(c_acctbal / {BAL_BAND})::BIGINT) >= {L_DIV}
+             AS l_ok
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    """,
+    doc=f"l-diversity audit (l={L_DIV}), the companion gate to "
+    "privacy_k_anonymity: a k-anonymous equivalence class still leaks if "
+    "everyone in it shares the sensitive value, so each quasi-identifier "
+    "group (nation, segment) must contain >= l distinct sensitive values "
+    f"(account-balance bands of {BAL_BAND}). One map-side-combined "
+    "groupBy with a distinct-count — fact-scale scan, class-scale "
+    "output. Run k-anonymity AND l-diversity before any user-derived "
+    "table ships to training.",
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / BAL_BAND).cast("long")
+    return c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").cast("long").alias("n_people"),
+        F.count_distinct(band).cast("long").alias("n_bands"),
+        (F.count_distinct(band) >= L_DIV).alias("l_ok"),
+    )
