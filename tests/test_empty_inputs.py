@@ -66,3 +66,39 @@ def test_line_level_dedup_single_empty_text(spark):
     row = line_level_dedup(d, "text", "doc_id").collect()[0]
     # one empty span: kept (first occurrence), reassembles to ''
     assert (row.n_lines_total, row.n_lines_kept, row.text_deduped) == (1, 1, "")
+
+
+def test_dynamic_overwrite_leaves_other_partitions_files_untouched(spark, tmp_path):
+    """partitionOverwriteMode=dynamic must replace ONLY the incoming
+    partitions: the other day directories keep their exact files."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-02"), (3, "2024-01-03")],
+        "id long, day string",
+    )
+    df.write.mode("overwrite").partitionBy("day").parquet(path)
+
+    def files(day):
+        d = os.path.join(path, f"day={day}")
+        return sorted(f for f in os.listdir(d) if f.startswith("part-"))
+
+    before_01, before_02 = files("2024-01-01"), files("2024-01-02")
+    fix = spark.createDataFrame([(30, "2024-01-03")], "id long, day string")
+    (
+        fix.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day")
+        .parquet(path)
+    )
+    # untouched partitions: identical file lists; restated day: new content
+    assert files("2024-01-01") == before_01
+    assert files("2024-01-02") == before_02
+    # the partition column is inferred back as DATE — stringify for compare
+    got = sorted(
+        (r.id, str(r.day)) for r in spark.read.parquet(path).collect()
+    )
+    assert got == [(1, "2024-01-01"), (2, "2024-01-02"), (30, "2024-01-03")]
