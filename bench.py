@@ -90,6 +90,8 @@ HEADLINE = [
     "corpus_bpe_pair_counts",
     # r4: the RAG retrieval capstone (chunk -> embed -> LSH probe -> rerank)
     "pipeline_rag_retrieval",
+    # r4: the incremental corpus-refresh capstone (delta-scaled work only)
+    "pipeline_corpus_refresh",
 ]
 
 

@@ -287,7 +287,10 @@ def window_range_1h_movstats(spark: SparkSession, sf_dir: str) -> DataFrame:
 DELTA_MOD = 5  # doc_id % 5 == 0 plays the "newly arrived shard" (~20%)
 
 
-def _incremental_oracle(thr: float = 0.5) -> str:
+def _incremental_cte(thr: float = 0.5) -> str:
+    """CTE prefix shared with pipeline_corpus_refresh: shingles -> minhash
+    signatures -> bands -> delta-vs-(base ∪ earlier-delta) candidates ->
+    verified near-dup ``matches(id_d, id_o)``."""
     from .dedup_text import _SHINGLE_CTE
 
     base = DD.MD5_INT32_SQL.format(x="sh")
@@ -326,7 +329,11 @@ def _incremental_oracle(thr: float = 0.5) -> str:
       FROM inter i
       JOIN sizes sa ON sa.doc_id = i.id_d
       JOIN sizes sb ON sb.doc_id = i.id_o
-      WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= {thr})
+      WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= {thr})"""
+
+
+def _incremental_oracle(thr: float = 0.5) -> str:
+    return _incremental_cte(thr) + f"""
     SELECT doc_id,
            CASE WHEN matched_id IS NULL THEN 'keep' ELSE 'drop' END AS action,
            matched_id

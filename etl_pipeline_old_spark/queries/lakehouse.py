@@ -166,3 +166,141 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(band).cast("long").alias("n_bands"),
         (F.count_distinct(band) >= L_DIV).alias("l_ok"),
     )
+
+
+# --- incremental corpus refresh capstone -----------------------------------
+
+
+def _refresh_oracle() -> str:
+    from .corpus6 import QC_STOPWORDS, QC_THRESHOLD, QC_W_NWORDS, QC_W_STOP
+    from .extras4 import DELTA_MOD, _incremental_cte
+
+    from ..operators import dedup as DD
+
+    norm = DD.NORMALIZE_SQL.format(x="text")
+    return (
+        _incremental_cte()
+        + f""",
+    probe AS (
+      SELECT d.doc_id, min(m.id_o) AS matched_id
+      FROM (SELECT doc_id FROM documents WHERE doc_id % {DELTA_MOD} = 0) d
+      LEFT JOIN matches m ON m.id_d = d.doc_id
+      GROUP BY d.doc_id),
+    feat AS (
+      SELECT doc_id,
+             {QC_W_NWORDS} * len(toks)
+               + {QC_W_STOP} * ((1000 * len(list_filter(toks,
+                   w -> w IN {QC_STOPWORDS}))) // len(toks))
+               - ((1000 * (length(t) - (len(toks) - 1))) // len(toks)) AS logit
+      FROM (SELECT doc_id, {norm} AS t, string_split({norm}, ' ') AS toks
+            FROM documents WHERE doc_id % {DELTA_MOD} = 0)),
+    hx AS (SELECT doc_id, md5({norm}) AS h FROM documents),
+    ex AS (
+      SELECT d.doc_id, min(o.doc_id) AS exact_match
+      FROM hx d JOIN hx o ON o.h = d.h AND o.doc_id <> d.doc_id
+       AND (o.doc_id % {DELTA_MOD} <> 0 OR o.doc_id < d.doc_id)
+      WHERE d.doc_id % {DELTA_MOD} = 0
+      GROUP BY d.doc_id),
+    cls AS (
+      SELECT f.doc_id,
+             CASE WHEN f.logit < {QC_THRESHOLD} THEN 'quality_fail'
+                  WHEN ex.exact_match IS NOT NULL THEN 'exact_dup'
+                  WHEN p.matched_id IS NOT NULL THEN 'near_dup'
+                  ELSE 'append' END AS act
+      FROM feat f
+      LEFT JOIN ex ON ex.doc_id = f.doc_id
+      LEFT JOIN probe p ON p.doc_id = f.doc_id),
+    nb AS (SELECT count(*)::BIGINT AS n_base FROM documents
+           WHERE doc_id % {DELTA_MOD} <> 0)
+    SELECT nb.n_base,
+           count(*)::BIGINT AS n_delta,
+           sum(CASE WHEN act = 'quality_fail' THEN 1 ELSE 0 END)::BIGINT
+             AS n_quality_fail,
+           sum(CASE WHEN act = 'exact_dup' THEN 1 ELSE 0 END)::BIGINT
+             AS n_exact_dup,
+           sum(CASE WHEN act = 'near_dup' THEN 1 ELSE 0 END)::BIGINT
+             AS n_near_dup,
+           sum(CASE WHEN act = 'append' THEN 1 ELSE 0 END)::BIGINT
+             AS n_appended,
+           (nb.n_base
+             + sum(CASE WHEN act = 'append' THEN 1 ELSE 0 END))::BIGINT
+             AS n_corpus_after
+    FROM cls, nb GROUP BY nb.n_base
+    """
+    )
+
+
+@register(
+    "pipeline_corpus_refresh",
+    oracle=_refresh_oracle(),
+    doc="Incremental corpus-refresh capstone: the production loop for "
+    "continuously growing training corpora. The delta shard (doc_id % 5) "
+    "runs quality gating (text_quality_classifier's linear logit) -> "
+    "exact dedup against base + earlier delta (one normalized-hash join) "
+    "-> near-dup LSH probe of the base band index "
+    "(dedup_incremental_probe's unit) -> append survivors; one audited "
+    "summary row (base size, delta size, per-stage drop counts, corpus "
+    "size after). Every stage's work scales with the DELTA, never the "
+    "accumulated corpus — the refresh invariant that matters at 100 TB. "
+    "All counts integer and cross-checked against the composed CTE "
+    "oracle.",
+)
+def pipeline_corpus_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as DD
+    from .corpus6 import text_quality_classifier
+    from .extras4 import DELTA_MOD, dedup_incremental_probe
+
+    d = load_table(spark, sf_dir, "documents")
+    is_delta = F.col("doc_id") % DELTA_MOD == 0
+
+    quality = (
+        text_quality_classifier(spark, sf_dir)
+        .filter(is_delta)
+        .select("doc_id", F.col("keep").alias("q_ok"))
+    )
+    hx = d.select("doc_id", F.md5(DD.normalize_text("text")).alias("h"))
+    dh = hx.filter(is_delta).select(F.col("doc_id").alias("id_d"), "h")
+    ex = (
+        dh.join(
+            hx.select(F.col("doc_id").alias("id_o"), "h"),
+            "h",
+        )
+        .filter(
+            (F.col("id_o") != F.col("id_d"))
+            & ((F.col("id_o") % DELTA_MOD != 0) | (F.col("id_o") < F.col("id_d")))
+        )
+        .groupBy(F.col("id_d").alias("doc_id"))
+        .agg(F.min("id_o").alias("exact_match"))
+    )
+    probe = dedup_incremental_probe(spark, sf_dir).select(
+        "doc_id", F.col("matched_id").alias("near_match")
+    )
+    act = (
+        F.when(~F.col("q_ok"), F.lit("quality_fail"))
+        .when(F.col("exact_match").isNotNull(), F.lit("exact_dup"))
+        .when(F.col("near_match").isNotNull(), F.lit("near_dup"))
+        .otherwise(F.lit("append"))
+    )
+    cls = (
+        quality.join(F.broadcast(ex), "doc_id", "left")
+        .join(F.broadcast(probe), "doc_id", "left")
+        .select("doc_id", act.alias("act"))
+    )
+    n_base = d.filter(~is_delta).agg(F.count("*").cast("long").alias("n_base"))
+    cnt = lambda a: F.sum((F.col("act") == a).cast("long")).alias(f"n_{a}")  # noqa: E731
+    audit = cls.agg(
+        F.count("*").cast("long").alias("n_delta"),
+        cnt("quality_fail"),
+        cnt("exact_dup"),
+        cnt("near_dup"),
+        F.sum((F.col("act") == "append").cast("long")).alias("n_appended"),
+    )
+    return n_base.crossJoin(F.broadcast(audit)).select(
+        "n_base",
+        "n_delta",
+        "n_quality_fail",
+        "n_exact_dup",
+        "n_near_dup",
+        "n_appended",
+        (F.col("n_base") + F.col("n_appended")).cast("long").alias("n_corpus_after"),
+    )
