@@ -399,8 +399,19 @@ def lsh_topk(
     cand = bucketed.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"), "tbl", "bucket"
     )
+    return bucketed_probe(cand, q, k)
+
+
+def bucketed_probe(index: DataFrame, queries: DataFrame, k: int) -> DataFrame:
+    """The shared LSH probe unit: bucket-join a (neighbor_id, __cv, tbl,
+    bucket) index frame with a broadcast (query_id, __qv, tbl, bucket)
+    query frame, score each deduplicated candidate pair by exact cosine,
+    and keep the top-``k`` per query. One definition of the tie-break and
+    rounding contract for BOTH the batch path (:func:`lsh_topk`) and the
+    streaming per-micro-batch path (queries/streaming3.py), so the shared
+    DuckDB oracle cannot desync from either."""
     pairs = (
-        cand.join(F.broadcast(q), ["tbl", "bucket"])
+        index.join(F.broadcast(queries), ["tbl", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         # a pair colliding in several tables must be scored once
         .dropDuplicates(["query_id", "neighbor_id"])

@@ -47,6 +47,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 LOCAL_UTC_OFFSET_HOURS = 5  # Asia/Yekaterinburg, fixed since 2016
 WORKDAY_START = 8
@@ -264,7 +265,8 @@ def calendar_dim(
             "cum_working", F.sum(F.col("is_working").cast("int")).over(win).cast("int")
         )
         .drop("forced_working")
-        .persist()  # lazy; ~1 MB once materialized, lives with the session
+        # lazy; ~1 MB once materialized, lives with the session
+        .persist(StorageLevel.MEMORY_ONLY)
     )
     cache[req] = dim
     return dim

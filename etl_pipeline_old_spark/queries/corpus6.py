@@ -419,6 +419,10 @@ def pipeline_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         # identical (qe, e) payloads on every duplicate row -> dedup is safe
         .dropDuplicates(["query_doc_id", "doc_id", "chunk_idx"])
     )
+    # NOT SIM.cosine: the oracle divides by sqrt(na2*nb2) (ONE sqrt), and
+    # sqrt(a)*sqrt(b) differs from sqrt(a*b) in the last ulp — the round-6
+    # contract requires the exact same float op sequence in both engines.
+    # The long accumulator keeps every dot product exact (|dot| < 2^53).
     dot = lambda a, bb: F.aggregate(  # noqa: E731
         F.zip_with(a, bb, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
     )
@@ -535,7 +539,7 @@ HQ_BUCKET = 10_000  # o_totalprice in [1e3, 5e5] -> ~50 buckets
     med_bucket AS (
       SELECT min(b) AS mb, max(n)::BIGINT AS n FROM cum
       WHERE cum * 2 >= n),
-    exact AS (SELECT median(o_totalprice) AS m FROM orders)
+    exact AS (SELECT quantile_disc(o_totalprice, 0.5) AS m FROM orders)
     SELECT med_bucket.n AS n_rows,
            (med_bucket.mb * {HQ_BUCKET} + {HQ_BUCKET} // 2)::BIGINT AS est_median,
            round(exact.m, 2) AS exact_median,
@@ -548,7 +552,10 @@ HQ_BUCKET = 10_000  # o_totalprice in [1e3, 5e5] -> ~50 buckets
     "order totals, summaries merge by summing bucket counters (lossless, "
     "like the HLL/CMS/MG entries), and the merged histogram answers the "
     "median with error <= bucket/2 — asserted in-plan against the exact "
-    "interpolated median. Communication is O(shards x buckets), "
+    "DISCRETE median (percentile_disc: the element at position "
+    "ceil(N/2), which provably falls inside the selected bucket; an "
+    "interpolated median can leave the bucket on even N, so the bound "
+    "would not be a theorem for it). Communication is O(shards x buckets), "
     "independent of row count: the only shape that lets 100 TB of shards "
     "answer percentile dashboards without a global sort. The estimate "
     "itself is integer bucket arithmetic, so every output value "
@@ -575,7 +582,11 @@ def sketch_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         cum.filter(F.col("cum") * 2 >= F.col("n"))
         .agg(F.min("b").alias("mb"), F.max("n").cast("long").alias("n"))
     )
-    exact = o.agg(F.expr("percentile(o_totalprice, 0.5)").alias("m"))
+    o.createOrReplaceTempView("__hq_orders")
+    exact = o.sparkSession.sql(
+        "SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS m "
+        "FROM __hq_orders"
+    )
     est = F.col("mb") * HQ_BUCKET + HQ_BUCKET // 2
     return med_bucket.crossJoin(F.broadcast(exact)).select(
         F.col("n").alias("n_rows"),

@@ -86,9 +86,14 @@ def k8_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFram
 _SCRIPT = """
 BEGIN
   DECLARE total BIGINT;
-  DECLARE days INT DEFAULT 0;
-  DECLARE acc BIGINT DEFAULT 0;
+  DECLARE days INT DEFAULT 1;
+  DECLARE acc BIGINT;
   SET total = (SELECT count(*) FROM events);
+  -- do-while shape: evaluate the 1-day window first, then grow. This also
+  -- matches the oracle's min-prefix fixpoint on an EMPTY table (both emit
+  -- window_days = 1), where a zero-initialized while-loop would emit 0.
+  SET acc = (SELECT count(*) FROM events
+             WHERE to_date(ts) < date_add(DATE'2024-01-01', days));
   WHILE acc * 2 < total DO
     SET days = days + 1;
     SET acc = (SELECT count(*) FROM events

@@ -12,7 +12,6 @@ associativity contract as stream_er_incremental_link).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -38,16 +37,20 @@ from .similarity import K, N_BITS, N_TABLES, QUANT_SCALE, QUERY_IDS, _lsh_topk_o
 def stream_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
-    import uuid
 
     from ..session import ensure_session_confs
 
     ensure_session_confs(spark)
+    # stable pid-keyed paths, cleared up-front (the stream_er pattern):
+    # repeated invocations in a long-lived session reuse one directory set
+    # instead of leaking a fresh uuid-suffixed trio per run
     base = os.path.join(
         "/tmp/etl_pipeline_old_spark_cache",
-        f"ann_probe_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}_{uuid.uuid4().hex[:6]}",
+        f"ann_probe_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
     )
     feed, target, chk = base + "_feed", base + "_target", base + "_chk"
+    for p in (feed, target, chk):
+        shutil.rmtree(p, ignore_errors=True)
     os.makedirs(feed, exist_ok=True)
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -82,23 +85,9 @@ def stream_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "tbl",
                 "bucket",
             )
-            pairs = (
-                index.join(F.broadcast(qb), ["tbl", "bucket"])
-                .filter(F.col("neighbor_id") != F.col("query_id"))
-                .dropDuplicates(["query_id", "neighbor_id"])
-            )
-            scored = pairs.select(
-                "query_id",
-                "neighbor_id",
-                F.round(SIM.cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim"),
-            )
-            w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-            (
-                scored.withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= K)
-                .write.mode("append")
-                .parquet(target)
-            )
+            # the SAME probe unit as the batch lsh_topk path — one
+            # definition of the rounding/tie-break contract for the oracle
+            SIM.bucketed_probe(index, qb, K).write.mode("append").parquet(target)
 
         stream = (
             spark.readStream.schema(emb.schema)
