@@ -309,3 +309,127 @@ def pipeline_corpus_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_appended",
         (F.col("n_base") + F.col("n_appended")).cast("long").alias("n_corpus_after"),
     )
+
+
+# --- contrastive pair-alignment diagnostic ---------------------------------
+CA_DIM = 8
+CA_BATCH = 16
+CA_SCALE = 10_000
+
+
+def _ca_text_emb_sql() -> str:
+    from ..operators import dedup as DD
+
+    norm = DD.NORMALIZE_SQL.format(x="text")
+    dims = ", ".join(
+        f"('0x' || substr(md5({norm}), {4 * d + 1}, 4))::BIGINT - 32768"
+        for d in range(CA_DIM)
+    )
+    return f"[{dims}]"
+
+
+@register(
+    "multimodal_pair_alignment",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT d.doc_id,
+             d.doc_id // {CA_BATCH} AS batch_id,
+             {_ca_text_emb_sql()} AS te,
+             list_transform(e.embedding[1:{CA_DIM}],
+                            x -> floor(x::DOUBLE * {CA_SCALE} + 0.5)) AS ie
+      FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+    scored AS (
+      SELECT a.batch_id, a.doc_id AS i, b.doc_id AS j,
+             round(list_dot_product(a.te::DOUBLE[], b.ie::DOUBLE[])
+                   / sqrt(list_dot_product(a.te::DOUBLE[], a.te::DOUBLE[])
+                          * list_dot_product(b.ie::DOUBLE[], b.ie::DOUBLE[])),
+                   6) AS cos_sim
+      FROM pairs a JOIN pairs b USING (batch_id)),
+    diag AS (
+      SELECT batch_id, i, cos_sim AS diag_cos FROM scored WHERE i = j),
+    best AS (
+      SELECT batch_id, i, max(cos_sim) AS off_max, count(*) AS n_others
+      FROM scored WHERE i <> j GROUP BY batch_id, i)
+    SELECT d.batch_id,
+           count(*)::BIGINT AS n_pairs,
+           sum(CASE WHEN b.n_others IS NULL OR d.diag_cos > b.off_max
+                    THEN 1 ELSE 0 END)::BIGINT AS n_correct,
+           round(min(d.diag_cos), 6) AS min_diag_cos,
+           round(max(d.diag_cos), 6) AS max_diag_cos
+    FROM diag d LEFT JOIN best b ON b.batch_id = d.batch_id AND b.i = d.i
+    GROUP BY d.batch_id
+    """,
+    doc="CLIP-shape in-batch contrastive alignment diagnostic: each "
+    "document (text side, md5-slice integer embedding) pairs with its "
+    f"embeddings-table row (image side, first {CA_DIM} dims integer-"
+    f"quantized); within {CA_BATCH}-pair batches the full BxB similarity "
+    "matrix is scored and a pair counts correct when its diagonal "
+    "similarity STRICTLY beats every in-batch negative — the retrieval "
+    "accuracy a multimodal training pipeline tracks per shard before "
+    "contrastive training. The cross join is bounded per batch (BxB, "
+    "never corpus-wide); min/max diagonal stats are order-independent, "
+    "so every value hash-checks cross-engine.",
+)
+def multimodal_pair_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as DD
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    h = F.md5(DD.normalize_text("text"))
+    te = F.array(
+        *[
+            (F.conv(F.substring(h, 4 * k + 1, 4), 16, 10).cast("long") - 32768)
+            for k in range(CA_DIM)
+        ]
+    )
+    ie = F.transform(
+        F.slice("embedding", 1, CA_DIM),
+        lambda x: F.floor(x.cast("double") * CA_SCALE + 0.5).cast("long"),
+    )
+    pairs = (
+        d.join(e, d["doc_id"] == e["vec_id"])
+        .select(
+            "doc_id",
+            (F.col("doc_id") / CA_BATCH).cast("long").alias("batch_id"),
+            te.alias("te"),
+            ie.alias("ie"),
+        )
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    a, b = pairs.alias("a"), pairs.alias("b")
+    scored = a.join(b, F.col("a.batch_id") == F.col("b.batch_id")).select(
+        F.col("a.batch_id").alias("batch_id"),
+        F.col("a.doc_id").alias("i"),
+        F.col("b.doc_id").alias("j"),
+        F.round(
+            dot(F.col("a.te"), F.col("b.ie")).cast("double")
+            / F.sqrt(
+                dot(F.col("a.te"), F.col("a.te")).cast("double")
+                * dot(F.col("b.ie"), F.col("b.ie")).cast("double")
+            ),
+            6,
+        ).alias("cos_sim"),
+    )
+    diag = scored.filter(F.col("i") == F.col("j")).select(
+        "batch_id", "i", F.col("cos_sim").alias("diag_cos")
+    )
+    best = (
+        scored.filter(F.col("i") != F.col("j"))
+        .groupBy("batch_id", "i")
+        .agg(F.max("cos_sim").alias("off_max"))
+    )
+    joined = diag.join(best, ["batch_id", "i"], "left")
+    return joined.groupBy("batch_id").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(
+            (
+                F.col("off_max").isNull() | (F.col("diag_cos") > F.col("off_max"))
+            ).cast("long")
+        ).alias("n_correct"),
+        F.round(F.min("diag_cos"), 6).alias("min_diag_cos"),
+        F.round(F.max("diag_cos"), 6).alias("max_diag_cos"),
+    )
