@@ -186,3 +186,80 @@ def test_line_level_dedup_matches_python_reference(spark, texts):
     }
     for i, total, kept, text in py_line_dedup(texts):
         assert got[i] == (total, kept, text), f"doc {i}"
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries shard-summary algebra vs pure-Python reference
+# ---------------------------------------------------------------------------
+
+
+def py_mg_summary(keys: list[str], k: int) -> dict[str, int]:
+    """Closed-form MG summary: counts truncated at the (k+1)-th largest
+    (ties broken by key, matching the query's ORDER BY c DESC, key)."""
+    from collections import Counter
+
+    c = Counter(keys)
+    ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+    t = ranked[k][1] if len(ranked) > k else 0
+    return {key: n - t for key, n in c.items() if n - t > 0}
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 31), st.sampled_from("abcdefgh")),
+        min_size=1,
+        max_size=200,
+    )
+)
+def test_mg_shard_summary_guarantees(spark, items):
+    """For arbitrary shard assignments: per-shard truncation + sum-merge
+    must (a) under-estimate, (b) have deficit <= sum of shard bounds, and
+    (c) retain every key whose global count exceeds N/K."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    K = 4
+    df = spark.createDataFrame(items, "pid int, key string")
+    c = df.groupBy("pid", "key").agg(F.count("*").alias("c"))
+    thr = (
+        c.withColumn(
+            "rn", F.row_number().over(W.partitionBy("pid").orderBy(F.desc("c"), "key"))
+        )
+        .filter(F.col("rn") == K + 1)
+        .select("pid", F.col("c").alias("t"))
+    )
+    merged = {
+        r["key"]: r["est"]
+        for r in (
+            c.join(thr, "pid", "left")
+            .withColumn(
+                "e", F.greatest(F.col("c") - F.coalesce("t", F.lit(0)), F.lit(0))
+            )
+            .filter(F.col("e") > 0)
+            .groupBy("key")
+            .agg(F.sum("e").alias("est"))
+            .collect()
+        )
+    }
+    # reference: per-shard python MG summaries, summed
+    ref: dict[str, int] = {}
+    shards: dict[int, list[str]] = {}
+    for pid, key in items:
+        shards.setdefault(pid, []).append(key)
+    for keys in shards.values():
+        for key, est in py_mg_summary(keys, K).items():
+            ref[key] = ref.get(key, 0) + est
+    assert merged == ref
+    # and the MG guarantees against global exact counts
+    from collections import Counter
+
+    exact = Counter(k for _, k in items)
+    n = len(items)
+    for key, cnt in exact.items():
+        est = merged.get(key, 0)
+        assert est <= cnt
+        # sum of per-shard deficits <= sum N_p/(K+1) = N/(K+1)
+        assert (cnt - est) * (K + 1) <= n
+        if cnt * K > n:
+            assert est > 0, f"heavy key {key} lost"
