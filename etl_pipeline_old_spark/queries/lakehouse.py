@@ -433,3 +433,46 @@ def multimodal_pair_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("diag_cos"), 6).alias("min_diag_cos"),
         F.round(F.max("diag_cos"), 6).alias("max_diag_cos"),
     )
+
+
+# --- file-level ingest robustness (registered here so the new query
+# queues BEHIND older never-driver-checked ones in the verification
+# rotation; see queries/__init__.py) ---------------------------------------
+
+
+@register(
+    "s3c_corrupt_parquet_tolerance",
+    oracle="""
+    SELECT count(*)::BIGINT AS n_rows,
+           sum(n_chars)::BIGINT AS total_chars
+    FROM documents
+    """,
+    doc="ignoreCorruptFiles ingest: a parquet directory where one file is "
+    "garbage bytes (a truncated upload / failed task leftover) scans "
+    "without failing — the corrupt file is skipped, every intact file's "
+    "rows survive. The file-level complement to s3b's record-level "
+    "PERMISSIVE quarantine; at 100 TB a multi-million-file table WILL "
+    "contain a bad object eventually, and one of them must not kill a "
+    "full-table pass.",
+)
+def s3c_corrupt_parquet_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    feed = os.path.join(
+        "/tmp/etl_pipeline_old_spark_cache",
+        f"corrupt_pq_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    docs.write.mode("overwrite").parquet(feed)
+    # drop a non-parquet garbage object into the directory, as a failed
+    # multipart upload or torn task output would
+    with open(os.path.join(feed, "part-99999-garbage.parquet"), "wb") as f:
+        f.write(b"\x00\x01this is not a parquet file\x02\x03" * 64)
+
+    back = (
+        spark.read.option("ignoreCorruptFiles", "true")
+        .schema("doc_id long, n_chars long")
+        .parquet(feed)
+    )
+    return back.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )

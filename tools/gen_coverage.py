@@ -20,7 +20,7 @@ COVERAGE: list[tuple[str, str, list[str], str]] = [
     # §2.1 scans
     ("S1", "CSV scan (header, UTF-8, BOM)", ["s1_csv_roundtrip"], ""),
     ("S2", "column-pruned scan", ["s11_parquet_scan_prune"], "pruning asserted in tests/test_plans.py"),
-    ("S3", "JSON scan + flatten", ["s3_json_flatten", "s3b_corrupt_json_tolerance"], "PERMISSIVE corrupt-record quarantine"),
+    ("S3", "JSON scan + flatten", ["s3_json_flatten", "s3b_corrupt_json_tolerance", "s3c_corrupt_parquet_tolerance"], "PERMISSIVE corrupt-record quarantine + ignoreCorruptFiles file-level skip"),
     ("S4", "JDBC full-table scan", [], "code: sources/jdbc.py jdbc_scan (no DB in container); option-builder unit-tested"),
     ("S5", "JDBC incremental predicate scan", [], "code: sources/jdbc.py incremental_subquery; pushdown SQL unit-tested"),
     ("S6", "Postgres bulk export", [], "code: sources/jdbc.py jdbc_scan(partitionColumn=...) — parallel-pull replacement"),
