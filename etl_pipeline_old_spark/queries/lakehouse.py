@@ -476,3 +476,40 @@ def s3c_corrupt_parquet_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count("*").cast("long").alias("n_rows"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+@register(
+    "s19_file_metadata_audit",
+    oracle="""
+    SELECT source, count(*)::BIGINT AS n_rows, count(*)::BIGINT AS n_from_file
+    FROM documents GROUP BY source
+    """,
+    doc="Hidden _metadata column audit: the documents table staged as one "
+    "file per source directory, read back with the file source's hidden "
+    "_metadata struct — every row reports its physical file, and "
+    "per-source row counts recomputed FROM the file paths must equal the "
+    "logical counts (n_rows = n_from_file per source). The ingest-audit "
+    "pattern (which file did this row come from?) without writing audit "
+    "columns into the data; at 100 TB the _metadata projection is "
+    "file-source metadata, no extra scan cost.",
+)
+def s19_file_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    path = os.path.join(
+        "/tmp/etl_pipeline_old_spark_cache",
+        f"meta_audit_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    d.repartition("source").write.mode("overwrite").partitionBy("source").parquet(path)
+    back = spark.read.parquet(path).select(
+        "doc_id", "source", F.col("_metadata.file_path").alias("fp")
+    )
+    return back.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        # recount via the physical path: the partition directory embedded in
+        # _metadata.file_path must agree with the logical source column
+        F.sum(
+            F.regexp_extract("fp", r"source=([^/]+)/", 1).eqNullSafe(F.col("source")).cast("long")
+        ).alias("n_from_file"),
+    )

@@ -83,6 +83,7 @@ COVERAGE: list[tuple[str, str, list[str], str]] = [
     ("S16", "VARIANT semi-structured", ["variant_props_extract"], "parse_json + variant_get"),
     ("S17", "Python UDTF", ["udtf_word_explode"], "one-row-in N-rows-out table function"),
     ("S18", "mergeSchema evolution scan", ["s16_mergeschema_evolution"], "footer-merge read across pipeline versions; NULL backfill"),
+    ("S19", "file-metadata ingest audit", ["s19_file_metadata_audit"], "hidden _metadata struct: per-row physical file provenance, cross-checked against the logical partition column"),
     # §2.7 sorts/limits
     ("O1", "deterministic ordering", ["global_topk"], ""),
     ("O2", "LIMIT 0 schema", ["o2_limit0_schema"], ""),
