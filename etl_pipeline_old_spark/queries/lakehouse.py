@@ -513,3 +513,58 @@ def s19_file_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract("fp", r"source=([^/]+)/", 1).eqNullSafe(F.col("source")).cast("long")
         ).alias("n_from_file"),
     )
+
+
+@register(
+    "j14_point_in_time_join",
+    oracle="""
+    WITH hist AS (
+      SELECT o_custkey, o_orderpriority,
+             o_orderdate AS valid_from,
+             lead(o_orderdate) OVER w AS valid_to
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+    facts AS (
+      SELECT o.o_custkey, l.l_shipdate
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey)
+    SELECT h.o_orderpriority, count(*)::BIGINT AS n_items
+    FROM facts f
+    JOIN hist h ON h.o_custkey = f.o_custkey
+     AND f.l_shipdate >= h.valid_from
+     AND (h.valid_to IS NULL OR f.l_shipdate < h.valid_to)
+    GROUP BY h.o_orderpriority
+    """,
+    doc="Point-in-time (PIT) join against an SCD2 dimension: each shipment "
+    "matches the customer's order-priority VERSION that was current on its "
+    "ship date ([valid_from, valid_to) interval, open-ended current row) — "
+    "the canonical as-of-history lookup a warehouse runs against "
+    "scd2_order_history's output. Executes as an EQUI join on the "
+    "customer key with the interval as a residual predicate, so at 100 TB "
+    "it is one key-partitioned shuffle join — never a range cross "
+    "product; version intervals are disjoint per key, so each fact "
+    "matches at most once (inner join: ship dates can never precede the "
+    "customer's first version).",
+)
+def j14_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.merge import scd2_history
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    hist = scd2_history(
+        o, "o_custkey", "o_orderdate", attrs=["o_orderpriority"],
+        tiebreak=["o_orderkey"],
+    ).select(
+        "o_custkey", "o_orderpriority", "valid_from", "valid_to"
+    )
+    facts = li.join(
+        o.select("o_orderkey", "o_custkey"), li["l_orderkey"] == o["o_orderkey"]
+    ).select("o_custkey", "l_shipdate")
+    pit = facts.join(
+        hist,
+        (facts["o_custkey"] == hist["o_custkey"])
+        & (F.col("l_shipdate") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("l_shipdate") < F.col("valid_to"))),
+    )
+    return pit.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_items")
+    )

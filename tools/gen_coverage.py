@@ -66,6 +66,7 @@ COVERAGE: list[tuple[str, str, list[str], str]] = [
     ("J11", "array remap via dict", ["j11_array_remap_join"], ""),
     ("J12", "semi-join pushdown", ["j12_semi_join"], ""),
     ("J13", "null-safe equality join", ["j13_null_safe_join"], "<=> — NULL business keys match instead of dropping"),
+    ("J14", "point-in-time SCD2 lookup join", ["j14_point_in_time_join"], "as-of-history interval match against scd2_order_history's chain; equi join on key + residual interval predicate (never a range cross product)"),
     # §2.5 aggregations
     ("A1", "MAX watermark", ["a1_max_watermark"], ""),
     ("A2", "COUNT(*)", ["a2_count"], ""),
