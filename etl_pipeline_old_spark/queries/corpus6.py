@@ -1,9 +1,12 @@
 """Training-corpus curation operators, wave 6: C4-style line-level
 deduplication with document reassembly, a mergeable Misra-Gries-style
-heavy-hitter summary with its error bounds asserted in-plan, and the BPE
-tokenizer-training inner loop (adjacent-symbol pair counting).
+heavy-hitter summary with its error bounds asserted in-plan, the BPE
+tokenizer-training inner loop (adjacent-symbol pair counting), the RAG
+retrieval capstone (chunk → embed → LSH index → probe → rerank), a
+fastText-shape linear quality classifier, and a mergeable
+histogram-quantile sketch.
 
-All three are pure relational built-ins — no Python in any hot path —
+All are pure relational built-ins — no Python in any hot path —
 and every entry is value-oracle-checked against DuckDB. Reference
 provenance: the reference pipeline has none of these (its notebooks stop
 at pandas groupbys, e.g. /root/reference/datasets/create_scripts_dataset

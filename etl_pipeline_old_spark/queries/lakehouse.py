@@ -1,7 +1,14 @@
-"""Lakehouse-style sink semantics over plain parquet: dynamic partition
-overwrite — the day-correction pattern every date-partitioned incremental
-pipeline eventually needs (a late-arriving restatement replaces ONE day's
-directory; every other partition's files stay untouched).
+"""Lakehouse-style sink/ingest semantics and late-wave warehouse ops:
+dynamic partition overwrite (day restatement without a table rewrite),
+the Spark 4 SQL-scripting exhibit, the l-diversity privacy gate, the
+incremental corpus-refresh capstone, the CLIP-shape contrastive
+pair-alignment diagnostic, file-level corrupt-input tolerance, the
+hidden _metadata ingest audit, and the point-in-time SCD2 lookup join.
+
+Dynamic partition overwrite is the day-correction pattern every
+date-partitioned incremental pipeline eventually needs (a late-arriving
+restatement replaces ONE day's directory; every other partition's files
+stay untouched).
 
 The reference's date-keyed incremental append
 (/root/reference/datasets/create_projectsync_dataset.ipynb:410-441) can
