@@ -575,3 +575,62 @@ def j14_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pit.groupBy("o_orderpriority").agg(
         F.count("*").cast("long").alias("n_items")
     )
+
+
+@register(
+    "layout_bucketed_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           count(*)::BIGINT AS n_items,
+           CAST(sum(l.l_quantity) AS BIGINT) AS total_qty
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    doc="Bucketed-table co-located join, end-to-end: orders and lineitem "
+    "written bucketBy(8, orderkey) + sortBy, then joined with broadcast "
+    "disabled — the bucketed layout makes the join ZERO-shuffle (asserted "
+    "plan-level in tests/test_storage_layout.py; this entry value-checks "
+    "the result through the same path). The pre-shuffled storage layout "
+    "that turns the 100 TB fact-to-fact join from the dominant shuffle "
+    "into a local merge per bucket; both sides must agree on bucket count "
+    "and key.",
+)
+def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    tag = f"{os.path.basename(os.path.normpath(sf_dir)).replace('.', '_')}_{os.getpid()}"
+    t_o, t_l = f"bq_orders_{tag}", f"bq_lineitem_{tag}"
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.sql(f"DROP TABLE IF EXISTS {t_o}")
+    spark.sql(f"DROP TABLE IF EXISTS {t_l}")
+    (
+        o.select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(t_o)
+    )
+    (
+        li.select("l_orderkey", "l_quantity")
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(t_l)
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = (
+            spark.table(t_l)
+            .join(spark.table(t_o), F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").cast("long").alias("n_items"),
+                F.sum("l_quantity").cast("long").alias("total_qty"),
+            )
+        )
+        # force execution while the tables exist, then hand back a frame
+        # over the collected (priority-cardinality) result
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {t_o}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_l}")
