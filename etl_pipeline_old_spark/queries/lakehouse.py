@@ -634,3 +634,65 @@ def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql(f"DROP TABLE IF EXISTS {t_o}")
         spark.sql(f"DROP TABLE IF EXISTS {t_l}")
+
+
+# --- small-file compaction, executed ---------------------------------------
+FRAG_FILES = 64
+COMPACT_TARGET_CHARS = 131_072  # ~128 KiB of text per output file
+
+
+@register(
+    "layout_compaction_execute",
+    oracle=f"""
+    SELECT {FRAG_FILES}::BIGINT AS n_files_before,
+           CAST(ceil(sum(n_chars) / {COMPACT_TARGET_CHARS}.0) AS BIGINT)
+             AS n_files_after,
+           count(*)::BIGINT AS n_rows,
+           sum(n_chars)::BIGINT AS total_chars
+    FROM documents
+    """,
+    doc="Small-file compaction EXECUTED (the OPTIMIZE rewrite that "
+    "layout_compaction_bins plans): the table is staged fragmented "
+    f"({FRAG_FILES} small files — the steady state of frequent small "
+    "incremental appends), then rewritten into ceil(total_chars / "
+    f"{COMPACT_TARGET_CHARS}) right-sized files. BOTH file counts are "
+    "measured from the filesystem after each write, so the oracle check "
+    "proves the rewrite actually produced the planned layout and "
+    "preserved every row. At 100 TB this runs per partition on the "
+    "planner's bins; the rewrite cost is one read+write of just the "
+    "fragmented partitions.",
+)
+def layout_compaction_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    base = os.path.join(
+        "/tmp/etl_pipeline_old_spark_cache",
+        f"compact_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    frag, compacted = base + "_frag", base + "_out"
+    d.repartition(FRAG_FILES).write.mode("overwrite").parquet(frag)
+
+    def n_part_files(p: str) -> int:
+        return sum(1 for f in os.listdir(p) if f.startswith("part-"))
+
+    back = spark.read.parquet(frag)
+    # deliberate mid-build action: sizing the rewrite IS the planner step of
+    # a compaction job (unlike a lazy transform, OPTIMIZE is inherently
+    # two-phase — measure, then rewrite); at scale this reads the file
+    # listing's metadata, not the data
+    total_chars = back.agg(F.sum("n_chars")).first()[0]
+    n_bins = -(-int(total_chars) // COMPACT_TARGET_CHARS)
+    back.repartition(n_bins).write.mode("overwrite").parquet(compacted)
+
+    out = spark.read.parquet(compacted)
+    stats = out.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+    return stats.select(
+        F.lit(n_part_files(frag)).cast("long").alias("n_files_before"),
+        F.lit(n_part_files(compacted)).cast("long").alias("n_files_after"),
+        "n_rows",
+        "total_chars",
+    )
