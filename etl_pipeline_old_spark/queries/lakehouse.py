@@ -696,3 +696,128 @@ def layout_compaction_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         "total_chars",
     )
+
+
+# --- experiment-analysis statistics ----------------------------------------
+
+
+@register(
+    "stats_ab_proportion_z",
+    oracle="""
+    WITH assign AS (
+      SELECT user_id,
+             CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       >= 10 THEN 1 ELSE 0 END AS converted,
+             user_id % 2 AS grp
+      FROM events GROUP BY user_id),
+    g AS (
+      SELECT grp, count(*)::BIGINT AS n, sum(converted)::BIGINT AS conv
+      FROM assign GROUP BY grp),
+    w AS (
+      SELECT max(CASE WHEN grp = 0 THEN n END) AS n_a,
+             max(CASE WHEN grp = 0 THEN conv END) AS conv_a,
+             max(CASE WHEN grp = 1 THEN n END) AS n_b,
+             max(CASE WHEN grp = 1 THEN conv END) AS conv_b
+      FROM g)
+    SELECT n_a, conv_a, n_b, conv_b,
+           round(conv_a / n_a::DOUBLE, 6) AS rate_a,
+           round(conv_b / n_b::DOUBLE, 6) AS rate_b,
+           round(
+             (conv_a / n_a::DOUBLE - conv_b / n_b::DOUBLE)
+             / sqrt(((conv_a + conv_b) / (n_a + n_b)::DOUBLE)
+                    * (1 - (conv_a + conv_b) / (n_a + n_b)::DOUBLE)
+                    * (1.0 / n_a + 1.0 / n_b)),
+             6) AS z_stat
+    FROM w
+    """,
+    doc="A/B experiment readout: users split by id parity, per-user "
+    "conversion = >= 10 purchase events (a non-saturating metric: any-purchase converts ~every user at this event density, degenerating the pooled variance to zero), pooled two-proportion z-statistic "
+    "computed in-plan (identical float op sequence both engines, round "
+    "6). One user-level aggregate + one 2-row group aggregate — the "
+    "experiment-analysis query every event pipeline serves; at 100 TB the "
+    "user rollup is the only fact-scale shuffle.",
+)
+def stats_ab_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    assign = e.groupBy("user_id").agg(
+        (
+            F.sum((F.col("event_type") == "purchase").cast("int")) >= 10
+        ).cast("int").alias("converted"),
+        (F.first("user_id") % 2).alias("grp"),
+    )
+    g = assign.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("converted").cast("long").alias("conv"),
+    )
+    w = g.agg(
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("grp") == 0, F.col("conv"))).alias("conv_a"),
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("grp") == 1, F.col("conv"))).alias("conv_b"),
+    )
+    na, ca = F.col("n_a").cast("double"), F.col("conv_a").cast("double")
+    nb, cb = F.col("n_b").cast("double"), F.col("conv_b").cast("double")
+    pooled = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b")).cast(
+        "double"
+    )
+    return w.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.round(ca / na, 6).alias("rate_a"),
+        F.round(cb / nb, 6).alias("rate_b"),
+        F.round(
+            (ca / na - cb / nb)
+            / F.sqrt(pooled * (1 - pooled) * (F.lit(1.0) / na + F.lit(1.0) / nb)),
+            6,
+        ).alias("z_stat"),
+    )
+
+
+@register(
+    "stats_chi2_independence",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type, user_id % 4 AS bucket, count(*)::BIGINT AS o
+      FROM events GROUP BY 1, 2),
+    tot AS (
+      SELECT event_type, bucket, o,
+             sum(o) OVER (PARTITION BY event_type) AS row_t,
+             sum(o) OVER (PARTITION BY bucket) AS col_t,
+             sum(o) OVER () AS n
+      FROM obs)
+    SELECT count(*)::BIGINT AS n_cells,
+           round(sum((o - row_t * col_t / n::DOUBLE)
+                     * (o - row_t * col_t / n::DOUBLE)
+                     / (row_t * col_t / n::DOUBLE)) / count(*) * count(*), 4)
+             AS chi2
+    FROM tot
+    """,
+    doc="Chi-square independence statistic over the event_type x "
+    "user-bucket contingency table: observed vs expected (row_total x "
+    "col_total / N) cell deviations — the feature/segment independence "
+    "screen for experiment and drift analysis. The contingency table is "
+    "one map-combined groupBy; everything after runs on the cell-count "
+    "relation (metadata-sized), and all arithmetic is the same float op "
+    "sequence in both engines (round 4).",
+)
+def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    obs = e.groupBy(
+        "event_type", (F.col("user_id") % 4).alias("bucket")
+    ).agg(F.count("*").cast("long").alias("o"))
+    tot = obs.select(
+        "o",
+        F.sum("o").over(W.partitionBy("event_type")).alias("row_t"),
+        F.sum("o").over(W.partitionBy("bucket")).alias("col_t"),
+        F.sum("o").over(W.partitionBy()).alias("n"),
+    )
+    exp = F.col("row_t") * F.col("col_t") / F.col("n").cast("double")
+    dev = (F.col("o") - exp) * (F.col("o") - exp) / exp
+    return tot.agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.round(F.sum(dev) / F.count("*") * F.count("*"), 4).alias("chi2"),
+    )
