@@ -821,3 +821,35 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_cells"),
         F.round(F.sum(dev) / F.count("*") * F.count("*"), 4).alias("chi2"),
     )
+
+
+@register(
+    "s8_rest_single_shot",
+    oracle="SELECT n_nationkey AS id, n_name AS name FROM nation",
+    doc="S8 single-shot REST source through the REAL adapter path "
+    "(sources/rest.rest_to_dataframe): an injected offline transport "
+    "serves the nation dim as the JSON payload a requests.get().json() "
+    "call would return (the reference's fetch_sharepoint_users / "
+    "fetch_yandex_token shape — auth'd GET, dim-sized body, driver-side "
+    "parse). The adapter's pagination, schema application, and "
+    "createDataFrame plumbing are exactly what a live endpoint exercises; "
+    "only the socket is stubbed, so the driver gate value-checks the "
+    "whole S8 path that unit tests previously covered alone.",
+)
+def s8_rest_single_shot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import table_path
+    from ..sources.rest import rest_to_dataframe
+
+    # offline transport: the dim-sized JSON body a single-shot authed GET
+    # returns — read driver-side exactly like the reference's .json() parse
+    body = [
+        {"id": r.n_nationkey, "name": r.n_name}
+        for r in spark.read.parquet(table_path(sf_dir, "nation"))
+        .select("n_nationkey", "n_name")
+        .collect()
+    ]
+
+    def fetch(offset: int, limit: int) -> list[dict]:
+        return body[offset : offset + limit]
+
+    return rest_to_dataframe(spark, fetch, "id long, name string")

@@ -25,7 +25,7 @@ COVERAGE: list[tuple[str, str, list[str], str]] = [
     ("S5", "JDBC incremental predicate scan", [], "code: sources/jdbc.py incremental_subquery; pushdown SQL unit-tested"),
     ("S6", "Postgres bulk export", [], "code: sources/jdbc.py jdbc_scan(partitionColumn=...) — parallel-pull replacement"),
     ("S7", "paginated REST source", ["s7_python_datasource_pages", "s7b_python_datasource_stream"], "custom Python DataSource (one InputPartition/page, executor-parallel); HTTP transport adapter in sources/rest.py with offline tests"),
-    ("S8", "REST single-shot source", [], "code: sources/rest.py rest_to_dataframe (NTLM shape) + metrika_counters (OAuth shape, fetch_yandex_token.py parity); offline transport tests"),
+    ("S8", "REST single-shot source", ["s8_rest_single_shot"], "REAL adapter path (rest_to_dataframe) with an injected offline transport — only the socket is stubbed; plus metrika_counters (OAuth shape, fetch_yandex_token.py parity) and NTLM-shape offline transport tests"),
     ("S9", "Google Sheets scan", [], "code: sources/sheets.py; ragged/CRLF/BOM tests"),
     ("S10", "git LOC scan", ["pipeline_gitlab_lines"], "compute modeled per SURVEY (I/O out of scope)"),
     ("S11", "parquet scan", ["s11_parquet_scan_prune"], ""),
