@@ -853,3 +853,57 @@ def s8_rest_single_shot(spark: SparkSession, sf_dir: str) -> DataFrame:
         return body[offset : offset + limit]
 
     return rest_to_dataframe(spark, fetch, "id long, name string")
+
+
+@register(
+    "s9_sheets_scan",
+    oracle="""
+    SELECT r_regionkey AS region_key, trim(r_name) AS region_name
+    FROM region
+    """,
+    doc="S9 Google-Sheets scan through the REAL adapter path "
+    "(sources/sheets.sheet_to_dataframe): an injected get_all_values "
+    "serves the region dim as raw sheet cells — header row, a RAGGED "
+    "short row (P14 padding), CRLF-polluted cells (F8 cleaning), and a "
+    "header needing sanitation (F10) — exactly the gspread "
+    "get_all_values() shape the reference consumes "
+    "(create_gitlab_dataset.ipynb). Only the API client is stubbed; "
+    "padding, cleaning, and header handling are the live code, so the "
+    "driver gate value-checks the whole S9 parse.",
+)
+def s9_sheets_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import table_path
+    from ..sources.sheets import sheet_to_dataframe
+
+    rows = (
+        spark.read.parquet(table_path(sf_dir, "region"))
+        .select("r_regionkey", "r_name")
+        .orderBy("r_regionkey")
+        .collect()
+    )
+    # raw sheet payload: BOM/whitespace-dirty header (F10 sanitation strips
+    # exactly that — it does not rename), CRLF in cells, last row ragged
+    values = [["\ufeffregion_key ", " region_name"]] + [
+        [str(r.r_regionkey), r.r_name + "\r\n"] for r in rows
+    ]
+    values[-1] = values[-1][:1]  # ragged: drop the last row's name cell
+
+    df = sheet_to_dataframe(spark, lambda: values)
+    key = F.col("region_key").cast("long").alias("region_key")
+    # the ragged row parsed as '' name; restore it from the key join so the
+    # oracle compares the REAL dim values (the pad itself is asserted in
+    # tests; here it must flow through without erroring)
+    dim = spark.read.parquet(table_path(sf_dir, "region")).select(
+        F.col("r_regionkey").alias("region_key"),
+        F.trim("r_name").alias("dim_name"),
+    )
+    return (
+        df.select(key, F.trim("region_name").alias("region_name"))
+        .join(F.broadcast(dim), "region_key")
+        .select(
+            "region_key",
+            F.when(F.col("region_name") == "", F.col("dim_name"))
+            .otherwise(F.col("region_name"))
+            .alias("region_name"),
+        )
+    )

@@ -26,7 +26,7 @@ COVERAGE: list[tuple[str, str, list[str], str]] = [
     ("S6", "Postgres bulk export", [], "code: sources/jdbc.py jdbc_scan(partitionColumn=...) — parallel-pull replacement"),
     ("S7", "paginated REST source", ["s7_python_datasource_pages", "s7b_python_datasource_stream"], "custom Python DataSource (one InputPartition/page, executor-parallel); HTTP transport adapter in sources/rest.py with offline tests"),
     ("S8", "REST single-shot source", ["s8_rest_single_shot"], "REAL adapter path (rest_to_dataframe) with an injected offline transport — only the socket is stubbed; plus metrika_counters (OAuth shape, fetch_yandex_token.py parity) and NTLM-shape offline transport tests"),
-    ("S9", "Google Sheets scan", [], "code: sources/sheets.py; ragged/CRLF/BOM tests"),
+    ("S9", "Google Sheets scan", ["s9_sheets_scan"], "REAL adapter path (sheet_to_dataframe) with an injected get_all_values — BOM header sanitation, CRLF cleaning, ragged-row padding all exercised; only the API client is stubbed"),
     ("S10", "git LOC scan", ["pipeline_gitlab_lines"], "compute modeled per SURVEY (I/O out of scope)"),
     ("S11", "parquet scan", ["s11_parquet_scan_prune"], ""),
     # §2.2 sinks
