@@ -907,3 +907,33 @@ def s9_sheets_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("region_name"),
         )
     )
+
+
+@register(
+    "k6_sheet_upsert",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer WHERE c_custkey % 3 <> 0
+    ORDER BY c_custkey
+    """,
+    doc="K6 Sheets anti-join upsert through the REAL sink path "
+    "(sinks/incremental.sheet_append_missing): the 'sheet' already holds "
+    "every c_custkey % 3 == 0 customer; the full customer frame is "
+    "upserted and exactly the novel keys append (distributed anti-join, "
+    "driver-side append_row per novel row — gspread USER_ENTERED "
+    "semantics, create_gitlab_dataset.ipynb:96-123). The stubbed "
+    "append_row records what a live client would send; the recorded "
+    "appends ARE the query output, so the driver gate value-checks the "
+    "whole K6 path.",
+)
+def k6_sheet_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sinks.incremental import sheet_append_missing
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    existing = c.filter(F.col("c_custkey") % 3 == 0).select("c_custkey")
+    appended: list[list] = []
+    n = sheet_append_missing(c, existing, "c_custkey", appended.append)
+    assert n == len(appended)
+    return spark.createDataFrame(
+        [tuple(r) for r in appended], "c_custkey long, c_mktsegment string"
+    )

@@ -35,7 +35,7 @@ COVERAGE: list[tuple[str, str, list[str], str]] = [
     ("K3", "JSON write", ["s3_json_flatten"], "write half of the roundtrip"),
     ("K4", "full refresh", [], "code: sinks/incremental.py full_refresh/jdbc_full_refresh"),
     ("K5", "incremental append + schema evolution", ["k5_incremental_idempotency"], "evolution tested in test_sources_sinks_streaming.py"),
-    ("K6", "Sheets anti-join upsert", [], "code: sinks/incremental.py sheet_append_missing (reference-faithful driver-side) + sinks/sheets_datasource.py executor-parallel Python DataSource WRITER (tests/test_sheets_writer.py)"),
+    ("K6", "Sheets anti-join upsert", ["k6_sheet_upsert"], "REAL sink path (sheet_append_missing) with a recording append_row stub — distributed anti-join + driver-side per-row append value-checked; plus sinks/sheets_datasource.py executor-parallel Python DataSource WRITER (tests/test_sheets_writer.py)"),
     ("K8", "dynamic partition overwrite", ["k8_dynamic_partition_overwrite"], "day restatement replaces ONLY the incoming partitions (partitionOverwriteMode=dynamic); beyond reference (its append can only add rows)"),
     # §2.3 projections / filters
     ("P1", "projection", ["p1_project"], ""),
