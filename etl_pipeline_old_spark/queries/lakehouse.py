@@ -937,3 +937,58 @@ def k6_sheet_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [tuple(r) for r in appended], "c_custkey long, c_mktsegment string"
     )
+
+
+# --- live JDBC round-trip (embedded Derby — ships with Spark) ---------------
+_DERBY_DRIVER = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+
+
+@register(
+    "s4_jdbc_roundtrip",
+    oracle="""
+    SELECT count(*)::BIGINT AS n_rows,
+           sum(CAST(round(s_acctbal * 100) AS BIGINT))::BIGINT AS bal_cents,
+           max(s_suppkey)::BIGINT AS max_key
+    FROM supplier
+    """,
+    doc="S4/S5/K5 against a LIVE database in-plan: the supplier dim is "
+    "full-refreshed into embedded Derby (ships with Spark for the Hive "
+    "metastore, so it exists in ANY driver session), re-appended through "
+    "the incremental high-watermark sink (which must add ZERO rows — the "
+    "idempotency contract), then pulled back via the real jdbc_scan "
+    "source and aggregated. A wrong watermark pushdown would double the "
+    "counts; a broken scan would miss rows — both value-checked. The "
+    "same adapters run against Postgres/MySQL in production "
+    "(fetch_pluginsdb_plugin.py / fetch_asterisk_cdr.py shapes); Derby "
+    "only replaces the socket.",
+)
+def s4_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from ..sinks.incremental import jdbc_incremental_append
+    from ..sources.jdbc import jdbc_scan
+
+    db = os.path.join(
+        "/tmp/etl_pipeline_old_spark_cache",
+        f"derby_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    shutil.rmtree(db, ignore_errors=True)
+    url = f"jdbc:derby:{db};create=true"
+    props = {"driver": _DERBY_DRIVER}
+
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_name",
+        F.round(F.col("s_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    sup.write.mode("overwrite").option("driver", _DERBY_DRIVER).jdbc(url, "sup")
+    # idempotent re-append: watermark pushdown keeps every existing row out
+    jdbc_incremental_append(spark, sup, url, "sup", "s_suppkey", props)
+
+    back = jdbc_scan(spark, url, "sup", props)
+    return back.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("bal_cents").cast("long").alias("bal_cents"),
+        F.max("s_suppkey").cast("long").alias("max_key"),
+    )

@@ -21,8 +21,8 @@ COVERAGE: list[tuple[str, str, list[str], str]] = [
     ("S1", "CSV scan (header, UTF-8, BOM)", ["s1_csv_roundtrip"], ""),
     ("S2", "column-pruned scan", ["s11_parquet_scan_prune"], "pruning asserted in tests/test_plans.py"),
     ("S3", "JSON scan + flatten", ["s3_json_flatten", "s3b_corrupt_json_tolerance", "s3c_corrupt_parquet_tolerance"], "PERMISSIVE corrupt-record quarantine + ignoreCorruptFiles file-level skip"),
-    ("S4", "JDBC full-table scan", [], "code: sources/jdbc.py jdbc_scan (no DB in container); option-builder unit-tested"),
-    ("S5", "JDBC incremental predicate scan", [], "code: sources/jdbc.py incremental_subquery; pushdown SQL unit-tested"),
+    ("S4", "JDBC full-table scan", ["s4_jdbc_roundtrip"], "LIVE round-trip against embedded Derby (ships with Spark): full refresh -> idempotent watermark re-append -> jdbc_scan readback, value-checked; plus live tests in tests/test_jdbc_derby.py"),
+    ("S5", "JDBC incremental predicate scan", ["s4_jdbc_roundtrip"], "the roundtrip's watermark re-append exercises the max() pushdown subquery live; incremental_subquery also covered in tests/test_jdbc_derby.py"),
     ("S6", "Postgres bulk export", [], "code: sources/jdbc.py jdbc_scan(partitionColumn=...) — parallel-pull replacement"),
     ("S7", "paginated REST source", ["s7_python_datasource_pages", "s7b_python_datasource_stream"], "custom Python DataSource (one InputPartition/page, executor-parallel); HTTP transport adapter in sources/rest.py with offline tests"),
     ("S8", "REST single-shot source", ["s8_rest_single_shot"], "REAL adapter path (rest_to_dataframe) with an injected offline transport — only the socket is stubbed; plus metrika_counters (OAuth shape, fetch_yandex_token.py parity) and NTLM-shape offline transport tests"),
@@ -33,7 +33,7 @@ COVERAGE: list[tuple[str, str, list[str], str]] = [
     ("K1", "CSV write", ["s1_csv_roundtrip"], "write half of the roundtrip; quoteAll variant in sinks/incremental.py"),
     ("K2", "append dedup by monotone key", ["k5_incremental_idempotency", "stream_stateful_dedup"], ""),
     ("K3", "JSON write", ["s3_json_flatten"], "write half of the roundtrip"),
-    ("K4", "full refresh", [], "code: sinks/incremental.py full_refresh/jdbc_full_refresh"),
+    ("K4", "full refresh", ["run_full_pipeline", "s4_jdbc_roundtrip"], "orchestrator K4 loads + live Derby jdbc full refresh in the roundtrip"),
     ("K5", "incremental append + schema evolution", ["k5_incremental_idempotency"], "evolution tested in test_sources_sinks_streaming.py"),
     ("K6", "Sheets anti-join upsert", ["k6_sheet_upsert"], "REAL sink path (sheet_append_missing) with a recording append_row stub — distributed anti-join + driver-side per-row append value-checked; plus sinks/sheets_datasource.py executor-parallel Python DataSource WRITER (tests/test_sheets_writer.py)"),
     ("K8", "dynamic partition overwrite", ["k8_dynamic_partition_overwrite"], "day restatement replaces ONLY the incoming partitions (partitionOverwriteMode=dynamic); beyond reference (its append can only add rows)"),
