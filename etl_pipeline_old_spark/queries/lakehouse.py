@@ -992,3 +992,50 @@ def s4_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bal_cents").cast("long").alias("bal_cents"),
         F.max("s_suppkey").cast("long").alias("max_key"),
     )
+
+
+@register(
+    "s6_jdbc_parallel_pull",
+    oracle="""
+    SELECT (s_suppkey % 4)::BIGINT AS part,
+           count(*)::BIGINT AS n_rows,
+           sum(CAST(round(s_acctbal * 100) AS BIGINT))::BIGINT AS bal_cents
+    FROM supplier GROUP BY 1
+    """,
+    doc="S6 parallel JDBC pull against live embedded Derby: the supplier "
+    "table is read back with partitionColumn/numPartitions=4, so Spark "
+    "issues four concurrent range queries (the COPY-replacement shape for "
+    "bulk export — fetch_pluginsdb_plugin.py's loop at scale); the "
+    "readback is grouped by the partition expression so a dropped or "
+    "doubled range shows up as a wrong group. Derby replaces only the "
+    "socket; against Postgres this is the same adapter verbatim.",
+)
+def s6_jdbc_parallel_pull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from ..sources.jdbc import jdbc_scan
+
+    db = os.path.join(
+        "/tmp/etl_pipeline_old_spark_cache",
+        f"derby6_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    shutil.rmtree(db, ignore_errors=True)
+    url = f"jdbc:derby:{db};create=true"
+    props = {"driver": _DERBY_DRIVER}
+
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.round(F.col("s_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    sup.write.mode("overwrite").option("driver", _DERBY_DRIVER).jdbc(url, "sup")
+    hi = sup.agg(F.max("s_suppkey")).first()[0]
+    back = jdbc_scan(
+        spark, url, "sup", props,
+        partition_column="s_suppkey", num_partitions=4,
+        lower_bound=1, upper_bound=int(hi) + 1,
+    )
+    return back.groupBy((F.col("s_suppkey") % 4).alias("part")).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("bal_cents").cast("long").alias("bal_cents"),
+    )

@@ -23,7 +23,7 @@ COVERAGE: list[tuple[str, str, list[str], str]] = [
     ("S3", "JSON scan + flatten", ["s3_json_flatten", "s3b_corrupt_json_tolerance", "s3c_corrupt_parquet_tolerance"], "PERMISSIVE corrupt-record quarantine + ignoreCorruptFiles file-level skip"),
     ("S4", "JDBC full-table scan", ["s4_jdbc_roundtrip"], "LIVE round-trip against embedded Derby (ships with Spark): full refresh -> idempotent watermark re-append -> jdbc_scan readback, value-checked; plus live tests in tests/test_jdbc_derby.py"),
     ("S5", "JDBC incremental predicate scan", ["s4_jdbc_roundtrip"], "the roundtrip's watermark re-append exercises the max() pushdown subquery live; incremental_subquery also covered in tests/test_jdbc_derby.py"),
-    ("S6", "Postgres bulk export", [], "code: sources/jdbc.py jdbc_scan(partitionColumn=...) — parallel-pull replacement"),
+    ("S6", "Postgres bulk export", ["s6_jdbc_parallel_pull"], "LIVE parallel pull from embedded Derby: partitionColumn/numPartitions=4 range queries, readback grouped by the partition expression so dropped/doubled ranges fail the value check"),
     ("S7", "paginated REST source", ["s7_python_datasource_pages", "s7b_python_datasource_stream"], "custom Python DataSource (one InputPartition/page, executor-parallel); HTTP transport adapter in sources/rest.py with offline tests"),
     ("S8", "REST single-shot source", ["s8_rest_single_shot"], "REAL adapter path (rest_to_dataframe) with an injected offline transport — only the socket is stubbed; plus metrika_counters (OAuth shape, fetch_yandex_token.py parity) and NTLM-shape offline transport tests"),
     ("S9", "Google Sheets scan", ["s9_sheets_scan"], "REAL adapter path (sheet_to_dataframe) with an injected get_all_values — BOM header sanitation, CRLF cleaning, ragged-row padding all exercised; only the API client is stubbed"),
