@@ -941,6 +941,20 @@ def k6_sheet_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- live JDBC round-trip (embedded Derby — ships with Spark) ---------------
 _DERBY_DRIVER = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+# databases this process has already booted: embedded Derby keeps a booted
+# database open for the JVM lifetime, so deleting its files out from under
+# it is the one unsafe op — clear a stale directory only BEFORE first boot,
+# and rely on overwrite-mode table replacement afterwards
+_DERBY_BOOTED: set[str] = set()
+
+
+def _derby_fresh(db: str) -> str:
+    import shutil
+
+    if db not in _DERBY_BOOTED:
+        shutil.rmtree(db, ignore_errors=True)
+        _DERBY_BOOTED.add(db)
+    return f"jdbc:derby:{db};create=true"
 
 
 @register(
@@ -964,7 +978,6 @@ _DERBY_DRIVER = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
 )
 def s4_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import shutil
 
     from ..sinks.incremental import jdbc_incremental_append
     from ..sources.jdbc import jdbc_scan
@@ -973,8 +986,7 @@ def s4_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "/tmp/etl_pipeline_old_spark_cache",
         f"derby_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
     )
-    shutil.rmtree(db, ignore_errors=True)
-    url = f"jdbc:derby:{db};create=true"
+    url = _derby_fresh(db)
     props = {"driver": _DERBY_DRIVER}
 
     sup = load_table(spark, sf_dir, "supplier").select(
@@ -1012,7 +1024,6 @@ def s4_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s6_jdbc_parallel_pull(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import shutil
 
     from ..sources.jdbc import jdbc_scan
 
@@ -1020,8 +1031,7 @@ def s6_jdbc_parallel_pull(spark: SparkSession, sf_dir: str) -> DataFrame:
         "/tmp/etl_pipeline_old_spark_cache",
         f"derby6_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
     )
-    shutil.rmtree(db, ignore_errors=True)
-    url = f"jdbc:derby:{db};create=true"
+    url = _derby_fresh(db)
     props = {"driver": _DERBY_DRIVER}
 
     sup = load_table(spark, sf_dir, "supplier").select(
