@@ -1049,3 +1049,113 @@ def s6_jdbc_parallel_pull(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_rows"),
         F.sum("bal_cents").cast("long").alias("bal_cents"),
     )
+
+
+# --- incremental top-k maintenance (EDBT 2020 shape) ------------------------
+ANN_DELTA_MOD = 7
+
+
+@register(
+    "ann_incremental_topk_merge",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id IN (0, 1, 2, 3, 4)),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.qv::DOUBLE[], e.embedding::DOUBLE[]), 6)
+               AS cos_sim
+      FROM q JOIN embeddings e ON e.vec_id <> q.query_id)
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= 10
+    """,
+    doc="Incremental top-k maintenance (the interactive-session shape of "
+    "EDBT 2020's incremental top-k similarity search): when a DELTA of "
+    f"new index vectors arrives (vec_id % {ANN_DELTA_MOD} == 0), each "
+    "query's stored top-k is updated by scoring ONLY queries x delta and "
+    "re-ranking the union of the prior top-k with the delta top-k — "
+    "global-top-k ⊆ base-top-k ∪ delta-top-k, so the merge is exact "
+    "without rescanning the accumulated index. The oracle IS the full "
+    "recompute over base+delta: equality is the monotone-merge theorem. "
+    "Per-refresh cost scales with the delta, like dedup_incremental_probe "
+    "and pipeline_corpus_refresh.",
+)
+def ann_incremental_topk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..operators.similarity import brute_force_topk
+    from .similarity import K, QUERY_IDS
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_delta = (F.col("vec_id") % ANN_DELTA_MOD == 0) & (
+        ~F.col("vec_id").isin(QUERY_IDS)
+    )
+    prior = brute_force_topk(emb.filter(~is_delta), QUERY_IDS, K)
+    delta_top = brute_force_topk(
+        emb.filter(is_delta | F.col("vec_id").isin(QUERY_IDS)), QUERY_IDS, K
+    )
+    merged = prior.drop("rank").unionByName(delta_top.drop("rank"))
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        merged.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K)
+    )
+
+
+# --- ML inference in pure SQL (ICDE 2025 operator-fusion shape) -------------
+
+
+@register(
+    "ml_tree_inference_sql",
+    oracle="""
+    WITH pred AS (
+      SELECT c_mktsegment,
+             CASE WHEN c_acctbal < 0 THEN
+                    CASE WHEN c_nationkey < 12 THEN 'churn_risk'
+                         ELSE 'collect' END
+                  WHEN c_acctbal < 5000 THEN
+                    CASE WHEN c_mktsegment IN ('AUTOMOBILE', 'MACHINERY')
+                         THEN 'upsell' ELSE 'hold' END
+                  ELSE
+                    CASE WHEN c_nationkey < 12 THEN 'vip' ELSE 'retain' END
+             END AS leaf
+      FROM customer)
+    SELECT c_mktsegment, leaf, count(*)::BIGINT AS n
+    FROM pred GROUP BY c_mktsegment, leaf
+    """,
+    doc="ML inference as pure relational expressions (the ICDE 2025 "
+    "'inference pipeline in pure SQL via operator fusion' shape): a "
+    "depth-2 decision tree over customer features compiled to one nested "
+    "CASE projection — no UDF, no model server; the whole model fuses "
+    "into whole-stage codegen and runs at scan speed, the same argument "
+    "as text_quality_classifier's linear logit. Trained weights/splits "
+    "swap in as constants without changing the plan.",
+)
+def ml_tree_inference_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    leaf = (
+        F.when(
+            F.col("c_acctbal") < 0,
+            F.when(F.col("c_nationkey") < 12, F.lit("churn_risk")).otherwise(
+                F.lit("collect")
+            ),
+        )
+        .when(
+            F.col("c_acctbal") < 5000,
+            F.when(
+                F.col("c_mktsegment").isin("AUTOMOBILE", "MACHINERY"),
+                F.lit("upsell"),
+            ).otherwise(F.lit("hold")),
+        )
+        .otherwise(
+            F.when(F.col("c_nationkey") < 12, F.lit("vip")).otherwise(F.lit("retain"))
+        )
+    )
+    return (
+        c.select("c_mktsegment", leaf.alias("leaf"))
+        .groupBy("c_mktsegment", "leaf")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
