@@ -1159,3 +1159,102 @@ def ml_tree_inference_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment", "leaf")
         .agg(F.count("*").cast("long").alias("n"))
     )
+
+
+# --- trajectory similarity top-k (REPOSE ICDE 2021 shape) -------------------
+TRAJ_QMOD = 50
+TRAJ_K = 5
+TRAJ_N = 3  # event-type n-gram length
+
+
+def _traj_oracle() -> str:
+    from ..operators import dedup as DD
+
+    norm = DD.NORMALIZE_SQL.format(x="seq")
+    return f"""
+    WITH seqs AS (
+      SELECT user_id,
+             string_agg(event_type, ' ' ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id),
+    tok AS (SELECT user_id, string_split({norm}, ' ') AS toks FROM seqs),
+    sh AS (
+      SELECT DISTINCT user_id,
+             array_to_string(list_slice(toks, i, i + {TRAJ_N - 1}), ' ') AS sh
+      FROM tok,
+           UNNEST(generate_series(1, greatest(len(toks) - {TRAJ_N - 1}, 0))) AS u(i)),
+    sizes AS (SELECT user_id, count(*) AS n_sh FROM sh GROUP BY user_id),
+    inter AS (
+      SELECT a.user_id AS id_q, b.user_id AS id_o, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.user_id <> b.user_id
+      WHERE a.user_id % {TRAJ_QMOD} = 0
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT id_q, id_o,
+             round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.user_id = id_q
+      JOIN sizes sb ON sb.user_id = id_o)
+    SELECT id_q, id_o, jaccard, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY id_q ORDER BY jaccard DESC, id_o) AS rank
+      FROM scored)
+    WHERE rank <= {TRAJ_K}
+    """
+
+
+@register(
+    "traj_user_similarity_topk",
+    oracle=_traj_oracle(),
+    doc="Trajectory similarity top-k (the distributed top-k trajectory "
+    "search shape of REPOSE, ICDE 2021): each user's chronologically "
+    f"ordered event-type sequence, {TRAJ_N}-gram shingled; query users "
+    f"(id % {TRAJ_QMOD}) rank all other users by sequence Jaccard and "
+    f"keep the top-{TRAJ_K}. Candidates come from the shingle EQUALITY "
+    "join — only trajectory pairs sharing an n-gram are scored (the "
+    "collision-pruning role REPOSE's reference-point tries play), never "
+    "an all-pairs product; one sequence aggregate + one shingle join + "
+    "one ranking window.",
+)
+def traj_user_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..operators import dedup as DD
+
+    e = load_table(spark, sf_dir, "events")
+    seqs = e.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            " ",
+        ).alias("seq")
+    )
+    sh = DD.shingle_sets(seqs, "seq", "user_id", TRAJ_N)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    q = sh.filter(F.col("id") % TRAJ_QMOD == 0).select(
+        F.col("id").alias("id_q"), "sh"
+    )
+    inter = (
+        q.join(sh.select(F.col("id").alias("id_o"), "sh"), "sh")
+        .filter(F.col("id_o") != F.col("id_q"))
+        .groupBy("id_q", "id_o")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    scored = (
+        inter.join(sizes.select(F.col("id").alias("id_q"), F.col("n_sh").alias("na")), "id_q")
+        .join(sizes.select(F.col("id").alias("id_o"), F.col("n_sh").alias("nb")), "id_o")
+        .select(
+            "id_q",
+            "id_o",
+            F.round(
+                F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 4
+            ).alias("jaccard"),
+        )
+    )
+    w = W.partitionBy("id_q").orderBy(F.desc("jaccard"), F.asc("id_o"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TRAJ_K)
+        .select("id_q", "id_o", "jaccard", "rank")
+    )
