@@ -81,6 +81,15 @@ def test_jvm_only_paths_have_no_python_nodes(spark, sf):
         "corpus_bpe_pair_counts",
         "pipeline_rag_retrieval",
         "text_quality_classifier",
+        "sketch_histogram_quantile",
+        "j14_point_in_time_join",
+        "privacy_l_diversity",
+        "stats_ab_proportion_z",
+        "stats_chi2_independence",
+        "ml_tree_inference_sql",
+        "traj_user_similarity_topk",
+        "multimodal_pair_alignment",
+        "ann_incremental_topk_merge",
     ]:
         plan = plan_of(QUERIES[name].fn(spark, sf))
         assert "EvalPython" not in plan, f"{name} must stay JVM-side"
