@@ -501,8 +501,6 @@ def s3c_corrupt_parquet_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame
     "file-source metadata, no extra scan cost.",
 )
 def s19_file_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     path = os.path.join(
         "/tmp/etl_pipeline_old_spark_cache",
@@ -517,7 +515,11 @@ def s19_file_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         # recount via the physical path: the partition directory embedded in
         # _metadata.file_path must agree with the logical source column
         F.sum(
-            F.regexp_extract("fp", r"source=([^/]+)/", 1).eqNullSafe(F.col("source")).cast("long")
+            # Hive path-escapes partition values (%, =, : ...) — decode the
+            # directory text before comparing with the logical column
+            F.url_decode(F.regexp_extract("fp", r"source=([^/]+)/", 1))
+            .eqNullSafe(F.col("source"))
+            .cast("long")
         ).alias("n_from_file"),
     )
 
@@ -596,8 +598,6 @@ def j14_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "and key.",
 )
 def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
     tag = f"{os.path.basename(os.path.normpath(sf_dir)).replace('.', '_')}_{os.getpid()}"
     t_o, t_l = f"bq_orders_{tag}", f"bq_lineitem_{tag}"
     o = load_table(spark, sf_dir, "orders")
@@ -605,18 +605,18 @@ def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.sql(f"DROP TABLE IF EXISTS {t_o}")
     spark.sql(f"DROP TABLE IF EXISTS {t_l}")
-    (
-        o.select("o_orderkey", "o_orderpriority")
-        .write.mode("overwrite")
-        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(t_o)
-    )
-    (
-        li.select("l_orderkey", "l_quantity")
-        .write.mode("overwrite")
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(t_l)
-    )
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
+        (
+            o.select("o_orderkey", "o_orderpriority")
+            .write.mode("overwrite")
+            .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(t_o)
+        )
+        (
+            li.select("l_orderkey", "l_quantity")
+            .write.mode("overwrite")
+            .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(t_l)
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         out = (
             spark.table(t_l)
             .join(spark.table(t_o), F.col("l_orderkey") == F.col("o_orderkey"))
@@ -663,8 +663,6 @@ COMPACT_TARGET_CHARS = 131_072  # ~128 KiB of text per output file
     "fragmented partitions.",
 )
 def layout_compaction_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
     d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     base = os.path.join(
         "/tmp/etl_pipeline_old_spark_cache",
@@ -819,7 +817,7 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     dev = (F.col("o") - exp) * (F.col("o") - exp) / exp
     return tot.agg(
         F.count("*").cast("long").alias("n_cells"),
-        F.round(F.sum(dev) / F.count("*") * F.count("*"), 4).alias("chi2"),
+        F.round(F.sum(dev), 4).alias("chi2"),
     )
 
 
@@ -977,8 +975,6 @@ def _derby_fresh(db: str) -> str:
     "only replaces the socket.",
 )
 def s4_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
     from ..sinks.incremental import jdbc_incremental_append
     from ..sources.jdbc import jdbc_scan
 
@@ -1023,8 +1019,6 @@ def s4_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "socket; against Postgres this is the same adapter verbatim.",
 )
 def s6_jdbc_parallel_pull(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
     from ..sources.jdbc import jdbc_scan
 
     db = os.path.join(
@@ -1097,7 +1091,13 @@ def ann_incremental_topk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta_top = brute_force_topk(
         emb.filter(is_delta | F.col("vec_id").isin(QUERY_IDS)), QUERY_IDS, K
     )
-    merged = prior.drop("rank").unionByName(delta_top.drop("rank"))
+    # fellow QUERY vectors are candidates in BOTH frames — dedup the union
+    # or a shared neighbor would rank twice and push out the true k-th
+    merged = (
+        prior.drop("rank")
+        .unionByName(delta_top.drop("rank"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         merged.withColumn("rank", F.row_number().over(w))
