@@ -92,6 +92,11 @@ HEADLINE = [
     "pipeline_rag_retrieval",
     # r4: the incremental corpus-refresh capstone (delta-scaled work only)
     "pipeline_corpus_refresh",
+    # r4 final wave: the statestore batch-reader inspection path (stream
+    # drain + state scan) and the JL-projection recall harness (projection
+    # + both brute-force searches)
+    "state_store_inspect",
+    "embed_projection_recall",
 ]
 
 

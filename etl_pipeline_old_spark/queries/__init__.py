@@ -53,6 +53,7 @@ _MODULES = (
     "corpus6",
     "streaming3",
     "lakehouse",
+    "extras7",
 )
 
 

@@ -1,0 +1,286 @@
+"""Registry entries, round-3 final wave: streaming state-store
+introspection (the Spark 4 ``statestore`` / ``state-metadata`` batch
+readers) and Johnson-Lindenstrauss sign random projection over the
+embedding corpus.
+
+State introspection is the operational half of a production streaming
+pipeline: when a 1000-executor stateful job misbehaves, the question
+"what is actually IN the state store?" must be answerable without
+stopping the stream or adding debug sinks. Spark 4 exposes every
+checkpointed state store as a batch DataFrame — state inspection becomes
+an ordinary query, and here it is value-checked: the per-key state the
+engine persisted must equal the batch aggregate DuckDB computes from the
+raw events.
+
+The JL projection is the embedding-side counterpart of the quantized ANN
+family in queries/similarity.py: compress 64-dim vectors to 16 dims with
+a seeded ±1 sign matrix (Achlioptas 2003 — database-friendly random
+projections), entirely in JVM expressions. Integer quantization (the
+same floor(x·10⁴ + 0.5) trick as the LSH/IVF oracles) makes every
+projected coordinate exact int64 arithmetic, so values — not just shapes
+— cross-check against DuckDB, and the recall query measures exactly what
+the compression costs the ANN pipeline.
+
+Reference provenance: the reference has no streaming state or embedding
+surface; these extend the engine along SURVEY.md §2.11/§6 (streaming)
+and the LLM-pipeline similarity family.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table, table_path
+from ..operators import similarity as SIM
+from ..registry import register
+from ..session import ensure_session_confs
+from .similarity import _EXACT_TOP, _RECALL_SELECT, K, QUERY_IDS
+
+_CACHE_ROOT = "/tmp/etl_pipeline_old_spark_cache"
+
+
+# ---------------------------------------------------------------------------
+# statestore / state-metadata batch readers (§2.11 operational surface)
+# ---------------------------------------------------------------------------
+
+
+def _drain_user_totals_state(spark: SparkSession, sf_dir: str, tag: str) -> str:
+    """Run the per-user running-totals aggregation as a stream (availableNow,
+    update mode, noop sink) and return its checkpoint directory.
+
+    The checkpoint is the QUERY OUTPUT here: the state files it leaves
+    behind are what the ``statestore`` reader then inspects. Fresh per
+    call (rmtree first) so re-runs are idempotent.
+    """
+    ensure_session_confs(spark)
+    chk = os.path.join(
+        _CACHE_ROOT,
+        f"{tag}_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    shutil.rmtree(chk, ignore_errors=True)
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    q = (
+        stream.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .writeStream.outputMode("update")
+        .format("noop")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return chk
+
+
+@register(
+    "state_store_inspect",
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY user_id
+    """,
+    doc="§2.11 operational surface: drain a per-user stateful aggregation "
+    "(availableNow, update mode), then read the checkpoint back through "
+    "Spark 4's ``statestore`` batch data source — state inspection as an "
+    "ordinary query, no debug sink and no stream restart. The per-key "
+    "state rows the engine persisted are value-checked against the batch "
+    "aggregate over the raw events: key struct = grouping key, value "
+    "struct = the aggregation buffer (count, sum). At scale the state "
+    "read is partition-parallel (one task per state-store shard), so "
+    "inspecting a 1000-shard store costs one scan, not a stream replay.",
+)
+def state_store_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chk = _drain_user_totals_state(spark, sf_dir, "state_inspect")
+    st = spark.read.format("statestore").load(chk)
+    # key = {user_id}, value = {count(1), sum(value)} — bind positionally:
+    # buffer field NAMES are plan-internal, their ORDER is the agg order
+    flat = st.select("key.*", "value.*").toDF("user_id", "n_events", "total_value")
+    return flat.select(
+        "user_id", "n_events", F.round("total_value", 2).alias("total_value")
+    )
+
+
+@register(
+    "state_metadata_audit",
+    oracle="""
+    SELECT 'stateStoreSave' AS operator_name,
+           'default' AS state_store_name,
+           0 AS max_batch_id,
+           count(DISTINCT user_id) AS n_state_keys
+    FROM events
+    """,
+    doc="§2.11 operational surface, companion to state_store_inspect: the "
+    "``state-metadata`` reader lists every stateful operator in a "
+    "checkpoint (name, store, batch range) without touching state data — "
+    "the first step of any state-debugging session. Joined here with the "
+    "store's key count; value-checked against the batch distinct-key "
+    "count (one drained availableNow batch => maxBatchId 0).",
+)
+def state_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chk = _drain_user_totals_state(spark, sf_dir, "state_meta")
+    md = spark.read.format("state-metadata").load(chk)
+    keys = (
+        spark.read.format("statestore")
+        .load(chk)
+        .agg(F.count("*").alias("n_state_keys"))
+    )
+    return md.select(
+        F.col("operatorName").alias("operator_name"),
+        F.col("stateStoreName").alias("state_store_name"),
+        F.col("maxBatchId").cast("int").alias("max_batch_id"),
+    ).crossJoin(keys)
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss sign random projection (embedding compression)
+# ---------------------------------------------------------------------------
+
+JL_IN_DIM = 64
+JL_OUT_DIM = 16
+JL_SCALE = 10_000  # same quantization as the ANN oracle family
+
+
+def _jl_signs() -> list[list[int]]:
+    """±1 sign matrix [out_dim][in_dim], seeded by md5 of 'jl:i:j'.
+
+    Shipped as literals into BOTH engines (the quantized-planes pattern,
+    queries/similarity.py), so the projection is deterministic by
+    construction — no cross-engine RNG to reconcile.
+    """
+    return [
+        [
+            1 if int(hashlib.md5(f"jl:{i}:{j}".encode()).hexdigest()[:15], 16) % 2 == 0 else -1
+            for i in range(JL_IN_DIM)
+        ]
+        for j in range(JL_OUT_DIM)
+    ]
+
+
+def _jl_project(emb: DataFrame) -> DataFrame:
+    """(vec_id, y0..y15): exact-int64 projected coordinates of the
+    quantized embedding (q = floor(x·10⁴ + 0.5), y_j = Σᵢ qᵢ·s_ij)."""
+    q = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * JL_SCALE + 0.5).cast("long")
+    )
+    base = emb.select("vec_id", q.alias("q"))
+    cols = []
+    for j, row in enumerate(_jl_signs()):
+        arr = "array(" + ",".join(f"{s}L" for s in row) + ")"
+        cols.append(
+            F.expr(
+                f"aggregate(zip_with(q, {arr}, (a, b) -> a * b), 0L,"
+                " (acc, x) -> acc + x)"
+            ).alias(f"y{j}")
+        )
+    return base.select("vec_id", *cols)
+
+
+def _jl_oracle_y_cte() -> str:
+    """CTEs base → y (vec_id, out_dim, yq): one UNION ALL branch per output
+    dimension, each an exact-integer list_dot_product against the literal
+    sign row (integer-valued doubles ≪ 2^53 stay exact)."""
+    branches = "\n      UNION ALL\n".join(
+        f"SELECT vec_id, {j} AS out_dim, list_dot_product(q, ["
+        + ", ".join(f"{s}.0" for s in row)
+        + "]) AS yq FROM base"
+        for j, row in enumerate(_jl_signs())
+    )
+    return f"""
+    WITH base AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> floor(x::DOUBLE * {JL_SCALE} + 0.5)) AS q
+      FROM embeddings),
+    y AS ({branches})"""
+
+
+# y is scaled back by the quantization factor and the conventional
+# 1/sqrt(out_dim) JL normalizer: sqrt(16) = 4 exactly, so the divisor is
+# the exact double 40000.0 in both engines.
+_JL_DIV = JL_SCALE * 4
+
+
+@register(
+    "embed_random_projection",
+    oracle=_jl_oracle_y_cte()
+    + f"""
+    SELECT vec_id, out_dim, round(yq / {_JL_DIV}.0, 6) AS y FROM y
+    """,
+    doc="Embedding compression via Johnson-Lindenstrauss SIGN random "
+    "projection (Achlioptas 2003): 64-dim float vectors -> 16-dim, "
+    "y_j = Σᵢ xᵢ·s_ij / √k with a seeded ±1 matrix shipped as literals. "
+    "Entirely JVM-side (zip_with/aggregate folds — one narrow projection, "
+    "zero shuffles, no Python), and exact: integer quantization makes "
+    "every coordinate int64 arithmetic both engines reproduce bit-for-"
+    "bit. The scale story: projection cost is a map over the corpus; "
+    "downstream ANN/cluster shuffles then move 4× less vector payload.",
+)
+def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = _jl_project(emb)
+    stack = F.expr(
+        f"stack({JL_OUT_DIM}, "
+        + ", ".join(f"{j}, y{j}" for j in range(JL_OUT_DIM))
+        + ") AS (out_dim, yq)"
+    )
+    return proj.select("vec_id", stack).select(
+        "vec_id", "out_dim", F.round(F.col("yq") / F.lit(float(_JL_DIV)), 6).alias("y")
+    )
+
+
+def _jl_recall_oracle() -> str:
+    return (
+        _jl_oracle_y_cte()
+        + f""",
+    pv AS (
+      SELECT vec_id, list(yq ORDER BY out_dim) AS pvec FROM y GROUP BY vec_id),
+    pq AS (
+      SELECT vec_id AS query_id, pvec AS qv FROM pv
+      WHERE vec_id IN {tuple(QUERY_IDS)}),
+    approx_scored AS (
+      SELECT pq.query_id, pv.vec_id AS neighbor_id,
+             round(list_cosine_similarity(pq.qv, pv.pvec), 6) AS cos_sim
+      FROM pq JOIN pv ON pv.vec_id <> pq.query_id),
+    approx_top AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM approx_scored)
+      WHERE rank <= {K}),{_EXACT_TOP.lstrip().rstrip(',')}
+    {_RECALL_SELECT}"""
+    )
+
+
+@register(
+    "embed_projection_recall",
+    oracle=_jl_recall_oracle(),
+    doc=f"What the 4× JL compression costs the ANN pipeline: recall@{K} of "
+    "the exact top-k computed in the 16-dim PROJECTED space vs the exact "
+    "64-dim top-k, per query, in-plan. The projected search reuses "
+    "brute_force_topk over the int64 coordinate vectors, so both engines "
+    "rank identical integers and the recall VALUES cross-check — the "
+    "same harness shape as ann_lsh_recall_at_10.",
+)
+def embed_projection_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = _jl_project(emb).select(
+        "vec_id",
+        F.array(*[F.col(f"y{j}").cast("double") for j in range(JL_OUT_DIM)]).alias(
+            "pvec"
+        ),
+    )
+    approx = SIM.brute_force_topk(proj, QUERY_IDS, K, vec_col="pvec")
+    exact = SIM.brute_force_topk(emb, QUERY_IDS, K)
+    return SIM.recall_vs_exact(approx, exact, K)

@@ -90,6 +90,8 @@ def test_jvm_only_paths_have_no_python_nodes(spark, sf):
         "traj_user_similarity_topk",
         "multimodal_pair_alignment",
         "ann_incremental_topk_merge",
+        "embed_random_projection",
+        "embed_projection_recall",
     ]:
         plan = plan_of(QUERIES[name].fn(spark, sf))
         assert "EvalPython" not in plan, f"{name} must stay JVM-side"

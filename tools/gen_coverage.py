@@ -120,7 +120,7 @@ COVERAGE: list[tuple[str, str, list[str], str]] = [
     ("F23", "arrays_overlap", ["f23_arrays_overlap"], "legacy intersection check, fetch_yougile_programming.py:505-509"),
     ("F24", "ANSI-safe coercion (try_*)", ["f24_try_arithmetic"], "null-on-error under ANSI sessions: try_cast/try_divide value-checked against explicit CASE semantics"),
     ("§2.10", "business-day duration", ["workdays_diff_sql", "workdays_diff_pandas_udf", "pipeline_yougile"], "golden tests in test_workdays.py"),
-    ("§2.11", "streaming", ["stream_tumbling_window_counts", "stream_append_watermark", "stream_stateful_dedup", "stream_stateful_running_totals", "stream_stream_join", "stream_session_window", "stream_foreachbatch_upsert", "stream_sliding_window_counts", "s7b_python_datasource_stream", "stream_static_enrich", "stream_scd2_apply", "stream_dedup_within_watermark", "stream_ann_probe"], "engine-state AND sink-side exactly-once variants; type-1 (upsert) and type-2 (SCD2 re-chain) streaming merges; watermark-bounded dedup state"),
+    ("§2.11", "streaming", ["stream_tumbling_window_counts", "stream_append_watermark", "stream_stateful_dedup", "stream_stateful_running_totals", "stream_stream_join", "stream_session_window", "stream_foreachbatch_upsert", "stream_sliding_window_counts", "s7b_python_datasource_stream", "stream_static_enrich", "stream_scd2_apply", "stream_dedup_within_watermark", "stream_ann_probe", "state_store_inspect", "state_metadata_audit"], "engine-state AND sink-side exactly-once variants; Spark 4 statestore/state-metadata batch readers: checkpointed per-key state value-checked against the batch aggregate (operational state inspection without a stream restart); type-1 (upsert) and type-2 (SCD2 re-chain) streaming merges; watermark-bounded dedup state"),
     ("§2.12", "UDF surface", ["workdays_diff_pandas_udf", "udf_extension_point", "multimodal_decode_meta", "grouped_map_zscore", "grouped_arrow_minmax", "udaf_grouped_agg_gini", "udf_scalar_iter_classify", "udf_map_in_arrow"], "scalar pandas UDF, SCALAR_ITER (init-once-per-worker), row UDF, mapInPandas, applyInPandas, applyInArrow, mapInArrow, GROUPED_AGG UDAF"),
     # pipelines (§3 end-to-end)
     ("PIPE", "notebook pipelines", ["pipeline_logs", "pipeline_projectsync", "pipeline_yougile", "pipeline_gitlab_lines"], ""),
@@ -128,7 +128,7 @@ COVERAGE: list[tuple[str, str, list[str], str]] = [
     # north-star extensions (BASELINE.json)
     ("X-dedup", "dedup family", ["dedup_exact", "dedup_exact_normalized", "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs", "dedup_embedding_cosine", "dedup_clusters", "dedup_apply", "dedup_apply_keep_best", "dedup_semantic", "dedup_span_reconstruct", "dedup_incremental_probe", "dedup_prefix_filter_join", "dedup_lsh_recall_vs_exact", "dedup_line_level"], "LSH recall measured in-plan against the complete exact join; exact, MinHash-LSH, SimHash, Jaccard, embedding-cosine, connected components, keep-best apply, SemDeDup, exact-substring span dedup w/ reconstruction (Lee et al. 2022), incremental delta-vs-base index probe, PPJoin prefix-filter exact similarity join, C4-style line-level dedup w/ ordered document reassembly"),
     ("X-boiler", "boilerplate detection", ["corpus_boilerplate_ngrams"], "cross-doc verbatim n-grams (Lee et al. 2022 exact-substring candidates)"),
-    ("X-ann", "similarity search", ["ann_cosine_topk", "ann_lsh_cosine_topk", "ann_ivf_cosine_topk", "ann_lsh_recall_at_10", "ann_ivf_recall_at_10", "ann_hard_negatives", "ann_pq_binary_topk", "ann_knn_graph_lsh", "pipeline_rag_retrieval", "stream_ann_probe", "ann_incremental_topk_merge"], "recall@10 vs exact baseline, in-plan; directed kNN graph over all vectors via per-bucket self-join; RAG capstone: chunk -> embed -> LSH index -> bucket-probe retrieve -> cosine rerank, full ranking value-checked; streaming ANN serving (foreachBatch probe vs persisted index, union-over-batches exact); incremental top-k maintenance (delta-scored monotone merge vs full-recompute oracle, EDBT 2020 shape)"),
+    ("X-ann", "similarity search", ["ann_cosine_topk", "ann_lsh_cosine_topk", "ann_ivf_cosine_topk", "ann_lsh_recall_at_10", "ann_ivf_recall_at_10", "ann_hard_negatives", "ann_pq_binary_topk", "ann_knn_graph_lsh", "pipeline_rag_retrieval", "stream_ann_probe", "ann_incremental_topk_merge", "embed_random_projection", "embed_projection_recall"], "JL sign random projection (Achlioptas 2003) compresses 64-dim -> 16-dim exactly (integer-quantized, value-checked) with its ANN recall cost measured in-plan; recall@10 vs exact baseline, in-plan; directed kNN graph over all vectors via per-bucket self-join; RAG capstone: chunk -> embed -> LSH index -> bucket-probe retrieve -> cosine rerank, full ranking value-checked; streaming ANN serving (foreachBatch probe vs persisted index, union-over-batches exact); incremental top-k maintenance (delta-scored monotone merge vs full-recompute oracle, EDBT 2020 shape)"),
     ("X-sql", "Spark SQL API surface", ["sql_api_nation_spend", "lateral_top3_orders", "pandas_api_migration", "collation_ci_grouping", "sql_recursive_hierarchy", "sql_scripting_backfill_window"], "identical SQL text runs on both engines; native WITH RECURSIVE (Spark 4); SQL scripting BEGIN/DECLARE/WHILE loop vs a declarative fixpoint oracle (Spark 4)"),
     ("X-mm", "multimodal columns", ["multimodal_decode_meta", "multimodal_feature_extract", "multimodal_resize", "multimodal_frame_sample", "multimodal_phash_dedup", "multimodal_phash_near", "multimodal_pair_alignment"], "codecs stubbed (no image libs); plumbing real; aHash exact-collision dedup + Hamming-banded near-dup (pigeonhole-complete for Hamming<=3) bridge to the dedup family; CLIP-shape in-batch contrastive alignment accuracy (BxB per batch, never corpus-wide)"),
     ("X-text", "text analysis", ["text_lang_id", "text_quality_score", "text_token_count", "text_fingerprint", "text_fuzzy_name_pairs", "corpus_normalize", "corpus_pii_redact", "corpus_stats_by_lang", "corpus_top_bigrams", "text_tfidf_top_terms", "corpus_unigram_logprob", "corpus_bigram_perplexity", "corpus_bpe_pair_counts", "text_quality_classifier", "ml_tree_inference_sql"], "incl. the BPE tokenizer-training pair-count step (aggregate-to-vocabulary first) and a fastText-shape linear quality classifier (integer logit, shuffle-free) and decision-tree inference compiled to a fused CASE projection (ICDE 2025 pure-SQL-inference shape)"),
