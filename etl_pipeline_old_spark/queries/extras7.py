@@ -144,6 +144,75 @@ def state_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(keys)
 
 
+@register(
+    "stream_restart_resume",
+    oracle="""
+    SELECT count(*) AS total_rows,
+           count(DISTINCT event_id) AS distinct_events,
+           sum(CASE WHEN ts > TIMESTAMP '2024-01-15 00:00:00'
+                    THEN 1 ELSE 0 END)::BIGINT AS run2_rows
+    FROM events
+    """,
+    doc="§2.11 checkpoint-restart resume: the offset log IS the incremental "
+    "contract. Run 1 drains the early half of the event feed "
+    "(availableNow, foreachBatch append); the stream STOPS; more files "
+    "arrive; run 2 restarts from the SAME checkpoint and must process "
+    "ONLY the new files — the run-1 files are still sitting in the feed "
+    "directory, so any offset-log regression double-appends them and "
+    "fails the value check (total_rows > the table count). This is the "
+    "nightly-restart story for a 100 TB lake: resume cost scales with "
+    "the delta, never with the directory listing already committed.",
+)
+def stream_restart_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming_inc import CUTOFF
+
+    ensure_session_confs(spark)
+    root = os.path.join(
+        _CACHE_ROOT,
+        f"restart_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    feed = os.path.join(root, "feed")
+    chk = os.path.join(root, "chk")
+    tgt = os.path.join(root, "target")
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit(CUTOFF).cast("timestamp")
+    ev.filter(F.col("ts") <= cut).write.mode("append").parquet(feed)
+
+    schema = spark.read.parquet(feed).schema
+
+    def drain(tag: str) -> None:
+        stream = spark.readStream.schema(schema).parquet(feed)
+
+        def sink(bdf: DataFrame, _bid: int) -> None:
+            bdf.withColumn("run_tag", F.lit(tag)).write.mode("append").parquet(tgt)
+
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    drain("run1")
+    ev.filter(F.col("ts") > cut).write.mode("append").parquet(feed)
+    drain("run2")
+
+    out = spark.read.parquet(tgt)
+    return out.agg(
+        F.count("*").alias("total_rows"),
+        F.countDistinct("event_id").alias("distinct_events"),
+        F.sum(F.when(F.col("run_tag") == "run2", 1).otherwise(0))
+        .cast("long")
+        .alias("run2_rows"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Johnson-Lindenstrauss sign random projection (embedding compression)
 # ---------------------------------------------------------------------------
