@@ -213,6 +213,104 @@ def stream_restart_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_JOIN_WINDOW_US = 3600 * 1_000_000
+
+
+@register(
+    "stream_stream_left_outer",
+    oracle=f"""
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    s AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'signup')
+    SELECT p.event_id, s.event_id AS signup_event_id
+    FROM p LEFT JOIN s
+      ON s.user_id = p.user_id
+     AND epoch_us(p.ts) - epoch_us(s.ts) BETWEEN 0 AND {_JOIN_WINDOW_US}
+    """,
+    doc="§2.11 stream-stream LEFT OUTER join with an event-time range "
+    "condition: purchases joined to same-user signups within the "
+    "preceding hour; a purchase with no such signup must STILL emit "
+    "(null-padded) — but only once the watermark proves no future signup "
+    "can match. The feed is closed with two heartbeat/punctuation "
+    "sentinel rows 4h past max event time (the production end-of-feed "
+    "pattern), which push BOTH sides' watermarks beyond every real "
+    "purchase, so the drained stream equals the plain batch left join — "
+    "hash-checked. Pitfall encoded here: the sentinel filter must run on "
+    "the drained BATCH result, never inside the streaming plan, because "
+    "Catalyst pushes a left-column predicate below the watermark node "
+    "and the sentinel then never advances the watermark (unmatched rows "
+    "stay in state forever).",
+)
+def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+    import uuid
+
+    ensure_session_confs(spark)
+    root = os.path.join(
+        _CACHE_ROOT,
+        f"sso_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    feed = os.path.join(root, "feed")
+
+    ev = load_table(spark, sf_dir, "events")
+    ev.select("event_id", "user_id", "event_type", "ts").write.mode("append").parquet(
+        feed
+    )
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    sent_ts = mx + datetime.timedelta(hours=4)
+    spark.createDataFrame(
+        [(-1, -1, "purchase", sent_ts), (-2, -2, "signup", sent_ts)],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    ).write.mode("append").parquet(feed)
+
+    schema = spark.read.parquet(feed).schema
+
+    def stream() -> DataFrame:
+        return spark.readStream.schema(schema).parquet(feed)
+
+    p = (
+        stream()
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+    )
+    s = (
+        stream()
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_event_id"),
+            F.col("user_id").alias("s_user"),
+            F.col("ts").alias("s_ts"),
+        )
+        .withWatermark("s_ts", "2 hours")
+    )
+    joined = p.join(
+        s,
+        (F.col("user_id") == F.col("s_user"))
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select("event_id", "signup_event_id")
+
+    name = f"sso_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # sentinel rows filtered from the BATCH result (see doc: in-stream
+    # filtering would be pushed below the watermark node)
+    return spark.table(name).filter(F.col("event_id") > 0)
+
+
 # ---------------------------------------------------------------------------
 # Johnson-Lindenstrauss sign random projection (embedding compression)
 # ---------------------------------------------------------------------------

@@ -120,7 +120,7 @@ COVERAGE: list[tuple[str, str, list[str], str]] = [
     ("F23", "arrays_overlap", ["f23_arrays_overlap"], "legacy intersection check, fetch_yougile_programming.py:505-509"),
     ("F24", "ANSI-safe coercion (try_*)", ["f24_try_arithmetic"], "null-on-error under ANSI sessions: try_cast/try_divide value-checked against explicit CASE semantics"),
     ("§2.10", "business-day duration", ["workdays_diff_sql", "workdays_diff_pandas_udf", "pipeline_yougile"], "golden tests in test_workdays.py"),
-    ("§2.11", "streaming", ["stream_tumbling_window_counts", "stream_append_watermark", "stream_stateful_dedup", "stream_stateful_running_totals", "stream_stream_join", "stream_session_window", "stream_foreachbatch_upsert", "stream_sliding_window_counts", "s7b_python_datasource_stream", "stream_static_enrich", "stream_scd2_apply", "stream_dedup_within_watermark", "stream_ann_probe", "state_store_inspect", "state_metadata_audit", "stream_restart_resume"], "checkpoint-restart resume value-checked (restarted stream must process ONLY files added after the stop); engine-state AND sink-side exactly-once variants; Spark 4 statestore/state-metadata batch readers: checkpointed per-key state value-checked against the batch aggregate (operational state inspection without a stream restart); type-1 (upsert) and type-2 (SCD2 re-chain) streaming merges; watermark-bounded dedup state"),
+    ("§2.11", "streaming", ["stream_tumbling_window_counts", "stream_append_watermark", "stream_stateful_dedup", "stream_stateful_running_totals", "stream_stream_join", "stream_session_window", "stream_foreachbatch_upsert", "stream_sliding_window_counts", "s7b_python_datasource_stream", "stream_static_enrich", "stream_scd2_apply", "stream_dedup_within_watermark", "stream_ann_probe", "state_store_inspect", "state_metadata_audit", "stream_restart_resume", "stream_stream_left_outer"], "left-outer stream-stream join closed deterministically by end-of-feed heartbeat sentinels (equals the batch left join, hash-checked); checkpoint-restart resume value-checked (restarted stream must process ONLY files added after the stop); engine-state AND sink-side exactly-once variants; Spark 4 statestore/state-metadata batch readers: checkpointed per-key state value-checked against the batch aggregate (operational state inspection without a stream restart); type-1 (upsert) and type-2 (SCD2 re-chain) streaming merges; watermark-bounded dedup state"),
     ("§2.12", "UDF surface", ["workdays_diff_pandas_udf", "udf_extension_point", "multimodal_decode_meta", "grouped_map_zscore", "grouped_arrow_minmax", "udaf_grouped_agg_gini", "udf_scalar_iter_classify", "udf_map_in_arrow"], "scalar pandas UDF, SCALAR_ITER (init-once-per-worker), row UDF, mapInPandas, applyInPandas, applyInArrow, mapInArrow, GROUPED_AGG UDAF"),
     # pipelines (§3 end-to-end)
     ("PIPE", "notebook pipelines", ["pipeline_logs", "pipeline_projectsync", "pipeline_yougile", "pipeline_gitlab_lines"], ""),
