@@ -213,6 +213,76 @@ def stream_restart_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "k9_dpp_partitioned_join",
+    oracle="""
+    WITH daily AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_p,
+             sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_s
+      FROM events GROUP BY 1),
+    sel AS (SELECT day FROM daily WHERE n_p >= n_s)
+    SELECT d.day, count(*) AS n_events, round(sum(e.value), 2) AS total_value
+    FROM events e JOIN sel d ON strftime(e.ts, '%Y-%m-%d') = d.day
+    GROUP BY d.day
+    """,
+    doc="Dynamic partition pruning: the fact table is laid out partitioned "
+    "by day; the dim side selects the days where purchases outpaced "
+    "signups — a predicate only computable at RUNTIME (it compares two "
+    "per-day aggregates), so static partition pruning cannot apply and "
+    "Catalyst instead injects "
+    "`dynamicpruningexpression(day IN dynamicpruning#N)` into the fact "
+    "scan's PartitionFilters (asserted in tests/test_plans.py): the "
+    "broadcast result prunes fact partitions before they are read. At "
+    "100 TB this is the difference between scanning the selected days "
+    "and scanning the whole table — restatement/backfill jobs keyed on "
+    "runtime day lists get partition-level I/O elision for free by "
+    "declaring the join instead of collecting the day list to the "
+    "driver. Value-checked against DuckDB recomputing the same "
+    "selection from the raw events.",
+)
+def k9_dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = os.path.join(
+        _CACHE_ROOT,
+        f"dpp_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    path = os.path.join(root, "fact")
+
+    ev = load_table(spark, sf_dir, "events")
+    ev.withColumn("day", F.to_date("ts")).write.partitionBy("day").mode(
+        "overwrite"
+    ).parquet(path)
+    fact = spark.read.parquet(path)
+
+    # dim = Filter over an aggregate: DPP-eligible. A scalar-join dim
+    # (e.g. n >= avg(n)) is NOT — the rule needs a Filter subtree on the
+    # pruning side, and a broadcast-nested-loop dim silently loses the
+    # partition filter (verified empirically; see tests/test_plans.py).
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "n_purchase"
+        ),
+        F.sum(F.when(F.col("event_type") == "signup", 1).otherwise(0)).alias(
+            "n_signup"
+        ),
+    )
+    dim = daily.filter(F.col("n_purchase") >= F.col("n_signup")).select("day")
+    return (
+        fact.join(F.broadcast(dim), "day")
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 _JOIN_WINDOW_US = 3600 * 1_000_000
 
 

@@ -203,3 +203,17 @@ def test_shuffle_hash_hint_selects_shuffled_hash_join(spark, sf):
     plan = plan_of(QUERIES["join_shuffle_hash_hint"].fn(spark, sf))
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_dpp_join_prunes_fact_partitions_at_runtime(spark, sf):
+    """The partitioned-fact join against a runtime-only day selection must
+    carry a dynamic-pruning partition filter on the fact scan — the
+    partition-level I/O elision k9_dpp_partitioned_join exists to prove.
+    The marker only appears in the EXECUTED plan (DPP is injected at
+    physical planning and the final plan materializes under AQE), so the
+    query is run first and the JVM plan string inspected."""
+    df = QUERIES["k9_dpp_partitioned_join"].fn(spark, sf)
+    df.collect()  # count() would build a SEPARATE (unexecuted) plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan
+    assert "EvalPython" not in plan

@@ -37,6 +37,7 @@ COVERAGE: list[tuple[str, str, list[str], str]] = [
     ("K5", "incremental append + schema evolution", ["k5_incremental_idempotency"], "evolution tested in test_sources_sinks_streaming.py"),
     ("K6", "Sheets anti-join upsert", ["k6_sheet_upsert"], "REAL sink path (sheet_append_missing) with a recording append_row stub — distributed anti-join + driver-side per-row append value-checked; plus sinks/sheets_datasource.py executor-parallel Python DataSource WRITER (tests/test_sheets_writer.py)"),
     ("K8", "dynamic partition overwrite", ["k8_dynamic_partition_overwrite"], "day restatement replaces ONLY the incoming partitions (partitionOverwriteMode=dynamic); beyond reference (its append can only add rows)"),
+    ("K9", "dynamic partition pruning", ["k9_dpp_partitioned_join"], "runtime day selection (purchases-outpaced-signups aggregate) prunes fact partitions via dynamicpruningexpression in the scan (asserted in tests/test_plans.py); the 100 TB restatement-scan elision"),
     # §2.3 projections / filters
     ("P1", "projection", ["p1_project"], ""),
     ("P2", "drop columns", ["p2_drop_columns"], ""),
