@@ -97,6 +97,9 @@ HEADLINE = [
     # + both brute-force searches)
     "state_store_inspect",
     "embed_projection_recall",
+    # r4 final wave: the partitioned-write + runtime-pruned-read path
+    # (dynamicpruningexpression in the fact scan)
+    "k9_dpp_partitioned_join",
 ]
 
 

@@ -1,7 +1,8 @@
 """Registry entries, round-3 final wave: streaming state-store
 introspection (the Spark 4 ``statestore`` / ``state-metadata`` batch
-readers) and Johnson-Lindenstrauss sign random projection over the
-embedding corpus.
+readers), checkpoint-restart resume, a sentinel-closed left-outer
+stream-stream join, runtime dynamic partition pruning, and
+Johnson-Lindenstrauss sign random projection over the embedding corpus.
 
 State introspection is the operational half of a production streaming
 pipeline: when a 1000-executor stateful job misbehaves, the question
@@ -40,6 +41,7 @@ from ..operators import similarity as SIM
 from ..registry import register
 from ..session import ensure_session_confs
 from .similarity import _EXACT_TOP, _RECALL_SELECT, K, QUERY_IDS
+from .streaming_inc import CUTOFF
 
 _CACHE_ROOT = "/tmp/etl_pipeline_old_spark_cache"
 
@@ -146,10 +148,10 @@ def state_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_restart_resume",
-    oracle="""
+    oracle=f"""
     SELECT count(*) AS total_rows,
            count(DISTINCT event_id) AS distinct_events,
-           sum(CASE WHEN ts > TIMESTAMP '2024-01-15 00:00:00'
+           sum(CASE WHEN ts > TIMESTAMP '{CUTOFF}'
                     THEN 1 ELSE 0 END)::BIGINT AS run2_rows
     FROM events
     """,
@@ -164,8 +166,6 @@ def state_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the delta, never with the directory listing already committed.",
 )
 def stream_restart_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .streaming_inc import CUTOFF
-
     ensure_session_confs(spark)
     root = os.path.join(
         _CACHE_ROOT,
