@@ -1,10 +1,11 @@
-"""Measured scaling curves for the heavy corpus operators.
+"""Measured scaling curves for the heavy corpus AND similarity operators.
 
 Inflates the sf0.1 documents table k-fold (distinct ids, texts perturbed
-with a per-copy token so content stays unique) and times each operator at
-k = 1, 4, 16. Near-linear growth is the evidence that the operator's
-shuffle shape scales with input size — not with pairs — which is the
-100 TB design claim in SCALE.md.
+with a per-copy token so content stays unique) and the embeddings table
+k-fold (distinct ids, per-copy-shifted coordinates), then times each
+operator at k = 1, 4, 16. Near-linear growth is the evidence that the
+operator's shuffle shape scales with input size — not with pairs — which
+is the 100 TB design claim in SCALE.md.
 
 Run: python tools/scale_probe.py   (writes SCALE_PROBE.md)
 """
@@ -50,6 +51,40 @@ def probe_ops(d):
     }
 
 
+def inflate_emb(e, k: int):
+    copies = [
+        e.select(
+            (F.col("vec_id") + i * ID_OFFSET).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, off=float(i) * 1e-4: x.cast("double") + F.lit(off),
+            ).alias("embedding"),
+        )
+        for i in range(k)
+    ]
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+QIDS = [0, 1, 2, 3, 4]
+
+
+def probe_emb_ops():
+    from etl_pipeline_old_spark.operators import similarity as SIM
+    from etl_pipeline_old_spark.queries.extras7 import _jl_project
+
+    return {
+        "jl_projection": lambda x: _jl_project(x),
+        "lsh_index_build": lambda x: SIM.hyperplane_lsh_buckets(
+            x, n_bits=5, n_tables=6
+        ),
+        "ann_lsh_topk": lambda x: SIM.lsh_topk(x, QIDS, 10, n_bits=5, n_tables=6),
+        "ann_brute_force_topk": lambda x: SIM.brute_force_topk(x, QIDS, 10),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("scale_probe")
@@ -62,44 +97,76 @@ def main() -> None:
     for op in probe_ops(base).values():
         op(base).count()
 
-    rows = []
-    for k in FACTORS:
-        d = inflate(base, k).persist()
-        n = d.count()  # materialize the inflated input outside the timings
-        for name, op in probe_ops(d).items():
-            t0 = time.perf_counter()
-            op(d).count()
-            rows.append((name, k, n, round(time.perf_counter() - t0, 2)))
-            print(rows[-1], flush=True)
-        d.unpersist()
+    def run_family(base_df, ops, inflate_fn):
+        rows = []
+        for k in FACTORS:
+            d = (base_df if k == 1 else inflate_fn(base_df, k)).persist()
+            d.count()  # materialize the inflated input outside the timings
+            for name, op in ops.items():
+                t0 = time.perf_counter()
+                op(d).count()
+                rows.append((name, k, round(time.perf_counter() - t0, 2)))
+                print(rows[-1], flush=True)
+            d.unpersist()
+        return rows
 
-    by_op: dict[str, list] = {}
-    for name, k, n, secs in rows:
-        by_op.setdefault(name, []).append((k, n, secs))
+    def table(rows):
+        by_op: dict[str, dict[int, float]] = {}
+        for name, k, secs in rows:
+            by_op.setdefault(name, {})[k] = secs
+        out = [
+            "| operator | "
+            + " | ".join(f"k={k}" for k in FACTORS)
+            + " | t(k16)/t(k1) |",
+            "|---|" + "---|" * (len(FACTORS) + 1),
+        ]
+        for name, secs in by_op.items():
+            ratio = round(secs[FACTORS[-1]] / secs[FACTORS[0]], 1)
+            out.append(
+                f"| {name} | "
+                + " | ".join(f"{secs[k]:.2f}s" for k in FACTORS)
+                + f" | {ratio}x |"
+            )
+        return out
+
+    doc_rows = run_family(base, probe_ops(base), inflate)
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n_emb = emb.count()
+    # warm on a PERSISTED input: the timed runs read from a persisted copy,
+    # and the InMemoryScan shape compiles its own codegen (first measured
+    # lsh_index_build otherwise paid ~3s of compile at k=1)
+    warm = emb.persist()
+    warm.count()
+    for op in probe_emb_ops().values():  # warm, same reason as above
+        op(warm).count()
+    warm.unpersist()
+    emb_rows = run_family(emb, probe_emb_ops(), inflate_emb)
+
     lines = [
-        "# SCALE_PROBE — measured scaling of the heavy corpus operators",
+        "# SCALE_PROBE — measured scaling of the heavy corpus + similarity operators",
         "",
-        f"Input: sf0.1 documents ({n_base} docs) inflated k-fold with "
-        "distinct ids and per-copy-perturbed text (content unique; see "
-        "tools/scale_probe.py). local[32]; wall seconds per operator call.",
+        f"Input: sf0.1 documents ({n_base} docs) / embeddings ({n_emb} "
+        "vectors) inflated k-fold with distinct ids and per-copy-perturbed "
+        "content (see tools/scale_probe.py). local[32]; wall seconds per "
+        "operator call.",
         "",
-        "| operator | " + " | ".join(f"k={k}" for k in FACTORS) + " | t(k16)/t(k1) |",
-        "|---|" + "---|" * (len(FACTORS) + 1),
-    ]
-    for name, pts in by_op.items():
-        secs = {k: s for k, _, s in pts}
-        ratio = round(secs[FACTORS[-1]] / secs[FACTORS[0]], 1)
-        lines.append(
-            f"| {name} | "
-            + " | ".join(f"{secs[k]:.2f}s" for k in FACTORS)
-            + f" | {ratio}x |"
-        )
-    lines += [
+        "## Corpus operators",
         "",
-        f"A 16x input with ratio ≈ 16x (or below — fixed per-job overhead "
+        *table(doc_rows),
+        "",
+        "## Similarity / embedding operators (fixed 5-query probe set)",
+        "",
+        *table(emb_rows),
+        "",
+        "A 16x input with ratio ≈ 16x (or below — fixed per-job overhead "
         "amortizes) is linear scaling: the operator shuffles O(input), "
         "never O(pairs). Super-linear growth here would flag a quadratic "
-        "candidate explosion before it ever reached a cluster.",
+        "candidate explosion before it ever reached a cluster. The ANN "
+        "probes are additionally expected to stay well below the input "
+        "growth factor: their per-query cost follows bucket sizes "
+        "(lsh_topk) or a single streamed pass (brute force), with the "
+        "fixed query set held constant.",
         "",
     ]
     with open("SCALE_PROBE.md", "w", encoding="utf-8") as f:
