@@ -98,8 +98,10 @@ HEADLINE = [
     "state_store_inspect",
     "embed_projection_recall",
     # r4 final wave: the partitioned-write + runtime-pruned-read path
-    # (dynamicpruningexpression in the fact scan)
+    # (dynamicpruningexpression in the fact scan) and the no-broadcast
+    # shuffle join with an injected bloom runtime filter
     "k9_dpp_partitioned_join",
+    "join_runtime_bloom_filter",
 ]
 
 

@@ -283,6 +283,73 @@ def k9_dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOOM_CONFS = {
+    # neither side of a 100 TB fact-fact join is broadcastable — model that
+    # at test scale by disabling auto-broadcast, and scale the
+    # application-side size gate (default 10 GB) down below the smallest
+    # testdata scale (sf0.001 lineitem ~100 KB plan estimate)
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "32KB",
+}
+
+
+def _bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shuffle-join shape InjectRuntimeFilter targets: big probe side
+    (lineitem), selectively-filtered build side (orders)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 1000)
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "join_runtime_bloom_filter",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_items,
+           round(sum(l_extendedprice), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_custkey < 1000
+    GROUP BY o_orderpriority
+    """,
+    doc="Runtime bloom-filter join pruning — the row-level counterpart to "
+    "k9's partition-level DPP, for large-large SHUFFLE joins where "
+    "neither side broadcasts (the 100 TB fact-fact case; modeled here by "
+    "disabling auto-broadcast): Catalyst injects bloom_filter_agg on the "
+    "filtered build side and might_contain(l_orderkey) on the probe "
+    "side, so most probe rows die at the scan instead of crossing the "
+    "shuffle (asserted in tests/test_plans.py). Eligibility found "
+    "empirically: the rule declines whenever the build side is "
+    "broadcastable — broadcast pruning already covers that case — so the "
+    "feature only exists in the no-broadcast regime. Session confs are "
+    "restored after in-function materialization; the result is "
+    "value-checked against the plain join.",
+)
+def join_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import materialize_release
+
+    ensure_session_confs(spark)
+    saved = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    try:
+        for k, v in _BLOOM_CONFS.items():
+            spark.conf.set(k, v)
+        # materialize UNDER the confs: the runtime filter is injected at
+        # optimization time, which a lazy return would defer until after
+        # the restore below
+        return materialize_release(_bloom_join(spark, sf_dir))
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 _JOIN_WINDOW_US = 3600 * 1_000_000
 
 

@@ -217,3 +217,24 @@ def test_dpp_join_prunes_fact_partitions_at_runtime(spark, sf):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan
     assert "EvalPython" not in plan
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf):
+    """Under the no-broadcast regime the optimizer must inject a bloom
+    filter: build side aggregated into bloom_filter_agg, probe side
+    gated by might_contain before the shuffle. The registry query
+    materializes eagerly (confs are restored on return), so the plan is
+    inspected on the raw join built under the same confs."""
+    from etl_pipeline_old_spark.queries.extras7 import _BLOOM_CONFS, _bloom_join
+
+    saved = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    try:
+        for k, v in _BLOOM_CONFS.items():
+            spark.conf.set(k, v)
+        df = _bloom_join(spark, sf)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.unset(k) if v is None else spark.conf.set(k, v)
