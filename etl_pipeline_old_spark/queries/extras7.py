@@ -283,6 +283,66 @@ def k9_dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAIN_T = 0.8
+
+
+def _containment_oracle() -> str:
+    from .dedup_text import _SHINGLE_CTE
+
+    return f"""
+    WITH {_SHINGLE_CTE},
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(n_inter / least(sa.n_sh, sb.n_sh), 4) AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(n_inter / least(sa.n_sh, sb.n_sh), 4) >= {CONTAIN_T}
+    """
+
+
+@register(
+    "dedup_containment",
+    oracle=_containment_oracle(),
+    doc=f"Containment similarity (Broder): |A∩B| / min(|A|,|B|) over the "
+    "same word-3-gram shingle universe as the Jaccard/MinHash family — "
+    "the asymmetric measure Jaccard MISSES on size-skewed pairs: a short "
+    "document fully quoted inside a long one has containment 1.0 but "
+    f"Jaccard ≈ |A|/|B| (arbitrarily small). Pairs ≥ {CONTAIN_T} flag "
+    "quote/subset duplication for corpus curation (a doc that is mostly "
+    "a substring of another adds no training signal). Same shuffle shape "
+    "as dedup_ngram_jaccard: one co-shingle equality join + one pair "
+    "aggregate — the documented quadratic-in-collisions baseline whose "
+    "scale path is the MinHash-LSH candidate filter.",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as DD
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = DD.shingle_sets(d, "text", "doc_id", 3)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("id").alias("id_a"), "sh")
+    b = sh.select(F.col("id").alias("id_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    contain = F.round(
+        F.col("n_inter") / F.least(F.col("n_a"), F.col("n_b")), 4
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
+        .select("id_a", "id_b", contain.alias("containment"))
+        .filter(F.col("containment") >= CONTAIN_T)
+    )
+
+
 _BLOOM_CONFS = {
     # neither side of a 100 TB fact-fact join is broadcastable — model that
     # at test scale by disabling auto-broadcast, and scale the
