@@ -19,10 +19,9 @@ from . import pipelines as P1
 from . import pipelines2 as P2
 
 # dataset name → builder, in the reference's execution order
-# (run.py:31: scripts, gitlab, projectsync, yougile, logs — 'scripts' has
-# no testdata analog of its own; its operator content is covered by the
-# projectsync/logs analogs per FIXTURES.md)
+# (run.py:31: scripts, gitlab, projectsync, yougile, logs)
 DATASETS = {
+    "scripts": P2.scripts_pipeline,
     "gitlab": P2.gitlab_lines_pipeline,
     "projectsync": P2.projectsync_pipeline,
     "yougile": P2.yougile_pipeline,
@@ -41,4 +40,19 @@ def run_pipeline(
         if out_dir is not None:
             full_refresh(df, os.path.join(out_dir, name))
         outputs[name] = df
+        if name == "scripts":
+            # the notebook's 3-way sink split (create_scripts_dataset
+            # .ipynb:233-234,261-319): bim / designers halves of the final
+            # frame land in separate tables (the third sink, the plugin
+            # dim itself, is the enrich input — covered by the main frame)
+            from pyspark.sql import functions as F
+
+            for half, pred in (
+                ("scripts_bim", F.col("is_bim") == 1),
+                ("scripts_designers", F.col("is_bim") == 0),
+            ):
+                split = df.filter(pred)
+                if out_dir is not None:
+                    full_refresh(split, os.path.join(out_dir, half))
+                outputs[half] = split
     return outputs

@@ -46,6 +46,19 @@ from .streaming_inc import CUTOFF
 _CACHE_ROOT = "/tmp/etl_pipeline_old_spark_cache"
 
 
+def _run_dir(tag: str, sf_dir: str) -> str:
+    """Fresh working dir, STABLE per (tag, sf_dir) — no pid component, so a
+    later process (pytest, bench, driver) overwrites rather than leaks: /tmp
+    holds at most one copy per (tag, sf_dir) ever.  rmtree-first keeps each
+    run idempotent; the returned DataFrames read lazily from these files, so
+    cleanup must be deferred to the NEXT run, not a finally block."""
+    d = os.path.join(
+        _CACHE_ROOT, f"{tag}_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    return d
+
+
 # ---------------------------------------------------------------------------
 # statestore / state-metadata batch readers (§2.11 operational surface)
 # ---------------------------------------------------------------------------
@@ -60,11 +73,7 @@ def _drain_user_totals_state(spark: SparkSession, sf_dir: str, tag: str) -> str:
     call (rmtree first) so re-runs are idempotent.
     """
     ensure_session_confs(spark)
-    chk = os.path.join(
-        _CACHE_ROOT,
-        f"{tag}_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
-    )
-    shutil.rmtree(chk, ignore_errors=True)
+    chk = _run_dir(tag, sf_dir)
     schema = spark.read.parquet(table_path(sf_dir, "events")).schema
     stream = (
         spark.readStream.schema(schema)
@@ -107,11 +116,22 @@ def _drain_user_totals_state(spark: SparkSession, sf_dir: str, tag: str) -> str:
 def state_store_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
     chk = _drain_user_totals_state(spark, sf_dir, "state_inspect")
     st = spark.read.format("statestore").load(chk)
-    # key = {user_id}, value = {count(1), sum(value)} — bind positionally:
-    # buffer field NAMES are plan-internal, their ORDER is the agg order
-    flat = st.select("key.*", "value.*").toDF("user_id", "n_events", "total_value")
-    return flat.select(
-        "user_id", "n_events", F.round("total_value", 2).alias("total_value")
+    # key = {user_id}, value = {count(1), sum(value)}. The buffer field NAMES
+    # are plan-internal, so bind by schema inspection (count*/sum* prefix)
+    # rather than blind position — a Spark upgrade that reorders or extends
+    # the aggregation buffer then fails loudly here instead of mislabeling.
+    key_fields = st.schema["key"].dataType.fieldNames()
+    val_fields = st.schema["value"].dataType.fieldNames()
+    if len(key_fields) != 1:
+        raise AssertionError(f"expected 1 grouping key field, got {key_fields}")
+    cnt = [f for f in val_fields if f.lower().startswith("count")]
+    sm = [f for f in val_fields if f.lower().startswith("sum")]
+    if len(cnt) != 1 or len(sm) != 1:
+        raise AssertionError(f"unexpected aggregation buffer fields: {val_fields}")
+    return st.select(
+        F.col(f"key.`{key_fields[0]}`").alias("user_id"),
+        F.col(f"value.`{cnt[0]}`").alias("n_events"),
+        F.round(F.col(f"value.`{sm[0]}`"), 2).alias("total_value"),
     )
 
 
@@ -167,11 +187,7 @@ def state_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_restart_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session_confs(spark)
-    root = os.path.join(
-        _CACHE_ROOT,
-        f"restart_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
-    )
-    shutil.rmtree(root, ignore_errors=True)
+    root = _run_dir("restart", sf_dir)
     feed = os.path.join(root, "feed")
     chk = os.path.join(root, "chk")
     tgt = os.path.join(root, "target")
@@ -242,11 +258,7 @@ def stream_restart_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "selection from the raw events.",
 )
 def k9_dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    root = os.path.join(
-        _CACHE_ROOT,
-        f"dpp_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
-    )
-    shutil.rmtree(root, ignore_errors=True)
+    root = _run_dir("dpp", sf_dir)
     path = os.path.join(root, "fact")
 
     ev = load_table(spark, sf_dir, "events")
@@ -444,11 +456,7 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     ensure_session_confs(spark)
-    root = os.path.join(
-        _CACHE_ROOT,
-        f"sso_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
-    )
-    shutil.rmtree(root, ignore_errors=True)
+    root = _run_dir("sso", sf_dir)
     feed = os.path.join(root, "feed")
 
     ev = load_table(spark, sf_dir, "events")
@@ -504,8 +512,9 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     # sentinel rows filtered from the BATCH result (see doc: in-stream
-    # filtering would be pushed below the watermark node)
-    return spark.table(name).filter(F.col("event_id") > 0)
+    # filtering would be pushed below the watermark node). Sentinel ids are
+    # -1/-2 by construction; real event_ids start at 0, so the cut is >= 0.
+    return spark.table(name).filter(F.col("event_id") >= 0)
 
 
 # ---------------------------------------------------------------------------

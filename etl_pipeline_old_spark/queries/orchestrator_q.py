@@ -12,12 +12,18 @@ from pyspark.sql import functions as F
 
 from ..plans.orchestrator import run_pipeline
 from ..plans.pipelines import LOGS_PIPELINE_ORACLE
-from ..plans.pipelines2 import GITLAB_ORACLE, PROJECTSYNC_ORACLE
+from ..plans.pipelines2 import GITLAB_ORACLE, PROJECTSYNC_ORACLE, SCRIPTS_ORACLE
 from ..registry import register
 from .pipelines2 import _YOUGILE_ORACLE
 
 _ORACLE = f"""
-SELECT 'gitlab' AS dataset, count(*) AS n_rows FROM ({GITLAB_ORACLE})
+SELECT 'scripts' AS dataset, count(*) AS n_rows FROM ({SCRIPTS_ORACLE})
+UNION ALL
+SELECT 'scripts_bim', count(*) FROM ({SCRIPTS_ORACLE}) WHERE is_bim = 1
+UNION ALL
+SELECT 'scripts_designers', count(*) FROM ({SCRIPTS_ORACLE}) WHERE is_bim = 0
+UNION ALL
+SELECT 'gitlab', count(*) FROM ({GITLAB_ORACLE})
 UNION ALL
 SELECT 'projectsync', count(*) FROM ({PROJECTSYNC_ORACLE})
 UNION ALL
@@ -37,14 +43,23 @@ SELECT 'logs', count(*) FROM ({LOGS_PIPELINE_ORACLE})
     "composed dataset oracles.",
 )
 def run_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # stable per-sf path (no pid): reruns overwrite, /tmp never accumulates
     out_dir = os.path.join(
         "/tmp/etl_pipeline_old_spark_cache",
-        f"datalake_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+        f"datalake_{os.path.basename(os.path.normpath(sf_dir))}",
     )
     shutil.rmtree(out_dir, ignore_errors=True)
     run_pipeline(spark, sf_dir, out_dir)
     parts = []
-    for name in ("gitlab", "projectsync", "yougile", "logs"):
+    for name in (
+        "scripts",
+        "scripts_bim",
+        "scripts_designers",
+        "gitlab",
+        "projectsync",
+        "yougile",
+        "logs",
+    ):
         n = spark.read.parquet(os.path.join(out_dir, name)).count()
         parts.append((name, n))
     return spark.createDataFrame(parts, "dataset string, n_rows long")

@@ -38,3 +38,9 @@ register(
     oracle=_YOUGILE_ORACLE,
     doc=P2.yougile_pipeline.__doc__,
 )(P2.yougile_pipeline)
+
+register(
+    "pipeline_scripts",
+    oracle=P2.SCRIPTS_ORACLE,
+    doc=P2.scripts_pipeline.__doc__,
+)(P2.scripts_pipeline)

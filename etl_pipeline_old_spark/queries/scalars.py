@@ -431,3 +431,54 @@ def f19_json_field_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.alias("k_val"),
         F.element_at(state_map, (k % 7).cast("int")).alias("state_name"),
     )
+
+
+# F5: the projectsync section classifier's distinguishing shape — TWO ordered
+# substring rule maps, and WHICH map applies is selected by ANOTHER column's
+# value (object class), first match wins, default "НД"
+# (create_projectsync_dataset.ipynb:204-242 get_project_solution: the
+# "Кортрос" class probes the latin section_map_kortros, every other class
+# the cyrillic section_map_rus). Rules deliberately overlap across AND
+# within maps so both the per-class selection and the in-map priority are
+# value-checked: '1-URGENT' matches rule 1 of map A ('URGENT'→АР) but rule
+# 1 of map B is '1-'→ВК, so a wrong class pick or a reordered map flips
+# the label and fails the hash.
+F5_KORTROS_RULES = [("URGENT", "АР"), ("HIGH", "КР"), ("1-", "П"), ("LOW", "СС")]
+F5_RUS_RULES = [("1-", "ВК"), ("HIGH", "АИ"), ("MEDIUM", "ОВ"), ("SPECIFIED", "ТС")]
+F5_DEFAULT = "НД"
+
+
+@register(
+    "f5_section_classifier",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_orderpriority,
+           CASE WHEN o_orderstatus = 'F' THEN
+             CASE WHEN COALESCE(contains(o_orderpriority, 'URGENT'), FALSE) THEN 'АР'
+                  WHEN COALESCE(contains(o_orderpriority, 'HIGH'), FALSE)   THEN 'КР'
+                  WHEN COALESCE(contains(o_orderpriority, '1-'), FALSE)     THEN 'П'
+                  WHEN COALESCE(contains(o_orderpriority, 'LOW'), FALSE)    THEN 'СС'
+                  ELSE 'НД' END
+           ELSE
+             CASE WHEN COALESCE(contains(o_orderpriority, '1-'), FALSE)        THEN 'ВК'
+                  WHEN COALESCE(contains(o_orderpriority, 'HIGH'), FALSE)      THEN 'АИ'
+                  WHEN COALESCE(contains(o_orderpriority, 'MEDIUM'), FALSE)    THEN 'ОВ'
+                  WHEN COALESCE(contains(o_orderpriority, 'SPECIFIED'), FALSE) THEN 'ТС'
+                  ELSE 'НД' END
+           END AS section
+    FROM orders
+    """,
+    doc="F5: class-selected dual ordered rule map — the rule LIST applied "
+    "to each row is chosen by the object-class column, then first-match-"
+    "wins within that list, default 'НД' "
+    "(ref: create_projectsync_dataset.ipynb:204-242). Stays one codegen'd "
+    "nested-CASE expression: no join, no UDF, class dispatch is free.",
+)
+def f5_section_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    section = F.when(
+        F.col("o_orderstatus") == "F",
+        C.classify_contains("o_orderpriority", F5_KORTROS_RULES, F5_DEFAULT),
+    ).otherwise(C.classify_contains("o_orderpriority", F5_RUS_RULES, F5_DEFAULT))
+    return o.select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", section.alias("section")
+    )

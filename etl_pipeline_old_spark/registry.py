@@ -92,10 +92,33 @@ def _verification_priority() -> dict[str, int]:
     return counts
 
 
+# SURVEY §2 / COVERAGE-core queries whose correctness claim is still
+# local-only (r3 verdict task 1): among equally-verified queries these
+# outrank the beyond-reference X-family so a capped per-round verification
+# prefix drains the §2 bar first.  Names that are already driver-green sort
+# backwards on their seen-count anyway, so stale entries here are harmless.
+_CORE_FIRST = (
+    "s4_jdbc_roundtrip",
+    "s6_jdbc_parallel_pull",
+    "s8_rest_single_shot",
+    "s9_sheets_scan",
+    "k6_sheet_upsert",
+    "p14_ragged_csv_padding",
+    "k8_dynamic_partition_overwrite",
+    "k9_dpp_partitioned_join",
+    # round-4 additions closing the last two §2/§3 gaps (verdict tasks 2+3)
+    "pipeline_scripts",
+    "f5_section_classifier",
+)
+
+
 def _ordered_names() -> list[str]:
     seen = _verification_priority()
     names = list(QUERIES.keys())
-    return sorted(names, key=lambda n: (seen.get(n, 0), names.index(n)))
+    return sorted(
+        names,
+        key=lambda n: (seen.get(n, 0), 0 if n in _CORE_FIRST else 1, names.index(n)),
+    )
 
 
 def all_queries() -> dict[str, QueryFn]:

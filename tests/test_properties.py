@@ -263,3 +263,42 @@ def test_mg_shard_summary_guarantees(spark, items):
         assert (cnt - est) * (K + 1) <= n
         if cnt * K > n:
             assert est > 0, f"heavy key {key} lost"
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["A", "B", "C"]),
+                  st.one_of(st.none(), st.text(min_size=0, max_size=40))),
+        min_size=1,
+        max_size=30,
+    ),
+    st.permutations(["АТОМ", "ДОУ", "ИКП"]),
+    st.permutations(["ATOM", "ДОУ", "K01"]),
+)
+def test_f5_class_selected_map_property(spark, rows, order_a, order_b):
+    """F5 (create_projectsync_dataset.ipynb:204-242): the rule MAP is chosen
+    by the class column, then first-match-wins WITHIN the chosen map, default
+    'НД' — checked against a python reference under arbitrary orderings of
+    BOTH maps (map order is priority order; maps share the 'ДОУ' pattern
+    with different labels, so a wrong class pick is also caught)."""
+    rules_a = [(p, f"a_{p}") for p in order_a]
+    rules_b = [(p, f"b_{p}") for p in order_b]
+    df = spark.createDataFrame(rows, "cls string, t string")
+    from pyspark.sql import functions as F
+
+    expr = F.when(
+        F.col("cls") == "A", C.classify_contains("t", rules_a, "НД")
+    ).otherwise(C.classify_contains("t", rules_b, "НД"))
+    got = [r["c"] for r in df.select(expr.alias("c")).collect()]
+
+    def py_f5(cls, t):
+        rules = rules_a if cls == "A" else rules_b
+        if t is None:
+            return "НД"
+        for pat, label in rules:
+            if pat in t:
+                return label
+        return "НД"
+
+    assert got == [py_f5(cls, t) for cls, t in rows]
