@@ -242,27 +242,72 @@ def lsh_bands(sig: DataFrame, bands: int = 4, rows: int = 4) -> DataFrame:
     ).select("id", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey"))
 
 
-def lsh_candidate_pairs(sig: DataFrame, bands: int = 4, rows: int = 4) -> DataFrame:
+def lsh_candidate_pairs(
+    sig: DataFrame, bands: int = 4, rows: int = 4, bucket_cap: int | None = None
+) -> DataFrame:
     """Band the signature (``bands`` × ``rows``) and bucket-join.
 
     Two docs become a candidate pair iff some band's row-slice matches
     exactly — the classic banding scheme: P(candidate) = 1-(1-j^rows)^bands.
     The join key is (band_id, md5(joined rows)), so the shuffle carries one
     short row per (doc, band).
+
+    ``bucket_cap`` (r3 verdict #6) bounds the quadratic hazard: a
+    degenerate bucket — 10⁵ boilerplate-identical docs — would emit ~10¹⁰
+    pairs from the self-join before AQE's skew split can help (skew split
+    rebalances partitions, it cannot shrink a join's OUTPUT). Buckets with
+    ≤ cap members keep the exact all-pairs join; larger buckets fall back
+    to a STAR on the bucket's min id (n-1 edges instead of n²/2), so every
+    member still gets a candidate edge — connectivity for the downstream
+    connected-components/verify step is preserved, only the redundant
+    intra-bucket edges are dropped. Worst-case per-bucket output is
+    max(cap², n), i.e. linear in the bucket beyond the cap. The number of
+    over-cap rows is logged, never silently swallowed.
     """
     banded = lsh_bands(sig, bands, rows)
     # the self-join consumes `banded` twice — persist so the signature
     # computation (and everything upstream) runs once
     banded = banded.persist()
     banded.count()  # eager: both self-join sides must HIT the cache, not race it
-    a = banded.select(F.col("id").alias("id_a"), "band", "bkey")
-    b = banded.select(F.col("id").alias("id_b"), "band", "bkey")
-    pairs = (
-        a.join(b, ["band", "bkey"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    if bucket_cap is not None:
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("band", "bkey")
+        stats = banded.withColumn("__n", F.count("*").over(w)).withColumn(
+            "__rep", F.min("id").over(w)
+        )
+        small = stats.filter(F.col("__n") <= bucket_cap)
+        big = stats.filter(F.col("__n") > bucket_cap)
+        n_star = big.count()
+        if n_star:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "lsh_candidate_pairs: %d (doc,band) rows in over-cap buckets "
+                "(cap=%d) reduced to star edges on the bucket representative",
+                n_star,
+                bucket_cap,
+            )
+        a = small.select(F.col("id").alias("id_a"), "band", "bkey")
+        b = small.select(F.col("id").alias("id_b"), "band", "bkey")
+        all_pairs = (
+            a.join(b, ["band", "bkey"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        star = big.filter(F.col("id") != F.col("__rep")).select(
+            F.col("__rep").alias("id_a"), F.col("id").alias("id_b")
+        )
+        pairs = all_pairs.unionByName(star).distinct()
+    else:
+        a = banded.select(F.col("id").alias("id_a"), "band", "bkey")
+        b = banded.select(F.col("id").alias("id_b"), "band", "bkey")
+        pairs = (
+            a.join(b, ["band", "bkey"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
     # pairs are tiny (two ids/row) — materialize them and drop the banded
     # cache so it doesn't outlive this call in the session's CacheManager.
     return materialize_release(pairs, banded)
@@ -277,6 +322,7 @@ def minhash_lsh_dedup(
     bands: int = 4,
     rows: int = 4,
     threshold: float = 0.5,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → sign → band → bucket-join →
     exact-Jaccard verify ≥ threshold. Returns (id_a, id_b, jaccard).
@@ -284,12 +330,13 @@ def minhash_lsh_dedup(
     The shingle relation feeds the signature AND both verify sides, so it
     is persisted (memory+disk) — at scale this is the standard
     materialize-the-shingles tradeoff: one scan of the corpus, reused
-    thrice.
+    thrice.  ``bucket_cap`` bounds degenerate LSH buckets (see
+    lsh_candidate_pairs) — at 100 TB set it to a few hundred.
     """
     sh = shingle_sets(df, text_col, id_col, shingle_n).persist()
     sh.count()  # eager: signature + both verify sides reuse the cache
     sig = minhash_signatures(sh, num_hashes)
-    cand = lsh_candidate_pairs(sig, bands, rows)
+    cand = lsh_candidate_pairs(sig, bands, rows, bucket_cap=bucket_cap)
     verified = jaccard_pairs(sh, candidates=cand).filter(F.col("jaccard") >= threshold)
     return materialize_release(verified, sh)
 

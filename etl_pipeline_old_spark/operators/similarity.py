@@ -402,14 +402,32 @@ def lsh_topk(
     return bucketed_probe(cand, q, k)
 
 
-def bucketed_probe(index: DataFrame, queries: DataFrame, k: int) -> DataFrame:
+def bucketed_probe(
+    index: DataFrame, queries: DataFrame, k: int, bucket_cap: int | None = None
+) -> DataFrame:
     """The shared LSH probe unit: bucket-join a (neighbor_id, __cv, tbl,
     bucket) index frame with a broadcast (query_id, __qv, tbl, bucket)
     query frame, score each deduplicated candidate pair by exact cosine,
     and keep the top-``k`` per query. One definition of the tie-break and
     rounding contract for BOTH the batch path (:func:`lsh_topk`) and the
     streaming per-micro-batch path (queries/streaming3.py), so the shared
-    DuckDB oracle cannot desync from either."""
+    DuckDB oracle cannot desync from either.
+
+    ``bucket_cap`` (r3 verdict #6) bounds a degenerate index bucket — a
+    boilerplate hot bucket holding 10⁵ near-identical vectors would score
+    cap-free against EVERY query that hashes there. Capped buckets keep
+    the ``cap`` lowest-id members (deterministic truncation; unlike the
+    dedup candidate graph there is no connectivity to preserve — an ANN
+    probe just loses some redundant near-identical candidates, a bounded
+    recall tradeoff the caller opts into).
+    """
+    if bucket_cap is not None:
+        occ = W.partitionBy("tbl", "bucket").orderBy("neighbor_id")
+        index = (
+            index.withColumn("__occ", F.row_number().over(occ))
+            .filter(F.col("__occ") <= bucket_cap)
+            .drop("__occ")
+        )
     pairs = (
         index.join(F.broadcast(queries), ["tbl", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))

@@ -44,14 +44,24 @@ def run_pipeline(
             # the notebook's 3-way sink split (create_scripts_dataset
             # .ipynb:233-234,261-319): bim / designers halves of the final
             # frame land in separate tables (the third sink, the plugin
-            # dim itself, is the enrich input — covered by the main frame)
+            # dim itself, is the enrich input — covered by the main frame).
+            # The splits FILTER THE WRITTEN MAIN TABLE, not the logical
+            # plan: re-filtering `df` would recompute the whole 3-join
+            # pipeline once per sink (3× the work at any scale), whereas a
+            # scan of the just-written parquet is a pruned columnar read —
+            # the lake itself is the cheapest cache.
             from pyspark.sql import functions as F
 
+            src = (
+                spark.read.parquet(os.path.join(out_dir, name))
+                if out_dir is not None
+                else df
+            )
             for half, pred in (
                 ("scripts_bim", F.col("is_bim") == 1),
                 ("scripts_designers", F.col("is_bim") == 0),
             ):
-                split = df.filter(pred)
+                split = src.filter(pred)
                 if out_dir is not None:
                     full_refresh(split, os.path.join(out_dir, half))
                 outputs[half] = split

@@ -162,8 +162,12 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     ts_us = F.unix_micros(F.col("ts"))
+    # ONE lag expression: lag(ts_us) is null exactly on each partition's
+    # first row, so a second lag("ts") null-probe would double the window
+    # buffer for nothing
+    prev_us = F.lag(ts_us).over(w)
     new_s = F.when(
-        F.lag("ts").over(w).isNull() | ((ts_us - F.lag(ts_us).over(w)) >= SESSION_GAP_US),
+        prev_us.isNull() | ((ts_us - prev_us) >= SESSION_GAP_US),
         F.lit(1),
     ).otherwise(F.lit(0))
     sessions = ev.withColumn("new_session", new_s).withColumn(

@@ -115,3 +115,60 @@ def test_ann_recall_queries_floor(spark, oracle_sf_dir):
     )
     assert lsh >= 0.2, f"LSH avg recall@10 {lsh} below floor"
     assert ivf >= 0.4, f"IVF avg recall@10 {ivf} below floor"
+
+
+def test_lsh_bucket_cap_bounds_degenerate_bucket(spark):
+    """r3 verdict #6: an adversarial boilerplate cluster (N identical docs)
+    must NOT go quadratic in the LSH bucket join. With bucket_cap=C the
+    candidate count is all-pairs among ≤C members + a star edge for every
+    over-cap member: ≤ C(C-1)/2 + (N-C) ≪ N²/2 — and every member is still
+    connected to the cluster representative, so downstream components
+    collapse the whole cluster."""
+    n, cap = 400, 20
+    boiler = "terms of service all rights reserved contact us privacy policy page"
+    rows = [(i, boiler) for i in range(n)]
+    rows += [(n + 1, "a genuinely unique document about spark adaptive execution")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sh = DD.shingle_sets(d, "text", "doc_id", 3).persist()
+    sig = DD.minhash_signatures(sh)
+    capped = DD.lsh_candidate_pairs(sig, bucket_cap=cap)
+    n_pairs = capped.count()
+    # uncapped would be n(n-1)/2 = 79800 per band; the cap bounds it hard
+    assert n_pairs <= cap * (cap - 1) // 2 + (n - cap), n_pairs
+    # connectivity: every boilerplate doc appears in some candidate edge
+    ids = {r[0] for r in capped.select(F.explode(F.array("id_a", "id_b"))).collect()}
+    assert set(range(n)) <= ids
+    sh.unpersist()
+
+
+def test_lsh_bucket_cap_noop_on_normal_data(spark):
+    """A cap far above real bucket sizes must not change the result."""
+    d = _planted_docs(spark)
+    base = DD.minhash_lsh_dedup(d, "text", "doc_id", threshold=0.5)
+    capped = DD.minhash_lsh_dedup(d, "text", "doc_id", threshold=0.5, bucket_cap=1000)
+    assert sorted(map(tuple, base.collect())) == sorted(map(tuple, capped.collect()))
+
+
+def test_ann_bucket_cap_truncates_hot_bucket(spark):
+    """bucketed_probe with a cap keeps the k lowest-id members of each
+    (tbl, bucket) and still returns top-k per query from the survivors."""
+    import random
+
+    rng = random.Random(3)
+    vec = [round(rng.uniform(-1, 1), 4) for _ in range(8)]
+    # 50 near-identical vectors (hot bucket) + the query itself
+    rows = [(i, [v + rng.uniform(-1e-3, 1e-3) for v in vec]) for i in range(50)]
+    d = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    bucketed = SIM.hyperplane_lsh_buckets(d, n_bits=2, dim=8, seed=1)
+    q = bucketed.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv"), "tbl", "bucket"
+    )
+    idx = bucketed.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__cv"), "tbl", "bucket"
+    )
+    out = SIM.bucketed_probe(idx, q, k=5, bucket_cap=10)
+    got = [r["neighbor_id"] for r in out.collect()]
+    assert len(got) == 5
+    # survivors are drawn from the 10 lowest ids of the (shared) bucket
+    assert all(nid < 10 for nid in got), got

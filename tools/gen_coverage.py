@@ -100,7 +100,7 @@ COVERAGE: list[tuple[str, str, list[str], str]] = [
     ("F2", "ordered classifier", ["f2_ordered_classifier"], ""),
     ("F3", "regex flag", ["f3_flag_from_regex"], ""),
     ("F4", "strip trailing username", ["f4_strip_trailing_token"], ""),
-    ("F5", "section classifier", ["pipeline_projectsync"], "same ordered-contains machinery as F2"),
+    ("F5", "section classifier", ["f5_section_classifier"], "class-SELECTED dual ordered rule map, first-match-wins, default НД; property test for map-order priority"),
     ("F6", "stage classifier", ["f6_stage_classifier"], ""),
     ("F7", "regex prefix strip", ["f7_regex_prefix_strip"], ""),
     ("F8", "CR/LF clean", ["f8_crlf_clean"], ""),
@@ -124,8 +124,8 @@ COVERAGE: list[tuple[str, str, list[str], str]] = [
     ("§2.11", "streaming", ["stream_tumbling_window_counts", "stream_append_watermark", "stream_stateful_dedup", "stream_stateful_running_totals", "stream_stream_join", "stream_session_window", "stream_foreachbatch_upsert", "stream_sliding_window_counts", "s7b_python_datasource_stream", "stream_static_enrich", "stream_scd2_apply", "stream_dedup_within_watermark", "stream_ann_probe", "state_store_inspect", "state_metadata_audit", "stream_restart_resume", "stream_stream_left_outer"], "left-outer stream-stream join closed deterministically by end-of-feed heartbeat sentinels (equals the batch left join, hash-checked); checkpoint-restart resume value-checked (restarted stream must process ONLY files added after the stop); engine-state AND sink-side exactly-once variants; Spark 4 statestore/state-metadata batch readers: checkpointed per-key state value-checked against the batch aggregate (operational state inspection without a stream restart); type-1 (upsert) and type-2 (SCD2 re-chain) streaming merges; watermark-bounded dedup state"),
     ("§2.12", "UDF surface", ["workdays_diff_pandas_udf", "udf_extension_point", "multimodal_decode_meta", "grouped_map_zscore", "grouped_arrow_minmax", "udaf_grouped_agg_gini", "udf_scalar_iter_classify", "udf_map_in_arrow"], "scalar pandas UDF, SCALAR_ITER (init-once-per-worker), row UDF, mapInPandas, applyInPandas, applyInArrow, mapInArrow, GROUPED_AGG UDAF"),
     # pipelines (§3 end-to-end)
-    ("PIPE", "notebook pipelines", ["pipeline_logs", "pipeline_projectsync", "pipeline_yougile", "pipeline_gitlab_lines"], ""),
-    ("RUN", "run.py orchestrator", ["run_full_pipeline"], "all datasets in one SparkSession + K4 loads"),
+    ("PIPE", "notebook pipelines", ["pipeline_scripts", "pipeline_logs", "pipeline_projectsync", "pipeline_yougile", "pipeline_gitlab_lines"], "all five reference notebooks composed"),
+    ("RUN", "run.py orchestrator", ["run_full_pipeline"], "all five datasets + scripts bim/designers 3-way split in one SparkSession + K4 loads"),
     # north-star extensions (BASELINE.json)
     ("X-dedup", "dedup family", ["dedup_exact", "dedup_exact_normalized", "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs", "dedup_embedding_cosine", "dedup_clusters", "dedup_apply", "dedup_apply_keep_best", "dedup_semantic", "dedup_span_reconstruct", "dedup_incremental_probe", "dedup_prefix_filter_join", "dedup_lsh_recall_vs_exact", "dedup_line_level", "dedup_containment"], "LSH recall measured in-plan against the complete exact join; exact, MinHash-LSH, SimHash, Jaccard, embedding-cosine, connected components, keep-best apply, SemDeDup, exact-substring span dedup w/ reconstruction (Lee et al. 2022), incremental delta-vs-base index probe, PPJoin prefix-filter exact similarity join, C4-style line-level dedup w/ ordered document reassembly; Broder containment (quote/subset duplication Jaccard misses on size-skewed pairs)"),
     ("X-boiler", "boilerplate detection", ["corpus_boilerplate_ngrams"], "cross-doc verbatim n-grams (Lee et al. 2022 exact-substring candidates)"),
