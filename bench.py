@@ -107,6 +107,10 @@ HEADLINE = [
     # shuffle join with an injected bloom runtime filter
     "k9_dpp_partitioned_join",
     "join_runtime_bloom_filter",
+    # r4 (verdict task 2): the flagship scripts-notebook composition —
+    # four broadcast joins + codegen scalar chain, zero fact shuffles
+    # (plan-locked in tests/test_plans.py)
+    "pipeline_scripts",
 ]
 
 

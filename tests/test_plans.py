@@ -238,3 +238,14 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf):
     finally:
         for k, v in saved.items():
             spark.conf.unset(k) if v is None else spark.conf.set(k, v)
+
+
+def test_pipeline_scripts_zero_fact_shuffles(spark, sf):
+    """The scripts notebook chain must stay broadcast-only: four dim joins
+    (stage enrich feeds J2; J3 mapping; J4 gitlab) with the fact side
+    streaming through map-side — zero Exchange nodes in the whole plan."""
+    plan = plan_of(QUERIES["pipeline_scripts"].fn(spark, sf))
+    nodes = nodes_of(plan)
+    assert nodes.count("BroadcastHashJoin") == 4, nodes
+    assert "SortMergeJoin" not in nodes and "ShuffledHashJoin" not in nodes
+    assert nodes.count("Exchange") == 0, nodes

@@ -200,7 +200,8 @@ def main() -> None:
         *adv_table,
         "",
         "N identical docs collide into one LSH bucket per band. Uncapped, "
-        "doubling N ~quadruples wall (the N²/2 bucket self-join — AQE can "
+        "doubling N quadruples the verified-pair count (the N²/2 bucket "
+        "self-join — AQE can "
         "split the skewed partition but cannot shrink the join's output). "
         "With bucket_cap, over-cap buckets emit cap²/2 all-pairs edges + "
         "one star edge per extra member (connectivity to the bucket "
