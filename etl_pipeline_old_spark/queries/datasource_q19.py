@@ -28,7 +28,7 @@ def s7_python_datasource_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     feed = os.path.join(
         "/tmp/etl_pipeline_old_spark_cache",
-        f"pages_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+        f"pages_{os.path.basename(os.path.normpath(sf_dir))}",
     )
     # Stage the paginated "API" DISTRIBUTED: executors write ≤PAGE_SIZE-row
     # JSONL page files directly (no driver collect); the READ through the
@@ -94,7 +94,7 @@ def s7b_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     feed = os.path.join(
         "/tmp/etl_pipeline_old_spark_cache",
-        f"stream_pages_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+        f"stream_pages_{os.path.basename(os.path.normpath(sf_dir))}",
     )
     (
         docs.write.mode("overwrite")

@@ -438,7 +438,7 @@ def stream_er_incremental_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = records.filter(~is_delta(F.col("rec_id")))
     delta = records.filter(is_delta(F.col("rec_id")))
 
-    tag = f"er_feed_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}"
+    tag = f"er_feed_{os.path.basename(os.path.normpath(sf_dir))}"
     feed = os.path.join("/tmp/etl_pipeline_old_spark_cache", tag)
     target = feed + "_target"
     chk = feed + "_chk"

@@ -640,7 +640,6 @@ def grouped_arrow_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pipeline_streaming_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
-    import uuid
 
     from ..session import ensure_session_confs
     from ..sources import python_datasource
@@ -648,7 +647,7 @@ def pipeline_streaming_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session_confs(spark)
     base = os.path.join(
         "/tmp/etl_pipeline_old_spark_cache",
-        f"stream_corpus_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}_{uuid.uuid4().hex[:6]}",
+        f"stream_corpus_{os.path.basename(os.path.normpath(sf_dir))}",
     )
     feed, target, chk = base + "_feed", base + "_target", base + "_chk"
     for p in (feed, target, chk):

@@ -667,16 +667,17 @@ def udf_scalar_iter_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
-    import uuid
 
     from ..session import ensure_session_confs
 
     ensure_session_confs(spark)
     base = os.path.join(
         "/tmp/etl_pipeline_old_spark_cache",
-        f"scd2_stream_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}_{uuid.uuid4().hex[:6]}",
+        f"scd2_stream_{os.path.basename(os.path.normpath(sf_dir))}",
     )
     feed, target, chk = base + "_feed", base + "_target", base + "_chk"
+    for p in (feed, target, chk):  # stable path: clean, don't accumulate
+        shutil.rmtree(p, ignore_errors=True)
     os.makedirs(feed, exist_ok=True)
 
     o = load_table(spark, sf_dir, "orders")

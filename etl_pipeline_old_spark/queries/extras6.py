@@ -524,7 +524,7 @@ def p14_ragged_csv_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept == 3, F.concat_ws(",", *cols[:3])
     ).otherwise(F.concat_ws(",", *cols))
 
-    tag = f"ragged_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}"
+    tag = f"ragged_{os.path.basename(os.path.normpath(sf_dir))}"
     feed = os.path.join("/tmp/etl_pipeline_old_spark_cache", tag)
     shutil.rmtree(feed, ignore_errors=True)
     c.select(line.alias("value")).write.text(feed)

@@ -65,7 +65,7 @@ def k8_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFram
     ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
     path = os.path.join(
         _CACHE,
-        f"events_dyn_overwrite_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+        f"events_dyn_overwrite_{os.path.basename(os.path.normpath(sf_dir))}",
     )
     ev.write.mode("overwrite").partitionBy("day").parquet(path)
 
@@ -466,7 +466,7 @@ def s3c_corrupt_parquet_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     feed = os.path.join(
         "/tmp/etl_pipeline_old_spark_cache",
-        f"corrupt_pq_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+        f"corrupt_pq_{os.path.basename(os.path.normpath(sf_dir))}",
     )
     docs.write.mode("overwrite").parquet(feed)
     # drop a non-parquet garbage object into the directory, as a failed
@@ -504,7 +504,7 @@ def s19_file_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     path = os.path.join(
         "/tmp/etl_pipeline_old_spark_cache",
-        f"meta_audit_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+        f"meta_audit_{os.path.basename(os.path.normpath(sf_dir))}",
     )
     d.repartition("source").write.mode("overwrite").partitionBy("source").parquet(path)
     back = spark.read.parquet(path).select(
@@ -598,7 +598,7 @@ def j14_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "and key.",
 )
 def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tag = f"{os.path.basename(os.path.normpath(sf_dir)).replace('.', '_')}_{os.getpid()}"
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     t_o, t_l = f"bq_orders_{tag}", f"bq_lineitem_{tag}"
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -666,7 +666,7 @@ def layout_compaction_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     base = os.path.join(
         "/tmp/etl_pipeline_old_spark_cache",
-        f"compact_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+        f"compact_{os.path.basename(os.path.normpath(sf_dir))}",
     )
     frag, compacted = base + "_frag", base + "_out"
     d.repartition(FRAG_FILES).write.mode("overwrite").parquet(frag)
@@ -980,7 +980,7 @@ def s4_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     db = os.path.join(
         "/tmp/etl_pipeline_old_spark_cache",
-        f"derby_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+        f"derby_{os.path.basename(os.path.normpath(sf_dir))}",
     )
     url = _derby_fresh(db)
     props = {"driver": _DERBY_DRIVER}
@@ -1023,7 +1023,7 @@ def s6_jdbc_parallel_pull(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     db = os.path.join(
         "/tmp/etl_pipeline_old_spark_cache",
-        f"derby6_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+        f"derby6_{os.path.basename(os.path.normpath(sf_dir))}",
     )
     url = _derby_fresh(db)
     props = {"driver": _DERBY_DRIVER}

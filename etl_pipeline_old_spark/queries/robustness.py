@@ -33,7 +33,7 @@ def s3b_corrupt_json_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     feed = os.path.join(
         "/tmp/etl_pipeline_old_spark_cache",
-        f"corrupt_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+        f"corrupt_{os.path.basename(os.path.normpath(sf_dir))}",
     )
     # Stage the corrupt feed DISTRIBUTED: serialize each row to a JSON line
     # and truncate every doc_id%10==3 line mid-record, all executor-side —

@@ -26,7 +26,8 @@ _CACHE = "/tmp/etl_pipeline_old_spark_cache"
 
 
 def _tag(sf_dir: str) -> str:
-    return f"{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}"
+    # pid-free: reruns from ANY process overwrite the same path
+    return os.path.basename(os.path.normpath(sf_dir))
 
 
 @register(

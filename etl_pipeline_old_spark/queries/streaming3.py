@@ -46,7 +46,7 @@ def stream_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instead of leaking a fresh uuid-suffixed trio per run
     base = os.path.join(
         "/tmp/etl_pipeline_old_spark_cache",
-        f"ann_probe_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+        f"ann_probe_{os.path.basename(os.path.normpath(sf_dir))}",
     )
     feed, target, chk = base + "_feed", base + "_target", base + "_chk"
     for p in (feed, target, chk):

@@ -202,7 +202,7 @@ def k5_incremental_idempotency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     target = os.path.join(
         "/tmp/etl_pipeline_old_spark_cache",
-        f"incr_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+        f"incr_{os.path.basename(os.path.normpath(sf_dir))}",
     )
     shutil.rmtree(target, ignore_errors=True)
 

@@ -31,7 +31,7 @@ def _duplicated_event_feed(spark: SparkSession, sf_dir: str) -> tuple[str, objec
     src = table_path(sf_dir, "events")
     feed = os.path.join(
         "/tmp/etl_pipeline_old_spark_cache",
-        f"dup_feed_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+        f"dup_feed_{os.path.basename(os.path.normpath(sf_dir))}",
     )
     shutil.rmtree(feed, ignore_errors=True)
     os.makedirs(feed)
