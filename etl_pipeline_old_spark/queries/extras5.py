@@ -515,6 +515,7 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (id, sh) — persisted: it feeds the df/size/prefix builds AND the
     # candidates-first verify (same pattern as dedup_incremental_probe)
     sh = DD.shingle_sets(d, "text", "doc_id", 3).persist()
+    sh.count()  # eager: df/size/prefix builds + both verify sides hit the cache
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     df_ = sh.groupBy("sh").agg(F.count("*").alias("df"))
     ranked = (
@@ -527,12 +528,19 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pref = ranked.filter(
         F.col("rn") <= F.col("n_sh") - F.expr("(7 * n_sh + 9) DIV 10") + 1
-    ).select("id", "sh")
+    ).select("id", "sh", "n_sh")
+    # PPJoin's LENGTH filter rides along for free: J(a,b) <= min/max of the
+    # set sizes, so a pair with 10*min(n) < 7*max(n) provably cannot reach
+    # t=0.7 — pruning it here shrinks the exact-verify join's input without
+    # changing the result (exact integer algebra, same rounding as verify)
     cand = (
         pref.alias("a")
         .join(
             pref.alias("b"),
-            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (10 * F.col("a.n_sh") >= 7 * F.col("b.n_sh"))
+            & (10 * F.col("b.n_sh") >= 7 * F.col("a.n_sh")),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
