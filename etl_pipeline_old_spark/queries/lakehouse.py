@@ -1258,3 +1258,74 @@ def traj_user_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TRAJ_K)
         .select("id_q", "id_o", "jaccard", "rank")
     )
+
+
+@register(
+    "catalog_analyze_stats",
+    oracle="""
+    SELECT 'o_custkey' AS col_name,
+           round(min(o_custkey)::DOUBLE, 2) AS min_val,
+           round(max(o_custkey)::DOUBLE, 2) AS max_val,
+           count(*) - count(o_custkey) AS n_nulls,
+           count(*)::BIGINT AS n_rows
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice',
+           round(min(o_totalprice)::DOUBLE, 2),
+           round(max(o_totalprice)::DOUBLE, 2),
+           count(*) - count(o_totalprice),
+           count(*)::BIGINT
+    FROM orders
+    """,
+    doc="ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS, value-checked: "
+    "the min/max/null-count/row-count the catalog records must equal the "
+    "exact aggregates DuckDB computes over the same data. Stats collection "
+    "is the ONE extra pass that buys the cost-based optimizer its join "
+    "reordering and broadcast decisions at 100 TB (sizeInBytes/rowCount "
+    "from metadata instead of file-size guesses); the table-level rowCount "
+    "feeding CBO is asserted via the optimized plan's stats in "
+    "tests/test_plans.py. Reference analog: the notebooks re-create sink "
+    "tables each run (create_scripts_dataset.ipynb:261-279) but never "
+    "record statistics — at scale that leaves every downstream join "
+    "un-costed.",
+)
+def catalog_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    t = f"stats_orders_{tag}"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    try:
+        o.write.mode("overwrite").saveAsTable(t)
+        spark.sql(
+            f"ANALYZE TABLE {t} COMPUTE STATISTICS FOR COLUMNS o_custkey, o_totalprice"
+        )
+        n_rows = int(
+            spark.sql(f"DESCRIBE EXTENDED {t}")
+            .filter(F.col("col_name") == "Statistics")
+            .collect()[0]["data_type"]
+            .split(",")[1]
+            .strip()
+            .split(" ")[0]
+        )
+        rows = []
+        for col in ("o_custkey", "o_totalprice"):
+            info = {
+                r["info_name"]: r["info_value"]
+                for r in spark.sql(f"DESCRIBE EXTENDED {t} {col}").collect()
+            }
+            rows.append(
+                (
+                    col,
+                    round(float(info["min"]), 2),
+                    round(float(info["max"]), 2),
+                    int(info["num_nulls"]),
+                    n_rows,
+                )
+            )
+        return spark.createDataFrame(
+            rows, "col_name string, min_val double, max_val double, n_nulls long, n_rows long"
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -249,3 +249,29 @@ def test_pipeline_scripts_zero_fact_shuffles(spark, sf):
     assert nodes.count("BroadcastHashJoin") == 4, nodes
     assert "SortMergeJoin" not in nodes and "ShuffledHashJoin" not in nodes
     assert nodes.count("Exchange") == 0, nodes
+
+
+def test_analyze_stats_feed_cbo_rowcount(spark, sf):
+    """After ANALYZE TABLE, the optimizer's stats for a catalog table must
+    carry the EXACT rowCount (not a file-size guess) — the input the
+    cost-based optimizer uses for join reordering and broadcast choice."""
+    import os
+
+    from etl_pipeline_old_spark.catalog import load_table
+
+    tag = os.path.basename(os.path.normpath(sf)).replace(".", "_")
+    t = f"stats_cbo_probe_{tag}"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    prev = spark.conf.get("spark.sql.cbo.enabled")
+    try:
+        # the optimizer only SURFACES catalog rowCount in plan stats under
+        # CBO; without it stats() degrade to a sizeInBytes guess
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        nat = load_table(spark, sf, "nation")
+        nat.write.mode("overwrite").saveAsTable(t)
+        spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS")
+        stats = spark.table(t)._jdf.queryExecution().optimizedPlan().stats()
+        assert stats.rowCount().get() == nat.count()
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
