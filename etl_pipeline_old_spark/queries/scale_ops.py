@@ -245,3 +245,52 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("triangles"))
     )
+
+
+_RETAIN_FROM = "2024-01-15"  # retention cutoff: keep this day onward
+
+
+@register(
+    "layout_retention_vacuum",
+    oracle=f"""
+    SELECT count(*)::BIGINT AS rows_after,
+           count(DISTINCT CAST(ts AS DATE))::BIGINT AS days_after,
+           strftime(min(CAST(ts AS DATE)), '%Y-%m-%d') AS oldest_day
+    FROM events
+    WHERE CAST(ts AS DATE) >= DATE '{_RETAIN_FROM}'
+    """,
+    doc="Partition-level retention (the time-to-live sweep every event "
+    f"lake runs): events written partitionBy(day); every day < "
+    f"{_RETAIN_FROM} is dropped by REMOVING ITS PARTITION DIRECTORY — "
+    "never a row-level rewrite. The surviving table is read back and "
+    "audited (row count, day count, oldest day) against the batch "
+    "predicate, so a sweep that deleted a wrong directory or left a "
+    "partial one fails the hash. At 100 TB this is ALTER TABLE DROP "
+    "PARTITION + storage GC: pure metadata + O(dropped files) deletes, "
+    "zero data scanned — the same elision k9's DPP gives reads, applied "
+    "to deletion. Complements gdpr_erasure_propagation (row-level "
+    "erasure) with the bulk age-out path.",
+)
+def layout_retention_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    ev = load_table(spark, sf_dir, "events")
+    path = os.path.join(_CACHE, f"events_retention_{_tag(sf_dir)}")
+    (
+        ev.withColumn("day", F.to_date("ts"))
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(path)
+    )
+    # the vacuum: directory-level drop of expired partitions (driver-side
+    # here; a metadata catalog + parallel GC at scale — the point is that
+    # NO parquet data is read or rewritten to delete)
+    for entry in os.listdir(path):
+        if entry.startswith("day=") and entry[4:] < _RETAIN_FROM:
+            shutil.rmtree(os.path.join(path, entry))
+    back = spark.read.parquet(path)
+    return back.agg(
+        F.count("*").cast("long").alias("rows_after"),
+        F.countDistinct("day").cast("long").alias("days_after"),
+        F.date_format(F.min("day"), "yyyy-MM-dd").alias("oldest_day"),
+    )
