@@ -29,40 +29,72 @@ DATASETS = {
 }
 
 
+def _build_one(
+    spark: SparkSession, sf_dir: str, out_dir: str | None, name: str
+) -> dict[str, DataFrame]:
+    """Build (and optionally load) one dataset; 'scripts' also produces its
+    bim/designers split sinks (the notebook's 3-way load,
+    create_scripts_dataset.ipynb:233-234,261-319)."""
+    df = DATASETS[name](spark, sf_dir)
+    if out_dir is not None:
+        full_refresh(df, os.path.join(out_dir, name))
+    out = {name: df}
+    if name == "scripts":
+        # The splits FILTER THE WRITTEN MAIN TABLE, not the logical plan:
+        # re-filtering `df` would recompute the whole 3-join pipeline once
+        # per sink (3× the work at any scale), whereas a scan of the
+        # just-written parquet is a pruned columnar read — the lake itself
+        # is the cheapest cache. (The third notebook sink, the plugin dim,
+        # is the enrich input — covered by the main frame.)
+        from pyspark.sql import functions as F
+
+        src = (
+            spark.read.parquet(os.path.join(out_dir, name))
+            if out_dir is not None
+            else df
+        )
+        for half, pred in (
+            ("scripts_bim", F.col("is_bim") == 1),
+            ("scripts_designers", F.col("is_bim") == 0),
+        ):
+            split = src.filter(pred)
+            if out_dir is not None:
+                full_refresh(split, os.path.join(out_dir, half))
+            out[half] = split
+    return out
+
+
 def run_pipeline(
-    spark: SparkSession, sf_dir: str, out_dir: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str | None = None,
+    parallel: bool = True,
 ) -> dict[str, DataFrame]:
     """Build every dataset; if ``out_dir`` is given, full-refresh each to
-    parquet (K4) — the datalake-load step of the reference notebooks."""
-    outputs: dict[str, DataFrame] = {}
-    for name, build in DATASETS.items():
-        df = build(spark, sf_dir)
-        if out_dir is not None:
-            full_refresh(df, os.path.join(out_dir, name))
-        outputs[name] = df
-        if name == "scripts":
-            # the notebook's 3-way sink split (create_scripts_dataset
-            # .ipynb:233-234,261-319): bim / designers halves of the final
-            # frame land in separate tables (the third sink, the plugin
-            # dim itself, is the enrich input — covered by the main frame).
-            # The splits FILTER THE WRITTEN MAIN TABLE, not the logical
-            # plan: re-filtering `df` would recompute the whole 3-join
-            # pipeline once per sink (3× the work at any scale), whereas a
-            # scan of the just-written parquet is a pruned columnar read —
-            # the lake itself is the cheapest cache.
-            from pyspark.sql import functions as F
+    parquet (K4) — the datalake-load step of the reference notebooks.
 
-            src = (
-                spark.read.parquet(os.path.join(out_dir, name))
-                if out_dir is not None
-                else df
-            )
-            for half, pred in (
-                ("scripts_bim", F.col("is_bim") == 1),
-                ("scripts_designers", F.col("is_bim") == 0),
-            ):
-                split = src.filter(pred)
-                if out_dir is not None:
-                    full_refresh(split, os.path.join(out_dir, half))
-                outputs[half] = split
+    ``parallel``: the five datasets are INDEPENDENT plans over independent
+    sinks, so their jobs are submitted from worker threads and the Spark
+    scheduler overlaps them — wall time tracks the slowest dataset, not
+    the sum (the reference's run.py necessarily serializes: each notebook
+    is its own OS process over its own pandas heap, run.py:11-27). Job
+    submission is thread-safe; results are deterministic because nothing
+    is shared downstream. Serial mode preserves the reference's exact
+    execution order for debugging.
+    """
+    outputs: dict[str, DataFrame] = {}
+    if not parallel:
+        for name in DATASETS:
+            outputs.update(_build_one(spark, sf_dir, out_dir, name))
+        return outputs
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(DATASETS)) as pool:
+        futures = {
+            name: pool.submit(_build_one, spark, sf_dir, out_dir, name)
+            for name in DATASETS
+        }
+        for name in DATASETS:  # preserve the reference's dict order
+            outputs.update(futures[name].result())
     return outputs
