@@ -1329,3 +1329,69 @@ def catalog_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+@register(
+    "federated_three_source_join",
+    oracle="""
+    SELECT n.n_name AS nation,
+           count(*) AS n_items,
+           sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))::BIGINT AS price_cents
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_regionkey = 0
+    GROUP BY n.n_name
+    """,
+    doc="Direct federation — the architectural claim behind dropping the "
+    "reference's file landing zone (SURVEY §3.1: extractors serialize "
+    "Postgres/MySQL/Sheets into raw_data/*.csv ONLY because pandas cannot "
+    "join across live sources): ONE plan joins a parquet fact (lineitem), "
+    "a CSV dim staged with header+schema (supplier, the S1 read path), "
+    "and a LIVE JDBC dim (nation in embedded Derby) with the region "
+    "predicate pushed INTO the database scan (PushedFilters on the JDBC "
+    "relation — asserted in tests/test_plans.py). Both dims broadcast; "
+    "the fact never shuffles before the aggregate. At 100 TB the landing "
+    "zone becomes an optional bronze CACHE, not a correctness "
+    "prerequisite: sources federate in-plan and each one is read with "
+    "its own pushdown.",
+)
+def federated_three_source_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")  # parquet fact
+
+    # CSV dim (S1 path: header, enforced schema)
+    csv_path = os.path.join(
+        _CACHE, f"fed_supplier_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    ).write.mode("overwrite").option("header", True).csv(csv_path)
+    sup = spark.read.option("header", True).schema(
+        "s_suppkey long, s_nationkey int"
+    ).csv(csv_path)
+
+    # live JDBC dim
+    db = os.path.join(
+        _CACHE, f"fed_derby_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    url = _derby_fresh(db)
+    load_table(spark, sf_dir, "nation").write.mode("overwrite").option(
+        "driver", _DERBY_DRIVER
+    ).jdbc(url, "nation_dim")
+    nat = (
+        spark.read.option("driver", _DERBY_DRIVER)
+        .jdbc(url, "nation_dim", properties={"driver": _DERBY_DRIVER})
+        .filter(F.col("n_regionkey") == 0)  # pushed into the Derby scan
+    )
+
+    return (
+        li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("price_cents"),
+        )
+    )

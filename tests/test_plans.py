@@ -275,3 +275,23 @@ def test_analyze_stats_feed_cbo_rowcount(spark, sf):
     finally:
         spark.conf.set("spark.sql.cbo.enabled", prev)
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_federated_join_pushes_predicate_into_jdbc(spark, sf):
+    """The federation claim must be visible in the plan: the region
+    predicate reaches the JDBC relation as a pushed filter (the database
+    does the filtering, not Spark), both dims broadcast, and the parquet
+    fact reaches the aggregate without a shuffle of its own."""
+    plan = plan_of(QUERIES["federated_three_source_join"].fn(spark, sf))
+    assert "JDBCRelation" in plan
+    # the region predicate must appear as a pushed filter (detail section)
+    pushed = [
+        l
+        for l in plan.splitlines()
+        if "PushedFilters" in l and "N_REGIONKEY" in l.upper()
+    ]
+    assert pushed, plan
+    nodes = nodes_of(plan)
+    assert nodes.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in nodes and "ShuffledHashJoin" not in nodes
+    assert nodes.count("Exchange") == 1  # only the final aggregation shuffle

@@ -145,6 +145,7 @@ COVERAGE: list[tuple[str, str, list[str], str]] = [
     ("X-gov", "corpus governance", ["corpus_contamination_check", "corpus_token_pack", "corpus_stratified_sample", "corpus_lang_quota", "corpus_chunk_overlap", "corpus_repetition_score", "corpus_gopher_rules", "corpus_dsir_weights", "corpus_mix_weights", "corpus_kl_by_source", "sample_weighted_hash", "privacy_k_anonymity", "privacy_l_diversity", "privacy_pseudonymize_mask", "gdpr_erasure_propagation"], "eval-contamination, token packing, quota sampling, chunking, Gopher repetition + rule set, DSIR importance weights, UniMax mixture weights, per-source KL drift, hash-weighted mixture sampling, k-anonymity + l-diversity release gates, keyed-hash pseudonymization + column masking (joinability-preserving), right-to-erasure propagation audit"),
     ("X-er", "entity resolution", ["er_blocking_pairs", "er_pairwise_match", "er_entity_clusters", "er_golden_record", "er_incremental_link", "stream_er_incremental_link", "pipeline_mdm"], "streaming foreachBatch variant + one-row audited capstone; multi-pass blocking (explode keys, one shuffle), levenshtein+balance weighted scoring over candidates only, transitive clusters vs recursive-CTE oracle, golden-record merge incl. singletons, incremental delta-vs-master best-match linkage"),
     ("X-olap", "advanced OLAP", ["pivot_status_by_priority", "unpivot_roundtrip", "cube_counts", "rollup_counts", "a7_count_distinct", "a8_approx_count_distinct", "a9_percentiles", "a9b_percentile_disc_by_group", "a10_percentile_approx", "global_topk", "join_salted_skew", "join_shuffle_hash_hint", "join_runtime_bloom_filter", "skew_diagnosis", "asof_join_last_signup", "range_join_neighbor_counts", "merge_upsert_corrections", "scd2_order_history", "agg_listagg_median_mode", "stats_corr_regression", "stats_skew_kurtosis", "stats_ab_proportion_z", "stats_chi2_independence", "window_range_1h_movstats", "grouping_sets_spend"], ""),
+    ("X-fed", "direct source federation", ["federated_three_source_join"], "parquet fact + CSV dim + LIVE JDBC dim joined in ONE plan with the predicate pushed into the database scan (asserted in test_plans.py) - the architectural replacement for the reference\'s file landing zone"),
     ("X-tpch", "bench queries", ["tpch_q1_pricing_summary", "tpch_q2_min_cost_supplier", "tpch_q3_shipping_priority", "tpch_q5_local_supplier_volume", "tpch_q6_forecast_revenue", "tpch_q14_promo_effect", "tpch_q4_order_priority", "tpch_q9_nation_profit", "tpch_q16_supplier_cnt", "tpch_q18_large_orders", "tpch_q19_disjunctive_join", "tpch_q12_shipmode_buckets", "tpch_q20_excess_shippers", "tpch_q22_global_sales_opportunity", "tpch_q7_volume_shipping", "tpch_q10_returned_items", "tpch_q13_order_count_distribution", "tpch_q15_top_supplier", "tpch_q17_small_quantity_revenue", "tpch_q21_waiting_suppliers", "tpch_q8_market_share", "tpch_q11_important_parts"], "all 22 TPC-H shapes"),
 ]
 
