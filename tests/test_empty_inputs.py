@@ -102,3 +102,21 @@ def test_dynamic_overwrite_leaves_other_partitions_files_untouched(spark, tmp_pa
         (r.id, str(r.day)) for r in spark.read.parquet(path).collect()
     )
     assert got == [(1, "2024-01-01"), (2, "2024-01-02"), (30, "2024-01-03")]
+
+
+def test_minhash_bucket_cap_empty_corpus(spark):
+    d = spark.createDataFrame([], "doc_id long, text string")
+    assert minhash_lsh_dedup(d, "text", "doc_id", bucket_cap=8).count() == 0
+
+
+def test_bucketed_probe_cap_empty_index(spark):
+    from etl_pipeline_old_spark.operators.similarity import bucketed_probe
+
+    idx = spark.createDataFrame(
+        [], "neighbor_id long, __cv array<double>, tbl int, bucket string"
+    )
+    q = spark.createDataFrame(
+        [(0, [0.1, 0.2], 0, "01")],
+        "query_id long, __qv array<double>, tbl int, bucket string",
+    )
+    assert bucketed_probe(idx, q, 5, bucket_cap=4).count() == 0
