@@ -23,3 +23,23 @@ def test_no_group_crosses_subsets(spark, oracle_sf_dir):
     assert out["train"].n_users + out["test"].n_users == global_users
     total_rows = load_table(spark, SF, "events").count()
     assert out["train"].n_rows + out["test"].n_rows == total_rows
+
+
+def test_orchestrator_parallel_equals_serial(spark, tmp_path):
+    """Thread-scheduled dataset builds must produce byte-identical sink
+    tables to the serial reference order (nothing is shared downstream)."""
+    from etl_pipeline_old_spark.plans.orchestrator import run_pipeline
+
+    sf = "/root/testdata/sf0.001"
+    out_s, out_p = str(tmp_path / "serial"), str(tmp_path / "parallel")
+    run_pipeline(spark, sf, out_s, parallel=False)
+    run_pipeline(spark, sf, out_p, parallel=True)
+    import os
+
+    names = sorted(os.listdir(out_s))
+    assert names == sorted(os.listdir(out_p))
+    for name in names:
+        a = spark.read.parquet(os.path.join(out_s, name))
+        b = spark.read.parquet(os.path.join(out_p, name))
+        assert a.schema == b.schema, name
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0, name
