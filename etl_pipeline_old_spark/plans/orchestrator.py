@@ -45,13 +45,16 @@ def _build_one(
         # per sink (3× the work at any scale), whereas a scan of the
         # just-written parquet is a pruned columnar read — the lake itself
         # is the cheapest cache. (The third notebook sink, the plugin dim,
-        # is the enrich input — covered by the main frame.)
+        # is the enrich input — covered by the main frame.) With no sink
+        # dir there is no written table to read back, so the frame is
+        # persisted instead: the join chain executes once and both splits
+        # (and the caller's own actions on the main frame) scan the cache.
         from pyspark.sql import functions as F
 
         src = (
             spark.read.parquet(os.path.join(out_dir, name))
             if out_dir is not None
-            else df
+            else df.persist()
         )
         for half, pred in (
             ("scripts_bim", F.col("is_bim") == 1),

@@ -43,3 +43,35 @@ def test_orchestrator_parallel_equals_serial(spark, tmp_path):
         b = spark.read.parquet(os.path.join(out_p, name))
         assert a.schema == b.schema, name
         assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0, name
+
+
+def test_orchestrator_no_out_dir_builds_scripts_once(spark, monkeypatch):
+    """With ``out_dir=None`` there is no written table for the bim/designers
+    splits to read back, so the scripts frame must be persisted: the builder
+    runs once and both splits scan the cache (InMemoryRelation) instead of
+    re-executing the 3-join chain per sink."""
+    from etl_pipeline_old_spark.plans import orchestrator
+    from etl_pipeline_old_spark.plans import pipelines2 as P2
+
+    calls = {"n": 0}
+    real = P2.scripts_pipeline
+
+    def counting(spark_, sf_dir_):
+        calls["n"] += 1
+        return real(spark_, sf_dir_)
+
+    monkeypatch.setitem(orchestrator.DATASETS, "scripts", counting)
+    out = orchestrator.run_pipeline(
+        spark, "/root/testdata/sf0.001", out_dir=None, parallel=False
+    )
+    try:
+        assert calls["n"] == 1
+        for half in ("scripts_bim", "scripts_designers"):
+            plan = out[half]._jdf.queryExecution().optimizedPlan().toString()
+            assert "InMemoryRelation" in plan, half
+        # cache actually serves the splits (row counts still correct)
+        assert out["scripts_bim"].count() + out["scripts_designers"].count() == out[
+            "scripts"
+        ].count()
+    finally:
+        out["scripts"].unpersist()
