@@ -8,6 +8,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..workdir import cache_root
 from ..catalog import load_table
 from ..registry import register
 from ..sources import python_datasource
@@ -27,7 +28,7 @@ PAGE_SIZE = 100
 def s7_python_datasource_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     feed = os.path.join(
-        "/tmp/etl_pipeline_old_spark_cache",
+        cache_root(),
         f"pages_{os.path.basename(os.path.normpath(sf_dir))}",
     )
     # Stage the paginated "API" DISTRIBUTED: executors write ≤PAGE_SIZE-row
@@ -93,7 +94,7 @@ def s7b_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     feed = os.path.join(
-        "/tmp/etl_pipeline_old_spark_cache",
+        cache_root(),
         f"stream_pages_{os.path.basename(os.path.normpath(sf_dir))}",
     )
     (

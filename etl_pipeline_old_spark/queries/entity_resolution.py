@@ -38,6 +38,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from ..workdir import cache_root
 from ..catalog import load_table
 from ..operators.dedup import MD5_LONG_SQL, md5_long
 from ..operators.graph import connected_components
@@ -439,7 +440,7 @@ def stream_er_incremental_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = records.filter(is_delta(F.col("rec_id")))
 
     tag = f"er_feed_{os.path.basename(os.path.normpath(sf_dir))}"
-    feed = os.path.join("/tmp/etl_pipeline_old_spark_cache", tag)
+    feed = os.path.join(cache_root(), tag)
     target = feed + "_target"
     chk = feed + "_chk"
     for d in (feed, target, chk):

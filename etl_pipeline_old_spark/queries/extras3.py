@@ -8,12 +8,13 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..workdir import cache_root
 from ..catalog import load_table
 from ..registry import register
 from ..streaming.events import sliding_window_counts
 
 _3H_US = 3 * 3600 * 1_000_000
-_CACHE = "/tmp/etl_pipeline_old_spark_cache"
+_CACHE = cache_root()
 
 
 def _tag(sf_dir: str) -> str:

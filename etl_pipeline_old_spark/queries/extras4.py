@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..workdir import cache_root
 from ..catalog import load_table
 from ..operators import dedup as DD
 from ..operators.graph import connected_components
@@ -646,7 +647,7 @@ def pipeline_streaming_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_session_confs(spark)
     base = os.path.join(
-        "/tmp/etl_pipeline_old_spark_cache",
+        cache_root(),
         f"stream_corpus_{os.path.basename(os.path.normpath(sf_dir))}",
     )
     feed, target, chk = base + "_feed", base + "_target", base + "_chk"

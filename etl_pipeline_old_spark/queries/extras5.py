@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..workdir import cache_root
 from ..catalog import load_table
 from ..operators.dedup import MD5_LONG_SQL, md5_long
 from ..registry import register
@@ -680,7 +681,7 @@ def stream_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_session_confs(spark)
     base = os.path.join(
-        "/tmp/etl_pipeline_old_spark_cache",
+        cache_root(),
         f"scd2_stream_{os.path.basename(os.path.normpath(sf_dir))}",
     )
     feed, target, chk = base + "_feed", base + "_target", base + "_chk"

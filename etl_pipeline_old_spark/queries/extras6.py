@@ -9,6 +9,7 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..workdir import cache_root
 from ..catalog import load_table
 from ..operators import dedup as DD
 from ..operators.graph import connected_components_star
@@ -525,7 +526,7 @@ def p14_ragged_csv_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.concat_ws(",", *cols))
 
     tag = f"ragged_{os.path.basename(os.path.normpath(sf_dir))}"
-    feed = os.path.join("/tmp/etl_pipeline_old_spark_cache", tag)
+    feed = os.path.join(cache_root(), tag)
     shutil.rmtree(feed, ignore_errors=True)
     c.select(line.alias("value")).write.text(feed)
 

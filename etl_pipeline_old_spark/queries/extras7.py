@@ -36,6 +36,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..workdir import cache_root
 from ..catalog import load_table, table_path
 from ..operators import similarity as SIM
 from ..registry import register
@@ -43,7 +44,7 @@ from ..session import ensure_session_confs
 from .similarity import _EXACT_TOP, _RECALL_SELECT, K, QUERY_IDS
 from .streaming_inc import CUTOFF
 
-_CACHE_ROOT = "/tmp/etl_pipeline_old_spark_cache"
+_CACHE_ROOT = cache_root()
 
 
 def _run_dir(tag: str, sf_dir: str) -> str:

@@ -26,10 +26,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..workdir import cache_root, reap_warehouse, table_name
 from ..catalog import load_table
 from ..registry import register
 
-_CACHE = "/tmp/etl_pipeline_old_spark_cache"
+_CACHE = cache_root()
 
 # the restated day and the audit window proving its neighbors were untouched
 FIX_DAY = "2024-01-03"
@@ -465,7 +466,7 @@ def multimodal_pair_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s3c_corrupt_parquet_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     feed = os.path.join(
-        "/tmp/etl_pipeline_old_spark_cache",
+        cache_root(),
         f"corrupt_pq_{os.path.basename(os.path.normpath(sf_dir))}",
     )
     docs.write.mode("overwrite").parquet(feed)
@@ -503,7 +504,7 @@ def s3c_corrupt_parquet_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame
 def s19_file_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     path = os.path.join(
-        "/tmp/etl_pipeline_old_spark_cache",
+        cache_root(),
         f"meta_audit_{os.path.basename(os.path.normpath(sf_dir))}",
     )
     d.repartition("source").write.mode("overwrite").partitionBy("source").parquet(path)
@@ -599,7 +600,11 @@ def j14_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    t_o, t_l = f"bq_orders_{tag}", f"bq_lineitem_{tag}"
+    # pid-suffixed names + dead-pid reap: concurrent processes never
+    # overwrite each other's warehouse files (ADVICE r4), and a killed
+    # process's leftovers are swept on the next run
+    reap_warehouse(spark)
+    t_o, t_l = table_name(f"bq_orders_{tag}"), table_name(f"bq_lineitem_{tag}")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -665,7 +670,7 @@ COMPACT_TARGET_CHARS = 131_072  # ~128 KiB of text per output file
 def layout_compaction_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     base = os.path.join(
-        "/tmp/etl_pipeline_old_spark_cache",
+        cache_root(),
         f"compact_{os.path.basename(os.path.normpath(sf_dir))}",
     )
     frag, compacted = base + "_frag", base + "_out"
@@ -979,7 +984,7 @@ def s4_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.jdbc import jdbc_scan
 
     db = os.path.join(
-        "/tmp/etl_pipeline_old_spark_cache",
+        cache_root(),
         f"derby_{os.path.basename(os.path.normpath(sf_dir))}",
     )
     url = _derby_fresh(db)
@@ -1022,7 +1027,7 @@ def s6_jdbc_parallel_pull(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.jdbc import jdbc_scan
 
     db = os.path.join(
-        "/tmp/etl_pipeline_old_spark_cache",
+        cache_root(),
         f"derby6_{os.path.basename(os.path.normpath(sf_dir))}",
     )
     url = _derby_fresh(db)
@@ -1291,7 +1296,8 @@ def traj_user_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def catalog_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    t = f"stats_orders_{tag}"
+    reap_warehouse(spark)
+    t = table_name(f"stats_orders_{tag}")
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )

@@ -10,6 +10,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..workdir import cache_root
 from ..plans.orchestrator import run_pipeline
 from ..plans.pipelines import LOGS_PIPELINE_ORACLE
 from ..plans.pipelines2 import GITLAB_ORACLE, PROJECTSYNC_ORACLE, SCRIPTS_ORACLE
@@ -45,7 +46,7 @@ SELECT 'logs', count(*) FROM ({LOGS_PIPELINE_ORACLE})
 def run_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stable per-sf path (no pid): reruns overwrite, /tmp never accumulates
     out_dir = os.path.join(
-        "/tmp/etl_pipeline_old_spark_cache",
+        cache_root(),
         f"datalake_{os.path.basename(os.path.normpath(sf_dir))}",
     )
     shutil.rmtree(out_dir, ignore_errors=True)

@@ -13,6 +13,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..workdir import cache_root
 from ..catalog import load_table
 from ..registry import register
 
@@ -32,7 +33,7 @@ from ..registry import register
 def s3b_corrupt_json_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     feed = os.path.join(
-        "/tmp/etl_pipeline_old_spark_cache",
+        cache_root(),
         f"corrupt_{os.path.basename(os.path.normpath(sf_dir))}",
     )
     # Stage the corrupt feed DISTRIBUTED: serialize each row to a JSON line

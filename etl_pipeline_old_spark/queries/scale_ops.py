@@ -40,10 +40,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from ..workdir import cache_root
 from ..catalog import load_table
 from ..registry import register
 
-_CACHE = "/tmp/etl_pipeline_old_spark_cache"
+_CACHE = cache_root()
 
 
 def _tag(sf_dir: str) -> str:

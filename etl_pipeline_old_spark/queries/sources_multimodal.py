@@ -11,6 +11,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..workdir import cache_root
 from ..catalog import load_table
 from ..operators.multimodal import (
     decode_meta,
@@ -22,7 +23,7 @@ from ..operators.multimodal import (
 from ..registry import register
 from ..sources.files import flatten_structs, read_csv, read_json
 
-_CACHE = "/tmp/etl_pipeline_old_spark_cache"
+_CACHE = cache_root()
 
 
 def _tag(sf_dir: str) -> str:

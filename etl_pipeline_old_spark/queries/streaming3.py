@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..workdir import cache_root
 from ..catalog import load_table
 from ..operators import similarity as SIM
 from ..registry import register
@@ -45,7 +46,7 @@ def stream_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repeated invocations in a long-lived session reuse one directory set
     # instead of leaking a fresh uuid-suffixed trio per run
     base = os.path.join(
-        "/tmp/etl_pipeline_old_spark_cache",
+        cache_root(),
         f"ann_probe_{os.path.basename(os.path.normpath(sf_dir))}",
     )
     feed, target, chk = base + "_feed", base + "_target", base + "_chk"

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..workdir import cache_root
 from ..catalog import load_table
 from ..registry import register
 from ..sinks.incremental import incremental_append, read_evolved
@@ -201,7 +202,7 @@ CUTOFF = "2024-01-15 00:00:00"
 def k5_incremental_idempotency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     target = os.path.join(
-        "/tmp/etl_pipeline_old_spark_cache",
+        cache_root(),
         f"incr_{os.path.basename(os.path.normpath(sf_dir))}",
     )
     shutil.rmtree(target, ignore_errors=True)

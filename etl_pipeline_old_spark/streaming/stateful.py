@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ..workdir import cache_root
 from ..catalog import restore_ts, table_path
 from ..session import ensure_session_confs
 
@@ -30,7 +31,7 @@ def _duplicated_event_feed(spark: SparkSession, sf_dir: str) -> tuple[str, objec
     record replayed — the dedup operator must emit each exactly once."""
     src = table_path(sf_dir, "events")
     feed = os.path.join(
-        "/tmp/etl_pipeline_old_spark_cache",
+        cache_root(),
         f"dup_feed_{os.path.basename(os.path.normpath(sf_dir))}",
     )
     shutil.rmtree(feed, ignore_errors=True)

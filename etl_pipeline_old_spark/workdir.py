@@ -1,0 +1,112 @@
+"""Per-process scratch roots: isolation without /tmp (or warehouse) growth.
+
+History of the scheme (ADVICE r3 → r4 → r5):
+
+- r3 keyed every scratch dir by pid/uuid — isolated, but /tmp accumulated
+  one dir tree per run forever;
+- r4 dropped the pid for stable per-(tag, sf_dir) paths — no accumulation,
+  but two live processes over the same sf_dir (bench.py while pytest runs,
+  or the driver while anything runs) could ``rmtree``/overwrite each
+  other's live feed, checkpoint and Derby database dirs mid-query;
+- r5 (this module) settles both: paths are keyed by a session token that
+  embeds the pid.  The first use in a process *reaps* every sibling token
+  dir whose recorded pid is no longer alive, and ``atexit`` removes this
+  process's own root.  Two live processes therefore never share scratch
+  dirs, while /tmp holds only the dirs of live processes (plus at most
+  those of a ``kill -9`` victim, which the next run reaps).
+
+The same token suffixes ``saveAsTable`` names (``bq_orders_*``,
+``stats_orders_*``): the in-memory catalog is already per-JVM, but the
+warehouse *files* under ``spark.sql.warehouse.dir`` are shared, so
+concurrent overwrites of a same-named table could corrupt a reader.
+:func:`reap_warehouse` applies the dead-pid sweep to the warehouse dir.
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+import re
+import shutil
+
+_BASE = "/tmp/etl_pipeline_old_spark_cache"
+_SESS_RE = re.compile(r"^sess_(\d+)$")
+_TABLE_RE = re.compile(r"_p(\d+)$")
+
+_initialized = False
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else — leave it alone
+    return True
+
+
+def _reap_dead_sessions() -> None:
+    try:
+        entries = os.listdir(_BASE)
+    except OSError:
+        return
+    for name in entries:
+        m = _SESS_RE.match(name)
+        if m and int(m.group(1)) != os.getpid() and not _pid_alive(int(m.group(1))):
+            shutil.rmtree(os.path.join(_BASE, name), ignore_errors=True)
+
+
+def cache_root() -> str:
+    """This process's scratch root: ``/tmp/.../sess_<pid>``.
+
+    First call per process reaps dead siblings and registers atexit
+    removal of this root.  Streaming queries hold lazy readers over files
+    in here, so removal must happen at process exit, never mid-run.
+    """
+    global _initialized
+    root = os.path.join(_BASE, f"sess_{os.getpid()}")
+    if not _initialized:
+        _initialized = True
+        _reap_dead_sessions()
+        os.makedirs(root, exist_ok=True)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return root
+
+
+def run_dir(tag: str, sf_dir: str) -> str:
+    """Fresh working dir, stable per (tag, sf_dir) WITHIN this process.
+
+    rmtree-first keeps within-process reruns idempotent; the returned
+    DataFrames read lazily from these files, so cleanup is deferred to the
+    next rerun or to process exit (atexit above) — never a finally block.
+    """
+    d = os.path.join(
+        cache_root(), f"{tag}_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    return d
+
+
+def table_name(base: str) -> str:
+    """Session-scoped ``saveAsTable`` name: ``<base>_p<pid>``.
+
+    The pid suffix keeps concurrent processes from overwriting each
+    other's warehouse files; :func:`reap_warehouse` removes the files once
+    the owning process is gone (the catalog entry dies with its JVM).
+    """
+    return f"{base}_p{os.getpid()}"
+
+
+def reap_warehouse(spark) -> None:
+    """Best-effort removal of warehouse table dirs owned by dead processes."""
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    wh = re.sub(r"^file:(//)?", "", wh)
+    try:
+        entries = os.listdir(wh)
+    except OSError:
+        return
+    for name in entries:
+        m = _TABLE_RE.search(name)
+        if m and int(m.group(1)) != os.getpid() and not _pid_alive(int(m.group(1))):
+            shutil.rmtree(os.path.join(wh, name), ignore_errors=True)

@@ -1,0 +1,50 @@
+"""Cross-process scratch-dir isolation (ADVICE r4): pid-keyed session roots,
+dead-pid reaping, atexit cleanup registration."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+
+import etl_pipeline_old_spark.workdir as W
+
+
+def _fresh(monkeypatch, tmp_path):
+    monkeypatch.setattr(W, "_BASE", str(tmp_path))
+    monkeypatch.setattr(W, "_initialized", False)
+
+
+def test_session_root_is_pid_keyed_and_reaps_dead_siblings(tmp_path, monkeypatch):
+    _fresh(monkeypatch, tmp_path)
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    dead = tmp_path / f"sess_{proc.pid}"
+    dead.mkdir()
+    (dead / "leftover").write_text("x")
+    root = W.cache_root()
+    assert root == str(tmp_path / f"sess_{os.getpid()}")
+    assert os.path.isdir(root)
+    assert not dead.exists()  # dead sibling reaped on first use
+
+
+def test_live_sibling_survives(tmp_path, monkeypatch):
+    _fresh(monkeypatch, tmp_path)
+    # pid 1 is always alive (init) — a live process's dir must not be touched
+    live = tmp_path / "sess_1"
+    live.mkdir()
+    W.cache_root()
+    assert live.exists()
+
+
+def test_run_dir_is_fresh_and_inside_session_root(tmp_path, monkeypatch):
+    _fresh(monkeypatch, tmp_path)
+    d = W.run_dir("mytag", "/root/testdata/sf0.001")
+    assert d.startswith(W.cache_root())
+    assert d.endswith("mytag_sf0.001")
+    os.makedirs(d)
+    (d := W.run_dir("mytag", "/root/testdata/sf0.001"))  # rerun rmtrees first
+    assert not os.path.exists(d)
+
+
+def test_table_name_embeds_pid():
+    assert W.table_name("bq_orders_sf0_01") == f"bq_orders_sf0_01_p{os.getpid()}"
