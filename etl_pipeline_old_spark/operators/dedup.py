@@ -243,7 +243,11 @@ def lsh_bands(sig: DataFrame, bands: int = 4, rows: int = 4) -> DataFrame:
 
 
 def lsh_candidate_pairs(
-    sig: DataFrame, bands: int = 4, rows: int = 4, bucket_cap: int | None = None
+    sig: DataFrame,
+    bands: int = 4,
+    rows: int = 4,
+    bucket_cap: int | None = None,
+    reps: int = 1,
 ) -> DataFrame:
     """Band the signature (``bands`` × ``rows``) and bucket-join.
 
@@ -258,11 +262,25 @@ def lsh_candidate_pairs(
     rebalances partitions, it cannot shrink a join's OUTPUT). Buckets with
     ≤ cap members keep the exact all-pairs join; larger buckets fall back
     to a STAR on the bucket's min id (n-1 edges instead of n²/2), so every
-    member still gets a candidate edge — connectivity for the downstream
-    connected-components/verify step is preserved, only the redundant
-    intra-bucket edges are dropped. Worst-case per-bucket output is
-    max(cap², n), i.e. linear in the bucket beyond the cap. The number of
-    over-cap rows is logged, never silently swallowed.
+    member still gets a candidate edge. Worst-case per-bucket output is
+    max(cap², reps·n), i.e. linear in the bucket beyond the cap. The
+    number of over-cap rows is logged, never silently swallowed.
+
+    Connectivity caveat (ADVICE r4): candidate edges still face the
+    downstream jaccard-≥-threshold VERIFY, so the star guarantees
+    post-verify connectivity only for members that actually verify against
+    the representative — true for the homogeneous degenerate buckets the
+    cap targets (boilerplate-identical docs sharing an exact band slice),
+    NOT for an over-cap bucket that mixes distinct near-dup clusters:
+    there, members of a cluster not containing a representative lose
+    their intra-cluster edges (a recall loss, not just redundancy).
+    ``reps`` bounds that: each over-cap member stars against the bucket's
+    ``reps`` smallest ids (ids are similarity-agnostic, so reps land in
+    clusters ~proportionally to cluster size), and a cluster is missed
+    only if it contains no representative — probability falling
+    geometrically in ``reps`` — while per-bucket output stays linear
+    (reps·(n-1) edges). ``reps=1`` is exact for homogeneous buckets and is
+    the default; raise it when buckets may mix clusters.
     """
     banded = lsh_bands(sig, bands, rows)
     # the self-join consumes `banded` twice — persist so the signature
@@ -295,9 +313,27 @@ def lsh_candidate_pairs(
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b")
         )
-        star = big.filter(F.col("id") != F.col("__rep")).select(
-            F.col("__rep").alias("id_a"), F.col("id").alias("id_b")
-        )
+        if reps <= 1:
+            star = big.filter(F.col("id") != F.col("__rep")).select(
+                F.col("__rep").alias("id_a"), F.col("id").alias("id_b")
+            )
+        else:
+            # the bucket's `reps` smallest ids each star against every
+            # member: reps·(n-1) edges, still linear per bucket
+            ranked = big.withColumn(
+                "__rk", F.row_number().over(w.orderBy("id"))
+            )
+            rep_rows = ranked.filter(F.col("__rk") <= reps).select(
+                "band", "bkey", F.col("id").alias("id_a")
+            )
+            star = (
+                rep_rows.join(
+                    big.select("band", "bkey", F.col("id").alias("id_b")),
+                    ["band", "bkey"],
+                )
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b")
+            )
         pairs = all_pairs.unionByName(star).distinct()
     else:
         a = banded.select(F.col("id").alias("id_a"), "band", "bkey")

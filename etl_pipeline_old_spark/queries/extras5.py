@@ -531,17 +531,20 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rn") <= F.col("n_sh") - F.expr("(7 * n_sh + 9) DIV 10") + 1
     ).select("id", "sh", "n_sh")
     # PPJoin's LENGTH filter rides along for free: J(a,b) <= min/max of the
-    # set sizes, so a pair with 10*min(n) < 7*max(n) provably cannot reach
-    # t=0.7 — pruning it here shrinks the exact-verify join's input without
-    # changing the result (exact integer algebra, same rounding as verify)
+    # set sizes. The verify accepts the ROUNDED round(J,4) >= 0.7, i.e.
+    # true J >= 0.69995, so the prune bound must be the ROUNDING-SAFE
+    # 20000*min(n) >= 13999*max(n) (ADVICE r4): a pruned pair has
+    # min/max < 0.69995, hence round(J,4) <= 0.6999 — provably rejected by
+    # the verify in both engines. The naive 10*min >= 7*max would drop a
+    # pair with true J in [0.69995, 0.7) that the oracle keeps.
     cand = (
         pref.alias("a")
         .join(
             pref.alias("b"),
             (F.col("a.sh") == F.col("b.sh"))
             & (F.col("a.id") < F.col("b.id"))
-            & (10 * F.col("a.n_sh") >= 7 * F.col("b.n_sh"))
-            & (10 * F.col("b.n_sh") >= 7 * F.col("a.n_sh")),
+            & (20000 * F.col("a.n_sh") >= 13999 * F.col("b.n_sh"))
+            & (20000 * F.col("b.n_sh") >= 13999 * F.col("a.n_sh")),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()

@@ -142,6 +142,30 @@ def test_lsh_bucket_cap_bounds_degenerate_bucket(spark):
     sh.unpersist()
 
 
+def test_lsh_bucket_cap_multi_reps_linear_edges(spark):
+    """ADVICE r4: with ``reps=R`` every over-cap member stars against the
+    bucket's R smallest ids, so a near-dup cluster that misses the single
+    min-id representative can still verify against another rep — while the
+    edge count stays linear: exactly sum_{r=1..R}(n-r) for one degenerate
+    bucket, not n²/2."""
+    n, cap, reps = 50, 10, 3
+    rows = [tuple([i] + [7] * 16) for i in range(n)]  # identical sigs → 1 bucket
+    cols = "id long, " + ", ".join(f"h{i} long" for i in range(16))
+    sig = spark.createDataFrame(rows, cols)
+
+    pairs = DD.lsh_candidate_pairs(sig, bucket_cap=cap, reps=reps).collect()
+    expect = sum(n - r for r in range(1, reps + 1))
+    assert len(pairs) == expect, (len(pairs), expect)
+    # every non-rep member is connected to ALL R representatives
+    from collections import defaultdict
+
+    deg = defaultdict(set)
+    for r in pairs:
+        deg[r.id_b].add(r.id_a)
+    for i in range(reps, n):
+        assert deg[i] == set(range(reps)), i
+
+
 def test_lsh_bucket_cap_noop_on_normal_data(spark):
     """A cap far above real bucket sizes must not change the result."""
     d = _planted_docs(spark)
