@@ -109,6 +109,9 @@ _CORE_FIRST = (
     # round-4 additions closing the last two §2/§3 gaps (verdict tasks 2+3)
     "pipeline_scripts",
     "f5_section_classifier",
+    # round-5: the executed 100 TB bucketed-bronze dedup path (r4 verdict
+    # #3 demands a green driver row in the same round it lands)
+    "dedup_bucketed_bronze",
 )
 
 

@@ -152,3 +152,59 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_dedup_bronze_bucketed_candidate_join_no_shuffle(spark, sf_dir):
+    """r4 verdict #3: the 100 TB dedup bronze path, executed. Banding the
+    signatures into a bkey-bucketed table makes the candidate self-join
+    co-located by construction: ZERO Exchange anywhere between the bronze
+    scans and the join (the pair-dedup aggregate downstream still shuffles
+    its tiny two-id rows, which is the point). Output must equal the
+    in-memory dedup_minhash_lsh path exactly."""
+    import os
+
+    from etl_pipeline_old_spark.operators import dedup as DD
+    from etl_pipeline_old_spark.queries.dedup_text import BRONZE_BUCKETS
+    from etl_pipeline_old_spark.registry import QUERIES, _ensure_loaded
+    from etl_pipeline_old_spark.workdir import table_name
+
+    _ensure_loaded()
+    d = load_table(spark, sf_dir, "documents")
+    sh = DD.shingle_sets(d, "text", "doc_id", 3).persist()
+    banded = DD.lsh_bands(DD.minhash_signatures(sh))
+    t = table_name("bronze_bands_plan_test")
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        (
+            banded.write.mode("overwrite")
+            .bucketBy(BRONZE_BUCKETS, "band", "bkey")
+            .sortBy("band", "bkey")
+            .saveAsTable(t)
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        br = spark.table(t)
+        cand = (
+            br.alias("a")
+            .join(
+                br.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bkey") == F.col("b.bkey"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        )
+        plan = plan_of(cand)
+        assert "Exchange" not in plan, "bucketed bronze self-join must not shuffle"
+        assert cand.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        sh.unpersist()
+
+    # value check: the registered bronze query == the in-memory LSH path
+    bronze = sorted(
+        map(tuple, QUERIES["dedup_bucketed_bronze"].fn(spark, sf_dir).collect())
+    )
+    mem = sorted(map(tuple, QUERIES["dedup_minhash_lsh"].fn(spark, sf_dir).collect()))
+    assert bronze == mem
