@@ -11,6 +11,7 @@ becomes an optional bronze layer (parquet dir).
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -29,12 +30,21 @@ DATASETS = {
 }
 
 
+# per-dataset wall seconds of the most recent run_pipeline call (build +
+# sink write + splits, per dataset). Written by _build_one — one key per
+# thread, so concurrent writes never collide — and read by bench.py so the
+# round-over-round run_full_pipeline ratio is attributable per sink
+# instead of argued from commit messages (r4 verdict #4).
+LAST_TIMINGS: dict[str, float] = {}
+
+
 def _build_one(
     spark: SparkSession, sf_dir: str, out_dir: str | None, name: str
 ) -> dict[str, DataFrame]:
     """Build (and optionally load) one dataset; 'scripts' also produces its
     bim/designers split sinks (the notebook's 3-way load,
     create_scripts_dataset.ipynb:233-234,261-319)."""
+    t0 = time.perf_counter()
     df = DATASETS[name](spark, sf_dir)
     if out_dir is not None:
         full_refresh(df, os.path.join(out_dir, name))
@@ -64,6 +74,7 @@ def _build_one(
             if out_dir is not None:
                 full_refresh(split, os.path.join(out_dir, half))
             out[half] = split
+    LAST_TIMINGS[name] = round(time.perf_counter() - t0, 3)
     return out
 
 
