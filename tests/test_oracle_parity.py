@@ -28,12 +28,20 @@ def test_oracle_parity(name, spark, oracle_sf_dir, con):
     assert ok, f"{name}: {msg}"
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY)
-def test_rows_only_queries_run(name, spark, oracle_sf_dir):
-    q = QUERIES[name]
-    df = q.fn(spark, oracle_sf_dir)
-    assert df.count() >= 0
-    assert len(df.schema.fields) > 0
+if ROWS_ONLY:
+
+    @pytest.mark.parametrize("name", ROWS_ONLY)
+    def test_rows_only_queries_run(name, spark, oracle_sf_dir):
+        q = QUERIES[name]
+        df = q.fn(spark, oracle_sf_dir)
+        assert df.count() >= 0
+        assert len(df.schema.fields) > 0
+
+else:
+    # an empty parametrization would report as a SKIP that looks
+    # actionable; the registry reaching 100% oracle coverage is a PASS
+    def test_registry_has_no_rows_only_entries():
+        assert ROWS_ONLY == []
 
 
 def test_entry_smoke(spark):
