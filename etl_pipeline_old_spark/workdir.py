@@ -53,7 +53,14 @@ def _reap_dead_sessions() -> None:
         return
     for name in entries:
         m = _SESS_RE.match(name)
-        if m and int(m.group(1)) != os.getpid() and not _pid_alive(int(m.group(1))):
+        if m:
+            if int(m.group(1)) != os.getpid() and not _pid_alive(int(m.group(1))):
+                shutil.rmtree(os.path.join(_BASE, name), ignore_errors=True)
+        else:
+            # legacy layouts (r3 pid-suffixed dirs, r4 stable per-(tag, sf)
+            # dirs) live directly under _BASE; current code only ever
+            # writes inside sess_* roots, so anything else is residue from
+            # an older scheme — ~300 MB of it observed pre-cleanup
             shutil.rmtree(os.path.join(_BASE, name), ignore_errors=True)
 
 

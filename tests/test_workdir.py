@@ -48,3 +48,16 @@ def test_run_dir_is_fresh_and_inside_session_root(tmp_path, monkeypatch):
 
 def test_table_name_embeds_pid():
     assert W.table_name("bq_orders_sf0_01") == f"bq_orders_sf0_01_p{os.getpid()}"
+
+
+def test_legacy_layout_dirs_are_reaped(tmp_path, monkeypatch):
+    """r3 pid-suffixed and r4 stable per-(tag, sf_dir) dirs live directly
+    under the base; current code only writes inside sess_* roots, so any
+    non-sess entry is residue from an older scheme and must be swept."""
+    _fresh(monkeypatch, tmp_path)
+    legacy = tmp_path / "ann_probe_sf0.01_12345_chk"
+    legacy.mkdir()
+    (tmp_path / "derby_sf0.01").mkdir()
+    W.cache_root()
+    assert not legacy.exists()
+    assert not (tmp_path / "derby_sf0.01").exists()
