@@ -111,6 +111,11 @@ HEADLINE = [
     # four broadcast joins + codegen scalar chain, zero fact shuffles
     # (plan-locked in tests/test_plans.py)
     "pipeline_scripts",
+    # r5 (verdict task 3): the executed bucketed-bronze dedup path — band
+    # the signatures, write the (band,bkey)-bucketed table, zero-Exchange
+    # candidate self-join, verify. Its cost vs dedup_minhash_lsh above is
+    # the materialize-the-index premium, tracked round-over-round.
+    "dedup_bucketed_bronze",
 ]
 
 
