@@ -359,6 +359,7 @@ def minhash_lsh_dedup(
     rows: int = 4,
     threshold: float = 0.5,
     bucket_cap: int | None = None,
+    reps: int = 1,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → sign → band → bucket-join →
     exact-Jaccard verify ≥ threshold. Returns (id_a, id_b, jaccard).
@@ -367,12 +368,14 @@ def minhash_lsh_dedup(
     is persisted (memory+disk) — at scale this is the standard
     materialize-the-shingles tradeoff: one scan of the corpus, reused
     thrice.  ``bucket_cap`` bounds degenerate LSH buckets (see
-    lsh_candidate_pairs) — at 100 TB set it to a few hundred.
+    lsh_candidate_pairs) — at 100 TB set it to a few hundred; ``reps``
+    stars each over-cap member against that many representatives when
+    capped buckets may mix distinct clusters.
     """
     sh = shingle_sets(df, text_col, id_col, shingle_n).persist()
     sh.count()  # eager: signature + both verify sides reuse the cache
     sig = minhash_signatures(sh, num_hashes)
-    cand = lsh_candidate_pairs(sig, bands, rows, bucket_cap=bucket_cap)
+    cand = lsh_candidate_pairs(sig, bands, rows, bucket_cap=bucket_cap, reps=reps)
     verified = jaccard_pairs(sh, candidates=cand).filter(F.col("jaccard") >= threshold)
     return materialize_release(verified, sh)
 

@@ -196,3 +196,35 @@ def test_ann_bucket_cap_truncates_hot_bucket(spark):
     assert len(got) == 5
     # survivors are drawn from the 10 lowest ids of the (shared) bucket
     assert all(nid < 10 for nid in got), got
+
+
+def test_lsh_multi_reps_recover_mixed_bucket_cluster(spark):
+    """ADVICE r4 end-to-end: an over-cap bucket MIXING two distinct
+    near-dup clusters loses the minority cluster post-verify under the
+    single min-id representative (its members only get edges to a rep
+    they fail the jaccard verify against); reps=3 recovers it because the
+    bucket's three smallest ids include a minority-cluster member."""
+    n, cap = 12, 4
+    # one degenerate bucket: identical signatures for everyone; ids 1,2
+    # form minority cluster B (distinct shingles), the rest are cluster A
+    rows = [tuple([i] + [7] * 16) for i in range(n)]
+    cols = "id long, " + ", ".join(f"h{i} long" for i in range(16))
+    sig = spark.createDataFrame(rows, cols)
+    sh_rows = [
+        (i, s)
+        for i in range(n)
+        for s in (("b1", "b2", "b3") if i in (1, 2) else ("a1", "a2", "a3"))
+    ]
+    sh = spark.createDataFrame(sh_rows, "id long, sh string")
+
+    def verified(reps):
+        cand = DD.lsh_candidate_pairs(sig, bucket_cap=cap, reps=reps)
+        out = DD.jaccard_pairs(sh, candidates=cand).filter(F.col("jaccard") >= 0.5)
+        return {(r.id_a, r.id_b) for r in out.collect()}
+
+    single = verified(reps=1)
+    multi = verified(reps=3)
+    assert (1, 2) not in single, "reps=1 must exhibit the documented miss"
+    assert (1, 2) in multi, "reps=3 must recover the minority cluster"
+    # majority cluster survives either way, and multi is a superset
+    assert (0, 3) in single and single <= multi
