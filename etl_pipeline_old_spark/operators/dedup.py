@@ -287,6 +287,34 @@ def lsh_candidate_pairs(
     # computation (and everything upstream) runs once
     banded = banded.persist()
     banded.count()  # eager: both self-join sides must HIT the cache, not race it
+    pairs = banded_candidate_pairs(banded, bucket_cap=bucket_cap, reps=reps)
+    # pairs are tiny (two ids/row) — materialize them and drop the banded
+    # cache so it doesn't outlive this call in the session's CacheManager.
+    return materialize_release(pairs, banded)
+
+
+def banded_candidate_pairs(
+    banded: DataFrame,
+    bucket_cap: int | None = None,
+    reps: int = 1,
+    self_join_hint: str | None = None,
+) -> DataFrame:
+    """Candidate pairs from a (id, band, bkey) banded relation — the shared
+    core of the in-memory path (:func:`lsh_candidate_pairs`, which persists
+    the banding first) and the bucketed-bronze path
+    (queries/dedup_text.py:dedup_bucketed_bronze, where ``banded`` is a
+    scan of the (band, bkey)-bucketed table and ``self_join_hint='merge'``
+    pins the co-located SortMergeJoin). The caller owns materialization of
+    ``banded``; cap/reps semantics are documented on lsh_candidate_pairs.
+
+    When ``banded`` is hash-partitioned by (band, bkey) — a bucketed scan —
+    the cap's window and every self-join below reuse that partitioning:
+    the whole candidate stage stays Exchange-free.
+    """
+
+    def _hinted(df: DataFrame) -> DataFrame:
+        return df.hint(self_join_hint) if self_join_hint else df
+
     if bucket_cap is not None:
         from pyspark.sql import Window as W
 
@@ -301,15 +329,17 @@ def lsh_candidate_pairs(
             import logging
 
             logging.getLogger(__name__).warning(
-                "lsh_candidate_pairs: %d (doc,band) rows in over-cap buckets "
-                "(cap=%d) reduced to star edges on the bucket representative",
+                "banded_candidate_pairs: %d (doc,band) rows in over-cap "
+                "buckets (cap=%d) reduced to star edges on the bucket "
+                "representative(s)",
                 n_star,
                 bucket_cap,
             )
         a = small.select(F.col("id").alias("id_a"), "band", "bkey")
         b = small.select(F.col("id").alias("id_b"), "band", "bkey")
         all_pairs = (
-            a.join(b, ["band", "bkey"])
+            _hinted(a)
+            .join(b, ["band", "bkey"])
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b")
         )
@@ -327,26 +357,24 @@ def lsh_candidate_pairs(
                 "band", "bkey", F.col("id").alias("id_a")
             )
             star = (
-                rep_rows.join(
+                _hinted(rep_rows)
+                .join(
                     big.select("band", "bkey", F.col("id").alias("id_b")),
                     ["band", "bkey"],
                 )
                 .filter(F.col("id_a") < F.col("id_b"))
                 .select("id_a", "id_b")
             )
-        pairs = all_pairs.unionByName(star).distinct()
-    else:
-        a = banded.select(F.col("id").alias("id_a"), "band", "bkey")
-        b = banded.select(F.col("id").alias("id_b"), "band", "bkey")
-        pairs = (
-            a.join(b, ["band", "bkey"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .distinct()
-        )
-    # pairs are tiny (two ids/row) — materialize them and drop the banded
-    # cache so it doesn't outlive this call in the session's CacheManager.
-    return materialize_release(pairs, banded)
+        return all_pairs.unionByName(star).distinct()
+    a = banded.select(F.col("id").alias("id_a"), "band", "bkey")
+    b = banded.select(F.col("id").alias("id_b"), "band", "bkey")
+    return (
+        _hinted(a)
+        .join(b, ["band", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
 
 
 def minhash_lsh_dedup(

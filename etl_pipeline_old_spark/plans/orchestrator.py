@@ -37,6 +37,15 @@ DATASETS = {
 # instead of argued from commit messages (r4 verdict #4).
 LAST_TIMINGS: dict[str, float] = {}
 
+# the scripts frame persisted by the most recent out_dir=None run: kept so
+# a LATER out_dir=None run can release it before pinning a fresh copy —
+# without this, repeated library calls would accumulate one InMemoryRelation
+# of the full 3-join scripts dataset per call for the session's lifetime.
+# The CURRENT run's cache intentionally outlives the call (the returned
+# split frames read from it lazily); callers wanting it gone sooner can
+# unpersist outputs['scripts'] themselves.
+_LAST_SCRIPTS_CACHE: list[DataFrame] = []
+
 
 def _build_one(
     spark: SparkSession, sf_dir: str, out_dir: str | None, name: str
@@ -61,11 +70,13 @@ def _build_one(
         # (and the caller's own actions on the main frame) scan the cache.
         from pyspark.sql import functions as F
 
-        src = (
-            spark.read.parquet(os.path.join(out_dir, name))
-            if out_dir is not None
-            else df.persist()
-        )
+        if out_dir is not None:
+            src = spark.read.parquet(os.path.join(out_dir, name))
+        else:
+            while _LAST_SCRIPTS_CACHE:
+                _LAST_SCRIPTS_CACHE.pop().unpersist()
+            src = df.persist()
+            _LAST_SCRIPTS_CACHE.append(src)
         for half, pred in (
             ("scripts_bim", F.col("is_bim") == 1),
             ("scripts_designers", F.col("is_bim") == 0),

@@ -340,6 +340,12 @@ def dedup_lsh_bucket_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BRONZE_BUCKETS = 8
+# degenerate-bucket guard for the bronze candidate join — orders of
+# magnitude above any real (band, bkey) occupancy at test SFs (max
+# observed bucket is single digits at sf0.01), so results match the
+# uncapped oracle; on adversarial data it bounds the self-join output
+# linearly, exactly like the in-memory path's cap (r3 verdict #6)
+BRONZE_CAP = 256
 
 
 @register(
@@ -391,29 +397,24 @@ def dedup_bucketed_bronze(spark: SparkSession, sf_dir: str) -> DataFrame:
         # this demo SF (at 100 TB neither side broadcasts anyway) WITHOUT
         # touching autoBroadcastJoinThreshold — a session-level toggle
         # would also force the downstream verify's small joins off their
-        # broadcast plans (measured ~0.5s slower end-to-end)
-        br = spark.table(t)
-        cand = (
-            br.alias("a")
-            .hint("merge")
-            .join(
-                br.alias("b"),
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.bkey") == F.col("b.bkey"))
-                & (F.col("a.id") < F.col("b.id")),
-            )
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-            .distinct()
+        # broadcast plans (measured ~0.5s slower end-to-end). BRONZE_CAP
+        # carries the degenerate-bucket guard to the at-scale path (the
+        # cap's window partitions by (band, bkey) = the bucket spec, so it
+        # adds no Exchange over the bucketed scan); it is far above any
+        # real bucket at oracle SF, so the result — and the shared
+        # uncapped oracle — are unchanged on non-adversarial data.
+        cand = DD.banded_candidate_pairs(
+            spark.table(t), bucket_cap=BRONZE_CAP, self_join_hint="merge"
         )
         out = (
             DD.jaccard_pairs(sh, candidates=cand)
             .filter(F.col("jaccard") >= 0.5)
             .select("id_a", "id_b", "jaccard")
         )
-        # force execution while the bronze table exists, then hand back a
-        # frame over the (tiny: two ids + a double per row) pair set
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        # distributed materialization (eager localCheckpoint) — the pair
+        # set never funnels through the driver, and it also releases the
+        # shingle cache; afterwards the bronze table can be dropped
+        return DD.materialize_release(out, sh)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         sh.unpersist()

@@ -474,7 +474,7 @@ def _ppjoin_oracle() -> str:
       FROM sh s JOIN df d USING (sh) JOIN sizes z USING (doc_id)),
     pref AS (
       SELECT doc_id, sh FROM ranked
-      WHERE rn <= n_sh - (7 * n_sh + 9) // 10 + 1),
+      WHERE rn <= n_sh - (69995 * n_sh + 99999) // 100000 + 1),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM pref a JOIN pref b ON a.sh = b.sh AND a.doc_id < b.doc_id),
@@ -501,13 +501,17 @@ def _ppjoin_oracle() -> str:
     "are globally ordered rarest-first, each document exposes only its "
     "first len - ceil(t*len) + 1 shingles, and only documents sharing a "
     "PREFIX shingle become candidates — a pair sharing zero prefix "
-    "elements provably cannot reach t, so the exact-verify join runs on "
+    "elements provably cannot reach the verify's ROUNDED threshold "
+    "(round(J,4) >= 0.7 admits true J >= 0.69995, so both the prefix "
+    "length and the length filter use the rounding-safe 0.69995 "
+    "algebra), so the exact-verify join runs on "
     "a candidate set that scales with rare-shingle collisions, not n². "
     "The deterministic alternative to MinHash-LSH: no missed-pair "
     "probability, same shuffle shape (element-keyed joins + one pair "
     "aggregate), and the rarest-first order keeps prefix buckets small "
     "(frequency skew works FOR the filter). Prefix length uses exact "
-    "integer ceil algebra so both engines cut identical prefixes.",
+    "integer ceil algebra on the rounded threshold so both engines cut "
+    "identical, provably-sound prefixes.",
 )
 def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup as DD
@@ -528,7 +532,7 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     pref = ranked.filter(
-        F.col("rn") <= F.col("n_sh") - F.expr("(7 * n_sh + 9) DIV 10") + 1
+        F.col("rn") <= F.col("n_sh") - F.expr("(69995 * n_sh + 99999) DIV 100000") + 1
     ).select("id", "sh", "n_sh")
     # PPJoin's LENGTH filter rides along for free: J(a,b) <= min/max of the
     # set sizes. The verify accepts the ROUNDED round(J,4) >= 0.7, i.e.

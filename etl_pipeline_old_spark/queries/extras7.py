@@ -31,12 +31,11 @@ from __future__ import annotations
 
 import hashlib
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..workdir import cache_root
+from ..workdir import run_dir
 from ..catalog import load_table, table_path
 from ..operators import similarity as SIM
 from ..registry import register
@@ -44,20 +43,10 @@ from ..session import ensure_session_confs
 from .similarity import _EXACT_TOP, _RECALL_SELECT, K, QUERY_IDS
 from .streaming_inc import CUTOFF
 
-_CACHE_ROOT = cache_root()
-
-
-def _run_dir(tag: str, sf_dir: str) -> str:
-    """Fresh working dir, STABLE per (tag, sf_dir) — no pid component, so a
-    later process (pytest, bench, driver) overwrites rather than leaks: /tmp
-    holds at most one copy per (tag, sf_dir) ever.  rmtree-first keeps each
-    run idempotent; the returned DataFrames read lazily from these files, so
-    cleanup must be deferred to the NEXT run, not a finally block."""
-    d = os.path.join(
-        _CACHE_ROOT, f"{tag}_{os.path.basename(os.path.normpath(sf_dir))}"
-    )
-    shutil.rmtree(d, ignore_errors=True)
-    return d
+# scratch dirs come from the central session-token scheme (workdir.py):
+# stable per (tag, sf_dir) WITHIN a process, isolated across processes,
+# dead-pid-reaped and atexit-removed
+_run_dir = run_dir
 
 
 # ---------------------------------------------------------------------------

@@ -44,7 +44,8 @@ SELECT 'logs', count(*) FROM ({LOGS_PIPELINE_ORACLE})
     "composed dataset oracles.",
 )
 def run_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # stable per-sf path (no pid): reruns overwrite, /tmp never accumulates
+    # per-process session root (workdir.py): reruns in this process
+    # overwrite; dead processes' roots are reaped, atexit removes ours
     out_dir = os.path.join(
         cache_root(),
         f"datalake_{os.path.basename(os.path.normpath(sf_dir))}",

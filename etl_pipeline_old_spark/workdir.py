@@ -60,7 +60,13 @@ def _reap_dead_sessions() -> None:
             # legacy layouts (r3 pid-suffixed dirs, r4 stable per-(tag, sf)
             # dirs) live directly under _BASE; current code only ever
             # writes inside sess_* roots, so anything else is residue from
-            # an older scheme — ~300 MB of it observed pre-cleanup
+            # an older scheme — ~300 MB of it observed pre-cleanup.
+            # Assumption: every concurrently-live process runs THIS
+            # checkout (true here: one repo, the driver runs HEAD). A
+            # pre-session-token process running concurrently during an
+            # upgrade would lose its live dirs to this sweep — if such
+            # mixed-version concurrency ever becomes real, gate this
+            # branch on entry mtime age instead.
             shutil.rmtree(os.path.join(_BASE, name), ignore_errors=True)
 
 

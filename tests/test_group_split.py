@@ -75,3 +75,30 @@ def test_orchestrator_no_out_dir_builds_scripts_once(spark, monkeypatch):
         ].count()
     finally:
         out["scripts"].unpersist()
+
+
+def test_orchestrator_no_out_dir_releases_previous_cache(spark):
+    """A second out_dir=None run must release the previous run's persisted
+    scripts frame — library callers in a long-lived session would
+    otherwise accumulate one InMemoryRelation of the full scripts dataset
+    per call."""
+    from etl_pipeline_old_spark.plans import orchestrator
+
+    # two DIFFERENT sf_dirs: same-plan re-persists dedupe in the
+    # CacheManager anyway, so the accumulation hazard is distinct plans
+    first = orchestrator.run_pipeline(
+        spark, "/root/testdata/sf0.001", out_dir=None, parallel=False
+    )
+    first_cached = first["scripts"]
+    assert first_cached.count() > 0  # materialize the first cache
+    assert first_cached.storageLevel.useMemory
+    second = orchestrator.run_pipeline(
+        spark, "/root/testdata/sf0.01", out_dir=None, parallel=False
+    )
+    try:
+        # the first run's frame is no longer pinned in the CacheManager
+        assert first_cached.storageLevel.useMemory is False
+        assert second["scripts"].count() > 0
+    finally:
+        while orchestrator._LAST_SCRIPTS_CACHE:
+            orchestrator._LAST_SCRIPTS_CACHE.pop().unpersist()

@@ -156,15 +156,16 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
 
 def test_dedup_bronze_bucketed_candidate_join_no_shuffle(spark, sf_dir):
     """r4 verdict #3: the 100 TB dedup bronze path, executed. Banding the
-    signatures into a bkey-bucketed table makes the candidate self-join
-    co-located by construction: ZERO Exchange anywhere between the bronze
-    scans and the join (the pair-dedup aggregate downstream still shuffles
-    its tiny two-id rows, which is the point). Output must equal the
-    in-memory dedup_minhash_lsh path exactly."""
+    signatures into a (band, bkey)-bucketed table makes the whole
+    candidate stage co-located by construction: the degenerate-bucket
+    cap's windows and the self-join all ride the bucket partitioning with
+    only local Sorts, and the single Exchange in the plan is the final
+    pair-distinct over tiny (id_a, id_b) rows — legitimate at any scale.
+    Output must equal the in-memory dedup_minhash_lsh path exactly."""
     import os
 
     from etl_pipeline_old_spark.operators import dedup as DD
-    from etl_pipeline_old_spark.queries.dedup_text import BRONZE_BUCKETS
+    from etl_pipeline_old_spark.queries.dedup_text import BRONZE_BUCKETS, BRONZE_CAP
     from etl_pipeline_old_spark.registry import QUERIES, _ensure_loaded
     from etl_pipeline_old_spark.workdir import table_name
 
@@ -187,24 +188,26 @@ def test_dedup_bronze_bucketed_candidate_join_no_shuffle(spark, sf_dir):
             .sortBy("band", "bkey")
             .saveAsTable(t)
         )
-        # merge hint, exactly as the registered query: pins the co-located
-        # SortMergeJoin at demo SF without a session-level broadcast
-        # toggle (which would also deoptimize the verify's small joins)
-        br = spark.table(t)
-        cand = (
-            br.alias("a")
-            .hint("merge")
-            .join(
-                br.alias("b"),
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.bkey") == F.col("b.bkey"))
-                & (F.col("a.id") < F.col("b.id")),
-            )
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        # exactly what the registered query runs: capped candidates with
+        # the merge hint pinning the co-located SortMergeJoin
+        cand = DD.banded_candidate_pairs(
+            spark.table(t), bucket_cap=BRONZE_CAP, self_join_hint="merge"
         )
         plan = plan_of(cand)
-        assert "Exchange" not in plan, "bucketed bronze self-join must not shuffle"
         assert "SortMergeJoin" in plan
+        assert plan.count("Bucketed: true") >= 2, "both join sides must scan buckets"
+        # the one allowed Exchange is the pair-distinct on (id_a, id_b);
+        # any Exchange on (band, bkey) would mean the bucket layout was
+        # ignored and the join re-shuffled the full banded relation.
+        # explain("formatted") splits a node across a tree line and a
+        # details block, so count node ids, and check the partitioning
+        # keys in the Arguments lines.
+        import re
+
+        n_exchange_nodes = len(re.findall(r"\(\d+\) Exchange", plan))
+        assert n_exchange_nodes == 1, plan
+        assert "hashpartitioning(id_a" in plan, plan
+        assert "hashpartitioning(band" not in plan, plan
         assert cand.count() > 0
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
