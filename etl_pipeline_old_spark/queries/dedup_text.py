@@ -104,7 +104,10 @@ REACH_ORACLE_TEMPLATE = """
 """
 
 
-def _minhash_oracle(num_hashes: int = 16, bands: int = 4, rows: int = 4, thr: float = 0.5) -> str:
+def _minhash_banded_cte(num_hashes: int = 16, bands: int = 4, rows: int = 4) -> str:
+    """Shared oracle CTE chain ending at ``banded`` (doc_id, band, bkey) —
+    the DuckDB mirror of shingle_sets → minhash_signatures → lsh_bands,
+    composed by the all-pairs oracle and the bronze delta-probe oracle."""
     base = DD.MD5_INT32_SQL.format(x="sh")
     mins = ",\n         ".join(
         f"min(({a} * {base} + {b}) % {DD.MINHASH_PRIME}) AS h{i}"
@@ -117,13 +120,17 @@ def _minhash_oracle(num_hashes: int = 16, bands: int = 4, rows: int = 4, thr: fl
         )
         for bid in range(bands)
     )
-    return f"""
-    WITH {_SHINGLE_CTE},
+    return f"""{_SHINGLE_CTE},
     sig AS (
       SELECT doc_id,
          {mins}
       FROM sh GROUP BY doc_id),
-    banded AS ({band_rows}),
+    banded AS ({band_rows})"""
+
+
+def _minhash_oracle(num_hashes: int = 16, bands: int = 4, rows: int = 4, thr: float = 0.5) -> str:
+    return f"""
+    WITH {_minhash_banded_cte(num_hashes, bands, rows)},
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM banded a JOIN banded b
@@ -348,6 +355,23 @@ BRONZE_BUCKETS = 8
 BRONZE_CAP = 256
 
 
+def write_bronze_bands(spark: SparkSession, banded: DataFrame, t: str) -> None:
+    """Write a (id, band, bkey) banded relation as the bucketed bronze
+    table ``t``: repartitioned to the bucket spec first, so each task
+    holds whole buckets and the write emits ~BUCKETS files instead of
+    tasks × buckets small files, and the bucketed scan reads
+    bucket-clustered pages (measured ~0.5-1.3s faster end-to-end at
+    sf0.01; at 100 TB the file-count bound is the point)."""
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    (
+        banded.repartition(BRONZE_BUCKETS, "band", "bkey")
+        .write.mode("overwrite")
+        .bucketBy(BRONZE_BUCKETS, "band", "bkey")
+        .sortBy("band", "bkey")
+        .saveAsTable(t)
+    )
+
+
 @register(
     "dedup_bucketed_bronze",
     oracle=_minhash_oracle(),
@@ -379,20 +403,8 @@ def dedup_bucketed_bronze(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     reap_warehouse(spark)
     t = table_name(f"bronze_bands_{tag}")
-    spark.sql(f"DROP TABLE IF EXISTS {t}")
     try:
-        (
-            # repartition to the bucket spec first: each task then holds
-            # whole buckets, so the write emits ~BUCKETS files instead of
-            # tasks x buckets small files, and the bucketed scan reads
-            # bucket-clustered pages (measured ~0.5-1.3s faster end-to-end
-            # at sf0.01; at 100 TB the file-count bound is the point)
-            banded.repartition(BRONZE_BUCKETS, "band", "bkey")
-            .write.mode("overwrite")
-            .bucketBy(BRONZE_BUCKETS, "band", "bkey")
-            .sortBy("band", "bkey")
-            .saveAsTable(t)
-        )
+        write_bronze_bands(spark, banded, t)
         # the merge hint pins the join strategy to the bucket layout at
         # this demo SF (at 100 TB neither side broadcasts anyway) WITHOUT
         # touching autoBroadcastJoinThreshold — a session-level toggle
@@ -420,3 +432,95 @@ def dedup_bucketed_bronze(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh.unpersist()
 
 
+
+DELTA_MOD_BRONZE = 10  # doc_id % 10 == 0 is the newly-arrived shard
+
+
+def _bronze_delta_oracle(thr: float = 0.5) -> str:
+    m = DELTA_MOD_BRONZE
+    return f"""
+    WITH {_minhash_banded_cte()},
+    cand AS (
+      SELECT DISTINCT d.doc_id AS delta_id, b.doc_id AS base_id
+      FROM banded d JOIN banded b
+        ON d.band = b.band AND d.bkey = b.bkey
+      WHERE d.doc_id % {m} = 0 AND b.doc_id % {m} <> 0),
+    inter AS (
+      SELECT c.delta_id, c.base_id, count(*) AS n_inter
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.delta_id
+      JOIN sh b ON b.doc_id = c.base_id AND b.sh = a.sh
+      GROUP BY 1, 2)
+    SELECT i.delta_id, i.base_id,
+           round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.delta_id
+    JOIN sizes sb ON sb.doc_id = i.base_id
+    WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= {thr}
+    """
+
+
+@register(
+    "dedup_bronze_delta_probe",
+    oracle=_bronze_delta_oracle(),
+    doc="The bronze table's OPERATIONAL payoff, executed: the base corpus "
+    f"(doc_id % {DELTA_MOD_BRONZE} != 0) is banded ONCE into the "
+    "(band, bkey)-bucketed bronze table (write_bronze_bands), then a "
+    f"newly-arrived delta shard (doc_id % {DELTA_MOD_BRONZE} == 0) is "
+    "banded and probes it: the join's base side is the bucketed scan — "
+    "no Exchange above it, plan-locked in tests/test_storage_layout.py — "
+    "while only the DELTA side shuffles to the bucket spec, so a daily "
+    "refresh moves O(delta) bytes against a 100 TB base index instead of "
+    "re-banding or re-shuffling the corpus. Output = verified "
+    "(delta_id, base_id, jaccard >= 0.5) cross-shard near-dup pairs; "
+    "distinct from dedup_incremental_probe (which applies keep/drop "
+    "policy incl. intra-delta matches over an in-memory band index) — "
+    "this entry is the physical-layout half of that story.",
+)
+def dedup_bronze_delta_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..workdir import reap_warehouse, table_name
+
+    d = load_table(spark, sf_dir, "documents")
+    # one shingle pass over ALL docs: feeds base banding, delta banding,
+    # and both verify sides
+    sh = DD.shingle_sets(d, "text", "doc_id", 3).persist()
+    sh.count()
+    banded = DD.lsh_bands(DD.minhash_signatures(sh))
+    is_delta = F.col("id") % DELTA_MOD_BRONZE == 0
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    reap_warehouse(spark)
+    t = table_name(f"bronze_base_{tag}")
+    try:
+        write_bronze_bands(spark, banded.filter(~is_delta), t)
+        delta_b = banded.filter(is_delta).select(
+            F.col("id").alias("delta_id"), "band", "bkey"
+        )
+        base_b = spark.table(t).select(
+            F.col("id").alias("base_id"), "band", "bkey"
+        )
+        # merge hint as in dedup_bucketed_bronze: the bucketed base side
+        # contributes its layout, the delta side alone shuffles to it
+        cand = (
+            delta_b.hint("merge")
+            .join(base_b, ["band", "bkey"])
+            .select(
+                F.col("delta_id").alias("id_a"), F.col("base_id").alias("id_b")
+            )
+            .distinct()
+        )
+        out = (
+            DD.jaccard_pairs(sh, candidates=cand)
+            .filter(F.col("jaccard") >= 0.5)
+            .select(
+                F.col("id_a").alias("delta_id"),
+                F.col("id_b").alias("base_id"),
+                "jaccard",
+            )
+        )
+        return DD.materialize_release(out, sh)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        sh.unpersist()

@@ -110,8 +110,10 @@ _CORE_FIRST = (
     "pipeline_scripts",
     "f5_section_classifier",
     # round-5: the executed 100 TB bucketed-bronze dedup path (r4 verdict
-    # #3 demands a green driver row in the same round it lands)
+    # #3 demands a green driver row in the same round it lands) and its
+    # operational companion, the delta-vs-bronze probe
     "dedup_bucketed_bronze",
+    "dedup_bronze_delta_probe",
 )
 
 

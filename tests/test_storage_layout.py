@@ -219,3 +219,53 @@ def test_dedup_bronze_bucketed_candidate_join_no_shuffle(spark, sf_dir):
     )
     mem = sorted(map(tuple, QUERIES["dedup_minhash_lsh"].fn(spark, sf_dir).collect()))
     assert bronze == mem
+
+
+def test_bronze_delta_probe_shuffles_only_the_delta(spark, sf_dir):
+    """The bronze table's operational payoff: a delta shard probing the
+    (band, bkey)-bucketed base index must shuffle ONLY itself. In the
+    probe plan exactly one Exchange partitions by (band, bkey) — the
+    delta side, at the bucket count — while the base side is a bucketed
+    scan feeding the SortMergeJoin directly; a second (band, bkey)
+    Exchange would mean the base index was re-shuffled and the layout
+    ignored."""
+    import re
+
+    from etl_pipeline_old_spark.operators import dedup as DD
+    from etl_pipeline_old_spark.queries.dedup_text import (
+        BRONZE_BUCKETS,
+        DELTA_MOD_BRONZE,
+        write_bronze_bands,
+    )
+    from etl_pipeline_old_spark.workdir import table_name
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = DD.shingle_sets(d, "text", "doc_id", 3).persist()
+    banded = DD.lsh_bands(DD.minhash_signatures(sh))
+    is_delta = F.col("id") % DELTA_MOD_BRONZE == 0
+    t = table_name("bronze_delta_plan_test")
+    try:
+        write_bronze_bands(spark, banded.filter(~is_delta), t)
+        delta_b = banded.filter(is_delta).select(
+            F.col("id").alias("delta_id"), "band", "bkey"
+        )
+        base_b = spark.table(t).select(
+            F.col("id").alias("base_id"), "band", "bkey"
+        )
+        cand = (
+            delta_b.hint("merge")
+            .join(base_b, ["band", "bkey"])
+            .select(
+                F.col("delta_id").alias("id_a"), F.col("base_id").alias("id_b")
+            )
+        )
+        plan = plan_of(cand)
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan, "base side must scan buckets"
+        band_exchanges = re.findall(r"hashpartitioning\(band[^)]*\)", plan)
+        assert len(band_exchanges) == 1, plan  # delta side only
+        assert f", {BRONZE_BUCKETS})" in band_exchanges[0], band_exchanges[0]
+        assert cand.count() > 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        sh.unpersist()

@@ -127,7 +127,7 @@ COVERAGE: list[tuple[str, str, list[str], str]] = [
     ("PIPE", "notebook pipelines", ["pipeline_scripts", "pipeline_logs", "pipeline_projectsync", "pipeline_yougile", "pipeline_gitlab_lines"], "all five reference notebooks composed"),
     ("RUN", "run.py orchestrator", ["run_full_pipeline"], "all five datasets + scripts bim/designers 3-way split in one SparkSession + K4 loads"),
     # north-star extensions (BASELINE.json)
-    ("X-dedup", "dedup family", ["dedup_exact", "dedup_exact_normalized", "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs", "dedup_embedding_cosine", "dedup_clusters", "dedup_apply", "dedup_apply_keep_best", "dedup_semantic", "dedup_span_reconstruct", "dedup_incremental_probe", "dedup_prefix_filter_join", "dedup_lsh_recall_vs_exact", "dedup_line_level", "dedup_containment", "dedup_lsh_bucket_cap", "dedup_bucketed_bronze"], "LSH recall measured in-plan against the complete exact join; exact, MinHash-LSH, SimHash, Jaccard, embedding-cosine, connected components, keep-best apply, SemDeDup, exact-substring span dedup w/ reconstruction (Lee et al. 2022), incremental delta-vs-base index probe, PPJoin prefix-filter exact similarity join, C4-style line-level dedup w/ ordered document reassembly; Broder containment (quote/subset duplication Jaccard misses on size-skewed pairs); degenerate-bucket cap value-checked (star edges; multi-rep stars for mixed buckets); bucketed-bronze band index executed: (band,bkey)-bucketed table, zero-Exchange candidate self-join, plan-locked"),
+    ("X-dedup", "dedup family", ["dedup_exact", "dedup_exact_normalized", "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs", "dedup_embedding_cosine", "dedup_clusters", "dedup_apply", "dedup_apply_keep_best", "dedup_semantic", "dedup_span_reconstruct", "dedup_incremental_probe", "dedup_prefix_filter_join", "dedup_lsh_recall_vs_exact", "dedup_line_level", "dedup_containment", "dedup_lsh_bucket_cap", "dedup_bucketed_bronze", "dedup_bronze_delta_probe"], "LSH recall measured in-plan against the complete exact join; exact, MinHash-LSH, SimHash, Jaccard, embedding-cosine, connected components, keep-best apply, SemDeDup, exact-substring span dedup w/ reconstruction (Lee et al. 2022), incremental delta-vs-base index probe, PPJoin prefix-filter exact similarity join, C4-style line-level dedup w/ ordered document reassembly; Broder containment (quote/subset duplication Jaccard misses on size-skewed pairs); degenerate-bucket cap value-checked (star edges; multi-rep stars for mixed buckets); bucketed-bronze band index executed: (band,bkey)-bucketed table, zero-Exchange candidate self-join + delta probe that shuffles only the delta shard, both plan-locked"),
     ("X-boiler", "boilerplate detection", ["corpus_boilerplate_ngrams"], "cross-doc verbatim n-grams (Lee et al. 2022 exact-substring candidates)"),
     ("X-ann", "similarity search", ["ann_cosine_topk", "ann_lsh_cosine_topk", "ann_ivf_cosine_topk", "ann_lsh_recall_at_10", "ann_ivf_recall_at_10", "ann_hard_negatives", "ann_pq_binary_topk", "ann_knn_graph_lsh", "pipeline_rag_retrieval", "stream_ann_probe", "ann_incremental_topk_merge", "embed_random_projection", "embed_projection_recall"], "JL sign random projection (Achlioptas 2003) compresses 64-dim -> 16-dim exactly (integer-quantized, value-checked) with its ANN recall cost measured in-plan; recall@10 vs exact baseline, in-plan; directed kNN graph over all vectors via per-bucket self-join; RAG capstone: chunk -> embed -> LSH index -> bucket-probe retrieve -> cosine rerank, full ranking value-checked; streaming ANN serving (foreachBatch probe vs persisted index, union-over-batches exact); incremental top-k maintenance (delta-scored monotone merge vs full-recompute oracle, EDBT 2020 shape)"),
     ("X-sql", "Spark SQL API surface", ["sql_api_nation_spend", "lateral_top3_orders", "pandas_api_migration", "collation_ci_grouping", "sql_recursive_hierarchy", "sql_scripting_backfill_window"], "identical SQL text runs on both engines; native WITH RECURSIVE (Spark 4); SQL scripting BEGIN/DECLARE/WHILE loop vs a declarative fixpoint oracle (Spark 4)"),
