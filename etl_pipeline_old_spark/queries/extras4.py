@@ -353,10 +353,13 @@ def _incremental_oracle(thr: float = 0.5) -> str:
     "stands in for the delta) probes the EXISTING corpus's LSH band index "
     "plus earlier-id docs within its own shard; verified matches (exact "
     "Jaccard >= 0.5) mark the delta doc 'drop' with its lowest matched id. "
-    "The production corpus-refresh shape: the base band index is a "
-    "persisted relation bucketed by (band, bkey) — probing costs "
-    "O(delta x collisions), never a corpus rescan, so daily refresh work "
-    "scales with the NEW data, not the 100 TB accumulated corpus. Policy: "
+    "The production corpus-refresh shape: probing an existing band index "
+    "costs O(delta x collisions), never a corpus rescan, so daily refresh "
+    "work scales with the NEW data, not the 100 TB accumulated corpus "
+    "(this entry probes an in-session persisted index and carries the "
+    "keep/drop POLICY; dedup_bronze_delta_probe in dedup_text.py is the "
+    "physical-layout half — the base index as the on-disk (band, bkey)-"
+    "bucketed bronze table, only the delta shuffling). Policy: "
     "a delta doc is dropped if it matches base or ANY smaller-id delta doc "
     "(batch-delta semantics — deterministic, no sequential dependency).",
 )
