@@ -11,6 +11,7 @@ becomes an optional bronze layer (parquet dir).
 from __future__ import annotations
 
 import os
+import threading
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -43,8 +44,12 @@ LAST_TIMINGS: dict[str, float] = {}
 # of the full 3-join scripts dataset per call for the session's lifetime.
 # The CURRENT run's cache intentionally outlives the call (the returned
 # split frames read from it lazily); callers wanting it gone sooner can
-# unpersist outputs['scripts'] themselves.
+# unpersist outputs['scripts'] themselves.  The lock serializes the
+# pop/persist/append window so two concurrent out_dir=None calls in one
+# process can't unpersist each other's still-live cache mid-build
+# (ADVICE r5) — contention is nil (held only for the swap, not the jobs).
 _LAST_SCRIPTS_CACHE: list[DataFrame] = []
+_SCRIPTS_CACHE_LOCK = threading.Lock()
 
 
 def _build_one(
@@ -73,10 +78,11 @@ def _build_one(
         if out_dir is not None:
             src = spark.read.parquet(os.path.join(out_dir, name))
         else:
-            while _LAST_SCRIPTS_CACHE:
-                _LAST_SCRIPTS_CACHE.pop().unpersist()
-            src = df.persist()
-            _LAST_SCRIPTS_CACHE.append(src)
+            with _SCRIPTS_CACHE_LOCK:
+                while _LAST_SCRIPTS_CACHE:
+                    _LAST_SCRIPTS_CACHE.pop().unpersist()
+                src = df.persist()
+                _LAST_SCRIPTS_CACHE.append(src)
         for half, pred in (
             ("scripts_bim", F.col("is_bim") == 1),
             ("scripts_designers", F.col("is_bim") == 0),

@@ -70,7 +70,7 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM inter
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
-    WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
+    WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.2
     """,
     doc="Exact word-3-gram Jaccard near-dup pairs (j >= 0.2) — the "
     "quadratic-in-collisions baseline the LSH path approximates.",
@@ -145,7 +145,7 @@ def _minhash_oracle(num_hashes: int = 16, bands: int = 4, rows: int = 4, thr: fl
     JOIN cand c ON c.id_a = i.id_a AND c.id_b = i.id_b
     JOIN sizes sa ON sa.doc_id = i.id_a
     JOIN sizes sb ON sb.doc_id = i.id_b
-    WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= {thr}
+    WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) >= {thr}
     """
 
 
@@ -456,7 +456,7 @@ def _bronze_delta_oracle(thr: float = 0.5) -> str:
     FROM inter i
     JOIN sizes sa ON sa.doc_id = i.delta_id
     JOIN sizes sb ON sb.doc_id = i.base_id
-    WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= {thr}
+    WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) >= {thr}
     """
 
 

@@ -14,7 +14,6 @@ from ..registry import register
 from ..streaming.events import sliding_window_counts
 
 _3H_US = 3 * 3600 * 1_000_000
-_CACHE = cache_root()
 
 
 def _tag(sf_dir: str) -> str:
@@ -105,7 +104,7 @@ def histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s16_mergeschema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
-    path = os.path.join(_CACHE, f"evolve_{_tag(sf_dir)}")
+    path = os.path.join(cache_root(), f"evolve_{_tag(sf_dir)}")
     v1 = c.filter(F.col("c_custkey") % 2 == 0).select("c_custkey", "c_name")
     v2 = c.filter(F.col("c_custkey") % 2 == 1).select(
         "c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal")

@@ -30,7 +30,6 @@ from ..workdir import cache_root, reap_warehouse, table_name
 from ..catalog import load_table
 from ..registry import register
 
-_CACHE = cache_root()
 
 # the restated day and the audit window proving its neighbors were untouched
 FIX_DAY = "2024-01-03"
@@ -65,7 +64,7 @@ AUDIT_LO, AUDIT_HI = "2024-01-01", "2024-01-05"
 def k8_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
     path = os.path.join(
-        _CACHE,
+        cache_root(),
         f"events_dyn_overwrite_{os.path.basename(os.path.normpath(sf_dir))}",
     )
     ev.write.mode("overwrite").partitionBy("day").parquet(path)
@@ -1367,7 +1366,7 @@ def federated_three_source_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # CSV dim (S1 path: header, enforced schema)
     csv_path = os.path.join(
-        _CACHE, f"fed_supplier_{os.path.basename(os.path.normpath(sf_dir))}"
+        cache_root(), f"fed_supplier_{os.path.basename(os.path.normpath(sf_dir))}"
     )
     load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_nationkey"
@@ -1378,7 +1377,7 @@ def federated_three_source_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # live JDBC dim
     db = os.path.join(
-        _CACHE, f"fed_derby_{os.path.basename(os.path.normpath(sf_dir))}"
+        cache_root(), f"fed_derby_{os.path.basename(os.path.normpath(sf_dir))}"
     )
     url = _derby_fresh(db)
     load_table(spark, sf_dir, "nation").write.mode("overwrite").option(

@@ -44,7 +44,6 @@ from ..workdir import cache_root
 from ..catalog import load_table
 from ..registry import register
 
-_CACHE = cache_root()
 
 
 def _tag(sf_dir: str) -> str:
@@ -70,7 +69,7 @@ def _tag(sf_dir: str) -> str:
 )
 def k7_partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    path = os.path.join(_CACHE, f"events_by_day_{_tag(sf_dir)}")
+    path = os.path.join(cache_root(), f"events_by_day_{_tag(sf_dir)}")
     (
         ev.withColumn("day", F.to_date("ts"))
         .write.mode("overwrite")
@@ -276,7 +275,7 @@ def layout_retention_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     ev = load_table(spark, sf_dir, "events")
-    path = os.path.join(_CACHE, f"events_retention_{_tag(sf_dir)}")
+    path = os.path.join(cache_root(), f"events_retention_{_tag(sf_dir)}")
     (
         ev.withColumn("day", F.to_date("ts"))
         .write.mode("overwrite")

@@ -31,7 +31,6 @@ from ..workdir import cache_root
 from ..catalog import load_table
 from ..registry import register
 
-_CACHE = cache_root()
 
 
 def _tag(sf_dir: str) -> str:
@@ -47,7 +46,7 @@ def _tag(sf_dir: str) -> str:
 )
 def s12_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    path = os.path.join(_CACHE, f"orc_docs_{_tag(sf_dir)}")
+    path = os.path.join(cache_root(), f"orc_docs_{_tag(sf_dir)}")
     d.write.mode("overwrite").orc(path)
     return spark.read.orc(path).select("doc_id", "text", "lang", "source", "n_chars")
 
@@ -62,7 +61,7 @@ def s12_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s13_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
-    path = os.path.join(_CACHE, f"xml_docs_{_tag(sf_dir)}")
+    path = os.path.join(cache_root(), f"xml_docs_{_tag(sf_dir)}")
     (
         d.write.mode("overwrite")
         .format("xml")
@@ -88,7 +87,7 @@ def _stage_one_file_per_doc(spark: SparkSession, sf_dir: str) -> str:
     This is the on-disk layout multimodal corpora use (one blob per object),
     staged without any driver materialization.
     """
-    path = os.path.join(_CACHE, f"binfiles_{_tag(sf_dir)}")
+    path = os.path.join(cache_root(), f"binfiles_{_tag(sf_dir)}")
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
         d = load_table(spark, sf_dir, "documents").select("doc_id", "text")

@@ -23,7 +23,6 @@ from ..operators.multimodal import (
 from ..registry import register
 from ..sources.files import flatten_structs, read_csv, read_json
 
-_CACHE = cache_root()
 
 
 def _tag(sf_dir: str) -> str:
@@ -41,7 +40,7 @@ def _tag(sf_dir: str) -> str:
 )
 def s1_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    path = os.path.join(_CACHE, f"csv_docs_{_tag(sf_dir)}")
+    path = os.path.join(cache_root(), f"csv_docs_{_tag(sf_dir)}")
     (
         d.write.mode("overwrite")
         .option("header", True)
@@ -71,7 +70,7 @@ def s3_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct(F.col("lang"), F.col("source")).alias("meta"),
         F.struct(F.col("n_chars").alias("n")).alias("stats"),
     )
-    path = os.path.join(_CACHE, f"json_docs_{_tag(sf_dir)}")
+    path = os.path.join(cache_root(), f"json_docs_{_tag(sf_dir)}")
     nested.write.mode("overwrite").json(path)
     back = read_json(
         spark,

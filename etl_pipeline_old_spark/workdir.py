@@ -28,8 +28,12 @@ import atexit
 import os
 import re
 import shutil
+import time
+
+_now = time.time  # seam: tests monkeypatch to simulate idle age
 
 _BASE = "/tmp/etl_pipeline_old_spark_cache"
+_LEGACY_REAP_AGE_S = 3600.0
 _SESS_RE = re.compile(r"^sess_(\d+)$")
 _TABLE_RE = re.compile(r"_p(\d+)$")
 
@@ -61,13 +65,17 @@ def _reap_dead_sessions() -> None:
             # dirs) live directly under _BASE; current code only ever
             # writes inside sess_* roots, so anything else is residue from
             # an older scheme — ~300 MB of it observed pre-cleanup.
-            # Assumption: every concurrently-live process runs THIS
-            # checkout (true here: one repo, the driver runs HEAD). A
-            # pre-session-token process running concurrently during an
-            # upgrade would lose its live dirs to this sweep — if such
-            # mixed-version concurrency ever becomes real, gate this
-            # branch on entry mtime age instead.
-            shutil.rmtree(os.path.join(_BASE, name), ignore_errors=True)
+            # Only reap entries untouched for >1h: a pre-session-token
+            # process running concurrently (mixed-version upgrade window)
+            # keeps touching its live feed/checkpoint dirs, so an age gate
+            # spares them while still draining dead residue (ADVICE r5).
+            path = os.path.join(_BASE, name)
+            try:
+                idle = _now() - os.path.getmtime(path)
+            except OSError:
+                continue  # vanished between listdir and stat
+            if idle > _LEGACY_REAP_AGE_S:
+                shutil.rmtree(path, ignore_errors=True)
 
 
 def cache_root() -> str:

@@ -50,14 +50,23 @@ def test_table_name_embeds_pid():
     assert W.table_name("bq_orders_sf0_01") == f"bq_orders_sf0_01_p{os.getpid()}"
 
 
-def test_legacy_layout_dirs_are_reaped(tmp_path, monkeypatch):
+def test_legacy_layout_dirs_are_reaped_only_when_idle(tmp_path, monkeypatch):
     """r3 pid-suffixed and r4 stable per-(tag, sf_dir) dirs live directly
     under the base; current code only writes inside sess_* roots, so any
-    non-sess entry is residue from an older scheme and must be swept."""
+    non-sess entry is residue from an older scheme — but it is swept only
+    once untouched for >1h (ADVICE r5: a concurrently-live pre-session
+    process keeps touching its dirs, so recent mtime means hands off)."""
     _fresh(monkeypatch, tmp_path)
     legacy = tmp_path / "ann_probe_sf0.01_12345_chk"
     legacy.mkdir()
     (tmp_path / "derby_sf0.01").mkdir()
+    W.cache_root()
+    # just-created: mtime is NOW, both survive the sweep
+    assert legacy.exists()
+    assert (tmp_path / "derby_sf0.01").exists()
+    # simulate >1h idle by advancing the sweep's clock
+    _fresh(monkeypatch, tmp_path)
+    monkeypatch.setattr(W, "_now", lambda: os.path.getmtime(legacy) + 3601)
     W.cache_root()
     assert not legacy.exists()
     assert not (tmp_path / "derby_sf0.01").exists()
