@@ -235,6 +235,19 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # Host-load context (r5 verdict #4): this box carries EXTERNAL load
+    # (loadavg ~5 observed with nothing of ours running), which uniformly
+    # inflates timings ~1.1-1.3x. Stamping the 1/5/15-min load averages
+    # (taken AFTER the run, when our own executors have gone idle, they
+    # still reflect the run window via the 5/15-min horizons) plus uptime
+    # lets BENCH_WATCH.md separate environment drift from plan regressions
+    # without a side-channel.
+    load1, load5, load15 = os.getloadavg()
+    try:
+        with open("/proc/uptime") as fh:
+            uptime_s = float(fh.read().split()[0])
+    except OSError:
+        uptime_s = None
     print(
         json.dumps(
             {
@@ -243,6 +256,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "loadavg": [round(load1, 2), round(load5, 2), round(load15, 2)],
+                "uptime_s": round(uptime_s, 1) if uptime_s is not None else None,
             }
         )
     )
