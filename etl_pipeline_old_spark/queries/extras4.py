@@ -409,6 +409,85 @@ def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.materialize_release(out, sh)
 
 
+def incremental_probe_matches_bronze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, matched_id) for the delta shard — same batch-delta
+    semantics as :func:`dedup_incremental_probe` (match base or ANY
+    smaller-id delta doc), but probing the ON-DISK (band, bkey)-bucketed
+    bronze base index (dedup_text.write_bronze_bands) instead of an
+    in-session persisted banding — the 100 TB refresh path (r5 verdict
+    #7): the base index amortizes across refreshes, and the delta banding
+    is shuffled to the bucket spec exactly ONCE — a persisted
+    repartition(BUCKETS, band, bkey) whose HashPartitioning satisfies the
+    join distribution of BOTH consumers (the base-index SortMergeJoin,
+    whose other side is the bucketed scan with no Exchange above it, and
+    the intra-delta self-join) — so no join ever re-shuffles the banding.
+    Plan-locked in
+    tests/test_storage_layout.py::test_refresh_probe_shuffles_only_the_delta.
+    """
+    import os
+
+    from ..workdir import reap_warehouse, table_name
+    from .dedup_text import BRONZE_BUCKETS, write_bronze_bands
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = DD.shingle_sets(d, "text", "doc_id").persist()
+    sh.count()  # eager: banding + both verify sides reuse one corpus scan
+    banded = DD.lsh_bands(DD.minhash_signatures(sh))
+    is_delta = F.col("id") % DELTA_MOD == 0
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    reap_warehouse(spark)
+    t = table_name(f"bronze_refresh_{tag}")
+    try:
+        write_bronze_bands(spark, banded.filter(~is_delta), t)
+        # ONE shuffle of the delta banding to the index's bucket spec; the
+        # persist pins the shuffled blocks so both consumer joins read the
+        # cache (InMemoryTableScan reports the repartition's partitioning,
+        # so neither join plans its own band Exchange)
+        delta_b = (
+            banded.filter(is_delta)
+            .select(F.col("id").alias("id_d"), "band", "bkey")
+            .repartition(BRONZE_BUCKETS, "band", "bkey")
+            .persist()
+        )
+        delta_b.count()  # eager: deterministic cache hits for both joins
+        base_b = spark.table(t).select(F.col("id").alias("id_o"), "band", "bkey")
+        cand_base = delta_b.hint("merge").join(base_b, ["band", "bkey"]).select(
+            "id_d", "id_o"
+        )
+        cand_intra = (
+            delta_b.hint("merge")
+            .join(
+                delta_b.select(F.col("id_d").alias("id_o"), "band", "bkey"),
+                ["band", "bkey"],
+            )
+            .filter(F.col("id_o") < F.col("id_d"))
+            .select("id_d", "id_o")
+        )
+        cand = (
+            cand_base.union(cand_intra)
+            .distinct()
+            .select(F.col("id_d").alias("id_a"), F.col("id_o").alias("id_b"))
+        )
+        matches = (
+            DD.jaccard_pairs(sh, candidates=cand)
+            .filter(F.col("jaccard") >= 0.5)
+            .select(F.col("id_a").alias("id_d"), F.col("id_b").alias("id_o"))
+        )
+        out = (
+            d.filter(F.col("doc_id") % DELTA_MOD == 0)
+            .select("doc_id")
+            .join(matches, F.col("doc_id") == F.col("id_d"), "left")
+            .groupBy("doc_id")
+            .agg(F.min("id_o").alias("matched_id"))
+        )
+        # eager: must complete before the finally drops the bronze table
+        return DD.materialize_release(out, sh, delta_b)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        sh.unpersist()
+
+
 # ---------------------------------------------------------------------------
 # Time-hierarchy rollup cascade + explicit grouping sets
 # ---------------------------------------------------------------------------

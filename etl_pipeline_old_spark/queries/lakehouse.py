@@ -249,8 +249,11 @@ def _refresh_oracle() -> str:
     "continuously growing training corpora. The delta shard (doc_id % 5) "
     "runs quality gating (text_quality_classifier's linear logit) -> "
     "exact dedup against base + earlier delta (one normalized-hash join) "
-    "-> near-dup LSH probe of the base band index "
-    "(dedup_incremental_probe's unit) -> append survivors; one audited "
+    "-> near-dup LSH probe of the ON-DISK (band, bkey)-bucketed bronze "
+    "base index (extras4.incremental_probe_matches_bronze: the delta "
+    "banding shuffles to the bucket spec ONCE, the index side is a "
+    "bucketed scan with no Exchange above it — plan-locked) "
+    "-> append survivors; one audited "
     "summary row (base size, delta size, per-stage drop counts, corpus "
     "size after). Every stage's work scales with the DELTA, never the "
     "accumulated corpus — the refresh invariant that matters at 100 TB. "
@@ -260,7 +263,7 @@ def _refresh_oracle() -> str:
 def pipeline_corpus_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup as DD
     from .corpus6 import text_quality_classifier
-    from .extras4 import DELTA_MOD, dedup_incremental_probe
+    from .extras4 import DELTA_MOD, incremental_probe_matches_bronze
 
     d = load_table(spark, sf_dir, "documents")
     is_delta = F.col("doc_id") % DELTA_MOD == 0
@@ -284,7 +287,7 @@ def pipeline_corpus_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("id_d").alias("doc_id"))
         .agg(F.min("id_o").alias("exact_match"))
     )
-    probe = dedup_incremental_probe(spark, sf_dir).select(
+    probe = incremental_probe_matches_bronze(spark, sf_dir).select(
         "doc_id", F.col("matched_id").alias("near_match")
     )
     act = (

@@ -269,3 +269,74 @@ def test_bronze_delta_probe_shuffles_only_the_delta(spark, sf_dir):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         sh.unpersist()
+
+
+def test_refresh_probe_shuffles_only_the_delta(spark, sf_dir):
+    """The corpus-refresh capstone's near-dup gate runs through the bronze
+    index (r5 verdict #7): the delta banding is shuffled to the bucket
+    spec exactly ONCE — a persisted repartition(BRONZE_BUCKETS, band,
+    bkey) whose partitioning both consumer joins inherit from the cache —
+    so in the candidate plan EVERY (band, bkey) hashpartitioning is that
+    single REPARTITION_BY_NUM at the bucket count (it prints inside the
+    InMemoryRelation's cached build plan), and NO join adds its own
+    ENSURE_REQUIREMENTS band Exchange: the base side feeds the
+    SortMergeJoin straight from the bucketed scan, the delta sides from
+    InMemoryTableScans of the one cached shuffle."""
+    import re
+
+    from etl_pipeline_old_spark.operators import dedup as DD
+    from etl_pipeline_old_spark.queries.dedup_text import (
+        BRONZE_BUCKETS,
+        write_bronze_bands,
+    )
+    from etl_pipeline_old_spark.queries.extras4 import DELTA_MOD
+    from etl_pipeline_old_spark.workdir import table_name
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = DD.shingle_sets(d, "text", "doc_id").persist()
+    banded = DD.lsh_bands(DD.minhash_signatures(sh))
+    is_delta = F.col("id") % DELTA_MOD == 0
+    t = table_name("bronze_refresh_plan_test")
+    delta_b = None
+    try:
+        write_bronze_bands(spark, banded.filter(~is_delta), t)
+        # exactly the candidate construction of incremental_probe_matches_bronze
+        delta_b = (
+            banded.filter(is_delta)
+            .select(F.col("id").alias("id_d"), "band", "bkey")
+            .repartition(BRONZE_BUCKETS, "band", "bkey")
+            .persist()
+        )
+        delta_b.count()
+        base_b = spark.table(t).select(F.col("id").alias("id_o"), "band", "bkey")
+        cand_base = delta_b.hint("merge").join(base_b, ["band", "bkey"]).select(
+            "id_d", "id_o"
+        )
+        cand_intra = (
+            delta_b.hint("merge")
+            .join(
+                delta_b.select(F.col("id_d").alias("id_o"), "band", "bkey"),
+                ["band", "bkey"],
+            )
+            .filter(F.col("id_o") < F.col("id_d"))
+            .select("id_d", "id_o")
+        )
+        cand = cand_base.union(cand_intra)
+        plan = plan_of(cand)
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan, "base side must scan buckets"
+        assert "InMemoryTableScan" in plan, "delta joins must read the cache"
+        band_parts = re.findall(r"hashpartitioning\(band[^)]*\)", plan)
+        assert band_parts, plan
+        # every band partitioning in the plan is the single bucket-count
+        # repartition; a join re-shuffling the banding would add one at
+        # spark.sql.shuffle.partitions via ENSURE_REQUIREMENTS
+        assert all(f", {BRONZE_BUCKETS})" in bp for bp in band_parts), band_parts
+        for m in re.finditer(r"hashpartitioning\(band[^)]*\)[^\n]*", plan):
+            assert "ENSURE_REQUIREMENTS" not in m.group(0), m.group(0)
+        assert cand.count() > 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        if delta_b is not None:
+            delta_b.unpersist()
+        sh.unpersist()
