@@ -294,3 +294,117 @@ def layout_retention_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("day").cast("long").alias("days_after"),
         F.date_format(F.min("day"), "yyyy-MM-dd").alias("oldest_day"),
     )
+
+
+# --- right-to-erasure, EXECUTED copy-on-write at the layout level ----------
+COW_BUCKETS = 16  # user-hash clustering width of the staged lake
+COW_ERASE_MOD = 20  # same manifest rule as gdpr_erasure_propagation
+
+
+@register(
+    "layout_erasure_cow",
+    oracle=f"""
+    WITH erase AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE ('0x' || substr(md5('erase:' || user_id::VARCHAR), 1, 15))
+              ::UBIGINT::BIGINT % {COW_ERASE_MOD} = 0),
+    tagged AS (
+      SELECT user_id, user_id % {COW_BUCKETS} AS bucket FROM events)
+    SELECT (SELECT count(DISTINCT bucket) FROM tagged)::BIGINT
+             AS n_parts_total,
+           (SELECT count(DISTINCT bucket) FROM tagged
+             WHERE user_id IN (SELECT user_id FROM erase))::BIGINT
+             AS n_parts_touched,
+           count(*)::BIGINT AS rows_before,
+           sum(CASE WHEN user_id IN (SELECT user_id FROM erase)
+                    THEN 1 ELSE 0 END)::BIGINT AS rows_deleted,
+           sum(CASE WHEN user_id IN (SELECT user_id FROM erase)
+                    THEN 0 ELSE 1 END)::BIGINT AS rows_after
+    FROM tagged
+    """,
+    doc="Right-to-erasure EXECUTED copy-on-write at the layout level (r5 "
+    "verdict #8; gdpr_erasure_propagation audits the logical half): the "
+    f"lake is staged CLUSTERED BY the erasure key — partitionBy(user_id "
+    f"% {COW_BUCKETS}) — which is what bounds DSAR cost in a real lake; "
+    "the hash-selected erasure manifest then maps to its affected "
+    "partitions, and the rewrite reads ONLY those partitions "
+    "(partition-pruned scan), anti-joins the broadcast manifest, and "
+    "swaps exactly those directories back via dynamic partition "
+    "overwrite — every untouched partition's files are left byte-"
+    "identical (asserted on mtime+size in tests/test_storage_layout.py), "
+    "the deletion-vector-free COW that Delta/Iceberg DELETE performs. A "
+    "bucket whose rows ALL belonged to erased users would yield no "
+    "survivor rows for dynamic overwrite to swap, so such directories "
+    "are dropped explicitly. At 100 TB: touched work is O(partitions "
+    "containing erased users) = O(manifest) under user clustering, never "
+    "a table rewrite; the audit row (partition counts, before/deleted/"
+    "after) is read back from the REWRITTEN lake, so a COW that lost or "
+    "leaked rows fails the value hash.",
+)
+def layout_erasure_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..operators.dedup import md5_long
+
+    ev = load_table(spark, sf_dir, "events")
+    path = os.path.join(cache_root(), f"events_erasure_{_tag(sf_dir)}")
+    staged = ev.withColumn("bucket", (F.col("user_id") % COW_BUCKETS).cast("int"))
+    staged.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    rows_before = spark.read.parquet(path).count()
+    # partition count measured from the layout itself, like
+    # layout_compaction_execute's file counts
+    n_parts_total = sum(1 for f in os.listdir(path) if f.startswith("bucket="))
+
+    erase = (
+        ev.select("user_id")
+        .distinct()
+        .filter(
+            md5_long(F.concat(F.lit("erase:"), F.col("user_id").cast("string")))
+            % COW_ERASE_MOD
+            == 0
+        )
+    )
+    # the manifest is tiny by construction (a DSAR batch); collecting it
+    # builds the partition-prune literals, exactly like the ANN probe's
+    # query-side collect (operators/similarity.py)
+    erased_ids = [r.user_id for r in erase.collect()]
+    touched = sorted({uid % COW_BUCKETS for uid in erased_ids})
+
+    # COW: read ONLY the affected partitions (PartitionFilters on bucket),
+    # drop the manifest's rows, swap those directories back. An empty
+    # manifest (possible at tiny SFs) means zero touched partitions and
+    # the rewrite is skipped outright — the O(manifest) invariant.
+    if touched:
+        affected = spark.read.parquet(path).filter(F.col("bucket").isin(touched))
+        # persist: the overwrite below replaces the very files this frame
+        # scans, so both consumers (the bucket audit and the write) must
+        # read the pinned pre-swap blocks, never the swapped listing
+        survivors = affected.filter(~F.col("user_id").isin(erased_ids)).persist()
+        # a fully-erased bucket leaves no survivor rows for dynamic
+        # overwrite to swap — record them BEFORE the swap and drop their
+        # directories explicitly (none at test SFs, but the job must not
+        # leak them on adversarial data)
+        left = {
+            r.bucket for r in survivors.select("bucket").distinct().collect()
+        }
+        (
+            survivors.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(path)
+        )
+        survivors.unpersist()
+        for b in touched:
+            if b not in left:
+                shutil.rmtree(
+                    os.path.join(path, f"bucket={b}"), ignore_errors=True
+                )
+
+    back = spark.read.parquet(path)
+    return back.agg(F.count("*").cast("long").alias("rows_after")).select(
+        F.lit(n_parts_total).cast("long").alias("n_parts_total"),
+        F.lit(len(touched)).cast("long").alias("n_parts_touched"),
+        F.lit(rows_before).cast("long").alias("rows_before"),
+        (F.lit(rows_before) - F.col("rows_after")).cast("long").alias("rows_deleted"),
+        "rows_after",
+    )

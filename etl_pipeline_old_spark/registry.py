@@ -114,6 +114,10 @@ _CORE_FIRST = (
     # operational companion, the delta-vs-bronze probe
     "dedup_bucketed_bronze",
     "dedup_bronze_delta_probe",
+    # round-6: executed copy-on-write erasure at the layout level (r5
+    # verdict #8) — uses 1 of the 4 spare prefix slots the r5 verdict
+    # allows beyond the 46-query never-verified tail
+    "layout_erasure_cow",
 )
 
 

@@ -340,3 +340,117 @@ def test_refresh_probe_shuffles_only_the_delta(spark, sf_dir):
         if delta_b is not None:
             delta_b.unpersist()
         sh.unpersist()
+
+
+def test_erasure_cow_rewrites_only_touched_partitions(spark, oracle_sf_dir, tmp_path):
+    """layout_erasure_cow's physical claim, checked file by file: after
+    the copy-on-write, every UNTOUCHED bucket directory holds exactly the
+    same files (name, size, mtime) it held before — byte-identical, never
+    re-read or re-written — while every touched bucket was swapped; and
+    the COW's read is partition-pruned to the touched buckets
+    (PartitionFilters in the scan). Runs at sf0.01, where every touched
+    bucket keeps survivors (the fully-erased-bucket edge case is covered
+    at sf0.001 by test_erasure_cow_drops_fully_erased_bucket)."""
+    sf_dir = oracle_sf_dir
+    from etl_pipeline_old_spark.operators.dedup import md5_long
+    from etl_pipeline_old_spark.queries.scale_ops import (
+        COW_BUCKETS,
+        COW_ERASE_MOD,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "events_cow")
+    staged = ev.withColumn("bucket", (F.col("user_id") % COW_BUCKETS).cast("int"))
+    staged.write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+    import os
+
+    def snapshot(p):
+        out = {}
+        for d in os.listdir(p):
+            if d.startswith("bucket="):
+                files = {}
+                for f in os.listdir(os.path.join(p, d)):
+                    if f.startswith("part-"):
+                        st = os.stat(os.path.join(p, d, f))
+                        files[f] = (st.st_size, st.st_mtime_ns)
+                out[d] = files
+        return out
+
+    before = snapshot(path)
+
+    erased_ids = [
+        r.user_id
+        for r in ev.select("user_id")
+        .distinct()
+        .filter(
+            md5_long(F.concat(F.lit("erase:"), F.col("user_id").cast("string")))
+            % COW_ERASE_MOD
+            == 0
+        )
+        .collect()
+    ]
+    assert erased_ids, "fixture must select a non-empty manifest at this SF"
+    touched = sorted({uid % COW_BUCKETS for uid in erased_ids})
+    assert 0 < len(touched) < len(before), (
+        "erasure must touch a strict subset of partitions for the "
+        "skip-evidence to mean anything"
+    )
+
+    affected = spark.read.parquet(path).filter(F.col("bucket").isin(touched))
+    plan = plan_of(affected)
+    assert "PartitionFilters" in plan and "bucket" in plan
+    survivors = affected.filter(~F.col("user_id").isin(erased_ids)).persist()
+    n_survivors = survivors.count()
+    (
+        survivors.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+    survivors.unpersist()
+
+    after = snapshot(path)
+    touched_dirs = {f"bucket={b}" for b in touched}
+    for d, files in before.items():
+        if d in touched_dirs:
+            assert after[d] != files, f"{d} should have been rewritten"
+        else:
+            assert after[d] == files, f"{d} was touched but holds no erased rows"
+
+    back = spark.read.parquet(path)
+    assert back.count() == ev.count() - ev.filter(
+        F.col("user_id").isin(erased_ids)
+    ).count()
+    assert back.filter(F.col("user_id").isin(erased_ids)).count() == 0
+    assert n_survivors == back.filter(F.col("bucket").isin(touched)).count()
+
+
+def test_erasure_cow_drops_fully_erased_bucket(spark, sf_dir):
+    """At sf0.001 the manifest selects exactly user 14, who is the ONLY
+    occupant of bucket=14 (user ids 0..14 under %16) — the adversarial
+    case where dynamic partition overwrite has no survivor rows to swap
+    in and would silently LEAK the old directory. The registered query
+    must drop it explicitly: the audit row reports the erasure and the
+    staged lake holds no bucket=14 directory afterwards."""
+    import os
+
+    from etl_pipeline_old_spark.queries.scale_ops import (
+        _tag,
+        layout_erasure_cow,
+    )
+    from etl_pipeline_old_spark.workdir import cache_root
+
+    row = layout_erasure_cow(spark, sf_dir).collect()[0]
+    assert row.n_parts_touched == 1
+    assert row.rows_deleted > 0
+    assert row.rows_after == row.rows_before - row.rows_deleted
+
+    path = os.path.join(cache_root(), f"events_erasure_{_tag(sf_dir)}")
+    dirs = {d for d in os.listdir(path) if d.startswith("bucket=")}
+    assert "bucket=14" not in dirs, "fully-erased partition must be dropped"
+    assert len(dirs) == row.n_parts_total - row.n_parts_touched
+
+    back = spark.read.parquet(path)
+    assert back.count() == row.rows_after
+    assert back.filter(F.col("user_id") == 14).count() == 0
