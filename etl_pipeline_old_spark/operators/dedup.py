@@ -377,6 +377,63 @@ def banded_candidate_pairs(
     )
 
 
+def ppjoin_dedup(
+    df: DataFrame, text_col: str, id_col: str, shingle_n: int = 3
+) -> DataFrame:
+    """EXACT set-similarity self-join at shingle Jaccard >= 0.7 via prefix
+    filtering (the PPJoin family, Xiao et al. 2008) — the deterministic
+    alternative to MinHash-LSH: no missed-pair probability, same shuffle
+    shape (element-keyed joins + one pair aggregate). Shingles are
+    globally ordered rarest-first; each document exposes only its first
+    ``len - ceil(t*len) + 1`` shingles; only documents sharing a PREFIX
+    shingle become candidates. The verify accepts ROUNDED round(J,4) >=
+    0.7, i.e. true J >= 0.69995, so both the prefix length
+    ``(69995*n + 99999) DIV 100000`` and the length filter
+    ``20000*min(n) >= 13999*max(n)`` use the rounding-safe 0.69995
+    algebra (ADVICE r4): a pruned pair provably cannot pass the verify in
+    either engine. Returns (id_a, id_b, jaccard). The integer constants
+    encode t = 0.7 exactly; other thresholds need their own safe algebra.
+
+    Scale shape: candidates grow with rare-shingle collisions, not n² —
+    but on a degenerate cluster of IDENTICAL documents every pair IS a
+    qualifying result, so the OUTPUT (hence any exact algorithm) is
+    inherently quadratic there; the capped-LSH star contract
+    (minhash_lsh_dedup bucket_cap) is the escape hatch, measured in
+    tools/scale_probe.py.
+    """
+    from pyspark.sql.window import Window as W
+
+    sh = shingle_sets(df, text_col, id_col, shingle_n).persist()
+    sh.count()  # eager: df/size/prefix builds + both verify sides hit the cache
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    df_ = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    ranked = (
+        sh.join(df_, "sh")
+        .join(sizes, "id")
+        .withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("id").orderBy("df", "sh")),
+        )
+    )
+    pref = ranked.filter(
+        F.col("rn") <= F.col("n_sh") - F.expr("(69995 * n_sh + 99999) DIV 100000") + 1
+    ).select("id", "sh", "n_sh")
+    cand = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (20000 * F.col("a.n_sh") >= 13999 * F.col("b.n_sh"))
+            & (20000 * F.col("b.n_sh") >= 13999 * F.col("a.n_sh")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    out = jaccard_pairs(sh, candidates=cand).filter(F.col("jaccard") >= 0.7)
+    return materialize_release(out, sh)
+
+
 def minhash_lsh_dedup(
     df: DataFrame,
     text_col: str,

@@ -514,47 +514,14 @@ def _ppjoin_oracle() -> str:
     "identical, provably-sound prefixes.",
 )
 def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # full implementation (incl. the rounding-safe 0.69995 prefix + length
+    # algebra, ADVICE r4) lives in operators/dedup.ppjoin_dedup so
+    # tools/scale_probe.py can race it against MinHash-LSH and the
+    # bucketed-bronze path on the same inflated corpus (r5 verdict #6)
     from ..operators import dedup as DD
 
     d = load_table(spark, sf_dir, "documents")
-    # (id, sh) — persisted: it feeds the df/size/prefix builds AND the
-    # candidates-first verify (same pattern as dedup_incremental_probe)
-    sh = DD.shingle_sets(d, "text", "doc_id", 3).persist()
-    sh.count()  # eager: df/size/prefix builds + both verify sides hit the cache
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    df_ = sh.groupBy("sh").agg(F.count("*").alias("df"))
-    ranked = (
-        sh.join(df_, "sh")
-        .join(sizes, "id")
-        .withColumn(
-            "rn",
-            F.row_number().over(W.partitionBy("id").orderBy("df", "sh")),
-        )
-    )
-    pref = ranked.filter(
-        F.col("rn") <= F.col("n_sh") - F.expr("(69995 * n_sh + 99999) DIV 100000") + 1
-    ).select("id", "sh", "n_sh")
-    # PPJoin's LENGTH filter rides along for free: J(a,b) <= min/max of the
-    # set sizes. The verify accepts the ROUNDED round(J,4) >= 0.7, i.e.
-    # true J >= 0.69995, so the prune bound must be the ROUNDING-SAFE
-    # 20000*min(n) >= 13999*max(n) (ADVICE r4): a pruned pair has
-    # min/max < 0.69995, hence round(J,4) <= 0.6999 — provably rejected by
-    # the verify in both engines. The naive 10*min >= 7*max would drop a
-    # pair with true J in [0.69995, 0.7) that the oracle keeps.
-    cand = (
-        pref.alias("a")
-        .join(
-            pref.alias("b"),
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.id") < F.col("b.id"))
-            & (20000 * F.col("a.n_sh") >= 13999 * F.col("b.n_sh"))
-            & (20000 * F.col("b.n_sh") >= 13999 * F.col("a.n_sh")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
-    out = DD.jaccard_pairs(sh, candidates=cand).filter(F.col("jaccard") >= PPJOIN_T)
-    return DD.materialize_release(out, sh)
+    return DD.ppjoin_dedup(d, "text", "doc_id", 3)
 
 
 @register(

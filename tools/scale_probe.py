@@ -131,6 +131,164 @@ def main() -> None:
 
     doc_rows = run_family(base, probe_ops(base), inflate)
 
+    # --- dedup algorithm race (r5 verdict #6): PPJoin vs MinHash-LSH vs
+    # bucketed bronze on the SAME n-doubling corpus. Inflation creates
+    # k-sized near-dup clusters (copies share almost all shingles), so
+    # output pairs grow ~k²·n/2 for every EXACT algorithm — the race
+    # measures candidate discipline, not output size.
+    from etl_pipeline_old_spark.queries.dedup_text import (  # noqa: E402
+        BRONZE_CAP,
+        write_bronze_bands,
+    )
+    from etl_pipeline_old_spark.workdir import table_name  # noqa: E402
+
+    def ppjoin_run(spark, d) -> int:
+        return DD.ppjoin_dedup(d, "text", "doc_id", 3).count()
+
+    def lsh_run(spark, d) -> int:
+        return DD.minhash_lsh_dedup(d, "text", "doc_id", threshold=0.5).count()
+
+    def bronze_state() -> dict:
+        return {"table": None, "sh": None}
+
+    _bronze = bronze_state()
+
+    def bronze_build_and_join(spark, d) -> int:
+        """Full bronze cycle: band, write the bucketed index, co-located
+        candidate self-join, verify — the one-shot cost that amortizes."""
+        sh = DD.shingle_sets(d, "text", "doc_id", 3).persist()
+        sh.count()
+        banded = DD.lsh_bands(DD.minhash_signatures(sh))
+        t = table_name("bronze_scale_probe")
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        write_bronze_bands(spark, banded, t)
+        cand = DD.banded_candidate_pairs(
+            spark.table(t), bucket_cap=BRONZE_CAP, self_join_hint="merge"
+        )
+        n = (
+            DD.jaccard_pairs(sh, candidates=cand)
+            .filter(F.col("jaccard") >= 0.5)
+            .count()
+        )
+        # keep index + shingles for the delta-probe measurement below
+        _bronze["table"], _bronze["sh"] = t, sh
+        return n
+
+    def bronze_delta_probe(spark, d) -> int:
+        """Amortized cost: a ~10% delta probes the ALREADY-BUILT index —
+        the recurring-refresh price once the one-shot build is sunk."""
+        t, sh = _bronze["table"], _bronze["sh"]
+        delta = d.filter(F.col("doc_id") % 10 == 0)
+        dsh = DD.shingle_sets(delta, "text", "doc_id", 3).persist()
+        dsh.count()
+        delta_b = DD.lsh_bands(DD.minhash_signatures(dsh)).select(
+            F.col("id").alias("id_a"), "band", "bkey"
+        )
+        base_b = spark.table(t).select(F.col("id").alias("id_b"), "band", "bkey")
+        cand = (
+            delta_b.hint("merge")
+            .join(base_b, ["band", "bkey"])
+            .filter(F.col("id_a") != F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        # verify against the full-corpus shingle cache (covers both sides;
+        # the delta's shingles are a subset of it)
+        n = (
+            DD.jaccard_pairs(sh, candidates=cand)
+            .filter(F.col("jaccard") >= 0.5)
+            .count()
+        )
+        dsh.unpersist()
+        return n
+
+    def bronze_cleanup(spark):
+        if _bronze["table"]:
+            spark.sql(f"DROP TABLE IF EXISTS {_bronze['table']}")
+        if _bronze["sh"] is not None:
+            _bronze["sh"].unpersist()
+        _bronze["table"], _bronze["sh"] = None, None
+
+    DEDUP_FACTORS = (1, 2, 4)
+    race_algos = (
+        ("ppjoin_exact_t0.7", ppjoin_run),
+        ("minhash_lsh_t0.5", lsh_run),
+        ("bronze_build+join_t0.5", bronze_build_and_join),
+        ("bronze_delta_probe(10%)", bronze_delta_probe),
+    )
+    # warm every algo shape once on the base corpus
+    for _, fn in race_algos:
+        fn(spark, base)
+    bronze_cleanup(spark)
+
+    race_rows: list[tuple[str, int, int, float]] = []
+    for k in DEDUP_FACTORS:
+        d = (base if k == 1 else inflate(base, k)).persist()
+        n_docs = d.count()
+        for name, fn in race_algos:
+            t0 = time.perf_counter()
+            n_pairs = fn(spark, d)
+            race_rows.append(
+                (name, n_docs, n_pairs, round(time.perf_counter() - t0, 2))
+            )
+            print(race_rows[-1], flush=True)
+        bronze_cleanup(spark)
+        d.unpersist()
+
+    # PPJoin on the adversarial identical-doc cluster: every pair is a
+    # TRUE duplicate, so the exact output itself is n²/2 — measured at
+    # small n to exhibit the inherent quadratic (no algorithm choice can
+    # fix an output lower bound; the capped-LSH star contract can).
+    adv_pp_rows: list[tuple[int, int, float]] = []
+    boiler_text = (
+        "terms of service all rights reserved by the operator contact us at "
+        "the address below privacy policy cookie notice legal disclaimer "
+        "copyright twenty twenty four all trademarks acknowledged hereby"
+    )
+    for n in (250, 500, 1000):
+        d = (
+            spark.range(n)
+            .select(F.col("id").alias("doc_id"), F.lit(boiler_text).alias("text"))
+            .persist()
+        )
+        d.count()
+        t0 = time.perf_counter()
+        n_pairs = DD.ppjoin_dedup(d, "text", "doc_id", 3).count()
+        adv_pp_rows.append((n, n_pairs, round(time.perf_counter() - t0, 2)))
+        print(("ppjoin_adversarial", *adv_pp_rows[-1]), flush=True)
+        d.unpersist()
+
+    def race_table() -> list[str]:
+        by_algo: dict[str, list[tuple[int, int, float]]] = {}
+        for name, n_docs, n_pairs, secs in race_rows:
+            by_algo.setdefault(name, []).append((n_docs, n_pairs, secs))
+        sizes = sorted({n for _, n, _, _ in race_rows})
+        out = [
+            "| algorithm | "
+            + " | ".join(f"n={n}" for n in sizes)
+            + " | t(n4)/t(n1) | pairs @ n4 |",
+            "|---|" + "---|" * (len(sizes) + 2),
+        ]
+        for name, runs in by_algo.items():
+            secs = {n: s for n, _, s in runs}
+            pairs = {n: p for n, p, _ in runs}
+            ratio = round(secs[sizes[-1]] / secs[sizes[0]], 1)
+            out.append(
+                f"| {name} | "
+                + " | ".join(f"{secs[n]:.2f}s" for n in sizes)
+                + f" | {ratio}x | {pairs[sizes[-1]]} |"
+            )
+        return out
+
+    adv_pp_table = [
+        "| n identical docs | output pairs | wall |",
+        "|---|---|---|",
+        *[
+            f"| {n} | {p} (= n(n-1)/2) | {s:.2f}s |"
+            for n, p, s in adv_pp_rows
+        ],
+    ]
+
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     n_emb = emb.count()
     # warm on a PERSISTED input: the timed runs read from a persisted copy,
@@ -239,6 +397,54 @@ def main() -> None:
         "## Corpus operators",
         "",
         *table(doc_rows),
+        "",
+        "## Dedup algorithm race: PPJoin vs MinHash-LSH vs bucketed bronze",
+        "",
+        "Same n-doubling corpus for all algorithms (sf0.1 documents "
+        "inflated 1/2/4-fold; copies are near-dups of their originals, so "
+        "every exact algorithm's OUTPUT grows ~k² per cluster — the race "
+        "measures candidate discipline and shuffle shape, not output "
+        "size). `bronze_build+join` is the one-shot index-build cost; "
+        "`bronze_delta_probe` is the recurring cost of a 10% delta "
+        "probing the already-built index — the amortized refresh price.",
+        "",
+        *race_table(),
+        "",
+                "Reading the crossover: MinHash-LSH already beats exact PPJoin at "
+        "n=5000 (3.4s vs 6.0s) and the gap WIDENS with size (2.8x vs 3.7x "
+        "growth over the same 4x input) — PPJoin's candidate set grows with "
+        "rare-shingle collisions, and the inflation's near-dup clusters "
+        "feed exactly those, so exactness costs progressively more as "
+        "duplication rises; PPJoin is the right tool only when missed-pair "
+        "probability must be zero. The bronze build matches the in-memory "
+        "LSH run (5.8s vs 5.5s at n=10k) while ALSO leaving the on-disk "
+        "index, i.e. the index is free if you were running LSH anyway. The "
+        "delta probe is the cheapest row at every size and grows slowest "
+        "(2.2x): at these test sizes fixed per-job overhead (banding + "
+        "verify session cost, ~2s) still dominates its wall, so the "
+        "measured gap vs a full run is ~1.5-1.7x — the at-scale separation "
+        "is structural, not extrapolated from these walls: the plan-locks "
+        "(tests/test_storage_layout.py) prove the probe shuffles ONLY the "
+        "delta banding while every full algorithm re-shuffles the whole "
+        "corpus, so at 100 TB with a 0.1% daily delta the probe moves "
+        "~1000x fewer bytes. PPJoin's growth stays far from n2 on this "
+        "organic corpus (ratios track the cluster growth); see the "
+        "adversarial table below for its inherent limit.",
+        "",
+        "### PPJoin on the adversarial identical-doc cluster",
+        "",
+        *adv_pp_table,
+        "",
+        "Every pair of identical docs IS a true duplicate at any "
+        "threshold, so an EXACT algorithm's output — and therefore its "
+        "cost — has an n²/2 LOWER BOUND here; no candidate filter can "
+        "help (all prefixes collide, all lengths match). Doubling n "
+        "quadruples the measured output above, exactly as predicted. "
+        "Escaping the bound requires changing the output contract: the "
+        "capped-LSH star fallback (next table) emits cap²/2 + (n-cap) "
+        "edges per bucket, preserving connectivity for downstream "
+        "components at linear cost — the 100 TB answer for boilerplate "
+        "clusters.",
         "",
         "## Similarity / embedding operators (fixed 5-query probe set)",
         "",
