@@ -120,6 +120,10 @@ HEADLINE = [
 
 
 def main() -> None:
+    # environment signal: load BEFORE our own executors start — the 1-min
+    # value is what the box was doing without us (r5 verdict #4); the
+    # end-of-run stamp below is dominated by our own local[32] work
+    load_start = os.getloadavg()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
@@ -237,11 +241,12 @@ def main() -> None:
 
     # Host-load context (r5 verdict #4): this box carries EXTERNAL load
     # (loadavg ~5 observed with nothing of ours running), which uniformly
-    # inflates timings ~1.1-1.3x. Stamping the 1/5/15-min load averages
-    # (taken AFTER the run, when our own executors have gone idle, they
-    # still reflect the run window via the 5/15-min horizons) plus uptime
-    # lets BENCH_WATCH.md separate environment drift from plan regressions
-    # without a side-channel.
+    # inflates timings ~1.1-1.3x. loadavg_start (captured before the
+    # session came up) is the clean environment signal; this end-of-run
+    # stamp is dominated by our own executors but its 5/15-min horizons
+    # bound what the box carried during the run. Together with uptime
+    # they let BENCH_WATCH.md separate environment drift from plan
+    # regressions without a side-channel.
     load1, load5, load15 = os.getloadavg()
     try:
         with open("/proc/uptime") as fh:
@@ -256,6 +261,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "loadavg_start": [round(v, 2) for v in load_start],
                 "loadavg": [round(load1, 2), round(load5, 2), round(load15, 2)],
                 "uptime_s": round(uptime_s, 1) if uptime_s is not None else None,
             }
