@@ -408,3 +408,84 @@ def layout_erasure_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(rows_before) - F.col("rows_after")).cast("long").alias("rows_deleted"),
         "rows_after",
     )
+
+
+@register(
+    "layout_erasure_dv",
+    oracle=f"""
+    WITH erase AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE ('0x' || substr(md5('erase:' || user_id::VARCHAR), 1, 15))
+              ::UBIGINT::BIGINT % {COW_ERASE_MOD} = 0),
+    tagged AS (
+      SELECT user_id, user_id % {COW_BUCKETS} AS bucket FROM events)
+    SELECT (SELECT count(DISTINCT bucket) FROM tagged)::BIGINT
+             AS n_files_total,
+           (SELECT count(DISTINCT bucket) FROM tagged
+             WHERE user_id IN (SELECT user_id FROM erase))::BIGINT
+             AS n_files_with_dv,
+           sum(CASE WHEN user_id IN (SELECT user_id FROM erase)
+                    THEN 1 ELSE 0 END)::BIGINT AS n_tombstones,
+           sum(CASE WHEN user_id IN (SELECT user_id FROM erase)
+                    THEN 0 ELSE 1 END)::BIGINT AS rows_visible
+    FROM tagged
+    """,
+    doc="Right-to-erasure MERGE-ON-READ — the deletion-vector half of the "
+    "story layout_erasure_cow executes as copy-on-write: the erasure "
+    "manifest is resolved to a POSITIONAL deletion vector of real "
+    "(file_path, row_index) pairs via the parquet scan's _metadata "
+    "column (exactly what a Delta/Iceberg DV stores), and the read path "
+    "then broadcast-anti-joins the DV BY POSITION — not by key — so "
+    "readers never need the manifest and NOT ONE data file is rewritten "
+    "(asserted on file mtimes in tests/test_storage_layout.py; the "
+    "staged lake is one file per user-bucket, so the DV's file fan-out "
+    "is deterministic). The audit row (files total / files carrying "
+    "tombstones / tombstone count / rows visible through the DV) is "
+    "computed entirely in-plan, zero driver collects. At 100 TB this is "
+    "the DELETE fast path: O(manifest) DV build cost and unchanged "
+    "files, traded against a per-read anti-join until compaction (the "
+    "COW query) materializes the deletes.",
+)
+def layout_erasure_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import md5_long
+
+    ev = load_table(spark, sf_dir, "events")
+    path = os.path.join(cache_root(), f"events_erasure_dv_{_tag(sf_dir)}")
+    staged = ev.withColumn("bucket", (F.col("user_id") % COW_BUCKETS).cast("int"))
+    # one task per bucket -> exactly one file per bucket directory: the
+    # DV's file fan-out equals the touched-bucket count, deterministically
+    (
+        staged.repartition(COW_BUCKETS, "bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+    scan = spark.read.parquet(path).select(
+        "user_id",
+        F.col("_metadata.file_path").alias("__f"),
+        F.col("_metadata.row_index").alias("__i"),
+    )
+    is_erased = (
+        md5_long(F.concat(F.lit("erase:"), F.col("user_id").cast("string")))
+        % COW_ERASE_MOD
+        == 0
+    )
+    dv = scan.filter(is_erased).select("__f", "__i")
+    # merge-on-read: tombstones applied by POSITION; the broadcast DV is
+    # tiny by construction (a DSAR batch)
+    visible = scan.join(F.broadcast(dv), ["__f", "__i"], "left_anti")
+
+    audit_vis = visible.agg(F.count("*").cast("long").alias("rows_visible"))
+    audit_dv = dv.agg(
+        F.count("*").cast("long").alias("n_tombstones"),
+        F.countDistinct("__f").cast("long").alias("n_files_with_dv"),
+    )
+    audit_files = scan.agg(
+        F.countDistinct("__f").cast("long").alias("n_files_total")
+    )
+    return (
+        audit_files.crossJoin(F.broadcast(audit_dv))
+        .crossJoin(F.broadcast(audit_vis))
+        .select("n_files_total", "n_files_with_dv", "n_tombstones", "rows_visible")
+    )

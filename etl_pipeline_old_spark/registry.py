@@ -118,6 +118,12 @@ _CORE_FIRST = (
     # verdict #8) — uses 1 of the 4 spare prefix slots the r5 verdict
     # allows beyond the 46-query never-verified tail
     "layout_erasure_cow",
+    # round-6: real on-disk PPM ingest (binaryFile scan -> genuine stdlib
+    # decode; r5 verdict #5 follow-through) — spare slot 2 of 4
+    "multimodal_ppm_ingest",
+    # round-6: merge-on-read positional deletion vector, the companion to
+    # layout_erasure_cow — spare slot 3 of 4
+    "layout_erasure_dv",
 )
 
 
