@@ -124,6 +124,16 @@ def md5_pixels(text: str, n: int = 64) -> list[int]:
     return px[:n]
 
 
+def md5_pixel_sql(j: int, text_col: str = "text") -> str:
+    """DuckDB SQL for pixel j of md5_pixels: byte j%16 of
+    md5('p{j//16}:' || text). The single source of truth for the oracle-side
+    formula — the phash and ppm-ingest oracles both build from it, so a
+    change here (or in md5_pixels above) cannot desynchronize them."""
+    return (
+        f"('0x' || substr(md5('p{j // 16}:' || {text_col}), {(j % 16) * 2 + 1}, 2))::INT"
+    )
+
+
 def make_image_table(docs: DataFrame, width: int = 8, height: int = 8) -> DataFrame:
     """Render each document as a REAL 8x8 binary-PPM image (P6 bytes a
     netpbm viewer opens) carried in a binary column — the ingest stand-in

@@ -38,17 +38,19 @@ DATASETS = {
 # instead of argued from commit messages (r4 verdict #4).
 LAST_TIMINGS: dict[str, float] = {}
 
-# the scripts frame persisted by the most recent out_dir=None run: kept so
-# a LATER out_dir=None run can release it before pinning a fresh copy —
-# without this, repeated library calls would accumulate one InMemoryRelation
-# of the full 3-join scripts dataset per call for the session's lifetime.
-# The CURRENT run's cache intentionally outlives the call (the returned
-# split frames read from it lazily); callers wanting it gone sooner can
-# unpersist outputs['scripts'] themselves.  The lock serializes the
-# pop/persist/append window so two concurrent out_dir=None calls in one
-# process can't unpersist each other's still-live cache mid-build
-# (ADVICE r5) — contention is nil (held only for the swap, not the jobs).
-_LAST_SCRIPTS_CACHE: list[DataFrame] = []
+# the scripts frame persisted by each thread's most recent out_dir=None
+# run: kept so that thread's NEXT run can release it before pinning a
+# fresh copy — without this, repeated library calls would accumulate one
+# InMemoryRelation of the full 3-join scripts dataset per call for the
+# session's lifetime. The CURRENT run's cache intentionally outlives the
+# call (the returned split frames read from it lazily); callers wanting
+# it gone sooner can unpersist outputs['scripts'] themselves. Keyed BY
+# THREAD so a run can only ever release its own thread's prior cache —
+# a concurrent builder on another thread can never lose its still-live
+# cache mid-build (ADVICE r5; a shared LIFO guarded by the same lock
+# would still let the second caller pop the first caller's entry). The
+# dict stays tiny: one entry per thread that ever built out_dir=None.
+_LAST_SCRIPTS_CACHE: dict[int, DataFrame] = {}
 _SCRIPTS_CACHE_LOCK = threading.Lock()
 
 
@@ -78,11 +80,13 @@ def _build_one(
         if out_dir is not None:
             src = spark.read.parquet(os.path.join(out_dir, name))
         else:
+            tid = threading.get_ident()
             with _SCRIPTS_CACHE_LOCK:
-                while _LAST_SCRIPTS_CACHE:
-                    _LAST_SCRIPTS_CACHE.pop().unpersist()
+                prev = _LAST_SCRIPTS_CACHE.pop(tid, None)
+                if prev is not None:
+                    prev.unpersist()
                 src = df.persist()
-                _LAST_SCRIPTS_CACHE.append(src)
+                _LAST_SCRIPTS_CACHE[tid] = src
         for half, pred in (
             ("scripts_bim", F.col("is_bim") == 1),
             ("scripts_designers", F.col("is_bim") == 0),

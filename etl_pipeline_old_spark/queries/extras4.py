@@ -330,7 +330,7 @@ def _incremental_cte(thr: float = 0.5) -> str:
       FROM inter i
       JOIN sizes sa ON sa.doc_id = i.id_d
       JOIN sizes sb ON sb.doc_id = i.id_o
-      WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= {thr})"""
+      WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) >= {thr})"""
 
 
 def _incremental_oracle(thr: float = 0.5) -> str:
@@ -438,6 +438,7 @@ def incremental_probe_matches_bronze(spark: SparkSession, sf_dir: str) -> DataFr
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     reap_warehouse(spark)
     t = table_name(f"bronze_refresh_{tag}")
+    delta_b = None
     try:
         write_bronze_bands(spark, banded.filter(~is_delta), t)
         # ONE shuffle of the delta banding to the index's bucket spec; the
@@ -485,7 +486,11 @@ def incremental_probe_matches_bronze(spark: SparkSession, sf_dir: str) -> DataFr
         return DD.materialize_release(out, sh, delta_b)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+        # release both caches on error paths too (materialize_release
+        # already unpersisted them on success; unpersist is idempotent)
         sh.unpersist()
+        if delta_b is not None:
+            delta_b.unpersist()
 
 
 # ---------------------------------------------------------------------------

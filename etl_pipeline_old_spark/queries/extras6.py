@@ -325,10 +325,11 @@ def events_running_balance_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _phash_pixel_sql(j: int) -> str:
-    """Fake pixel j in SQL: byte j%16 of md5('p{j//16}:' || text)."""
-    return (
-        f"('0x' || substr(md5('p{j // 16}:' || text), {(j % 16) * 2 + 1}, 2))::INT"
-    )
+    """Pixel j in SQL — the shared formula beside
+    operators/multimodal.md5_pixels (single source of truth)."""
+    from ..operators.multimodal import md5_pixel_sql
+
+    return md5_pixel_sql(j)
 
 
 def _phash_oracle() -> str:

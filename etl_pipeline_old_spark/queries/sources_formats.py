@@ -149,12 +149,12 @@ def s15_wholetext_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ppm_pixel_sql(j: int) -> str:
-    """DuckDB: rendered gray pixel j of a doc — byte j%16 of
-    md5('p{j//16}:' || text), identical to operators/multimodal.md5_pixels
-    (and to extras6's phash oracle pixels)."""
-    return (
-        f"('0x' || substr(md5('p{j // 16}:' || text), {(j % 16) * 2 + 1}, 2))::INT"
-    )
+    """DuckDB: rendered gray pixel j of a doc — delegates to the shared
+    formula next to operators/multimodal.md5_pixels so the ingest oracle
+    cannot drift from the renderer (or the phash oracles)."""
+    from ..operators.multimodal import md5_pixel_sql
+
+    return md5_pixel_sql(j)
 
 
 def _stage_ppm_files(spark: SparkSession, sf_dir: str) -> str:

@@ -50,6 +50,28 @@ def _pid_alive(pid: int) -> bool:
     return True
 
 
+def _newest_mtime(path: str) -> float:
+    """Newest mtime anywhere under ``path`` (the entry itself, nested dirs,
+    and files). A live writer rarely touches the TOP-LEVEL dir's mtime —
+    a streaming checkpoint appends under offsets/ and commits/, and a
+    Derby db rewrites seg0/*.dat in place (no directory mtime change at
+    all) — so an idle gate must look at the deepest activity, not the
+    root stat. Legacy residue trees are small (a few hundred MB of
+    parquet/checkpoint files), so the one walk per process start is
+    cheap."""
+    try:
+        newest = os.path.getmtime(path)
+    except OSError:
+        return 0.0
+    for dirpath, _dirnames, filenames in os.walk(path):
+        for entry in (dirpath, *(os.path.join(dirpath, f) for f in filenames)):
+            try:
+                newest = max(newest, os.path.getmtime(entry))
+            except OSError:
+                continue  # vanished mid-walk
+    return newest
+
+
 def _reap_dead_sessions() -> None:
     try:
         entries = os.listdir(_BASE)
@@ -65,16 +87,18 @@ def _reap_dead_sessions() -> None:
             # dirs) live directly under _BASE; current code only ever
             # writes inside sess_* roots, so anything else is residue from
             # an older scheme — ~300 MB of it observed pre-cleanup.
-            # Only reap entries untouched for >1h: a pre-session-token
-            # process running concurrently (mixed-version upgrade window)
-            # keeps touching its live feed/checkpoint dirs, so an age gate
-            # spares them while still draining dead residue (ADVICE r5).
+            # Only reap entries with NO write anywhere in the tree for
+            # >1h: a pre-session-token process running concurrently
+            # (mixed-version upgrade window) keeps touching its live
+            # feed/checkpoint FILES — often without ever updating the
+            # top-level dir — so the gate stats the whole tree
+            # (_newest_mtime) while still draining dead residue
+            # (ADVICE r5 + r6 review).
             path = os.path.join(_BASE, name)
-            try:
-                idle = _now() - os.path.getmtime(path)
-            except OSError:
+            newest = _newest_mtime(path)
+            if newest == 0.0:
                 continue  # vanished between listdir and stat
-            if idle > _LEGACY_REAP_AGE_S:
+            if _now() - newest > _LEGACY_REAP_AGE_S:
                 shutil.rmtree(path, ignore_errors=True)
 
 

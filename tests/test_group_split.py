@@ -101,4 +101,5 @@ def test_orchestrator_no_out_dir_releases_previous_cache(spark):
         assert second["scripts"].count() > 0
     finally:
         while orchestrator._LAST_SCRIPTS_CACHE:
-            orchestrator._LAST_SCRIPTS_CACHE.pop().unpersist()
+            _tid, frame = orchestrator._LAST_SCRIPTS_CACHE.popitem()
+            frame.unpersist()

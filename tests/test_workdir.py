@@ -64,9 +64,23 @@ def test_legacy_layout_dirs_are_reaped_only_when_idle(tmp_path, monkeypatch):
     # just-created: mtime is NOW, both survive the sweep
     assert legacy.exists()
     assert (tmp_path / "derby_sf0.01").exists()
+    # a live writer touches nested FILES without updating the top dir's
+    # mtime (streaming offsets/, Derby seg0/*.dat) — the gate must stat
+    # the whole tree, so a stale-rooted dir with one fresh nested file
+    # survives while fully-idle trees are reaped (r6 review)
+    live = tmp_path / "feed_sf0.01_99999"
+    (live / "offsets").mkdir(parents=True)
+    nested = live / "offsets" / "0"
+    nested.write_text("batch")
+    sweep_now = os.path.getmtime(legacy) + 3601
+    os.utime(nested, (sweep_now - 10, sweep_now - 10))
+    old = (sweep_now - 7200, sweep_now - 7200)
+    os.utime(live, old)
+    os.utime(live / "offsets", old)
     # simulate >1h idle by advancing the sweep's clock
     _fresh(monkeypatch, tmp_path)
-    monkeypatch.setattr(W, "_now", lambda: os.path.getmtime(legacy) + 3601)
+    monkeypatch.setattr(W, "_now", lambda: sweep_now)
     W.cache_root()
     assert not legacy.exists()
     assert not (tmp_path / "derby_sf0.01").exists()
+    assert nested.exists()  # fresh nested write kept the whole tree alive

@@ -258,6 +258,48 @@ def main() -> None:
         print(("ppjoin_adversarial", *adv_pp_rows[-1]), flush=True)
         d.unpersist()
 
+    def race_narrative() -> str:
+        """Crossover prose derived from THIS run's race_rows — never
+        hardcoded literals next to regenerated tables (r6 review: a rerun
+        under different load must not leave prose contradicting its own
+        tables)."""
+        secs = {(name, n): s for name, n, _, s in race_rows}
+        sizes = sorted({n for _, n, _, _ in race_rows})
+        n1, n4 = sizes[0], sizes[-1]
+
+        def g(name: str, n: int) -> float:
+            return secs[(name, n)]
+
+        def growth(name: str) -> float:
+            return g(name, n4) / g(name, n1)
+
+        pp, lsh = "ppjoin_exact_t0.7", "minhash_lsh_t0.5"
+        bb, dp = "bronze_build+join_t0.5", "bronze_delta_probe(10%)"
+        return (
+            f"Reading the crossover (this run): MinHash-LSH vs exact PPJoin "
+            f"at n={n1} is {g(lsh, n1):.1f}s vs {g(pp, n1):.1f}s, and their "
+            f"growth over the same {n4 // n1}x input is {growth(lsh):.1f}x "
+            f"vs {growth(pp):.1f}x — PPJoin's candidate set grows with "
+            "rare-shingle collisions, and the inflation's near-dup clusters "
+            "feed exactly those, so exactness costs progressively more as "
+            "duplication rises; PPJoin is the right tool only when "
+            "missed-pair probability must be zero. The bronze build runs "
+            f"{g(bb, n4):.1f}s vs the in-memory LSH's {g(lsh, n4):.1f}s at "
+            f"n={n4} while ALSO leaving the on-disk index, i.e. the index "
+            "is ~free if you were running LSH anyway. The delta probe is "
+            f"the cheapest row at every size and grows slowest "
+            f"({growth(dp):.1f}x): at these test sizes fixed per-job "
+            "overhead (banding + verify session cost) still dominates its "
+            "wall — the at-scale separation is structural, not "
+            "extrapolated from these walls: the plan-locks "
+            "(tests/test_storage_layout.py) prove the probe shuffles ONLY "
+            "the delta banding while every full algorithm re-shuffles the "
+            "whole corpus, so at 100 TB with a 0.1% daily delta the probe "
+            "moves ~1000x fewer bytes. PPJoin's growth stays far from n² "
+            "on this organic corpus (ratios track the cluster growth); see "
+            "the adversarial table below for its inherent limit."
+        )
+
     def race_table() -> list[str]:
         by_algo: dict[str, list[tuple[int, int, float]]] = {}
         for name, n_docs, n_pairs, secs in race_rows:
@@ -410,26 +452,7 @@ def main() -> None:
         "",
         *race_table(),
         "",
-                "Reading the crossover: MinHash-LSH already beats exact PPJoin at "
-        "n=5000 (3.4s vs 6.0s) and the gap WIDENS with size (2.8x vs 3.7x "
-        "growth over the same 4x input) — PPJoin's candidate set grows with "
-        "rare-shingle collisions, and the inflation's near-dup clusters "
-        "feed exactly those, so exactness costs progressively more as "
-        "duplication rises; PPJoin is the right tool only when missed-pair "
-        "probability must be zero. The bronze build matches the in-memory "
-        "LSH run (5.8s vs 5.5s at n=10k) while ALSO leaving the on-disk "
-        "index, i.e. the index is free if you were running LSH anyway. The "
-        "delta probe is the cheapest row at every size and grows slowest "
-        "(2.2x): at these test sizes fixed per-job overhead (banding + "
-        "verify session cost, ~2s) still dominates its wall, so the "
-        "measured gap vs a full run is ~1.5-1.7x — the at-scale separation "
-        "is structural, not extrapolated from these walls: the plan-locks "
-        "(tests/test_storage_layout.py) prove the probe shuffles ONLY the "
-        "delta banding while every full algorithm re-shuffles the whole "
-        "corpus, so at 100 TB with a 0.1% daily delta the probe moves "
-        "~1000x fewer bytes. PPJoin's growth stays far from n2 on this "
-        "organic corpus (ratios track the cluster growth); see the "
-        "adversarial table below for its inherent limit.",
+        race_narrative(),
         "",
         "### PPJoin on the adversarial identical-doc cluster",
         "",
