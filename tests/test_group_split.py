@@ -103,3 +103,41 @@ def test_orchestrator_no_out_dir_releases_previous_cache(spark):
         while orchestrator._LAST_SCRIPTS_CACHE:
             _tid, frame = orchestrator._LAST_SCRIPTS_CACHE.popitem()
             frame.unpersist()
+
+
+def test_orchestrator_concurrent_builds_keep_each_others_cache(spark):
+    """The scripts stash is keyed BY THREAD: a second thread's
+    out_dir=None build must not release the first thread's still-live
+    cache mid-build (r6 review — a lock alone only serializes the swap,
+    it cannot protect a cache the swap itself targets)."""
+    import threading
+
+    from etl_pipeline_old_spark.plans import orchestrator
+
+    main = orchestrator._build_one(
+        spark, "/root/testdata/sf0.001", None, "scripts"
+    )
+    main_cached = main["scripts"]
+    assert main_cached.count() > 0
+    assert main_cached.storageLevel.useMemory
+
+    worker_out: dict[str, object] = {}
+
+    def build():
+        worker_out.update(
+            orchestrator._build_one(spark, "/root/testdata/sf0.01", None, "scripts")
+        )
+
+    t = threading.Thread(target=build)
+    t.start()
+    t.join()
+    try:
+        # the worker's build released NOTHING of the main thread's
+        assert main_cached.storageLevel.useMemory
+        assert main["scripts_bim"].count() + main["scripts_designers"].count() > 0
+        # and its own cache is registered under its own thread key
+        assert len(orchestrator._LAST_SCRIPTS_CACHE) == 2
+    finally:
+        while orchestrator._LAST_SCRIPTS_CACHE:
+            _tid, frame = orchestrator._LAST_SCRIPTS_CACHE.popitem()
+            frame.unpersist()
