@@ -302,3 +302,56 @@ def test_f5_class_selected_map_property(spark, rows, order_a, order_b):
         return "НД"
 
     assert got == [py_f5(cls, t) for cls, t in rows]
+
+
+# --- PPJoin exactness: prefix-filtered join == brute-force all-pairs ------
+
+def _py_shingles(text: str, n: int = 3) -> frozenset[str]:
+    toks = re.sub(r"\s+", " ", text).strip().lower().split(" ")
+    if len(toks) < n:
+        return frozenset()
+    return frozenset(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1))
+
+
+# tiny vocab + duplicated/perturbed docs force shared shingles, so real
+# candidate pairs (incl. J right at the 0.7 boundary) actually occur
+_vocab = st.sampled_from(["alpha", "beta", "gamma", "delta", "ех", "юг"])
+_doc = st.lists(_vocab, min_size=1, max_size=8).map(" ".join)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_doc, min_size=2, max_size=10), st.data())
+def test_ppjoin_matches_brute_force(spark, docs, data):
+    """ppjoin_dedup claims EXACT set-similarity self-join at rounded
+    Jaccard >= 0.7 (true J >= 0.69995, the rounding-safe algebra): its
+    prefix/length filters may only prune pairs that provably cannot
+    qualify. Brute-force every pair in pure Python and require set
+    equality — a missed pair breaks exactness, an extra pair breaks the
+    threshold."""
+    from etl_pipeline_old_spark.operators.dedup import ppjoin_dedup
+
+    # duplicate one doc sometimes so exact-dup pairs (J=1) are frequent
+    if len(docs) >= 2 and data.draw(st.booleans()):
+        docs = docs + [docs[0]]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id: long, text: string"
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ppjoin_dedup(df, "text", "doc_id").collect()
+    }
+
+    want = {}
+    sets = [_py_shingles(t) for t in docs]
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            if not sets[a] or not sets[b]:
+                continue  # <3 tokens: no shingles, can never pair
+            inter = len(sets[a] & sets[b])
+            j = inter / (len(sets[a]) + len(sets[b]) - inter)
+            if j >= 0.69995:  # round(J,4) >= 0.7 in both engines
+                want[(a, b)] = j
+
+    assert set(got) == set(want)
+    for pair, j_spark in got.items():
+        assert abs(j_spark - want[pair]) <= 0.00005  # round(J,4) vs true J
