@@ -355,3 +355,42 @@ def test_ppjoin_matches_brute_force(spark, docs, data):
     assert set(got) == set(want)
     for pair, j_spark in got.items():
         assert abs(j_spark - want[pair]) <= 0.00005  # round(J,4) vs true J
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_doc, min_size=2, max_size=10))
+def test_minhash_lsh_sound_and_finds_exact_dups(spark, docs):
+    """MinHash-LSH is probabilistic on NEAR-dups (banding may miss a pair)
+    but two properties are exact and must always hold: (1) soundness —
+    the verify stage recomputes true Jaccard, so every emitted pair
+    really has round(J,4) >= 0.5; (2) identical documents have identical
+    signatures, hence identical band keys, hence are ALWAYS candidates —
+    an exact-duplicate pair can never be missed."""
+    from etl_pipeline_old_spark.operators.dedup import minhash_lsh_dedup
+
+    docs = docs + [docs[0]]  # guarantee at least one exact-dup pair
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id: long, text: string"
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_dedup(df, "text", "doc_id").collect()
+    }
+
+    sets = [_py_shingles(t) for t in docs]
+
+    def true_j(a: int, b: int) -> float:
+        inter = len(sets[a] & sets[b])
+        return inter / (len(sets[a]) + len(sets[b]) - inter)
+
+    # (1) soundness: no emitted pair below the rounding-safe bound
+    for (a, b), j_spark in got.items():
+        assert sets[a] and sets[b]
+        assert true_j(a, b) >= 0.49995, (a, b)
+        assert abs(j_spark - true_j(a, b)) <= 0.00005
+
+    # (2) completeness on EXACT duplicates (same normalized shingle set)
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            if sets[a] and sets[a] == sets[b]:
+                assert (a, b) in got, (a, b)
