@@ -85,6 +85,13 @@ def _build_one(
                 prev = _LAST_SCRIPTS_CACHE.pop(tid, None)
                 if prev is not None:
                     prev.unpersist()
+                # reap entries pinned by threads that no longer exist —
+                # without this, builds issued from many short-lived threads
+                # would each pin a full persisted scripts InMemoryRelation
+                # for the session lifetime (ADVICE r6)
+                live = {t.ident for t in threading.enumerate()}
+                for dead in [t for t in _LAST_SCRIPTS_CACHE if t not in live]:
+                    _LAST_SCRIPTS_CACHE.pop(dead).unpersist()
                 src = df.persist()
                 _LAST_SCRIPTS_CACHE[tid] = src
         for half, pred in (

@@ -366,9 +366,16 @@ def layout_erasure_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the manifest is tiny by construction (a DSAR batch); collecting it
     # builds the partition-prune literals, exactly like the ANN probe's
-    # query-side collect (operators/similarity.py)
-    erased_ids = [r.user_id for r in erase.collect()]
-    touched = sorted({uid % COW_BUCKETS for uid in erased_ids})
+    # query-side collect (operators/similarity.py). Buckets are derived
+    # IN-PLAN with the same `%` the staged column used: Python's modulo
+    # disagrees with Spark/DuckDB on negative user_ids (-3 % 16 is 13 in
+    # Python, -3 in SQL), so a driver-side `uid % COW_BUCKETS` would
+    # mis-target negative-bucket directories and leak erased rows.
+    erased = erase.select(
+        "user_id", (F.col("user_id") % COW_BUCKETS).cast("int").alias("bucket")
+    ).collect()
+    erased_ids = [r.user_id for r in erased]
+    touched = sorted({r.bucket for r in erased})
 
     # COW: read ONLY the affected partitions (PartitionFilters on bucket),
     # drop the manifest's rows, swap those directories back. An empty

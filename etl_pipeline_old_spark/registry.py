@@ -124,6 +124,11 @@ _CORE_FIRST = (
     # round-6: merge-on-read positional deletion vector, the companion to
     # layout_erasure_cow — spare slot 3 of 4
     "layout_erasure_dv",
+    # round-7: real PNG decode (r6 verdict #1) and DV-materializing
+    # compaction (r6 verdict #4) — new queries go here for a same-round
+    # driver CORRECTNESS row (r6 verdict #7)
+    "multimodal_png_ingest",
+    "layout_dv_compaction",
 )
 
 

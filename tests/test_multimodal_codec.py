@@ -65,12 +65,11 @@ def test_decode_truncated_raster_raises():
         decode_image_real(b"P6\n2 2\n255\n\x00\x00\x00")
 
 
-def test_compressed_magics_raise_not_implemented():
+def test_jpeg_magic_still_raises_not_implemented():
+    # JPEG needs a real DCT codec (Pillow seam); PNG now decodes natively
     jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 16
-    png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 16
-    for payload in (jpeg, png):
-        with pytest.raises(NotImplementedError, match="codec"):
-            decode_image_real(payload)
+    with pytest.raises(NotImplementedError, match="image library"):
+        decode_image_real(jpeg)
 
 
 def test_encode_decode_round_trip():
@@ -123,6 +122,160 @@ def test_image_table_payloads_are_real_decodable_ppm(spark):
     w, h, gray = decode_image_real(bytes(out[3].payload))
     assert (w, h) == (8, 8) and gray == md5_pixels("something else")
     assert len(ahash64(gray)) == 64
+
+
+# ---------------------------------------------------------------------------
+# PNG codec (r6 verdict #1): pure-stdlib non-interlaced 8-bit decode.
+# ---------------------------------------------------------------------------
+
+import struct
+import zlib
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from etl_pipeline_old_spark.operators.multimodal import encode_png
+
+# A 2x2 RGB PNG authored byte-for-byte from the spec (signature, IHDR,
+# one zlib-deflated IDAT holding two filter-0 scanlines, IEND) —
+# independent of encode_png. Pixels: red, green / blue, white — the SAME
+# image as HAND_P6, so all three codecs must agree.
+HAND_PNG = (
+    b"\x89PNG\r\n\x1a\n\x00\x00\x00\rIHDR\x00\x00\x00\x02\x00\x00\x00\x02"
+    b"\x08\x02\x00\x00\x00\xfd\xd4\x9as\x00\x00\x00\x12IDATx\x9cc\xf8\xcf"
+    b"\xc0\xc0\x00\xc2\x0c\xff\x81\x00\x00\x1f\xee\x05\xfb\x0b\xd9h\x8b"
+    b"\x00\x00\x00\x00IEND\xaeB`\x82"
+)
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def _raw_png(width, height, color, raw, depth=8, interlace=0):
+    """Assemble a PNG around an explicit pre-filtered raster — the
+    decoder-independent path for exercising specific filter bytes."""
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, color, 0, 0, interlace)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_decode_hand_written_png_matches_p6():
+    assert decode_image_real(HAND_PNG) == decode_image_real(HAND_P6)
+
+
+def test_png_unfilter_each_type_hand_crafted():
+    """Each filter type on a hand-filtered gray raster (NOT produced by our
+    encoder): 2x2 image with pixels 10 20 / 30 40, filtered by hand per
+    the spec's recon equations."""
+    cases = {
+        # (row1 filter+bytes, row2 filter+bytes)
+        0: b"\x00\x0a\x14" + b"\x00\x1e\x28",
+        1: b"\x01\x0a\x0a" + b"\x01\x1e\x0a",  # Sub: x - left
+        2: b"\x02\x0a\x14" + b"\x02\x14\x14",  # Up: x - up (prior row 0 for r1)
+        # Average: x - (left+up)//2 -> r1: 10-0, 20-5 ; r2: 30-5, 40-25
+        3: b"\x03\x0a\x0f" + b"\x03\x19\x0f",
+        # Paeth: r1 pred = left; r2 pred: p0=up(30->pred10? compute):
+        # r2x0: a=0 b=10 c=0 -> p=10 pb=0 -> pred=10, filt=20
+        # r2x1: a=30 b=20 c=10 -> p=40: pa=10 pb=20 pc=30 -> pred=a=30, filt=10
+        4: b"\x04\x0a\x0a" + b"\x04\x14\x0a",
+    }
+    for ftype, raw in cases.items():
+        w, h, gray = decode_image_real(_raw_png(2, 2, 0, raw))
+        assert (w, h, gray) == (2, 2, [10, 20, 30, 40]), f"filter {ftype}"
+
+
+def test_png_rgba_alpha_ignored():
+    # one RGBA pixel (100, 110, 120, alpha 7): gray = (100+110+120)//3
+    raw = b"\x00" + bytes([100, 110, 120, 7])
+    assert decode_image_real(_raw_png(1, 1, 6, raw)) == (1, 1, [110])
+
+
+def test_png_idat_split_across_chunks():
+    # the spec allows the zlib stream to span multiple IDAT chunks
+    raw = b"\x00\x0a\x14" + b"\x00\x1e\x28"
+    z = zlib.compress(raw)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", z[:5])
+        + _png_chunk(b"IDAT", z[5:])
+        + _png_chunk(b"IEND", b"")
+    )
+    assert decode_image_real(png) == (2, 2, [10, 20, 30, 40])
+
+
+def test_png_malformed_raises_value_error():
+    raw = b"\x00\x0a\x14" + b"\x00\x1e\x28"
+    good = _raw_png(2, 2, 0, raw)
+    # flip one IDAT payload byte -> CRC mismatch
+    bad = bytearray(good)
+    idat_off = good.index(b"IDAT") + 4
+    bad[idat_off] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_image_real(bytes(bad))
+    with pytest.raises(ValueError, match="truncated|IHDR"):
+        decode_image_real(good[: len(good) - 20])
+    with pytest.raises(ValueError, match="interlace"):
+        decode_image_real(_raw_png(2, 2, 0, raw, interlace=1))
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_image_real(_raw_png(2, 2, 0, raw, depth=16))
+    with pytest.raises(ValueError, match="filter type"):
+        decode_image_real(_raw_png(2, 2, 0, b"\x05\x0a\x14" + b"\x00\x1e\x28"))
+    with pytest.raises(ValueError, match="raster size"):
+        decode_image_real(_raw_png(3, 2, 0, raw))
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(1, 9),
+    st.integers(1, 9),
+    st.integers(0, 4),
+    st.sampled_from([0, 2, 6]),
+    st.data(),
+)
+def test_png_encode_decode_round_trip_property(w, h, ftype, ctype, data):
+    """encode_png -> decode_image_real is the identity on (w, h, gray) for
+    every color type x filter type x random raster — the round-trip
+    property the r6 verdict asks for."""
+    gray = data.draw(
+        st.lists(st.integers(0, 255), min_size=w * h, max_size=w * h)
+    )
+    payload = encode_png(gray, w, h, color_type=ctype, filter_type=ftype)
+    assert payload.startswith(b"\x89PNG\r\n\x1a\n")
+    assert decode_image_real(payload) == (w, h, gray)
+
+
+def test_real_png_files_on_disk_decode_via_binaryfile_scan(spark, tmp_path):
+    imgs = {
+        "1.png": encode_png(md5_pixels("first doc"), 8, 8, color_type=6,
+                            filter_type=4),
+        "2.png": HAND_PNG,
+    }
+    for name, data in imgs.items():
+        (tmp_path / name).write_bytes(data)
+    rows = (
+        spark.read.format("binaryFile")
+        .load(str(tmp_path))
+        .select("path", "content")
+        .collect()
+    )
+    decoded = {
+        os.path.basename(r.path): decode_image_real(bytes(r.content))
+        for r in rows
+    }
+    assert decoded["2.png"] == (2, 2, [85, 85, 85, 255])
+    assert decoded["1.png"] == (8, 8, md5_pixels("first doc"))
 
 
 def test_phash_dedup_collides_only_identical_images(spark, tmp_path):

@@ -185,11 +185,18 @@ def main() -> None:
             F.col("id").alias("id_a"), "band", "bkey"
         )
         base_b = spark.table(t).select(F.col("id").alias("id_b"), "band", "bkey")
+        # the index holds the delta docs too (built from the full corpus),
+        # so a delta-delta pair surfaces in both orientations — canonicalize
+        # with least/greatest before distinct so this row's pair count is
+        # comparable with the other race algorithms (ADVICE r6)
         cand = (
             delta_b.hint("merge")
             .join(base_b, ["band", "bkey"])
             .filter(F.col("id_a") != F.col("id_b"))
-            .select("id_a", "id_b")
+            .select(
+                F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"),
+            )
             .distinct()
         )
         # verify against the full-corpus shingle cache (covers both sides;
