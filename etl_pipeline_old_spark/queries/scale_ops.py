@@ -496,3 +496,191 @@ def layout_erasure_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(audit_vis))
         .select("n_files_total", "n_files_with_dv", "n_tombstones", "rows_visible")
     )
+
+
+# Compaction trigger: rewrite a file once tombstones exceed this fraction
+# of its rows (Delta's OPTIMIZE and Iceberg's rewrite_data_files use the
+# same shape of threshold). 0.15 splits the sf0.01 DV lake 2 rewritten /
+# 2 still-tombstoned, so both paths are exercised by the oracle.
+DV_COMPACT_FRAC = 0.15
+
+
+def _stage_dv_lake(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Stage the user-bucketed events lake with exactly one file per bucket
+    directory (same layout layout_erasure_dv stages)."""
+    ev = load_table(spark, sf_dir, "events")
+    staged = ev.withColumn("bucket", (F.col("user_id") % COW_BUCKETS).cast("int"))
+    (
+        staged.repartition(COW_BUCKETS, "bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def _dv_compact(spark: SparkSession, path: str) -> DataFrame:
+    """MOR→COW compaction over an already-staged DV lake: build the
+    positional deletion vector, rewrite ONLY the files whose tombstone
+    fraction exceeds DV_COMPACT_FRAC (materializing their deletes), keep
+    the DV entries of every other file, and audit that the rows visible
+    through the (now smaller) DV are unchanged. Shared by the registered
+    query and the physical byte-identity lock in tests/test_storage_layout."""
+    import shutil
+
+    from ..operators.dedup import md5_long
+
+    scan = spark.read.parquet(path).select(
+        "user_id",
+        "bucket",
+        F.col("_metadata.file_path").alias("__f"),
+        F.col("_metadata.row_index").alias("__i"),
+    )
+    is_erased = (
+        md5_long(F.concat(F.lit("erase:"), F.col("user_id").cast("string")))
+        % COW_ERASE_MOD
+        == 0
+    )
+    dv = scan.filter(is_erased).select("bucket", "__f", "__i").persist()
+
+    # planning pass: per-file tombstone fraction. The per-file stats frame
+    # is file-listing-sized (one row per data file) — collecting it is the
+    # metadata-sized driver step every OPTIMIZE planner performs, same
+    # pattern as layout_compaction_execute's sizing read.
+    per_file = (
+        scan.groupBy("bucket", "__f")
+        .agg(F.count("*").alias("n_rows"))
+        .join(
+            dv.groupBy("__f").agg(F.count("*").alias("n_tomb")), "__f", "left"
+        )
+        .withColumn("n_tomb", F.coalesce("n_tomb", F.lit(0)))
+        .withColumn("frac", F.col("n_tomb") / F.col("n_rows"))
+        .collect()
+    )
+    rewrite_buckets = sorted(
+        r.bucket for r in per_file if r.frac >= DV_COMPACT_FRAC
+    )
+    n_files_total = len(per_file)
+    tomb_total = sum(r.n_tomb for r in per_file)
+    tomb_mat = sum(r.n_tomb for r in per_file if r.frac >= DV_COMPACT_FRAC)
+
+    # the invariant the oracle checks: visibility through the DV must not
+    # change across compaction — measured BEFORE the rewrite...
+    rows_visible_before = scan.join(
+        F.broadcast(dv.select("__f", "__i")), ["__f", "__i"], "left_anti"
+    ).count()
+    # ...and the surviving DV (entries of files NOT rewritten) pinned to a
+    # LOCAL relation before the overwrite invalidates the staged listing —
+    # a DSAR-batch-sized collect, same scale argument as layout_erasure_cow's
+    # manifest collect (the full-lake DV would be partitioned state; the
+    # *surviving* DV is by construction the low-fraction tail).
+    rem_rows = [
+        (r["__f"], r["__i"])
+        for r in dv.filter(~F.col("bucket").isin(rewrite_buckets))
+        .select("__f", "__i")
+        .collect()
+    ]
+    remaining = spark.createDataFrame(rem_rows, "__f string, __i long")
+
+    if rewrite_buckets:
+        # COW half: partition-pruned read of just the high-fraction files,
+        # deletes applied BY POSITION (the DV semantics, not the key
+        # semantics), dynamic partition overwrite swaps the directories
+        affected = (
+            spark.read.parquet(path)
+            .filter(F.col("bucket").isin(rewrite_buckets))
+            .withColumn("__f", F.col("_metadata.file_path"))
+            .withColumn("__i", F.col("_metadata.row_index"))
+        )
+        survivors = (
+            affected.join(
+                F.broadcast(dv.select("__f", "__i")), ["__f", "__i"], "left_anti"
+            )
+            .drop("__f", "__i")
+            .persist()
+        )
+        # a fully-tombstoned file leaves nothing for dynamic overwrite to
+        # swap — drop its directory explicitly (the sf0.001 edge, same as
+        # layout_erasure_cow)
+        left = {r.bucket for r in survivors.select("bucket").distinct().collect()}
+        (
+            survivors.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(path)
+        )
+        survivors.unpersist()
+        for b in rewrite_buckets:
+            if b not in left:
+                shutil.rmtree(
+                    os.path.join(path, f"bucket={b}"), ignore_errors=True
+                )
+    dv.unpersist()
+
+    # read path after compaction: rewritten files carry no tombstones, the
+    # untouched files' DV entries still resolve (their paths are unchanged
+    # — asserted byte-identical in tests/test_storage_layout.py)
+    back = spark.read.parquet(path).select(
+        F.col("_metadata.file_path").alias("__f"),
+        F.col("_metadata.row_index").alias("__i"),
+    )
+    audit_vis = back.join(
+        F.broadcast(remaining), ["__f", "__i"], "left_anti"
+    ).agg(F.count("*").cast("long").alias("rows_visible_after"))
+    return audit_vis.select(
+        F.lit(n_files_total).cast("long").alias("n_files_total"),
+        F.lit(len(rewrite_buckets)).cast("long").alias("n_files_rewritten"),
+        F.lit(tomb_mat).cast("long").alias("tombstones_materialized"),
+        F.lit(tomb_total - tomb_mat).cast("long").alias("tombstones_remaining"),
+        F.lit(rows_visible_before).cast("long").alias("rows_visible_before"),
+        "rows_visible_after",
+    )
+
+
+@register(
+    "layout_dv_compaction",
+    oracle=f"""
+    WITH t AS (
+      SELECT user_id, user_id % {COW_BUCKETS} AS bucket,
+             CASE WHEN ('0x' || substr(md5('erase:' || user_id::VARCHAR), 1, 15))
+                       ::UBIGINT::BIGINT % {COW_ERASE_MOD} = 0
+                  THEN 1 ELSE 0 END AS er
+      FROM events),
+    fb AS (
+      SELECT bucket, count(*) AS n, sum(er) AS tomb,
+             sum(er) / count(*)::DOUBLE AS frac
+      FROM t GROUP BY bucket)
+    SELECT (SELECT count(*) FROM fb)::BIGINT AS n_files_total,
+           (SELECT count(*) FROM fb WHERE frac >= {DV_COMPACT_FRAC})::BIGINT
+             AS n_files_rewritten,
+           (SELECT coalesce(sum(tomb), 0) FROM fb
+              WHERE frac >= {DV_COMPACT_FRAC})::BIGINT
+             AS tombstones_materialized,
+           (SELECT coalesce(sum(tomb), 0) FROM fb
+              WHERE frac < {DV_COMPACT_FRAC})::BIGINT
+             AS tombstones_remaining,
+           (SELECT sum(1 - er) FROM t)::BIGINT AS rows_visible_before,
+           (SELECT sum(1 - er) FROM t)::BIGINT AS rows_visible_after
+    """,
+    doc="MOR→COW lifecycle closer (r6 verdict #4): layout_erasure_dv "
+    "leaves tombstones applied at read time forever; this query EXECUTES "
+    "the periodic compaction a real lake runs — stage the same one-file-"
+    "per-bucket DV lake, build the positional deletion vector, rewrite "
+    f"ONLY the files whose tombstone fraction is ≥ {DV_COMPACT_FRAC} "
+    "(partition-pruned read, deletes applied BY POSITION via broadcast "
+    "anti-join, dynamic partition overwrite swaps exactly those "
+    "directories, a fully-tombstoned file's directory is dropped "
+    "explicitly), and drop the materialized entries from the DV. The "
+    "audit row proves the contract: tombstones split into materialized + "
+    "remaining, and rows visible through the DV are IDENTICAL before and "
+    "after (the oracle computes both from the erasure rule, so a rewrite "
+    "that lost or resurrected even one row fails the value hash). "
+    "Untouched files are asserted byte-identical in "
+    "tests/test_storage_layout.py. At 100 TB: planning reads file-"
+    "listing-sized stats, the rewrite touches O(high-fraction files), "
+    "and every read between compactions pays the anti-join only for "
+    "still-tombstoned files.",
+)
+def layout_dv_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = os.path.join(cache_root(), f"events_dv_compact_{_tag(sf_dir)}")
+    _stage_dv_lake(spark, sf_dir, path)
+    return _dv_compact(spark, path)

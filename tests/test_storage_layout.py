@@ -522,3 +522,115 @@ def test_erasure_dv_leaves_every_file_untouched(spark, oracle_sf_dir):
         assert os.path.exists(f), f
 
     assert snapshot() == before, "merge-on-read must not touch a single file"
+
+
+def test_dv_compaction_rewrites_only_high_fraction_files(spark, oracle_sf_dir, tmp_path):
+    """layout_dv_compaction's physical claims, file by file: only the
+    buckets whose tombstone fraction ≥ DV_COMPACT_FRAC are rewritten
+    (their files change), every other file — INCLUDING the low-fraction
+    files that still carry tombstones — is byte-identical after the
+    compaction; materialized tombstone rows are physically gone from the
+    rewritten files while the remaining tombstone rows are still
+    physically present in the kept files; and visibility through the DV
+    is unchanged."""
+    import os
+
+    from etl_pipeline_old_spark.operators.dedup import md5_long
+    from etl_pipeline_old_spark.queries.scale_ops import (
+        COW_ERASE_MOD,
+        DV_COMPACT_FRAC,
+        _dv_compact,
+        _stage_dv_lake,
+    )
+
+    path = str(tmp_path / "dv_lake")
+    _stage_dv_lake(spark, oracle_sf_dir, path)
+
+    def snapshot():
+        out = {}
+        for d in os.listdir(path):
+            if d.startswith("bucket="):
+                files = {}
+                for f in os.listdir(os.path.join(path, d)):
+                    if f.startswith("part-"):
+                        st = os.stat(os.path.join(path, d, f))
+                        files[f] = (st.st_size, st.st_mtime_ns)
+                out[d] = files
+        return out
+
+    is_erased = (
+        md5_long(F.concat(F.lit("erase:"), F.col("user_id").cast("string")))
+        % COW_ERASE_MOD
+        == 0
+    )
+    pre = spark.read.parquet(path)
+    frac = {
+        r.bucket: r.tomb / r.n
+        for r in pre.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(is_erased, 1).otherwise(0)).alias("tomb"),
+        )
+        .collect()
+    }
+    hot = {b for b, fr in frac.items() if fr >= DV_COMPACT_FRAC}
+    cold_tombstoned = {b for b, fr in frac.items() if 0 < fr < DV_COMPACT_FRAC}
+    assert hot and cold_tombstoned, (
+        "fixture must exercise both sides of the threshold at this SF"
+    )
+    before = snapshot()
+
+    row = _dv_compact(spark, path).collect()[0]
+    after = snapshot()
+
+    for d, files in before.items():
+        b = int(d.split("=")[1])
+        if b in hot:
+            assert after.get(d) != files, f"{d} (frac {frac[b]:.3f}) must be rewritten"
+        else:
+            assert after[d] == files, (
+                f"{d} (frac {frac[b]:.3f}) must stay byte-identical — "
+                "compaction may only touch high-fraction files"
+            )
+
+    # audit row invariants
+    assert row.n_files_rewritten == len(hot)
+    assert row.rows_visible_before == row.rows_visible_after
+    assert row.tombstones_materialized > 0 and row.tombstones_remaining > 0
+
+    # physical row placement: materialized deletes are GONE from rewritten
+    # buckets; remaining tombstones are still physically present (applied
+    # only at read time)
+    back = spark.read.parquet(path)
+    assert back.filter(F.col("bucket").isin(list(hot)) & is_erased).count() == 0
+    remaining_physical = back.filter(
+        F.col("bucket").isin(list(cold_tombstoned)) & is_erased
+    ).count()
+    assert remaining_physical == row.tombstones_remaining
+    assert back.count() == row.rows_visible_after + row.tombstones_remaining
+
+
+def test_dv_compaction_drops_fully_tombstoned_file(spark, sf_dir):
+    """At sf0.001 the erasure rule tombstones 100% of bucket=14 (its only
+    occupant is user 14) — compaction of that file has no survivors for
+    dynamic overwrite to swap, so the directory must be dropped
+    explicitly, and the audit must still balance."""
+    import os
+
+    from etl_pipeline_old_spark.queries.scale_ops import (
+        _tag,
+        layout_dv_compaction,
+    )
+    from etl_pipeline_old_spark.workdir import cache_root
+
+    row = layout_dv_compaction(spark, sf_dir).collect()[0]
+    assert row.rows_visible_before == row.rows_visible_after
+    assert row.tombstones_materialized > 0
+    assert row.tombstones_remaining == 0
+
+    path = os.path.join(cache_root(), f"events_dv_compact_{_tag(sf_dir)}")
+    dirs = {d for d in os.listdir(path) if d.startswith("bucket=")}
+    assert "bucket=14" not in dirs, "fully-tombstoned file must be dropped"
+    back = spark.read.parquet(path)
+    assert back.count() == row.rows_visible_after
+    assert back.filter(F.col("user_id") == 14).count() == 0
