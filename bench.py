@@ -247,6 +247,18 @@ def main() -> None:
     # bound what the box carried during the run. Together with uptime
     # they let BENCH_WATCH.md separate environment drift from plan
     # regressions without a side-channel.
+    # component attribution for the corpus-refresh capstone (r6 verdict
+    # #3): its headline number folds a one-time bronze-index build into
+    # the recurring refresh cost; the components make the amortized
+    # (probe-only) number visible without a side-channel.
+    from etl_pipeline_old_spark.queries import extras4
+
+    components = (
+        {"pipeline_corpus_refresh": dict(extras4.LAST_TIMINGS)}
+        if "pipeline_corpus_refresh" in timings and extras4.LAST_TIMINGS
+        else {}
+    )
+
     load1, load5, load15 = os.getloadavg()
     try:
         with open("/proc/uptime") as fh:
@@ -260,6 +272,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "components": components,
                 "sf": sf,
                 "loadavg_start": [round(v, 2) for v in load_start],
                 "loadavg": [round(load1, 2), round(load5, 2), round(load15, 2)],

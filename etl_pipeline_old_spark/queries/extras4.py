@@ -287,6 +287,13 @@ def window_range_1h_movstats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DELTA_MOD = 5  # doc_id % 5 == 0 plays the "newly arrived shard" (~20%)
 
+# wall-second components of the most recent incremental_probe_matches_bronze
+# call (shingle cache / one-shot bronze index build / recurring delta
+# probe). Read by bench.py so pipeline_corpus_refresh's headline number is
+# attributable to build-vs-probe instead of argued (r6 verdict #3); same
+# pattern as plans.orchestrator.LAST_TIMINGS.
+LAST_TIMINGS: dict[str, float] = {}
+
 
 def _incremental_cte(thr: float = 0.5) -> str:
     """CTE prefix shared with pipeline_corpus_refresh: shingles -> minhash
@@ -425,10 +432,12 @@ def incremental_probe_matches_bronze(spark: SparkSession, sf_dir: str) -> DataFr
     tests/test_storage_layout.py::test_refresh_probe_shuffles_only_the_delta.
     """
     import os
+    import time
 
     from ..workdir import reap_warehouse, table_name
     from .dedup_text import BRONZE_BUCKETS, write_bronze_bands
 
+    t_sh = time.perf_counter()
     d = load_table(spark, sf_dir, "documents")
     sh = DD.shingle_sets(d, "text", "doc_id").persist()
     sh.count()  # eager: banding + both verify sides reuse one corpus scan
@@ -440,7 +449,9 @@ def incremental_probe_matches_bronze(spark: SparkSession, sf_dir: str) -> DataFr
     t = table_name(f"bronze_refresh_{tag}")
     delta_b = None
     try:
+        t_build = time.perf_counter()
         write_bronze_bands(spark, banded.filter(~is_delta), t)
+        t_probe = time.perf_counter()
         # ONE shuffle of the delta banding to the index's bucket spec; the
         # persist pins the shuffled blocks so both consumer joins read the
         # cache (InMemoryTableScan reports the repartition's partitioning,
@@ -483,7 +494,21 @@ def incremental_probe_matches_bronze(spark: SparkSession, sf_dir: str) -> DataFr
             .agg(F.min("id_o").alias("matched_id"))
         )
         # eager: must complete before the finally drops the bronze table
-        return DD.materialize_release(out, sh, delta_b)
+        res = DD.materialize_release(out, sh, delta_b)
+        # component attribution (r6 verdict #3): the one-shot index-build
+        # cost vs the recurring delta-probe cost, so the amortized number
+        # a 100 TB operator cares about is visible in the bench JSON.
+        # shingle_s covers the shared corpus shingle cache (base + delta);
+        # in production the base share of it amortizes with the index.
+        LAST_TIMINGS.clear()
+        LAST_TIMINGS.update(
+            {
+                "shingle_s": round(t_build - t_sh, 3),
+                "bronze_build_s": round(t_probe - t_build, 3),
+                "probe_s": round(time.perf_counter() - t_probe, 3),
+            }
+        )
+        return res
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         # release both caches on error paths too (materialize_release
