@@ -518,6 +518,19 @@ def main() -> None:
         "fixed query set held constant.",
         "",
     ]
+    # preserve the memory-pressure block (tools/memory_pressure_probe.py
+    # owns it — it needs its own 2 GiB-heap process, so it can't run here)
+    try:
+        old = open("SCALE_PROBE.md", encoding="utf-8").read()
+        from tools.memory_pressure_probe import MARK_END, MARK_START
+
+        if MARK_START in old and MARK_END in old:
+            lines.append(
+                old[old.index(MARK_START) : old.index(MARK_END) + len(MARK_END)]
+            )
+            lines.append("")
+    except (OSError, ImportError):
+        pass
     with open("SCALE_PROBE.md", "w", encoding="utf-8") as f:
         f.write("\n".join(lines))
     print("SCALE_PROBE.md written")
