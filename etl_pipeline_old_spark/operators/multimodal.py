@@ -56,8 +56,9 @@ def encode_ppm_p6(gray: list[int], width: int, height: int) -> bytes:
 
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
-# channels per PNG color type we decode: 0=gray, 2=RGB, 6=RGBA
-_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+# channels per PNG color type we decode: 0=gray, 2=RGB, 3=palette index,
+# 6=RGBA (type 3 carries one index byte per pixel; PLTE holds the colors)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 6: 4}
 
 
 def _png_chunk(tag: bytes, data: bytes) -> bytes:
@@ -89,7 +90,8 @@ def encode_png(
 ) -> bytes:
     """Real, viewer-openable PNG bytes (pure stdlib: zlib + struct) for a
     grayscale pixel list — non-interlaced, 8-bit. ``color_type`` 0 writes
-    gray samples directly; 2 writes (g,g,g) RGB triplets; 6 writes
+    gray samples directly; 2 writes (g,g,g) RGB triplets; 3 writes
+    palette indexes with a PLTE of the distinct gray values; 6 writes
     (g,g,g,255) RGBA. ``filter_type`` selects the per-scanline filter
     (0=None, 1=Sub, 2=Up, 3=Average, 4=Paeth) — all five produce the same
     decoded image, so round-trip tests can exercise every unfilter path."""
@@ -102,7 +104,17 @@ def encode_png(
     ch = _PNG_CHANNELS[color_type]
     ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
 
+    plte = b""
+    if color_type == 3:
+        # palette of the distinct gray values, each stored as (g, g, g);
+        # pixels become palette indexes (≤256 entries always: gray ∈ 0..255)
+        pal = sorted(set(gray))
+        idx = {g: i for i, g in enumerate(pal)}
+        plte = _png_chunk(b"PLTE", bytes(v for g in pal for v in (g, g, g)))
+
     def px(g: int) -> tuple[int, ...]:
+        if color_type == 3:
+            return (idx[g],)
         return {0: (g,), 2: (g, g, g), 6: (g, g, g, 255)}[color_type]
 
     stride = width * ch
@@ -129,22 +141,24 @@ def encode_png(
     return (
         PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
+        + plte
         + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
         + _png_chunk(b"IEND", b"")
     )
 
 
 def _png_decode(payload: bytes) -> tuple[int, int, list[int]]:
-    """Decode a non-interlaced 8-bit PNG (gray / RGB / RGBA): walk the
-    chunk stream (validating each CRC), inflate the concatenated IDAT
-    stream, unfilter every scanline (filter types 0-4 per the spec), and
-    reduce to grayscale via the same integer RGB mean the netpbm decode
-    uses (alpha ignored). Pure stdlib; kills the PNG half of the codec
-    seam (r6 verdict task 1). Interlaced, paletted, and 16-bit images
-    raise ValueError — rare shapes a real cluster's Pillow seam handles."""
+    """Decode a non-interlaced 8-bit PNG (gray / RGB / RGBA / paletted):
+    walk the chunk stream (validating each CRC), inflate the concatenated
+    IDAT stream, unfilter every scanline (filter types 0-4 per the spec),
+    and reduce to grayscale via the same integer RGB mean the netpbm
+    decode uses (alpha ignored; palette entries grayscaled through PLTE).
+    Pure stdlib; kills the PNG half of the codec seam (r6 verdict task 1).
+    Interlaced, 16-bit, and sub-byte-depth images raise ValueError —
+    rare shapes a real cluster's Pillow seam handles."""
     if payload[:8] != PNG_SIG:
         raise ValueError("not a PNG signature")
-    i, ihdr, idat = 8, None, bytearray()
+    i, ihdr, idat, plte = 8, None, bytearray(), None
     while i + 8 <= len(payload):
         (length,) = struct.unpack(">I", payload[i : i + 4])
         tag = payload[i + 4 : i + 8]
@@ -156,6 +170,8 @@ def _png_decode(payload: bytes) -> tuple[int, int, list[int]]:
             raise ValueError(f"bad CRC in PNG chunk {tag!r}")
         if tag == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"PLTE":
+            plte = data
         elif tag == b"IDAT":
             idat.extend(data)
         elif tag == b"IEND":
@@ -168,6 +184,14 @@ def _png_decode(payload: bytes) -> tuple[int, int, list[int]]:
         raise ValueError(f"unsupported PNG bit depth/color ({depth}, {color})")
     if comp != 0 or filt != 0 or interlace != 0:
         raise ValueError("unsupported PNG compression/filter/interlace mode")
+    if color == 3:
+        if plte is None or len(plte) % 3:
+            raise ValueError("paletted PNG missing a valid PLTE chunk")
+        # grayscale of each palette entry, computed once
+        pal_gray = [
+            (plte[3 * k] + plte[3 * k + 1] + plte[3 * k + 2]) // 3
+            for k in range(len(plte) // 3)
+        ]
     ch = _PNG_CHANNELS[color]
     stride = width * ch
     raw = zlib.decompress(bytes(idat))
@@ -192,7 +216,12 @@ def _png_decode(payload: bytes) -> tuple[int, int, list[int]]:
                 4: _paeth(left, up, ul),
             }[ftype]
             line[x] = (line[x] + pred) & 0xFF
-        if ch == 1:
+        if color == 3:
+            try:
+                gray.extend(pal_gray[idx] for idx in line)
+            except IndexError:
+                raise ValueError("PNG palette index out of range") from None
+        elif ch == 1:
             gray.extend(line)
         else:
             gray.extend(

@@ -240,12 +240,12 @@ def multimodal_ppm_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# doc_id % 3 -> PNG color type staged for that document: gray, RGB, RGBA.
-# The decode kernel reports the color type it actually parsed out of IHDR,
-# and the oracle recomputes this mapping — so a decoder that silently
-# mishandled one color type (or a stager that wrote the wrong one) fails
-# the value hash, not just a row count.
-_PNG_CT = (0, 2, 6)
+# doc_id % 4 -> PNG color type staged for that document: gray, RGB,
+# paletted, RGBA. The decode kernel reports the color type it actually
+# parsed out of IHDR, and the oracle recomputes this mapping — so a
+# decoder that silently mishandled one color type (or a stager that wrote
+# the wrong one) fails the value hash, not just a row count.
+_PNG_CT = (0, 2, 3, 6)
 
 
 def _stage_png_files(spark: SparkSession, sf_dir: str) -> str:
@@ -267,7 +267,7 @@ def _stage_png_files(spark: SparkSession, sf_dir: str) -> str:
                     md5_pixels(r.text, 64),
                     8,
                     8,
-                    color_type=_PNG_CT[r.doc_id % 3],
+                    color_type=_PNG_CT[r.doc_id % 4],
                     # vary the scanline filter too, so the staged corpus
                     # exercises every unfilter path (None..Paeth) in-plan
                     filter_type=r.doc_id % 5,
@@ -287,7 +287,7 @@ def _stage_png_files(spark: SparkSession, sf_dir: str) -> str:
       SELECT doc_id, [{", ".join(_ppm_pixel_sql(j) for j in range(64))}] AS p
       FROM documents)
     SELECT doc_id, 8 AS width, 8 AS height,
-           CASE doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 2 ELSE 6 END
+           CASE doc_id % 4 WHEN 0 THEN 0 WHEN 1 THEN 2 WHEN 2 THEN 3 ELSE 6 END
              AS color_type,
            list_sum(p)::BIGINT AS sum_gray
     FROM px
@@ -295,7 +295,8 @@ def _stage_png_files(spark: SparkSession, sf_dir: str) -> str:
     doc="REAL PNG ingest end-to-end (r6 verdict #1 — the codec-seam "
     "closer for the format multimodal corpora actually use): one genuine "
     "PNG file per document is staged on disk from the executors, cycling "
-    "color type gray/RGB/RGBA and scanline filter None..Paeth by doc_id; "
+    "color type gray/RGB/paletted/RGBA and scanline filter None..Paeth "
+    "by doc_id; "
     "the files are scanned back with spark.read.format('binaryFile') and "
     "decoded FOR REAL inside an Arrow mapInPandas kernel "
     "(operators/multimodal._png_decode: chunk walk with CRC validation, "

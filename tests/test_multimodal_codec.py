@@ -157,13 +157,14 @@ def _png_chunk(tag: bytes, data: bytes) -> bytes:
     )
 
 
-def _raw_png(width, height, color, raw, depth=8, interlace=0):
+def _raw_png(width, height, color, raw, depth=8, interlace=0, plte=None):
     """Assemble a PNG around an explicit pre-filtered raster — the
     decoder-independent path for exercising specific filter bytes."""
     ihdr = struct.pack(">IIBBBBB", width, height, depth, color, 0, 0, interlace)
     return (
         b"\x89PNG\r\n\x1a\n"
         + _png_chunk(b"IHDR", ihdr)
+        + (b"" if plte is None else _png_chunk(b"PLTE", plte))
         + _png_chunk(b"IDAT", zlib.compress(raw))
         + _png_chunk(b"IEND", b"")
     )
@@ -198,6 +199,23 @@ def test_png_rgba_alpha_ignored():
     # one RGBA pixel (100, 110, 120, alpha 7): gray = (100+110+120)//3
     raw = b"\x00" + bytes([100, 110, 120, 7])
     assert decode_image_real(_raw_png(1, 1, 6, raw)) == (1, 1, [110])
+
+
+def test_png_paletted_hand_crafted():
+    # 2x2 paletted image: PLTE = [red, green, white]; indexes 0 1 / 2 0;
+    # grays: red/green -> 85, white -> 255
+    plte = b"\xff\x00\x00" + b"\x00\xff\x00" + b"\xff\xff\xff"
+    raw = b"\x00\x00\x01" + b"\x00\x02\x00"
+    assert decode_image_real(_raw_png(2, 2, 3, raw, plte=plte)) == (
+        2,
+        2,
+        [85, 85, 255, 85],
+    )
+    # missing PLTE and out-of-range index are malformed, not crashes
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_image_real(_raw_png(2, 2, 3, raw))
+    with pytest.raises(ValueError, match="palette index"):
+        decode_image_real(_raw_png(2, 2, 3, b"\x00\x00\x07" + b"\x00\x02\x00", plte=plte))
 
 
 def test_png_idat_split_across_chunks():
@@ -241,7 +259,7 @@ def test_png_malformed_raises_value_error():
     st.integers(1, 9),
     st.integers(1, 9),
     st.integers(0, 4),
-    st.sampled_from([0, 2, 6]),
+    st.sampled_from([0, 2, 3, 6]),
     st.data(),
 )
 def test_png_encode_decode_round_trip_property(w, h, ftype, ctype, data):

@@ -131,14 +131,14 @@ COVERAGE: list[tuple[str, str, list[str], str]] = [
     ("X-boiler", "boilerplate detection", ["corpus_boilerplate_ngrams"], "cross-doc verbatim n-grams (Lee et al. 2022 exact-substring candidates)"),
     ("X-ann", "similarity search", ["ann_cosine_topk", "ann_lsh_cosine_topk", "ann_ivf_cosine_topk", "ann_lsh_recall_at_10", "ann_ivf_recall_at_10", "ann_hard_negatives", "ann_pq_binary_topk", "ann_knn_graph_lsh", "pipeline_rag_retrieval", "stream_ann_probe", "ann_incremental_topk_merge", "embed_random_projection", "embed_projection_recall"], "JL sign random projection (Achlioptas 2003) compresses 64-dim -> 16-dim exactly (integer-quantized, value-checked) with its ANN recall cost measured in-plan; recall@10 vs exact baseline, in-plan; directed kNN graph over all vectors via per-bucket self-join; RAG capstone: chunk -> embed -> LSH index -> bucket-probe retrieve -> cosine rerank, full ranking value-checked; streaming ANN serving (foreachBatch probe vs persisted index, union-over-batches exact); incremental top-k maintenance (delta-scored monotone merge vs full-recompute oracle, EDBT 2020 shape)"),
     ("X-sql", "Spark SQL API surface", ["sql_api_nation_spend", "lateral_top3_orders", "pandas_api_migration", "collation_ci_grouping", "sql_recursive_hierarchy", "sql_scripting_backfill_window"], "identical SQL text runs on both engines; native WITH RECURSIVE (Spark 4); SQL scripting BEGIN/DECLARE/WHILE loop vs a declarative fixpoint oracle (Spark 4)"),
-    ("X-mm", "multimodal columns", ["multimodal_decode_meta", "multimodal_feature_extract", "multimodal_resize", "multimodal_frame_sample", "multimodal_phash_dedup", "multimodal_phash_near", "multimodal_pair_alignment", "multimodal_ppm_ingest"], "uncompressed netpbm (P6/P5) decode is REAL pure-stdlib (compressed formats still raise at the codec seam); on-disk .ppm ingest via binaryFile scan + genuine decode; aHash (over real decoded pixels) exact-collision dedup + Hamming-banded near-dup (pigeonhole-complete for Hamming<=3) bridge to the dedup family; CLIP-shape in-batch contrastive alignment accuracy (BxB per batch, never corpus-wide)"),
+    ("X-mm", "multimodal columns", ["multimodal_decode_meta", "multimodal_feature_extract", "multimodal_resize", "multimodal_frame_sample", "multimodal_phash_dedup", "multimodal_phash_near", "multimodal_pair_alignment", "multimodal_ppm_ingest", "multimodal_png_ingest"], "netpbm (P6/P5) AND non-interlaced 8-bit PNG (gray/RGB/paletted/RGBA; CRC-validated chunk walk, zlib inflate, all five scanline unfilters, PLTE grayscale mapping) decode is REAL pure-stdlib (JPEG still raises at the codec seam — no stdlib DCT); on-disk .ppm/.png ingest via binaryFile scan + genuine decode (PNG color type and filter type cycled per doc, IHDR color type value-checked); aHash (over real decoded pixels) exact-collision dedup + Hamming-banded near-dup (pigeonhole-complete for Hamming<=3) bridge to the dedup family; CLIP-shape in-batch contrastive alignment accuracy (BxB per batch, never corpus-wide)"),
     ("X-text", "text analysis", ["text_lang_id", "text_quality_score", "text_token_count", "text_fingerprint", "text_fuzzy_name_pairs", "corpus_normalize", "corpus_pii_redact", "corpus_stats_by_lang", "corpus_top_bigrams", "text_tfidf_top_terms", "corpus_unigram_logprob", "corpus_bigram_perplexity", "corpus_bpe_pair_counts", "text_quality_classifier", "ml_tree_inference_sql"], "incl. the BPE tokenizer-training pair-count step (aggregate-to-vocabulary first) and a fastText-shape linear quality classifier (integer logit, shuffle-free) and decision-tree inference compiled to a fused CASE projection (ICDE 2025 pure-SQL-inference shape)"),
     ("X-profile", "data profiling", ["profile_table", "histogram_order_totals", "histogram_equi_depth"], "one-pass column stats; floor-bin histogram"),
     ("X-dq", "data-quality expectations", ["dq_check_suite", "dq_observe_metrics"], "fused per-table checks + FK anti-join; negative test injects violations"),
     ("X-ivm", "incremental aggregate maintenance", ["incremental_agg_merge", "rollup_cascade_daily", "sketch_hll_partitioned_union", "sketch_cms_event_counts", "sketch_mg_heavy_hitters", "sketch_histogram_quantile"], "partial-state merge; oracle IS the IVM invariant; mergeable count-min sketch w/ in-plan one-sided-error assertion; Misra-Gries heavy-hitter summaries merged across data shards w/ both MG guarantees asserted in-plan; mergeable histogram quantile sketch w/ half-bucket error asserted vs the exact median"),
     ("X-graph", "graph analytics", ["graph_pagerank", "dedup_clusters", "dedup_clusters_star", "graph_triangle_count"], "bounded power iteration w/ dangling mass; label propagation AND log-rounds large-star/small-star CC (equality-tested); oriented-edge triangle count"),
     ("X-ts", "time-series / CDC", ["cdc_changelog_compact", "ts_gapfill_ffill", "ts_resample_ohlc", "ts_time_weighted_avg"], "changelog compaction w/ tombstones, dense ffill series, OHLC bars"),
-    ("X-layout", "storage layout", ["zorder_zvalue", "k7_partitioned_write_prune", "layout_compaction_bins", "layout_minmax_prune", "layout_range_partition_plan", "layout_bucketed_join", "layout_compaction_execute", "catalog_analyze_stats", "layout_retention_vacuum", "layout_erasure_cow", "layout_erasure_dv"], "Z-order keys (clustering asserted on parquet footers); Hive-partitioned write w/ pruned readback (PartitionFilters asserted in test_plans.py); small-file compaction planner; min/max file-stats skipping manifest (hash vs sort-on-write layouts); balanced range-partition plan for sorted writes; bucketed co-located zero-shuffle join (value-checked end-to-end); compaction rewrite executed with filesystem-measured before/after file counts; ANALYZE TABLE column stats value-checked vs exact aggregates (rowCount surfaced to CBO asserted in test_plans.py); partition-level retention sweep (directory drop, zero data rewritten, surviving table audited); right-to-erasure executed copy-on-write on a user-clustered layout (only manifest-affected partitions rewritten, untouched files byte-identical, fully-erased partitions dropped); merge-on-read positional deletion vector (real (file_path, row_index) tombstones via _metadata, broadcast anti-join by position, zero files rewritten)"),
+    ("X-layout", "storage layout", ["zorder_zvalue", "k7_partitioned_write_prune", "layout_compaction_bins", "layout_minmax_prune", "layout_range_partition_plan", "layout_bucketed_join", "layout_compaction_execute", "catalog_analyze_stats", "layout_retention_vacuum", "layout_erasure_cow", "layout_erasure_dv", "layout_dv_compaction"], "Z-order keys (clustering asserted on parquet footers); Hive-partitioned write w/ pruned readback (PartitionFilters asserted in test_plans.py); small-file compaction planner; min/max file-stats skipping manifest (hash vs sort-on-write layouts); balanced range-partition plan for sorted writes; bucketed co-located zero-shuffle join (value-checked end-to-end); compaction rewrite executed with filesystem-measured before/after file counts; ANALYZE TABLE column stats value-checked vs exact aggregates (rowCount surfaced to CBO asserted in test_plans.py); partition-level retention sweep (directory drop, zero data rewritten, surviving table audited); right-to-erasure executed copy-on-write on a user-clustered layout (only manifest-affected partitions rewritten, untouched files byte-identical, fully-erased partitions dropped); merge-on-read positional deletion vector (real (file_path, row_index) tombstones via _metadata, broadcast anti-join by position, zero files rewritten); DV-materializing compaction closing the MOR→COW lifecycle (only files with tombstone fraction ≥ 0.15 rewritten, untouched files byte-identical, rows-visible invariant oracle-checked)"),
     ("X-analytics", "event analytics", ["events_funnel", "events_retention_cohorts", "events_rate_anomaly", "basket_brand_lift", "events_decayed_value", "events_cumulative_uniques", "events_markov_transitions", "events_anomaly_mad", "events_attribution_last_touch", "events_attribution_linear", "events_path_topn", "events_rfm_segments", "events_running_balance_clamp", "traj_user_similarity_topk"], "ordered funnel w/ conversion window, retention cohorts, integer-exact rolling z-score anomaly, Markov transition matrix, MAD robust outlier flags, one-pass last-touch attribution, linear multi-touch attribution (value-conserving), top-N 3-step paths, RFM quintile segmentation, clamped running balance (sequential state via applyInPandas vs recursive-CTE oracle), trajectory-similarity top-k via shingle-collision candidates (REPOSE ICDE 2021 shape)"),
     ("X-corpus", "training-corpus capstone", ["pipeline_training_corpus", "pipeline_streaming_corpus", "pipeline_corpus_refresh"], "normalize→quality→dedup→deterministic split→manifest; incremental refresh: delta-only quality gate → exact dedup vs base → LSH probe → append audit"),
     ("X-loader", "dataloader layout", ["corpus_epoch_shuffle", "corpus_shard_manifest", "corpus_group_split"], "deterministic per-epoch permutation (per-shard windows, no global sort) + per-shard doc/token manifest + leakage-safe group-keyed train/test split"),
