@@ -280,9 +280,10 @@ def _stage_png_files(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
-@register(
-    "multimodal_png_ingest",
-    oracle=f"""
+def _png_ingest_oracle() -> str:
+    """Shared oracle for the batch and streaming PNG ingests: the DuckDB
+    rendering of the same md5 pixels plus the expected color-type cycle."""
+    return f"""
     WITH px AS (
       SELECT doc_id, [{", ".join(_ppm_pixel_sql(j) for j in range(64))}] AS p
       FROM documents)
@@ -291,7 +292,12 @@ def _stage_png_files(spark: SparkSession, sf_dir: str) -> str:
              AS color_type,
            list_sum(p)::BIGINT AS sum_gray
     FROM px
-    """,
+    """
+
+
+@register(
+    "multimodal_png_ingest",
+    oracle=_png_ingest_oracle(),
     doc="REAL PNG ingest end-to-end (r6 verdict #1 — the codec-seam "
     "closer for the format multimodal corpora actually use): one genuine "
     "PNG file per document is staged on disk from the executors, cycling "
@@ -318,6 +324,15 @@ def multimodal_png_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(path)
         .select("path", "content")
     )
+    return _decode_png_frame(bf)
+
+
+_PNG_DECODE_SCHEMA = "doc_id long, width int, height int, color_type int, sum_gray long"
+
+
+def _decode_png_frame(bf: DataFrame) -> DataFrame:
+    """Arrow mapInPandas decode kernel over (path, content) rows — shared
+    by the batch and streaming PNG ingests so both prove the same decoder."""
 
     def op(batches):
         import re
@@ -348,7 +363,64 @@ def multimodal_png_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return bf.mapInPandas(
-        op,
-        schema="doc_id long, width int, height int, color_type int, sum_gray long",
+    return bf.mapInPandas(op, schema=_PNG_DECODE_SCHEMA)
+
+
+# binaryFile's streaming schema (fixed by the source; must be passed
+# explicitly — streaming sources do not infer)
+_BINARYFILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
+@register(
+    "stream_png_ingest",
+    oracle=_png_ingest_oracle(),
+    doc="STREAMING image-bucket ingestion — the Auto-Loader-shaped "
+    "counterpart to multimodal_png_ingest: the same staged PNG files are "
+    "consumed through readStream.format('binaryFile') with "
+    "maxFilesPerTrigger bounding each micro-batch, decoded per batch by "
+    "the SAME Arrow kernel (one decoder definition for batch and "
+    "streaming), and appended to the target lake; the accumulated target "
+    "must hash-equal the batch ingest (per-file independence makes the "
+    "union over any batching exact — the stream_ann_probe associativity "
+    "contract). At 100 TB this is how a continuously-filling image "
+    "bucket becomes training data: the file-listing source checkpoints "
+    "progress, each trigger decodes a bounded batch of blobs, and a "
+    "malformed file fails its record, not the stream.",
+)
+def stream_png_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..session import ensure_session_confs
+
+    ensure_session_confs(spark)
+    feed = _stage_png_files(spark, sf_dir)
+    base = os.path.join(cache_root(), f"png_stream_{_tag(sf_dir)}")
+    target, chk = base + "_target", base + "_chk"
+    for p in (target, chk):
+        shutil.rmtree(p, ignore_errors=True)
+
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARYFILE_SCHEMA)
+        .option("pathGlobFilter", "*.png")
+        .option("maxFilesPerTrigger", 200)
+        .load(feed)
+        .select("path", "content")
     )
+
+    def ingest(batch_df: DataFrame, _batch_id: int) -> None:
+        _decode_png_frame(batch_df).write.mode("append").parquet(target)
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(target)

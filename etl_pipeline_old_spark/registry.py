@@ -129,6 +129,7 @@ _CORE_FIRST = (
     # driver CORRECTNESS row (r6 verdict #7)
     "multimodal_png_ingest",
     "layout_dv_compaction",
+    "stream_png_ingest",
 )
 
 

@@ -54,6 +54,7 @@ REPEAT_QUERIES = (
     "s13_xml_roundtrip",
     "multimodal_ppm_ingest",
     "multimodal_png_ingest",
+    "stream_png_ingest",
 )
 
 
