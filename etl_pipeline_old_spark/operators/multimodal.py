@@ -57,8 +57,9 @@ def encode_ppm_p6(gray: list[int], width: int, height: int) -> bytes:
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 # channels per PNG color type we decode: 0=gray, 2=RGB, 3=palette index,
-# 6=RGBA (type 3 carries one index byte per pixel; PLTE holds the colors)
-_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 6: 4}
+# 4=gray+alpha, 6=RGBA (type 3 carries one index byte per pixel; PLTE
+# holds the colors)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def _png_chunk(tag: bytes, data: bytes) -> bytes:
@@ -91,8 +92,9 @@ def encode_png(
     """Real, viewer-openable PNG bytes (pure stdlib: zlib + struct) for a
     grayscale pixel list — non-interlaced, 8-bit. ``color_type`` 0 writes
     gray samples directly; 2 writes (g,g,g) RGB triplets; 3 writes
-    palette indexes with a PLTE of the distinct gray values; 6 writes
-    (g,g,g,255) RGBA. ``filter_type`` selects the per-scanline filter
+    palette indexes with a PLTE of the distinct gray values; 4 writes
+    (g,255) gray+alpha; 6 writes (g,g,g,255) RGBA. ``filter_type``
+    selects the per-scanline filter
     (0=None, 1=Sub, 2=Up, 3=Average, 4=Paeth) — all five produce the same
     decoded image, so round-trip tests can exercise every unfilter path."""
     if len(gray) != width * height:
@@ -115,7 +117,7 @@ def encode_png(
     def px(g: int) -> tuple[int, ...]:
         if color_type == 3:
             return (idx[g],)
-        return {0: (g,), 2: (g, g, g), 6: (g, g, g, 255)}[color_type]
+        return {0: (g,), 2: (g, g, g), 4: (g, 255), 6: (g, g, g, 255)}[color_type]
 
     stride = width * ch
     raw = bytearray()
@@ -148,7 +150,8 @@ def encode_png(
 
 
 def _png_decode(payload: bytes) -> tuple[int, int, list[int]]:
-    """Decode a non-interlaced 8-bit PNG (gray / RGB / RGBA / paletted):
+    """Decode a non-interlaced 8-bit PNG (gray / gray+alpha / RGB / RGBA
+    / paletted):
     walk the chunk stream (validating each CRC), inflate the concatenated
     IDAT stream, unfilter every scanline (filter types 0-4 per the spec),
     and reduce to grayscale via the same integer RGB mean the netpbm
@@ -223,6 +226,8 @@ def _png_decode(payload: bytes) -> tuple[int, int, list[int]]:
                 raise ValueError("PNG palette index out of range") from None
         elif ch == 1:
             gray.extend(line)
+        elif color == 4:  # gray + alpha: first sample is the gray value
+            gray.extend(line[::2])
         else:
             gray.extend(
                 (line[k * ch] + line[k * ch + 1] + line[k * ch + 2]) // 3
@@ -306,6 +311,93 @@ def decode_image_real(payload: bytes) -> tuple[int, int, list[int]]:
     if maxval != 255:
         gray = [g * 255 // maxval for g in gray]
     return width, height, gray
+
+
+def md5_samples(text: str, n: int = 64) -> list[int]:
+    """Deterministic int16 PCM 'recording' of a document: sample j is the
+    signed big-endian int16 at byte pair j%8 of md5('a{j//8}:' + text) —
+    the audio analogue of md5_pixels, recomputable in SQL by the DuckDB
+    oracle (md5_sample_sql below is the same formula's SQL rendering)."""
+    out: list[int] = []
+    for k in range((n + 7) // 8):
+        d = hashlib.md5(f"a{k}:".encode() + text.encode("utf-8")).digest()
+        for i in range(8):
+            v = int.from_bytes(d[2 * i : 2 * i + 2], "big")
+            out.append(v - 65536 if v >= 32768 else v)
+    return out[:n]
+
+
+def md5_sample_sql(j: int, text_col: str = "text") -> str:
+    """DuckDB SQL for sample j of md5_samples — single source of truth for
+    the oracle-side audio formula, like md5_pixel_sql for images."""
+    u = f"('0x' || substr(md5('a{j // 8}:' || {text_col}), {(j % 8) * 4 + 1}, 4))::INT"
+    return f"(CASE WHEN {u} >= 32768 THEN {u} - 65536 ELSE {u} END)"
+
+
+def encode_wav_pcm16(
+    samples: list[int], sample_rate: int = 16_000, channels: int = 1
+) -> bytes:
+    """Real RIFF/WAVE PCM16 bytes (canonical fmt + data chunks,
+    little-endian interleaved samples) — any audio tool opens the output.
+    ``samples`` is the interleaved stream; its length must divide evenly
+    into ``channels``."""
+    if channels < 1 or len(samples) % channels:
+        raise ValueError(f"{len(samples)} samples for {channels} channels")
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * channels * 2, channels * 2, 16
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_audio_real(payload: bytes) -> tuple[int, int, list[int]]:
+    """REAL audio decode for RIFF/WAVE PCM16 payloads, pure stdlib: walk
+    the chunk stream (fmt/data; unknown chunks skipped with the spec's
+    odd-size pad byte honored), validate PCM16, return (sample_rate,
+    channels, interleaved int16 samples). Compressed audio (MP3/FLAC/OGG)
+    and non-PCM WAV encodings need a codec library absent from this
+    container — those raise NotImplementedError, the seam where
+    soundfile/ffmpeg plugs in on a real cluster."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            f"no codec for magic {payload[:4]!r}: compressed-audio decode "
+            "requires an audio library (e.g. soundfile), not available in "
+            "this container — only RIFF/WAVE PCM16 decodes natively"
+        )
+    i, fmt, data = 12, None, None
+    while i + 8 <= len(payload):
+        tag = payload[i : i + 4]
+        (length,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        chunk = payload[i + 8 : i + 8 + length]
+        if len(chunk) != length:
+            raise ValueError(f"truncated WAV chunk {tag!r}")
+        if tag == b"fmt ":
+            fmt = chunk
+        elif tag == b"data":
+            data = chunk
+        i += 8 + length + (length & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    audio_format, channels, sample_rate, _, _, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            f"WAV encoding (format={audio_format}, bits={bits}) needs an "
+            "audio library — only integer PCM16 decodes natively"
+        )
+    if len(data) % (2 * channels):
+        raise ValueError(f"PCM16 data length {len(data)} not frame-aligned")
+    samples = [s[0] for s in struct.iter_unpack("<h", data)]
+    return sample_rate, channels, samples
 
 
 def md5_pixels(text: str, n: int = 64) -> list[int]:

@@ -366,6 +366,108 @@ def _decode_png_frame(bf: DataFrame) -> DataFrame:
     return bf.mapInPandas(op, schema=_PNG_DECODE_SCHEMA)
 
 
+def _wav_sample_sql(j: int) -> str:
+    from ..operators.multimodal import md5_sample_sql
+
+    return md5_sample_sql(j)
+
+
+_WAV_N = 64  # interleaved int16 samples per staged file
+
+
+def _stage_wav_files(spark: SparkSession, sf_dir: str) -> str:
+    """Stage one REAL RIFF/WAVE PCM16 file per document (executor-side
+    writes), cycling channel count (mono/stereo) and sample rate by
+    doc_id so the fmt-chunk parse is value-checked, not just executed."""
+    path = os.path.join(cache_root(), f"wav_files_{_tag(sf_dir)}")
+    marker = os.path.join(path, "_STAGED")
+    if not os.path.exists(marker):
+        os.makedirs(path, exist_ok=True)
+        d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+        def write_part(rows):
+            from ..operators.multimodal import encode_wav_pcm16, md5_samples
+
+            for r in rows:
+                data = encode_wav_pcm16(
+                    md5_samples(r.text, _WAV_N),
+                    sample_rate=8000 * (1 + r.doc_id % 3),
+                    channels=1 + r.doc_id % 2,
+                )
+                with open(os.path.join(path, f"{r.doc_id}.wav"), "wb") as fh:
+                    fh.write(data)
+
+        d.foreachPartition(write_part)
+        open(marker, "w").close()
+    return path
+
+
+@register(
+    "multimodal_wav_ingest",
+    oracle=f"""
+    WITH smp AS (
+      SELECT doc_id, [{", ".join(_wav_sample_sql(j) for j in range(_WAV_N))}] AS s
+      FROM documents)
+    SELECT doc_id,
+           8000 * (1 + doc_id % 3) AS sample_rate,
+           (1 + doc_id % 2)::INT AS channels,
+           {_WAV_N}::BIGINT AS n_samples,
+           list_sum(list_transform(s, x -> abs(x)))::BIGINT AS sum_abs,
+           list_max(list_transform(s, x -> abs(x)))::INT AS peak
+    FROM smp
+    """,
+    doc="REAL audio ingest end-to-end — the audio leg of the multimodal "
+    "story, zero fake steps between disk and samples: one genuine "
+    "RIFF/WAVE PCM16 file per document is staged from the executors "
+    "(mono/stereo and sample rate cycled by doc_id), scanned back with "
+    "spark.read.format('binaryFile'), and decoded FOR REAL inside an "
+    "Arrow mapInPandas kernel (operators/multimodal.decode_audio_real: "
+    "chunk walk with word-alignment, fmt validation, int16 LE samples — "
+    "pure stdlib, cross-validated against the stdlib wave module in "
+    "tests). Output per clip: the fmt-parsed sample rate and channel "
+    "count plus sample-domain stats (count, sum|x|, peak), all "
+    "value-checked against the DuckDB rendering of the same md5-derived "
+    "samples. Compressed audio (MP3/FLAC/OGG, float WAV) raises at the "
+    "documented codec seam. Same 100 TB plan as the image ingests: "
+    "binaryFile listing parallelizes, each Arrow batch decodes a bounded "
+    "set of blobs, malformed files fail per record.",
+)
+def multimodal_wav_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_wav_files(spark, sf_dir)
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wav")
+        .load(path)
+        .select("path", "content")
+    )
+
+    def op(batches):
+        import re
+
+        import pandas as pd
+
+        from ..operators.multimodal import decode_audio_real
+
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "sample_rate", "channels", "n_samples", "sum_abs", "peak")}
+            for p, content in zip(pdf["path"], pdf["content"]):
+                rate, ch, samples = decode_audio_real(bytes(content))
+                out["doc_id"].append(int(re.search(r"(\d+)\.wav$", p).group(1)))
+                out["sample_rate"].append(rate)
+                out["channels"].append(ch)
+                out["n_samples"].append(len(samples))
+                out["sum_abs"].append(sum(abs(s) for s in samples))
+                out["peak"].append(max(abs(s) for s in samples))
+            yield pd.DataFrame(out)
+
+    return bf.mapInPandas(
+        op,
+        schema="doc_id long, sample_rate long, channels int, n_samples long, "
+        "sum_abs long, peak int",
+    )
+
+
 # binaryFile's streaming schema (fixed by the source; must be passed
 # explicitly — streaming sources do not infer)
 _BINARYFILE_SCHEMA = (

@@ -130,6 +130,7 @@ _CORE_FIRST = (
     "multimodal_png_ingest",
     "layout_dv_compaction",
     "stream_png_ingest",
+    "multimodal_wav_ingest",
 )
 
 

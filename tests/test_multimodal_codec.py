@@ -199,6 +199,9 @@ def test_png_rgba_alpha_ignored():
     # one RGBA pixel (100, 110, 120, alpha 7): gray = (100+110+120)//3
     raw = b"\x00" + bytes([100, 110, 120, 7])
     assert decode_image_real(_raw_png(1, 1, 6, raw)) == (1, 1, [110])
+    # gray+alpha (color type 4): gray is the first sample, alpha ignored
+    raw4 = b"\x00" + bytes([200, 3, 40, 9])
+    assert decode_image_real(_raw_png(2, 1, 4, raw4)) == (2, 1, [200, 40])
 
 
 def test_png_paletted_hand_crafted():
@@ -259,7 +262,7 @@ def test_png_malformed_raises_value_error():
     st.integers(1, 9),
     st.integers(1, 9),
     st.integers(0, 4),
-    st.sampled_from([0, 2, 3, 6]),
+    st.sampled_from([0, 2, 3, 4, 6]),
     st.data(),
 )
 def test_png_encode_decode_round_trip_property(w, h, ftype, ctype, data):
@@ -272,6 +275,92 @@ def test_png_encode_decode_round_trip_property(w, h, ftype, ctype, data):
     payload = encode_png(gray, w, h, color_type=ctype, filter_type=ftype)
     assert payload.startswith(b"\x89PNG\r\n\x1a\n")
     assert decode_image_real(payload) == (w, h, gray)
+
+
+# ---------------------------------------------------------------------------
+# WAV codec: pure-stdlib RIFF/WAVE PCM16, cross-validated vs stdlib `wave`.
+# ---------------------------------------------------------------------------
+
+import io
+import wave
+
+from etl_pipeline_old_spark.operators.multimodal import (
+    decode_audio_real,
+    encode_wav_pcm16,
+    md5_samples,
+)
+
+
+def test_wav_round_trip_mono_and_stereo():
+    s = md5_samples("audio doc", 64)
+    assert all(-32768 <= v <= 32767 for v in s)
+    for ch in (1, 2):
+        assert decode_audio_real(encode_wav_pcm16(s, 16_000, ch)) == (16_000, ch, s)
+
+
+def test_wav_cross_validates_with_stdlib_wave_module():
+    """Independence check both directions: the stdlib wave module reads
+    our encoder's bytes, and our decoder reads wave-module-written bytes
+    — neither side is validated only against itself."""
+    s = md5_samples("cross check", 32)
+    w = wave.open(io.BytesIO(encode_wav_pcm16(s, 8000, 2)))
+    assert (w.getframerate(), w.getnchannels(), w.getsampwidth(), w.getnframes()) == (
+        8000,
+        2,
+        2,
+        16,
+    )
+    frames = w.readframes(16)
+    assert [x[0] for x in struct.iter_unpack("<h", frames)] == s
+
+    buf = io.BytesIO()
+    ww = wave.open(buf, "wb")
+    ww.setnchannels(1)
+    ww.setsampwidth(2)
+    ww.setframerate(44_100)
+    ww.writeframes(frames)
+    ww.close()
+    assert decode_audio_real(buf.getvalue()) == (44_100, 1, s)
+
+
+def test_wav_skips_unknown_chunks_with_padding():
+    # a LIST chunk of ODD size before fmt/data: the pad byte must be honored
+    s = [100, -200, 300]
+    good = encode_wav_pcm16(s, 16_000, 1)
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # odd size + pad
+    patched = good[:12] + extra + good[12:]
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    assert decode_audio_real(patched) == (16_000, 1, s)
+
+
+def test_wav_codec_seams_raise():
+    s = [1, 2, 3, 4]
+    with pytest.raises(NotImplementedError, match="audio library"):
+        decode_audio_real(b"ID3\x04" + b"\x00" * 32)  # mp3
+    bad = bytearray(encode_wav_pcm16(s, 16_000, 1))
+    bad[20] = 3  # IEEE-float WAV encoding
+    with pytest.raises(NotImplementedError, match="PCM16"):
+        decode_audio_real(bytes(bad))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_audio_real(encode_wav_pcm16(s, 16_000, 1)[:-3])
+    with pytest.raises(ValueError):
+        encode_wav_pcm16([1, 2, 3], 16_000, 2)  # odd samples for stereo
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(1, 2),
+    st.sampled_from([8000, 16_000, 44_100]),
+    st.lists(st.integers(-32768, 32767), min_size=2, max_size=64),
+)
+def test_wav_encode_decode_round_trip_property(ch, rate, samples):
+    if len(samples) % ch:
+        samples = samples + [0]
+    assert decode_audio_real(encode_wav_pcm16(samples, rate, ch)) == (
+        rate,
+        ch,
+        samples,
+    )
 
 
 def test_real_png_files_on_disk_decode_via_binaryfile_scan(spark, tmp_path):

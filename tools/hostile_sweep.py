@@ -55,6 +55,7 @@ REPEAT_QUERIES = (
     "multimodal_ppm_ingest",
     "multimodal_png_ingest",
     "stream_png_ingest",
+    "multimodal_wav_ingest",
 )
 
 
