@@ -131,6 +131,7 @@ _CORE_FIRST = (
     "layout_dv_compaction",
     "stream_png_ingest",
     "multimodal_wav_ingest",
+    "multimodal_audio_features",
 )
 
 
