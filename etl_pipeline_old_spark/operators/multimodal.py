@@ -12,11 +12,17 @@ non-interlaced 8-bit PNG (gray / RGB / RGBA: chunk walk with CRC checks,
 zlib inflate, per-scanline unfilter of all five filter types) —
 ``encode_ppm_p6`` / ``encode_png`` emit real, viewer-openable bytes, and
 the phash/ingest queries run decode → grayscale → aHash on real image
-bytes end-to-end. JPEG (and other DCT/exotic formats) still needs a codec
-library absent from this container, so those magics raise
-NotImplementedError — that seam is where Pillow plugs in on a real
-cluster. ``decode_meta`` and friends remain deterministic stand-ins for
-the non-image batch shapes.
+bytes end-to-end. AUDIO decodes for real too (``decode_audio_real``:
+RIFF/WAVE PCM16, cross-validated against the stdlib ``wave`` module), as
+does raw VIDEO (``decode_video_real``: YUV4MPEG2 header + FRAME walk,
+Y-plane grayscale) — all three modalities have genuine staged-file ingest
+queries. JPEG, compressed audio (MP3/FLAC), and compressed video
+(MP4/MKV) still need codec libraries absent from this container, so those
+magics raise NotImplementedError — the seams where Pillow / soundfile /
+PyAV plug in on a real cluster. ``decode_meta``/``resize``/
+``feature_extract``/``frame_sample`` below remain deterministic
+stand-ins for generic batch shapes (the REAL frame sampling lives in
+``multimodal_y4m_frames``, inside the decode kernel).
 """
 
 from __future__ import annotations
@@ -398,6 +404,87 @@ def decode_audio_real(payload: bytes) -> tuple[int, int, list[int]]:
         raise ValueError(f"PCM16 data length {len(data)} not frame-aligned")
     samples = [s[0] for s in struct.iter_unpack("<h", data)]
     return sample_rate, channels, samples
+
+
+def encode_y4m(
+    frames: list[list[int]],
+    width: int,
+    height: int,
+    rate: tuple[int, int] = (25, 1),
+    colorspace: str = "mono",
+) -> bytes:
+    """Real YUV4MPEG2 (.y4m) bytes — the raw-video interchange format
+    ffmpeg/mpv open directly. ``frames`` is a list of grayscale rasters;
+    ``colorspace`` 'mono' writes the Y plane only, '420' adds neutral
+    (128) chroma planes so players render the same gray frames."""
+    if colorspace not in ("mono", "420"):
+        raise ValueError(f"unsupported colorspace {colorspace}")
+    if colorspace == "420" and (width % 2 or height % 2):
+        raise ValueError("C420 needs even dimensions")
+    head = (
+        f"YUV4MPEG2 W{width} H{height} F{rate[0]}:{rate[1]} Ip A1:1 "
+        f"C{colorspace}\n"
+    ).encode("ascii")
+    chroma = (
+        bytes([128]) * ((width // 2) * (height // 2)) * 2
+        if colorspace == "420"
+        else b""
+    )
+    out = bytearray(head)
+    for fr in frames:
+        if len(fr) != width * height:
+            raise ValueError(f"{len(fr)} pixels for {width}x{height}")
+        out += b"FRAME\n" + bytes(fr) + chroma
+    return bytes(out)
+
+
+def decode_video_real(payload: bytes) -> tuple[int, int, list[list[int]]]:
+    """REAL video decode for YUV4MPEG2 (.y4m) payloads, pure stdlib: parse
+    the parameter header (W/H/C tags; Cmono and C420* supported — the Y
+    plane IS the grayscale raster, chroma planes are skipped), then walk
+    the FRAME stream. Returns (width, height, [gray raster per frame]).
+    Compressed video (MP4/MKV/WebM...) needs a real demuxer+codec absent
+    from this container — those magics raise NotImplementedError, the
+    seam where ffmpeg/PyAV plugs in on a real cluster."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise NotImplementedError(
+            f"no codec for magic {payload[:8]!r}: compressed-video decode "
+            "requires a demuxer/codec library (e.g. PyAV), not available "
+            "in this container — only raw YUV4MPEG2 decodes natively"
+        )
+    nl = payload.index(b"\n")
+    width = height = None
+    colorspace = "420"  # the spec default when no C tag is present
+    for tok in payload[9:nl].split():
+        tag, val = tok[:1], tok[1:]
+        if tag == b"W":
+            width = int(val)
+        elif tag == b"H":
+            height = int(val)
+        elif tag == b"C":
+            colorspace = val.decode("ascii")
+    if not width or not height:
+        raise ValueError("y4m header missing W/H")
+    if colorspace == "mono":
+        frame_len = width * height
+    elif colorspace.startswith("420"):
+        if width % 2 or height % 2:
+            raise ValueError("C420 stream with odd dimensions")
+        frame_len = width * height + 2 * ((width // 2) * (height // 2))
+    else:
+        raise ValueError(f"unsupported y4m colorspace C{colorspace}")
+    frames: list[list[int]] = []
+    i = nl + 1
+    while i < len(payload):
+        if payload[i : i + 5] != b"FRAME":
+            raise ValueError(f"bad y4m FRAME marker at byte {i}")
+        i = payload.index(b"\n", i) + 1  # frame-level params ignored
+        raster = payload[i : i + frame_len]
+        if len(raster) != frame_len:
+            raise ValueError(f"truncated y4m frame {len(frames)}")
+        frames.append(list(raster[: width * height]))  # Y plane = grayscale
+        i += frame_len
+    return width, height, frames
 
 
 def md5_pixels(text: str, n: int = 64) -> list[int]:

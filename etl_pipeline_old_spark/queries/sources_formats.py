@@ -542,6 +542,113 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Y4M_FRAMES = 4  # frames per staged clip
+_Y4M_STEP = 2  # frame-sampling stride (keep frames 0, 2)
+
+
+def _y4m_pixel_sql(f: int, j: int) -> str:
+    from ..operators.multimodal import md5_pixel_sql
+
+    # frame f's raster is md5_pixels('f{f}:' + text): the SQL composes the
+    # same concatenation inside the shared pixel formula
+    return md5_pixel_sql(j, f"('f{f}:' || text)")
+
+
+def _stage_y4m_files(spark: SparkSession, sf_dir: str) -> str:
+    """Stage one REAL YUV4MPEG2 clip per document (executor-side writes):
+    4 frames of 8x8, colorspace cycled mono/420 by doc_id so both plane
+    layouts are parsed against live files."""
+    path = os.path.join(cache_root(), f"y4m_files_{_tag(sf_dir)}")
+    marker = os.path.join(path, "_STAGED")
+    if not os.path.exists(marker):
+        os.makedirs(path, exist_ok=True)
+        d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+        def write_part(rows):
+            from ..operators.multimodal import encode_y4m, md5_pixels
+
+            for r in rows:
+                frames = [
+                    md5_pixels(f"f{k}:" + r.text, 64) for k in range(_Y4M_FRAMES)
+                ]
+                data = encode_y4m(
+                    frames, 8, 8,
+                    colorspace="mono" if r.doc_id % 2 == 0 else "420",
+                )
+                with open(os.path.join(path, f"{r.doc_id}.y4m"), "wb") as fh:
+                    fh.write(data)
+
+        d.foreachPartition(write_part)
+        open(marker, "w").close()
+    return path
+
+
+@register(
+    "multimodal_y4m_frames",
+    oracle=f"""
+    WITH fr AS (
+      {" UNION ALL ".join(
+        f'''SELECT doc_id, {f} AS frame_id,
+            [{", ".join(_y4m_pixel_sql(f, j) for j in range(64))}] AS p
+            FROM documents'''
+        for f in range(0, _Y4M_FRAMES, _Y4M_STEP)
+      )})
+    SELECT doc_id, frame_id::INT AS frame_id, 8 AS width, 8 AS height,
+           list_sum(p)::BIGINT AS sum_gray
+    FROM fr
+    """,
+    doc="REAL video frame-sampling end-to-end — the video leg of the "
+    "multimodal story with zero fake steps: one genuine YUV4MPEG2 clip "
+    f"per document ({_Y4M_FRAMES} frames of 8x8; colorspace cycled "
+    "mono/420 by doc_id so both plane layouts are exercised) is staged "
+    "from the executors, scanned back with binaryFile, and decoded FOR "
+    "REAL in an Arrow mapInPandas kernel "
+    "(operators/multimodal.decode_video_real: parameter-header parse, "
+    "FRAME walk, Y-plane extraction, chroma skip — pure stdlib; "
+    f"MP4/MKV magics raise at the codec seam). Every {_Y4M_STEP}nd frame "
+    "is kept (the frame-sampling operator made real — sampling happens "
+    "inside the kernel so unsampled frames never leave the Arrow batch), "
+    "and each kept frame's gray sum is value-checked against the DuckDB "
+    "rendering of that exact frame's pixels. At 100 TB this is the video "
+    "curation plan: listing parallelizes over clips, each batch decodes "
+    "bounded blobs, per-frame feature rows (not rasters) hit the "
+    "shuffle.",
+)
+def multimodal_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_y4m_files(spark, sf_dir)
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.y4m")
+        .load(path)
+        .select("path", "content")
+    )
+
+    def op(batches):
+        import re
+
+        import pandas as pd
+
+        from ..operators.multimodal import decode_video_real
+
+        for pdf in batches:
+            out = {"doc_id": [], "frame_id": [], "width": [], "height": [], "sum_gray": []}
+            for p, content in zip(pdf["path"], pdf["content"]):
+                doc_id = int(re.search(r"(\d+)\.y4m$", p).group(1))
+                w, h, frames = decode_video_real(bytes(content))
+                for f in range(0, len(frames), _Y4M_STEP):
+                    out["doc_id"].append(doc_id)
+                    out["frame_id"].append(f)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["sum_gray"].append(sum(frames[f]))
+            yield pd.DataFrame(out)
+
+    return bf.mapInPandas(
+        op,
+        schema="doc_id long, frame_id int, width int, height int, sum_gray long",
+    )
+
+
 # binaryFile's streaming schema (fixed by the source; must be passed
 # explicitly — streaming sources do not infer)
 _BINARYFILE_SCHEMA = (

@@ -132,6 +132,7 @@ _CORE_FIRST = (
     "stream_png_ingest",
     "multimodal_wav_ingest",
     "multimodal_audio_features",
+    "multimodal_y4m_frames",
 )
 
 

@@ -363,6 +363,62 @@ def test_wav_encode_decode_round_trip_property(ch, rate, samples):
     )
 
 
+# ---------------------------------------------------------------------------
+# Y4M codec: pure-stdlib YUV4MPEG2 raw video (the video leg).
+# ---------------------------------------------------------------------------
+
+from etl_pipeline_old_spark.operators.multimodal import (
+    decode_video_real,
+    encode_y4m,
+)
+
+# A 2x2, 2-frame mono clip written BY HAND per the yuv4mpeg spec —
+# independent of encode_y4m.
+HAND_Y4M = (
+    b"YUV4MPEG2 W2 H2 F25:1 Ip A1:1 Cmono\n"
+    b"FRAME\n" + bytes([10, 20, 30, 40]) +
+    b"FRAME\n" + bytes([50, 60, 70, 80])
+)
+
+
+def test_decode_hand_written_y4m():
+    assert decode_video_real(HAND_Y4M) == (2, 2, [[10, 20, 30, 40], [50, 60, 70, 80]])
+
+
+def test_y4m_round_trip_mono_and_420():
+    frames = [md5_pixels(f"f{k}:clip") for k in range(3)]
+    for cs in ("mono", "420"):
+        assert decode_video_real(encode_y4m(frames, 8, 8, colorspace=cs)) == (
+            8,
+            8,
+            frames,
+        )
+
+
+def test_y4m_default_colorspace_is_420():
+    # a stream with no C tag carries 4:2:0 chroma per the spec
+    b = encode_y4m([[1, 2, 3, 4]], 2, 2, colorspace="420").replace(b" C420\n", b"\n")
+    assert decode_video_real(b) == (2, 2, [[1, 2, 3, 4]])
+
+
+def test_y4m_frame_params_ignored():
+    # frame-level parameters after FRAME (e.g. interlacing hints) are legal
+    b = HAND_Y4M.replace(b"FRAME\n" + bytes([10, 20, 30, 40]),
+                         b"FRAME Xsome-param\n" + bytes([10, 20, 30, 40]))
+    assert decode_video_real(b)[2][0] == [10, 20, 30, 40]
+
+
+def test_y4m_malformed_and_seams():
+    with pytest.raises(NotImplementedError, match="demuxer"):
+        decode_video_real(b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 16)  # mp4
+    with pytest.raises(ValueError, match="truncated"):
+        decode_video_real(HAND_Y4M[:-2])
+    with pytest.raises(ValueError, match="colorspace"):
+        decode_video_real(b"YUV4MPEG2 W2 H2 C444\nFRAME\n" + bytes(12))
+    with pytest.raises(ValueError, match="FRAME"):
+        decode_video_real(b"YUV4MPEG2 W2 H2 Cmono\nXRAME\n" + bytes(4))
+
+
 def test_real_png_files_on_disk_decode_via_binaryfile_scan(spark, tmp_path):
     imgs = {
         "1.png": encode_png(md5_pixels("first doc"), 8, 8, color_type=6,

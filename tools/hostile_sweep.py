@@ -56,6 +56,7 @@ REPEAT_QUERIES = (
     "multimodal_png_ingest",
     "stream_png_ingest",
     "multimodal_wav_ingest",
+    "multimodal_y4m_frames",
 )
 
 
