@@ -133,6 +133,7 @@ _CORE_FIRST = (
     "multimodal_wav_ingest",
     "multimodal_audio_features",
     "multimodal_y4m_frames",
+    "multimodal_ingest_quarantine",
 )
 
 

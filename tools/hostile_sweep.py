@@ -56,7 +56,9 @@ REPEAT_QUERIES = (
     "multimodal_png_ingest",
     "stream_png_ingest",
     "multimodal_wav_ingest",
+    "multimodal_audio_features",
     "multimodal_y4m_frames",
+    "multimodal_ingest_quarantine",
 )
 
 
