@@ -116,6 +116,11 @@ HEADLINE = [
     # candidate self-join, verify. Its cost vs dedup_minhash_lsh above is
     # the materialize-the-index premium, tracked round-over-round.
     "dedup_bucketed_bronze",
+    # r7: the multimodal ingest sentinel — executor-side staging of one
+    # real PNG per document + binaryFile scan + Arrow-kernel decode (all
+    # five color types, all five filters). Tracks the binary-blob ingest
+    # path (file staging I/O + Arrow decode throughput) round-over-round.
+    "multimodal_png_ingest",
 ]
 
 
