@@ -637,6 +637,113 @@ def _dv_compact(spark: SparkSession, path: str) -> DataFrame:
 
 
 @register(
+    "layout_snapshot_log",
+    oracle="""
+    SELECT 0 AS version, count(*)::BIGINT AS n_rows, 4 AS n_files
+    FROM events WHERE event_id % 3 = 0
+    UNION ALL
+    SELECT 1, count(*)::BIGINT, 8 FROM events WHERE event_id % 3 IN (0, 1)
+    UNION ALL
+    SELECT 2, count(*)::BIGINT, 2 FROM events WHERE event_id % 3 IN (0, 1)
+    UNION ALL
+    SELECT 3, count(*)::BIGINT, 2 FROM events
+    WHERE event_id % 3 IN (0, 1) AND user_id % 10 <> 0
+    """,
+    doc="Snapshot-isolation commit log EXECUTED on plain parquet — the "
+    "metadata layer that turns a directory of files into a versioned "
+    "table (the Delta/Iceberg transaction-log primitive, built from "
+    "first principles): four commits are written to a _log/ of numbered "
+    "JSON entries, each listing data files added/removed — v0 initial "
+    "load (4 files), v1 incremental append (+4), v2 compaction (8 small "
+    "files rewritten into 2; rows unchanged), v3 DELETE (rewrite "
+    "dropping user_id%10=0). Readers TIME-TRAVEL by replaying the log to "
+    "a version and scanning exactly that file set; removed files stay on "
+    "disk (vacuum is layout_retention_vacuum's job), so the v0/v1 audits "
+    "— computed AFTER the compaction and delete commits — still see the "
+    "original rows: the oracle cross-checks every version's row count "
+    "from the commit rules, proving old snapshots are unaffected by "
+    "later writers. All four audits are lazy unions over the pinned file "
+    "sets, zero driver collects of data. At 100 TB this is how "
+    "concurrent readers get consistency without locks: O(log) replay "
+    "cost, file-listing-sized metadata, writers append commits "
+    "atomically.",
+)
+def layout_snapshot_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import shutil
+    from functools import reduce
+
+    ev = load_table(spark, sf_dir, "events")
+    root = os.path.join(cache_root(), f"snaplog_{_tag(sf_dir)}")
+    shutil.rmtree(root, ignore_errors=True)  # replay from genesis: idempotent
+    log_dir = os.path.join(root, "_log")
+    os.makedirs(log_dir, exist_ok=True)
+
+    def parts(sub: str) -> list[str]:
+        d = os.path.join(root, sub)
+        return sorted(
+            f"{sub}/{f}" for f in os.listdir(d) if f.startswith("part-")
+        )
+
+    def commit(n: int, add: list[str], remove: list[str]) -> None:
+        # one JSON entry per commit, atomically renamed into place — the
+        # Delta-protocol shape (OCC writers conflict on the same number)
+        tmp = os.path.join(log_dir, f".{n:05d}.json.tmp")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump({"version": n, "add": add, "remove": remove}, fh)
+        os.rename(tmp, os.path.join(log_dir, f"{n:05d}.json"))
+
+    def active_files(version: int) -> list[str]:
+        files: set[str] = set()
+        for n in range(version + 1):
+            with open(os.path.join(log_dir, f"{n:05d}.json"), encoding="utf-8") as fh:
+                entry = json.load(fh)
+            files.difference_update(entry["remove"])
+            files.update(entry["add"])
+        return sorted(files)
+
+    # v0: initial load, 4 files
+    ev.filter(F.col("event_id") % 3 == 0).repartition(4).write.parquet(
+        os.path.join(root, "batch-0")
+    )
+    commit(0, parts("batch-0"), [])
+    # v1: incremental append, 4 more files
+    ev.filter(F.col("event_id") % 3 == 1).repartition(4).write.parquet(
+        os.path.join(root, "batch-1")
+    )
+    commit(1, parts("batch-1"), [])
+    # v2: compaction — rewrite the 8 small files into 2, rows unchanged
+    # (reads the v1 snapshot, writes NEW files, never touches the old)
+    v1_files = active_files(1)
+    spark.read.parquet(*[os.path.join(root, f) for f in v1_files]).repartition(
+        2
+    ).write.parquet(os.path.join(root, "compact-2"))
+    commit(2, parts("compact-2"), v1_files)
+    # v3: DELETE user_id % 10 = 0 — rewrite of the 2 active files
+    v2_files = active_files(2)
+    spark.read.parquet(*[os.path.join(root, f) for f in v2_files]).filter(
+        F.col("user_id") % 10 != 0
+    ).repartition(2).write.parquet(os.path.join(root, "delete-3"))
+    commit(3, parts("delete-3"), v2_files)
+
+    # time-travel audits: every version replayed from the log AFTER all
+    # commits landed — lazy unions, so the whole audit is one Spark job
+    audits = []
+    for v in range(4):
+        files = active_files(v)
+        audits.append(
+            spark.read.parquet(*[os.path.join(root, f) for f in files])
+            .agg(F.count("*").cast("long").alias("n_rows"))
+            .select(
+                F.lit(v).cast("int").alias("version"),
+                "n_rows",
+                F.lit(len(files)).cast("int").alias("n_files"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), audits)
+
+
+@register(
     "layout_dv_compaction",
     oracle=f"""
     WITH t AS (

@@ -134,6 +134,7 @@ _CORE_FIRST = (
     "multimodal_audio_features",
     "multimodal_y4m_frames",
     "multimodal_ingest_quarantine",
+    "layout_snapshot_log",
 )
 
 

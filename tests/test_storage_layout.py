@@ -610,6 +610,48 @@ def test_dv_compaction_rewrites_only_high_fraction_files(spark, oracle_sf_dir, t
     assert back.count() == row.rows_visible_after + row.tombstones_remaining
 
 
+def test_snapshot_log_isolation_is_physical(spark, sf_dir):
+    """layout_snapshot_log's file-level claims: files removed by later
+    commits remain on disk byte-identical (old snapshots stay readable),
+    the log replays to strictly-sorted file sets, and the v3 delete is
+    invisible to a v1 reader."""
+    import json
+    import os
+
+    from etl_pipeline_old_spark.queries.scale_ops import (
+        _tag,
+        layout_snapshot_log,
+    )
+    from etl_pipeline_old_spark.workdir import cache_root
+
+    rows = {r.version: r for r in layout_snapshot_log(spark, sf_dir).collect()}
+    assert rows[1].n_rows == rows[2].n_rows, "compaction must not change rows"
+    assert rows[3].n_rows < rows[2].n_rows, "delete must drop rows"
+    assert (rows[0].n_files, rows[1].n_files, rows[2].n_files, rows[3].n_files) == (
+        4,
+        8,
+        2,
+        2,
+    )
+
+    root = os.path.join(cache_root(), f"snaplog_{_tag(sf_dir)}")
+    # every file ever added — including ones later commits removed — is
+    # still on disk (vacuum is a separate, explicit operation)
+    added = set()
+    for n in range(4):
+        with open(os.path.join(root, "_log", f"{n:05d}.json")) as fh:
+            added.update(json.load(fh)["add"])
+    assert len(added) == 4 + 4 + 2 + 2
+    for f in added:
+        assert os.path.exists(os.path.join(root, f)), f
+
+    # a v1 reader opened after the delete commit still sees deleted users
+    v1 = spark.read.parquet(
+        os.path.join(root, "batch-0"), os.path.join(root, "batch-1")
+    )
+    assert v1.filter(F.col("user_id") % 10 == 0).count() > 0
+
+
 def test_dv_compaction_drops_fully_tombstoned_file(spark, sf_dir):
     """At sf0.001 the erasure rule tombstones 100% of bucket=14 (its only
     occupant is user 14) — compaction of that file has no survivors for

@@ -138,7 +138,7 @@ COVERAGE: list[tuple[str, str, list[str], str]] = [
     ("X-ivm", "incremental aggregate maintenance", ["incremental_agg_merge", "rollup_cascade_daily", "sketch_hll_partitioned_union", "sketch_cms_event_counts", "sketch_mg_heavy_hitters", "sketch_histogram_quantile"], "partial-state merge; oracle IS the IVM invariant; mergeable count-min sketch w/ in-plan one-sided-error assertion; Misra-Gries heavy-hitter summaries merged across data shards w/ both MG guarantees asserted in-plan; mergeable histogram quantile sketch w/ half-bucket error asserted vs the exact median"),
     ("X-graph", "graph analytics", ["graph_pagerank", "dedup_clusters", "dedup_clusters_star", "graph_triangle_count"], "bounded power iteration w/ dangling mass; label propagation AND log-rounds large-star/small-star CC (equality-tested); oriented-edge triangle count"),
     ("X-ts", "time-series / CDC", ["cdc_changelog_compact", "ts_gapfill_ffill", "ts_resample_ohlc", "ts_time_weighted_avg"], "changelog compaction w/ tombstones, dense ffill series, OHLC bars"),
-    ("X-layout", "storage layout", ["zorder_zvalue", "k7_partitioned_write_prune", "layout_compaction_bins", "layout_minmax_prune", "layout_range_partition_plan", "layout_bucketed_join", "layout_compaction_execute", "catalog_analyze_stats", "layout_retention_vacuum", "layout_erasure_cow", "layout_erasure_dv", "layout_dv_compaction"], "Z-order keys (clustering asserted on parquet footers); Hive-partitioned write w/ pruned readback (PartitionFilters asserted in test_plans.py); small-file compaction planner; min/max file-stats skipping manifest (hash vs sort-on-write layouts); balanced range-partition plan for sorted writes; bucketed co-located zero-shuffle join (value-checked end-to-end); compaction rewrite executed with filesystem-measured before/after file counts; ANALYZE TABLE column stats value-checked vs exact aggregates (rowCount surfaced to CBO asserted in test_plans.py); partition-level retention sweep (directory drop, zero data rewritten, surviving table audited); right-to-erasure executed copy-on-write on a user-clustered layout (only manifest-affected partitions rewritten, untouched files byte-identical, fully-erased partitions dropped); merge-on-read positional deletion vector (real (file_path, row_index) tombstones via _metadata, broadcast anti-join by position, zero files rewritten); DV-materializing compaction closing the MOR→COW lifecycle (only files with tombstone fraction ≥ 0.15 rewritten, untouched files byte-identical, rows-visible invariant oracle-checked)"),
+    ("X-layout", "storage layout", ["zorder_zvalue", "k7_partitioned_write_prune", "layout_compaction_bins", "layout_minmax_prune", "layout_range_partition_plan", "layout_bucketed_join", "layout_compaction_execute", "catalog_analyze_stats", "layout_retention_vacuum", "layout_erasure_cow", "layout_erasure_dv", "layout_dv_compaction", "layout_snapshot_log"], "Z-order keys (clustering asserted on parquet footers); Hive-partitioned write w/ pruned readback (PartitionFilters asserted in test_plans.py); small-file compaction planner; min/max file-stats skipping manifest (hash vs sort-on-write layouts); balanced range-partition plan for sorted writes; bucketed co-located zero-shuffle join (value-checked end-to-end); compaction rewrite executed with filesystem-measured before/after file counts; ANALYZE TABLE column stats value-checked vs exact aggregates (rowCount surfaced to CBO asserted in test_plans.py); partition-level retention sweep (directory drop, zero data rewritten, surviving table audited); right-to-erasure executed copy-on-write on a user-clustered layout (only manifest-affected partitions rewritten, untouched files byte-identical, fully-erased partitions dropped); merge-on-read positional deletion vector (real (file_path, row_index) tombstones via _metadata, broadcast anti-join by position, zero files rewritten); DV-materializing compaction closing the MOR→COW lifecycle (only files with tombstone fraction ≥ 0.15 rewritten, untouched files byte-identical, rows-visible invariant oracle-checked); snapshot-isolation commit log executed on plain parquet (numbered add/remove JSON commits, time-travel reads by log replay, old snapshots proven unaffected by later compaction/delete commits)"),
     ("X-analytics", "event analytics", ["events_funnel", "events_retention_cohorts", "events_rate_anomaly", "basket_brand_lift", "events_decayed_value", "events_cumulative_uniques", "events_markov_transitions", "events_anomaly_mad", "events_attribution_last_touch", "events_attribution_linear", "events_path_topn", "events_rfm_segments", "events_running_balance_clamp", "traj_user_similarity_topk"], "ordered funnel w/ conversion window, retention cohorts, integer-exact rolling z-score anomaly, Markov transition matrix, MAD robust outlier flags, one-pass last-touch attribution, linear multi-touch attribution (value-conserving), top-N 3-step paths, RFM quintile segmentation, clamped running balance (sequential state via applyInPandas vs recursive-CTE oracle), trajectory-similarity top-k via shingle-collision candidates (REPOSE ICDE 2021 shape)"),
     ("X-corpus", "training-corpus capstone", ["pipeline_training_corpus", "pipeline_streaming_corpus", "pipeline_corpus_refresh"], "normalize→quality→dedup→deterministic split→manifest; incremental refresh: delta-only quality gate → exact dedup vs base → LSH probe → append audit"),
     ("X-loader", "dataloader layout", ["corpus_epoch_shuffle", "corpus_shard_manifest", "corpus_group_split"], "deterministic per-epoch permutation (per-shard windows, no global sort) + per-shard doc/token manifest + leakage-safe group-keyed train/test split"),

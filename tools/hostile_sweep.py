@@ -59,6 +59,7 @@ REPEAT_QUERIES = (
     "multimodal_audio_features",
     "multimodal_y4m_frames",
     "multimodal_ingest_quarantine",
+    "layout_snapshot_log",
 )
 
 
