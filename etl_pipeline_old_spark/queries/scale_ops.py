@@ -636,6 +636,27 @@ def _dv_compact(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def _snapshot_commit(log_dir: str):
+    """Optimistic-concurrency commit writer for the snapshot log: the
+    entry's full content lands in a writer-private temp file, then an
+    os.link CLAIMS the version number atomically — a second writer racing
+    for the same version gets FileExistsError and must re-read the log
+    and retry at the next number (exactly Delta's OCC protocol; the
+    conflict mechanic is exercised in tests/test_storage_layout.py)."""
+    import json
+
+    def commit(n: int, add: list[str], remove: list[str]) -> None:
+        tmp = os.path.join(log_dir, f".{n:05d}.{os.getpid()}.tmp")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump({"version": n, "add": add, "remove": remove}, fh)
+        try:
+            os.link(tmp, os.path.join(log_dir, f"{n:05d}.json"))
+        finally:
+            os.unlink(tmp)
+
+    return commit
+
+
 @register(
     "layout_snapshot_log",
     oracle="""
@@ -685,13 +706,7 @@ def layout_snapshot_log(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{sub}/{f}" for f in os.listdir(d) if f.startswith("part-")
         )
 
-    def commit(n: int, add: list[str], remove: list[str]) -> None:
-        # one JSON entry per commit, atomically renamed into place — the
-        # Delta-protocol shape (OCC writers conflict on the same number)
-        tmp = os.path.join(log_dir, f".{n:05d}.json.tmp")
-        with open(tmp, "w", encoding="utf-8") as fh:
-            json.dump({"version": n, "add": add, "remove": remove}, fh)
-        os.rename(tmp, os.path.join(log_dir, f"{n:05d}.json"))
+    commit = _snapshot_commit(log_dir)
 
     def active_files(version: int) -> list[str]:
         files: set[str] = set()

@@ -652,6 +652,30 @@ def test_snapshot_log_isolation_is_physical(spark, sf_dir):
     assert v1.filter(F.col("user_id") % 10 == 0).count() > 0
 
 
+def test_snapshot_commit_conflicts_are_detected(tmp_path):
+    """The OCC mechanic: two writers racing for the same commit number —
+    the second claim must fail (FileExistsError), its temp file must not
+    leak, and the winner's entry must be intact."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from etl_pipeline_old_spark.queries.scale_ops import _snapshot_commit
+
+    log_dir = str(tmp_path)
+    commit = _snapshot_commit(log_dir)
+    commit(0, ["a.parquet"], [])
+    with _pytest.raises(FileExistsError):
+        commit(0, ["b.parquet"], [])  # loser: must re-read the log, retry at 1
+    commit(1, ["b.parquet"], [])
+
+    entries = sorted(os.listdir(log_dir))
+    assert entries == ["00000.json", "00001.json"], entries  # no tmp leak
+    with open(os.path.join(log_dir, "00000.json")) as fh:
+        assert json.load(fh)["add"] == ["a.parquet"]  # winner intact
+
+
 def test_dv_compaction_drops_fully_tombstoned_file(spark, sf_dir):
     """At sf0.001 the erasure rule tombstones 100% of bucket=14 (its only
     occupant is user 14) — compaction of that file has no survivors for
