@@ -157,29 +157,41 @@ def _ppm_pixel_sql(j: int) -> str:
     return md5_pixel_sql(j)
 
 
-def _stage_ppm_files(spark: SparkSession, sf_dir: str) -> str:
-    """Stage one REAL .ppm image file per document, written from the
-    executors (each task renders and writes its partition's docs — on a
-    cluster this is the object-store upload half of an image corpus; the
-    shared filesystem stands in for the bucket). Idempotent per process
-    via a marker file; the session root is fresh per process (workdir)."""
-    path = os.path.join(cache_root(), f"ppm_files_{_tag(sf_dir)}")
+def _stage_media_files(
+    spark: SparkSession, sf_dir: str, kind: str, suffix: str, render
+) -> str:
+    """Stage one REAL media file per document, written from the executors
+    (each task renders and writes its partition's docs — on a cluster
+    this is the object-store upload half of a media corpus; the shared
+    filesystem stands in for the bucket). ``render(doc_id, text)`` returns
+    the file bytes. Idempotent per process via a marker file; the session
+    root is fresh per process (workdir)."""
+    path = os.path.join(cache_root(), f"{kind}_{_tag(sf_dir)}")
     marker = os.path.join(path, "_STAGED")
     if not os.path.exists(marker):
         os.makedirs(path, exist_ok=True)
         d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
 
         def write_part(rows):
-            from ..operators.multimodal import encode_ppm_p6, md5_pixels
-
             for r in rows:
-                data = encode_ppm_p6(md5_pixels(r.text, 64), 8, 8)
-                with open(os.path.join(path, f"{r.doc_id}.ppm"), "wb") as fh:
-                    fh.write(data)
+                with open(
+                    os.path.join(path, f"{r.doc_id}.{suffix}"), "wb"
+                ) as fh:
+                    fh.write(render(r.doc_id, r.text))
 
         d.foreachPartition(write_part)
         open(marker, "w").close()
     return path
+
+
+def _render_ppm(doc_id: int, text: str) -> bytes:
+    from ..operators.multimodal import encode_ppm_p6, md5_pixels
+
+    return encode_ppm_p6(md5_pixels(text, 64), 8, 8)
+
+
+def _stage_ppm_files(spark: SparkSession, sf_dir: str) -> str:
+    return _stage_media_files(spark, sf_dir, "ppm_files", "ppm", _render_ppm)
 
 
 @register(
@@ -248,36 +260,22 @@ def multimodal_ppm_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PNG_CT = (0, 2, 3, 6)
 
 
+def _render_png(doc_id: int, text: str) -> bytes:
+    # color type AND scanline filter cycle by doc_id, so the staged corpus
+    # exercises every decode path (gray/RGB/paletted/RGBA x None..Paeth)
+    from ..operators.multimodal import encode_png, md5_pixels
+
+    return encode_png(
+        md5_pixels(text, 64),
+        8,
+        8,
+        color_type=_PNG_CT[doc_id % 4],
+        filter_type=doc_id % 5,
+    )
+
+
 def _stage_png_files(spark: SparkSession, sf_dir: str) -> str:
-    """Stage one REAL .png file per document (executor-side writes, the
-    object-store upload shape — same pattern as _stage_ppm_files), cycling
-    the color type gray/RGB/RGBA by doc_id so every decode path is
-    exercised against live files. Idempotent per process via a marker."""
-    path = os.path.join(cache_root(), f"png_files_{_tag(sf_dir)}")
-    marker = os.path.join(path, "_STAGED")
-    if not os.path.exists(marker):
-        os.makedirs(path, exist_ok=True)
-        d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-
-        def write_part(rows):
-            from ..operators.multimodal import encode_png, md5_pixels
-
-            for r in rows:
-                data = encode_png(
-                    md5_pixels(r.text, 64),
-                    8,
-                    8,
-                    color_type=_PNG_CT[r.doc_id % 4],
-                    # vary the scanline filter too, so the staged corpus
-                    # exercises every unfilter path (None..Paeth) in-plan
-                    filter_type=r.doc_id % 5,
-                )
-                with open(os.path.join(path, f"{r.doc_id}.png"), "wb") as fh:
-                    fh.write(data)
-
-        d.foreachPartition(write_part)
-        open(marker, "w").close()
-    return path
+    return _stage_media_files(spark, sf_dir, "png_files", "png", _render_png)
 
 
 def _png_ingest_oracle() -> str:
@@ -375,31 +373,20 @@ def _wav_sample_sql(j: int) -> str:
 _WAV_N = 64  # interleaved int16 samples per staged file
 
 
+def _render_wav(doc_id: int, text: str) -> bytes:
+    # channel count (mono/stereo) and sample rate cycle by doc_id so the
+    # fmt-chunk parse is value-checked, not just executed
+    from ..operators.multimodal import encode_wav_pcm16, md5_samples
+
+    return encode_wav_pcm16(
+        md5_samples(text, _WAV_N),
+        sample_rate=8000 * (1 + doc_id % 3),
+        channels=1 + doc_id % 2,
+    )
+
+
 def _stage_wav_files(spark: SparkSession, sf_dir: str) -> str:
-    """Stage one REAL RIFF/WAVE PCM16 file per document (executor-side
-    writes), cycling channel count (mono/stereo) and sample rate by
-    doc_id so the fmt-chunk parse is value-checked, not just executed."""
-    path = os.path.join(cache_root(), f"wav_files_{_tag(sf_dir)}")
-    marker = os.path.join(path, "_STAGED")
-    if not os.path.exists(marker):
-        os.makedirs(path, exist_ok=True)
-        d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-
-        def write_part(rows):
-            from ..operators.multimodal import encode_wav_pcm16, md5_samples
-
-            for r in rows:
-                data = encode_wav_pcm16(
-                    md5_samples(r.text, _WAV_N),
-                    sample_rate=8000 * (1 + r.doc_id % 3),
-                    channels=1 + r.doc_id % 2,
-                )
-                with open(os.path.join(path, f"{r.doc_id}.wav"), "wb") as fh:
-                    fh.write(data)
-
-        d.foreachPartition(write_part)
-        open(marker, "w").close()
-    return path
+    return _stage_media_files(spark, sf_dir, "wav_files", "wav", _render_wav)
 
 
 @register(
@@ -554,33 +541,19 @@ def _y4m_pixel_sql(f: int, j: int) -> str:
     return md5_pixel_sql(j, f"('f{f}:' || text)")
 
 
+def _render_y4m(doc_id: int, text: str) -> bytes:
+    # 4 frames of 8x8; colorspace cycles mono/420 by doc_id so both plane
+    # layouts are parsed against live files
+    from ..operators.multimodal import encode_y4m, md5_pixels
+
+    frames = [md5_pixels(f"f{k}:" + text, 64) for k in range(_Y4M_FRAMES)]
+    return encode_y4m(
+        frames, 8, 8, colorspace="mono" if doc_id % 2 == 0 else "420"
+    )
+
+
 def _stage_y4m_files(spark: SparkSession, sf_dir: str) -> str:
-    """Stage one REAL YUV4MPEG2 clip per document (executor-side writes):
-    4 frames of 8x8, colorspace cycled mono/420 by doc_id so both plane
-    layouts are parsed against live files."""
-    path = os.path.join(cache_root(), f"y4m_files_{_tag(sf_dir)}")
-    marker = os.path.join(path, "_STAGED")
-    if not os.path.exists(marker):
-        os.makedirs(path, exist_ok=True)
-        d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-
-        def write_part(rows):
-            from ..operators.multimodal import encode_y4m, md5_pixels
-
-            for r in rows:
-                frames = [
-                    md5_pixels(f"f{k}:" + r.text, 64) for k in range(_Y4M_FRAMES)
-                ]
-                data = encode_y4m(
-                    frames, 8, 8,
-                    colorspace="mono" if r.doc_id % 2 == 0 else "420",
-                )
-                with open(os.path.join(path, f"{r.doc_id}.y4m"), "wb") as fh:
-                    fh.write(data)
-
-        d.foreachPartition(write_part)
-        open(marker, "w").close()
-    return path
+    return _stage_media_files(spark, sf_dir, "y4m_files", "y4m", _render_y4m)
 
 
 @register(
@@ -652,33 +625,17 @@ def multimodal_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CORRUPT_MOD = 50  # doc_id % 50 == 0 -> the staged image is corrupted
 
 
+def _render_corrupt_png(doc_id: int, text: str) -> bytes:
+    # every _CORRUPT_MOD-th file is torn mid-IDAT (truncated upload — the
+    # most common real object-store corruption)
+    data = _render_png(doc_id, text)
+    return data[: len(data) - 24] if doc_id % _CORRUPT_MOD == 0 else data
+
+
 def _stage_corrupt_png_files(spark: SparkSession, sf_dir: str) -> str:
-    """Stage the PNG corpus WITH deliberate damage: every doc_id %
-    _CORRUPT_MOD == 0 file has its IDAT payload truncated mid-chunk (a
-    torn object-store upload — the most common real corruption)."""
-    path = os.path.join(cache_root(), f"png_corrupt_{_tag(sf_dir)}")
-    marker = os.path.join(path, "_STAGED")
-    if not os.path.exists(marker):
-        os.makedirs(path, exist_ok=True)
-        d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-
-        def write_part(rows):
-            from ..operators.multimodal import encode_png, md5_pixels
-
-            for r in rows:
-                data = encode_png(
-                    md5_pixels(r.text, 64), 8, 8,
-                    color_type=_PNG_CT[r.doc_id % 4],
-                    filter_type=r.doc_id % 5,
-                )
-                if r.doc_id % _CORRUPT_MOD == 0:
-                    data = data[: len(data) - 24]  # torn upload
-                with open(os.path.join(path, f"{r.doc_id}.png"), "wb") as fh:
-                    fh.write(data)
-
-        d.foreachPartition(write_part)
-        open(marker, "w").close()
-    return path
+    return _stage_media_files(
+        spark, sf_dir, "png_corrupt", "png", _render_corrupt_png
+    )
 
 
 @register(
