@@ -394,6 +394,8 @@ def decode_audio_real(payload: bytes) -> tuple[int, int, list[int]]:
         i += 8 + length + (length & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt or data chunk")
+    if len(fmt) < 16:
+        raise ValueError(f"WAV fmt chunk too short ({len(fmt)} bytes)")
     audio_format, channels, sample_rate, _, _, bits = struct.unpack("<HHIIHH", fmt[:16])
     if audio_format != 1 or bits != 16:
         raise NotImplementedError(

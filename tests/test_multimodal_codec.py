@@ -408,6 +408,28 @@ def test_y4m_frame_params_ignored():
     assert decode_video_real(b)[2][0] == [10, 20, 30, 40]
 
 
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(1, 4),
+    st.integers(1, 4),
+    st.integers(1, 4),
+    st.sampled_from(["mono", "420"]),
+    st.data(),
+)
+def test_y4m_encode_decode_round_trip_property(w, h, n_frames, cs, data):
+    if cs == "420":
+        w, h = w * 2, h * 2  # chroma subsampling needs even dims
+    frames = [
+        data.draw(st.lists(st.integers(0, 255), min_size=w * h, max_size=w * h))
+        for _ in range(n_frames)
+    ]
+    assert decode_video_real(encode_y4m(frames, w, h, colorspace=cs)) == (
+        w,
+        h,
+        frames,
+    )
+
+
 def test_y4m_malformed_and_seams():
     with pytest.raises(NotImplementedError, match="demuxer"):
         decode_video_real(b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 16)  # mp4
