@@ -12,14 +12,18 @@ non-interlaced 8-bit PNG (gray / RGB / RGBA: chunk walk with CRC checks,
 zlib inflate, per-scanline unfilter of all five filter types) —
 ``encode_ppm_p6`` / ``encode_png`` emit real, viewer-openable bytes, and
 the phash/ingest queries run decode → grayscale → aHash on real image
-bytes end-to-end. AUDIO decodes for real too (``decode_audio_real``:
-RIFF/WAVE PCM16, cross-validated against the stdlib ``wave`` module), as
-does raw VIDEO (``decode_video_real``: YUV4MPEG2 header + FRAME walk,
-Y-plane grayscale) — all three modalities have genuine staged-file ingest
-queries. JPEG, compressed audio (MP3/FLAC), and compressed video
-(MP4/MKV) still need codec libraries absent from this container, so those
-magics raise NotImplementedError — the seams where Pillow / soundfile /
-PyAV plug in on a real cluster. ``decode_meta``/``resize``/
+bytes end-to-end. BASELINE JPEG also decodes (and encodes) natively —
+``operators/jpeg.py`` is a pure Python+numpy ITU-T T.81 baseline codec
+(FDCT/IDCT, optimized Huffman, 4:4:4 / 4:2:0, restart markers),
+cross-validated against the JVM's independent ``javax.imageio`` decoder
+to within ±2 gray levels. AUDIO decodes for real too
+(``decode_audio_real``: RIFF/WAVE PCM16, cross-validated against the
+stdlib ``wave`` module), as does raw VIDEO (``decode_video_real``:
+YUV4MPEG2 header + FRAME walk, Y-plane grayscale) — all three modalities
+have genuine staged-file ingest queries. Progressive JPEG, compressed
+audio (MP3/FLAC), and compressed video (MP4/MKV) still need codec
+libraries absent from this container, so those raise — the seams where
+libjpeg-turbo / soundfile / PyAV plug in on a real cluster. ``decode_meta``/``resize``/
 ``feature_extract``/``frame_sample`` below remain deterministic
 stand-ins for generic batch shapes (the REAL frame sampling lives in
 ``multimodal_y4m_frames``, inside the decode kernel).
@@ -88,31 +92,77 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+# Adam7 interlace pass layout: (x0, y0, dx, dy) per pass, per the spec
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _filter_lines(lines: list[bytes], bpp: int, filter_type: int) -> bytearray:
+    """Apply one PNG scanline filter to a sequence of raw lines (the
+    prior line starts as zeros — each Adam7 pass filters independently)."""
+    raw = bytearray()
+    prior = bytes(len(lines[0])) if lines else b""
+    for line in lines:
+        raw.append(filter_type)
+        for x in range(len(line)):
+            left = line[x - bpp] if x >= bpp else 0
+            up = prior[x]
+            ul = prior[x - bpp] if x >= bpp else 0
+            pred = {
+                0: 0,
+                1: left,
+                2: up,
+                3: (left + up) // 2,
+                4: _paeth(left, up, ul),
+            }[filter_type]
+            raw.append((line[x] - pred) & 0xFF)
+        prior = line
+    return raw
+
+
 def encode_png(
     gray: list[int],
     width: int,
     height: int,
     color_type: int = 2,
     filter_type: int = 0,
+    depth: int = 8,
+    interlace: int = 0,
 ) -> bytes:
     """Real, viewer-openable PNG bytes (pure stdlib: zlib + struct) for a
-    grayscale pixel list — non-interlaced, 8-bit. ``color_type`` 0 writes
-    gray samples directly; 2 writes (g,g,g) RGB triplets; 3 writes
-    palette indexes with a PLTE of the distinct gray values; 4 writes
-    (g,255) gray+alpha; 6 writes (g,g,g,255) RGBA. ``filter_type``
-    selects the per-scanline filter
+    grayscale pixel list. ``color_type`` 0 writes gray samples directly;
+    2 writes (g,g,g) RGB triplets; 3 writes palette indexes with a PLTE
+    of the distinct gray values; 4 writes (g,255) gray+alpha; 6 writes
+    (g,g,g,255) RGBA. ``filter_type`` selects the per-scanline filter
     (0=None, 1=Sub, 2=Up, 3=Average, 4=Paeth) — all five produce the same
-    decoded image, so round-trip tests can exercise every unfilter path."""
+    decoded image, so round-trip tests can exercise every unfilter path.
+    ``depth`` 16 stores each sample as g*257 big-endian (high byte == g).
+    ``interlace`` 1 writes the seven Adam7 passes (each filtered
+    independently, empty passes omitted, per the spec)."""
     if len(gray) != width * height:
         raise ValueError(f"{len(gray)} pixels for {width}x{height}")
     if color_type not in _PNG_CHANNELS:
         raise ValueError(f"unsupported color type {color_type}")
     if filter_type not in range(5):
         raise ValueError(f"bad filter type {filter_type}")
+    if depth not in (8, 16) or (depth == 16 and color_type == 3):
+        raise ValueError(f"unsupported depth {depth} for color type {color_type}")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad interlace method {interlace}")
     ch = _PNG_CHANNELS[color_type]
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    bps = depth // 8
+    bpp = ch * bps
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, color_type, 0, 0, interlace)
 
     plte = b""
+    idx: dict[int, int] = {}
     if color_type == 3:
         # palette of the distinct gray values, each stored as (g, g, g);
         # pixels become palette indexes (≤256 entries always: gray ∈ 0..255)
@@ -125,27 +175,29 @@ def encode_png(
             return (idx[g],)
         return {0: (g,), 2: (g, g, g), 4: (g, 255), 6: (g, g, g, 255)}[color_type]
 
-    stride = width * ch
-    raw = bytearray()
-    prior = bytes(stride)
-    for y in range(height):
-        line = bytes(
-            v for x in range(width) for v in px(gray[y * width + x])
+    def line_bytes(row_pixels: list[int]) -> bytes:
+        if bps == 1:
+            return bytes(v for g in row_pixels for v in px(g))
+        return b"".join(
+            struct.pack(">H", v * 257) for g in row_pixels for v in px(g)
         )
-        raw.append(filter_type)
-        for x in range(stride):
-            left = line[x - ch] if x >= ch else 0
-            up = prior[x]
-            ul = prior[x - ch] if x >= ch else 0
-            pred = {
-                0: 0,
-                1: left,
-                2: up,
-                3: (left + up) // 2,
-                4: _paeth(left, up, ul),
-            }[filter_type]
-            raw.append((line[x] - pred) & 0xFF)
-        prior = line
+
+    raw = bytearray()
+    if interlace == 0:
+        lines = [
+            line_bytes(gray[y * width : (y + 1) * width]) for y in range(height)
+        ]
+        raw = _filter_lines(lines, bpp, filter_type)
+    else:
+        for x0, y0, dx, dy in _ADAM7:
+            rows = range(y0, height, dy)
+            cols = range(x0, width, dx)
+            if not rows or not cols:
+                continue  # empty pass contributes no bytes at all
+            lines = [
+                line_bytes([gray[y * width + x] for x in cols]) for y in rows
+            ]
+            raw += _filter_lines(lines, bpp, filter_type)
     return (
         PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -155,16 +207,69 @@ def encode_png(
     )
 
 
+def _unfilter_lines(
+    raw: bytes, offset: int, n_lines: int, stride: int, bpp: int
+) -> tuple[list[bytearray], int]:
+    """Undo the scanline filters for one filtered region (the whole image,
+    or one Adam7 pass): returns (unfiltered lines, offset past them)."""
+    lines: list[bytearray] = []
+    prior = bytearray(stride)
+    for _ in range(n_lines):
+        if offset + 1 + stride > len(raw):
+            raise ValueError("PNG raster truncated mid-scanline")
+        ftype = raw[offset]
+        line = bytearray(raw[offset + 1 : offset + 1 + stride])
+        if ftype > 4:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        for x in range(stride):
+            left = line[x - bpp] if x >= bpp else 0
+            up = prior[x]
+            ul = prior[x - bpp] if x >= bpp else 0
+            pred = {
+                0: 0,
+                1: left,
+                2: up,
+                3: (left + up) // 2,
+                4: _paeth(left, up, ul),
+            }[ftype]
+            line[x] = (line[x] + pred) & 0xFF
+        lines.append(line)
+        prior = line
+        offset += 1 + stride
+    return lines, offset
+
+
+def _line_gray(
+    line: bytearray, color: int, bps: int, n_px: int, pal_gray
+) -> list[int]:
+    """Per-pixel gray values of one unfiltered scanline. 16-bit samples
+    reduce by their high byte (exact for the encoder's g*257 samples and
+    the standard 16->8 approximation otherwise)."""
+    ch = _PNG_CHANNELS[color]
+    bpp = ch * bps
+    if color == 3:
+        try:
+            return [pal_gray[line[k]] for k in range(n_px)]
+        except IndexError:
+            raise ValueError("PNG palette index out of range") from None
+    if ch <= 2:  # gray / gray+alpha: first sample's high byte
+        return [line[k * bpp] for k in range(n_px)]
+    return [
+        (line[k * bpp] + line[k * bpp + bps] + line[k * bpp + 2 * bps]) // 3
+        for k in range(n_px)
+    ]
+
+
 def _png_decode(payload: bytes) -> tuple[int, int, list[int]]:
-    """Decode a non-interlaced 8-bit PNG (gray / gray+alpha / RGB / RGBA
-    / paletted):
-    walk the chunk stream (validating each CRC), inflate the concatenated
-    IDAT stream, unfilter every scanline (filter types 0-4 per the spec),
-    and reduce to grayscale via the same integer RGB mean the netpbm
-    decode uses (alpha ignored; palette entries grayscaled through PLTE).
-    Pure stdlib; kills the PNG half of the codec seam (r6 verdict task 1).
-    Interlaced, 16-bit, and sub-byte-depth images raise ValueError —
-    rare shapes a real cluster's Pillow seam handles."""
+    """Decode an 8- or 16-bit PNG (gray / gray+alpha / RGB / RGBA /
+    paletted; sequential or Adam7-interlaced): walk the chunk stream
+    (validating each CRC), inflate the concatenated IDAT stream, unfilter
+    every scanline (filter types 0-4 per the spec; each interlace pass
+    unfilters independently), and reduce to grayscale via the same
+    integer RGB mean the netpbm decode uses (alpha ignored; palette
+    entries grayscaled through PLTE; 16-bit samples by high byte).
+    Pure stdlib. Sub-byte depths (1/2/4-bit) raise ValueError — the one
+    remaining rare shape a real cluster's Pillow seam handles."""
     if payload[:8] != PNG_SIG:
         raise ValueError("not a PNG signature")
     i, ihdr, idat, plte = 8, None, bytearray(), None
@@ -189,10 +294,13 @@ def _png_decode(payload: bytes) -> tuple[int, int, list[int]]:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     width, height, depth, color, comp, filt, interlace = ihdr
-    if depth != 8 or color not in _PNG_CHANNELS:
+    if depth not in (8, 16) or color not in _PNG_CHANNELS:
         raise ValueError(f"unsupported PNG bit depth/color ({depth}, {color})")
-    if comp != 0 or filt != 0 or interlace != 0:
+    if depth == 16 and color == 3:
+        raise ValueError("16-bit paletted PNG is not a legal shape")
+    if comp != 0 or filt != 0 or interlace not in (0, 1):
         raise ValueError("unsupported PNG compression/filter/interlace mode")
+    pal_gray = None
     if color == 3:
         if plte is None or len(plte) % 3:
             raise ValueError("paletted PNG missing a valid PLTE chunk")
@@ -202,45 +310,34 @@ def _png_decode(payload: bytes) -> tuple[int, int, list[int]]:
             for k in range(len(plte) // 3)
         ]
     ch = _PNG_CHANNELS[color]
-    stride = width * ch
+    bps = depth // 8
+    bpp = ch * bps
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != height * (stride + 1):
-        raise ValueError(f"PNG raster size {len(raw)} != {height * (stride + 1)}")
-    gray: list[int] = []
-    prior = bytearray(stride)
-    for y in range(height):
-        ftype = raw[y * (stride + 1)]
-        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
-        if ftype > 4:
-            raise ValueError(f"bad PNG filter type {ftype} on line {y}")
-        for x in range(stride):
-            left = line[x - ch] if x >= ch else 0
-            up = prior[x]
-            ul = prior[x - ch] if x >= ch else 0
-            pred = {
-                0: 0,
-                1: left,
-                2: up,
-                3: (left + up) // 2,
-                4: _paeth(left, up, ul),
-            }[ftype]
-            line[x] = (line[x] + pred) & 0xFF
-        if color == 3:
-            try:
-                gray.extend(pal_gray[idx] for idx in line)
-            except IndexError:
-                raise ValueError("PNG palette index out of range") from None
-        elif ch == 1:
-            gray.extend(line)
-        elif color == 4:  # gray + alpha: first sample is the gray value
-            gray.extend(line[::2])
-        else:
-            gray.extend(
-                (line[k * ch] + line[k * ch + 1] + line[k * ch + 2]) // 3
-                for k in range(width)
+    if interlace == 0:
+        if len(raw) != height * (width * bpp + 1):
+            raise ValueError(
+                f"PNG raster size {len(raw)} != {height * (width * bpp + 1)}"
             )
-        prior = line
-    return width, height, gray
+        lines, _ = _unfilter_lines(raw, 0, height, width * bpp, bpp)
+        gray: list[int] = []
+        for line in lines:
+            gray.extend(_line_gray(line, color, bps, width, pal_gray))
+        return width, height, gray
+    # Adam7: seven independently-filtered passes scattered over the image
+    out = [0] * (width * height)
+    offset = 0
+    for x0, y0, dx, dy in _ADAM7:
+        rows = range(y0, height, dy)
+        cols = range(x0, width, dx)
+        if not rows or not cols:
+            continue
+        lines, offset = _unfilter_lines(raw, offset, len(rows), len(cols) * bpp, bpp)
+        for y, line in zip(rows, lines):
+            for x, g in zip(cols, _line_gray(line, color, bps, len(cols), pal_gray)):
+                out[y * width + x] = g
+    if offset != len(raw):
+        raise ValueError(f"PNG interlaced raster has {len(raw) - offset} trailing bytes")
+    return width, height, out
 
 
 def _pnm_header_tokens(payload: bytes, n: int, start: int) -> tuple[list[int], int]:
@@ -292,12 +389,23 @@ def decode_image_real(payload: bytes) -> tuple[int, int, list[int]]:
     """
     if payload[:8] == PNG_SIG:
         return _png_decode(payload)
+    if payload[:2] == b"\xff\xd8":  # JPEG SOI: baseline codec (jpeg.py)
+        from .jpeg import decode_jpeg
+
+        w, h, rgb = decode_jpeg(payload)
+        flat = rgb.astype(int)
+        gray = [
+            (int(flat[y, x, 0]) + int(flat[y, x, 1]) + int(flat[y, x, 2])) // 3
+            for y in range(h)
+            for x in range(w)
+        ]
+        return w, h, gray
     magic = payload[:2]
     if magic not in (b"P6", b"P5"):
         raise NotImplementedError(
             f"no codec for magic {magic!r}: decode requires an image library "
-            "(e.g. PIL.Image.open), not available in this container — only "
-            "netpbm (P6/P5) and non-interlaced 8-bit PNG decode natively"
+            "(e.g. PIL.Image.open), not available in this container — "
+            "netpbm (P6/P5), PNG, and baseline JPEG decode natively"
         )
     (width, height, maxval), off = _pnm_header_tokens(payload, 3, 2)
     if maxval <= 0 or maxval > 255:

@@ -135,6 +135,9 @@ _CORE_FIRST = (
     "multimodal_y4m_frames",
     "multimodal_ingest_quarantine",
     "layout_snapshot_log",
+    # round-7 (cont.): baseline JPEG codec ingest — the compressed-codec
+    # seam closer (r6 verdict's #1-ranked residual)
+    "multimodal_jpeg_ingest",
 )
 
 

@@ -1,0 +1,171 @@
+"""Baseline JPEG codec (operators/jpeg.py) — round-trip properties and
+cross-validation against the JVM's independent javax.imageio decoder.
+
+The cross-validation is the load-bearing check: our encoder's output is
+decoded by an implementation we didn't write (OpenJDK's libjpeg-backed
+reader), and our decoder reads that implementation's own encoder output —
+proving both halves speak real interchange JPEG, not a private dialect.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from etl_pipeline_old_spark.operators.jpeg import decode_jpeg, encode_jpeg
+from etl_pipeline_old_spark.operators.multimodal import decode_image_real
+
+
+def _imageio_raster(spark, data: bytes):
+    """Raw per-band samples via the JVM's ImageIO + Raster (getRGB would
+    apply gray->sRGB color management and skew the comparison)."""
+    jvm = spark._jvm
+    img = jvm.javax.imageio.ImageIO.read(
+        jvm.java.io.ByteArrayInputStream(bytearray(data))
+    )
+    assert img is not None, "javax.imageio could not parse our JPEG"
+    r = img.getRaster()
+    w, h, nb = img.getWidth(), img.getHeight(), r.getNumBands()
+    out = np.zeros((h, w, nb), dtype=int)
+    for y in range(h):
+        for x in range(w):
+            for b in range(nb):
+                out[y, x, b] = r.getSample(x, y, b)
+    return out
+
+
+# ---------------------------------------------------------- round trips
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(1, 20),
+    st.integers(1, 20),
+    st.integers(0, 2**32 - 1),
+    st.sampled_from([90, 95, 100]),
+)
+def test_gray_roundtrip_bounded(w, h, seed, quality):
+    """decode(encode(img)) stays within a quality-dependent bound on
+    uniform-random images (JPEG's worst case) at any dimensions,
+    including non-multiple-of-8 edges."""
+    rng = np.random.RandomState(seed)
+    g = rng.randint(0, 256, w * h)
+    data = encode_jpeg(g.tolist(), w, h, quality=quality)
+    ww, hh, rgb = decode_jpeg(data)
+    assert (ww, hh) == (w, h)
+    err = np.abs(rgb[..., 0].astype(int).flatten() - g).max()
+    assert err <= {100: 2, 95: 12, 90: 24}[quality]
+    # gray stream: all three channels identical
+    assert (rgb[..., 0] == rgb[..., 1]).all() and (rgb[..., 0] == rgb[..., 2]).all()
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(0, 2**32 - 1), st.sampled_from(["444", "420"]))
+def test_color_roundtrip_bounded(seed, sub):
+    rng = np.random.RandomState(seed)
+    # smooth chroma (420's contract is low-frequency chroma; random chroma
+    # is decimated by design, not by bug)
+    xx, yy = np.meshgrid(np.arange(24), np.arange(16))
+    base = rng.randint(0, 64)
+    rgb = np.stack(
+        [
+            np.clip(xx * 7 + base, 0, 255),
+            np.clip(yy * 9 + base, 0, 255),
+            np.clip((xx + yy) * 3 + base, 0, 255),
+        ],
+        axis=-1,
+    )
+    data = encode_jpeg(rgb, 24, 16, quality=95, subsampling=sub)
+    w, h, out = decode_jpeg(data)
+    assert (w, h) == (24, 16)
+    assert np.abs(out.astype(int) - rgb).max() <= (16 if sub == "444" else 24)
+
+
+def test_restart_markers_roundtrip():
+    rng = np.random.RandomState(11)
+    g = rng.randint(0, 256, 40 * 24)
+    data = encode_jpeg(g.tolist(), 40, 24, quality=95, restart_interval=3)
+    assert b"\xff\xdd" in data  # DRI present
+    assert b"\xff\xd0" in data  # at least one RST0
+    w, h, rgb = decode_jpeg(data)
+    assert np.abs(rgb[..., 0].astype(int).flatten() - g).max() <= 12
+
+
+def test_structure_and_dispatch():
+    g = list(range(64))
+    data = encode_jpeg(g, 8, 8, quality=95)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    assert b"JFIF\x00" in data[:32]
+    # decode_image_real dispatches the SOI magic to the JPEG codec
+    w, h, gray = decode_image_real(data)
+    assert (w, h) == (8, 8)
+    assert np.abs(np.array(gray) - np.array(g)).max() <= 12
+
+
+# ----------------------------------------------------------- error seams
+
+
+def test_progressive_raises():
+    data = bytearray(encode_jpeg(list(range(64)), 8, 8))
+    i = data.index(b"\xff\xc0")
+    data[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(data))
+
+
+def test_truncated_raises():
+    data = encode_jpeg(list(range(64)), 8, 8)
+    with pytest.raises(ValueError):
+        decode_jpeg(data[: len(data) // 2])
+
+
+def test_not_jpeg_raises():
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x89PNG1234")
+
+
+# ------------------------------------------- cross-engine validation (JVM)
+
+
+def test_imageio_cross_validation(spark):
+    """Every mode we stage decodes to the same pixels (+-2) under the
+    JVM's independent decoder — gray + DRI, 4:4:4, 4:2:0, odd dims."""
+    rng = np.random.RandomState(3)
+    g = rng.randint(0, 256, 64)
+    cases = [
+        encode_jpeg(g.tolist(), 8, 8, quality=95),
+        encode_jpeg(g.tolist(), 8, 8, quality=75, restart_interval=1),
+    ]
+    for data in cases:
+        ours = decode_jpeg(data)[2][..., 0].astype(int)
+        theirs = _imageio_raster(spark, data)[..., 0]
+        assert np.abs(ours - theirs).max() <= 2
+
+    rgb = rng.randint(0, 256, (13, 11, 3))
+    for sub in ("444", "420"):
+        data = encode_jpeg(rgb, 11, 13, quality=95, subsampling=sub)
+        ours = decode_jpeg(data)[2].astype(int)
+        theirs = _imageio_raster(spark, data)
+        assert theirs.shape == (13, 11, 3)
+        assert np.abs(ours - theirs).max() <= 2
+
+
+def test_decode_foreign_encoder(spark):
+    """Our decoder reads a stream produced by an encoder we didn't write
+    (ImageIO's writer: its own quant + Huffman table choices)."""
+    jvm = spark._jvm
+    rng = np.random.RandomState(5)
+    rgb = rng.randint(0, 256, (16, 16, 3))
+    seed = encode_jpeg(rgb, 16, 16, quality=95, subsampling="444")
+    img = jvm.javax.imageio.ImageIO.read(
+        jvm.java.io.ByteArrayInputStream(bytearray(seed))
+    )
+    baos = jvm.java.io.ByteArrayOutputStream()
+    assert jvm.javax.imageio.ImageIO.write(img, "jpg", baos)
+    foreign = bytes(baos.toByteArray())
+    w, h, ours = decode_jpeg(foreign)
+    assert (w, h) == (16, 16)
+    theirs = _imageio_raster(spark, foreign)
+    assert np.abs(ours.astype(int) - theirs).max() <= 2

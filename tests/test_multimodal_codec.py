@@ -65,11 +65,15 @@ def test_decode_truncated_raster_raises():
         decode_image_real(b"P6\n2 2\n255\n\x00\x00\x00")
 
 
-def test_jpeg_magic_still_raises_not_implemented():
-    # JPEG needs a real DCT codec (Pillow seam); PNG now decodes natively
+def test_codec_seams():
+    # JPEG now decodes natively (operators/jpeg.py) — a torn JPEG is a
+    # per-record ValueError, not a missing-codec NotImplementedError
     jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 16
-    with pytest.raises(NotImplementedError, match="image library"):
+    with pytest.raises(ValueError):
         decode_image_real(jpeg)
+    # formats with no native codec remain the documented library seam
+    with pytest.raises(NotImplementedError, match="image library"):
+        decode_image_real(b"GIF89a" + b"\x00" * 16)
 
 
 def test_encode_decode_round_trip():
@@ -247,14 +251,42 @@ def test_png_malformed_raises_value_error():
         decode_image_real(bytes(bad))
     with pytest.raises(ValueError, match="truncated|IHDR"):
         decode_image_real(good[: len(good) - 20])
+    # interlace method must be 0 or 1 (Adam7 now decodes); depth 8 or 16
     with pytest.raises(ValueError, match="interlace"):
-        decode_image_real(_raw_png(2, 2, 0, raw, interlace=1))
+        decode_image_real(_raw_png(2, 2, 0, raw, interlace=2))
     with pytest.raises(ValueError, match="bit depth"):
-        decode_image_real(_raw_png(2, 2, 0, raw, depth=16))
+        decode_image_real(_raw_png(2, 2, 0, raw, depth=4))
     with pytest.raises(ValueError, match="filter type"):
         decode_image_real(_raw_png(2, 2, 0, b"\x05\x0a\x14" + b"\x00\x1e\x28"))
     with pytest.raises(ValueError, match="raster size"):
         decode_image_real(_raw_png(3, 2, 0, raw))
+
+
+def test_png_adam7_hand_crafted():
+    """A hand-laid-out Adam7 raster (NOT produced by our encoder): for a
+    2x2 image only passes 1, 6, 7 are non-empty — pixel (0,0) in pass 1,
+    (0,1) in pass 6, and the bottom row in pass 7, each pass filtered
+    independently with type 0."""
+    raw = b"\x00\x0a" + b"\x00\x14" + b"\x00\x1e\x28"
+    assert decode_image_real(_raw_png(2, 2, 0, raw, interlace=1)) == (
+        2,
+        2,
+        [10, 20, 30, 40],
+    )
+
+
+def test_png_16bit_hand_crafted():
+    """Hand-packed 16-bit gray scanlines (samples v*257 big-endian): the
+    decoder reduces by high byte, recovering v exactly."""
+    raw = (
+        b"\x00" + struct.pack(">HH", 10 * 257, 20 * 257)
+        + b"\x00" + struct.pack(">HH", 30 * 257, 40 * 257)
+    )
+    assert decode_image_real(_raw_png(2, 2, 0, raw, depth=16)) == (
+        2,
+        2,
+        [10, 20, 30, 40],
+    )
 
 
 @settings(max_examples=60, deadline=None)

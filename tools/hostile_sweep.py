@@ -60,6 +60,7 @@ REPEAT_QUERIES = (
     "multimodal_y4m_frames",
     "multimodal_ingest_quarantine",
     "layout_snapshot_log",
+    "multimodal_jpeg_ingest",
 )
 
 
