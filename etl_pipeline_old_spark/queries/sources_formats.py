@@ -880,3 +880,100 @@ def multimodal_jpeg_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         op,
         schema="doc_id long, width int, height int, mode int, within_bound int",
     )
+
+
+# Advanced-shape PNG staging cycled by doc_id % 4, covering the decode
+# paths the base PNG corpus (8-bit sequential) doesn't reach: Adam7
+# interlacing, 16-bit depth, and their combinations with alpha/palette.
+# (depth, color_type, interlace) per mode:
+_PNG_ADV = ((8, 2, 1), (16, 0, 0), (16, 6, 1), (8, 3, 1))
+
+
+def _render_png_adv(doc_id: int, text: str) -> bytes:
+    from ..operators.multimodal import encode_png, md5_pixels
+
+    depth, ct, il = _PNG_ADV[doc_id % 4]
+    return encode_png(
+        md5_pixels(text, 64),
+        8,
+        8,
+        color_type=ct,
+        filter_type=doc_id % 5,
+        depth=depth,
+        interlace=il,
+    )
+
+
+@register(
+    "multimodal_png_advanced",
+    oracle=f"""
+    WITH px AS (
+      SELECT doc_id, [{", ".join(_ppm_pixel_sql(j) for j in range(64))}] AS p
+      FROM documents)
+    SELECT doc_id,
+           CASE doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 16 WHEN 2 THEN 16 ELSE 8 END
+             AS depth,
+           CASE doc_id % 4 WHEN 0 THEN 2 WHEN 1 THEN 0 WHEN 2 THEN 6 ELSE 3 END
+             AS color_type,
+           CASE doc_id % 4 WHEN 1 THEN 0 ELSE 1 END AS interlaced,
+           list_sum(p)::BIGINT AS sum_gray
+    FROM px
+    """,
+    doc="Advanced-shape PNG ingest — the decode paths real archives hit "
+    "that the base PNG corpus doesn't: Adam7 interlaced RGB, 16-bit "
+    "gray, interlaced 16-bit RGBA, and interlaced paletted files are "
+    "staged per document (scanline filter still cycling None..Paeth), "
+    "scanned with binaryFile, and decoded in the same Arrow kernel "
+    "family as multimodal_png_ingest. PNG is lossless, so unlike the "
+    "JPEG ingest the oracle is EXACT: the decoded gray sum must equal "
+    "the DuckDB rendering of the same md5 pixels, and depth/color type/"
+    "interlace method are read back from IHDR (a stager writing the "
+    "wrong shape, or a decoder mishandling any pass/depth, fails the "
+    "value hash). Interlaced files decode seven independently-filtered "
+    "passes; 16-bit samples reduce by high byte (exact for the g*257 "
+    "encoding). Same 100 TB ingest plan as the other staged-media "
+    "queries: parallel listing, bounded Arrow batches, per-record "
+    "failure routing.",
+)
+def multimodal_png_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_media_files(
+        spark, sf_dir, "png_adv_files", "png", _render_png_adv
+    )
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .load(path)
+        .select("path", "content")
+    )
+
+    def op(batches):
+        import re
+
+        import pandas as pd
+
+        from ..operators.multimodal import decode_image_real
+
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "depth": [],
+                "color_type": [],
+                "interlaced": [],
+                "sum_gray": [],
+            }
+            for p, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
+                _, _, gray = decode_image_real(data)
+                out["doc_id"].append(int(re.search(r"(\d+)\.png$", p).group(1)))
+                # IHDR layout after the 8-byte signature + len + tag:
+                # width(4) height(4) depth color comp filter interlace
+                out["depth"].append(data[24])
+                out["color_type"].append(data[25])
+                out["interlaced"].append(data[28])
+                out["sum_gray"].append(sum(gray))
+            yield pd.DataFrame(out)
+
+    return bf.mapInPandas(
+        op,
+        schema="doc_id long, depth int, color_type int, interlaced int, sum_gray long",
+    )

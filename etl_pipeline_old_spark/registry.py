@@ -136,8 +136,10 @@ _CORE_FIRST = (
     "multimodal_ingest_quarantine",
     "layout_snapshot_log",
     # round-7 (cont.): baseline JPEG codec ingest — the compressed-codec
-    # seam closer (r6 verdict's #1-ranked residual)
+    # seam closer (r6 verdict's #1-ranked residual) — and the
+    # advanced-shape PNG corpus (Adam7 / 16-bit)
     "multimodal_jpeg_ingest",
+    "multimodal_png_advanced",
 )
 
 

@@ -61,6 +61,7 @@ REPEAT_QUERIES = (
     "multimodal_ingest_quarantine",
     "layout_snapshot_log",
     "multimodal_jpeg_ingest",
+    "multimodal_png_advanced",
 )
 
 
