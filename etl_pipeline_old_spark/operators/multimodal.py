@@ -400,12 +400,20 @@ def decode_image_real(payload: bytes) -> tuple[int, int, list[int]]:
             for x in range(w)
         ]
         return w, h, gray
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif_bmp import decode_gif
+
+        return decode_gif(payload)
+    if payload[:2] == b"BM":
+        from .gif_bmp import decode_bmp
+
+        return decode_bmp(payload)
     magic = payload[:2]
     if magic not in (b"P6", b"P5"):
         raise NotImplementedError(
             f"no codec for magic {magic!r}: decode requires an image library "
             "(e.g. PIL.Image.open), not available in this container — "
-            "netpbm (P6/P5), PNG, and baseline JPEG decode natively"
+            "netpbm (P6/P5), PNG, baseline JPEG, GIF, and BMP decode natively"
         )
     (width, height, maxval), off = _pnm_header_tokens(payload, 3, 2)
     if maxval <= 0 or maxval > 255:

@@ -977,3 +977,98 @@ def multimodal_png_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         op,
         schema="doc_id long, depth int, color_type int, interlaced int, sum_gray long",
     )
+
+
+def _render_gif_bmp(doc_id: int, text: str) -> bytes:
+    from ..operators.gif_bmp import encode_bmp, encode_gif
+    from ..operators.multimodal import md5_pixels
+
+    gray = md5_pixels(text, 64)
+    mode = doc_id % 4
+    if mode == 0:
+        return encode_gif(gray, 8, 8)
+    if mode == 1:
+        return encode_gif(gray, 8, 8, interlace=True)
+    if mode == 2:
+        return encode_bmp(gray, 8, 8, bpp=24)
+    return encode_bmp(gray, 8, 8, bpp=8)
+
+
+@register(
+    "multimodal_gif_bmp_ingest",
+    oracle=f"""
+    WITH px AS (
+      SELECT doc_id, [{", ".join(_ppm_pixel_sql(j) for j in range(64))}] AS p
+      FROM documents)
+    SELECT doc_id,
+           CASE doc_id % 4 WHEN 0 THEN 'gif' WHEN 1 THEN 'gif_interlaced'
+                WHEN 2 THEN 'bmp24' ELSE 'bmp8' END AS fmt,
+           8 AS width, 8 AS height,
+           list_sum(p)::BIGINT AS sum_gray
+    FROM px
+    """,
+    doc="GIF + BMP ingest — the legacy-raster formats web-crawl corpora "
+    "are full of, decoded by the pure-stdlib codecs in "
+    "operators/gif_bmp.py (GIF: sub-blocked LZW with LSB-first growing "
+    "code widths, in-stream table resets, 4-pass de-interlacing; BMP: "
+    "8-bit palettized and 24-bit BI_RGB, bottom-up rows, 4-byte "
+    "padding). Files are staged per document cycling plain GIF / "
+    "interlaced GIF / 24-bit BMP / 8-bit BMP, scanned with binaryFile, "
+    "decoded in the shared Arrow kernel shape, and — both formats being "
+    "lossless — checked EXACTLY against the DuckDB pixel rendering. The "
+    "fmt column is recovered from the STREAM (magic bytes + the image "
+    "descriptor's interlace bit / the info header's bpp), so a stager "
+    "writing the wrong variant fails the value hash. Codecs are "
+    "cross-validated pixel-exact against javax.imageio in "
+    "tests/test_gif_bmp_codec.py. Same 100 TB plan as every staged-media "
+    "ingest: parallel listing, bounded Arrow batches, per-record "
+    "failure routing at the decode seam.",
+)
+def multimodal_gif_bmp_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_media_files(spark, sf_dir, "gifbmp_files", "img", _render_gif_bmp)
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.img")
+        .load(path)
+        .select("path", "content")
+    )
+
+    def op(batches):
+        import re
+        import struct as st_
+
+        import pandas as pd
+
+        from ..operators.multimodal import decode_image_real
+
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "fmt": [],
+                "width": [],
+                "height": [],
+                "sum_gray": [],
+            }
+            for p, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
+                w, h, gray = decode_image_real(data)
+                if data[:3] == b"GIF":
+                    # interlace bit lives in the image descriptor that
+                    # follows the 13-byte header + global color table
+                    gct = 2 << (data[10] & 0x07) if data[10] & 0x80 else 0
+                    ipacked = data[13 + 3 * gct + 9]
+                    fmt = "gif_interlaced" if ipacked & 0x40 else "gif"
+                else:
+                    (bpp,) = st_.unpack("<H", data[28:30])
+                    fmt = f"bmp{bpp}"
+                out["doc_id"].append(int(re.search(r"(\d+)\.img$", p).group(1)))
+                out["fmt"].append(fmt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sum_gray"].append(sum(gray))
+            yield pd.DataFrame(out)
+
+    return bf.mapInPandas(
+        op,
+        schema="doc_id long, fmt string, width int, height int, sum_gray long",
+    )

@@ -140,6 +140,7 @@ _CORE_FIRST = (
     # advanced-shape PNG corpus (Adam7 / 16-bit)
     "multimodal_jpeg_ingest",
     "multimodal_png_advanced",
+    "multimodal_gif_bmp_ingest",
 )
 
 

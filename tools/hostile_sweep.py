@@ -62,6 +62,7 @@ REPEAT_QUERIES = (
     "layout_snapshot_log",
     "multimodal_jpeg_ingest",
     "multimodal_png_advanced",
+    "multimodal_gif_bmp_ingest",
 )
 
 
