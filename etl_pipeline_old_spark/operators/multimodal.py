@@ -408,12 +408,17 @@ def decode_image_real(payload: bytes) -> tuple[int, int, list[int]]:
         from .gif_bmp import decode_bmp
 
         return decode_bmp(payload)
+    if payload[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+        from .tiff import decode_tiff
+
+        return decode_tiff(payload)
     magic = payload[:2]
     if magic not in (b"P6", b"P5"):
         raise NotImplementedError(
             f"no codec for magic {magic!r}: decode requires an image library "
             "(e.g. PIL.Image.open), not available in this container — "
-            "netpbm (P6/P5), PNG, baseline JPEG, GIF, and BMP decode natively"
+            "netpbm (P6/P5), PNG, baseline JPEG, GIF, BMP, and baseline "
+            "TIFF decode natively"
         )
     (width, height, maxval), off = _pnm_header_tokens(payload, 3, 2)
     if maxval <= 0 or maxval > 255:

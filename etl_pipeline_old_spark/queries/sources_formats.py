@@ -1072,3 +1072,114 @@ def multimodal_gif_bmp_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         op,
         schema="doc_id long, fmt string, width int, height int, sum_gray long",
     )
+
+
+# (rgb, packbits, big_endian) staged per doc_id % 4 — covers both byte
+# orders, both compressions, and both photometric shapes, all multi-strip
+_TIFF_MODES = (
+    (False, False, False),
+    (True, True, False),
+    (False, True, True),
+    (True, False, True),
+)
+
+
+def _render_tiff(doc_id: int, text: str) -> bytes:
+    from ..operators.multimodal import md5_pixels
+    from ..operators.tiff import encode_tiff
+
+    rgb, pb, be = _TIFF_MODES[doc_id % 4]
+    return encode_tiff(
+        md5_pixels(text, 64), 8, 8, rgb=rgb, packbits=pb, big_endian=be,
+        rows_per_strip=3,
+    )
+
+
+@register(
+    "multimodal_tiff_ingest",
+    oracle=f"""
+    WITH px AS (
+      SELECT doc_id, [{", ".join(_ppm_pixel_sql(j) for j in range(64))}] AS p
+      FROM documents)
+    SELECT doc_id,
+           CASE doc_id % 4 WHEN 0 THEN 'II-gray-raw' WHEN 1 THEN 'II-rgb-packbits'
+                WHEN 2 THEN 'MM-gray-packbits' ELSE 'MM-rgb-raw' END AS fmt,
+           8 AS width, 8 AS height,
+           list_sum(p)::BIGINT AS sum_gray
+    FROM px
+    """,
+    doc="Baseline TIFF ingest — the scanner/archival format, decoded by "
+    "the pure-stdlib codec in operators/tiff.py (IFD tag walk in either "
+    "byte order, multi-strip assembly, PackBits RLE, gray/RGB/palette "
+    "photometrics). Files are staged per document cycling little/big "
+    "endian x raw/PackBits x gray/RGB — all multi-strip (3 rows per "
+    "strip) — scanned with binaryFile and checked EXACTLY against the "
+    "DuckDB pixel rendering; the fmt column is recovered from the "
+    "stream's byte-order mark, compression tag, and SamplesPerPixel, so "
+    "a stager writing the wrong variant fails the value hash. "
+    "Cross-validated pixel-exact against javax.imageio's TIFF reader in "
+    "tests/test_tiff_codec.py. LZW/JPEG-in-TIFF and tiled layouts fail "
+    "per-record at the documented libtiff seam.",
+)
+def multimodal_tiff_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_media_files(spark, sf_dir, "tiff_files", "tif", _render_tiff)
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.tif")
+        .load(path)
+        .select("path", "content")
+    )
+
+    def op(batches):
+        import re
+        import struct as st_
+
+        import pandas as pd
+
+        from ..operators.multimodal import decode_image_real
+
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "fmt": [],
+                "width": [],
+                "height": [],
+                "sum_gray": [],
+            }
+            for p, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
+                w, h, gray = decode_image_real(data)
+                e = "<" if data[:2] == b"II" else ">"
+                (ifd,) = st_.unpack(e + "I", data[4:8])
+                (n,) = st_.unpack(e + "H", data[ifd : ifd + 2])
+                comp, spp = 1, 1
+                for k in range(n):
+                    tag, _t, _c, val = st_.unpack(
+                        e + "HHII", data[ifd + 2 + 12 * k : ifd + 14 + 12 * k]
+                    )
+                    # SHORT values sit in the first two bytes of the
+                    # value field; re-read with the right width
+                    if tag in (259, 277):
+                        (v16,) = st_.unpack(
+                            e + "H", data[ifd + 10 + 12 * k : ifd + 12 + 12 * k]
+                        )
+                        if tag == 259:
+                            comp = v16
+                        else:
+                            spp = v16
+                fmt = (
+                    ("II" if e == "<" else "MM")
+                    + ("-rgb" if spp == 3 else "-gray")
+                    + ("-packbits" if comp == 32773 else "-raw")
+                )
+                out["doc_id"].append(int(re.search(r"(\d+)\.tif$", p).group(1)))
+                out["fmt"].append(fmt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sum_gray"].append(sum(gray))
+            yield pd.DataFrame(out)
+
+    return bf.mapInPandas(
+        op,
+        schema="doc_id long, fmt string, width int, height int, sum_gray long",
+    )

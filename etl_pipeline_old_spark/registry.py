@@ -141,6 +141,7 @@ _CORE_FIRST = (
     "multimodal_jpeg_ingest",
     "multimodal_png_advanced",
     "multimodal_gif_bmp_ingest",
+    "multimodal_tiff_ingest",
 )
 
 

@@ -72,9 +72,9 @@ def test_codec_seams():
     with pytest.raises(ValueError):
         decode_image_real(jpeg)
     # formats with no native codec remain the documented library seam
-    # (TIFF here; GIF/BMP now decode natively via operators/gif_bmp.py)
+    # (WebP here; GIF/BMP/TIFF now decode natively)
     with pytest.raises(NotImplementedError, match="image library"):
-        decode_image_real(b"II*\x00" + b"\x00" * 16)
+        decode_image_real(b"RIFF\x00\x00\x00\x00WEBP" + b"\x00" * 8)
 
 
 def test_encode_decode_round_trip():

@@ -63,6 +63,7 @@ REPEAT_QUERIES = (
     "multimodal_jpeg_ingest",
     "multimodal_png_advanced",
     "multimodal_gif_bmp_ingest",
+    "multimodal_tiff_ingest",
 )
 
 
