@@ -518,10 +518,20 @@ def decode_audio_real(payload: bytes) -> tuple[int, int, list[int]]:
     if len(fmt) < 16:
         raise ValueError(f"WAV fmt chunk too short ({len(fmt)} bytes)")
     audio_format, channels, sample_rate, _, _, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if audio_format in (6, 7):  # G.711 A-law / µ-law (operators/g711.py)
+        if bits != 8:
+            raise ValueError(f"G.711 WAV with {bits} bits per sample")
+        from .g711 import alaw2linear, ulaw2linear
+
+        dec = ulaw2linear if audio_format == 7 else alaw2linear
+        if len(data) % channels:
+            raise ValueError(f"G.711 data length {len(data)} not frame-aligned")
+        return sample_rate, channels, [dec(b) for b in data]
     if audio_format != 1 or bits != 16:
         raise NotImplementedError(
             f"WAV encoding (format={audio_format}, bits={bits}) needs an "
-            "audio library — only integer PCM16 decodes natively"
+            "audio library — integer PCM16 and G.711 µ-law/A-law decode "
+            "natively"
         )
     if len(data) % (2 * channels):
         raise ValueError(f"PCM16 data length {len(data)} not frame-aligned")

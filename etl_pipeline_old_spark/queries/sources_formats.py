@@ -1183,3 +1183,115 @@ def multimodal_tiff_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         op,
         schema="doc_id long, fmt string, width int, height int, sum_gray long",
     )
+
+
+_G711_N = 48  # companded bytes (= samples) per staged telephony clip
+
+
+def _g711_code_sql(j: int) -> str:
+    from ..operators.g711 import md5_code_sql
+
+    return md5_code_sql(j)
+
+
+def _render_g711(doc_id: int, text: str) -> bytes:
+    # companding law cycles by doc_id so BOTH expanders are value-checked;
+    # the md5-derived bytes are treated as the canonical companded codes
+    # and expanded to linear before encoding — codebook idempotence
+    # guarantees the encoder writes those exact bytes back (µ-law 0x7F
+    # canonicalizes to 0xFF, which expands identically, so stats agree).
+    from ..operators.g711 import alaw2linear, encode_wav_g711, md5_codes, ulaw2linear
+
+    law = "ulaw" if doc_id % 2 == 0 else "alaw"
+    dec = ulaw2linear if law == "ulaw" else alaw2linear
+    samples = [dec(c) for c in md5_codes(text, _G711_N)]
+    return encode_wav_g711(samples, law, sample_rate=8000, channels=1)
+
+
+def _stage_g711_files(spark: SparkSession, sf_dir: str) -> str:
+    return _stage_media_files(spark, sf_dir, "g711_files", "wav", _render_g711)
+
+
+def _g711_oracle() -> str:
+    from ..operators.g711 import ALAW_EXPAND_SQL, ULAW_EXPAND_SQL
+
+    codes = ", ".join(_g711_code_sql(j) for j in range(_G711_N))
+    return f"""
+    WITH codes AS (
+      SELECT doc_id, [{codes}] AS c FROM documents),
+    lin AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 2 = 0
+          THEN list_transform(c, b -> {ULAW_EXPAND_SQL})
+          ELSE list_transform(c, b -> {ALAW_EXPAND_SQL})
+        END AS s
+      FROM codes)
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'ulaw' ELSE 'alaw' END AS law,
+           8000::BIGINT AS sample_rate,
+           {_G711_N}::BIGINT AS n_samples,
+           list_sum(s)::BIGINT AS sum_lin,
+           list_sum(list_transform(s, x -> abs(x)))::BIGINT AS sum_abs,
+           list_max(list_transform(s, x -> abs(x)))::INT AS peak
+    FROM lin
+    """
+
+
+@register(
+    "multimodal_g711_ingest",
+    oracle=_g711_oracle(),
+    doc="REAL telephony-audio ingest — G.711 companded WAV (format tags "
+    "7/6, the µ-law/A-law encoding every PSTN/SIP recording uses) staged "
+    "as genuine RIFF/WAVE files (law cycles by doc_id), scanned with "
+    "binaryFile and expanded to 16-bit linear PCM inside the same Arrow "
+    "mapInPandas kernel as multimodal_wav_ingest (decode_audio_real "
+    "routes tags 6/7 through operators/g711.py, a pure-stdlib compander "
+    "verified exhaustively against CPython's audioop in "
+    "tests/test_g711_codec.py). The DuckDB oracle re-derives the linear "
+    "samples from the md5 codes with the expander's exact integer "
+    "algebra in SQL — the decode itself is value-checked, not just "
+    "executed. Output per clip: law, fmt-parsed rate, and sample-domain "
+    "stats (count, signed sum, sum|x|, peak; the signed sum catches sign "
+    "errors symmetric stats would miss). Same 100 TB plan as the other "
+    "media ingests: parallel binaryFile listing, bounded Arrow batches, "
+    "per-record failure isolation.",
+)
+def multimodal_g711_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_g711_files(spark, sf_dir)
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wav")
+        .load(path)
+        .select("path", "content")
+    )
+
+    def op(batches):
+        import re
+        import struct
+
+        import pandas as pd
+
+        from ..operators.multimodal import decode_audio_real
+
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "law", "sample_rate", "n_samples", "sum_lin",
+                    "sum_abs", "peak")}
+            for p, content in zip(pdf["path"], pdf["content"]):
+                payload = bytes(content)
+                (tag,) = struct.unpack("<H", payload[20:22])
+                rate, ch, samples = decode_audio_real(payload)
+                out["doc_id"].append(int(re.search(r"(\d+)\.wav$", p).group(1)))
+                out["law"].append("ulaw" if tag == 7 else "alaw")
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(len(samples))
+                out["sum_lin"].append(sum(samples))
+                out["sum_abs"].append(sum(abs(s) for s in samples))
+                out["peak"].append(max(abs(s) for s in samples))
+            yield pd.DataFrame(out)
+
+    return bf.mapInPandas(
+        op,
+        schema="doc_id long, law string, sample_rate long, n_samples long, "
+        "sum_lin long, sum_abs long, peak int",
+    )

@@ -142,6 +142,10 @@ _CORE_FIRST = (
     "multimodal_png_advanced",
     "multimodal_gif_bmp_ingest",
     "multimodal_tiff_ingest",
+    # round-7 (cont.): G.711 telephony WAV ingest — the compander pair
+    # cross-validated exhaustively against audioop, expanded in-SQL by
+    # the oracle
+    "multimodal_g711_ingest",
 )
 
 

@@ -64,6 +64,7 @@ REPEAT_QUERIES = (
     "multimodal_png_advanced",
     "multimodal_gif_bmp_ingest",
     "multimodal_tiff_ingest",
+    "multimodal_g711_ingest",
 )
 
 
