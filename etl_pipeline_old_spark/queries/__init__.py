@@ -54,6 +54,7 @@ _MODULES = (
     "streaming3",
     "lakehouse",
     "extras7",
+    "web_corpus",
 )
 
 

@@ -1,0 +1,287 @@
+"""Web-corpus ingestion stage: HTML -> text extraction and URL
+canonicalization — the first mile of a C4/CCNet-shape training-data
+pipeline (Raffel et al. 2020 §2.2 strips menus/boilerplate and dedupes
+by URL before any quality gate runs).
+
+Both operators are pure JVM column algebra (regexp_replace /
+regexp_extract / higher-order array functions) — no Python in the hot
+path, no shuffle: at 100 TB these run as map-only projections fused into
+whatever scan feeds them.
+
+Verification shape: the HTML query renders a deterministic page around
+each document IN-PLAN (head with title/style/script, nav link bar,
+entity-encoded body, inline tags, a second script in the body whose
+``2 < 3`` is the classic naive-tag-strip killer) and the extraction
+chain must recover the ORIGINAL text exactly — the DuckDB oracle
+recomputes the expected output from the base table alone, so a
+render-side bug and an extract-side bug would have to invert each other
+byte-for-byte to slip through; the render itself is additionally pinned
+against a hand-written page in tests/test_web_corpus.py. The URL query
+builds the same messy raw URL in BOTH engines and canonicalizes with the
+same regex algebra, value-checked end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+# ---------------------------------------------------------------------------
+# HTML -> text extraction
+
+_ENTITY_DECODES = (
+    # &amp; decodes LAST so entity-encoded entities stay literal
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&#39;", "'"),
+    ("&quot;", '"'),
+    ("&amp;", "&"),
+)
+
+
+def render_html_page(doc_id, text, lang):
+    """Deterministic HTML page around a document, built from Spark columns
+    (the in-plan analogue of staging .html files): head with title, a CSS
+    block and a script whose ``id < 99`` breaks naive tag-stripping, a nav
+    bar with 1 + doc_id % 5 links, the body text with every space
+    entity-encoded and the first word bolded, a second body script, and a
+    footer with a literal ``&copy;`` entity."""
+    links = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(1), (F.lit(1) + doc_id % 5).cast("int")),
+            lambda k: F.concat(
+                F.lit('<a href="/p/'), k.cast("string"), F.lit('">more</a>')
+            ),
+        ),
+    )
+    body = F.regexp_replace(text, " ", "&nbsp;")
+    body = F.regexp_replace(body, "^(\\w+)", "<b>$1</b>")
+    return F.concat(
+        F.lit("<html><head><title>doc "),
+        doc_id.cast("string"),
+        F.lit("</title><style>body { margin: 0; }</style><script>var id="),
+        doc_id.cast("string"),
+        F.lit("; if (id < 99) { id = id + 1; }</script></head><body><nav>"),
+        links,
+        F.lit("</nav><p>"),
+        body,
+        F.lit('</p><script type="text/javascript">if (2 < 3) { track(); }'
+              "</script><footer>&copy; "),
+        lang,
+        F.lit("</footer></body></html>"),
+    )
+
+
+def extract_html_text(html):
+    """Boilerplate-dropping HTML -> text: remove head (title/style/script
+    live there), body scripts/styles, nav and footer blocks, THEN strip
+    the remaining tags, decode the common entities, and collapse
+    whitespace. Order matters: block removal must precede tag-stripping
+    because script bodies contain bare ``<`` that ``<[^>]+>`` would eat
+    together with real content."""
+    t = F.regexp_replace(html, "(?s)<head>.*?</head>", " ")
+    t = F.regexp_replace(t, "(?s)<script[^>]*>.*?</script>", " ")
+    t = F.regexp_replace(t, "(?s)<style[^>]*>.*?</style>", " ")
+    t = F.regexp_replace(t, "(?s)<nav>.*?</nav>", " ")
+    t = F.regexp_replace(t, "(?s)<footer>.*?</footer>", " ")
+    t = F.regexp_replace(t, "<[^>]+>", " ")
+    for ent, ch in _ENTITY_DECODES:
+        t = F.regexp_replace(t, ent, ch)
+    return F.trim(F.regexp_replace(t, "\\s+", " "))
+
+
+@register(
+    "text_html_extract",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS extracted
+      FROM documents)
+    SELECT doc_id,
+           'doc ' || doc_id AS title,
+           extracted,
+           (1 + doc_id % 5)::INT AS n_links,
+           length(string_split(extracted, ' '))::INT AS n_words,
+           round((1 + doc_id % 5) / length(string_split(extracted, ' ')), 4)
+             AS link_density
+    FROM norm
+    """,
+    doc="HTML -> text extraction, the first operator of a web-corpus "
+    "pipeline (C4 §2.2 shape): render a deterministic page around each "
+    "document in-plan (head/title/style/script, nav link bar, "
+    "entity-encoded body with inline tags, a second body script whose "
+    "'2 < 3' defeats naive tag-stripping, footer), then recover the text "
+    "with a pure-JVM regexp chain — drop head/script/style/nav/footer "
+    "blocks, strip tags, decode entities (&amp; last), collapse "
+    "whitespace. The oracle recomputes the expected output from the base "
+    "table alone, so extraction must recover the ORIGINAL text exactly; "
+    "link count comes from regexp_count over the real rendered page and "
+    "must equal the oracle's closed form. Boilerplate metrics (link "
+    "density per C4/Gopher) emitted alongside. Map-only projection: no "
+    "shuffle, no UDF — scales as the scan does.",
+)
+def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    html = render_html_page(F.col("doc_id"), F.col("text"), F.col("lang"))
+    page = d.select("doc_id", html.alias("html"))
+    extracted = extract_html_text(F.col("html"))
+    n_links = F.regexp_count(F.col("html"), F.lit('<a href="')).alias("n_links")
+    out = page.select(
+        "doc_id",
+        F.regexp_extract("html", "<title>([^<]*)</title>", 1).alias("title"),
+        extracted.alias("extracted"),
+        n_links,
+    )
+    n_words = F.size(F.split(F.col("extracted"), " "))
+    return out.select(
+        "doc_id",
+        "title",
+        "extracted",
+        "n_links",
+        n_words.alias("n_words"),
+        F.round(F.col("n_links") / n_words, 4).alias("link_density"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization
+
+# three raw query-string renderings that must all canonicalize to the
+# same 'a=1&b=2' (tracking params dropped, survivors sorted)
+_QS_VARIANTS = ("utm_source=feed&b=2&a=1", "a=1&utm_campaign=x&b=2", "b=2&a=1")
+
+
+def _raw_url_spark(doc_id, source, lang):
+    """The messy raw URL, Spark rendering — upper-cased scheme and host,
+    default :443 port on even doc_ids, trailing slash on doc_id%3==0,
+    tracking params, a fragment. The DuckDB oracle builds the IDENTICAL
+    string (test_web_corpus pins a fixture row), so normalization is
+    compared on equal inputs."""
+    qs = (
+        F.when(doc_id % 3 == 0, F.lit(_QS_VARIANTS[0]))
+        .when(doc_id % 3 == 1, F.lit(_QS_VARIANTS[1]))
+        .otherwise(F.lit(_QS_VARIANTS[2]))
+    )
+    return F.concat(
+        F.lit("HTTPS://WWW."),
+        F.upper(source),
+        F.lit(".Example.COM"),
+        F.when(doc_id % 2 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Articles/"),
+        doc_id.cast("string"),
+        F.when(doc_id % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?"),
+        qs,
+        F.lit("#sec-"),
+        lang,
+    )
+
+
+_RAW_URL_SQL = """
+    'HTTPS://WWW.' || upper(source) || '.Example.COM'
+      || (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END)
+      || '/Articles/' || doc_id
+      || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+      || '?' || (CASE WHEN doc_id % 3 = 0 THEN '{q0}'
+                      WHEN doc_id % 3 = 1 THEN '{q1}'
+                      ELSE '{q2}' END)
+      || '#sec-' || lang
+""".format(q0=_QS_VARIANTS[0], q1=_QS_VARIANTS[1], q2=_QS_VARIANTS[2])
+
+
+def normalize_url(raw):
+    """URL canonicalization, pure JVM columns: drop the fragment,
+    lowercase scheme and host, strip the https default port, strip the
+    trailing slash, drop utm_* tracking params and sort the survivors.
+    Returns (norm_url, domain) — domain is the host with any port and a
+    leading www. stripped, the C4-style URL-dedup key."""
+    no_frag = F.regexp_replace(raw, "#.*$", "")
+    scheme = F.lower(F.regexp_extract(no_frag, "^([A-Za-z]+)://", 1))
+    hostport = F.lower(F.regexp_extract(no_frag, "^[A-Za-z]+://([^/?]+)", 1))
+    host = F.when(
+        scheme == "https", F.regexp_replace(hostport, ":443$", "")
+    ).otherwise(hostport)
+    path = F.regexp_extract(no_frag, "^[A-Za-z]+://[^/?]+([^?]*)", 1)
+    path = F.regexp_replace(path, "/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    qs = F.regexp_extract(no_frag, "\\?(.*)$", 1)
+    kept = F.array_sort(
+        F.filter(
+            F.split(qs, "&"),
+            lambda p: (F.substring(p, 1, 4) != "utm_") & (p != ""),
+        )
+    )
+    qs_norm = F.array_join(kept, "&")
+    norm = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qs_norm != "", F.concat(F.lit("?"), qs_norm)).otherwise(F.lit("")),
+    )
+    domain = F.regexp_replace(
+        F.regexp_replace(host, ":[0-9]+$", ""), "^www\\.", ""
+    )
+    return norm, domain
+
+
+@register(
+    "corpus_url_normalize",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id, {_RAW_URL_SQL} AS raw_url FROM documents),
+    parts AS (
+      SELECT doc_id, raw_url,
+             regexp_replace(raw_url, '#.*$', '') AS no_frag
+      FROM raw),
+    fields AS (
+      SELECT doc_id, raw_url,
+             lower(regexp_extract(no_frag, '^([A-Za-z]+)://', 1)) AS scheme,
+             lower(regexp_extract(no_frag, '^[A-Za-z]+://([^/?]+)', 1)) AS hostport,
+             regexp_extract(no_frag, '^[A-Za-z]+://[^/?]+([^?]*)', 1) AS path0,
+             regexp_extract(no_frag, '\\?(.*)$', 1) AS qs
+      FROM parts),
+    normed AS (
+      SELECT doc_id, raw_url, scheme,
+             CASE WHEN scheme = 'https'
+                  THEN regexp_replace(hostport, ':443$', '')
+                  ELSE hostport END AS host,
+             CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'
+                  ELSE regexp_replace(path0, '/+$', '') END AS path,
+             array_to_string(
+               list_sort(list_filter(string_split(qs, '&'),
+                                     p -> substr(p, 1, 4) != 'utm_' AND p != '')),
+               '&') AS qs_norm
+      FROM fields)
+    SELECT doc_id, raw_url,
+           scheme || '://' || host || path
+             || (CASE WHEN qs_norm != '' THEN '?' || qs_norm ELSE '' END)
+             AS norm_url,
+           regexp_replace(regexp_replace(host, ':[0-9]+$', ''), '^www\\.', '')
+             AS domain
+    FROM normed
+    """,
+    doc="URL canonicalization, the C4-style URL-dedup key builder: three "
+    "messy raw renderings per corpus (mixed-case scheme/host, https "
+    "default :443 port, trailing slash, shuffled query params, utm_* "
+    "tracking params, fragments) must all collapse to one canonical "
+    "form — lowercase scheme+host, port/fragment/trailing-slash "
+    "stripped, tracking params dropped, survivors sorted. Raw URL is "
+    "built with the IDENTICAL formula in both engines, so the oracle "
+    "value-checks the normalization itself, not the synth. Pure JVM "
+    "regexp + higher-order array algebra (filter/array_sort/array_join "
+    "on the split query string): map-only, shuffle-free, "
+    "whole-stage-codegen friendly at any scale.",
+)
+def corpus_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    raw = _raw_url_spark(F.col("doc_id"), F.col("source"), F.col("lang"))
+    base = d.select("doc_id", raw.alias("raw_url"))
+    norm, domain = normalize_url(F.col("raw_url"))
+    return base.select(
+        "doc_id", "raw_url", norm.alias("norm_url"), domain.alias("domain")
+    )

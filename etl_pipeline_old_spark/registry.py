@@ -146,6 +146,11 @@ _CORE_FIRST = (
     # cross-validated exhaustively against audioop, expanded in-SQL by
     # the oracle
     "multimodal_g711_ingest",
+    # round-7 (cont.): the web-corpus first mile — HTML -> text
+    # extraction (oracle demands exact recovery of the original text)
+    # and URL canonicalization
+    "text_html_extract",
+    "corpus_url_normalize",
 )
 
 
