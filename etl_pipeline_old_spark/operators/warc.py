@@ -1,0 +1,158 @@
+"""WARC (Web ARChive, ISO 28500) reader/writer, pure stdlib — the
+container format Common Crawl ships, i.e. the on-disk shape of a real
+web training corpus. Written from the public spec:
+
+- a .warc.gz shard is a CONCATENATION of per-record gzip members (CC's
+  exact layout: each record independently seekable/decompressable);
+- each record is ``WARC/1.0\\r\\n`` + headers + CRLFCRLF + exactly
+  Content-Length payload bytes + CRLFCRLF;
+- response records carry a full HTTP/1.1 response (status line, headers,
+  CRLFCRLF, body) as their payload.
+
+The writer emits a warcinfo record first (like real crawls) and pins
+every varying field (record ids, dates) to deterministic values so
+staged shards are byte-stable across runs. The reader is strict where
+the spec is (Content-Length honored exactly, member boundaries must
+align with record boundaries) and lenient where real files are messy
+(header names case-insensitive, non-response records skipped).
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+_CRLF = b"\r\n"
+
+
+def gzip_member(payload: bytes) -> bytes:
+    """One gzip member with a fixed header (mtime=0, no name) so output
+    bytes are deterministic — required for idempotent staging."""
+    c = zlib.compressobj(6, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+    return c.compress(payload) + c.flush()
+
+
+def split_gzip_members(blob: bytes) -> Iterator[bytes]:
+    """Decompress a concatenation of gzip members one member at a time —
+    the CC shard layout. A plain ``zlib.decompress`` would stop after the
+    first member; ``gzip.decompress`` would fuse them all into one blob
+    and lose the record framing."""
+    i = 0
+    while i < len(blob):
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        out = d.decompress(blob[i:]) + d.flush()
+        yield out
+        consumed = len(blob) - i - len(d.unused_data)
+        if consumed <= 0:
+            raise ValueError(f"gzip member at offset {i} consumed no bytes")
+        i += consumed
+
+
+def encode_warc_record(
+    rec_type: str, headers: dict[str, str], payload: bytes
+) -> bytes:
+    """One uncompressed WARC/1.0 record. ``headers`` must NOT include
+    WARC-Type or Content-Length — those are derived here."""
+    lines = [b"WARC/1.0", f"WARC-Type: {rec_type}".encode()]
+    lines += [f"{k}: {v}".encode() for k, v in headers.items()]
+    lines.append(f"Content-Length: {len(payload)}".encode())
+    return _CRLF.join(lines) + _CRLF * 2 + payload + _CRLF * 2
+
+
+def encode_http_response(body: bytes, status: int = 200) -> bytes:
+    reason = {200: "OK", 404: "Not Found", 500: "Internal Server Error"}.get(
+        status, "Unknown"
+    )
+    head = (
+        f"HTTP/1.1 {status} {reason}\r\n"
+        "Content-Type: text/html; charset=utf-8\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    )
+    return head.encode() + body
+
+
+def encode_warc_shard(
+    records: list[tuple[str, bytes, int]], shard_id: int
+) -> bytes:
+    """A complete .warc.gz shard: a warcinfo member first (as real crawls
+    write), then one gzip member per (target_uri, html_body, http_status)
+    response record. All ids/dates are deterministic functions of
+    shard/record position."""
+    info = encode_warc_record(
+        "warcinfo",
+        {
+            "WARC-Record-ID": f"<urn:uuid:shard-{shard_id}-info>",
+            "WARC-Date": "2026-01-01T00:00:00Z",
+            "Content-Type": "application/warc-fields",
+        },
+        b"software: etl-pipeline-old-spark synthetic crawler\r\n",
+    )
+    out = [gzip_member(info)]
+    for k, (uri, body, status) in enumerate(records):
+        rec = encode_warc_record(
+            "response",
+            {
+                "WARC-Record-ID": f"<urn:uuid:shard-{shard_id}-rec-{k}>",
+                "WARC-Date": "2026-01-01T00:00:00Z",
+                "WARC-Target-URI": uri,
+                "Content-Type": "application/http; msgtype=response",
+            },
+            encode_http_response(body, status),
+        )
+        out.append(gzip_member(rec))
+    return b"".join(out)
+
+
+def _parse_headers(block: bytes) -> dict[str, str]:
+    headers: dict[str, str] = {}
+    for line in block.split(_CRLF):
+        if b":" in line:
+            k, v = line.split(b":", 1)
+            headers[k.decode("ascii").strip().lower()] = v.decode(
+                "utf-8", "replace"
+            ).strip()
+    return headers
+
+
+def iter_warc_responses(blob: bytes) -> Iterator[tuple[str, int, bytes]]:
+    """Parse a .warc.gz shard (or uncompressed WARC bytes) and yield
+    (target_uri, http_status, html_body) for each response record;
+    warcinfo/request/metadata records are skipped. Strict on framing:
+    a record whose payload is shorter than its Content-Length raises
+    (torn upload), as does a gzip member holding anything but WARC."""
+    members = (
+        split_gzip_members(blob) if blob[:2] == b"\x1f\x8b" else _split_plain(blob)
+    )
+    for rec in members:
+        if not rec.startswith(b"WARC/"):
+            raise ValueError(f"not a WARC record: {rec[:16]!r}")
+        head, sep, rest = rec.partition(_CRLF * 2)
+        if not sep:
+            raise ValueError("WARC header block not terminated")
+        headers = _parse_headers(head)
+        length = int(headers["content-length"])
+        payload = rest[:length]
+        if len(payload) < length:
+            raise ValueError(
+                f"truncated record: payload {len(payload)} < {length}"
+            )
+        if headers.get("warc-type") != "response":
+            continue
+        status_line, _, http_rest = payload.partition(_CRLF)
+        status = int(status_line.split(b" ")[1])
+        _, _, body = payload.partition(_CRLF * 2)
+        yield headers.get("warc-target-uri", ""), status, body
+
+
+def _split_plain(blob: bytes) -> Iterator[bytes]:
+    """Record-split uncompressed WARC bytes by walking Content-Length —
+    splitting on the bare 'WARC/1.0' string would corrupt records whose
+    payload contains that text."""
+    i = 0
+    while i < len(blob):
+        head_end = blob.index(_CRLF * 2, i)
+        headers = _parse_headers(blob[i:head_end])
+        length = int(headers["content-length"])
+        end = head_end + 4 + length + 4
+        yield blob[i:end]
+        i = end

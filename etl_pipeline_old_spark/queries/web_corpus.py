@@ -285,3 +285,139 @@ def corpus_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select(
         "doc_id", "raw_url", norm.alias("norm_url"), domain.alias("domain")
     )
+
+
+# ---------------------------------------------------------------------------
+# WARC shard ingest (Common Crawl's container format)
+
+_WARC_DOCS_PER_SHARD = 25
+
+
+def _wrap_html_py(doc_id: int, text: str, lang: str) -> bytes:
+    """The Python-side page wrapper for WARC staging. Deliberately NOT the
+    same markup as render_html_page: extraction must recover the original
+    text from ANY well-formed wrapping, so staging through a second,
+    independently-written renderer widens what the oracle proves."""
+    return (
+        f"<html><head><title>doc {doc_id}</title>"
+        f"<script>if ({doc_id} < 1000000) {{ boot(); }}</script></head>"
+        '<body><nav><a href="/home">home</a></nav><p>'
+        + text.replace(" ", "&nbsp;")
+        + f"</p><footer>&copy; {lang}</footer></body></html>"
+    ).encode("utf-8")
+
+
+def _warc_uri(source: str, doc_id: int) -> str:
+    return f"https://www.{source}.example.com/articles/{doc_id}"
+
+
+def _stage_warc_shards(spark: SparkSession, sf_dir: str) -> str:
+    """Write the corpus as REAL .warc.gz shards from the executors —
+    one gzip-member-per-record Common Crawl-layout file per
+    _WARC_DOCS_PER_SHARD documents (sf0.01 -> 20 shards, sf0.1 -> 200),
+    grouped and rendered inside an applyInPandas kernel so the write
+    parallelizes across the cluster like a crawler fleet's upload."""
+    import os
+
+    from ..workdir import cache_root
+    from .sources_formats import _tag
+
+    path = os.path.join(cache_root(), f"warc_shards_{_tag(sf_dir)}")
+    marker = os.path.join(path, "_STAGED")
+    if not os.path.exists(marker):
+        os.makedirs(path, exist_ok=True)
+        d = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text", "lang", "source")
+            .withColumn(
+                "shard", F.floor(F.col("doc_id") / _WARC_DOCS_PER_SHARD).cast("int")
+            )
+        )
+
+        def write_shard(pdf):
+            import os as os_
+
+            import pandas as pd
+
+            from ..operators.warc import encode_warc_shard
+
+            pdf = pdf.sort_values("doc_id")
+            sid = int(pdf["shard"].iloc[0])
+            recs = [
+                (_warc_uri(r.source, int(r.doc_id)),
+                 _wrap_html_py(int(r.doc_id), r.text, r.lang),
+                 404 if r.doc_id % 10 == 7 else 200)
+                for r in pdf.itertuples()
+            ]
+            blob = encode_warc_shard(recs, sid)
+            tmp = os_.path.join(path, f".{sid:05d}.tmp")
+            with open(tmp, "wb") as fh:
+                fh.write(blob)
+            os_.replace(tmp, os_.path.join(path, f"{sid:05d}.warc.gz"))
+            return pd.DataFrame({"shard": [sid], "n": [len(recs)]})
+
+        d.groupBy("shard").applyInPandas(write_shard, "shard int, n int").collect()
+        open(marker, "w").close()
+    return path
+
+
+@register(
+    "warc_web_ingest",
+    oracle="""
+    SELECT doc_id,
+           'https://www.' || source || '.example.com/articles/' || doc_id
+             AS target_uri,
+           (CASE WHEN doc_id % 10 = 7 THEN 404 ELSE 200 END)::INT AS http_status,
+           trim(regexp_replace(text, '\\s+', ' ', 'g')) AS extracted
+    FROM documents
+    """,
+    doc="REAL Common Crawl-shape ingest, end-to-end: the corpus is staged "
+    "as genuine .warc.gz shards (ISO 28500 records, one gzip member per "
+    "record exactly like CC, warcinfo record first, deterministic "
+    "ids/dates; operators/warc.py, pure stdlib), scanned back with "
+    "binaryFile, record-split and parsed inside an Arrow mapInPandas "
+    "kernel (multi-member gzip walk, Content-Length-strict framing, "
+    "HTTP status line parse, non-response records skipped), then the "
+    "HTML payload flows through the SAME JVM extract_html_text chain as "
+    "text_html_extract — the oracle demands exact recovery of the "
+    "original text plus the URI and the per-doc HTTP status (404s cycle "
+    "in like a real crawl; filtering is the consumer's choice, so they "
+    "are reported, not dropped). The staging wrapper is an independent "
+    "second renderer, so recovery cannot be satisfied by compensating "
+    "render/extract bugs. 100 TB plan: shards list and decode in "
+    "parallel (CC publishes ~90k shards/crawl), each Arrow batch holds "
+    "a bounded set of shard blobs, framing errors fail per shard.",
+)
+def warc_web_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_warc_shards(spark, sf_dir)
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc.gz")
+        .load(path)
+        .select("content")
+    )
+
+    def op(batches):
+        import pandas as pd
+
+        from ..operators.warc import iter_warc_responses
+
+        for pdf in batches:
+            out = {"doc_id": [], "target_uri": [], "http_status": [], "html": []}
+            for blob in pdf["content"]:
+                for uri, status, body in iter_warc_responses(bytes(blob)):
+                    out["doc_id"].append(int(uri.rsplit("/", 1)[1]))
+                    out["target_uri"].append(uri)
+                    out["http_status"].append(status)
+                    out["html"].append(body.decode("utf-8"))
+            yield pd.DataFrame(out)
+
+    parsed = bf.mapInPandas(
+        op, "doc_id long, target_uri string, http_status int, html string"
+    )
+    return parsed.select(
+        "doc_id",
+        "target_uri",
+        "http_status",
+        extract_html_text(F.col("html")).alias("extracted"),
+    )

@@ -151,6 +151,9 @@ _CORE_FIRST = (
     # and URL canonicalization
     "text_html_extract",
     "corpus_url_normalize",
+    # round-7 (cont.): Common Crawl-shape .warc.gz shard ingest chained
+    # into the HTML extraction path
+    "warc_web_ingest",
 )
 
 

@@ -65,6 +65,7 @@ REPEAT_QUERIES = (
     "multimodal_gif_bmp_ingest",
     "multimodal_tiff_ingest",
     "multimodal_g711_ingest",
+    "warc_web_ingest",
 )
 
 
