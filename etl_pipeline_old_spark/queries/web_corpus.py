@@ -421,3 +421,86 @@ def warc_web_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "http_status",
         extract_html_text(F.col("html")).alias("extracted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# the C4-shape capstone: crawl shards -> clean per-language corpus stats
+
+_MIN_WORDS = 25  # C4-ish short-page gate; the sf corpora span 10-99 words
+
+
+def _web_capstone_oracle() -> str:
+    from ..operators import text as TX
+    from ..operators.dedup import NORMALIZE_SQL
+
+    norm = NORMALIZE_SQL.format(x="text")
+    hits = {
+        lang: f"len(list_filter(string_split({norm}, ' '), x -> x IN {tuple(words)}))"
+        for lang, words in TX.LANG_STOPWORDS
+    }
+    best = f"greatest({', '.join(hits.values())})"
+    chain = " ".join(
+        f"WHEN {hits[lang]} = best AND best > 0 THEN '{lang}'"
+        for lang, _ in TX.LANG_STOPWORDS
+    )
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, source, text,
+             len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))
+               AS n_words,
+             {best} AS best
+      FROM documents
+      WHERE doc_id % 10 != 7),
+    gated AS (
+      SELECT CASE {chain} ELSE 'und' END AS lang_pred,
+             n_words,
+             source || '.example.com' AS domain
+      FROM scored
+      WHERE n_words >= {_MIN_WORDS})
+    SELECT lang_pred,
+           count(*)::BIGINT AS n_docs,
+           sum(n_words)::BIGINT AS n_tokens,
+           count(DISTINCT domain)::BIGINT AS n_domains,
+           round(avg(n_words), 2) AS avg_words
+    FROM gated
+    GROUP BY lang_pred
+    """
+
+
+@register(
+    "pipeline_web_corpus",
+    oracle=_web_capstone_oracle(),
+    doc="The C4-reproduction capstone, crawl to clean corpus in one plan: "
+    "ingest the staged .warc.gz shards (real gzip-member record walk), "
+    "keep HTTP 200s, recover text through the JVM HTML extraction, gate "
+    "short pages (n_words >= 25), predict language with the stopword "
+    "lang-ID operator ON THE RECOVERED TEXT (the oracle recomputes it "
+    "from the base table, so a lossy extraction would flip predictions "
+    "and fail the hash), and report per-language corpus stats: docs, "
+    "tokens, distinct source domains (from the WARC target URI), mean "
+    "length. Scale shape: everything up to the final aggregate is "
+    "map-only over shard blobs; the groupBy lands on a handful of "
+    "language keys with partial aggregation, and the distinct-domain "
+    "count is the standard two-phase distinct aggregate — no joins, no "
+    "driver collects, no Python past the record parse.",
+)
+def pipeline_web_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text as TX
+
+    ing = warc_web_ingest(spark, sf_dir).filter(F.col("http_status") == 200)
+    gated = ing.withColumn(
+        "n_words", F.size(F.split(F.col("extracted"), " "))
+    ).filter(F.col("n_words") >= _MIN_WORDS)
+    scored = gated.select(
+        TX.lang_id(F.col("extracted")).alias("lang_pred"),
+        "n_words",
+        F.regexp_extract("target_uri", "^https://www\\.([^/]+)", 1).alias(
+            "domain"
+        ),
+    )
+    return scored.groupBy("lang_pred").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").alias("n_tokens"),
+        F.countDistinct("domain").alias("n_domains"),
+        F.round(F.avg("n_words"), 2).alias("avg_words"),
+    )

@@ -154,6 +154,7 @@ _CORE_FIRST = (
     # round-7 (cont.): Common Crawl-shape .warc.gz shard ingest chained
     # into the HTML extraction path
     "warc_web_ingest",
+    "pipeline_web_corpus",
 )
 
 

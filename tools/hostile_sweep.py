@@ -66,6 +66,7 @@ REPEAT_QUERIES = (
     "multimodal_tiff_ingest",
     "multimodal_g711_ingest",
     "warc_web_ingest",
+    "pipeline_web_corpus",
 )
 
 
