@@ -121,6 +121,12 @@ HEADLINE = [
     # five color types, all five filters). Tracks the binary-blob ingest
     # path (file staging I/O + Arrow decode throughput) round-over-round.
     "multimodal_png_ingest",
+    # r7: the web-corpus sentinel — .warc.gz shard staging via
+    # applyInPandas, gzip-member record walk in an Arrow kernel, JVM
+    # regexp HTML extraction, lang-ID, final groupBy. Tracks the
+    # crawl-ingest path (container parse + regex-chain throughput)
+    # round-over-round.
+    "pipeline_web_corpus",
 ]
 
 
