@@ -89,3 +89,85 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         F.round(F.sum("quality"), 4).alias("sum_quality"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SFT data prep: event log -> chat-template training rows
+
+_MAX_TURNS = 8  # context cap per rendered conversation
+
+
+@register(
+    "sft_chat_render",
+    oracle=f"""
+    WITH conv AS (
+      SELECT user_id,
+             (list(struct_pack(event_id := event_id,
+                               event_type := event_type)
+                   ORDER BY ts, event_id))[1:{_MAX_TURNS}] AS evs,
+             count(*) AS n_events
+      FROM events GROUP BY user_id)
+    SELECT user_id,
+           least({_MAX_TURNS}, n_events)::INT AS n_turns,
+           array_to_string(
+             list_transform(evs, (x, i) ->
+               (CASE WHEN (i - 1) % 2 = 0 THEN '<|user|>'
+                     ELSE '<|assistant|>' END)
+               || x.event_type || '#' || x.event_id || '<|end|>'),
+             '') AS rendered,
+           length(array_to_string(
+             list_transform(evs, (x, i) ->
+               (CASE WHEN (i - 1) % 2 = 0 THEN '<|user|>'
+                     ELSE '<|assistant|>' END)
+               || x.event_type || '#' || x.event_id || '<|end|>'),
+             ''))::INT AS n_chars
+    FROM conv
+    """,
+    doc="SFT data preparation: flatten the raw event log into "
+    "chat-template training rows — one conversation per user, turns "
+    "ordered by (ts, event_id), roles alternating user/assistant, "
+    "rendered with special tokens (<|user|>/<|assistant|>/<|end|>) and "
+    "capped at the context limit, the exact shape an instruction-tuning "
+    "loader consumes. ONE shuffle total: a single groupBy collects each "
+    "user's events, then ordering (sort_array on the struct), context "
+    "truncation (slice), role assignment (indexed transform lambda — "
+    "note Spark indexes 0-based where DuckDB is 1-based), and template "
+    "rendering all happen as array algebra inside the aggregated row, "
+    "with no window function and no second Exchange. At 100 TB the "
+    "per-user event list is bounded by the context cap semantics, and "
+    "skewed users cost one oversized aggregation buffer, not a skewed "
+    "join.",
+)
+def sft_chat_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    conv = e.groupBy("user_id").agg(
+        F.slice(
+            F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+            1,
+            _MAX_TURNS,
+        ).alias("evs"),
+        F.count("*").alias("n_events"),
+    )
+    rendered = F.concat_ws(
+        "",
+        F.transform(
+            "evs",
+            lambda x, i: F.concat(
+                F.when(i % 2 == 0, F.lit("<|user|>")).otherwise(
+                    F.lit("<|assistant|>")
+                ),
+                x["event_type"],
+                F.lit("#"),
+                x["event_id"].cast("string"),
+                F.lit("<|end|>"),
+            ),
+        ),
+    )
+    return conv.select(
+        "user_id",
+        F.least(F.lit(_MAX_TURNS), F.col("n_events")).cast("int").alias("n_turns"),
+        rendered.alias("rendered"),
+        F.length(rendered).cast("int").alias("n_chars"),
+    )

@@ -155,6 +155,8 @@ _CORE_FIRST = (
     # into the HTML extraction path
     "warc_web_ingest",
     "pipeline_web_corpus",
+    # round-7 (cont.): SFT chat-template rendering from the event log
+    "sft_chat_render",
 )
 
 

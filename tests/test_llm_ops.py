@@ -228,3 +228,42 @@ def test_lsh_multi_reps_recover_mixed_bucket_cluster(spark):
     assert (1, 2) in multi, "reps=3 must recover the minority cluster"
     # majority cluster survives either way, and multi is a superset
     assert (0, 3) in single and single <= multi
+
+
+def test_sft_chat_render_shape_and_plan(spark, sf_dir):
+    """The chat renderer alternates roles in event-time order, caps the
+    context, and plans exactly ONE Exchange (no window function)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from etl_pipeline_old_spark.queries.training_corpus import (
+        _MAX_TURNS,
+        sft_chat_render,
+    )
+
+    df = sft_chat_render(spark, sf_dir)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert plan.count("Exchange") <= 2  # one shuffle (+ AQE read node)
+    assert "Window" not in plan
+
+    rows = {r.user_id: r for r in df.collect()}
+    events = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    by_user = {}
+    for e in events:
+        by_user.setdefault(e.user_id, []).append(e)
+    for uid, evs in list(by_user.items())[:50]:
+        evs = sorted(evs, key=lambda e: (e.ts, e.event_id))[:_MAX_TURNS]
+        want = "".join(
+            ("<|user|>" if i % 2 == 0 else "<|assistant|>")
+            + f"{e.event_type}#{e.event_id}<|end|>"
+            for i, e in enumerate(evs)
+        )
+        assert rows[uid].rendered == want
+        assert rows[uid].n_turns == len(evs)
