@@ -124,24 +124,9 @@ def iter_warc_responses(blob: bytes) -> Iterator[tuple[str, int, bytes]]:
         split_gzip_members(blob) if blob[:2] == b"\x1f\x8b" else _split_plain(blob)
     )
     for rec in members:
-        if not rec.startswith(b"WARC/"):
-            raise ValueError(f"not a WARC record: {rec[:16]!r}")
-        head, sep, rest = rec.partition(_CRLF * 2)
-        if not sep:
-            raise ValueError("WARC header block not terminated")
-        headers = _parse_headers(head)
-        length = int(headers["content-length"])
-        payload = rest[:length]
-        if len(payload) < length:
-            raise ValueError(
-                f"truncated record: payload {len(payload)} < {length}"
-            )
-        if headers.get("warc-type") != "response":
-            continue
-        status_line, _, http_rest = payload.partition(_CRLF)
-        status = int(status_line.split(b" ")[1])
-        _, _, body = payload.partition(_CRLF * 2)
-        yield headers.get("warc-target-uri", ""), status, body
+        parsed = _parse_record(rec)
+        if parsed is not None:
+            yield parsed
 
 
 def _split_plain(blob: bytes) -> Iterator[bytes]:
@@ -156,3 +141,61 @@ def _split_plain(blob: bytes) -> Iterator[bytes]:
         end = head_end + 4 + length + 4
         yield blob[i:end]
         i = end
+
+
+def _parse_record(rec: bytes) -> tuple[str, int, bytes] | None:
+    """Parse one uncompressed WARC record; (uri, status, body) for
+    responses, None for other record types; raises on bad framing."""
+    if not rec.startswith(b"WARC/"):
+        raise ValueError(f"not a WARC record: {rec[:16]!r}")
+    head, sep, rest = rec.partition(_CRLF * 2)
+    if not sep:
+        raise ValueError("WARC header block not terminated")
+    headers = _parse_headers(head)
+    length = int(headers["content-length"])
+    payload = rest[:length]
+    if len(payload) < length:
+        raise ValueError(f"truncated record: payload {len(payload)} < {length}")
+    if headers.get("warc-type") != "response":
+        return None
+    status_line, _, _http_rest = payload.partition(_CRLF)
+    status = int(status_line.split(b" ")[1])
+    _, _, body = payload.partition(_CRLF * 2)
+    return headers.get("warc-target-uri", ""), status, body
+
+
+_GZIP_MAGIC = b"\x1f\x8b\x08"
+
+
+def iter_warc_responses_lenient(
+    blob: bytes,
+) -> Iterator[tuple[str, int, bytes, str | None]]:
+    """Per-member fault isolation for .warc.gz shards: yield
+    (target_uri, status, body, None) for every readable response record
+    and ('', 0, b'', err) for every torn member, RESYNCING at the next
+    gzip magic after a corrupt one — the behavior a crawl-scale reader
+    needs, since one flipped byte mid-shard must quarantine one record,
+    not 25. Non-response records are skipped silently like the strict
+    walk."""
+    i, n = 0, len(blob)
+    while i < n:
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        try:
+            rec = d.decompress(blob[i:]) + d.flush()
+            consumed = n - i - len(d.unused_data)
+            if consumed <= 0:
+                raise zlib.error("member consumed no bytes")
+        except zlib.error as exc:
+            yield "", 0, b"", f"gzip: {exc}"
+            nxt = blob.find(_GZIP_MAGIC, i + 1)
+            i = nxt if nxt != -1 else n
+            continue
+        i += consumed
+        try:
+            parsed = _parse_record(rec)
+        except (ValueError, IndexError) as exc:
+            yield "", 0, b"", f"warc: {exc}"
+            continue
+        if parsed is not None:
+            uri, status, body = parsed
+            yield uri, status, body, None

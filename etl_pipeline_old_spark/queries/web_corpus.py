@@ -504,3 +504,139 @@ def pipeline_web_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("domain").alias("n_domains"),
         F.round(F.avg("n_words"), 2).alias("avg_words"),
     )
+
+
+# ---------------------------------------------------------------------------
+# per-member fault isolation on torn shards
+
+_TORN_MOD = 17  # doc_id % 17 == 3 -> that record's gzip member is corrupted
+
+
+def _stage_torn_warc_shards(spark: SparkSession, sf_dir: str) -> str:
+    """Like _stage_warc_shards but with deterministic damage: the gzip
+    member of every doc_id % _TORN_MOD == 3 record has its middle byte
+    XOR-flipped (header intact so the member is still FOUND, deflate/CRC
+    broken so it cannot be READ) — the torn-upload shape object stores
+    actually serve."""
+    import os
+
+    from ..workdir import cache_root
+    from .sources_formats import _tag
+
+    path = os.path.join(cache_root(), f"warc_torn_{_tag(sf_dir)}")
+    marker = os.path.join(path, "_STAGED")
+    if not os.path.exists(marker):
+        os.makedirs(path, exist_ok=True)
+        d = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text", "lang", "source")
+            .withColumn(
+                "shard", F.floor(F.col("doc_id") / _WARC_DOCS_PER_SHARD).cast("int")
+            )
+        )
+
+        def write_shard(pdf):
+            import os as os_
+
+            import pandas as pd
+
+            from ..operators.warc import (
+                encode_http_response,
+                encode_warc_record,
+                gzip_member,
+            )
+
+            pdf = pdf.sort_values("doc_id")
+            sid = int(pdf["shard"].iloc[0])
+            members = []
+            for r in pdf.itertuples():
+                doc_id = int(r.doc_id)
+                rec = encode_warc_record(
+                    "response",
+                    {
+                        "WARC-Record-ID": f"<urn:uuid:torn-{sid}-{doc_id}>",
+                        "WARC-Date": "2026-01-01T00:00:00Z",
+                        "WARC-Target-URI": _warc_uri(r.source, doc_id),
+                        "Content-Type": "application/http; msgtype=response",
+                    },
+                    encode_http_response(_wrap_html_py(doc_id, r.text, r.lang)),
+                )
+                m = bytearray(gzip_member(rec))
+                if doc_id % _TORN_MOD == 3:
+                    m[len(m) // 2] ^= 0xFF
+                members.append(bytes(m))
+            tmp = os_.path.join(path, f".{sid:05d}.tmp")
+            with open(tmp, "wb") as fh:
+                fh.write(b"".join(members))
+            os_.replace(tmp, os_.path.join(path, f"{sid:05d}.warc.gz"))
+            return pd.DataFrame({"shard": [sid], "n": [len(members)]})
+
+        d.groupBy("shard").applyInPandas(write_shard, "shard int, n int").collect()
+        open(marker, "w").close()
+    return path
+
+
+@register(
+    "warc_ingest_quarantine",
+    oracle=f"""
+    SELECT (doc_id // {_WARC_DOCS_PER_SHARD})::INT AS shard,
+           count(*) FILTER (WHERE doc_id % {_TORN_MOD} != 3)::BIGINT AS n_ok,
+           count(*) FILTER (WHERE doc_id % {_TORN_MOD} = 3)::BIGINT AS n_corrupt,
+           coalesce(sum(doc_id) FILTER (WHERE doc_id % {_TORN_MOD} != 3), 0)::BIGINT
+             AS sum_doc_id_ok
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="Per-MEMBER fault isolation on torn .warc.gz shards — one flipped "
+    "byte mid-shard must quarantine one record, not the whole file: "
+    "shards are staged with the gzip member of every "
+    f"doc_id%{_TORN_MOD}==3 record deliberately corrupted (deflate/CRC "
+    "broken, header intact), and the lenient reader "
+    "(operators/warc.iter_warc_responses_lenient) captures the per-member "
+    "zlib error and RESYNCS at the next gzip magic, so all healthy "
+    "records around the damage still decode. Per shard the query reports "
+    "healthy/quarantined counts plus the sum of recovered doc_ids — the "
+    "oracle knows exactly which records were damaged, so both the "
+    "quarantine count AND the survival of every other record are "
+    "value-checked. The strict reader on the same bytes would abort the "
+    "shard (unit-tested); at 100 TB this is the difference between "
+    "losing one document and losing a 1 GiB shard per bit flip.",
+)
+def warc_ingest_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_torn_warc_shards(spark, sf_dir)
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc.gz")
+        .load(path)
+        .select("path", "content")
+    )
+
+    def op(batches):
+        import re
+
+        import pandas as pd
+
+        from ..operators.warc import iter_warc_responses_lenient
+
+        for pdf in batches:
+            out = {"shard": [], "doc_id": [], "ok": []}
+            for p, blob in zip(pdf["path"], pdf["content"]):
+                sid = int(re.search(r"(\d+)\.warc\.gz$", p).group(1))
+                for uri, _status, _body, err in iter_warc_responses_lenient(
+                    bytes(blob)
+                ):
+                    out["shard"].append(sid)
+                    out["doc_id"].append(
+                        int(uri.rsplit("/", 1)[1]) if err is None else None
+                    )
+                    out["ok"].append(err is None)
+            yield pd.DataFrame(out)
+
+    parsed = bf.mapInPandas(op, "shard int, doc_id long, ok boolean")
+    return parsed.groupBy("shard").agg(
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_ok"),
+        F.sum(F.when(F.col("ok"), 0).otherwise(1)).alias("n_corrupt"),
+        F.coalesce(F.sum(F.when(F.col("ok"), F.col("doc_id"))), F.lit(0)).alias(
+            "sum_doc_id_ok"
+        ),
+    )

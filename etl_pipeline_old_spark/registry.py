@@ -157,6 +157,8 @@ _CORE_FIRST = (
     "pipeline_web_corpus",
     # round-7 (cont.): SFT chat-template rendering from the event log
     "sft_chat_render",
+    # round-7 (cont.): per-gzip-member fault isolation on torn WARC shards
+    "warc_ingest_quarantine",
 )
 
 

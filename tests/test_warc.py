@@ -95,3 +95,74 @@ def test_encode_record_framing():
     assert rec.endswith(b"Content-Length: 2\r\n\r\nxy\r\n\r\n")
     # non-response records are skipped by the response iterator
     assert list(iter_warc_responses(rec)) == []
+
+
+def _torn_shard():
+    shard = encode_warc_shard(
+        [("https://e.com/1", b"<p>a</p>", 200),
+         ("https://e.com/2", b"<p>b</p>", 200),
+         ("https://e.com/3", b"<p>c</p>", 200)],
+        shard_id=5,
+    )
+    # locate the 3rd member (warcinfo + rec0 + REC1 + rec2) and flip its
+    # middle byte: header intact, deflate/CRC broken
+    offs = []
+    i = 0
+    while True:
+        i = shard.find(b"\x1f\x8b\x08", i)
+        if i == -1:
+            break
+        offs.append(i)
+        i += 3
+    assert len(offs) == 4
+    torn = bytearray(shard)
+    mid = offs[2] + (offs[3] - offs[2]) // 2
+    torn[mid] ^= 0xFF
+    return bytes(torn)
+
+
+def test_lenient_walk_quarantines_one_member_and_resyncs():
+    from etl_pipeline_old_spark.operators.warc import iter_warc_responses_lenient
+
+    out = list(iter_warc_responses_lenient(_torn_shard()))
+    oks = [(u, s, b) for u, s, b, e in out if e is None]
+    errs = [e for _, _, _, e in out if e is not None]
+    # records around the damage survive; exactly the torn one quarantined
+    assert oks == [
+        ("https://e.com/1", 200, b"<p>a</p>"),
+        ("https://e.com/3", 200, b"<p>c</p>"),
+    ]
+    assert len(errs) == 1 and errs[0].startswith("gzip:")
+
+
+def test_strict_walk_aborts_on_torn_member():
+    with pytest.raises(Exception):
+        list(iter_warc_responses(_torn_shard()))
+
+
+def test_lenient_walk_equals_strict_on_clean_shard():
+    from etl_pipeline_old_spark.operators.warc import iter_warc_responses_lenient
+
+    shard = encode_warc_shard(
+        [("https://e.com/1", b"<p>a</p>", 200),
+         ("https://e.com/2", b"<p>b</p>", 404)],
+        shard_id=0,
+    )
+    lenient = [(u, s, b) for u, s, b, e in iter_warc_responses_lenient(shard)]
+    assert lenient == list(iter_warc_responses(shard))
+
+
+def test_lenient_walk_corrupt_first_member_recovers_rest():
+    from etl_pipeline_old_spark.operators.warc import iter_warc_responses_lenient
+
+    shard = bytearray(
+        encode_warc_shard([("https://e.com/9", b"<p>z</p>", 200)], shard_id=1)
+    )
+    shard[14] ^= 0xFF  # damage the warcinfo member's deflate stream
+    # (offset 14 is past the 10-byte gzip header, inside the compressed
+    # data; header bytes like XFL/OS would corrupt nothing)
+    out = list(iter_warc_responses_lenient(bytes(shard)))
+    assert [(u, s, b) for u, s, b, e in out if e is None] == [
+        ("https://e.com/9", 200, b"<p>z</p>")
+    ]
+    assert sum(1 for *_, e in out if e is not None) == 1

@@ -67,6 +67,7 @@ REPEAT_QUERIES = (
     "multimodal_g711_ingest",
     "warc_web_ingest",
     "pipeline_web_corpus",
+    "warc_ingest_quarantine",
 )
 
 
