@@ -89,7 +89,9 @@ def extract_html_text(html):
     t = F.regexp_replace(t, "(?s)<style[^>]*>.*?</style>", " ")
     t = F.regexp_replace(t, "(?s)<nav>.*?</nav>", " ")
     t = F.regexp_replace(t, "(?s)<footer>.*?</footer>", " ")
-    t = F.regexp_replace(t, "<[^>]+>", " ")
+    # quoted attribute values may legally contain '>' (<a title="a>b">),
+    # so the tag matcher consumes quoted spans atomically
+    t = F.regexp_replace(t, "<(?:[^>\"']|\"[^\"]*\"|'[^']*')+>", " ")
     for ent, ch in _ENTITY_DECODES:
         t = F.regexp_replace(t, ent, ch)
     return F.trim(F.regexp_replace(t, "\\s+", " "))
@@ -396,6 +398,12 @@ def warc_web_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(path)
         .select("content")
     )
+    return _parse_warc_frame(bf)
+
+
+def _parse_warc_frame(bf: DataFrame) -> DataFrame:
+    """Shard blobs -> extracted documents; ONE definition shared by the
+    batch and streaming ingests (the stream_png_ingest contract)."""
 
     def op(batches):
         import pandas as pd
@@ -640,3 +648,66 @@ def warc_ingest_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_doc_id_ok"
         ),
     )
+
+
+@register(
+    "stream_warc_ingest",
+    oracle="""
+    SELECT doc_id,
+           'https://www.' || source || '.example.com/articles/' || doc_id
+             AS target_uri,
+           (CASE WHEN doc_id % 10 = 7 THEN 404 ELSE 200 END)::INT AS http_status,
+           trim(regexp_replace(text, '\\s+', ' ', 'g')) AS extracted
+    FROM documents
+    """,
+    doc="STREAMING crawl ingestion — the Auto-Loader-shaped counterpart "
+    "to warc_web_ingest: the same staged .warc.gz shards are consumed "
+    "through readStream.format('binaryFile') with maxFilesPerTrigger "
+    "bounding each micro-batch to a handful of shards, parsed per batch "
+    "by the SAME _parse_warc_frame definition (one parser for batch and "
+    "streaming), and appended to the target lake; the accumulated target "
+    "must hash-equal the batch ingest, which per-shard independence "
+    "makes exact under any batching. At 100 TB this is how a live crawl "
+    "becomes training data: the file-listing source checkpoints "
+    "progress, each trigger decodes a bounded set of shards, a torn "
+    "shard fails its record (or flows through the lenient quarantine "
+    "path), and the stream keeps going.",
+)
+def stream_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from ..session import ensure_session_confs
+    from ..workdir import cache_root
+    from .sources_formats import _BINARYFILE_SCHEMA, _tag
+
+    ensure_session_confs(spark)
+    feed = _stage_warc_shards(spark, sf_dir)
+    base = os.path.join(cache_root(), f"warc_stream_{_tag(sf_dir)}")
+    target, chk = base + "_target", base + "_chk"
+    for p in (target, chk):
+        shutil.rmtree(p, ignore_errors=True)
+
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARYFILE_SCHEMA)
+        .option("pathGlobFilter", "*.warc.gz")
+        .option("maxFilesPerTrigger", 5)
+        .load(feed)
+        .select("content")
+    )
+
+    def ingest(batch_df: DataFrame, _batch_id: int) -> None:
+        _parse_warc_frame(batch_df).write.mode("append").parquet(target)
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(target)

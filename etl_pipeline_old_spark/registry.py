@@ -159,6 +159,8 @@ _CORE_FIRST = (
     "sft_chat_render",
     # round-7 (cont.): per-gzip-member fault isolation on torn WARC shards
     "warc_ingest_quarantine",
+    # round-7 (cont.): streaming counterpart of the WARC shard ingest
+    "stream_warc_ingest",
 )
 
 

@@ -64,6 +64,9 @@ def test_extract_recovers_text_from_hand_written_page(spark):
         # head removal takes title/style with it
         ("<head><title>t</title><style>p{}</style></head><body><p>x</p></body>",
          "x"),
+        # '>' inside a quoted attribute must not split the tag early
+        ('<a title="a>b" href="/x">link</a> <img alt=\'5 > 4\'/> tail',
+         "link tail"),
     ],
 )
 def test_extract_adversarial_fragments(spark, html, expected):

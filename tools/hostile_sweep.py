@@ -68,6 +68,7 @@ REPEAT_QUERIES = (
     "warc_web_ingest",
     "pipeline_web_corpus",
     "warc_ingest_quarantine",
+    "stream_warc_ingest",
 )
 
 
