@@ -166,3 +166,59 @@ def test_lenient_walk_corrupt_first_member_recovers_rest():
         ("https://e.com/9", 200, b"<p>z</p>")
     ]
     assert sum(1 for *_, e in out if e is not None) == 1
+
+
+# -- property: resync semantics under ARBITRARY single-byte corruption ------
+#
+# A flipped byte can be harmless (gzip mtime/OS fields), can kill one
+# member, or can make zlib swallow bytes into a neighbor before failing.
+# The honest invariants the lenient walk guarantees — and the ones the
+# quarantine query's oracle relies on — are:
+#   1. no fabrication: every ok record is one of the true records;
+#   2. no duplication;
+#   3. records from members strictly BEFORE the corrupted byte survive;
+#   4. either the damage was harmless (all records recovered, no errors)
+#      or at least one error row marks the quarantined span.
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    n_recs=st.integers(min_value=1, max_value=5),
+    member_idx=st.integers(min_value=0, max_value=5),
+    frac=st.floats(min_value=0.0, max_value=0.999),
+    xor=st.integers(min_value=1, max_value=255),
+)
+def test_lenient_walk_survives_arbitrary_corruption(n_recs, member_idx, frac, xor):
+    from etl_pipeline_old_spark.operators.warc import iter_warc_responses_lenient
+
+    truth = [
+        (f"https://e.com/{k}", 200 if k % 3 else 404, f"<p>body {k}</p>".encode())
+        for k in range(n_recs)
+    ]
+    shard = encode_warc_shard([(u, b, s) for u, s, b in truth], shard_id=7)
+    offs = []
+    i = 0
+    while (i := shard.find(b"\x1f\x8b\x08", i)) != -1:
+        offs.append(i)
+        i += 3
+    assert len(offs) == n_recs + 1  # warcinfo + responses
+    member_idx %= len(offs)
+    start = offs[member_idx]
+    end = offs[member_idx + 1] if member_idx + 1 < len(offs) else len(shard)
+    pos = start + int(frac * (end - start))
+    torn = bytearray(shard)
+    torn[pos] ^= xor
+
+    out = list(iter_warc_responses_lenient(bytes(torn)))
+    oks = [(u, s, b) for u, s, b, e in out if e is None]
+    errs = [e for *_, e in out if e is not None]
+
+    assert all(r in truth for r in oks)          # 1. no fabrication
+    assert len(set(oks)) == len(oks)             # 2. no duplication
+    n_before = max(0, member_idx - 1)            # responses before the damage
+    assert oks[:n_before] == truth[:n_before]    # 3. prefix survives in order
+    if not errs:
+        assert oks == truth                      # 4. harmless or quarantined
