@@ -1295,3 +1295,148 @@ def multimodal_g711_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, law string, sample_rate long, n_samples long, "
         "sum_lin long, sum_abs long, peak int",
     )
+
+
+def _resample_out_sql(m: int) -> str:
+    """DuckDB: interleaved output sample m of the decimate-by-2 mean
+    filter, branching on the doc's channel count (mono on even doc_ids,
+    stereo on odd — the same cycle _render_wav stages)."""
+    mono_a, mono_b = _wav_sample_sql(2 * m), _wav_sample_sql(2 * m + 1)
+    st_a = _wav_sample_sql(4 * (m // 2) + m % 2)
+    st_b = _wav_sample_sql(4 * (m // 2) + 2 + m % 2)
+    return (
+        f"(CASE WHEN doc_id % 2 = 0"
+        f" THEN CAST(floor(({mono_a} + {mono_b}) / 2.0) AS INT)"
+        f" ELSE CAST(floor(({st_a} + {st_b}) / 2.0) AS INT) END)"
+    )
+
+
+@register(
+    "multimodal_audio_resample",
+    oracle=f"""
+    WITH res AS (
+      SELECT doc_id, [{", ".join(_resample_out_sql(m) for m in range(_WAV_N // 2))}] AS o
+      FROM documents)
+    SELECT doc_id,
+           (1 + doc_id % 2)::INT AS channels,
+           (8000 * (1 + doc_id % 3) // 2)::BIGINT AS out_rate,
+           {_WAV_N // 2}::BIGINT AS n_out,
+           list_sum(list_transform(o, x -> abs(x)))::BIGINT AS sum_abs_out,
+           list_max(list_transform(o, x -> abs(x)))::INT AS peak_out
+    FROM res
+    """,
+    doc="Audio resampling on REAL decoded WAV clips: decimate-by-2 with a "
+    "2-tap mean anti-alias filter, channel-aware (the interleaved stereo "
+    "layout pairs frames, not adjacent samples — the classic resample "
+    "bug the oracle would catch, since channel count cycles by doc_id). "
+    "Runs inside the same Arrow kernel as multimodal_wav_ingest on the "
+    "same staged files; the DuckDB oracle recomputes every output sample "
+    "from the md5 formula with floor((a+b)/2) integer algebra and "
+    "value-checks the resampled stream's stats plus the halved sample "
+    "rate. The downsample every speech corpus applies before feature "
+    "extraction (16k -> 8k), expressed at Spark scale: per-clip work in "
+    "bounded Arrow batches, stats-only rows to the shuffle.",
+)
+def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_wav_files(spark, sf_dir)
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wav")
+        .load(path)
+        .select("path", "content")
+    )
+
+    def op(batches):
+        import re
+
+        import pandas as pd
+
+        from ..operators.multimodal import decode_audio_real
+
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "channels", "out_rate", "n_out", "sum_abs_out",
+                    "peak_out")}
+            for p, content in zip(pdf["path"], pdf["content"]):
+                rate, ch, s = decode_audio_real(bytes(content))
+                res = []
+                for k in range(len(s) // (2 * ch)):
+                    for c in range(ch):
+                        res.append((s[2 * k * ch + c] + s[(2 * k + 1) * ch + c]) // 2)
+                out["doc_id"].append(int(re.search(r"(\d+)\.wav$", p).group(1)))
+                out["channels"].append(ch)
+                out["out_rate"].append(rate // 2)
+                out["n_out"].append(len(res))
+                out["sum_abs_out"].append(sum(abs(x) for x in res))
+                out["peak_out"].append(max(abs(x) for x in res))
+            yield pd.DataFrame(out)
+
+    return bf.mapInPandas(
+        op,
+        schema="doc_id long, channels int, out_rate long, n_out long, "
+        "sum_abs_out long, peak_out int",
+    )
+
+
+@register(
+    "multimodal_video_motion",
+    oracle=f"""
+    WITH fr AS (
+      {" UNION ALL ".join(
+        f'''SELECT doc_id, {f} AS frame_id,
+            [{", ".join(_y4m_pixel_sql(f, j) for j in range(64))}] AS p,
+            [{", ".join(_y4m_pixel_sql(f - 1, j) for j in range(64))}] AS q
+            FROM documents'''
+        for f in range(1, 4)
+      )})
+    SELECT doc_id, frame_id::INT AS frame_id,
+           list_sum(list_transform(p, (x, i) -> abs(x - q[i])))::BIGINT
+             AS motion,
+           list_max(list_transform(p, (x, i) -> abs(x - q[i])))::INT
+             AS peak_diff
+    FROM fr
+    """,
+    doc="Motion estimation on REAL decoded video: per consecutive frame "
+    "pair of each staged YUV4MPEG2 clip, the sum and peak of absolute "
+    "Y-plane pixel differences — the frame-diff energy every "
+    "shot-boundary detector and motion-based frame sampler starts from "
+    "(a video curation pipeline keeps high-motion frames and drops "
+    "static spans). Decodes inside the same Arrow kernel as "
+    "multimodal_y4m_frames on the same staged clips (both mono and 420 "
+    "plane layouts); the DuckDB oracle recomputes every frame's pixels "
+    "from the md5 formula and the same |p[f][j]-p[f-1][j]| algebra, so "
+    "the per-pair motion values are exact, not spot-checked. Stats-only "
+    "rows leave the kernel; rasters never hit the shuffle.",
+)
+def multimodal_video_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_y4m_files(spark, sf_dir)
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.y4m")
+        .load(path)
+        .select("path", "content")
+    )
+
+    def op(batches):
+        import re
+
+        import pandas as pd
+
+        from ..operators.multimodal import decode_video_real
+
+        for pdf in batches:
+            out = {"doc_id": [], "frame_id": [], "motion": [], "peak_diff": []}
+            for p, content in zip(pdf["path"], pdf["content"]):
+                doc_id = int(re.search(r"(\d+)\.y4m$", p).group(1))
+                _w, _h, frames = decode_video_real(bytes(content))
+                for f in range(1, len(frames)):
+                    diffs = [abs(a - b) for a, b in zip(frames[f], frames[f - 1])]
+                    out["doc_id"].append(doc_id)
+                    out["frame_id"].append(f)
+                    out["motion"].append(sum(diffs))
+                    out["peak_diff"].append(max(diffs))
+            yield pd.DataFrame(out)
+
+    return bf.mapInPandas(
+        op, schema="doc_id long, frame_id int, motion long, peak_diff int"
+    )

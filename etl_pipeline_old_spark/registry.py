@@ -161,6 +161,10 @@ _CORE_FIRST = (
     "warc_ingest_quarantine",
     # round-7 (cont.): streaming counterpart of the WARC shard ingest
     "stream_warc_ingest",
+    # round-7 (cont.): channel-aware audio decimation + video frame-diff
+    # motion on the staged real media
+    "multimodal_audio_resample",
+    "multimodal_video_motion",
 )
 
 

@@ -69,6 +69,8 @@ REPEAT_QUERIES = (
     "pipeline_web_corpus",
     "warc_ingest_quarantine",
     "stream_warc_ingest",
+    "multimodal_audio_resample",
+    "multimodal_video_motion",
 )
 
 
