@@ -313,18 +313,21 @@ def _warc_uri(source: str, doc_id: int) -> str:
     return f"https://www.{source}.example.com/articles/{doc_id}"
 
 
-def _stage_warc_shards(spark: SparkSession, sf_dir: str) -> str:
-    """Write the corpus as REAL .warc.gz shards from the executors —
-    one gzip-member-per-record Common Crawl-layout file per
-    _WARC_DOCS_PER_SHARD documents (sf0.01 -> 20 shards, sf0.1 -> 200),
-    grouped and rendered inside an applyInPandas kernel so the write
-    parallelizes across the cluster like a crawler fleet's upload."""
+def _stage_shard_files(
+    spark: SparkSession, sf_dir: str, kind: str, build
+) -> str:
+    """Shared shard stager: group documents into _WARC_DOCS_PER_SHARD-doc
+    shards and write one file per shard FROM THE EXECUTORS via an
+    applyInPandas kernel (the crawler-fleet upload shape; sf0.01 -> 20
+    shards, sf0.1 -> 200). ``build(pdf_sorted, sid) -> bytes`` renders the
+    shard; writes are tmp+rename atomic and idempotent per process via a
+    marker file."""
     import os
 
     from ..workdir import cache_root
     from .sources_formats import _tag
 
-    path = os.path.join(cache_root(), f"warc_shards_{_tag(sf_dir)}")
+    path = os.path.join(cache_root(), f"{kind}_{_tag(sf_dir)}")
     marker = os.path.join(path, "_STAGED")
     if not os.path.exists(marker):
         os.makedirs(path, exist_ok=True)
@@ -341,26 +344,36 @@ def _stage_warc_shards(spark: SparkSession, sf_dir: str) -> str:
 
             import pandas as pd
 
-            from ..operators.warc import encode_warc_shard
-
             pdf = pdf.sort_values("doc_id")
             sid = int(pdf["shard"].iloc[0])
-            recs = [
-                (_warc_uri(r.source, int(r.doc_id)),
-                 _wrap_html_py(int(r.doc_id), r.text, r.lang),
-                 404 if r.doc_id % 10 == 7 else 200)
-                for r in pdf.itertuples()
-            ]
-            blob = encode_warc_shard(recs, sid)
+            blob = build(pdf, sid)
             tmp = os_.path.join(path, f".{sid:05d}.tmp")
             with open(tmp, "wb") as fh:
                 fh.write(blob)
             os_.replace(tmp, os_.path.join(path, f"{sid:05d}.warc.gz"))
-            return pd.DataFrame({"shard": [sid], "n": [len(recs)]})
+            return pd.DataFrame({"shard": [sid], "n": [len(pdf)]})
 
         d.groupBy("shard").applyInPandas(write_shard, "shard int, n int").collect()
         open(marker, "w").close()
     return path
+
+
+def _build_clean_shard(pdf, sid: int) -> bytes:
+    from ..operators.warc import encode_warc_shard
+
+    recs = [
+        (_warc_uri(r.source, int(r.doc_id)),
+         _wrap_html_py(int(r.doc_id), r.text, r.lang),
+         404 if r.doc_id % 10 == 7 else 200)
+        for r in pdf.itertuples()
+    ]
+    return encode_warc_shard(recs, sid)
+
+
+def _stage_warc_shards(spark: SparkSession, sf_dir: str) -> str:
+    """The clean Common Crawl-layout corpus: warcinfo member first, one
+    gzip member per response record, 404s cycled by doc_id % 10 == 7."""
+    return _stage_shard_files(spark, sf_dir, "warc_shards", _build_clean_shard)
 
 
 @register(
@@ -520,68 +533,40 @@ def pipeline_web_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TORN_MOD = 17  # doc_id % 17 == 3 -> that record's gzip member is corrupted
 
 
+def _build_torn_shard(pdf, sid: int) -> bytes:
+    from ..operators.warc import (
+        encode_http_response,
+        encode_warc_record,
+        gzip_member,
+    )
+
+    members = []
+    for r in pdf.itertuples():
+        doc_id = int(r.doc_id)
+        rec = encode_warc_record(
+            "response",
+            {
+                "WARC-Record-ID": f"<urn:uuid:torn-{sid}-{doc_id}>",
+                "WARC-Date": "2026-01-01T00:00:00Z",
+                "WARC-Target-URI": _warc_uri(r.source, doc_id),
+                "Content-Type": "application/http; msgtype=response",
+            },
+            encode_http_response(_wrap_html_py(doc_id, r.text, r.lang)),
+        )
+        m = bytearray(gzip_member(rec))
+        if doc_id % _TORN_MOD == 3:
+            m[len(m) // 2] ^= 0xFF
+        members.append(bytes(m))
+    return b"".join(members)
+
+
 def _stage_torn_warc_shards(spark: SparkSession, sf_dir: str) -> str:
-    """Like _stage_warc_shards but with deterministic damage: the gzip
+    """Like the clean stager but with deterministic damage: the gzip
     member of every doc_id % _TORN_MOD == 3 record has its middle byte
     XOR-flipped (header intact so the member is still FOUND, deflate/CRC
     broken so it cannot be READ) — the torn-upload shape object stores
     actually serve."""
-    import os
-
-    from ..workdir import cache_root
-    from .sources_formats import _tag
-
-    path = os.path.join(cache_root(), f"warc_torn_{_tag(sf_dir)}")
-    marker = os.path.join(path, "_STAGED")
-    if not os.path.exists(marker):
-        os.makedirs(path, exist_ok=True)
-        d = (
-            load_table(spark, sf_dir, "documents")
-            .select("doc_id", "text", "lang", "source")
-            .withColumn(
-                "shard", F.floor(F.col("doc_id") / _WARC_DOCS_PER_SHARD).cast("int")
-            )
-        )
-
-        def write_shard(pdf):
-            import os as os_
-
-            import pandas as pd
-
-            from ..operators.warc import (
-                encode_http_response,
-                encode_warc_record,
-                gzip_member,
-            )
-
-            pdf = pdf.sort_values("doc_id")
-            sid = int(pdf["shard"].iloc[0])
-            members = []
-            for r in pdf.itertuples():
-                doc_id = int(r.doc_id)
-                rec = encode_warc_record(
-                    "response",
-                    {
-                        "WARC-Record-ID": f"<urn:uuid:torn-{sid}-{doc_id}>",
-                        "WARC-Date": "2026-01-01T00:00:00Z",
-                        "WARC-Target-URI": _warc_uri(r.source, doc_id),
-                        "Content-Type": "application/http; msgtype=response",
-                    },
-                    encode_http_response(_wrap_html_py(doc_id, r.text, r.lang)),
-                )
-                m = bytearray(gzip_member(rec))
-                if doc_id % _TORN_MOD == 3:
-                    m[len(m) // 2] ^= 0xFF
-                members.append(bytes(m))
-            tmp = os_.path.join(path, f".{sid:05d}.tmp")
-            with open(tmp, "wb") as fh:
-                fh.write(b"".join(members))
-            os_.replace(tmp, os_.path.join(path, f"{sid:05d}.warc.gz"))
-            return pd.DataFrame({"shard": [sid], "n": [len(members)]})
-
-        d.groupBy("shard").applyInPandas(write_shard, "shard int, n int").collect()
-        open(marker, "w").close()
-    return path
+    return _stage_shard_files(spark, sf_dir, "warc_torn", _build_torn_shard)
 
 
 @register(
