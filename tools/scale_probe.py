@@ -518,18 +518,21 @@ def main() -> None:
         "fixed query set held constant.",
         "",
     ]
-    # preserve the memory-pressure block (tools/memory_pressure_probe.py
-    # owns it — it needs its own 2 GiB-heap process, so it can't run here)
+    # preserve foreign marker blocks (each owned by a standalone probe
+    # that needs its own process/session shape, so they can't run here)
+    _FOREIGN_MARKS = [
+        ("<!-- memory-pressure:start -->", "<!-- memory-pressure:end -->"),
+        ("<!-- warc-throughput:start -->", "<!-- warc-throughput:end -->"),
+    ]
     try:
         old = open("SCALE_PROBE.md", encoding="utf-8").read()
-        from tools.memory_pressure_probe import MARK_END, MARK_START
-
-        if MARK_START in old and MARK_END in old:
-            lines.append(
-                old[old.index(MARK_START) : old.index(MARK_END) + len(MARK_END)]
-            )
-            lines.append("")
-    except (OSError, ImportError):
+        for mark_start, mark_end in _FOREIGN_MARKS:
+            if mark_start in old and mark_end in old:
+                lines.append(
+                    old[old.index(mark_start) : old.index(mark_end) + len(mark_end)]
+                )
+                lines.append("")
+    except OSError:
         pass
     with open("SCALE_PROBE.md", "w", encoding="utf-8") as f:
         f.write("\n".join(lines))
