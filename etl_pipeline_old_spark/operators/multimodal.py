@@ -518,6 +518,8 @@ def decode_audio_real(payload: bytes) -> tuple[int, int, list[int]]:
     if len(fmt) < 16:
         raise ValueError(f"WAV fmt chunk too short ({len(fmt)} bytes)")
     audio_format, channels, sample_rate, _, _, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if channels < 1:
+        raise ValueError("WAV fmt declares 0 channels")
     if audio_format in (6, 7):  # G.711 A-law / µ-law (operators/g711.py)
         if bits != 8:
             raise ValueError(f"G.711 WAV with {bits} bits per sample")

@@ -126,3 +126,12 @@ def test_wav_g711_rejects_bad_inputs():
         encode_wav_g711([1, 2, 3], "mp3")
     with pytest.raises(ValueError):
         encode_wav_g711([1, 2, 3], "ulaw", channels=2)
+
+
+def test_wav_zero_channels_raises_cleanly():
+    # a malformed fmt chunk declaring 0 channels must raise ValueError,
+    # not ZeroDivisionError from the frame-alignment check
+    payload = bytearray(encode_wav_g711([1, 2, 3, 4], "ulaw"))
+    payload[22:24] = b"\x00\x00"  # fmt channels field
+    with pytest.raises(ValueError, match="0 channels"):
+        decode_audio_real(bytes(payload))
