@@ -171,3 +171,88 @@ def sft_chat_render(spark: SparkSession, sf_dir: str) -> DataFrame:
         rendered.alias("rendered"),
         F.length(rendered).cast("int").alias("n_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DPO data prep: per-user preference pairs from the event log
+
+_PAIR_K = 2  # events per side of a preference pair
+
+
+@register(
+    "sft_preference_pairs",
+    oracle=f"""
+    WITH conv AS (
+      SELECT user_id,
+             (list(struct_pack(event_id := event_id, event_type := event_type,
+                               value := value)
+                   ORDER BY value DESC, event_id DESC))[1:{_PAIR_K}] AS top,
+             (list(struct_pack(event_id := event_id, event_type := event_type,
+                               value := value)
+                   ORDER BY value ASC, event_id ASC))[1:{_PAIR_K}] AS bot,
+             count(*) AS n_events
+      FROM events GROUP BY user_id HAVING count(*) >= {2 * _PAIR_K})
+    SELECT user_id,
+           array_to_string(list_transform(top,
+             x -> 'evt#' || x.event_id || '@' || x.event_type), '|') AS chosen,
+           array_to_string(list_transform(bot,
+             x -> 'evt#' || x.event_id || '@' || x.event_type), '|') AS rejected,
+           round(list_sum(list_transform(top, x -> x.value))
+                 - list_sum(list_transform(bot, x -> x.value)), 2) AS margin,
+           n_events::BIGINT AS n_events
+    FROM conv
+    """,
+    doc="Post-training data prep, the DPO/RLHF companion to "
+    "sft_chat_render: per user, the highest-value events form the "
+    "'chosen' side and the lowest-value events the 'rejected' side of a "
+    "preference pair, with the reward margin carried for "
+    "margin-weighted losses (IPO/margin-DPO). Deterministic under "
+    "duplicated reward values via the event_id tiebreak (descending on "
+    "the chosen side — the reverse-of-ascending identity the oracle "
+    "mirrors with ORDER BY value DESC, event_id DESC). Same scale shape "
+    "as the chat renderer: ONE groupBy shuffle, then pure array algebra "
+    "(sort_array, reverse, slice, transform, aggregate) inside the "
+    "aggregated row; users below 2k events are gated in the aggregate, "
+    "no second pass.",
+)
+def sft_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value"
+    )
+    conv = (
+        e.groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("value", "event_id", "event_type"))
+            ).alias("asc"),
+            F.count("*").alias("n_events"),
+        )
+        .filter(F.col("n_events") >= 2 * _PAIR_K)
+    )
+    top = F.slice(F.reverse(F.col("asc")), 1, _PAIR_K)
+    bot = F.slice(F.col("asc"), 1, _PAIR_K)
+
+    def render(side):
+        return F.array_join(
+            F.transform(
+                side,
+                lambda x: F.concat(
+                    F.lit("evt#"),
+                    x["event_id"].cast("string"),
+                    F.lit("@"),
+                    x["event_type"],
+                ),
+            ),
+            "|",
+        )
+
+    def vsum(side):
+        return F.aggregate(side, F.lit(0.0), lambda acc, x: acc + x["value"])
+
+    return conv.select(
+        "user_id",
+        render(top).alias("chosen"),
+        render(bot).alias("rejected"),
+        F.round(vsum(top) - vsum(bot), 2).alias("margin"),
+        "n_events",
+    )

@@ -165,6 +165,8 @@ _CORE_FIRST = (
     # motion on the staged real media
     "multimodal_audio_resample",
     "multimodal_video_motion",
+    # round-7 (cont.): DPO preference-pair construction from the event log
+    "sft_preference_pairs",
 )
 
 

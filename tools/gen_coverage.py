@@ -142,7 +142,7 @@ COVERAGE: list[tuple[str, str, list[str], str]] = [
     ("X-layout", "storage layout", ["zorder_zvalue", "k7_partitioned_write_prune", "layout_compaction_bins", "layout_minmax_prune", "layout_range_partition_plan", "layout_bucketed_join", "layout_compaction_execute", "catalog_analyze_stats", "layout_retention_vacuum", "layout_erasure_cow", "layout_erasure_dv", "layout_dv_compaction", "layout_snapshot_log"], "Z-order keys (clustering asserted on parquet footers); Hive-partitioned write w/ pruned readback (PartitionFilters asserted in test_plans.py); small-file compaction planner; min/max file-stats skipping manifest (hash vs sort-on-write layouts); balanced range-partition plan for sorted writes; bucketed co-located zero-shuffle join (value-checked end-to-end); compaction rewrite executed with filesystem-measured before/after file counts; ANALYZE TABLE column stats value-checked vs exact aggregates (rowCount surfaced to CBO asserted in test_plans.py); partition-level retention sweep (directory drop, zero data rewritten, surviving table audited); right-to-erasure executed copy-on-write on a user-clustered layout (only manifest-affected partitions rewritten, untouched files byte-identical, fully-erased partitions dropped); merge-on-read positional deletion vector (real (file_path, row_index) tombstones via _metadata, broadcast anti-join by position, zero files rewritten); DV-materializing compaction closing the MOR→COW lifecycle (only files with tombstone fraction ≥ 0.15 rewritten, untouched files byte-identical, rows-visible invariant oracle-checked); snapshot-isolation commit log executed on plain parquet (numbered add/remove JSON commits, time-travel reads by log replay, old snapshots proven unaffected by later compaction/delete commits)"),
     ("X-analytics", "event analytics", ["events_funnel", "events_retention_cohorts", "events_rate_anomaly", "basket_brand_lift", "events_decayed_value", "events_cumulative_uniques", "events_markov_transitions", "events_anomaly_mad", "events_attribution_last_touch", "events_attribution_linear", "events_path_topn", "events_rfm_segments", "events_running_balance_clamp", "traj_user_similarity_topk"], "ordered funnel w/ conversion window, retention cohorts, integer-exact rolling z-score anomaly, Markov transition matrix, MAD robust outlier flags, one-pass last-touch attribution, linear multi-touch attribution (value-conserving), top-N 3-step paths, RFM quintile segmentation, clamped running balance (sequential state via applyInPandas vs recursive-CTE oracle), trajectory-similarity top-k via shingle-collision candidates (REPOSE ICDE 2021 shape)"),
     ("X-corpus", "training-corpus capstone", ["pipeline_training_corpus", "pipeline_streaming_corpus", "pipeline_corpus_refresh"], "normalize→quality→dedup→deterministic split→manifest; incremental refresh: delta-only quality gate → exact dedup vs base → LSH probe → append audit"),
-    ("X-loader", "dataloader layout", ["corpus_epoch_shuffle", "corpus_shard_manifest", "corpus_group_split", "sft_chat_render"], "deterministic per-epoch permutation (per-shard windows, no global sort) + per-shard doc/token manifest + leakage-safe group-keyed train/test split; plus SFT data prep: event log -> chat-template training rows (per-user turn ordering, role alternation, special tokens, context cap) in ONE shuffle via in-row array algebra — no window function, skew-safe"),
+    ("X-loader", "dataloader layout", ["corpus_epoch_shuffle", "corpus_shard_manifest", "corpus_group_split", "sft_chat_render", "sft_preference_pairs"], "deterministic per-epoch permutation (per-shard windows, no global sort) + per-shard doc/token manifest + leakage-safe group-keyed train/test split; plus SFT data prep: event log -> chat-template training rows (per-user turn ordering, role alternation, special tokens, context cap) in ONE shuffle via in-row array algebra — no window function, skew-safe; and DPO preference pairs (chosen/rejected sides by reward with event_id tiebreak under duplicated values, margin carried for margin-weighted losses), same one-shuffle shape"),
     ("X-gov", "corpus governance", ["corpus_contamination_check", "corpus_token_pack", "corpus_stratified_sample", "corpus_lang_quota", "corpus_chunk_overlap", "corpus_repetition_score", "corpus_gopher_rules", "corpus_dsir_weights", "corpus_mix_weights", "corpus_kl_by_source", "sample_weighted_hash", "privacy_k_anonymity", "privacy_l_diversity", "privacy_pseudonymize_mask", "gdpr_erasure_propagation"], "eval-contamination, token packing, quota sampling, chunking, Gopher repetition + rule set, DSIR importance weights, UniMax mixture weights, per-source KL drift, hash-weighted mixture sampling, k-anonymity + l-diversity release gates, keyed-hash pseudonymization + column masking (joinability-preserving), right-to-erasure propagation audit"),
     ("X-er", "entity resolution", ["er_blocking_pairs", "er_pairwise_match", "er_entity_clusters", "er_golden_record", "er_incremental_link", "stream_er_incremental_link", "pipeline_mdm"], "streaming foreachBatch variant + one-row audited capstone; multi-pass blocking (explode keys, one shuffle), levenshtein+balance weighted scoring over candidates only, transitive clusters vs recursive-CTE oracle, golden-record merge incl. singletons, incremental delta-vs-master best-match linkage"),
     ("X-olap", "advanced OLAP", ["pivot_status_by_priority", "unpivot_roundtrip", "cube_counts", "rollup_counts", "a7_count_distinct", "a8_approx_count_distinct", "a9_percentiles", "a9b_percentile_disc_by_group", "a10_percentile_approx", "global_topk", "join_salted_skew", "join_shuffle_hash_hint", "join_runtime_bloom_filter", "skew_diagnosis", "asof_join_last_signup", "range_join_neighbor_counts", "merge_upsert_corrections", "scd2_order_history", "agg_listagg_median_mode", "stats_corr_regression", "stats_skew_kurtosis", "stats_ab_proportion_z", "stats_chi2_independence", "window_range_1h_movstats", "grouping_sets_spend"], ""),
