@@ -128,27 +128,38 @@ _MAX_TURNS = 8  # context cap per rendered conversation
     "ordered by (ts, event_id), roles alternating user/assistant, "
     "rendered with special tokens (<|user|>/<|assistant|>/<|end|>) and "
     "capped at the context limit, the exact shape an instruction-tuning "
-    "loader consumes. ONE shuffle total: a single groupBy collects each "
-    "user's events, then ordering (sort_array on the struct), context "
-    "truncation (slice), role assignment (indexed transform lambda — "
-    "note Spark indexes 0-based where DuckDB is 1-based), and template "
-    "rendering all happen as array algebra inside the aggregated row, "
-    "with no window function and no second Exchange. At 100 TB the "
-    "per-user event list is bounded by the context cap semantics, and "
-    "skewed users cost one oversized aggregation buffer, not a skewed "
-    "join.",
+    "loader consumes. ONE Exchange total, skew-safe by construction: a "
+    "row_number window enforces the context cap BEFORE any per-user "
+    "buffer exists (the sort shuffle spills gracefully; a "
+    "collect-then-slice would buffer a mega-user's whole history in one "
+    "aggregation buffer — the skew OOM at 100 TB), then the groupBy "
+    "reuses the window's partitioning and collects at most _MAX_TURNS "
+    "rows per user for the in-row template rendering (indexed transform "
+    "lambda — note Spark indexes 0-based where DuckDB is 1-based).",
 )
 def sft_chat_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     e = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type"
     )
-    conv = e.groupBy("user_id").agg(
-        F.slice(
-            F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))),
-            1,
-            _MAX_TURNS,
+    # context cap enforced BEFORE any per-user buffer materializes: the
+    # row_number window sort-shuffles and SPILLS gracefully, where a
+    # collect_list-then-slice would buffer a mega-user's entire history
+    # in one aggregation buffer (the skew OOM at 100 TB). The groupBy
+    # reuses the window's hash partitioning — still ONE Exchange.
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wu = Window.partitionBy("user_id")
+    kept = (
+        e.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_all", F.count("*").over(wu))
+        .filter(F.col("rn") <= _MAX_TURNS)
+    )
+    conv = kept.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("rn", "event_id", "event_type"))
         ).alias("evs"),
-        F.count("*").alias("n_events"),
+        F.max("n_all").alias("n_events"),
     )
     rendered = F.concat_ws(
         "",
@@ -209,28 +220,47 @@ _PAIR_K = 2  # events per side of a preference pair
     "margin-weighted losses (IPO/margin-DPO). Deterministic under "
     "duplicated reward values via the event_id tiebreak (descending on "
     "the chosen side — the reverse-of-ascending identity the oracle "
-    "mirrors with ORDER BY value DESC, event_id DESC). Same scale shape "
-    "as the chat renderer: ONE groupBy shuffle, then pure array algebra "
-    "(sort_array, reverse, slice, transform, aggregate) inside the "
-    "aggregated row; users below 2k events are gated in the aggregate, "
-    "no second pass.",
+    "mirrors with ORDER BY value DESC, event_id DESC). Same skew-safe shape "
+    "as the chat renderer: row_number windows rank both sides in one "
+    "Exchange (two in-partition sorts) and everything outside the top/"
+    "bottom K is dropped BEFORE aggregation, so no per-user buffer ever "
+    "holds more than 2K rows — a mega-user spills in the sort instead "
+    "of OOMing an aggregation buffer; users below 2K events are gated "
+    "by the windowed count, no second pass.",
 )
 def sft_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     e = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "event_type", "value"
     )
-    conv = (
-        e.groupBy("user_id")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("value", "event_id", "event_type"))
-            ).alias("asc"),
-            F.count("*").alias("n_events"),
-        )
-        .filter(F.col("n_events") >= 2 * _PAIR_K)
+    # same skew-safety as sft_chat_render: rank top/bottom K with
+    # row_number windows (one Exchange, two in-partition sorts) and drop
+    # everything else BEFORE aggregation, so no per-user buffer ever
+    # holds more than 2K rows. n >= 2K guarantees the sides are disjoint.
+    w_top = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").desc()
     )
-    top = F.slice(F.reverse(F.col("asc")), 1, _PAIR_K)
-    bot = F.slice(F.col("asc"), 1, _PAIR_K)
+    w_bot = Window.partitionBy("user_id").orderBy("value", "event_id")
+    wu = Window.partitionBy("user_id")
+    ranked = (
+        e.withColumn("rn_top", F.row_number().over(w_top))
+        .withColumn("rn_bot", F.row_number().over(w_bot))
+        .withColumn("n_all", F.count("*").over(wu))
+        .filter(F.col("n_all") >= 2 * _PAIR_K)
+        .filter((F.col("rn_top") <= _PAIR_K) | (F.col("rn_bot") <= _PAIR_K))
+    )
+    side = lambda rn: F.when(
+        F.col(rn) <= _PAIR_K,
+        F.struct(F.col(rn).alias("rn"), "event_id", "event_type", "value"),
+    )
+    conv = ranked.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(side("rn_top"))).alias("top"),
+        F.sort_array(F.collect_list(side("rn_bot"))).alias("bot"),
+        F.max("n_all").alias("n_events"),
+    )
+    top = F.col("top")
+    bot = F.col("bot")
 
     def render(side):
         return F.array_join(

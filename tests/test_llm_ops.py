@@ -231,9 +231,12 @@ def test_lsh_multi_reps_recover_mixed_bucket_cluster(spark):
 
 
 def test_sft_chat_render_shape_and_plan(spark, sf_dir):
-    """The chat renderer alternates roles in event-time order, caps the
-    context, and plans exactly ONE Exchange (no window function)."""
+    """The chat renderer alternates roles in event-time order and caps
+    the context with a row_number window BEFORE aggregation (skew-safe:
+    the sort shuffle spills, an uncapped collect_list buffer would not);
+    the groupBy reuses the window's partitioning — ONE Exchange total."""
     import io
+    import re
     from contextlib import redirect_stdout
 
     from etl_pipeline_old_spark.queries.training_corpus import (
@@ -246,8 +249,11 @@ def test_sft_chat_render_shape_and_plan(spark, sf_dir):
     with redirect_stdout(buf):
         df.explain("formatted")
     plan = buf.getvalue()
-    assert plan.count("Exchange") <= 2  # one shuffle (+ AQE read node)
-    assert "Window" not in plan
+    assert "Window" in plan  # the cap runs pre-aggregation
+    # exactly one data Exchange: the window's hash partitioning, reused
+    # by the groupBy (node list, not substring — AQE adds read nodes)
+    nodes = re.findall(r"^\(\d+\) (\S+)", plan, flags=re.M)
+    assert nodes.count("Exchange") == 1, nodes
 
     rows = {r.user_id: r for r in df.collect()}
     events = (
@@ -267,3 +273,47 @@ def test_sft_chat_render_shape_and_plan(spark, sf_dir):
         )
         assert rows[uid].rendered == want
         assert rows[uid].n_turns == len(evs)
+
+
+def test_sft_preference_pairs_plan_and_sides(spark, sf_dir):
+    """Both preference sides rank via windows in ONE Exchange; sides are
+    disjoint and ordered by reward with the event_id tiebreak."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from etl_pipeline_old_spark.queries.training_corpus import (
+        _PAIR_K,
+        sft_preference_pairs,
+    )
+
+    df = sft_preference_pairs(spark, sf_dir)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "Window" in plan
+    nodes = re.findall(r"^\(\d+\) (\S+)", plan, flags=re.M)
+    assert nodes.count("Exchange") == 1, nodes
+
+    events = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "event_id", "event_type", "value")
+        .collect()
+    )
+    by_user = {}
+    for e in events:
+        by_user.setdefault(e.user_id, []).append(e)
+    rows = {r.user_id: r for r in df.collect()}
+    for uid, evs in list(by_user.items())[:30]:
+        if len(evs) < 2 * _PAIR_K:
+            assert uid not in rows
+            continue
+        top = sorted(evs, key=lambda e: (-e.value, -e.event_id))[:_PAIR_K]
+        bot = sorted(evs, key=lambda e: (e.value, e.event_id))[:_PAIR_K]
+        assert rows[uid].chosen == "|".join(f"evt#{e.event_id}@{e.event_type}" for e in top)
+        assert rows[uid].rejected == "|".join(f"evt#{e.event_id}@{e.event_type}" for e in bot)
+        assert {e.event_id for e in top}.isdisjoint({e.event_id for e in bot})
+        assert rows[uid].margin == round(
+            sum(e.value for e in top) - sum(e.value for e in bot), 2
+        )
