@@ -696,3 +696,75 @@ def stream_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.read.parquet(target)
+
+
+def _lang_stats_parts(frame):
+    """Per-language PARTIAL stats for one crawl batch: everything the
+    final merge needs, carrying the exact domain set (bounded here; at
+    real scale swap in the mergeable HLL sketch the serving layer's
+    sketch_hll_partitioned_union already demonstrates)."""
+    from ..operators import text as TX
+
+    gated = frame.filter(F.col("http_status") == 200).withColumn(
+        "n_words", F.size(F.split(F.col("extracted"), " "))
+    ).filter(F.col("n_words") >= _MIN_WORDS)
+    return (
+        gated.select(
+            TX.lang_id(F.col("extracted")).alias("lang_pred"),
+            "n_words",
+            F.regexp_extract("target_uri", "^https://www\\.([^/]+)", 1).alias(
+                "domain"
+            ),
+        )
+        .groupBy("lang_pred")
+        .agg(
+            F.count("*").alias("p_docs"),
+            F.sum("n_words").alias("p_tokens"),
+            F.collect_set("domain").alias("p_domains"),
+        )
+    )
+
+
+@register(
+    "pipeline_web_corpus_incremental",
+    oracle=_web_capstone_oracle(),
+    doc="Incremental corpus refresh for the web family — the property a "
+    "100 TB operator actually relies on: per-language stats computed on "
+    "a BASE crawl batch and a DELTA batch separately, then MERGED "
+    "(counts and token sums add; the distinct-domain count does NOT — "
+    "overlapping domains appear in both batches, so the partials carry "
+    "the domain set and the merge unions before counting, exactly the "
+    "bug a sum-the-distincts shortcut would ship; mean length is "
+    "re-derived from merged sums, never averaged averages). The oracle "
+    "is the SAME direct full-corpus SQL as pipeline_web_corpus, so the "
+    "driver value-checks merge == recompute. The split is doc_id-hash "
+    "based (first 60%% of shards as base), mirroring a prior crawl plus "
+    "a new drop. At scale the domain set becomes an HLL sketch (union-"
+    "mergeable, demonstrated in sketch_hll_partitioned_union) and the "
+    "partials become the stored silver table a refresh reads instead of "
+    "the raw corpus.",
+)
+def pipeline_web_corpus_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_warc_shards(spark, sf_dir)
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc.gz")
+        .load(path)
+        .select("path", "content")
+    )
+    # shard-granular split: base = prior crawl, delta = the new drop
+    shard_no = F.regexp_extract("path", r"(\d+)\.warc\.gz$", 1).cast("int")
+    n_shards = bf.count()
+    cut = int(n_shards * 0.6)
+    base = _parse_warc_frame(bf.filter(shard_no < cut).select("content"))
+    delta = _parse_warc_frame(bf.filter(shard_no >= cut).select("content"))
+
+    parts = _lang_stats_parts(base).unionByName(_lang_stats_parts(delta))
+    return parts.groupBy("lang_pred").agg(
+        F.sum("p_docs").alias("n_docs"),
+        F.sum("p_tokens").alias("n_tokens"),
+        F.size(F.array_distinct(F.flatten(F.collect_list("p_domains"))))
+        .cast("long")
+        .alias("n_domains"),
+        F.round(F.sum("p_tokens") / F.sum("p_docs"), 2).alias("avg_words"),
+    )

@@ -167,6 +167,8 @@ _CORE_FIRST = (
     "multimodal_video_motion",
     # round-7 (cont.): DPO preference-pair construction from the event log
     "sft_preference_pairs",
+    # round-7 (cont.): base+delta merge == full recompute for the web stats
+    "pipeline_web_corpus_incremental",
 )
 
 

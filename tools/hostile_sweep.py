@@ -71,6 +71,7 @@ REPEAT_QUERIES = (
     "stream_warc_ingest",
     "multimodal_audio_resample",
     "multimodal_video_motion",
+    "pipeline_web_corpus_incremental",
 )
 
 
