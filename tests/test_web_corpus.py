@@ -132,3 +132,69 @@ def test_web_corpus_plans_are_map_only(spark, sf_dir):
         plan = buf.getvalue()
         assert "Exchange" not in plan, q.__name__
         assert "EvalPython" not in plan, q.__name__  # Batch- and Arrow-
+
+
+def test_normalize_url_canonicalization_properties(spark):
+    """Canonicalization laws, checked over a seeded batch in one job:
+    (1) idempotence — normalizing a normalized URL is a no-op;
+    (2) variant-invariance — scheme/host case, https default port,
+        fragments, utm params, and query-param order never change the
+        canonical form."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(60):
+        host = f"Sub{i % 7}.Example.COM"
+        params = [f"a={i}", "b=2", "c=xyz"]
+        rng.shuffle(params)
+        variants = []
+        for perm in itertools.islice(itertools.permutations(params), 3):
+            qs = "&".join(perm + ("utm_source=feed",) if i % 2 else perm)
+            scheme = rng.choice(["https", "HTTPS", "HttpS"])
+            port = ":443" if i % 3 == 0 else ""
+            frag = f"#s{i}" if i % 4 == 0 else ""
+            variants.append(f"{scheme}://{host}{port}/P/{i}?{qs}{frag}")
+        rows.append((i, variants[0], variants[1], variants[2]))
+
+    df = spark.createDataFrame(rows, "i long, u1 string, u2 string, u3 string")
+    n1, _ = normalize_url(F.col("u1"))
+    n2, _ = normalize_url(F.col("u2"))
+    n3, _ = normalize_url(F.col("u3"))
+    out = df.select(n1.alias("n1"), n2.alias("n2"), n3.alias("n3"))
+    renorm, _ = normalize_url(F.col("n1"))
+    out = out.withColumn("again", renorm)
+    for r in out.collect():
+        assert r.n1 == r.n2 == r.n3, r   # variant-invariance
+        assert r.again == r.n1, r        # idempotence
+
+
+def test_sft_chat_render_correct_under_planted_mega_user(spark):
+    """Skew correctness: a user with 50k events still yields exactly the
+    first _MAX_TURNS turns in (ts, event_id) order — the window cap runs
+    before aggregation, so the mega-user neither breaks the render nor
+    floods the aggregate."""
+    import datetime
+
+    from etl_pipeline_old_spark.queries import training_corpus as tc
+
+    base = datetime.datetime(2026, 1, 1)
+    mega = [(1, base + datetime.timedelta(seconds=i), i, f"t{i % 5}")
+            for i in range(50_000)]
+    small = [(2, base, 10_000_000, "solo")]
+    df = spark.createDataFrame(
+        mega + small, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+
+    import unittest.mock as mock
+
+    with mock.patch.object(tc, "load_table", lambda *_a, **_k: df):
+        rows = {r.user_id: r for r in tc.sft_chat_render(spark, "ignored").collect()}
+    assert rows[1].n_turns == tc._MAX_TURNS
+    want = "".join(
+        ("<|user|>" if i % 2 == 0 else "<|assistant|>") + f"t{i % 5}#{i}<|end|>"
+        for i in range(tc._MAX_TURNS)
+    )
+    assert rows[1].rendered == want
+    assert rows[2].rendered == "<|user|>solo#10000000<|end|>"
