@@ -1,12 +1,19 @@
-"""Web-corpus ingestion stage: HTML -> text extraction and URL
-canonicalization — the first mile of a C4/CCNet-shape training-data
-pipeline (Raffel et al. 2020 §2.2 strips menus/boilerplate and dedupes
-by URL before any quality gate runs).
+"""Web-corpus ingestion: the first mile of a C4/CCNet-shape
+training-data pipeline (Raffel et al. 2020 §2.2 strips menus/boilerplate
+and dedupes by URL before any quality gate runs).
 
-Both operators are pure JVM column algebra (regexp_replace /
-regexp_extract / higher-order array functions) — no Python in the hot
-path, no shuffle: at 100 TB these run as map-only projections fused into
-whatever scan feeds them.
+The family, crawl to corpus:
+- ``text_html_extract`` / ``corpus_url_normalize`` — pure JVM column
+  algebra (regexp + higher-order array functions), map-only, no UDF;
+- ``warc_web_ingest`` / ``stream_warc_ingest`` — REAL Common
+  Crawl-layout .warc.gz shards (operators/warc.py) staged from the
+  executors, parsed in an Arrow kernel, batch and streaming through ONE
+  parse definition;
+- ``warc_ingest_quarantine`` — per-gzip-member fault isolation with
+  magic-byte resync on deliberately torn shards;
+- ``pipeline_web_corpus`` / ``pipeline_web_corpus_incremental`` — the
+  crawl -> per-language-corpus capstone, plus the base+delta partial
+  merge value-checked equal to the full recompute by the same oracle.
 
 Verification shape: the HTML query renders a deterministic page around
 each document IN-PLAN (head with title/style/script, nav link bar,
@@ -16,9 +23,10 @@ chain must recover the ORIGINAL text exactly — the DuckDB oracle
 recomputes the expected output from the base table alone, so a
 render-side bug and an extract-side bug would have to invert each other
 byte-for-byte to slip through; the render itself is additionally pinned
-against a hand-written page in tests/test_web_corpus.py. The URL query
-builds the same messy raw URL in BOTH engines and canonicalizes with the
-same regex algebra, value-checked end-to-end.
+against a hand-written page in tests/test_web_corpus.py, and the WARC
+path stages through a second independently-written page wrapper. The URL
+query builds the same messy raw URL in BOTH engines and canonicalizes
+with the same regex algebra, value-checked end-to-end.
 """
 
 from __future__ import annotations
