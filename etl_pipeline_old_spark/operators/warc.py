@@ -165,6 +165,13 @@ def _parse_record(rec: bytes) -> tuple[str, int, bytes] | None:
 
 
 _GZIP_MAGIC = b"\x1f\x8b\x08"
+# The full 10-byte deterministic member header our writer emits
+# (magic + CM=deflate + FLG=0 + mtime=0 + XFL=0 + OS=3): resyncing on
+# this instead of the 3-byte magic makes a spurious match inside
+# corrupted compressed bytes ~2^56x less likely, which is what keeps
+# warc_ingest_quarantine's exact per-shard n_ok/n_corrupt oracle safe
+# as the corpus grows (r7 ADVICE).
+_GZIP_SIG = gzip_member(b"")[:10]
 
 
 def iter_warc_responses_lenient(
@@ -173,10 +180,13 @@ def iter_warc_responses_lenient(
     """Per-member fault isolation for .warc.gz shards: yield
     (target_uri, status, body, None) for every readable response record
     and ('', 0, b'', err) for every torn member, RESYNCING at the next
-    gzip magic after a corrupt one — the behavior a crawl-scale reader
-    needs, since one flipped byte mid-shard must quarantine one record,
-    not 25. Non-response records are skipped silently like the strict
-    walk."""
+    gzip member header after a corrupt one — the behavior a crawl-scale
+    reader needs, since one flipped byte mid-shard must quarantine one
+    record, not 25. Resync prefers the writer's full 10-byte
+    deterministic header; if that is absent (a foreign shard with
+    nonzero mtime), it falls back to the 3-byte magic — best-effort for
+    foreign files, exact for our staged corpus. Non-response records are
+    skipped silently like the strict walk."""
     i, n = 0, len(blob)
     while i < n:
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
@@ -187,7 +197,9 @@ def iter_warc_responses_lenient(
                 raise zlib.error("member consumed no bytes")
         except zlib.error as exc:
             yield "", 0, b"", f"gzip: {exc}"
-            nxt = blob.find(_GZIP_MAGIC, i + 1)
+            nxt = blob.find(_GZIP_SIG, i + 1)
+            if nxt == -1:
+                nxt = blob.find(_GZIP_MAGIC, i + 1)
             i = nxt if nxt != -1 else n
             continue
         i += consumed

@@ -843,7 +843,7 @@ def multimodal_jpeg_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
         import pandas as pd
 
-        from ..operators.jpeg import decode_jpeg
+        from ..operators.jpeg import decode_jpeg, find_sof
 
         for pdf in batches:
             out = {
@@ -859,9 +859,11 @@ def multimodal_jpeg_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 data = bytes(content)
                 w, h, rgb = decode_jpeg(data)
                 # mode recovered from the STREAM: component count + the
-                # luma sampling byte in SOF0 (not from doc_id — a stager
-                # writing the wrong mode must fail the hash)
-                sof = data.index(b"\xff\xc0")
+                # luma sampling byte in SOF0, located by a length-aware
+                # marker walk — a raw index(b'\xff\xc0') can match inside
+                # a DQT/DHT payload (r7 ADVICE). Not from doc_id — a
+                # stager writing the wrong mode must fail the hash.
+                sof, _tag = find_sof(data)
                 ncomp = data[sof + 9]
                 luma_hv = data[sof + 11]
                 mode = 0 if ncomp == 1 else (1 if luma_hv == 0x11 else 2)
