@@ -127,6 +127,10 @@ HEADLINE = [
     # crawl-ingest path (container parse + regex-chain throughput)
     # round-over-round.
     "pipeline_web_corpus",
+    # r8: the cross-modal sentinel — mixed-media WARC walk, four-codec
+    # image decode + aHash in an Arrow kernel, broadcast URI join,
+    # canonical-hash dedup. Tracks the LAION-shape pairing path.
+    "pipeline_image_text_pairs",
 ]
 
 

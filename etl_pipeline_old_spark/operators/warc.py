@@ -59,25 +59,27 @@ def encode_warc_record(
     return _CRLF.join(lines) + _CRLF * 2 + payload + _CRLF * 2
 
 
-def encode_http_response(body: bytes, status: int = 200) -> bytes:
+def encode_http_response(
+    body: bytes, status: int = 200, ctype: str = "text/html; charset=utf-8"
+) -> bytes:
     reason = {200: "OK", 404: "Not Found", 500: "Internal Server Error"}.get(
         status, "Unknown"
     )
     head = (
         f"HTTP/1.1 {status} {reason}\r\n"
-        "Content-Type: text/html; charset=utf-8\r\n"
+        f"Content-Type: {ctype}\r\n"
         f"Content-Length: {len(body)}\r\n\r\n"
     )
     return head.encode() + body
 
 
-def encode_warc_shard(
-    records: list[tuple[str, bytes, int]], shard_id: int
-) -> bytes:
+def encode_warc_shard(records: list[tuple], shard_id: int) -> bytes:
     """A complete .warc.gz shard: a warcinfo member first (as real crawls
-    write), then one gzip member per (target_uri, html_body, http_status)
-    response record. All ids/dates are deterministic functions of
-    shard/record position."""
+    write), then one gzip member per (target_uri, body, http_status[,
+    content_type]) response record — the optional 4th element defaults to
+    text/html, so mixed-media crawls (HTML pages beside image payloads,
+    the LAION ingest shape) stage through the same writer. All ids/dates
+    are deterministic functions of shard/record position."""
     info = encode_warc_record(
         "warcinfo",
         {
@@ -88,7 +90,9 @@ def encode_warc_shard(
         b"software: etl-pipeline-old-spark synthetic crawler\r\n",
     )
     out = [gzip_member(info)]
-    for k, (uri, body, status) in enumerate(records):
+    for k, rec_tuple in enumerate(records):
+        uri, body, status = rec_tuple[:3]
+        ctype = rec_tuple[3] if len(rec_tuple) > 3 else "text/html; charset=utf-8"
         rec = encode_warc_record(
             "response",
             {
@@ -97,7 +101,7 @@ def encode_warc_shard(
                 "WARC-Target-URI": uri,
                 "Content-Type": "application/http; msgtype=response",
             },
-            encode_http_response(body, status),
+            encode_http_response(body, status, ctype),
         )
         out.append(gzip_member(rec))
     return b"".join(out)
@@ -129,6 +133,21 @@ def iter_warc_responses(blob: bytes) -> Iterator[tuple[str, int, bytes]]:
             yield parsed
 
 
+def iter_warc_responses_typed(
+    blob: bytes,
+) -> Iterator[tuple[str, int, str, bytes]]:
+    """Like iter_warc_responses but yields (target_uri, http_status,
+    content_type, body) — the walk a mixed-media crawl reader needs to
+    route HTML pages and image payloads to different decode paths."""
+    members = (
+        split_gzip_members(blob) if blob[:2] == b"\x1f\x8b" else _split_plain(blob)
+    )
+    for rec in members:
+        parsed = _parse_record_typed(rec)
+        if parsed is not None:
+            yield parsed
+
+
 def _split_plain(blob: bytes) -> Iterator[bytes]:
     """Record-split uncompressed WARC bytes by walking Content-Length —
     splitting on the bare 'WARC/1.0' string would corrupt records whose
@@ -143,9 +162,12 @@ def _split_plain(blob: bytes) -> Iterator[bytes]:
         i = end
 
 
-def _parse_record(rec: bytes) -> tuple[str, int, bytes] | None:
-    """Parse one uncompressed WARC record; (uri, status, body) for
-    responses, None for other record types; raises on bad framing."""
+def _parse_record_typed(rec: bytes) -> tuple[str, int, str, bytes] | None:
+    """Parse one uncompressed WARC record; (uri, status, content_type,
+    body) for responses, None for other record types; raises on bad
+    framing. content_type is the HTTP response header's media type
+    (parameters like charset stripped), '' if the response carries none
+    — the routing key a mixed-media crawl needs (HTML vs image/*)."""
     if not rec.startswith(b"WARC/"):
         raise ValueError(f"not a WARC record: {rec[:16]!r}")
     head, sep, rest = rec.partition(_CRLF * 2)
@@ -160,8 +182,20 @@ def _parse_record(rec: bytes) -> tuple[str, int, bytes] | None:
         return None
     status_line, _, _http_rest = payload.partition(_CRLF)
     status = int(status_line.split(b" ")[1])
-    _, _, body = payload.partition(_CRLF * 2)
-    return headers.get("warc-target-uri", ""), status, body
+    http_head, _, body = payload.partition(_CRLF * 2)
+    http_headers = _parse_headers(http_head)
+    ctype = http_headers.get("content-type", "").split(";")[0].strip()
+    return headers.get("warc-target-uri", ""), status, ctype, body
+
+
+def _parse_record(rec: bytes) -> tuple[str, int, bytes] | None:
+    """Parse one uncompressed WARC record; (uri, status, body) for
+    responses, None for other record types; raises on bad framing."""
+    parsed = _parse_record_typed(rec)
+    if parsed is None:
+        return None
+    uri, status, _ctype, body = parsed
+    return uri, status, body
 
 
 _GZIP_MAGIC = b"\x1f\x8b\x08"

@@ -55,6 +55,7 @@ _MODULES = (
     "lakehouse",
     "extras7",
     "web_corpus",
+    "image_text",
 )
 
 

@@ -1,0 +1,297 @@
+"""Cross-modal (image, text) pair extraction — the LAION-shape capstone.
+
+Real web-scale image-text corpora (LAION, DataComp) are built by one
+pipeline shape: crawl shards hold HTML pages *and* the image payloads
+those pages embed; the pages yield (caption, image URI) candidates from
+``<img src alt>`` tags, the image responses are decoded and perceptually
+hashed, the two sides join on URI, near-identical images collapse to a
+canonical representative, and per-(language, format) statistics describe
+the resulting pair corpus. The reference engine has no cross-modal
+composition at all (its transforms stop at tabular joins —
+reference transform notebooks cover joins/aggregations only), so this
+family is beyond-reference by design, composing the verified WARC
+container walk (operators/warc.py), four real lossless image codecs
+(PNG/GIF/BMP/TIFF), the JVM regexp HTML mining of queries/web_corpus.py,
+and the aHash dedup of queries/extras6.py into one plan.
+
+Scale shape (the 100 TB posture): page mining is a map-only explode over
+shard blobs; the image side is map + one tiny distinct (the image pool
+is dims-sized next to the page corpus — CC fetches each URI once); the
+page-image join broadcasts that pool, so the big side never shuffles;
+the canonical-representative table is another broadcast. Python appears
+only inside the two Arrow parse/decode kernels.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from .web_corpus import _stage_shard_files, _warc_uri
+
+# The shared image pool: pages reference 1 + doc_id % 2 images, image k
+# of page doc_id is pool slot (doc_id + 7k) % _IMG_POOL — many pages
+# embed the same image, like the real web. Slot iid's pixel content is
+# md5_pixels('im' + iid % _IMG_CONTENT_MOD), so pairs of slots (iid,
+# iid+20) are pixel-identical under DIFFERENT URIs — the case URL-level
+# dedup cannot catch and perceptual-hash dedup exists for. Format cycles
+# through the four lossless codecs (lossless so the decoded raster — and
+# hence the aHash — is exactly the md5 formula the DuckDB oracle
+# recomputes; JPEG's error bound could flip hash bits near the mean, so
+# the lossy codec stays in its own error-bound ingest).  Slot iid % 13
+# == 5 is a dead link: staged as an HTTP 404, so those candidates must
+# drop out of the pair corpus.
+_IMG_POOL = 40
+_IMG_CONTENT_MOD = 20
+_IMG_EXTS = ("png", "gif", "bmp", "tiff")
+_IMG_URI_PREFIX = "https://img.example.com/im/"
+
+
+def _img_uri(iid: int) -> str:
+    return f"{_IMG_URI_PREFIX}{iid}.{_IMG_EXTS[iid % 4]}"
+
+
+def _render_pool_image(iid: int) -> bytes:
+    from ..operators.gif_bmp import encode_bmp, encode_gif
+    from ..operators.multimodal import encode_png, md5_pixels
+    from ..operators.tiff import encode_tiff
+
+    gray = md5_pixels(f"im{iid % _IMG_CONTENT_MOD}", 64)
+    enc = (encode_png, encode_gif, encode_bmp, encode_tiff)[iid % 4]
+    return enc(gray, 8, 8)
+
+
+def _wrap_pair_page(doc_id: int, text: str, lang: str) -> bytes:
+    """An HTML page embedding its images: <html lang> attribute, body
+    text, and one <img src alt> per referenced pool slot — alt text is
+    the first 3 + doc_id % 4 words of the document plus a ' #k' figure
+    suffix, the caption the miner must recover."""
+    toks = text.split(" ")
+    imgs = "".join(
+        '<img src="{src}" alt="{alt} #{k}">'.format(
+            src=_img_uri((doc_id + 7 * k) % _IMG_POOL),
+            alt=" ".join(toks[: 3 + doc_id % 4]),
+            k=k,
+        )
+        for k in range(1 + doc_id % 2)
+    )
+    return (
+        f'<html lang="{lang}"><head><title>doc {doc_id}</title></head>'
+        f'<body><p>{text.replace(" ", "&nbsp;")}</p>{imgs}</body></html>'
+    ).encode("utf-8")
+
+
+def _build_pair_shard(pdf, sid: int) -> bytes:
+    from ..operators.warc import encode_warc_shard
+
+    recs: list[tuple] = []
+    iids: set[int] = set()
+    for r in pdf.itertuples():
+        did = int(r.doc_id)
+        recs.append(
+            (_warc_uri(r.source, did), _wrap_pair_page(did, r.text, r.lang), 200)
+        )
+        for k in range(1 + did % 2):
+            iids.add((did + 7 * k) % _IMG_POOL)
+    # each shard carries the image records its own pages reference (a
+    # crawler fetches what it sees); the same slot recurs across shards
+    # with byte-identical content, so the reader's distinct() collapses
+    # the copies exactly like CC's URL-level dedup would
+    for iid in sorted(iids):
+        if iid % 13 == 5:
+            recs.append((_img_uri(iid), b"<html>404 not found</html>", 404))
+        else:
+            recs.append(
+                (
+                    _img_uri(iid),
+                    _render_pool_image(iid),
+                    200,
+                    f"image/{_IMG_EXTS[iid % 4]}",
+                )
+            )
+    return encode_warc_shard(recs, sid)
+
+
+def _stage_pair_warc_shards(spark: SparkSession, sf_dir: str) -> str:
+    return _stage_shard_files(spark, sf_dir, "pair_warc_shards", _build_pair_shard)
+
+
+def _pair_pages_frame(bf: DataFrame) -> DataFrame:
+    """Shard blobs -> (lang, img_uri, caption) candidates: the typed WARC
+    walk keeps HTTP-200 text/html article records, then pure-JVM regexps
+    mine the <img> tags (explode), src and alt per tag."""
+
+    def op(batches):
+        import pandas as pd
+
+        from ..operators.warc import iter_warc_responses_typed
+
+        for pdf in batches:
+            out = {"html": []}
+            for blob in pdf["content"]:
+                for uri, status, ctype, body in iter_warc_responses_typed(
+                    bytes(blob)
+                ):
+                    if ctype == "text/html" and status == 200 and "/articles/" in uri:
+                        out["html"].append(body.decode("utf-8"))
+            yield pd.DataFrame(out)
+
+    pages = bf.mapInPandas(op, "html string")
+    tags = F.regexp_extract_all(F.col("html"), F.lit("<img [^>]+>"), 0)
+    return pages.select(
+        F.regexp_extract("html", '<html lang="([a-z]+)"', 1).alias("lang"),
+        F.explode(tags).alias("tag"),
+    ).select(
+        "lang",
+        F.regexp_extract("tag", 'src="([^"]+)"', 1).alias("img_uri"),
+        F.regexp_extract("tag", 'alt="([^"]*)"', 1).alias("caption"),
+    )
+
+
+def _pair_imgs_frame(bf: DataFrame) -> DataFrame:
+    """Shard blobs -> the decoded image pool (uri, fmt, ahash): the typed
+    walk keeps HTTP-200 image/* records, sniffs the container by magic
+    bytes (NOT by URI extension — a stager writing the wrong bytes must
+    fail the hash), runs the real pure-stdlib decode, and average-hashes
+    the raster; distinct() collapses the cross-shard copies."""
+
+    def op(batches):
+        import pandas as pd
+
+        from ..operators.gif_bmp import decode_bmp, decode_gif
+        from ..operators.multimodal import _png_decode, ahash64
+        from ..operators.tiff import decode_tiff
+        from ..operators.warc import iter_warc_responses_typed
+
+        def sniff(data: bytes):
+            if data[:4] == b"\x89PNG":
+                return "png", _png_decode
+            if data[:4] in (b"GIF8",):
+                return "gif", decode_gif
+            if data[:2] == b"BM":
+                return "bmp", decode_bmp
+            if data[:4] in (b"II*\x00", b"MM\x00*"):
+                return "tiff", decode_tiff
+            raise ValueError(f"unknown image container: {data[:4]!r}")
+
+        for pdf in batches:
+            out = {"uri": [], "fmt": [], "ahash": []}
+            for blob in pdf["content"]:
+                for uri, status, ctype, body in iter_warc_responses_typed(
+                    bytes(blob)
+                ):
+                    if status != 200 or not ctype.startswith("image/"):
+                        continue
+                    fmt, dec = sniff(bytes(body))
+                    _w, _h, gray = dec(bytes(body))
+                    out["uri"].append(uri)
+                    out["fmt"].append(fmt)
+                    out["ahash"].append(ahash64(gray))
+            yield pd.DataFrame(out)
+
+    return bf.mapInPandas(op, "uri string, fmt string, ahash string").distinct()
+
+
+def _pairs_oracle() -> str:
+    from ..operators.multimodal import md5_pixel_sql
+
+    px_list = ", ".join(md5_pixel_sql(j, "img_txt") for j in range(64))
+    return f"""
+    WITH ks AS (
+      SELECT doc_id, lang, text, 0 AS k FROM documents
+      UNION ALL
+      SELECT doc_id, lang, text, 1 AS k FROM documents WHERE doc_id % 2 = 1),
+    refs AS (
+      SELECT lang, (doc_id + 7*k) % {_IMG_POOL} AS iid,
+             array_to_string(
+               list_slice(string_split(text, ' '), 1, 3 + doc_id % 4), ' ')
+               || ' #' || k AS caption
+      FROM ks),
+    live AS (
+      SELECT DISTINCT iid,
+             ['png','gif','bmp','tiff'][1 + iid % 4] AS fmt,
+             'im' || (iid % {_IMG_CONTENT_MOD}) AS img_txt
+      FROM refs WHERE iid % 13 != 5),
+    px AS (SELECT iid, fmt, [{px_list}] AS p FROM live),
+    h AS (
+      SELECT iid, fmt,
+             list_aggregate(
+               list_transform(p, x -> CASE WHEN x > list_sum(p) / 64.0
+                                           THEN '1' ELSE '0' END),
+               'string_agg', '') AS ahash
+      FROM px),
+    imgs AS (
+      SELECT iid, fmt, ahash,
+             '{_IMG_URI_PREFIX}' || iid || '.' || fmt AS uri
+      FROM h),
+    canon AS (SELECT ahash, min(uri) AS canon_uri FROM imgs GROUP BY ahash),
+    pairs AS (
+      SELECT r.lang, i.fmt, i.uri, i.ahash, c.canon_uri, r.caption
+      FROM refs r
+      JOIN imgs i ON i.iid = r.iid
+      JOIN canon c ON c.ahash = i.ahash)
+    SELECT lang, fmt,
+           count(*)::BIGINT AS n_pairs,
+           count(DISTINCT uri)::BIGINT AS n_images,
+           count(DISTINCT ahash)::BIGINT AS n_unique_images,
+           sum(CASE WHEN uri = canon_uri THEN 1 ELSE 0 END)::BIGINT
+             AS n_canonical_pairs,
+           round(avg(len(string_split(caption, ' '))), 2) AS avg_caption_words
+    FROM pairs GROUP BY lang, fmt
+    """
+
+
+@register(
+    "pipeline_image_text_pairs",
+    oracle=_pairs_oracle(),
+    doc="The LAION-shape cross-modal capstone, crawl to (image, text) "
+    "pair corpus in one plan: mixed-media .warc.gz shards (HTML article "
+    "records beside image/* payload records, staged from the executors) "
+    "are walked with the typed WARC reader; the page branch mines "
+    "(lang, img src, alt caption) candidates with JVM regexps (explode "
+    "over <img> tags); the image branch magic-sniffs the container, "
+    "runs the REAL pure-stdlib PNG/GIF/BMP/TIFF decode, and "
+    "average-hashes the raster; the two sides join on URI with the "
+    "image pool BROADCAST (dims-sized next to the page corpus); "
+    "pixel-identical images under different URIs collapse to a "
+    "canonical min-URI representative via the aHash (the dedup "
+    "URL-level matching cannot do); dead links (404 fetches) drop out "
+    "in the join. Output: per-(lang, format) pair stats. The oracle "
+    "recomputes everything — captions, pool membership, the aHash from "
+    "the md5 pixel formula, canonical URIs — from the documents table "
+    "alone, so a lossy decode, a wrong caption slice, or a missed 404 "
+    "all fail the hash. 100 TB plan: two map-only passes over shard "
+    "blobs, one tiny distinct, two broadcast joins, one 8-key groupBy "
+    "— no cartesian, no big-side shuffle, Python only inside the Arrow "
+    "parse/decode kernels.",
+)
+def pipeline_image_text_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_pair_warc_shards(spark, sf_dir)
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc.gz")
+        .load(path)
+        .select("content")
+    )
+    pages = _pair_pages_frame(bf)
+    # persist: the pool is consumed twice (join build side + canonical
+    # table) and derives from a full shard scan + decode — without the
+    # cache the decode kernel would run once per consumer, doubling the
+    # most expensive stage at crawl scale
+    imgs = _pair_imgs_frame(bf).persist()
+    canon = imgs.groupBy("ahash").agg(F.min("uri").alias("canon_uri"))
+    pairs = pages.join(
+        F.broadcast(imgs), pages.img_uri == imgs.uri
+    ).join(F.broadcast(canon), "ahash")
+    return pairs.groupBy("lang", "fmt").agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("uri").alias("n_images"),
+        F.countDistinct("ahash").alias("n_unique_images"),
+        F.sum((F.col("uri") == F.col("canon_uri")).cast("long")).alias(
+            "n_canonical_pairs"
+        ),
+        F.round(F.avg(F.size(F.split("caption", " "))), 2).alias(
+            "avg_caption_words"
+        ),
+    )

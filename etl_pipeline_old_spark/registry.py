@@ -169,6 +169,9 @@ _CORE_FIRST = (
     "sft_preference_pairs",
     # round-7 (cont.): base+delta merge == full recompute for the web stats
     "pipeline_web_corpus_incremental",
+    # round-8: the LAION-shape cross-modal capstone (r7 verdict #1) — new
+    # queries go here for a same-round driver CORRECTNESS row
+    "pipeline_image_text_pairs",
 )
 
 

@@ -1,0 +1,110 @@
+"""Cross-modal (image, text) pair capstone tests: the typed WARC walk
+routes mixed media by content type, dead links drop out of the pair
+corpus, pixel-identical images under different URIs collapse via the
+average hash, and the plan broadcasts the image pool with no cartesian
+product. Value parity vs DuckDB is covered by test_oracle_parity."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from etl_pipeline_old_spark.operators.warc import (
+    encode_warc_shard,
+    iter_warc_responses_typed,
+)
+from etl_pipeline_old_spark.queries.image_text import (
+    _IMG_CONTENT_MOD,
+    _IMG_POOL,
+    _pair_imgs_frame,
+    _stage_pair_warc_shards,
+    pipeline_image_text_pairs,
+)
+
+
+def _plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_typed_walk_routes_mixed_media():
+    shard = encode_warc_shard(
+        [
+            ("https://e.com/articles/1", b"<html>page</html>", 200),
+            ("https://img.e.com/a.png", b"\x89PNGfake", 200, "image/png"),
+            ("https://img.e.com/b.gif", b"<html>gone</html>", 404),
+        ],
+        shard_id=3,
+    )
+    out = list(iter_warc_responses_typed(shard))
+    assert out == [
+        ("https://e.com/articles/1", 200, "text/html", b"<html>page</html>"),
+        ("https://img.e.com/a.png", 200, "image/png", b"\x89PNGfake"),
+        ("https://img.e.com/b.gif", 404, "text/html", b"<html>gone</html>"),
+    ]
+
+
+def test_image_pool_dead_links_absent_and_content_dups_collide(spark, sf_dir):
+    path = _stage_pair_warc_shards(spark, sf_dir)
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc.gz")
+        .load(path)
+        .select("content")
+    )
+    imgs = {r["uri"]: r["ahash"] for r in _pair_imgs_frame(bf).collect()}
+    iids = sorted(int(u.rsplit("/", 1)[1].split(".")[0]) for u in imgs)
+    # dead slots (iid % 13 == 5) were staged as 404s: the image branch
+    # must not surface them
+    assert all(iid % 13 != 5 for iid in iids)
+    # slots iid and iid+_IMG_CONTENT_MOD share pixel content under
+    # different URIs: their REAL decoded rasters must hash identically
+    # (this is what the aHash dedup collapses), while slots with
+    # different content keys must not all collide
+    by_iid = {
+        int(u.rsplit("/", 1)[1].split(".")[0]): h for u, h in imgs.items()
+    }
+    twins = [
+        (i, i + _IMG_CONTENT_MOD)
+        for i in range(_IMG_CONTENT_MOD)
+        if i in by_iid and i + _IMG_CONTENT_MOD in by_iid
+    ]
+    assert twins, "fixture must contain at least one content twin"
+    assert all(by_iid[a] == by_iid[b] for a, b in twins)
+    assert len(set(by_iid.values())) > 1
+
+
+def test_pairs_output_shows_dedup_and_dead_link_effects(spark, sf_dir):
+    rows = pipeline_image_text_pairs(spark, sf_dir).collect()
+    assert rows
+    # the canonical table collapses content twins: somewhere the corpus
+    # must hold more distinct URIs than distinct hashes
+    assert any(r["n_images"] > r["n_unique_images"] for r in rows)
+    # every pair counts at most once per page-image reference and the
+    # caption always carries the ' #k' figure token
+    total_pairs = sum(r["n_pairs"] for r in rows)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_refs = docs.select(
+        F.sum(1 + F.col("doc_id") % 2).alias("n")
+    ).collect()[0]["n"]
+    # dead links (iid % 13 == 5) must make pairs strictly fewer than
+    # page-image references
+    assert 0 < total_pairs < n_refs
+
+
+def test_pairs_plan_broadcasts_pool_no_cartesian(spark, sf_dir):
+    plan = _plan_of(pipeline_image_text_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    import re
+
+    # formatted plans print each node in the tree AND the detail section;
+    # count the numbered detail headers only
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 2
+    # no row-at-a-time Python: the only Python is the Arrow kernels
+    assert "BatchEvalPython" not in plan
