@@ -820,8 +820,9 @@ def _render_jpeg(doc_id: int, text: str) -> bytes:
     "tests/test_jpeg_codec.py, including decoding ImageIO's own encoder "
     "output. At 100 TB this is the standard camera-corpus ingest plan: "
     "binaryFile listing parallelizes, each Arrow batch decodes a bounded "
-    "blob set, progressive/arithmetic streams fail per-record at the "
-    "documented libjpeg-turbo seam.",
+    "blob set, progressive streams decode natively too (see "
+    "multimodal_jpeg_progressive), arithmetic streams fail per-record at "
+    "the documented libjpeg-turbo seam.",
 )
 def multimodal_jpeg_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _stage_media_files(spark, sf_dir, "jpeg_files", "jpg", _render_jpeg)
@@ -881,6 +882,132 @@ def multimodal_jpeg_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.mapInPandas(
         op,
         schema="doc_id long, width int, height int, mode int, within_bound int",
+    )
+
+
+# Progressive (SOF2) JPEG corpus: gray and 4:4:4 color cycled by doc_id.
+# Same quantization as the baseline corpus, so the bounds are the
+# baseline gray/444 bounds.
+_JPEG_PROG_BOUNDS = (20, 48)
+
+
+def _jpeg_prog_expected_rgb(doc_id: int, text: str):
+    import numpy as np
+
+    from ..operators.multimodal import md5_pixels
+
+    g = np.array(md5_pixels(text, 64)).reshape(8, 8)
+    if doc_id % 2 == 1:
+        return np.stack([g, 255 - g, (g + 128) % 256], axis=-1)
+    return np.stack([g, g, g], axis=-1)
+
+
+def _render_jpeg_prog(doc_id: int, text: str) -> bytes:
+    from ..operators.jpeg import encode_jpeg_progressive
+
+    rgb = _jpeg_prog_expected_rgb(doc_id, text)
+    if doc_id % 2 == 0:
+        return encode_jpeg_progressive(
+            rgb[..., 0].flatten().tolist(), 8, 8, quality=95
+        )
+    return encode_jpeg_progressive(rgb, 8, 8, quality=95, subsampling="444")
+
+
+@register(
+    "multimodal_jpeg_progressive",
+    oracle="""
+    SELECT doc_id, 8 AS width, 8 AS height,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS INT) AS ncomp,
+           1 AS is_progressive, 1 AS within_bound, 1 AS equals_baseline
+    FROM documents
+    """,
+    doc="Progressive (SOF2) JPEG ingest — retiring the one image-codec "
+    "gap a web crawl still hits (~10-20% of real JPEGs are progressive): "
+    "one genuine multi-scan SOF2 file per document is staged from the "
+    "executors (spectral-selection bands + successive-approximation "
+    "first/refinement passes, gray and 4:4:4 cycled by doc_id), scanned "
+    "back with binaryFile and decoded FOR REAL inside an Arrow "
+    "mapInPandas kernel: per-scan DHTs, EOB-run decoding, "
+    "correction-bit refinement, coefficient accumulation across scans, "
+    "one batched IDCT at EOI. The kernel proves three things per record "
+    "against the oracle: the frame really is SOF2 (marker walk, not "
+    "assumed), |decoded - source| stays inside the BASELINE bound for "
+    "the same quality (progressive changes the entropy layer, not the "
+    "quantization), and the decoded raster is BIT-IDENTICAL to decoding "
+    "a baseline encoding of the same source — the strongest statement "
+    "the multi-scan path can make. Cross-validated both directions "
+    "against javax.imageio (incl. decoding ImageIO's own progressive "
+    "writer output with its foreign scan script) in "
+    "tests/test_jpeg_codec.py. Scale shape: identical to the baseline "
+    "ingest — parallel binaryFile listing, bounded Arrow batches, "
+    "per-record failure isolation.",
+)
+def multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_media_files(
+        spark, sf_dir, "jpeg_prog_files", "jpg", _render_jpeg_prog
+    )
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.jpg")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.jpg$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "content",
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    joined = bf.join(docs, "doc_id")
+
+    def op(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.jpeg import decode_jpeg, encode_jpeg, find_sof
+
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "width": [],
+                "height": [],
+                "ncomp": [],
+                "is_progressive": [],
+                "within_bound": [],
+                "equals_baseline": [],
+            }
+            for doc_id, content, text in zip(
+                pdf["doc_id"], pdf["content"], pdf["text"]
+            ):
+                data = bytes(content)
+                w, h, rgb = decode_jpeg(data)
+                sof, tag = find_sof(data)
+                ncomp = data[sof + 9]
+                exp = _jpeg_prog_expected_rgb(int(doc_id), text)
+                err = int(np.abs(rgb.astype(int) - exp).max())
+                mode = int(doc_id) % 2
+                base = (
+                    encode_jpeg(exp[..., 0].flatten().tolist(), 8, 8, quality=95)
+                    if mode == 0
+                    else encode_jpeg(exp, 8, 8, quality=95, subsampling="444")
+                )
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["ncomp"].append(int(ncomp))
+                out["is_progressive"].append(1 if tag == 0xC2 else 0)
+                out["within_bound"].append(
+                    1 if err <= _JPEG_PROG_BOUNDS[mode] else 0
+                )
+                out["equals_baseline"].append(
+                    1 if np.array_equal(rgb, decode_jpeg(base)[2]) else 0
+                )
+            yield pd.DataFrame(out)
+
+    return joined.mapInPandas(
+        op,
+        schema="doc_id long, width int, height int, ncomp int, "
+        "is_progressive int, within_bound int, equals_baseline int",
     )
 
 

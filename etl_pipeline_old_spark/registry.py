@@ -172,6 +172,9 @@ _CORE_FIRST = (
     # round-8: the LAION-shape cross-modal capstone (r7 verdict #1) — new
     # queries go here for a same-round driver CORRECTNESS row
     "pipeline_image_text_pairs",
+    # round-8: progressive (SOF2) JPEG decode, the last image-codec gap a
+    # web crawl hits (r7 verdict #2)
+    "multimodal_jpeg_progressive",
 )
 
 

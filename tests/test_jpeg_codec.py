@@ -14,7 +14,12 @@ import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from etl_pipeline_old_spark.operators.jpeg import decode_jpeg, encode_jpeg
+from etl_pipeline_old_spark.operators.jpeg import (
+    decode_jpeg,
+    encode_jpeg,
+    encode_jpeg_progressive,
+    find_sof,
+)
 from etl_pipeline_old_spark.operators.multimodal import decode_image_real
 
 
@@ -107,11 +112,11 @@ def test_structure_and_dispatch():
 # ----------------------------------------------------------- error seams
 
 
-def test_progressive_raises():
+def test_arithmetic_raises():
     data = bytearray(encode_jpeg(list(range(64)), 8, 8))
     i = data.index(b"\xff\xc0")
-    data[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(ValueError, match="baseline"):
+    data[i + 1] = 0xC9  # rewrite SOF0 -> SOF9 (arithmetic sequential)
+    with pytest.raises(ValueError, match="seam"):
         decode_jpeg(bytes(data))
 
 
@@ -169,3 +174,108 @@ def test_decode_foreign_encoder(spark):
     assert (w, h) == (16, 16)
     theirs = _imageio_raster(spark, foreign)
     assert np.abs(ours.astype(int) - theirs).max() <= 2
+
+
+# --------------------------------------------------- progressive (SOF2)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(1, 40),
+    st.integers(1, 40),
+    st.integers(0, 2**32 - 1),
+    st.sampled_from([75, 90, 95, 100]),
+)
+def test_progressive_equals_baseline_gray(w, h, seed, quality):
+    """The progressive scan script transmits every coefficient bit, so
+    decoding it reproduces the baseline encoding's output EXACTLY — the
+    entropy layer changes, the quantized coefficients do not."""
+    rng = np.random.RandomState(seed)
+    g = rng.randint(0, 256, w * h)
+    base = decode_jpeg(encode_jpeg(g.tolist(), w, h, quality=quality))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(g.tolist(), w, h, quality=quality)
+    )
+    assert np.array_equal(base[2], prog[2])
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(0, 2**32 - 1))
+def test_progressive_equals_baseline_color(seed):
+    rng = np.random.RandomState(seed)
+    rgb = rng.randint(0, 256, (17, 13, 3))
+    base = decode_jpeg(encode_jpeg(rgb, 13, 17, quality=95, subsampling="444"))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(rgb, 13, 17, quality=95, subsampling="444")
+    )
+    assert np.array_equal(base[2], prog[2])
+
+
+def test_progressive_stream_is_sof2_multi_scan():
+    data = encode_jpeg_progressive(list(range(64)), 8, 8)
+    off, tag = find_sof(data)
+    assert tag == 0xC2
+    # DC first + 2 luma AC bands + DC refine + 2 AC refine bands = 6 scans
+    assert data.count(b"\xff\xda") >= 6
+
+
+def test_progressive_420_encode_rejected():
+    rgb = np.zeros((16, 16, 3))
+    with pytest.raises(ValueError, match="444"):
+        encode_jpeg_progressive(rgb, 16, 16, subsampling="420")
+
+
+def test_progressive_imageio_cross_validation(spark):
+    """Our progressive output decodes identically (+-2) under the JVM's
+    independent decoder — proof the multi-scan stream is real interchange
+    JPEG, not a dialect only our own decoder reads."""
+    rng = np.random.RandomState(9)
+    g = rng.randint(0, 256, 13 * 9)
+    data = encode_jpeg_progressive(g.tolist(), 13, 9, quality=95)
+    ours = decode_jpeg(data)[2][..., 0].astype(int)
+    theirs = _imageio_raster(spark, data)[..., 0]
+    assert np.abs(ours - theirs).max() <= 2
+
+    rgb = rng.randint(0, 256, (13, 11, 3))
+    data = encode_jpeg_progressive(rgb, 11, 13, quality=95, subsampling="444")
+    ours = decode_jpeg(data)[2].astype(int)
+    theirs = _imageio_raster(spark, data)
+    assert np.abs(ours - theirs).max() <= 2
+
+
+def test_decode_foreign_progressive_encoder(spark):
+    """Our decoder reads a PROGRESSIVE stream produced by an encoder we
+    didn't write (ImageIO's writer in MODE_DEFAULT: its own scan script,
+    successive approximation choices, and chroma subsampling — including
+    the non-interleaved AC block grid that differs from the MCU grid)."""
+    jvm = spark._jvm
+    rng = np.random.RandomState(13)
+    for w, h in ((11, 13), (21, 19)):
+        rgb = rng.randint(0, 256, (h, w, 3))
+        seed = encode_jpeg(rgb, w, h, quality=95, subsampling="444")
+        img = jvm.javax.imageio.ImageIO.read(
+            jvm.java.io.ByteArrayInputStream(bytearray(seed))
+        )
+        writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName(
+            "jpg"
+        ).next()
+        param = writer.getDefaultWriteParam()
+        param.setProgressiveMode(jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+        baos = jvm.java.io.ByteArrayOutputStream()
+        ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+        writer.setOutput(ios)
+        writer.write(None, jvm.javax.imageio.IIOImage(img, None, None), param)
+        ios.flush()
+        foreign = bytes(baos.toByteArray())
+        assert find_sof(foreign)[1] == 0xC2  # genuinely progressive
+        ww, hh, ours = decode_jpeg(foreign)
+        assert (ww, hh) == (w, h)
+        theirs = _imageio_raster(spark, foreign)
+        # ImageIO's writer subsamples chroma, and the two decoders
+        # reconstruct it with different upsample filters (our triangle vs
+        # its box), so the per-pixel bound is looser than the same-chroma
+        # cases; the mean must stay sub-level, or the scan accumulation
+        # itself is wrong
+        diff = np.abs(ours.astype(int) - theirs)
+        assert diff.max() <= 6
+        assert diff.mean() < 1.0
