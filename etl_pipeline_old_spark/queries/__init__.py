@@ -56,6 +56,7 @@ _MODULES = (
     "extras7",
     "web_corpus",
     "image_text",
+    "bpe",
 )
 
 

@@ -1,0 +1,221 @@
+"""BPE tokenizer train -> apply — the step every pretraining pipeline
+runs between raw text and token ids (Sennrich et al. 2016 subword-units
+algorithm, the public BPE formulation GPT-style tokenizers build on).
+
+Train: the corpus collapses to a (word, count) vocabulary (ONE
+distributed aggregate — the classic trick that makes BPE tractable:
+merge decisions depend only on weighted word shapes, never on document
+order), then K driver-coordinated rounds each (a) count adjacent token
+pairs distributed with map-side combine, (b) collect ONLY the argmax
+pair — one row; never token-level data — and (c) apply that merge to
+the vocabulary state. The tokenization state is a delimiter-wrapped
+string ('|t||o||k|'), so applying a merge is one non-regex replace with
+BPE's exact left-to-right non-overlapping semantics, and the SAME
+string algebra runs in the DuckDB oracle, which re-learns all K merges
+from scratch via an unrolled 64-round CTE chain and must reproduce the
+merge table, every per-round pair count, and the corpus token count
+after every round.
+
+Apply: the trained vocabulary IS the tokenizer for in-corpus words —
+tokenize-with-merges is a broadcast join from exploded corpus words to
+the final vocab state (the 100 TB shape: the learned map is
+dims-sized; the corpus side never shuffles). The query's apply_check
+column proves the doc-level join path reproduces the vocab-weighted
+total.
+
+Lineage: each round localCheckpoints the (tiny) vocab state — without
+truncation the 64-round logical plan grows quadratically and analysis
+dominates (the standard Spark iterative-algorithm discipline, same as
+graph_pagerank).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+_K_MERGES = 64
+
+# tokens joined as '|a||b||c|': every token fully wrapped, so the merge
+# replace '|a||b|' -> '|ab|' consumes whole delimiters and its
+# non-overlapping left-to-right semantics equal the BPE merge pass
+def _toks():
+    return F.split(F.expr("trim(BOTH '|' FROM st)"), "\\|\\|")
+
+
+def _vocab_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("text")
+    words = d.select(F.explode(F.split("text", " ")).alias("word"))
+    vocab = words.groupBy("word").agg(F.count("*").alias("cnt"))
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.col("word").substr(i, F.lit(1)),
+    )
+    return vocab.withColumn(
+        "st", F.concat(F.lit("|"), F.array_join(chars, "||"), F.lit("|"))
+    )
+
+
+def _adjacent_pairs(vocab: DataFrame) -> DataFrame:
+    t = _toks()
+    pair_list = F.when(
+        F.size(t) > 1,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.struct(
+                F.element_at(t, i).alias("a"),
+                F.element_at(t, i + 1).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array())
+    return (
+        vocab.select("cnt", F.explode(pair_list).alias("p"))
+        .groupBy("p.a", "p.b")
+        .agg(F.sum("cnt").alias("c"))
+    )
+
+
+def _bpe_oracle(k: int = _K_MERGES) -> str:
+    """Unrolled k-round BPE training in DuckDB: the same vocabulary, the
+    same pair-count argmax (ties broken by (count desc, left, right) in
+    both engines), the same delimiter-string merge apply."""
+    parts = [
+        """wc AS (
+      SELECT w AS word, count(*)::BIGINT AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      GROUP BY w),
+    v0 AS MATERIALIZED (
+      SELECT word, cnt,
+             '|' || array_to_string(
+               list_transform(range(1, length(word) + 1),
+                              i -> substr(word, i, 1)), '||') || '|' AS st
+      FROM wc)"""
+    ]
+    for r in range(1, k + 1):
+        parts.append(f"""p{r} AS MATERIALIZED (
+      SELECT t[i] AS a, t[i + 1] AS b, sum(cnt)::BIGINT AS c
+      FROM (SELECT cnt, string_split(trim(st, '|'), '||') AS t FROM v{r - 1}),
+           UNNEST(range(1, len(t))) AS u(i)
+      GROUP BY a, b),
+    b{r} AS MATERIALIZED (SELECT a, b, c FROM p{r} ORDER BY c DESC, a, b LIMIT 1),
+    v{r} AS MATERIALIZED (
+      SELECT word, cnt,
+             replace(st,
+                     coalesce('|' || (SELECT a FROM b{r}) || '||'
+                              || (SELECT b FROM b{r}) || '|', '~~none~~'),
+                     coalesce('|' || (SELECT a FROM b{r})
+                              || (SELECT b FROM b{r}) || '|', '~~none~~')) AS st
+      FROM v{r - 1}),
+    t{r} AS MATERIALIZED (
+      SELECT sum(cnt * len(string_split(trim(st, '|'), '||')))::BIGINT AS n
+      FROM v{r})""")
+    merge_rows = "\n      UNION ALL ".join(
+        f"SELECT {r} AS round, a AS left_tok, b AS right_tok, "
+        f"a || b AS merged, c AS pair_count, "
+        f"(SELECT n FROM t{r}) AS corpus_tokens_after FROM b{r}"
+        for r in range(1, k + 1)
+    )
+    return f"""
+    WITH {','.join(parts)},
+    merges AS (
+      {merge_rows}),
+    applied AS (
+      SELECT sum(len(string_split(trim(v.st, '|'), '||')))::BIGINT AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) w
+      JOIN v{k} v USING (word)),
+    final_t AS (SELECT n FROM t{k})
+    SELECT round, left_tok, right_tok, merged, pair_count,
+           corpus_tokens_after,
+           CASE WHEN (SELECT n FROM applied) = (SELECT n FROM final_t)
+                THEN 1 ELSE 0 END AS apply_check
+    FROM merges
+    """
+
+
+@register(
+    "corpus_bpe_train_apply",
+    oracle=_bpe_oracle(),
+    doc="BPE tokenizer train -> apply, the pretraining-pipeline step the "
+    "pair-count query (corpus_bpe_pair_counts) stops short of: learn "
+    f"{_K_MERGES} merges over the corpus in driver-coordinated rounds — "
+    "each round one distributed pair-count aggregate over the (word, "
+    "count) vocabulary (map-side combined; the corpus itself collapsed "
+    "to the weighted vocabulary ONCE up front, the classic trick that "
+    "bounds every round by vocabulary size, not corpus size) and a "
+    "1-row argmax collect (ties broken (count desc, left, right)); "
+    "merge apply is one non-regex replace on the delimiter-wrapped "
+    "token string, lineage truncated per round via localCheckpoint. "
+    "Then tokenize-with-merges applies the learned vocabulary back to "
+    "the exploded corpus through a BROADCAST join and the total must "
+    "reproduce the vocab-weighted count (apply_check). The DuckDB "
+    "oracle re-learns all 64 merges from scratch (unrolled CTE chain, "
+    "same string algebra) — merge table, per-round pair counts, and "
+    "per-round corpus token totals all value-checked. Never collected: "
+    "anything token-level; the driver sees exactly K argmax rows. "
+    "100 TB shape: vocabulary-sized state (10^7-ish rows at web scale) "
+    "stays distributed; per-round shuffle is vocabulary-bounded; the "
+    "apply side is a map-only broadcast lookup.",
+)
+def corpus_bpe_train_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vocab = _vocab_frame(spark, sf_dir).localCheckpoint(eager=False)
+    # total word instances, once: with it, the corpus token count after
+    # any round is total_adjacent_pairs + W (every word has exactly
+    # n_tokens - 1 adjacencies), so the per-round token total rides in
+    # the SAME job as the next round's argmax — one Spark job per merge
+    # round instead of two
+    w_total = int(vocab.agg(F.sum("cnt").alias("w")).collect()[0]["w"])
+    rows: list[tuple] = []
+    pending: tuple | None = None  # (round, a, b, c) awaiting its token total
+    for r in range(1, _K_MERGES + 1):
+        pt = _adjacent_pairs(vocab)
+        best = pt.orderBy(F.desc("c"), "a", "b").limit(1).withColumn(
+            "is_best", F.lit(1)
+        )
+        tot = pt.agg(F.sum("c").alias("c")).select(
+            F.lit(None).cast("string").alias("a"),
+            F.lit(None).cast("string").alias("b"),
+            "c",
+            F.lit(0).alias("is_best"),
+        )
+        got = best.unionByName(tot).collect()
+        tot_c = next(g["c"] for g in got if not g["is_best"]) or 0
+        if pending is not None:  # tokens after the PREVIOUS round's merge
+            pr, pa, pb, pc = pending
+            rows.append((pr, pa, pb, pa + pb, pc, int(tot_c) + w_total))
+        bestrow = [g for g in got if g["is_best"]]
+        if not bestrow:
+            pending = None
+            break
+        a, b, c = bestrow[0]["a"], bestrow[0]["b"], int(bestrow[0]["c"])
+        pending = (r, a, b, c)
+        vocab = vocab.withColumn(
+            "st",
+            F.replace(F.col("st"), F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|")),
+        ).localCheckpoint(eager=False)
+    if pending is not None:  # the final round's token total
+        final_c = (
+            _adjacent_pairs(vocab).agg(F.sum("c").alias("c")).collect()[0]["c"]
+            or 0
+        )
+        pr, pa, pb, pc = pending
+        rows.append((pr, pa, pb, pa + pb, pc, int(final_c) + w_total))
+
+    # apply: tokenize the corpus with the learned merges — exploded words
+    # look up their final tokenization in the broadcast vocab map
+    d = load_table(spark, sf_dir, "documents").select("text")
+    words = d.select(F.explode(F.split("text", " ")).alias("word"))
+    applied_total = int(
+        words.join(F.broadcast(vocab), "word")
+        .select(F.sum(F.size(_toks())).alias("n"))
+        .collect()[0]["n"]
+    )
+    check = 1 if rows and applied_total == rows[-1][5] else 0
+    out = [(r_, a_, b_, m_, c_, t_, check) for r_, a_, b_, m_, c_, t_ in rows]
+    return spark.createDataFrame(
+        out,
+        "round int, left_tok string, right_tok string, merged string, "
+        "pair_count bigint, corpus_tokens_after bigint, apply_check int",
+    )

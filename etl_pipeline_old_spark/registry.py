@@ -175,6 +175,9 @@ _CORE_FIRST = (
     # round-8: progressive (SOF2) JPEG decode, the last image-codec gap a
     # web crawl hits (r7 verdict #2)
     "multimodal_jpeg_progressive",
+    # round-8: BPE tokenizer train->apply in driver-coordinated rounds
+    # (r7 verdict #4)
+    "corpus_bpe_train_apply",
 )
 
 
