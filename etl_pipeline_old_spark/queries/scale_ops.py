@@ -642,11 +642,17 @@ def _snapshot_commit(log_dir: str):
     os.link CLAIMS the version number atomically — a second writer racing
     for the same version gets FileExistsError and must re-read the log
     and retry at the next number (exactly Delta's OCC protocol; the
-    conflict mechanic is exercised in tests/test_storage_layout.py)."""
+    conflict mechanic and an 8-writer contention stress are exercised in
+    tests/test_storage_layout.py). The temp name carries a uuid, not
+    just the pid: two writer THREADS in one process racing the same
+    version with a pid-keyed name would share the temp file — one could
+    link the other's content under its claimed version (found by the
+    multi-writer stress test, r8)."""
     import json
+    import uuid
 
     def commit(n: int, add: list[str], remove: list[str]) -> None:
-        tmp = os.path.join(log_dir, f".{n:05d}.{os.getpid()}.tmp")
+        tmp = os.path.join(log_dir, f".{n:05d}.{uuid.uuid4().hex}.tmp")
         with open(tmp, "w", encoding="utf-8") as fh:
             json.dump({"version": n, "add": add, "remove": remove}, fh)
         try:
