@@ -1,7 +1,10 @@
-"""Memory-pressure probe for the heavy dedup family (r6 verdict #6).
+"""Memory-pressure probe for the heavy dedup family (r6 verdict #6) plus
+the binary-ingest families (r7 verdict #6: PNG decode over large binary
+Arrow rows, WARC shard blobs held per batch — pressure shapes the dedup
+sort/agg state never exercises).
 
 The 128 GiB sandbox never pressures local mode; a 100 TB cluster will. This
-probe runs the four heaviest queries under a deliberately SMALL session —
+probe runs the heaviest queries under a deliberately SMALL session —
 ``spark.driver.memory=2g`` (which in local mode is the entire heap every
 task thread shares) with ``spark.sql.shuffle.partitions`` raised so
 per-partition state stays spillable — against the sf0.1 documents table
@@ -34,6 +37,12 @@ HEAVY_QUERIES = (
     "dedup_minhash_lsh",
     "dedup_clusters",
     "pipeline_corpus_refresh",
+    # r7 verdict #6: the two new heavy families pressure memory
+    # differently — large BINARY rows inside Arrow batches (one real PNG
+    # per doc through the decode kernel) and whole gzip shard blobs held
+    # per batch during the WARC record walk — not sort/agg state
+    "multimodal_png_ingest",
+    "pipeline_web_corpus",
 )
 K = 4
 DRIVER_MEM = "2g"
@@ -147,7 +156,7 @@ def main() -> int:
 
         block_lines = [
             "",
-            "## Memory-pressure probe: heavy dedup under a 2 GiB heap (r6 verdict #6)",
+            "## Memory-pressure probe: heavy dedup + binary ingest under a 2 GiB heap (r6 #6, r7 #6)",
             "",
             f"`tools/memory_pressure_probe.py`: sf0.1 documents inflated k={K} "
             f"({n_docs} docs), session `local[{CPUS}]` with "
@@ -174,7 +183,7 @@ def main() -> int:
             total_spill = sum(ms + ds for *_, ms, ds in rows)
             block_lines += [
                 "",
-                "All four completed without OOM — the "
+                f"All {len(rows)} completed without OOM — the "
                 "plans degrade gracefully under a 64x-smaller heap"
                 + (
                     f", spilling {human(total_spill)} across the suite"
