@@ -62,6 +62,23 @@ def _render_pool_image(iid: int) -> bytes:
     return enc(gray, 8, 8)
 
 
+def _render_pool_image_near(iid: int) -> bytes:
+    """The near-dup pool variant: slots >= _IMG_CONTENT_MOD share their
+    twin's pixels EXCEPT one strongly perturbed pixel — the
+    re-encoded/retouched-copy case exact-hash dedup cannot catch (small
+    Hamming distance, different bytes, different URI)."""
+    from ..operators.gif_bmp import encode_bmp, encode_gif
+    from ..operators.multimodal import encode_png, md5_pixels
+    from ..operators.tiff import encode_tiff
+
+    gray = md5_pixels(f"im{iid % _IMG_CONTENT_MOD}", 64)
+    if iid >= _IMG_CONTENT_MOD:
+        j = iid % 64
+        gray[j] = (gray[j] + 96) % 256
+    enc = (encode_png, encode_gif, encode_bmp, encode_tiff)[iid % 4]
+    return enc(gray, 8, 8)
+
+
 def _wrap_pair_page(doc_id: int, text: str, lang: str) -> bytes:
     """An HTML page embedding its images: <html lang> attribute, body
     text, and one <img src alt> per referenced pool slot — alt text is
@@ -82,7 +99,7 @@ def _wrap_pair_page(doc_id: int, text: str, lang: str) -> bytes:
     ).encode("utf-8")
 
 
-def _build_pair_shard(pdf, sid: int) -> bytes:
+def _build_pair_shard(pdf, sid: int, render_pool=_render_pool_image) -> bytes:
     from ..operators.warc import encode_warc_shard
 
     recs: list[tuple] = []
@@ -105,7 +122,7 @@ def _build_pair_shard(pdf, sid: int) -> bytes:
             recs.append(
                 (
                     _img_uri(iid),
-                    _render_pool_image(iid),
+                    render_pool(iid),
                     200,
                     f"image/{_IMG_EXTS[iid % 4]}",
                 )
@@ -115,6 +132,13 @@ def _build_pair_shard(pdf, sid: int) -> bytes:
 
 def _stage_pair_warc_shards(spark: SparkSession, sf_dir: str) -> str:
     return _stage_shard_files(spark, sf_dir, "pair_warc_shards", _build_pair_shard)
+
+
+def _stage_pair_near_shards(spark: SparkSession, sf_dir: str) -> str:
+    def build(pdf, sid: int) -> bytes:
+        return _build_pair_shard(pdf, sid, render_pool=_render_pool_image_near)
+
+    return _stage_shard_files(spark, sf_dir, "pair_near_warc_shards", build)
 
 
 def _pair_pages_frame(bf: DataFrame) -> DataFrame:
@@ -274,12 +298,17 @@ def pipeline_image_text_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(path)
         .select("content")
     )
-    pages = _pair_pages_frame(bf)
+    return _pair_stats(_pair_pages_frame(bf), _pair_imgs_frame(bf))
+
+
+def _pair_stats(pages: DataFrame, imgs: DataFrame) -> DataFrame:
+    """Join + canonical-hash dedup + per-(lang, format) stats — shared by
+    the batch capstone and its streaming counterpart."""
     # persist: the pool is consumed twice (join build side + canonical
     # table) and derives from a full shard scan + decode — without the
     # cache the decode kernel would run once per consumer, doubling the
     # most expensive stage at crawl scale
-    imgs = _pair_imgs_frame(bf).persist()
+    imgs = imgs.persist()
     canon = imgs.groupBy("ahash").agg(F.min("uri").alias("canon_uri"))
     pairs = pages.join(
         F.broadcast(imgs), pages.img_uri == imgs.uri
@@ -294,4 +323,212 @@ def pipeline_image_text_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.size(F.split("caption", " "))), 2).alias(
             "avg_caption_words"
         ),
+    )
+
+
+@register(
+    "stream_image_text_pairs",
+    oracle=_pairs_oracle(),
+    doc="STREAMING counterpart of the cross-modal capstone: the same "
+    "mixed-media .warc.gz shards are consumed through "
+    "readStream.format('binaryFile') with maxFilesPerTrigger bounding "
+    "each micro-batch, each batch runs the SAME page-mining and "
+    "image-decode definitions (one parser for batch and streaming) and "
+    "appends candidates and decoded images to two staging lakes; after "
+    "the drain, distinct() absorbs the cross-batch image-record repeats "
+    "and the SAME join/dedup/stats tail runs over the accumulated "
+    "lakes — the result must hash-equal pipeline_image_text_pairs "
+    "(identical oracle), which per-shard record independence makes "
+    "exact under any batching. The 100 TB shape: a live crawl's pair "
+    "corpus refreshes by appending per-trigger extractions, with the "
+    "join + canonical table recomputed over the accumulated (tiny) "
+    "image pool.",
+)
+def stream_image_text_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from ..session import ensure_session_confs
+    from ..workdir import cache_root
+    from .sources_formats import _BINARYFILE_SCHEMA, _tag
+
+    ensure_session_confs(spark)
+    feed = _stage_pair_warc_shards(spark, sf_dir)
+    base = os.path.join(cache_root(), f"pair_stream_{_tag(sf_dir)}")
+    pages_t, imgs_t, chk = base + "_pages", base + "_imgs", base + "_chk"
+    for p in (pages_t, imgs_t, chk):
+        shutil.rmtree(p, ignore_errors=True)
+
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARYFILE_SCHEMA)
+        .option("pathGlobFilter", "*.warc.gz")
+        .option("maxFilesPerTrigger", 5)
+        .load(feed)
+        .select("content")
+    )
+
+    def ingest(batch_df: DataFrame, _batch_id: int) -> None:
+        _pair_pages_frame(batch_df).write.mode("append").parquet(pages_t)
+        _pair_imgs_frame(batch_df).write.mode("append").parquet(imgs_t)
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    pages = spark.read.parquet(pages_t)
+    imgs = spark.read.parquet(imgs_t).distinct()
+    return _pair_stats(pages, imgs)
+
+
+# ---------------------------------------------------------------------------
+# near-duplicate image pairs in the crawl (Hamming-banded aHash)
+
+_NEAR_BANDS = 4
+_NEAR_HAM_K = 3  # bands = K+1: pigeonhole-complete for Hamming <= K
+
+
+def _near_px_sql(j: int) -> str:
+    """Pixel j of a near-pool image in SQL: the md5 formula, with slot
+    iid >= _IMG_CONTENT_MOD's pixel (iid % 64) perturbed by +96 mod 256
+    — mirrors _render_pool_image_near exactly."""
+    from ..operators.multimodal import md5_pixel_sql
+
+    base = md5_pixel_sql(j, "img_txt")
+    return (
+        f"CASE WHEN iid >= {_IMG_CONTENT_MOD} AND iid % 64 = {j} "
+        f"THEN ({base} + 96) % 256 ELSE {base} END"
+    )
+
+
+def _near_oracle() -> str:
+    px_list = ", ".join(_near_px_sql(j) for j in range(64))
+    return f"""
+    WITH ks AS (
+      SELECT doc_id, 0 AS k FROM documents
+      UNION ALL
+      SELECT doc_id, 1 AS k FROM documents WHERE doc_id % 2 = 1),
+    refs AS (
+      SELECT (doc_id + 7*k) % {_IMG_POOL} AS iid FROM ks),
+    live AS (
+      SELECT DISTINCT iid,
+             ['png','gif','bmp','tiff'][1 + iid % 4] AS fmt,
+             'im' || (iid % {_IMG_CONTENT_MOD}) AS img_txt
+      FROM refs WHERE iid % 13 != 5),
+    px AS (SELECT iid, fmt, [{px_list}] AS p FROM live),
+    h AS (
+      SELECT iid, fmt,
+             list_aggregate(
+               list_transform(p, x -> CASE WHEN x > list_sum(p) / 64.0
+                                           THEN '1' ELSE '0' END),
+               'string_agg', '') AS ahash
+      FROM px),
+    imgs AS (
+      SELECT iid, ahash,
+             '{_IMG_URI_PREFIX}' || iid || '.' || fmt AS uri
+      FROM h),
+    caps AS (
+      SELECT iid, count(*)::BIGINT AS n_caps FROM refs GROUP BY iid),
+    pairs AS (
+      SELECT a.uri AS uri_a, b.uri AS uri_b,
+             list_sum(list_transform(range(1, 65), i ->
+               CASE WHEN substr(a.ahash, i::INTEGER, 1)
+                         <> substr(b.ahash, i::INTEGER, 1)
+                    THEN 1 ELSE 0 END))::BIGINT AS hamming,
+             ca.n_caps AS n_captions_a, cb.n_caps AS n_captions_b
+      FROM imgs a
+      JOIN imgs b ON a.uri < b.uri
+      JOIN caps ca ON ca.iid = a.iid
+      JOIN caps cb ON cb.iid = b.iid)
+    SELECT uri_a, uri_b, hamming, n_captions_a, n_captions_b
+    FROM pairs WHERE hamming <= {_NEAR_HAM_K}
+    """
+
+
+@register(
+    "image_text_near_dedup",
+    oracle=_near_oracle(),
+    doc="Near-duplicate image discovery INSIDE the pair-corpus crawl — "
+    "the retouched/re-encoded-copy case URL dedup and exact-hash dedup "
+    "both miss: a second mixed-media crawl is staged whose content "
+    "twins differ by one strongly perturbed pixel (different bytes, "
+    "different URI, small Hamming distance), images decode through the "
+    "same magic-sniffed four-codec kernel, and the 64-bit aHash splits "
+    f"into {_NEAR_BANDS} 16-bit bands — by pigeonhole any pair with "
+    f"Hamming <= {_NEAR_HAM_K} shares an intact band, so the band "
+    "bucket-join finds ALL such pairs without an n² comparison and an "
+    "in-plan JVM fold verifies the exact distance. Each pair carries "
+    "both sides' caption counts from the page-mining branch (what a "
+    "LAION merge would consolidate). The oracle recomputes hashes from "
+    "the md5 pixel formula + perturbation and brute-forces all pool "
+    "pairs — equality proves the banding lost nothing. Scale: band "
+    "rows shuffle, candidates verify; the pool is dims-sized beside "
+    "the page corpus.",
+)
+def image_text_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_pair_near_shards(spark, sf_dir)
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc.gz")
+        .load(path)
+        .select("content")
+    )
+    imgs = _pair_imgs_frame(bf)
+    caps = _pair_pages_frame(bf).groupBy("img_uri").agg(
+        F.count("*").alias("n_caps")
+    )
+    bands = imgs.select(
+        "uri",
+        "ahash",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(1, _NEAR_BANDS + 1)])
+        ).alias("band_idx"),
+    ).withColumn(
+        "band", F.expr("substr(ahash, (band_idx - 1) * 16 + 1, 16)")
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.uri") < F.col("b.uri")),
+        )
+        .select(
+            F.col("a.uri").alias("uri_a"),
+            F.col("b.uri").alias("uri_b"),
+            F.col("a.ahash").alias("ha"),
+            F.col("b.ahash").alias("hb"),
+        )
+        .distinct()
+    )
+    ham = cand.withColumn(
+        "hamming",
+        F.expr(
+            "aggregate(sequence(1, 64), 0, (acc, i) -> "
+            "acc + IF(substr(ha, i, 1) != substr(hb, i, 1), 1, 0))"
+        ).cast("long"),
+    ).filter(F.col("hamming") <= _NEAR_HAM_K)
+    return (
+        ham.join(
+            F.broadcast(caps.withColumnRenamed("img_uri", "uri_a")),
+            "uri_a",
+        )
+        .withColumnRenamed("n_caps", "n_captions_a")
+        .join(
+            F.broadcast(
+                caps.select(
+                    F.col("img_uri").alias("uri_b"),
+                    F.col("n_caps").alias("n_captions_b"),
+                )
+            ),
+            "uri_b",
+        )
+        .select("uri_a", "uri_b", "hamming", "n_captions_a", "n_captions_b")
     )

@@ -178,6 +178,10 @@ _CORE_FIRST = (
     # round-8: BPE tokenizer train->apply in driver-coordinated rounds
     # (r7 verdict #4)
     "corpus_bpe_train_apply",
+    # round-8 (cont.): streaming counterpart of the cross-modal capstone
+    # and Hamming-banded near-dup image pairs inside the crawl
+    "stream_image_text_pairs",
+    "image_text_near_dedup",
 )
 
 

@@ -108,3 +108,44 @@ def test_pairs_plan_broadcasts_pool_no_cartesian(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 2
     # no row-at-a-time Python: the only Python is the Arrow kernels
     assert "BatchEvalPython" not in plan
+
+
+def test_stream_pairs_hash_equals_batch(spark, sf_dir):
+    """The streaming ingest must accumulate to EXACTLY the batch result
+    under micro-batching (per-shard record independence makes this
+    exact for any trigger size)."""
+    from etl_pipeline_old_spark.queries.image_text import (
+        stream_image_text_pairs,
+    )
+
+    batch = sorted(
+        tuple(r) for r in pipeline_image_text_pairs(spark, sf_dir).collect()
+    )
+    streamed = sorted(
+        tuple(r) for r in stream_image_text_pairs(spark, sf_dir).collect()
+    )
+    assert streamed == batch
+
+
+def test_near_dedup_finds_perturbed_twins_only(spark, sf_dir):
+    """Every near-dup pair must link content twins (slots 20 apart in
+    the pool), at least one pair must have Hamming > 0 (the case exact
+    dedup cannot catch), and unrelated images (different content keys,
+    ~32-bit expected distance) must never pair."""
+    from etl_pipeline_old_spark.queries.image_text import (
+        _IMG_CONTENT_MOD,
+        image_text_near_dedup,
+    )
+
+    rows = image_text_near_dedup(spark, sf_dir).collect()
+    assert rows
+
+    def iid(uri: str) -> int:
+        return int(uri.rsplit("/", 1)[1].split(".")[0])
+
+    for r in rows:
+        a, b = iid(r["uri_a"]), iid(r["uri_b"])
+        assert abs(a - b) == _IMG_CONTENT_MOD, (a, b)
+        assert 0 <= r["hamming"] <= 3
+        assert r["n_captions_a"] > 0 and r["n_captions_b"] > 0
+    assert any(r["hamming"] > 0 for r in rows)

@@ -72,6 +72,11 @@ REPEAT_QUERIES = (
     "multimodal_audio_resample",
     "multimodal_video_motion",
     "pipeline_web_corpus_incremental",
+    # r8: cross-modal staged crawls + streaming targets + progressive JPEG
+    "pipeline_image_text_pairs",
+    "stream_image_text_pairs",
+    "image_text_near_dedup",
+    "multimodal_jpeg_progressive",
 )
 
 
