@@ -532,3 +532,216 @@ def image_text_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("uri_a", "uri_b", "hamming", "n_captions_a", "n_captions_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# per-record decode quarantine + incremental refresh for the pair corpus
+
+_IMG_CORRUPT_MOD = 11  # alive slot iid % 11 == 2 -> header-corrupted payload
+
+
+def _stage_pair_torn_shards(spark: SparkSession, sf_dir: str) -> str:
+    """The pair crawl with some image payloads corrupted at the header
+    (first two bytes overwritten) — the torn-upload case: the WARC
+    record and gzip member stay intact, only the media decode fails."""
+
+    def build(pdf, sid: int) -> bytes:
+        def render(iid: int) -> bytes:
+            data = _render_pool_image(iid)
+            if iid % _IMG_CORRUPT_MOD == 2:
+                return b"XX" + data[2:]
+            return data
+
+        return _build_pair_shard(pdf, sid, render_pool=render)
+
+    return _stage_shard_files(spark, sf_dir, "pair_torn_warc_shards", build)
+
+
+def _quarantine_oracle() -> str:
+    return f"""
+    WITH ks AS (
+      SELECT doc_id, 0 AS k FROM documents
+      UNION ALL
+      SELECT doc_id, 1 AS k FROM documents WHERE doc_id % 2 = 1),
+    refs AS (
+      SELECT (doc_id + 7*k) % {_IMG_POOL} AS iid FROM ks),
+    live AS (
+      SELECT iid, count(*)::BIGINT AS n_refs,
+             ['png','gif','bmp','tiff'][1 + iid % 4] AS ext,
+             CASE WHEN iid % {_IMG_CORRUPT_MOD} = 2 THEN 1 ELSE 0 END
+               AS corrupt
+      FROM refs WHERE iid % 13 != 5 GROUP BY iid)
+    SELECT ext,
+           sum(1 - corrupt)::BIGINT AS n_ok,
+           sum(corrupt)::BIGINT AS n_corrupt,
+           sum(CASE WHEN corrupt = 1 THEN n_refs ELSE 0 END)::BIGINT
+             AS n_pairs_lost
+    FROM live GROUP BY ext
+    """
+
+
+@register(
+    "image_text_ingest_quarantine",
+    oracle=_quarantine_oracle(),
+    doc="Per-record decode quarantine for the mixed-media crawl — the "
+    "cross-modal analogue of multimodal_ingest_quarantine and "
+    "warc_ingest_quarantine: the pair crawl is staged with some image "
+    "payloads header-corrupted (torn upload; the WARC framing and gzip "
+    "member stay valid, only the media decode fails), the image kernel "
+    "wraps sniff+decode per record and routes failures to a status "
+    "instead of raising, and the output accounts per format (from the "
+    "URI, since corrupt payloads carry no readable container): healthy "
+    "pool slots, quarantined slots, and the page-image pairs LOST to "
+    "the quarantine (what a re-fetch queue would restore). The oracle "
+    "recomputes all three from the reference rules. At 100 TB one "
+    "corrupt image must cost its own pairs, never the ingest job.",
+)
+def image_text_ingest_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_pair_torn_shards(spark, sf_dir)
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc.gz")
+        .load(path)
+        .select("content")
+    )
+
+    def op(batches):
+        import pandas as pd
+
+        from ..operators.gif_bmp import decode_bmp, decode_gif
+        from ..operators.multimodal import _png_decode, ahash64
+        from ..operators.tiff import decode_tiff
+        from ..operators.warc import iter_warc_responses_typed
+
+        decoders = {
+            b"\x89PNG": _png_decode,
+            b"GIF8": decode_gif,
+            b"II*\x00": decode_tiff,
+            b"MM\x00*": decode_tiff,
+        }
+
+        def try_decode(data: bytes) -> str | None:
+            dec = decoders.get(data[:4]) or (
+                decode_bmp if data[:2] == b"BM" else None
+            )
+            if dec is None:
+                return None  # unrecognized container: quarantined
+            try:
+                return ahash64(dec(data)[2])
+            except Exception:  # noqa: BLE001 — ANY decode failure quarantines
+                return None
+
+        for pdf in batches:
+            out = {"uri": [], "ok": []}
+            for blob in pdf["content"]:
+                for uri, status, ctype, body in iter_warc_responses_typed(
+                    bytes(blob)
+                ):
+                    if status != 200 or not ctype.startswith("image/"):
+                        continue
+                    out["uri"].append(uri)
+                    out["ok"].append(
+                        1 if try_decode(bytes(body)) is not None else 0
+                    )
+            yield pd.DataFrame(out)
+
+    imgs = bf.mapInPandas(op, "uri string, ok int").groupBy("uri").agg(
+        F.max("ok").alias("ok")  # cross-shard copies are identical
+    )
+    refs = (
+        _pair_pages_frame(bf)
+        .groupBy("img_uri")
+        .agg(F.count("*").alias("n_refs"))
+        .withColumnRenamed("img_uri", "uri")
+    )
+    per_slot = imgs.join(F.broadcast(refs), "uri").select(
+        F.regexp_extract("uri", r"\.([a-z]+)$", 1).alias("ext"),
+        "ok",
+        "n_refs",
+    )
+    return per_slot.groupBy("ext").agg(
+        F.sum("ok").cast("long").alias("n_ok"),
+        F.sum(1 - F.col("ok")).cast("long").alias("n_corrupt"),
+        F.sum(F.when(F.col("ok") == 0, F.col("n_refs")).otherwise(0))
+        .cast("long")
+        .alias("n_pairs_lost"),
+    )
+
+
+def _pair_partials(spark: SparkSession, paths: list) -> tuple[DataFrame, DataFrame]:
+    """One crawl dump's partial state for the incremental refresh: the
+    pair-level bronze at (lang, fmt, uri, ahash) granularity — counts and
+    caption-word sums, pool-bounded — plus the dump's decoded image pool.
+    This is everything a later merge needs; re-scanning (and re-decoding)
+    the dump is never required again."""
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc.gz")
+        .load(paths)
+        .select("content")
+    )
+    pages = _pair_pages_frame(bf)
+    imgs = _pair_imgs_frame(bf)
+    part = (
+        pages.join(F.broadcast(imgs), pages.img_uri == imgs.uri)
+        .groupBy("lang", "fmt", "uri", "ahash")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.size(F.split("caption", " "))).alias("cap_words"),
+        )
+    )
+    return part, imgs
+
+
+@register(
+    "pipeline_image_text_pairs_incremental",
+    oracle=_pairs_oracle(),
+    doc="Incremental refresh of the cross-modal pair corpus — the "
+    "base+delta shape a recurring crawl actually runs (the analogue of "
+    "pipeline_web_corpus_incremental): the staged shards split into a "
+    "base crawl and a newest delta dump at the FILE level, each side "
+    "reduces independently to its pool-bounded partial state (pair "
+    "bronze at (lang, fmt, uri, ahash) granularity with counts and "
+    "caption-word sums, plus its decoded image pool), and the merge "
+    "unions the partials, re-derives the GLOBAL canonical table from "
+    "the unioned pool (a base-only canonical URI can be dethroned by a "
+    "delta image — min-URI must be recomputed over the union, never "
+    "carried over), and re-aggregates. The oracle is the capstone's "
+    "full-recompute oracle, so merge == recompute is value-checked "
+    "exactly; caption-word sums are integers, so the merged average is "
+    "exact in both engines. 100 TB shape: only the delta's shards are "
+    "scanned and decoded at refresh time; merge cost is bounded by the "
+    "image pool and the (lang, fmt, uri) bronze, not the crawl.",
+)
+def pipeline_image_text_pairs_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+
+    feed = _stage_pair_warc_shards(spark, sf_dir)
+    files = sorted(f for f in os.listdir(feed) if f.endswith(".warc.gz"))
+    base = [
+        os.path.join(feed, f) for f in files if int(f.split(".")[0]) % 5 != 4
+    ]
+    delta = [
+        os.path.join(feed, f) for f in files if int(f.split(".")[0]) % 5 == 4
+    ]
+    pb, ib = _pair_partials(spark, base)
+    pd_, id_ = _pair_partials(spark, delta)
+    part = (
+        pb.unionByName(pd_)
+        .groupBy("lang", "fmt", "uri", "ahash")
+        .agg(F.sum("n").alias("n"), F.sum("cap_words").alias("cap_words"))
+    )
+    pool = ib.unionByName(id_).distinct()
+    canon = pool.groupBy("ahash").agg(F.min("uri").alias("canon_uri"))
+    merged = part.join(F.broadcast(canon), "ahash")
+    return merged.groupBy("lang", "fmt").agg(
+        F.sum("n").cast("long").alias("n_pairs"),
+        F.countDistinct("uri").alias("n_images"),
+        F.countDistinct("ahash").alias("n_unique_images"),
+        F.sum(F.when(F.col("uri") == F.col("canon_uri"), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_canonical_pairs"),
+        F.round(F.sum("cap_words") / F.sum("n"), 2).alias("avg_caption_words"),
+    )

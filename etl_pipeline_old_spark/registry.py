@@ -182,6 +182,10 @@ _CORE_FIRST = (
     # and Hamming-banded near-dup image pairs inside the crawl
     "stream_image_text_pairs",
     "image_text_near_dedup",
+    # round-8 (cont.): per-record decode quarantine + base+delta
+    # incremental refresh, completing the family's operational trio
+    "image_text_ingest_quarantine",
+    "pipeline_image_text_pairs_incremental",
 )
 
 

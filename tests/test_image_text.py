@@ -149,3 +149,52 @@ def test_near_dedup_finds_perturbed_twins_only(spark, sf_dir):
         assert 0 <= r["hamming"] <= 3
         assert r["n_captions_a"] > 0 and r["n_captions_b"] > 0
     assert any(r["hamming"] > 0 for r in rows)
+
+
+def test_quarantine_keeps_healthy_pairs_and_isolates_torn(spark, sf_dir):
+    """One header-corrupted image must cost exactly its own pairs: the
+    quarantine output accounts healthy and torn slots per format, every
+    format retains healthy slots, and pairs lost stay a strict subset
+    of the corpus."""
+    from etl_pipeline_old_spark.queries.image_text import (
+        image_text_ingest_quarantine,
+    )
+
+    rows = {r["ext"]: r for r in image_text_ingest_quarantine(
+        spark, sf_dir
+    ).collect()}
+    assert set(rows) == {"png", "gif", "bmp", "tiff"}
+    assert all(r["n_ok"] > 0 for r in rows.values())
+    assert sum(r["n_corrupt"] for r in rows.values()) > 0
+    for r in rows.values():
+        if r["n_corrupt"] == 0:
+            assert r["n_pairs_lost"] == 0
+        else:
+            assert r["n_pairs_lost"] > 0
+
+
+def test_incremental_split_is_nondegenerate(spark, sf_dir):
+    """The base/delta file split must leave BOTH sides non-empty (a
+    degenerate split would make merge == recompute vacuous); the merged
+    result must equal the batch capstone row-for-row."""
+    import os
+
+    from etl_pipeline_old_spark.queries.image_text import (
+        _stage_pair_warc_shards,
+        pipeline_image_text_pairs_incremental,
+    )
+
+    feed = _stage_pair_warc_shards(spark, sf_dir)
+    files = sorted(f for f in os.listdir(feed) if f.endswith(".warc.gz"))
+    base = [f for f in files if int(f.split(".")[0]) % 5 != 4]
+    delta = [f for f in files if int(f.split(".")[0]) % 5 == 4]
+    assert base and delta
+
+    merged = sorted(
+        tuple(r)
+        for r in pipeline_image_text_pairs_incremental(spark, sf_dir).collect()
+    )
+    full = sorted(
+        tuple(r) for r in pipeline_image_text_pairs(spark, sf_dir).collect()
+    )
+    assert merged == full

@@ -76,6 +76,8 @@ REPEAT_QUERIES = (
     "pipeline_image_text_pairs",
     "stream_image_text_pairs",
     "image_text_near_dedup",
+    "image_text_ingest_quarantine",
+    "pipeline_image_text_pairs_incremental",
     "multimodal_jpeg_progressive",
 )
 
