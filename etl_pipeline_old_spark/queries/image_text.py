@@ -745,3 +745,127 @@ def pipeline_image_text_pairs_incremental(
         .alias("n_canonical_pairs"),
         F.round(F.sum("cap_words") / F.sum("n"), 2).alias("avg_caption_words"),
     )
+
+
+# ---------------------------------------------------------------------------
+# WebDataset tar-shard ingest (the training dataloader's on-disk format)
+
+
+def _build_webdataset_shard(pdf, sid: int) -> bytes:
+    """One WebDataset tar shard: per document three members grouped by
+    basename key — {doc_id:08d}.jpg (a REAL baseline JPEG of the md5
+    pixel image), .txt (the caption text), .json (metadata) — exactly
+    the layout LAION-scale training jobs stream from object storage."""
+    import json as _json
+
+    from ..operators.jpeg import encode_jpeg
+    from ..operators.multimodal import md5_pixels
+    from ..operators.tar import encode_tar
+
+    members: list[tuple[str, bytes]] = []
+    for r in pdf.itertuples():
+        did = int(r.doc_id)
+        key = f"{did:08d}"
+        jpg = encode_jpeg(md5_pixels(r.text, 64), 8, 8, quality=95)
+        members.append((f"{key}.jpg", jpg))
+        members.append((f"{key}.txt", r.text.encode("utf-8")))
+        members.append(
+            (
+                f"{key}.json",
+                _json.dumps(
+                    {"lang": r.lang, "source": r.source}, sort_keys=True
+                ).encode("utf-8"),
+            )
+        )
+    return encode_tar(members)
+
+
+def _stage_webdataset_shards(spark: SparkSession, sf_dir: str) -> str:
+    return _stage_shard_files(
+        spark, sf_dir, "webdataset_shards", _build_webdataset_shard, suffix="tar"
+    )
+
+
+@register(
+    "multimodal_webdataset_ingest",
+    oracle="""
+    SELECT doc_id, 3 AS n_members, 8 AS width, 8 AS height, 1 AS within_bound,
+           len(string_split(text, ' '))::INT AS n_caption_words, lang
+    FROM documents
+    """,
+    doc="WebDataset tar-shard ingest — the de-facto multimodal TRAINING "
+    "dataloader format (tar shards whose members group into samples by "
+    "basename: key.jpg + key.txt + key.json), i.e. the format the pair "
+    "corpus this family builds actually ships in: genuine ustar shards "
+    "are staged from the executors (operators/tar.py, pure stdlib, "
+    "header checksums + deterministic fields; cross-validated BOTH "
+    "directions against the independent stdlib tarfile module), scanned "
+    "back with binaryFile, and walked by the hand-rolled block reader "
+    "inside an Arrow kernel — members regroup into samples, the .jpg "
+    "decodes through the REAL JPEG codec (error-bound vs the "
+    "recomputed source image), the .txt caption and .json metadata "
+    "parse, and the oracle demands per-sample completeness (3 members), "
+    "dims, the bound flag, caption token counts, and the metadata lang. "
+    "Scale shape: shards list and decode in parallel (training jobs "
+    "stream thousands of shards), each Arrow batch holds a bounded "
+    "shard set, a torn member fails its shard's record at the checksum "
+    "— per-record isolation, never a job abort.",
+)
+def multimodal_webdataset_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_webdataset_shards(spark, sf_dir)
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.tar")
+        .load(path)
+        .select("content")
+    )
+
+    def op(batches):
+        import json as _json
+
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.jpeg import decode_jpeg
+        from ..operators.multimodal import md5_pixels
+        from ..operators.tar import iter_tar
+
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "n_members": [],
+                "width": [],
+                "height": [],
+                "within_bound": [],
+                "n_caption_words": [],
+                "lang": [],
+            }
+            for blob in pdf["content"]:
+                samples: dict[str, dict[str, bytes]] = {}
+                for name, data in iter_tar(bytes(blob)):
+                    key, _, ext = name.partition(".")
+                    samples.setdefault(key, {})[ext] = data
+                for key in sorted(samples):
+                    parts = samples[key]
+                    caption = parts["txt"].decode("utf-8")
+                    meta = _json.loads(parts["json"].decode("utf-8"))
+                    w, h, rgb = decode_jpeg(parts["jpg"])
+                    exp = np.array(md5_pixels(caption, 64)).reshape(8, 8)
+                    err = int(
+                        np.abs(rgb[..., 0].astype(int) - exp).max()
+                    )
+                    out["doc_id"].append(int(key))
+                    out["n_members"].append(len(parts))
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    # gray q95: the baseline corpus bound (mode 0)
+                    out["within_bound"].append(1 if err <= 20 else 0)
+                    out["n_caption_words"].append(len(caption.split(" ")))
+                    out["lang"].append(meta["lang"])
+            yield pd.DataFrame(out)
+
+    return bf.mapInPandas(
+        op,
+        schema="doc_id long, n_members int, width int, height int, "
+        "within_bound int, n_caption_words int, lang string",
+    )

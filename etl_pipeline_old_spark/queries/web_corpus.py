@@ -322,14 +322,15 @@ def _warc_uri(source: str, doc_id: int) -> str:
 
 
 def _stage_shard_files(
-    spark: SparkSession, sf_dir: str, kind: str, build
+    spark: SparkSession, sf_dir: str, kind: str, build, suffix: str = "warc.gz"
 ) -> str:
     """Shared shard stager: group documents into _WARC_DOCS_PER_SHARD-doc
     shards and write one file per shard FROM THE EXECUTORS via an
     applyInPandas kernel (the crawler-fleet upload shape; sf0.01 -> 20
     shards, sf0.1 -> 200). ``build(pdf_sorted, sid) -> bytes`` renders the
     shard; writes are tmp+rename atomic and idempotent per process via a
-    marker file."""
+    marker file. ``suffix`` names the container (.warc.gz crawls, .tar
+    WebDataset shards)."""
     import os
 
     from ..workdir import cache_root
@@ -358,7 +359,7 @@ def _stage_shard_files(
             tmp = os_.path.join(path, f".{sid:05d}.tmp")
             with open(tmp, "wb") as fh:
                 fh.write(blob)
-            os_.replace(tmp, os_.path.join(path, f"{sid:05d}.warc.gz"))
+            os_.replace(tmp, os_.path.join(path, f"{sid:05d}.{suffix}"))
             return pd.DataFrame({"shard": [sid], "n": [len(pdf)]})
 
         d.groupBy("shard").applyInPandas(write_shard, "shard int, n int").collect()

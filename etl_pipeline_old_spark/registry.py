@@ -186,6 +186,10 @@ _CORE_FIRST = (
     # incremental refresh, completing the family's operational trio
     "image_text_ingest_quarantine",
     "pipeline_image_text_pairs_incremental",
+    # round-8 (cont.): WebDataset tar-shard ingest (the training
+    # dataloader's on-disk format; ustar codec cross-validated vs the
+    # stdlib tarfile module)
+    "multimodal_webdataset_ingest",
 )
 
 

@@ -79,6 +79,7 @@ REPEAT_QUERIES = (
     "image_text_ingest_quarantine",
     "pipeline_image_text_pairs_incremental",
     "multimodal_jpeg_progressive",
+    "multimodal_webdataset_ingest",
 )
 
 
