@@ -164,10 +164,15 @@ def _pair_pages_frame(bf: DataFrame) -> DataFrame:
     pages = bf.mapInPandas(op, "html string")
     tags = F.regexp_extract_all(F.col("html"), F.lit("<img [^>]+>"), 0)
     return pages.select(
+        F.regexp_extract("html", "<title>doc (\\d+)</title>", 1)
+        .cast("long")
+        .alias("doc_id"),
         F.regexp_extract("html", '<html lang="([a-z]+)"', 1).alias("lang"),
-        F.explode(tags).alias("tag"),
+        F.posexplode(tags).alias("k", "tag"),
     ).select(
+        "doc_id",
         "lang",
+        "k",
         F.regexp_extract("tag", 'src="([^"]+)"', 1).alias("img_uri"),
         F.regexp_extract("tag", 'alt="([^"]*)"', 1).alias("caption"),
     )
@@ -868,4 +873,197 @@ def multimodal_webdataset_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         op,
         schema="doc_id long, n_members int, width int, height int, "
         "within_bound int, n_caption_words int, lang string",
+    )
+
+
+# ---------------------------------------------------------------------------
+# WebDataset export: the pair corpus SHIPPED in the training format
+
+
+def _pair_imgs_bytes_frame(bf: DataFrame) -> DataFrame:
+    """Like _pair_imgs_frame but keeps the original payload bytes — the
+    export path re-ships the fetched image, it does not re-encode."""
+
+    def op(batches):
+        import pandas as pd
+
+        from ..operators.warc import iter_warc_responses_typed
+
+        for pdf in batches:
+            out = {"uri": [], "payload": []}
+            for blob in pdf["content"]:
+                for uri, status, ctype, body in iter_warc_responses_typed(
+                    bytes(blob)
+                ):
+                    if status != 200 or not ctype.startswith("image/"):
+                        continue
+                    out["uri"].append(uri)
+                    out["payload"].append(bytes(body))
+            yield pd.DataFrame(out)
+
+    return bf.mapInPandas(op, "uri string, payload binary").dropDuplicates(
+        ["uri"]
+    )
+
+
+_EXPORT_DOCS_PER_SHARD = 50
+
+
+@register(
+    "multimodal_webdataset_export",
+    oracle="""
+    WITH ks AS (
+      SELECT doc_id, lang, text, 0 AS k FROM documents
+      UNION ALL
+      SELECT doc_id, lang, text, 1 AS k FROM documents WHERE doc_id % 2 = 1),
+    refs AS (
+      SELECT doc_id, lang, k, (doc_id + 7*k) % 40 AS iid,
+             3 + doc_id % 4 + 1 AS n_caption_words
+      FROM ks)
+    SELECT doc_id, k, lang,
+           ['png','gif','bmp','tiff'][1 + iid % 4] AS fmt,
+           n_caption_words::INT AS n_caption_words,
+           1 AS hash_ok
+    FROM refs WHERE iid % 13 != 5
+    """,
+    doc="WebDataset EXPORT — the produce half of the training-format "
+    "story (multimodal_webdataset_ingest is the consume half): the "
+    "mined (caption, image) pairs are grouped into export shards and "
+    "written from the executors as genuine ustar .tar files in the "
+    "key.{fmt}/key.txt/key.json sample layout (image bytes re-shipped "
+    "as fetched, never re-encoded — the lossless-passthrough rule real "
+    "exporters follow), then READ BACK through the ingest walker: each "
+    "sample's image decodes through the real codec and its aHash must "
+    "equal the md5 pixel formula for its pool slot (hash_ok — a "
+    "corrupted passthrough fails the oracle), captions token-count "
+    "against the reference rule, dead links never export. Scale shape: "
+    "the export groupBy shards on pair keys (repartition by shard id), "
+    "each task writes its shard sequentially — the object-store upload "
+    "pattern; readback is the ingest's parallel scan.",
+)
+def multimodal_webdataset_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from ..workdir import cache_root
+    from .sources_formats import _tag
+
+    crawl = _stage_pair_warc_shards(spark, sf_dir)
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc.gz")
+        .load(crawl)
+        .select("content")
+    )
+    pages = _pair_pages_frame(bf)
+    imgs = _pair_imgs_bytes_frame(bf)
+    samples = pages.join(F.broadcast(imgs), pages.img_uri == imgs.uri).select(
+        "doc_id",
+        "k",
+        "lang",
+        "caption",
+        "img_uri",
+        "payload",
+        F.floor(F.col("doc_id") / _EXPORT_DOCS_PER_SHARD)
+        .cast("int")
+        .alias("shard"),
+    )
+
+    out_dir = os.path.join(cache_root(), f"webdataset_export_{_tag(sf_dir)}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_shard(pdf):
+        import json as _json
+
+        import pandas as pd
+
+        from ..operators.tar import encode_tar
+
+        pdf = pdf.sort_values(["doc_id", "k"])
+        sid = int(pdf["shard"].iloc[0])
+        members: list[tuple[str, bytes]] = []
+        for r in pdf.itertuples():
+            ext = r.img_uri.rsplit(".", 1)[1]
+            iid = int(r.img_uri.rsplit("/", 1)[1].split(".")[0])
+            key = f"{int(r.doc_id):08d}-{int(r.k)}"
+            members.append((f"{key}.{ext}", bytes(r.payload)))
+            members.append((f"{key}.txt", r.caption.encode("utf-8")))
+            members.append(
+                (
+                    f"{key}.json",
+                    _json.dumps(
+                        {"lang": r.lang, "iid": iid}, sort_keys=True
+                    ).encode("utf-8"),
+                )
+            )
+        tmp = os.path.join(out_dir, f".{sid:05d}.tmp")
+        with open(tmp, "wb") as fh:
+            fh.write(encode_tar(members))
+        os.replace(tmp, os.path.join(out_dir, f"{sid:05d}.tar"))
+        return pd.DataFrame({"shard": [sid], "n": [len(pdf)]})
+
+    samples.groupBy("shard").applyInPandas(
+        write_shard, "shard int, n int"
+    ).collect()
+
+    back = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.tar")
+        .load(out_dir)
+        .select("content")
+    )
+
+    def verify(batches):
+        import json as _json
+
+        import pandas as pd
+
+        from ..operators.gif_bmp import decode_bmp, decode_gif
+        from ..operators.multimodal import _png_decode, ahash64, md5_pixels
+        from ..operators.tar import iter_tar
+        from ..operators.tiff import decode_tiff
+
+        decoders = {
+            "png": _png_decode,
+            "gif": decode_gif,
+            "bmp": decode_bmp,
+            "tiff": decode_tiff,
+        }
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "k": [],
+                "lang": [],
+                "fmt": [],
+                "n_caption_words": [],
+                "hash_ok": [],
+            }
+            for blob in pdf["content"]:
+                samples_: dict[str, dict[str, tuple[str, bytes]]] = {}
+                for name, data in iter_tar(bytes(blob)):
+                    key, _, ext = name.partition(".")
+                    samples_.setdefault(key, {})[ext] = (ext, data)
+                for key in sorted(samples_):
+                    parts = samples_[key]
+                    fmt = next(e for e in parts if e not in ("txt", "json"))
+                    caption = parts["txt"][1].decode("utf-8")
+                    meta = _json.loads(parts["json"][1].decode("utf-8"))
+                    _w, _h, gray = decoders[fmt](parts[fmt][1])
+                    exp = ahash64(
+                        md5_pixels(f"im{meta['iid'] % _IMG_CONTENT_MOD}", 64)
+                    )
+                    did, kk = key.split("-")
+                    out["doc_id"].append(int(did))
+                    out["k"].append(int(kk))
+                    out["lang"].append(meta["lang"])
+                    out["fmt"].append(fmt)
+                    out["n_caption_words"].append(len(caption.split(" ")))
+                    out["hash_ok"].append(1 if ahash64(gray) == exp else 0)
+            yield pd.DataFrame(out)
+
+    return back.mapInPandas(
+        verify,
+        schema="doc_id long, k int, lang string, fmt string, "
+        "n_caption_words int, hash_ok int",
     )

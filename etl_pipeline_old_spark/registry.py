@@ -188,8 +188,10 @@ _CORE_FIRST = (
     "pipeline_image_text_pairs_incremental",
     # round-8 (cont.): WebDataset tar-shard ingest (the training
     # dataloader's on-disk format; ustar codec cross-validated vs the
-    # stdlib tarfile module)
+    # stdlib tarfile module) and the EXPORT half (pair corpus shipped
+    # as tar shards, read back and verified)
     "multimodal_webdataset_ingest",
+    "multimodal_webdataset_export",
 )
 
 

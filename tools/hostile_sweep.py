@@ -80,6 +80,7 @@ REPEAT_QUERIES = (
     "pipeline_image_text_pairs_incremental",
     "multimodal_jpeg_progressive",
     "multimodal_webdataset_ingest",
+    "multimodal_webdataset_export",
 )
 
 
