@@ -192,6 +192,9 @@ _CORE_FIRST = (
     # as tar shards, read back and verified)
     "multimodal_webdataset_ingest",
     "multimodal_webdataset_export",
+    # round-8 (cont.): IMA ADPCM — the stateful compressed-audio format,
+    # cross-checked in-plan against CPython's audioop decoder
+    "multimodal_adpcm_ingest",
 )
 
 

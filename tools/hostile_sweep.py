@@ -81,6 +81,7 @@ REPEAT_QUERIES = (
     "multimodal_jpeg_progressive",
     "multimodal_webdataset_ingest",
     "multimodal_webdataset_export",
+    "multimodal_adpcm_ingest",
 )
 
 
