@@ -198,3 +198,35 @@ def test_incremental_split_is_nondegenerate(spark, sf_dir):
         tuple(r) for r in pipeline_image_text_pairs(spark, sf_dir).collect()
     )
     assert merged == full
+
+
+def test_family_plans_no_cartesian_no_row_python(spark, sf_dir):
+    """Every cross-modal family member must stay candidate-bounded (no
+    cartesian/nested-loop joins) and keep Python inside Arrow kernels
+    (no row-at-a-time BatchEvalPython)."""
+    from etl_pipeline_old_spark.queries.image_text import (
+        image_text_ingest_quarantine,
+        image_text_near_dedup,
+        multimodal_webdataset_export,
+        pipeline_image_text_pairs_incremental,
+    )
+
+    for fn in (
+        image_text_near_dedup,
+        image_text_ingest_quarantine,
+        pipeline_image_text_pairs_incremental,
+        multimodal_webdataset_export,
+    ):
+        plan = _plan_of(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+        assert "BatchEvalPython" not in plan, fn.__name__
+
+
+def test_incremental_merge_broadcasts_canonical(spark, sf_dir):
+    from etl_pipeline_old_spark.queries.image_text import (
+        pipeline_image_text_pairs_incremental,
+    )
+
+    plan = _plan_of(pipeline_image_text_pairs_incremental(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
