@@ -885,10 +885,10 @@ def multimodal_jpeg_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Progressive (SOF2) JPEG corpus: gray and 4:4:4 color cycled by doc_id.
-# Same quantization as the baseline corpus, so the bounds are the
-# baseline gray/444 bounds.
-_JPEG_PROG_BOUNDS = (20, 48)
+# Progressive (SOF2) JPEG corpus: gray / 4:4:4 / 4:2:0 cycled by doc_id.
+# Same quantization modes as the baseline corpus, so the bounds are the
+# baseline per-mode bounds.
+_JPEG_PROG_BOUNDS = (20, 48, 40)
 
 
 def _jpeg_prog_expected_rgb(doc_id: int, text: str):
@@ -897,7 +897,7 @@ def _jpeg_prog_expected_rgb(doc_id: int, text: str):
     from ..operators.multimodal import md5_pixels
 
     g = np.array(md5_pixels(text, 64)).reshape(8, 8)
-    if doc_id % 2 == 1:
+    if doc_id % 3 == 1:
         return np.stack([g, 255 - g, (g + 128) % 256], axis=-1)
     return np.stack([g, g, g], axis=-1)
 
@@ -906,18 +906,21 @@ def _render_jpeg_prog(doc_id: int, text: str) -> bytes:
     from ..operators.jpeg import encode_jpeg_progressive
 
     rgb = _jpeg_prog_expected_rgb(doc_id, text)
-    if doc_id % 2 == 0:
+    mode = doc_id % 3
+    if mode == 0:
         return encode_jpeg_progressive(
             rgb[..., 0].flatten().tolist(), 8, 8, quality=95
         )
-    return encode_jpeg_progressive(rgb, 8, 8, quality=95, subsampling="444")
+    if mode == 1:
+        return encode_jpeg_progressive(rgb, 8, 8, quality=95, subsampling="444")
+    return encode_jpeg_progressive(rgb, 8, 8, quality=90, subsampling="420")
 
 
 @register(
     "multimodal_jpeg_progressive",
     oracle="""
     SELECT doc_id, 8 AS width, 8 AS height,
-           CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS INT) AS ncomp,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END AS INT) AS ncomp,
            1 AS is_progressive, 1 AS within_bound, 1 AS equals_baseline
     FROM documents
     """,
@@ -925,7 +928,9 @@ def _render_jpeg_prog(doc_id: int, text: str) -> bytes:
     "gap a web crawl still hits (~10-20% of real JPEGs are progressive): "
     "one genuine multi-scan SOF2 file per document is staged from the "
     "executors (spectral-selection bands + successive-approximation "
-    "first/refinement passes, gray and 4:4:4 cycled by doc_id), scanned "
+    "first/refinement passes, gray / 4:4:4 / 4:2:0 cycled by doc_id — "
+    "4:2:0's non-interleaved AC scans cover the component grid while "
+    "its interleaved DC scans cover the MCU-padded grid), scanned "
     "back with binaryFile and decoded FOR REAL inside an Arrow "
     "mapInPandas kernel: per-scan DHTs, EOB-run decoding, "
     "correction-bit refinement, coefficient accumulation across scans, "
@@ -985,12 +990,15 @@ def multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ncomp = data[sof + 9]
                 exp = _jpeg_prog_expected_rgb(int(doc_id), text)
                 err = int(np.abs(rgb.astype(int) - exp).max())
-                mode = int(doc_id) % 2
-                base = (
-                    encode_jpeg(exp[..., 0].flatten().tolist(), 8, 8, quality=95)
-                    if mode == 0
-                    else encode_jpeg(exp, 8, 8, quality=95, subsampling="444")
-                )
+                mode = int(doc_id) % 3
+                if mode == 0:
+                    base = encode_jpeg(
+                        exp[..., 0].flatten().tolist(), 8, 8, quality=95
+                    )
+                elif mode == 1:
+                    base = encode_jpeg(exp, 8, 8, quality=95, subsampling="444")
+                else:
+                    base = encode_jpeg(exp, 8, 8, quality=90, subsampling="420")
                 out["doc_id"].append(int(doc_id))
                 out["width"].append(w)
                 out["height"].append(h)

@@ -200,13 +200,16 @@ def test_progressive_equals_baseline_gray(w, h, seed, quality):
 
 
 @settings(max_examples=10, deadline=None)
-@given(st.integers(0, 2**32 - 1))
-def test_progressive_equals_baseline_color(seed):
+@given(st.integers(0, 2**32 - 1), st.sampled_from(["444", "420"]))
+def test_progressive_equals_baseline_color(seed, sub):
+    """Holds for 4:2:0 too: the non-interleaved AC scans cover the
+    component grid while the interleaved DC scans cover the MCU-padded
+    grid — luma pad blocks carry DC only and never intersect the crop."""
     rng = np.random.RandomState(seed)
     rgb = rng.randint(0, 256, (17, 13, 3))
-    base = decode_jpeg(encode_jpeg(rgb, 13, 17, quality=95, subsampling="444"))
+    base = decode_jpeg(encode_jpeg(rgb, 13, 17, quality=95, subsampling=sub))
     prog = decode_jpeg(
-        encode_jpeg_progressive(rgb, 13, 17, quality=95, subsampling="444")
+        encode_jpeg_progressive(rgb, 13, 17, quality=95, subsampling=sub)
     )
     assert np.array_equal(base[2], prog[2])
 
@@ -219,10 +222,18 @@ def test_progressive_stream_is_sof2_multi_scan():
     assert data.count(b"\xff\xda") >= 6
 
 
-def test_progressive_420_encode_rejected():
-    rgb = np.zeros((16, 16, 3))
-    with pytest.raises(ValueError, match="444"):
-        encode_jpeg_progressive(rgb, 16, 16, subsampling="420")
+def test_progressive_420_grid_edges():
+    """Dims where the luma MCU grid strictly exceeds the component grid
+    (w or h in (8k, 16k] territory) — the padding seam the 4:2:0
+    encoder must keep DC-only."""
+    rng = np.random.RandomState(33)
+    for w, h in ((17, 31), (33, 15), (24, 16)):
+        rgb = rng.randint(0, 256, (h, w, 3)).astype(float)
+        base = decode_jpeg(encode_jpeg(rgb, w, h, quality=90, subsampling="420"))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(rgb, w, h, quality=90, subsampling="420")
+        )
+        assert np.array_equal(base[2], prog[2])
 
 
 def test_progressive_imageio_cross_validation(spark):
