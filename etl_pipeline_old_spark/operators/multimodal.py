@@ -528,11 +528,16 @@ def decode_audio_real(payload: bytes) -> tuple[int, int, list[int]]:
         if len(data) % channels:
             raise ValueError(f"G.711 data length {len(data)} not frame-aligned")
         return sample_rate, channels, [dec(b) for b in data]
+    if audio_format == 0x11:  # IMA ADPCM: the stateful codec (adpcm.py)
+        from .adpcm import decode_wav_adpcm
+
+        rate, samples = decode_wav_adpcm(payload)
+        return rate, 1, samples
     if audio_format != 1 or bits != 16:
         raise NotImplementedError(
             f"WAV encoding (format={audio_format}, bits={bits}) needs an "
-            "audio library — integer PCM16 and G.711 µ-law/A-law decode "
-            "natively"
+            "audio library — integer PCM16, G.711 µ-law/A-law, and IMA "
+            "ADPCM decode natively"
         )
     if len(data) % (2 * channels):
         raise ValueError(f"PCM16 data length {len(data)} not frame-aligned")
