@@ -66,7 +66,11 @@ def iter_tar(blob: bytes) -> Iterator[tuple[str, bytes]]:
     """Walk a tar archive's blocks and yield (name, data) per regular
     file member. Strict: header checksums are verified (a torn shard
     fails at the damaged member, not silently), non-regular members are
-    skipped, and the walk stops at the end-of-archive zero block."""
+    skipped, and the walk stops at the end-of-archive zero block. A blob
+    that runs out of blocks without ever presenting that zero block —
+    e.g. a shard truncated exactly on a 512-byte member boundary — is
+    rejected too, so truncation can never silently drop trailing
+    members."""
     i = 0
     n = len(blob)
     while i + _BLOCK <= n:
@@ -88,3 +92,4 @@ def iter_tar(blob: bytes) -> Iterator[tuple[str, bytes]]:
         i = data_start + size + ((-size) % _BLOCK)
     if i < n:
         raise ValueError("tar archive ends mid-block")
+    raise ValueError("tar archive missing end-of-archive marker")

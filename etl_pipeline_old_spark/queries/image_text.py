@@ -944,6 +944,7 @@ _EXPORT_DOCS_PER_SHARD = 50
 def multimodal_webdataset_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
+    import uuid
 
     from ..workdir import cache_root
     from .sources_formats import _tag
@@ -997,7 +998,12 @@ def multimodal_webdataset_export(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ).encode("utf-8"),
                 )
             )
-        tmp = os.path.join(out_dir, f".{sid:05d}.tmp")
+        # uuid-keyed tmp name: a retried / speculative duplicate attempt
+        # for the same shard group writes its OWN tmp file, and whichever
+        # os.replace lands last publishes a complete archive — two
+        # attempts sharing one fixed tmp path could interleave writes and
+        # publish a corrupt tar.
+        tmp = os.path.join(out_dir, f".{sid:05d}.{uuid.uuid4().hex}.tmp")
         with open(tmp, "wb") as fh:
             fh.write(encode_tar(members))
         os.replace(tmp, os.path.join(out_dir, f"{sid:05d}.tar"))

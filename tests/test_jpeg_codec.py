@@ -236,6 +236,53 @@ def test_progressive_420_grid_edges():
         assert np.array_equal(base[2], prog[2])
 
 
+def test_progressive_restart_markers_equal_baseline():
+    """Progressive streams carrying DRI + RSTn (the libjpeg
+    error-resilience layout) decode bit-identically to baseline: DC
+    prediction and EOB runs reset at every boundary on both sides.
+    Interval 1 maximizes marker density (a restart after EVERY unit);
+    odd intervals exercise runs that would otherwise span boundaries."""
+    rng = np.random.RandomState(77)
+    g = rng.randint(0, 256, 40 * 24)
+    base = decode_jpeg(encode_jpeg(g.tolist(), 40, 24, quality=90))
+    for ri in (1, 3, 7):
+        data = encode_jpeg_progressive(
+            g.tolist(), 40, 24, quality=90, restart_interval=ri
+        )
+        assert b"\xff\xdd" in data  # DRI present
+        assert any(bytes([0xFF, 0xD0 + k]) in data for k in range(8))
+        assert np.array_equal(decode_jpeg(data)[2], base[2])
+    # color + 4:2:0: restart units are MCUs for DC, blocks for AC scans
+    rgb = rng.randint(0, 256, (17, 21, 3))
+    base = decode_jpeg(encode_jpeg(rgb, 21, 17, quality=90, subsampling="420"))
+    for ri in (1, 2, 5):
+        data = encode_jpeg_progressive(
+            rgb, 21, 17, quality=90, subsampling="420", restart_interval=ri
+        )
+        assert np.array_equal(decode_jpeg(data)[2], base[2])
+
+
+def test_progressive_restart_imageio_cross_validation(spark):
+    """The restart-laden progressive stream is real interchange JPEG: the
+    JVM's independent decoder reads it to the same pixels we do."""
+    rng = np.random.RandomState(42)
+    g = rng.randint(0, 256, 29 * 18)
+    data = encode_jpeg_progressive(
+        g.tolist(), 29, 18, quality=95, restart_interval=2
+    )
+    ours = decode_jpeg(data)[2][..., 0].astype(int)
+    theirs = _imageio_raster(spark, data)[..., 0]
+    assert np.abs(ours - theirs).max() <= 2
+
+    rgb = rng.randint(0, 256, (13, 11, 3))
+    data = encode_jpeg_progressive(
+        rgb, 11, 13, quality=95, subsampling="444", restart_interval=3
+    )
+    ours = decode_jpeg(data)[2].astype(int)
+    theirs = _imageio_raster(spark, data)
+    assert np.abs(ours - theirs).max() <= 2
+
+
 def test_progressive_imageio_cross_validation(spark):
     """Our progressive output decodes identically (+-2) under the JVM's
     independent decoder — proof the multi-scan stream is real interchange

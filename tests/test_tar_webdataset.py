@@ -60,6 +60,19 @@ def test_truncated_member_is_detected():
         list(iter_tar(blob[: 512 + 2]))  # header + torn data
 
 
+def test_truncation_at_block_boundary_is_detected():
+    # Cut exactly after the first member's header+data blocks: every
+    # retained block parses cleanly, but the end-of-archive marker is
+    # gone — the walker must refuse rather than silently drop the rest.
+    blob = encode_tar(MEMBERS)
+    first_len = 512 + len(MEMBERS[0][1]) + ((-len(MEMBERS[0][1])) % 512)
+    with pytest.raises(ValueError, match="end-of-archive"):
+        list(iter_tar(blob[:first_len]))
+    # the degenerate empty blob has no marker either
+    with pytest.raises(ValueError, match="end-of-archive"):
+        list(iter_tar(b""))
+
+
 @settings(max_examples=30, deadline=None)
 @given(
     st.lists(
