@@ -14,12 +14,22 @@ container walk (operators/warc.py), four real lossless image codecs
 (PNG/GIF/BMP/TIFF), the JVM regexp HTML mining of queries/web_corpus.py,
 and the aHash dedup of queries/extras6.py into one plan.
 
-Scale shape (the 100 TB posture): page mining is a map-only explode over
-shard blobs; the image side is map + one tiny distinct (the image pool
-is dims-sized next to the page corpus — CC fetches each URI once); the
-page-image join broadcasts that pool, so the big side never shuffles;
-the canonical-representative table is another broadcast. Python appears
-only inside the two Arrow parse/decode kernels.
+Scale shape (the 100 TB posture), stated per side because the pool is
+NOT a dimension at every scale: page mining is a map-only explode over
+shard blobs; the image side is map + one distinct. At demo/enterprise
+scale (a pool that fits an executor heap — up to tens of millions of
+hash rows) `pipeline_image_text_pairs` broadcasts the pool and the
+canonical table, so the big page side never shuffles. At LAION/DataComp
+scale the unique-image pool grows LINEARLY with the crawl (billions of
+rows — the same order as the page corpus), so broadcasting it would OOM
+every executor; `pipeline_image_text_pairs_bucketed` is the shape that
+survives there: the page side collapses first to (lang, uri) bronze
+(one partial-agg shuffle of the big side — its ONLY shuffle), the pool
+is written once as a URI-bucketed sorted table, the bronze-pool join
+reads the bucketed scan with ZERO Exchange on the pool side, and the
+canonical representative comes from a groupBy(ahash) min-URI aggregate
+joined shuffle-side — nothing is ever broadcast. Python appears only
+inside the Arrow parse/decode kernels in both variants.
 """
 
 from __future__ import annotations
@@ -740,7 +750,12 @@ def pipeline_image_text_pairs_incremental(
     )
     pool = ib.unionByName(id_).distinct()
     canon = pool.groupBy("ahash").agg(F.min("uri").alias("canon_uri"))
-    merged = part.join(F.broadcast(canon), "ahash")
+    # shuffle-side canon join (merge hint, not broadcast): the canonical
+    # table is pool-sized and the pool grows linearly with the crawl —
+    # at LAION scale a broadcast here would OOM the executors, while the
+    # bronze side this joins is already pool-bounded, so an ahash
+    # shuffle of both sides is cheap at every scale
+    merged = part.join(canon.hint("merge"), "ahash")
     return merged.groupBy("lang", "fmt").agg(
         F.sum("n").cast("long").alias("n_pairs"),
         F.countDistinct("uri").alias("n_images"),
@@ -750,6 +765,105 @@ def pipeline_image_text_pairs_incremental(
         .alias("n_canonical_pairs"),
         F.round(F.sum("cap_words") / F.sum("n"), 2).alias("avg_caption_words"),
     )
+
+
+# ---------------------------------------------------------------------------
+# the LAION-scale variant: bucketed pool, nothing broadcast
+
+POOL_BUCKETS = 8
+
+
+@register(
+    "pipeline_image_text_pairs_bucketed",
+    oracle=_pairs_oracle(),
+    doc="The cross-modal capstone in the shape that survives LAION/"
+    "DataComp scale, where the unique-image pool grows linearly with "
+    "the crawl (billions of decoded-hash rows — the same order as the "
+    "page corpus) and broadcasting it would OOM every executor: the "
+    "page side collapses FIRST to (lang, uri) bronze — count + "
+    "caption-word sums, one partial-agg shuffle that is the big side's "
+    "ONLY shuffle; the decoded pool is written ONCE as a URI-bucketed "
+    f"sorted table ({POOL_BUCKETS} buckets; bucketBy+saveAsTable "
+    "carries the layout in catalog metadata, and the bucket set must "
+    "equal the FULL join-key set or Spark >= 3.3 silently disables the "
+    "bucketed scan); the bronze-pool join is a merge join whose pool "
+    "side reads the bucketed scan with ZERO Exchange; the canonical "
+    "representative is a groupBy(ahash) min-URI aggregate joined "
+    "shuffle-side (merge hint), NOT a broadcast canon table. Nothing "
+    "in the plan is broadcast — plan-locked in tests/test_image_text."
+    "py — and every post-bronze relation is pool-scale, so the plan "
+    "is insensitive to how large the crawl grows. Output and oracle "
+    "are identical to pipeline_image_text_pairs (value-equality also "
+    "asserted in the plan-lock test): integer caption-word sums make "
+    "the re-aggregated average exact.",
+)
+def pipeline_image_text_pairs_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.dedup import materialize_release
+    from ..workdir import reap_warehouse, table_name
+    from .sources_formats import _tag
+
+    tag = _tag(sf_dir).replace(".", "_")  # dots would split the table name
+    path = _stage_pair_warc_shards(spark, sf_dir)
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc.gz")
+        .load(path)
+        .select("content")
+    )
+    # big side: pages reduce to (lang, uri) granularity before ANY join —
+    # partial aggregation runs map-side, so the page corpus crosses the
+    # wire once, already collapsed
+    bronze = (
+        _pair_pages_frame(bf)
+        .groupBy("lang", F.col("img_uri").alias("uri"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.size(F.split("caption", " "))).alias("cap_words"),
+        )
+    )
+    reap_warehouse(spark)
+    t = table_name(f"img_pool_{tag}")
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    try:
+        (
+            _pair_imgs_frame(bf)
+            .repartition(POOL_BUCKETS, "uri")
+            .write.mode("overwrite")
+            .bucketBy(POOL_BUCKETS, "uri")
+            .sortBy("uri")
+            .saveAsTable(t)
+        )
+        pool = spark.table(t)
+        canon = pool.groupBy("ahash").agg(F.min("uri").alias("canon_uri"))
+        # merge hints pin the at-scale join strategy without touching
+        # autoBroadcastJoinThreshold (a session-wide toggle would
+        # deoptimize every other query computed under it); the pool side
+        # of the first join is the bucketed sorted scan — no Exchange,
+        # no Sort
+        joined = (
+            bronze.join(pool.hint("merge"), "uri")
+            .join(canon.hint("merge"), "ahash")
+        )
+        out = joined.groupBy("lang", "fmt").agg(
+            F.sum("n").cast("long").alias("n_pairs"),
+            F.countDistinct("uri").alias("n_images"),
+            F.countDistinct("ahash").alias("n_unique_images"),
+            F.sum(
+                F.when(F.col("uri") == F.col("canon_uri"), F.col("n")).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_canonical_pairs"),
+            F.round(F.sum("cap_words") / F.sum("n"), 2).alias(
+                "avg_caption_words"
+            ),
+        )
+        # eager distributed materialization: the result must outlive the
+        # bucketed table dropped below
+        return materialize_release(out)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
 # ---------------------------------------------------------------------------
@@ -958,7 +1072,11 @@ def multimodal_webdataset_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pages = _pair_pages_frame(bf)
     imgs = _pair_imgs_bytes_frame(bf)
-    samples = pages.join(F.broadcast(imgs), pages.img_uri == imgs.uri).select(
+    # shuffle-hash join, never a broadcast: imgs here carries the RAW
+    # payload bytes — the one relation that must never be replicated to
+    # every executor (it is the crawl's full decoded-media footprint at
+    # LAION scale); each task builds only its partition's slice
+    samples = pages.join(imgs.hint("shuffle_hash"), pages.img_uri == imgs.uri).select(
         "doc_id",
         "k",
         "lang",

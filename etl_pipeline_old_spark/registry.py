@@ -195,6 +195,12 @@ _CORE_FIRST = (
     # round-8 (cont.): IMA ADPCM — the stateful compressed-audio format,
     # cross-checked in-plan against CPython's audioop decoder
     "multimodal_adpcm_ingest",
+    # round-9: the LAION-scale cross-modal plan — URI-bucketed pool join,
+    # groupBy-derived canonical, nothing broadcast (r8 verdict #1)
+    "pipeline_image_text_pairs_bucketed",
+    # round-9: BPE apply on unseen text — OOV fallback replays the
+    # learned merges (r8 verdict #2a)
+    "corpus_bpe_apply_oov",
 )
 
 

@@ -110,6 +110,83 @@ def test_pairs_plan_broadcasts_pool_no_cartesian(spark, sf_dir):
     assert "BatchEvalPython" not in plan
 
 
+def test_bucketed_pairs_plan_never_broadcasts_and_equals_capstone(spark, sf_dir):
+    """The LAION-scale variant's plan lock (r8 verdict #1): the image
+    pool grows linearly with the crawl, so NOTHING in this plan may be
+    broadcast — the bronze-pool join must be a merge join whose pool
+    side reads the URI-bucketed scan with no Exchange, the canonical
+    table joins shuffle-side, and the output must equal the broadcast
+    capstone row-for-row."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_old_spark.queries.image_text import (
+        POOL_BUCKETS,
+        _pair_pages_frame,
+        pipeline_image_text_pairs_bucketed,
+    )
+    from etl_pipeline_old_spark.workdir import table_name
+
+    # value equality vs the broadcast capstone (same oracle, same rows)
+    base = sorted(
+        tuple(r) for r in pipeline_image_text_pairs(spark, sf_dir).collect()
+    )
+    bucketed = sorted(
+        tuple(r)
+        for r in pipeline_image_text_pairs_bucketed(spark, sf_dir).collect()
+    )
+    assert bucketed == base
+
+    # plan lock on the pre-materialization join tree (the query itself
+    # returns an eager localCheckpoint, which hides the join plan)
+    path = _stage_pair_warc_shards(spark, sf_dir)
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc.gz")
+        .load(path)
+        .select("content")
+    )
+    bronze = (
+        _pair_pages_frame(bf)
+        .groupBy("lang", F.col("img_uri").alias("uri"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.size(F.split("caption", " "))).alias("cap_words"),
+        )
+    )
+    t = table_name("img_pool_plan_lock")
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    try:
+        (
+            _pair_imgs_frame(bf)
+            .repartition(POOL_BUCKETS, "uri")
+            .write.mode("overwrite")
+            .bucketBy(POOL_BUCKETS, "uri")
+            .sortBy("uri")
+            .saveAsTable(t)
+        )
+        pool = spark.table(t)
+        canon = pool.groupBy("ahash").agg(F.min("uri").alias("canon_uri"))
+        joined = bronze.join(pool.hint("merge"), "uri").join(
+            canon.hint("merge"), "ahash"
+        )
+        out = joined.groupBy("lang", "fmt").agg(F.sum("n").alias("n_pairs"))
+        plan = _plan_of(out)
+        assert "BroadcastHashJoin" not in plan  # nothing broadcast, ever
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert len(re.findall(r"\(\d+\) SortMergeJoin", plan)) == 2
+        # the pool side of the uri join reads the bucketed layout (only a
+        # pool scan can be bucketed here; Spark >= 3.3 would print
+        # 'Bucketed: false (disabled by query planner)' if the bucket set
+        # didn't cover the join keys)
+        assert "Bucketed: true" in plan
+        assert "BatchEvalPython" not in plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_stream_pairs_hash_equals_batch(spark, sf_dir):
     """The streaming ingest must accumulate to EXACTLY the batch result
     under micro-batching (per-shard record independence makes this

@@ -82,6 +82,8 @@ REPEAT_QUERIES = (
     "multimodal_webdataset_ingest",
     "multimodal_webdataset_export",
     "multimodal_adpcm_ingest",
+    # r9: the LAION-scale bucketed variant (writes the pool table)
+    "pipeline_image_text_pairs_bucketed",
 )
 
 

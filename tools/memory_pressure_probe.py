@@ -43,6 +43,10 @@ HEAVY_QUERIES = (
     # per batch during the WARC record walk — not sort/agg state
     "multimodal_png_ingest",
     "pipeline_web_corpus",
+    # r8 verdict #1: the LAION-scale cross-modal plan — bucketed pool
+    # join + shuffle-side canon, nothing broadcast; under a small heap
+    # the mixed-media decode batches and the SMJ sorts are the pressure
+    "pipeline_image_text_pairs_bucketed",
 )
 K = 4
 DRIVER_MEM = "2g"
