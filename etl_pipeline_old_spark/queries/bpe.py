@@ -46,17 +46,26 @@ def _toks():
     return F.split(F.expr("trim(BOTH '|' FROM st)"), "\\|\\|")
 
 
-def _vocab_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").select("text")
-    words = d.select(F.explode(F.split("text", " ")).alias("word"))
-    vocab = words.groupBy("word").agg(F.count("*").alias("cnt"))
+def _char_wrapped(col: str = "word"):
+    """The char-level starting state of a word: every character wrapped,
+    '|h||i|' for 'hi'."""
     chars = F.transform(
-        F.sequence(F.lit(1), F.length("word")),
-        lambda i: F.col("word").substr(i, F.lit(1)),
+        F.sequence(F.lit(1), F.length(col)),
+        lambda i: F.col(col).substr(i, F.lit(1)),
     )
-    return vocab.withColumn(
-        "st", F.concat(F.lit("|"), F.array_join(chars, "||"), F.lit("|"))
-    )
+    return F.concat(F.lit("|"), F.array_join(chars, "||"), F.lit("|"))
+
+
+def _vocab_from_docs(docs: DataFrame) -> DataFrame:
+    """(word, cnt, st) weighted vocabulary from a corpus of text rows —
+    the ONE corpus-wide aggregate BPE training needs."""
+    words = docs.select(F.explode(F.split("text", " ")).alias("word"))
+    vocab = words.groupBy("word").agg(F.count("*").alias("cnt"))
+    return vocab.withColumn("st", _char_wrapped())
+
+
+def _vocab_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _vocab_from_docs(load_table(spark, sf_dir, "documents").select("text"))
 
 
 def _adjacent_pairs(vocab: DataFrame) -> DataFrame:
@@ -218,4 +227,240 @@ def corpus_bpe_train_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         out,
         "round int, left_tok string, right_tok string, merged string, "
         "pair_count bigint, corpus_tokens_after bigint, apply_check int",
+    )
+
+
+def _train_merge_list(
+    vocab: DataFrame, k: int = _K_MERGES
+) -> tuple[list[tuple[str, str]], DataFrame]:
+    """The training loop reduced to what apply needs: k rounds, each ONE
+    distributed pair-count aggregate and a 1-row argmax collect, merge
+    applied as a literal replace, lineage truncated per round. Returns
+    the ordered merge list and the final vocabulary state."""
+    merges: list[tuple[str, str]] = []
+    for _ in range(k):
+        best = (
+            _adjacent_pairs(vocab)
+            .orderBy(F.desc("c"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b = best[0]["a"], best[0]["b"]
+        merges.append((a, b))
+        vocab = vocab.withColumn(
+            "st",
+            F.replace(F.col("st"), F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|")),
+        ).localCheckpoint(eager=False)
+    return merges, vocab
+
+
+def _select_disjoint(
+    cands: list[tuple[str, str, int]], k: int
+) -> list[tuple[str, str]]:
+    """Greedy token-disjoint selection from (a, b, count) candidates
+    already sorted by (count desc, a, b): a pair is kept only if neither
+    of its tokens appears in an already-kept pair — the invariance that
+    lets the kept merges apply together, because merging (a, b) cannot
+    change the adjacency count of any (c, d) with {a,b} ∩ {c,d} = ∅."""
+    kept: list[tuple[str, str]] = []
+    used: set[str] = set()
+    for a, b, _c in cands:
+        if a in used or b in used:
+            continue
+        kept.append((a, b))
+        used.update((a, b))
+        if len(kept) == k:
+            break
+    return kept
+
+
+def _train_merge_list_batched(
+    vocab: DataFrame, k_total: int = _K_MERGES, batch: int = 8
+) -> tuple[list[tuple[str, str]], DataFrame]:
+    """The driver-round-count fix for 10k+-merge vocabularies (r8 verdict
+    #2b): each round collects the top-(4*batch) pair candidates (a
+    bounded collect — batch rows of driver state per merge, never
+    token-level data), greedily keeps up to ``batch`` token-disjoint
+    merges, and applies them all in ONE chained-replace projection + one
+    lineage truncation — so the per-merge cost of a round-trip (job
+    scheduling + analysis + collect latency, the dominant term once the
+    pair aggregate is vocabulary-bounded) drops ~batch-fold.  Within a
+    round the kept merges apply in selection order (the chained replace
+    evaluates left to right), which is the exact semantics the Python
+    reference in tests/test_bpe.py mirrors; with batch=1 the algorithm
+    IS classic sequential BPE.  Batched selection reads pair counts that
+    are stale by at most one round — the standard throughput/fidelity
+    trade every fast tokenizer trainer (e.g. the Rust BPE crates) makes."""
+    merges: list[tuple[str, str]] = []
+    while len(merges) < k_total:
+        want = min(batch, k_total - len(merges))
+        cands = (
+            _adjacent_pairs(vocab)
+            .orderBy(F.desc("c"), "a", "b")
+            .limit(max(4 * want, 16))
+            .collect()
+        )
+        if not cands:
+            break
+        kept = _select_disjoint(
+            [(r["a"], r["b"], int(r["c"])) for r in cands], want
+        )
+        if not kept:  # pathological overlap tail: fall back to the argmax
+            kept = [(cands[0]["a"], cands[0]["b"])]
+        merges.extend(kept)
+        vocab = vocab.withColumn(
+            "st", _replay_merges(F.col("st"), kept)
+        ).localCheckpoint(eager=False)
+    return merges, vocab
+
+
+def _replay_merges(col, merges: list[tuple[str, str]]):
+    """Apply the learned merges IN ORDER to a delimiter-wrapped string
+    column — one chained-literal-replace projection (64 F.replace calls
+    collapse into a single whole-stage-codegen stage; no UDF). Replaying
+    in learned order reproduces the training-state evolution exactly, so
+    for in-vocabulary words replay(char_split(word)) == trained st — the
+    property that makes the vocab-map join a pure cache of this chain."""
+    out = col
+    for a, b in merges:
+        out = F.replace(out, F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|"))
+    return out
+
+
+_OOV_TRAIN_MOD = 4  # doc_id % 4 == 3 is the held-out split
+
+
+def _bpe_oov_oracle(k: int = _K_MERGES) -> str:
+    """Train the k merges on the training split, then tokenize the
+    held-out split: known words read the trained state, OOV words replay
+    the k merges in order on their char split — the same string algebra
+    unrolled."""
+    m = _OOV_TRAIN_MOD
+    parts = [
+        f"""wc AS (
+      SELECT w AS word, count(*)::BIGINT AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS w
+            FROM documents WHERE doc_id % {m} <> {m - 1})
+      GROUP BY w),
+    v0 AS MATERIALIZED (
+      SELECT word, cnt,
+             '|' || array_to_string(
+               list_transform(range(1, length(word) + 1),
+                              i -> substr(word, i, 1)), '||') || '|' AS st
+      FROM wc)"""
+    ]
+    for r in range(1, k + 1):
+        parts.append(f"""p{r} AS MATERIALIZED (
+      SELECT t[i] AS a, t[i + 1] AS b, sum(cnt)::BIGINT AS c
+      FROM (SELECT cnt, string_split(trim(st, '|'), '||') AS t FROM v{r - 1}),
+           UNNEST(range(1, len(t))) AS u(i)
+      GROUP BY a, b),
+    b{r} AS MATERIALIZED (SELECT a, b, c FROM p{r} ORDER BY c DESC, a, b LIMIT 1),
+    v{r} AS MATERIALIZED (
+      SELECT word, cnt,
+             replace(st,
+                     coalesce('|' || (SELECT a FROM b{r}) || '||'
+                              || (SELECT b FROM b{r}) || '|', '~~none~~'),
+                     coalesce('|' || (SELECT a FROM b{r})
+                              || (SELECT b FROM b{r}) || '|', '~~none~~')) AS st
+      FROM v{r - 1})""")
+    # held-out words: known ones join the trained state, unseen ones
+    # replay the merge chain on their char split
+    parts.append(f"""dw AS MATERIALIZED (
+      SELECT w AS word, count(*)::BIGINT AS cnt
+      FROM (SELECT unnest(string_split(text || ' zzq' || (doc_id % 7), ' ')) AS w
+            FROM documents WHERE doc_id % {m} = {m - 1})
+      GROUP BY w),
+    known AS (
+      SELECT dw.word, dw.cnt, v.st FROM dw JOIN v{k} v USING (word)),
+    o0 AS MATERIALIZED (
+      SELECT dw.word, dw.cnt,
+             '|' || array_to_string(
+               list_transform(range(1, length(dw.word) + 1),
+                              i -> substr(dw.word, i, 1)), '||') || '|' AS st
+      FROM dw ANTI JOIN v{k} v USING (word))""")
+    for r in range(1, k + 1):
+        parts.append(f"""o{r} AS (
+      SELECT word, cnt,
+             replace(st,
+                     coalesce('|' || (SELECT a FROM b{r}) || '||'
+                              || (SELECT b FROM b{r}) || '|', '~~none~~'),
+                     coalesce('|' || (SELECT a FROM b{r})
+                              || (SELECT b FROM b{r}) || '|', '~~none~~')) AS st
+      FROM o{r - 1})""")
+    return f"""
+    WITH {','.join(parts)},
+    fin AS (
+      SELECT word, cnt, 0 AS oov, st FROM known
+      UNION ALL
+      SELECT word, cnt, 1 AS oov, st FROM o{k})
+    SELECT t AS token,
+           sum(cnt)::BIGINT AS n_total,
+           sum(cnt * oov)::BIGINT AS n_from_oov
+    FROM (SELECT cnt, oov,
+                 unnest(string_split(trim(st, '|'), '||')) AS t
+          FROM fin)
+    GROUP BY t
+    """
+
+
+@register(
+    "corpus_bpe_apply_oov",
+    oracle=_bpe_oov_oracle(),
+    doc="BPE apply on text the tokenizer never saw — the actual use of a "
+    "trained tokenizer, and the gap corpus_bpe_train_apply leaves open "
+    "(its inner vocab join silently drops out-of-vocabulary words): "
+    f"merges train on the doc_id % {_OOV_TRAIN_MOD} != {_OOV_TRAIN_MOD - 1} "
+    "split (same driver-coordinated rounds), then the held-out split — "
+    "salted with ' zzq<doc_id%7>' suffix words so genuine OOV coverage "
+    "is guaranteed at every SF — tokenizes through a LEFT join to the "
+    "broadcast vocabulary map; in-vocab words read their trained state, "
+    "OOV words FALL BACK to replaying the learned merges in order on "
+    "their char split — a single chained-literal-replace projection "
+    "(whole-stage codegen, no UDF), which reproduces the training-state "
+    "evolution exactly (for in-vocab words replay == trained state, so "
+    "the vocab map is just a cache of this chain). Output: per-token "
+    "totals over the held-out corpus with the OOV-contributed share. "
+    "The oracle re-learns the merges on the training split and replays "
+    "the same unrolled chain on the anti-joined words — a dropped OOV "
+    "word, a wrong merge order, or replay drift all fail the hash. "
+    "100 TB shape: apply is distinct-words + one broadcast lookup + a "
+    "map-side replay over the (tiny) OOV tail; nothing token-level "
+    "shuffles except the final per-token aggregate.",
+)
+def corpus_bpe_apply_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    m = _OOV_TRAIN_MOD
+    train = d.filter(F.col("doc_id") % m != m - 1).select("text")
+    merges, vocab = _train_merge_list(_vocab_from_docs(train))
+    delta = d.filter(F.col("doc_id") % m == m - 1).select(
+        F.concat(
+            F.col("text"), F.lit(" zzq"), (F.col("doc_id") % 7).cast("string")
+        ).alias("text")
+    )
+    dwords = (
+        delta.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    joined = dwords.join(
+        F.broadcast(vocab.select("word", "st")), "word", "left"
+    )
+    fin = joined.select(
+        "cnt",
+        F.col("st").isNull().cast("int").alias("oov"),
+        F.coalesce(F.col("st"), _replay_merges(_char_wrapped(), merges)).alias(
+            "stf"
+        ),
+    )
+    toks = F.split(F.expr("trim(BOTH '|' FROM stf)"), "\\|\\|")
+    return (
+        fin.select("cnt", "oov", F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_total"),
+            F.sum(F.col("cnt") * F.col("oov")).cast("long").alias("n_from_oov"),
+        )
     )

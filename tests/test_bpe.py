@@ -98,3 +98,146 @@ def test_final_vocab_reconstructs_words(spark, sf_dir):
         for r in vocab.select("word", _toks().alias("t")).collect()
     }
     assert got == state
+
+
+# ------------------------------------------------- batched merge rounds
+
+
+def _apply_merge(toks: tuple, a: str, b: str) -> tuple:
+    out: list[str] = []
+    i = 0
+    while i < len(toks):
+        if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(toks[i])
+            i += 1
+    return tuple(out)
+
+
+def _reference_bpe_batched(word_counts: dict[str, int], k_total: int, batch: int):
+    """Independent reference of the batched algorithm: top candidates by
+    (count desc, a, b), greedy token-disjoint keep, kept merges applied
+    IN SELECTION ORDER within the round."""
+    state = {w: tuple(w) for w in word_counts}
+    merges: list[tuple[str, str]] = []
+    while len(merges) < k_total:
+        want = min(batch, k_total - len(merges))
+        pairs: Counter = Counter()
+        for w, toks in state.items():
+            for i in range(len(toks) - 1):
+                pairs[(toks[i], toks[i + 1])] += word_counts[w]
+        if not pairs:
+            break
+        cands = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        kept: list[tuple[str, str]] = []
+        used: set[str] = set()
+        for (a, b), _c in cands[: max(4 * want, 16)]:
+            if a in used or b in used:
+                continue
+            kept.append((a, b))
+            used.update((a, b))
+            if len(kept) == want:
+                break
+        if not kept:
+            kept = [cands[0][0]]
+        merges.extend(kept)
+        for a, b in kept:
+            state = {w: _apply_merge(t, a, b) for w, t in state.items()}
+    return merges, state
+
+
+def test_batched_training_batch1_is_classic_bpe(spark, sf_dir):
+    """batch=1 must reproduce the sequential learner's merge list
+    exactly — batching is a throughput knob, not a different algorithm
+    at its degenerate setting."""
+    from etl_pipeline_old_spark.queries.bpe import (
+        _train_merge_list_batched,
+        _vocab_frame,
+    )
+
+    k = 12
+    ref, _ = _reference_bpe(_word_counts(spark, sf_dir), k)
+    got, _v = _train_merge_list_batched(_vocab_frame(spark, sf_dir), k, batch=1)
+    assert got == [(a, b) for a, b, _c, _t in ref]
+
+
+def test_batched_training_matches_batched_reference(spark, sf_dir):
+    """batch=8: the Spark path must reproduce the independent Python
+    reference of the SAME batched algorithm — merge list and the full
+    final tokenization state."""
+    from etl_pipeline_old_spark.queries.bpe import (
+        _toks as toks_col,
+    )
+    from etl_pipeline_old_spark.queries.bpe import (
+        _train_merge_list_batched,
+        _vocab_frame,
+    )
+
+    wc = _word_counts(spark, sf_dir)
+    k, batch = 32, 8
+    ref_merges, ref_state = _reference_bpe_batched(wc, k, batch)
+    got_merges, vocab = _train_merge_list_batched(
+        _vocab_frame(spark, sf_dir), k, batch=batch
+    )
+    assert got_merges == ref_merges
+    got_state = {
+        r["word"]: tuple(r["t"])
+        for r in vocab.select("word", toks_col().alias("t")).collect()
+    }
+    assert got_state == ref_state
+    # lossless: tokens still concatenate back to the word
+    for w, t in got_state.items():
+        assert "".join(t) == w
+
+
+def test_oov_apply_matches_python_reference(spark, sf_dir):
+    """corpus_bpe_apply_oov end to end vs an independent in-memory
+    replay: train on the %4!=3 split, tokenize the salted held-out
+    split, OOV words replay the learned merges in order."""
+    from etl_pipeline_old_spark.queries.bpe import (
+        _K_MERGES as K,
+    )
+    from etl_pipeline_old_spark.queries.bpe import (
+        _OOV_TRAIN_MOD as M,
+    )
+    from etl_pipeline_old_spark.queries.bpe import (
+        corpus_bpe_apply_oov,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    train_wc: Counter = Counter()
+    delta_wc: Counter = Counter()
+    for r in docs.collect():
+        words = r["text"].split(" ")
+        if r["doc_id"] % M != M - 1:
+            train_wc.update(words)
+        else:
+            delta_wc.update(words + [f"zzq{r['doc_id'] % 7}"])
+    merges, state = _reference_bpe(dict(train_wc), K)
+    totals: Counter = Counter()
+    oov_totals: Counter = Counter()
+    for w, cnt in delta_wc.items():
+        if w in state:
+            toks = state[w]
+            oov = False
+        else:
+            toks = tuple(w)
+            for a, b, _c, _t in merges:
+                toks = _apply_merge(toks, a, b)
+            oov = True
+        for t in toks:
+            totals[t] += cnt
+            if oov:
+                oov_totals[t] += cnt
+    got = {
+        r["token"]: (r["n_total"], r["n_from_oov"])
+        for r in corpus_bpe_apply_oov(spark, sf_dir).collect()
+    }
+    assert got == {t: (totals[t], oov_totals[t]) for t in totals}
+    # the salted words guarantee genuine OOV coverage at every SF
+    assert sum(oov_totals.values()) > 0
+    assert any(v[1] > 0 for v in got.values())

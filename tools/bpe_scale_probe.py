@@ -132,6 +132,29 @@ def main() -> None:
     infl_avg = sum(walls) / len(walls)
     print(f"words x4 corpus (same vocab): avg_round={infl_avg:.2f}s", flush=True)
 
+    # merge batching (r8 verdict #2b): the round count is the remaining
+    # scale axis — real vocabularies need 10k+ merges and each driver
+    # round pays job scheduling + analysis + collect latency. Measure
+    # wall PER MERGE learning the same K merges on the trigram vocab
+    # (the largest sweep setting) sequentially vs in token-disjoint
+    # batches of 8.
+    from etl_pipeline_old_spark.queries.bpe import _train_merge_list_batched
+
+    K_BATCH = 32
+    batch_rows = []
+    for bsz in (1, 8):
+        v = unit_vocab(3)
+        t0 = time.monotonic()
+        merges, _vf = _train_merge_list_batched(v, K_BATCH, batch=bsz)
+        wall = time.monotonic() - t0
+        batch_rows.append((bsz, len(merges), wall, wall / len(merges)))
+        print(
+            f"batch={bsz}: {len(merges)} merges in {wall:.1f}s "
+            f"({wall / len(merges):.2f}s/merge)",
+            flush=True,
+        )
+    speedup = batch_rows[0][3] / batch_rows[1][3]
+
     load1 = os.getloadavg()[0]
     block = "\n".join(
         [
@@ -162,6 +185,31 @@ def main() -> None:
             "makes 10k-merge tokenizer training tractable: every round "
             "shuffles vocabulary-sized pair counts with map-side combine "
             "and collects exactly one argmax row.",
+            "",
+            "### Merge batching: wall per merge (r8 verdict #2b)",
+            "",
+            f"Same machinery, trigram vocabulary, {K_BATCH} merges learned "
+            "sequentially vs in token-disjoint batches "
+            "(`_train_merge_list_batched`): the driver round-trip — job "
+            "scheduling, plan analysis, collect latency — is the dominant "
+            "per-merge term, so batching k disjoint merges per round "
+            "divides it ~k-fold.",
+            "",
+            "| batch | merges | wall | wall/merge |",
+            "|---|---|---|---|",
+        ]
+        + [
+            f"| {b} | {n} | {w:.1f}s | {pm:.2f}s |"
+            for b, n, w, pm in batch_rows
+        ]
+        + [
+            "",
+            f"Per-merge speedup at batch=8: **{speedup:.1f}x**. A 10k-merge "
+            "vocabulary at batch=8 therefore costs ~1250 driver rounds "
+            "instead of 10k — and the batch size can grow with the "
+            "vocabulary (disjoint candidates are plentiful when the pair "
+            "table is large), keeping total driver rounds in the "
+            "low thousands at web scale.",
         ]
     )
     _upsert_block(block)
