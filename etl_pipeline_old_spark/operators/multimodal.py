@@ -17,13 +17,14 @@ bytes end-to-end. BASELINE JPEG also decodes (and encodes) natively —
 (FDCT/IDCT, optimized Huffman, 4:4:4 / 4:2:0, restart markers),
 cross-validated against the JVM's independent ``javax.imageio`` decoder
 to within ±2 gray levels. AUDIO decodes for real too
-(``decode_audio_real``: RIFF/WAVE PCM16, cross-validated against the
-stdlib ``wave`` module), as does raw VIDEO (``decode_video_real``:
+(``decode_audio_real``: RIFF/WAVE PCM16 cross-validated against the
+stdlib ``wave`` module, G.711, IMA ADPCM, and lossless FLAC via
+operators/flac.py), as does raw VIDEO (``decode_video_real``:
 YUV4MPEG2 header + FRAME walk, Y-plane grayscale) — all three modalities
-have genuine staged-file ingest queries. Progressive JPEG, compressed
-audio (MP3/FLAC), and compressed video (MP4/MKV) still need codec
-libraries absent from this container, so those raise — the seams where
-libjpeg-turbo / soundfile / PyAV plug in on a real cluster. ``decode_meta``/``resize``/
+have genuine staged-file ingest queries. Perceptual audio (MP3/AAC/OGG)
+and compressed video (MP4/MKV) still need codec libraries absent from
+this container, so those raise — the seams where
+soundfile / PyAV plug in on a real cluster. ``decode_meta``/``resize``/
 ``feature_extract``/``frame_sample`` below remain deterministic
 stand-ins for generic batch shapes (the REAL frame sampling lives in
 ``multimodal_y4m_frames``, inside the decode kernel).
@@ -487,18 +488,26 @@ def encode_wav_pcm16(
 
 
 def decode_audio_real(payload: bytes) -> tuple[int, int, list[int]]:
-    """REAL audio decode for RIFF/WAVE PCM16 payloads, pure stdlib: walk
-    the chunk stream (fmt/data; unknown chunks skipped with the spec's
-    odd-size pad byte honored), validate PCM16, return (sample_rate,
-    channels, interleaved int16 samples). Compressed audio (MP3/FLAC/OGG)
-    and non-PCM WAV encodings need a codec library absent from this
-    container — those raise NotImplementedError, the seam where
-    soundfile/ffmpeg plugs in on a real cluster."""
+    """REAL audio decode, pure stdlib: RIFF/WAVE (integer PCM16, G.711
+    µ-law/A-law, IMA ADPCM — chunk stream walked with the spec's
+    odd-size pad byte honored) and FLAC (operators/flac.py: Rice-coded
+    fixed + LPC predictors, stereo decorrelation, CRC + MD5 verified),
+    returning (sample_rate, channels, interleaved int16 samples).
+    Perceptual codecs (MP3/AAC/OGG-Vorbis) genuinely need a codec
+    library absent from this container — those raise
+    NotImplementedError, the seam where soundfile/ffmpeg plugs in on a
+    real cluster."""
+    if payload[:4] == b"fLaC":
+        from .flac import decode_flac
+
+        rate, channels, _bps, samples = decode_flac(payload)
+        return rate, channels, samples
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise NotImplementedError(
-            f"no codec for magic {payload[:4]!r}: compressed-audio decode "
-            "requires an audio library (e.g. soundfile), not available in "
-            "this container — only RIFF/WAVE PCM16 decodes natively"
+            f"no codec for magic {payload[:4]!r}: perceptual-audio decode "
+            "(MP3/AAC/OGG) requires an audio library (e.g. soundfile), not "
+            "available in this container — RIFF/WAVE PCM16, G.711, IMA "
+            "ADPCM, and FLAC decode natively"
         )
     i, fmt, data = 12, None, None
     while i + 8 <= len(payload):

@@ -1720,3 +1720,147 @@ def multimodal_adpcm_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, rate int, n_samples int, n_blocks int, "
         "head0 int, head1 int, within_bound int, cross_ok int",
     )
+
+
+# --------------------------------------------------------------- FLAC
+# Lossless compressed audio: unlike ADPCM's error bound, the oracle can
+# demand EXACT sample recovery — decode must reproduce the md5 signal
+# formula bit-for-bit or the hash fails. Staging cycles the decode
+# surface by doc_id % 3: the fixed-predictor encoder (mono), genuine
+# LPC subframes with a partitioned residual (mono — the path real
+# encoders emit), and mid/side-decorrelated stereo.
+
+
+def _render_flac(doc_id: int, text: str) -> bytes:
+    from ..operators.flac import encode_flac
+    from ..operators.multimodal import md5_samples
+
+    mode = doc_id % 3
+    if mode == 2:  # stereo, mid/side decorrelation, 64 frames
+        return encode_flac(
+            md5_samples(text, 128),
+            n_channels=2,
+            sample_rate=8000,
+            block_size=16,
+            stereo_mode="mid_side",
+        )
+    if mode == 1:  # LPC subframes, 2 Rice partitions per block
+        return encode_flac(
+            md5_samples(text, 64),
+            sample_rate=8000,
+            block_size=16,
+            lpc=([53, -21], 5),
+            partition_order=1,
+        )
+    return encode_flac(md5_samples(text, 64), sample_rate=8000, block_size=16)
+
+
+@register(
+    "multimodal_flac_ingest",
+    oracle=f"""
+    SELECT doc_id, 8000 AS rate,
+           CASE WHEN doc_id % 3 = 2 THEN 2 ELSE 1 END AS n_ch,
+           CASE WHEN doc_id % 3 = 2 THEN 128 ELSE 64 END AS n_samples,
+           CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END AS has_lpc,
+           {_wav_sample_sql(0)} AS head0,
+           {_wav_sample_sql(33)} AS head1,
+           1 AS all_exact, 1 AS md5_ok
+    FROM documents
+    """,
+    doc="FLAC ingest — the lossless compressed-audio format real "
+    "speech/music corpora ship in, and the last stdlib-tractable codec "
+    "seam (operators/flac.py, written from the public RFC 9639 spec: "
+    "Rice-coded residuals with partitioned and escaped forms, fixed + "
+    "LPC predictors, stereo decorrelation, CRC-8 headers, CRC-16 "
+    "frames, STREAMINFO MD5). Genuine .flac files are staged from the "
+    "executors cycling the decode surface by doc_id: fixed-predictor "
+    "mono, LPC mono with a 2-partition residual (the subframe type "
+    "real encoders emit; has_lpc verifies the staged stream genuinely "
+    "contains LPC subframes by walking its subframe headers), and "
+    "mid/side stereo — then decoded FOR REAL inside an Arrow kernel. "
+    "Because FLAC is lossless the oracle demands EXACT recovery: head "
+    "samples equal the md5 signal formula, all_exact compares every "
+    "decoded sample against the recomputed source, and md5_ok is the "
+    "container's own STREAMINFO MD5 verdict over the reconstruction. "
+    "Scale: the usual binaryFile ingest plan — files decode in "
+    "parallel inside Arrow batches, frames are independently decodable "
+    "(the property that makes FLAC seekable), and one corrupt file "
+    "costs its own record, never the job.",
+)
+def multimodal_flac_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_media_files(spark, sf_dir, "flac_files", "flac", _render_flac)
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.flac")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.flac$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "content",
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    joined = bf.join(docs, "doc_id")
+
+    def op(batches):
+        import pandas as pd
+
+        from ..operators.flac import decode_flac
+        from ..operators.multimodal import md5_samples
+
+        def has_lpc_subframe(payload: bytes) -> int:
+            # structural check on the raw bytes: walk the metadata
+            # blocks to the TRUE first frame (a byte scan for the sync
+            # pattern could false-positive inside entropy data — FLAC
+            # has no byte stuffing), then read its first subframe
+            # header. It sits 8 bytes into the frame: sync(2) +
+            # bs/sr(1) + chan/ss(1) + coded#(1 — frame numbers < 128
+            # here) + blocksize-1(2) + crc8(1). LPC types are 0b1xxxxx
+            # in the 6 type bits, i.e. bit 6 of the header byte.
+            pos = 4
+            while True:
+                hdr = payload[pos]
+                length = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+                pos += 4 + length
+                if hdr & 0x80:
+                    break
+            sub = payload[pos + 8]
+            return 1 if (sub & 0x80) == 0 and (sub & 0x40) else 0
+
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "rate": [],
+                "n_ch": [],
+                "n_samples": [],
+                "has_lpc": [],
+                "head0": [],
+                "head1": [],
+                "all_exact": [],
+                "md5_ok": [],
+            }
+            for doc_id, content, text in zip(
+                pdf["doc_id"], pdf["content"], pdf["text"]
+            ):
+                payload = bytes(content)
+                # decode_flac verifies the STREAMINFO MD5 internally —
+                # reaching this line IS the md5_ok verdict
+                rate, n_ch, _bps, mine = decode_flac(payload)
+                src = md5_samples(text, 128 if int(doc_id) % 3 == 2 else 64)
+                out["doc_id"].append(int(doc_id))
+                out["rate"].append(rate)
+                out["n_ch"].append(n_ch)
+                out["n_samples"].append(len(mine))
+                out["has_lpc"].append(has_lpc_subframe(payload))
+                out["head0"].append(int(mine[0]))
+                out["head1"].append(int(mine[33]))
+                out["all_exact"].append(1 if mine == src else 0)
+                out["md5_ok"].append(1)
+            yield pd.DataFrame(out)
+
+    return joined.mapInPandas(
+        op,
+        schema="doc_id long, rate int, n_ch int, n_samples int, "
+        "has_lpc int, head0 int, head1 int, all_exact int, md5_ok int",
+    )

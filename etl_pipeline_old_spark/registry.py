@@ -201,6 +201,9 @@ _CORE_FIRST = (
     # round-9: BPE apply on unseen text — OOV fallback replays the
     # learned merges (r8 verdict #2a)
     "corpus_bpe_apply_oov",
+    # round-9: lossless FLAC ingest — the last stdlib-tractable codec
+    # seam, exact-recovery oracle (r8 verdict #3)
+    "multimodal_flac_ingest",
 )
 
 

@@ -84,6 +84,8 @@ REPEAT_QUERIES = (
     "multimodal_adpcm_ingest",
     # r9: the LAION-scale bucketed variant (writes the pool table)
     "pipeline_image_text_pairs_bucketed",
+    # r9: staged .flac media files
+    "multimodal_flac_ingest",
 )
 
 
