@@ -768,6 +768,169 @@ def pipeline_image_text_pairs_incremental(
 
 
 # ---------------------------------------------------------------------------
+# genuine stream-stream join: pages and images as two out-of-order feeds
+
+
+@register(
+    "stream_image_text_join",
+    oracle=_pairs_oracle(),
+    doc="GENUINE stream-stream cross-modal join (r8 verdict #4) — where "
+    "stream_image_text_pairs replays the batch join per micro-batch, "
+    "this is the real streaming shape: page candidates and decoded "
+    "image records arrive OUT OF ORDER on two separate feeds (event "
+    "times deliberately scrambled against file/arrival order, one file "
+    "per trigger), both sides carry watermarks, and a caption must WAIT "
+    "in the join state for its late image: a watermarked LEFT OUTER "
+    "stream-stream join on URI with an event-time range bound — so a "
+    "dead-link candidate (404s never enter the image feed) emits "
+    "null-padded only once the watermark proves no image can still "
+    "arrive. The feeds close with end-of-feed sentinel rows far past "
+    "every real event time (the production punctuation pattern, as in "
+    "stream_stream_left_outer), pushing both watermarks so every "
+    "unmatched candidate drains deterministically; sentinels and "
+    "unmatched rows are filtered from the drained BATCH result (never "
+    "in-stream — Catalyst would push the predicate below the watermark "
+    "node and the state would never close). The canonical/stats tail "
+    "then runs over the drained matches and must hash-equal the batch "
+    "capstone (identical oracle). 100 TB shape: join state is bounded "
+    "by the watermark horizon, not the crawl; each side scales "
+    "independently; nothing is broadcast (shuffle-side canon join).",
+)
+def stream_image_text_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+    import os
+    import shutil
+    import uuid
+
+    from ..session import ensure_session_confs
+    from ..workdir import cache_root
+    from .sources_formats import _tag
+
+    ensure_session_confs(spark)
+    crawl = _stage_pair_warc_shards(spark, sf_dir)
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc.gz")
+        .load(crawl)
+        .select("content")
+    )
+    base = os.path.join(cache_root(), f"pair_ssj_{_tag(sf_dir)}")
+    pages_feed, imgs_feed = base + "_pages", base + "_imgs"
+    for p in (pages_feed, imgs_feed):
+        shutil.rmtree(p, ignore_errors=True)
+
+    epoch = datetime.datetime(2026, 1, 1)
+    far = epoch + datetime.timedelta(days=10)
+
+    # page candidates: event time scrambled against doc order, three
+    # feed files written separately so arrival order mixes event times
+    pages = _pair_pages_frame(bf).withColumn(
+        "p_ts",
+        F.timestamp_seconds(
+            F.lit(int(epoch.timestamp())) + (F.col("doc_id") * 7 % 11) * 3600
+        ),
+    )
+    for part in range(3):
+        pages.filter(F.col("doc_id") % 3 == part).coalesce(1).write.mode(
+            "append"
+        ).parquet(pages_feed)
+    spark.createDataFrame(
+        [(-1, "zz", 0, "zz://none", "x", far)],
+        "doc_id long, lang string, k int, img_uri string, caption string, "
+        "p_ts timestamp",
+    ).coalesce(1).write.mode("append").parquet(pages_feed)
+
+    imgs = _pair_imgs_frame(bf).withColumn(
+        "i_ts",
+        F.timestamp_seconds(
+            F.lit(int(epoch.timestamp()))
+            + (
+                F.regexp_extract("uri", r"/(\d+)\.[a-z]+$", 1).cast("long")
+                * 5
+                % 11
+            )
+            * 3600
+        ),
+    )
+    for part in range(2):
+        imgs.filter(
+            F.regexp_extract("uri", r"/(\d+)\.[a-z]+$", 1).cast("long") % 2
+            == part
+        ).coalesce(1).write.mode("append").parquet(imgs_feed)
+    spark.createDataFrame(
+        [("zz://none2", "png", "0" * 64, far)],
+        "uri string, fmt string, ahash string, i_ts timestamp",
+    ).coalesce(1).write.mode("append").parquet(imgs_feed)
+
+    p_schema = spark.read.parquet(pages_feed).schema
+    i_schema = spark.read.parquet(imgs_feed).schema
+    # the watermark delay must cover the feed's disorder bound (event
+    # times here are scrambled across a 10-hour span against arrival
+    # order) — a tighter watermark would DROP genuinely late rows, the
+    # exact failure mode the delay parameter exists to prevent
+    p_stream = (
+        spark.readStream.schema(p_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(pages_feed)
+        .withWatermark("p_ts", "12 hours")
+    )
+    i_stream = (
+        spark.readStream.schema(i_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(imgs_feed)
+        .withWatermark("i_ts", "12 hours")
+    )
+    joined = p_stream.join(
+        i_stream,
+        (F.col("img_uri") == F.col("uri"))
+        & (F.col("i_ts") >= F.col("p_ts") - F.expr("INTERVAL 12 HOURS"))
+        & (F.col("i_ts") <= F.col("p_ts") + F.expr("INTERVAL 12 HOURS")),
+        "left_outer",
+    ).select("doc_id", "lang", "caption", "uri", "fmt", "ahash")
+
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # eager materialization: the memory-sink view cannot self-join (its
+    # plan defeats reference deduplication), and the checkpoint also
+    # frees the sink for the canon + stats tail
+    drained = (
+        spark.table(name)
+        .filter(F.col("doc_id") >= 0)
+        .localCheckpoint(eager=True)
+    )
+    # matched pairs only (dead-link candidates emitted null-padded — the
+    # left-outer proof — but carry no image columns for the stats)
+    pairs = drained.filter(F.col("uri").isNotNull())
+    pool = pairs.select("uri", "fmt", "ahash").distinct()
+    canon = pool.groupBy("ahash").agg(F.min("uri").alias("canon_uri"))
+    return (
+        pairs.join(canon.hint("merge"), "ahash")
+        .groupBy("lang", "fmt")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("uri").alias("n_images"),
+            F.countDistinct("ahash").alias("n_unique_images"),
+            F.sum((F.col("uri") == F.col("canon_uri")).cast("long")).alias(
+                "n_canonical_pairs"
+            ),
+            F.round(F.avg(F.size(F.split("caption", " "))), 2).alias(
+                "avg_caption_words"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # the LAION-scale variant: bucketed pool, nothing broadcast
 
 POOL_BUCKETS = 8

@@ -204,6 +204,9 @@ _CORE_FIRST = (
     # round-9: lossless FLAC ingest — the last stdlib-tractable codec
     # seam, exact-recovery oracle (r8 verdict #3)
     "multimodal_flac_ingest",
+    # round-9: genuine watermarked stream-stream cross-modal join over
+    # two out-of-order feeds, sentinel-closed (r8 verdict #4)
+    "stream_image_text_join",
 )
 
 

@@ -204,6 +204,25 @@ def test_stream_pairs_hash_equals_batch(spark, sf_dir):
     assert streamed == batch
 
 
+def test_stream_stream_join_hash_equals_batch(spark, sf_dir):
+    """The genuine two-feed stream-stream join (out-of-order arrival,
+    watermarks covering the disorder bound, sentinel-closed left outer)
+    must drain to EXACTLY the batch capstone stats — late images matched
+    waiting captions, dead-link candidates emitted null-padded and were
+    filtered batch-side."""
+    from etl_pipeline_old_spark.queries.image_text import (
+        stream_image_text_join,
+    )
+
+    batch = sorted(
+        tuple(r) for r in pipeline_image_text_pairs(spark, sf_dir).collect()
+    )
+    streamed = sorted(
+        tuple(r) for r in stream_image_text_join(spark, sf_dir).collect()
+    )
+    assert streamed == batch
+
+
 def test_near_dedup_finds_perturbed_twins_only(spark, sf_dir):
     """Every near-dup pair must link content twins (slots 20 apart in
     the pool), at least one pair must have Hamming > 0 (the case exact

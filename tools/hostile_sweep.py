@@ -86,6 +86,8 @@ REPEAT_QUERIES = (
     "pipeline_image_text_pairs_bucketed",
     # r9: staged .flac media files
     "multimodal_flac_ingest",
+    # r9: two staged streaming feeds + memory sink
+    "stream_image_text_join",
 )
 
 
