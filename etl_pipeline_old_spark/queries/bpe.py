@@ -464,3 +464,193 @@ def corpus_bpe_apply_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("cnt") * F.col("oov")).cast("long").alias("n_from_oov"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# pretraining-shards capstone: tokenizer -> pack -> epoch order -> manifest
+
+
+def _pretrain_oracle(k: int = _K_MERGES) -> str:
+    """Recompute the whole loader path from the documents table: re-learn
+    the k merges, token-count every doc through the trained vocabulary,
+    re-derive pack boundaries (bucketed cumsum), the per-epoch
+    pseudo-random pack order, and the per-(epoch, shard) manifest — a
+    wrong merge, a shifted pack boundary, or a permutation drift all
+    break order_checksum."""
+    from ..operators.dedup import MD5_LONG_SQL
+    from .corpus2 import PACK_BUCKETS, PACK_BUDGET
+    from .corpus5 import N_EPOCHS, N_SHARDS
+
+    parts = [
+        """wc AS (
+      SELECT w AS word, count(*)::BIGINT AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      GROUP BY w),
+    v0 AS MATERIALIZED (
+      SELECT word, cnt,
+             '|' || array_to_string(
+               list_transform(range(1, length(word) + 1),
+                              i -> substr(word, i, 1)), '||') || '|' AS st
+      FROM wc)"""
+    ]
+    for r in range(1, k + 1):
+        parts.append(f"""p{r} AS MATERIALIZED (
+      SELECT t[i] AS a, t[i + 1] AS b, sum(cnt)::BIGINT AS c
+      FROM (SELECT cnt, string_split(trim(st, '|'), '||') AS t FROM v{r - 1}),
+           UNNEST(range(1, len(t))) AS u(i)
+      GROUP BY a, b),
+    b{r} AS MATERIALIZED (SELECT a, b, c FROM p{r} ORDER BY c DESC, a, b LIMIT 1),
+    v{r} AS MATERIALIZED (
+      SELECT word, cnt,
+             replace(st,
+                     coalesce('|' || (SELECT a FROM b{r}) || '||'
+                              || (SELECT b FROM b{r}) || '|', '~~none~~'),
+                     coalesce('|' || (SELECT a FROM b{r})
+                              || (SELECT b FROM b{r}) || '|', '~~none~~')) AS st
+      FROM v{r - 1})""")
+    h_bucket = MD5_LONG_SQL.format(x="doc_id::VARCHAR")
+    h_shard = MD5_LONG_SQL.format(x="'shard:' || pkey")
+    h_ord = MD5_LONG_SQL.format(x="'epoch:' || e.epoch::VARCHAR || ':' || pkey")
+    return f"""
+    WITH {','.join(parts)},
+    words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+    tok AS (
+      SELECT w.doc_id,
+             sum(len(string_split(trim(v.st, '|'), '||')))::BIGINT AS n_tokens
+      FROM words w JOIN v{k} v USING (word) GROUP BY w.doc_id),
+    t AS (
+      SELECT doc_id, {h_bucket} % {PACK_BUCKETS} AS bucket, n_tokens FROM tok),
+    p0 AS (
+      SELECT doc_id, bucket, n_tokens,
+             ((sum(n_tokens) OVER (
+                 PARTITION BY bucket ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) - n_tokens)
+              // {PACK_BUDGET})::BIGINT AS pack_id
+      FROM t),
+    packs AS (
+      SELECT bucket, pack_id,
+             count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS tok_sum,
+             bucket::VARCHAR || ':' || pack_id::VARCHAR AS pkey
+      FROM p0 GROUP BY bucket, pack_id),
+    keyed AS (
+      SELECT e.epoch, p.bucket, p.pack_id, p.pkey, p.n_docs, p.tok_sum,
+             {h_shard} % {N_SHARDS} AS shard,
+             {h_ord} AS ord
+      FROM packs p
+      CROSS JOIN (SELECT unnest(range({N_EPOCHS})) AS epoch) e),
+    pos AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY epoch, shard ORDER BY ord, bucket, pack_id) AS pos
+      FROM keyed)
+    SELECT epoch, shard,
+           count(*)::BIGINT AS n_packs,
+           sum(n_docs)::BIGINT AS n_docs,
+           sum(tok_sum)::BIGINT AS total_tokens,
+           arg_min(pkey, ord) AS head_pack,
+           sum(pos * tok_sum)::BIGINT AS order_checksum
+    FROM pos GROUP BY epoch, shard
+    """
+
+
+@register(
+    "pipeline_pretrain_shards",
+    oracle=_pretrain_oracle(),
+    doc="The pretraining loader path COMPOSED end to end (r8 verdict "
+    "#5), where the engine's pieces previously ran as separate "
+    "queries: BPE merges train on the corpus (driver-coordinated "
+    "vocabulary rounds), every document is token-counted through the "
+    "trained vocabulary via ONE broadcast word-map join (the learned "
+    "map is dims-sized; the corpus side never shuffles for "
+    "tokenization), docs pack into fixed-token-budget sequences with "
+    "the bucketed-cumsum window (hash buckets keep the packing "
+    "parallel — NO global sort), packs get a deterministic per-epoch "
+    "pseudo-random order (portable md5 arithmetic — reproducible "
+    "across retries, engines, restarts), and the output is the "
+    "per-(epoch, shard) manifest a dataloader schedules from: pack/"
+    "doc/token totals, the head pack, and an order checksum "
+    "(sum(pos x tokens)) that pins the ENTIRE permutation — any "
+    "reordering breaks it. The oracle recomputes everything from the "
+    "documents table alone, merges included. 100 TB shape: one "
+    "corpus-wide word aggregate + vocabulary-bounded merge rounds, "
+    "map-side tokenize, per-bucket windows, per-(epoch, shard) "
+    "windows — the driver sees K argmax rows and nothing token-level; "
+    "no collect, no global sort anywhere (plan-locked).",
+)
+def pipeline_pretrain_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..operators.dedup import md5_long
+    from .corpus2 import PACK_BUCKETS, PACK_BUDGET
+    from .corpus5 import N_EPOCHS, N_SHARDS
+
+    d = load_table(spark, sf_dir, "documents")
+    merges, vocab = _train_merge_list(_vocab_from_docs(d.select("text")))
+    wtok = vocab.select("word", F.size(_toks()).alias("w_tokens"))
+    tok = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .join(F.broadcast(wtok), "word")
+        .groupBy("doc_id")
+        .agg(F.sum("w_tokens").alias("n_tokens"))
+    )
+    t = tok.select(
+        "doc_id",
+        (md5_long(F.col("doc_id").cast("string")) % PACK_BUCKETS).alias(
+            "bucket"
+        ),
+        "n_tokens",
+    )
+    wc = (
+        W.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    start = F.sum("n_tokens").over(wc) - F.col("n_tokens")
+    packed = t.select(
+        "bucket",
+        "n_tokens",
+        F.floor(start / PACK_BUDGET).cast("long").alias("pack_id"),
+    )
+    packs = (
+        packed.groupBy("bucket", "pack_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("tok_sum"))
+        .withColumn(
+            "pkey",
+            F.concat(
+                F.col("bucket").cast("string"),
+                F.lit(":"),
+                F.col("pack_id").cast("string"),
+            ),
+        )
+    )
+    epochs = spark.range(N_EPOCHS).select(F.col("id").alias("epoch"))
+    keyed = packs.crossJoin(F.broadcast(epochs)).select(
+        "epoch",
+        "bucket",
+        "pack_id",
+        "pkey",
+        "n_docs",
+        "tok_sum",
+        (md5_long(F.concat(F.lit("shard:"), F.col("pkey"))) % N_SHARDS).alias(
+            "shard"
+        ),
+        md5_long(
+            F.concat(
+                F.lit("epoch:"),
+                F.col("epoch").cast("string"),
+                F.lit(":"),
+                F.col("pkey"),
+            )
+        ).alias("ord"),
+    )
+    wp = W.partitionBy("epoch", "shard").orderBy("ord", "bucket", "pack_id")
+    pos = keyed.withColumn("pos", F.row_number().over(wp))
+    return pos.groupBy("epoch", "shard").agg(
+        F.count("*").alias("n_packs"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("tok_sum").cast("long").alias("total_tokens"),
+        F.min_by("pkey", "ord").alias("head_pack"),
+        F.sum(F.col("pos") * F.col("tok_sum")).cast("long").alias(
+            "order_checksum"
+        ),
+    )

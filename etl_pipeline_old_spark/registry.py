@@ -207,6 +207,9 @@ _CORE_FIRST = (
     # round-9: genuine watermarked stream-stream cross-modal join over
     # two out-of-order feeds, sentinel-closed (r8 verdict #4)
     "stream_image_text_join",
+    # round-9: the pretraining loader path composed end to end —
+    # tokenizer -> pack -> epoch order -> shard manifest (r8 verdict #5)
+    "pipeline_pretrain_shards",
 )
 
 

@@ -241,3 +241,48 @@ def test_oov_apply_matches_python_reference(spark, sf_dir):
     # the salted words guarantee genuine OOV coverage at every SF
     assert sum(oov_totals.values()) > 0
     assert any(v[1] > 0 for v in got.values())
+
+
+def test_pretrain_shards_plan_is_window_hash_based(spark, sf_dir):
+    """pipeline_pretrain_shards plan lock (r8 verdict #5): the pack and
+    epoch-order stages must stay window/hash-based — no global sort
+    (rangepartitioning), no cartesian beyond the 2-row epoch broadcast,
+    no Python in the plan (training's argmax collects happen before the
+    returned frame; tokenize is a broadcast map join)."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from etl_pipeline_old_spark.queries.bpe import pipeline_pretrain_shards
+
+    df = pipeline_pretrain_shards(spark, sf_dir)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "rangepartitioning" not in plan  # no global sort anywhere
+    assert "CartesianProduct" not in plan
+    # exactly one nested-loop join: the broadcast of the 2-row epoch table
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1
+    assert "BatchEvalPython" not in plan
+    # the two windows: bucketed pack cumsum + per-(epoch, shard) position
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 2
+    rows = df.collect()
+    # N_EPOCHS x N_SHARDS manifest rows, every pack counted in each epoch
+    from etl_pipeline_old_spark.queries.corpus5 import N_EPOCHS, N_SHARDS
+
+    assert len(rows) == N_EPOCHS * N_SHARDS
+    per_epoch = {}
+    for r in rows:
+        per_epoch.setdefault(r["epoch"], [0, 0])
+        per_epoch[r["epoch"]][0] += r["n_packs"]
+        per_epoch[r["epoch"]][1] += r["total_tokens"]
+    (e0, e1) = sorted(per_epoch)
+    assert per_epoch[e0] == per_epoch[e1]  # same packs, different order
+    # the permutations genuinely differ between epochs somewhere
+    by_key = {(r["epoch"], r["shard"]): r for r in rows}
+    assert any(
+        by_key[(e0, s)]["order_checksum"] != by_key[(e1, s)]["order_checksum"]
+        or by_key[(e0, s)]["head_pack"] != by_key[(e1, s)]["head_pack"]
+        for _e, s in by_key
+    )
