@@ -131,6 +131,11 @@ HEADLINE = [
     # image decode + aHash in an Arrow kernel, broadcast URI join,
     # canonical-hash dedup. Tracks the LAION-shape pairing path.
     "pipeline_image_text_pairs",
+    # r9: the LAION-scale variant — same corpus, but page bronze +
+    # URI-bucketed pool table + merge joins, nothing broadcast. Tracks
+    # the bucketed-pool write + zero-Exchange join path against its
+    # broadcast sibling above.
+    "pipeline_image_text_pairs_bucketed",
 ]
 
 
