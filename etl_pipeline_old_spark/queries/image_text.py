@@ -530,19 +530,21 @@ def image_text_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "acc + IF(substr(ha, i, 1) != substr(hb, i, 1), 1, 0))"
         ).cast("long"),
     ).filter(F.col("hamming") <= _NEAR_HAM_K)
+    # caption counts join shuffle-side: caps is per-URI and grows with
+    # the crawl (the same posture rule as the pool itself — never
+    # broadcast a crawl-growing relation); the verified-pair side is
+    # candidate-bounded, so the shuffle is tiny at every scale
     return (
         ham.join(
-            F.broadcast(caps.withColumnRenamed("img_uri", "uri_a")),
+            caps.withColumnRenamed("img_uri", "uri_a").hint("merge"),
             "uri_a",
         )
         .withColumnRenamed("n_caps", "n_captions_a")
         .join(
-            F.broadcast(
-                caps.select(
-                    F.col("img_uri").alias("uri_b"),
-                    F.col("n_caps").alias("n_captions_b"),
-                )
-            ),
+            caps.select(
+                F.col("img_uri").alias("uri_b"),
+                F.col("n_caps").alias("n_captions_b"),
+            ).hint("merge"),
             "uri_b",
         )
         .select("uri_a", "uri_b", "hamming", "n_captions_a", "n_captions_b")
@@ -669,7 +671,8 @@ def image_text_ingest_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_refs"))
         .withColumnRenamed("img_uri", "uri")
     )
-    per_slot = imgs.join(F.broadcast(refs), "uri").select(
+    # refs is per-URI (crawl-growing) — shuffle-side join, not broadcast
+    per_slot = imgs.join(refs.hint("merge"), "uri").select(
         F.regexp_extract("uri", r"\.([a-z]+)$", 1).alias("ext"),
         "ok",
         "n_refs",

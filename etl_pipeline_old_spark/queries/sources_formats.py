@@ -1864,3 +1864,143 @@ def multimodal_flac_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, rate int, n_ch int, n_samples int, "
         "has_lpc int, head0 int, head1 int, all_exact int, md5_ok int",
     )
+
+
+# ------------------------------------------- audio-text WebDataset shards
+# The speech-corpus loader shape (LibriSpeech/Common Voice-style corpora
+# shipped as WebDataset): tar shards whose members group into
+# (audio, transcript, metadata) samples — {key}.flac + {key}.txt +
+# {key}.json. Composes the ustar container codec with the lossless FLAC
+# codec, so the oracle demands EXACT audio recovery.
+
+
+def _build_webdataset_audio_shard(pdf, sid: int) -> bytes:
+    import json as _json
+
+    from ..operators.flac import encode_flac
+    from ..operators.multimodal import md5_samples
+    from ..operators.tar import encode_tar
+
+    members: list[tuple[str, bytes]] = []
+    for r in pdf.itertuples():
+        did = int(r.doc_id)
+        key = f"{did:08d}"
+        if did % 3 == 2:  # stereo mid/side "field recording"
+            flac = encode_flac(
+                md5_samples(r.text, 128),
+                n_channels=2,
+                sample_rate=8000,
+                block_size=16,
+                stereo_mode="mid_side",
+            )
+        elif did % 3 == 1:  # LPC-coded mono
+            flac = encode_flac(
+                md5_samples(r.text, 64),
+                sample_rate=8000,
+                block_size=16,
+                lpc=([53, -21], 5),
+            )
+        else:
+            flac = encode_flac(
+                md5_samples(r.text, 64), sample_rate=8000, block_size=16
+            )
+        members.append((f"{key}.flac", flac))
+        members.append((f"{key}.txt", r.text.encode("utf-8")))
+        members.append(
+            (
+                f"{key}.json",
+                _json.dumps(
+                    {"lang": r.lang, "sr": 8000}, sort_keys=True
+                ).encode("utf-8"),
+            )
+        )
+    return encode_tar(members)
+
+
+@register(
+    "multimodal_webdataset_audio",
+    oracle="""
+    SELECT doc_id, 3 AS n_members, 8000 AS rate,
+           CASE WHEN doc_id % 3 = 2 THEN 2 ELSE 1 END AS n_ch,
+           CASE WHEN doc_id % 3 = 2 THEN 128 ELSE 64 END AS n_samples,
+           1 AS audio_exact,
+           len(string_split(text, ' '))::INT AS n_caption_words, lang
+    FROM documents
+    """,
+    doc="Audio-text WebDataset ingest — the SPEECH-corpus loader shape "
+    "(LibriSpeech/Common Voice-scale corpora ship exactly like this: "
+    "tar shards of {key}.flac + {key}.txt transcript + {key}.json "
+    "metadata): genuine ustar shards are staged from the executors, "
+    "each FLAC cycling the codec surface by doc_id (fixed-predictor "
+    "mono / LPC mono / mid-side stereo), scanned back with binaryFile "
+    "and walked by the hand-rolled tar reader inside an Arrow kernel; "
+    "members regroup into samples, the .flac decodes through the REAL "
+    "subset-FLAC codec (CRC-8/CRC-16/STREAMINFO-MD5 verified), and — "
+    "because FLAC is lossless — audio_exact demands the decoded "
+    "samples equal the md5 signal formula recomputed from the "
+    "TRANSCRIPT member, binding audio to text: a shard that pairs the "
+    "wrong transcript with an audio member fails the oracle. Scale "
+    "shape: shards decode in parallel, per-record isolation, the same "
+    "plan the image WebDataset ingest runs — one loader path for both "
+    "modalities.",
+)
+def multimodal_webdataset_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .web_corpus import _stage_shard_files
+
+    path = _stage_shard_files(
+        spark, sf_dir, "webdataset_audio", _build_webdataset_audio_shard,
+        suffix="tar",
+    )
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.tar")
+        .load(path)
+        .select("content")
+    )
+
+    def op(batches):
+        import json as _json
+
+        import pandas as pd
+
+        from ..operators.flac import decode_flac
+        from ..operators.multimodal import md5_samples
+        from ..operators.tar import iter_tar
+
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "n_members": [],
+                "rate": [],
+                "n_ch": [],
+                "n_samples": [],
+                "audio_exact": [],
+                "n_caption_words": [],
+                "lang": [],
+            }
+            for blob in pdf["content"]:
+                samples: dict[str, dict[str, bytes]] = {}
+                for name, data in iter_tar(bytes(blob)):
+                    key, _, ext = name.partition(".")
+                    samples.setdefault(key, {})[ext] = data
+                for key in sorted(samples):
+                    parts = samples[key]
+                    rate, n_ch, _bps, mine = decode_flac(parts["flac"])
+                    text = parts["txt"].decode("utf-8")
+                    meta = _json.loads(parts["json"].decode("utf-8"))
+                    src = md5_samples(text, len(mine))
+                    out["doc_id"].append(int(key))
+                    out["n_members"].append(len(parts))
+                    out["rate"].append(rate)
+                    out["n_ch"].append(n_ch)
+                    out["n_samples"].append(len(mine))
+                    out["audio_exact"].append(1 if mine == src else 0)
+                    out["n_caption_words"].append(len(text.split(" ")))
+                    out["lang"].append(meta["lang"])
+            yield pd.DataFrame(out)
+
+    return bf.mapInPandas(
+        op,
+        schema="doc_id long, n_members int, rate int, n_ch int, "
+        "n_samples int, audio_exact int, n_caption_words int, lang string",
+    )

@@ -210,6 +210,9 @@ _CORE_FIRST = (
     # round-9: the pretraining loader path composed end to end —
     # tokenizer -> pack -> epoch order -> shard manifest (r8 verdict #5)
     "pipeline_pretrain_shards",
+    # round-9 (cont.): audio-text WebDataset shards — the speech-corpus
+    # loader shape (tar + lossless FLAC, exact-recovery oracle)
+    "multimodal_webdataset_audio",
 )
 
 

@@ -319,10 +319,16 @@ def test_family_plans_no_cartesian_no_row_python(spark, sf_dir):
         assert "BatchEvalPython" not in plan, fn.__name__
 
 
-def test_incremental_merge_broadcasts_canonical(spark, sf_dir):
+def test_incremental_merge_canon_joins_shuffle_side(spark, sf_dir):
+    """r8 verdict #1 follow-through: the incremental merge's CANONICAL
+    join must be shuffle-side (merge join), never a broadcast of the
+    crawl-growing canon table. The per-dump partials may still
+    broadcast their own dump's pool (dump-bounded, not crawl-bounded),
+    so the plan contains both join strategies."""
     from etl_pipeline_old_spark.queries.image_text import (
         pipeline_image_text_pairs_incremental,
     )
 
     plan = _plan_of(pipeline_image_text_pairs_incremental(spark, sf_dir))
-    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" in plan  # the canon join, merge-hinted
+    assert "BroadcastHashJoin" in plan  # the dump-partials' pool joins

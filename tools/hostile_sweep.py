@@ -88,6 +88,8 @@ REPEAT_QUERIES = (
     "multimodal_flac_ingest",
     # r9: two staged streaming feeds + memory sink
     "stream_image_text_join",
+    # r9: staged audio-text tar shards
+    "multimodal_webdataset_audio",
 )
 
 
