@@ -502,12 +502,19 @@ def decode_audio_real(payload: bytes) -> tuple[int, int, list[int]]:
 
         rate, channels, _bps, samples = decode_flac(payload)
         return rate, channels, samples
+    if payload[4:8] == b"ftyp":  # ISO BMFF (MP4/M4A) — container demux
+        from .mp4 import decode_mp4_pcm
+
+        # full demux + PCM (ipcm) decode in operators/mp4.py; compressed
+        # sample entries (AAC/AVC) raise the documented seam error there
+        return decode_mp4_pcm(payload)
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise NotImplementedError(
             f"no codec for magic {payload[:4]!r}: perceptual-audio decode "
             "(MP3/AAC/OGG) requires an audio library (e.g. soundfile), not "
             "available in this container — RIFF/WAVE PCM16, G.711, IMA "
-            "ADPCM, and FLAC decode natively"
+            "ADPCM, FLAC, and PCM-in-MP4 decode natively (MP3 frame-walk "
+            "metadata probing is in operators/mp3.py)"
         )
     i, fmt, data = 12, None, None
     while i + 8 <= len(payload):
@@ -595,6 +602,9 @@ def decode_video_real(payload: bytes) -> tuple[int, int, list[list[int]]]:
     from this container — those magics raise NotImplementedError, the
     seam where ffmpeg/PyAV plugs in on a real cluster."""
     if not payload.startswith(b"YUV4MPEG2"):
+        # NOTE: ISO BMFF (MP4) container DEMUX — tracks, durations, sample
+        # extraction, fragment reassembly — is native (operators/mp4.py);
+        # only the compressed video payload (AVC/HEVC) needs the codec lib.
         raise NotImplementedError(
             f"no codec for magic {payload[:8]!r}: compressed-video decode "
             "requires a demuxer/codec library (e.g. PyAV), not available "

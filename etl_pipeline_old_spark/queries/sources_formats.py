@@ -2004,3 +2004,130 @@ def multimodal_webdataset_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, n_members int, rate int, n_ch int, "
         "n_samples int, audio_exact int, n_caption_words int, lang string",
     )
+
+
+# ----------------------------------------------------- MP4 container demux
+# ISO BMFF is the container 100% of crawled video and most podcast audio
+# arrives in. Decoding AVC/AAC payloads genuinely needs external codec
+# libraries (the documented seam), but everything a corpus pipeline does
+# BEFORE a codec runs — track/codec/duration filtering, sample extraction,
+# CMAF fragment reassembly — is container work, implemented from the
+# public spec in operators/mp4.py. Staging carries PCM (ipcm, ISO/IEC
+# 23003-5), the one payload the spec defines bit-exactly, so the oracle
+# demands EXACT sample recovery like the FLAC ingest does. The decode
+# surface cycles by doc_id: flat mono (stco), flat stereo with 64-bit
+# chunk offsets (co64), and fragmented mono (3 moof+mdat CMAF segments,
+# default-base-is-moof).
+
+
+def _render_mp4(doc_id: int, text: str) -> bytes:
+    from ..operators.mp4 import encode_mp4_pcm
+    from ..operators.multimodal import md5_samples
+
+    mode = doc_id % 3
+    if mode == 1:  # flat stereo, co64 offsets
+        return encode_mp4_pcm(
+            md5_samples(text, 128), 16000, channels=2, n_chunks=2, co64=True
+        )
+    if mode == 2:  # fragmented mono — the CMAF/DASH segment shape
+        return encode_mp4_pcm(
+            md5_samples(text, 64), 8000, channels=1,
+            fragmented=True, n_chunks=3,
+        )
+    return encode_mp4_pcm(md5_samples(text, 64), 8000, channels=1, n_chunks=2)
+
+
+@register(
+    "multimodal_mp4_probe",
+    oracle=f"""
+    SELECT doc_id, 'isom' AS brand, 'ipcm' AS codec,
+           CASE WHEN doc_id % 3 = 1 THEN 16000 ELSE 8000 END AS rate,
+           CASE WHEN doc_id % 3 = 1 THEN 2 ELSE 1 END AS n_ch,
+           64 AS n_frames,
+           CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 0 END AS fragmented,
+           CASE WHEN doc_id % 3 = 2 THEN 3 ELSE 2 END AS n_chunks,
+           {_wav_sample_sql(0)} AS head0,
+           {_wav_sample_sql(33)} AS head1,
+           1 AS all_exact
+    FROM documents
+    """,
+    doc="ISO BMFF (MP4) container demux + PCM decode — the container every "
+    "crawled video/podcast arrives in, demuxed from the public spec "
+    "(operators/mp4.py: generic box walk with largesize/unknown-box "
+    "handling, mvhd/tkhd/mdhd/hdlr/stsd parse, stts/stsc/stsz/stco|co64 "
+    "sample-table resolution per 14496-12 §8.7, and moof/tfhd/trun movie-"
+    "fragment reassembly under the default-base-is-moof CMAF convention). "
+    "Genuine .mp4 files are staged from the executors cycling the decode "
+    "surface by doc_id: flat mono with 2 chunks, flat stereo with 64-bit "
+    "co64 offsets, and a 3-segment FRAGMENTED stream — then demuxed and "
+    "decoded FOR REAL in an Arrow kernel. The payload is PCM (ipcm, "
+    "ISO/IEC 23003-5) — the one payload the spec defines bit-exactly — so "
+    "the oracle demands EXACT recovery: head samples equal the md5 signal "
+    "formula and all_exact compares every decoded sample against the "
+    "recomputed source. Compressed sample entries (AAC/AVC) raise the "
+    "documented codec seam INSIDE the demuxer, so a real cluster plugs "
+    "ffmpeg into extracted samples rather than re-parsing containers. "
+    "Scale: the usual binaryFile ingest plan — demux is a bounded header "
+    "walk per blob (sample tables, not payload bytes, drive its cost), "
+    "files decode in parallel inside Arrow batches, and fragmented inputs "
+    "reassemble without any cross-file state, which is what makes CMAF "
+    "segment corpora embarrassingly parallel.",
+)
+def multimodal_mp4_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_media_files(spark, sf_dir, "mp4_files", "mp4", _render_mp4)
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.mp4")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.mp4$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "content",
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    joined = bf.join(docs, "doc_id")
+
+    def op(batches):
+        import pandas as pd
+
+        from ..operators.mp4 import decode_mp4_pcm, parse_mp4
+        from ..operators.multimodal import md5_samples
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "brand": [], "codec": [], "rate": [],
+                "n_ch": [], "n_frames": [], "fragmented": [],
+                "n_chunks": [], "head0": [], "head1": [], "all_exact": [],
+            }
+            for doc_id, content, text in zip(
+                pdf["doc_id"], pdf["content"], pdf["text"]
+            ):
+                payload = bytes(content)
+                movie = parse_mp4(payload)
+                tr = movie.tracks[0]
+                rate, n_ch, mine = decode_mp4_pcm(payload)
+                src = md5_samples(text, 128 if int(doc_id) % 3 == 1 else 64)
+                out["doc_id"].append(int(doc_id))
+                out["brand"].append(movie.brand)
+                out["codec"].append(tr.entry.codec)
+                out["rate"].append(rate)
+                out["n_ch"].append(n_ch)
+                out["n_frames"].append(len(mine) // n_ch)
+                out["fragmented"].append(1 if movie.fragmented else 0)
+                out["n_chunks"].append(
+                    len(movie.fragments) if movie.fragmented
+                    else len(tr.chunk_offsets)
+                )
+                out["head0"].append(int(mine[0]))
+                out["head1"].append(int(mine[33]))
+                out["all_exact"].append(1 if mine == src else 0)
+            yield pd.DataFrame(out)
+
+    return joined.mapInPandas(
+        op,
+        schema="doc_id long, brand string, codec string, rate int, "
+        "n_ch int, n_frames int, fragmented int, n_chunks int, "
+        "head0 int, head1 int, all_exact int",
+    )

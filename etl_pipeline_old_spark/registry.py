@@ -213,6 +213,9 @@ _CORE_FIRST = (
     # round-9 (cont.): audio-text WebDataset shards — the speech-corpus
     # loader shape (tar + lossless FLAC, exact-recovery oracle)
     "multimodal_webdataset_audio",
+    # round-9 (cont.): ISO BMFF (MP4) container demux — flat + CMAF
+    # fragmented, PCM payload so the oracle demands exact recovery
+    "multimodal_mp4_probe",
 )
 
 
