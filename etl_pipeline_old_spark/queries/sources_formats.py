@@ -2131,3 +2131,121 @@ def multimodal_mp4_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_ch int, n_frames int, fragmented int, n_chunks int, "
         "head0 int, head1 int, all_exact int",
     )
+
+
+# -------------------------------------------------------- MP3 frame probe
+# Full MP3 decode needs a perceptual codec library (documented seam), but
+# an audio corpus filters long before it decodes: duration, bitrate,
+# sample rate, channels, CBR/VBR, tag presence — all from a frame-header
+# walk that reads four bytes per frame (operators/mp3.py, public
+# ISO/IEC 11172-3 framing + Xing/ID3 conventions). The staged surface
+# cycles by doc_id: CBR MPEG-1 mono with an ID3v2 preamble, CBR MPEG-1
+# stereo with alternating padding bits and an ID3v1 trailer, and VBR
+# MPEG-2 with a Xing header; frame counts also vary per doc (doc_id % 4)
+# so the walk is value-checked, not just executed.
+
+
+def _render_mp3(doc_id: int, text: str) -> bytes:
+    from ..operators.mp3 import build_mp3
+
+    mode, extra = doc_id % 3, doc_id % 4
+    if mode == 1:  # CBR stereo, padding bit exercised, ID3v1 trailer
+        return build_mp3(
+            [(3, 192, 48000, i % 2, False) for i in range(10 + extra)],
+            id3v1=True,
+            seed=text,
+        )
+    if mode == 2:  # VBR MPEG-2 with a Xing tag frame
+        n = 12 + extra
+        return build_mp3(
+            [(2, (64, 96, 128, 160)[i % 4], 22050, 0, True) for i in range(n)],
+            xing_frames=n,
+            seed=text,
+        )
+    return build_mp3(
+        [(3, 128, 44100, 0, True)] * (8 + extra),
+        id3v2_bytes=57 + doc_id % 16,
+        seed=text,
+    )
+
+
+@register(
+    "multimodal_mp3_probe",
+    oracle="""
+    WITH b AS (SELECT doc_id, doc_id % 3 AS m, doc_id % 4 AS e FROM documents)
+    SELECT doc_id,
+      CASE m WHEN 1 THEN 10+e WHEN 2 THEN 12+e ELSE 8+e END AS n_frames,
+      CASE m WHEN 1 THEN 48000 WHEN 2 THEN 22050 ELSE 44100 END AS rate,
+      CASE m WHEN 2 THEN 2 ELSE 1 END AS version,
+      CASE m WHEN 1 THEN 0 ELSE 1 END AS mono,
+      CASE m WHEN 1 THEN ((10+e)*1152*1000)//48000
+             WHEN 2 THEN ((12+e)*576*1000)//22050
+             ELSE ((8+e)*1152*1000)//44100 END AS duration_ms,
+      CASE m WHEN 1 THEN (10+e)*192
+             WHEN 2 THEN ((12+e)//4)*448
+                  + (CASE (12+e)%4 WHEN 1 THEN 64 WHEN 2 THEN 160
+                                   WHEN 3 THEN 288 ELSE 0 END)
+             ELSE (8+e)*128 END AS bitrate_kbps_sum,
+      CASE m WHEN 2 THEN 1 ELSE 0 END AS is_vbr,
+      CASE m WHEN 2 THEN 12+e ELSE -1 END AS xing_frames,
+      CASE m WHEN 0 THEN 1 ELSE 0 END AS has_id3v2,
+      CASE m WHEN 1 THEN 1 ELSE 0 END AS has_id3v1
+    FROM b
+    """,
+    doc="MP3 frame-walk metadata probe — the cheap first pass an audio "
+    "corpus runs to decide which blobs are worth shipping to a codec: "
+    "duration, bitrate, sample rate, channels, CBR/VBR, tag presence, "
+    "all from the public framing layout (operators/mp3.py: ID3v2 "
+    "syncsafe skip, per-frame header walk over the spec bitrate/rate "
+    "tables with spec-exact frame lengths, Xing/Info VBR header at its "
+    "version/mode-dependent side-info offset, ID3v1 trailer tolerance, "
+    "loud failure on any broken sync). Staged files cycle CBR MPEG-1 "
+    "mono + ID3v2, CBR MPEG-1 stereo with alternating padding bits + "
+    "ID3v1, and VBR MPEG-2 + Xing, with per-doc frame counts, and every "
+    "output column is recomputed exactly by the oracle from the staging "
+    "formulas — the walk is value-verified frame by frame, not just "
+    "executed. Psychoacoustic payload decode remains the documented "
+    "external-codec seam. Scale: binaryFile ingest; the probe reads "
+    "headers only (4 bytes/frame), so cost is frame count, not payload "
+    "bytes — the property that makes metadata-first filtering viable at "
+    "100 TB.",
+)
+def multimodal_mp3_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_media_files(spark, sf_dir, "mp3_files", "mp3", _render_mp3)
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.mp3")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.mp3$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "content",
+        )
+    )
+
+    def op(batches):
+        import pandas as pd
+
+        from ..operators.mp3 import probe_mp3
+
+        cols = [
+            "n_frames", "rate", "version", "mono", "duration_ms",
+            "bitrate_kbps_sum", "is_vbr", "xing_frames", "has_id3v2",
+            "has_id3v1",
+        ]
+        for pdf in batches:
+            out = {c: [] for c in ["doc_id", *cols]}
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                p = probe_mp3(bytes(content))
+                out["doc_id"].append(int(doc_id))
+                for c in cols:
+                    out[c].append(int(p[c]))
+            yield pd.DataFrame(out)
+
+    return bf.mapInPandas(
+        op,
+        schema="doc_id long, n_frames int, rate int, version int, mono int, "
+        "duration_ms int, bitrate_kbps_sum int, is_vbr int, "
+        "xing_frames int, has_id3v2 int, has_id3v1 int",
+    )

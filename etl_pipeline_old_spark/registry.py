@@ -216,6 +216,9 @@ _CORE_FIRST = (
     # round-9 (cont.): ISO BMFF (MP4) container demux — flat + CMAF
     # fragmented, PCM payload so the oracle demands exact recovery
     "multimodal_mp4_probe",
+    # round-9 (cont.): MP3 frame-walk metadata probe — the filter-before-
+    # decode pass, every column recomputed exactly by the oracle
+    "multimodal_mp3_probe",
 )
 
 
