@@ -2249,3 +2249,142 @@ def multimodal_mp3_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "duration_ms int, bitrate_kbps_sum int, is_vbr int, "
         "xing_frames int, has_id3v2 int, has_id3v1 int",
     )
+
+
+# ------------------------------------------------ EXIF extract + GPS scrub
+# Crawled camera imagery carries EXIF twice over: as SIGNAL (orientation
+# to bake in before tiling, timestamps for provenance) and as RISK (GPS
+# tags are location PII every public crawl pipeline strips before a
+# corpus ships). operators/exif.py implements the public EXIF 2.32/TIFF
+# 6.0 structure; the scrubber drops the GPS sub-IFD and re-serializes
+# the remaining IFD with recomputed offsets WITHOUT re-encoding pixels —
+# the multimodal twin of corpus_pii_redact.
+
+
+def _exif_fields(doc_id: int) -> dict:
+    return {
+        "order": "II" if doc_id % 2 == 0 else "MM",
+        "orientation": 1 + doc_id % 8,
+        "make": f"Cam{doc_id % 5}",
+        "lat_ref": "N" if doc_id % 2 == 0 else "S",
+        "lat": (doc_id % 90, doc_id % 60, (doc_id * 7) % 6000),
+        "lon_ref": "E" if doc_id % 3 == 0 else "W",
+        "lon": (doc_id % 180, (doc_id * 3) % 60, (doc_id * 11) % 6000),
+    }
+
+
+def _render_exif_jpeg(doc_id: int, text: str) -> bytes:
+    from ..operators.exif import build_exif_app1, insert_app1
+    from ..operators.jpeg import encode_jpeg
+    from ..operators.multimodal import md5_pixels
+
+    f = _exif_fields(doc_id)
+    jpg = encode_jpeg(md5_pixels(text, 64), 8, 8, quality=95)
+    app1 = build_exif_app1(
+        f["order"], f["make"], f["orientation"], "2020:01:01 00:00:00",
+        f["lat_ref"], f["lat"], f["lon_ref"], f["lon"],
+    )
+    return insert_app1(jpg, app1)
+
+
+@register(
+    "multimodal_exif_gps_scrub",
+    oracle="""
+    SELECT doc_id,
+      CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+      CAST(1 + doc_id % 8 AS INT) AS orientation,
+      'Cam' || CAST(doc_id % 5 AS VARCHAR) AS make,
+      CASE WHEN doc_id % 2 = 0 THEN 'N' ELSE 'S' END AS lat_ref,
+      CAST(doc_id % 90 AS INT) AS lat_deg,
+      CAST(doc_id % 60 AS INT) AS lat_min,
+      CAST((doc_id * 7) % 6000 AS INT) AS lat_sec_cs,
+      CASE WHEN doc_id % 3 = 0 THEN 'E' ELSE 'W' END AS lon_ref,
+      CAST(doc_id % 180 AS INT) AS lon_deg,
+      1 AS gps_gone, 1 AS meta_kept, 1 AS pixels_same
+    FROM documents
+    """,
+    doc="EXIF extract + GPS scrub — the camera-corpus governance pass: "
+    "genuine JPEGs carrying a real EXIF APP1 (operators/exif.py, public "
+    "EXIF 2.32/TIFF 6.0 IFD structure, BOTH byte orders staged by "
+    "parity) are parsed in an Arrow kernel for the fields a pipeline "
+    "filters on (orientation, make, GPS refs + exact integer "
+    "deg/min/centisecond rationals — location PII), then the GPS "
+    "sub-IFD is STRIPPED: the remaining IFD re-serializes with "
+    "recomputed offsets, the entropy-coded pixel data is untouched (no "
+    "re-encode, no generation loss), and the kernel proves it — "
+    "gps_gone re-parses the scrubbed file, meta_kept checks every "
+    "non-GPS field survived, pixels_same decodes both files through "
+    "the real T.81 codec and compares rasters. The oracle recomputes "
+    "every extracted field exactly from the staging formulas. This is "
+    "the multimodal twin of corpus_pii_redact; orientation/timestamp "
+    "stay available as training signal. Scale: binaryFile ingest; the "
+    "scrub rewrites only the few-hundred-byte APP1 per blob, so the "
+    "pass is metadata-bound, embarrassingly parallel, and safe to run "
+    "in the same scan that decodes (or quarantines) the image payload.",
+)
+def multimodal_exif_gps_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_media_files(
+        spark, sf_dir, "exif_files", "jpg", _render_exif_jpeg
+    )
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.jpg")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.jpg$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "content",
+        )
+    )
+
+    def op(batches):
+        import pandas as pd
+
+        from ..operators.exif import read_fields, strip_gps
+        from ..operators.jpeg import decode_jpeg
+
+        cols = [
+            "byte_order", "orientation", "make", "lat_ref", "lat_deg",
+            "lat_min", "lat_sec_cs", "lon_ref", "lon_deg", "gps_gone",
+            "meta_kept", "pixels_same",
+        ]
+        for pdf in batches:
+            out = {c: [] for c in ["doc_id", *cols]}
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                payload = bytes(content)
+                f = read_fields(payload)
+                clean = strip_gps(payload)
+                g = read_fields(clean)
+                kept = (
+                    g["make"] == f["make"]
+                    and g["orientation"] == f["orientation"]
+                    and g["datetime"] == f["datetime"]
+                    and g["byte_order"] == f["byte_order"]
+                )
+                _w, _h, before = decode_jpeg(payload)
+                _w2, _h2, after = decode_jpeg(clean)
+                out["doc_id"].append(int(doc_id))
+                out["byte_order"].append(f["byte_order"])
+                out["orientation"].append(int(f["orientation"]))
+                out["make"].append(f["make"])
+                out["lat_ref"].append(f["lat_ref"])
+                out["lat_deg"].append(int(f["lat_deg"]))
+                out["lat_min"].append(int(f["lat_min"]))
+                out["lat_sec_cs"].append(int(f["lat_sec_cs"]))
+                out["lon_ref"].append(f["lon_ref"])
+                out["lon_deg"].append(int(f["lon_deg"]))
+                out["gps_gone"].append(1 if g["has_gps"] == 0 else 0)
+                out["meta_kept"].append(1 if kept else 0)
+                out["pixels_same"].append(
+                    1 if (before == after).all() else 0
+                )
+            yield pd.DataFrame(out)
+
+    return bf.mapInPandas(
+        op,
+        schema="doc_id long, byte_order string, orientation int, "
+        "make string, lat_ref string, lat_deg int, lat_min int, "
+        "lat_sec_cs int, lon_ref string, lon_deg int, gps_gone int, "
+        "meta_kept int, pixels_same int",
+    )

@@ -219,6 +219,9 @@ _CORE_FIRST = (
     # round-9 (cont.): MP3 frame-walk metadata probe — the filter-before-
     # decode pass, every column recomputed exactly by the oracle
     "multimodal_mp3_probe",
+    # round-9 (cont.): EXIF extract + GPS scrub — the camera-corpus
+    # location-PII governance pass, pixels proven untouched
+    "multimodal_exif_gps_scrub",
 )
 
 

@@ -1,0 +1,114 @@
+"""EXIF codec + GPS scrub tests — operators/exif.py.
+
+Structure is the public EXIF 2.32 / TIFF 6.0 IFD layout; evidence is
+round-trips in both byte orders, scrub invariants (GPS gone, everything
+else byte-equal in value, pixels untouched through the real JPEG codec),
+idempotency, and loud failure on structural damage.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from etl_pipeline_old_spark.operators.exif import (
+    TAG_GPS_IFD,
+    build_exif_app1,
+    insert_app1,
+    parse_exif,
+    read_fields,
+    serialize_exif_app1,
+    strip_gps,
+)
+from etl_pipeline_old_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+
+def _tagged(order: str) -> bytes:
+    app1 = build_exif_app1(
+        order, "CamCo", 6, "2020:01:02 03:04:05",
+        "N", (51, 30, 1234), "E", (0, 7, 89),
+    )
+    jpg = encode_jpeg(list(range(64)), 8, 8, quality=95)
+    return insert_app1(jpg, app1)
+
+
+@pytest.mark.parametrize("order", ["II", "MM"])
+def test_build_parse_roundtrip(order):
+    f = read_fields(_tagged(order))
+    assert f["byte_order"] == order
+    assert (f["make"], f["orientation"], f["has_gps"]) == ("CamCo", 6, 1)
+    assert (f["lat_deg"], f["lat_min"], f["lat_sec_cs"]) == (51, 30, 1234)
+    assert (f["lon_ref"], f["lon_deg"], f["lon_sec_cs"]) == ("E", 0, 89)
+
+
+@pytest.mark.parametrize("order", ["II", "MM"])
+def test_strip_gps_invariants(order):
+    tagged = _tagged(order)
+    clean = strip_gps(tagged)
+    g = read_fields(clean)
+    assert g["has_gps"] == 0
+    assert (g["make"], g["orientation"], g["datetime"]) == (
+        "CamCo", 6, "2020:01:02 03:04:05",
+    )
+    # pixel data byte-identical in effect: decodes to the same raster
+    _, _, before = decode_jpeg(tagged)
+    _, _, after = decode_jpeg(clean)
+    assert (before == after).all()
+    # idempotent, and a no-EXIF jpeg passes through unchanged
+    assert strip_gps(clean) == clean
+    bare = encode_jpeg(list(range(64)), 8, 8)
+    assert strip_gps(bare) == bare
+
+
+def test_scrubbed_entropy_bytes_identical():
+    # stronger than raster equality: everything from SOS onward must be
+    # the exact original bytes (scrubbing must never re-encode)
+    tagged = _tagged("II")
+    clean = strip_gps(tagged)
+    sos_t = tagged.find(b"\xff\xda")
+    sos_c = clean.find(b"\xff\xda")
+    assert tagged[sos_t:] == clean[sos_c:]
+
+
+def test_parse_accepts_bare_app1_and_tiff():
+    app1 = build_exif_app1(
+        "II", "X", 1, "2020:01:01 00:00:00", "N", (1, 2, 3), "E", (4, 5, 6)
+    )
+    order, entries = parse_exif(app1)
+    assert order == "II" and any(e.tag == TAG_GPS_IFD for e in entries)
+    # TIFF-only payload (after the Exif preamble)
+    i = app1.find(b"Exif\x00\x00") + 6
+    order2, entries2 = parse_exif(app1[i:])
+    assert order2 == "II" and len(entries2) == len(entries)
+
+
+def test_no_exif_raises_on_read():
+    with pytest.raises(ValueError, match="no EXIF APP1"):
+        read_fields(encode_jpeg(list(range(64)), 8, 8))
+
+
+def test_bad_tiff_magic_is_loud():
+    app1 = bytearray(_tagged("II"))
+    i = app1.find(b"II") + 2
+    struct.pack_into("<H", app1, i, 43)
+    with pytest.raises(ValueError, match="bad TIFF magic"):
+        read_fields(bytes(app1))
+
+
+def test_out_of_line_offset_past_end_is_loud():
+    app1 = build_exif_app1(
+        "II", "LongMakerNameForOffset", 1, "2020:01:01 00:00:00",
+        "N", (1, 2, 3), "E", (4, 5, 6),
+    )
+    with pytest.raises(ValueError, match="runs past end"):
+        parse_exif(app1[: len(app1) - 30])
+
+
+def test_serialize_orders_tags():
+    # TIFF 6.0 mandates ascending tag order; shuffle then re-serialize
+    order, entries = parse_exif(_tagged("MM"))
+    app1 = serialize_exif_app1(order, list(reversed(entries)))
+    _, back = parse_exif(app1)
+    tags = [e.tag for e in back]
+    assert tags == sorted(tags)
