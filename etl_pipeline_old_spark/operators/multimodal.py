@@ -513,8 +513,9 @@ def decode_audio_real(payload: bytes) -> tuple[int, int, list[int]]:
             f"no codec for magic {payload[:4]!r}: perceptual-audio decode "
             "(MP3/AAC/OGG) requires an audio library (e.g. soundfile), not "
             "available in this container — RIFF/WAVE PCM16, G.711, IMA "
-            "ADPCM, FLAC, and PCM-in-MP4 decode natively (MP3 frame-walk "
-            "metadata probing is in operators/mp3.py)"
+            "ADPCM, FLAC, and PCM-in-MP4 decode natively (metadata-level "
+            "probing for MP3 and Ogg/Opus/Vorbis is in operators/mp3.py "
+            "and operators/ogg.py)"
         )
     i, fmt, data = 12, None, None
     while i + 8 <= len(payload):

@@ -1,0 +1,220 @@
+"""Ogg container codec (page walk + packet reassembly) — pure stdlib.
+
+Written from the public spec: RFC 3533 (Ogg page structure, lacing,
+packet spanning, CRC) plus the public Opus (RFC 7845 ``OpusHead``) and
+Vorbis I (``\\x01vorbis`` identification header) mappings.
+
+Why this exists: podcast/speech corpora ship as ``.ogg``/``.opus``.
+Decoding the perceptual payload (Opus/Vorbis) genuinely needs a codec
+library — that stays the documented seam (operators/multimodal.py).  But
+the container layer is where a pipeline filters and dispatches: codec
+identification, channel/rate metadata, duration from granule positions,
+integrity via the page CRC.  This module is that layer:
+
+- ``build_ogg``: emit a real Ogg stream — correct page headers, lacing
+  (including 255-lace packet continuation across pages), granule
+  positions, and the spec's CRC-32 (0x04c11db7, unreflected, init 0 —
+  NOT zlib's) — carrying a declared codec ID header plus opaque packets.
+- ``probe_ogg``: walk pages, verify every CRC, reassemble packets across
+  page boundaries, identify the codec from the first packet (OpusHead /
+  Vorbis I), and report stream metadata (serial, page/packet counts,
+  channels, rate/pre-skip, duration granules from the last page).  A
+  damaged page fails LOUDLY — one blob costs one record, never the job.
+"""
+
+from __future__ import annotations
+
+import struct
+
+# RFC 3533 §6: CRC-32, generator 0x04c11db7, no reflection, init/xorout 0
+_CRC_TABLE = []
+for _i in range(256):
+    _r = _i << 24
+    for _ in range(8):
+        _r = ((_r << 1) ^ 0x04C11DB7) if (_r & 0x80000000) else (_r << 1)
+    _CRC_TABLE.append(_r & 0xFFFFFFFF)
+
+
+def _crc(data: bytes) -> int:
+    r = 0
+    for b in data:
+        r = ((r << 8) & 0xFFFFFFFF) ^ _CRC_TABLE[((r >> 24) & 0xFF) ^ b]
+    return r
+
+
+def _page(
+    serial: int,
+    seq: int,
+    granule: int,
+    packets_segments: list,
+    header_type: int,
+) -> bytes:
+    laces = []
+    body = bytearray()
+    for seg_bytes, complete in packets_segments:
+        body += seg_bytes
+        n_full, last = divmod(len(seg_bytes), 255)
+        laces += [255] * n_full
+        if complete:
+            laces.append(last)  # may be 0 (empty terminator lace)
+        elif last:
+            raise ValueError("continued packet segment must be 255-aligned")
+    hdr = (
+        b"OggS" + bytes([0, header_type])
+        + struct.pack("<q", granule)
+        + struct.pack("<II", serial, seq)
+        + b"\x00\x00\x00\x00"  # CRC placeholder
+        + bytes([len(laces)]) + bytes(laces)
+    )
+    page = bytearray(hdr + bytes(body))
+    struct.pack_into("<I", page, 22, _crc(bytes(page)))
+    return bytes(page)
+
+
+def build_ogg(
+    codec: str,
+    channels: int,
+    rate: int,
+    packets: list,
+    serial: int = 1,
+    granules: list | None = None,
+    page_body_limit: int = 255 * 200,
+) -> bytes:
+    """Assemble a spec-valid Ogg stream.  First page (BOS) carries the
+    codec ID header (OpusHead per RFC 7845 §5.1 or Vorbis I §4.2.2);
+    data packets follow one per page (packets longer than 255·200 bytes
+    span pages via 255-lace continuation); the last page sets EOS.
+    ``granules[i]`` is the granule position after data packet i
+    (defaults to 960·(i+1), an Opus-like 20 ms cadence)."""
+    if codec == "opus":
+        id_header = (
+            b"OpusHead" + bytes([1, channels])
+            + struct.pack("<H", 312)  # pre-skip
+            + struct.pack("<I", rate)
+            + struct.pack("<hB", 0, 0)
+        )
+    elif codec == "vorbis":
+        id_header = (
+            b"\x01vorbis" + struct.pack("<I", 0) + bytes([channels])
+            + struct.pack("<I", rate)
+            + struct.pack("<iii", 0, 0, 0) + bytes([0xB8, 1])
+        )
+    else:
+        raise ValueError(f"unknown codec {codec!r}")
+    granules = granules or [960 * (i + 1) for i in range(len(packets))]
+    out = bytearray(_page(serial, 0, 0, [(id_header, True)], 0x02))  # BOS
+    seq = 1
+    for i, pkt in enumerate(packets):
+        eos = 0x04 if i == len(packets) - 1 else 0
+        g = granules[i]
+        max_body = (page_body_limit // 255) * 255  # spans stay 255-aligned
+        if len(pkt) <= max_body:
+            out += _page(serial, seq, g, [(pkt, True)], eos)
+            seq += 1
+            continue
+        # span: all-but-last chunks 255-aligned, continuation flag on
+        # every following page (-1 granule on non-final spanning pages)
+        pos = 0
+        first = True
+        while pos < len(pkt):
+            chunk = pkt[pos : pos + max_body]
+            pos += len(chunk)
+            final = pos >= len(pkt)
+            flags = (0 if first else 0x01) | (eos if final else 0)
+            out += _page(
+                serial, seq, g if final else -1,
+                [(chunk, final)], flags,
+            )
+            seq += 1
+            first = False
+    return bytes(out)
+
+
+def probe_ogg(payload: bytes) -> dict:
+    """Page-walk + packet reassembly with full CRC verification.  Returns
+    the dispatch metadata a corpus pipeline filters on: ``codec``
+    ('opus'/'vorbis'/'unknown'), ``serial``, ``n_pages``, ``n_packets``
+    (data packets, ID header excluded), ``channels``, ``rate``
+    (identification-header nominal rate), ``pre_skip`` (opus, else 0),
+    ``duration_granules`` (last page's granule position), ``crc_ok``
+    (always 1 — a bad CRC raises).  Torn or corrupt pages raise
+    ``ValueError``."""
+    pos = 0
+    n_pages = 0
+    packets: list[bytes] = []
+    partial = bytearray()
+    serial = None
+    last_granule = 0
+    saw_eos = False
+    while pos < len(payload):
+        if payload[pos : pos + 4] != b"OggS":
+            raise ValueError(f"ogg: bad capture pattern at byte {pos}")
+        if saw_eos:
+            raise ValueError("ogg: data after EOS page")
+        if pos + 27 > len(payload):
+            raise ValueError("ogg: truncated page header")
+        version, htype = payload[pos + 4], payload[pos + 5]
+        if version != 0:
+            raise ValueError(f"ogg: unknown stream structure version {version}")
+        (granule,) = struct.unpack_from("<q", payload, pos + 6)
+        ser, seq, crc = struct.unpack_from("<III", payload, pos + 14)
+        nseg = payload[pos + 26]
+        lace_end = pos + 27 + nseg
+        if lace_end > len(payload):
+            raise ValueError("ogg: truncated lacing table")
+        laces = payload[pos + 27 : lace_end]
+        body_len = sum(laces)
+        page_end = lace_end + body_len
+        if page_end > len(payload):
+            raise ValueError("ogg: truncated page body")
+        zeroed = bytearray(payload[pos:page_end])
+        zeroed[22:26] = b"\x00\x00\x00\x00"
+        if _crc(bytes(zeroed)) != crc:
+            raise ValueError(f"ogg: CRC mismatch on page {seq}")
+        if serial is None:
+            serial = ser
+        elif ser != serial:
+            raise ValueError("ogg: multiplexed streams not supported here")
+        if (htype & 0x01) and not partial:
+            raise ValueError("ogg: continuation page without pending packet")
+        body = payload[lace_end:page_end]
+        at = 0
+        for lace in laces:
+            partial += body[at : at + lace]
+            at += lace
+            if lace < 255:
+                packets.append(bytes(partial))
+                partial = bytearray()
+        if granule != -1 and granule > last_granule:
+            last_granule = granule
+        saw_eos = bool(htype & 0x04)
+        n_pages += 1
+        pos = page_end
+    if partial:
+        raise ValueError("ogg: stream ends mid-packet")
+    if not saw_eos:
+        raise ValueError("ogg: missing EOS page")
+    if not packets:
+        raise ValueError("ogg: no packets")
+    head = packets[0]
+    codec, channels, rate, pre_skip = "unknown", 0, 0, 0
+    if head[:8] == b"OpusHead":
+        codec = "opus"
+        channels = head[9]
+        (pre_skip,) = struct.unpack_from("<H", head, 10)
+        (rate,) = struct.unpack_from("<I", head, 12)
+    elif head[:7] == b"\x01vorbis":
+        codec = "vorbis"
+        channels = head[11]
+        (rate,) = struct.unpack_from("<I", head, 12)
+    return {
+        "codec": codec,
+        "serial": serial,
+        "n_pages": n_pages,
+        "n_packets": len(packets) - 1,
+        "channels": channels,
+        "rate": rate,
+        "pre_skip": pre_skip,
+        "duration_granules": last_granule,
+        "crc_ok": 1,
+    }

@@ -222,6 +222,9 @@ _CORE_FIRST = (
     # round-9 (cont.): EXIF extract + GPS scrub — the camera-corpus
     # location-PII governance pass, pixels proven untouched
     "multimodal_exif_gps_scrub",
+    # round-9 (cont.): Ogg page-walk probe — CRC-verified container
+    # dispatch for .ogg/.opus speech corpora
+    "multimodal_ogg_probe",
 )
 
 
