@@ -2506,3 +2506,95 @@ def multimodal_ogg_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "channels int, rate int, pre_skip int, duration_granules long, "
         "crc_ok int",
     )
+
+
+# --------------------------------------------------------- ZIP shard ingest
+# Next to WebDataset tar shards, ZIP is the other container corpora
+# actually arrive in (Kaggle dumps, ImageNet-style archives, document
+# dumps). operators/pkzip.py walks the central directory — the spec's
+# authoritative index — with per-member CRC/size verification, and is
+# cross-validated both directions against CPython's independent zipfile
+# module. Members alternate stored/deflated by doc parity so both
+# decode paths are value-checked.
+
+
+def _build_zip_shard(pdf, sid: int) -> bytes:
+    from ..operators.pkzip import write_zip
+
+    members = []
+    for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+        method = "stored" if int(doc_id) % 2 == 0 else "deflated"
+        members.append((f"{int(doc_id):08d}.txt", text.encode("utf-8"), method))
+    return write_zip(members)
+
+
+@register(
+    "multimodal_zip_shards",
+    oracle="""
+    SELECT doc_id,
+      CASE WHEN doc_id % 2 = 0 THEN 'stored' ELSE 'deflated' END AS method,
+      octet_length(CAST(text AS BLOB)) AS n_bytes,
+      ('0x' || substr(md5(text), 1, 8))::BIGINT AS md5_head,
+      1 AS crc_ok
+    FROM documents
+    """,
+    doc="ZIP shard ingest — the other corpus container next to WebDataset "
+    "tar (Kaggle dumps, ImageNet-style archives): documents are packed "
+    "into 25-doc .zip shards FROM THE EXECUTORS (one member per doc, "
+    "stored/deflated alternating by doc parity so both decode paths "
+    "carry data), scanned back whole-shard via binaryFile, and walked "
+    "by the engine's own central-directory reader (operators/pkzip.py, "
+    "public APPNOTE.TXT layout: EOCD discovery from the tail window, "
+    "central-directory-order extraction, per-member CRC-32 AND "
+    "declared-size verification, UTF-8 name flag honored, zip64 and "
+    "exotic methods as documented seams) — cross-validated BOTH "
+    "directions against CPython's independent zipfile module in "
+    "tests/test_pkzip.py. The oracle recomputes each member's byte "
+    "length and an md5-prefix fingerprint from the base table, so "
+    "extraction is content-verified per document, not just counted. "
+    "Scale: shards are self-contained (EOCD + central directory travel "
+    "with the blob), so ingest is embarrassingly parallel across "
+    "shards; a torn or tampered member raises inside its record — the "
+    "quarantine pattern applies unchanged.",
+)
+def multimodal_zip_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .web_corpus import _stage_shard_files
+
+    path = _stage_shard_files(
+        spark, sf_dir, "zip_shards", _build_zip_shard, suffix="zip"
+    )
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.zip")
+        .load(path)
+        .select("content")
+    )
+
+    def op(batches):
+        import hashlib as _hl
+
+        import pandas as pd
+
+        from ..operators.pkzip import read_zip
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "method": [], "n_bytes": [],
+                "md5_head": [], "crc_ok": [],
+            }
+            for blob in pdf["content"]:
+                for name, data, method in read_zip(bytes(blob)):
+                    out["doc_id"].append(int(name.split(".")[0]))
+                    out["method"].append(method)
+                    out["n_bytes"].append(len(data))
+                    out["md5_head"].append(
+                        int(_hl.md5(data).hexdigest()[:8], 16)
+                    )
+                    out["crc_ok"].append(1)
+            yield pd.DataFrame(out)
+
+    return bf.mapInPandas(
+        op,
+        schema="doc_id long, method string, n_bytes long, md5_head long, "
+        "crc_ok int",
+    )

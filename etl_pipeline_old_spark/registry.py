@@ -225,6 +225,9 @@ _CORE_FIRST = (
     # round-9 (cont.): Ogg page-walk probe — CRC-verified container
     # dispatch for .ogg/.opus speech corpora
     "multimodal_ogg_probe",
+    # round-9 (cont.): ZIP shard ingest — central-directory walk with
+    # per-member CRC, cross-validated vs stdlib zipfile both directions
+    "multimodal_zip_shards",
 )
 
 

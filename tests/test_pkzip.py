@@ -1,0 +1,111 @@
+"""ZIP codec tests — operators/pkzip.py.
+
+Cross-validation strategy mirrors operators/tar.py vs tarfile: the
+INDEPENDENT stdlib zipfile module must open what we write, and we must
+open what it writes — plus loud-failure coverage for CRC/size damage,
+truncation, encryption, zip64 markers, and exotic methods.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import zipfile
+
+import pytest
+
+from etl_pipeline_old_spark.operators.pkzip import read_zip, write_zip
+
+_MEMBERS = [
+    ("a/1.txt", b"hello world" * 10, "deflated"),
+    ("2.bin", bytes(range(256)), "stored"),
+    ("uß.txt", "ünïcødé".encode(), "deflated"),
+    ("empty.txt", b"", "stored"),
+]
+
+
+def test_own_roundtrip():
+    assert read_zip(write_zip(_MEMBERS)) == _MEMBERS
+
+
+def test_stdlib_reads_ours():
+    zf = zipfile.ZipFile(io.BytesIO(write_zip(_MEMBERS)))
+    assert zf.testzip() is None
+    assert sorted(zf.namelist()) == sorted(n for n, _, _ in _MEMBERS)
+    for n, d, _ in _MEMBERS:
+        assert zf.read(n) == d
+
+
+def test_we_read_stdlibs():
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("x.txt", b"abc" * 50)
+        z.writestr("stored.bin", b"raw", zipfile.ZIP_STORED)
+    got = read_zip(buf.getvalue())
+    assert {(n, bytes(d), m) for n, d, m in got} == {
+        ("x.txt", b"abc" * 50, "deflated"),
+        ("stored.bin", b"raw", "stored"),
+    }
+
+
+def test_payload_corruption_fails_crc():
+    blob = bytearray(write_zip(_MEMBERS))
+    blob[40] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        read_zip(bytes(blob))
+
+
+def test_truncation_is_loud():
+    blob = write_zip(_MEMBERS)
+    with pytest.raises(ValueError, match="no end-of-central-directory"):
+        read_zip(blob[: len(blob) // 2])
+
+
+def test_encrypted_member_is_loud():
+    blob = bytearray(write_zip([("s.txt", b"secret", "stored")]))
+    i = blob.find(b"PK\x01\x02")
+    flags = struct.unpack_from("<H", blob, i + 8)[0]
+    struct.pack_into("<H", blob, i + 8, flags | 0x1)
+    with pytest.raises(ValueError, match="encrypted"):
+        read_zip(bytes(blob))
+
+
+def test_zip64_marker_is_documented_seam():
+    blob = bytearray(write_zip([("s.txt", b"x", "stored")]))
+    e = blob.rfind(b"PK\x05\x06")
+    struct.pack_into("<I", blob, e + 16, 0xFFFFFFFF)  # cd offset marker
+    with pytest.raises(NotImplementedError, match="zip64"):
+        read_zip(bytes(blob))
+
+
+def test_unknown_method_is_documented_seam():
+    blob = bytearray(write_zip([("s.txt", b"xyz", "stored")]))
+    for sig in (b"PK\x01\x02", b"PK\x03\x04"):
+        i = blob.find(sig)
+        off = i + (10 if sig == b"PK\x01\x02" else 8)
+        struct.pack_into("<H", blob, off, 12)  # bzip2
+    with pytest.raises(NotImplementedError, match="method 12"):
+        read_zip(bytes(blob))
+
+
+def test_eocd_signature_inside_member_data_is_ignored():
+    # a stored member containing the EOCD magic must not hijack the walk
+    tricky = b"PK\x05\x06" + b"\x00" * 18
+    members = [("trap.bin", tricky, "stored"), ("ok.txt", b"fine", "deflated")]
+    assert read_zip(write_zip(members)) == members
+
+
+def test_central_directory_is_authoritative():
+    # splice an orphan local header + payload between members: a linear
+    # local-header scan would surface it; the central walk must not
+    a = write_zip([("real.txt", b"real", "stored")])
+    orphan = write_zip([("ghost.txt", b"boo", "stored")])
+    cd = a.rfind(b"PK\x01\x02")
+    ghost_local_end = orphan.find(b"PK\x01\x02")
+    spliced = a[:cd] + orphan[:ghost_local_end] + a[cd:]
+    # fix EOCD's cd offset
+    blob = bytearray(spliced)
+    e = blob.rfind(b"PK\x05\x06")
+    struct.pack_into("<I", blob, e + 16, cd + ghost_local_end)
+    names = [n for n, _, _ in read_zip(bytes(blob))]
+    assert names == ["real.txt"]
