@@ -228,6 +228,9 @@ _CORE_FIRST = (
     # round-9 (cont.): ZIP shard ingest — central-directory walk with
     # per-member CRC, cross-validated vs stdlib zipfile both directions
     "multimodal_zip_shards",
+    # round-9 (cont.): PDF text extraction — the document-corpus first
+    # mile, byte-exact recovery demanded by the oracle
+    "pipeline_pdf_extract",
 )
 
 

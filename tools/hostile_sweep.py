@@ -90,6 +90,15 @@ REPEAT_QUERIES = (
     "stream_image_text_join",
     # r9: staged audio-text tar shards
     "multimodal_webdataset_audio",
+    # r9: staged container/metadata surfaces (mp4, mp3, exif jpeg, ogg,
+    # zip shards) — all marker-file idempotent media stagers
+    "multimodal_mp4_probe",
+    "multimodal_mp3_probe",
+    "multimodal_exif_gps_scrub",
+    "multimodal_ogg_probe",
+    "multimodal_zip_shards",
+    # r9: staged .pdf documents
+    "pipeline_pdf_extract",
 )
 
 
