@@ -2711,3 +2711,115 @@ def pipeline_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, n_pages int, compressed int, n_chars long, "
         "text_exact int",
     )
+
+
+# ------------------------------------------- document-corpus capstone
+# The PDF counterpart of pipeline_web_corpus: documents arrive as PDFs
+# (the real first mile for papers/reports/books), text is recovered
+# byte-exactly by the structural parser, and EVERYTHING downstream runs
+# JVM-side on the recovered text — language ID, length gating, exact
+# near-dup accounting — so a lossy extraction would flip predictions
+# and fail the oracle hash.
+
+_DOC_MIN_WORDS = 5
+
+
+def _doc_capstone_oracle() -> str:
+    from ..operators import text as TX
+    from ..operators.dedup import NORMALIZE_SQL
+
+    norm = NORMALIZE_SQL.format(x="text")
+    hits = {
+        lang: f"len(list_filter(string_split({norm}, ' '), x -> x IN {tuple(words)}))"
+        for lang, words in TX.LANG_STOPWORDS
+    }
+    best = f"greatest({', '.join(hits.values())})"
+    chain = " ".join(
+        f"WHEN {hits[lang]} = best AND best > 0 THEN '{lang}'"
+        for lang, _ in TX.LANG_STOPWORDS
+    )
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, text, {norm} AS norm,
+             len(string_split({norm}, ' ')) AS n_words,
+             {best} AS best
+      FROM documents),
+    gated AS (
+      SELECT CASE {chain} ELSE 'und' END AS lang_pred, n_words, norm
+      FROM scored
+      WHERE n_words >= {_DOC_MIN_WORDS})
+    SELECT lang_pred,
+           count(*)::BIGINT AS n_docs,
+           sum(n_words)::BIGINT AS n_tokens,
+           count(DISTINCT norm)::BIGINT AS n_unique,
+           round(avg(n_words), 2) AS avg_words
+    FROM gated
+    GROUP BY lang_pred
+    """
+
+
+@register(
+    "pipeline_document_corpus",
+    oracle=_doc_capstone_oracle(),
+    doc="The document-corpus capstone, PDFs to clean corpus in one plan — "
+    "the paper/report/book counterpart of pipeline_web_corpus: scan the "
+    "staged PDF corpus via binaryFile, recover text through the "
+    "structural ISO 32000 parser (Arrow kernel; byte-exact, so the "
+    "oracle can recompute everything downstream from the base table), "
+    "then JVM-side on the RECOVERED text: whitespace-normalized word "
+    "count, short-document gate (n_words >= 5), stopword language ID, "
+    "and exact-normalized near-dup accounting; report per-language "
+    "corpus stats (docs, tokens, distinct normalized texts, mean "
+    "length). A lossy or misordered extraction flips word counts or "
+    "language predictions and fails the value hash — extraction "
+    "fidelity is verified THROUGH the downstream pipeline, not just "
+    "per-record. Scale shape: decode is map-only over blobs (the only "
+    "Python), the rest is whole-stage-codegen expressions into one "
+    "partial-aggregated groupBy on a handful of language keys, and the "
+    "distinct-normalized count is the standard two-phase distinct "
+    "aggregate — no joins, no collects.",
+)
+def pipeline_document_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import normalize_text
+    from ..operators.text import lang_id
+
+    path = _stage_media_files(spark, sf_dir, "pdf_files", "pdf", _render_pdf)
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.pdf")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.pdf$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "content",
+        )
+    )
+
+    def op(batches):
+        import pandas as pd
+
+        from ..operators.pdf import extract_pdf_text
+
+        for pdf_batch in batches:
+            ids, texts = [], []
+            for doc_id, content in zip(
+                pdf_batch["doc_id"], pdf_batch["content"]
+            ):
+                pages = extract_pdf_text(bytes(content))
+                ids.append(int(doc_id))
+                texts.append("".join(ln for pg in pages for ln in pg))
+            yield pd.DataFrame({"doc_id": ids, "text": texts})
+
+    recovered = bf.mapInPandas(op, schema="doc_id long, text string")
+    scored = recovered.select(
+        lang_id("text").alias("lang_pred"),
+        F.size(F.split(normalize_text(F.col("text")), " ")).alias("n_words"),
+        normalize_text(F.col("text")).alias("norm"),
+    ).where(F.col("n_words") >= _DOC_MIN_WORDS)
+    return scored.groupBy("lang_pred").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").alias("n_tokens"),
+        F.countDistinct("norm").alias("n_unique"),
+        F.round(F.avg("n_words"), 2).alias("avg_words"),
+    )

@@ -231,6 +231,9 @@ _CORE_FIRST = (
     # round-9 (cont.): PDF text extraction — the document-corpus first
     # mile, byte-exact recovery demanded by the oracle
     "pipeline_pdf_extract",
+    # round-9 (cont.): the PDF counterpart of pipeline_web_corpus —
+    # extraction fidelity verified THROUGH the downstream pipeline
+    "pipeline_document_corpus",
 )
 
 

@@ -127,3 +127,18 @@ def test_flate_stream_actually_compressed():
     # and the stream inflates to the raw content-stream bytes
     m = re.search(rb"stream\n(.*?)\nendstream", comp, re.S)
     assert b"z" * 59 in zlib.decompress(m.group(1))
+
+
+def test_document_corpus_capstone_plan_locks(spark):
+    # Python only at the parse; downstream is codegen into the standard
+    # two-phase distinct aggregate — exactly 2 Exchanges, no joins
+    from etl_pipeline_old_spark.queries.sources_formats import (
+        pipeline_document_corpus,
+    )
+
+    df = pipeline_document_corpus(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 2
