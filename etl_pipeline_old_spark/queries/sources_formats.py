@@ -2823,3 +2823,130 @@ def pipeline_document_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("norm").alias("n_unique"),
         F.round(F.avg("n_words"), 2).alias("avg_words"),
     )
+
+
+# ------------------------------------------------ WebM/Matroska probe
+# EBML is the crawled-video container next to ISO BMFF; with
+# operators/mp4.py and operators/ogg.py this completes the container
+# trio. Codec payloads (VP9/AV1/Opus) stay the documented external-
+# decoder seam; the dispatch questions a video pipeline asks first —
+# codecs, dims, duration, cluster structure — are pure container reads.
+
+
+def _render_webm(doc_id: int, text: str) -> bytes:
+    from ..operators.ebml import build_webm
+
+    mode = doc_id % 3
+    if mode == 1:  # matroska, AV1 video only, live-mux unknown size
+        return build_webm(
+            "matroska",
+            [{"type": "video", "codec": "V_AV1", "width": 1920, "height": 800}],
+            [1 + doc_id % 4],
+            2500.0,
+            unknown_segment_size=True,
+        )
+    if mode == 2:  # audio-only webm
+        return build_webm(
+            "webm",
+            [{"type": "audio", "codec": "A_OPUS", "rate": 48000, "channels": 2}],
+            [1, 1, 1],
+            750.0,
+        )
+    return build_webm(
+        "webm",
+        [
+            {
+                "type": "video", "codec": "V_VP9",
+                "width": 1280, "height": 720 + doc_id % 16,
+            },
+            {
+                "type": "audio", "codec": "A_OPUS",
+                "rate": 48000, "channels": 1 + doc_id % 2,
+            },
+        ],
+        [2, 3 + doc_id % 3],
+        1000.0 * (1 + doc_id % 10),
+    )
+
+
+@register(
+    "multimodal_webm_probe",
+    oracle="""
+    WITH b AS (SELECT doc_id, doc_id % 3 AS m FROM documents)
+    SELECT doc_id,
+      CASE m WHEN 1 THEN 'matroska' ELSE 'webm' END AS doc_type,
+      CAST(CASE m WHEN 0 THEN 1000 * (1 + doc_id % 10)
+                  WHEN 1 THEN 2500 ELSE 750 END AS BIGINT) AS duration_ms,
+      CAST(CASE m WHEN 2 THEN 0 ELSE 1 END AS INT) AS n_video,
+      CAST(CASE m WHEN 1 THEN 0 ELSE 1 END AS INT) AS n_audio,
+      CASE m WHEN 0 THEN 'V_VP9' WHEN 1 THEN 'V_AV1' ELSE '' END
+        AS video_codec,
+      CAST(CASE m WHEN 0 THEN 1280 WHEN 1 THEN 1920 ELSE 0 END AS INT)
+        AS width,
+      CAST(CASE m WHEN 0 THEN 720 + doc_id % 16
+                  WHEN 1 THEN 800 ELSE 0 END AS INT) AS height,
+      CASE m WHEN 1 THEN '' ELSE 'A_OPUS' END AS audio_codec,
+      CAST(CASE m WHEN 1 THEN 0 ELSE 48000 END AS INT) AS rate,
+      CAST(CASE m WHEN 0 THEN 1 + doc_id % 2
+                  WHEN 2 THEN 2 ELSE 0 END AS INT) AS channels,
+      CAST(CASE m WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 3 END AS INT)
+        AS n_clusters,
+      CAST(CASE m WHEN 0 THEN 5 + doc_id % 3
+                  WHEN 1 THEN 1 + doc_id % 4 ELSE 3 END AS INT) AS n_blocks
+    FROM b
+    """,
+    doc="WebM/Matroska (EBML) container probe — completes the container "
+    "trio next to ISO BMFF and Ogg (operators/ebml.py, RFC 8794 + the "
+    "public Matroska element registry): variable-length ID/size vints "
+    "with the all-ones UNKNOWN-SIZE Segment form live muxers emit, "
+    "DocType/version, TimestampScale-corrected duration, per-track "
+    "type/codec/dims/rate/channels, cluster and SimpleBlock counts. "
+    "Staged surfaces cycle VP9+Opus webm (per-doc heights, channels, "
+    "cluster sizes, durations), an AV1 matroska written with the "
+    "unknown-size Segment, and an audio-only webm; the oracle "
+    "recomputes every column from the staging formulas. Codec payload "
+    "decode (VP9/AV1/Opus) stays the documented external-decoder seam. "
+    "Scale: binaryFile ingest; the probe is a header walk whose cost "
+    "tracks element counts, not payload bytes, and truncation raises "
+    "per record inside the quarantine pattern.",
+)
+def multimodal_webm_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_media_files(spark, sf_dir, "webm_files", "webm", _render_webm)
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.webm")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.webm$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "content",
+        )
+    )
+
+    def op(batches):
+        import pandas as pd
+
+        from ..operators.ebml import probe_webm
+
+        cols = [
+            "doc_type", "duration_ms", "n_video", "n_audio", "video_codec",
+            "width", "height", "audio_codec", "rate", "channels",
+            "n_clusters", "n_blocks",
+        ]
+        for pdf in batches:
+            out = {c: [] for c in ["doc_id", *cols]}
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                p = probe_webm(bytes(content))
+                out["doc_id"].append(int(doc_id))
+                for c in cols:
+                    out[c].append(p[c])
+            yield pd.DataFrame(out)
+
+    return bf.mapInPandas(
+        op,
+        schema="doc_id long, doc_type string, duration_ms long, "
+        "n_video int, n_audio int, video_codec string, width int, "
+        "height int, audio_codec string, rate int, channels int, "
+        "n_clusters int, n_blocks int",
+    )

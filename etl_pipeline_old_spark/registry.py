@@ -234,6 +234,9 @@ _CORE_FIRST = (
     # round-9 (cont.): the PDF counterpart of pipeline_web_corpus —
     # extraction fidelity verified THROUGH the downstream pipeline
     "pipeline_document_corpus",
+    # round-9 (cont.): WebM/Matroska EBML probe — completes the
+    # container trio (ISO BMFF, Ogg, EBML) for crawled video
+    "multimodal_webm_probe",
 )
 
 

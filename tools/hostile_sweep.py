@@ -97,8 +97,11 @@ REPEAT_QUERIES = (
     "multimodal_exif_gps_scrub",
     "multimodal_ogg_probe",
     "multimodal_zip_shards",
-    # r9: staged .pdf documents
+    # r9: staged .pdf documents (+ the capstone sharing the staging)
     "pipeline_pdf_extract",
+    "pipeline_document_corpus",
+    # r9: staged .webm containers
+    "multimodal_webm_probe",
 )
 
 
