@@ -1,0 +1,117 @@
+"""WebVTT subtitle codec — pure stdlib.
+
+Written from the public WebVTT specification (W3C): the ``WEBVTT``
+signature, blank-line-separated cue blocks, optional cue identifiers,
+``HH:MM:SS.mmm --> HH:MM:SS.mmm`` timing lines (hours optional on
+input), and multi-line cue payloads.
+
+Why this exists: video-text pair corpora (the video analogue of the
+LAION image-caption shape) bind a video track to its subtitle track —
+YT-style corpora ship captions as WebVTT/SRT.  Before any pairing, the
+pipeline needs per-document caption structure: cue counts, covered time
+(with overlapping cues MERGED, not double-counted), span, and payload
+size.  This module parses that structure and fails loudly on a
+malformed header, timing line, or non-monotonic cue timing — a damaged
+sidecar costs its record, never the job.
+"""
+
+from __future__ import annotations
+
+import re
+
+_TIMING = re.compile(
+    r"^(?:(\d+):)?(\d{2}):(\d{2})\.(\d{3})"
+    r" --> "
+    r"(?:(\d+):)?(\d{2}):(\d{2})\.(\d{3})\s*$"
+)
+
+
+def _ms(h, m, s, ms) -> int:
+    return ((int(h or 0) * 60 + int(m)) * 60 + int(s)) * 1000 + int(ms)
+
+
+def format_ts(ms: int) -> str:
+    h, rem = divmod(ms, 3_600_000)
+    m, rem = divmod(rem, 60_000)
+    s, mil = divmod(rem, 1000)
+    return f"{h:02d}:{m:02d}:{s:02d}.{mil:03d}"
+
+
+def write_vtt(cues: list) -> str:
+    """Serialize ``[(start_ms, end_ms, text)]`` into a WebVTT document."""
+    out = ["WEBVTT", ""]
+    for i, (start, end, text) in enumerate(cues, start=1):
+        out.append(str(i))
+        out.append(f"{format_ts(start)} --> {format_ts(end)}")
+        out.append(text)
+        out.append("")
+    return "\n".join(out)
+
+
+def parse_vtt(doc: str) -> list:
+    """Parse into ``[(start_ms, end_ms, text)]``.  Cue identifiers and
+    NOTE comment blocks are handled per spec; malformed timing lines and
+    end<=start cues raise ``ValueError``."""
+    lines = doc.split("\n")
+    if not lines or not lines[0].strip().startswith("WEBVTT"):
+        raise ValueError("vtt: missing WEBVTT signature")
+    cues = []
+    i = 1
+    n = len(lines)
+    while i < n:
+        if not lines[i].strip():
+            i += 1
+            continue
+        if lines[i].startswith("NOTE"):
+            while i < n and lines[i].strip():
+                i += 1
+            continue
+        # optional identifier line (anything without '-->')
+        if "-->" not in lines[i]:
+            i += 1
+            if i >= n:
+                raise ValueError("vtt: cue identifier at end of file")
+        m = _TIMING.match(lines[i])
+        if not m:
+            raise ValueError(f"vtt: malformed timing line {lines[i]!r}")
+        start = _ms(*m.groups()[:4])
+        end = _ms(*m.groups()[4:])
+        if end <= start:
+            raise ValueError(f"vtt: cue ends before it starts ({lines[i]!r})")
+        i += 1
+        payload = []
+        while i < n and lines[i].strip():
+            payload.append(lines[i])
+            i += 1
+        cues.append((start, end, "\n".join(payload)))
+    return cues
+
+
+def caption_stats(doc: str) -> dict:
+    """Per-document caption structure: ``n_cues``, ``covered_ms`` (union
+    of cue intervals — overlaps merged, not double-counted),
+    ``first_start_ms``, ``last_end_ms``, ``n_chars`` (payload
+    characters across cues, newlines excluded)."""
+    cues = parse_vtt(doc)
+    if not cues:
+        return {
+            "n_cues": 0, "covered_ms": 0, "first_start_ms": 0,
+            "last_end_ms": 0, "n_chars": 0,
+        }
+    ivs = sorted((s, e) for s, e, _ in cues)
+    covered = 0
+    cur_s, cur_e = ivs[0]
+    for s, e in ivs[1:]:
+        if s > cur_e:
+            covered += cur_e - cur_s
+            cur_s, cur_e = s, e
+        else:
+            cur_e = max(cur_e, e)
+    covered += cur_e - cur_s
+    return {
+        "n_cues": len(cues),
+        "covered_ms": covered,
+        "first_start_ms": min(s for s, _e, _t in cues),
+        "last_end_ms": max(e for _s, e, _t in cues),
+        "n_chars": sum(len(t.replace("\n", "")) for _s, _e, t in cues),
+    }

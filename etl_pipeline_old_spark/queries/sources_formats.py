@@ -2950,3 +2950,96 @@ def multimodal_webm_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height int, audio_codec string, rate int, channels int, "
         "n_clusters int, n_blocks int",
     )
+
+
+# ------------------------------------------------ WebVTT caption sidecars
+# The caption side of video-text pair corpora (the video analogue of the
+# LAION image-caption shape): YT-style corpora ship subtitles as WebVTT
+# sidecars. operators/vtt.py parses the public W3C structure with
+# overlap-MERGED coverage accounting, the number a pairing pipeline
+# gates on (is this video actually captioned, and how densely?).
+
+
+def _render_vtt(doc_id: int, text: str) -> bytes:
+    from ..operators.vtt import write_vtt
+
+    n = 2 + doc_id % 5
+    off = (doc_id % 7) * 10
+    k = doc_id % 7
+    cues = [
+        (i * 2000 + off, i * 2000 + off + 1500, f"cue-{i}-{k}")
+        for i in range(n)
+    ]
+    if doc_id % 4 == 0:  # overlapping tail cue: merge must not double-count
+        last_end = (n - 1) * 2000 + off + 1500
+        cues.append((last_end - 500, last_end + 1000, "tail"))
+    return write_vtt(cues).encode("utf-8")
+
+
+@register(
+    "multimodal_vtt_captions",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, 2 + doc_id % 5 AS n, (doc_id % 7) * 10 AS off,
+             CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS ov
+      FROM documents)
+    SELECT doc_id,
+      CAST(n + ov AS INT) AS n_cues,
+      CAST(n * 1500 + ov * 1000 AS BIGINT) AS covered_ms,
+      CAST(off AS BIGINT) AS first_start_ms,
+      CAST((n - 1) * 2000 + off + 1500 + ov * 1000 AS BIGINT) AS last_end_ms,
+      CAST(7 * n + ov * 4 AS BIGINT) AS n_chars
+    FROM b
+    """,
+    doc="WebVTT caption-sidecar ingest — the caption half of video-text "
+    "pair corpora (operators/vtt.py, public W3C WebVTT structure: "
+    "signature, cue identifiers, NOTE comment blocks, optional-hours "
+    "timing lines, multi-line payloads): per-document caption structure "
+    "is the gate a pairing pipeline runs before shipping any video "
+    "bytes — cue count, covered time with OVERLAPPING CUES MERGED (a "
+    "quarter of the staged docs carry an overlapping tail cue, so "
+    "double-counting fails the hash), span, and payload size. Malformed "
+    "signatures, timing lines, and end<=start cues raise per record. "
+    "The oracle recomputes every column from the staging formulas. "
+    "Scale: sidecars are tiny next to their videos; this parse rides "
+    "the same binaryFile scan that probes the video container "
+    "(multimodal_webm_probe / multimodal_mp4_probe), so caption gating "
+    "adds no extra pass over payload bytes.",
+)
+def multimodal_vtt_captions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_media_files(spark, sf_dir, "vtt_files", "vtt", _render_vtt)
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.vtt")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.vtt$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "content",
+        )
+    )
+
+    def op(batches):
+        import pandas as pd
+
+        from ..operators.vtt import caption_stats
+
+        cols = [
+            "n_cues", "covered_ms", "first_start_ms", "last_end_ms",
+            "n_chars",
+        ]
+        for pdf in batches:
+            out = {c: [] for c in ["doc_id", *cols]}
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                st = caption_stats(bytes(content).decode("utf-8"))
+                out["doc_id"].append(int(doc_id))
+                for c in cols:
+                    out[c].append(st[c])
+            yield pd.DataFrame(out)
+
+    return bf.mapInPandas(
+        op,
+        schema="doc_id long, n_cues int, covered_ms long, "
+        "first_start_ms long, last_end_ms long, n_chars long",
+    )

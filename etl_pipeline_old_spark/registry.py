@@ -237,6 +237,9 @@ _CORE_FIRST = (
     # round-9 (cont.): WebM/Matroska EBML probe — completes the
     # container trio (ISO BMFF, Ogg, EBML) for crawled video
     "multimodal_webm_probe",
+    # round-9 (cont.): WebVTT caption sidecars — the caption half of
+    # video-text pairing, overlap-merged coverage accounting
+    "multimodal_vtt_captions",
 )
 
 

@@ -102,6 +102,8 @@ REPEAT_QUERIES = (
     "pipeline_document_corpus",
     # r9: staged .webm containers
     "multimodal_webm_probe",
+    # r9: staged .vtt caption sidecars
+    "multimodal_vtt_captions",
 )
 
 
