@@ -136,6 +136,12 @@ HEADLINE = [
     # the bucketed-pool write + zero-Exchange join path against its
     # broadcast sibling above.
     "pipeline_image_text_pairs_bucketed",
+    # r9: the document-corpus sentinel — PDF staging, structural ISO
+    # 32000 parse in an Arrow kernel, then the JVM-side lang-ID +
+    # dedup-accounting pipeline into a two-phase distinct aggregate.
+    # Tracks the document-ingest path (object/xref parse + inflate
+    # throughput) round-over-round.
+    "pipeline_document_corpus",
 ]
 
 
