@@ -3043,3 +3043,242 @@ def multimodal_vtt_captions(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, n_cues int, covered_ms long, "
         "first_start_ms long, last_end_ms long, n_chars long",
     )
+
+
+# --------------------------------------- PDF family: the operational trio
+# Quarantine, streaming, and incremental refresh — the same trio every
+# staged-media family here carries, because a 100 TB document corpus is
+# operated, not just parsed once.
+
+
+def _render_corrupt_pdf(doc_id: int, text: str) -> bytes:
+    # every _CORRUPT_MOD-th upload is torn: the tail (startxref trailer)
+    # is the most fragile region of a PDF and the first thing a
+    # truncated upload loses
+    data = _render_pdf(doc_id, text)
+    return data[: len(data) - 24] if doc_id % _CORRUPT_MOD == 0 else data
+
+
+@register(
+    "pdf_ingest_quarantine",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN doc_id % {_CORRUPT_MOD} = 0 THEN 'corrupt' ELSE 'ok' END
+             AS status,
+           CASE WHEN doc_id % {_CORRUPT_MOD} = 0 THEN NULL
+                ELSE length(text) END AS n_chars
+    FROM documents
+    """,
+    doc="Per-record QUARANTINE for the document corpus: every "
+    f"{_CORRUPT_MOD}th staged PDF is torn at the tail (the startxref "
+    "trailer — what a truncated upload actually loses), the kernel "
+    "wraps the structural parser per record and routes failures to a "
+    "status column, and the oracle checks both halves: corrupt files "
+    "yield status='corrupt' with NULL extraction, every healthy file "
+    "still recovers its text byte-exactly (length checked against the "
+    "base table). One parser definition — the same code that raises in "
+    "pipeline_pdf_extract. At 100 TB a curation job cannot abort on one "
+    "torn document; quarantine rows route to a dead-letter table for "
+    "re-fetch.",
+)
+def pdf_ingest_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_media_files(
+        spark, sf_dir, "pdf_corrupt", "pdf", _render_corrupt_pdf
+    )
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.pdf")
+        .load(path)
+        .select("path", "content")
+    )
+
+    def op(batches):
+        import re as _re
+
+        import pandas as pd
+
+        from ..operators.pdf import extract_pdf_text
+
+        for pdf in batches:
+            out = {"doc_id": [], "status": [], "n_chars": []}
+            for p, content in zip(pdf["path"], pdf["content"]):
+                out["doc_id"].append(
+                    int(_re.search(r"(\d+)\.pdf$", p).group(1))
+                )
+                try:
+                    pages = extract_pdf_text(bytes(content))
+                    out["status"].append("ok")
+                    out["n_chars"].append(
+                        sum(len(ln) for pg in pages for ln in pg)
+                    )
+                except (ValueError, NotImplementedError):
+                    out["status"].append("corrupt")
+                    out["n_chars"].append(None)
+            yield pd.DataFrame(out)
+
+    return bf.mapInPandas(op, schema="doc_id long, status string, n_chars long")
+
+
+def _decode_pdf_frame(frame: DataFrame) -> DataFrame:
+    def op(batches):
+        import re as _re
+
+        import pandas as pd
+
+        from ..operators.pdf import extract_pdf_text
+
+        for pdf in batches:
+            out = {"doc_id": [], "n_pages": [], "compressed": [], "n_chars": []}
+            for p, content in zip(pdf["path"], pdf["content"]):
+                payload = bytes(content)
+                pages = extract_pdf_text(payload)
+                out["doc_id"].append(
+                    int(_re.search(r"(\d+)\.pdf$", p).group(1))
+                )
+                out["n_pages"].append(len(pages))
+                out["compressed"].append(1 if b"/FlateDecode" in payload else 0)
+                out["n_chars"].append(
+                    sum(len(ln) for pg in pages for ln in pg)
+                )
+            yield pd.DataFrame(out)
+
+    return frame.mapInPandas(
+        op,
+        schema="doc_id long, n_pages int, compressed int, n_chars long",
+    )
+
+
+@register(
+    "stream_pdf_ingest",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, text,
+             greatest(1, (length(text) + {_PDF_LINE - 1}) // {_PDF_LINE})
+               AS n_lines
+      FROM documents)
+    SELECT doc_id,
+      CAST((n_lines + {_PDF_PAGE_LINES - 1}) // {_PDF_PAGE_LINES} AS INT)
+        AS n_pages,
+      CAST(doc_id % 2 AS INT) AS compressed,
+      length(text) AS n_chars
+    FROM b
+    """,
+    doc="STREAMING document-bucket ingestion — the Auto-Loader-shaped "
+    "counterpart to pipeline_pdf_extract: the same staged PDFs are "
+    "consumed through readStream.format('binaryFile') with "
+    "maxFilesPerTrigger bounding each micro-batch, parsed per batch by "
+    "the same structural kernel, appended to a parquet target, and the "
+    "accumulated target must hash-equal the batch extraction (same "
+    "oracle formulas). This is how a continuously-filling document "
+    "bucket is operated at 100 TB: checkpointed listing, bounded "
+    "per-trigger parse, exactly-once appends through the checkpoint.",
+)
+def stream_pdf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..session import ensure_session_confs
+
+    ensure_session_confs(spark)
+    feed = _stage_media_files(spark, sf_dir, "pdf_files", "pdf", _render_pdf)
+    base = os.path.join(cache_root(), f"pdf_stream_{_tag(sf_dir)}")
+    target, chk = base + "_target", base + "_chk"
+    for p in (target, chk):
+        shutil.rmtree(p, ignore_errors=True)
+
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARYFILE_SCHEMA)
+        .option("pathGlobFilter", "*.pdf")
+        .option("maxFilesPerTrigger", 200)
+        .load(feed)
+        .select("path", "content")
+    )
+
+    def ingest(batch_df: DataFrame, _batch_id: int) -> None:
+        _decode_pdf_frame(batch_df).write.mode("append").parquet(target)
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(target)
+
+
+@register(
+    "pipeline_document_corpus_incremental",
+    oracle=_doc_capstone_oracle(),
+    doc="Incremental refresh for the document family — per-language "
+    "stats computed on a BASE document drop and a DELTA drop "
+    "separately, then MERGED: doc and token counts add; the distinct-"
+    "normalized-text count does NOT (a text duplicated across drops "
+    "must count once), so the partials carry the distinct-norm set and "
+    "the merge unions before counting — exactly the bug a sum-the-"
+    "distincts shortcut would ship; mean length re-derives from merged "
+    "sums, never averaged averages. The oracle is the SAME direct "
+    "full-corpus SQL as pipeline_document_corpus, so the driver "
+    "value-checks merge == recompute. At scale the norm set becomes "
+    "the mergeable HLL sketch (sketch_hll_partitioned_union) or the "
+    "stored silver partials a refresh reads instead of re-parsing the "
+    "corpus.",
+)
+def pipeline_document_corpus_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.dedup import normalize_text
+    from ..operators.text import lang_id
+
+    path = _stage_media_files(spark, sf_dir, "pdf_files", "pdf", _render_pdf)
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.pdf")
+        .load(path)
+        .select("path", "content")
+    )
+    doc_no = F.regexp_extract("path", r"(\d+)\.pdf$", 1).cast("long")
+    base_bf = bf.filter(doc_no % 10 != 0)
+    delta_bf = bf.filter(doc_no % 10 == 0)
+
+    def recovered(frame: DataFrame) -> DataFrame:
+        def op(batches):
+            import pandas as pd
+
+            from ..operators.pdf import extract_pdf_text
+
+            for pdf in batches:
+                texts = []
+                for content in pdf["content"]:
+                    pages = extract_pdf_text(bytes(content))
+                    texts.append("".join(ln for pg in pages for ln in pg))
+                yield pd.DataFrame({"text": texts})
+
+        return frame.mapInPandas(op, schema="text string")
+
+    def parts(frame: DataFrame) -> DataFrame:
+        scored = recovered(frame).select(
+            lang_id("text").alias("lang_pred"),
+            F.size(F.split(normalize_text(F.col("text")), " ")).alias(
+                "n_words"
+            ),
+            normalize_text(F.col("text")).alias("norm"),
+        ).where(F.col("n_words") >= _DOC_MIN_WORDS)
+        return scored.groupBy("lang_pred").agg(
+            F.count("*").alias("p_docs"),
+            F.sum("n_words").alias("p_tokens"),
+            F.collect_set("norm").alias("p_norms"),
+        )
+
+    merged = parts(base_bf).unionByName(parts(delta_bf))
+    return merged.groupBy("lang_pred").agg(
+        F.sum("p_docs").alias("n_docs"),
+        F.sum("p_tokens").alias("n_tokens"),
+        F.size(F.array_distinct(F.flatten(F.collect_list("p_norms"))))
+        .cast("long")
+        .alias("n_unique"),
+        F.round(F.sum("p_tokens") / F.sum("p_docs"), 2).alias("avg_words"),
+    )

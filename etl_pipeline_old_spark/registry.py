@@ -240,6 +240,11 @@ _CORE_FIRST = (
     # round-9 (cont.): WebVTT caption sidecars — the caption half of
     # video-text pairing, overlap-merged coverage accounting
     "multimodal_vtt_captions",
+    # round-9 (cont.): the PDF family's operational trio — per-record
+    # quarantine, streaming ingest, base+delta merge == recompute
+    "pdf_ingest_quarantine",
+    "stream_pdf_ingest",
+    "pipeline_document_corpus_incremental",
 )
 
 

@@ -104,6 +104,11 @@ REPEAT_QUERIES = (
     "multimodal_webm_probe",
     # r9: staged .vtt caption sidecars
     "multimodal_vtt_captions",
+    # r9: the PDF operational trio (corrupt staging, stream target+chk,
+    # shared pdf_files staging)
+    "pdf_ingest_quarantine",
+    "stream_pdf_ingest",
+    "pipeline_document_corpus_incremental",
 )
 
 
