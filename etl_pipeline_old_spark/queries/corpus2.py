@@ -250,3 +250,76 @@ def corpus_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("*") - F.countDistinct("g")) * 1000 / F.count("*")
         ).alias("dup_permille"),
     )
+
+
+# ------------------------------------------------ FIM transformation
+# Fill-in-the-middle (Bavarian et al. 2022, the public OpenAI FIM paper;
+# standard in code-model pretraining): a document is split into
+# (prefix, middle, suffix) and re-serialized with sentinel tokens so the
+# model learns infilling. Both public orderings are exercised — PSM
+# (<PRE>prefix<SUF>suffix<MID>middle) and SPM (<PRE><SUF>suffix<MID>
+# prefix middle... here the common PSM/SPM pair as published: SPM puts
+# the suffix first so the cache is shared across completions).
+
+_FIM_PRE, _FIM_SUF, _FIM_MID = "<|fim_pre|>", "<|fim_suf|>", "<|fim_mid|>"
+
+
+@register(
+    "corpus_fim_transform",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, text, length(text) AS n,
+             length(text) // 3 AS p1, (2 * length(text)) // 3 AS p2
+      FROM documents),
+    parts AS (
+      SELECT doc_id, n,
+             substr(text, 1, p1) AS pre,
+             substr(text, p1 + 1, p2 - p1) AS mid,
+             substr(text, p2 + 1) AS suf
+      FROM s)
+    SELECT doc_id,
+      CASE WHEN doc_id % 2 = 0 THEN 'psm' ELSE 'spm' END AS mode,
+      CASE WHEN doc_id % 2 = 0
+           THEN '{_FIM_PRE}' || pre || '{_FIM_SUF}' || suf || '{_FIM_MID}' || mid
+           ELSE '{_FIM_PRE}' || '{_FIM_SUF}' || suf || '{_FIM_MID}' || pre || mid
+      END AS fim_text,
+      CAST(n + {len(_FIM_PRE) + len(_FIM_SUF) + len(_FIM_MID)} AS BIGINT)
+        AS n_chars
+    FROM parts
+    """,
+    doc="Fill-in-the-middle transformation — the code-pretraining "
+    "objective transform (public FIM recipe: split each document into "
+    "prefix/middle/suffix at deterministic points, re-serialize with "
+    "sentinel tokens). Both published orderings by doc parity: PSM "
+    "(prefix-suffix-middle) and SPM (suffix-first, the shared-cache "
+    "variant). Pure JVM substring/concat expressions — no Python, no "
+    "shuffle, no join: the transform is map-only and the oracle "
+    "rebuilds every transformed document character-for-character, "
+    "including the invariant that FIM only reorders (output length = "
+    "input + the three sentinels, checked per row). At 100 TB this "
+    "composes with corpus_token_pack upstream of packing: a row-local "
+    "transform that survives any partitioning.",
+)
+def corpus_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = F.length("text")
+    p1 = (n / 3).cast("long")
+    p2 = (n * 2 / 3).cast("long")
+    pre = F.substring(F.col("text"), F.lit(1), p1)
+    mid = F.col("text").substr(p1 + 1, p2 - p1)
+    suf = F.col("text").substr(p2 + 1, n)
+    psm = F.concat(
+        F.lit(_FIM_PRE), pre, F.lit(_FIM_SUF), suf, F.lit(_FIM_MID), mid
+    )
+    spm = F.concat(
+        F.lit(_FIM_PRE), F.lit(_FIM_SUF), suf, F.lit(_FIM_MID), pre, mid
+    )
+    sentinels = len(_FIM_PRE) + len(_FIM_SUF) + len(_FIM_MID)
+    return d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("psm"))
+        .otherwise(F.lit("spm"))
+        .alias("mode"),
+        F.when(F.col("doc_id") % 2 == 0, psm).otherwise(spm).alias("fim_text"),
+        (n + F.lit(sentinels)).cast("long").alias("n_chars"),
+    )

@@ -245,6 +245,9 @@ _CORE_FIRST = (
     "pdf_ingest_quarantine",
     "stream_pdf_ingest",
     "pipeline_document_corpus_incremental",
+    # round-9 (cont.): FIM fill-in-the-middle transform — the code-
+    # pretraining objective transform, rebuilt char-for-char by the oracle
+    "corpus_fim_transform",
 )
 
 

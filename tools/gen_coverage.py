@@ -144,7 +144,7 @@ COVERAGE: list[tuple[str, str, list[str], str]] = [
     ("X-analytics", "event analytics", ["events_funnel", "events_retention_cohorts", "events_rate_anomaly", "basket_brand_lift", "events_decayed_value", "events_cumulative_uniques", "events_markov_transitions", "events_anomaly_mad", "events_attribution_last_touch", "events_attribution_linear", "events_path_topn", "events_rfm_segments", "events_running_balance_clamp", "traj_user_similarity_topk"], "ordered funnel w/ conversion window, retention cohorts, integer-exact rolling z-score anomaly, Markov transition matrix, MAD robust outlier flags, one-pass last-touch attribution, linear multi-touch attribution (value-conserving), top-N 3-step paths, RFM quintile segmentation, clamped running balance (sequential state via applyInPandas vs recursive-CTE oracle), trajectory-similarity top-k via shingle-collision candidates (REPOSE ICDE 2021 shape)"),
     ("X-corpus", "training-corpus capstone", ["pipeline_training_corpus", "pipeline_streaming_corpus", "pipeline_corpus_refresh"], "normalize→quality→dedup→deterministic split→manifest; incremental refresh: delta-only quality gate → exact dedup vs base → LSH probe → append audit"),
     ("X-loader", "dataloader layout", ["corpus_epoch_shuffle", "corpus_shard_manifest", "corpus_group_split", "sft_chat_render", "sft_preference_pairs", "pipeline_pretrain_shards"], "deterministic per-epoch permutation (per-shard windows, no global sort) + per-shard doc/token manifest + leakage-safe group-keyed train/test split; plus SFT data prep: event log -> chat-template training rows (per-user turn ordering, role alternation, special tokens, context cap) in ONE shuffle via in-row array algebra — no window function, skew-safe; and DPO preference pairs (chosen/rejected sides by reward with event_id tiebreak under duplicated values, margin carried for margin-weighted losses), same one-shuffle shape; r9: the loader path COMPOSED — BPE-train, tokenize via broadcast word map, pack to fixed token budgets (bucketed cumsum, no global sort), per-epoch md5 permutation, per-(epoch, shard) manifest with an order checksum pinning the whole permutation, oracle recomputes everything incl. the merges"),
-    ("X-gov", "corpus governance", ["corpus_contamination_check", "corpus_token_pack", "corpus_stratified_sample", "corpus_lang_quota", "corpus_chunk_overlap", "corpus_repetition_score", "corpus_gopher_rules", "corpus_dsir_weights", "corpus_mix_weights", "corpus_kl_by_source", "sample_weighted_hash", "privacy_k_anonymity", "privacy_l_diversity", "privacy_pseudonymize_mask", "gdpr_erasure_propagation"], "eval-contamination, token packing, quota sampling, chunking, Gopher repetition + rule set, DSIR importance weights, UniMax mixture weights, per-source KL drift, hash-weighted mixture sampling, k-anonymity + l-diversity release gates, keyed-hash pseudonymization + column masking (joinability-preserving), right-to-erasure propagation audit"),
+    ("X-gov", "corpus governance", ["corpus_contamination_check", "corpus_token_pack", "corpus_fim_transform", "corpus_stratified_sample", "corpus_lang_quota", "corpus_chunk_overlap", "corpus_repetition_score", "corpus_gopher_rules", "corpus_dsir_weights", "corpus_mix_weights", "corpus_kl_by_source", "sample_weighted_hash", "privacy_k_anonymity", "privacy_l_diversity", "privacy_pseudonymize_mask", "gdpr_erasure_propagation"], "eval-contamination, token packing, FIM fill-in-the-middle transform (PSM + SPM sentinel orderings rebuilt character-for-character by the oracle; map-only, no Python), quota sampling, chunking, Gopher repetition + rule set, DSIR importance weights, UniMax mixture weights, per-source KL drift, hash-weighted mixture sampling, k-anonymity + l-diversity release gates, keyed-hash pseudonymization + column masking (joinability-preserving), right-to-erasure propagation audit"),
     ("X-er", "entity resolution", ["er_blocking_pairs", "er_pairwise_match", "er_entity_clusters", "er_golden_record", "er_incremental_link", "stream_er_incremental_link", "pipeline_mdm"], "streaming foreachBatch variant + one-row audited capstone; multi-pass blocking (explode keys, one shuffle), levenshtein+balance weighted scoring over candidates only, transitive clusters vs recursive-CTE oracle, golden-record merge incl. singletons, incremental delta-vs-master best-match linkage"),
     ("X-olap", "advanced OLAP", ["pivot_status_by_priority", "unpivot_roundtrip", "cube_counts", "rollup_counts", "a7_count_distinct", "a8_approx_count_distinct", "a9_percentiles", "a9b_percentile_disc_by_group", "a10_percentile_approx", "global_topk", "join_salted_skew", "join_shuffle_hash_hint", "join_runtime_bloom_filter", "skew_diagnosis", "asof_join_last_signup", "range_join_neighbor_counts", "merge_upsert_corrections", "scd2_order_history", "agg_listagg_median_mode", "stats_corr_regression", "stats_skew_kurtosis", "stats_ab_proportion_z", "stats_chi2_independence", "window_range_1h_movstats", "grouping_sets_spend"], ""),
     ("X-fed", "direct source federation", ["federated_three_source_join"], "parquet fact + CSV dim + LIVE JDBC dim joined in ONE plan with the predicate pushed into the database scan (asserted in test_plans.py) - the architectural replacement for the reference\'s file landing zone"),
