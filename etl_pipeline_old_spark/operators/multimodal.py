@@ -21,10 +21,13 @@ to within ±2 gray levels. AUDIO decodes for real too
 stdlib ``wave`` module, G.711, IMA ADPCM, and lossless FLAC via
 operators/flac.py), as does raw VIDEO (``decode_video_real``:
 YUV4MPEG2 header + FRAME walk, Y-plane grayscale) — all three modalities
-have genuine staged-file ingest queries. Perceptual audio (MP3/AAC/OGG)
-and compressed video (MP4/MKV) still need codec libraries absent from
-this container, so those raise — the seams where
-soundfile / PyAV plug in on a real cluster. ``decode_meta``/``resize``/
+have genuine staged-file ingest queries. PCM-in-MP4 decodes natively
+too (operators/mp4.py demux). Perceptual audio payloads (MP3/AAC/
+Opus/Vorbis) and compressed video payloads (AVC/VP9/AV1) still need
+codec libraries absent from this container, so those raise — the seams
+where soundfile / PyAV plug in on a real cluster — but their CONTAINER
+layers are native (mp4/ogg/ebml/mp3 modules), so dispatch, duration/
+codec filtering, and sample extraction all run before any codec. ``decode_meta``/``resize``/
 ``feature_extract``/``frame_sample`` below remain deterministic
 stand-ins for generic batch shapes (the REAL frame sampling lives in
 ``multimodal_y4m_frames``, inside the decode kernel).
