@@ -47,6 +47,11 @@ HEAVY_QUERIES = (
     # join + shuffle-side canon, nothing broadcast; under a small heap
     # the mixed-media decode batches and the SMJ sorts are the pressure
     "pipeline_image_text_pairs_bucketed",
+    # r9: the document-corpus capstone — whole-PDF blobs held per Arrow
+    # batch through the structural parse, then the distinct-norm
+    # aggregate carrying full normalized texts as keys (the widest agg
+    # state in the repo)
+    "pipeline_document_corpus",
 )
 K = 4
 DRIVER_MEM = "2g"
