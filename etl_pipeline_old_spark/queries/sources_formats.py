@@ -3282,3 +3282,106 @@ def pipeline_document_corpus_incremental(
         .alias("n_unique"),
         F.round(F.sum("p_tokens") / F.sum("p_docs"), 2).alias("avg_words"),
     )
+
+
+@register(
+    "multimodal_caption_coverage",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, doc_id % 3 AS m,
+             2 + doc_id % 5 AS n, (doc_id % 7) * 10 AS off,
+             CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS ov
+      FROM documents),
+    v AS (
+      SELECT doc_id,
+             CAST(CASE m WHEN 0 THEN 1000 * (1 + doc_id % 10)
+                         WHEN 1 THEN 2500 ELSE 750 END AS BIGINT)
+               AS duration_ms,
+             CAST(n * 1500 + ov * 1000 AS BIGINT) AS covered_ms
+      FROM b)
+    SELECT doc_id, duration_ms, covered_ms,
+           CAST(least(1000, (covered_ms * 1000) // duration_ms) AS BIGINT)
+             AS coverage_permille
+    FROM v
+    """,
+    doc="Video-caption ALIGNMENT gate — the composition the two sidecar "
+    "families exist for: the EBML probe supplies each video's "
+    "TimestampScale-corrected duration, the WebVTT parse supplies its "
+    "overlap-merged caption coverage, and the join yields coverage "
+    "permille — the number a video-text pairing pipeline thresholds on "
+    "before shipping any payload bytes to a decode fleet (a video "
+    "captioned for 9%% of its runtime is not a caption pair). Exact "
+    "integer arithmetic end to end (permille = covered*1000 // "
+    "duration, capped at 1000 for spill-over cues), recomputed fully "
+    "by the oracle from both families' staging formulas — a drift in "
+    "EITHER parser breaks the hash. Scale: both sides are metadata "
+    "next to their payloads and key 1:1 on the asset id; the join is "
+    "sidecar-sized regardless of corpus payload bytes, which is why "
+    "caption gating belongs BEFORE any codec work in the pipeline "
+    "topology.",
+)
+def multimodal_caption_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    webm_path = _stage_media_files(
+        spark, sf_dir, "webm_files", "webm", _render_webm
+    )
+    vtt_path = _stage_media_files(spark, sf_dir, "vtt_files", "vtt", _render_vtt)
+
+    def vid_op(batches):
+        import re as _re
+
+        import pandas as pd
+
+        from ..operators.ebml import probe_webm
+
+        for pdf in batches:
+            out = {"doc_id": [], "duration_ms": []}
+            for p, content in zip(pdf["path"], pdf["content"]):
+                out["doc_id"].append(
+                    int(_re.search(r"(\d+)\.webm$", p).group(1))
+                )
+                out["duration_ms"].append(probe_webm(bytes(content))["duration_ms"])
+            yield pd.DataFrame(out)
+
+    def cap_op(batches):
+        import re as _re
+
+        import pandas as pd
+
+        from ..operators.vtt import caption_stats
+
+        for pdf in batches:
+            out = {"doc_id": [], "covered_ms": []}
+            for p, content in zip(pdf["path"], pdf["content"]):
+                out["doc_id"].append(
+                    int(_re.search(r"(\d+)\.vtt$", p).group(1))
+                )
+                out["covered_ms"].append(
+                    caption_stats(bytes(content).decode("utf-8"))["covered_ms"]
+                )
+            yield pd.DataFrame(out)
+
+    vids = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.webm")
+        .load(webm_path)
+        .select("path", "content")
+        .mapInPandas(vid_op, schema="doc_id long, duration_ms long")
+    )
+    caps = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.vtt")
+        .load(vtt_path)
+        .select("path", "content")
+        .mapInPandas(cap_op, schema="doc_id long, covered_ms long")
+    )
+    return vids.join(caps, "doc_id").select(
+        "doc_id",
+        "duration_ms",
+        "covered_ms",
+        F.least(
+            F.lit(1000),
+            (F.col("covered_ms") * 1000 / F.col("duration_ms")).cast("long"),
+        )
+        .cast("long")
+        .alias("coverage_permille"),
+    )

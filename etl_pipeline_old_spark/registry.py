@@ -248,6 +248,9 @@ _CORE_FIRST = (
     # round-9 (cont.): FIM fill-in-the-middle transform — the code-
     # pretraining objective transform, rebuilt char-for-char by the oracle
     "corpus_fim_transform",
+    # round-9 (cont.): the video-caption alignment gate — EBML duration
+    # joined to VTT coverage, a drift in either parser breaks the hash
+    "multimodal_caption_coverage",
 )
 
 

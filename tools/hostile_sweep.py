@@ -102,8 +102,10 @@ REPEAT_QUERIES = (
     "pipeline_document_corpus",
     # r9: staged .webm containers
     "multimodal_webm_probe",
-    # r9: staged .vtt caption sidecars
+    # r9: staged .vtt caption sidecars (+ the alignment join sharing
+    # both stagings)
     "multimodal_vtt_captions",
+    "multimodal_caption_coverage",
     # r9: the PDF operational trio (corrupt staging, stream target+chk,
     # shared pdf_files staging)
     "pdf_ingest_quarantine",
