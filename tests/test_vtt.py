@@ -66,3 +66,18 @@ def test_empty_document_stats():
         "n_cues": 0, "covered_ms": 0, "first_start_ms": 0,
         "last_end_ms": 0, "n_chars": 0,
     }
+
+
+def test_caption_coverage_plan_locks(spark):
+    # both sides are sidecar-sized metadata keyed 1:1 on the asset id —
+    # the join must be an equi join (no cartesian), Python only in the
+    # two parse kernels
+    from etl_pipeline_old_spark.queries.sources_formats import (
+        multimodal_caption_coverage,
+    )
+
+    df = multimodal_caption_coverage(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("MapInPandas") == 2
