@@ -37,9 +37,14 @@ def format_ts(ms: int) -> str:
     return f"{h:02d}:{m:02d}:{s:02d}.{mil:03d}"
 
 
-def write_vtt(cues: list) -> str:
-    """Serialize ``[(start_ms, end_ms, text)]`` into a WebVTT document."""
-    out = ["WEBVTT", ""]
+def write_vtt(cues: list, meta: dict | None = None) -> str:
+    """Serialize ``[(start_ms, end_ms, text)]`` into a WebVTT document.
+    ``meta`` adds YT-style header metadata lines (``Kind: captions`` /
+    ``Language: en``) between the signature and the first blank line."""
+    out = ["WEBVTT"]
+    for k, v in (meta or {}).items():
+        out.append(f"{k}: {v}")
+    out.append("")
     for i, (start, end, text) in enumerate(cues, start=1):
         out.append(str(i))
         out.append(f"{format_ts(start)} --> {format_ts(end)}")
@@ -49,21 +54,33 @@ def write_vtt(cues: list) -> str:
 
 
 def parse_vtt(doc: str) -> list:
-    """Parse into ``[(start_ms, end_ms, text)]``.  Cue identifiers and
-    NOTE comment blocks are handled per spec; malformed timing lines and
-    end<=start cues raise ``ValueError``."""
-    lines = doc.split("\n")
+    """Parse into ``[(start_ms, end_ms, text)]``.  Cue identifiers, the
+    optional header block (``Kind: captions`` / ``Language: en`` style
+    metadata before the first blank line), and NOTE comment blocks are
+    handled per spec; malformed timing lines and end<=start cues raise
+    ``ValueError``.
+
+    Per the W3C parsing algorithm a cue block ends at an EMPTY line —
+    a line containing only spaces/tabs is cue payload, not a boundary
+    (round-9 Hypothesis counterexample ``cues=[(0, 1, ' ')]``).  Line
+    terminators CRLF/CR/LF are all normalized before splitting.
+    """
+    lines = doc.replace("\r\n", "\n").replace("\r", "\n").split("\n")
     if not lines or not lines[0].strip().startswith("WEBVTT"):
         raise ValueError("vtt: missing WEBVTT signature")
-    cues = []
-    i = 1
     n = len(lines)
+    # Header block: everything after the signature line up to the first
+    # blank line is metadata (per spec, collected and discarded).
+    i = 1
+    while i < n and lines[i] != "":
+        i += 1
+    cues = []
     while i < n:
-        if not lines[i].strip():
+        if lines[i] == "":
             i += 1
             continue
         if lines[i].startswith("NOTE"):
-            while i < n and lines[i].strip():
+            while i < n and lines[i] != "":
                 i += 1
             continue
         # optional identifier line (anything without '-->')
@@ -80,11 +97,28 @@ def parse_vtt(doc: str) -> list:
             raise ValueError(f"vtt: cue ends before it starts ({lines[i]!r})")
         i += 1
         payload = []
-        while i < n and lines[i].strip():
+        while i < n and lines[i] != "":
             payload.append(lines[i])
             i += 1
         cues.append((start, end, "\n".join(payload)))
     return cues
+
+
+def header_meta(doc: str) -> dict:
+    """Extract the header block's ``Key: value`` metadata lines (the part
+    ``parse_vtt`` skips): ``{'Kind': 'captions', 'Language': 'en'}``-style.
+    Lines without a colon are ignored; stops at the first empty line."""
+    lines = doc.replace("\r\n", "\n").replace("\r", "\n").split("\n")
+    if not lines or not lines[0].strip().startswith("WEBVTT"):
+        raise ValueError("vtt: missing WEBVTT signature")
+    meta = {}
+    for ln in lines[1:]:
+        if ln == "":
+            break
+        key, sep, val = ln.partition(":")
+        if sep:
+            meta[key.strip()] = val.strip()
+    return meta
 
 
 def caption_stats(doc: str) -> dict:

@@ -39,6 +39,29 @@ def test_identifierless_cue():
     assert parse_vtt(doc) == [(1000, 2000, "no id")]
 
 
+def test_whitespace_only_payload_line_is_cue_text():
+    # per spec a cue block ends at an EMPTY line; a line of spaces is
+    # payload (round-9 Hypothesis counterexample)
+    assert parse_vtt(write_vtt([(0, 1, " ")])) == [(0, 1, " ")]
+    doc = "WEBVTT\n\n00:00.000 --> 00:01.000\nfirst\n \nlast\n"
+    assert parse_vtt(doc) == [(0, 1000, "first\n \nlast")]
+
+
+def test_header_metadata_block_is_skipped():
+    # YT-style sidecar: metadata lines before the first blank line are
+    # part of the header block, not a cue identifier
+    doc = (
+        "WEBVTT\nKind: captions\nLanguage: en\n\n"
+        "00:00:01.000 --> 00:00:02.000\nhi\n"
+    )
+    assert parse_vtt(doc) == [(1000, 2000, "hi")]
+
+
+def test_crlf_line_terminators():
+    doc = "WEBVTT\r\n\r\n1\r\n00:00:01.000 --> 00:00:02.000\r\nhi\r\nthere\r\n"
+    assert parse_vtt(doc) == [(1000, 2000, "hi\nthere")]
+
+
 def test_hour_rollover_format():
     assert format_ts(3_661_234) == "01:01:01.234"
     doc = write_vtt([(3_661_234, 3_662_000, "late")])
