@@ -34,9 +34,15 @@ _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1, 9: 4, 10: 8}
 TAG_MAKE = 0x010F
 TAG_MODEL = 0x0110
 TAG_ORIENTATION = 0x0112
+TAG_STRIP_OFFSETS = 0x0111
 TAG_DATETIME = 0x0132
+TAG_THUMB_OFFSET = 0x0201  # JPEGInterchangeFormat: abs offset to thumbnail
+TAG_THUMB_LENGTH = 0x0202  # JPEGInterchangeFormatLength
 TAG_EXIF_IFD = 0x8769
 TAG_GPS_IFD = 0x8825
+TAG_MAKERNOTE = 0x927C
+TAG_INTEROP_IFD = 0xA005
+_POINTER_TAGS = (TAG_EXIF_IFD, TAG_GPS_IFD, TAG_INTEROP_IFD)
 GPS_LAT_REF = 0x0001
 GPS_LAT = 0x0002
 GPS_LON_REF = 0x0003
@@ -44,18 +50,22 @@ GPS_LON = 0x0004
 
 
 class Entry:
-    """One IFD entry: raw value bytes (already in file byte order) or a
-    parsed sub-IFD for pointer tags."""
+    """One IFD entry: raw value bytes (already in file byte order), a
+    parsed sub-IFD for pointer tags, or an out-of-band blob (thumbnail
+    bytes for ``TAG_THUMB_OFFSET`` — the value is an absolute offset that
+    must be recomputed on re-serialization, so the pointed-at bytes are
+    captured here)."""
 
-    __slots__ = ("tag", "type", "count", "value", "sub")
+    __slots__ = ("tag", "type", "count", "value", "sub", "blob")
 
-    def __init__(self, tag, type_, count, value, sub=None):
-        self.tag, self.type, self.count, self.value, self.sub = (
-            tag, type_, count, value, sub,
+    def __init__(self, tag, type_, count, value, sub=None, blob=None):
+        self.tag, self.type, self.count, self.value, self.sub, self.blob = (
+            tag, type_, count, value, sub, blob,
         )
 
 
-def _parse_ifd(data: bytes, off: int, e: str) -> list:
+def _parse_ifd(data: bytes, off: int, e: str) -> tuple[list, int]:
+    """Parse one IFD; returns ``(entries, next_ifd_offset)``."""
     if off + 2 > len(data):
         raise ValueError("exif: IFD runs past end")
     (n,) = struct.unpack_from(f"{e}H", data, off)
@@ -74,26 +84,53 @@ def _parse_ifd(data: bytes, off: int, e: str) -> list:
                 raise ValueError("exif: value offset runs past end")
             raw = data[voff : voff + size]
         sub = None
-        if tag in (TAG_EXIF_IFD, TAG_GPS_IFD):
+        if tag in _POINTER_TAGS:
             (ptr,) = struct.unpack(f"{e}I", raw)
-            sub = _parse_ifd(data, ptr, e)
+            sub, _ = _parse_ifd(data, ptr, e)
         entries.append(Entry(tag, typ, cnt, raw, sub))
-    return entries
+    (next_off,) = struct.unpack_from(f"{e}I", data, off + 2 + 12 * n)
+    # JPEG thumbnail: 0x0201 is an absolute offset to compressed bytes
+    # outside any IFD value region; capture them so re-serialization can
+    # relocate (0x0202 carries the length).
+    by_tag = {en.tag: en for en in entries}
+    t_off, t_len = by_tag.get(TAG_THUMB_OFFSET), by_tag.get(TAG_THUMB_LENGTH)
+    if t_off is not None and t_len is not None:
+        start = struct.unpack(f"{e}I", t_off.value)[0]
+        length = struct.unpack(f"{e}I", t_len.value)[0]
+        if start + length > len(data):
+            raise ValueError("exif: thumbnail runs past end")
+        t_off.blob = data[start : start + length]
+    return entries, next_off
 
 
 def parse_exif(app1_or_jpeg: bytes) -> tuple[str, list]:
     """Parse EXIF from an APP1 payload or a whole JPEG.  Returns
     ``(byte_order, ifd0_entries)`` with byte_order 'II' or 'MM'.  Raises
     ``ValueError`` when no EXIF APP1 is present."""
+    order, ifds = parse_exif_chain(app1_or_jpeg)
+    return order, ifds[0]
+
+
+def parse_exif_chain(app1_or_jpeg: bytes) -> tuple[str, list]:
+    """Like ``parse_exif`` but follows the next-IFD chain: returns
+    ``(byte_order, [ifd0_entries, ifd1_entries, ...])`` so the IFD1
+    thumbnail directory real cameras write is preserved, not dropped."""
     tiff = _find_tiff(app1_or_jpeg)
     if tiff is None:
         raise ValueError("exif: no EXIF APP1 segment")
     order = tiff[:2].decode("latin-1")
     e = "<" if order == "II" else ">"
-    magic, ifd0 = struct.unpack_from(f"{e}HI", tiff, 2)
+    magic, off = struct.unpack_from(f"{e}HI", tiff, 2)
     if magic != 42:
         raise ValueError("exif: bad TIFF magic")
-    return order, _parse_ifd(tiff, ifd0, e)
+    ifds, seen = [], set()
+    while off:
+        if off in seen:
+            raise ValueError("exif: IFD chain cycle")
+        seen.add(off)
+        entries, off = _parse_ifd(tiff, off, e)
+        ifds.append(entries)
+    return order, ifds
 
 
 def _find_tiff(buf: bytes) -> bytes | None:
@@ -129,21 +166,31 @@ def _find_app1(jpeg: bytes):
     return None
 
 
-def _ser_ifd(entries: list, e: str, at: int) -> bytes:
+def _ser_ifd(entries: list, e: str, at: int, next_off: int = 0) -> bytes:
     """Serialize one IFD at absolute TIFF offset ``at`` (entries first,
-    out-of-line values and sub-IFDs appended after)."""
+    out-of-line values, sub-IFDs, and thumbnail blobs appended after).
+    ``next_off`` is the absolute offset of the following IFD in the
+    chain, or 0.  Block length is independent of ``at``/``next_off``, so
+    a chain can be laid out with a sizing pass first."""
     head_len = 2 + 12 * len(entries) + 4
     tail = bytearray()
     out = bytearray(struct.pack(f"{e}H", len(entries)))
     for en in sorted(entries, key=lambda x: x.tag):  # TIFF mandates order
+        typ, cnt = en.type, en.count
         if en.sub is not None:
             sub_off = at + head_len + len(tail)
             sub_bytes = _ser_ifd(en.sub, e, sub_off)
             tail += sub_bytes
             raw = struct.pack(f"{e}I", sub_off)
             typ, cnt = 4, 1
+        elif en.blob is not None:
+            blob_off = at + head_len + len(tail)
+            tail += en.blob
+            if len(tail) % 2:
+                tail += b"\x00"
+            raw = struct.pack(f"{e}I", blob_off)
         else:
-            raw, typ, cnt = en.value, en.type, en.count
+            raw = en.value
         out += struct.pack(f"{e}HHI", en.tag, typ, cnt)
         if len(raw) <= 4:
             out += raw + b"\x00" * (4 - len(raw))
@@ -153,15 +200,39 @@ def _ser_ifd(entries: list, e: str, at: int) -> bytes:
             if len(tail) % 2:  # keep offsets word-aligned
                 tail += b"\x00"
             out += struct.pack(f"{e}I", voff)
-    out += struct.pack(f"{e}I", 0)  # next-IFD: none
+    out += struct.pack(f"{e}I", next_off)
     return bytes(out) + bytes(tail)
 
 
-def serialize_exif_app1(order: str, entries: list) -> bytes:
+def _ser_ifd_chain(ifds: list, e: str, at: int) -> bytes:
+    """Serialize an IFD chain (IFD0 → IFD1 → …) with correct next-IFD
+    links.  Sizing pass first (block length is offset-independent), then
+    the real pass with each block's successor offset."""
+    offs, cur = [], at
+    for entries in ifds:
+        offs.append(cur)
+        cur += len(_ser_ifd(entries, e, cur))
+    out = b""
+    for i, entries in enumerate(ifds):
+        nxt = offs[i + 1] if i + 1 < len(ifds) else 0
+        out += _ser_ifd(entries, e, offs[i], nxt)
+    return out
+
+
+def serialize_exif_app1(order: str, entries_or_chain: list) -> bytes:
     """Build the full APP1 segment (marker + length + Exif preamble +
-    TIFF) from parsed entries."""
+    TIFF) from parsed entries.  Accepts either IFD0's entry list or a
+    full chain ``[ifd0_entries, ifd1_entries, ...]`` (as returned by
+    ``parse_exif_chain``) — the next-IFD links are recomputed."""
     e = "<" if order == "II" else ">"
-    tiff = order.encode() + struct.pack(f"{e}HI", 42, 8) + _ser_ifd(entries, e, 8)
+    chain = entries_or_chain
+    if not chain or isinstance(chain[0], Entry):
+        chain = [chain]
+    tiff = (
+        order.encode()
+        + struct.pack(f"{e}HI", 42, 8)
+        + _ser_ifd_chain(chain, e, 8)
+    )
     body = b"Exif\x00\x00" + tiff
     return b"\xFF\xE1" + struct.pack(">H", 2 + len(body)) + body
 
@@ -173,18 +244,48 @@ def insert_app1(jpeg: bytes, app1: bytes) -> bytes:
     return jpeg[:2] + app1 + jpeg[2:]
 
 
+def _walk_entries(ifds):
+    stack = [en for entries in ifds for en in entries]
+    while stack:
+        en = stack.pop()
+        yield en
+        if en.sub is not None:
+            stack.extend(en.sub)
+
+
 def strip_gps(jpeg: bytes) -> bytes:
     """Remove the GPS sub-IFD (location PII) from a JPEG's EXIF, keeping
     every other entry's value intact and the entropy-coded image data
-    byte-identical.  A JPEG without EXIF or without GPS returns unchanged
-    content (idempotent)."""
+    byte-identical.  The full next-IFD chain (IFD1 thumbnail directory)
+    and all known pointer sub-IFDs (Exif 0x8769, Interop 0xA005) are
+    re-serialized with recomputed offsets; the IFD1 JPEG thumbnail bytes
+    (0x0201/0x0202) are relocated with them.  A JPEG without EXIF or
+    without GPS returns unchanged content (idempotent).
+
+    Entries whose values embed vendor-internal absolute offsets that
+    cannot be relocated (MakerNote 0x927C, StripOffsets 0x0111) raise
+    ``ValueError`` instead of silently corrupting — a quarantined record
+    beats a scrambled one."""
     seg = _find_app1(jpeg)
     if seg is None:
         return jpeg
-    order, entries = parse_exif(jpeg)
-    kept = [en for en in entries if en.tag != TAG_GPS_IFD]
-    if len(kept) == len(entries):
+    order, ifds = parse_exif_chain(jpeg)
+    kept = [
+        [en for en in entries if en.tag != TAG_GPS_IFD] for entries in ifds
+    ]
+    if sum(map(len, kept)) == sum(map(len, ifds)):
         return jpeg
+    for en in _walk_entries(kept):
+        if en.tag == TAG_MAKERNOTE:
+            raise ValueError(
+                "exif: MakerNote carries vendor-internal offsets that "
+                "cannot be relocated; refusing to re-serialize"
+            )
+        if en.tag == TAG_STRIP_OFFSETS:
+            raise ValueError(
+                "exif: StripOffsets thumbnail cannot be relocated; "
+                "refusing to re-serialize"
+            )
     s0, s1 = seg
     return jpeg[:s0] + serialize_exif_app1(order, kept) + jpeg[s1:]
 

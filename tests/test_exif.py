@@ -13,10 +13,17 @@ import struct
 import pytest
 
 from etl_pipeline_old_spark.operators.exif import (
+    TAG_EXIF_IFD,
     TAG_GPS_IFD,
+    TAG_INTEROP_IFD,
+    TAG_MAKERNOTE,
+    TAG_THUMB_LENGTH,
+    TAG_THUMB_OFFSET,
+    Entry,
     build_exif_app1,
     insert_app1,
     parse_exif,
+    parse_exif_chain,
     read_fields,
     serialize_exif_app1,
     strip_gps,
@@ -103,6 +110,75 @@ def test_out_of_line_offset_past_end_is_loud():
     )
     with pytest.raises(ValueError, match="runs past end"):
         parse_exif(app1[: len(app1) - 30])
+
+
+def _camera_like(order="II", makernote=False, gps=True):
+    """Camera-realistic EXIF: IFD0 → Exif IFD → Interop IFD, optional GPS,
+    plus an IFD1 thumbnail directory with relocatable JPEG bytes."""
+    e = "<" if order == "II" else ">"
+    app1 = build_exif_app1(
+        order, "CamCo", 1, "2020:01:02 03:04:05",
+        "N", (1, 2, 3), "E", (4, 5, 6),
+    )
+    _, ifd0 = parse_exif(app1)
+    if not gps:
+        ifd0 = [en for en in ifd0 if en.tag != TAG_GPS_IFD]
+    interop = [Entry(0x0001, 2, 4, b"R98\x00")]
+    exif_sub = [
+        Entry(0x9000, 7, 4, b"0232"),  # ExifVersion
+        Entry(TAG_INTEROP_IFD, 4, 1, b"\x00" * 4, interop),
+    ]
+    if makernote:
+        exif_sub.append(Entry(TAG_MAKERNOTE, 7, 24, b"VENDOR" + b"\x07" * 18))
+    ifd0.append(Entry(TAG_EXIF_IFD, 4, 1, b"\x00" * 4, exif_sub))
+    thumb = b"\xff\xd8" + bytes(range(37)) + b"\xff\xd9"
+    ifd1 = [
+        Entry(TAG_THUMB_OFFSET, 4, 1, struct.pack(f"{e}I", 0), blob=thumb),
+        Entry(TAG_THUMB_LENGTH, 4, 1, struct.pack(f"{e}I", len(thumb))),
+    ]
+    app1 = serialize_exif_app1(order, [ifd0, ifd1])
+    jpg = encode_jpeg(list(range(64)), 8, 8, quality=95)
+    return insert_app1(jpg, app1), thumb
+
+
+def _interop_index(ifd0):
+    exif_sub = next(en.sub for en in ifd0 if en.tag == TAG_EXIF_IFD)
+    inter = next(en.sub for en in exif_sub if en.tag == TAG_INTEROP_IFD)
+    return next(en.value for en in inter if en.tag == 0x0001)
+
+
+@pytest.mark.parametrize("order", ["II", "MM"])
+def test_ifd_chain_and_interop_roundtrip(order):
+    jpg, thumb = _camera_like(order)
+    _, ifds = parse_exif_chain(jpg)
+    assert len(ifds) == 2
+    assert _interop_index(ifds[0]) == b"R98\x00"
+    t = next(en for en in ifds[1] if en.tag == TAG_THUMB_OFFSET)
+    assert t.blob == thumb
+
+
+@pytest.mark.parametrize("order", ["II", "MM"])
+def test_strip_gps_preserves_interop_and_thumbnail_chain(order):
+    jpg, thumb = _camera_like(order)
+    clean = strip_gps(jpg)
+    _, ifds = parse_exif_chain(clean)
+    assert len(ifds) == 2, "IFD1 thumbnail directory must survive the scrub"
+    assert not any(en.tag == TAG_GPS_IFD for en in ifds[0])
+    assert _interop_index(ifds[0]) == b"R98\x00"
+    t = next(en for en in ifds[1] if en.tag == TAG_THUMB_OFFSET)
+    assert t.blob == thumb
+    assert strip_gps(clean) == clean
+
+
+def test_makernote_scrub_is_loud_not_corrupting():
+    # vendor MakerNotes embed absolute offsets we cannot relocate: a scrub
+    # that must re-serialize refuses loudly (quarantine beats corruption)
+    jpg, _ = _camera_like("II", makernote=True)
+    with pytest.raises(ValueError, match="MakerNote"):
+        strip_gps(jpg)
+    # ...but with no GPS there is nothing to scrub: unchanged passthrough
+    jpg2, _ = _camera_like("II", makernote=True, gps=False)
+    assert strip_gps(jpg2) == jpg2
 
 
 def test_serialize_orders_tags():
