@@ -232,11 +232,13 @@ def _parse_trak(buf: bytes, b0: int, b1: int) -> Track:
 
 def _parse_moof(buf: bytes, b0: int, b1: int, moof_start: int) -> list:
     frags = []
+    traf_idx = 0
     for fc, _h, c0, c1 in walk_boxes(buf, b0, b1):
         if fc != b"traf":
             continue
+        traf_idx += 1
         track_id = 0
-        base = moof_start  # default-base-is-moof (CMAF convention)
+        base = moof_start
         default_size = 0
         for fc2, _h2, d0, d1 in walk_boxes(buf, c0, c1):
             if fc2 == b"tfhd":
@@ -246,6 +248,17 @@ def _parse_moof(buf: bytes, b0: int, b1: int, moof_start: int) -> list:
                 if flags & 0x000001:  # base-data-offset present
                     base = struct.unpack_from(">Q", buf, p)[0]
                     p += 8
+                elif not flags & 0x020000 and traf_idx > 1:
+                    # neither explicit base nor default-base-is-moof: per
+                    # 14496-12 §8.8.7 a 2nd+ traf inherits end-of-previous
+                    # -run — an offset convention we do not track; wrong
+                    # bytes would be extracted silently, so refuse loudly.
+                    # (For the FIRST traf the spec default IS moof start.)
+                    raise ValueError(
+                        "mp4: traf base-data-offset inheritance from the "
+                        "previous run is not supported (set "
+                        "default-base-is-moof or an explicit base)"
+                    )
                 if flags & 0x000002:  # sample-description-index
                     p += 4
                 if flags & 0x000008:  # default-sample-duration
@@ -312,9 +325,9 @@ def parse_mp4(buf: bytes) -> Movie:
                 elif fc2 == b"trak":
                     tracks.append(_parse_trak(buf, c0, c1))
         elif fc == b"moof":
-            # the box header precedes b0 by its header size; moof start is
-            # b0 - header (header is 8 here: moof never needs largesize)
-            fragments.extend(_parse_moof(buf, b0, b1, b0 - 8))
+            # moof start = payload start minus the ACTUAL header size the
+            # walker saw (8, or 16 for a largesize moof)
+            fragments.extend(_parse_moof(buf, b0, b1, b0 - _h))
     if not saw_moov:
         raise ValueError("mp4: no moov box")
     return Movie(brand, timescale, duration, tracks, fragments, bool(fragments))
@@ -562,6 +575,13 @@ def decode_mp4_pcm(buf: bytes) -> tuple[int, int, list[int]]:
             f"mp4: compressed sample entry {tr.entry.codec!r} needs an "
             "external codec (the documented seam); container demux "
             "(tracks, durations, sample extraction) is available"
+        )
+    if tr.entry.sample_size_bits not in (0, 16):
+        # pcmC declared 24/32-bit samples; unpacking 'h' would silently
+        # produce garbage — fail at the documented seam instead
+        raise NotImplementedError(
+            f"mp4: {tr.entry.sample_size_bits}-bit PCM decode is not "
+            "implemented (only 16-bit); container demux is available"
         )
     raw = b"".join(extract_samples(buf, movie, tr.track_id))
     endian = ">" if tr.entry.pcm_big_endian else "<"

@@ -115,6 +115,63 @@ def test_inconsistent_sample_tables_are_loud():
         extract_samples(bytes(buf), movie, 1)
 
 
+def test_largesize_moof_fragment_base():
+    # a legal moof may use the 16-byte largesize header; the fragment base
+    # must be the box START (payload start minus the actual header size),
+    # not a hardcoded payload-minus-8
+    sig = _sig(24, seed=11)
+    buf = encode_mp4_pcm(sig, 8000, 1, fragmented=True, n_chunks=1)
+    m0, m1 = next(
+        (b0, b1) for fc, _h, b0, b1 in walk_boxes(buf) if fc == b"moof"
+    )
+    payload = buf[m0:m1]
+    big = struct.pack(">I", 1) + b"moof" + struct.pack(">Q", 16 + len(payload))
+    out = bytearray(buf[: m0 - 8] + big + payload + buf[m1:])
+    # the moof payload (and the mdat after it) moved +8, so the trun
+    # data-offset (relative to moof start) must grow by 8 too
+    i = out.find(b"trun")
+    off = struct.unpack_from(">i", out, i + 12)[0]
+    struct.pack_into(">i", out, i + 12, off + 8)
+    assert decode_mp4_pcm(bytes(out))[2] == sig
+
+
+def _full_box(fourcc, ver, flags, body):
+    payload = bytes([ver]) + flags.to_bytes(3, "big") + body
+    return struct.pack(">I", 8 + len(payload)) + fourcc + payload
+
+
+def test_traf_base_inheritance_is_loud():
+    # 2nd+ traf with neither an explicit base-data-offset nor
+    # default-base-is-moof inherits end-of-previous-run (14496-12 §8.8.7)
+    # — unsupported, must refuse rather than read wrong bytes
+    base_file = encode_mp4_pcm(_sig(8, seed=12), 8000, 1)
+
+    def _traf(track_id, flags):
+        tfhd = _full_box(b"tfhd", 0, flags, struct.pack(">I", track_id))
+        return struct.pack(">I", 8 + len(tfhd)) + b"traf" + tfhd
+
+    good = _traf(1, 0x020000) + _traf(2, 0x020000)
+    moof = struct.pack(">I", 8 + len(good)) + b"moof" + good
+    parse_mp4(base_file + moof)  # both default-base-is-moof: fine
+    bad = _traf(1, 0x020000) + _traf(2, 0)
+    moof = struct.pack(">I", 8 + len(bad)) + b"moof" + bad
+    with pytest.raises(ValueError, match="inheritance"):
+        parse_mp4(base_file + moof)
+    # FIRST traf without flags: spec default IS moof start — no raise
+    first_only = _traf(1, 0)
+    moof = struct.pack(">I", 8 + len(first_only)) + b"moof" + first_only
+    parse_mp4(base_file + moof)
+
+
+def test_24bit_pcm_decode_is_loud():
+    buf = bytearray(encode_mp4_pcm(_sig(8, seed=13), 8000, 1))
+    i = buf.find(b"pcmC")
+    assert buf[i + 9] == 16  # format_flags byte then PCM_sample_size
+    buf[i + 9] = 24
+    with pytest.raises(NotImplementedError, match="24-bit PCM"):
+        decode_mp4_pcm(bytes(buf))
+
+
 def test_audio_decode_entry_routes_ftyp():
     from etl_pipeline_old_spark.operators.multimodal import decode_audio_real
 
