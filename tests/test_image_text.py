@@ -319,16 +319,17 @@ def test_family_plans_no_cartesian_no_row_python(spark, sf_dir):
         assert "BatchEvalPython" not in plan, fn.__name__
 
 
-def test_incremental_merge_canon_joins_shuffle_side(spark, sf_dir):
-    """r8 verdict #1 follow-through: the incremental merge's CANONICAL
-    join must be shuffle-side (merge join), never a broadcast of the
-    crawl-growing canon table. The per-dump partials may still
-    broadcast their own dump's pool (dump-bounded, not crawl-bounded),
-    so the plan contains both join strategies."""
+def test_incremental_merge_joins_all_shuffle_side(spark, sf_dir):
+    """r8 verdict #1 + r9 verdict #3 follow-through: EVERY join in the
+    incremental refresh must be shuffle-side — the merge's canonical
+    join (crawl-growing canon table) AND the per-dump partials' pool
+    joins. A real Common Crawl dump is ~3B fetches, so 'one dump's
+    pool is broadcastable' only holds if the ingest unit is a small
+    slice — the shuffle shape is safe regardless of dump sizing."""
     from etl_pipeline_old_spark.queries.image_text import (
         pipeline_image_text_pairs_incremental,
     )
 
     plan = _plan_of(pipeline_image_text_pairs_incremental(spark, sf_dir))
-    assert "SortMergeJoin" in plan  # the canon join, merge-hinted
-    assert "BroadcastHashJoin" in plan  # the dump-partials' pool joins
+    assert "SortMergeJoin" in plan  # canon + partial-pool joins, merge-hinted
+    assert "BroadcastHashJoin" not in plan  # nothing crawl- or dump-sized
