@@ -2960,7 +2960,7 @@ def multimodal_webm_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # gates on (is this video actually captioned, and how densely?).
 
 
-def _render_vtt(doc_id: int, text: str) -> bytes:
+def _render_vtt(doc_id: int, text: str, lang: str | None = None) -> bytes:
     from ..operators.vtt import write_vtt
 
     n = 2 + doc_id % 5
@@ -2973,7 +2973,8 @@ def _render_vtt(doc_id: int, text: str) -> bytes:
     if doc_id % 4 == 0:  # overlapping tail cue: merge must not double-count
         last_end = (n - 1) * 2000 + off + 1500
         cues.append((last_end - 500, last_end + 1000, "tail"))
-    return write_vtt(cues).encode("utf-8")
+    meta = {"Kind": "captions", "Language": lang} if lang else None
+    return write_vtt(cues, meta).encode("utf-8")
 
 
 @register(
@@ -3384,4 +3385,362 @@ def multimodal_caption_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("coverage_permille"),
+    )
+
+
+# ------------------------------------- video-text pair capstone (round 10)
+# The video analogue of pipeline_image_text_pairs, composed from the
+# parts the r9 wave built: EBML container probe (operators/ebml.py), VTT
+# caption structure (operators/vtt.py), the coverage gate
+# (multimodal_caption_coverage's formula), and WebDataset tar shards
+# (operators/tar.py).  Reference scope ends at tabular ETL; this family
+# is the beyond-reference training-data mandate.
+
+_VT_GATE_PERMILLE = 500
+_VT_DOCS_PER_SHARD = 64
+
+
+def _build_videotext_shard(pdf, sid: int) -> bytes:
+    """One video-text WebDataset shard: {doc_id:08d}.webm (a real EBML
+    container from the staging formulas), .vtt (caption sidecar carrying
+    a YT-style ``Language:`` header), .json (source metadata) — the
+    layout a video-caption crawler uploads to the bucket."""
+    import json as _json
+
+    from ..operators.tar import encode_tar
+
+    members: list[tuple[str, bytes]] = []
+    for r in pdf.itertuples():
+        did = int(r.doc_id)
+        key = f"{did:08d}"
+        members.append((f"{key}.webm", _render_webm(did, r.text)))
+        members.append((f"{key}.vtt", _render_vtt(did, r.text, lang=r.lang)))
+        members.append(
+            (
+                f"{key}.json",
+                _json.dumps(
+                    {"doc_id": did, "source": r.source}, sort_keys=True
+                ).encode("utf-8"),
+            )
+        )
+    return encode_tar(members)
+
+
+def _videotext_clip_frame(bf: DataFrame) -> DataFrame:
+    """Shard blobs -> gated (clip-id, caption window) pair rows.  One
+    Arrow kernel does the whole sample-level pipeline map-side: tar walk,
+    member regroup by key, EBML duration/codec probe, VTT header + cue
+    parse, overlap-merged coverage, and the permille gate — no join, no
+    shuffle; payload bytes never cross the wire."""
+
+    def op(batches):
+        import pandas as pd
+
+        from ..operators.ebml import probe_webm
+        from ..operators.tar import iter_tar
+        from ..operators.vtt import caption_stats, header_meta, parse_vtt
+
+        cols = [
+            "doc_id", "lang", "video_codec", "clip_id",
+            "start_ms", "end_ms", "n_chars", "coverage_permille",
+        ]
+        for pdf in batches:
+            out = {c: [] for c in cols}
+            for blob in pdf["content"]:
+                samples: dict[str, dict[str, bytes]] = {}
+                for name, data in iter_tar(bytes(blob)):
+                    key, _, ext = name.partition(".")
+                    samples.setdefault(key, {})[ext] = data
+                for key in sorted(samples):
+                    parts = samples[key]
+                    p = probe_webm(bytes(parts["webm"]))
+                    if p["n_video"] < 1:
+                        continue  # audio-only upload: not a video pair
+                    doc = parts["vtt"].decode("utf-8")
+                    lang = header_meta(doc)["Language"]
+                    covered = caption_stats(doc)["covered_ms"]
+                    permille = min(
+                        1000, covered * 1000 // p["duration_ms"]
+                    )
+                    if permille < _VT_GATE_PERMILLE:
+                        continue  # sparsely captioned: not a pair
+                    for cid, (s, e, t) in enumerate(parse_vtt(doc)):
+                        out["doc_id"].append(int(key))
+                        out["lang"].append(lang)
+                        out["video_codec"].append(p["video_codec"])
+                        out["clip_id"].append(cid)
+                        out["start_ms"].append(s)
+                        out["end_ms"].append(e)
+                        out["n_chars"].append(len(t))
+                        out["coverage_permille"].append(permille)
+            yield pd.DataFrame(out)
+
+    return bf.mapInPandas(
+        op,
+        schema="doc_id long, lang string, video_codec string, "
+        "clip_id int, start_ms long, end_ms long, n_chars long, "
+        "coverage_permille long",
+    )
+
+
+_VT_GATED_SQL = f"""
+    b AS (
+      SELECT doc_id, lang, doc_id % 3 AS m, 2 + doc_id % 5 AS n,
+             CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS ov
+      FROM documents),
+    v AS (
+      SELECT doc_id, lang, n, ov,
+             CASE m WHEN 0 THEN CAST(1000 * (1 + doc_id % 10) AS BIGINT)
+                    WHEN 1 THEN CAST(2500 AS BIGINT)
+                    ELSE CAST(750 AS BIGINT) END AS duration_ms,
+             CASE m WHEN 0 THEN 'V_VP9' WHEN 1 THEN 'V_AV1' END
+               AS video_codec,
+             CAST(n * 1500 + ov * 1000 AS BIGINT) AS covered_ms
+      FROM b),
+    g AS (
+      SELECT *,
+             least(1000, (covered_ms * 1000) // duration_ms) AS permille
+      FROM v WHERE video_codec IS NOT NULL),
+    gated AS (SELECT * FROM g WHERE permille >= {_VT_GATE_PERMILLE})
+"""
+
+
+@register(
+    "pipeline_video_text_pairs",
+    oracle=f"""
+    WITH {_VT_GATED_SQL}
+    SELECT lang, video_codec,
+           COUNT(DISTINCT doc_id) AS n_videos,
+           CAST(SUM(n + ov) AS BIGINT) AS n_clips,
+           CAST(SUM((n + ov) * 1500) AS BIGINT) AS clip_ms,
+           CAST(SUM(7 * n + 4 * ov) AS BIGINT) AS caption_chars,
+           CAST(SUM(permille) AS BIGINT) AS sum_coverage_permille
+    FROM gated GROUP BY lang, video_codec
+    """,
+    doc="VIDEO-TEXT PAIR CAPSTONE — the missing sibling of "
+    "pipeline_image_text_pairs (r9 verdict #4), composed end to end "
+    "from parts that each carry their own green oracle: WebDataset tar "
+    "shards of {key}.webm/.vtt/.json are staged from the executors, "
+    "and ONE Arrow kernel runs the whole sample-level pipeline "
+    "map-side — tar walk, EBML duration/codec probe "
+    "(TimestampScale-corrected), VTT header-metadata language, "
+    "overlap-MERGED caption coverage, the >=500-permille alignment "
+    "gate, audio-only uploads dropped — emitting gated (clip-id, "
+    "caption window) pair rows; the only shuffle in the plan is the "
+    "final per-(lang, codec) aggregate (partial agg runs map-side), "
+    "and nothing is ever broadcast. The oracle recomputes every number "
+    "from BOTH families' staging formulas — a drift in the EBML "
+    "parser, the VTT parser, the header-metadata path, or the gate "
+    "arithmetic breaks the hash. 100 TB shape: payload bytes stay "
+    "inside their shard's task (file-granular parallelism, no payload "
+    "shuffle), the gate runs before any codec work, and the output is "
+    "clip metadata — exactly what a decode fleet consumes.",
+)
+def pipeline_video_text_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .web_corpus import _stage_shard_files
+
+    path = _stage_shard_files(
+        spark, sf_dir, "videotext_shards", _build_videotext_shard,
+        suffix="tar",
+    )
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.tar")
+        .load(path)
+        .select("content")
+    )
+    clips = _videotext_clip_frame(bf)
+    return clips.groupBy("lang", "video_codec").agg(
+        F.countDistinct("doc_id").alias("n_videos"),
+        F.count("*").cast("long").alias("n_clips"),
+        F.sum(F.col("end_ms") - F.col("start_ms")).alias("clip_ms"),
+        F.sum("n_chars").alias("caption_chars"),
+        F.sum(
+            F.when(F.col("clip_id") == 0, F.col("coverage_permille"))
+            .otherwise(0)
+        ).alias("sum_coverage_permille"),
+    )
+
+
+@register(
+    "pipeline_video_text_export",
+    oracle=f"""
+    WITH {_VT_GATED_SQL}
+    SELECT doc_id, lang, video_codec,
+           CAST(n + ov AS INT) AS n_clips,
+           CAST(permille AS BIGINT) AS coverage_permille,
+           1 AS meta_ok
+    FROM gated
+    """,
+    doc="Video-text WebDataset EXPORT — the produce half of the pairing "
+    "story (pipeline_video_text_pairs is the gate/consume half): the "
+    "staged crawl shards are re-walked map-side, each sample passes "
+    "the same coverage gate, and the SURVIVORS are re-sharded and "
+    "written from the executors as genuine ustar .tar files in the "
+    "{key}.webm/.vtt/.json layout — video and caption bytes shipped "
+    "AS CRAWLED (lossless passthrough, never re-encoded), the .json "
+    "enriched with the computed lang/coverage/duration so downstream "
+    "loaders need no re-probe. The shards are then READ BACK through "
+    "the ingest walker and every sample re-verified: the .webm "
+    "re-probes, the .vtt re-parses, and meta_ok demands the enriched "
+    "metadata equal a full recompute from the shipped bytes — a "
+    "passthrough that corrupted either member fails the oracle, which "
+    "itself recomputes every row from the staging formulas. Scale "
+    "shape: the export groupBy shards on doc_id ranges, each task "
+    "writes its shard sequentially (the object-store upload pattern), "
+    "readback is a parallel scan; nothing is broadcast.",
+)
+def pipeline_video_text_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import uuid
+
+    from .web_corpus import _stage_shard_files
+
+    path = _stage_shard_files(
+        spark, sf_dir, "videotext_shards", _build_videotext_shard,
+        suffix="tar",
+    )
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.tar")
+        .load(path)
+        .select("content")
+    )
+
+    def gate_op(batches):
+        import json as _json
+
+        import pandas as pd
+
+        from ..operators.ebml import probe_webm
+        from ..operators.tar import iter_tar
+        from ..operators.vtt import caption_stats, header_meta
+
+        for pdf in batches:
+            out = {"doc_id": [], "webm": [], "vtt": [], "meta": []}
+            for blob in pdf["content"]:
+                samples: dict[str, dict[str, bytes]] = {}
+                for name, data in iter_tar(bytes(blob)):
+                    key, _, ext = name.partition(".")
+                    samples.setdefault(key, {})[ext] = data
+                for key in sorted(samples):
+                    parts = samples[key]
+                    p = probe_webm(bytes(parts["webm"]))
+                    if p["n_video"] < 1:
+                        continue
+                    doc = parts["vtt"].decode("utf-8")
+                    covered = caption_stats(doc)["covered_ms"]
+                    permille = min(
+                        1000, covered * 1000 // p["duration_ms"]
+                    )
+                    if permille < _VT_GATE_PERMILLE:
+                        continue
+                    out["doc_id"].append(int(key))
+                    out["webm"].append(bytes(parts["webm"]))
+                    out["vtt"].append(bytes(parts["vtt"]))
+                    out["meta"].append(
+                        _json.dumps(
+                            {
+                                "lang": header_meta(doc)["Language"],
+                                "video_codec": p["video_codec"],
+                                "duration_ms": p["duration_ms"],
+                                "coverage_permille": permille,
+                            },
+                            sort_keys=True,
+                        )
+                    )
+            yield pd.DataFrame(out)
+
+    gated = bf.mapInPandas(
+        gate_op, schema="doc_id long, webm binary, vtt binary, meta string"
+    ).withColumn(
+        "shard",
+        F.floor(F.col("doc_id") / _VT_DOCS_PER_SHARD).cast("int"),
+    )
+
+    out_dir = os.path.join(cache_root(), f"videotext_export_{_tag(sf_dir)}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_shard(pdf):
+        import os as os_
+
+        import pandas as pd
+
+        from ..operators.tar import encode_tar
+
+        pdf = pdf.sort_values("doc_id")
+        sid = int(pdf["shard"].iloc[0])
+        members: list[tuple[str, bytes]] = []
+        for r in pdf.itertuples():
+            key = f"{int(r.doc_id):08d}"
+            members.append((f"{key}.webm", bytes(r.webm)))
+            members.append((f"{key}.vtt", bytes(r.vtt)))
+            members.append((f"{key}.json", r.meta.encode("utf-8")))
+        # uuid-keyed tmp: a speculative duplicate attempt writes its own
+        # file; whichever os.replace lands last publishes a complete tar
+        tmp = os_.path.join(out_dir, f".{sid:05d}.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "wb") as fh:
+            fh.write(encode_tar(members))
+        os_.replace(tmp, os_.path.join(out_dir, f"{sid:05d}.tar"))
+        return pd.DataFrame({"shard": [sid], "n": [len(pdf)]})
+
+    gated.groupBy("shard").applyInPandas(
+        write_shard, "shard int, n int"
+    ).collect()  # completion action on (shard, n) frames only
+
+    back = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.tar")
+        .load(out_dir)
+        .select("content")
+    )
+
+    def verify_op(batches):
+        import json as _json
+
+        import pandas as pd
+
+        from ..operators.ebml import probe_webm
+        from ..operators.tar import iter_tar
+        from ..operators.vtt import caption_stats, header_meta, parse_vtt
+
+        cols = [
+            "doc_id", "lang", "video_codec", "n_clips",
+            "coverage_permille", "meta_ok",
+        ]
+        for pdf in batches:
+            out = {c: [] for c in cols}
+            for blob in pdf["content"]:
+                samples: dict[str, dict[str, bytes]] = {}
+                for name, data in iter_tar(bytes(blob)):
+                    key, _, ext = name.partition(".")
+                    samples.setdefault(key, {})[ext] = data
+                for key in sorted(samples):
+                    parts = samples[key]
+                    meta = _json.loads(parts["json"].decode("utf-8"))
+                    p = probe_webm(bytes(parts["webm"]))
+                    doc = parts["vtt"].decode("utf-8")
+                    covered = caption_stats(doc)["covered_ms"]
+                    permille = min(
+                        1000, covered * 1000 // p["duration_ms"]
+                    )
+                    ok = (
+                        meta["coverage_permille"] == permille
+                        and meta["duration_ms"] == p["duration_ms"]
+                        and meta["video_codec"] == p["video_codec"]
+                        and meta["lang"] == header_meta(doc)["Language"]
+                    )
+                    out["doc_id"].append(int(key))
+                    out["lang"].append(meta["lang"])
+                    out["video_codec"].append(meta["video_codec"])
+                    out["n_clips"].append(len(parse_vtt(doc)))
+                    out["coverage_permille"].append(permille)
+                    out["meta_ok"].append(1 if ok else 0)
+            yield pd.DataFrame(out)
+
+    return back.mapInPandas(
+        verify_op,
+        schema="doc_id long, lang string, video_codec string, "
+        "n_clips int, coverage_permille long, meta_ok int",
     )

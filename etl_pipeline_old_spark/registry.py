@@ -251,6 +251,11 @@ _CORE_FIRST = (
     # round-9 (cont.): the video-caption alignment gate — EBML duration
     # joined to VTT coverage, a drift in either parser breaks the hash
     "multimodal_caption_coverage",
+    # round-10: the video-text pair capstone (r9 verdict #4) — WebDataset
+    # shards of {key}.webm/.vtt/.json, map-side gate, per-(lang, codec)
+    # stats — and its export/readback twin
+    "pipeline_video_text_pairs",
+    "pipeline_video_text_export",
 )
 
 
