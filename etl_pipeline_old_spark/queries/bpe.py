@@ -654,3 +654,267 @@ def pipeline_pretrain_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             "order_checksum"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# byte-level BPE: the GPT-2/tiktoken-lineage base tier (r9 verdict #5) —
+# UTF-8 bytes as base units (a 256-entry base vocabulary), under which NO
+# input is ever OOV: any word, any script, decomposes to byte tokens that
+# the learned merges then recombine.  Base tokens are 2-hex-char strings
+# so the same delimiter-wrapped string algebra (and the same DuckDB
+# unrolled-CTE oracle) runs unchanged on byte state.
+
+
+def _byte_wrapped(col: str = "word"):
+    """Byte-level starting state of a word: its UTF-8 bytes as
+    2-hex-char base tokens, '|61||D1||89|' for 'aщ'."""
+    h = F.hex(F.encode(F.col(col), "UTF-8"))
+    n = (F.length(h) / F.lit(2)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(1), n), lambda i: h.substr(i * 2 - 1, F.lit(2))
+    )
+    return F.concat(F.lit("|"), F.array_join(chunks, "||"), F.lit("|"))
+
+
+def _bw_sql(w: str) -> str:
+    """The DuckDB twin of _byte_wrapped."""
+    hx = f"hex(encode({w}))"
+    return (
+        f"'|' || array_to_string(list_transform("
+        f"range(1, length({hx}) // 2 + 1), "
+        f"i -> substr({hx}, (2 * i - 1)::INT, 2)), '||') || '|'"
+    )
+
+
+def _bpe_bytes_oracle(k: int = _K_MERGES) -> str:
+    """Byte-level train-then-tokenize, unrolled: merges learn on the
+    training split's byte-wrapped vocabulary; the held-out split (salted
+    with a Cyrillic suffix word so multi-byte OOV coverage is guaranteed)
+    tokenizes known words from the trained state and replays the merge
+    chain on the byte split of unseen ones."""
+    m = _OOV_TRAIN_MOD
+    parts = [
+        f"""wc AS (
+      SELECT w AS word, count(*)::BIGINT AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS w
+            FROM documents WHERE doc_id % {m} <> {m - 1})
+      GROUP BY w),
+    v0 AS MATERIALIZED (
+      SELECT word, cnt, {_bw_sql('word')} AS st
+      FROM wc)"""
+    ]
+    for r in range(1, k + 1):
+        parts.append(f"""p{r} AS MATERIALIZED (
+      SELECT t[i] AS a, t[i + 1] AS b, sum(cnt)::BIGINT AS c
+      FROM (SELECT cnt, string_split(trim(st, '|'), '||') AS t FROM v{r - 1}),
+           UNNEST(range(1, len(t))) AS u(i)
+      GROUP BY a, b),
+    b{r} AS MATERIALIZED (SELECT a, b, c FROM p{r} ORDER BY c DESC, a, b LIMIT 1),
+    v{r} AS MATERIALIZED (
+      SELECT word, cnt,
+             replace(st,
+                     coalesce('|' || (SELECT a FROM b{r}) || '||'
+                              || (SELECT b FROM b{r}) || '|', '~~none~~'),
+                     coalesce('|' || (SELECT a FROM b{r})
+                              || (SELECT b FROM b{r}) || '|', '~~none~~')) AS st
+      FROM v{r - 1})""")
+    parts.append(f"""dw AS MATERIALIZED (
+      SELECT w AS word, count(*)::BIGINT AS cnt
+      FROM (SELECT unnest(string_split(text || ' щzq' || (doc_id % 7), ' ')) AS w
+            FROM documents WHERE doc_id % {m} = {m - 1})
+      GROUP BY w),
+    known AS (
+      SELECT dw.word, dw.cnt, v.st FROM dw JOIN v{k} v USING (word)),
+    o0 AS MATERIALIZED (
+      SELECT dw.word, dw.cnt, {_bw_sql('dw.word')} AS st
+      FROM dw ANTI JOIN v{k} v USING (word))""")
+    for r in range(1, k + 1):
+        parts.append(f"""o{r} AS (
+      SELECT word, cnt,
+             replace(st,
+                     coalesce('|' || (SELECT a FROM b{r}) || '||'
+                              || (SELECT b FROM b{r}) || '|', '~~none~~'),
+                     coalesce('|' || (SELECT a FROM b{r})
+                              || (SELECT b FROM b{r}) || '|', '~~none~~')) AS st
+      FROM o{r - 1})""")
+    return f"""
+    WITH {','.join(parts)},
+    fin AS (
+      SELECT word, cnt, 0 AS oov, st FROM known
+      UNION ALL
+      SELECT word, cnt, 1 AS oov, st FROM o{k})
+    SELECT t AS token,
+           sum(cnt)::BIGINT AS n_total,
+           sum(cnt * oov)::BIGINT AS n_from_oov
+    FROM (SELECT cnt, oov,
+                 unnest(string_split(trim(st, '|'), '||')) AS t
+          FROM fin)
+    GROUP BY t
+    """
+
+
+@register(
+    "corpus_bpe_apply_bytes",
+    oracle=_bpe_bytes_oracle(),
+    doc="BYTE-level BPE apply — the GPT-2/tiktoken-lineage base tier "
+    "corpus_bpe_apply_oov stops short of (its fallback is char-level): "
+    "base units are the word's UTF-8 BYTES as 2-hex-char tokens (a "
+    "256-entry base vocabulary), so NO input is ever OOV below the "
+    "byte tier — any script, any codepoint, decomposes losslessly. "
+    f"Merges train on the doc_id % {_OOV_TRAIN_MOD} != "
+    f"{_OOV_TRAIN_MOD - 1} split's byte-wrapped vocabulary (same "
+    "driver-coordinated rounds, same string algebra — the hex "
+    "renaming is the ONLY change); the held-out split, salted with a "
+    "CYRILLIC ' щzq<doc_id%7>' suffix word so genuinely multi-byte "
+    "OOV coverage is guaranteed at every SF, tokenizes through the "
+    "broadcast vocab map with byte-split merge replay as the OOV "
+    "fallback (one chained-literal-replace codegen projection, no "
+    "UDF). Output: per-token totals with the OOV-contributed share; "
+    "the oracle re-learns the merges and replays the same chain on "
+    "the anti-joined words — a wrong byte split of a multi-byte "
+    "codepoint, a dropped merge, or replay drift all fail the hash. "
+    "100 TB shape: identical to the char tier — distinct-words + one "
+    "broadcast lookup + map-side replay; only the final per-token "
+    "aggregate shuffles.",
+)
+def corpus_bpe_apply_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    m = _OOV_TRAIN_MOD
+    train = d.filter(F.col("doc_id") % m != m - 1).select("text")
+    words = train.select(F.explode(F.split("text", " ")).alias("word"))
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("st", _byte_wrapped())
+    )
+    merges, vocab = _train_merge_list(vocab)
+    delta = d.filter(F.col("doc_id") % m == m - 1).select(
+        F.concat(
+            F.col("text"), F.lit(" щzq"), (F.col("doc_id") % 7).cast("string")
+        ).alias("text")
+    )
+    dwords = (
+        delta.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    joined = dwords.join(
+        F.broadcast(vocab.select("word", "st")), "word", "left"
+    )
+    fin = joined.select(
+        "cnt",
+        F.col("st").isNull().cast("int").alias("oov"),
+        F.coalesce(F.col("st"), _replay_merges(_byte_wrapped(), merges)).alias(
+            "stf"
+        ),
+    )
+    toks = F.split(F.expr("trim(BOTH '|' FROM stf)"), "\\|\\|")
+    return (
+        fin.select("cnt", "oov", F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_total"),
+            F.sum(F.col("cnt") * F.col("oov")).cast("long").alias("n_from_oov"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# tokenizer-as-artifact: train once, apply many times (r9 verdict #6) —
+# pipeline_pretrain_shards re-trains in-query (right for oracle parity,
+# wrong as an operational shape); a 100 TB run persists the merge table
+# and every apply job reads it back.
+
+
+def _bpe_artifact_oracle(k: int = _K_MERGES) -> str:
+    """Train the k merges (full corpus), then emit the final trained
+    tokenization's per-token totals — which the apply-from-artifact path
+    must reproduce by replaying the PERSISTED merge table."""
+    parts = [
+        """wc AS (
+      SELECT w AS word, count(*)::BIGINT AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      GROUP BY w),
+    v0 AS MATERIALIZED (
+      SELECT word, cnt,
+             '|' || array_to_string(
+               list_transform(range(1, length(word) + 1),
+                              i -> substr(word, i, 1)), '||') || '|' AS st
+      FROM wc)"""
+    ]
+    for r in range(1, k + 1):
+        parts.append(f"""p{r} AS MATERIALIZED (
+      SELECT t[i] AS a, t[i + 1] AS b, sum(cnt)::BIGINT AS c
+      FROM (SELECT cnt, string_split(trim(st, '|'), '||') AS t FROM v{r - 1}),
+           UNNEST(range(1, len(t))) AS u(i)
+      GROUP BY a, b),
+    b{r} AS MATERIALIZED (SELECT a, b, c FROM p{r} ORDER BY c DESC, a, b LIMIT 1),
+    v{r} AS MATERIALIZED (
+      SELECT word, cnt,
+             replace(st,
+                     coalesce('|' || (SELECT a FROM b{r}) || '||'
+                              || (SELECT b FROM b{r}) || '|', '~~none~~'),
+                     coalesce('|' || (SELECT a FROM b{r})
+                              || (SELECT b FROM b{r}) || '|', '~~none~~')) AS st
+      FROM v{r - 1})""")
+    return f"""
+    WITH {','.join(parts)}
+    SELECT t AS token, sum(cnt)::BIGINT AS n_total
+    FROM (SELECT cnt,
+                 unnest(string_split(trim(st, '|'), '||')) AS t
+          FROM v{k})
+    GROUP BY t
+    """
+
+
+@register(
+    "corpus_bpe_artifact_roundtrip",
+    oracle=_bpe_artifact_oracle(),
+    doc="Tokenizer ARTIFACT roundtrip — the operational shape "
+    "pipeline_pretrain_shards' in-query training is not: a 100 TB run "
+    f"trains ONCE and applies many times. Train the {_K_MERGES} merges "
+    "(same driver-coordinated rounds), persist the merge table as a "
+    "parquet artifact (ordered rounds: round, left_tok, right_tok — "
+    "the merges.txt of GPT-2's tokenizer, as a table), then the APPLY "
+    "path reads the artifact BACK from disk (nothing reused from the "
+    "in-memory list), collects the vocabulary-bounded merge rows in "
+    "round order, and tokenizes the corpus by replaying the chain on "
+    "each distinct word's char split — one chained-literal-replace "
+    "codegen projection. Because replay reproduces the training-state "
+    "evolution exactly, the artifact path's per-token totals must "
+    "equal the trained state's — which is what the oracle emits after "
+    "re-learning the merges from scratch: a dropped round, a "
+    "reordered table, or a stale artifact all fail the hash. 100 TB "
+    "shape: the artifact is merges-sized (KBs); apply jobs broadcast "
+    "it implicitly via the replay literals and never re-shuffle the "
+    "corpus beyond the final per-token aggregate.",
+)
+def corpus_bpe_artifact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from ..workdir import cache_root
+    from .sources_formats import _tag
+
+    merges, _vocab = _train_merge_list(_vocab_frame(spark, sf_dir))
+    path = _os.path.join(cache_root(), f"bpe_merges_{_tag(sf_dir)}")
+    spark.createDataFrame(
+        [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
+        "round int, left_tok string, right_tok string",
+    ).repartition(1).write.mode("overwrite").parquet(path)
+
+    # apply-from-artifact: a fresh disk read; the in-memory merge list
+    # is dead past this point
+    art = sorted(
+        spark.read.parquet(path).collect(), key=lambda r: r["round"]
+    )
+    merges_back = [(r["left_tok"], r["right_tok"]) for r in art]
+    words = _vocab_frame(spark, sf_dir)
+    fin = words.select(
+        "cnt", _replay_merges(_char_wrapped(), merges_back).alias("stf")
+    )
+    toks = F.split(F.expr("trim(BOTH '|' FROM stf)"), "\\|\\|")
+    return (
+        fin.select("cnt", F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.sum("cnt").cast("long").alias("n_total"))
+    )

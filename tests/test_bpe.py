@@ -286,3 +286,112 @@ def test_pretrain_shards_plan_is_window_hash_based(spark, sf_dir):
         or by_key[(e0, s)]["head_pack"] != by_key[(e1, s)]["head_pack"]
         for _e, s in by_key
     )
+
+
+def _hex_bytes(w: str) -> tuple:
+    h = w.encode("utf-8").hex().upper()
+    return tuple(h[i : i + 2] for i in range(0, len(h), 2))
+
+
+def test_byte_level_apply_matches_python_reference(spark, sf_dir):
+    """corpus_bpe_apply_bytes vs an independent in-memory byte-level
+    replay: base units are UTF-8 bytes as hex pairs, so the Cyrillic
+    salt word decomposes to multi-byte tokens and NOTHING is ever OOV
+    below the byte tier."""
+    from etl_pipeline_old_spark.queries.bpe import (
+        _K_MERGES as K,
+    )
+    from etl_pipeline_old_spark.queries.bpe import (
+        _OOV_TRAIN_MOD as M,
+    )
+    from etl_pipeline_old_spark.queries.bpe import (
+        corpus_bpe_apply_bytes,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    train_wc: Counter = Counter()
+    delta_wc: Counter = Counter()
+    for r in docs.collect():
+        words = r["text"].split(" ")
+        if r["doc_id"] % M != M - 1:
+            train_wc.update(words)
+        else:
+            delta_wc.update(words + [f"щzq{r['doc_id'] % 7}"])
+
+    # byte-level reference learner: same algorithm, byte-pair base state
+    state = {w: _hex_bytes(w) for w in train_wc}
+    merges = []
+    for _ in range(K):
+        pairs: Counter = Counter()
+        for w, toks in state.items():
+            for i in range(len(toks) - 1):
+                pairs[(toks[i], toks[i + 1])] += train_wc[w]
+        if not pairs:
+            break
+        (a, b), _c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b))
+        state = {w: _apply_merge(t, a, b) for w, t in state.items()}
+
+    totals: Counter = Counter()
+    oov_totals: Counter = Counter()
+    for w, cnt in delta_wc.items():
+        if w in state:
+            toks = state[w]
+            oov = False
+        else:
+            toks = _hex_bytes(w)
+            for a, b in merges:
+                toks = _apply_merge(toks, a, b)
+            oov = True
+        for t in toks:
+            totals[t] += cnt
+            if oov:
+                oov_totals[t] += cnt
+
+    got = {
+        r["token"]: (r["n_total"], r["n_from_oov"])
+        for r in corpus_bpe_apply_bytes(spark, sf_dir).collect()
+    }
+    assert got == {t: (totals[t], oov_totals[t]) for t in totals}
+    assert sum(oov_totals.values()) > 0
+    # every token is a concatenation of hex byte pairs — decodable
+    assert all(len(t) % 2 == 0 and bytes.fromhex(t) for t in got)
+    # the Cyrillic salt really produced multi-byte merged-or-base tokens
+    assert any(bytes.fromhex(t).decode("utf-8", "ignore") == "" or
+               max(bytes.fromhex(t)) >= 0x80 for t in got)
+
+
+def test_artifact_roundtrip_equals_trained_state(spark, sf_dir):
+    """corpus_bpe_artifact_roundtrip: the parquet merge table exists with
+    K ordered rows, and replaying it from DISK reproduces the trained
+    state's per-token totals exactly."""
+    import os
+
+    from etl_pipeline_old_spark.queries.bpe import (
+        _K_MERGES as K,
+    )
+    from etl_pipeline_old_spark.queries.bpe import (
+        corpus_bpe_artifact_roundtrip,
+    )
+    from etl_pipeline_old_spark.queries.sources_formats import _tag
+    from etl_pipeline_old_spark.workdir import cache_root
+
+    got = {
+        r["token"]: r["n_total"]
+        for r in corpus_bpe_artifact_roundtrip(spark, sf_dir).collect()
+    }
+    # independent expectation: reference learner's final state totals
+    wc = _word_counts(spark, sf_dir)
+    _merges, state = _reference_bpe(wc, K)
+    expect: Counter = Counter()
+    for w, toks in state.items():
+        for t in toks:
+            expect[t] += wc[w]
+    assert got == dict(expect)
+    # the artifact is a real ordered parquet table with K rows
+    path = os.path.join(cache_root(), f"bpe_merges_{_tag(sf_dir)}")
+    art = spark.read.parquet(path).collect()
+    assert len(art) == K
+    assert sorted(r["round"] for r in art) == list(range(1, K + 1))
