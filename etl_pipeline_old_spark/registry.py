@@ -256,6 +256,10 @@ _CORE_FIRST = (
     # stats — and its export/readback twin
     "pipeline_video_text_pairs",
     "pipeline_video_text_export",
+    # round-10: byte-level BPE (no input OOV below the byte tier) and the
+    # persisted-tokenizer artifact roundtrip (train once, apply many)
+    "corpus_bpe_apply_bytes",
+    "corpus_bpe_artifact_roundtrip",
 )
 
 

@@ -134,7 +134,8 @@ COVERAGE: list[tuple[str, str, list[str], str]] = [
     ("X-mm", "multimodal columns", ["multimodal_decode_meta", "multimodal_feature_extract", "multimodal_resize", "multimodal_frame_sample", "multimodal_phash_dedup", "multimodal_phash_near", "multimodal_pair_alignment", "multimodal_ppm_ingest", "multimodal_png_ingest", "stream_png_ingest", "multimodal_wav_ingest", "multimodal_audio_features", "multimodal_y4m_frames", "multimodal_ingest_quarantine", "multimodal_jpeg_ingest", "multimodal_png_advanced", "multimodal_gif_bmp_ingest", "multimodal_tiff_ingest", "multimodal_g711_ingest", "multimodal_adpcm_ingest", "multimodal_flac_ingest", "multimodal_webdataset_audio", "multimodal_audio_resample", "multimodal_video_motion", "multimodal_jpeg_progressive", "multimodal_mp4_probe", "multimodal_mp3_probe", "multimodal_exif_gps_scrub", "multimodal_ogg_probe", "multimodal_zip_shards", "multimodal_webm_probe", "multimodal_vtt_captions", "multimodal_caption_coverage"], "netpbm (P6/P5) AND non-interlaced 8-bit PNG (gray/RGB/paletted/RGBA; CRC-validated chunk walk, zlib inflate, all five scanline unfilters, PLTE grayscale mapping) decode is REAL pure-stdlib plus interlaced (Adam7) and 16-bit PNG; JPEG — baseline (real stdlib huffman+IDCT) AND progressive SOF2 (spectral-selection + successive-approximation scan accumulation, per-scan DHTs, EOB runs, correction-bit refinement; decoded raster proven bit-identical to the baseline encoding in-plan, cross-validated both directions vs javax.imageio incl. ImageIO's own progressive writer output), uncompressed BMP, GIF87a (LZW), and baseline TIFF (II/MM, raw + PackBits) all decode natively with their own staged-file ingests (arithmetic/hierarchical JPEG the remaining codec seam); on-disk .ppm/.png ingest via binaryFile scan + genuine decode (PNG color type and filter type cycled per doc, IHDR color type value-checked), plus the STREAMING binaryFile variant (maxFilesPerTrigger micro-batches through the same Arrow kernel, accumulated target hash-equals the batch ingest); REAL RIFF/WAVE PCM16 audio decode (chunk walk, fmt validation, cross-validated vs the stdlib wave module) AND G.711 telephony WAV (µ-law/A-law companders verified exhaustively against CPython's audioop; the oracle re-expands the companded codes with exact integer algebra in SQL) AND stateful IMA/DVI ADPCM (WAV tag 0x11: 89-entry adaptive step table, block state headers, fact chunk; block-seed samples value-checked exactly by the oracle, every block re-decoded in-plan by CPython's independent audioop implementation with sample-exact agreement demanded, core stream-fuzzed vs audioop both directions) AND lossless FLAC (operators/flac.py from the public RFC 9639 spec: CRC-8 frame headers, UTF-8-style coded numbers, CONSTANT/VERBATIM/FIXED/LPC subframes, wasted bits, partitioned + escaped Rice residuals, left/right/mid-side decorrelation, CRC-16 footers, STREAMINFO MD5 verification; the staged corpus cycles fixed-predictor mono, genuine LPC subframes, and mid/side stereo, and the oracle demands EXACT sample recovery because the codec is lossless; capped by AUDIO-TEXT WebDataset shards — the speech-corpus loader shape, {key}.flac + {key}.txt transcript + {key}.json in genuine ustar shards, decoded audio bound to its transcript by the exact md5 formula so a mispaired sample fails the oracle) with on-disk .wav ingest value-checking fmt fields + sample stats, channel-aware decimate-by-2 resampling (interleaved stereo pairs FRAMES, not adjacent samples; every output sample recomputed by the oracle), and per-frame energy/zero-crossing feature extraction (frame explosion inside the Arrow batch, long-format feature rows); REAL raw-video frame sampling over staged YUV4MPEG2 clips (mono + 420 plane layouts, every 2nd frame kept inside the kernel, per-frame pixels value-checked; plus frame-diff motion energy per consecutive pair, the shot-boundary primitive, exact against the oracle); per-record corruption quarantine (torn-upload PNGs routed to a status column, healthy files still pixel-checked — the executed no-job-abort proof); aHash (over real decoded pixels) exact-collision dedup + Hamming-banded near-dup (pigeonhole-complete for Hamming<=3) bridge to the dedup family; CLIP-shape in-batch contrastive alignment accuracy (BxB per batch, never corpus-wide); ISO BMFF (MP4) container DEMUX from the public 14496-12 spec (operators/mp4.py: box walk w/ largesize + unknown-box skip, track/handler/codec/duration metadata, stts/stsc/stsz/stco|co64 sample-table resolution, moof/tfhd/trun CMAF fragment reassembly under default-base-is-moof) with PCM (ipcm, 23003-5) payload decoded EXACTLY per the oracle's md5 formula across flat-mono/flat-stereo-co64/3-segment-fragmented staged surfaces — compressed sample entries (AAC/AVC) raise the documented codec seam inside the demuxer; MP3 frame-walk probe (operators/mp3.py: ID3v2 syncsafe skip, spec bitrate/rate tables, spec-exact frame lengths, Xing/Info VBR header at its version/mode-dependent side-info offset, ID3v1 trailer, loud broken-sync failure) — the filter-before-decode pass, every metadata column (frames/duration/bitrate-sum/VBR/tags) recomputed exactly by the oracle from the staging formulas while psychoacoustic payload decode stays the documented seam; EXIF extract + GPS scrub (operators/exif.py, public EXIF 2.32/TIFF 6.0 IFDs, both byte orders): orientation/make/timestamp extracted as training signal, the GPS sub-IFD (location PII) STRIPPED by re-serializing the remaining IFD with recomputed offsets — no pixel re-encode, rasters proven unchanged through the real T.81 codec, every extracted field recomputed exactly by the oracle — the multimodal twin of corpus_pii_redact; Ogg container probe (operators/ogg.py, RFC 3533): page walk with EVERY page CRC-verified via the spec's own unreflected 0x04c11db7 CRC-32, lacing-table packet reassembly incl. 255-lace continuation across pages, BOS/EOS accounting, OpusHead/Vorbis-I codec identification with channels/rate/pre-skip/granule duration — loud failure on torn pages, CRC mismatch, orphan continuation, or missing EOS; ZIP shard ingest (operators/pkzip.py, public APPNOTE.TXT): central-directory-authoritative walk (orphan local headers invisible), per-member CRC-32 + declared-size verification, stored + deflate, UTF-8 name flag, EOCD tail-window discovery immune to embedded magics, zip64/exotic-methods as documented seams — cross-validated BOTH directions vs CPython's independent zipfile module, members content-fingerprinted by the oracle per document; WebM/Matroska EBML probe (operators/ebml.py, RFC 8794 + Matroska registry — completing the container trio with ISO BMFF and Ogg): vint ID/size forms incl. the all-ones UNKNOWN-SIZE Segment live muxers emit, DocType, TimestampScale-corrected duration, per-track type/codec/dims/rate/channels, cluster + SimpleBlock counts, every column oracle-recomputed; VP9/AV1/Opus payload decode stays the documented seam; WebVTT caption sidecars (operators/vtt.py, public W3C structure: cue ids, NOTE blocks, optional-hours timing, multi-line payloads) — the caption half of video-text pairing, with covered time computed over MERGED cue intervals (staged overlapping tail cues make double-counting fail the hash) and loud malformed-timing/reversed-cue failures; capped by the video-caption ALIGNMENT gate (EBML duration joined 1:1 to VTT overlap-merged coverage -> exact integer coverage permille, the threshold a pairing pipeline applies before shipping payload bytes; oracle recomputes from BOTH families' staging formulas so a drift in either parser breaks the hash)"),
     ("X-web", "web-corpus ingestion", ["text_html_extract", "corpus_url_normalize", "warc_web_ingest", "pipeline_web_corpus", "warc_ingest_quarantine", "stream_warc_ingest", "pipeline_web_corpus_incremental", "pipeline_pdf_extract", "pipeline_document_corpus", "pdf_ingest_quarantine", "stream_pdf_ingest", "pipeline_document_corpus_incremental"], "the C4/CCNet first mile: HTML -> text extraction (head/script/style/nav/footer boilerplate dropped, tags stripped, entities decoded — the oracle demands exact recovery of the original text through an adversarial in-plan render whose body script contains a bare '<'; render pinned against a hand-written page) and URL canonicalization (lowercase scheme/host, default-port/fragment/trailing-slash stripping, utm_* removal, param sorting — three messy renderings collapse to one canonical dedup key); both pure-JVM map-only projections, plan-locked Exchange- and EvalPython-free; plus REAL Common Crawl-layout .warc.gz shard ingest (ISO 28500 records, one gzip member per record, warcinfo first; pure-stdlib multi-member gzip walk + Content-Length-strict framing in an Arrow kernel) chained into the same extraction — original text, URI, and cycled HTTP 404s all value-checked; capped by the C4-reproduction capstone (crawl shards -> 200-filter -> extract -> length gate -> stopword lang-ID on the RECOVERED text -> per-language docs/tokens/domains), one plan, map-only until the final partial-agg groupBy; per-MEMBER fault isolation on torn shards (deliberately corrupted gzip members are quarantined individually, the lenient reader resyncs at the next gzip magic, every healthy record around the damage survives — quarantine count AND survivor set value-checked; the strict reader aborting on the same bytes is unit-tested); STREAMING shard consumption via readStream binaryFile + maxFilesPerTrigger through the SAME parse definition, accumulated target hash-equal to the batch ingest; incremental refresh whose base+delta partial-stats merge (domain sets unioned, not summed; means re-derived from sums) is value-checked equal to the direct full recompute by the SAME oracle; PDF text extraction (operators/pdf.py, ISO 32000 structural subset, the highest-volume document format LLM corpora ingest): spec-valid writer (correct xref byte offsets, FlateDecode by parity) + own parser — startxref/trailer discovery, xref walk honored not scanned, full object grammar (dicts/arrays/names/literal strings with the complete escape set/hex strings/indirect refs incl. indirect /Length), page-tree traversal, stream inflate, text operators (Tj/TJ/hex) collected in showing order; PDF strings are byte strings so recovery is BYTE-EXACT vs the base table; image-only (OCR), CID remapping, and encryption are loud documented seams; capped by the document-corpus capstone (PDFs -> byte-exact text -> JVM-side lang-ID + length gate + exact-normalized dedup accounting -> per-language stats in ONE plan, Python only at the parse, plan-locked to 2 Exchanges/no joins) — extraction fidelity verified THROUGH the downstream pipeline; plus the operational trio: per-record quarantine (every 50th PDF torn at the startxref tail, both halves oracle-checked), streaming Auto-Loader-shaped ingest (maxFilesPerTrigger micro-batches, accumulated target hash-equals batch), and base+delta incremental refresh whose merge carries the distinct-norm SET (union before counting — sum-the-distincts would double-count cross-drop duplicates) and is value-checked equal to full recompute"),
     ("X-xmodal", "cross-modal pair corpus", ["pipeline_image_text_pairs", "stream_image_text_pairs", "image_text_near_dedup", "image_text_ingest_quarantine", "pipeline_image_text_pairs_incremental", "multimodal_webdataset_ingest", "multimodal_webdataset_export", "pipeline_image_text_pairs_bucketed", "stream_image_text_join"], "the LAION-shape capstone composing the WARC walk, four real lossless image codecs, JVM HTML mining and aHash dedup into one plan: mixed-media .warc.gz shards (HTML articles beside image/* payload records) are walked by content type; pages yield (lang, img src, alt caption) candidates via regexp explode; image responses are magic-sniffed, genuinely decoded (PNG/GIF/BMP/TIFF) and average-hashed; pages join the BROADCAST image pool on URI (dead 404 links drop in the join), pixel-identical images under different URIs collapse to a canonical min-URI representative, and per-(lang, format) pair stats emit — captions, pool membership, hashes and canonical URIs all recomputed from the base table by the oracle; plan-locked: two broadcast joins, no cartesian, no SortMergeJoin, Python only in the Arrow kernels; plus the STREAMING counterpart (readStream binaryFile micro-batches through the SAME mining/decode definitions, accumulated result hash-equal to the batch capstone) and Hamming-banded near-dup image pairs inside the crawl (a second staged corpus whose content twins differ by one perturbed pixel — different bytes/URI, small Hamming distance; 4x16-bit aHash bands pigeonhole-complete for Hamming<=3, in-plan JVM fold verifies, per-pair caption counts from the page branch; oracle brute-forces all pool pairs, proving the banding lost nothing); per-record decode QUARANTINE on a header-corrupted crawl (torn image payloads route to a status, healthy slots and the pairs lost to quarantine both value-checked per format); and base+delta INCREMENTAL refresh whose pool-bounded partial merge (pair bronze + unioned image pool, global canonical re-derived over the union) value-checks equal to the full recompute by the capstone's own oracle; capped by WebDataset tar-shard ingest — the training dataloader's on-disk format (key.jpg/.txt/.json samples in genuine ustar shards; pure-stdlib tar writer/reader with header checksums, cross-validated BOTH directions vs the independent stdlib tarfile module; samples regroup in the Arrow kernel, the .jpg decodes through the real JPEG codec with an error-bound check, per-sample completeness + caption tokens + metadata lang all oracle-checked) and its EXPORT half (mined pairs grouped into shards, written from the executors in the same sample layout with image bytes re-shipped as fetched — the lossless-passthrough rule — then read back and verified: decoded aHash must equal each pool slot's md5 formula, a corrupted passthrough fails the oracle); r9: the LAION-SCALE variant (page side collapses to (lang, uri) bronze first, decoded pool written once as a URI-bucketed sorted table, bronze-pool merge join reads the bucketed scan with ZERO Exchange on the pool side, canonical derived by groupBy(ahash) min-URI joined shuffle-side — NOTHING broadcast, plan-locked, value-equal to the broadcast capstone; the incremental merge and the export join also retired their crawl-growing broadcasts) and the GENUINE stream-stream join (pages and images as two out-of-order feeds, watermarks sized to the disorder bound, left-outer join state holds captions for late images, end-of-feed sentinels close deterministically, drained stats hash-equal the batch capstone)"),
-    ("X-text", "text analysis", ["text_lang_id", "text_quality_score", "text_token_count", "text_fingerprint", "text_fuzzy_name_pairs", "corpus_normalize", "corpus_pii_redact", "corpus_stats_by_lang", "corpus_top_bigrams", "text_tfidf_top_terms", "corpus_unigram_logprob", "corpus_bigram_perplexity", "corpus_bpe_pair_counts", "corpus_bpe_train_apply", "corpus_bpe_apply_oov", "text_quality_classifier", "ml_tree_inference_sql"], "incl. the BPE tokenizer-training pair-count step (aggregate-to-vocabulary first) AND full BPE train->apply (64 driver-coordinated merge rounds over the weighted word vocabulary, 1-row argmax collects only, delimiter-string merge algebra identical in both engines, DuckDB re-learns all merges via an unrolled materialized CTE chain; apply = broadcast vocab-map join; r9: apply-to-UNSEEN-text — held-out split salted with guaranteed-OOV words tokenizes via left join, OOV words fall back to replaying the learned merges in order as one chained-literal-replace codegen projection, oracle replays the same unrolled chain on the anti-joined words; plus token-disjoint merge BATCHING cutting driver rounds ~k-fold, batch=1 proven identical to classic BPE) and a fastText-shape linear quality classifier (integer logit, shuffle-free) and decision-tree inference compiled to a fused CASE projection (ICDE 2025 pure-SQL-inference shape)"),
+    ("X-vidtext", "video-text pair corpus", ["pipeline_video_text_pairs", "pipeline_video_text_export"], "the video sibling of the image-text capstone (r9 verdict #4), composed from parts that each carry their own green oracle: WebDataset tar shards of {key}.webm/.vtt/.json staged from the executors, ONE Arrow kernel running the whole sample-level pipeline map-side — tar walk, EBML TimestampScale-corrected duration/codec probe, VTT header-metadata language + cue parse, overlap-MERGED caption coverage, the >=500-permille alignment gate, audio-only uploads dropped — emitting gated (clip-id, caption window) pair rows; the only shuffle is the final per-(lang, codec) aggregate, nothing broadcast, plan-locked (no join of any strategy in the capstone plan); the EXPORT half re-shards gated survivors as genuine ustar shards with coverage-enriched .json metadata (video and caption bytes shipped AS CRAWLED — lossless passthrough), then reads them back and re-verifies every sample against a full recompute from the shipped bytes; both oracles recompute everything from the two staging formulas, so a drift in the EBML parser, the VTT parser, the header path, or the gate arithmetic fails the hash"),
+    ("X-text", "text analysis", ["text_lang_id", "text_quality_score", "text_token_count", "text_fingerprint", "text_fuzzy_name_pairs", "corpus_normalize", "corpus_pii_redact", "corpus_stats_by_lang", "corpus_top_bigrams", "text_tfidf_top_terms", "corpus_unigram_logprob", "corpus_bigram_perplexity", "corpus_bpe_pair_counts", "corpus_bpe_train_apply", "corpus_bpe_apply_oov", "corpus_bpe_apply_bytes", "corpus_bpe_artifact_roundtrip", "text_quality_classifier", "ml_tree_inference_sql"], "incl. the BPE tokenizer-training pair-count step (aggregate-to-vocabulary first) AND full BPE train->apply (64 driver-coordinated merge rounds over the weighted word vocabulary, 1-row argmax collects only, delimiter-string merge algebra identical in both engines, DuckDB re-learns all merges via an unrolled materialized CTE chain; apply = broadcast vocab-map join; r9: apply-to-UNSEEN-text — held-out split salted with guaranteed-OOV words tokenizes via left join, OOV words fall back to replaying the learned merges in order as one chained-literal-replace codegen projection, oracle replays the same unrolled chain on the anti-joined words; plus token-disjoint merge BATCHING cutting driver rounds ~k-fold, batch=1 proven identical to classic BPE; r10: BYTE-level apply — UTF-8 bytes as 2-hex-char base tokens, 256-entry base vocabulary, so NO input is ever OOV below the byte tier, Cyrillic-salted held-out split guarantees multi-byte coverage, oracle replays the same chain on byte splits; and the persisted-tokenizer ARTIFACT roundtrip — ordered merge table written as parquet, apply path re-reads it from disk and must reproduce the trained state's per-token totals: train once, apply many) and a fastText-shape linear quality classifier (integer logit, shuffle-free) and decision-tree inference compiled to a fused CASE projection (ICDE 2025 pure-SQL-inference shape)"),
     ("X-profile", "data profiling", ["profile_table", "histogram_order_totals", "histogram_equi_depth"], "one-pass column stats; floor-bin histogram"),
     ("X-dq", "data-quality expectations", ["dq_check_suite", "dq_observe_metrics"], "fused per-table checks + FK anti-join; negative test injects violations"),
     ("X-ivm", "incremental aggregate maintenance", ["incremental_agg_merge", "rollup_cascade_daily", "sketch_hll_partitioned_union", "sketch_cms_event_counts", "sketch_mg_heavy_hitters", "sketch_histogram_quantile"], "partial-state merge; oracle IS the IVM invariant; mergeable count-min sketch w/ in-plan one-sided-error assertion; Misra-Gries heavy-hitter summaries merged across data shards w/ both MG guarantees asserted in-plan; mergeable histogram quantile sketch w/ half-bucket error asserted vs the exact median"),
