@@ -266,7 +266,14 @@ class _Doc:
         self.trailer = trailer
 
     def resolve(self, v):
+        seen: set[int] = set()
         while isinstance(v, _Ref):
+            if v.num in seen:
+                # a self/mutually-referential object would loop forever —
+                # a wedged executor, the one failure mode worse than a
+                # quarantined record
+                raise ValueError(f"pdf: reference cycle at object {v.num}")
+            seen.add(v.num)
             v = self.object_at(v.num)
         return v
 
@@ -288,6 +295,11 @@ class _Doc:
                 raw = self.buf[d0 : d0 + length]
                 if len(raw) != length:
                     raise ValueError("pdf: stream truncated")
+                # a LYING short /Length silently truncates an uncompressed
+                # content stream — demand `endstream` right after the
+                # declared extent (whitespace allowed, per spec)
+                if not re.match(rb"\s*endstream\b", self.buf[d0 + length :]):
+                    raise ValueError("pdf: stream /Length mismatch")
                 val["__stream__"] = raw
         return val
 
@@ -308,11 +320,16 @@ class _Doc:
         return raw
 
 
-def _walk_pages(doc: _Doc, node: dict, out: list) -> None:
+def _walk_pages(doc: _Doc, node: dict, out: list, depth: int = 0) -> None:
+    # a Kids entry pointing back at an ancestor recurses forever (each
+    # object_at re-parse yields a fresh dict, so identity tracking can't
+    # see the cycle) — cap the depth; real page trees are a few levels
+    if depth > 64:
+        raise ValueError("pdf: page tree too deep (Kids cycle?)")
     t = node.get("Type")
     if t == "/Pages":
         for kid in doc.resolve(node["Kids"]):
-            _walk_pages(doc, doc.resolve(kid), out)
+            _walk_pages(doc, doc.resolve(kid), out, depth + 1)
     elif t == "/Page":
         out.append(node)
     else:

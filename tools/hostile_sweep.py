@@ -13,6 +13,15 @@ Run: python tools/hostile_sweep.py [sf_dir]   (default /root/testdata/sf0.01)
        asserts the two result hashes are identical — catching scratch-dir
        leakage and non-idempotent staging that a single pass hides
        (r6 verdict #5).
+     python tools/hostile_sweep.py --codecs
+       hostile-INPUT sweep of the two newest parsers (r9 verdict #7):
+       hand-built malicious PDFs (xref offset lies, reference cycles,
+       nested-Kids cycles, stream /Length lies, torn startxref) must
+       each fail LOUDLY (a ValueError the quarantine kernels catch —
+       never a hang, never silently-wrong text), and hostile-but-VALID
+       WebVTT shapes (whitespace-only payload lines, CRLF mixes,
+       hour-optional timings, header metadata) must parse correctly.
+       Pure parser-level; no Spark session.
 """
 
 from __future__ import annotations
@@ -165,7 +174,183 @@ def repeat_mode(spark, sf_dir: str) -> int:
     return 1 if fails else 0
 
 
+def _pdf_with_objects(objs: list[bytes]) -> bytes:
+    """Assemble arbitrary numbered objects into a structurally-complete
+    PDF (correct xref + trailer, Root = object 1) — the harness for
+    hand-building malicious page trees the public writer cannot emit."""
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0]
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref_at)
+    )
+    return bytes(out)
+
+
+def codec_mode() -> int:
+    """Hostile-input sweep for the two r9 parsers (r9 verdict #7): every
+    malicious PDF fails with a LOUD ValueError/NotImplementedError the
+    quarantine kernels catch (no hang, no silently-wrong text), every
+    hostile-but-valid WebVTT shape parses to the right cues."""
+    import re as _re
+
+    from etl_pipeline_old_spark.operators.pdf import (
+        extract_pdf_text,
+        write_pdf,
+    )
+    from etl_pipeline_old_spark.operators.vtt import (
+        caption_stats,
+        header_meta,
+        parse_vtt,
+    )
+
+    fails: list[str] = []
+    t00 = time.time()
+
+    def check(name, fn, expect_error: bool):
+        t0 = time.time()
+        try:
+            fn()
+            status = "ok" if not expect_error else "FAIL: no error raised"
+        except (ValueError, NotImplementedError) as ex:
+            status = (
+                f"ok raised: {str(ex)[:80]}"
+                if expect_error
+                else f"FAIL: unexpected {ex}"
+            )
+        except RecursionError:
+            status = "FAIL: RecursionError (unbounded walk)"
+        if status.startswith("FAIL"):
+            fails.append(name)
+        print(f"{name}: {status} ({time.time() - t0:.2f}s)", flush=True)
+
+    base = write_pdf([["hello world", "line two"], ["page 2"]])
+
+    # 1. xref offset lie: shift a live entry's offset; the parser must
+    # trust the xref (not rescue via linear scan) and refuse
+    def xref_lie():
+        buf = bytearray(base)
+        m = _re.search(rb"\n(\d{10}) 00000 n \n", bytes(buf))
+        off = int(m.group(1))
+        buf[m.start(1) : m.end(1)] = b"%010d" % (off + 3)
+        extract_pdf_text(bytes(buf))
+
+    check("pdf_xref_offset_lie", xref_lie, expect_error=True)
+
+    # 2. reference cycle: the catalog's /Pages chain resolves to itself
+    def ref_cycle():
+        objs = [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"2 0 R",  # object 2 IS a reference to object 2
+        ]
+        extract_pdf_text(_pdf_with_objects(objs))
+
+    check("pdf_reference_cycle", ref_cycle, expect_error=True)
+
+    # 3. nested-Kids cycle: Pages node whose Kids points back at itself
+    def kids_cycle():
+        objs = [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [2 0 R] /Count 1 >>",
+        ]
+        extract_pdf_text(_pdf_with_objects(objs))
+
+    check("pdf_kids_cycle", kids_cycle, expect_error=True)
+
+    # 4a. stream /Length lie (short): declared shorter than the real
+    # data — silently truncated text without the endstream check.
+    # Width-preserving (zero-padded) so no other byte offset moves and
+    # the STREAM check, not the xref check, is what fires.
+    def len_lie_short():
+        buf = base
+        m = _re.search(rb"/Length (\d+) >>", buf)
+        w = m.end(1) - m.start(1)
+        lie = b"%0*d" % (w, int(m.group(1)) - 4)
+        extract_pdf_text(buf[: m.start(1)] + lie + buf[m.end(1) :])
+
+    check("pdf_stream_length_lie_short", len_lie_short, expect_error=True)
+
+    # 4b. stream /Length lie (long): all-9s at the same width — the
+    # declared extent overruns the data (or lands past `endstream`)
+    def len_lie_long():
+        buf = base
+        m = _re.search(rb"/Length (\d+) >>", buf)
+        lie = b"9" * (m.end(1) - m.start(1))
+        extract_pdf_text(buf[: m.start(1)] + lie + buf[m.end(1) :])
+
+    check("pdf_stream_length_lie_long", len_lie_long, expect_error=True)
+
+    # 5. torn startxref (the quarantine staging's own corruption)
+    check(
+        "pdf_torn_startxref",
+        lambda: extract_pdf_text(base[:-24]),
+        expect_error=True,
+    )
+
+    # 6. healthy control: the base document still round-trips
+    def pdf_control():
+        assert extract_pdf_text(base) == [
+            ["hello world", "line two"], ["page 2"],
+        ]
+
+    check("pdf_healthy_control", pdf_control, expect_error=False)
+
+    # --- WebVTT: hostile-but-valid shapes must PARSE correctly ---
+    def vtt_ws_payload():
+        doc = "WEBVTT\n\n00:00.000 --> 00:01.000\nfirst\n \nlast\n"
+        assert parse_vtt(doc) == [(0, 1000, "first\n \nlast")]
+
+    check("vtt_whitespace_only_payload_line", vtt_ws_payload, False)
+
+    def vtt_crlf_mix():
+        doc = "WEBVTT\r\n\r\n1\r\n00:00:01.000 --> 00:00:02.000\nhi\r\nyo\n"
+        assert parse_vtt(doc) == [(1000, 2000, "hi\nyo")]
+
+    check("vtt_crlf_mixed_terminators", vtt_crlf_mix, False)
+
+    def vtt_hour_optional():
+        doc = "WEBVTT\n\n00:01.000 --> 1:00:02.500\nx\n"
+        assert parse_vtt(doc) == [(1000, 3_602_500, "x")]
+
+    check("vtt_hour_optional_timing", vtt_hour_optional, False)
+
+    def vtt_header_block():
+        doc = (
+            "WEBVTT\nKind: captions\nLanguage: en\n\n"
+            "00:00.000 --> 00:01.000\nhi\n"
+        )
+        assert parse_vtt(doc) == [(0, 1000, "hi")]
+        assert header_meta(doc)["Language"] == "en"
+        assert caption_stats(doc)["covered_ms"] == 1000
+
+    check("vtt_header_metadata_block", vtt_header_block, False)
+
+    check(
+        "vtt_malformed_timing_is_loud",
+        lambda: parse_vtt("WEBVTT\n\n00:00:01000 --> 00:00:02.000\nx\n"),
+        expect_error=True,
+    )
+    check(
+        "vtt_reversed_cue_is_loud",
+        lambda: parse_vtt("WEBVTT\n\n00:02.000 --> 00:01.000\nx\n"),
+        expect_error=True,
+    )
+
+    print(f"TOTAL {time.time() - t00:.0f}s FAILURES: {fails}")
+    return 1 if fails else 0
+
+
 def main() -> int:
+    if "--codecs" in sys.argv[1:]:
+        return codec_mode()
     args = [a for a in sys.argv[1:] if a != "--repeat"]
     do_repeat = "--repeat" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
