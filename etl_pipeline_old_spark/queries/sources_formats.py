@@ -3744,3 +3744,220 @@ def pipeline_video_text_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, lang string, video_codec string, "
         "n_clips int, coverage_permille long, meta_ok int",
     )
+
+
+def _build_videotext_corrupt_shard(pdf, sid: int) -> bytes:
+    """The quarantine staging: every 10th doc's video container is torn
+    at the tail (what a truncated upload loses), every doc_id%10==5
+    caption sidecar has its timing arrow mangled — per-member damage, so
+    one shard carries healthy and broken samples side by side."""
+    import json as _json
+
+    from ..operators.tar import encode_tar
+
+    members: list[tuple[str, bytes]] = []
+    for r in pdf.itertuples():
+        did = int(r.doc_id)
+        key = f"{did:08d}"
+        webm = _render_webm(did, r.text)
+        if did % 10 == 0:
+            webm = webm[:-16]
+        vtt = _render_vtt(did, r.text, lang=r.lang)
+        if did % 10 == 5:
+            vtt = vtt.replace(b" --> ", b" -> ", 1)
+        members.append((f"{key}.webm", webm))
+        members.append((f"{key}.vtt", vtt))
+        members.append(
+            (
+                f"{key}.json",
+                _json.dumps({"doc_id": did}, sort_keys=True).encode("utf-8"),
+            )
+        )
+    return encode_tar(members)
+
+
+@register(
+    "video_text_ingest_quarantine",
+    oracle=f"""
+    WITH {_VT_GATED_SQL},
+    allp AS (
+      -- coverage is computable for audio-only uploads too (they parse
+      -- fine; they just never pass the video gate) — so no codec filter
+      SELECT doc_id, video_codec,
+             least(1000, (covered_ms * 1000) // duration_ms) AS permille
+      FROM v),
+    verdicts AS (
+      SELECT b.doc_id,
+             CASE WHEN b.doc_id % 10 = 0 THEN 'corrupt_video'
+                  WHEN b.doc_id % 10 = 5 THEN 'corrupt_caption'
+                  ELSE 'ok' END AS status
+      FROM b)
+    SELECT vd.doc_id, vd.status,
+           CASE WHEN vd.status = 'ok' THEN allp.permille END
+             AS coverage_permille,
+           CASE WHEN vd.status = 'ok' THEN
+             CASE WHEN allp.video_codec IS NOT NULL
+                       AND allp.permille >= {_VT_GATE_PERMILLE}
+                  THEN 1 ELSE 0 END
+           END AS gated
+    FROM verdicts vd LEFT JOIN allp USING (doc_id)
+    """,
+    doc="Per-record QUARANTINE for the video-text family — the same "
+    "operational gate every staged-media family here carries: every "
+    "10th video container is torn at the tail (what a truncated upload "
+    "loses), every doc_id%10==5 caption sidecar has its timing arrow "
+    "mangled, and the kernel wraps BOTH parsers per sample, routing "
+    "failures to a status column ('corrupt_video'/'corrupt_caption') "
+    "while healthy samples still compute their full coverage gate. The "
+    "oracle checks all three verdicts AND the surviving samples' "
+    "coverage/gate values from the staging formulas — a quarantine "
+    "that also ate a healthy record, or let a torn one through, fails "
+    "the hash. At 100 TB a pairing job cannot abort on one torn "
+    "upload; quarantine rows route to a dead-letter table for "
+    "re-fetch. Same parser definitions as the capstone — the raise "
+    "sites are shared code.",
+)
+def video_text_ingest_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .web_corpus import _stage_shard_files
+
+    path = _stage_shard_files(
+        spark, sf_dir, "videotext_corrupt", _build_videotext_corrupt_shard,
+        suffix="tar",
+    )
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.tar")
+        .load(path)
+        .select("content")
+    )
+
+    def op(batches):
+        import pandas as pd
+
+        from ..operators.ebml import probe_webm
+        from ..operators.tar import iter_tar
+        from ..operators.vtt import caption_stats
+
+        cols = ["doc_id", "status", "coverage_permille", "gated"]
+        for pdf in batches:
+            out = {c: [] for c in cols}
+            for blob in pdf["content"]:
+                samples: dict[str, dict[str, bytes]] = {}
+                for name, data in iter_tar(bytes(blob)):
+                    key, _, ext = name.partition(".")
+                    samples.setdefault(key, {})[ext] = data
+                for key in sorted(samples):
+                    parts = samples[key]
+                    out["doc_id"].append(int(key))
+                    try:
+                        p = probe_webm(bytes(parts["webm"]))
+                    except Exception:  # noqa: BLE001 — ANY failure quarantines
+                        out["status"].append("corrupt_video")
+                        out["coverage_permille"].append(None)
+                        out["gated"].append(None)
+                        continue
+                    try:
+                        covered = caption_stats(
+                            parts["vtt"].decode("utf-8")
+                        )["covered_ms"]
+                    except Exception:  # noqa: BLE001
+                        out["status"].append("corrupt_caption")
+                        out["coverage_permille"].append(None)
+                        out["gated"].append(None)
+                        continue
+                    permille = min(
+                        1000, covered * 1000 // p["duration_ms"]
+                    )
+                    out["status"].append("ok")
+                    out["coverage_permille"].append(permille)
+                    out["gated"].append(
+                        1
+                        if p["n_video"] >= 1
+                        and permille >= _VT_GATE_PERMILLE
+                        else 0
+                    )
+            yield pd.DataFrame(out)
+
+    return bf.mapInPandas(
+        op,
+        schema="doc_id long, status string, coverage_permille long, "
+        "gated int",
+    )
+
+
+@register(
+    "stream_video_text_pairs",
+    oracle=f"""
+    WITH {_VT_GATED_SQL}
+    SELECT lang, video_codec,
+           COUNT(DISTINCT doc_id) AS n_videos,
+           CAST(SUM(n + ov) AS BIGINT) AS n_clips,
+           CAST(SUM((n + ov) * 1500) AS BIGINT) AS clip_ms,
+           CAST(SUM(7 * n + 4 * ov) AS BIGINT) AS caption_chars,
+           CAST(SUM(permille) AS BIGINT) AS sum_coverage_permille
+    FROM gated GROUP BY lang, video_codec
+    """,
+    doc="STREAMING video-text pairing — the Auto-Loader-shaped "
+    "counterpart to pipeline_video_text_pairs: the same WebDataset "
+    "shards are consumed through readStream.format('binaryFile') with "
+    "maxFilesPerTrigger bounding each micro-batch, each batch runs the "
+    "SAME map-side gate kernel (tar walk, EBML probe, VTT coverage, "
+    "permille gate), gated clip rows append to a parquet target "
+    "through the checkpoint, and the accumulated target re-aggregates "
+    "to the capstone's exact per-(lang, codec) stats — the batch "
+    "oracle IS this query's oracle, so the streaming path drifting "
+    "from the batch path by one clip fails the hash. 100 TB shape: a "
+    "continuously-filling video bucket is operated exactly like this — "
+    "checkpointed listing, bounded per-trigger decode, exactly-once "
+    "appends.",
+)
+def stream_video_text_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..session import ensure_session_confs
+    from .web_corpus import _stage_shard_files
+
+    ensure_session_confs(spark)
+    feed = _stage_shard_files(
+        spark, sf_dir, "videotext_shards", _build_videotext_shard,
+        suffix="tar",
+    )
+    base = os.path.join(cache_root(), f"videotext_stream_{_tag(sf_dir)}")
+    target, chk = base + "_target", base + "_chk"
+    for p in (target, chk):
+        shutil.rmtree(p, ignore_errors=True)
+
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARYFILE_SCHEMA)
+        .option("pathGlobFilter", "*.tar")
+        .option("maxFilesPerTrigger", 4)
+        .load(feed)
+        .select("content")
+    )
+
+    def ingest(batch_df: DataFrame, _batch_id: int) -> None:
+        _videotext_clip_frame(batch_df).write.mode("append").parquet(target)
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    clips = spark.read.parquet(target)
+    return clips.groupBy("lang", "video_codec").agg(
+        F.countDistinct("doc_id").alias("n_videos"),
+        F.count("*").cast("long").alias("n_clips"),
+        F.sum(F.col("end_ms") - F.col("start_ms")).alias("clip_ms"),
+        F.sum("n_chars").alias("caption_chars"),
+        F.sum(
+            F.when(F.col("clip_id") == 0, F.col("coverage_permille"))
+            .otherwise(0)
+        ).alias("sum_coverage_permille"),
+    )

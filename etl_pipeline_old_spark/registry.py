@@ -260,6 +260,10 @@ _CORE_FIRST = (
     # persisted-tokenizer artifact roundtrip (train once, apply many)
     "corpus_bpe_apply_bytes",
     "corpus_bpe_artifact_roundtrip",
+    # round-10 (cont.): the video-text family's operational pair —
+    # per-record quarantine and the streaming counterpart
+    "video_text_ingest_quarantine",
+    "stream_video_text_pairs",
 )
 
 

@@ -47,3 +47,47 @@ def test_gate_semantics(spark, sf_dir):
     )
     # audio-only mode (doc_id % 3 == 2) is gated out entirely
     assert all(r.doc_id % 3 != 2 for r in rows)
+
+
+def test_quarantine_verdicts(spark, sf_dir):
+    """Torn videos and mangled captions quarantine per-record; healthy
+    samples still gate. The corruption schedule is the staging formula."""
+    from etl_pipeline_old_spark.queries.sources_formats import (
+        video_text_ingest_quarantine,
+    )
+
+    rows = video_text_ingest_quarantine(spark, sf_dir).collect()
+    by_id = {r.doc_id: r for r in rows}
+    assert len(rows) == len(by_id)
+    for did, r in by_id.items():
+        if did % 10 == 0:
+            assert r.status == "corrupt_video" and r.coverage_permille is None
+        elif did % 10 == 5:
+            assert r.status == "corrupt_caption" and r.gated is None
+        else:
+            assert r.status == "ok" and r.coverage_permille is not None
+            # audio-only uploads parse fine but never pass the video gate
+            if did % 3 == 2:
+                assert r.gated == 0
+    assert {r.status for r in rows} == {
+        "ok", "corrupt_video", "corrupt_caption",
+    }
+
+
+def test_stream_equals_batch_capstone(spark, sf_dir):
+    """The streaming path must reproduce the batch capstone's stats
+    exactly — one clip of drift fails."""
+    from etl_pipeline_old_spark.queries.sources_formats import (
+        pipeline_video_text_pairs,
+        stream_video_text_pairs,
+    )
+
+    batch = {
+        (r.lang, r.video_codec): r.asDict()
+        for r in pipeline_video_text_pairs(spark, sf_dir).collect()
+    }
+    streamed = {
+        (r.lang, r.video_codec): r.asDict()
+        for r in stream_video_text_pairs(spark, sf_dir).collect()
+    }
+    assert streamed == batch

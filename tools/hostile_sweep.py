@@ -120,6 +120,14 @@ REPEAT_QUERIES = (
     "pdf_ingest_quarantine",
     "stream_pdf_ingest",
     "pipeline_document_corpus_incremental",
+    # r10: the video-text family — staged WebDataset shards (capstone,
+    # export out_dir, corrupt staging, stream target+chk) and the BPE
+    # merge-table artifact writer
+    "pipeline_video_text_pairs",
+    "pipeline_video_text_export",
+    "video_text_ingest_quarantine",
+    "stream_video_text_pairs",
+    "corpus_bpe_artifact_roundtrip",
 )
 
 
