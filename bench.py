@@ -142,6 +142,11 @@ HEADLINE = [
     # Tracks the document-ingest path (object/xref parse + inflate
     # throughput) round-over-round.
     "pipeline_document_corpus",
+    # r10: the video-text sentinel — WebDataset tar shards, EBML probe +
+    # VTT coverage + permille gate in ONE map-side Arrow kernel, clip
+    # rows into the final per-(lang, codec) aggregate; nothing joins,
+    # nothing broadcasts. Tracks the container+caption pairing path.
+    "pipeline_video_text_pairs",
 ]
 
 
