@@ -327,8 +327,10 @@ def main() -> None:
     }
     line = json.dumps(doc, separators=(",", ":"))
     # tiered shrink: the timings dict is the contract — metadata yields
-    # first (components, then load context) if the cap is threatened
-    for drop in ("components", "loadavg_start", "loadavg", "uptime_s"):
+    # first if the cap is threatened. loadavg_start yields LAST: it is
+    # the one value the round-over-round load model (BENCH_WATCH.md
+    # adjudications) cannot reconstruct after the fact.
+    for drop in ("components", "uptime_s", "loadavg", "loadavg_start"):
         if len(line) <= 1950:
             break
         print(f"bench line over tail cap; {drop} -> stderr only", file=sys.stderr)
