@@ -3961,3 +3961,79 @@ def stream_video_text_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(0)
         ).alias("sum_coverage_permille"),
     )
+
+
+@register(
+    "pipeline_video_text_pairs_incremental",
+    oracle=f"""
+    WITH {_VT_GATED_SQL}
+    SELECT lang, video_codec,
+           COUNT(DISTINCT doc_id) AS n_videos,
+           CAST(SUM(n + ov) AS BIGINT) AS n_clips,
+           CAST(SUM((n + ov) * 1500) AS BIGINT) AS clip_ms,
+           CAST(SUM(7 * n + 4 * ov) AS BIGINT) AS caption_chars,
+           CAST(SUM(permille) AS BIGINT) AS sum_coverage_permille
+    FROM gated GROUP BY lang, video_codec
+    """,
+    doc="Incremental refresh of the video-text pair corpus — base+delta "
+    "at the SHARD level, with a twist the image family's incremental "
+    "does not need: the delta deliberately RE-DELIVERS one base shard "
+    "(the at-least-once delivery shape every object-store listing "
+    "eventually produces), so the merge must be re-scan idempotent. "
+    "Each side reduces independently to its doc-grain partial (doc_id, "
+    "lang, codec, n_clips, clip_ms, chars, permille — gated clip "
+    "metadata, pool-bounded, payload bytes never leave the side's "
+    "scan); the merge unions the partials, collapses the re-delivered "
+    "duplicates by doc-grain distinct (partial rows for a re-scanned "
+    "doc are IDENTICAL, so distinct is exact — no last-writer "
+    "tiebreak needed), and re-aggregates. The oracle is the capstone's "
+    "full-recompute oracle, so merge == recompute is value-checked "
+    "exactly; a double-counted re-delivered shard fails the hash. "
+    "100 TB shape: only the delta's shards are scanned and probed at "
+    "refresh time; merge cost is bounded by the gated clip metadata, "
+    "not the crawl.",
+)
+def pipeline_video_text_pairs_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .web_corpus import _stage_shard_files
+
+    feed = _stage_shard_files(
+        spark, sf_dir, "videotext_shards", _build_videotext_shard,
+        suffix="tar",
+    )
+    files = sorted(f for f in os.listdir(feed) if f.endswith(".tar"))
+    base = [
+        os.path.join(feed, f)
+        for i, f in enumerate(files)
+        if i % 5 != 4
+    ]
+    delta = [
+        os.path.join(feed, f)
+        for i, f in enumerate(files)
+        if i % 5 == 4
+    ] + base[:1]  # at-least-once: one base shard re-delivered
+
+    def partial(paths: list) -> DataFrame:
+        bf = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.tar")
+            .load(paths)
+            .select("content")
+        )
+        clips = _videotext_clip_frame(bf)
+        return clips.groupBy("doc_id", "lang", "video_codec").agg(
+            F.count("*").alias("n_clips"),
+            F.sum(F.col("end_ms") - F.col("start_ms")).alias("clip_ms"),
+            F.sum("n_chars").alias("chars"),
+            F.max("coverage_permille").alias("permille"),
+        )
+
+    merged = partial(base).unionByName(partial(delta)).distinct()
+    return merged.groupBy("lang", "video_codec").agg(
+        F.countDistinct("doc_id").alias("n_videos"),
+        F.sum("n_clips").cast("long").alias("n_clips"),
+        F.sum("clip_ms").alias("clip_ms"),
+        F.sum("chars").alias("caption_chars"),
+        F.sum("permille").alias("sum_coverage_permille"),
+    )

@@ -264,6 +264,9 @@ _CORE_FIRST = (
     # per-record quarantine and the streaming counterpart
     "video_text_ingest_quarantine",
     "stream_video_text_pairs",
+    # round-10 (cont.): base+delta merge == recompute with a deliberately
+    # re-delivered shard (at-least-once tolerance)
+    "pipeline_video_text_pairs_incremental",
 )
 
 

@@ -91,3 +91,22 @@ def test_stream_equals_batch_capstone(spark, sf_dir):
         for r in stream_video_text_pairs(spark, sf_dir).collect()
     }
     assert streamed == batch
+
+
+def test_incremental_merge_equals_recompute(spark, sf_dir):
+    """Base+delta (with one base shard deliberately re-delivered) must
+    reproduce the capstone exactly — the at-least-once listing shape."""
+    from etl_pipeline_old_spark.queries.sources_formats import (
+        pipeline_video_text_pairs,
+        pipeline_video_text_pairs_incremental,
+    )
+
+    full = {
+        (r.lang, r.video_codec): r.asDict()
+        for r in pipeline_video_text_pairs(spark, sf_dir).collect()
+    }
+    inc = {
+        (r.lang, r.video_codec): r.asDict()
+        for r in pipeline_video_text_pairs_incremental(spark, sf_dir).collect()
+    }
+    assert inc == full

@@ -127,6 +127,7 @@ REPEAT_QUERIES = (
     "pipeline_video_text_export",
     "video_text_ingest_quarantine",
     "stream_video_text_pairs",
+    "pipeline_video_text_pairs_incremental",
     "corpus_bpe_artifact_roundtrip",
 )
 
