@@ -97,3 +97,48 @@ def test_vtt_roundtrip(cues):
     # emits one payload line, so strip newlines from the generated text
     norm = [(s, s + d, t.replace("\n", " ").replace("\r", " ")) for s, d, t in cues]
     assert parse_vtt(write_vtt(norm)) == norm
+
+
+# a payload LINE may be anything without a line terminator, including
+# whitespace-only (the r9 fix) — only a truly EMPTY line ends the cue
+_payload_line = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="\n\r"),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(**_SMALL)
+@given(
+    cues=st.lists(
+        st.tuples(
+            st.integers(0, 10**7),
+            st.integers(1, 10**5),
+            st.lists(_payload_line, min_size=1, max_size=3),
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    meta=st.dictionaries(
+        st.text(alphabet="ABCDEFKLMNabcdefklmn", min_size=1, max_size=8),
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs",), blacklist_characters="\n\r"
+            ),
+            max_size=20,
+        ).map(str.strip),
+        max_size=3,
+    ),
+)
+@example(cues=[(0, 1, [" ", "x", "\t"])], meta={"Language": "en"})
+def test_vtt_multiline_and_header_roundtrip(cues, meta):
+    """Multi-line payloads (incl. whitespace-only interior lines) and
+    header metadata both survive a write->parse round-trip."""
+    from etl_pipeline_old_spark.operators.vtt import header_meta
+
+    norm = [(s, s + d, "\n".join(lines)) for s, d, lines in cues]
+    doc = write_vtt(norm, meta or None)
+    assert parse_vtt(doc) == norm
+    got = header_meta(doc)
+    for k, v in meta.items():
+        assert got[k.strip()] == v
