@@ -4037,3 +4037,77 @@ def pipeline_video_text_pairs_incremental(
         F.sum("chars").alias("caption_chars"),
         F.sum("permille").alias("sum_coverage_permille"),
     )
+
+
+_VAD_ENERGY_TH = 260_000  # ~median L1 frame energy of the md5 signal
+
+
+@register(
+    "multimodal_audio_segments",
+    oracle=f"""
+    WITH smp AS (
+      SELECT doc_id, [{", ".join(_wav_sample_sql(j) for j in range(_WAV_N))}] AS s
+      FROM documents),
+    frames AS (
+      SELECT doc_id, f.frame_id,
+             s[f.frame_id * {_FRAME} + 1 : (f.frame_id + 1) * {_FRAME}] AS fs
+      FROM smp, (SELECT unnest(range({_WAV_N // _FRAME})) AS frame_id) f),
+    feat AS (
+      SELECT doc_id, frame_id,
+             list_sum(list_transform(fs, x -> abs(x)))::BIGINT AS energy
+      FROM frames),
+    active AS (
+      SELECT doc_id, frame_id, energy,
+             frame_id - row_number() OVER (
+               PARTITION BY doc_id ORDER BY frame_id) AS isl
+      FROM feat WHERE energy >= {_VAD_ENERGY_TH}),
+    seg AS (
+      SELECT doc_id,
+             min(frame_id) AS start_frame, max(frame_id) AS end_frame,
+             count(*) AS n_frames, sum(energy) AS seg_energy
+      FROM active GROUP BY doc_id, isl)
+    SELECT doc_id,
+           (row_number() OVER (
+              PARTITION BY doc_id ORDER BY start_frame) - 1)::INT AS seg_id,
+           start_frame::INT AS start_frame, end_frame::INT AS end_frame,
+           n_frames::INT AS n_frames, seg_energy::BIGINT AS seg_energy
+    FROM seg
+    """,
+    doc="Energy-threshold audio SEGMENTATION — the VAD shape that turns "
+    "long recordings into utterance segments for ASR corpora (the step "
+    "between multimodal_audio_features' frame table and a speech "
+    "dataset's clip list): frames whose L1 energy clears the threshold "
+    "are 'active', and consecutive active frames merge into segments "
+    "via the classic gaps-and-islands window (island id = frame_id - "
+    "row_number), emitting per-segment bounds, length, and energy. The "
+    "frame features come from the SAME Arrow kernel as "
+    "multimodal_audio_features (real WAV decode, frame explosion "
+    "inside the batch); the segmentation itself is a pure window over "
+    "the compact feature rows — which is exactly where it belongs at "
+    "100 TB: windows shuffle doc-keyed integer features, never "
+    "samples. The oracle recomputes frames, threshold, islands, and "
+    "bounds from the md5 sample formulas.",
+)
+def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    feat = multimodal_audio_features(spark, sf_dir)
+    w = W.partitionBy("doc_id").orderBy("frame_id")
+    active = feat.where(F.col("energy") >= _VAD_ENERGY_TH).withColumn(
+        "isl", F.col("frame_id") - F.row_number().over(w)
+    )
+    seg = active.groupBy("doc_id", "isl").agg(
+        F.min("frame_id").alias("start_frame"),
+        F.max("frame_id").alias("end_frame"),
+        F.count("*").cast("int").alias("n_frames"),
+        F.sum("energy").alias("seg_energy"),
+    )
+    ws = W.partitionBy("doc_id").orderBy("start_frame")
+    return seg.select(
+        "doc_id",
+        (F.row_number().over(ws) - 1).cast("int").alias("seg_id"),
+        "start_frame",
+        "end_frame",
+        "n_frames",
+        "seg_energy",
+    )

@@ -267,6 +267,9 @@ _CORE_FIRST = (
     # round-10 (cont.): base+delta merge == recompute with a deliberately
     # re-delivered shard (at-least-once tolerance)
     "pipeline_video_text_pairs_incremental",
+    # round-10 (cont.): VAD-shape energy segmentation over real decoded
+    # audio — gaps-and-islands over the frame-feature table
+    "multimodal_audio_segments",
 )
 
 

@@ -198,3 +198,40 @@ def test_prune_manifest_single_shuffle(spark, oracle_sf_dir):
     plan = layout_minmax_prune(spark, oracle_sf_dir)._jdf.queryExecution().executedPlan().toString()
     # one union of two projections of the same scan, one aggregate exchange
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_audio_segments_islands(spark, sf_dir):
+    """Segments are maximal runs of threshold-clearing frames: within a
+    doc they are disjoint, ordered, and separated by at least one
+    inactive frame; bounds and counts agree."""
+    from etl_pipeline_old_spark.queries.sources_formats import (
+        _VAD_ENERGY_TH,
+        multimodal_audio_features,
+        multimodal_audio_segments,
+    )
+
+    feat = {
+        (r.doc_id, r.frame_id): r.energy
+        for r in multimodal_audio_features(spark, sf_dir).collect()
+    }
+    segs: dict[int, list] = {}
+    for r in multimodal_audio_segments(spark, sf_dir).collect():
+        segs.setdefault(r.doc_id, []).append(r)
+    assert segs
+    for doc_id, rows in segs.items():
+        rows.sort(key=lambda r: r.seg_id)
+        prev_end = -2
+        for i, r in enumerate(rows):
+            assert r.seg_id == i
+            assert r.n_frames == r.end_frame - r.start_frame + 1
+            assert r.start_frame > prev_end + 1  # gap between segments
+            prev_end = r.end_frame
+            for f in range(r.start_frame, r.end_frame + 1):
+                assert feat[(doc_id, f)] >= _VAD_ENERGY_TH
+            # maximality: the frames flanking the segment are inactive
+            for f in (r.start_frame - 1, r.end_frame + 1):
+                if (doc_id, f) in feat:
+                    ok = feat[(doc_id, f)] < _VAD_ENERGY_TH
+                    # flanking frame may start the NEXT segment only if
+                    # it is beyond this one (prevented by the gap check)
+                    assert ok

@@ -128,6 +128,7 @@ REPEAT_QUERIES = (
     "video_text_ingest_quarantine",
     "stream_video_text_pairs",
     "pipeline_video_text_pairs_incremental",
+    "multimodal_audio_segments",
     "corpus_bpe_artifact_roundtrip",
 )
 
