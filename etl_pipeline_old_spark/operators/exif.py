@@ -270,10 +270,26 @@ def strip_gps(jpeg: bytes) -> bytes:
     if seg is None:
         return jpeg
     order, ifds = parse_exif_chain(jpeg)
-    kept = [
-        [en for en in entries if en.tag != TAG_GPS_IFD] for entries in ifds
-    ]
-    if sum(map(len, kept)) == sum(map(len, ifds)):
+
+    dropped = 0
+
+    def _drop_gps(entries: list) -> list:
+        # recursive: a GPS pointer nested inside a sub-IFD (nonstandard,
+        # but hostile files exist) must not survive either
+        nonlocal dropped
+        out = []
+        for en in entries:
+            if en.tag == TAG_GPS_IFD:
+                dropped += 1
+                continue
+            if en.sub is not None:
+                en = Entry(en.tag, en.type, en.count, en.value,
+                           _drop_gps(en.sub), en.blob)
+            out.append(en)
+        return out
+
+    kept = [_drop_gps(entries) for entries in ifds]
+    if dropped == 0:
         return jpeg
     for en in _walk_entries(kept):
         if en.tag == TAG_MAKERNOTE:

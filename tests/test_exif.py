@@ -188,3 +188,37 @@ def test_serialize_orders_tags():
     _, back = parse_exif(app1)
     tags = [e.tag for e in back]
     assert tags == sorted(tags)
+
+
+def test_nested_gps_pointer_is_scrubbed_too():
+    # nonstandard-but-hostile: a GPS sub-IFD nested INSIDE the Exif IFD
+    # must not survive the scrub either
+    gps = [_ascii_entry("N")]
+    exif_sub = [
+        Entry(0x9000, 7, 4, b"0232"),
+        Entry(TAG_GPS_IFD, 4, 1, b"\x00" * 4, gps),
+    ]
+    ifd0 = [
+        Entry(0x010F, 2, 6, b"CamCo\x00"),
+        Entry(TAG_GPS_IFD, 4, 1, b"\x00" * 4, [_ascii_entry("E")]),
+        Entry(TAG_EXIF_IFD, 4, 1, b"\x00" * 4, exif_sub),
+    ]
+    app1 = serialize_exif_app1("II", ifd0)
+    jpg = insert_app1(encode_jpeg(list(range(64)), 8, 8), app1)
+    clean = strip_gps(jpg)
+    _, ifds = parse_exif_chain(clean)
+
+    def walk(entries):
+        for en in entries:
+            yield en
+            if en.sub is not None:
+                yield from walk(en.sub)
+
+    tags = [en.tag for ifd in ifds for en in walk(ifd)]
+    assert TAG_GPS_IFD not in tags
+    assert TAG_EXIF_IFD in tags  # the Exif sub-IFD itself survives
+
+
+def _ascii_entry(s):
+    raw = s.encode("ascii") + b"\x00"
+    return Entry(0x0001, 2, len(raw), raw)
