@@ -4111,3 +4111,148 @@ def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_frames",
         "seg_energy",
     )
+
+
+# ---------------------------------- video near-dedup (temporal banding)
+
+_VND_TWIN_MOD = 5  # doc_id % 5 == 0 clips ship a perturbed twin
+_VND_MIN_MATCH = 3  # frames (of 4) that must match exactly
+
+
+def _render_y4m_twin(doc_id: int, text: str) -> bytes:
+    """The near-duplicate twin: same clip, but frame 2's first luma
+    pixel nudged (+7 mod 256) — different bytes, different hash on ONE
+    frame, identical on the other three. The re-encode/cropped-logo
+    shape video dedup actually hunts."""
+    from ..operators.multimodal import encode_y4m, md5_pixels
+
+    frames = [md5_pixels(f"f{k}:" + text, 64) for k in range(_Y4M_FRAMES)]
+    frames[2] = [(frames[2][0] + 7) % 256, *frames[2][1:]]
+    return encode_y4m(
+        frames, 8, 8, colorspace="mono" if doc_id % 2 == 0 else "420"
+    )
+
+
+def _stage_y4m_neardup(spark: SparkSession, sf_dir: str) -> str:
+    """Every doc ships {doc_id}a.y4m; every _VND_TWIN_MOD-th also ships
+    the perturbed twin {doc_id}b.y4m."""
+    path = os.path.join(cache_root(), f"y4m_neardup_{_tag(sf_dir)}")
+    marker = os.path.join(path, "_STAGED")
+    if not os.path.exists(marker):
+        os.makedirs(path, exist_ok=True)
+        d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+        def write_part(rows):
+            for r in rows:
+                with open(os.path.join(path, f"{r.doc_id}a.y4m"), "wb") as fh:
+                    fh.write(_render_y4m(r.doc_id, r.text))
+                if r.doc_id % _VND_TWIN_MOD == 0:
+                    with open(
+                        os.path.join(path, f"{r.doc_id}b.y4m"), "wb"
+                    ) as fh:
+                        fh.write(_render_y4m_twin(r.doc_id, r.text))
+
+        d.foreachPartition(write_part)
+        open(marker, "w").close()
+    return path
+
+
+def _vnd_frame_arm_sql(f: int) -> str:
+    cells = []
+    for j in range(64):
+        px = _y4m_pixel_sql(f, j)
+        if f == 2 and j == 0:
+            px = f"CASE WHEN twin = 1 THEN ({px} + 7) % 256 ELSE {px} END"
+        cells.append(px)
+    return (
+        f"SELECT clip, {f} AS frame_id, "
+        f"md5(array_to_string([{', '.join(cells)}], ',')) AS fh FROM clips"
+    )
+
+
+@register(
+    "video_temporal_near_dedup",
+    oracle=f"""
+    WITH clips AS (
+      SELECT doc_id::VARCHAR || 'a' AS clip, text, 0 AS twin FROM documents
+      UNION ALL
+      SELECT doc_id::VARCHAR || 'b', text, 1 FROM documents
+      WHERE doc_id % {_VND_TWIN_MOD} = 0),
+    fh AS (
+      {" UNION ALL ".join(_vnd_frame_arm_sql(f) for f in range(_Y4M_FRAMES))}),
+    pairs AS (
+      SELECT x.clip AS clip_a, y.clip AS clip_b,
+             count(*) AS n_matching_frames
+      FROM fh x JOIN fh y
+        ON x.frame_id = y.frame_id AND x.fh = y.fh AND x.clip < y.clip
+      GROUP BY x.clip, y.clip)
+    SELECT clip_a, clip_b, n_matching_frames::INT AS n_matching_frames
+    FROM pairs WHERE n_matching_frames >= {_VND_MIN_MATCH}
+    """,
+    doc="VIDEO near-duplicate detection by TEMPORAL fingerprint banding "
+    "— the video leg of the dedup family, over clips with REAL decoded "
+    "pixels (YUV4MPEG2, both plane layouts): every clip decodes "
+    "through the genuine Y4M parser and each frame's luma raster "
+    "fingerprints to an md5 over its canonical pixel string; the band "
+    "key is (frame position, frame hash), so candidate pairs come from "
+    "an equi self-join on the banded fingerprints — never all-pairs — "
+    f"and pairs matching on >= {_VND_MIN_MATCH} of {_Y4M_FRAMES} "
+    "frames survive. The staged corpus plants perturbed twins (every "
+    f"{_VND_TWIN_MOD}th clip ships a copy whose frame 2 has ONE luma "
+    "pixel nudged — different bytes, 3/4 matching frames: the "
+    "re-encode/logo-overlay shape video dedup hunts), and "
+    "identical-text documents surface as exact 4/4 clones — BOTH "
+    "classes recomputed entirely by the oracle from the md5 staging "
+    "formulas including the perturbation. 100 TB shape: fingerprints "
+    "are 4 rows of (string, int, hash) per clip — the shuffle carries "
+    "fingerprints, never frames; banding by frame position keeps "
+    "buckets content-addressed exactly like the image aHash and "
+    "MinHash band indexes.",
+)
+def video_temporal_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_y4m_neardup(spark, sf_dir)
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.y4m")
+        .load(path)
+        .select("path", "content")
+    )
+
+    def op(batches):
+        import hashlib
+        import re
+
+        import pandas as pd
+
+        from ..operators.multimodal import decode_video_real
+
+        for pdf in batches:
+            out = {"clip": [], "frame_id": [], "fh": []}
+            for p, content in zip(pdf["path"], pdf["content"]):
+                clip = re.search(r"(\d+[ab])\.y4m$", p).group(1)
+                _w, _h, frames = decode_video_real(bytes(content))
+                for f, fr in enumerate(frames):
+                    out["clip"].append(clip)
+                    out["frame_id"].append(f)
+                    out["fh"].append(
+                        hashlib.md5(
+                            ",".join(map(str, fr)).encode("ascii")
+                        ).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    fh = bf.mapInPandas(op, schema="clip string, frame_id int, fh string")
+    a, b = fh.alias("a"), fh.alias("b")
+    return (
+        a.join(
+            b.hint("merge"),
+            (F.col("a.frame_id") == F.col("b.frame_id"))
+            & (F.col("a.fh") == F.col("b.fh"))
+            & (F.col("a.clip") < F.col("b.clip")),
+        )
+        .groupBy(
+            F.col("a.clip").alias("clip_a"), F.col("b.clip").alias("clip_b")
+        )
+        .agg(F.count("*").cast("int").alias("n_matching_frames"))
+        .where(F.col("n_matching_frames") >= _VND_MIN_MATCH)
+    )

@@ -270,6 +270,8 @@ _CORE_FIRST = (
     # round-10 (cont.): VAD-shape energy segmentation over real decoded
     # audio — gaps-and-islands over the frame-feature table
     "multimodal_audio_segments",
+    # round-10 (cont.): video near-dedup by temporal fingerprint banding
+    "video_temporal_near_dedup",
 )
 
 

@@ -110,3 +110,28 @@ def test_incremental_merge_equals_recompute(spark, sf_dir):
         for r in pipeline_video_text_pairs_incremental(spark, sf_dir).collect()
     }
     assert inc == full
+
+
+def test_temporal_near_dedup_finds_every_twin(spark, sf_dir):
+    """Banding completeness: every staged perturbed twin surfaces as a
+    3-of-4-frame pair; no pair below the threshold leaks through."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_old_spark.queries.sources_formats import (
+        _VND_TWIN_MOD,
+        video_temporal_near_dedup,
+    )
+
+    rows = video_temporal_near_dedup(spark, sf_dir).collect()
+    pairs = {(r.clip_a, r.clip_b): r.n_matching_frames for r in rows}
+    doc_ids = [
+        r.doc_id
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    for d in doc_ids:
+        if d % _VND_TWIN_MOD == 0:
+            key = tuple(sorted((f"{d}a", f"{d}b")))
+            assert pairs.get(key) == 3, f"twin pair missing for doc {d}"
+    assert all(n >= 3 for n in pairs.values())

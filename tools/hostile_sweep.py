@@ -129,6 +129,7 @@ REPEAT_QUERIES = (
     "stream_video_text_pairs",
     "pipeline_video_text_pairs_incremental",
     "multimodal_audio_segments",
+    "video_temporal_near_dedup",
     "corpus_bpe_artifact_roundtrip",
 )
 
