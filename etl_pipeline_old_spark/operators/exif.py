@@ -64,8 +64,17 @@ class Entry:
         )
 
 
-def _parse_ifd(data: bytes, off: int, e: str) -> tuple[list, int]:
-    """Parse one IFD; returns ``(entries, next_ifd_offset)``."""
+def _parse_ifd(data: bytes, off: int, e: str, _seen=None) -> tuple[list, int]:
+    """Parse one IFD; returns ``(entries, next_ifd_offset)``.  ``_seen``
+    threads visited sub-IFD offsets through the pointer-tag recursion so a
+    hostile Exif/GPS/Interop pointer that references its own (or an
+    ancestor's) IFD offset raises ``ValueError`` instead of
+    ``RecursionError``, mirroring the next-IFD chain-cycle guard."""
+    if _seen is None:
+        _seen = set()
+    if off in _seen:
+        raise ValueError("exif: sub-IFD pointer cycle")
+    _seen.add(off)
     if off + 2 > len(data):
         raise ValueError("exif: IFD runs past end")
     (n,) = struct.unpack_from(f"{e}H", data, off)
@@ -86,7 +95,7 @@ def _parse_ifd(data: bytes, off: int, e: str) -> tuple[list, int]:
         sub = None
         if tag in _POINTER_TAGS:
             (ptr,) = struct.unpack(f"{e}I", raw)
-            sub, _ = _parse_ifd(data, ptr, e)
+            sub, _ = _parse_ifd(data, ptr, e, _seen)
         entries.append(Entry(tag, typ, cnt, raw, sub))
     (next_off,) = struct.unpack_from(f"{e}I", data, off + 2 + 12 * n)
     # JPEG thumbnail: 0x0201 is an absolute offset to compressed bytes

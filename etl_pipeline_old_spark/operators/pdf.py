@@ -122,6 +122,10 @@ class _Ref:
 _TOKEN = re.compile(
     rb"/[^\s/<>\[\]()]*|<<|>>|\[|\]|[-+]?\d+\.?\d*|\btrue\b|\bfalse\b|\bnull\b|\bR\b|\bobj\b|\bendobj\b|\bstream\b"
 )
+# pos-anchored keyword probes: used with .match(buf, pos) so hot-path stream
+# boundary checks never slice (copy) the tail of the file
+_STREAM_KW = re.compile(rb"\s{0,64}stream(\r\n|\n)")
+_ENDSTREAM_KW = re.compile(rb"\s{0,64}endstream\b")
 
 
 def _parse_object(buf: bytes, pos: int):
@@ -286,9 +290,9 @@ class _Doc:
             raise ValueError(f"pdf: xref offset for object {num} is wrong")
         val, end = _parse_object(self.buf, pos + m.end())
         if isinstance(val, dict):
-            m2 = re.match(rb"\s*stream(\r\n|\n)", self.buf[end:])
+            m2 = _STREAM_KW.match(self.buf, end)
             if m2:
-                d0 = end + m2.end()
+                d0 = m2.end()
                 length = self.resolve(val.get("Length"))
                 if not isinstance(length, int):
                     raise ValueError("pdf: stream without integer /Length")
@@ -297,8 +301,10 @@ class _Doc:
                     raise ValueError("pdf: stream truncated")
                 # a LYING short /Length silently truncates an uncompressed
                 # content stream — demand `endstream` right after the
-                # declared extent (whitespace allowed, per spec)
-                if not re.match(rb"\s*endstream\b", self.buf[d0 + length :]):
+                # declared extent (whitespace allowed, per spec).  Match
+                # in place (pos-anchored, bounded whitespace run) so this
+                # never copies the remainder of the file per stream.
+                if not _ENDSTREAM_KW.match(self.buf, d0 + length):
                     raise ValueError("pdf: stream /Length mismatch")
                 val["__stream__"] = raw
         return val

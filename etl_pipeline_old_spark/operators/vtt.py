@@ -70,9 +70,13 @@ def parse_vtt(doc: str) -> list:
         raise ValueError("vtt: missing WEBVTT signature")
     n = len(lines)
     # Header block: everything after the signature line up to the first
-    # blank line is metadata (per spec, collected and discarded).
+    # blank line is metadata (per spec, collected and discarded).  Per the
+    # W3C algorithm, header collection also ends when a line contains
+    # '-->' — that line IS the first cue's timing line (files with no
+    # blank line between signature and first cue are valid), so leave it
+    # for the cue loop.
     i = 1
-    while i < n and lines[i] != "":
+    while i < n and lines[i] != "" and "-->" not in lines[i]:
         i += 1
     cues = []
     while i < n:
@@ -113,7 +117,9 @@ def header_meta(doc: str) -> dict:
         raise ValueError("vtt: missing WEBVTT signature")
     meta = {}
     for ln in lines[1:]:
-        if ln == "":
+        if ln == "" or "-->" in ln:
+            # a timing line ends the header block (it is never metadata),
+            # mirroring parse_vtt's W3C header-collection rule
             break
         key, sep, val = ln.partition(":")
         if sep:

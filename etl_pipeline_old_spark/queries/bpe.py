@@ -49,10 +49,16 @@ def _toks():
 def _char_wrapped(col: str = "word"):
     """The char-level starting state of a word: every character wrapped,
     '|h||i|' for 'hi'."""
-    chars = F.transform(
-        F.sequence(F.lit(1), F.length(col)),
-        lambda i: F.col(col).substr(i, F.lit(1)),
-    )
+    # guard the empty word: Spark's sequence(1, 0) auto-descends to [1, 0]
+    # (two bogus chunks) while the oracle's range(1, 1) is empty — force
+    # the empty array so both engines agree on '||'
+    chars = F.when(
+        F.length(col) > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.length(col)),
+            lambda i: F.col(col).substr(i, F.lit(1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return F.concat(F.lit("|"), F.array_join(chars, "||"), F.lit("|"))
 
 
@@ -98,9 +104,9 @@ def _bpe_oracle(k: int = _K_MERGES) -> str:
       GROUP BY w),
     v0 AS MATERIALIZED (
       SELECT word, cnt,
-             '|' || array_to_string(
+             '|' || coalesce(array_to_string(
                list_transform(range(1, length(word) + 1),
-                              i -> substr(word, i, 1)), '||') || '|' AS st
+                              i -> substr(word, i, 1)), '||'), '') || '|' AS st
       FROM wc)"""
     ]
     for r in range(1, k + 1):
@@ -346,9 +352,9 @@ def _bpe_oov_oracle(k: int = _K_MERGES) -> str:
       GROUP BY w),
     v0 AS MATERIALIZED (
       SELECT word, cnt,
-             '|' || array_to_string(
+             '|' || coalesce(array_to_string(
                list_transform(range(1, length(word) + 1),
-                              i -> substr(word, i, 1)), '||') || '|' AS st
+                              i -> substr(word, i, 1)), '||'), '') || '|' AS st
       FROM wc)"""
     ]
     for r in range(1, k + 1):
@@ -377,9 +383,9 @@ def _bpe_oov_oracle(k: int = _K_MERGES) -> str:
       SELECT dw.word, dw.cnt, v.st FROM dw JOIN v{k} v USING (word)),
     o0 AS MATERIALIZED (
       SELECT dw.word, dw.cnt,
-             '|' || array_to_string(
+             '|' || coalesce(array_to_string(
                list_transform(range(1, length(dw.word) + 1),
-                              i -> substr(dw.word, i, 1)), '||') || '|' AS st
+                              i -> substr(dw.word, i, 1)), '||'), '') || '|' AS st
       FROM dw ANTI JOIN v{k} v USING (word))""")
     for r in range(1, k + 1):
         parts.append(f"""o{r} AS (
@@ -488,9 +494,9 @@ def _pretrain_oracle(k: int = _K_MERGES) -> str:
       GROUP BY w),
     v0 AS MATERIALIZED (
       SELECT word, cnt,
-             '|' || array_to_string(
+             '|' || coalesce(array_to_string(
                list_transform(range(1, length(word) + 1),
-                              i -> substr(word, i, 1)), '||') || '|' AS st
+                              i -> substr(word, i, 1)), '||'), '') || '|' AS st
       FROM wc)"""
     ]
     for r in range(1, k + 1):
@@ -670,19 +676,26 @@ def _byte_wrapped(col: str = "word"):
     2-hex-char base tokens, '|61||D1||89|' for 'aщ'."""
     h = F.hex(F.encode(F.col(col), "UTF-8"))
     n = (F.length(h) / F.lit(2)).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(1), n), lambda i: h.substr(i * 2 - 1, F.lit(2))
-    )
+    # empty-word guard, mirroring _char_wrapped: sequence(1, 0) would
+    # yield [1, 0] where the oracle's range(1, 1) is empty
+    chunks = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(1), n), lambda i: h.substr(i * 2 - 1, F.lit(2))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return F.concat(F.lit("|"), F.array_join(chunks, "||"), F.lit("|"))
 
 
 def _bw_sql(w: str) -> str:
     """The DuckDB twin of _byte_wrapped."""
     hx = f"hex(encode({w}))"
+    # coalesce: DuckDB's array_to_string([]) is NULL, so the empty word
+    # must collapse to '' to match Spark's array_join -> '||'
     return (
-        f"'|' || array_to_string(list_transform("
+        f"'|' || coalesce(array_to_string(list_transform("
         f"range(1, length({hx}) // 2 + 1), "
-        f"i -> substr({hx}, (2 * i - 1)::INT, 2)), '||') || '|'"
+        f"i -> substr({hx}, (2 * i - 1)::INT, 2)), '||'), '') || '|'"
     )
 
 
@@ -837,9 +850,9 @@ def _bpe_artifact_oracle(k: int = _K_MERGES) -> str:
       GROUP BY w),
     v0 AS MATERIALIZED (
       SELECT word, cnt,
-             '|' || array_to_string(
+             '|' || coalesce(array_to_string(
                list_transform(range(1, length(word) + 1),
-                              i -> substr(word, i, 1)), '||') || '|' AS st
+                              i -> substr(word, i, 1)), '||'), '') || '|' AS st
       FROM wc)"""
     ]
     for r in range(1, k + 1):

@@ -395,3 +395,32 @@ def test_artifact_roundtrip_equals_trained_state(spark, sf_dir):
     art = spark.read.parquet(path).collect()
     assert len(art) == K
     assert sorted(r["round"] for r in art) == list(range(1, K + 1))
+
+
+def test_wrapped_helpers_empty_word_matches_oracle(spark):
+    # r10 ADVICE: Spark's sequence(1, 0) auto-descends to [1, 0] — the
+    # wrapped helpers must yield '||' on the empty word exactly like the
+    # (coalesce-guarded) DuckDB twins, so a corpus with leading/double
+    # spaces can never hash-mismatch
+    import duckdb
+
+    from etl_pipeline_old_spark.queries.bpe import (
+        _bw_sql,
+        _byte_wrapped,
+        _char_wrapped,
+    )
+
+    words = ["", "hi", "a\u0449"]
+    df = spark.createDataFrame([(w,) for w in words], ["word"]).select(
+        "word", _char_wrapped().alias("cw"), _byte_wrapped().alias("bw")
+    )
+    got = {r["word"]: (r["cw"], r["bw"]) for r in df.collect()}
+    assert got[""] == ("||", "||")
+    assert got["hi"] == ("|h||i|", "|68||69|")
+    assert got["a\u0449"][1] == "|61||D1||89|"
+
+    con = duckdb.connect()
+    for w in words:
+        lit = "'" + w + "'"
+        (o,) = con.execute(f"SELECT {_bw_sql(lit)}").fetchone()
+        assert o == got[w][1], (w, o, got[w][1])

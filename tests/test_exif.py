@@ -222,3 +222,42 @@ def test_nested_gps_pointer_is_scrubbed_too():
 def _ascii_entry(s):
     raw = s.encode("ascii") + b"\x00"
     return Entry(0x0001, 2, len(raw), raw)
+
+
+def test_sub_ifd_pointer_cycle_is_loud():
+    # hostile EXIF: IFD0's Exif pointer references IFD0's own offset —
+    # must raise ValueError, never RecursionError (r10 ADVICE)
+    e = "<"
+    tiff = b"II" + struct.pack(f"{e}HI", 42, 8)
+    ifd = (
+        struct.pack(f"{e}H", 1)
+        + struct.pack(f"{e}HHI", TAG_EXIF_IFD, 4, 1)
+        + struct.pack(f"{e}I", 8)  # pointer back to IFD0 at offset 8
+        + struct.pack(f"{e}I", 0)
+    )
+    app1 = b"Exif\x00\x00" + tiff + ifd
+    with pytest.raises(ValueError, match="sub-IFD pointer cycle"):
+        parse_exif(app1)
+
+
+def test_sub_ifd_mutual_cycle_is_loud():
+    # two sub-IFDs pointing at each other (Exif -> A, A's Interop -> A)
+    e = "<"
+    tiff = b"II" + struct.pack(f"{e}HI", 42, 8)
+    # IFD0 at 8: one entry pointing to sub-IFD at 26
+    ifd0 = (
+        struct.pack(f"{e}H", 1)
+        + struct.pack(f"{e}HHI", TAG_EXIF_IFD, 4, 1)
+        + struct.pack(f"{e}I", 26)
+        + struct.pack(f"{e}I", 0)
+    )
+    # sub-IFD at 26: one entry whose Interop pointer loops back to 26
+    sub = (
+        struct.pack(f"{e}H", 1)
+        + struct.pack(f"{e}HHI", TAG_INTEROP_IFD, 4, 1)
+        + struct.pack(f"{e}I", 26)
+        + struct.pack(f"{e}I", 0)
+    )
+    app1 = b"Exif\x00\x00" + tiff + ifd0 + sub
+    with pytest.raises(ValueError, match="sub-IFD pointer cycle"):
+        parse_exif(app1)

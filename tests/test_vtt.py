@@ -7,6 +7,7 @@ import pytest
 from etl_pipeline_old_spark.operators.vtt import (
     caption_stats,
     format_ts,
+    header_meta,
     parse_vtt,
     write_vtt,
 )
@@ -104,3 +105,21 @@ def test_caption_coverage_plan_locks(spark):
     assert "Cartesian" not in plan
     assert "BatchEvalPython" not in plan
     assert plan.count("MapInPandas") == 2
+
+
+def test_no_blank_line_before_first_cue():
+    # W3C: header collection ends when a line contains '-->'; that line
+    # IS the first cue's timing (r10 ADVICE — previously parsed to zero
+    # cues silently)
+    cues = parse_vtt("WEBVTT\n00:00.000 --> 00:01.000\nhi")
+    assert cues == [(0, 1000, "hi")]
+    # header_meta must not harvest the timing line as metadata
+    assert header_meta("WEBVTT\n00:00.000 --> 00:01.000\nhi") == {}
+
+
+def test_header_then_timing_without_blank():
+    # metadata lines directly followed by a timing line (no blank) —
+    # metadata is collected, the cue still parses
+    doc = "WEBVTT\nKind: captions\n00:00.000 --> 00:01.000\nhi"
+    assert parse_vtt(doc) == [(0, 1000, "hi")]
+    assert header_meta(doc) == {"Kind": "captions"}
