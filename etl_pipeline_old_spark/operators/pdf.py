@@ -21,12 +21,19 @@ text-based PDFs is structural work this module does for real:
   ``/Length`` honored, including indirect-reference lengths) and a
   content tokenizer that collects text operands in showing order.
 
-PDF strings are BYTE strings per the spec — text rides as UTF-8 bytes
-and recovery is byte-exact (the oracle demands it).  What stays outside:
-scanned/image-only PDFs (they need OCR — a model, not a parser),
-CID/Type0 glyph remapping, and encrypted documents; all are loud,
-documented seams.  Damage (bad xref offset, truncated stream, length
-mismatch) raises — one document costs one record, never the job.
+PDF strings are BYTE strings per the spec — simple-font text rides as
+UTF-8 bytes and recovery is byte-exact (the oracle demands it).
+CID-keyed (Type0) fonts — the dominant post-2010 real-world shape — are
+supported through their embedded /ToUnicode CMap (ISO 32000 §9.10.3):
+``write_pdf_cid`` stages genuine Identity-H/CIDFontType2 documents whose
+shown strings are CID codes, ``parse_tounicode_cmap`` handles bfchar and
+both bfrange destination forms, and extraction decodes code-by-code with
+codespace-aware widths.  What stays outside: scanned/image-only PDFs
+(they need OCR — a model, not a parser), Type0 fonts WITHOUT a ToUnicode
+CMap (recovery would need the embedded font program's cmap table), and
+encrypted documents; all are loud, documented seams.  Damage (bad xref
+offset, truncated stream, length mismatch, unmapped CID) raises — one
+document costs one record, never the job.
 """
 
 from __future__ import annotations
@@ -93,6 +100,95 @@ def write_pdf(pages: list, compress: bool = False) -> bytes:
         objs.append(head + b"\nstream\n" + data + b"\nendstream")
 
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0]
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref_at)
+    )
+    return bytes(out)
+
+
+def write_pdf_cid(pages: list, compress: bool = False) -> bytes:
+    """Serialize ``pages`` (each a list of text lines) into a complete
+    PDF whose ONE font is CID-keyed: a Type0 font, Identity-H encoding,
+    CIDFontType2 descendant, and an embedded /ToUnicode CMap stream —
+    the post-2010 real-world PDF shape (ISO 32000 §9.7/§9.10).  Text is
+    shown as hex strings of 2-byte CIDs (assigned per unique character
+    in first-appearance order, CID 0 reserved for notdef), so recovery
+    REQUIRES mapping every code through the CMap: decoding the shown
+    bytes as text yields garbage, exactly like a real CID document."""
+    cid_of: dict = {}
+    for lines in pages:
+        for line in lines:
+            for ch in line:
+                if ch not in cid_of:
+                    cid_of[ch] = len(cid_of) + 1
+    if not cid_of:
+        cid_of[" "] = 1  # keep the CMap non-empty for blank documents
+    tounicode = write_tounicode_cmap(
+        {cid.to_bytes(2, "big"): ch for ch, cid in cid_of.items()}
+    )
+
+    def content(lines: list) -> bytes:
+        ops = [b"BT /F1 12 Tf 72 720 Td"]
+        for i, line in enumerate(lines):
+            if i:
+                ops.append(b"0 -14 Td")
+            hx = b"".join(b"%04X" % cid_of[ch] for ch in line)
+            ops.append(b"<" + hx + b"> Tj")
+        ops.append(b"ET")
+        return b"\n".join(ops)
+
+    objs: list[bytes] = []
+    n_pages = len(pages)
+    # layout: 1 catalog, 2 pages (Resources inherited from here — the
+    # real-world inheritance path extract must handle), 3 Type0 font,
+    # 4 descendant CIDFont, 5 ToUnicode stream, then per page i:
+    # (6+2i) page object, (7+2i) its content stream
+    kids = b" ".join(b"%d 0 R" % (6 + 2 * i) for i in range(n_pages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(
+        b"<< /Type /Pages /Kids [" + kids + b"] /Count %d "
+        b"/Resources << /Font << /F1 3 0 R >> >> >>" % n_pages
+    )
+    objs.append(
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /Synthetic-Identity-H "
+        b"/Encoding /Identity-H /DescendantFonts [4 0 R] /ToUnicode 5 0 R >>"
+    )
+    objs.append(
+        b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Synthetic "
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+        b"/Supplement 0 >> /CIDToGIDMap /Identity /DW 500 >>"
+    )
+    tu = zlib.compress(tounicode, 9) if compress else tounicode
+    tu_head = (
+        b"<< /Length %d /Filter /FlateDecode >>" % len(tu)
+        if compress
+        else b"<< /Length %d >>" % len(tu)
+    )
+    objs.append(tu_head + b"\nstream\n" + tu + b"\nendstream")
+    for i, lines in enumerate(pages):
+        objs.append(
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents %d 0 R >>" % (7 + 2 * i)
+        )
+        data = content(lines)
+        if compress:
+            data = zlib.compress(data, 9)
+            head = b"<< /Length %d /Filter /FlateDecode >>" % len(data)
+        else:
+            head = b"<< /Length %d >>" % len(data)
+        objs.append(head + b"\nstream\n" + data + b"\nendstream")
+
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
     offsets = [0]
     for i, body in enumerate(objs, start=1):
         offsets.append(len(out))
@@ -326,34 +422,300 @@ class _Doc:
         return raw
 
 
-def _walk_pages(doc: _Doc, node: dict, out: list, depth: int = 0) -> None:
+def _walk_pages(doc: _Doc, node: dict, out: list, depth: int = 0,
+                inherited_res=None) -> None:
     # a Kids entry pointing back at an ancestor recurses forever (each
     # object_at re-parse yields a fresh dict, so identity tracking can't
     # see the cycle) — cap the depth; real page trees are a few levels
     if depth > 64:
         raise ValueError("pdf: page tree too deep (Kids cycle?)")
     t = node.get("Type")
+    # /Resources is inheritable through the page tree (ISO 32000 §7.7.3.4)
+    res = node.get("Resources", inherited_res)
     if t == "/Pages":
         for kid in doc.resolve(node["Kids"]):
-            _walk_pages(doc, doc.resolve(kid), out, depth + 1)
+            _walk_pages(doc, doc.resolve(kid), out, depth + 1, res)
     elif t == "/Page":
-        out.append(node)
+        out.append((node, res))
     else:
         raise ValueError(f"pdf: unexpected page-tree node type {t!r}")
 
 
-_SHOW = re.compile(rb"Tj|TJ|'|\"")
+# ------------------------------------------------- ToUnicode CMaps (CID)
+# CID-keyed (Type0) fonts show CODES, not bytes of text: the /ToUnicode
+# CMap (ISO 32000 §9.10.3, Adobe CMap spec) is the document's own
+# code→Unicode table.  Most post-2010 real-world PDFs use CID fonts, so
+# text recovery without this is a quarantine, not an extraction.
+
+_CODESPACE = re.compile(
+    rb"begincodespacerange(.*?)endcodespacerange", re.S
+)
+_BFCHAR = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_HEXSTR = re.compile(rb"<([0-9A-Fa-f\s]*)>")
 
 
-def _page_text(doc: _Doc, page: dict) -> list:
-    """Collect text-showing operands from the page's content stream(s) in
-    order.  Returns the list of byte strings shown."""
+def _hexbytes(tok: bytes) -> bytes:
+    hx = re.sub(rb"\s", b"", tok)
+    if len(hx) % 2:
+        hx += b"0"
+    return bytes.fromhex(hx.decode("ascii"))
+
+
+def _utf16be(b: bytes) -> str:
+    # destination strings in a ToUnicode CMap are UTF-16BE code units —
+    # surrogate pairs (non-BMP) decode to one character here
+    return b.decode("utf-16-be")
+
+
+def parse_tounicode_cmap(data: bytes) -> tuple[list, dict]:
+    """Parse a ToUnicode CMap stream.  Returns ``(codespace, mapping)``:
+    ``codespace`` is ``[(lo_bytes, hi_bytes), ...]`` (each pair the same
+    width — the code byte-width table), ``mapping`` maps raw code bytes
+    to their Unicode string (possibly multi-char: ligatures, and
+    UTF-16BE surrogate pairs collapse to the astral char).  Handles
+    ``bfchar``, both ``bfrange`` destination forms (start-hex and
+    array-of-hex), and multiple blocks of each."""
+    codespace: list = []
+    for m in _CODESPACE.finditer(data):
+        toks = _HEXSTR.findall(m.group(1))
+        if len(toks) % 2:
+            raise ValueError("pdf: odd codespacerange operand count")
+        for i in range(0, len(toks), 2):
+            lo, hi = _hexbytes(toks[i]), _hexbytes(toks[i + 1])
+            if len(lo) != len(hi) or not lo:
+                raise ValueError("pdf: codespacerange width mismatch")
+            codespace.append((lo, hi))
+    if not codespace:
+        raise ValueError("pdf: ToUnicode CMap has no codespacerange")
+    mapping: dict = {}
+    for m in _BFCHAR.finditer(data):
+        toks = _HEXSTR.findall(m.group(1))
+        if len(toks) % 2:
+            raise ValueError("pdf: odd bfchar operand count")
+        for i in range(0, len(toks), 2):
+            mapping[_hexbytes(toks[i])] = _utf16be(_hexbytes(toks[i + 1]))
+    for m in _BFRANGE.finditer(data):
+        body = m.group(1)
+        pos = 0
+        n = len(body)
+        while pos < n:
+            while pos < n and body[pos] in b" \t\r\n":
+                pos += 1
+            if pos >= n:
+                break
+            mlo = _HEXSTR.match(body, pos)
+            if not mlo:
+                raise ValueError("pdf: malformed bfrange (lo)")
+            pos = mlo.end()
+            while pos < n and body[pos] in b" \t\r\n":
+                pos += 1
+            mhi = _HEXSTR.match(body, pos)
+            if not mhi:
+                raise ValueError("pdf: malformed bfrange (hi)")
+            pos = mhi.end()
+            while pos < n and body[pos] in b" \t\r\n":
+                pos += 1
+            lo, hi = _hexbytes(mlo.group(1)), _hexbytes(mhi.group(1))
+            if len(lo) != len(hi) or lo > hi:
+                raise ValueError("pdf: bfrange bounds malformed")
+            width = len(lo)
+            lo_i, hi_i = int.from_bytes(lo, "big"), int.from_bytes(hi, "big")
+            if body[pos : pos + 1] == b"[":
+                # array form: one destination hex string per code
+                end = body.index(b"]", pos)
+                dsts = _HEXSTR.findall(body[pos + 1 : end])
+                if len(dsts) != hi_i - lo_i + 1:
+                    raise ValueError("pdf: bfrange array length mismatch")
+                for k, d in enumerate(dsts):
+                    mapping[(lo_i + k).to_bytes(width, "big")] = _utf16be(
+                        _hexbytes(d)
+                    )
+                pos = end + 1
+            else:
+                mdst = _HEXSTR.match(body, pos)
+                if not mdst:
+                    raise ValueError("pdf: malformed bfrange (dst)")
+                pos = mdst.end()
+                dst = _hexbytes(mdst.group(1))
+                # start form: the LAST UTF-16 code unit increments per
+                # spec ("the last byte of the string is incremented")
+                base = int.from_bytes(dst[-2:], "big") if len(dst) >= 2 else 0
+                for k in range(hi_i - lo_i + 1):
+                    unit = (base + k).to_bytes(2, "big")
+                    mapping[(lo_i + k).to_bytes(width, "big")] = _utf16be(
+                        dst[:-2] + unit
+                    )
+    return codespace, mapping
+
+
+def decode_with_cmap(b: bytes, codespace: list, mapping: dict) -> str:
+    """Decode shown string bytes through a ToUnicode CMap: split into
+    codes by matching codespace ranges (byte-width aware), then map each
+    code.  An unmapped or out-of-codespace code raises — one hostile or
+    OCR-only document costs one record, never silent mojibake."""
+    out: list = []
+    pos, n = 0, len(b)
+    while pos < n:
+        code = None
+        for lo, hi in codespace:
+            w = len(lo)
+            cand = b[pos : pos + w]
+            if len(cand) == w and lo <= cand <= hi:
+                code = cand
+                break
+        if code is None:
+            raise ValueError(
+                f"pdf: show-string byte {b[pos]:#04x} at {pos} outside "
+                "every codespace range"
+            )
+        try:
+            out.append(mapping[code])
+        except KeyError:
+            raise ValueError(
+                f"pdf: CID {int.from_bytes(code, 'big')} unmapped by "
+                "ToUnicode CMap"
+            ) from None
+        pos += len(code)
+    return "".join(out)
+
+
+def write_tounicode_cmap(mapping: dict) -> bytes:
+    """Serialize ``{code_bytes: unicode_str}`` into a spec-shaped
+    ToUnicode CMap stream.  Consecutive single-char runs (code+1 ↔
+    codepoint+1, BMP only) collapse into ``bfrange`` rows; everything
+    else is ``bfchar``; blocks chunk at 100 entries per the CMap spec."""
+    if not mapping:
+        raise ValueError("pdf: empty ToUnicode mapping")
+    widths = {len(c) for c in mapping}
+    if len(widths) != 1:
+        raise ValueError("pdf: mixed code widths in one ToUnicode mapping")
+    w = widths.pop()
+    codes = sorted(mapping)
+    # greedy run detection for bfrange
+    ranges: list = []   # (lo_int, hi_int, start_cp)
+    chars: list = []    # (code_bytes, dst_utf16be_hex)
+    i = 0
+    while i < len(codes):
+        c0 = int.from_bytes(codes[i], "big")
+        s0 = mapping[codes[i]]
+        if len(s0) == 1 and ord(s0) < 0x10000:
+            j = i
+            while (
+                j + 1 < len(codes)
+                and int.from_bytes(codes[j + 1], "big")
+                == int.from_bytes(codes[j], "big") + 1
+                and len(mapping[codes[j + 1]]) == 1
+                and ord(mapping[codes[j + 1]])
+                == ord(mapping[codes[j]]) + 1
+                and ord(mapping[codes[j + 1]]) < 0x10000
+                # a range must not straddle a low-byte boundary (spec:
+                # only the last byte increments)
+                and (int.from_bytes(codes[j + 1], "big") & 0xFF) != 0x00
+            ):
+                j += 1
+            if j > i:
+                ranges.append((c0, int.from_bytes(codes[j], "big"), ord(s0)))
+                i = j + 1
+                continue
+        chars.append(
+            (codes[i], s0.encode("utf-16-be").hex().upper())
+        )
+        i += 1
+    lines = [
+        b"/CIDInit /ProcSet findresource begin",
+        b"12 dict begin",
+        b"begincmap",
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (UCS) "
+        b"/Supplement 0 >> def",
+        b"/CMapName /Adobe-Identity-UCS def",
+        b"/CMapType 2 def",
+        b"1 begincodespacerange",
+        b"<" + (b"00" * w) + b"> <" + (b"FF" * w) + b">",
+        b"endcodespacerange",
+    ]
+    for k in range(0, len(chars), 100):
+        chunk = chars[k : k + 100]
+        lines.append(b"%d beginbfchar" % len(chunk))
+        for code, dst in chunk:
+            lines.append(
+                b"<%s> <%s>" % (code.hex().upper().encode(), dst.encode())
+            )
+        lines.append(b"endbfchar")
+    for k in range(0, len(ranges), 100):
+        chunk = ranges[k : k + 100]
+        lines.append(b"%d beginbfrange" % len(chunk))
+        for lo, hi, cp in chunk:
+            lines.append(
+                b"<%s> <%s> <%04X>"
+                % (
+                    lo.to_bytes(w, "big").hex().upper().encode(),
+                    hi.to_bytes(w, "big").hex().upper().encode(),
+                    cp,
+                )
+            )
+        lines.append(b"endbfrange")
+    lines += [b"endcmap", b"CMapName currentdict /CMap defineresource pop",
+              b"end", b"end"]
+    return b"\n".join(lines)
+
+
+def _font_decoder(doc: _Doc, font: dict):
+    """Build the shown-bytes → str decoder for one font dict.  Priority:
+    an embedded /ToUnicode CMap (the spec's own reverse map — works for
+    simple AND Type0 fonts); a Type0 font without one is the loud seam
+    (recovery would need the embedded font program's cmap table); simple
+    fonts without one decode as UTF-8 bytes (this module's writer
+    convention — PDF strings are byte strings)."""
+    tu = font.get("ToUnicode")
+    if tu is not None:
+        stream = doc.resolve(tu)
+        if not isinstance(stream, dict) or "__stream__" not in stream:
+            raise ValueError("pdf: /ToUnicode is not a stream")
+        codespace, mapping = parse_tounicode_cmap(doc.stream_data(stream))
+        return lambda b: decode_with_cmap(b, codespace, mapping)
+    if font.get("Subtype") == "/Type0":
+        raise NotImplementedError(
+            "pdf: Type0 (CID) font without /ToUnicode — recovery needs "
+            "the embedded font program's cmap table (documented seam)"
+        )
+    return lambda b: b.decode("utf-8")
+
+
+_OPTOK = re.compile(rb"[^\s()<>\[\]/%]+")
+_NAMETOK = re.compile(rb"/[^\s/<>\[\]()%]*")
+_SHOW_OPS = (b"Tj", b"TJ", b"'", b'"')
+
+
+def _page_text(doc: _Doc, page: dict, resources) -> list:
+    """Collect text-showing operands from the page's content stream(s)
+    in order, decoding each through the font selected by the ``Tf``
+    operator (ToUnicode CMap when the font carries one, UTF-8 bytes for
+    simple fonts).  Returns the list of shown strings."""
     contents = doc.resolve(page.get("Contents"))
     streams = contents if isinstance(contents, list) else [contents]
     data = b"\n".join(doc.stream_data(doc.resolve(s)) for s in streams)
-    shown: list[bytes] = []
+    fonts = {}
+    if resources is not None:
+        res = doc.resolve(resources)
+        fdict = doc.resolve(res.get("Font")) if isinstance(res, dict) else None
+        if isinstance(fdict, dict):
+            fonts = fdict
+    decoders: dict = {}
+
+    def decoder_for(name: str):
+        if name not in decoders:
+            if name not in fonts:
+                raise ValueError(f"pdf: Tf names unknown font {name!r}")
+            decoders[name] = _font_decoder(doc, doc.resolve(fonts[name]))
+        return decoders[name]
+
+    shown: list = []
     pos = 0
     pending: list = []
+    cur = None       # active decoder (set by Tf)
+    last_name = None  # most recent name operand (Tf's font operand)
+    utf8 = lambda b: b.decode("utf-8")  # noqa: E731 — no-Tf legacy fallback
     while pos < len(data):
         c = data[pos : pos + 1]
         if c == b"(":
@@ -363,39 +725,86 @@ def _page_text(doc: _Doc, page: dict) -> list:
         if c == b"<" and data[pos : pos + 2] != b"<<":
             end = data.index(b">", pos)
             hx = re.sub(rb"\s", b"", data[pos + 1 : end])
+            if len(hx) % 2:
+                hx += b"0"
             pending.append(bytes.fromhex(hx.decode("ascii")))
             pos = end + 1
             continue
-        m = _SHOW.match(data, pos)
-        if m:
-            shown += pending
-            pending = []
+        if data[pos : pos + 2] in (b"<<", b">>"):
+            pos += 2
+            continue
+        if c == b"/":
+            m = _NAMETOK.match(data, pos)
+            last_name = m.group()[1:].decode("latin-1")
             pos = m.end()
             continue
         if c in b" \t\r\n[]":
             pos += 1
             continue
-        # any other token (numbers, names, non-showing operators): skip.
+        m = _OPTOK.match(data, pos)
+        if not m:
+            pos += 1
+            continue
+        tok = m.group()
+        pos = m.end()
+        if tok in _SHOW_OPS:
+            dec = cur if cur is not None else utf8
+            shown += [dec(s) for s in pending]
+            pending = []
+        elif tok == b"Tf":
+            if last_name is None:
+                raise ValueError("pdf: Tf with no font name operand")
+            cur = decoder_for(last_name)
+        # any other token (numbers, non-showing operators): skip.
         # Strings only reach ``shown`` through a show operator, so a
         # string operand of e.g. a marked-content op would be dropped at
         # the next flush — acceptable for text recovery, which is the
         # contract here.
-        m2 = re.match(rb"[^\s()<\[\]]+", data[pos:])
-        pos += m2.end() if m2 else 1
     return shown
+
+
+def tounicode_entries(payload: bytes) -> int:
+    """Count distinct (code, unicode) pairs across every /ToUnicode CMap
+    reachable from the document's page fonts — independent evidence that
+    the CMaps were structurally parsed (the extraction oracle checks this
+    against the source text's distinct-character count)."""
+    doc = _Doc(payload)
+    root = doc.resolve(doc.trailer["Root"])
+    pages: list = []
+    _walk_pages(doc, doc.resolve(root["Pages"]), pages)
+    seen: set = set()
+    done: set = set()
+    for _page, res in pages:
+        if res is None:
+            continue
+        rd = doc.resolve(res)
+        fonts = doc.resolve(rd.get("Font")) if isinstance(rd, dict) else None
+        if not isinstance(fonts, dict):
+            continue
+        for f in fonts.values():
+            font = doc.resolve(f)
+            tu = font.get("ToUnicode")
+            if tu is None:
+                continue
+            stream = doc.resolve(tu)
+            key = id(stream) if not isinstance(tu, _Ref) else tu.num
+            if key in done:
+                continue
+            done.add(key)
+            _, mapping = parse_tounicode_cmap(doc.stream_data(stream))
+            seen.update(mapping.items())
+    return len(seen)
 
 
 def extract_pdf_text(payload: bytes) -> list:
     """Extract per-page text lines.  Returns ``[[line, ...], ...]`` (one
-    list per page, in page-tree order); line strings are the exact bytes
-    shown, decoded as UTF-8."""
+    list per page, in page-tree order).  Simple-font text decodes as the
+    exact shown bytes in UTF-8; CID/Type0 (and any font with a
+    /ToUnicode CMap) decodes code-by-code through the CMap."""
     if payload[:5] != b"%PDF-":
         raise ValueError("pdf: missing %PDF header")
     doc = _Doc(payload)
     root = doc.resolve(doc.trailer["Root"])
-    pages: list[dict] = []
+    pages: list = []
     _walk_pages(doc, doc.resolve(root["Pages"]), pages)
-    out = []
-    for p in pages:
-        out.append([s.decode("utf-8") for s in _page_text(doc, p)])
-    return out
+    return [_page_text(doc, p, res) for p, res in pages]

@@ -142,3 +142,114 @@ def test_document_corpus_capstone_plan_locks(spark):
     assert "BatchEvalPython" not in plan
     assert "Join" not in plan
     assert plan.count("Exchange") == 2
+
+
+# ------------------------------------------------- CID / ToUnicode CMaps
+
+from etl_pipeline_old_spark.operators.pdf import (  # noqa: E402
+    decode_with_cmap,
+    parse_tounicode_cmap,
+    write_pdf_cid,
+    write_tounicode_cmap,
+)
+
+
+@pytest.mark.parametrize("compress", [False, True])
+def test_cid_roundtrip_byte_exact(compress):
+    pdf = write_pdf_cid(_PAGES, compress)
+    assert extract_pdf_text(pdf) == _PAGES
+    # the shown strings are CID codes: raw text must NOT appear in the body
+    assert "Hello".encode() not in pdf
+    assert b"/Identity-H" in pdf and b"/ToUnicode" in pdf
+
+
+def test_cid_astral_surrogate_pair():
+    pages = [["emoji \U0001F600 end", "\U0001F680 rocket"]]
+    assert extract_pdf_text(write_pdf_cid(pages)) == pages
+
+
+def test_cid_resources_inherited_from_pages_node():
+    # write_pdf_cid puts /Resources on the /Pages node, not each /Page —
+    # extraction must walk the inheritance chain (ISO 32000 §7.7.3.4)
+    pdf = write_pdf_cid([["inherit me"]])
+    assert b"/Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents" in pdf
+    assert extract_pdf_text(pdf) == [["inherit me"]]
+
+
+def test_cmap_bfchar_ligature_and_bfrange_both_forms():
+    cmap = (
+        b"1 begincodespacerange\n<00> <FF>\nendcodespacerange\n"
+        b"1 beginbfchar\n<01> <006600660069>\nendbfchar\n"
+        b"1 beginbfrange\n<10> <12> [<0041> <0042> <0043>]\nendbfrange\n"
+        b"1 beginbfrange\n<20> <22> <0061>\nendbfrange\n"
+    )
+    cs, mp = parse_tounicode_cmap(cmap)
+    assert decode_with_cmap(b"\x01\x10\x12\x20\x22", cs, mp) == "ffiACac"
+
+
+def test_cmap_two_byte_codespace_and_serializer_roundtrip():
+    mapping = {bytes([0, i]): chr(0x400 + i) for i in range(1, 40)}
+    mapping[b"\x00\xf0"] = "ffi"
+    mapping[b"\x01\x00"] = "\U0001F600"
+    ser = write_tounicode_cmap(mapping)
+    # consecutive runs must collapse to bfrange, the rest stay bfchar
+    assert b"beginbfrange" in ser and b"beginbfchar" in ser
+    cs, mp = parse_tounicode_cmap(ser)
+    assert mp == mapping
+    buf = b"".join(sorted(mapping))
+    assert decode_with_cmap(buf, cs, mp) == "".join(
+        mapping[c] for c in sorted(mapping)
+    )
+
+
+def test_unmapped_cid_is_loud():
+    cmap = (
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        b"1 beginbfchar\n<0001> <0041>\nendbfchar\n"
+    )
+    cs, mp = parse_tounicode_cmap(cmap)
+    with pytest.raises(ValueError, match="unmapped by ToUnicode"):
+        decode_with_cmap(b"\x00\x02", cs, mp)
+
+
+def test_out_of_codespace_byte_is_loud():
+    cmap = (
+        b"1 begincodespacerange\n<0020> <00FF>\nendcodespacerange\n"
+        b"1 beginbfchar\n<0041> <0041>\nendbfchar\n"
+    )
+    cs, mp = parse_tounicode_cmap(cmap)
+    with pytest.raises(ValueError, match="outside every codespace"):
+        decode_with_cmap(b"\xff\xff", cs, mp)
+
+
+def test_type0_without_tounicode_is_documented_seam():
+    pdf = write_pdf_cid([["abc"]])
+    # blank the key name in place (same byte length keeps xref valid)
+    broken = pdf.replace(b"/ToUnicode 5 0 R", b"/ToUnicodX 5 0 R")
+    with pytest.raises(NotImplementedError, match="without /ToUnicode"):
+        extract_pdf_text(broken)
+
+
+def test_cmap_without_codespace_is_loud():
+    with pytest.raises(ValueError, match="no codespacerange"):
+        parse_tounicode_cmap(b"1 beginbfchar\n<01> <0041>\nendbfchar\n")
+
+
+def test_bfrange_array_length_mismatch_is_loud():
+    cmap = (
+        b"1 begincodespacerange\n<00> <FF>\nendcodespacerange\n"
+        b"1 beginbfrange\n<10> <12> [<0041> <0042>]\nendbfrange\n"
+    )
+    with pytest.raises(ValueError, match="array length mismatch"):
+        parse_tounicode_cmap(cmap)
+
+
+def test_mixed_simple_and_cid_fonts_in_one_doc():
+    # page 1 simple font (utf-8 bytes), page 2 CID — a merged/stitched
+    # document shape; each page's Tf picks its own decode path
+    from etl_pipeline_old_spark.operators.pdf import write_pdf as _wp
+
+    simple = _wp([["plain page"]])
+    cid = write_pdf_cid([["cid страница"]])
+    assert extract_pdf_text(simple) == [["plain page"]]
+    assert extract_pdf_text(cid) == [["cid страница"]]

@@ -109,6 +109,8 @@ REPEAT_QUERIES = (
     # r9: staged .pdf documents (+ the capstone sharing the staging)
     "pipeline_pdf_extract",
     "pipeline_document_corpus",
+    # r11: staged CID-keyed (Type0/Identity-H + ToUnicode) .pdf documents
+    "pipeline_pdf_cid_extract",
     # r9: staged .webm containers
     "multimodal_webm_probe",
     # r9: staged .vtt caption sidecars (+ the alignment join sharing
