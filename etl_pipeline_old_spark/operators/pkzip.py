@@ -18,8 +18,13 @@ into members inside the Arrow kernel with per-member integrity:
   orphaned in the stream are correctly invisible;
 - every member's CRC-32 and declared sizes are verified on extraction;
   a mismatch raises, so a torn shard costs its record, never the job;
-- ZIP64 markers raise a documented ``NotImplementedError`` seam (the
-  4 GiB+ single-shard case; real corpus shards are sized well below).
+- ZIP64 (APPNOTE 4.5) is read for real: the zip64 EOCD locator + record
+  resolve sentinel directory counts/offsets, and per-member 0x0001
+  extended-information extra fields resolve sentinel sizes/offsets —
+  at 100 TB, >4 GiB shards are routine, not a seam.  ``write_zip``
+  can force the zip64 layout on small archives (the spec allows
+  sentinels regardless of actual size), which is how both directions
+  stay cross-validated against ``zipfile`` without staging 4 GiB.
 """
 
 from __future__ import annotations
@@ -30,16 +35,22 @@ import zlib
 _LOCAL_SIG = b"PK\x03\x04"
 _CENTRAL_SIG = b"PK\x01\x02"
 _EOCD_SIG = b"PK\x05\x06"
+_EOCD64_SIG = b"PK\x06\x06"
+_EOCD64_LOC_SIG = b"PK\x06\x07"
 # fixed DOS timestamp (1980-01-01 00:00:00) — shards are deterministic
 _DOS_TIME, _DOS_DATE = 0, 0x21
 
 
-def write_zip(members: list) -> bytes:
+def write_zip(members: list, force_zip64: bool = False) -> bytes:
     """Serialize ``[(name, data, method)]`` (method 'stored'|'deflated')
     into a spec-valid archive: local headers + payloads, then the
-    central directory and EOCD."""
+    central directory and EOCD.  ``force_zip64`` writes the full ZIP64
+    layout (sentinel fields + 0x0001 extras + zip64 EOCD record and
+    locator) even when sizes fit 32 bits — the spec-sanctioned way to
+    exercise the >4 GiB shard path without staging 4 GiB."""
     out = bytearray()
     central = bytearray()
+    version = 45 if force_zip64 else 20
     for name, data, method in members:
         nm = name.encode("utf-8")
         crc = zlib.crc32(data) & 0xFFFFFFFF
@@ -52,24 +63,66 @@ def write_zip(members: list) -> bytes:
         else:
             raise ValueError(f"unknown method {method!r}")
         off = len(out)
-        # flag 0x800: names are UTF-8 (APPNOTE D.2) — without it readers
-        # must assume cp437 and non-ASCII names round-trip wrong
-        common = struct.pack(
-            "<HHHHHIII", 20, 0x800, m, _DOS_TIME, _DOS_DATE, crc,
-            len(payload), len(data),
-        )
-        out += _LOCAL_SIG + common + struct.pack("<HH", len(nm), 0) + nm
+        need64 = force_zip64 or max(len(payload), len(data)) > 0xFFFFFFFE \
+            or off > 0xFFFFFFFE
+        if need64:
+            # sentinel sizes in the fixed fields; real ones ride in the
+            # 0x0001 extended-information extra (APPNOTE 4.5.3: the
+            # LOCAL extra must carry both original and compressed size)
+            l_extra = struct.pack(
+                "<HHQQ", 0x0001, 16, len(data), len(payload)
+            )
+            c_extra = struct.pack(
+                "<HHQQQ", 0x0001, 24, len(data), len(payload), off
+            )
+            l_common = struct.pack(
+                "<HHHHHIII", version, 0x800, m, _DOS_TIME, _DOS_DATE, crc,
+                0xFFFFFFFF, 0xFFFFFFFF,
+            )
+            out += (
+                _LOCAL_SIG + l_common
+                + struct.pack("<HH", len(nm), len(l_extra)) + nm + l_extra
+            )
+            central += (
+                _CENTRAL_SIG + struct.pack("<H", version) + l_common
+                + struct.pack(
+                    "<HHHHHII", len(nm), len(c_extra), 0, 0, 0, 0,
+                    0xFFFFFFFF,
+                )
+                + nm + c_extra
+            )
+        else:
+            # flag 0x800: names are UTF-8 (APPNOTE D.2) — without it
+            # readers must assume cp437 and non-ASCII names round-trip
+            # wrong
+            common = struct.pack(
+                "<HHHHHIII", version, 0x800, m, _DOS_TIME, _DOS_DATE, crc,
+                len(payload), len(data),
+            )
+            out += _LOCAL_SIG + common + struct.pack("<HH", len(nm), 0) + nm
+            central += (
+                _CENTRAL_SIG + struct.pack("<H", version) + common
+                + struct.pack("<HHHHHII", len(nm), 0, 0, 0, 0, 0, off)
+                + nm
+            )
         out += payload
-        central += (
-            _CENTRAL_SIG + struct.pack("<H", 20) + common
-            + struct.pack("<HHHHHII", len(nm), 0, 0, 0, 0, 0, off)
-            + nm
-        )
     cd_off = len(out)
     out += central
-    out += _EOCD_SIG + struct.pack(
-        "<HHHHIIH", 0, 0, len(members), len(members), len(central), cd_off, 0
-    )
+    n = len(members)
+    if force_zip64 or n > 0xFFFE or cd_off > 0xFFFFFFFE:
+        eocd64_at = len(out)
+        out += _EOCD64_SIG + struct.pack(
+            "<QHHIIQQQQ", 44, version, version, 0, 0, n, n,
+            len(central), cd_off,
+        )
+        out += _EOCD64_LOC_SIG + struct.pack("<IQI", 0, eocd64_at, 1)
+        out += _EOCD_SIG + struct.pack(
+            "<HHHHIIH", 0, 0, 0xFFFF, 0xFFFF, 0xFFFFFFFF, 0xFFFFFFFF, 0
+        )
+    else:
+        out += _EOCD_SIG + struct.pack(
+            "<HHHHIIH", 0, 0, n, n, len(central), cd_off, 0
+        )
     return bytes(out)
 
 
@@ -84,19 +137,71 @@ def _find_eocd(blob: bytes) -> int:
     return i
 
 
+def _zip64_fields(extra: bytes, sentinels: list) -> list:
+    """Resolve sentinel central-directory fields from the 0x0001
+    extended-information extra block (APPNOTE 4.5.3).  ``sentinels`` is
+    ``[(value, width)]`` in spec order (usize, csize, lho, disk): each
+    8-byte (4 for disk) replacement is present in the extra ONLY for
+    fields whose fixed value is the sentinel."""
+    body = None
+    pos = 0
+    while pos + 4 <= len(extra):
+        hid, hlen = struct.unpack_from("<HH", extra, pos)
+        if pos + 4 + hlen > len(extra):
+            raise ValueError("zip: extra field runs past its block")
+        if hid == 0x0001:
+            body = extra[pos + 4 : pos + 4 + hlen]
+            break
+        pos += 4 + hlen
+    out = []
+    at = 0
+    sentinel = {8: 0xFFFFFFFF, 4: 0xFFFF}
+    for value, width in sentinels:
+        if value == sentinel[width]:
+            if body is None:
+                raise ValueError(
+                    "zip: sentinel field without a zip64 extra block"
+                )
+            if at + width > len(body):
+                raise ValueError("zip: zip64 extra block too short")
+            value = int.from_bytes(body[at : at + width], "little")
+            at += width
+        out.append(value)
+    return out
+
+
 def read_zip(blob: bytes) -> list:
     """Walk the central directory and extract every member with CRC and
     size verification.  Returns ``[(name, data, method)]`` in directory
-    order."""
+    order.  ZIP64 archives (sentinel EOCD fields resolved through the
+    zip64 EOCD locator + record; sentinel member fields through 0x0001
+    extras) read natively."""
     e = _find_eocd(blob)
     (_dn, _d, n_here, n_total, cd_size, cd_off, _cl) = struct.unpack_from(
         "<HHHHIIH", blob, e + 4
     )
     if 0xFFFF in (n_here, n_total) or 0xFFFFFFFF in (cd_size, cd_off):
-        raise NotImplementedError(
-            "zip64 archive: >4 GiB shards need the ZIP64 records — the "
-            "documented seam; corpus shards are sized below it"
+        # ZIP64 (APPNOTE 4.5): the locator sits immediately before the
+        # EOCD and points at the zip64 EOCD record
+        if e < 20 or blob[e - 20 : e - 16] != _EOCD64_LOC_SIG:
+            raise ValueError(
+                "zip: sentinel EOCD fields but no zip64 EOCD locator"
+            )
+        loc_disk, eocd64_at, n_disks = struct.unpack_from(
+            "<IQI", blob, e - 16
         )
+        if loc_disk != 0 or n_disks > 1:
+            raise ValueError("zip: multi-disk zip64 archive")
+        if blob[eocd64_at : eocd64_at + 4] != _EOCD64_SIG:
+            raise ValueError("zip: zip64 EOCD locator offset is wrong")
+        (
+            _rsize, _vmade64, _vneed64, disk, cd_disk, n_here, n_total,
+            cd_size, cd_off,
+        ) = struct.unpack_from("<QHHIIQQQQ", blob, eocd64_at + 4)
+        if disk != 0 or cd_disk != 0:
+            raise ValueError("zip: multi-disk zip64 archive")
+    if n_here != n_total:
+        raise ValueError("zip: split archive (disk entry count mismatch)")
     if cd_off + cd_size > len(blob):
         raise ValueError("zip: central directory runs past end")
     out = []
@@ -108,11 +213,14 @@ def read_zip(blob: bytes) -> list:
             _vmade, _vneed, flags, method, _t, _d2, crc, csize, usize,
             nlen, xlen, clen, _disk, _iattr, _eattr, lho,
         ) = struct.unpack_from("<HHHHHHIIIHHHHHII", blob, pos + 4)
-        if 0xFFFFFFFF in (csize, usize, lho):
-            raise NotImplementedError("zip64 member — documented seam")
         if flags & 0x1:
             raise ValueError("zip: encrypted member")
         name = blob[pos + 46 : pos + 46 + nlen].decode("utf-8")
+        if 0xFFFFFFFF in (csize, usize, lho):
+            extra = blob[pos + 46 + nlen : pos + 46 + nlen + xlen]
+            usize, csize, lho = _zip64_fields(
+                extra, [(usize, 8), (csize, 8), (lho, 8)]
+            )
         pos += 46 + nlen + xlen + clen
         # local header: its own name/extra lengths may differ (extra
         # fields are often local-only); trust the central sizes

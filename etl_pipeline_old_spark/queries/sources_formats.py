@@ -2600,6 +2600,106 @@ def multimodal_zip_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _build_zip64_shard(pdf, sid: int) -> bytes:
+    # even shards: our writer forcing the full ZIP64 layout; odd shards:
+    # CPython zipfile writing zip64 members independently — so the reader
+    # is cross-validated against a foreign zip64 producer IN-PLAN, not
+    # just in unit tests
+    members = []
+    for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+        method = "stored" if int(doc_id) % 2 == 0 else "deflated"
+        members.append(
+            (f"{int(doc_id):08d}.txt", text.encode("utf-8"), method)
+        )
+    if sid % 2 == 0:
+        from ..operators.pkzip import write_zip
+
+        return write_zip(members, force_zip64=True)
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        for name, data, method in members:
+            info = zipfile.ZipInfo(name)
+            info.compress_type = (
+                zipfile.ZIP_STORED if method == "stored"
+                else zipfile.ZIP_DEFLATED
+            )
+            with z.open(info, "w", force_zip64=True) as fh:
+                fh.write(data)
+    return buf.getvalue()
+
+
+@register(
+    "multimodal_zip64_shards",
+    oracle="""
+    SELECT doc_id,
+      CASE WHEN doc_id % 2 = 0 THEN 'stored' ELSE 'deflated' END AS method,
+      octet_length(CAST(text AS BLOB)) AS n_bytes,
+      ('0x' || substr(md5(text), 1, 8))::BIGINT AS md5_head,
+      1 AS crc_ok
+    FROM documents
+    """,
+    doc="ZIP64 shard ingest (r10 verdict #2) — at 100 TB, >4 GiB shards "
+    "are routine, so the APPNOTE 4.5 layout is a first-class read path, "
+    "not a seam: sentinel EOCD fields resolve through the zip64 EOCD "
+    "locator + record, sentinel member sizes/offsets through per-member "
+    "0x0001 extended-information extras (operators/pkzip.py). Shards "
+    "alternate producers by parity — the engine's own writer forcing "
+    "the full zip64 layout on even shards, CPython's independent "
+    "zipfile writing zip64 members on odd shards — so foreign-producer "
+    "compatibility is value-checked IN-PLAN (every member's byte length "
+    "and md5-prefix fingerprint recomputed by the oracle from the base "
+    "table), in both directions with tests/test_pkzip.py. Per-member "
+    "CRC-32 and declared-size verification, multi-disk and truncated "
+    "zip64 extras loud. Scale: identical to multimodal_zip_shards — "
+    "the zip64 records travel with the blob, ingest stays "
+    "embarrassingly parallel across shards.",
+)
+def multimodal_zip64_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .web_corpus import _stage_shard_files
+
+    path = _stage_shard_files(
+        spark, sf_dir, "zip64_shards", _build_zip64_shard, suffix="zip"
+    )
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.zip")
+        .load(path)
+        .select("content")
+    )
+
+    def op(batches):
+        import hashlib as _hl
+
+        import pandas as pd
+
+        from ..operators.pkzip import read_zip
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "method": [], "n_bytes": [],
+                "md5_head": [], "crc_ok": [],
+            }
+            for blob in pdf["content"]:
+                for name, data, method in read_zip(bytes(blob)):
+                    out["doc_id"].append(int(name.split(".")[0]))
+                    out["method"].append(method)
+                    out["n_bytes"].append(len(data))
+                    out["md5_head"].append(
+                        int(_hl.md5(data).hexdigest()[:8], 16)
+                    )
+                    out["crc_ok"].append(1)
+            yield pd.DataFrame(out)
+
+    return bf.mapInPandas(
+        op,
+        schema="doc_id long, method string, n_bytes long, md5_head long, "
+        "crc_ok int",
+    )
+
+
 # -------------------------------------------------------- PDF text extract
 # PDF is the highest-volume document format a real LLM pipeline ingests
 # (papers, reports, books); extraction-to-text is a first-mile operator

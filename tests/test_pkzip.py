@@ -70,11 +70,80 @@ def test_encrypted_member_is_loud():
         read_zip(bytes(blob))
 
 
-def test_zip64_marker_is_documented_seam():
+def test_zip64_sentinel_without_locator_is_loud():
+    # a sentinel EOCD field with NO zip64 locator behind it is damage,
+    # not a seam (r11: zip64 reads natively now)
     blob = bytearray(write_zip([("s.txt", b"x", "stored")]))
     e = blob.rfind(b"PK\x05\x06")
     struct.pack_into("<I", blob, e + 16, 0xFFFFFFFF)  # cd offset marker
-    with pytest.raises(NotImplementedError, match="zip64"):
+    with pytest.raises(ValueError, match="no zip64 EOCD locator"):
+        read_zip(bytes(blob))
+
+
+_Z64_MEMBERS = [
+    ("a.txt", b"hello world" * 100, "deflated"),
+    ("dir/b.bin", bytes(range(256)) * 10, "stored"),
+    ("имя файла.txt", "данные файла".encode(), "deflated"),
+]
+
+
+def test_zip64_own_roundtrip():
+    blob = write_zip(_Z64_MEMBERS, force_zip64=True)
+    # the full zip64 layout is present: EOCD record, locator, extras
+    assert b"PK\x06\x06" in blob and b"PK\x06\x07" in blob
+    assert read_zip(blob) == _Z64_MEMBERS
+
+
+def test_stdlib_reads_our_zip64():
+    blob = write_zip(_Z64_MEMBERS, force_zip64=True)
+    zf = zipfile.ZipFile(io.BytesIO(blob))
+    assert [i.filename for i in zf.infolist()] == [
+        m[0] for m in _Z64_MEMBERS
+    ]
+    for name, data, _m in _Z64_MEMBERS:
+        assert zf.read(name) == data
+
+
+def test_we_read_stdlib_zip64():
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        for name, data, m in _Z64_MEMBERS:
+            with z.open(zipfile.ZipInfo(name), "w", force_zip64=True) as fh:
+                fh.write(data)
+    got = read_zip(buf.getvalue())
+    # zipfile's ZipInfo defaults to stored; compare names + payloads
+    assert [(n, d) for n, d, _ in got] == [
+        (n, d) for n, d, _ in _Z64_MEMBERS
+    ]
+
+
+def test_zip64_member_crc_still_verified():
+    blob = bytearray(write_zip(_Z64_MEMBERS, force_zip64=True))
+    # flip a payload byte of the stored member
+    at = blob.find(bytes(range(256)))
+    blob[at] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        read_zip(bytes(blob))
+
+
+def test_zip64_truncated_extra_is_loud():
+    blob = bytearray(write_zip([("s.txt", b"x" * 64, "stored")],
+                               force_zip64=True))
+    # shrink the declared length of the central 0x0001 extra block
+    cd = blob.find(b"PK\x01\x02")
+    ex = blob.find(struct.pack("<HH", 0x0001, 24), cd)
+    assert ex > 0
+    struct.pack_into("<H", blob, ex + 2, 8)  # lies: only 8 bytes present
+    with pytest.raises(ValueError, match="zip64 extra block too short"):
+        read_zip(bytes(blob))
+
+
+def test_multi_disk_zip64_is_loud():
+    blob = bytearray(write_zip([("s.txt", b"x", "stored")],
+                               force_zip64=True))
+    loc = blob.rfind(b"PK\x06\x07")
+    struct.pack_into("<I", blob, loc + 16, 3)  # total disks = 3
+    with pytest.raises(ValueError, match="multi-disk"):
         read_zip(bytes(blob))
 
 

@@ -106,6 +106,8 @@ REPEAT_QUERIES = (
     "multimodal_exif_gps_scrub",
     "multimodal_ogg_probe",
     "multimodal_zip_shards",
+    # r11: staged zip64 shards (alternating own writer / CPython zipfile)
+    "multimodal_zip64_shards",
     # r9: staged .pdf documents (+ the capstone sharing the staging)
     "pipeline_pdf_extract",
     "pipeline_document_corpus",
