@@ -162,11 +162,14 @@ def _split_plain(blob: bytes) -> Iterator[bytes]:
         i = end
 
 
-def _parse_record_typed(rec: bytes) -> tuple[str, int, str, bytes] | None:
+def _parse_record_typed(
+    rec: bytes, full_ctype: bool = False
+) -> tuple[str, int, str, bytes] | None:
     """Parse one uncompressed WARC record; (uri, status, content_type,
     body) for responses, None for other record types; raises on bad
     framing. content_type is the HTTP response header's media type
-    (parameters like charset stripped), '' if the response carries none
+    (parameters like charset stripped unless ``full_ctype`` — the
+    charset-detection path needs them), '' if the response carries none
     — the routing key a mixed-media crawl needs (HTML vs image/*)."""
     if not rec.startswith(b"WARC/"):
         raise ValueError(f"not a WARC record: {rec[:16]!r}")
@@ -184,8 +187,25 @@ def _parse_record_typed(rec: bytes) -> tuple[str, int, str, bytes] | None:
     status = int(status_line.split(b" ")[1])
     http_head, _, body = payload.partition(_CRLF * 2)
     http_headers = _parse_headers(http_head)
-    ctype = http_headers.get("content-type", "").split(";")[0].strip()
+    ctype = http_headers.get("content-type", "")
+    if not full_ctype:
+        ctype = ctype.split(";")[0].strip()
     return headers.get("warc-target-uri", ""), status, ctype, body
+
+
+def iter_warc_responses_raw_ctype(
+    blob: bytes,
+) -> Iterator[tuple[str, int, str, bytes]]:
+    """Like iter_warc_responses_typed but the content type keeps its
+    parameters (``text/html; charset=windows-1251``) — the charset
+    detection cascade's HTTP evidence tier needs them verbatim."""
+    members = (
+        split_gzip_members(blob) if blob[:2] == b"\x1f\x8b" else _split_plain(blob)
+    )
+    for rec in members:
+        parsed = _parse_record_typed(rec, full_ctype=True)
+        if parsed is not None:
+            yield parsed
 
 
 def _parse_record(rec: bytes) -> tuple[str, int, bytes] | None:

@@ -777,3 +777,143 @@ def pipeline_web_corpus_incremental(spark: SparkSession, sf_dir: str) -> DataFra
         .alias("n_domains"),
         F.round(F.sum("p_tokens") / F.sum("p_docs"), 2).alias("avg_words"),
     )
+
+
+# ---------------------------------------------------------------------------
+# legacy-charset crawl ingestion (r10 verdict #3): real RU crawl shards
+# are Windows-1251 / KOI8-R about as often as UTF-8 — the reference
+# pipeline's whole domain is Russian-market systems, so a UTF-8-only
+# ingest silently mangles exactly its documents. operators/charset.py
+# implements the WHATWG-order detection cascade (BOM > HTTP charset >
+# meta prescan > UTF-8 validity > Cyrillic byte-distribution) and strict
+# transcoding.
+
+_CHARSET_SUFFIX = (
+    " Съешь же ещё этих мягких французских булок да выпей чаю номер "
+)
+# per-doc staging plan, cycled doc_id % 5:
+#   0: UTF-8 + BOM, no declaration            -> detected via 'bom'
+#   1: Windows-1251, charset in HTTP header   -> 'http'
+#   2: KOI8-R, <meta charset> in the prescan  -> 'meta'
+#   3: Windows-1251, NO declaration           -> 'heuristic' (0xE0-0xFF)
+#   4: KOI8-R, NO declaration                 -> 'heuristic' (0xC0-0xDF)
+_CHARSET_OF = ("utf-8", "windows-1251", "koi8-r", "windows-1251", "koi8-r")
+_METHOD_OF = ("bom", "http", "meta", "heuristic", "heuristic")
+
+
+def _build_charset_shard(pdf, sid: int) -> bytes:
+    import codecs
+
+    from ..operators.warc import encode_warc_shard
+
+    records = []
+    for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+        did = int(doc_id)
+        full = f"{text}{_CHARSET_SUFFIX}{did}."
+        case = did % 5
+        meta = '<meta charset="koi8-r">' if case == 2 else ""
+        page = f"<html><head>{meta}</head><body>{full}</body></html>"
+        enc = {"utf-8": "utf-8", "windows-1251": "cp1251",
+               "koi8-r": "koi8_r"}[_CHARSET_OF[case]]
+        body = page.encode(enc)
+        if case == 0:
+            body = codecs.BOM_UTF8 + body
+        ctype = (
+            "text/html; charset=windows-1251" if case == 1 else "text/html"
+        )
+        records.append((f"https://legacy.ru.example/{did}", body, 200, ctype))
+    return encode_warc_shard(records, sid)
+
+
+@register(
+    "web_charset_ingest",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id,
+             text || '{_CHARSET_SUFFIX}' || doc_id || '.' AS full_text
+      FROM documents)
+    SELECT doc_id,
+      CASE doc_id % 5
+        WHEN 0 THEN 'utf-8' WHEN 1 THEN 'windows-1251'
+        WHEN 2 THEN 'koi8-r' WHEN 3 THEN 'windows-1251'
+        ELSE 'koi8-r' END AS charset,
+      CASE doc_id % 5
+        WHEN 0 THEN 'bom' WHEN 1 THEN 'http' WHEN 2 THEN 'meta'
+        ELSE 'heuristic' END AS method,
+      length(full_text) AS n_chars,
+      ('0x' || substr(md5(full_text), 1, 8))::BIGINT AS md5_head
+    FROM b
+    """,
+    doc="Legacy-charset crawl ingestion — the RU-web reality the "
+    "reference's domain implies (its extractors target Russian-market "
+    "systems; real RU crawl shards are Windows-1251/KOI8-R as often as "
+    "UTF-8): each document's page is staged into genuine .warc.gz "
+    "shards encoded per a 5-way cycle (UTF-8+BOM with no declaration; "
+    "cp1251 declared only in the HTTP Content-Type; KOI8-R declared "
+    "only in a <meta charset> prescan tag; cp1251 and KOI8-R with NO "
+    "declaration at all), every page carrying a Cyrillic pangram "
+    "suffix so the byte-distribution fallback has real signal. The "
+    "kernel runs the WHATWG-order cascade (operators/charset.py: BOM > "
+    "HTTP charset param > 1024-byte meta prescan > strict-UTF-8 "
+    "validity > the classic cp1251-vs-KOI8 lowercase-block heuristic — "
+    "the two encodings SWAP their Cyrillic case ranges, 0xE0-0xFF vs "
+    "0xC0-0xDF), transcodes strictly, and recovers the body text; the "
+    "oracle recomputes the detected charset AND method from the cycle "
+    "formula and the recovered text's exact md5 from the base table — "
+    "mojibake (e.g. decoding cp1251 bytes as KOI8-R yields valid but "
+    "WRONG Cyrillic) flips the hash. Undecodable bytes and unknown "
+    "declared labels raise per record (quarantine, never silent "
+    "corruption). Scale: detection reads at most the page's own bytes "
+    "map-side; the cascade is branch-cheap and shard-parallel like "
+    "every WARC ingest.",
+)
+def web_charset_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_shard_files(
+        spark, sf_dir, "charset_shards", _build_charset_shard
+    )
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc.gz")
+        .load(path)
+        .select("content")
+    )
+
+    def op(batches):
+        import hashlib as _hl
+        import re as _re
+
+        import pandas as pd
+
+        from ..operators.charset import detect_charset, transcode_to_text
+        from ..operators.warc import iter_warc_responses_raw_ctype
+
+        body_re = _re.compile(r"<body>(.*)</body>", _re.S)
+        for pdf in batches:
+            out = {
+                "doc_id": [], "charset": [], "method": [],
+                "n_chars": [], "md5_head": [],
+            }
+            for blob in pdf["content"]:
+                for uri, _status, ctype, body in iter_warc_responses_raw_ctype(
+                    bytes(blob)
+                ):
+                    cs, method = detect_charset(body, ctype)
+                    page = transcode_to_text(body, cs)
+                    m = body_re.search(page)
+                    if not m:
+                        raise ValueError(f"charset: no <body> in {uri}")
+                    full = m.group(1)
+                    out["doc_id"].append(int(uri.rsplit("/", 1)[1]))
+                    out["charset"].append(cs)
+                    out["method"].append(method)
+                    out["n_chars"].append(len(full))
+                    out["md5_head"].append(
+                        int(_hl.md5(full.encode("utf-8")).hexdigest()[:8], 16)
+                    )
+            yield pd.DataFrame(out)
+
+    return bf.mapInPandas(
+        op,
+        schema="doc_id long, charset string, method string, n_chars long, "
+        "md5_head long",
+    )

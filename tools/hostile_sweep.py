@@ -76,6 +76,8 @@ REPEAT_QUERIES = (
     "multimodal_g711_ingest",
     "warc_web_ingest",
     "pipeline_web_corpus",
+    # r11: staged mixed-charset crawl shards (cp1251/KOI8-R/UTF-8+BOM)
+    "web_charset_ingest",
     "warc_ingest_quarantine",
     "stream_warc_ingest",
     "multimodal_audio_resample",
