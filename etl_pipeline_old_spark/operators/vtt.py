@@ -132,7 +132,13 @@ def caption_stats(doc: str) -> dict:
     of cue intervals — overlaps merged, not double-counted),
     ``first_start_ms``, ``last_end_ms``, ``n_chars`` (payload
     characters across cues, newlines excluded)."""
-    cues = parse_vtt(doc)
+    return cue_stats(parse_vtt(doc))
+
+
+def cue_stats(cues: list) -> dict:
+    """The format-independent half of ``caption_stats``: structure stats
+    over ``[(start_ms, end_ms, text)]`` cues from ANY subtitle format
+    (WebVTT here, SRT in operators/srt.py)."""
     if not cues:
         return {
             "n_cues": 0, "covered_ms": 0, "first_start_ms": 0,

@@ -3167,6 +3167,98 @@ def _render_vtt(doc_id: int, text: str, lang: str | None = None) -> bytes:
     return write_vtt(cues, meta).encode("utf-8")
 
 
+def _render_srt(doc_id: int, text: str) -> bytes:
+    # the same cue-structure formulas as _render_vtt, expressed in SRT
+    # (comma-millis timing, numbered blocks, no signature) so both
+    # sidecar formats share one oracle shape; every 3rd file leads with
+    # the UTF-8 BOM SubRip's Windows heritage makes common
+    from ..operators.srt import write_srt
+
+    n = 2 + doc_id % 5
+    off = (doc_id % 7) * 10
+    k = doc_id % 7
+    cues = [
+        (i * 2000 + off, i * 2000 + off + 1500, f"cue-{i}-{k}")
+        for i in range(n)
+    ]
+    if doc_id % 4 == 0:  # overlapping tail cue: merge must not double-count
+        last_end = (n - 1) * 2000 + off + 1500
+        cues.append((last_end - 500, last_end + 1000, "tail"))
+    doc = write_srt(cues)
+    if doc_id % 3 == 0:
+        doc = "﻿" + doc
+    return doc.encode("utf-8")
+
+
+@register(
+    "multimodal_srt_captions",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, 2 + doc_id % 5 AS n, (doc_id % 7) * 10 AS off,
+             CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS ov
+      FROM documents)
+    SELECT doc_id,
+      CAST(n + ov AS INT) AS n_cues,
+      CAST(n * 1500 + ov * 1000 AS BIGINT) AS covered_ms,
+      CAST(off AS BIGINT) AS first_start_ms,
+      CAST((n - 1) * 2000 + off + 1500 + ov * 1000 AS BIGINT) AS last_end_ms,
+      CAST(7 * n + ov * 4 AS BIGINT) AS n_chars
+    FROM b
+    """,
+    doc="SRT caption-sidecar ingest (r10 verdict #4) — SubRip OUTNUMBERS "
+    "WebVTT in real crawled video corpora (it is the ripping-tool and "
+    "community interchange format; VTT is web delivery), so a coverage "
+    "gate reading only .vtt drops most of a corpus. operators/srt.py "
+    "parses the numbered blocks / comma-millis timing / blank-line "
+    "separation structure, consumes the UTF-8 BOM every 3rd staged file "
+    "carries, enforces ascending numeric cue indices, and shares the "
+    "overlap-MERGED interval stats with the VTT family (vtt.cue_stats) "
+    "— the staged corpus reuses the exact VTT cue formulas, so the "
+    "oracle recomputes every column and a comma/dot timing confusion "
+    "or double-counted overlap fails the hash. Malformed indices, "
+    "timing lines, reversed cues, and empty payloads raise per record. "
+    "Scale: identical to multimodal_vtt_captions — sidecar-sized "
+    "parse, no payload bytes touched.",
+)
+def multimodal_srt_captions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_media_files(spark, sf_dir, "srt_files", "srt", _render_srt)
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.srt")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.srt$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "content",
+        )
+    )
+
+    def op(batches):
+        import pandas as pd
+
+        from ..operators.srt import srt_caption_stats
+
+        cols = [
+            "n_cues", "covered_ms", "first_start_ms", "last_end_ms",
+            "n_chars",
+        ]
+        for pdf in batches:
+            out = {c: [] for c in ["doc_id", *cols]}
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                st = srt_caption_stats(bytes(content).decode("utf-8"))
+                out["doc_id"].append(int(doc_id))
+                for c in cols:
+                    out[c].append(st[c])
+            yield pd.DataFrame(out)
+
+    return bf.mapInPandas(
+        op,
+        schema="doc_id long, n_cues int, covered_ms long, "
+        "first_start_ms long, last_end_ms long, n_chars long",
+    )
+
+
 @register(
     "multimodal_vtt_captions",
     oracle="""
@@ -3567,6 +3659,130 @@ def multimodal_caption_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return vids.join(caps, "doc_id").select(
         "doc_id",
+        "duration_ms",
+        "covered_ms",
+        F.least(
+            F.lit(1000),
+            (F.col("covered_ms") * 1000 / F.col("duration_ms")).cast("long"),
+        )
+        .cast("long")
+        .alias("coverage_permille"),
+    )
+
+
+@register(
+    "multimodal_caption_coverage_mixed",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, doc_id % 3 AS m,
+             2 + doc_id % 5 AS n, (doc_id % 7) * 10 AS off,
+             CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS ov
+      FROM documents),
+    v AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'vtt' ELSE 'srt' END AS fmt,
+             CAST(CASE m WHEN 0 THEN 1000 * (1 + doc_id % 10)
+                         WHEN 1 THEN 2500 ELSE 750 END AS BIGINT)
+               AS duration_ms,
+             CAST(n * 1500 + ov * 1000 AS BIGINT) AS covered_ms
+      FROM b)
+    SELECT doc_id, fmt, duration_ms, covered_ms,
+           CAST(least(1000, (covered_ms * 1000) // duration_ms) AS BIGINT)
+             AS coverage_permille
+    FROM v
+    """,
+    doc="Mixed-format caption alignment gate (r10 verdict #4) — the "
+    "real-corpus shape: HALF the sidecars are WebVTT, half SubRip "
+    "(alternating by doc parity), and ONE ingest dispatches on the "
+    "file extension to the right parser (operators/vtt.py / "
+    "operators/srt.py), both feeding the shared overlap-merged "
+    "interval stats before the 1:1 join onto the EBML-probed video "
+    "durations. Exact integer coverage permille as in "
+    "multimodal_caption_coverage; the oracle additionally recomputes "
+    "which FORMAT each doc rode in, so a dispatch bug (SRT parsed as "
+    "VTT or vice versa — both would raise here, but a lenient parser "
+    "could limp through) cannot hide. Scale: the caption scan reads "
+    "two sidecar directories instead of one — still metadata-sized; "
+    "the join and gate are unchanged.",
+)
+def multimodal_caption_coverage_mixed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    webm_path = _stage_media_files(
+        spark, sf_dir, "webm_files", "webm", _render_webm
+    )
+    vtt_path = _stage_media_files(spark, sf_dir, "vtt_files", "vtt", _render_vtt)
+    srt_path = _stage_media_files(spark, sf_dir, "srt_files", "srt", _render_srt)
+
+    def vid_op(batches):
+        import re as _re
+
+        import pandas as pd
+
+        from ..operators.ebml import probe_webm
+
+        for pdf in batches:
+            out = {"doc_id": [], "duration_ms": []}
+            for p, content in zip(pdf["path"], pdf["content"]):
+                out["doc_id"].append(
+                    int(_re.search(r"(\d+)\.webm$", p).group(1))
+                )
+                out["duration_ms"].append(
+                    probe_webm(bytes(content))["duration_ms"]
+                )
+            yield pd.DataFrame(out)
+
+    def cap_op(batches):
+        # extension-dispatched sidecar parse: one kernel, two formats
+        import re as _re
+
+        import pandas as pd
+
+        from ..operators.srt import srt_caption_stats
+        from ..operators.vtt import caption_stats
+
+        for pdf in batches:
+            out = {"doc_id": [], "fmt": [], "covered_ms": []}
+            for p, content in zip(pdf["path"], pdf["content"]):
+                m = _re.search(r"(\d+)\.(vtt|srt)$", p)
+                doc = bytes(content).decode("utf-8")
+                fmt = m.group(2)
+                st = caption_stats(doc) if fmt == "vtt" else srt_caption_stats(doc)
+                out["doc_id"].append(int(m.group(1)))
+                out["fmt"].append(fmt)
+                out["covered_ms"].append(st["covered_ms"])
+            yield pd.DataFrame(out)
+
+    vids = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.webm")
+        .load(webm_path)
+        .select("path", "content")
+        .mapInPandas(vid_op, schema="doc_id long, duration_ms long")
+    )
+    doc_no = F.regexp_extract(F.col("path"), r"(\d+)\.(?:vtt|srt)$", 1).cast(
+        "long"
+    )
+    vtt_side = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.vtt")
+        .load(vtt_path)
+        .filter(doc_no % 2 == 0)
+        .select("path", "content")
+    )
+    srt_side = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.srt")
+        .load(srt_path)
+        .filter(doc_no % 2 == 1)
+        .select("path", "content")
+    )
+    caps = vtt_side.unionByName(srt_side).mapInPandas(
+        cap_op, schema="doc_id long, fmt string, covered_ms long"
+    )
+    return vids.join(caps, "doc_id").select(
+        "doc_id",
+        "fmt",
         "duration_ms",
         "covered_ms",
         F.least(

@@ -121,6 +121,9 @@ REPEAT_QUERIES = (
     # both stagings)
     "multimodal_vtt_captions",
     "multimodal_caption_coverage",
+    # r11: staged .srt sidecars + the mixed VTT/SRT dispatch gate
+    "multimodal_srt_captions",
+    "multimodal_caption_coverage_mixed",
     # r9: the PDF operational trio (corrupt staging, stream target+chk,
     # shared pdf_files staging)
     "pdf_ingest_quarantine",
