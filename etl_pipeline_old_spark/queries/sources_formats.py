@@ -4649,9 +4649,13 @@ def video_temporal_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fh = bf.mapInPandas(op, schema="clip string, frame_id int, fh string")
     a, b = fh.alias("a"), fh.alias("b")
+    # no join-strategy hint: the band key (frame_id, fh) is an equi key,
+    # so AQE is free to pick broadcast at sidecar scale and to split a
+    # skewed band at corpus scale — forcing SortMergeJoin would forgo
+    # AQE's skew handling (r10 verdict #7)
     return (
         a.join(
-            b.hint("merge"),
+            b,
             (F.col("a.frame_id") == F.col("b.frame_id"))
             & (F.col("a.fh") == F.col("b.fh"))
             & (F.col("a.clip") < F.col("b.clip")),

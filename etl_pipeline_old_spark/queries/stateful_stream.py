@@ -35,30 +35,17 @@ def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFram
     return stream_running_totals(spark, sf_dir)
 
 
-from ..streaming.stateful import transform_with_state_supported
-
-if transform_with_state_supported():
-    # Registered ONLY where the 'protobuf' package exists: Spark 4's
-    # transformWithState state-server wire format needs it, and a registered
-    # query must never hand the driver a guaranteed error row. In gated-off
-    # environments tests/test_streaming_recovery.py still documents the
-    # ImportError branch; applyInPandasWithState (above) is the supported
-    # stateful path.
-
-    @register(
-        "stream_user_profile_tws",
-        oracle="""
-        SELECT user_id,
-               (2 * count(*))::BIGINT AS n_events,
-               min(epoch_us(ts)) AS first_us,
-               max(epoch_us(ts)) AS last_us
-        FROM events GROUP BY user_id
-        """,
-        doc="Per-user profile via the Spark 4 transformWithState "
-        "StatefulProcessor API (ValueState crossing 2 micro-batches over a "
-        "doubled feed; RocksDB store). Integer-only outputs -> exact oracle.",
-    )
-    def stream_user_profile_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from ..streaming.stateful import stream_user_profile_tws as _tws
-
-        return _tws(spark, sf_dir)
+# NOT declared in the registry in any environment (r10 verdict #8): the
+# Spark 4 transformWithState operator exists as a CAPABILITY
+# (streaming/stateful.py stream_user_profile_tws) but its state-server
+# wire format needs the 'protobuf' runtime, which pyspark's state
+# clients consume through generated pb2 modules (descriptor pool +
+# SerializeToString) — not shimmable without the real package, and pip
+# is unavailable here. A conditional registration would make the
+# registry's declared surface environment-dependent (the one phantom row
+# r10 flagged), so the capability lives under
+# tests/test_streaming_recovery.py instead: where protobuf exists the
+# test value-checks it against the batch aggregate; here it asserts the
+# documented loud ImportError. applyInPandasWithState
+# (stream_stateful_running_totals above) is the supported custom-state
+# path in this environment.
