@@ -1,0 +1,167 @@
+"""Measured scaling curves for the r9/r10 capstone PIPELINES (r10
+verdict #5): pipeline_document_corpus (PDF -> text -> stats),
+pipeline_image_text_pairs_bucketed (LAION shape, bucketed no-broadcast
+variant), and pipeline_video_text_pairs (tar -> EBML -> VTT -> gate in
+one Arrow kernel).
+
+Method: the sf0.1 documents table is inflated k-fold into a TEMP sf_dir
+(distinct doc_ids, texts perturbed per copy), so each pipeline stages
+and parses a k-fold media corpus through its real path.  Two timings
+per (pipeline, k):
+
+- ``stage+run`` — first invocation: media staging (executor-side file
+  writes) plus the full pipeline;
+- ``steady`` — second invocation on the already-staged corpus: the
+  recurring ingest cost, the number the 100 TB claim is about.
+
+Map-side Arrow kernels should be embarrassingly parallel: near-linear
+``steady`` growth at k=16 is the evidence.  Writes the
+``<!-- pipeline-scale:begin -->`` section of SCALE_PROBE.md.
+
+Run: python tools/pipeline_scale_probe.py
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from etl_pipeline_old_spark.catalog import load_table  # noqa: E402
+from etl_pipeline_old_spark.session import get_spark  # noqa: E402
+
+FACTORS = (1, 4, 16)
+ID_OFFSET = 10_000_000
+TMP = "/tmp/pipeline_scale_probe"
+
+
+def stage_inflated_sf(spark, sf_dir: str, k: int, name: str | None = None) -> str:
+    """Write a k-fold documents table under a temp sf_dir whose basename
+    ('k1', 'k4', ...) keys the media stagers' cache tags apart."""
+    out = os.path.join(TMP, name or f"k{k}")
+    dst = os.path.join(out, "documents.parquet")
+    if os.path.exists(dst):
+        return out
+    os.makedirs(out, exist_ok=True)
+    d = load_table(spark, sf_dir, "documents")
+    copies = [
+        d.select(
+            (F.col("doc_id") + i * ID_OFFSET).alias("doc_id"),
+            F.concat_ws(" ", "text", F.lit(f"copytoken{i}")).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        for i in range(k)
+    ]
+    infl = copies[0]
+    for c in copies[1:]:
+        infl = infl.unionByName(c)
+    tmp_dir = dst + ".tmpdir"
+    infl.coalesce(max(1, k)).write.mode("overwrite").parquet(tmp_dir)
+    os.replace(tmp_dir, dst)
+    return out
+
+
+def pipelines():
+    from etl_pipeline_old_spark.queries.image_text import (
+        pipeline_image_text_pairs_bucketed,
+    )
+    from etl_pipeline_old_spark.queries.sources_formats import (
+        pipeline_document_corpus,
+        pipeline_video_text_pairs,
+    )
+
+    return {
+        "pipeline_document_corpus": pipeline_document_corpus,
+        "pipeline_image_text_pairs_bucketed": pipeline_image_text_pairs_bucketed,
+        "pipeline_video_text_pairs": pipeline_video_text_pairs,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("pipeline_scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    load1, load5, _ = os.getloadavg()
+
+    # warm the JVM/codegen for every pipeline shape on a throwaway tag so
+    # the k=1 stage+run is not a cold-start measurement (same discipline
+    # as tools/scale_probe.py)
+    warm = stage_inflated_sf(spark, sf_dir, 1, name="warm")
+    for fn in pipelines().values():
+        fn(spark, warm).count()
+
+    rows = []  # (pipeline, k, stage_run_s, steady_s)
+    for k in FACTORS:
+        sf_k = stage_inflated_sf(spark, sf_dir, k)
+        for name, fn in pipelines().items():
+            t0 = time.perf_counter()
+            fn(spark, sf_k).count()
+            stage_run = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            fn(spark, sf_k).count()
+            steady = time.perf_counter() - t0
+            rows.append((name, k, round(stage_run, 2), round(steady, 2)))
+            print(rows[-1], flush=True)
+
+    by_p: dict[str, dict[int, tuple]] = {}
+    for name, k, sr, st in rows:
+        by_p.setdefault(name, {})[k] = (sr, st)
+    lines = [
+        "<!-- pipeline-scale:begin -->",
+        "## Capstone pipeline scaling (r11, tools/pipeline_scale_probe.py)",
+        "",
+        f"sf0.1 documents inflated k-fold into a temp sf_dir; loadavg at "
+        f"start {load1:.1f}/{load5:.1f}. `stage+run` includes the one-time "
+        "executor-side media staging; `steady` is the recurring ingest "
+        "(already-staged corpus) — the 100 TB number. Media staged per k: "
+        "PDFs (one per doc), image-pair .warc.gz shards, video-text "
+        "WebDataset .tar shards.",
+        "",
+        "| pipeline | metric | " + " | ".join(f"k={k}" for k in FACTORS)
+        + " | t(k16)/t(k1) |",
+        "|---|---|" + "---|" * (len(FACTORS) + 1),
+    ]
+    for name, per_k in by_p.items():
+        for mi, metric in ((0, "stage+run"), (1, "steady")):
+            vals = [per_k[k][mi] for k in FACTORS]
+            lines.append(
+                f"| {name} | {metric} | "
+                + " | ".join(f"{v:.2f}s" for v in vals)
+                + f" | {round(vals[-1] / vals[0], 1)}x |"
+            )
+    lines += [
+        "",
+        "Reading: all three pipelines are map-side Arrow kernels until "
+        "their final (tiny) aggregate or sidecar-sized join, so `steady` "
+        "should grow ~linearly in k (k=16 ratio near 16x or below; "
+        "below happens when k=1 is dominated by fixed per-query plan "
+        "overhead). Superlinear growth here would mean a shuffle whose "
+        "volume scales with payload bytes — the design violation the "
+        "probe exists to catch.",
+        "<!-- pipeline-scale:end -->",
+    ]
+
+    doc_path = "SCALE_PROBE.md"
+    text = open(doc_path, encoding="utf-8").read()
+    begin, end = "<!-- pipeline-scale:begin -->", "<!-- pipeline-scale:end -->"
+    block = "\n".join(lines)
+    if begin in text:
+        pre = text[: text.index(begin)]
+        post = text[text.index(end) + len(end):]
+        text = pre + block + post
+    else:
+        text = text.rstrip() + "\n\n" + block + "\n"
+    open(doc_path, "w", encoding="utf-8").write(text)
+    print("SCALE_PROBE.md updated")
+    shutil.rmtree(TMP, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
