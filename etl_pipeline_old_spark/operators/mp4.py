@@ -94,6 +94,10 @@ class SampleEntry:
     sample_rate: int = 0
     sample_size_bits: int = 0
     pcm_big_endian: bool = True
+    # mp4a only: the esds AudioSpecificConfig parameters (operators/aac.py)
+    # — aot/sample_rate/channels/frame_length/object_type/avg_bitrate.
+    # Probing these is metadata; PAYLOAD decode stays the documented seam.
+    aac: dict | None = None
 
 
 @dataclass
@@ -155,6 +159,12 @@ def _parse_sample_entry(buf: bytes, b0: int, b1: int) -> SampleEntry:
                 fmt_flags = buf[pc[0] + 4]
                 entry.pcm_big_endian = not (fmt_flags & 0x01)
                 entry.sample_size_bits = buf[pc[0] + 5]
+            if fc == b"mp4a":
+                es = _find(buf, e0 + 28, e1, b"esds")
+                if es is not None:
+                    from .aac import parse_esds
+
+                    entry.aac = parse_esds(buf[es[0] : es[1]])
         return entry
     raise ValueError("mp4: empty stsd")
 

@@ -2251,6 +2251,112 @@ def multimodal_mp3_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------- AAC (ADTS) probe
+# The dominant compressed-audio format in crawled MP4/podcast corpora.
+# operators/aac.py walks the ADTS frame structure (14496-3) exactly —
+# the filter-before-decode pass, like multimodal_mp3_probe for MP3 —
+# while psychoacoustic payload decode stays the documented loud seam
+# (no independent AAC decoder exists in this container to cross-validate
+# a from-scratch one; an unverifiable decoder is worse than a seam).
+
+_AAC_RATE_IDX = (3, 4, 8, 11)  # 48000 / 44100 / 16000 / 8000
+
+
+def _render_aac(doc_id: int, text: str) -> bytes:
+    from ..operators.aac import write_adts
+
+    n = 5 + doc_id % 10
+    payloads = [
+        bytes([(doc_id + i) % 256]) * (40 + (doc_id + i) % 60)
+        for i in range(n)
+    ]
+    return write_adts(
+        payloads,
+        rate_index=_AAC_RATE_IDX[doc_id % 4],
+        channels=1 + doc_id % 2,
+        crc=doc_id % 3 == 0,
+    )
+
+
+@register(
+    "multimodal_aac_probe",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, 5 + doc_id % 10 AS n,
+             CASE doc_id % 4 WHEN 0 THEN 48000 WHEN 1 THEN 44100
+                             WHEN 2 THEN 16000 ELSE 8000 END AS rate
+      FROM documents)
+    SELECT doc_id,
+      'LC' AS profile,
+      CAST(rate AS INT) AS sample_rate,
+      CAST(1 + doc_id % 2 AS INT) AS channels,
+      CAST(n AS INT) AS n_frames,
+      list_sum(list_transform(range(0, n),
+                              i -> 40 + (doc_id + i) % 60))::BIGINT
+        AS sum_payload_bytes,
+      CAST(CASE WHEN doc_id % 3 = 0 THEN n ELSE 0 END AS INT) AS crc_frames,
+      CAST(n * 1024 * 1000 // rate AS INT) AS duration_ms
+    FROM b
+    """,
+    doc="AAC stream probe (r10 verdict #9, the honest fallback): staged "
+    "spec-shaped ADTS streams (operators/aac.py, ISO 14496-3 §1.A.3.2 "
+    "— syncword, profile/frequency-index/channel-config fields, 13-bit "
+    "header-inclusive frame lengths, protection_absent cycling so a "
+    "third of the corpus carries the 9-byte CRC header form) are "
+    "frame-walked EXACTLY: rate/channel/profile consistency enforced "
+    "mid-stream, torn frames raise, duration = 1024 samples per raw "
+    "data block. Every column recomputed by the oracle from the "
+    "staging formulas. The esds/AudioSpecificConfig path (the MP4 "
+    "carriage of the same parameters) is parsed by the same module "
+    "and wired into the ISO BMFF demuxer's mp4a sample entries "
+    "(operators/mp4.py), unit-tested in tests/test_aac_probe.py. "
+    "Psychoacoustic payload decode is the documented loud seam: "
+    "decode_aac raises, because no independent decoder exists here to "
+    "cross-validate against (FLAC decodes natively because lossless "
+    "exact recovery IS its oracle; AAC is lossy). Scale: identical to "
+    "the MP3 probe — metadata-bounded frame walk, shard-parallel, "
+    "per-record quarantine.",
+)
+def multimodal_aac_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_media_files(spark, sf_dir, "aac_files", "aac", _render_aac)
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.aac")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.aac$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "content",
+        )
+    )
+
+    def op(batches):
+        import pandas as pd
+
+        from ..operators.aac import probe_adts
+
+        cols = [
+            "profile", "sample_rate", "channels", "n_frames",
+            "sum_payload_bytes", "crc_frames", "duration_ms",
+        ]
+        for pdf in batches:
+            out = {c: [] for c in ["doc_id", *cols]}
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                p = probe_adts(bytes(content))
+                out["doc_id"].append(int(doc_id))
+                for c in cols:
+                    out[c].append(p[c])
+            yield pd.DataFrame(out)
+
+    return bf.mapInPandas(
+        op,
+        schema="doc_id long, profile string, sample_rate int, channels int, "
+        "n_frames int, sum_payload_bytes long, crc_frames int, "
+        "duration_ms int",
+    )
+
+
 # ------------------------------------------------ EXIF extract + GPS scrub
 # Crawled camera imagery carries EXIF twice over: as SIGNAL (orientation
 # to bake in before tiling, timestamps for provenance) and as RISK (GPS

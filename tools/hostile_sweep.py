@@ -105,6 +105,8 @@ REPEAT_QUERIES = (
     # zip shards) — all marker-file idempotent media stagers
     "multimodal_mp4_probe",
     "multimodal_mp3_probe",
+    # r11: staged ADTS .aac streams
+    "multimodal_aac_probe",
     "multimodal_exif_gps_scrub",
     "multimodal_ogg_probe",
     "multimodal_zip_shards",
