@@ -147,6 +147,12 @@ HEADLINE = [
     # rows into the final per-(lang, codec) aggregate; nothing joins,
     # nothing broadcasts. Tracks the container+caption pairing path.
     "pipeline_video_text_pairs",
+    # r11: the CID-PDF sentinel — Type0/Identity-H documents whose text
+    # rides as 2-byte CID codes, recovered through the embedded
+    # ToUnicode CMap (codespace-aware splitting + bfchar/bfrange maps).
+    # Tracks the modern-PDF extraction path beside its simple-font
+    # sibling pipeline_document_corpus above.
+    "pipeline_pdf_cid_extract",
 ]
 
 

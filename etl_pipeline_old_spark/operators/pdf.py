@@ -28,10 +28,13 @@ supported through their embedded /ToUnicode CMap (ISO 32000 §9.10.3):
 ``write_pdf_cid`` stages genuine Identity-H/CIDFontType2 documents whose
 shown strings are CID codes, ``parse_tounicode_cmap`` handles bfchar and
 both bfrange destination forms, and extraction decodes code-by-code with
-codespace-aware widths.  What stays outside: scanned/image-only PDFs
-(they need OCR — a model, not a parser), Type0 fonts WITHOUT a ToUnicode
-CMap (recovery would need the embedded font program's cmap table), and
-encrypted documents; all are loud, documented seams.  Damage (bad xref
+codespace-aware widths.  RC4 standard-handler encryption
+(revisions 2/3 — the legacy "owner-locked" documents real corpora carry)
+decrypts transparently via operators/pdf_crypt.py, with the /U check
+making wrong passwords loud.  What stays outside: scanned/image-only
+PDFs (they need OCR — a model, not a parser), Type0 fonts WITHOUT a
+ToUnicode CMap (recovery would need the embedded font program's cmap
+table), and AES-era encryption (/V 4+); all are loud, documented seams.  Damage (bad xref
 offset, truncated stream, length mismatch, unmapped CID) raises — one
 document costs one record, never the job.
 """
@@ -112,6 +115,92 @@ def write_pdf(pages: list, compress: bool = False) -> bytes:
     out += (
         b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
         % (len(objs) + 1, xref_at)
+    )
+    return bytes(out)
+
+
+def write_pdf_encrypted(
+    pages: list,
+    user_pw: bytes = b"",
+    owner_pw: bytes = b"own",
+    rev: int = 3,
+    compress: bool = False,
+) -> bytes:
+    """Serialize ``pages`` into a PDF encrypted with the standard
+    security handler (ISO 32000-1 §7.6.3, RC4): revision 2 (40-bit) or
+    3 (128-bit).  The default empty user password is the real-world
+    "owner-locked" shape — restrictions set, content readable by spec
+    design.  Streams are compressed BEFORE encryption (spec order);
+    RC4 is length-preserving so xref offsets are exact."""
+    from .pdf_crypt import compute_o, compute_u, file_key, object_key, rc4
+
+    if rev not in (2, 3):
+        raise ValueError("pdf: standard handler revision must be 2 or 3")
+    n = 5 if rev == 2 else 16
+    p = -44  # printing/copy restricted — the usual owner-locked bits
+    file_id = bytes.fromhex(
+        __import__("hashlib").md5(repr(pages).encode()).hexdigest()
+    )
+    o = compute_o(user_pw, owner_pw, rev, n)
+    key = file_key(user_pw, o, p, file_id, rev, n)
+    u = compute_u(key, file_id, rev)
+
+    objs: list[bytes] = []
+
+    def content(lines: list) -> bytes:
+        ops = [b"BT /F1 12 Tf 72 720 Td"]
+        for i, line in enumerate(lines):
+            if i:
+                ops.append(b"0 -14 Td")
+            ops.append(b"(" + _esc(line) + b") Tj")
+        ops.append(b"ET")
+        return b"\n".join(ops)
+
+    n_pages = len(pages)
+    # layout: 1 catalog, 2 pages, 3 font, 4 Encrypt dict, then per page
+    # i: (5+2i) page object, (6+2i) its content stream
+    kids = b" ".join(b"%d 0 R" % (5 + 2 * i) for i in range(n_pages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(
+        b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % n_pages
+    )
+    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    v = 1 if rev == 2 else 2
+    objs.append(
+        b"<< /Filter /Standard /V %d /R %d /Length %d /O <%s> /U <%s> "
+        b"/P %d >>"
+        % (v, rev, n * 8, o.hex().upper().encode(), u.hex().upper().encode(), p)
+    )
+    for i, lines in enumerate(pages):
+        objs.append(
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> "
+            b"/Contents %d 0 R >>" % (6 + 2 * i)
+        )
+        data = content(lines)
+        if compress:
+            data = zlib.compress(data, 9)
+        data = rc4(object_key(key, 6 + 2 * i), data)
+        head = b"<< /Length %d%s >>" % (
+            len(data), b" /Filter /FlateDecode" if compress else b""
+        )
+        objs.append(head + b"\nstream\n" + data + b"\nendstream")
+
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0]
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    hid = file_id.hex().upper().encode()
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R /Encrypt 4 0 R "
+        b"/ID [<%s> <%s>] >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, hid, hid, xref_at)
     )
     return bytes(out)
 
@@ -352,18 +441,53 @@ def _load_xref(buf: bytes) -> dict:
 
 
 class _Doc:
-    def __init__(self, buf: bytes):
+    def __init__(self, buf: bytes, password: bytes = b""):
         self.buf = buf
         self.xref = _load_xref(buf)
+        self._crypt_key = None
+        self._encrypt_obj = None
         t0 = buf.rfind(b"trailer")
         if t0 < 0:
             raise ValueError("pdf: no trailer dictionary")
         trailer, _ = _parse_object(buf, t0 + 7)
-        if "Encrypt" in trailer:
-            raise NotImplementedError(
-                "pdf: encrypted document — decryption is the documented seam"
-            )
         self.trailer = trailer
+        if "Encrypt" in trailer:
+            enc_ref = trailer["Encrypt"]
+            if isinstance(enc_ref, _Ref):
+                self._encrypt_obj = enc_ref.num
+            enc = self.resolve(enc_ref)
+            self._init_crypt(enc, password)
+
+    def _init_crypt(self, enc: dict, password: bytes) -> None:
+        """Standard security handler, RC4 revisions 2/3 (ISO 32000
+        §7.6.3) — the legacy "owner-locked" documents real corpora carry.
+        AES handlers (/V 4+) stay the documented seam."""
+        from .pdf_crypt import check_user_password
+
+        if enc.get("Filter") != "/Standard":
+            raise NotImplementedError(
+                f"pdf: security handler {enc.get('Filter')!r} — only the "
+                "standard handler decrypts natively"
+            )
+        v, r = self.resolve(enc.get("V")), self.resolve(enc.get("R"))
+        if v not in (1, 2) or r not in (2, 3):
+            raise NotImplementedError(
+                f"pdf: encryption V={v} R={r} (AES era) needs an external "
+                "crypto pass — RC4 revisions 2/3 decrypt natively"
+            )
+        n = 5 if r == 2 else self.resolve(enc.get("Length", 40)) // 8
+        ids = self.trailer.get("ID")
+        if not isinstance(ids, list) or not ids:
+            raise ValueError("pdf: encrypted document without a file /ID")
+        self._crypt_key = check_user_password(
+            password,
+            self.resolve(enc["O"]),
+            self.resolve(enc["U"]),
+            self.resolve(enc["P"]),
+            ids[0],
+            r,
+            n,
+        )
 
     def resolve(self, v):
         seen: set[int] = set()
@@ -402,6 +526,10 @@ class _Doc:
                 # never copies the remainder of the file per stream.
                 if not _ENDSTREAM_KW.match(self.buf, d0 + length):
                     raise ValueError("pdf: stream /Length mismatch")
+                if self._crypt_key is not None and num != self._encrypt_obj:
+                    from .pdf_crypt import object_key, rc4
+
+                    raw = rc4(object_key(self._crypt_key, num), raw)
                 val["__stream__"] = raw
         return val
 
@@ -796,14 +924,17 @@ def tounicode_entries(payload: bytes) -> int:
     return len(seen)
 
 
-def extract_pdf_text(payload: bytes) -> list:
+def extract_pdf_text(payload: bytes, password: bytes = b"") -> list:
     """Extract per-page text lines.  Returns ``[[line, ...], ...]`` (one
     list per page, in page-tree order).  Simple-font text decodes as the
     exact shown bytes in UTF-8; CID/Type0 (and any font with a
-    /ToUnicode CMap) decodes code-by-code through the CMap."""
+    /ToUnicode CMap) decodes code-by-code through the CMap.  RC4
+    standard-handler encryption (revisions 2/3) decrypts transparently —
+    the default empty ``password`` opens owner-locked documents; a wrong
+    password fails the /U check loudly."""
     if payload[:5] != b"%PDF-":
         raise ValueError("pdf: missing %PDF header")
-    doc = _Doc(payload)
+    doc = _Doc(payload, password=password)
     root = doc.resolve(doc.trailer["Root"])
     pages: list = []
     _walk_pages(doc, doc.resolve(root["Pages"]), pages)

@@ -96,12 +96,15 @@ def test_truncated_stream_is_loud():
         extract_pdf_text(broken)
 
 
-def test_encrypted_doc_is_documented_seam():
+def test_dangling_encrypt_ref_is_loud():
+    # r11: RC4 standard-handler encryption decrypts natively now
+    # (tests/test_pdf_crypt.py); a trailer /Encrypt pointing at a
+    # missing object is damage, not a seam
     pdf = write_pdf(_PAGES, False)
     broken = pdf.replace(
         b"<< /Size", b"<< /Encrypt 9 0 R /Size", 1
     )
-    with pytest.raises(NotImplementedError, match="encrypted"):
+    with pytest.raises(ValueError, match="missing from xref"):
         extract_pdf_text(broken)
 
 

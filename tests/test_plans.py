@@ -295,3 +295,41 @@ def test_federated_join_pushes_predicate_into_jdbc(spark, sf):
     assert nodes.count("BroadcastHashJoin") == 2
     assert "SortMergeJoin" not in nodes and "ShuffledHashJoin" not in nodes
     assert nodes.count("Exchange") == 1  # only the final aggregation shuffle
+
+
+def test_pdf_cid_extract_plan_is_one_join_one_kernel(spark, sf):
+    # r11: CID extraction is the same shape as pipeline_pdf_extract — a
+    # binaryFile scan joined once to the base table, ONE Arrow kernel,
+    # no Cartesian, no row-python
+    plan = plan_of(QUERIES["pipeline_pdf_cid_extract"].fn(spark, sf))
+    nodes = nodes_of(plan)
+    assert nodes.count("MapInPandas") == 1
+    assert "CartesianProduct" not in nodes
+    assert "BatchEvalPython" not in nodes
+
+
+def test_charset_ingest_plan_is_map_only(spark, sf):
+    # r11: charset detect+transcode runs entirely in the shard-parallel
+    # Arrow kernel — no shuffle, no join, nothing but scan -> kernel
+    plan = plan_of(QUERIES["web_charset_ingest"].fn(spark, sf))
+    nodes = nodes_of(plan)
+    assert nodes.count("MapInPandas") == 1
+    assert "Exchange" not in nodes
+    assert "BatchEvalPython" not in nodes
+
+
+def test_mixed_caption_coverage_plan_locks(spark, sf):
+    # r11: both sidecar formats parse in ONE kernel; the join onto video
+    # durations is the sidecar-sized equi join, never a Cartesian
+    plan = plan_of(QUERIES["multimodal_caption_coverage_mixed"].fn(spark, sf))
+    nodes = nodes_of(plan)
+    assert nodes.count("MapInPandas") == 2  # video probe + caption kernel
+    assert "CartesianProduct" not in nodes
+    assert "BatchEvalPython" not in nodes
+
+
+def test_zip64_and_aac_probes_are_map_only(spark, sf):
+    for name in ("multimodal_zip64_shards", "multimodal_aac_probe"):
+        nodes = nodes_of(plan_of(QUERIES[name].fn(spark, sf)))
+        assert nodes.count("MapInPandas") == 1, name
+        assert "Exchange" not in nodes, name

@@ -117,6 +117,8 @@ REPEAT_QUERIES = (
     "pipeline_document_corpus",
     # r11: staged CID-keyed (Type0/Identity-H + ToUnicode) .pdf documents
     "pipeline_pdf_cid_extract",
+    # r11: staged RC4-encrypted (owner-locked) .pdf documents
+    "pipeline_pdf_encrypted_extract",
     # r9: staged .webm containers
     "multimodal_webm_probe",
     # r9: staged .vtt caption sidecars (+ the alignment join sharing
