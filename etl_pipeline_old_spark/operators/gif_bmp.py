@@ -349,3 +349,174 @@ def decode_bmp(payload: bytes) -> tuple[int, int, list[int]]:
                 for x in range(width)
             ]
     return width, height, gray
+
+
+# ---------------------------------------------------------- GIF animation
+# GIF89a animation (the meme/reaction-GIF modality of web corpora): a
+# NETSCAPE2.0 looping extension, then per frame a Graphic Control
+# Extension (disposal method, delay, optional transparency) and an image
+# descriptor that may cover only a SUB-RECT of the logical screen.
+# Frame composition is the part naive per-image decoding gets wrong:
+# each frame paints onto the previous canvas, and disposal 2 restores
+# the frame's rect to the background color afterwards.
+
+
+def encode_gif_animation(
+    base: list[int],
+    width: int,
+    height: int,
+    patches: list,
+    bg_gray: int = 0,
+) -> bytes:
+    """Real animated GIF89a: frame 0 is the full-canvas ``base``; each
+    ``(left, top, w, h, value, delay_cs, disposal)`` patch is a further
+    frame painting a solid-``value`` sub-rect.  A full 256-entry
+    grayscale global color table keeps index == gray value.  ``disposal``
+    1 leaves the frame in place, 2 restores its rect to ``bg_gray``."""
+    if len(base) != width * height:
+        raise ValueError(f"{len(base)} pixels for {width}x{height}")
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0x80 | (7 << 4) | 7, bg_gray, 0)
+    for g in range(256):
+        out += bytes((g, g, g))
+    # NETSCAPE2.0 looping application extension (loop forever)
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+
+    def gce(delay_cs: int, disposal: int) -> bytes:
+        return struct.pack(
+            "<BBBBHBB", 0x21, 0xF9, 4, (disposal & 0x7) << 2, delay_cs, 0, 0
+        )
+
+    def image(left: int, top: int, w: int, h: int, pix: list) -> bytes:
+        b = bytearray(struct.pack("<BHHHHB", 0x2C, left, top, w, h, 0))
+        b.append(8)  # LZW minimum code size (256-entry table)
+        b += _lzw_encode(pix, 8)
+        return bytes(b)
+
+    out += gce(10, 1)
+    out += image(0, 0, width, height, list(base))
+    for left, top, w, h, value, delay_cs, disposal in patches:
+        if left + w > width or top + h > height:
+            raise ValueError("gif: patch rect outside the logical screen")
+        out += gce(delay_cs, disposal)
+        out += image(left, top, w, h, [value] * (w * h))
+    out.append(0x3B)
+    return bytes(out)
+
+
+def decode_gif_frames(payload: bytes) -> tuple:
+    """Decode an animated GIF89a into COMPOSED frames.  Returns
+    ``(width, height, bg_gray, [(delay_cs, disposal, pixels)])`` where
+    each ``pixels`` is the full logical-screen canvas AS DISPLAYED at
+    that frame: sub-rect frames paint over the running canvas,
+    transparent indexes leave it untouched, disposal 1 persists, and
+    disposal 2 restores the frame's rect to the background color before
+    the next frame (disposal 3, restore-to-previous, pops the canvas
+    saved before the frame painted).  Damage raises per record."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF signature")
+    sw, sh, packed, bg_index, _ar = struct.unpack("<HHBBB", payload[6:13])
+    i = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = payload[i : i + 3 * n]
+        if len(gct) != 3 * n:
+            raise ValueError("GIF global color table truncated")
+        i += 3 * n
+
+    def pal_gray(pal: bytes) -> list:
+        return [
+            (pal[3 * k] + pal[3 * k + 1] + pal[3 * k + 2]) // 3
+            for k in range(len(pal) // 3)
+        ]
+
+    gct_gray = pal_gray(gct) if gct else None
+    bg_gray = gct_gray[bg_index] if gct_gray and bg_index < len(gct_gray) else 0
+    canvas = [bg_gray] * (sw * sh)
+    frames = []
+    # pending GCE state for the NEXT image descriptor
+    delay_cs, disposal, transparent = 0, 0, None
+    while i < len(payload):
+        b = payload[i]
+        if b == 0x21:  # extension
+            label = payload[i + 1]
+            i += 2
+            blocks = bytearray()
+            while i < len(payload) and payload[i]:
+                size = payload[i]
+                blocks += payload[i + 1 : i + 1 + size]
+                i += 1 + size
+            i += 1
+            if label == 0xF9:
+                if len(blocks) < 4:
+                    raise ValueError("GIF graphic control block truncated")
+                gpacked = blocks[0]
+                delay_cs = blocks[1] | (blocks[2] << 8)
+                disposal = (gpacked >> 2) & 0x7
+                transparent = blocks[3] if gpacked & 0x1 else None
+        elif b == 0x2C:
+            left, top, w, h, ipacked = struct.unpack(
+                "<HHHHB", payload[i + 1 : i + 10]
+            )
+            if left + w > sw or top + h > sh:
+                raise ValueError("GIF frame rect outside the logical screen")
+            i += 10
+            pal = gct_gray
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                lct = payload[i : i + 3 * n]
+                if len(lct) != 3 * n:
+                    raise ValueError("GIF local color table truncated")
+                pal = pal_gray(lct)
+                i += 3 * n
+            if pal is None:
+                raise ValueError("GIF image has no color table")
+            mcs = payload[i]
+            i += 1
+            lzw = bytearray()
+            while i < len(payload) and payload[i]:
+                size = payload[i]
+                block = payload[i + 1 : i + 1 + size]
+                if len(block) != size:
+                    raise ValueError("GIF data sub-block truncated")
+                lzw += block
+                i += 1 + size
+            i += 1  # block terminator
+            indexes = _lzw_decode(bytes(lzw), mcs, w * h)
+            if ipacked & 0x40:
+                rows = []
+                for start, step in _GIF_PASSES:
+                    rows.extend(range(start, h, step))
+                deinter = [0] * (w * h)
+                for src_row, y in enumerate(rows):
+                    deinter[y * w : (y + 1) * w] = indexes[
+                        src_row * w : (src_row + 1) * w
+                    ]
+                indexes = deinter
+            saved = list(canvas) if disposal == 3 else None
+            for y in range(h):
+                row0 = (top + y) * sw + left
+                for x in range(w):
+                    ix = indexes[y * w + x]
+                    if transparent is not None and ix == transparent:
+                        continue
+                    if ix >= len(pal):
+                        raise ValueError("GIF pixel index out of palette range")
+                    canvas[row0 + x] = pal[ix]
+            frames.append((delay_cs, disposal, list(canvas)))
+            if disposal == 2:
+                for y in range(h):
+                    row0 = (top + y) * sw + left
+                    for x in range(w):
+                        canvas[row0 + x] = bg_gray
+            elif disposal == 3:
+                canvas = saved
+            delay_cs, disposal, transparent = 0, 0, None
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"bad GIF block 0x{b:02X} at byte {i}")
+    if not frames:
+        raise ValueError("GIF stream has no image")
+    return sw, sh, bg_gray, frames

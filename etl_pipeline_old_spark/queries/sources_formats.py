@@ -1211,6 +1211,126 @@ def multimodal_gif_bmp_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------- GIF89a animation
+# The meme/reaction-GIF modality of web corpora: multi-frame GIF89a with
+# Graphic Control Extensions, SUB-RECT frames, and disposal methods.
+# Frame COMPOSITION is what a naive per-image decode gets wrong — each
+# frame paints onto the running canvas and disposal 2 restores its rect
+# to the background color — so the oracle recomputes every composed
+# frame's pixel sum from the staging formulas, which bakes the full
+# composition semantics into the hash.
+
+
+def _render_gif_anim(doc_id: int, text: str) -> bytes:
+    from ..operators.gif_bmp import encode_gif_animation
+    from ..operators.multimodal import md5_pixels
+
+    n = 1 + doc_id % 3
+    patches = [
+        (
+            k % 4, (2 * k) % 4, 4, 4,
+            (doc_id * 31 + k * 17) % 256,
+            5 + k,
+            1 if k % 2 else 2,
+        )
+        for k in range(1, n + 1)
+    ]
+    return encode_gif_animation(
+        md5_pixels(text, 64), 8, 8, patches, bg_gray=doc_id % 7
+    )
+
+
+def _gif_anim_pixel_sql(j: int) -> str:
+    """Composed pixel j of frame f: the LAST patch covering (x, y) wins;
+    if that patch is not the current frame and carried disposal 2, its
+    rect was since restored to the background color."""
+    x, y = j % 8, j // 8
+    covers = (
+        f"{x} >= (k % 4) AND {x} < (k % 4) + 4 "
+        f"AND {y} >= ((2 * k) % 4) AND {y} < ((2 * k) % 4) + 4"
+    )
+    kmax = f"list_max(list_filter(range(1, f + 1), k -> {covers}))"
+    return (
+        f"CASE WHEN {kmax} IS NULL THEN {_ppm_pixel_sql(j)} "
+        f"WHEN {kmax} < f AND {kmax} % 2 = 0 THEN doc_id % 7 "
+        f"ELSE (doc_id * 31 + {kmax} * 17) % 256 END"
+    )
+
+
+@register(
+    "multimodal_gif_animation",
+    oracle=f"""
+    WITH fr AS (
+      SELECT doc_id, text, CAST(u.f AS INT) AS frame_id, u.f AS f
+      FROM documents, UNNEST(range(0, 2 + doc_id % 3)) AS u(f))
+    SELECT doc_id, frame_id,
+      CAST(CASE WHEN f = 0 THEN 10 ELSE 5 + f END AS INT) AS delay_cs,
+      CAST(CASE WHEN f = 0 OR f % 2 = 1 THEN 1 ELSE 2 END AS INT)
+        AS disposal,
+      ({" + ".join(f"({_gif_anim_pixel_sql(j)})" for j in range(64))})::BIGINT
+        AS sum_gray
+    FROM fr
+    """,
+    doc="Animated GIF89a frame decode+composition (the meme modality of "
+    "web corpora): each document stages as a real looping GIF "
+    "(NETSCAPE2.0 extension, full grayscale global table, per-frame "
+    "Graphic Control Extensions) whose frames after the base are 4x4 "
+    "SUB-RECTS with alternating disposal methods (1 = persist, 2 = "
+    "restore-to-background). operators/gif_bmp.decode_gif_frames "
+    "replays the composition for real — sub-rect paint onto the "
+    "running canvas, post-frame background restore, transparency and "
+    "restore-to-previous also implemented (unit-tested) — and emits "
+    "one row per COMPOSED frame. The oracle recomputes every frame's "
+    "pixel sum from the md5 base-pixel formula plus last-writer-wins "
+    "patch algebra (with the disposal-2 background rewrite), so a "
+    "composition bug (painting frames in isolation, ignoring disposal, "
+    "wrong patch order) flips the hash. Scale: frames decode inside "
+    "the per-document Arrow kernel; rows out are frame-count-bounded "
+    "metadata, payload bytes never shuffle.",
+)
+def multimodal_gif_animation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_media_files(
+        spark, sf_dir, "gif_anim_files", "gif", _render_gif_anim
+    )
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.gif")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.gif$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "content",
+        )
+    )
+
+    def op(batches):
+        import pandas as pd
+
+        from ..operators.gif_bmp import decode_gif_frames
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "frame_id": [], "delay_cs": [],
+                "disposal": [], "sum_gray": [],
+            }
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                _w, _h, _bg, frames = decode_gif_frames(bytes(content))
+                for fid, (delay, disp, pix) in enumerate(frames):
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_id"].append(fid)
+                    out["delay_cs"].append(delay)
+                    out["disposal"].append(disp)
+                    out["sum_gray"].append(sum(pix))
+            yield pd.DataFrame(out)
+
+    return bf.mapInPandas(
+        op,
+        schema="doc_id long, frame_id int, delay_cs int, disposal int, "
+        "sum_gray long",
+    )
+
+
 # (rgb, packbits, big_endian) staged per doc_id % 4 — covers both byte
 # orders, both compressions, and both photometric shapes, all multi-strip
 _TIFF_MODES = (

@@ -157,3 +157,97 @@ def test_imageio_cross_validation(spark):
             else:
                 got = raster.getSample(x, y, 0)
             assert got == g, (data[:6], x, y, got, g)
+
+
+# ---------------------------------------------------------- GIF animation
+
+from etl_pipeline_old_spark.operators.gif_bmp import (  # noqa: E402
+    decode_gif_frames,
+    encode_gif_animation,
+)
+
+
+def test_animation_composition_disposal_1_and_2():
+    base = list(range(64))
+    patches = [
+        (1, 2, 4, 4, 200, 5, 1),   # persists
+        (3, 0, 4, 4, 123, 7, 2),   # restored to bg after display
+        (0, 0, 2, 2, 77, 3, 1),
+    ]
+    blob = encode_gif_animation(base, 8, 8, patches, bg_gray=9)
+    w, h, bg, frames = decode_gif_frames(blob)
+    assert (w, h, bg, len(frames)) == (8, 8, 9, 4)
+    assert frames[0][2] == base
+    c1 = list(base)
+    for y in range(2, 6):
+        for x in range(1, 5):
+            c1[y * 8 + x] = 200
+    assert frames[1] == (5, 1, c1)
+    c2 = list(c1)
+    for y in range(0, 4):
+        for x in range(3, 7):
+            c2[y * 8 + x] = 123
+    assert frames[2] == (7, 2, c2)
+    # frame 2's rect restored to bg BEFORE frame 3 paints
+    c3 = list(c1)
+    for y in range(0, 4):
+        for x in range(3, 7):
+            c3[y * 8 + x] = 9
+    for y in range(0, 2):
+        for x in range(0, 2):
+            c3[y * 8 + x] = 77
+    assert frames[3] == (3, 1, c3)
+
+
+def test_animation_transparency_leaves_canvas():
+    # hand-splice a transparency flag into a patch frame's GCE: indexes
+    # equal to the transparent index must leave the canvas untouched
+    base = [50] * 64
+    blob = bytearray(
+        encode_gif_animation(base, 8, 8, [(0, 0, 4, 4, 200, 5, 1)])
+    )
+    # the SECOND GCE (the patch's): set transparency flag + index 200
+    at = blob.find(b"\x21\xf9", blob.find(b"\x21\xf9") + 2)
+    blob[at + 3] |= 0x01       # transparent color flag
+    blob[at + 6] = 200         # transparent index == the patch's value
+    _w, _h, _bg, frames = decode_gif_frames(bytes(blob))
+    assert frames[1][2] == base  # nothing painted
+
+
+def test_animation_disposal_3_restores_previous():
+    base = [10] * 64
+    blob = bytearray(
+        encode_gif_animation(
+            base, 8, 8,
+            [(0, 0, 4, 4, 99, 5, 3), (4, 4, 2, 2, 88, 5, 1)],
+        )
+    )
+    _w, _h, _bg, frames = decode_gif_frames(bytes(blob))
+    # frame 1 shows the 99-rect; frame 2 starts from the RESTORED base
+    assert frames[1][2][0] == 99
+    c2 = list(base)
+    for y in range(4, 6):
+        for x in range(4, 6):
+            c2[y * 8 + x] = 88
+    assert frames[2][2] == c2
+
+
+def test_animation_oob_rect_is_loud():
+    with pytest.raises(ValueError, match="outside the logical screen"):
+        encode_gif_animation([0] * 64, 8, 8, [(6, 6, 4, 4, 1, 5, 1)])
+    blob = bytearray(
+        encode_gif_animation([0] * 64, 8, 8, [(4, 4, 4, 4, 1, 5, 1)])
+    )
+    # corrupt the patch descriptor's left coordinate past the screen
+    at = blob.rfind(b"\x2c")
+    blob[at + 1] = 7
+    with pytest.raises(ValueError, match="outside the logical screen"):
+        decode_gif_frames(bytes(blob))
+
+
+def test_animation_still_gif_decodes_as_one_frame():
+    from etl_pipeline_old_spark.operators.gif_bmp import encode_gif
+
+    base = list(range(64))
+    _w, _h, _bg, frames = decode_gif_frames(encode_gif(base, 8, 8))
+    assert len(frames) == 1 and frames[0][2] == base

@@ -72,6 +72,8 @@ REPEAT_QUERIES = (
     "multimodal_jpeg_ingest",
     "multimodal_png_advanced",
     "multimodal_gif_bmp_ingest",
+    # r11: staged animated .gif files
+    "multimodal_gif_animation",
     "multimodal_tiff_ingest",
     "multimodal_g711_ingest",
     "warc_web_ingest",
