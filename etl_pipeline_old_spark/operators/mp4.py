@@ -601,3 +601,84 @@ def decode_mp4_pcm(buf: bytes) -> tuple[int, int, list[int]]:
         tr.entry.channels,
         list(struct.unpack(f"{endian}{n}h", raw)),
     )
+
+
+def _mp4a_entry(channels: int, rate: int, esds_body: bytes) -> bytes:
+    ase = (
+        b"\x00" * 6 + struct.pack(">H", 1)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", channels, 16, 0, 0)
+        + struct.pack(">I", rate << 16)
+    )
+    return _box(b"mp4a", ase + _box(b"esds", esds_body))
+
+
+def encode_mp4_aac(
+    frame_payloads: list,
+    rate_index: int,
+    channels: int,
+    avg_bitrate: int = 64000,
+) -> bytes:
+    """Mux opaque AAC access units into a real flat ISO BMFF file whose
+    sample entry is ``mp4a`` carrying a genuine esds descriptor chain
+    (operators/aac.py write_esds + AudioSpecificConfig).  The payload
+    bytes are NOT encoded audio — this writer exists to exercise the
+    container metadata path (parameter probing via esds, per-sample
+    stsz sizes, 1024-tick AAC frame durations); payload decode raises
+    the documented seam in ``decode_pcm_samples``."""
+    from .aac import SAMPLE_RATES, write_asc, write_esds
+
+    rate = SAMPLE_RATES[rate_index]
+    esds_body = write_esds(write_asc(2, rate_index, channels), avg_bitrate)
+    n = len(frame_payloads)
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom" + b"iso6")
+    mdat_payload = b"".join(frame_payloads)
+    mdat = _box(b"mdat", mdat_payload)
+    dur = n * 1024  # media timescale ticks (1024 samples per AAC frame)
+    mvhd = _full(
+        b"mvhd", 0, 0,
+        struct.pack(">II", 0, 0)
+        + struct.pack(">II", rate, dur)
+        + struct.pack(">I", 0x00010000) + struct.pack(">H", 0x0100)
+        + b"\x00" * 10
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24 + struct.pack(">I", 2),
+    )
+    tkhd = _full(
+        b"tkhd", 0, 7,
+        struct.pack(">IIII", 0, 0, 1, 0) + struct.pack(">I", dur)
+        + b"\x00" * 8 + struct.pack(">hhhh", 0, 0, 0x0100, 0)
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", 0, 0),
+    )
+    mdhd = _full(
+        b"mdhd", 0, 0,
+        struct.pack(">IIII", 0, 0, rate, dur) + struct.pack(">HH", 0x55C4, 0),
+    )
+    hdlr = _full(
+        b"hdlr", 0, 0,
+        struct.pack(">I", 0) + b"soun" + b"\x00" * 12 + b"aac\x00",
+    )
+    smhd = _full(b"smhd", 0, 0, struct.pack(">hH", 0, 0))
+    dref = _full(b"dref", 0, 0, struct.pack(">I", 1) + _full(b"url ", 0, 1, b""))
+    dinf = _box(b"dinf", dref)
+    stsd = _full(
+        b"stsd", 0, 0,
+        struct.pack(">I", 1) + _mp4a_entry(channels, rate, esds_body),
+    )
+    stts = _full(b"stts", 0, 0, struct.pack(">III", 1, n, 1024))
+    stsc = _full(b"stsc", 0, 0, struct.pack(">I", 1) + struct.pack(">III", 1, n, 1))
+    stsz = _full(
+        b"stsz", 0, 0,
+        struct.pack(">II", 0, n)
+        + b"".join(struct.pack(">I", len(p)) for p in frame_payloads),
+    )
+    stco = _full(
+        b"stco", 0, 0, struct.pack(">II", 1, len(ftyp) + 8)
+    )
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _box(b"minf", smhd + dinf + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov

@@ -2477,6 +2477,120 @@ def multimodal_aac_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _render_mp4_aac(doc_id: int, text: str) -> bytes:
+    from ..operators.mp4 import encode_mp4_aac
+
+    n = 6 + doc_id % 6
+    payloads = [
+        bytes([(doc_id + i) % 256]) * (30 + (doc_id + i) % 50)
+        for i in range(n)
+    ]
+    return encode_mp4_aac(
+        payloads,
+        rate_index=_AAC_RATE_IDX[doc_id % 4],
+        channels=1 + doc_id % 2,
+        avg_bitrate=32000 * (1 + doc_id % 3),
+    )
+
+
+@register(
+    "multimodal_mp4_aac_probe",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, 6 + doc_id % 6 AS n,
+             CASE doc_id % 4 WHEN 0 THEN 48000 WHEN 1 THEN 44100
+                             WHEN 2 THEN 16000 ELSE 8000 END AS rate
+      FROM documents)
+    SELECT doc_id,
+      2 AS aot,
+      CAST(rate AS INT) AS sample_rate,
+      CAST(1 + doc_id % 2 AS INT) AS channels,
+      1024 AS frame_length,
+      CAST(32000 * (1 + doc_id % 3) AS INT) AS avg_bitrate,
+      CAST(n AS INT) AS n_frames,
+      CAST(n * 1024 * 1000 // rate AS INT) AS duration_ms,
+      list_sum(list_transform(range(0, n),
+                              i -> 30 + (doc_id + i) % 50))::BIGINT
+        AS sum_au_bytes,
+      list_sum(list_transform(range(0, n),
+          i -> ((doc_id + i) % 256 + 1) * (30 + (doc_id + i) % 50)))::BIGINT
+        AS au_checksum
+    FROM b
+    """,
+    doc="MP4-carried AAC parameter probe — the esds half of the AAC "
+    "story (its ADTS half is multimodal_aac_probe): genuine flat ISO "
+    "BMFF files are staged whose single track's sample entry is mp4a "
+    "carrying a real esds descriptor chain (14496-1 ES_Descriptor -> "
+    "DecoderConfigDescriptor OTI 0x40 -> DecoderSpecificInfo "
+    "AudioSpecificConfig), per-sample stsz sizes, and 1024-tick AAC "
+    "frame durations. The demuxer resolves the chain "
+    "(operators/mp4.py mp4a + operators/aac.py parse_esds), extracts "
+    "every access unit BYTE-EXACTLY through the ordinary sample "
+    "tables (au_checksum folds each AU's first byte and length — a "
+    "mis-sliced stsz/stco walk flips it), and reports the decode "
+    "parameters a pipeline filters on; payload decode raises the "
+    "documented seam inside decode_mp4_pcm. Scale: bounded header "
+    "walk per blob, same as multimodal_mp4_probe.",
+)
+def multimodal_mp4_aac_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_media_files(
+        spark, sf_dir, "mp4_aac_files", "mp4", _render_mp4_aac
+    )
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.mp4")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.mp4$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "content",
+        )
+    )
+
+    def op(batches):
+        import pandas as pd
+
+        from ..operators.mp4 import extract_samples, parse_mp4
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "aot": [], "sample_rate": [], "channels": [],
+                "frame_length": [], "avg_bitrate": [], "n_frames": [],
+                "duration_ms": [], "sum_au_bytes": [], "au_checksum": [],
+            }
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                blob = bytes(content)
+                mv = parse_mp4(blob)
+                tr = mv.tracks[0]
+                aac = tr.entry.aac
+                if aac is None:
+                    raise ValueError("mp4: mp4a entry without esds")
+                aus = extract_samples(blob, mv, tr.track_id)
+                out["doc_id"].append(int(doc_id))
+                out["aot"].append(aac["aot"])
+                out["sample_rate"].append(aac["sample_rate"])
+                out["channels"].append(aac["channels"])
+                out["frame_length"].append(aac["frame_length"])
+                out["avg_bitrate"].append(aac["avg_bitrate"])
+                out["n_frames"].append(len(aus))
+                out["duration_ms"].append(
+                    len(aus) * 1024 * 1000 // aac["sample_rate"]
+                )
+                out["sum_au_bytes"].append(sum(len(a) for a in aus))
+                out["au_checksum"].append(
+                    sum((a[0] + 1) * len(a) for a in aus)
+                )
+            yield pd.DataFrame(out)
+
+    return bf.mapInPandas(
+        op,
+        schema="doc_id long, aot int, sample_rate int, channels int, "
+        "frame_length int, avg_bitrate int, n_frames int, duration_ms int, "
+        "sum_au_bytes long, au_checksum long",
+    )
+
+
 # ------------------------------------------------ EXIF extract + GPS scrub
 # Crawled camera imagery carries EXIF twice over: as SIGNAL (orientation
 # to bake in before tiling, timestamps for provenance) and as RISK (GPS

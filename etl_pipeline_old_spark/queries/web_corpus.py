@@ -917,3 +917,124 @@ def web_charset_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, charset string, method string, n_chars long, "
         "md5_head long",
     )
+
+
+_MISLABEL_MOD = 7
+
+
+def _build_mislabeled_charset_shard(pdf, sid: int) -> bytes:
+    import codecs
+
+    from ..operators.warc import encode_warc_shard
+
+    records = []
+    for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+        did = int(doc_id)
+        full = f"{text}{_CHARSET_SUFFIX}{did}."
+        if did % _MISLABEL_MOD == 2:
+            # the real-world damage class: the HTTP header LIES — it
+            # declares utf-8 but the bytes are cp1251 Cyrillic, so the
+            # strict transcode must raise and quarantine the record
+            page = f"<html><head></head><body>{full}</body></html>"
+            records.append(
+                (
+                    f"https://legacy.ru.example/{did}",
+                    page.encode("cp1251"),
+                    200,
+                    "text/html; charset=utf-8",
+                )
+            )
+            continue
+        case = did % 5
+        meta = '<meta charset="koi8-r">' if case == 2 else ""
+        page = f"<html><head>{meta}</head><body>{full}</body></html>"
+        enc = {"utf-8": "utf-8", "windows-1251": "cp1251",
+               "koi8-r": "koi8_r"}[_CHARSET_OF[case]]
+        body = page.encode(enc)
+        if case == 0:
+            body = codecs.BOM_UTF8 + body
+        ctype = (
+            "text/html; charset=windows-1251" if case == 1 else "text/html"
+        )
+        records.append((f"https://legacy.ru.example/{did}", body, 200, ctype))
+    return encode_warc_shard(records, sid)
+
+
+@register(
+    "web_charset_quarantine",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id,
+             text || '{_CHARSET_SUFFIX}' || doc_id || '.' AS full_text,
+             doc_id % {_MISLABEL_MOD} = 2 AS lied
+      FROM documents)
+    SELECT doc_id,
+      CASE WHEN lied THEN 'mislabeled' ELSE 'ok' END AS status,
+      CASE WHEN lied THEN NULL ELSE length(full_text) END AS n_chars,
+      CASE WHEN lied THEN NULL
+           ELSE ('0x' || substr(md5(full_text), 1, 8))::BIGINT END AS md5_head
+    FROM b
+    """,
+    doc="Mislabeled-charset quarantine — the damage class the strict "
+    "transcode contract exists for: every "
+    f"doc_id%{_MISLABEL_MOD}==2 record is staged with an HTTP header "
+    "that LIES (declares utf-8 over cp1251 Cyrillic bytes), the exact "
+    "shape real misconfigured RU servers emit. The detection cascade "
+    "correctly believes the header (declared evidence outranks "
+    "byte-sniffing, per WHATWG), the strict transcode then raises, and "
+    "the kernel routes the record to a status column — one mislabeled "
+    "page costs one record, never the job, and NEVER silent mojibake "
+    "(a lenient decoder would emit wrong Cyrillic that poisons the "
+    "corpus invisibly). Healthy records still recover byte-exact text "
+    "(md5-checked); the oracle knows exactly which records lied, so "
+    "both the quarantine set and every survivor are value-checked.",
+)
+def web_charset_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_shard_files(
+        spark, sf_dir, "charset_torn_shards", _build_mislabeled_charset_shard
+    )
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc.gz")
+        .load(path)
+        .select("content")
+    )
+
+    def op(batches):
+        import hashlib as _hl
+        import re as _re
+
+        import pandas as pd
+
+        from ..operators.charset import detect_charset, transcode_to_text
+        from ..operators.warc import iter_warc_responses_raw_ctype
+
+        body_re = _re.compile(r"<body>(.*)</body>", _re.S)
+        for pdf in batches:
+            out = {"doc_id": [], "status": [], "n_chars": [], "md5_head": []}
+            for blob in pdf["content"]:
+                for uri, _st, ctype, body in iter_warc_responses_raw_ctype(
+                    bytes(blob)
+                ):
+                    did = int(uri.rsplit("/", 1)[1])
+                    out["doc_id"].append(did)
+                    try:
+                        cs, _method = detect_charset(body, ctype)
+                        page = transcode_to_text(body, cs)
+                        full = body_re.search(page).group(1)
+                    except ValueError:
+                        out["status"].append("mislabeled")
+                        out["n_chars"].append(None)
+                        out["md5_head"].append(None)
+                        continue
+                    out["status"].append("ok")
+                    out["n_chars"].append(len(full))
+                    out["md5_head"].append(
+                        int(_hl.md5(full.encode("utf-8")).hexdigest()[:8], 16)
+                    )
+            yield pd.DataFrame(out)
+
+    return bf.mapInPandas(
+        op,
+        schema="doc_id long, status string, n_chars long, md5_head long",
+    )

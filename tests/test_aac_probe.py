@@ -142,3 +142,27 @@ def test_mp4a_sample_entry_carries_esds_params():
 def test_decode_is_documented_seam():
     with pytest.raises(NotImplementedError, match="external codec"):
         decode_aac([b"frame"])
+
+
+def test_encode_mp4_aac_roundtrip_and_seam():
+    from etl_pipeline_old_spark.operators.mp4 import (
+        decode_mp4_pcm,
+        encode_mp4_aac,
+        extract_samples,
+        parse_mp4,
+    )
+
+    payloads = [bytes([i]) * (30 + i) for i in range(8)]
+    blob = encode_mp4_aac(payloads, rate_index=3, channels=2)
+    mv = parse_mp4(blob)
+    tr = mv.tracks[0]
+    assert tr.entry.codec == "mp4a"
+    assert tr.entry.aac == {
+        "aot": 2, "sample_rate": 48000, "channels": 2, "frame_length": 1024,
+        "object_type": 0x40, "avg_bitrate": 64000,
+    }
+    assert tr.sample_sizes == [len(p) for p in payloads]
+    # access units extract byte-exactly; payload decode is the seam
+    assert extract_samples(blob, mv, tr.track_id) == payloads
+    with pytest.raises(NotImplementedError, match="external codec"):
+        decode_mp4_pcm(blob)

@@ -80,6 +80,7 @@ REPEAT_QUERIES = (
     "pipeline_web_corpus",
     # r11: staged mixed-charset crawl shards (cp1251/KOI8-R/UTF-8+BOM)
     "web_charset_ingest",
+    "web_charset_quarantine",
     "warc_ingest_quarantine",
     "stream_warc_ingest",
     "multimodal_audio_resample",
@@ -109,6 +110,8 @@ REPEAT_QUERIES = (
     "multimodal_mp3_probe",
     # r11: staged ADTS .aac streams
     "multimodal_aac_probe",
+    # r11: staged mp4a+esds containers
+    "multimodal_mp4_aac_probe",
     "multimodal_exif_gps_scrub",
     "multimodal_ogg_probe",
     "multimodal_zip_shards",
