@@ -2371,6 +2371,113 @@ def multimodal_mp3_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------------- WebP probe
+# The second-most-common image format in modern crawls after JPEG.
+# operators/webp.py walks the RIFF container and the VP8/VP8L/VP8X
+# headers for the routing metadata (dims, alpha, animation frames);
+# entropy payload decode is the documented loud seam.
+
+
+def _render_webp(doc_id: int, text: str) -> bytes:
+    from ..operators.webp import (
+        encode_webp_animation,
+        encode_webp_vp8_still,
+        encode_webp_vp8l_still,
+    )
+
+    w, h = 16 + doc_id % 64, 16 + (doc_id * 3) % 64
+    filler = (text[:24] or "x").encode("utf-8")
+    mode = doc_id % 3
+    if mode == 0:
+        return encode_webp_vp8_still(w, h, filler)
+    if mode == 1:
+        return encode_webp_vp8l_still(w, h, alpha=doc_id % 2 == 1, filler=filler)
+    n = 2 + doc_id % 4
+    return encode_webp_animation(
+        w, h,
+        [(30 + 10 * k, filler) for k in range(n)],
+        loop_count=doc_id % 5,
+    )
+
+
+@register(
+    "multimodal_webp_probe",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, doc_id % 3 AS mode,
+             16 + doc_id % 64 AS w, 16 + (doc_id * 3) % 64 AS h,
+             2 + doc_id % 4 AS n
+      FROM documents)
+    SELECT doc_id,
+      CASE mode WHEN 0 THEN 'vp8' WHEN 1 THEN 'vp8l' ELSE 'vp8x' END AS fmt,
+      CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      CAST(CASE WHEN mode = 1 THEN doc_id % 2
+                WHEN mode = 2 THEN 1 ELSE 0 END AS INT) AS has_alpha,
+      CAST(CASE WHEN mode = 2 THEN 1 ELSE 0 END AS INT) AS animated,
+      CAST(CASE WHEN mode = 2 THEN n ELSE 1 END AS INT) AS n_frames,
+      CAST(CASE WHEN mode = 2 THEN 30 * n + 5 * n * (n - 1)
+                ELSE 0 END AS BIGINT) AS sum_duration_ms,
+      CAST(CASE WHEN mode = 2 THEN doc_id % 5 ELSE 0 END AS INT)
+        AS loop_count
+    FROM b
+    """,
+    doc="WebP container probe — the #2 crawl image format after JPEG: "
+    "staged .webp files cycle all three container shapes (lossy VP8 "
+    "key-frame header with the 9D012A start code and 14-bit dims per "
+    "RFC 6386 §9.1; lossless VP8L with the packed dims/alpha/version "
+    "word; extended VP8X with feature flags, 24-bit canvas dims, ANIM "
+    "loop state, and per-frame ANMF headers), and the probe walks the "
+    "even-padded RIFF chunks extracting format, dimensions, alpha, "
+    "animation frame count, summed frame durations, and loop count — "
+    "every column recomputed by the oracle from the staging formulas. "
+    "Torn chunks, bad signatures, and reserved VP8L versions raise per "
+    "record; VP8/VP8L entropy decode is the documented loud seam "
+    "(decode_webp raises — the probe is the routing pass, a decode "
+    "fleet plugs a codec into the extracted payloads). Scale: "
+    "header-bounded walk per blob, shard-parallel like every probe.",
+)
+def multimodal_webp_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_media_files(
+        spark, sf_dir, "webp_files", "webp", _render_webp
+    )
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.webp")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.webp$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "content",
+        )
+    )
+
+    def op(batches):
+        import pandas as pd
+
+        from ..operators.webp import probe_webp
+
+        cols = [
+            "fmt", "width", "height", "has_alpha", "animated", "n_frames",
+            "sum_duration_ms", "loop_count",
+        ]
+        for pdf in batches:
+            out = {c: [] for c in ["doc_id", *cols]}
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                p = probe_webp(bytes(content))
+                out["doc_id"].append(int(doc_id))
+                for c in cols:
+                    out[c].append(p[c])
+            yield pd.DataFrame(out)
+
+    return bf.mapInPandas(
+        op,
+        schema="doc_id long, fmt string, width int, height int, "
+        "has_alpha int, animated int, n_frames int, sum_duration_ms long, "
+        "loop_count int",
+    )
+
+
 # ------------------------------------------------------- AAC (ADTS) probe
 # The dominant compressed-audio format in crawled MP4/podcast corpora.
 # operators/aac.py walks the ADTS frame structure (14496-3) exactly —

@@ -75,6 +75,8 @@ REPEAT_QUERIES = (
     # r11: staged animated .gif files
     "multimodal_gif_animation",
     "multimodal_tiff_ingest",
+    # r11: staged .webp containers
+    "multimodal_webp_probe",
     "multimodal_g711_ingest",
     "warc_web_ingest",
     "pipeline_web_corpus",
