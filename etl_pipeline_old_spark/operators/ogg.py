@@ -79,6 +79,8 @@ def build_ogg(
     serial: int = 1,
     granules: list | None = None,
     page_body_limit: int = 255 * 200,
+    comments: list | None = None,
+    vendor: str = "etl-pipeline-old-spark",
 ) -> bytes:
     """Assemble a spec-valid Ogg stream.  First page (BOS) carries the
     codec ID header (OpusHead per RFC 7845 §5.1 or Vorbis I §4.2.2);
@@ -104,6 +106,14 @@ def build_ogg(
     granules = granules or [960 * (i + 1) for i in range(len(packets))]
     out = bytearray(_page(serial, 0, 0, [(id_header, True)], 0x02))  # BOS
     seq = 1
+    if comments is not None:
+        # the comment header MUST ride its own page(s) right after the
+        # ID page (RFC 7845 §5 / Vorbis I §4.2); granule 0, no flags
+        out += _page(
+            serial, seq, 0,
+            [(build_comment_header(codec, vendor, comments), True)], 0,
+        )
+        seq += 1
     for i, pkt in enumerate(packets):
         eos = 0x04 if i == len(packets) - 1 else 0
         g = granules[i]
@@ -197,6 +207,11 @@ def probe_ogg(payload: bytes) -> dict:
     if not packets:
         raise ValueError("ogg: no packets")
     head = packets[0]
+    n_headers = 1
+    if len(packets) > 1 and (
+        packets[1][:8] == b"OpusTags" or packets[1][:7] == b"\x03vorbis"
+    ):
+        n_headers = 2  # comment header is metadata, not a data packet
     codec, channels, rate, pre_skip = "unknown", 0, 0, 0
     if head[:8] == b"OpusHead":
         codec = "opus"
@@ -211,10 +226,106 @@ def probe_ogg(payload: bytes) -> dict:
         "codec": codec,
         "serial": serial,
         "n_pages": n_pages,
-        "n_packets": len(packets) - 1,
+        "n_packets": len(packets) - n_headers,
         "channels": channels,
         "rate": rate,
         "pre_skip": pre_skip,
         "duration_granules": last_granule,
         "crc_ok": 1,
     }
+
+
+# ------------------------------------------------- comment headers (tags)
+# VorbisComment is the tag system of the whole Ogg family (RFC 7845 §5.2
+# OpusTags / Vorbis I §5 comment header): a vendor string plus KEY=value
+# pairs, all length-prefixed little-endian UTF-8.  For a speech corpus
+# this is where LANGUAGE/TITLE/ARTIST ride — the join keys a pairing
+# pipeline reads BEFORE any audio decode.
+
+
+def build_comment_header(codec: str, vendor: str, comments: list) -> bytes:
+    """Serialize a comment header packet for ``codec``: ``OpusTags`` or
+    ``\\x03vorbis`` magic, vendor string, then KEY=value pairs (keys
+    ASCII, case-insensitive per spec; '=' forbidden in keys)."""
+    if codec == "opus":
+        out = bytearray(b"OpusTags")
+    elif codec == "vorbis":
+        out = bytearray(b"\x03vorbis")
+    else:
+        raise ValueError(f"unknown codec {codec!r}")
+    vb = vendor.encode("utf-8")
+    out += struct.pack("<I", len(vb)) + vb
+    out += struct.pack("<I", len(comments))
+    for k, v in comments:
+        if "=" in k or not k.isascii():
+            raise ValueError(f"ogg: bad comment key {k!r}")
+        item = f"{k}={v}".encode("utf-8")
+        out += struct.pack("<I", len(item)) + item
+    if codec == "vorbis":
+        out += b"\x01"  # framing bit (Vorbis I §4.2.3)
+    return bytes(out)
+
+
+def parse_comment_header(packet: bytes) -> tuple:
+    """Parse a comment header packet into ``(vendor, [(KEY, value)])``
+    with keys uppercased (they are case-insensitive per spec).  Raises
+    on bad magic, truncated fields, or a missing '='."""
+    if packet[:8] == b"OpusTags":
+        pos, framed = 8, False
+    elif packet[:7] == b"\x03vorbis":
+        pos, framed = 7, True
+    else:
+        raise ValueError("ogg: not a comment header packet")
+
+    def take(n: int) -> bytes:
+        nonlocal pos
+        if pos + n > len(packet):
+            raise ValueError("ogg: comment header truncated")
+        b = packet[pos : pos + n]
+        pos += n
+        return b
+
+    (vlen,) = struct.unpack("<I", take(4))
+    vendor = take(vlen).decode("utf-8")
+    (n,) = struct.unpack("<I", take(4))
+    comments = []
+    for _ in range(n):
+        (ln,) = struct.unpack("<I", take(4))
+        item = take(ln).decode("utf-8")
+        key, sep, value = item.partition("=")
+        if not sep:
+            raise ValueError(f"ogg: comment without '=': {item!r}")
+        comments.append((key.upper(), value))
+    if framed and (pos >= len(packet) or not packet[pos] & 0x01):
+        raise ValueError("ogg: vorbis comment framing bit unset")
+    return vendor, comments
+
+
+def ogg_tags(payload: bytes) -> tuple:
+    """Walk a (CRC-verified) Ogg stream and parse its comment header.
+    Returns ``(vendor, [(KEY, value)])``; a stream without a comment
+    header raises (both Opus and Vorbis REQUIRE one per spec)."""
+    # reuse the strict probe walk by re-parsing pages here (the probe
+    # validates; this extracts packet 2)
+    probe_ogg(payload)  # full CRC/structure validation first
+    pos = 0
+    packets: list = []
+    partial = bytearray()
+    while pos < len(payload) and len(packets) < 2:
+        nseg = payload[pos + 26]
+        lace_end = pos + 27 + nseg
+        laces = payload[pos + 27 : lace_end]
+        body = payload[lace_end : lace_end + sum(laces)]
+        at = 0
+        for lace in laces:
+            partial += body[at : at + lace]
+            at += lace
+            if lace < 255:
+                packets.append(bytes(partial))
+                partial = bytearray()
+        pos = lace_end + sum(laces)
+    if len(packets) < 2 or (
+        packets[1][:8] != b"OpusTags" and packets[1][:7] != b"\x03vorbis"
+    ):
+        raise ValueError("ogg: no comment header packet")
+    return parse_comment_header(packets[1])

@@ -2955,6 +2955,100 @@ def multimodal_ogg_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _render_ogg_tagged(doc_id: int, text: str) -> bytes:
+    from ..operators.ogg import build_ogg
+
+    codec = "opus" if doc_id % 2 == 0 else "vorbis"
+    return build_ogg(
+        codec,
+        1 + doc_id % 2,
+        48000,
+        [f"{text[:20]}:{i}".encode("utf-8") for i in range(2 + doc_id % 3)],
+        comments=[
+            ("TITLE", f"doc {doc_id}"),
+            ("Language", f"l{doc_id % 4}"),
+            ("ARTIST", f"spk{doc_id % 5}"),
+        ],
+        vendor="etl-pipeline-old-spark",
+    )
+
+
+@register(
+    "multimodal_ogg_tags",
+    oracle="""
+    SELECT doc_id,
+      CASE WHEN doc_id % 2 = 0 THEN 'opus' ELSE 'vorbis' END AS codec,
+      'etl-pipeline-old-spark' AS vendor,
+      3 AS n_comments,
+      'doc ' || doc_id AS title,
+      'l' || (doc_id % 4) AS language,
+      'spk' || (doc_id % 5) AS artist,
+      CAST(2 + doc_id % 3 AS INT) AS n_packets
+    FROM documents
+    """,
+    doc="VorbisComment / OpusTags extraction — the tag layer of the Ogg "
+    "family (RFC 7845 §5.2 OpusTags, Vorbis I §5 comment header + "
+    "framing bit) where a speech corpus's LANGUAGE/TITLE/ARTIST ride, "
+    "read BEFORE any audio decode: staged streams alternate Opus and "
+    "Vorbis with the comment header on ITS OWN page right after the "
+    "BOS page (the spec's required layout), length-prefixed UTF-8 "
+    "vendor + KEY=value pairs parsed with case-insensitive keys "
+    "normalized per spec. The probe still counts header packets apart "
+    "from data packets (n_packets must match the staging formula with "
+    "the comment header excluded). Truncated fields, missing '=', an "
+    "unset Vorbis framing bit, and a stream without the mandatory "
+    "comment header all raise per record. Every column recomputed by "
+    "the oracle. Scale: header-page parse only; tag gating joins "
+    "metadata, never payload bytes.",
+)
+def multimodal_ogg_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_media_files(
+        spark, sf_dir, "ogg_tag_files", "ogg", _render_ogg_tagged
+    )
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.ogg")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.ogg$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "content",
+        )
+    )
+
+    def op(batches):
+        import pandas as pd
+
+        from ..operators.ogg import ogg_tags, probe_ogg
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "codec": [], "vendor": [], "n_comments": [],
+                "title": [], "language": [], "artist": [], "n_packets": [],
+            }
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                blob = bytes(content)
+                p = probe_ogg(blob)
+                vendor, tags = ogg_tags(blob)
+                d = dict(tags)
+                out["doc_id"].append(int(doc_id))
+                out["codec"].append(p["codec"])
+                out["vendor"].append(vendor)
+                out["n_comments"].append(len(tags))
+                out["title"].append(d["TITLE"])
+                out["language"].append(d["LANGUAGE"])
+                out["artist"].append(d["ARTIST"])
+                out["n_packets"].append(p["n_packets"])
+            yield pd.DataFrame(out)
+
+    return bf.mapInPandas(
+        op,
+        schema="doc_id long, codec string, vendor string, n_comments int, "
+        "title string, language string, artist string, n_packets int",
+    )
+
+
 # --------------------------------------------------------- ZIP shard ingest
 # Next to WebDataset tar shards, ZIP is the other container corpora
 # actually arrive in (Kaggle dumps, ImageNet-style archives, document

@@ -129,3 +129,65 @@ def test_granule_positions_reported():
         build_ogg("opus", 1, 48000, _pk(3), granules=[100, 250, 7777])
     )
     assert p["duration_granules"] == 7777
+
+
+# --------------------------------------------------- comment headers (tags)
+
+from etl_pipeline_old_spark.operators.ogg import (  # noqa: E402
+    build_comment_header,
+    ogg_tags,
+    parse_comment_header,
+)
+
+
+@pytest.mark.parametrize("codec", ["opus", "vorbis"])
+def test_comment_header_roundtrip(codec):
+    blob = build_ogg(
+        codec, 2, 48000, [b"pkt" * 10, b"pkt2" * 10],
+        comments=[("TITLE", "doc 5"), ("Language", "ru"), ("ARTIST", "spk2")],
+        vendor="etl-spark",
+    )
+    assert probe_ogg(blob)["n_packets"] == 2  # comment header excluded
+    vendor, tags = ogg_tags(blob)
+    assert vendor == "etl-spark"
+    # keys normalize to upper (case-insensitive per spec)
+    assert tags == [("TITLE", "doc 5"), ("LANGUAGE", "ru"), ("ARTIST", "spk2")]
+
+
+def test_missing_comment_header_is_loud():
+    blob = build_ogg("opus", 1, 48000, [b"x"])
+    with pytest.raises(ValueError, match="no comment header"):
+        ogg_tags(blob)
+
+
+def test_comment_damage_is_loud():
+    hdr = build_comment_header("opus", "v", [("A", "b")])
+    with pytest.raises(ValueError, match="truncated"):
+        parse_comment_header(hdr[:-3])
+    with pytest.raises(ValueError, match="not a comment header"):
+        parse_comment_header(b"OpusHead" + hdr[8:])
+    bad = build_comment_header("vorbis", "v", [("A", "b")])
+    with pytest.raises(ValueError, match="framing bit"):
+        parse_comment_header(bad[:-1] + b"\x00")
+    with pytest.raises(ValueError, match="bad comment key"):
+        build_comment_header("opus", "v", [("A=B", "x")])
+
+
+def test_comment_without_equals_is_loud():
+    import struct as _s
+
+    hdr = bytearray(b"OpusTags")
+    hdr += _s.pack("<I", 1) + b"v"
+    hdr += _s.pack("<I", 1)
+    hdr += _s.pack("<I", 3) + b"abc"  # no '='
+    with pytest.raises(ValueError, match="without '='"):
+        parse_comment_header(bytes(hdr))
+
+
+def test_utf8_values_roundtrip():
+    blob = build_ogg(
+        "vorbis", 1, 44100, [b"d"],
+        comments=[("TITLE", "Пример — название")],
+    )
+    _v, tags = ogg_tags(blob)
+    assert tags == [("TITLE", "Пример — название")]

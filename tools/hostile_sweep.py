@@ -116,6 +116,8 @@ REPEAT_QUERIES = (
     "multimodal_mp4_aac_probe",
     "multimodal_exif_gps_scrub",
     "multimodal_ogg_probe",
+    # r11: staged tagged .ogg streams
+    "multimodal_ogg_tags",
     "multimodal_zip_shards",
     # r11: staged zip64 shards (alternating own writer / CPython zipfile)
     "multimodal_zip64_shards",
