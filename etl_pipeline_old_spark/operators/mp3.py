@@ -72,6 +72,7 @@ def build_mp3(
     xing_frames: int | None = None,
     id3v1: bool = False,
     seed: str = "",
+    id3v2_frames: list | None = None,
 ) -> bytes:
     """Build a structurally-valid Layer III stream.  ``frames`` is a list of
     ``(version_bits, bitrate_kbps, sample_rate, padding, mono)`` tuples.
@@ -79,12 +80,15 @@ def build_mp3(
     shape and declaring that many data frames.  Filler bytes are an md5
     stream keyed on ``seed`` so staged files are not zero padding."""
     out = bytearray()
-    if id3v2_bytes:
-        sz = id3v2_bytes
-        syncsafe = bytes(
-            [(sz >> 21) & 0x7F, (sz >> 14) & 0x7F, (sz >> 7) & 0x7F, sz & 0x7F]
+    if id3v2_frames is not None:
+        body = b"".join(
+            _id3_frame(fid, text) for fid, text in id3v2_frames
         )
-        out += b"ID3" + bytes([4, 0, 0]) + syncsafe
+        if id3v2_bytes > len(body):  # spec-legal zero padding
+            body += b"\x00" * (id3v2_bytes - len(body))
+        out += b"ID3" + bytes([4, 0, 0]) + _syncsafe(len(body)) + body
+    elif id3v2_bytes:
+        out += b"ID3" + bytes([4, 0, 0]) + _syncsafe(id3v2_bytes)
         out += _fill(id3v2_bytes, seed + ":id3")
     stream = list(frames)
     if xing_frames is not None:
@@ -211,3 +215,77 @@ def probe_mp3(payload: bytes) -> dict:
         "has_id3v2": has_id3v2,
         "has_id3v1": has_id3v1,
     }
+
+
+# -------------------------------------------------------- ID3v2.4 frames
+# The MP3 twin of the Ogg family's VorbisComment layer (informal ID3v2.4
+# spec, id3.org): TIT2/TPE1/TLAN text frames are where a speech/music
+# corpus's join keys ride.  Frame sizes are syncsafe in v2.4; text
+# frames carry an encoding byte (0 latin-1, 1 UTF-16+BOM, 2 UTF-16BE,
+# 3 UTF-8).
+
+
+def _syncsafe(n: int) -> bytes:
+    if n >= 1 << 28:
+        raise ValueError("mp3: size too large for syncsafe encoding")
+    return bytes(
+        [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F]
+    )
+
+
+def _unsyncsafe(b: bytes) -> int:
+    if any(x & 0x80 for x in b):
+        raise ValueError("mp3: ID3v2 size byte not syncsafe")
+    return (b[0] << 21) | (b[1] << 14) | (b[2] << 7) | b[3]
+
+
+def _id3_frame(frame_id: str, text: str) -> bytes:
+    fid = frame_id.encode("ascii")
+    if len(fid) != 4 or not frame_id.startswith("T"):
+        raise ValueError(f"mp3: not a text frame id {frame_id!r}")
+    body = b"\x03" + text.encode("utf-8")  # encoding 3 = UTF-8
+    return fid + _syncsafe(len(body)) + b"\x00\x00" + body
+
+
+_ID3_ENCODINGS = {0: "latin-1", 1: "utf-16", 2: "utf-16-be", 3: "utf-8"}
+
+
+def parse_id3v2(payload: bytes) -> list:
+    """Parse the leading ID3v2.4 tag's TEXT frames into
+    ``[(frame_id, text)]``.  Stops at the padding region; truncated
+    frames, non-syncsafe sizes, and unknown text encodings raise; a
+    stream without an ID3v2 tag raises."""
+    if payload[:3] != b"ID3":
+        raise ValueError("mp3: no ID3v2 tag")
+    if len(payload) < 10:
+        raise ValueError("mp3: truncated ID3v2 header")
+    major = payload[3]
+    size = _unsyncsafe(payload[6:10])
+    if 10 + size > len(payload):
+        raise ValueError("mp3: ID3v2 tag runs past end")
+    tag = payload[10 : 10 + size]
+    out = []
+    pos = 0
+    while pos + 10 <= len(tag):
+        if tag[pos] == 0:  # padding region
+            break
+        fid = tag[pos : pos + 4]
+        if not all(0x30 <= c <= 0x5A for c in fid):
+            raise ValueError(f"mp3: bad ID3v2 frame id {fid!r}")
+        fsize = (
+            _unsyncsafe(tag[pos + 4 : pos + 8])
+            if major >= 4
+            else int.from_bytes(tag[pos + 4 : pos + 8], "big")
+        )
+        body = tag[pos + 10 : pos + 10 + fsize]
+        if len(body) != fsize:
+            raise ValueError("mp3: ID3v2 frame truncated")
+        if fid[:1] == b"T" and fsize >= 1:
+            enc = _ID3_ENCODINGS.get(body[0])
+            if enc is None:
+                raise ValueError(f"mp3: unknown text encoding {body[0]}")
+            out.append(
+                (fid.decode("ascii"), body[1:].decode(enc).rstrip("\x00"))
+            )
+        pos += 10 + fsize
+    return out

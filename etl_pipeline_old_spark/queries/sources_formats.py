@@ -2371,6 +2371,89 @@ def multimodal_mp3_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _render_mp3_tagged(doc_id: int, text: str) -> bytes:
+    from ..operators.mp3 import build_mp3
+
+    n = 3 + doc_id % 4
+    return build_mp3(
+        [(3, 128, 44100, 0, doc_id % 2 == 0)] * n,
+        id3v2_bytes=256,
+        id3v2_frames=[
+            ("TIT2", f"doc {doc_id}"),
+            ("TPE1", f"spk{doc_id % 5}"),
+            ("TLAN", f"l{doc_id % 4}"),
+        ],
+        seed=text[:12],
+    )
+
+
+@register(
+    "multimodal_mp3_tags",
+    oracle="""
+    SELECT doc_id,
+      'doc ' || doc_id AS title,
+      'spk' || (doc_id % 5) AS artist,
+      'l' || (doc_id % 4) AS language,
+      3 AS n_text_frames,
+      CAST(3 + doc_id % 4 AS INT) AS n_frames
+    FROM documents
+    """,
+    doc="ID3v2.4 text-frame extraction — the MP3 twin of "
+    "multimodal_ogg_tags (informal id3.org spec): TIT2/TPE1/TLAN "
+    "frames with syncsafe v2.4 sizes, UTF-8 encoding bytes, and "
+    "spec-legal zero padding are staged ahead of real Layer III "
+    "frames, parsed with all four text encodings supported "
+    "(latin-1/UTF-16+BOM/UTF-16BE/UTF-8, unit-tested) and truncation/"
+    "non-syncsafe/unknown-encoding loudness; the frame walk behind the "
+    "tag must still count the audio frames exactly. Every column "
+    "recomputed by the oracle. Scale: tag-bounded parse, the usual "
+    "probe plan.",
+)
+def multimodal_mp3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_media_files(
+        spark, sf_dir, "mp3_tag_files", "mp3", _render_mp3_tagged
+    )
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.mp3")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.mp3$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "content",
+        )
+    )
+
+    def op(batches):
+        import pandas as pd
+
+        from ..operators.mp3 import parse_id3v2, probe_mp3
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "title": [], "artist": [], "language": [],
+                "n_text_frames": [], "n_frames": [],
+            }
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                blob = bytes(content)
+                tags = dict(parse_id3v2(blob))
+                p = probe_mp3(blob)
+                out["doc_id"].append(int(doc_id))
+                out["title"].append(tags["TIT2"])
+                out["artist"].append(tags["TPE1"])
+                out["language"].append(tags["TLAN"])
+                out["n_text_frames"].append(len(tags))
+                out["n_frames"].append(p["n_frames"])
+            yield pd.DataFrame(out)
+
+    return bf.mapInPandas(
+        op,
+        schema="doc_id long, title string, artist string, language string, "
+        "n_text_frames int, n_frames int",
+    )
+
+
 # ----------------------------------------------------------- WebP probe
 # The second-most-common image format in modern crawls after JPEG.
 # operators/webp.py walks the RIFF container and the VP8/VP8L/VP8X

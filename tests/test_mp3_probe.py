@@ -115,3 +115,57 @@ def test_xing_frame_count_field_layout():
     assert b[off : off + 4] == b"Xing"
     assert struct.unpack(">I", b[off + 4 : off + 8])[0] == 0x1
     assert struct.unpack(">I", b[off + 8 : off + 12])[0] == 2
+
+
+# ------------------------------------------------------- ID3v2.4 frames
+
+from etl_pipeline_old_spark.operators.mp3 import parse_id3v2  # noqa: E402
+
+
+def test_id3v2_text_frames_roundtrip():
+    tags = [("TIT2", "doc 7"), ("TPE1", "spk2"), ("TLAN", "rus — тест")]
+    blob = build_mp3(
+        [(3, 128, 44100, 0, True)] * 4, id3v2_bytes=300, id3v2_frames=tags
+    )
+    assert parse_id3v2(blob) == tags
+    # the audio walk behind the tag is unchanged
+    assert probe_mp3(blob)["n_frames"] == 4
+
+
+def test_id3v2_all_text_encodings():
+    import struct as _s
+
+    def syncsafe(n):
+        return bytes(
+            [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F]
+        )
+
+    bodies = [
+        (b"TIT2", b"\x00" + "abc".encode("latin-1")),
+        (b"TALB", b"\x01" + "тест".encode("utf-16")),
+        (b"TPE1", b"\x02" + "бвг".encode("utf-16-be")),
+        (b"TLAN", b"\x03" + "мир".encode("utf-8")),
+    ]
+    tagbody = b"".join(
+        fid + syncsafe(len(b)) + b"\x00\x00" + b for fid, b in bodies
+    )
+    raw = b"ID3" + bytes([4, 0, 0]) + syncsafe(len(tagbody)) + tagbody
+    assert parse_id3v2(raw) == [
+        ("TIT2", "abc"), ("TALB", "тест"), ("TPE1", "бвг"), ("TLAN", "мир"),
+    ]
+
+
+def test_id3v2_damage_is_loud():
+    tags = [("TIT2", "x")]
+    blob = build_mp3([(3, 128, 44100, 0, True)], id3v2_frames=tags)
+    with pytest.raises(ValueError, match="no ID3v2 tag"):
+        parse_id3v2(build_mp3([(3, 128, 44100, 0, True)]))
+    bad = bytearray(blob)
+    bad[6] |= 0x80  # non-syncsafe size byte
+    with pytest.raises(ValueError, match="not syncsafe"):
+        parse_id3v2(bytes(bad))
+    bad = bytearray(blob)
+    at = bad.index(b"TIT2") + 10
+    bad[at] = 9  # unknown text encoding
+    with pytest.raises(ValueError, match="unknown text encoding"):
+        parse_id3v2(bytes(bad))

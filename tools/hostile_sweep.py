@@ -110,6 +110,8 @@ REPEAT_QUERIES = (
     # zip shards) — all marker-file idempotent media stagers
     "multimodal_mp4_probe",
     "multimodal_mp3_probe",
+    # r11: staged ID3v2-tagged .mp3 files
+    "multimodal_mp3_tags",
     # r11: staged ADTS .aac streams
     "multimodal_aac_probe",
     # r11: staged mp4a+esds containers
