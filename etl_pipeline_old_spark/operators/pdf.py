@@ -28,20 +28,22 @@ supported through their embedded /ToUnicode CMap (ISO 32000 §9.10.3):
 ``write_pdf_cid`` stages genuine Identity-H/CIDFontType2 documents whose
 shown strings are CID codes, ``parse_tounicode_cmap`` handles bfchar and
 both bfrange destination forms, and extraction decodes code-by-code with
-codespace-aware widths.  RC4 standard-handler encryption
-(revisions 2/3 — the legacy "owner-locked" documents real corpora carry)
-decrypts transparently via operators/pdf_crypt.py, with the /U check
-making wrong passwords loud.  What stays outside: scanned/image-only
-PDFs (they need OCR — a model, not a parser), Type0 fonts WITHOUT a
-ToUnicode CMap (recovery would need the embedded font program's cmap
-table), and AES-era encryption (/V 4+); all are loud, documented seams.  Damage (bad xref
-offset, truncated stream, length mismatch, unmapped CID) raises — one
-document costs one record, never the job.
+codespace-aware widths.  Standard-handler encryption decrypts
+transparently via operators/pdf_crypt.py across the whole spectrum real
+corpora carry: RC4 revisions 2/3, AESV2 revision 4 (/V 4 crypt
+filters), and AESV3 revisions 5/6 (/V 5 AES-256) — with the /U check
+(hash check for V5) making wrong passwords loud.  What stays outside:
+scanned/image-only PDFs (they need OCR — a model, not a parser) and
+Type0 fonts WITHOUT a ToUnicode CMap (recovery would need the embedded
+font program's cmap table); both are loud, documented seams.  Damage
+(bad xref offset, truncated stream, length mismatch, unmapped CID, bad
+CBC padding) raises — one document costs one record, never the job.
 """
 
 from __future__ import annotations
 
 import re
+import struct
 import zlib
 
 # --------------------------------------------------------------- writer
@@ -127,23 +129,53 @@ def write_pdf_encrypted(
     compress: bool = False,
 ) -> bytes:
     """Serialize ``pages`` into a PDF encrypted with the standard
-    security handler (ISO 32000-1 §7.6.3, RC4): revision 2 (40-bit) or
-    3 (128-bit).  The default empty user password is the real-world
-    "owner-locked" shape — restrictions set, content readable by spec
-    design.  Streams are compressed BEFORE encryption (spec order);
-    RC4 is length-preserving so xref offsets are exact."""
-    from .pdf_crypt import compute_o, compute_u, file_key, object_key, rc4
+    security handler: RC4 revision 2 (40-bit) or 3 (128-bit)
+    (ISO 32000-1 §7.6.3), AESV2 revision 4 (/V 4 crypt filters,
+    AES-128-CBC), or AESV3 revisions 5/6 (/V 5, AES-256, SHA-2 key
+    derivation per ISO 32000-2 §7.6.4).  The default empty user
+    password is the real-world "owner-locked" shape — restrictions
+    set, content readable by spec design.  Streams are compressed
+    BEFORE encryption (spec order).  RC4 is length-preserving; the AES
+    forms are not (IV + padding), so /Length is taken from the
+    ciphertext.  Stream IVs are derived from (file ID, object number,
+    plaintext hash) — unique per object, deterministic for fixture
+    reproducibility."""
+    import hashlib as _hl
 
-    if rev not in (2, 3):
-        raise ValueError("pdf: standard handler revision must be 2 or 3")
-    n = 5 if rev == 2 else 16
-    p = -44  # printing/copy restricted — the usual owner-locked bits
-    file_id = bytes.fromhex(
-        __import__("hashlib").md5(repr(pages).encode()).hexdigest()
+    from .pdf_crypt import (
+        aes_encrypt_payload, compute_o, compute_o_v5, compute_oe_v5,
+        compute_perms, compute_u, compute_u_v5, compute_ue_v5, file_key,
+        object_key, object_key_aes, rc4,
     )
-    o = compute_o(user_pw, owner_pw, rev, n)
-    key = file_key(user_pw, o, p, file_id, rev, n)
-    u = compute_u(key, file_id, rev)
+
+    if rev not in (2, 3, 4, 5, 6):
+        raise ValueError("pdf: standard handler revision must be 2..6")
+    p = -44  # printing/copy restricted — the usual owner-locked bits
+    file_id = bytes.fromhex(_hl.md5(repr(pages).encode()).hexdigest())
+    seed = _hl.sha256(repr(pages).encode() + user_pw + owner_pw).digest()
+    if rev >= 5:
+        n = 32
+        key = seed  # the V5 file key is random by spec; deterministic here
+        # salts derive from the PASSWORDS alone (not the content): the
+        # expensive Algorithm 2.B hash is a pure function of
+        # (password, salt, udata), so password-scoped salts let the
+        # per-process lru_cache amortize it across a whole staged
+        # corpus — the per-document file key above still varies
+        salts = __import__("hashlib").sha256(
+            b"pdf-v5-salts:" + user_pw + b"\x00" + owner_pw
+        ).digest()
+        u_vsalt, u_ksalt = salts[:8], salts[8:16]
+        o_vsalt, o_ksalt = salts[16:24], salts[24:32]
+        u = compute_u_v5(user_pw, u_vsalt, u_ksalt, rev)
+        ue = compute_ue_v5(user_pw, u_ksalt, key, rev)
+        o = compute_o_v5(owner_pw, u, o_vsalt, o_ksalt, rev)
+        oe = compute_oe_v5(owner_pw, u, o_ksalt, key, rev)
+        perms = compute_perms(p, key, True)
+    else:
+        n = 5 if rev == 2 else 16
+        o = compute_o(user_pw, owner_pw, rev, n)
+        key = file_key(user_pw, o, p, file_id, rev, n)
+        u = compute_u(key, file_id, rev)
 
     objs: list[bytes] = []
 
@@ -165,12 +197,36 @@ def write_pdf_encrypted(
         b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % n_pages
     )
     objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
-    v = 1 if rev == 2 else 2
-    objs.append(
-        b"<< /Filter /Standard /V %d /R %d /Length %d /O <%s> /U <%s> "
-        b"/P %d >>"
-        % (v, rev, n * 8, o.hex().upper().encode(), u.hex().upper().encode(), p)
-    )
+    if rev >= 5:
+        objs.append(
+            b"<< /Filter /Standard /V 5 /R %d /Length 256 "
+            b"/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen "
+            b"/Length 32 >> >> /StmF /StdCF /StrF /StdCF "
+            b"/O <%s> /U <%s> /OE <%s> /UE <%s> /Perms <%s> /P %d >>"
+            % (
+                rev, o.hex().upper().encode(), u.hex().upper().encode(),
+                oe.hex().upper().encode(), ue.hex().upper().encode(),
+                perms.hex().upper().encode(), p,
+            )
+        )
+    elif rev == 4:
+        objs.append(
+            b"<< /Filter /Standard /V 4 /R 4 /Length 128 "
+            b"/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen "
+            b"/Length 16 >> >> /StmF /StdCF /StrF /StdCF "
+            b"/O <%s> /U <%s> /P %d >>"
+            % (o.hex().upper().encode(), u.hex().upper().encode(), p)
+        )
+    else:
+        v = 1 if rev == 2 else 2
+        objs.append(
+            b"<< /Filter /Standard /V %d /R %d /Length %d /O <%s> /U <%s> "
+            b"/P %d >>"
+            % (
+                v, rev, n * 8, o.hex().upper().encode(),
+                u.hex().upper().encode(), p,
+            )
+        )
     for i, lines in enumerate(pages):
         objs.append(
             b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
@@ -180,7 +236,15 @@ def write_pdf_encrypted(
         data = content(lines)
         if compress:
             data = zlib.compress(data, 9)
-        data = rc4(object_key(key, 6 + 2 * i), data)
+        num = 6 + 2 * i
+        if rev >= 4:
+            iv = _hl.md5(
+                file_id + struct.pack("<I", num) + _hl.md5(data).digest()
+            ).digest()
+            okey = key if rev >= 5 else object_key_aes(key, num)
+            data = aes_encrypt_payload(okey, iv, data)
+        else:
+            data = rc4(object_key(key, num), data)
         head = b"<< /Length %d%s >>" % (
             len(data), b" /Filter /FlateDecode" if compress else b""
         )
@@ -445,6 +509,7 @@ class _Doc:
         self.buf = buf
         self.xref = _load_xref(buf)
         self._crypt_key = None
+        self._crypt_method = None
         self._encrypt_obj = None
         t0 = buf.rfind(b"trailer")
         if t0 < 0:
@@ -459,10 +524,12 @@ class _Doc:
             self._init_crypt(enc, password)
 
     def _init_crypt(self, enc: dict, password: bytes) -> None:
-        """Standard security handler, RC4 revisions 2/3 (ISO 32000
-        §7.6.3) — the legacy "owner-locked" documents real corpora carry.
-        AES handlers (/V 4+) stay the documented seam."""
-        from .pdf_crypt import check_user_password
+        """Standard security handler: RC4 revisions 2/3 (ISO 32000-1
+        §7.6.3), AESV2 revision 4 (/V 4 crypt filters), and AESV3
+        revisions 5/6 (/V 5, AES-256) — the full "owner-locked"
+        spectrum real corpora carry.  Non-standard handlers and
+        unknown crypt-filter methods stay loud seams."""
+        from .pdf_crypt import check_user_password, check_user_password_v5
 
         if enc.get("Filter") != "/Standard":
             raise NotImplementedError(
@@ -470,10 +537,42 @@ class _Doc:
                 "standard handler decrypts natively"
             )
         v, r = self.resolve(enc.get("V")), self.resolve(enc.get("R"))
-        if v not in (1, 2) or r not in (2, 3):
+        if v == 5 and r in (5, 6):
+            self._crypt_key = check_user_password_v5(
+                password,
+                self.resolve(enc["U"]),
+                self.resolve(enc["UE"]),
+                r,
+            )
+            if "Perms" in enc:
+                from .pdf_crypt import check_perms
+
+                check_perms(
+                    self.resolve(enc["Perms"]), self._crypt_key,
+                    self.resolve(enc["P"]),
+                )
+            self._crypt_method = "aesv3"
+            return
+        if v == 4 and r == 4:
+            cfm = None
+            cf = self.resolve(enc.get("CF"))
+            stmf = self.resolve(enc.get("StmF", "/Identity"))
+            if isinstance(cf, dict) and stmf != "/Identity":
+                stdcf = self.resolve(cf.get(stmf.lstrip("/")))
+                if isinstance(stdcf, dict):
+                    cfm = self.resolve(stdcf.get("CFM"))
+            if cfm not in ("/AESV2", "/V2"):
+                raise NotImplementedError(
+                    f"pdf: /V 4 crypt filter method {cfm!r} — AESV2 and "
+                    "V2 (RC4) decrypt natively"
+                )
+            method = "aesv2" if cfm == "/AESV2" else "rc4"
+        elif v in (1, 2) and r in (2, 3):
+            method = "rc4"
+        else:
             raise NotImplementedError(
-                f"pdf: encryption V={v} R={r} (AES era) needs an external "
-                "crypto pass — RC4 revisions 2/3 decrypt natively"
+                f"pdf: encryption V={v} R={r} — RC4 revisions 2/3, AESV2 "
+                "revision 4, and AESV3 revisions 5/6 decrypt natively"
             )
         n = 5 if r == 2 else self.resolve(enc.get("Length", 40)) // 8
         ids = self.trailer.get("ID")
@@ -488,6 +587,7 @@ class _Doc:
             r,
             n,
         )
+        self._crypt_method = method
 
     def resolve(self, v):
         seen: set[int] = set()
@@ -527,9 +627,18 @@ class _Doc:
                 if not _ENDSTREAM_KW.match(self.buf, d0 + length):
                     raise ValueError("pdf: stream /Length mismatch")
                 if self._crypt_key is not None and num != self._encrypt_obj:
-                    from .pdf_crypt import object_key, rc4
+                    from .pdf_crypt import (
+                        aes_decrypt_payload, object_key, object_key_aes, rc4,
+                    )
 
-                    raw = rc4(object_key(self._crypt_key, num), raw)
+                    if self._crypt_method == "aesv3":
+                        raw = aes_decrypt_payload(self._crypt_key, raw)
+                    elif self._crypt_method == "aesv2":
+                        raw = aes_decrypt_payload(
+                            object_key_aes(self._crypt_key, num), raw
+                        )
+                    else:
+                        raw = rc4(object_key(self._crypt_key, num), raw)
                 val["__stream__"] = raw
         return val
 

@@ -24,15 +24,41 @@ Implemented from the public spec algorithms:
   stream bytes).
 
 RC4 itself is validated against the published RFC 6229 test vectors in
-tests/test_pdf_crypt.py; MD5 is the stdlib's.  AES-based handlers
-(/V 4 and 5, the post-2008 forms) raise the documented seam — their
-CBC/ECB plumbing without an independent cross-check is not worth a
-silent-wrong risk.  RC4 is length-preserving, so encryption never moves
-xref offsets.
+tests/test_pdf_crypt.py; MD5 is the stdlib's.  RC4 is
+length-preserving, so encryption never moves xref offsets.
+
+The AES-era handlers live here too (round 11, closing the r10 seam):
+
+- **/V 4 + CFM /AESV2** (ISO 32000-1 §7.6.2) — the same Algorithm 2
+  file key as revision 3, but the per-object key appends the spec's
+  4-byte ``sAlT`` suffix and payloads are AES-128-CBC with a prepended
+  16-byte IV and RFC 2898 padding.  AES is NOT length-preserving, so
+  the writer computes stream /Length from the ciphertext.
+- **/V 5, revisions 5 and 6 (AESV3)** (ISO 32000-2 §7.6.4) — AES-256
+  with SHA-2 key derivation.  Revision 6's Algorithm 2.B is the
+  iterated SHA-256/384/512 + AES-128-CBC loop (≥64 rounds, stop when
+  the last cipher byte ≤ round−32); revision 5 (the interim Adobe
+  form) is a single SHA-256.  /U carries hash‖validation-salt‖key-salt
+  (48 bytes); the file key is recovered by AES-256-CBC-decrypting /UE
+  under the intermediate key with a zero IV; /Perms is the
+  AES-256-ECB-encrypted permissions record (``adb`` signature
+  checked).  There is NO per-object key in V5 — the file key
+  encrypts every object directly.
+
+Cross-check posture (the reason AES was previously a loud seam): the
+cipher core is pinned to the published FIPS-197 / SP 800-38A vectors
+AND randomized-cross-validated against the JVM's independent
+``javax.crypto`` through py4j (tests/test_aes.py), so CBC/ECB plumbing
+cannot be silently wrong.  The R6 Algorithm 2.B loop has no public
+test vectors; it is spec-derived, exercised by write→authenticate→
+decrypt roundtrips with exact-text oracles, and a wrong password or
+tampered /U fails the hash check loudly — the failure mode is a
+quarantined record, never silently-garbled text.
 """
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import struct
 
@@ -134,3 +160,150 @@ def object_key(key: bytes, num: int, gen: int = 0) -> bytes:
         key + struct.pack("<I", num)[:3] + struct.pack("<I", gen)[:2]
     ).digest()
     return h[: min(len(key) + 5, 16)]
+
+
+def object_key_aes(key: bytes, num: int, gen: int = 0) -> bytes:
+    """Algorithm 1, AESV2 variant: the MD5 additionally absorbs the
+    spec's fixed 4-byte ``sAlT`` suffix (ISO 32000-1 §7.6.2 step b)."""
+    h = hashlib.md5(
+        key
+        + struct.pack("<I", num)[:3]
+        + struct.pack("<I", gen)[:2]
+        + b"sAlT"
+    ).digest()
+    return h[: min(len(key) + 5, 16)]
+
+
+def aes_encrypt_payload(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """PDF AES payload form: 16-byte IV ‖ AES-CBC(pad(data)).  The IV
+    is caller-supplied so fixture staging stays deterministic (the
+    writer derives it from the object's content hash — unique per
+    object, which is what CBC needs; this is corpus staging, not
+    secret-keeping)."""
+    from .aes import cbc_encrypt, pad_pkcs7
+
+    return iv + cbc_encrypt(key, iv, pad_pkcs7(data))
+
+
+def aes_decrypt_payload(key: bytes, data: bytes) -> bytes:
+    """Inverse of ``aes_encrypt_payload``; malformed length or padding
+    raises (wrong key / tampered bytes fail loudly)."""
+    from .aes import cbc_decrypt, unpad_pkcs7
+
+    if len(data) < 32 or (len(data) - 16) % 16:
+        raise ValueError("pdf: AES payload must be IV + ciphertext blocks")
+    return unpad_pkcs7(cbc_decrypt(key, data[:16], data[16:]))
+
+
+# ---------------------------------------------------------- AES-256 (V5)
+@functools.lru_cache(maxsize=256)
+def hash_r6(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B — the revision-6 password hash.
+
+    K starts as SHA-256(password ‖ salt ‖ udata); each round encrypts
+    64 repetitions of (password ‖ K ‖ udata) with AES-128-CBC under
+    K[0:16]/IV K[16:32], re-hashes E with SHA-256/384/512 chosen by
+    (sum of E[0:16]) mod 3, and the loop runs at least 64 rounds,
+    ending once the LAST byte of E ≤ round − 32.  Cached per process:
+    corpus staging derives the same few (password, salt) keys for
+    every document, and the loop costs ~10⁴ AES blocks per call."""
+    from .aes import cbc_encrypt
+
+    digests = (hashlib.sha256, hashlib.sha384, hashlib.sha512)
+    k = hashlib.sha256(password + salt + udata).digest()
+    rounds = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = cbc_encrypt(k[:16], k[16:32], k1)
+        k = digests[sum(e[:16]) % 3](e).digest()
+        rounds += 1
+        if rounds >= 64 and e[-1] <= rounds - 32:
+            return k[:32]
+
+
+def _hash_v5(password: bytes, salt: bytes, udata: bytes, rev: int) -> bytes:
+    if rev == 5:  # interim Adobe form: a single SHA-256
+        return hashlib.sha256(password + salt + udata).digest()
+    return hash_r6(password, salt, udata)
+
+
+def compute_u_v5(
+    user_pw: bytes, vsalt: bytes, ksalt: bytes, rev: int
+) -> bytes:
+    """Algorithm 8 step a: the 48-byte /U = hash ‖ validation salt ‖
+    key salt."""
+    return _hash_v5(user_pw, vsalt, b"", rev) + vsalt + ksalt
+
+
+def compute_ue_v5(
+    user_pw: bytes, ksalt: bytes, file_key: bytes, rev: int
+) -> bytes:
+    """Algorithm 8 step b: /UE = AES-256-CBC(zero IV, no pad) of the
+    32-byte file key under the intermediate user key."""
+    from .aes import cbc_encrypt
+
+    ik = _hash_v5(user_pw, ksalt, b"", rev)
+    return cbc_encrypt(ik, b"\x00" * 16, file_key)
+
+
+def compute_o_v5(
+    owner_pw: bytes, u48: bytes, vsalt: bytes, ksalt: bytes, rev: int
+) -> bytes:
+    """Algorithm 9 step a: the 48-byte /O (owner hashes absorb the full
+    48-byte /U as udata)."""
+    return _hash_v5(owner_pw, vsalt, u48, rev) + vsalt + ksalt
+
+
+def compute_oe_v5(
+    owner_pw: bytes, u48: bytes, ksalt: bytes, file_key: bytes, rev: int
+) -> bytes:
+    from .aes import cbc_encrypt
+
+    ik = _hash_v5(owner_pw, ksalt, u48, rev)
+    return cbc_encrypt(ik, b"\x00" * 16, file_key)
+
+
+def compute_perms(p: int, file_key: bytes, encrypt_metadata: bool) -> bytes:
+    """Algorithm 10: /Perms = AES-256-ECB of P(int32 LE) ‖ 0xFF×4 ‖
+    T/F ‖ ``adb`` ‖ 4 filler bytes.  Filler is derived from the file
+    key (spec says 'random'; deterministic here for reproducible
+    fixtures — the field is opaque by definition)."""
+    from .aes import ecb_encrypt
+
+    block = (
+        struct.pack("<i", p)
+        + b"\xff\xff\xff\xff"
+        + (b"T" if encrypt_metadata else b"F")
+        + b"adb"
+        + hashlib.md5(file_key).digest()[:4]
+    )
+    return ecb_encrypt(file_key, block)
+
+
+def check_user_password_v5(
+    user_pw: bytes, u48: bytes, ue: bytes, rev: int
+) -> bytes:
+    """Algorithm 11 + 8b inverse: authenticate the user password against
+    /U and recover the 32-byte file key from /UE.  Mismatch raises."""
+    from .aes import cbc_decrypt
+
+    if len(u48) < 48:
+        raise ValueError("pdf: /U must be 48 bytes for V5 encryption")
+    vsalt, ksalt = u48[32:40], u48[40:48]
+    if _hash_v5(user_pw, vsalt, b"", rev) != u48[:32]:
+        raise ValueError("pdf: wrong user password (/U hash mismatch)")
+    ik = _hash_v5(user_pw, ksalt, b"", rev)
+    return cbc_decrypt(ik, b"\x00" * 16, ue)
+
+
+def check_perms(perms: bytes, file_key: bytes, p: int) -> bool:
+    """Algorithm 13: decrypt /Perms and verify the ``adb`` signature and
+    the P value — a tampered permissions record fails loudly."""
+    from .aes import ecb_decrypt
+
+    blk = ecb_decrypt(file_key, perms[:16])
+    if blk[9:12] != b"adb":
+        raise ValueError("pdf: /Perms signature mismatch (tampered?)")
+    if struct.unpack("<i", blk[:4])[0] != p:
+        raise ValueError("pdf: /Perms P disagrees with /Encrypt P")
+    return blk[8:9] == b"T"

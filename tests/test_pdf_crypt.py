@@ -69,12 +69,96 @@ def test_tampered_u_is_loud():
         extract_pdf_text(bytes(pdf))
 
 
-def test_aes_era_is_documented_seam():
+def test_inconsistent_v_r_combo_is_loud():
+    # /V 4 with /R 3 is a malformed combination (and has no /CF) — the
+    # reader refuses rather than guessing a cipher
     pdf = bytearray(write_pdf_encrypted(_PAGES, rev=3))
     at = pdf.find(b"/V 2")
     pdf[at : at + 4] = b"/V 4"
-    with pytest.raises(NotImplementedError, match="AES era"):
+    with pytest.raises(NotImplementedError, match="crypt filter|V=4"):
         extract_pdf_text(bytes(pdf))
+
+
+# ------------------------------------------------------- AES handlers
+def test_aesv2_roundtrip_and_per_object_keys():
+    from etl_pipeline_old_spark.operators.pdf_crypt import object_key_aes
+
+    for compress in (False, True):
+        pdf = write_pdf_encrypted(_PAGES, rev=4, compress=compress)
+        assert b"/AESV2" in pdf and b"/V 4" in pdf
+        assert extract_pdf_text(pdf) == _PAGES
+    key = bytes(range(16))
+    k5, k6 = object_key_aes(key, 5), object_key_aes(key, 6)
+    assert k5 != k6 and len(k5) == 16
+    # the sAlT suffix makes the AES object key differ from the RC4 one
+    assert k5 != object_key(key, 5)
+
+
+@pytest.mark.parametrize("rev", [5, 6])
+def test_aesv3_roundtrip(rev):
+    for compress in (False, True):
+        pdf = write_pdf_encrypted(_PAGES, rev=rev, compress=compress)
+        assert b"/AESV3" in pdf and b"/V 5" in pdf
+        assert extract_pdf_text(pdf) == _PAGES
+
+
+def test_aesv3_wrong_password_is_loud():
+    pdf = write_pdf_encrypted(_PAGES, user_pw=b"secret", rev=6)
+    with pytest.raises(ValueError, match="wrong user password"):
+        extract_pdf_text(pdf)
+    from etl_pipeline_old_spark.operators.pdf import _Doc
+
+    doc = _Doc(pdf, password=b"secret")
+    assert doc._crypt_method == "aesv3"
+    assert len(doc._crypt_key) == 32
+
+
+def test_aesv3_tampered_perms_is_loud():
+    pdf = bytearray(write_pdf_encrypted(_PAGES, rev=6))
+    at = pdf.find(b"/Perms <") + len(b"/Perms <")
+    # flip one hex digit of the encrypted permissions record
+    pdf[at] = ord("0") if pdf[at] != ord("0") else ord("1")
+    with pytest.raises(ValueError, match="Perms"):
+        extract_pdf_text(bytes(pdf))
+
+
+def test_aesv2_tampered_ciphertext_is_loud():
+    pdf = bytearray(write_pdf_encrypted(_PAGES, rev=4))
+    at = pdf.find(b"stream\n") + len(b"stream\n")
+    # corrupt the LAST ciphertext block of the first stream -> CBC
+    # garbles the final block and the padding check refuses it
+    end = pdf.find(b"\nendstream", at)
+    pdf[end - 1] ^= 0xFF
+    with pytest.raises(ValueError, match="padding|truncated|mismatch"):
+        extract_pdf_text(bytes(pdf))
+
+
+def test_r6_kdf_properties():
+    """Algorithm 2.B sanity: deterministic, salt- and password-
+    sensitive, 32 bytes, and owner-udata-sensitive."""
+    from etl_pipeline_old_spark.operators.pdf_crypt import hash_r6
+
+    a = hash_r6(b"pw", b"salt8888")
+    assert len(a) == 32
+    assert hash_r6(b"pw", b"salt8888") == a  # cached AND pure
+    assert hash_r6(b"pw", b"salt8889") != a
+    assert hash_r6(b"pw2", b"salt8888") != a
+    assert hash_r6(b"pw", b"salt8888", b"udata") != a
+
+
+def test_v5_u_ue_identities():
+    from etl_pipeline_old_spark.operators.pdf_crypt import (
+        check_user_password_v5, compute_u_v5, compute_ue_v5,
+    )
+
+    fk = bytes(range(32))
+    for rev in (5, 6):
+        u = compute_u_v5(b"pw", b"vsalt000", b"ksalt000", rev)
+        ue = compute_ue_v5(b"pw", b"ksalt000", fk, rev)
+        assert len(u) == 48 and len(ue) == 32
+        assert check_user_password_v5(b"pw", u, ue, rev) == fk
+        with pytest.raises(ValueError, match="wrong user password"):
+            check_user_password_v5(b"nope", u, ue, rev)
 
 
 def test_algorithms_compose():
