@@ -153,6 +153,15 @@ HEADLINE = [
     # Tracks the modern-PDF extraction path beside its simple-font
     # sibling pipeline_document_corpus above.
     "pipeline_pdf_cid_extract",
+    # r11b: the encrypted-document sentinel — AESV2/AESV3 standard-
+    # handler PDFs decrypted by the own FIPS-197 AES (R6's iterated
+    # SHA-2 KDF lru_cached per worker). Tracks the decrypt-throughput
+    # path; a cipher or cache regression shows up here first.
+    "pipeline_pdf_aes_extract",
+    # r11b: the OOXML sentinel — DOCX packages through the own ZIP
+    # reader + ElementTree run reassembly. Tracks the office-document
+    # ingest path beside the PDF sentinels.
+    "pipeline_docx_extract",
 ]
 
 

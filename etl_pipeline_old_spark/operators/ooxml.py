@@ -1,0 +1,329 @@
+"""OOXML office documents (ECMA-376 / ISO 29500) — DOCX text and XLSX
+cell extraction over the engine's own ZIP layer, pure stdlib.
+
+Why this exists: after PDF and HTML, Office documents are the next
+biggest slice of any real document corpus — procurement archives,
+reports, spreadsheets of reference data.  An OOXML file is a ZIP
+package (operators/pkzip.py reads it natively, zip64 included) whose
+parts are XML; the text lives in ``word/document.xml`` (WordprocessingML)
+and worksheet cells in ``xl/worksheets/*.xml`` (SpreadsheetML) with an
+optional shared-string table.  Both the writers (fixture staging) and
+the extractors are implemented from the public ECMA-376 part structure.
+
+Extraction semantics (the parts that silently garble text if skipped):
+
+- A paragraph's text is SPLIT across arbitrarily many runs (``w:r``) —
+  real producers fragment mid-word around formatting changes.  The
+  writer here fragments deterministically so reassembly is proven, and
+  ``xml:space="preserve"`` is honored (unmarked w:t whitespace-only
+  content is producer-dependent; this writer always marks).
+- ``w:tab`` and ``w:br``/``w:cr`` are ELEMENTS, not characters — they
+  map to ``\\t`` and ``\\n`` in the recovered text.
+- XLSX cell values are typed: numeric (no ``t``), shared-string
+  (``t="s"``, the value is an INDEX into ``xl/sharedStrings.xml`` —
+  resolving it wrong yields numbers where text should be), inline
+  (``t="inlineStr"``), and boolean (``t="b"``).  Cell references are
+  A1-notation; the column walk must decode them, not assume density.
+
+Damage (missing parts, malformed XML, out-of-range shared-string
+index, unknown cell type) raises ValueError — one document costs one
+record, never the job.  stdlib ElementTree does not resolve external
+entities, so hostile XML cannot reach the filesystem.
+"""
+
+from __future__ import annotations
+
+import re
+import xml.etree.ElementTree as ET
+from xml.sax.saxutils import escape
+
+from .pkzip import read_zip, write_zip
+
+_W = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+_S = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+_CT = "http://schemas.openxmlformats.org/package/2006/content-types"
+_REL = "http://schemas.openxmlformats.org/package/2006/relationships"
+_RDOC = (
+    "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+)
+
+_XMLDECL = b'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+
+
+# ------------------------------------------------------------------ DOCX
+def _docx_runs(text: str) -> str:
+    """Fragment ``text`` into runs of uneven length (3,7,5,3,7,5,...) —
+    the deterministic stand-in for real producers' arbitrary run
+    splits — encoding tabs and newlines as their OOXML elements."""
+    out = []
+    for piece in re.split(r"([\t\n])", text):
+        if piece == "\t":
+            out.append("<w:r><w:tab/></w:r>")
+        elif piece == "\n":
+            out.append("<w:r><w:br/></w:r>")
+        elif piece:
+            i, sizes = 0, (3, 7, 5)
+            k = 0
+            while i < len(piece):
+                chunk = piece[i : i + sizes[k % 3]]
+                i += len(chunk)
+                k += 1
+                out.append(
+                    '<w:r><w:t xml:space="preserve">%s</w:t></w:r>'
+                    % escape(chunk)
+                )
+    return "".join(out)
+
+
+def write_docx(paragraphs: list) -> bytes:
+    """Serialize paragraphs (strings; ``\\t``/``\\n`` become w:tab/w:br)
+    into a minimal spec-valid .docx package."""
+    body = "".join(
+        "<w:p>%s</w:p>" % _docx_runs(p) for p in paragraphs
+    )
+    document = _XMLDECL + (
+        '<w:document xmlns:w="%s"><w:body>%s</w:body></w:document>'
+        % (_W, body)
+    ).encode("utf-8")
+    content_types = _XMLDECL + (
+        '<Types xmlns="%s">'
+        '<Default Extension="rels" ContentType="application/vnd.'
+        'openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/word/document.xml" ContentType="application/'
+        "vnd.openxmlformats-officedocument.wordprocessingml.document.main"
+        '+xml"/>'
+        "</Types>" % _CT
+    ).encode("utf-8")
+    rels = _XMLDECL + (
+        '<Relationships xmlns="%s">'
+        '<Relationship Id="rId1" Type="%s/officeDocument" '
+        'Target="word/document.xml"/>'
+        "</Relationships>" % (_REL, _RDOC)
+    ).encode("utf-8")
+    return write_zip(
+        [
+            ("[Content_Types].xml", content_types, "deflated"),
+            ("_rels/.rels", rels, "deflated"),
+            ("word/document.xml", document, "deflated"),
+        ]
+    )
+
+
+def extract_docx_text(blob: bytes) -> list:
+    """Extract paragraphs from a .docx: one string per ``w:p`` in
+    document order (table-cell paragraphs included — they ARE w:p
+    elements), runs reassembled, w:tab → ``\\t``, w:br/w:cr → ``\\n``."""
+    parts = {name: data for name, data, _m in read_zip(blob)}
+    if "word/document.xml" not in parts:
+        raise ValueError("docx: package has no word/document.xml part")
+    try:
+        root = ET.fromstring(parts["word/document.xml"])
+    except ET.ParseError as exc:
+        raise ValueError(f"docx: malformed document XML ({exc})") from exc
+    body = root.find(f"{{{_W}}}body")
+    if body is None:
+        raise ValueError("docx: document has no w:body")
+    out = []
+    for p in body.iter(f"{{{_W}}}p"):
+        frags = []
+        for el in p.iter():
+            tag = el.tag
+            if tag == f"{{{_W}}}t":
+                frags.append(el.text or "")
+            elif tag == f"{{{_W}}}tab":
+                frags.append("\t")
+            elif tag in (f"{{{_W}}}br", f"{{{_W}}}cr"):
+                frags.append("\n")
+        out.append("".join(frags))
+    return out
+
+
+# ------------------------------------------------------------------ XLSX
+def _col_letters(idx: int) -> str:
+    """0-based column index → A1 letters (0→A, 25→Z, 26→AA)."""
+    s = ""
+    idx += 1
+    while idx:
+        idx, rem = divmod(idx - 1, 26)
+        s = chr(ord("A") + rem) + s
+    return s
+
+
+def col_index(ref: str) -> int:
+    """A1-notation cell reference → 0-based column index."""
+    m = re.match(r"([A-Z]+)\d+$", ref)
+    if not m:
+        raise ValueError(f"xlsx: malformed cell reference {ref!r}")
+    idx = 0
+    for ch in m.group(1):
+        idx = idx * 26 + (ord(ch) - ord("A") + 1)
+    return idx - 1
+
+
+def write_xlsx(rows: list) -> bytes:
+    """Serialize ``rows`` (lists of cell values: int/float → numeric,
+    bool → boolean, str → SHARED string for repeats / inline for
+    first-sight, None → skipped cell) into a minimal .xlsx.  Strings
+    seen more than once go through the shared-string table — the
+    real-world layout that makes resolution mandatory."""
+    seen: dict = {}
+    for row in rows:
+        for v in row:
+            if isinstance(v, str):
+                seen[v] = seen.get(v, 0) + 1
+    shared: dict = {}
+    for row in rows:
+        for v in row:
+            if isinstance(v, str) and seen[v] > 1 and v not in shared:
+                shared[v] = len(shared)
+
+    cells_xml = []
+    for r, row in enumerate(rows, start=1):
+        cs = []
+        for j, v in enumerate(row):
+            if v is None:
+                continue  # sparse rows: the reader must honor cell refs
+            ref = f"{_col_letters(j)}{r}"
+            if isinstance(v, bool):
+                cs.append('<c r="%s" t="b"><v>%d</v></c>' % (ref, int(v)))
+            elif isinstance(v, (int, float)):
+                num = repr(v) if isinstance(v, float) else str(v)
+                cs.append('<c r="%s"><v>%s</v></c>' % (ref, num))
+            elif v in shared:
+                cs.append(
+                    '<c r="%s" t="s"><v>%d</v></c>' % (ref, shared[v])
+                )
+            else:
+                cs.append(
+                    '<c r="%s" t="inlineStr"><is><t xml:space="preserve">'
+                    "%s</t></is></c>" % (ref, escape(v))
+                )
+        cells_xml.append('<row r="%d">%s</row>' % (r, "".join(cs)))
+    sheet = _XMLDECL + (
+        '<worksheet xmlns="%s"><sheetData>%s</sheetData></worksheet>'
+        % (_S, "".join(cells_xml))
+    ).encode("utf-8")
+    sst = _XMLDECL + (
+        '<sst xmlns="%s" count="%d" uniqueCount="%d">%s</sst>'
+        % (
+            _S, sum(seen[s] for s in shared), len(shared),
+            "".join(
+                '<si><t xml:space="preserve">%s</t></si>' % escape(s)
+                for s in sorted(shared, key=shared.get)
+            ),
+        )
+    ).encode("utf-8")
+    workbook = _XMLDECL + (
+        '<workbook xmlns="%s" xmlns:r="%s"><sheets>'
+        '<sheet name="Sheet1" sheetId="1" r:id="rId1"/>'
+        "</sheets></workbook>" % (_S, _RDOC)
+    ).encode("utf-8")
+    wb_rels = _XMLDECL + (
+        '<Relationships xmlns="%s">'
+        '<Relationship Id="rId1" Type="%s/worksheet" '
+        'Target="worksheets/sheet1.xml"/>'
+        '<Relationship Id="rId2" Type="%s/sharedStrings" '
+        'Target="sharedStrings.xml"/>'
+        "</Relationships>" % (_REL, _RDOC, _RDOC)
+    ).encode("utf-8")
+    rels = _XMLDECL + (
+        '<Relationships xmlns="%s">'
+        '<Relationship Id="rId1" Type="%s/officeDocument" '
+        'Target="xl/workbook.xml"/>'
+        "</Relationships>" % (_REL, _RDOC)
+    ).encode("utf-8")
+    content_types = _XMLDECL + (
+        '<Types xmlns="%s">'
+        '<Default Extension="rels" ContentType="application/vnd.'
+        'openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/'
+        'vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="'
+        "application/vnd.openxmlformats-officedocument.spreadsheetml."
+        'worksheet+xml"/>'
+        '<Override PartName="/xl/sharedStrings.xml" ContentType="'
+        "application/vnd.openxmlformats-officedocument.spreadsheetml."
+        'sharedStrings+xml"/>'
+        "</Types>" % _CT
+    ).encode("utf-8")
+    return write_zip(
+        [
+            ("[Content_Types].xml", content_types, "deflated"),
+            ("_rels/.rels", rels, "deflated"),
+            ("xl/workbook.xml", workbook, "deflated"),
+            ("xl/_rels/workbook.xml.rels", wb_rels, "deflated"),
+            ("xl/worksheets/sheet1.xml", sheet, "deflated"),
+            ("xl/sharedStrings.xml", sst, "deflated"),
+        ]
+    )
+
+
+def extract_xlsx_cells(blob: bytes) -> list:
+    """Extract typed cells from every worksheet part:
+    ``[(sheet, row, col, kind, value)]`` with ``kind`` one of
+    ``num``/``str``/``bool`` and ``value`` the string rendering
+    (numbers as written, shared/inline strings RESOLVED).  Rows/cols
+    are 1-based/0-based per A1 decode; sparse cells simply absent."""
+    parts = {name: data for name, data, _m in read_zip(blob)}
+    shared = []
+    if "xl/sharedStrings.xml" in parts:
+        try:
+            sst = ET.fromstring(parts["xl/sharedStrings.xml"])
+        except ET.ParseError as exc:
+            raise ValueError(f"xlsx: malformed sharedStrings ({exc})") from exc
+        for si in sst.iter(f"{{{_S}}}si"):
+            # an si may fragment its text across rich-text runs
+            shared.append(
+                "".join(t.text or "" for t in si.iter(f"{{{_S}}}t"))
+            )
+    sheets = sorted(
+        n for n in parts
+        if n.startswith("xl/worksheets/") and n.endswith(".xml")
+    )
+    if not sheets:
+        raise ValueError("xlsx: package has no worksheet parts")
+    out = []
+    for name in sheets:
+        try:
+            ws = ET.fromstring(parts[name])
+        except ET.ParseError as exc:
+            raise ValueError(f"xlsx: malformed worksheet ({exc})") from exc
+        sheet_id = name[len("xl/worksheets/") : -len(".xml")]
+        for row in ws.iter(f"{{{_S}}}row"):
+            r = int(row.get("r", "0"))
+            for c in row.findall(f"{{{_S}}}c"):
+                ref = c.get("r")
+                if ref is None:
+                    raise ValueError("xlsx: cell without a reference")
+                col = col_index(ref)
+                t = c.get("t", "n")
+                if t == "inlineStr":
+                    is_el = c.find(f"{{{_S}}}is")
+                    val = "" if is_el is None else "".join(
+                        x.text or "" for x in is_el.iter(f"{{{_S}}}t")
+                    )
+                    out.append((sheet_id, r, col, "str", val))
+                    continue
+                v_el = c.find(f"{{{_S}}}v")
+                if v_el is None:
+                    continue  # an empty typed cell carries no value
+                raw = v_el.text or ""
+                if t == "s":
+                    idx = int(raw)
+                    if not 0 <= idx < len(shared):
+                        raise ValueError(
+                            f"xlsx: shared-string index {idx} out of range"
+                        )
+                    out.append((sheet_id, r, col, "str", shared[idx]))
+                elif t == "b":
+                    out.append((sheet_id, r, col, "bool", raw))
+                elif t in ("n", "str"):
+                    # 'str' is a cached formula RESULT — text, but kept
+                    # distinct from 'n' only by kind tag
+                    kind = "num" if t == "n" else "str"
+                    out.append((sheet_id, r, col, kind, raw))
+                else:
+                    raise ValueError(f"xlsx: unsupported cell type {t!r}")
+    return out

@@ -130,6 +130,11 @@ REPEAT_QUERIES = (
     "pipeline_pdf_cid_extract",
     # r11: staged RC4-encrypted (owner-locked) .pdf documents
     "pipeline_pdf_encrypted_extract",
+    # r11: staged AES-encrypted (/V 4 AESV2 + /V 5 AESV3) .pdf documents
+    "pipeline_pdf_aes_extract",
+    # r11: staged OOXML office documents (.docx text, .xlsx typed cells)
+    "pipeline_docx_extract",
+    "multimodal_xlsx_cells",
     # r9: staged .webm containers
     "multimodal_webm_probe",
     # r9: staged .vtt caption sidecars (+ the alignment join sharing
