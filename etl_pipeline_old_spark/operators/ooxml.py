@@ -327,3 +327,117 @@ def extract_xlsx_cells(blob: bytes) -> list:
                 else:
                     raise ValueError(f"xlsx: unsupported cell type {t!r}")
     return out
+
+
+# ------------------------------------------------------------------ PPTX
+_A = "http://schemas.openxmlformats.org/drawingml/2006/main"
+_P = "http://schemas.openxmlformats.org/presentationml/2006/main"
+
+
+def write_pptx(slides: list) -> bytes:
+    """Serialize slides (each a list of paragraph strings) into a
+    minimal spec-valid .pptx: one text shape per slide whose paragraphs
+    fragment across uneven a:r runs exactly like the DOCX writer —
+    PresentationML text extraction has the same reassembly obligation."""
+    members = []
+    slide_overrides = []
+    sld_ids = []
+    rels = []
+    for i, paras in enumerate(slides, start=1):
+        paras_xml = []
+        for ptext in paras:
+            runs = []
+            j, sizes, k = 0, (3, 7, 5), 0
+            if not ptext:
+                runs.append("<a:r><a:t></a:t></a:r>")
+            while j < len(ptext):
+                chunk = ptext[j : j + sizes[k % 3]]
+                j += len(chunk)
+                k += 1
+                runs.append("<a:r><a:t>%s</a:t></a:r>" % escape(chunk))
+            paras_xml.append("<a:p>%s</a:p>" % "".join(runs))
+        slide = _XMLDECL + (
+            '<p:sld xmlns:p="%s" xmlns:a="%s"><p:cSld><p:spTree>'
+            "<p:sp><p:txBody>%s</p:txBody></p:sp>"
+            "</p:spTree></p:cSld></p:sld>"
+            % (_P, _A, "".join(paras_xml))
+        ).encode("utf-8")
+        members.append(
+            (f"ppt/slides/slide{i}.xml", slide, "deflated")
+        )
+        slide_overrides.append(
+            '<Override PartName="/ppt/slides/slide%d.xml" ContentType="'
+            "application/vnd.openxmlformats-officedocument.presentationml."
+            'slide+xml"/>' % i
+        )
+        sld_ids.append('<p:sldId id="%d" r:id="rId%d"/>' % (255 + i, i))
+        rels.append(
+            '<Relationship Id="rId%d" Type="%s/slide" '
+            'Target="slides/slide%d.xml"/>' % (i, _RDOC, i)
+        )
+    presentation = _XMLDECL + (
+        '<p:presentation xmlns:p="%s" xmlns:r="%s"><p:sldIdLst>%s'
+        "</p:sldIdLst></p:presentation>"
+        % (_P, _RDOC, "".join(sld_ids))
+    ).encode("utf-8")
+    content_types = _XMLDECL + (
+        '<Types xmlns="%s">'
+        '<Default Extension="rels" ContentType="application/vnd.'
+        'openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/ppt/presentation.xml" ContentType="'
+        "application/vnd.openxmlformats-officedocument.presentationml."
+        'presentation.main+xml"/>%s'
+        "</Types>" % (_CT, "".join(slide_overrides))
+    ).encode("utf-8")
+    pkg_rels = _XMLDECL + (
+        '<Relationships xmlns="%s">'
+        '<Relationship Id="rId1" Type="%s/officeDocument" '
+        'Target="ppt/presentation.xml"/>'
+        "</Relationships>" % (_REL, _RDOC)
+    ).encode("utf-8")
+    ppt_rels = _XMLDECL + (
+        '<Relationships xmlns="%s">%s</Relationships>'
+        % (_REL, "".join(rels))
+    ).encode("utf-8")
+    return write_zip(
+        [
+            ("[Content_Types].xml", content_types, "deflated"),
+            ("_rels/.rels", pkg_rels, "deflated"),
+            ("ppt/presentation.xml", presentation, "deflated"),
+            ("ppt/_rels/presentation.xml.rels", ppt_rels, "deflated"),
+        ]
+        + members
+    )
+
+
+def extract_pptx_text(blob: bytes) -> list:
+    """Extract slide text: one list of paragraph strings per slide, in
+    slide-NUMBER order (the part names carry the order; directory order
+    is a producer accident, never trusted).  a:t runs reassemble per
+    a:p; a:br becomes ``\\n`` inside its paragraph."""
+    parts = {name: data for name, data, _m in read_zip(blob)}
+    slide_names = []
+    for name in parts:
+        m = re.match(r"ppt/slides/slide(\d+)\.xml$", name)
+        if m:
+            slide_names.append((int(m.group(1)), name))
+    if not slide_names:
+        raise ValueError("pptx: package has no slide parts")
+    out = []
+    for _num, name in sorted(slide_names):
+        try:
+            root = ET.fromstring(parts[name])
+        except ET.ParseError as exc:
+            raise ValueError(f"pptx: malformed slide XML ({exc})") from exc
+        paras = []
+        for p in root.iter(f"{{{_A}}}p"):
+            frags = []
+            for el in p.iter():
+                if el.tag == f"{{{_A}}}t":
+                    frags.append(el.text or "")
+                elif el.tag == f"{{{_A}}}br":
+                    frags.append("\n")
+            paras.append("".join(frags))
+        out.append(paras)
+    return out

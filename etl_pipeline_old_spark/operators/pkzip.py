@@ -41,16 +41,90 @@ _EOCD64_LOC_SIG = b"PK\x06\x07"
 _DOS_TIME, _DOS_DATE = 0, 0x21
 
 
-def write_zip(members: list, force_zip64: bool = False) -> bytes:
+# ------------------------------------------------- traditional encryption
+# APPNOTE 6.1 "traditional PKWARE encryption" (ZipCrypto).  Weak by
+# modern standards — this is a CORPUS CODEC for reading the
+# password-protected legacy archives real document dumps contain (and
+# for staging fixtures), not a confidentiality mechanism.  Our encryptor
+# is cross-validated against CPython zipfile's independent DECRYPTOR in
+# tests/test_pkzip.py.
+
+
+def _zc_crc(crc: int, b: int) -> int:
+    # one-byte CRC-32 step via zlib (pre/post-conditioning cancelled)
+    return (zlib.crc32(bytes([b]), crc ^ 0xFFFFFFFF) ^ 0xFFFFFFFF) & 0xFFFFFFFF
+
+
+class _ZipCrypto:
+    def __init__(self, password: bytes):
+        self.k0, self.k1, self.k2 = 0x12345678, 0x23456789, 0x34567890
+        for b in password:
+            self._update(b)
+
+    def _update(self, b: int) -> None:
+        self.k0 = _zc_crc(self.k0, b)
+        self.k1 = ((self.k1 + (self.k0 & 0xFF)) * 134775813 + 1) & 0xFFFFFFFF
+        self.k2 = _zc_crc(self.k2, self.k1 >> 24)
+
+    def _stream_byte(self) -> int:
+        t = (self.k2 | 2) & 0xFFFF
+        return ((t * (t ^ 1)) >> 8) & 0xFF
+
+    def encrypt(self, data: bytes) -> bytes:
+        out = bytearray(len(data))
+        for i, p in enumerate(data):
+            out[i] = p ^ self._stream_byte()
+            self._update(p)
+        return bytes(out)
+
+    def decrypt(self, data: bytes) -> bytes:
+        out = bytearray(len(data))
+        for i, c in enumerate(data):
+            p = c ^ self._stream_byte()
+            self._update(p)
+            out[i] = p
+        return bytes(out)
+
+
+def zipcrypto_seal(payload: bytes, password: bytes, crc: int,
+                   seed: bytes) -> bytes:
+    """Encrypt a member payload: the 12-byte encryption header (11
+    ``seed`` bytes + the CRC high byte — the spec's password check)
+    followed by the payload, one keystream."""
+    zc = _ZipCrypto(password)
+    header = seed[:11].ljust(11, b"\x00") + bytes([(crc >> 24) & 0xFF])
+    return zc.encrypt(header) + zc.encrypt(payload)
+
+
+def zipcrypto_open(sealed: bytes, password: bytes, crc: int) -> bytes:
+    """Decrypt a sealed payload, verifying the header check byte — a
+    wrong password fails here loudly (~1/256 false-accept per spec,
+    backstopped by the member CRC check after inflate)."""
+    if len(sealed) < 12:
+        raise ValueError("zip: encrypted member shorter than its header")
+    zc = _ZipCrypto(password)
+    header = zc.decrypt(sealed[:12])
+    if header[11] != (crc >> 24) & 0xFF:
+        raise ValueError("zip: wrong password (encryption header check)")
+    return zc.decrypt(sealed[12:])
+
+
+def write_zip(members: list, force_zip64: bool = False,
+              password: bytes | None = None) -> bytes:
     """Serialize ``[(name, data, method)]`` (method 'stored'|'deflated')
     into a spec-valid archive: local headers + payloads, then the
     central directory and EOCD.  ``force_zip64`` writes the full ZIP64
     layout (sentinel fields + 0x0001 extras + zip64 EOCD record and
     locator) even when sizes fit 32 bits — the spec-sanctioned way to
-    exercise the >4 GiB shard path without staging 4 GiB."""
+    exercise the >4 GiB shard path without staging 4 GiB.  ``password``
+    seals every member with traditional (ZipCrypto) encryption: flag
+    bit 0 set, a 12-byte encryption header prepended (its seed derived
+    from name+crc for deterministic staging; the spec says random),
+    compressed size grown by 12."""
     out = bytearray()
     central = bytearray()
     version = 45 if force_zip64 else 20
+    flags_base = 0x800 | (0x1 if password is not None else 0)
     for name, data, method in members:
         nm = name.encode("utf-8")
         crc = zlib.crc32(data) & 0xFFFFFFFF
@@ -62,6 +136,13 @@ def write_zip(members: list, force_zip64: bool = False) -> bytes:
             payload, m = data, 0
         else:
             raise ValueError(f"unknown method {method!r}")
+        if password is not None:
+            import hashlib
+
+            payload = zipcrypto_seal(
+                payload, password, crc,
+                hashlib.md5(nm + struct.pack("<I", crc)).digest(),
+            )
         off = len(out)
         need64 = force_zip64 or max(len(payload), len(data)) > 0xFFFFFFFE \
             or off > 0xFFFFFFFE
@@ -76,7 +157,7 @@ def write_zip(members: list, force_zip64: bool = False) -> bytes:
                 "<HHQQQ", 0x0001, 24, len(data), len(payload), off
             )
             l_common = struct.pack(
-                "<HHHHHIII", version, 0x800, m, _DOS_TIME, _DOS_DATE, crc,
+                "<HHHHHIII", version, flags_base, m, _DOS_TIME, _DOS_DATE, crc,
                 0xFFFFFFFF, 0xFFFFFFFF,
             )
             out += (
@@ -96,7 +177,7 @@ def write_zip(members: list, force_zip64: bool = False) -> bytes:
             # readers must assume cp437 and non-ASCII names round-trip
             # wrong
             common = struct.pack(
-                "<HHHHHIII", version, 0x800, m, _DOS_TIME, _DOS_DATE, crc,
+                "<HHHHHIII", version, flags_base, m, _DOS_TIME, _DOS_DATE, crc,
                 len(payload), len(data),
             )
             out += _LOCAL_SIG + common + struct.pack("<HH", len(nm), 0) + nm
@@ -170,12 +251,14 @@ def _zip64_fields(extra: bytes, sentinels: list) -> list:
     return out
 
 
-def read_zip(blob: bytes) -> list:
+def read_zip(blob: bytes, password: bytes | None = None) -> list:
     """Walk the central directory and extract every member with CRC and
     size verification.  Returns ``[(name, data, method)]`` in directory
     order.  ZIP64 archives (sentinel EOCD fields resolved through the
     zip64 EOCD locator + record; sentinel member fields through 0x0001
-    extras) read natively."""
+    extras) read natively; traditionally-encrypted (ZipCrypto) members
+    decrypt when ``password`` is given — an encrypted member with no
+    password, or a wrong password, raises."""
     e = _find_eocd(blob)
     (_dn, _d, n_here, n_total, cd_size, cd_off, _cl) = struct.unpack_from(
         "<HHHHIIH", blob, e + 4
@@ -213,8 +296,15 @@ def read_zip(blob: bytes) -> list:
             _vmade, _vneed, flags, method, _t, _d2, crc, csize, usize,
             nlen, xlen, clen, _disk, _iattr, _eattr, lho,
         ) = struct.unpack_from("<HHHHHHIIIHHHHHII", blob, pos + 4)
-        if flags & 0x1:
-            raise ValueError("zip: encrypted member")
+        if flags & 0x1 and password is None:
+            raise ValueError("zip: encrypted member (no password supplied)")
+        if flags & 0x8 and flags & 0x1:
+            # with a data descriptor the header check byte is the DOS
+            # time's high byte, and our deterministic writer never emits
+            # descriptors — refuse rather than mis-verify
+            raise NotImplementedError(
+                "zip: encrypted member with data descriptor"
+            )
         name = blob[pos + 46 : pos + 46 + nlen].decode("utf-8")
         if 0xFFFFFFFF in (csize, usize, lho):
             extra = blob[pos + 46 + nlen : pos + 46 + nlen + xlen]
@@ -231,6 +321,8 @@ def read_zip(blob: bytes) -> list:
         payload = blob[d0 : d0 + csize]
         if len(payload) != csize:
             raise ValueError(f"zip: member {name!r} payload truncated")
+        if flags & 0x1:
+            payload = zipcrypto_open(payload, password, crc)
         if method == 8:
             data = zlib.decompress(payload, -15)
             mname = "deflated"

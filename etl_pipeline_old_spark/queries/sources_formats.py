@@ -5650,3 +5650,312 @@ def multimodal_xlsx_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, n_cells int, sum_num bigint, n_str int, "
         "str_chars bigint, bool_true int",
     )
+
+
+def _render_pptx(doc_id: int, text: str) -> bytes:
+    from ..operators.ooxml import write_pptx
+
+    return write_pptx(_pdf_pages(text))
+
+
+@register(
+    "pipeline_pptx_extract",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, text,
+             greatest(1, (length(text) + {_PDF_LINE - 1}) // {_PDF_LINE})
+               AS n_lines
+      FROM documents)
+    SELECT doc_id,
+      CAST((n_lines + {_PDF_PAGE_LINES - 1}) // {_PDF_PAGE_LINES} AS INT)
+        AS n_slides,
+      length(text) AS n_chars,
+      1 AS text_exact
+    FROM b
+    """,
+    doc="PPTX slide-text extraction (operators/ooxml.py, ECMA-376 "
+    "PresentationML) — completes the OOXML trio: each document stages "
+    "as a spec-valid .pptx (presentation part, per-slide parts and "
+    "rels) whose paragraphs fragment across uneven a:r runs exactly "
+    "like the DOCX writer, and extraction orders slides by PART "
+    "NUMBER, not directory order (slide10 sorts after slide2 — the "
+    "lexicographic trap), reassembling runs per a:p. The oracle "
+    "demands byte-exact text recovery and independently recomputes "
+    "the slide count from the pagination formula. Scale: map-side "
+    "Arrow kernel over binaryFile like the sibling document formats.",
+)
+def pipeline_pptx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_media_files(
+        spark, sf_dir, "pptx_files", "pptx", _render_pptx
+    )
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.pptx")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.pptx$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "content",
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    joined = bf.join(docs, "doc_id")
+
+    def op(batches):
+        import pandas as pd
+
+        from ..operators.ooxml import extract_pptx_text
+
+        for b in batches:
+            out = {
+                "doc_id": [], "n_slides": [], "n_chars": [],
+                "text_exact": [],
+            }
+            for doc_id, content, text in zip(
+                b["doc_id"], b["content"], b["text"]
+            ):
+                slides = extract_pptx_text(bytes(content))
+                rebuilt = "".join(p for s in slides for p in s)
+                out["doc_id"].append(int(doc_id))
+                out["n_slides"].append(len(slides))
+                out["n_chars"].append(len(rebuilt))
+                out["text_exact"].append(1 if rebuilt == text else 0)
+            yield pd.DataFrame(out)
+
+    return joined.mapInPandas(
+        op, schema="doc_id long, n_slides int, n_chars long, text_exact int"
+    )
+
+
+def _render_rtf(doc_id: int, text: str) -> bytes:
+    from ..operators.rtf import write_rtf
+
+    return write_rtf(_docx_paragraphs(text))
+
+
+@register(
+    "pipeline_rtf_extract",
+    oracle=f"""
+    SELECT doc_id,
+      CAST(greatest(1, (length(text) + {_PDF_LINE - 1}) // {_PDF_LINE})
+        AS INT) AS n_paras,
+      length(text) AS n_chars,
+      1 AS text_exact
+    FROM documents
+    """,
+    doc="RTF text extraction (operators/rtf.py, written from the "
+    "public RTF 1.9.1 spec) — the legacy-document staple: decades of "
+    "word-processor and records-system exports that are often the "
+    "least re-obtainable slice of a corpus. The extractor implements "
+    "the constructs that silently garble text when skipped: "
+    "destination groups (fonttbl/stylesheet/info and ignorable "
+    "\\\\*-destinations) whose TEXT is metadata and must not leak, "
+    "signed-16-bit \\\\uN Unicode escapes with group-scoped \\\\ucN "
+    "fallback skipping and surrogate-pair recombination, \\\\'hh hex "
+    "escapes decoded through the declared \\\\ansicpgN code page (the "
+    "reference domain's cp1251 reality), blind \\\\binN payload "
+    "skipping (raw bytes may contain braces), and \\\\par/\\\\line/"
+    "\\\\tab controls. The staged corpus routes every non-ASCII "
+    "character through \\\\uN escapes and the oracle demands "
+    "byte-exact recovery; unbalanced groups and truncated escapes "
+    "raise per record. Scale: map-side Arrow kernel over binaryFile.",
+)
+def pipeline_rtf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_media_files(spark, sf_dir, "rtf_files", "rtf", _render_rtf)
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.rtf")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.rtf$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "content",
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    joined = bf.join(docs, "doc_id")
+
+    def op(batches):
+        import pandas as pd
+
+        from ..operators.rtf import extract_rtf_text
+
+        for b in batches:
+            out = {
+                "doc_id": [], "n_paras": [], "n_chars": [], "text_exact": [],
+            }
+            for doc_id, content, text in zip(
+                b["doc_id"], b["content"], b["text"]
+            ):
+                paras = extract_rtf_text(bytes(content))
+                rebuilt = "".join(paras)
+                out["doc_id"].append(int(doc_id))
+                out["n_paras"].append(len(paras))
+                out["n_chars"].append(len(rebuilt))
+                out["text_exact"].append(1 if rebuilt == text else 0)
+            yield pd.DataFrame(out)
+
+    return joined.mapInPandas(
+        op, schema="doc_id long, n_paras int, n_chars long, text_exact int"
+    )
+
+
+_ZIP_PWS = (b"archive-a", b"archive-b", b"archive-c")
+
+
+def _render_zip_encrypted(doc_id: int, text: str) -> bytes:
+    from ..operators.pkzip import write_zip
+
+    return write_zip(
+        [
+            ("doc.txt", text.encode("utf-8"), "deflated"),
+            ("meta.txt", f"id={doc_id}".encode(), "stored"),
+        ],
+        password=_ZIP_PWS[doc_id % 3],
+    )
+
+
+@register(
+    "multimodal_zip_encrypted",
+    oracle="""
+    SELECT doc_id,
+      2 AS n_members,
+      CAST(octet_length(encode(text)) AS BIGINT) AS n_text_bytes,
+      1 AS text_exact
+    FROM documents
+    """,
+    doc="Password-protected ZIP shard ingestion (operators/pkzip.py, "
+    "APPNOTE 6.1 traditional/ZipCrypto encryption) — legacy document "
+    "dumps arrive password-protected routinely; a pipeline that can "
+    "only quarantine them drops the whole slice. The own keystream "
+    "implementation (three rolling keys over one-byte CRC-32 steps) "
+    "is cross-validated against CPython zipfile's INDEPENDENT "
+    "decryptor — every staged archive is re-read by zipfile with the "
+    "password in tests/test_pkzip.py — and the 12-byte encryption "
+    "header's CRC check byte makes a wrong password loud (backstopped "
+    "by the post-inflate member CRC). Documents cycle three "
+    "credentials; extraction decrypts, inflates, and the oracle "
+    "demands exact text recovery plus the UTF-8 byte mass. Scale: "
+    "decryption is a per-record byte pass inside the Arrow kernel, "
+    "like the RC4 PDF path.",
+)
+def multimodal_zip_encrypted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_media_files(
+        spark, sf_dir, "zipenc_files", "zip", _render_zip_encrypted
+    )
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.zip")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.zip$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "content",
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    joined = bf.join(docs, "doc_id")
+
+    def op(batches):
+        import pandas as pd
+
+        from ..operators.pkzip import read_zip
+
+        for b in batches:
+            out = {
+                "doc_id": [], "n_members": [], "n_text_bytes": [],
+                "text_exact": [],
+            }
+            for doc_id, content, text in zip(
+                b["doc_id"], b["content"], b["text"]
+            ):
+                members = read_zip(
+                    bytes(content), password=_ZIP_PWS[int(doc_id) % 3]
+                )
+                data = {n: d for n, d, _m in members}
+                rebuilt = data["doc.txt"].decode("utf-8")
+                out["doc_id"].append(int(doc_id))
+                out["n_members"].append(len(members))
+                out["n_text_bytes"].append(len(data["doc.txt"]))
+                out["text_exact"].append(1 if rebuilt == text else 0)
+            yield pd.DataFrame(out)
+
+    return joined.mapInPandas(
+        op,
+        schema="doc_id long, n_members int, n_text_bytes bigint, "
+        "text_exact int",
+    )
+
+
+def _render_corrupt_docx(doc_id: int, text: str) -> bytes:
+    from ..operators.ooxml import write_docx
+
+    blob = write_docx(_docx_paragraphs(text))
+    if doc_id % _CORRUPT_MOD == 0:
+        # tear the tail: the EOCD record — what a truncated upload of a
+        # ZIP package actually loses (the central directory is the
+        # authoritative index, so the walk fails loudly, not wrongly)
+        return blob[: len(blob) // 2]
+    return blob
+
+
+@register(
+    "docx_ingest_quarantine",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN doc_id % {_CORRUPT_MOD} = 0 THEN 'corrupt' ELSE 'ok' END
+             AS status,
+           CASE WHEN doc_id % {_CORRUPT_MOD} = 0 THEN NULL
+                ELSE length(text) END AS n_chars
+    FROM documents
+    """,
+    doc="Per-record QUARANTINE for the office-document family: every "
+    f"{_CORRUPT_MOD}th staged .docx is torn mid-archive (losing the "
+    "central directory + EOCD — what a truncated package upload "
+    "actually loses), the kernel wraps the package walk + XML parse "
+    "per record and routes failures to a status column, and the "
+    "oracle checks both halves: corrupt packages quarantine with NULL "
+    "extraction, every healthy package still recovers its text "
+    "byte-exactly. One parser definition — the same code that raises "
+    "in pipeline_docx_extract. The operational sibling of "
+    "pdf_ingest_quarantine for the OOXML path.",
+)
+def docx_ingest_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_media_files(
+        spark, sf_dir, "docx_corrupt", "docx", _render_corrupt_docx
+    )
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.docx")
+        .load(path)
+        .select("path", "content")
+    )
+
+    def op(batches):
+        import re as _re
+
+        import pandas as pd
+
+        from ..operators.ooxml import extract_docx_text
+
+        for b in batches:
+            out = {"doc_id": [], "status": [], "n_chars": []}
+            for p, content in zip(b["path"], b["content"]):
+                out["doc_id"].append(
+                    int(_re.search(r"(\d+)\.docx$", p).group(1))
+                )
+                try:
+                    paras = extract_docx_text(bytes(content))
+                    out["status"].append("ok")
+                    out["n_chars"].append(sum(len(x) for x in paras))
+                except (ValueError, NotImplementedError):
+                    out["status"].append("corrupt")
+                    out["n_chars"].append(None)
+            yield pd.DataFrame(out)
+
+    return bf.mapInPandas(
+        op, schema="doc_id long, status string, n_chars long"
+    )

@@ -188,3 +188,50 @@ def test_cpython_zipfile_reads_our_packages():
         xml_bytes = zf.read("word/document.xml")
     root = ET.fromstring(xml_bytes)
     assert root.tag.endswith("}document")
+
+
+# ------------------------------------------------------------------ PPTX
+def test_pptx_roundtrip():
+    from etl_pipeline_old_spark.operators.ooxml import (
+        extract_pptx_text, write_pptx,
+    )
+
+    slides = [["title <1>", "bullet & co"], ["second\nslide", ""], []]
+    assert extract_pptx_text(write_pptx(slides)) == slides
+
+
+def test_pptx_numeric_slide_order():
+    # slide10.xml must sort after slide2.xml — part NUMBER, not name
+    from etl_pipeline_old_spark.operators.ooxml import (
+        extract_pptx_text, write_pptx,
+    )
+
+    many = [[f"slide {i}"] for i in range(12)]
+    assert extract_pptx_text(write_pptx(many)) == many
+
+
+def test_pptx_loud_failures():
+    from etl_pipeline_old_spark.operators.ooxml import (
+        extract_pptx_text, write_pptx,
+    )
+
+    with pytest.raises(ValueError, match="no slide parts"):
+        extract_pptx_text(write_zip([("a.txt", b"x", "stored")]))
+    blob = write_pptx([["x"]])
+    members = [
+        (n, b"<broken" if n.startswith("ppt/slides/") else d, "deflated")
+        for n, d, _m in read_zip(blob)
+    ]
+    with pytest.raises(ValueError, match="malformed"):
+        extract_pptx_text(write_zip(members))
+
+
+def test_cpython_zipfile_reads_pptx():
+    import io
+    import zipfile
+
+    from etl_pipeline_old_spark.operators.ooxml import write_pptx
+
+    blob = write_pptx([["cross check"]])
+    with zipfile.ZipFile(io.BytesIO(blob)) as zf:
+        assert "ppt/slides/slide1.xml" in zf.namelist()

@@ -178,3 +178,55 @@ def test_central_directory_is_authoritative():
     struct.pack_into("<I", blob, e + 16, cd + ghost_local_end)
     names = [n for n, _, _ in read_zip(bytes(blob))]
     assert names == ["real.txt"]
+
+
+# ----------------------------------------------------- ZipCrypto members
+def test_zipcrypto_roundtrip_and_zipfile_cross_validation():
+    """Our encryptor must produce archives CPython zipfile's INDEPENDENT
+    decryptor opens — the cross-engine pin for the keystream."""
+    import io
+    import zipfile as zf_mod
+
+    members = [
+        ("a.txt", b"hello zipcrypto", "deflated"),
+        ("dir/b.bin", bytes(range(256)) * 4, "stored"),
+        ("empty.txt", b"", "deflated"),
+    ]
+    pw = b"s3cret"
+    blob = write_zip(members, password=pw)
+    got = read_zip(blob, password=pw)
+    assert [(n, d) for n, d, _ in got] == [(n, d) for n, d, _ in members]
+    with zf_mod.ZipFile(io.BytesIO(blob)) as zf:
+        for n, d, _m in members:
+            assert zf.read(n, pwd=pw) == d
+
+
+def test_zipcrypto_wrong_or_missing_password_is_loud():
+    blob = write_zip([("a.txt", b"payload", "deflated")], password=b"pw")
+    with pytest.raises(ValueError, match="wrong password"):
+        read_zip(blob, password=b"nope")
+    with pytest.raises(ValueError, match="no password"):
+        read_zip(blob)
+
+
+def test_zipcrypto_composes_with_zip64():
+    import io
+    import zipfile as zf_mod
+
+    members = [("big/being-faked.bin", b"x" * 1000, "deflated")]
+    blob = write_zip(members, force_zip64=True, password=b"pw")
+    assert read_zip(blob, password=b"pw")[0][1] == b"x" * 1000
+    with zf_mod.ZipFile(io.BytesIO(blob)) as zf:
+        assert zf.read("big/being-faked.bin", pwd=b"pw") == b"x" * 1000
+
+
+def test_zipcrypto_tampered_payload_fails_crc():
+    blob = bytearray(
+        write_zip([("a.txt", b"payload-bytes", "stored")], password=b"pw")
+    )
+    # flip one ciphertext byte past the 12-byte header of the first
+    # member (local header is 30 + name), keystream still aligns
+    at = 30 + len("a.txt") + 12 + 2
+    blob[at] ^= 0x01
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        read_zip(bytes(blob), password=b"pw")

@@ -132,9 +132,14 @@ REPEAT_QUERIES = (
     "pipeline_pdf_encrypted_extract",
     # r11: staged AES-encrypted (/V 4 AESV2 + /V 5 AESV3) .pdf documents
     "pipeline_pdf_aes_extract",
-    # r11: staged OOXML office documents (.docx text, .xlsx typed cells)
+    # r11: staged OOXML office documents (.docx text, .xlsx typed cells,
+    # .pptx slides), RTF exports, and ZipCrypto-protected archives
     "pipeline_docx_extract",
     "multimodal_xlsx_cells",
+    "pipeline_pptx_extract",
+    "pipeline_rtf_extract",
+    "multimodal_zip_encrypted",
+    "docx_ingest_quarantine",
     # r9: staged .webm containers
     "multimodal_webm_probe",
     # r9: staged .vtt caption sidecars (+ the alignment join sharing
