@@ -5959,3 +5959,192 @@ def docx_ingest_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bf.mapInPandas(
         op, schema="doc_id long, status string, n_chars long"
     )
+
+
+def _render_epub(doc_id: int, text: str) -> bytes:
+    from ..operators.epub import write_epub
+
+    return write_epub(_pdf_pages(text), title=f"doc-{doc_id}")
+
+
+@register(
+    "pipeline_epub_extract",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, text,
+             greatest(1, (length(text) + {_PDF_LINE - 1}) // {_PDF_LINE})
+               AS n_lines
+      FROM documents)
+    SELECT doc_id,
+      CAST((n_lines + {_PDF_PAGE_LINES - 1}) // {_PDF_PAGE_LINES} AS INT)
+        AS n_chapters,
+      length(text) AS n_chars,
+      1 AS text_exact
+    FROM b
+    """,
+    doc="EPUB book-text extraction (operators/epub.py, IDPF/W3C OCF + "
+    "Package specs) — books are the long-document backbone of "
+    "pretraining corpora, and their reading order is DATA: container "
+    "-> OPF package -> manifest (id->href) -> SPINE sequence, hrefs "
+    "resolved relative to the OPF directory, mimetype member enforced "
+    "first/stored per OCF 3.3. The staged books name chapter FILES in "
+    "reverse while the spine lists true reading order, so a "
+    "directory-order walk scrambles chapters and fails the byte-exact "
+    "oracle — the check that actually proves spine handling. XHTML "
+    "paragraph text collects via document-order descent (inline "
+    "markup keeps its text); missing parts, malformed XML, and "
+    "dangling spine idrefs raise per record. Scale: map-side Arrow "
+    "kernel over binaryFile, one book per record, like the sibling "
+    "document formats.",
+)
+def pipeline_epub_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_media_files(
+        spark, sf_dir, "epub_files", "epub", _render_epub
+    )
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.epub")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.epub$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "content",
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    joined = bf.join(docs, "doc_id")
+
+    def op(batches):
+        import pandas as pd
+
+        from ..operators.epub import extract_epub_text
+
+        for b in batches:
+            out = {
+                "doc_id": [], "n_chapters": [], "n_chars": [],
+                "text_exact": [],
+            }
+            for doc_id, content, text in zip(
+                b["doc_id"], b["content"], b["text"]
+            ):
+                chapters = extract_epub_text(bytes(content))
+                rebuilt = "".join(p for c in chapters for p in c)
+                out["doc_id"].append(int(doc_id))
+                out["n_chapters"].append(len(chapters))
+                out["n_chars"].append(len(rebuilt))
+                out["text_exact"].append(1 if rebuilt == text else 0)
+            yield pd.DataFrame(out)
+
+    return joined.mapInPandas(
+        op,
+        schema="doc_id long, n_chapters int, n_chars long, text_exact int",
+    )
+
+
+def _render_mbox(doc_id: int, text: str) -> bytes:
+    from ..operators.mail import write_mbox, write_message
+
+    charset = "cp1251" if doc_id % 3 == 0 else "utf-8"
+    plain = write_message(f"тема {doc_id}", "Отправитель", text,
+                          charset=charset)
+    multi = write_message(
+        f"тема {doc_id}", "Отправитель", text,
+        html=f"<p>doc {doc_id}</p>", charset=charset,
+    )
+    return write_mbox([plain, multi])
+
+
+@register(
+    "pipeline_mail_extract",
+    oracle="""
+    SELECT doc_id,
+      2 AS n_msgs,
+      3 AS n_parts,
+      CAST(CASE WHEN doc_id % 3 = 0 THEN 'cp1251' ELSE 'utf-8' END
+        AS VARCHAR) AS charset,
+      1 AS subject_ok,
+      1 AS text_exact,
+      length(text) AS n_chars
+    FROM documents
+    """,
+    doc="Email-archive text extraction (operators/mail.py, RFC "
+    "5322/2045/2046/2047 own parser cross-validated against CPython's "
+    "independent email package) — mail archives are a major "
+    "real-corpus slice, and their text hides behind exactly the "
+    "layers a line-splitter garbles: each document stages as an mbox "
+    "shard (From_-delimited with >From unstuffing) holding TWO "
+    "messages — a quoted-printable text/plain one and a "
+    "multipart/alternative one with preamble/epilogue, a QP text part "
+    "and a base64 HTML part — with folded headers, RFC 2047 "
+    "B-encoded-word Cyrillic subjects, and the charset parameter "
+    "cycling utf-8/cp1251 (where legacy mail text actually lives). "
+    "Extraction unfolds headers, decodes encoded-words (adjacent "
+    "words join without the whitespace between them), walks boundary "
+    "delimiters to the REQUIRED terminator, undoes the transfer "
+    "encodings with an own QP codec fuzz-pinned to CPython's quopri, "
+    "and applies the declared charset; the oracle demands the exact "
+    "subject and byte-exact body text for BOTH messages. Malformed "
+    "escapes, missing terminal boundaries, and undecodable charsets "
+    "raise per record. Scale: map-side Arrow kernel over binaryFile; "
+    "one shard per record, like the WARC path.",
+)
+def pipeline_mail_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_media_files(
+        spark, sf_dir, "mbox_files", "mbox", _render_mbox
+    )
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.mbox")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.mbox$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "content",
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    joined = bf.join(docs, "doc_id")
+
+    def op(batches):
+        import pandas as pd
+
+        from ..operators.mail import parse_message, split_mbox
+
+        for b in batches:
+            out = {
+                "doc_id": [], "n_msgs": [], "n_parts": [], "charset": [],
+                "subject_ok": [], "text_exact": [], "n_chars": [],
+            }
+            for doc_id, content, text in zip(
+                b["doc_id"], b["content"], b["text"]
+            ):
+                did = int(doc_id)
+                msgs = [parse_message(m) for m in split_mbox(bytes(content))]
+                plains = [
+                    p for m in msgs for p in m["parts"]
+                    if p["media"] == "text/plain"
+                ]
+                subj_ok = all(
+                    m["headers"]["subject"] == f"тема {did}" for m in msgs
+                )
+                out["doc_id"].append(did)
+                out["n_msgs"].append(len(msgs))
+                out["n_parts"].append(sum(len(m["parts"]) for m in msgs))
+                out["charset"].append(plains[0]["charset"] if plains else "")
+                out["subject_ok"].append(1 if subj_ok else 0)
+                out["text_exact"].append(
+                    1 if plains and all(p["text"] == text for p in plains)
+                    else 0
+                )
+                out["n_chars"].append(
+                    len(plains[0]["text"]) if plains else 0
+                )
+            yield pd.DataFrame(out)
+
+    return joined.mapInPandas(
+        op,
+        schema="doc_id long, n_msgs int, n_parts int, charset string, "
+        "subject_ok int, text_exact int, n_chars long",
+    )

@@ -140,6 +140,9 @@ REPEAT_QUERIES = (
     "pipeline_rtf_extract",
     "multimodal_zip_encrypted",
     "docx_ingest_quarantine",
+    # r11: staged EPUB books (spine-ordered) and mbox mail shards
+    "pipeline_epub_extract",
+    "pipeline_mail_extract",
     # r9: staged .webm containers
     "multimodal_webm_probe",
     # r9: staged .vtt caption sidecars (+ the alignment join sharing
