@@ -162,6 +162,11 @@ HEADLINE = [
     # reader + ElementTree run reassembly. Tracks the office-document
     # ingest path beside the PDF sentinels.
     "pipeline_docx_extract",
+    # r11b: the code-filter sentinel — pure-JVM higher-order-expression
+    # quality signals over staged source files, zero Exchanges. The
+    # archetypal 100 TB one-scan filter pass; a regression here means
+    # Python or a shuffle crept into the hot path.
+    "pipeline_code_corpus",
 ]
 
 

@@ -6148,3 +6148,344 @@ def pipeline_mail_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, n_msgs int, n_parts int, charset string, "
         "subject_ok int, text_exact int, n_chars long",
     )
+
+
+# ------------------------------------------------------------ code corpus
+def _render_code(doc_id: int, text: str) -> bytes:
+    ext = ("py", "js", "c", "go")[doc_id % 4]
+    if ext == "py":
+        src = (
+            "#!/usr/bin/env python3\n# SPDX-License-Identifier: MIT\n"
+            f"# {text}\ndef f{doc_id}():\n    return {doc_id}"
+        )
+    elif ext == "js":
+        src = (
+            "// SPDX-License-Identifier: Apache-2.0\n"
+            f"// {text}\nfunction f{doc_id}() {{ return {doc_id}; }}"
+        )
+    elif ext == "c":
+        src = (
+            "/* SPDX-License-Identifier: GPL-3.0-only */\n"
+            f"/* {text} */\nint f{doc_id}(void) {{ return {doc_id}; }}"
+        )
+    else:
+        src = (
+            "// SPDX-License-Identifier: BSD-3-Clause\n"
+            f"// {text}\npackage main\nfunc F{doc_id}() int {{ "
+            f"return {doc_id} }}"
+        )
+    return src.encode("utf-8")
+
+
+_CODE_CONTENT_SQL = """
+  CASE doc_id % 4
+    WHEN 0 THEN '#!/usr/bin/env python3' || chr(10)
+      || '# SPDX-License-Identifier: MIT' || chr(10)
+      || '# ' || text || chr(10)
+      || 'def f' || doc_id || '():' || chr(10)
+      || '    return ' || doc_id
+    WHEN 1 THEN '// SPDX-License-Identifier: Apache-2.0' || chr(10)
+      || '// ' || text || chr(10)
+      || 'function f' || doc_id || '() {{ return ' || doc_id || '; }}'
+    WHEN 2 THEN '/* SPDX-License-Identifier: GPL-3.0-only */' || chr(10)
+      || '/* ' || text || ' */' || chr(10)
+      || 'int f' || doc_id || '(void) {{ return ' || doc_id || '; }}'
+    ELSE '// SPDX-License-Identifier: BSD-3-Clause' || chr(10)
+      || '// ' || text || chr(10)
+      || 'package main' || chr(10)
+      || 'func F' || doc_id || '() int {{ return ' || doc_id || ' }}'
+  END
+""".replace("{{", "{").replace("}}", "}")
+
+
+@register(
+    "pipeline_code_corpus",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id, ({_CODE_CONTENT_SQL}) AS content FROM documents),
+    l AS (
+      SELECT doc_id, content,
+             string_split(content, chr(10)) AS lines FROM c)
+    SELECT doc_id,
+      CASE
+        WHEN starts_with(content, '#!') AND content LIKE '%python%'
+          THEN 'python'
+        WHEN starts_with(content, '/*') THEN 'c'
+        WHEN content LIKE '%' || chr(10) || 'package main' || chr(10) || '%'
+          THEN 'go'
+        ELSE 'javascript'
+      END AS lang,
+      regexp_extract(content, 'SPDX-License-Identifier: ([A-Za-z0-9.\\-]+)',
+                     1) AS license,
+      CAST(len(lines) AS INT) AS n_lines,
+      CAST(list_max(list_transform(lines, x -> length(x))) AS INT)
+        AS max_line_len,
+      CAST((1000 * length(regexp_replace(content, '[^A-Za-z0-9]', '', 'g')))
+           // length(content) AS INT) AS alnum_permille,
+      CAST(len(list_filter(lines, x ->
+           starts_with(x, '#') OR starts_with(x, '//')
+           OR starts_with(x, '/*'))) AS INT) AS comment_lines,
+      CAST(CASE WHEN list_max(list_transform(lines, x -> length(x))) <= 1000
+                 AND (1000 * length(regexp_replace(content,
+                      '[^A-Za-z0-9]', '', 'g'))) // length(content) >= 250
+                 AND len(lines) >= 3
+            THEN 1 ELSE 0 END AS INT) AS keep
+    FROM l
+    """,
+    doc="Code-corpus curation signals (The Stack / StarCoder-style "
+    "filters) — source code is the other pretraining modality, and "
+    "its curation stack is different from prose: language "
+    "identification (shebang + syntax markers, not n-grams), "
+    "SPDX-License-Identifier extraction (compliance gating), and the "
+    "published quality heuristics (max/mean line length against "
+    "autogenerated/minified files, alphanumeric fraction against "
+    "binary-in-text blobs, comment-line counting). Each document "
+    "stages as a real source file cycling python/js/c/go with "
+    "cycling SPDX licenses; the whole signal computation is PURE JVM "
+    "— binaryFile -> UTF-8 decode -> split/transform/filter/array_max "
+    "higher-order expressions, no Python in the hot path, no joins, "
+    "no shuffle (verified map-only plan) — and the oracle rebuilds "
+    "the identical file content in SQL and recomputes every signal "
+    "with DuckDB's list kernels. Integer permille avoids float hash "
+    "noise. Scale: this is the shape of a 100 TB code-corpus filter "
+    "pass — one scan, whole-stage codegen end to end, partial "
+    "evaluation prunable by any downstream predicate on keep.",
+)
+def pipeline_code_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_media_files(
+        spark, sf_dir, "code_files", "src", _render_code
+    )
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.src")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.src$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.decode(F.col("content"), "UTF-8").alias("content"),
+        )
+    )
+    lines = F.split(F.col("content"), "\n")
+    max_line = F.array_max(F.transform(lines, F.length))
+    alnum = (
+        F.lit(1000)
+        * F.length(F.regexp_replace("content", "[^A-Za-z0-9]", ""))
+    ) / F.length("content")
+    alnum_permille = F.floor(alnum).cast("int")
+    return bf.select(
+        "doc_id",
+        F.when(
+            F.col("content").startswith("#!")
+            & F.col("content").contains("python"),
+            F.lit("python"),
+        )
+        .when(F.col("content").startswith("/*"), F.lit("c"))
+        .when(F.col("content").contains("\npackage main\n"), F.lit("go"))
+        .otherwise(F.lit("javascript"))
+        .alias("lang"),
+        F.regexp_extract(
+            "content", r"SPDX-License-Identifier: ([A-Za-z0-9.\-]+)", 1
+        ).alias("license"),
+        F.size(lines).cast("int").alias("n_lines"),
+        max_line.cast("int").alias("max_line_len"),
+        alnum_permille.alias("alnum_permille"),
+        F.size(
+            F.filter(
+                lines,
+                lambda x: x.startswith("#")
+                | x.startswith("//")
+                | x.startswith("/*"),
+            )
+        ).cast("int").alias("comment_lines"),
+        F.when(
+            (max_line <= 1000) & (alnum_permille >= 250)
+            & (F.size(lines) >= 3),
+            F.lit(1),
+        ).otherwise(F.lit(0)).cast("int").alias("keep"),
+    )
+
+
+_WINNOW_CONTENT_SQL = _CODE_CONTENT_SQL
+_WINNOW_K, _WINNOW_W = 8, 4
+
+
+@register(
+    "code_near_dedup_winnowing",
+    oracle=f"""
+    WITH code AS (
+      SELECT doc_id, ({_WINNOW_CONTENT_SQL}) AS content FROM documents),
+    variants AS (
+      SELECT doc_id * 2 AS clip, content FROM code
+      UNION ALL
+      SELECT doc_id * 2 + 1 AS clip,
+             content || chr(10) || '// forknote' AS content FROM code),
+    normed AS (
+      SELECT clip,
+             regexp_replace(lower(regexp_replace(content,
+               '(?m)^.*SPDX-License-Identifier.*$', '', 'g')),
+               '[^a-z0-9]', '', 'g') AS norm
+      FROM variants),
+    hashes AS (
+      SELECT clip, list_transform(
+          range(1, length(norm) - {_WINNOW_K} + 2),
+          i -> ('0x' || substr(md5(substr(norm, i::INT, {_WINNOW_K})),
+                1, 15))::UBIGINT::BIGINT) AS hs
+      FROM normed),
+    fps AS (
+      SELECT clip, list_distinct(list_transform(
+          range(1, len(hs) - {_WINNOW_W} + 2),
+          s -> list_min(list_slice(hs, s::INT,
+               s::INT + {_WINNOW_W - 1})))) AS fp
+      FROM hashes),
+    ex AS (SELECT clip, unnest(fp) AS f FROM fps),
+    counts AS (SELECT clip, len(fp) AS n_fp FROM fps),
+    pairs AS (
+      SELECT a.clip AS clip_a, b.clip AS clip_b, count(*) AS shared
+      FROM ex a JOIN ex b ON a.f = b.f AND a.clip < b.clip
+      GROUP BY 1, 2)
+    SELECT p.clip_a, p.clip_b, CAST(p.shared AS BIGINT) AS shared,
+           CAST(1000 * p.shared // least(x.n_fp, y.n_fp) AS BIGINT)
+             AS containment_permille
+    FROM pairs p
+    JOIN counts x ON x.clip = p.clip_a
+    JOIN counts y ON y.clip = p.clip_b
+    WHERE 1000 * p.shared // least(x.n_fp, y.n_fp) >= 800
+      AND p.shared >= 10
+    """,
+    doc="Code near-dedup by FULL winnowing (Schleimer/Wilkerson/Aiken "
+    "2003, the MOSS fingerprint): the published guarantee-carrying "
+    "selection — k-gram (k=8) rolling hashes over license-stripped, "
+    "whitespace/punctuation-normalized source, then the MINIMUM hash "
+    "of every w=4 window selected, so any match of length k+w-1 or "
+    "longer is guaranteed to share a fingerprint (the property "
+    "winnowing-lite's single global min lacks). Each code file rides "
+    "twice — base and a forked variant with an appended line — and "
+    "fingerprint-bucket candidate pairs with containment >= 0.8 "
+    "(integer permille, no float hashing) must include every planted "
+    "(base, fork) twin plus the corpus's genuine near-dups; the "
+    "oracle reruns the ENTIRE pipeline (same md5 hash algebra, same "
+    "window mins, same join+threshold) in DuckDB list kernels. "
+    "License headers are stripped BEFORE fingerprinting — the "
+    "published practice, since boilerplate otherwise links every "
+    "same-license file. Scale: fingerprints shuffle, source never "
+    "does; the fingerprint self-join is the LSH-bucket shape with "
+    "the same degenerate-bucket escape (a boilerplate fingerprint "
+    "shared corpus-wide would need the documented bucket cap from "
+    "dedup_lsh_bucket_cap).",
+)
+def code_near_dedup_winnowing(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.dedup import md5_long
+
+    path = _stage_media_files(
+        spark, sf_dir, "code_files", "src", _render_code
+    )
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.src")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.src$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.decode(F.col("content"), "UTF-8").alias("content"),
+        )
+    )
+    variants = bf.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    (F.col("doc_id") * 2).alias("clip"),
+                    F.col("content").alias("content"),
+                ),
+                F.struct(
+                    (F.col("doc_id") * 2 + 1).alias("clip"),
+                    F.concat(
+                        F.col("content"), F.lit("\n// forknote")
+                    ).alias("content"),
+                ),
+            )
+        ).alias("v")
+    ).select("v.clip", "v.content")
+    norm = F.regexp_replace(
+        F.lower(
+            F.regexp_replace(
+                F.col("content"),
+                r"(?m)^.*SPDX-License-Identifier.*$", "",
+            )
+        ),
+        "[^a-z0-9]", "",
+    )
+    k, w = _WINNOW_K, _WINNOW_W
+    # relational formulation: one ROW per k-gram, hashed once, window
+    # minima via a frame min — the lambda formulation (slice over the
+    # hash array inside a transform) re-evaluates the whole hash array
+    # per window in Catalyst (no loop-invariant hoisting across lambda
+    # calls), turning O(n) into O(n^2) per document
+    from pyspark.sql.window import Window
+
+    normed = variants.select("clip", norm.alias("norm"))
+    n_h = F.length("norm") - (k - 1)
+    grams = normed.select(
+        "clip",
+        F.posexplode(
+            F.when(n_h > 0, F.sequence(F.lit(1), n_h))
+            .otherwise(F.array().cast("array<int>"))
+        ).alias("pos", "i"),
+        F.col("norm"),
+    ).select(
+        "clip", "pos",
+        md5_long(F.substring(F.col("norm"), F.col("i"), k)).alias("h"),
+        (n_h - (w - 1)).alias("n_w"),
+    )
+    frame = (
+        Window.partitionBy("clip").orderBy("pos").rowsBetween(0, w - 1)
+    )
+    fp_rows = (
+        grams.select(
+            "clip", "pos", "n_w", F.min("h").over(frame).alias("f")
+        )
+        .where(F.col("pos") < F.col("n_w"))  # pos is 0-based; starts only
+        .select("clip", "f")
+        .distinct()
+    )
+    counts = fp_rows.groupBy("clip").agg(
+        F.count("*").cast("int").alias("n_fp")
+    )
+    ex = fp_rows
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.f") == F.col("b.f"))
+            & (F.col("a.clip") < F.col("b.clip")),
+        )
+        .groupBy(
+            F.col("a.clip").alias("clip_a"), F.col("b.clip").alias("clip_b")
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    joined = (
+        pairs.join(
+            counts.withColumnRenamed("clip", "clip_a")
+            .withColumnRenamed("n_fp", "n_fp_a"),
+            "clip_a",
+        )
+        .join(
+            counts.withColumnRenamed("clip", "clip_b")
+            .withColumnRenamed("n_fp", "n_fp_b"),
+            "clip_b",
+        )
+    )
+    cont = F.floor(
+        F.lit(1000) * F.col("shared") / F.least("n_fp_a", "n_fp_b")
+    ).cast("long")
+    return joined.select(
+        "clip_a", "clip_b",
+        F.col("shared").cast("long").alias("shared"),
+        cont.alias("containment_permille"),
+    ).where(
+        (cont >= 800) & (F.col("shared") >= 10)
+    )

@@ -143,6 +143,9 @@ REPEAT_QUERIES = (
     # r11: staged EPUB books (spine-ordered) and mbox mail shards
     "pipeline_epub_extract",
     "pipeline_mail_extract",
+    # r11: staged source files (code-corpus signals + winnowing dedup)
+    "pipeline_code_corpus",
+    "code_near_dedup_winnowing",
     # r9: staged .webm containers
     "multimodal_webm_probe",
     # r9: staged .vtt caption sidecars (+ the alignment join sharing
