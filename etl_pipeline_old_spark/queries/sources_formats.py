@@ -6443,6 +6443,8 @@ def code_near_dedup_winnowing(
     frame = (
         Window.partitionBy("clip").orderBy("pos").rowsBetween(0, w - 1)
     )
+    from ..operators.dedup import materialize_release
+
     fp_rows = (
         grams.select(
             "clip", "pos", "n_w", F.min("h").over(frame).alias("f")
@@ -6451,6 +6453,10 @@ def code_near_dedup_winnowing(
         .select("clip", "f")
         .distinct()
     )
+    # the fingerprint stage feeds BOTH self-join sides and both count
+    # sides — materialize it once instead of re-running the gram/window
+    # pipeline four times from the file scan
+    fp_rows = materialize_release(fp_rows)
     counts = fp_rows.groupBy("clip").agg(
         F.count("*").cast("int").alias("n_fp")
     )
@@ -6489,3 +6495,86 @@ def code_near_dedup_winnowing(
     ).where(
         (cont >= 800) & (F.col("shared") >= 10)
     )
+
+
+def _decode_docx_frame(frame: DataFrame) -> DataFrame:
+    def op(batches):
+        import re as _re
+
+        import pandas as pd
+
+        from ..operators.ooxml import extract_docx_text
+
+        for b in batches:
+            out = {"doc_id": [], "n_paras": [], "n_chars": []}
+            for p, content in zip(b["path"], b["content"]):
+                paras = extract_docx_text(bytes(content))
+                out["doc_id"].append(
+                    int(_re.search(r"(\d+)\.docx$", p).group(1))
+                )
+                out["n_paras"].append(len(paras))
+                out["n_chars"].append(sum(len(x) for x in paras))
+            yield pd.DataFrame(out)
+
+    return frame.mapInPandas(
+        op, schema="doc_id long, n_paras int, n_chars long"
+    )
+
+
+@register(
+    "stream_docx_ingest",
+    oracle=f"""
+    SELECT doc_id,
+      CAST(greatest(1, (length(text) + {_PDF_LINE - 1}) // {_PDF_LINE})
+        AS INT) AS n_paras,
+      length(text) AS n_chars
+    FROM documents
+    """,
+    doc="STREAMING office-document ingestion — the Auto-Loader-shaped "
+    "counterpart to pipeline_docx_extract, completing the OOXML "
+    "family's operational trio beside docx_ingest_quarantine: the "
+    "same staged .docx packages consume through readStream binaryFile "
+    "with maxFilesPerTrigger-bounded micro-batches, parse per batch "
+    "through the SAME package-walk + run-reassembly kernel, append to "
+    "a parquet target through the checkpoint, and the accumulated "
+    "target must hash-equal the batch extraction via the same oracle "
+    "formulas. The operational shape of a continuously-filling "
+    "document bucket at 100 TB.",
+)
+def stream_docx_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..session import ensure_session_confs
+
+    ensure_session_confs(spark)
+    feed = _stage_media_files(
+        spark, sf_dir, "docx_files", "docx", _render_docx
+    )
+    base = os.path.join(cache_root(), f"docx_stream_{_tag(sf_dir)}")
+    target, chk = base + "_target", base + "_chk"
+    for p in (target, chk):
+        shutil.rmtree(p, ignore_errors=True)
+
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARYFILE_SCHEMA)
+        .option("pathGlobFilter", "*.docx")
+        .option("maxFilesPerTrigger", 200)
+        .load(feed)
+        .select("path", "content")
+    )
+
+    def ingest(batch_df: DataFrame, _batch_id: int) -> None:
+        _decode_docx_frame(batch_df).write.mode("append").parquet(target)
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(target)

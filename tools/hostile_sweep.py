@@ -146,6 +146,8 @@ REPEAT_QUERIES = (
     # r11: staged source files (code-corpus signals + winnowing dedup)
     "pipeline_code_corpus",
     "code_near_dedup_winnowing",
+    # r11: the office family's streaming ingest (checkpoint + target)
+    "stream_docx_ingest",
     # r9: staged .webm containers
     "multimodal_webm_probe",
     # r9: staged .vtt caption sidecars (+ the alignment join sharing
