@@ -6578,3 +6578,130 @@ def stream_docx_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.read.parquet(target)
+
+
+def _render_ipynb(doc_id: int, text: str) -> bytes:
+    import json
+
+    md_lines = [
+        text[i : i + _PDF_LINE] + "\n"
+        for i in range(0, len(text), _PDF_LINE)
+    ] or ["\n"]
+    md_lines[-1] = md_lines[-1][:-1]  # last source line carries no \n
+    cells = [{"cell_type": "markdown", "metadata": {}, "source": md_lines}]
+    for k in range(1 + doc_id % 3):
+        cells.append(
+            {
+                "cell_type": "code",
+                "metadata": {},
+                "execution_count": k + 1,
+                "source": [f"def f{k}():\n", f"    return {k}\n"],
+                "outputs": (
+                    [
+                        {
+                            "output_type": "stream",
+                            "name": "stdout",
+                            "text": ["transient noise\n"],
+                        }
+                    ]
+                    if doc_id % 2 == 0
+                    else []
+                ),
+            }
+        )
+    nb = {
+        "cells": cells,
+        "metadata": {"language_info": {"name": "python"}},
+        "nbformat": 4,
+        "nbformat_minor": 5,
+    }
+    return json.dumps(nb, ensure_ascii=False).encode("utf-8")
+
+
+_IPYNB_SCHEMA = (
+    "struct<cells: array<struct<cell_type: string, "
+    "source: array<string>, execution_count: int, "
+    "outputs: array<struct<output_type: string>>>>, nbformat: int>"
+)
+
+
+@register(
+    "pipeline_notebook_extract",
+    oracle="""
+    SELECT doc_id,
+      CAST(2 + doc_id % 3 AS INT) AS n_cells,
+      CAST(1 + doc_id % 3 AS INT) AS n_code,
+      CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 3 ELSE 0 END AS INT)
+        AS n_outputs,
+      CAST(23 * (1 + doc_id % 3) AS BIGINT) AS code_chars,
+      1 AS md_exact
+    FROM documents
+    """,
+    doc="Jupyter-notebook extraction (nbformat 4 JSON) — notebooks are "
+    "a first-class slice of real code corpora, and the published "
+    "curation practice is to keep source and STRIP outputs "
+    "(transient, often huge, sometimes sensitive). Each document "
+    "stages as a spec-shaped .ipynb (one markdown cell carrying the "
+    "document text as a conventional line array — every source line "
+    "newline-terminated except the last — plus 1-3 code cells whose "
+    "outputs alternate present/absent); the ENTIRE parse is pure JVM: "
+    "binaryFile -> UTF-8 decode -> from_json with an explicit schema "
+    "-> higher-order filter/transform/aggregate over the cell array — "
+    "no Python, no shuffle. Counted outputs prove the strip "
+    "accounting; md_exact proves line-array reassembly (concat then "
+    "newline removal must recover the text byte-exactly). The oracle "
+    "recomputes everything from the staging formulas. A file "
+    "from_json cannot parse yields NULL cells -> md_exact=0, loud in "
+    "the hash. Scale: the one-scan filter shape, like "
+    "pipeline_code_corpus.",
+)
+def pipeline_notebook_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_media_files(
+        spark, sf_dir, "ipynb_files", "ipynb", _render_ipynb
+    )
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.ipynb")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.ipynb$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.from_json(
+                F.decode(F.col("content"), "UTF-8"), _IPYNB_SCHEMA
+            ).alias("nb"),
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cells = F.col("nb.cells")
+    code = F.filter(cells, lambda c: c["cell_type"] == F.lit("code"))
+    md = F.filter(cells, lambda c: c["cell_type"] == F.lit("markdown"))
+    md_text = F.regexp_replace(
+        F.array_join(
+            F.flatten(F.transform(md, lambda c: c["source"])), ""
+        ),
+        "\n", "",
+    )
+    return (
+        bf.join(docs, "doc_id")
+        .select(
+            "doc_id",
+            F.size(cells).cast("int").alias("n_cells"),
+            F.size(code).cast("int").alias("n_code"),
+            F.aggregate(
+                F.transform(code, lambda c: F.size(c["outputs"])),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ).cast("int").alias("n_outputs"),
+            F.aggregate(
+                F.transform(
+                    code,
+                    lambda c: F.length(F.array_join(c["source"], "")),
+                ),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ).cast("long").alias("code_chars"),
+            F.when(md_text == F.col("text"), F.lit(1))
+            .otherwise(F.lit(0)).cast("int").alias("md_exact"),
+        )
+    )

@@ -148,6 +148,8 @@ REPEAT_QUERIES = (
     "code_near_dedup_winnowing",
     # r11: the office family's streaming ingest (checkpoint + target)
     "stream_docx_ingest",
+    # r11: staged Jupyter notebooks (pure-JVM from_json parse)
+    "pipeline_notebook_extract",
     # r9: staged .webm containers
     "multimodal_webm_probe",
     # r9: staged .vtt caption sidecars (+ the alignment join sharing
