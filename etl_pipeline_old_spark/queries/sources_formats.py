@@ -6705,3 +6705,105 @@ def pipeline_notebook_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(0)).cast("int").alias("md_exact"),
         )
     )
+
+
+@register(
+    "web_robots_gate",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id, source AS host,
+        CASE WHEN doc_id % 5 = 0 THEN '/private/doc' || doc_id
+             WHEN doc_id % 7 = 0 THEN '/tmp/doc' || doc_id
+             ELSE '/docs/doc' || doc_id END AS path,
+        CAST(replace(source, 'src', '') AS INT) AS hn
+      FROM documents),
+    rules AS (
+      SELECT h.hn, r.rule_path, r.allow
+      FROM (SELECT DISTINCT hn FROM u) h,
+      LATERAL (
+        SELECT * FROM (VALUES
+          ('/private/', 0, 0), ('/tmp', 0, 0),
+          ('/', 1, 0), ('/docs/', 1, 1),
+          ('/docs/', 2, 0), ('/docs/', 2, 1)
+        ) AS v(rule_path, cond, allow)
+        WHERE v.cond = 0
+           OR (v.cond = 1 AND h.hn % 2 = 1)
+           OR (v.cond = 2 AND h.hn % 4 = 1)
+      ) r),
+    matched AS (
+      SELECT u.doc_id, u.host, u.path, r.rule_path, r.allow
+      FROM u LEFT JOIN rules r
+        ON r.hn = u.hn AND starts_with(u.path, r.rule_path)),
+    verdict AS (
+      SELECT doc_id, host, path,
+        CASE WHEN max(rule_path) IS NULL THEN 1
+             ELSE arg_max(allow, 2 * length(rule_path) + allow)
+             END AS allowed
+      FROM matched GROUP BY 1, 2, 3)
+    SELECT doc_id, host, path, CAST(allowed AS INT) AS allowed
+    FROM verdict
+    """,
+    doc="robots.txt compliance gate (REP, RFC 9309 / Google's "
+    "published matcher) — the crawl-pipeline step C4/CCNet apply "
+    "before fetching: per-host rule sets joined to candidate URLs "
+    "with the LONGEST-MATCH rule winning and ties broken toward "
+    "Allow (the two semantics naive any-disallow matchers get "
+    "wrong, both exercised: odd-numbered hosts carry a blanket "
+    "'Disallow: /' that a longer 'Allow: /docs/' overrides, and "
+    "hosts ≡1 mod 4 carry equal-length Allow/Disallow on '/docs/' "
+    "where the tie must go to Allow). URLs with NO matching rule "
+    "default to allowed. Pure JVM: a literal broadcast rules table, "
+    "prefix-match join, and max_by over (match length, allow) — the "
+    "oracle replicates with DuckDB arg_max over the same tuple. "
+    "Wildcard (*, $) rule patterns are the documented seam. Scale: "
+    "rules tables are KB-sized per host — a broadcast join against "
+    "billions of frontier URLs, no skew (the build side is the tiny "
+    "one), exactly how a 100 TB frontier filter should shape.",
+)
+def web_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    hn = F.regexp_replace("source", "src", "").cast("int")
+    urls = d.select(
+        "doc_id",
+        F.col("source").alias("host"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("/private/doc"), F.col("doc_id")),
+        )
+        .when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit("/tmp/doc"), F.col("doc_id")),
+        )
+        .otherwise(F.concat(F.lit("/docs/doc"), F.col("doc_id")))
+        .alias("path"),
+        hn.alias("hn"),
+    )
+    base = [("/private/", 0, 0), ("/tmp", 0, 0)]
+    odd = [("/", 1, 0), ("/docs/", 1, 1)]
+    tie = [("/docs/", 2, 0), ("/docs/", 2, 1)]
+    rules_all = spark.createDataFrame(
+        base + odd + tie, "rule_path string, cond int, allow int"
+    )
+    hosts = urls.select("hn").distinct()
+    rules = hosts.crossJoin(F.broadcast(rules_all)).where(
+        (F.col("cond") == 0)
+        | ((F.col("cond") == 1) & (F.col("hn") % 2 == 1))
+        | ((F.col("cond") == 2) & (F.col("hn") % 4 == 1))
+    ).select("hn", "rule_path", "allow")
+    matched = urls.join(
+        F.broadcast(rules).withColumnRenamed("hn", "rhn"),
+        (F.col("hn") == F.col("rhn"))
+        & F.col("path").startswith(F.col("rule_path")),
+        "left",
+    )
+    verdict = matched.groupBy("doc_id", "host", "path").agg(
+        F.when(F.max("rule_path").isNull(), F.lit(1))
+        .otherwise(
+            F.max_by(
+                "allow", F.lit(2) * F.length("rule_path") + F.col("allow")
+            )
+        )
+        .cast("int")
+        .alias("allowed")
+    )
+    return verdict.select("doc_id", "host", "path", "allowed")

@@ -73,14 +73,24 @@ def pipelines():
         pipeline_image_text_pairs_bucketed,
     )
     from etl_pipeline_old_spark.queries.sources_formats import (
+        pipeline_code_corpus,
+        pipeline_docx_extract,
         pipeline_document_corpus,
+        pipeline_pdf_aes_extract,
         pipeline_video_text_pairs,
     )
 
+    # code_near_dedup_winnowing is deliberately NOT probed this way: the
+    # k-fold inflation makes every copy of a document a near-dup of its
+    # siblings, so the pair OUTPUT grows O(k^2) by construction and the
+    # timing would measure the inflation artifact, not the scan
     return {
         "pipeline_document_corpus": pipeline_document_corpus,
         "pipeline_image_text_pairs_bucketed": pipeline_image_text_pairs_bucketed,
         "pipeline_video_text_pairs": pipeline_video_text_pairs,
+        "pipeline_pdf_aes_extract": pipeline_pdf_aes_extract,
+        "pipeline_docx_extract": pipeline_docx_extract,
+        "pipeline_code_corpus": pipeline_code_corpus,
     }
 
 
@@ -122,7 +132,8 @@ def main() -> None:
         "executor-side media staging; `steady` is the recurring ingest "
         "(already-staged corpus) — the 100 TB number. Media staged per k: "
         "PDFs (one per doc), image-pair .warc.gz shards, video-text "
-        "WebDataset .tar shards.",
+        "WebDataset .tar shards, AES-encrypted PDFs, .docx packages, "
+        "and source files (r11b).",
         "",
         "| pipeline | metric | " + " | ".join(f"k={k}" for k in FACTORS)
         + " | t(k16)/t(k1) |",
