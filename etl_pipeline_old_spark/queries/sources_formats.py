@@ -6807,3 +6807,111 @@ def web_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("allowed")
     )
     return verdict.select("doc_id", "host", "path", "allowed")
+
+
+def _render_feed(doc_id: int, text: str) -> bytes:
+    n = 1 + doc_id % 4
+    base = f"https://src{doc_id % 20}.example/docs/doc{doc_id}"
+    if doc_id % 2 == 0:  # Atom
+        entries = "".join(
+            f"<entry><title>entry {i}</title>"
+            f'<link href="{base}-{i}"/>'
+            f"<updated>2026-01-0{i + 1}T00:00:00Z</updated></entry>"
+            for i in range(n)
+        )
+        xml = (
+            '<feed xmlns="http://www.w3.org/2005/Atom">'
+            f"<title>feed {doc_id}</title>{entries}</feed>"
+        )
+    else:  # RSS 2.0
+        items = "".join(
+            f"<item><title>entry {i}</title><link>{base}-{i}</link>"
+            f"<pubDate>Thu, 0{i + 1} Jan 2026 00:00:00 +0000</pubDate>"
+            "</item>"
+            for i in range(n)
+        )
+        xml = (
+            '<rss version="2.0"><channel>'
+            f"<title>feed {doc_id}</title>{items}</channel></rss>"
+        )
+    return xml.encode("utf-8")
+
+
+_ATOM_SCHEMA = (
+    "struct<title string, entry array<struct<title string, "
+    "link struct<_href string>, updated string>>>"
+)
+_RSS_SCHEMA = (
+    "struct<channel struct<title string, item array<struct<"
+    "title string, link string, pubDate string>>>>"
+)
+
+
+@register(
+    "web_feed_discovery",
+    oracle="""
+    SELECT doc_id,
+      CASE WHEN doc_id % 2 = 0 THEN 'atom' ELSE 'rss' END AS kind,
+      CAST(1 + doc_id % 4 AS INT) AS n_entries,
+      'https://src' || (doc_id % 20) || '.example/docs/doc' || doc_id
+        || '-0' AS first_url,
+      'feed ' || doc_id AS feed_title
+    FROM documents
+    """,
+    doc="Feed-based URL discovery (RSS 2.0 + Atom) — the other half of "
+    "the crawl frontier beside web_robots_gate: sites announce fresh "
+    "URLs through feeds, and a crawler that only follows page links "
+    "misses them. Each document stages as a real feed alternating the "
+    "two formats (whose layouts genuinely differ: Atom carries the "
+    "URL in a link ATTRIBUTE, RSS in element text; entry vs "
+    "channel/item nesting), and the parse is pure JVM via from_xml "
+    "with both schemas + coalesce — a feed that parses under neither "
+    "schema yields NULLs, loud in the hash. The oracle recomputes "
+    "kind, entry counts, first URL, and title from the staging "
+    "formulas. Scale: one-scan map-only, like the notebook and code "
+    "filters; at 100 TB feed polling is an incremental source and "
+    "this parse is its per-record kernel.",
+)
+def web_feed_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_media_files(
+        spark, sf_dir, "feed_files", "xml", _render_feed
+    )
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.xml")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.xml$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.from_xml(
+                F.decode(F.col("content"), "UTF-8"), _ATOM_SCHEMA
+            ).alias("atom"),
+            F.from_xml(
+                F.decode(F.col("content"), "UTF-8"), _RSS_SCHEMA
+            ).alias("rss"),
+        )
+    )
+    is_atom = F.col("atom.entry").isNotNull()
+    entries = F.coalesce(
+        F.transform(
+            F.col("atom.entry"),
+            lambda e: F.struct(
+                e["title"].alias("title"), e["link"]["_href"].alias("url")
+            ),
+        ),
+        F.transform(
+            F.col("rss.channel.item"),
+            lambda i: F.struct(
+                i["title"].alias("title"), i["link"].alias("url")
+            ),
+        ),
+    )
+    return bf.select(
+        "doc_id",
+        F.when(is_atom, F.lit("atom")).otherwise(F.lit("rss")).alias("kind"),
+        F.size(entries).cast("int").alias("n_entries"),
+        entries[0]["url"].alias("first_url"),
+        F.coalesce(F.col("atom.title"), F.col("rss.channel.title"))
+        .alias("feed_title"),
+    )

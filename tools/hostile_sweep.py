@@ -150,6 +150,8 @@ REPEAT_QUERIES = (
     "stream_docx_ingest",
     # r11: staged Jupyter notebooks (pure-JVM from_json parse)
     "pipeline_notebook_extract",
+    # r11: staged RSS/Atom feeds (pure-JVM from_xml parse)
+    "web_feed_discovery",
     # r9: staged .webm containers
     "multimodal_webm_probe",
     # r9: staged .vtt caption sidecars (+ the alignment join sharing
