@@ -6915,3 +6915,122 @@ def web_feed_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("atom.title"), F.col("rss.channel.title"))
         .alias("feed_title"),
     )
+
+
+_AVRO_DOC_SCHEMA = (
+    '{"type":"record","name":"doc","fields":['
+    '{"name":"doc_id","type":"long"},'
+    '{"name":"text","type":"string"},'
+    '{"name":"tags","type":{"type":"array","items":"string"}},'
+    '{"name":"score","type":["null","double"]},'
+    '{"name":"ok","type":"boolean"}]}'
+)
+
+
+def _render_avro(doc_id: int, text: str) -> bytes:
+    from ..operators.avro import write_avro
+
+    recs = [
+        {
+            "doc_id": doc_id,
+            "text": text,
+            "tags": [f"t{j}" for j in range(doc_id % 3)],
+            "score": None if doc_id % 2 == 0 else float(doc_id) / 4.0,
+            "ok": doc_id % 3 == 0,
+        },
+        {
+            "doc_id": -doc_id,
+            "text": text[:10],
+            "tags": [],
+            "score": 0.5,
+            "ok": False,
+        },
+    ]
+    return write_avro(
+        recs, _AVRO_DOC_SCHEMA,
+        codec="deflate" if doc_id % 2 == 1 else "null",
+    )
+
+
+@register(
+    "multimodal_avro_ingest",
+    oracle="""
+    SELECT doc_id,
+      2 AS n_records,
+      CAST(CASE WHEN doc_id % 2 = 1 THEN 'deflate' ELSE 'null' END
+        AS VARCHAR) AS codec,
+      CAST(doc_id % 3 AS INT) AS n_tags,
+      CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS INT)
+        AS null_scores,
+      1 AS text_exact
+    FROM documents
+    """,
+    doc="Avro Object Container shard ingestion (operators/avro.py, own "
+    "pure-stdlib codec from the public Avro 1.12 spec) — Avro is the "
+    "row-oriented staple of real data lakes (Kafka archives, "
+    "Sqoop/NiFi exports) and the PySpark pip distribution ships "
+    "WITHOUT the spark-avro module, so this is an ingestion class the "
+    "engine would otherwise drop. The codec implements zigzag-varint "
+    "longs (the encoding naive readers get wrong on negatives), "
+    "blocked arrays/maps with the negative-count skip form, unions as "
+    "branch indexes, and the container framing (metadata map, "
+    "per-block sync markers verified, null + RAW-deflate codecs, both "
+    "cycled across the staged shards). Cross-validated BOTH "
+    "directions against the INDEPENDENT org.apache.avro Java "
+    "implementation on Spark's own classpath via py4j "
+    "(tests/test_avro.py). The oracle demands record counts, codec "
+    "routing, union-null accounting, and byte-exact text recovery. "
+    "Scale: per-record container walk in the Arrow kernel, like the "
+    "ZIP families; blocks make the format splittable on a real "
+    "cluster (sync-marker scan), noted as the HDFS-era design intent.",
+)
+def multimodal_avro_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_media_files(
+        spark, sf_dir, "avro_files", "avro", _render_avro
+    )
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.avro")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.avro$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "content",
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    joined = bf.join(docs, "doc_id")
+
+    def op(batches):
+        import pandas as pd
+
+        from ..operators.avro import read_avro
+
+        for b in batches:
+            out = {
+                "doc_id": [], "n_records": [], "codec": [], "n_tags": [],
+                "null_scores": [], "text_exact": [],
+            }
+            for doc_id, content, text in zip(
+                b["doc_id"], b["content"], b["text"]
+            ):
+                _schema, codec, recs = read_avro(bytes(content))
+                out["doc_id"].append(int(doc_id))
+                out["n_records"].append(len(recs))
+                out["codec"].append(codec)
+                out["n_tags"].append(len(recs[0]["tags"]))
+                out["null_scores"].append(
+                    sum(1 for r in recs if r["score"] is None)
+                )
+                out["text_exact"].append(
+                    1 if recs[0]["text"] == text
+                    and recs[1]["text"] == text[:10] else 0
+                )
+            yield pd.DataFrame(out)
+
+    return joined.mapInPandas(
+        op,
+        schema="doc_id long, n_records int, codec string, n_tags int, "
+        "null_scores int, text_exact int",
+    )

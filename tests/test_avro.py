@@ -1,0 +1,152 @@
+"""Avro codec (operators/avro.py): zigzag/container semantics, loud
+failures, and BOTH-direction cross-validation against the independent
+org.apache.avro Java implementation on Spark's classpath (via py4j) —
+the same discipline as the JPEG/javax.imageio and AES/javax.crypto
+pins."""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+
+import pytest
+
+from etl_pipeline_old_spark.operators.avro import (
+    read_avro, read_long, write_avro, write_long,
+)
+
+_SCHEMA = json.dumps(
+    {
+        "type": "record",
+        "name": "doc",
+        "fields": [
+            {"name": "doc_id", "type": "long"},
+            {"name": "text", "type": "string"},
+            {"name": "tags", "type": {"type": "array", "items": "string"}},
+            {"name": "score", "type": ["null", "double"]},
+            {"name": "ok", "type": "boolean"},
+        ],
+    }
+)
+_RECS = [
+    {"doc_id": -5, "text": "Привет", "tags": ["a", "b"], "score": None,
+     "ok": True},
+    {"doc_id": 2 ** 40, "text": "", "tags": [], "score": 1.5, "ok": False},
+    {"doc_id": 0, "text": "x" * 300, "tags": ["only"], "score": -2.25,
+     "ok": True},
+]
+
+
+def test_zigzag_varints():
+    # spec examples: 0->0, -1->1, 1->2, -2->3, 2->4
+    for value, encoded in ((0, b"\x00"), (-1, b"\x01"), (1, b"\x02"),
+                           (-2, b"\x03"), (2, b"\x04"), (64, b"\x80\x01")):
+        out = bytearray()
+        write_long(out, value)
+        assert bytes(out) == encoded, value
+        assert read_long(io.BytesIO(encoded)) == value
+    for v in (-(2 ** 63), 2 ** 63 - 1, 12345678901234):
+        out = bytearray()
+        write_long(out, v)
+        assert read_long(io.BytesIO(bytes(out))) == v
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_container_roundtrip(codec):
+    blob = write_avro(_RECS, _SCHEMA, codec=codec)
+    schema, got_codec, back = read_avro(blob)
+    assert got_codec == codec
+    assert json.loads(schema) == json.loads(_SCHEMA)
+    assert back == _RECS
+
+
+def test_multi_block_roundtrip():
+    recs = [
+        {"doc_id": i, "text": f"t{i}", "tags": [], "score": None,
+         "ok": i % 2 == 0}
+        for i in range(25)
+    ]
+    blob = write_avro(recs, _SCHEMA, block_records=7)
+    _s, _c, back = read_avro(blob)
+    assert back == recs
+
+
+def test_loud_failures():
+    with pytest.raises(ValueError, match="magic"):
+        read_avro(b"nope")
+    blob = bytearray(write_avro(_RECS, _SCHEMA))
+    blob[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="sync marker"):
+        read_avro(bytes(blob))
+    with pytest.raises(ValueError, match="union branch"):
+        # score union index forced out of range: encode then corrupt
+        good = write_avro(
+            [{"doc_id": 1, "text": "", "tags": [], "score": None,
+              "ok": True}], _SCHEMA)
+        # the union index byte is the zigzag 0 right after tags' 0 count
+        bad = good.replace(b"\x00\x00\x00\x01", b"\x00\x00\x08\x01", 1)
+        read_avro(bad)
+
+
+def _jset(spark, tmpdir):
+    jvm = spark.sparkContext._jvm
+    schema = jvm.org.apache.avro.Schema.Parser().parse(_SCHEMA)
+    return jvm, schema
+
+
+def test_java_avro_reads_our_files(spark, tmp_path):
+    """Files our writer produces must open in org.apache.avro."""
+    jvm, schema = _jset(spark, tmp_path)
+    for codec in ("null", "deflate"):
+        path = os.path.join(str(tmp_path), f"ours_{codec}.avro")
+        with open(path, "wb") as fh:
+            fh.write(write_avro(_RECS, _SCHEMA, codec=codec))
+        reader = jvm.org.apache.avro.generic.GenericDatumReader()
+        dfr = jvm.org.apache.avro.file.DataFileReader(
+            jvm.java.io.File(path), reader
+        )
+        got = []
+        while dfr.hasNext():
+            r = dfr.next()
+            tags = [str(x) for x in r.get("tags")]
+            score = r.get("score")
+            got.append(
+                {
+                    "doc_id": r.get("doc_id"),
+                    "text": str(r.get("text")),
+                    "tags": tags,
+                    "score": float(score) if score is not None else None,
+                    "ok": bool(r.get("ok")),
+                }
+            )
+        dfr.close()
+        assert got == _RECS, codec
+
+
+def test_we_read_java_avro_files(spark, tmp_path):
+    """Files org.apache.avro writes must open in our reader."""
+    jvm, schema = _jset(spark, tmp_path)
+    for codec in ("null", "deflate"):
+        path = os.path.join(str(tmp_path), f"java_{codec}.avro")
+        writer = jvm.org.apache.avro.generic.GenericDatumWriter(schema)
+        dfw = jvm.org.apache.avro.file.DataFileWriter(writer)
+        if codec == "deflate":
+            dfw.setCodec(jvm.org.apache.avro.file.CodecFactory.deflateCodec(9))
+        dfw.create(schema, jvm.java.io.File(path))
+        for rec in _RECS:
+            jr = jvm.org.apache.avro.generic.GenericData.Record(schema)
+            jr.put("doc_id", rec["doc_id"])
+            jr.put("text", rec["text"])
+            jtags = jvm.java.util.ArrayList()
+            for t in rec["tags"]:
+                jtags.add(t)
+            jr.put("tags", jtags)
+            jr.put("score", rec["score"])
+            jr.put("ok", rec["ok"])
+            dfw.append(jr)
+        dfw.close()
+        with open(path, "rb") as fh:
+            _s, got_codec, back = read_avro(fh.read())
+        assert got_codec == codec
+        assert back == _RECS, codec

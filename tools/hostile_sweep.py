@@ -152,6 +152,8 @@ REPEAT_QUERIES = (
     "pipeline_notebook_extract",
     # r11: staged RSS/Atom feeds (pure-JVM from_xml parse)
     "web_feed_discovery",
+    # r11: staged Avro object-container shards (own codec)
+    "multimodal_avro_ingest",
     # r9: staged .webm containers
     "multimodal_webm_probe",
     # r9: staged .vtt caption sidecars (+ the alignment join sharing
