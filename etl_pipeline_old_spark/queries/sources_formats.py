@@ -7034,3 +7034,114 @@ def multimodal_avro_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, n_records int, codec string, n_tags int, "
         "null_scores int, text_exact int",
     )
+
+
+def _render_sqlite(doc_id: int, text: str) -> bytes:
+    import os
+    import sqlite3
+    import tempfile
+
+    fd, p = tempfile.mkstemp(suffix=".db")
+    os.close(fd)
+    os.unlink(p)
+    con = sqlite3.connect(p)
+    con.execute("PRAGMA page_size=512")  # force interior pages + overflow
+    con.execute(
+        "CREATE TABLE messages (id INTEGER PRIMARY KEY, body TEXT, "
+        "score REAL, flag INT)"
+    )
+    con.executemany(
+        "INSERT INTO messages VALUES (?,?,?,?)",
+        [
+            (1, text, doc_id / 4.0, doc_id % 2),
+            (2, text[:10], 0.5, 0),
+            (3, None, None, 1),
+        ],
+    )
+    con.commit()
+    con.close()
+    blob = open(p, "rb").read()
+    os.unlink(p)
+    return blob
+
+
+@register(
+    "multimodal_sqlite_ingest",
+    oracle="""
+    SELECT doc_id,
+      3 AS n_rows,
+      length(text) AS body_chars,
+      CAST(doc_id % 2 AS INT) AS flag_sum_row1,
+      1 AS null_body_rows,
+      1 AS text_exact
+    FROM documents
+    """,
+    doc="SQLite database-file ingestion (operators/sqlite.py, own "
+    "reader of the published sqlite.org file format) — app exports, "
+    "chat-log backups, and annotation dumps ship as .db blobs, and a "
+    "pipeline reading them from an object store cannot shell out to a "
+    "database engine per record. The staged databases are written by "
+    "the INDEPENDENT CPython sqlite3 engine (512-byte pages force "
+    "interior B-tree pages AND overflow chains on every document-"
+    "length body); extraction walks header -> sqlite_schema -> table "
+    "B-tree -> records with the serial-type codec, the spec's "
+    "local-payload K formula for overflow splits (off-by-one "
+    "truncates silently), and the INTEGER-PRIMARY-KEY rowid alias "
+    "(the key column is NULL in the record itself). The oracle "
+    "demands byte-exact body text plus row/NULL accounting. WAL and "
+    "index B-trees are documented seams. Scale: per-record page walk "
+    "in the Arrow kernel — the database is the record.",
+)
+def multimodal_sqlite_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_media_files(
+        spark, sf_dir, "sqlite_files", "db", _render_sqlite
+    )
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.db")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.db$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "content",
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    joined = bf.join(docs, "doc_id")
+
+    def op(batches):
+        import pandas as pd
+
+        from ..operators.sqlite import read_sqlite_table
+
+        for b in batches:
+            out = {
+                "doc_id": [], "n_rows": [], "body_chars": [],
+                "flag_sum_row1": [], "null_body_rows": [], "text_exact": [],
+            }
+            for doc_id, content, text in zip(
+                b["doc_id"], b["content"], b["text"]
+            ):
+                rows = read_sqlite_table(bytes(content), "messages")
+                by_id = {r[0]: r for r in rows}
+                out["doc_id"].append(int(doc_id))
+                out["n_rows"].append(len(rows))
+                out["body_chars"].append(
+                    len(by_id[1][1]) if by_id[1][1] else 0
+                )
+                out["flag_sum_row1"].append(int(by_id[1][3]))
+                out["null_body_rows"].append(
+                    sum(1 for r in rows if r[1] is None)
+                )
+                out["text_exact"].append(
+                    1 if by_id[1][1] == text and by_id[2][1] == text[:10]
+                    else 0
+                )
+            yield pd.DataFrame(out)
+
+    return joined.mapInPandas(
+        op,
+        schema="doc_id long, n_rows int, body_chars long, "
+        "flag_sum_row1 int, null_body_rows int, text_exact int",
+    )

@@ -154,6 +154,8 @@ REPEAT_QUERIES = (
     "web_feed_discovery",
     # r11: staged Avro object-container shards (own codec)
     "multimodal_avro_ingest",
+    # r11: staged SQLite databases (own file-format reader)
+    "multimodal_sqlite_ingest",
     # r9: staged .webm containers
     "multimodal_webm_probe",
     # r9: staged .vtt caption sidecars (+ the alignment join sharing
