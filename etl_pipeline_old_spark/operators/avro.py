@@ -235,7 +235,7 @@ def write_avro(records: list, schema_json: str, codec: str = "null",
                block_records: int = 1000) -> bytes:
     """Serialize ``records`` (dicts matching the schema) into an Object
     Container File.  ``codec`` is ``null`` or ``deflate``."""
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "snappy"):
         raise ValueError(f"avro: unsupported codec {codec!r}")
     schema = json.loads(schema_json)
     sync = hashlib.md5(schema_json.encode("utf-8")).digest()
@@ -255,6 +255,11 @@ def write_avro(records: list, schema_json: str, codec: str = "null",
         if codec == "deflate":
             co = zlib.compressobj(9, zlib.DEFLATED, -15)
             payload = co.compress(bytes(payload)) + co.flush()
+        elif codec == "snappy":
+            # Avro's snappy framing: block + BIG-endian CRC32 of the
+            # UNCOMPRESSED bytes (spec: Object Container Files, snappy)
+            crc = zlib.crc32(bytes(payload)) & 0xFFFFFFFF
+            payload = snappy_compress(bytes(payload)) + crc.to_bytes(4, "big")
         write_long(out, len(chunk))
         write_long(out, len(payload))
         out += payload
@@ -283,10 +288,10 @@ def read_avro(blob: bytes):
     if not schema_json:
         raise ValueError("avro: container carries no schema")
     codec = meta.get("avro.codec", b"null").decode()
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "snappy"):
         raise NotImplementedError(
-            f"avro: codec {codec!r} needs an external library — null and "
-            "deflate decode natively"
+            f"avro: codec {codec!r} needs an external library — null, "
+            "deflate, and snappy decode natively"
         )
     schema = json.loads(schema_json)
     sync = buf.read(16)
@@ -303,6 +308,15 @@ def read_avro(blob: bytes):
             raise ValueError("avro: truncated block payload")
         if codec == "deflate":
             payload = zlib.decompress(payload, -15)
+        elif codec == "snappy":
+            if len(payload) < 4:
+                raise ValueError("avro: snappy block shorter than its CRC")
+            raw = snappy_decompress(payload[:-4])
+            if zlib.crc32(raw) & 0xFFFFFFFF != int.from_bytes(
+                payload[-4:], "big"
+            ):
+                raise ValueError("avro: snappy block CRC mismatch")
+            payload = raw
         pbuf = io.BytesIO(payload)
         for _ in range(count):
             records.append(_decode(pbuf, schema))
@@ -311,3 +325,92 @@ def read_avro(blob: bytes):
         if buf.read(16) != sync:
             raise ValueError("avro: sync marker mismatch (torn block?)")
     return schema_json.decode(), codec, records
+
+
+# ------------------------------------------------------------- snappy
+# Google's Snappy block format (the public format description) — the
+# codec Kafka-era Avro shards actually use.  The DECODER is complete
+# (all four tag types, incl. overlapping copies); the encoder emits the
+# spec's all-literal form (valid Snappy, no compression) because this
+# module's writer exists for fixture staging, not for ratio.  Both
+# directions are cross-validated against the independent snappy-java
+# implementation on Spark's classpath (tests/test_avro.py).
+
+
+def snappy_decompress(data: bytes) -> bytes:
+    # preamble: uncompressed length as LITTLE-endian base-128 varint
+    n, at, shift = 0, 0, 0
+    while True:
+        if at >= len(data):
+            raise ValueError("snappy: truncated length preamble")
+        b = data[at]
+        n |= (b & 0x7F) << shift
+        at += 1
+        shift += 7
+        if not b & 0x80:
+            break
+        if shift > 35:
+            raise ValueError("snappy: length varint too long")
+    out = bytearray()
+    while at < len(data):
+        tag = data[at]
+        at += 1
+        kind = tag & 0x03
+        if kind == 0:  # literal
+            l6 = tag >> 2
+            if l6 < 60:
+                ln = l6 + 1
+            else:  # 60..63 mean 1..4 extra little-endian length bytes
+                extra = l6 - 59
+                ln = int.from_bytes(data[at : at + extra], "little") + 1
+                at += extra
+            chunk = data[at : at + ln]
+            if len(chunk) != ln:
+                raise ValueError("snappy: truncated literal")
+            out += chunk
+            at += ln
+            continue
+        if kind == 1:  # copy, 1-byte offset
+            ln = ((tag >> 2) & 0x07) + 4
+            off = ((tag >> 5) << 8) | data[at]
+            at += 1
+        elif kind == 2:  # copy, 2-byte offset
+            ln = (tag >> 2) + 1
+            off = int.from_bytes(data[at : at + 2], "little")
+            at += 2
+        else:  # copy, 4-byte offset
+            ln = (tag >> 2) + 1
+            off = int.from_bytes(data[at : at + 4], "little")
+            at += 4
+        if off == 0 or off > len(out):
+            raise ValueError("snappy: copy offset out of range")
+        # copies may OVERLAP their own output (run-length style)
+        for _ in range(ln):
+            out.append(out[-off])
+    if len(out) != n:
+        raise ValueError("snappy: uncompressed length mismatch")
+    return bytes(out)
+
+
+def snappy_compress(data: bytes) -> bytes:
+    """Spec-valid all-literal Snappy encoding."""
+    out = bytearray()
+    n = len(data)
+    while True:  # little-endian varint of the uncompressed length
+        b = n & 0x7F
+        n >>= 7
+        out.append(b | (0x80 if n else 0))
+        if not n:
+            break
+    at = 0
+    while at < len(data):
+        chunk = data[at : at + 65536]
+        ln = len(chunk) - 1
+        if ln < 60:
+            out.append(ln << 2)
+        else:
+            out.append(61 << 2)  # tag 61: two extra length bytes follow
+            out += ln.to_bytes(2, "little")
+        out += chunk
+        at += len(chunk)
+    return bytes(out)

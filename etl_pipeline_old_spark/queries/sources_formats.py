@@ -6948,7 +6948,7 @@ def _render_avro(doc_id: int, text: str) -> bytes:
     ]
     return write_avro(
         recs, _AVRO_DOC_SCHEMA,
-        codec="deflate" if doc_id % 2 == 1 else "null",
+        codec=("null", "deflate", "snappy")[doc_id % 3],
     )
 
 
@@ -6957,8 +6957,8 @@ def _render_avro(doc_id: int, text: str) -> bytes:
     oracle="""
     SELECT doc_id,
       2 AS n_records,
-      CAST(CASE WHEN doc_id % 2 = 1 THEN 'deflate' ELSE 'null' END
-        AS VARCHAR) AS codec,
+      CAST(CASE doc_id % 3 WHEN 0 THEN 'null' WHEN 1 THEN 'deflate'
+        ELSE 'snappy' END AS VARCHAR) AS codec,
       CAST(doc_id % 3 AS INT) AS n_tags,
       CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS INT)
         AS null_scores,

@@ -150,3 +150,78 @@ def test_we_read_java_avro_files(spark, tmp_path):
             _s, got_codec, back = read_avro(fh.read())
         assert got_codec == codec
         assert back == _RECS, codec
+
+
+# ------------------------------------------------------------- snappy
+def test_snappy_cross_validation_with_copies(spark):
+    """Own decoder must read snappy-java output (which emits real COPY
+    elements incl. overlapping runs on repetitive data), and snappy-java
+    must read our all-literal output."""
+    import hashlib
+
+    from etl_pipeline_old_spark.operators.avro import (
+        snappy_compress, snappy_decompress,
+    )
+
+    S = spark.sparkContext._jvm.org.xerial.snappy.Snappy
+    for i in range(12):
+        data = hashlib.sha256(str(i).encode()).digest()[: 5 + i] * (
+            50 * i + 10
+        )
+        jc = bytes(S.compress(bytearray(data)))
+        assert snappy_decompress(jc) == data
+        assert bytes(S.uncompress(bytearray(snappy_compress(data)))) == data
+
+
+def test_avro_snappy_codec_roundtrip_and_java_interop(spark, tmp_path):
+    from etl_pipeline_old_spark.operators.avro import write_avro
+
+    blob = write_avro(_RECS, _SCHEMA, codec="snappy")
+    _s, codec, back = read_avro(blob)
+    assert codec == "snappy" and back == _RECS
+    # the independent Java Avro reader must accept our snappy container
+    path = os.path.join(str(tmp_path), "ours_snappy.avro")
+    with open(path, "wb") as fh:
+        fh.write(blob)
+    jvm = spark.sparkContext._jvm
+    reader = jvm.org.apache.avro.generic.GenericDatumReader()
+    dfr = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(path), reader
+    )
+    texts = []
+    while dfr.hasNext():
+        texts.append(str(dfr.next().get("text")))
+    dfr.close()
+    assert texts == [r["text"] for r in _RECS]
+    # and we must read Java's snappy output
+    jschema = jvm.org.apache.avro.Schema.Parser().parse(_SCHEMA)
+    writer = jvm.org.apache.avro.generic.GenericDatumWriter(jschema)
+    dfw = jvm.org.apache.avro.file.DataFileWriter(writer)
+    dfw.setCodec(jvm.org.apache.avro.file.CodecFactory.snappyCodec())
+    jpath = os.path.join(str(tmp_path), "java_snappy.avro")
+    dfw.create(jschema, jvm.java.io.File(jpath))
+    jr = jvm.org.apache.avro.generic.GenericData.Record(jschema)
+    jr.put("doc_id", 7)
+    jr.put("text", "from java")
+    jr.put("tags", jvm.java.util.ArrayList())
+    jr.put("score", None)
+    jr.put("ok", True)
+    dfw.append(jr)
+    dfw.close()
+    with open(jpath, "rb") as fh:
+        _s2, c2, back2 = read_avro(fh.read())
+    assert c2 == "snappy"
+    assert back2 == [
+        {"doc_id": 7, "text": "from java", "tags": [], "score": None,
+         "ok": True}
+    ]
+
+
+def test_avro_snappy_crc_is_checked():
+    from etl_pipeline_old_spark.operators.avro import write_avro
+
+    blob = bytearray(write_avro(_RECS, _SCHEMA, codec="snappy"))
+    # flip a byte inside the block payload (before the final sync)
+    blob[-20] ^= 0x01
+    with pytest.raises(ValueError):
+        read_avro(bytes(blob))
