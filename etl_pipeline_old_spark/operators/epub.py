@@ -91,6 +91,11 @@ def write_epub(chapters: list, title: str = "doc") -> bytes:
 def _xml(parts: dict, name: str, what: str):
     if name not in parts:
         raise ValueError(f"epub: missing {what} part {name!r}")
+    # DOCTYPE rejection: forecloses entity-expansion bombs (and EPUB 3
+    # forbids DTDs in content documents; EPUB 2's XHTML doctype is not
+    # needed to extract text)
+    if b"<!DOCTYPE" in parts[name][:1024]:
+        raise ValueError(f"epub: DOCTYPE in {what} part (rejected)")
     try:
         return ET.fromstring(parts[name])
     except ET.ParseError as exc:

@@ -28,7 +28,10 @@ Extraction semantics (the parts that silently garble text if skipped):
 Damage (missing parts, malformed XML, out-of-range shared-string
 index, unknown cell type) raises ValueError — one document costs one
 record, never the job.  stdlib ElementTree does not resolve external
-entities, so hostile XML cannot reach the filesystem.
+entities, so hostile XML cannot reach the filesystem; DOCTYPE
+declarations are rejected outright (ECMA-376 Part 2 §9.1 forbids DTDs
+in OPC parts), which also forecloses entity-expansion amplification
+regardless of the platform expat's own limits.
 """
 
 from __future__ import annotations
@@ -48,6 +51,18 @@ _RDOC = (
 )
 
 _XMLDECL = b'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+
+
+def parse_part_xml(data: bytes, what: str):
+    """ElementTree parse with the OPC DTD prohibition enforced: a part
+    carrying ``<!DOCTYPE`` is rejected loudly (ECMA-376 Part 2 forbids
+    DTDs; accepting them would admit entity-expansion bombs)."""
+    if b"<!DOCTYPE" in data[:1024]:
+        raise ValueError(f"{what}: DOCTYPE in an OPC part (forbidden)")
+    try:
+        return ET.fromstring(data)
+    except ET.ParseError as exc:
+        raise ValueError(f"{what}: malformed XML ({exc})") from exc
 
 
 # ------------------------------------------------------------------ DOCX
@@ -117,10 +132,7 @@ def extract_docx_text(blob: bytes) -> list:
     parts = {name: data for name, data, _m in read_zip(blob)}
     if "word/document.xml" not in parts:
         raise ValueError("docx: package has no word/document.xml part")
-    try:
-        root = ET.fromstring(parts["word/document.xml"])
-    except ET.ParseError as exc:
-        raise ValueError(f"docx: malformed document XML ({exc})") from exc
+    root = parse_part_xml(parts["word/document.xml"], "docx: malformed document")
     body = root.find(f"{{{_W}}}body")
     if body is None:
         raise ValueError("docx: document has no w:body")
@@ -269,10 +281,9 @@ def extract_xlsx_cells(blob: bytes) -> list:
     parts = {name: data for name, data, _m in read_zip(blob)}
     shared = []
     if "xl/sharedStrings.xml" in parts:
-        try:
-            sst = ET.fromstring(parts["xl/sharedStrings.xml"])
-        except ET.ParseError as exc:
-            raise ValueError(f"xlsx: malformed sharedStrings ({exc})") from exc
+        sst = parse_part_xml(
+            parts["xl/sharedStrings.xml"], "xlsx: malformed sharedStrings"
+        )
         for si in sst.iter(f"{{{_S}}}si"):
             # an si may fragment its text across rich-text runs
             shared.append(
@@ -286,10 +297,7 @@ def extract_xlsx_cells(blob: bytes) -> list:
         raise ValueError("xlsx: package has no worksheet parts")
     out = []
     for name in sheets:
-        try:
-            ws = ET.fromstring(parts[name])
-        except ET.ParseError as exc:
-            raise ValueError(f"xlsx: malformed worksheet ({exc})") from exc
+        ws = parse_part_xml(parts[name], "xlsx: malformed worksheet")
         sheet_id = name[len("xl/worksheets/") : -len(".xml")]
         for row in ws.iter(f"{{{_S}}}row"):
             r = int(row.get("r", "0"))
@@ -426,10 +434,7 @@ def extract_pptx_text(blob: bytes) -> list:
         raise ValueError("pptx: package has no slide parts")
     out = []
     for _num, name in sorted(slide_names):
-        try:
-            root = ET.fromstring(parts[name])
-        except ET.ParseError as exc:
-            raise ValueError(f"pptx: malformed slide XML ({exc})") from exc
+        root = parse_part_xml(parts[name], "pptx: malformed slide")
         paras = []
         for p in root.iter(f"{{{_A}}}p"):
             frags = []

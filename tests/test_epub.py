@@ -77,3 +77,18 @@ def test_loud_failures():
     ]
     with pytest.raises(ValueError, match="missing chapter"):
         extract_epub_text(write_zip(members))
+
+
+def test_doctype_rejected_in_chapters():
+    blob = write_epub([["x"]])
+    evil = (
+        b'<?xml version="1.0"?><!DOCTYPE html [<!ENTITY a "LOL">]>'
+        b'<html xmlns="http://www.w3.org/1999/xhtml"><body><p>&a;</p>'
+        b"</body></html>"
+    )
+    members = [
+        (n, evil if n.endswith(".xhtml") else d, m)
+        for n, d, m in read_zip(blob)
+    ]
+    with pytest.raises(ValueError, match="DOCTYPE"):
+        extract_epub_text(write_zip(members))

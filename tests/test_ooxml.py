@@ -235,3 +235,21 @@ def test_cpython_zipfile_reads_pptx():
     blob = write_pptx([["cross check"]])
     with zipfile.ZipFile(io.BytesIO(blob)) as zf:
         assert "ppt/slides/slide1.xml" in zf.namelist()
+
+
+def test_doctype_rejected_in_opc_parts():
+    # ECMA-376 Part 2 forbids DTDs in parts; accepting one would admit
+    # entity-expansion bombs — the guard must fire before the parse
+    blob = write_docx(["x"])
+    evil = (
+        b'<?xml version="1.0"?><!DOCTYPE d [<!ENTITY a "LOL">]>'
+        b'<w:document xmlns:w="http://schemas.openxmlformats.org/'
+        b'wordprocessingml/2006/main"><w:body><w:p><w:r><w:t>&a;</w:t>'
+        b"</w:r></w:p></w:body></w:document>"
+    )
+    members = [
+        (n, evil if n == "word/document.xml" else d, "deflated")
+        for n, d, _m in read_zip(blob)
+    ]
+    with pytest.raises(ValueError, match="DOCTYPE"):
+        extract_docx_text(write_zip(members))
