@@ -405,6 +405,134 @@ def codec_mode() -> int:
         expect_error=True,
     )
 
+    # ---------------------------------------------- r11b parser family
+    from etl_pipeline_old_spark.operators.avro import (
+        read_avro, snappy_decompress, write_avro,
+    )
+    from etl_pipeline_old_spark.operators.epub import (
+        extract_epub_text, write_epub,
+    )
+    from etl_pipeline_old_spark.operators.mail import parse_message
+    from etl_pipeline_old_spark.operators.ooxml import (
+        extract_docx_text, write_docx,
+    )
+    from etl_pipeline_old_spark.operators.pkzip import read_zip, write_zip
+    from etl_pipeline_old_spark.operators.rtf import extract_rtf_text
+    from etl_pipeline_old_spark.operators.sqlite import read_sqlite_table
+
+    # RTF: a 200k-deep group-nesting bomb must not RecursionError or
+    # hang — the parser's group state is an explicit stack
+    check(
+        "rtf_deep_group_nesting_bomb",
+        lambda: extract_rtf_text(
+            b"{\\rtf1\\ansi " + b"{" * 200_000 + b"x" + b"}" * 200_000
+            + b"}"
+        ),
+        expect_error=False,
+    )
+    check(
+        "rtf_truncated_bin_is_loud",
+        lambda: extract_rtf_text(b"{\\rtf1 \\bin100000 short}"),
+        expect_error=True,
+    )
+
+    # mail: a multipart nesting bomb hits the depth cap, never the
+    # recursion limit
+    def mail_nest_bomb():
+        inner = b"body"
+        for i in range(40):
+            inner = (
+                b"Content-Type: multipart/mixed; boundary=b%d\r\n\r\n"
+                b"--b%d\r\n" % (i, i) + inner + b"\r\n--b%d--\r\n" % i
+            )
+        parse_message(inner)
+
+    check("mail_multipart_nesting_bomb", mail_nest_bomb, expect_error=True)
+
+    # docx: DOCTYPE (entity-bomb carrier) rejected before the parse
+    def docx_doctype():
+        blob = write_docx(["x"])
+        evil = (
+            b'<?xml version="1.0"?><!DOCTYPE d [<!ENTITY a "LOL">]>'
+            b'<w:document xmlns:w="http://schemas.openxmlformats.org/'
+            b'wordprocessingml/2006/main"><w:body/></w:document>'
+        )
+        members = [
+            (n, evil if n == "word/document.xml" else d, "deflated")
+            for n, d, _m in read_zip(blob)
+        ]
+        extract_docx_text(write_zip(members))
+
+    check("docx_doctype_bomb_rejected", docx_doctype, expect_error=True)
+
+    # epub: a spine idref pointing at a missing manifest entry is loud
+    def epub_dangling_spine():
+        blob = write_epub([["x"]])
+        parts = {n: (d, m) for n, d, m in read_zip(blob)}
+        opf = parts["OEBPS/content.opf"][0].replace(
+            b'idref="c0"', b'idref="ghost"'
+        )
+        members = [
+            (n, opf if n == "OEBPS/content.opf" else d, m)
+            for n, (d, m) in parts.items()
+        ]
+        extract_epub_text(write_zip(members))
+
+    check("epub_dangling_spine_is_loud", epub_dangling_spine, True)
+
+    # avro: a forged block count must fail on truncation, not allocate
+    def avro_count_bomb():
+        blob = bytearray(write_avro(
+            [{"a": 1}],
+            '{"type":"record","name":"r","fields":'
+            '[{"name":"a","type":"long"}]}',
+        ))
+        # block layout: ...sync | count | size | payload | sync — patch
+        # the count varint (zigzag 1 == 0x02) to a huge value
+        at = blob.rfind(b"\x02", 0, len(blob) - 17)
+        blob[at : at + 1] = b"\xfe\xff\xff\xff\x0f"  # zigzag varint big
+        read_avro(bytes(blob))
+
+    check("avro_block_count_bomb_is_loud", avro_count_bomb, True)
+    check(
+        "snappy_offset_zero_is_loud",
+        lambda: snappy_decompress(b"\x04\x01\x00\x00\x00"),
+        expect_error=True,
+    )
+
+    # sqlite: a cyclic overflow chain must terminate loudly
+    def sqlite_cyclic_overflow():
+        import os as _os
+        import sqlite3 as _sq
+        import struct as _st
+        import tempfile as _tf
+
+        fd, p = _tf.mkstemp(suffix=".db")
+        _os.close(fd)
+        _os.unlink(p)
+        con = _sq.connect(p)
+        con.execute("PRAGMA page_size=512")
+        con.execute("CREATE TABLE t (a INTEGER PRIMARY KEY, b TEXT)")
+        con.execute("INSERT INTO t VALUES (1, ?)", ("y" * 4000,))
+        con.commit()
+        con.close()
+        blob = bytearray(open(p, "rb").read())
+        _os.unlink(p)
+        # find the first overflow page (its first 4 bytes point onward)
+        # and point it back at itself
+        from etl_pipeline_old_spark.operators.sqlite import SQLiteFile
+
+        db = SQLiteFile(bytes(blob))
+        for page in range(2, db.n_pages + 1):
+            base = (page - 1) * db.page_size
+            nxt = _st.unpack_from(">I", blob, base)[0]
+            if 0 < nxt <= db.n_pages and blob[base + 4] != 0x0D:
+                _st.pack_into(">I", blob, base, page)  # self-loop
+                break
+        read_sqlite_table(bytes(blob), "t")
+
+    check("sqlite_cyclic_overflow_is_loud", sqlite_cyclic_overflow, True)
+
     print(f"TOTAL {time.time() - t00:.0f}s FAILURES: {fails}")
     return 1 if fails else 0
 
