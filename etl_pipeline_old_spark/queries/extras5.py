@@ -985,3 +985,95 @@ def layout_range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("o_totalprice"), 2).alias("lo"),
         F.round(F.max("o_totalprice"), 2).alias("hi"),
     )
+
+
+@register(
+    "gov_crypto_shred",
+    oracle="""
+    SELECT doc_id,
+      CAST(doc_id % 10 AS INT) AS user_id,
+      CASE WHEN doc_id % 10 IN (3, 7) THEN 'shredded'
+           ELSE 'recovered' END AS status,
+      CASE WHEN doc_id % 10 IN (3, 7) THEN NULL
+           ELSE length(text) END AS n_chars,
+      CAST(CASE WHEN doc_id % 10 IN (3, 7) THEN 0 ELSE 1 END AS INT)
+        AS text_exact
+    FROM documents
+    """,
+    doc="Crypto-shredding — the published way the right-to-be-forgotten "
+    "is honored at 100 TB: PII columns are encrypted under PER-USER "
+    "keys at ingest, and an erasure request deletes ONE KEY ROW "
+    "instead of rewriting petabytes of immutable parquet; data under "
+    "a dropped key is cryptographically unreadable in place. Here the "
+    "bronze layer encrypts each document's text under its owner's key "
+    "(the engine's own FIPS-197 AES in the Arrow kernel, IV+CBC+PKCS "
+    "layout), the key table has the erased users' rows DROPPED (users "
+    "3 and 7), and the read path is PURE JVM: broadcast key join + "
+    "Spark's builtin try_aes_decrypt, which returns NULL for the "
+    "shredded rows — making this ALSO the third independent pin on "
+    "the AES core (after FIPS vectors and javax.crypto): a cipher "
+    "or layout bug and the JVM cannot read what Python wrote, failing "
+    "the oracle's exact text recovery on every surviving row. Scale: "
+    "encrypt-at-ingest is map-side; the key table is KB-sized per "
+    "million users (broadcast); erasure is a single-row delete plus "
+    "key-rotation hygiene, never a data rewrite.",
+)
+def gov_crypto_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def encrypt(batches):
+        import hashlib
+
+        import pandas as pd
+
+        from ..operators.pdf_crypt import aes_encrypt_payload
+
+        for b in batches:
+            out = {"doc_id": [], "user_id": [], "ct": []}
+            for doc_id, text in zip(b["doc_id"], b["text"]):
+                uid = int(doc_id) % 10
+                key = hashlib.sha256(b"user-%d" % uid).digest()[:16]
+                iv = hashlib.md5(b"iv-%d" % int(doc_id)).digest()
+                out["doc_id"].append(int(doc_id))
+                out["user_id"].append(uid)
+                out["ct"].append(
+                    aes_encrypt_payload(key, iv, text.encode("utf-8"))
+                )
+            yield pd.DataFrame(out)
+
+    bronze = d.mapInPandas(
+        encrypt, schema="doc_id long, user_id int, ct binary"
+    )
+    import hashlib
+
+    erased = {3, 7}
+    keys = spark.createDataFrame(
+        [
+            (u, bytearray(hashlib.sha256(b"user-%d" % u).digest()[:16]))
+            for u in range(10)
+            if u not in erased
+        ],
+        "user_id int, key binary",
+    )
+    joined = bronze.join(F.broadcast(keys), "user_id", "left")
+    pt = F.expr("try_aes_decrypt(ct, key, 'CBC', 'PKCS')")
+    docs = d.withColumnRenamed("text", "orig")
+    return (
+        joined.select(
+            "doc_id", "user_id",
+            F.when(pt.isNull(), F.lit("shredded"))
+            .otherwise(F.lit("recovered")).alias("status"),
+            F.when(pt.isNotNull(), F.length(F.decode(pt, "UTF-8")))
+            .alias("n_chars"),
+            pt.alias("pt"),
+        )
+        .join(docs, "doc_id")
+        .select(
+            "doc_id", "user_id", "status", "n_chars",
+            F.when(
+                F.col("pt").isNotNull()
+                & (F.decode("pt", "UTF-8") == F.col("orig")),
+                F.lit(1),
+            ).otherwise(F.lit(0)).cast("int").alias("text_exact"),
+        )
+    )
