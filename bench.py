@@ -167,6 +167,10 @@ HEADLINE = [
     # archetypal 100 TB one-scan filter pass; a regression here means
     # Python or a shuffle crept into the hot path.
     "pipeline_code_corpus",
+    # r11b: the heterogeneous-bucket sentinel — five document formats
+    # through one extension-dispatched kernel, byte-exact each. Tracks
+    # the whole document-ingest surface in one number.
+    "pipeline_document_corpus_mixed",
 ]
 
 

@@ -7145,3 +7145,143 @@ def multimodal_sqlite_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, n_rows int, body_chars long, "
         "flag_sum_row1 int, null_body_rows int, text_exact int",
     )
+
+
+_MIXED_EXTS = ("pdf", "docx", "epub", "rtf", "mbox")
+
+
+def _render_mixed_doc(doc_id: int, text: str) -> bytes:
+    kind = _MIXED_EXTS[doc_id % 5]
+    if kind == "pdf":
+        return _render_pdf(doc_id, text)
+    if kind == "docx":
+        return _render_docx(doc_id, text)
+    if kind == "epub":
+        return _render_epub(doc_id, text)
+    if kind == "rtf":
+        return _render_rtf(doc_id, text)
+    return _render_mbox(doc_id, text)
+
+
+def _stage_mixed_docs(spark: SparkSession, sf_dir: str) -> str:
+    """One file per document, the EXTENSION cycling across five real
+    formats — the heterogeneous bucket shape."""
+    path = os.path.join(cache_root(), f"mixed_docs_{_tag(sf_dir)}")
+    marker = os.path.join(path, "_STAGED")
+    if not os.path.exists(marker):
+        os.makedirs(path, exist_ok=True)
+        d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+        def write_part(rows):
+            for r in rows:
+                ext = _MIXED_EXTS[r.doc_id % 5]
+                with open(
+                    os.path.join(path, f"{r.doc_id}.{ext}"), "wb"
+                ) as fh:
+                    fh.write(_render_mixed_doc(r.doc_id, r.text))
+
+        d.foreachPartition(write_part)
+        open(marker, "w").close()
+    return path
+
+
+def _extract_any_document(ext: str, payload: bytes) -> str:
+    """The extension-dispatched extraction kernel: every format routes
+    to its own parser, every parser returns the document's full text."""
+    if ext == "pdf":
+        from ..operators.pdf import extract_pdf_text
+
+        return "".join(ln for pg in extract_pdf_text(payload) for ln in pg)
+    if ext == "docx":
+        from ..operators.ooxml import extract_docx_text
+
+        return "".join(extract_docx_text(payload))
+    if ext == "epub":
+        from ..operators.epub import extract_epub_text
+
+        return "".join(
+            p for ch in extract_epub_text(payload) for p in ch
+        )
+    if ext == "rtf":
+        from ..operators.rtf import extract_rtf_text
+
+        return "".join(extract_rtf_text(payload))
+    if ext == "mbox":
+        from ..operators.mail import parse_message, split_mbox
+
+        msgs = [parse_message(m) for m in split_mbox(payload)]
+        for m in msgs:
+            for part in m["parts"]:
+                if part["media"] == "text/plain":
+                    return part["text"]
+        raise ValueError("mixed: mbox carries no text/plain part")
+    raise ValueError(f"mixed: unknown document extension {ext!r}")
+
+
+@register(
+    "pipeline_document_corpus_mixed",
+    oracle="""
+    SELECT
+      CASE doc_id % 5 WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx'
+           WHEN 2 THEN 'epub' WHEN 3 THEN 'rtf' ELSE 'mbox' END AS format,
+      count(*) AS n_docs,
+      sum(length(text)) AS total_chars,
+      count(*) AS n_exact
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="The heterogeneous-bucket capstone — what a real document "
+    "corpus actually looks like: ONE ingest over a directory whose "
+    "files cycle five formats (PDF, DOCX, EPUB, RTF, mbox mail), "
+    "dispatched by extension inside one Arrow kernel to five own "
+    "parsers, each recovering the document's full text BYTE-EXACTLY "
+    "(n_exact must equal n_docs per format or the hash fails). This "
+    "is the query a user of a document pipeline runs on day one; "
+    "every format-specific family above it exists so that this one "
+    "works. Scale: binaryFile scan -> map-side dispatch kernel -> one "
+    "tiny per-format aggregate; fault isolation is per record by "
+    "construction (each parser raises per document), and at 100 TB "
+    "the extension dispatch costs nothing while the per-format "
+    "aggregate shuffles five rows.",
+)
+def pipeline_document_corpus_mixed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    path = _stage_mixed_docs(spark, sf_dir)
+    bf = (
+        spark.read.format("binaryFile")
+        .load(path)
+        .where(~F.col("path").endswith("_STAGED"))
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.\w+$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.regexp_extract(F.col("path"), r"\.(\w+)$", 1).alias("ext"),
+            "content",
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    joined = bf.join(docs, "doc_id")
+
+    def op(batches):
+        import pandas as pd
+
+        for b in batches:
+            out = {"format": [], "n_chars": [], "exact": []}
+            for ext, content, text in zip(
+                b["ext"], b["content"], b["text"]
+            ):
+                rebuilt = _extract_any_document(ext, bytes(content))
+                out["format"].append(ext)
+                out["n_chars"].append(len(rebuilt))
+                out["exact"].append(1 if rebuilt == text else 0)
+            yield pd.DataFrame(out)
+
+    per_doc = joined.mapInPandas(
+        op, schema="format string, n_chars long, exact int"
+    )
+    return per_doc.groupBy("format").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("exact").alias("n_exact"),
+    )

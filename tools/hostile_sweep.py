@@ -156,6 +156,8 @@ REPEAT_QUERIES = (
     "multimodal_avro_ingest",
     # r11: staged SQLite databases (own file-format reader)
     "multimodal_sqlite_ingest",
+    # r11: the heterogeneous five-format document bucket
+    "pipeline_document_corpus_mixed",
     # r9: staged .webm containers
     "multimodal_webm_probe",
     # r9: staged .vtt caption sidecars (+ the alignment join sharing
