@@ -7225,7 +7225,7 @@ def _extract_any_document(ext: str, payload: bytes) -> str:
       CASE doc_id % 5 WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx'
            WHEN 2 THEN 'epub' WHEN 3 THEN 'rtf' ELSE 'mbox' END AS format,
       count(*) AS n_docs,
-      sum(length(text)) AS total_chars,
+      CAST(sum(length(text)) AS BIGINT) AS total_chars,
       count(*) AS n_exact
     FROM documents
     GROUP BY 1
