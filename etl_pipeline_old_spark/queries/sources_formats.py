@@ -7285,3 +7285,91 @@ def pipeline_document_corpus_mixed(
         F.sum("n_chars").alias("total_chars"),
         F.sum("exact").alias("n_exact"),
     )
+
+
+def _decode_mbox_frame(frame: DataFrame) -> DataFrame:
+    def op(batches):
+        import re as _re
+
+        import pandas as pd
+
+        from ..operators.mail import parse_message, split_mbox
+
+        for b in batches:
+            out = {"doc_id": [], "n_msgs": [], "n_chars": []}
+            for p, content in zip(b["path"], b["content"]):
+                msgs = [
+                    parse_message(m) for m in split_mbox(bytes(content))
+                ]
+                plains = [
+                    pt for m in msgs for pt in m["parts"]
+                    if pt["media"] == "text/plain"
+                ]
+                out["doc_id"].append(
+                    int(_re.search(r"(\d+)\.mbox$", p).group(1))
+                )
+                out["n_msgs"].append(len(msgs))
+                out["n_chars"].append(
+                    len(plains[0]["text"]) if plains else 0
+                )
+            yield pd.DataFrame(out)
+
+    return frame.mapInPandas(
+        op, schema="doc_id long, n_msgs int, n_chars long"
+    )
+
+
+@register(
+    "stream_mail_ingest",
+    oracle="""
+    SELECT doc_id, 2 AS n_msgs, length(text) AS n_chars
+    FROM documents
+    """,
+    doc="STREAMING mail-archive ingestion — mbox is the format made "
+    "for this: an append-only shard of From_-framed messages, the "
+    "ur-example of a continuously-filling feed. The staged shards "
+    "consume through readStream binaryFile with maxFilesPerTrigger-"
+    "bounded micro-batches, parse per batch through the SAME "
+    "RFC 5322/MIME kernel as pipeline_mail_extract (header unfolding, "
+    "encoded-words, multipart walk, QP/base64, charset), append to a "
+    "parquet target through the checkpoint, and the accumulated "
+    "target must hash-equal the batch extraction. Completes the mail "
+    "family's operational story beside the batch capstone.",
+)
+def stream_mail_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..session import ensure_session_confs
+
+    ensure_session_confs(spark)
+    feed = _stage_media_files(
+        spark, sf_dir, "mbox_files", "mbox", _render_mbox
+    )
+    base = os.path.join(cache_root(), f"mbox_stream_{_tag(sf_dir)}")
+    target, chk = base + "_target", base + "_chk"
+    for p in (target, chk):
+        shutil.rmtree(p, ignore_errors=True)
+
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARYFILE_SCHEMA)
+        .option("pathGlobFilter", "*.mbox")
+        .option("maxFilesPerTrigger", 200)
+        .load(feed)
+        .select("path", "content")
+    )
+
+    def ingest(batch_df: DataFrame, _batch_id: int) -> None:
+        _decode_mbox_frame(batch_df).write.mode("append").parquet(target)
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(target)

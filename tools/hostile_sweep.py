@@ -158,6 +158,8 @@ REPEAT_QUERIES = (
     "multimodal_sqlite_ingest",
     # r11: the heterogeneous five-format document bucket
     "pipeline_document_corpus_mixed",
+    # r11: the mail family's streaming ingest (checkpoint + target)
+    "stream_mail_ingest",
     # r9: staged .webm containers
     "multimodal_webm_probe",
     # r9: staged .vtt caption sidecars (+ the alignment join sharing
