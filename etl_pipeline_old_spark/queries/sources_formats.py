@@ -7373,3 +7373,87 @@ def stream_mail_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.read.parquet(target)
+
+
+def _render_latex(doc_id: int, text: str) -> bytes:
+    from ..operators.latex import write_latex
+
+    return write_latex(_docx_paragraphs(text), doc_id=doc_id).encode("utf-8")
+
+
+@register(
+    "pipeline_latex_extract",
+    oracle=f"""
+    SELECT doc_id,
+      CAST(greatest(1, (length(text) + {_PDF_LINE - 1}) // {_PDF_LINE})
+        AS INT) AS n_paras,
+      length(text) AS n_chars,
+      2 AS n_math,
+      1 AS n_comments,
+      1 AS text_exact
+    FROM documents
+    """,
+    doc="LaTeX de-markup text extraction (operators/latex.py) — the "
+    "arXiv slice every pretraining mix names ships as LaTeX source, "
+    "and its curation step is de-markup: each document stages as a "
+    ".tex whose prose rides through the constructs naive strippers "
+    "garble — the preamble (must not leak 'article'/'amsmath' into "
+    "prose), unescaped-% comments vs \\\\% literals, commands that "
+    "swallow following whitespace (the TeX rule), metadata arguments "
+    "dropped vs styling arguments KEPT (\\\\textbf{{x}} -> x), inline "
+    "and display math segments dropped but COUNTED (the math-density "
+    "signal), \\\\verb payloads verbatim. The oracle demands exact "
+    "paragraph recovery plus the math/comment accounting; "
+    "unterminated math/verb and cross-file \\\\input raise per "
+    "record. Scale: one linear scan per record in the Arrow kernel, "
+    "like every document family.",
+)
+def pipeline_latex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_media_files(
+        spark, sf_dir, "latex_files", "tex", _render_latex
+    )
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.tex")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.tex$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "content",
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    joined = bf.join(docs, "doc_id")
+
+    def op(batches):
+        import pandas as pd
+
+        from ..operators.latex import extract_latex_text
+
+        for b in batches:
+            out = {
+                "doc_id": [], "n_paras": [], "n_chars": [], "n_math": [],
+                "n_comments": [], "text_exact": [],
+            }
+            for doc_id, content, text in zip(
+                b["doc_id"], b["content"], b["text"]
+            ):
+                r = extract_latex_text(bytes(content).decode("utf-8"))
+                paras = [
+                    ln for ln in r["text"].split("\n") if ln.strip()
+                ]
+                rebuilt = "".join(paras)
+                out["doc_id"].append(int(doc_id))
+                out["n_paras"].append(len(paras))
+                out["n_chars"].append(len(rebuilt))
+                out["n_math"].append(r["n_math"])
+                out["n_comments"].append(r["n_comments"])
+                out["text_exact"].append(1 if rebuilt == text else 0)
+            yield pd.DataFrame(out)
+
+    return joined.mapInPandas(
+        op,
+        schema="doc_id long, n_paras int, n_chars long, n_math int, "
+        "n_comments int, text_exact int",
+    )

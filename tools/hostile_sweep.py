@@ -160,6 +160,8 @@ REPEAT_QUERIES = (
     "pipeline_document_corpus_mixed",
     # r11: the mail family's streaming ingest (checkpoint + target)
     "stream_mail_ingest",
+    # r11: staged LaTeX sources (arXiv-slice de-markup)
+    "pipeline_latex_extract",
     # r9: staged .webm containers
     "multimodal_webm_probe",
     # r9: staged .vtt caption sidecars (+ the alignment join sharing
