@@ -7457,3 +7457,98 @@ def pipeline_latex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, n_paras int, n_chars long, n_math int, "
         "n_comments int, text_exact int",
     )
+
+
+def _render_markdown(doc_id: int, text: str) -> bytes:
+    from ..operators.markdown import write_markdown
+
+    return write_markdown(
+        _docx_paragraphs(text), doc_id=doc_id
+    ).encode("utf-8")
+
+
+@register(
+    "pipeline_markdown_extract",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, text,
+             greatest(1, (length(text) + {_PDF_LINE - 1}) // {_PDF_LINE})
+               AS n_paras
+      FROM documents)
+    SELECT doc_id,
+      CAST(n_paras AS INT) AS n_paras,
+      length(text) AS n_chars,
+      CAST((n_paras + 4) // 5 AS INT) AS n_headers,
+      CAST(n_paras // 5 AS INT) AS n_links,
+      CAST(7 + length(CAST(doc_id AS VARCHAR)) AS BIGINT) AS code_chars,
+      1 AS text_exact
+    FROM b
+    """,
+    doc="Markdown de-markup text extraction (operators/markdown.py, "
+    "CommonMark structure) — the documentation half of every code "
+    "corpus (READMEs, wikis, docs sites): each document stages as .md "
+    "whose paragraphs rotate through header / bold / blockquote / "
+    "list / link constructs plus one fenced code block, and "
+    "extraction handles what a naive regex pass garbles — the fence "
+    "STATE MACHINE (code content separated and counted, never treated "
+    "as prose; inline backticks never open fences; an unclosed fence "
+    "raises), links/images keeping text and dropping urls, "
+    "reference-definition lines dropped as metadata, inline code "
+    "protected BEFORE emphasis unwrapping, setext underlines promoting "
+    "the prior line to a counted header. The oracle demands exact "
+    "paragraph recovery plus header/link/code accounting. Scale: one "
+    "linear scan per record in the Arrow kernel.",
+)
+def pipeline_markdown_extract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    path = _stage_media_files(
+        spark, sf_dir, "markdown_files", "md", _render_markdown
+    )
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.md")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.md$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "content",
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    joined = bf.join(docs, "doc_id")
+
+    def op(batches):
+        import pandas as pd
+
+        from ..operators.markdown import extract_markdown_text
+
+        for b in batches:
+            out = {
+                "doc_id": [], "n_paras": [], "n_chars": [],
+                "n_headers": [], "n_links": [], "code_chars": [],
+                "text_exact": [],
+            }
+            for doc_id, content, text in zip(
+                b["doc_id"], b["content"], b["text"]
+            ):
+                r = extract_markdown_text(bytes(content).decode("utf-8"))
+                paras = [
+                    ln for ln in r["text"].split("\n") if ln.strip()
+                ]
+                rebuilt = "".join(paras)
+                out["doc_id"].append(int(doc_id))
+                out["n_paras"].append(len(paras))
+                out["n_chars"].append(len(rebuilt))
+                out["n_headers"].append(r["n_headers"])
+                out["n_links"].append(r["n_links"])
+                out["code_chars"].append(r["code_chars"])
+                out["text_exact"].append(1 if rebuilt == text else 0)
+            yield pd.DataFrame(out)
+
+    return joined.mapInPandas(
+        op,
+        schema="doc_id long, n_paras int, n_chars long, n_headers int, "
+        "n_links int, code_chars bigint, text_exact int",
+    )

@@ -162,6 +162,8 @@ REPEAT_QUERIES = (
     "stream_mail_ingest",
     # r11: staged LaTeX sources (arXiv-slice de-markup)
     "pipeline_latex_extract",
+    # r11: staged Markdown docs (README-slice de-markup)
+    "pipeline_markdown_extract",
     # r9: staged .webm containers
     "multimodal_webm_probe",
     # r9: staged .vtt caption sidecars (+ the alignment join sharing
