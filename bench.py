@@ -265,6 +265,39 @@ def main() -> None:
     finally:
         shutil.rmtree(warm_dir, ignore_errors=True)
 
+    # r11 verdict #6: the media sentinels used to fold one-time fixture
+    # construction (staging one rendered/encrypted file per document —
+    # e.g. AES-encrypting 5,000 PDFs) into their headline numbers, so the
+    # suite's most expensive entry mostly measured fixture writes
+    # (pipeline_pdf_aes_extract 9.9-10.7s first-run vs ~1.9s steady per
+    # the scale probe). Staging is marker-idempotent per process
+    # (_stage_media_files), so pre-running each such sentinel ONCE here
+    # makes the timed loop below measure the RECURRING plan — the number
+    # that tracks scale — while the one-time cost stays visible in the
+    # full record as components["staging"]. r12 resets these entries'
+    # history to steady state (noted in BENCH_WATCH.md).
+    PRESTAGE = [
+        "multimodal_png_ingest",
+        "pipeline_web_corpus",
+        "pipeline_image_text_pairs",
+        "pipeline_image_text_pairs_bucketed",
+        "pipeline_document_corpus",
+        "pipeline_video_text_pairs",
+        "pipeline_pdf_cid_extract",
+        "pipeline_pdf_aes_extract",
+        "pipeline_docx_extract",
+        "pipeline_code_corpus",
+        "pipeline_document_corpus_mixed",
+    ]
+    staging: dict[str, float] = {}
+    for name in PRESTAGE:
+        if name in QUERIES:
+            t0 = time.perf_counter()
+            QUERIES[name].fn(spark, sf_dir).count()
+            staging[name] = round(time.perf_counter() - t0, 2)
+    print("bench staging (first-run incl. fixture construction): "
+          + json.dumps(staging, sort_keys=True), file=sys.stderr)
+
     timings: dict[str, float] = {}
     t_total = time.perf_counter()
     # cold-start probe (r3 verdict #2/#4): the same sessionization plan,
@@ -313,6 +346,8 @@ def main() -> None:
         if "pipeline_corpus_refresh" in timings and extras4.LAST_TIMINGS
         else {}
     )
+    if staging:
+        components["staging"] = staging
 
     load1, load5, load15 = os.getloadavg()
     try:
@@ -320,53 +355,91 @@ def main() -> None:
             uptime_s = float(fh.read().split()[0])
     except OSError:
         uptime_s = None
-    # The driver wrapper keeps only the LAST ~2000 bytes of stdout
-    # (BENCH_r07's tail started mid-key, cutting the line's head and making
-    # it unparseable — r7 verdict task 3c). Three defenses, in order:
-    # compact separators + 2-decimal timings keep the line under the cap;
-    # "queries" is serialized LAST so a future cap cut eats metadata, not
-    # timings (bench_delta.py has a regex recovery for that case); and if
-    # the line still exceeds the cap, "components" moves to stderr.
+    # The driver wrapper keeps only the LAST ~2000 bytes of stdout. The
+    # r7-era defense (compact separators, metadata-drops-first) stopped
+    # working at r11: 76 timing entries alone exceed the cap, so
+    # BENCH_r11.json came back parsed:null (r11 verdict #2). New contract:
+    # stdout ends with a COMPACT line that is always under the cap — suite
+    # wall, environment, the top-N slowest timings, and a median-vs-prev
+    # ratio — while the FULL per-query dict goes to (a) stderr, (b)
+    # BENCH_FULL_LAST.json at the repo root, and (c) an append-only
+    # BENCH_HISTORY.jsonl so round-over-round per-query adjudication
+    # (tools/bench_delta.py) keeps its complete history.
+    root = os.path.dirname(os.path.abspath(__file__))
+    full_path = os.path.join(root, "BENCH_FULL_LAST.json")
+
+    # median ratio vs the PREVIOUS full record (common keys), computed
+    # before we overwrite it — the one-number round-over-round signal the
+    # driver record keeps even though it no longer carries every timing.
+    med_vs_prev = None
+    try:
+        with open(full_path, encoding="utf-8") as fh:
+            prev = json.load(fh)
+        # only comparable at the same scale factor (a local sf0.001 smoke
+        # run must not poison the driver's sf0.1 round-over-round signal)
+        prev_q = prev.get("queries", {}) if prev.get("sf") == sf else {}
+        ratios = sorted(
+            timings[k] / prev_q[k]
+            for k in timings
+            if k in prev_q and prev_q[k] and prev_q[k] > 0
+        )
+        if ratios:
+            med_vs_prev = round(ratios[len(ratios) // 2], 2)
+    except (OSError, ValueError, KeyError):
+        pass
+
+    full_doc = {
+        "metric": "headline_suite_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_headline": len(names),
+        "loadavg_start": [round(v, 2) for v in load_start],
+        "loadavg": [round(load1, 2), round(load5, 2), round(load15, 2)],
+        "uptime_s": round(uptime_s) if uptime_s is not None else None,
+        "components": components,
+        "med_vs_prev": med_vs_prev,
+        "queries": timings,
+    }
+    print("bench full: " + json.dumps(full_doc), file=sys.stderr)
+    try:
+        with open(full_path, "w", encoding="utf-8") as fh:
+            json.dump(full_doc, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+        with open(os.path.join(root, "BENCH_HISTORY.jsonl"), "a",
+                  encoding="utf-8") as fh:
+            fh.write(json.dumps({**full_doc, "ts": round(time.time())},
+                                separators=(",", ":")) + "\n")
+    except OSError as exc:  # read-only checkout: stderr copy still has it
+        print(f"bench full file write failed: {exc}", file=sys.stderr)
+
+    slowest = sorted(timings, key=lambda q: timings[q], reverse=True)[:10]
     doc = {
         "metric": "headline_suite_wall_seconds",
         "value": total,
         "unit": "sec",
         "sf": sf,
-        # headline-entry arithmetic (r7 verdict task 3c): "queries" holds
-        # n_headline suite entries PLUS derived timings (sessionization_cold
-        # — a second measurement of an existing entry, not a suite member)
+        # n_headline counts suite entries; "queries" below is the top-10
+        # slowest SAMPLE of them (full dict: BENCH_FULL_LAST.json/stderr),
+        # and rest_s is the summed wall of the entries not shown.
         "n_headline": len(names),
         "loadavg_start": [round(v, 1) for v in load_start],
         "loadavg": [round(load1, 1), round(load5, 1), round(load15, 1)],
         "uptime_s": round(uptime_s) if uptime_s is not None else None,
-        # corpus-refresh split uses short keys here (shingle/bronze/probe =
-        # extras4.LAST_TIMINGS' shingle_s/bronze_build_s/probe_s) to keep
-        # the line under the tail cap
-        "components": (
-            {"refresh": {k.split("_")[0]: round(v, 2)
-                         for k, v in components["pipeline_corpus_refresh"].items()}}
-            if components else {}
-        ),
-        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "med_vs_prev": med_vs_prev,
+        "rest_s": round(sum(timings[q] for q in timings if q not in slowest), 2),
+        "full": "BENCH_FULL_LAST.json",
+        "queries": {q: round(timings[q], 2) for q in slowest},
     }
     line = json.dumps(doc, separators=(",", ":"))
-    # tiered shrink: the timings dict is the contract — metadata yields
-    # first if the cap is threatened. loadavg_start yields LAST: it is
-    # the one value the round-over-round load model (BENCH_WATCH.md
-    # adjudications) cannot reconstruct after the fact.
-    for drop in ("components", "uptime_s", "loadavg", "loadavg_start"):
-        if len(line) <= 1950:
+    # safety net: the compact line is ~700 bytes by construction, but if a
+    # future edit inflates it the shrink order still protects the timings.
+    for drop in ("full", "uptime_s", "loadavg", "med_vs_prev", "loadavg_start"):
+        if len(line) <= 1900:
             break
         print(f"bench line over tail cap; {drop} -> stderr only", file=sys.stderr)
         doc.pop(drop, None)
         line = json.dumps(doc, separators=(",", ":"))
-    # full-precision copy on stderr for local analysis (stdout keeps the
-    # one-JSON-line contract)
-    print("bench full: " + json.dumps({
-        **doc, "queries": timings, "components": components,
-        "loadavg_start": [round(v, 2) for v in load_start],
-        "loadavg": [round(load1, 2), round(load5, 2), round(load15, 2)],
-    }), file=sys.stderr)
     print(line)
     spark.stop()
 
