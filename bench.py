@@ -171,6 +171,11 @@ HEADLINE = [
     # through one extension-dispatched kernel, byte-exact each. Tracks
     # the whole document-ingest surface in one number.
     "pipeline_document_corpus_mixed",
+    # r12: the modern-PDF sentinel — xref STREAMS + ObjStm packing +
+    # /Prev incremental chains (the post-2005 default shape). Tracks
+    # the compressed-cross-reference parse path beside its classic,
+    # CID, and AES siblings above.
+    "pipeline_pdf_xrefstream_extract",
 ]
 
 
@@ -288,6 +293,7 @@ def main() -> None:
         "pipeline_docx_extract",
         "pipeline_code_corpus",
         "pipeline_document_corpus_mixed",
+        "pipeline_pdf_xrefstream_extract",
     ]
     staging: dict[str, float] = {}
     for name in PRESTAGE:

@@ -20,6 +20,15 @@ text-based PDFs is structural work this module does for real:
   (nested ``Kids`` supported), per-page content-stream decode (with
   ``/Length`` honored, including indirect-reference lengths) and a
   content tokenizer that collects text operands in showing order.
+- PDF 1.5+ cross-reference support (ISO 32000-1 §7.5.7/§7.5.8) — the
+  shape virtually every PDF written since ~2005 uses: /Type/XRef
+  cross-reference STREAMS (binary rows per /W, /Index subsections,
+  FlateDecode + the TIFF and all five PNG predictors), /Type/ObjStm
+  object streams reached through type-2 entries, /Prev incremental-
+  update chains with newest-entry-wins precedence (free entries
+  honored, cyclic chains refused), and hybrid-reference /XRefStm
+  bridges.  ``write_pdf_xrefstream`` stages all of it, including real
+  incremental updates whose base revision carries superseded bytes.
 
 PDF strings are BYTE strings per the spec — simple-font text rides as
 UTF-8 bytes and recovery is byte-exact (the oracle demands it).
@@ -118,6 +127,184 @@ def write_pdf(pages: list, compress: bool = False) -> bytes:
         b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
         % (len(objs) + 1, xref_at)
     )
+    return bytes(out)
+
+
+def _png_up_encode(rows: bytes, rowlen: int) -> bytes:
+    """PNG Up-filter (type 2) encode fixed-width rows — the predictor
+    every mainstream PDF writer applies to xref-stream data."""
+    out = bytearray()
+    prev = bytes(rowlen)
+    for r in range(0, len(rows), rowlen):
+        row = rows[r : r + rowlen]
+        out.append(2)
+        out += bytes((row[i] - prev[i]) & 0xFF for i in range(rowlen))
+        prev = row
+    return bytes(out)
+
+
+_XREF_W = (1, 4, 2)  # row layout: 1-byte type, 4-byte field2, 2-byte field3
+
+
+def _xref_stream_obj(rows: list, size: int, root: int,
+                     prev: int | None = None, predictor: bool = False,
+                     index: list | None = None) -> bytes:
+    """Serialize one /Type /XRef stream object.  ``rows`` is a list of
+    (objnum, type, f2, f3) — this function packs them per _XREF_W in
+    objnum order and emits /Index when the covered numbers are not the
+    contiguous 0..size-1 run (or when given explicitly)."""
+    rows = sorted(rows)
+    nums = [r[0] for r in rows]
+    data = b"".join(
+        bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+        for _, t, f2, f3 in rows
+    )
+    if index is None and nums != list(range(size)):
+        # collapse to (start, count) runs
+        index = []
+        for n in nums:
+            if index and n == index[-2] + index[-1]:
+                index[-1] += 1
+            else:
+                index += [n, 1]
+    rowlen = sum(_XREF_W)
+    parms = b""
+    if predictor:
+        data = _png_up_encode(data, rowlen)
+        parms = (b" /DecodeParms << /Predictor 12 /Columns %d >>" % rowlen)
+    payload = zlib.compress(data, 9)
+    head = (
+        b"<< /Type /XRef /Size %d /Root %d 0 R /W [%d %d %d]"
+        % (size, root, *_XREF_W)
+    )
+    if index is not None:
+        head += b" /Index [" + b" ".join(b"%d" % v for v in index) + b"]"
+    if prev is not None:
+        head += b" /Prev %d" % prev
+    head += parms + b" /Filter /FlateDecode /Length %d >>" % len(payload)
+    return head + b"\nstream\n" + payload + b"\nendstream"
+
+
+def write_pdf_xrefstream(
+    pages: list,
+    compress: bool = False,
+    objstm: bool = True,
+    predictor: bool = False,
+    incremental: bool = False,
+) -> bytes:
+    """Serialize ``pages`` as a PDF 1.5+ document whose cross-reference
+    rides as a /Type /XRef STREAM (ISO 32000-1 §7.5.8) instead of a
+    classic table — the shape virtually every PDF written since ~2005
+    uses.  ``objstm`` packs the non-stream objects (catalog, page tree,
+    font, page dicts) into a /Type /ObjStm container reached through
+    type-2 xref entries (§7.5.7).  ``predictor`` PNG-Up-predicts the
+    xref rows (/DecodeParms /Predictor 12), the layout mainstream
+    writers emit.  ``incremental`` appends a real incremental update: the
+    ORIGINAL body carries placeholder content streams, and the appended
+    revision redefines every page's content object with the true text
+    plus a second xref stream whose /Prev links back — so text can only
+    be recovered by walking the /Prev chain with newest-entry-wins
+    precedence."""
+    n_pages = len(pages)
+    page_num = [4 + 2 * i for i in range(n_pages)]
+    cont_num = [5 + 2 * i for i in range(n_pages)]
+
+    def content(lines: list) -> bytes:
+        ops = [b"BT /F1 12 Tf 72 720 Td"]
+        for i, line in enumerate(lines):
+            if i:
+                ops.append(b"0 -14 Td")
+            ops.append(b"(" + _esc(line) + b") Tj")
+        ops.append(b"ET")
+        return b"\n".join(ops)
+
+    def content_obj(lines: list) -> bytes:
+        data = content(lines)
+        if compress:
+            data = zlib.compress(data, 9)
+            head = b"<< /Length %d /Filter /FlateDecode >>" % len(data)
+        else:
+            head = b"<< /Length %d >>" % len(data)
+        return head + b"\nstream\n" + data + b"\nendstream"
+
+    kids = b" ".join(b"%d 0 R" % p for p in page_num)
+    dict_objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % n_pages,
+        3: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    }
+    for i in range(n_pages):
+        dict_objs[page_num[i]] = (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> "
+            b"/Contents %d 0 R >>" % cont_num[i]
+        )
+
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    rows: list[tuple] = [(0, 0, 0, 65535)]  # object 0: head of free list
+
+    def emit(num: int, body: bytes) -> None:
+        rows.append((num, 1, len(out), 0))
+        out.extend(b"%d 0 obj\n" % num + body + b"\nendobj\n")
+
+    # the first revision's page text: placeholders when an incremental
+    # update will supply the real content, so stale-entry reads are loud
+    body_pages = (
+        [[f"SUPERSEDED REVISION {i}"] for i in range(n_pages)]
+        if incremental else pages
+    )
+    if objstm:
+        objstm_num = 4 + 2 * n_pages
+        xref_num = objstm_num + 1
+        packed = sorted(dict_objs)
+        header = bytearray()
+        data = bytearray()
+        offs = []
+        for num in packed:
+            offs.append(len(data))
+            data += dict_objs[num] + b"\n"
+        for num, off in zip(packed, offs):
+            header += b"%d %d " % (num, off)
+        payload = bytes(header) + bytes(data)
+        stm_head = b"<< /Type /ObjStm /N %d /First %d" % (
+            len(packed), len(header),
+        )
+        if compress:
+            payload = zlib.compress(payload, 9)
+            stm_head += b" /Filter /FlateDecode"
+        stm_head += b" /Length %d >>" % len(payload)
+        for idx, num in enumerate(packed):
+            rows.append((num, 2, objstm_num, idx))
+        emit(objstm_num, stm_head + b"\nstream\n" + payload + b"\nendstream")
+    else:
+        xref_num = 4 + 2 * n_pages
+        for num in sorted(dict_objs):
+            emit(num, dict_objs[num])
+    for i in range(n_pages):
+        emit(cont_num[i], content_obj(body_pages[i]))
+
+    size = xref_num + 1
+    xref_at = len(out)
+    rows.append((xref_num, 1, xref_at, 0))
+    out += b"%d 0 obj\n" % xref_num + _xref_stream_obj(
+        rows, size, 1, predictor=predictor
+    ) + b"\nendobj\n"
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_at
+    if not incremental:
+        return bytes(out)
+
+    # ---- appended incremental update (a second, newer revision) ----
+    upd_xref_num = size
+    upd_rows: list[tuple] = []
+    for i in range(n_pages):
+        upd_rows.append((cont_num[i], 1, len(out), 0))
+        out += b"%d 0 obj\n" % cont_num[i] + content_obj(pages[i]) + b"\nendobj\n"
+    upd_at = len(out)
+    upd_rows.append((upd_xref_num, 1, upd_at, 0))
+    out += b"%d 0 obj\n" % upd_xref_num + _xref_stream_obj(
+        upd_rows, upd_xref_num + 1, 1, prev=xref_at, predictor=predictor,
+    ) + b"\nendobj\n"
+    out += b"startxref\n%d\n%%%%EOF\n" % upd_at
     return bytes(out)
 
 
@@ -480,16 +667,65 @@ def _parse_literal_string(buf: bytes, pos: int):
     raise ValueError("pdf: unterminated string")
 
 
-def _load_xref(buf: bytes) -> dict:
-    tail = buf[-256:]
-    m = re.search(rb"startxref\s+(\d+)\s+%%EOF", tail)
-    if not m:
-        raise ValueError("pdf: no startxref trailer")
-    at = int(m.group(1))
-    if buf[at : at + 4] != b"xref":
-        raise ValueError("pdf: xref offset does not point at an xref table")
+def _predictor_decode(data: bytes, predictor: int, columns: int,
+                      colors: int = 1, bpc: int = 8) -> bytes:
+    """Undo a /DecodeParms predictor on FlateDecoded data.  Predictor 1 is
+    identity; 2 is TIFF horizontal differencing; >= 10 are the PNG row
+    filters (ISO 32000-1 §7.4.4.4 points at the PNG spec) — every real
+    xref-stream writer uses PNG Up (12), and per the PNG model the filter
+    type is re-read from each row's tag byte regardless of which >=10
+    value /Predictor carries."""
+    if predictor == 1:
+        return data
+    bpp = max(1, (colors * bpc) // 8)
+    rowlen = columns * bpp
+    if predictor == 2:
+        out = bytearray(data)
+        for r in range(0, len(out), rowlen):
+            for i in range(r + bpp, min(r + rowlen, len(out))):
+                out[i] = (out[i] + out[i - bpp]) & 0xFF
+        return bytes(out)
+    if predictor < 10:
+        raise NotImplementedError(f"pdf: predictor {predictor}")
+    if len(data) % (rowlen + 1):
+        raise ValueError("pdf: predicted data is not whole rows")
+    out = bytearray()
+    prev = bytearray(rowlen)
+    for r in range(0, len(data), rowlen + 1):
+        ft = data[r]
+        row = bytearray(data[r + 1 : r + 1 + rowlen])
+        if ft == 1:  # Sub
+            for i in range(bpp, rowlen):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(rowlen):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(rowlen):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + (left + prev[i]) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(rowlen):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"pdf: unknown PNG filter type {ft}")
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _read_xref_table(buf: bytes, at: int, entries: dict) -> dict:
+    """Parse one classic cross-reference section + its trailer dict;
+    first-seen wins in ``entries`` (the walk runs newest-first), and free
+    ('f') entries are recorded too so a newer deletion is not resurrected
+    by an older section's offset."""
     pos = at + 4
-    offsets: dict[int, int] = {}
     while True:
         m = re.match(rb"\s*(\d+)\s+(\d+)\s*\n", buf[pos:])
         if not m:
@@ -499,22 +735,148 @@ def _load_xref(buf: bytes) -> dict:
         for i in range(count):
             entry = buf[pos : pos + 20]
             if entry[17:18] == b"n":
-                offsets[start + i] = int(entry[:10])
+                entries.setdefault(start + i, ("file", int(entry[:10])))
+            elif entry[17:18] == b"f":
+                entries.setdefault(start + i, ("free",))
             pos += 20
-    return offsets
+    m = re.match(rb"\s*trailer\b", buf[pos:])
+    if not m:
+        raise ValueError("pdf: xref table without a trailer dictionary")
+    trailer, _ = _parse_object(buf, pos + m.end())
+    if not isinstance(trailer, dict):
+        raise ValueError("pdf: trailer is not a dictionary")
+    return trailer
+
+
+def _read_xref_stream(buf: bytes, at: int, entries: dict) -> dict:
+    """Parse a PDF 1.5+ cross-reference STREAM (ISO 32000-1 §7.5.8): an
+    indirect stream object of /Type /XRef whose data is fixed-width
+    binary rows described by /W, covering the object ranges in /Index.
+    Row types: 0 free, 1 in-file (field 2 = byte offset), 2 compressed
+    (field 2 = holding object stream's number, field 3 = index inside
+    it).  The stream doubles as the trailer dictionary.  Xref streams
+    are never encrypted, and the spec requires their dict values to be
+    direct, so this can run before any crypt init."""
+    m = re.match(rb"(\d+)\s+\d+\s+obj\b", buf[at:])
+    if not m:
+        raise ValueError(
+            "pdf: xref offset points at neither an xref table nor an "
+            "xref stream object"
+        )
+    d, end = _parse_object(buf, at + m.end())
+    if not isinstance(d, dict) or d.get("Type") != "/XRef":
+        raise ValueError("pdf: object at startxref is not /Type /XRef")
+    m2 = _STREAM_KW.match(buf, end)
+    if not m2:
+        raise ValueError("pdf: xref stream object without stream data")
+    length = d.get("Length")
+    if not isinstance(length, int):
+        # §7.5.8.2: xref-stream dict entries shall be direct
+        raise ValueError("pdf: xref stream /Length must be a direct integer")
+    raw = buf[m2.end() : m2.end() + length]
+    if len(raw) != length or not _ENDSTREAM_KW.match(buf, m2.end() + length):
+        raise ValueError("pdf: xref stream truncated or /Length mismatch")
+    filt = d.get("Filter")
+    for f in filt if isinstance(filt, list) else ([filt] if filt else []):
+        if f == "/FlateDecode":
+            raw = zlib.decompress(raw)
+        else:
+            raise NotImplementedError(f"pdf: xref stream filter {f}")
+    parms = d.get("DecodeParms")
+    if isinstance(parms, list):
+        parms = next((p for p in parms if isinstance(p, dict)), None)
+    if isinstance(parms, dict) and parms.get("Predictor", 1) != 1:
+        raw = _predictor_decode(
+            raw,
+            int(parms["Predictor"]),
+            int(parms.get("Columns", 1)),
+            int(parms.get("Colors", 1)),
+            int(parms.get("BitsPerComponent", 8)),
+        )
+    w = d.get("W")
+    size = d.get("Size")
+    if (not isinstance(w, list) or len(w) != 3
+            or not all(isinstance(x, int) and x >= 0 for x in w)):
+        raise ValueError("pdf: xref stream /W must be three non-negative ints")
+    if not isinstance(size, int):
+        raise ValueError("pdf: xref stream without integer /Size")
+    index = d.get("Index", [0, size])
+    if not isinstance(index, list) or len(index) % 2:
+        raise ValueError("pdf: xref stream /Index must be (start,count) pairs")
+    rowlen = sum(w)
+    if rowlen == 0:
+        raise ValueError("pdf: xref stream with zero-width rows")
+    pos = 0
+    for s in range(0, len(index), 2):
+        start, count = index[s], index[s + 1]
+        for i in range(count):
+            row = raw[pos : pos + rowlen]
+            if len(row) != rowlen:
+                raise ValueError("pdf: xref stream data shorter than /Index")
+            pos += rowlen
+            f1 = int.from_bytes(row[: w[0]], "big") if w[0] else 1
+            f2 = int.from_bytes(row[w[0] : w[0] + w[1]], "big")
+            f3 = int.from_bytes(row[w[0] + w[1] :], "big")
+            num = start + i
+            if f1 == 1:
+                entries.setdefault(num, ("file", f2))
+            elif f1 == 2:
+                entries.setdefault(num, ("objstm", f2, f3))
+            else:
+                # type 0 = free; any other type shall be read as a
+                # reference to null (§7.5.8.3) — both mean "absent"
+                entries.setdefault(num, ("free",))
+    return d
+
+
+def _load_xref(buf: bytes) -> tuple[dict, dict]:
+    """Walk the whole cross-reference chain from ``startxref``: classic
+    tables, PDF 1.5+ xref streams, /Prev incremental-update links, and
+    hybrid-reference /XRefStm pointers (read between a table and its
+    /Prev, per §7.5.8.4).  Returns (entries, trailer) where entries maps
+    object number -> ('file', offset) | ('objstm', container, idx) |
+    ('free',), newest claim winning, and trailer is the merged trailer
+    dict (newest value per key)."""
+    tail = buf[-256:]
+    m = re.search(rb"startxref\s+(\d+)\s+%%EOF", tail)
+    if not m:
+        raise ValueError("pdf: no startxref trailer")
+    entries: dict[int, tuple] = {}
+    trailer: dict = {}
+    queue = [int(m.group(1))]
+    seen: set[int] = set()
+    while queue:
+        at = queue.pop(0)
+        if at in seen:
+            # a cyclic /Prev chain would re-read sections forever
+            raise ValueError("pdf: cyclic cross-reference chain")
+        seen.add(at)
+        if len(seen) > 1024:
+            raise ValueError("pdf: cross-reference chain too long")
+        if buf[at : at + 4] == b"xref":
+            t = _read_xref_table(buf, at, entries)
+            # hybrid files: the /XRefStm stream outranks older sections
+            # but not this table's own entries — enqueue it before /Prev
+            if isinstance(t.get("XRefStm"), int):
+                queue.append(t["XRefStm"])
+        else:
+            t = _read_xref_stream(buf, at, entries)
+        if isinstance(t.get("Prev"), int):
+            queue.append(t["Prev"])
+        for k, v in t.items():
+            trailer.setdefault(k, v)
+    return entries, trailer
 
 
 class _Doc:
     def __init__(self, buf: bytes, password: bytes = b""):
         self.buf = buf
-        self.xref = _load_xref(buf)
+        self.xref, trailer = _load_xref(buf)
         self._crypt_key = None
         self._crypt_method = None
         self._encrypt_obj = None
-        t0 = buf.rfind(b"trailer")
-        if t0 < 0:
-            raise ValueError("pdf: no trailer dictionary")
-        trailer, _ = _parse_object(buf, t0 + 7)
+        self._objstm_cache: dict[int, list] = {}
+        self._objstm_loading: set[int] = set()
         self.trailer = trailer
         if "Encrypt" in trailer:
             enc_ref = trailer["Encrypt"]
@@ -601,10 +963,73 @@ class _Doc:
             v = self.object_at(v.num)
         return v
 
+    def _objstm_objects(self, stm_num: int) -> list:
+        """Load and cache one /Type /ObjStm container (ISO 32000-1
+        §7.5.7): the decompressed stream starts with N (objnum, offset)
+        integer pairs, then the objects themselves from /First on.
+        Returns the parsed [(objnum, value), ...] in header order."""
+        if stm_num in self._objstm_cache:
+            return self._objstm_cache[stm_num]
+        if stm_num in self._objstm_loading:
+            # an ObjStm whose own xref entry points back into an ObjStm
+            # chain would recurse forever; the spec requires type-1
+            raise ValueError(
+                f"pdf: object stream {stm_num} is itself stored compressed"
+            )
+        self._objstm_loading.add(stm_num)
+        try:
+            obj = self.object_at(stm_num)
+        finally:
+            self._objstm_loading.discard(stm_num)
+        if not isinstance(obj, dict) or obj.get("Type") != "/ObjStm":
+            raise ValueError(
+                f"pdf: xref type-2 entry points at object {stm_num}, "
+                "which is not /Type /ObjStm"
+            )
+        data = self.stream_data(obj)
+        n = self.resolve(obj.get("N"))
+        first = self.resolve(obj.get("First"))
+        if not isinstance(n, int) or not isinstance(first, int):
+            raise ValueError("pdf: ObjStm without integer /N and /First")
+        pairs = []
+        pos = 0
+        for _ in range(n):
+            m = re.match(rb"\s*(\d+)\s+(\d+)", data[pos:])
+            if not m or pos + m.end() > first:
+                raise ValueError("pdf: ObjStm header shorter than /N pairs")
+            pairs.append((int(m.group(1)), int(m.group(2))))
+            pos += m.end()
+        objs = []
+        for objnum, off in pairs:
+            val, _ = _parse_object(data, first + off)
+            objs.append((objnum, val))
+        self._objstm_cache[stm_num] = objs
+        return objs
+
     def object_at(self, num: int):
-        if num not in self.xref:
+        ent = self.xref.get(num)
+        if ent is None or ent[0] == "free":
             raise ValueError(f"pdf: object {num} missing from xref")
-        pos = self.xref[num]
+        if ent[0] == "objstm":
+            stm_num, idx = ent[1], ent[2]
+            objs = self._objstm_objects(stm_num)
+            if idx >= len(objs):
+                raise ValueError(
+                    f"pdf: ObjStm {stm_num} has no index {idx}"
+                )
+            objnum, val = objs[idx]
+            if objnum != num:
+                # an xref entry whose (container, index) lands on a
+                # different object — overlapping or corrupt ObjStm
+                raise ValueError(
+                    f"pdf: ObjStm {stm_num}[{idx}] holds object "
+                    f"{objnum}, xref claims {num}"
+                )
+            # §7.5.7: objects inside object streams are never streams
+            # themselves and are not individually encrypted (the
+            # container stream already was)
+            return val
+        pos = ent[1]
         m = re.match(rb"\s*(\d+)\s+\d+\s+obj\b", self.buf[pos:])
         if not m or int(m.group(1)) != num:
             raise ValueError(f"pdf: xref offset for object {num} is wrong")
@@ -1048,3 +1473,24 @@ def extract_pdf_text(payload: bytes, password: bytes = b"") -> list:
     pages: list = []
     _walk_pages(doc, doc.resolve(root["Pages"]), pages)
     return [_page_text(doc, p, res) for p, res in pages]
+
+
+def extract_pdf_text_profiled(
+    payload: bytes, password: bytes = b""
+) -> tuple[list, dict]:
+    """``extract_pdf_text`` plus the cross-reference profile from the
+    SAME parse: counts of in-file (type-1), compressed (type-2 /ObjStm)
+    and free entries the chain walk resolved.  The type-2 count is the
+    oracle's structural evidence that object-stream indirection was
+    actually decoded (a linear body scan would extract the same text
+    but could not report it)."""
+    if payload[:5] != b"%PDF-":
+        raise ValueError("pdf: missing %PDF header")
+    doc = _Doc(payload, password=password)
+    prof = {"file": 0, "objstm": 0, "free": 0}
+    for e in doc.xref.values():
+        prof[e[0]] += 1
+    root = doc.resolve(doc.trailer["Root"])
+    pages: list = []
+    _walk_pages(doc, doc.resolve(root["Pages"]), pages)
+    return [_page_text(doc, p, res) for p, res in pages], prof

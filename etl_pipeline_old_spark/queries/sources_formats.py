@@ -3716,6 +3716,115 @@ def pipeline_pdf_cid_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _render_pdf_xrefstream(doc_id: int, text: str) -> bytes:
+    from ..operators.pdf import write_pdf_xrefstream
+
+    v = doc_id % 4
+    return write_pdf_xrefstream(
+        _pdf_pages(text),
+        compress=doc_id % 2 == 1,
+        objstm=v != 2,        # variant 2: xref stream, objects top-level
+        predictor=v in (1, 2),  # PNG-Up /Predictor 12 on the xref rows
+        incremental=v == 3,   # appended revision + /Prev chain
+    )
+
+
+@register(
+    "pipeline_pdf_xrefstream_extract",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, text,
+             greatest(1, (length(text) + {_PDF_LINE - 1}) // {_PDF_LINE})
+               AS n_lines
+      FROM documents),
+    p AS (
+      SELECT doc_id, text,
+             (n_lines + {_PDF_PAGE_LINES - 1}) // {_PDF_PAGE_LINES}
+               AS n_pages
+      FROM b)
+    SELECT doc_id,
+      CAST(n_pages AS INT) AS n_pages,
+      CAST(doc_id % 4 AS INT) AS variant,
+      length(text) AS n_chars,
+      1 AS text_exact,
+      CAST(CASE WHEN doc_id % 4 = 2 THEN 0 ELSE 3 + n_pages END AS INT)
+        AS n_objstm
+    FROM p
+    """,
+    doc="PDF 1.5+ cross-reference-stream extraction — the r11 verdict's "
+    "#1 real-world gap, closed: virtually every PDF written since ~2005 "
+    "records its xref as a FlateDecoded /Type/XRef STREAM (ISO 32000-1 "
+    "§7.5.8, binary rows per /W with /Index subsections and usually a "
+    "PNG /Predictor 12) and packs small objects into /Type/ObjStm "
+    "object streams reached through type-2 entries (§7.5.7); documents "
+    "staged here cycle four shapes by doc_id%4: plain xref-stream + "
+    "ObjStm, predictor-coded rows, no-ObjStm + predictor, and a REAL "
+    "incremental update whose base revision carries superseded "
+    "placeholder content so byte-exact recovery (text_exact, demanded "
+    "per row by the oracle) PROVES the /Prev chain walk with "
+    "newest-entry-wins precedence — a reader that skipped /Prev loses "
+    "the catalog, one with old-wins precedence returns the stale "
+    "bytes.  n_objstm counts the type-2 entries the chain walk "
+    "resolved (3 + n_pages packed dict objects, or 0 for the "
+    "no-ObjStm variant), which the oracle recomputes from the page "
+    "arithmetic — structural evidence the object-stream indirection "
+    "was decoded, not bypassed by a body scan.  Hostile shapes "
+    "(cyclic /Prev, overlapping ObjStm mappings, truncated xref data, "
+    "bad /W) raise per record: tests/test_pdf_codec.py.  Scale: "
+    "identical to the other PDF sentinels — binaryFile scan, "
+    "per-document Arrow-kernel parse, no shuffle before the final "
+    "per-doc frame.",
+)
+def pipeline_pdf_xrefstream_extract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    path = _stage_media_files(
+        spark, sf_dir, "pdf_xrefstream_files", "pdf", _render_pdf_xrefstream
+    )
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.pdf")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.pdf$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "content",
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    joined = bf.join(docs, "doc_id")
+
+    def op(batches):
+        import pandas as pd
+
+        from ..operators.pdf import extract_pdf_text_profiled
+
+        for pdf_batch in batches:
+            out = {
+                "doc_id": [], "n_pages": [], "variant": [],
+                "n_chars": [], "text_exact": [], "n_objstm": [],
+            }
+            for doc_id, content, text in zip(
+                pdf_batch["doc_id"], pdf_batch["content"], pdf_batch["text"]
+            ):
+                pages, prof = extract_pdf_text_profiled(bytes(content))
+                rebuilt = "".join(ln for pg in pages for ln in pg)
+                out["doc_id"].append(int(doc_id))
+                out["n_pages"].append(len(pages))
+                out["variant"].append(int(doc_id) % 4)
+                out["n_chars"].append(len(rebuilt))
+                out["text_exact"].append(1 if rebuilt == text else 0)
+                out["n_objstm"].append(prof["objstm"])
+            yield pd.DataFrame(out)
+
+    return joined.mapInPandas(
+        op,
+        schema="doc_id long, n_pages int, variant int, n_chars long, "
+        "text_exact int, n_objstm int",
+    )
+
+
 # ------------------------------------------- document-corpus capstone
 # The PDF counterpart of pipeline_web_corpus: documents arrive as PDFs
 # (the real first mile for papers/reports/books), text is recovered

@@ -272,6 +272,10 @@ _CORE_FIRST = (
     "multimodal_audio_segments",
     # round-10 (cont.): video near-dedup by temporal fingerprint banding
     "video_temporal_near_dedup",
+    # round-12: PDF 1.5+ xref/object streams — the r11 verdict's #1
+    # real-world gap (compressed cross-references, ObjStm packing,
+    # /Prev incremental chains, hybrid /XRefStm)
+    "pipeline_pdf_xrefstream_extract",
 )
 
 

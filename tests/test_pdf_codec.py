@@ -256,3 +256,227 @@ def test_mixed_simple_and_cid_fonts_in_one_doc():
     cid = write_pdf_cid([["cid страница"]])
     assert extract_pdf_text(simple) == [["plain page"]]
     assert extract_pdf_text(cid) == [["cid страница"]]
+
+
+# ------------------------------------------------ xref streams / ObjStm
+# PDF 1.5+ cross-reference streams (ISO 32000-1 §7.5.8), object streams
+# (§7.5.7), /Prev incremental-update chains, and hybrid /XRefStm files.
+
+from etl_pipeline_old_spark.operators.pdf import (  # noqa: E402
+    _Doc,
+    _predictor_decode,
+    _read_xref_stream,
+    _xref_stream_obj,
+    write_pdf_xrefstream,
+)
+
+
+@pytest.mark.parametrize("compress", [False, True])
+@pytest.mark.parametrize("objstm", [False, True])
+@pytest.mark.parametrize("predictor", [False, True])
+@pytest.mark.parametrize("incremental", [False, True])
+def test_xrefstream_roundtrip_matrix(compress, objstm, predictor, incremental):
+    buf = write_pdf_xrefstream(
+        _PAGES, compress=compress, objstm=objstm, predictor=predictor,
+        incremental=incremental,
+    )
+    assert extract_pdf_text(buf) == _PAGES
+
+
+def test_incremental_update_text_requires_prev_walk():
+    # the base revision carries placeholder content; the real text only
+    # exists in the appended update.  A reader that skipped /Prev would
+    # miss catalog/pages entirely; one with old-wins precedence would
+    # return the placeholders.  Byte-exact recovery proves newest-wins
+    # over the whole chain.
+    buf = write_pdf_xrefstream(_PAGES, objstm=True, incremental=True)
+    assert b"SUPERSEDED REVISION" in buf  # stale bytes really are present
+    assert extract_pdf_text(buf) == _PAGES
+
+
+def test_objstm_objects_parse_and_cache():
+    buf = write_pdf_xrefstream(_PAGES, objstm=True, compress=True)
+    doc = _Doc(buf)
+    assert any(e[0] == "objstm" for e in doc.xref.values())
+    cat = doc.resolve(doc.trailer["Root"])
+    assert cat["Type"] == "/Catalog"
+    assert len(doc._objstm_cache) == 1  # container decoded once
+
+
+def test_xrefstream_entry_offsets_honored_not_scanned():
+    pdf = write_pdf_xrefstream(_PAGES, objstm=False)
+    broken = pdf.replace(b"1 0 obj", b"% pad\n1 0 obj", 1)
+    with pytest.raises(ValueError, match="xref offset|missing from xref"):
+        extract_pdf_text(broken)
+
+
+def test_png_predictor_all_filter_types():
+    # one row per PNG filter type over 4-byte rows; expected raw rows are
+    # recovered from an independently hand-encoded buffer
+    raws = [bytes([10, 20, 30, 40]), bytes([5, 5, 5, 5]),
+            bytes([7, 9, 11, 13]), bytes([100, 1, 2, 3]),
+            bytes([0, 255, 128, 64])]
+    enc = bytearray()
+    prev = bytes(4)
+    for ft, row in enumerate(raws):  # filter types 0..4 in order
+        enc.append(ft)
+        for i, b in enumerate(row):
+            a = row[i - 1] if ft in (1, 3, 4) and i else 0
+            up = prev[i] if ft in (2, 3, 4) else 0
+            c = prev[i - 1] if ft == 4 and i else 0
+            if ft == 0:
+                enc.append(b)
+            elif ft == 1:
+                enc.append((b - a) & 0xFF)
+            elif ft == 2:
+                enc.append((b - up) & 0xFF)
+            elif ft == 3:
+                enc.append((b - (a + up) // 2) & 0xFF)
+            else:
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (up if pb <= pc else c)
+                enc.append((b - pred) & 0xFF)
+        prev = row
+    assert _predictor_decode(bytes(enc), 12, 4) == b"".join(raws)
+
+
+def test_tiff_predictor_2():
+    # TIFF horizontal differencing, 3-byte rows
+    raw = bytes([10, 5, 7, 200, 56, 0])
+    enc = bytes([10, (5 - 10) & 0xFF, (7 - 5) & 0xFF,
+                 200, (56 - 200) & 0xFF, (0 - 56) & 0xFF])
+    assert _predictor_decode(enc, 2, 3) == raw
+
+
+def test_predictor_partial_row_is_loud():
+    with pytest.raises(ValueError, match="whole rows"):
+        _predictor_decode(b"\x02\x01\x02\x03\x00\x07", 12, 4)
+
+
+def _cyclic_prev_pdf() -> bytes:
+    # a lone xref stream whose /Prev points at ITSELF — the chain walk
+    # must refuse, not spin
+    head = b"%PDF-1.5\n"
+    at = len(head)
+    body = _xref_stream_obj([(0, 0, 0, 65535), (1, 1, at, 0)], 2, 1,
+                            prev=at)
+    return (head + b"1 0 obj\n" + body + b"\nendobj\n"
+            + b"startxref\n%d\n%%%%EOF\n" % at)
+
+
+def test_cyclic_prev_chain_is_loud():
+    with pytest.raises(ValueError, match="cyclic cross-reference"):
+        extract_pdf_text(_cyclic_prev_pdf())
+
+
+def test_overlapping_objstm_entry_is_loud():
+    # an xref type-2 entry whose (container, index) lands on a DIFFERENT
+    # object than it claims — overlapping/corrupt ObjStm mapping
+    buf = write_pdf_xrefstream(_PAGES, objstm=True)
+    doc = _Doc(buf)
+    packed = sorted(n for n, e in doc.xref.items() if e[0] == "objstm")
+    a, b = packed[0], packed[1]
+    doc.xref[a] = doc.xref[b]  # both names now point at b's slot
+    with pytest.raises(ValueError, match="holds object"):
+        doc.object_at(a)
+
+
+def test_objstm_index_out_of_range_is_loud():
+    buf = write_pdf_xrefstream(_PAGES, objstm=True)
+    doc = _Doc(buf)
+    num = next(n for n, e in doc.xref.items() if e[0] == "objstm")
+    stm = doc.xref[num][1]
+    doc.xref[num] = ("objstm", stm, 999)
+    with pytest.raises(ValueError, match="no index"):
+        doc.object_at(num)
+
+
+def test_objstm_stored_compressed_is_loud():
+    # an ObjStm container whose OWN xref entry is type-2 (spec requires
+    # type-1) would recurse; the loader refuses loudly
+    buf = write_pdf_xrefstream(_PAGES, objstm=True)
+    doc = _Doc(buf)
+    num, ent = next(
+        (n, e) for n, e in doc.xref.items() if e[0] == "objstm"
+    )
+    stm = ent[1]
+    doc.xref[stm] = ("objstm", stm, 0)
+    with pytest.raises(ValueError, match="itself stored compressed"):
+        doc.object_at(num)
+
+
+def test_freed_object_not_resurrected_by_older_section():
+    # newest section frees an object; an older /Prev section still holds
+    # an offset for it — first-seen (newest) must win, so the read fails
+    buf = write_pdf_xrefstream(_PAGES, objstm=False, incremental=True)
+    doc = _Doc(buf)
+    # simulate: mark a content object free the way a newer section would
+    cont = 5
+    assert doc.xref[cont][0] == "file"
+    doc.xref[cont] = ("free",)
+    with pytest.raises(ValueError, match="missing from xref"):
+        doc.object_at(cont)
+
+
+def _bad_xref_stream(patch_from: bytes, patch_to: bytes) -> bytes:
+    body = _xref_stream_obj([(0, 0, 0, 65535), (1, 1, 9, 0)], 2, 1)
+    assert patch_from in body
+    return b"1 0 obj\n" + body.replace(patch_from, patch_to)
+
+
+def test_xref_stream_bad_w_is_loud():
+    buf = _bad_xref_stream(b"/W [1 4 2]", b"/W [1 4]")
+    with pytest.raises(ValueError, match="/W"):
+        _read_xref_stream(buf, 0, {})
+
+
+def test_xref_stream_odd_index_is_loud():
+    buf = _bad_xref_stream(b"/Size 2", b"/Size 2 /Index [0 2 1]")
+    with pytest.raises(ValueError, match="/Index"):
+        _read_xref_stream(buf, 0, {})
+
+
+def test_xref_stream_data_shorter_than_index_is_loud():
+    buf = _bad_xref_stream(b"/Size 2", b"/Size 5")
+    with pytest.raises(ValueError, match="shorter than /Index"):
+        _read_xref_stream(buf, 0, {})
+
+
+def test_xref_stream_unknown_row_type_reads_as_free():
+    # §7.5.8.3: unknown entry types = reference to null, i.e. absent
+    entries: dict = {}
+    body = _xref_stream_obj([(0, 7, 123, 0), (1, 1, 9, 0)], 2, 1)
+    _read_xref_stream(b"1 0 obj\n" + body, 0, entries)
+    assert entries[0] == ("free",)
+    assert entries[1] == ("file", 9)
+
+
+def test_hybrid_xrefstm_bridges_missing_entries():
+    # hybrid-reference file (§7.5.8.4): the CLASSIC table covers only the
+    # page/content objects; catalog, page tree, and font are reachable
+    # ONLY through the /XRefStm stream — extraction works iff the bridge
+    # is walked.
+    pages = [["hybrid file text"]]
+    plain = write_pdf_xrefstream(pages, objstm=False)
+    doc = _Doc(plain)
+    offs = {n: e[1] for n, e in doc.xref.items() if e[0] == "file"}
+    body_end = plain.rfind(b"%d 0 obj" % max(offs))  # start of old xref obj
+    out = bytearray(plain[:body_end])
+    # xref STREAM covering 0 + objects 1..3 + itself (number 6)
+    stm_at = len(out)
+    stm_rows = [(0, 0, 0, 65535)] + [(n, 1, offs[n], 0) for n in (1, 2, 3)]
+    stm_rows.append((6, 1, stm_at, 0))
+    out += b"6 0 obj\n" + _xref_stream_obj(stm_rows, 7, 1) + b"\nendobj\n"
+    # classic table covering objects 4 (page) and 5 (content) only
+    tbl_at = len(out)
+    out += b"xref\n4 2\n"
+    out += b"%010d 00000 n \n" % offs[4]
+    out += b"%010d 00000 n \n" % offs[5]
+    out += (b"trailer\n<< /Size 7 /Root 1 0 R /XRefStm %d >>\n"
+            b"startxref\n%d\n%%%%EOF\n" % (stm_at, tbl_at))
+    assert extract_pdf_text(bytes(out)) == pages
+    # sanity: without the /XRefStm bridge the same file is unreadable
+    broken = bytes(out).replace(b" /XRefStm %d" % stm_at, b"")
+    with pytest.raises(ValueError, match="missing from xref"):
+        extract_pdf_text(broken)

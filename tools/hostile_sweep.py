@@ -132,6 +132,8 @@ REPEAT_QUERIES = (
     "pipeline_pdf_encrypted_extract",
     # r11: staged AES-encrypted (/V 4 AESV2 + /V 5 AESV3) .pdf documents
     "pipeline_pdf_aes_extract",
+    # r12: staged PDF 1.5+ xref-stream/ObjStm documents (incl. /Prev chains)
+    "pipeline_pdf_xrefstream_extract",
     # r11: staged OOXML office documents (.docx text, .xlsx typed cells,
     # .pptx slides), RTF exports, and ZipCrypto-protected archives
     "pipeline_docx_extract",
