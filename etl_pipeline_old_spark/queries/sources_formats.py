@@ -23,6 +23,7 @@ pandas-per-file model already assumes).
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -6816,6 +6817,18 @@ def pipeline_notebook_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rep_pattern_rx(pat: str) -> str:
+    """Compile an RFC 9309 §2.2.3 path pattern to an anchored regex
+    (valid for both Spark's Java regex and DuckDB's RE2): '*' matches
+    any octet sequence including empty, a TRAILING '$' anchors the
+    pattern at the path's end, a mid-pattern '$' is a literal octet,
+    and every other octet is literal."""
+    anchored = pat.endswith("$")
+    core = pat[:-1] if anchored else pat
+    rx = "^" + ".*".join(re.escape(seg) for seg in core.split("*"))
+    return rx + ("$" if anchored else "")
+
+
 @register(
     "web_robots_gate",
     oracle="""
@@ -6827,22 +6840,28 @@ def pipeline_notebook_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         CAST(replace(source, 'src', '') AS INT) AS hn
       FROM documents),
     rules AS (
-      SELECT h.hn, r.rule_path, r.allow
+      SELECT h.hn, r.rule_path, r.rule_rx, r.allow
       FROM (SELECT DISTINCT hn FROM u) h,
       LATERAL (
         SELECT * FROM (VALUES
-          ('/private/', 0, 0), ('/tmp', 0, 0),
-          ('/', 1, 0), ('/docs/', 1, 1),
-          ('/docs/', 2, 0), ('/docs/', 2, 1)
-        ) AS v(rule_path, cond, allow)
+          ('/private/', '^/private/', 0, 0), ('/tmp', '^/tmp', 0, 0),
+          ('/', '^/', 1, 0), ('/docs/', '^/docs/', 1, 1),
+          ('/docs/', '^/docs/', 2, 0), ('/docs/', '^/docs/', 2, 1),
+          ('/docs/*7$', '^/docs/.*7$', 3, 0),
+          ('/private/doc*0$', '^/private/doc.*0$', 4, 1),
+          ('/*mp/', '^/.*mp/', 5, 1)
+        ) AS v(rule_path, rule_rx, cond, allow)
         WHERE v.cond = 0
            OR (v.cond = 1 AND h.hn % 2 = 1)
            OR (v.cond = 2 AND h.hn % 4 = 1)
+           OR (v.cond = 3 AND h.hn % 5 = 2)
+           OR (v.cond = 4 AND h.hn % 10 = 0)
+           OR (v.cond = 5 AND h.hn % 4 = 2)
       ) r),
     matched AS (
       SELECT u.doc_id, u.host, u.path, r.rule_path, r.allow
       FROM u LEFT JOIN rules r
-        ON r.hn = u.hn AND starts_with(u.path, r.rule_path)),
+        ON r.hn = u.hn AND regexp_matches(u.path, r.rule_rx)),
     verdict AS (
       SELECT doc_id, host, path,
         CASE WHEN max(rule_path) IS NULL THEN 1
@@ -6860,14 +6879,27 @@ def pipeline_notebook_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "wrong, both exercised: odd-numbered hosts carry a blanket "
     "'Disallow: /' that a longer 'Allow: /docs/' overrides, and "
     "hosts ≡1 mod 4 carry equal-length Allow/Disallow on '/docs/' "
-    "where the tie must go to Allow). URLs with NO matching rule "
-    "default to allowed. Pure JVM: a literal broadcast rules table, "
-    "prefix-match join, and max_by over (match length, allow) — the "
-    "oracle replicates with DuckDB arg_max over the same tuple. "
-    "Wildcard (*, $) rule patterns are the documented seam. Scale: "
-    "rules tables are KB-sized per host — a broadcast join against "
-    "billions of frontier URLs, no skew (the build side is the tiny "
-    "one), exactly how a 100 TB frontier filter should shape.",
+    "where the tie must go to Allow). WILDCARD patterns — RFC 9309 "
+    "§2.2.3 '*' (any octet run) and trailing '$' (end anchor), which "
+    "real robots.txt use constantly and which were r11's documented "
+    "seam — now match natively (r11 verdict #3): every rule compiles "
+    "to an anchored regex (rep_pattern_rx; mid-pattern '$' stays "
+    "literal) and specificity counts the PATTERN's octets per the "
+    "RFC's most-octets rule, wildcards included.  Three staged "
+    "wildcard shapes each FLIP at least one verdict vs prefix-only "
+    "matching: hosts ≡2 mod 5 disallow '/docs/*7$' (a longer match "
+    "than their other rules, so doc ids ending in 7 flip to blocked); "
+    "hosts ≡0 mod 10 allow '/private/doc*0$' over the blanket "
+    "'/private/' disallow; hosts ≡2 mod 4 allow '/*mp/' which "
+    "out-specifies the literal '/tmp' disallow by one octet. URLs "
+    "with NO matching rule default to allowed. Pure JVM: a literal "
+    "broadcast rules table, regexp_like-filtered hash join, and "
+    "max_by over (pattern length, allow) — the oracle replicates "
+    "with DuckDB regexp_matches + arg_max over the same tuple. "
+    "Scale: rules tables are KB-sized per host — a broadcast join "
+    "against billions of frontier URLs, no skew (the build side is "
+    "the tiny one), exactly how a 100 TB frontier filter should "
+    "shape.",
 )
 def web_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
@@ -6890,19 +6922,28 @@ def web_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = [("/private/", 0, 0), ("/tmp", 0, 0)]
     odd = [("/", 1, 0), ("/docs/", 1, 1)]
     tie = [("/docs/", 2, 0), ("/docs/", 2, 1)]
+    wild = [
+        ("/docs/*7$", 3, 0),
+        ("/private/doc*0$", 4, 1),
+        ("/*mp/", 5, 1),
+    ]
     rules_all = spark.createDataFrame(
-        base + odd + tie, "rule_path string, cond int, allow int"
+        [(p, rep_pattern_rx(p), c, a) for p, c, a in base + odd + tie + wild],
+        "rule_path string, rule_rx string, cond int, allow int",
     )
     hosts = urls.select("hn").distinct()
     rules = hosts.crossJoin(F.broadcast(rules_all)).where(
         (F.col("cond") == 0)
         | ((F.col("cond") == 1) & (F.col("hn") % 2 == 1))
         | ((F.col("cond") == 2) & (F.col("hn") % 4 == 1))
-    ).select("hn", "rule_path", "allow")
+        | ((F.col("cond") == 3) & (F.col("hn") % 5 == 2))
+        | ((F.col("cond") == 4) & (F.col("hn") % 10 == 0))
+        | ((F.col("cond") == 5) & (F.col("hn") % 4 == 2))
+    ).select("hn", "rule_path", "rule_rx", "allow")
     matched = urls.join(
         F.broadcast(rules).withColumnRenamed("hn", "rhn"),
         (F.col("hn") == F.col("rhn"))
-        & F.col("path").startswith(F.col("rule_path")),
+        & F.expr("regexp_like(path, rule_rx)"),
         "left",
     )
     verdict = matched.groupBy("doc_id", "host", "path").agg(

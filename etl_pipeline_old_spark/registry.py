@@ -276,6 +276,10 @@ _CORE_FIRST = (
     # real-world gap (compressed cross-references, ObjStm packing,
     # /Prev incremental chains, hybrid /XRefStm)
     "pipeline_pdf_xrefstream_extract",
+    # round-12: REP wildcard matching changed web_robots_gate's staged
+    # rules and verdicts (r11 verdict #3) — resurface it for a fresh
+    # same-round driver row over the new semantics
+    "web_robots_gate",
 )
 
 
