@@ -90,25 +90,130 @@ def _docx_runs(text: str) -> str:
     return "".join(out)
 
 
-def write_docx(paragraphs: list) -> bytes:
+def _notes_xml(root_tag: str, note_tag: str, notes: list) -> bytes:
+    """Serialize word/footnotes.xml or word/endnotes.xml: the two
+    SEPARATOR notes every real producer emits first (w:type'd, ids -1
+    and 0 — extraction must skip them or every document grows phantom
+    text), then one regular note per entry at ids 2, 3, ..."""
+    parts = [
+        '<w:%s w:type="separator" w:id="-1"><w:p><w:r><w:separator/>'
+        "</w:r></w:p></w:%s>" % (note_tag, note_tag),
+        '<w:%s w:type="continuationSeparator" w:id="0"><w:p><w:r>'
+        "<w:continuationSeparator/></w:r></w:p></w:%s>"
+        % (note_tag, note_tag),
+    ]
+    for i, text in enumerate(notes):
+        parts.append(
+            '<w:%s w:id="%d"><w:p>%s</w:p></w:%s>'
+            % (note_tag, i + 2, _docx_runs(text), note_tag)
+        )
+    return _XMLDECL + (
+        '<w:%s xmlns:w="%s">%s</w:%s>'
+        % (root_tag, _W, "".join(parts), root_tag)
+    ).encode("utf-8")
+
+
+def write_docx(
+    paragraphs: list,
+    header: list | None = None,
+    footer: list | None = None,
+    footnotes: list | None = None,
+    endnotes: list | None = None,
+) -> bytes:
     """Serialize paragraphs (strings; ``\\t``/``\\n`` become w:tab/w:br)
-    into a minimal spec-valid .docx package."""
-    body = "".join(
-        "<w:p>%s</w:p>" % _docx_runs(p) for p in paragraphs
+    into a minimal spec-valid .docx package.  Optional auxiliary parts
+    (each a list of paragraph/note strings) are wired the way real
+    producers do: header/footer parts referenced from a trailing
+    ``w:sectPr``, footnotes/endnotes parts carrying the conventional
+    separator notes plus in-body ``w:footnoteReference`` /
+    ``w:endnoteReference`` runs, all declared in
+    ``word/_rels/document.xml.rels`` and ``[Content_Types].xml``."""
+    note_refs = "".join(
+        '<w:r><w:footnoteReference w:id="%d"/></w:r>' % (i + 2)
+        for i in range(len(footnotes or []))
+    ) + "".join(
+        '<w:r><w:endnoteReference w:id="%d"/></w:r>' % (i + 2)
+        for i in range(len(endnotes or []))
     )
+    paras = list(paragraphs)
+    body = "".join(
+        "<w:p>%s%s</w:p>"
+        % (_docx_runs(p), note_refs if i == 0 else "")
+        for i, p in enumerate(paras)
+    )
+    doc_rels: list[tuple[str, str, str]] = []  # (rid, type-suffix, target)
+    extra_parts: list[tuple[str, bytes]] = []
+    overrides = []
+    sect = []
+    if header is not None:
+        doc_rels.append(("rIdH1", "header", "header1.xml"))
+        extra_parts.append((
+            "word/header1.xml",
+            _XMLDECL + ('<w:hdr xmlns:w="%s">%s</w:hdr>' % (
+                _W, "".join("<w:p>%s</w:p>" % _docx_runs(p) for p in header)
+            )).encode("utf-8"),
+        ))
+        overrides.append((
+            "/word/header1.xml",
+            "application/vnd.openxmlformats-officedocument."
+            "wordprocessingml.header+xml",
+        ))
+        sect.append('<w:headerReference w:type="default" r:id="rIdH1"/>')
+    if footer is not None:
+        doc_rels.append(("rIdF1", "footer", "footer1.xml"))
+        extra_parts.append((
+            "word/footer1.xml",
+            _XMLDECL + ('<w:ftr xmlns:w="%s">%s</w:ftr>' % (
+                _W, "".join("<w:p>%s</w:p>" % _docx_runs(p) for p in footer)
+            )).encode("utf-8"),
+        ))
+        overrides.append((
+            "/word/footer1.xml",
+            "application/vnd.openxmlformats-officedocument."
+            "wordprocessingml.footer+xml",
+        ))
+        sect.append('<w:footerReference w:type="default" r:id="rIdF1"/>')
+    if footnotes is not None:
+        doc_rels.append(("rIdFN", "footnotes", "footnotes.xml"))
+        extra_parts.append((
+            "word/footnotes.xml",
+            _notes_xml("footnotes", "footnote", footnotes),
+        ))
+        overrides.append((
+            "/word/footnotes.xml",
+            "application/vnd.openxmlformats-officedocument."
+            "wordprocessingml.footnotes+xml",
+        ))
+    if endnotes is not None:
+        doc_rels.append(("rIdEN", "endnotes", "endnotes.xml"))
+        extra_parts.append((
+            "word/endnotes.xml",
+            _notes_xml("endnotes", "endnote", endnotes),
+        ))
+        overrides.append((
+            "/word/endnotes.xml",
+            "application/vnd.openxmlformats-officedocument."
+            "wordprocessingml.endnotes+xml",
+        ))
+    if sect:
+        body += "<w:sectPr>%s</w:sectPr>" % "".join(sect)
     document = _XMLDECL + (
-        '<w:document xmlns:w="%s"><w:body>%s</w:body></w:document>'
-        % (_W, body)
+        '<w:document xmlns:w="%s" xmlns:r="%s"><w:body>%s</w:body>'
+        "</w:document>" % (_W, _RDOC, body)
     ).encode("utf-8")
     content_types = _XMLDECL + (
-        '<Types xmlns="%s">'
-        '<Default Extension="rels" ContentType="application/vnd.'
+        ('<Types xmlns="%s">' % _CT)
+        + '<Default Extension="rels" ContentType="application/vnd.'
         'openxmlformats-package.relationships+xml"/>'
         '<Default Extension="xml" ContentType="application/xml"/>'
         '<Override PartName="/word/document.xml" ContentType="application/'
         "vnd.openxmlformats-officedocument.wordprocessingml.document.main"
         '+xml"/>'
-        "</Types>" % _CT
+        + "".join(
+            '<Override PartName="%s" ContentType="%s"/>' % (pn, ct)
+            for pn, ct in overrides
+        )
+        + "</Types>"
     ).encode("utf-8")
     rels = _XMLDECL + (
         '<Relationships xmlns="%s">'
@@ -116,28 +221,31 @@ def write_docx(paragraphs: list) -> bytes:
         'Target="word/document.xml"/>'
         "</Relationships>" % (_REL, _RDOC)
     ).encode("utf-8")
-    return write_zip(
-        [
-            ("[Content_Types].xml", content_types, "deflated"),
-            ("_rels/.rels", rels, "deflated"),
-            ("word/document.xml", document, "deflated"),
-        ]
-    )
+    files = [
+        ("[Content_Types].xml", content_types, "deflated"),
+        ("_rels/.rels", rels, "deflated"),
+        ("word/document.xml", document, "deflated"),
+    ]
+    if doc_rels:
+        drels = _XMLDECL + (
+            '<Relationships xmlns="%s">' % _REL
+            + "".join(
+                '<Relationship Id="%s" Type="%s/%s" Target="%s"/>'
+                % (rid, _RDOC, suffix, target)
+                for rid, suffix, target in doc_rels
+            )
+            + "</Relationships>"
+        ).encode("utf-8")
+        files.append(("word/_rels/document.xml.rels", drels, "deflated"))
+    files += [(name, data, "deflated") for name, data in extra_parts]
+    return write_zip(files)
 
 
-def extract_docx_text(blob: bytes) -> list:
-    """Extract paragraphs from a .docx: one string per ``w:p`` in
-    document order (table-cell paragraphs included — they ARE w:p
-    elements), runs reassembled, w:tab → ``\\t``, w:br/w:cr → ``\\n``."""
-    parts = {name: data for name, data, _m in read_zip(blob)}
-    if "word/document.xml" not in parts:
-        raise ValueError("docx: package has no word/document.xml part")
-    root = parse_part_xml(parts["word/document.xml"], "docx: malformed document")
-    body = root.find(f"{{{_W}}}body")
-    if body is None:
-        raise ValueError("docx: document has no w:body")
+def _docx_paras_of(root) -> list:
+    """Reassemble every ``w:p`` under ``root`` in document order: runs
+    joined, w:tab → ``\\t``, w:br/w:cr → ``\\n``."""
     out = []
-    for p in body.iter(f"{{{_W}}}p"):
+    for p in root.iter(f"{{{_W}}}p"):
         frags = []
         for el in p.iter():
             tag = el.tag
@@ -148,6 +256,64 @@ def extract_docx_text(blob: bytes) -> list:
             elif tag in (f"{{{_W}}}br", f"{{{_W}}}cr"):
                 frags.append("\n")
         out.append("".join(frags))
+    return out
+
+
+def extract_docx_text(blob: bytes) -> list:
+    """Extract paragraphs from a .docx: one string per ``w:p`` in
+    document order (table-cell paragraphs included — they ARE w:p
+    elements), runs reassembled, w:tab → ``\\t``, w:br/w:cr → ``\\n``.
+
+    Auxiliary story parts carry real body text in real corpora
+    (footnotes especially), so parts referenced from
+    ``word/_rels/document.xml.rels`` are walked too, appended in a
+    DETERMINISTIC order after the body: headers (by target name),
+    footers, footnotes, endnotes.  Separator/continuation notes (the
+    ``w:type``-attributed ones every producer emits) are skipped —
+    they are layout artifacts, not text.  A relationship whose target
+    part is missing from the package raises."""
+    parts = {name: data for name, data, _m in read_zip(blob)}
+    if "word/document.xml" not in parts:
+        raise ValueError("docx: package has no word/document.xml part")
+    root = parse_part_xml(parts["word/document.xml"], "docx: malformed document")
+    body = root.find(f"{{{_W}}}body")
+    if body is None:
+        raise ValueError("docx: document has no w:body")
+    out = _docx_paras_of(body)
+    rels_data = parts.get("word/_rels/document.xml.rels")
+    if rels_data is None:
+        return out
+    rroot = parse_part_xml(rels_data, "docx: malformed document rels")
+    by_kind: dict[str, list[str]] = {
+        "header": [], "footer": [], "footnotes": [], "endnotes": [],
+    }
+    for rel in rroot.iter(f"{{{_REL}}}Relationship"):
+        if rel.get("TargetMode") == "External":
+            continue
+        kind = (rel.get("Type") or "").rsplit("/", 1)[-1]
+        if kind not in by_kind:
+            continue
+        target = rel.get("Target") or ""
+        # targets are part-relative (to word/); absolute ones keep the
+        # leading-slash package path
+        name = target.lstrip("/") if target.startswith("/") else (
+            "word/" + target
+        )
+        if name not in parts:
+            raise ValueError(f"docx: rels references missing part {name}")
+        by_kind[kind].append(name)
+    for kind in ("header", "footer"):
+        for name in sorted(by_kind[kind]):
+            out += _docx_paras_of(
+                parse_part_xml(parts[name], f"docx: malformed {name}")
+            )
+    for kind, tag in (("footnotes", "footnote"), ("endnotes", "endnote")):
+        for name in sorted(by_kind[kind]):
+            nroot = parse_part_xml(parts[name], f"docx: malformed {name}")
+            for note in nroot.iter(f"{{{_W}}}{tag}"):
+                if note.get(f"{{{_W}}}type") is not None:
+                    continue  # separator/continuationSeparator
+                out += _docx_paras_of(note)
     return out
 
 

@@ -5673,6 +5673,107 @@ def pipeline_docx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _render_docx_full(doc_id: int, text: str) -> bytes:
+    from ..operators.ooxml import write_docx
+
+    kw: dict = {"footnotes": ["FN:" + text[:9]]}
+    if doc_id % 2 == 0:
+        kw["header"] = ["H%d" % doc_id]
+        kw["footer"] = ["F%d" % doc_id]
+    if doc_id % 3 == 0:
+        kw["endnotes"] = ["EN:" + text[-9:]]
+    return write_docx(_docx_paragraphs(text), **kw)
+
+
+@register(
+    "pipeline_docx_aux_extract",
+    oracle=f"""
+    SELECT doc_id,
+      CAST(greatest(1, (length(text) + {_PDF_LINE - 1}) // {_PDF_LINE})
+           + (CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 0 END)
+           + 1
+           + (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS INT)
+        AS n_paras,
+      CAST(length(text)
+           + (CASE WHEN doc_id % 2 = 0
+              THEN 2 + 2 * length(CAST(doc_id AS VARCHAR)) ELSE 0 END)
+           + 3 + least(9, length(text))
+           + (CASE WHEN doc_id % 3 = 0
+              THEN 3 + least(9, length(text)) ELSE 0 END) AS BIGINT)
+        AS n_chars,
+      1 AS text_exact
+    FROM documents
+    """,
+    doc="DOCX auxiliary-part extraction (r11 verdict #5): real corpora "
+    "carry body text in footnotes (academic documents especially), "
+    "headers, footers, and endnotes — parts the plain "
+    "word/document.xml walk never sees. Each document stages with a "
+    "footnote carrying the text's first 9 chars, headers+footers on "
+    "even ids, and an endnote with the last 9 chars on ids ≡0 mod 3; "
+    "extraction walks word/_rels/document.xml.rels, loads the "
+    "referenced header/footer/footnotes/endnotes parts, SKIPS the "
+    "w:type'd separator/continuation notes every producer emits "
+    "(keeping them would grow phantom paragraphs), and appends the "
+    "recovered paragraphs in the documented deterministic order "
+    "(body, headers, footers, footnotes, endnotes). The oracle "
+    "recomputes paragraph and character accounting from the staging "
+    "formulas and demands byte-exact recovery of the full "
+    "concatenation — a missed part, a mis-ordered append, or a "
+    "swallowed separator all flip text_exact or the counts. A rels "
+    "entry pointing at a missing part raises per record. Scale: "
+    "identical to pipeline_docx_extract — map-side Arrow kernel, "
+    "cost bounded by each package's own bytes.",
+)
+def pipeline_docx_aux_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_media_files(
+        spark, sf_dir, "docx_aux_files", "docx", _render_docx_full
+    )
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.docx")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.docx$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "content",
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    joined = bf.join(docs, "doc_id")
+
+    def op(batches):
+        import pandas as pd
+
+        from ..operators.ooxml import extract_docx_text
+
+        for b in batches:
+            out = {
+                "doc_id": [], "n_paras": [], "n_chars": [], "text_exact": [],
+            }
+            for doc_id, content, text in zip(
+                b["doc_id"], b["content"], b["text"]
+            ):
+                did = int(doc_id)
+                paras = extract_docx_text(bytes(content))
+                rebuilt = "".join(paras)
+                exp = text
+                if did % 2 == 0:
+                    exp += "H%d" % did + "F%d" % did
+                exp += "FN:" + text[:9]
+                if did % 3 == 0:
+                    exp += "EN:" + text[-9:]
+                out["doc_id"].append(did)
+                out["n_paras"].append(len(paras))
+                out["n_chars"].append(len(rebuilt))
+                out["text_exact"].append(1 if rebuilt == exp else 0)
+            yield pd.DataFrame(out)
+
+    return joined.mapInPandas(
+        op, schema="doc_id long, n_paras int, n_chars long, text_exact int"
+    )
+
+
 def _render_xlsx(doc_id: int, text: str) -> bytes:
     from ..operators.ooxml import write_xlsx
 

@@ -280,6 +280,9 @@ _CORE_FIRST = (
     # rules and verdicts (r11 verdict #3) — resurface it for a fresh
     # same-round driver row over the new semantics
     "web_robots_gate",
+    # round-12: DOCX auxiliary story parts — footnotes/headers/footers/
+    # endnotes walked via document.xml.rels (r11 verdict #5)
+    "pipeline_docx_aux_extract",
 )
 
 

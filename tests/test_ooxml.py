@@ -253,3 +253,77 @@ def test_doctype_rejected_in_opc_parts():
     ]
     with pytest.raises(ValueError, match="DOCTYPE"):
         extract_docx_text(write_zip(members))
+
+
+# ------------------------------------------- auxiliary story parts (r12)
+
+
+def test_docx_aux_parts_appended_in_deterministic_order():
+    blob = write_docx(
+        ["body one", "body two"],
+        header=["the header"], footer=["the footer"],
+        footnotes=["note A", "note B"], endnotes=["end note"],
+    )
+    assert extract_docx_text(blob) == [
+        "body one", "body two", "the header", "the footer",
+        "note A", "note B", "end note",
+    ]
+
+
+def test_docx_separator_notes_are_skipped():
+    # every real producer emits w:type'd separator/continuationSeparator
+    # notes; keeping them would append phantom empty paragraphs
+    blob = write_docx(["x"], footnotes=["real note"])
+    import io
+    import zipfile
+
+    fn = zipfile.ZipFile(io.BytesIO(blob)).read("word/footnotes.xml")
+    assert b'w:type="separator"' in fn
+    assert b'w:type="continuationSeparator"' in fn
+    assert extract_docx_text(blob) == ["x", "real note"]
+
+
+def test_docx_without_aux_parts_unchanged():
+    blob = write_docx(["plain"])
+    assert extract_docx_text(blob) == ["plain"]
+
+
+def test_docx_aux_runs_fragmented_and_escaped():
+    note = "foot<note> & \"quoted\" \t tabbed"
+    blob = write_docx(["b"], footnotes=[note])
+    assert extract_docx_text(blob) == ["b", note]
+
+
+def test_docx_rels_to_missing_part_is_loud():
+    import io
+    import zipfile
+
+    blob = write_docx(["x"], footnotes=["n"])
+    src = zipfile.ZipFile(io.BytesIO(blob))
+    out = io.BytesIO()
+    with zipfile.ZipFile(out, "w") as zf:
+        for name in src.namelist():
+            if name != "word/footnotes.xml":
+                zf.writestr(name, src.read(name))
+    with pytest.raises(ValueError, match="missing part"):
+        extract_docx_text(out.getvalue())
+
+
+def test_docx_external_target_mode_rels_ignored():
+    import io
+    import zipfile
+
+    blob = write_docx(["x"], footnotes=["n"])
+    src = zipfile.ZipFile(io.BytesIO(blob))
+    rels = src.read("word/_rels/document.xml.rels")
+    hyper = (b'<Relationship Id="rIdX" Type="http://schemas.openxmlformats'
+             b'.org/officeDocument/2006/relationships/footnotes" '
+             b'Target="https://example.com/f.xml" TargetMode="External"/>'
+             b"</Relationships>")
+    rels = rels.replace(b"</Relationships>", hyper)
+    out = io.BytesIO()
+    with zipfile.ZipFile(out, "w") as zf:
+        for name in src.namelist():
+            zf.writestr(name, rels if name == "word/_rels/document.xml.rels"
+                        else src.read(name))
+    assert extract_docx_text(out.getvalue()) == ["x", "n"]

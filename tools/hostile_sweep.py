@@ -134,6 +134,8 @@ REPEAT_QUERIES = (
     "pipeline_pdf_aes_extract",
     # r12: staged PDF 1.5+ xref-stream/ObjStm documents (incl. /Prev chains)
     "pipeline_pdf_xrefstream_extract",
+    # r12: staged DOCX packages with footnote/header/footer/endnote parts
+    "pipeline_docx_aux_extract",
     # r11: staged OOXML office documents (.docx text, .xlsx typed cells,
     # .pptx slides), RTF exports, and ZipCrypto-protected archives
     "pipeline_docx_extract",
