@@ -230,6 +230,236 @@ def _decode(buf: io.BytesIO, schema):
     raise ValueError(f"avro: unsupported schema {schema!r}")
 
 
+# ----------------------------------------------------- schema resolution
+# Avro spec §Schema Resolution: reading data written under schema W with
+# reader schema R — the half of the spec every long-lived lake hits on
+# day two (new fields with defaults, renamed fields via aliases, widened
+# numeric types).  Implemented rules: primitive promotions (int→long/
+# float/double, long→float/double, float→double, string↔bytes), record
+# fields matched by name then by reader-field aliases with writer-only
+# fields skipped and reader-only fields filled from their defaults,
+# record/enum/fixed NAME matching through reader aliases (unqualified
+# names), enum symbols re-matched by name with the reader's enum default
+# honored, arrays/maps resolved element-wise, and unions resolved by
+# first-matching reader branch in both directions.  Cross-validated
+# against org.apache.avro's resolving GenericDatumReader(writer, reader)
+# in tests/test_avro.py.
+
+_PROMOTIONS = {
+    "int": ("long", "float", "double"),
+    "long": ("float", "double"),
+    "float": ("double",),
+    "string": ("bytes",),
+    "bytes": ("string",),
+}
+_PRIMITIVES = (
+    "null", "boolean", "int", "long", "float", "double", "bytes", "string",
+)
+
+
+def _type_name(s) -> str:
+    if isinstance(s, list):
+        return "union"
+    if isinstance(s, dict):
+        t = s["type"]
+        return t if t in ("record", "enum", "array", "map", "fixed") \
+            else _type_name(t)
+    return s
+
+
+def _simple_name(n: str) -> str:
+    return n.rsplit(".", 1)[-1]
+
+
+def _names_match(w: dict, r: dict) -> bool:
+    """Named-type match: same unqualified name, or the writer's name
+    appears in the reader's aliases."""
+    wn = _simple_name(w.get("name", ""))
+    rn = _simple_name(r.get("name", ""))
+    aliases = {_simple_name(a) for a in r.get("aliases", [])}
+    return wn == rn or wn in aliases
+
+
+def _can_resolve(w, r) -> bool:
+    """Structural does-W-resolve-to-R check, used to pick the first
+    matching reader-union branch."""
+    if isinstance(w, list):
+        return any(_can_resolve(b, r) for b in w)
+    if isinstance(r, list):
+        return any(_can_resolve(w, b) for b in r)
+    wt, rt = _type_name(w), _type_name(r)
+    if wt in _PRIMITIVES:
+        return wt == rt or rt in _PROMOTIONS.get(wt, ())
+    if wt != rt:
+        return False
+    if wt in ("record", "enum", "fixed"):
+        return _names_match(w, r)
+    if wt == "array":
+        return _can_resolve(w["items"], r["items"])
+    return _can_resolve(w["values"], r["values"])  # map
+
+
+def default_value(schema, d):
+    """Materialize a reader field's JSON ``default`` per the spec's
+    default-encoding table (bytes/fixed defaults are \\u0000-\\u00FF
+    strings; a union's default is of its FIRST branch's type)."""
+    if isinstance(schema, list):
+        return default_value(schema[0], d)
+    t = _type_name(schema)
+    if t == "null":
+        return None
+    if t == "boolean":
+        return bool(d)
+    if t in ("int", "long"):
+        return int(d)
+    if t in ("float", "double"):
+        return float(d)
+    if t in ("bytes", "fixed"):
+        return d.encode("latin-1")
+    if t in ("string", "enum"):
+        return d
+    if t == "array":
+        return [default_value(schema["items"], x) for x in d]
+    if t == "map":
+        return {k: default_value(schema["values"], v) for k, v in d.items()}
+    if t == "record":
+        out = {}
+        for f in schema["fields"]:
+            if f["name"] in d:
+                out[f["name"]] = default_value(f["type"], d[f["name"]])
+            elif "default" in f:
+                out[f["name"]] = default_value(f["type"], f["default"])
+            else:
+                raise ValueError(
+                    f"avro: record default missing field {f['name']}"
+                )
+        return out
+    raise ValueError(f"avro: no default rule for schema {schema!r}")
+
+
+def _promote(value, wt: str, rt: str):
+    if rt in ("long",):
+        return int(value)
+    if rt in ("float", "double"):
+        return float(value)
+    if wt == "string" and rt == "bytes":
+        return value.encode("utf-8")
+    if wt == "bytes" and rt == "string":
+        return value.decode("utf-8")
+    return value
+
+
+def _decode_resolved(buf: io.BytesIO, w, r):
+    if isinstance(w, list):
+        idx = read_long(buf)
+        if not 0 <= idx < len(w):
+            raise ValueError(f"avro: union branch {idx} out of range")
+        branch = w[idx]
+        if isinstance(r, list):
+            return _decode_resolved(buf, branch, r)
+        if not _can_resolve(branch, r):
+            raise ValueError(
+                f"avro: writer union branch {_type_name(branch)!r} does "
+                f"not resolve to reader {_type_name(r)!r}"
+            )
+        return _decode_resolved(buf, branch, r)
+    if isinstance(r, list):
+        for branch in r:
+            if _can_resolve(w, branch):
+                return _decode_resolved(buf, w, branch)
+        raise ValueError(
+            f"avro: writer {_type_name(w)!r} matches no reader union branch"
+        )
+    wt, rt = _type_name(w), _type_name(r)
+    if wt in _PRIMITIVES:
+        if wt == rt:
+            return _decode(buf, wt)
+        if rt in _PROMOTIONS.get(wt, ()):
+            return _promote(_decode(buf, wt), wt, rt)
+        raise ValueError(
+            f"avro: writer {wt!r} does not resolve to reader {rt!r}"
+        )
+    if wt != rt:
+        raise ValueError(
+            f"avro: writer {wt!r} does not resolve to reader {rt!r}"
+        )
+    if wt == "record":
+        if not _names_match(w, r):
+            raise ValueError(
+                f"avro: record {w.get('name')!r} does not match reader "
+                f"record {r.get('name')!r} (no alias)"
+            )
+        by_name = {f["name"]: f for f in r["fields"]}
+        by_alias = {}
+        for f in r["fields"]:
+            for a in f.get("aliases", []):
+                by_alias[a] = f
+        out = {}
+        for wf in w["fields"]:
+            rf = by_name.get(wf["name"]) or by_alias.get(wf["name"])
+            if rf is not None and rf["name"] not in out:
+                out[rf["name"]] = _decode_resolved(
+                    buf, wf["type"], rf["type"]
+                )
+            else:
+                _decode(buf, wf["type"])  # writer-only field: skip
+        for rf in r["fields"]:
+            if rf["name"] not in out:
+                if "default" not in rf:
+                    raise ValueError(
+                        f"avro: reader field {rf['name']!r} absent in "
+                        "writer data and carries no default"
+                    )
+                out[rf["name"]] = default_value(rf["type"], rf["default"])
+        return out
+    if wt == "enum":
+        if not _names_match(w, r):
+            raise ValueError("avro: enum name mismatch (no alias)")
+        idx = read_long(buf)
+        if not 0 <= idx < len(w["symbols"]):
+            raise ValueError("avro: enum index out of range")
+        sym = w["symbols"][idx]
+        if sym in r["symbols"]:
+            return sym
+        if "default" in r:
+            return r["default"]
+        raise ValueError(
+            f"avro: writer enum symbol {sym!r} unknown to reader and "
+            "reader has no enum default"
+        )
+    if wt == "fixed":
+        if not _names_match(w, r) or w["size"] != r["size"]:
+            raise ValueError("avro: fixed name/size mismatch")
+        raw = buf.read(w["size"])
+        if len(raw) != w["size"]:
+            raise ValueError("avro: truncated fixed")
+        return raw
+    if wt == "array":
+        out = []
+        while True:
+            n = read_long(buf)
+            if n == 0:
+                return out
+            if n < 0:
+                n = -n
+                read_long(buf)
+            for _ in range(n):
+                out.append(_decode_resolved(buf, w["items"], r["items"]))
+    if wt == "map":
+        outm = {}
+        while True:
+            n = read_long(buf)
+            if n == 0:
+                return outm
+            if n < 0:
+                n = -n
+                read_long(buf)
+            for _ in range(n):
+                k_ = _decode(buf, "string")
+                outm[k_] = _decode_resolved(buf, w["values"], r["values"])
+    raise ValueError(f"avro: unsupported schema {w!r}")
+
+
 # ------------------------------------------------------------- container
 def write_avro(records: list, schema_json: str, codec: str = "null",
                block_records: int = 1000) -> bytes:
@@ -267,9 +497,13 @@ def write_avro(records: list, schema_json: str, codec: str = "null",
     return bytes(out)
 
 
-def read_avro(blob: bytes):
+def read_avro(blob: bytes, reader_schema_json: str | None = None):
     """Parse an Object Container File → ``(schema_json, codec, records)``
-    with every block's sync marker verified."""
+    with every block's sync marker verified.  With
+    ``reader_schema_json``, records decode through full spec Schema
+    Resolution against the container's writer schema (promotions,
+    field/name aliases, defaults, union re-matching) and the returned
+    ``schema_json`` is still the WRITER's (provenance)."""
     buf = io.BytesIO(blob)
     if buf.read(4) != MAGIC:
         raise ValueError("avro: bad container magic")
@@ -294,6 +528,10 @@ def read_avro(blob: bytes):
             "deflate, and snappy decode natively"
         )
     schema = json.loads(schema_json)
+    rschema = (
+        json.loads(reader_schema_json)
+        if reader_schema_json is not None else None
+    )
     sync = buf.read(16)
     records = []
     while True:
@@ -319,7 +557,10 @@ def read_avro(blob: bytes):
             payload = raw
         pbuf = io.BytesIO(payload)
         for _ in range(count):
-            records.append(_decode(pbuf, schema))
+            records.append(
+                _decode(pbuf, schema) if rschema is None
+                else _decode_resolved(pbuf, schema, rschema)
+            )
         if pbuf.read(1):
             raise ValueError("avro: block payload has trailing bytes")
         if buf.read(16) != sync:

@@ -7287,6 +7287,176 @@ def multimodal_avro_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_AVRO_ERA1_SCHEMA = (
+    '{"type":"record","name":"doc","fields":['
+    '{"name":"doc_id","type":"int"},'
+    '{"name":"title","type":"string"},'
+    '{"name":"kind","type":{"type":"enum","name":"k",'
+    '"symbols":["A","B","OLD"]}},'
+    '{"name":"score","type":"float"},'
+    '{"name":"legacy","type":"string"}]}'
+)
+_AVRO_ERA2_SCHEMA = (
+    '{"type":"record","name":"doc","fields":['
+    '{"name":"doc_id","type":"long"},'
+    '{"name":"name","type":"string","aliases":["title"]},'
+    '{"name":"kind","type":{"type":"enum","name":"k",'
+    '"symbols":["A","B"],"default":"A"}},'
+    '{"name":"score","type":"double"},'
+    '{"name":"lang","type":"string","default":"und"},'
+    '{"name":"tags","type":{"type":"array","items":"string"},'
+    '"default":[]}]}'
+)
+
+
+def _render_avro_era(doc_id: int, text: str) -> bytes:
+    from ..operators.avro import write_avro
+
+    codec = ("null", "deflate", "snappy")[doc_id % 3]
+    if doc_id % 2 == 0:  # era-1 shard (old writer)
+        recs = [
+            {
+                "doc_id": doc_id,
+                "title": text[:12],
+                "kind": ("A", "B", "OLD")[doc_id % 3],
+                "score": (doc_id % 7) * 0.25,
+                "legacy": "to-be-dropped",
+            },
+            {
+                "doc_id": doc_id + 1,
+                "title": text[:5],
+                "kind": "B",
+                "score": 0.5,
+                "legacy": "x",
+            },
+        ]
+        return write_avro(recs, _AVRO_ERA1_SCHEMA, codec=codec)
+    recs = [
+        {
+            "doc_id": doc_id,
+            "name": text[:12],
+            "kind": "A" if doc_id % 4 == 1 else "B",
+            "score": (doc_id % 5) * 0.5,
+            "lang": "ru",
+            "tags": ["x"] * (doc_id % 3),
+        },
+        {
+            "doc_id": doc_id + 1,
+            "name": text[:5],
+            "kind": "B",
+            "score": 0.5,
+            "lang": "en",
+            "tags": [],
+        },
+    ]
+    return write_avro(recs, _AVRO_ERA2_SCHEMA, codec=codec)
+
+
+@register(
+    "multimodal_avro_evolution",
+    oracle="""
+    SELECT doc_id,
+      CAST(1 + doc_id % 2 AS INT) AS era,
+      CAST(CASE doc_id % 3 WHEN 0 THEN 'null' WHEN 1 THEN 'deflate'
+        ELSE 'snappy' END AS VARCHAR) AS codec,
+      2 AS n_records,
+      CAST(CASE WHEN doc_id % 2 = 0 THEN
+             (CASE doc_id % 3 WHEN 1 THEN 'B' ELSE 'A' END)
+           ELSE (CASE WHEN doc_id % 4 = 1 THEN 'A' ELSE 'B' END)
+           END AS VARCHAR) AS kind,
+      CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id % 7) * 0.25
+           ELSE (doc_id % 5) * 0.5 END AS DOUBLE) AS score,
+      CAST(CASE WHEN doc_id % 2 = 0 THEN 'und' ELSE 'ru' END AS VARCHAR)
+        AS lang,
+      CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE doc_id % 3 END AS INT)
+        AS n_tags,
+      1 AS name_exact
+    FROM documents
+    """,
+    doc="Avro SCHEMA RESOLUTION over a two-era lake (r11 verdict #8) — "
+    "the half of the Avro spec every long-lived lake hits on day two: "
+    "half the shards were written under the era-1 schema (int ids, a "
+    "field named 'title', an enum with a since-retired symbol, float "
+    "scores, a dropped 'legacy' column), half under era-2, and ALL "
+    "are read under the era-2 READER schema through the spec's "
+    "resolution rules (operators/avro.py _decode_resolved): int→long "
+    "and float→double promotions, 'title'→'name' via the reader "
+    "field's aliases, writer-only fields skipped, reader-only fields "
+    "('lang', 'tags') filled from their defaults, and the retired "
+    "enum symbol 'OLD' re-matched to the reader's enum default 'A'. "
+    "The implementation is cross-validated against org.apache.avro's "
+    "own resolving GenericDatumReader(writer, reader) in both "
+    "directions (tests/test_avro_resolution.py). The oracle "
+    "recomputes every resolved column — era routing, codec, promoted "
+    "score arithmetic, alias-recovered name bytes, default "
+    "materialization, enum re-match — from the staging formulas. An "
+    "era-1 value that cannot resolve (or a reader field with no "
+    "default) raises per record. Scale: identical to "
+    "multimodal_avro_ingest — per-record container walk in the Arrow "
+    "kernel, resolution adds only per-field dictionary lookups.",
+)
+def multimodal_avro_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_media_files(
+        spark, sf_dir, "avro_era_files", "avro", _render_avro_era
+    )
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.avro")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.avro$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "content",
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    joined = bf.join(docs, "doc_id")
+
+    def op(batches):
+        import pandas as pd
+
+        from ..operators.avro import read_avro
+
+        for b in batches:
+            out = {
+                "doc_id": [], "era": [], "codec": [], "n_records": [],
+                "kind": [], "score": [], "lang": [], "n_tags": [],
+                "name_exact": [],
+            }
+            for doc_id, content, text in zip(
+                b["doc_id"], b["content"], b["text"]
+            ):
+                did = int(doc_id)
+                schema, codec, recs = read_avro(
+                    bytes(content), reader_schema_json=_AVRO_ERA2_SCHEMA
+                )
+                out["doc_id"].append(did)
+                # era derived from the shard's own writer schema, not
+                # the id parity — proof the container carried it
+                out["era"].append(
+                    1 if '"name":"title"' in schema else 2
+                )
+                out["codec"].append(codec)
+                out["n_records"].append(len(recs))
+                out["kind"].append(recs[0]["kind"])
+                out["score"].append(float(recs[0]["score"]))
+                out["lang"].append(recs[0]["lang"])
+                out["n_tags"].append(len(recs[0]["tags"]))
+                out["name_exact"].append(
+                    1 if recs[0]["name"] == text[:12]
+                    and recs[1]["name"] == text[:5] else 0
+                )
+            yield pd.DataFrame(out)
+
+    return joined.mapInPandas(
+        op,
+        schema="doc_id long, era int, codec string, n_records int, "
+        "kind string, score double, lang string, n_tags int, "
+        "name_exact int",
+    )
+
+
 def _render_sqlite(doc_id: int, text: str) -> bytes:
     import os
     import sqlite3

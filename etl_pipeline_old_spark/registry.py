@@ -283,6 +283,9 @@ _CORE_FIRST = (
     # round-12: DOCX auxiliary story parts — footnotes/headers/footers/
     # endnotes walked via document.xml.rels (r11 verdict #5)
     "pipeline_docx_aux_extract",
+    # round-12: Avro reader-schema resolution over a two-era shard
+    # corpus (r11 verdict #8)
+    "multimodal_avro_evolution",
 )
 
 

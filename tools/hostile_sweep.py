@@ -136,6 +136,8 @@ REPEAT_QUERIES = (
     "pipeline_pdf_xrefstream_extract",
     # r12: staged DOCX packages with footnote/header/footer/endnote parts
     "pipeline_docx_aux_extract",
+    # r12: staged two-era Avro shards (reader-schema resolution)
+    "multimodal_avro_evolution",
     # r11: staged OOXML office documents (.docx text, .xlsx typed cells,
     # .pptx slides), RTF exports, and ZipCrypto-protected archives
     "pipeline_docx_extract",
