@@ -2562,6 +2562,143 @@ def multimodal_webp_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- WebP lossless (VP8L)
+def _webp_b_sql() -> str:
+    """DuckDB 192-byte md5 stream (shared md5_pixel_sql formula) as a
+    1-based list — the pixel source both the renderer and the oracle
+    read, so the formulas cannot drift."""
+    from ..operators.multimodal import md5_pixel_sql
+
+    return "[" + ", ".join(md5_pixel_sql(j) for j in range(192)) + "]"
+
+
+def _webp_lossless_oracle() -> str:
+    def direct(j: int) -> str:
+        jj = 15 if 16 <= j < 32 else j
+        return (f"(b[{3 * jj + 1}]*65536 + b[{3 * jj + 2}]*256 "
+                f"+ b[{3 * jj + 3}])")
+
+    def pal(j: int) -> str:
+        k = f"(b[{97 + j}] % 16)"
+        return (f"(b[3*{k}+1]*65536 + b[3*{k}+2]*256 + b[3*{k}+3])")
+
+    direct_sum = " + ".join(direct(j) for j in range(64))
+    pal_sum = " + ".join(pal(j) for j in range(64))
+    return f"""
+    WITH px AS (
+      SELECT doc_id, {_webp_b_sql()} AS b FROM documents)
+    SELECT doc_id, 8 AS width, 8 AS height,
+      CAST(doc_id % 5 AS INT) AS variant,
+      CAST(CASE WHEN doc_id % 5 = 4 THEN {pal_sum}
+           ELSE {direct_sum} END AS BIGINT) AS sum_argb,
+      1 AS alpha_ok
+    FROM px
+    """
+
+
+def _render_webp_lossless(doc_id: int, text: str) -> bytes:
+    from ..operators.multimodal import md5_pixels
+    from ..operators.vp8l import encode_webp_lossless
+
+    b = md5_pixels(text, 192)
+    v = doc_id % 5
+    if v == 4:  # 16-color palette image (color-indexing transform)
+        colors = [
+            0xFF000000 | (b[3 * k] << 16) | (b[3 * k + 1] << 8)
+            | b[3 * k + 2]
+            for k in range(16)
+        ]
+        px = [colors[b[96 + j] % 16] for j in range(64)]
+        return encode_webp_lossless(8, 8, px, palette=True)
+    px = []
+    for j in range(64):
+        jj = 15 if 16 <= j < 32 else j  # a 17-pixel run for LZ77
+        px.append(
+            0xFF000000 | (b[3 * jj] << 16) | (b[3 * jj + 1] << 8)
+            | b[3 * jj + 2]
+        )
+    kw = (
+        {}, {"subtract_green": True}, {"use_lz77": True},
+        {"cache_bits": 4},
+    )[v]
+    return encode_webp_lossless(8, 8, px, **kw)
+
+
+@register(
+    "multimodal_webp_lossless_ingest",
+    oracle=_webp_lossless_oracle(),
+    doc="WebP VP8L LOSSLESS decode (operators/vp8l.py, own pure-stdlib "
+    "codec from the public WebP Lossless Bitstream Specification) — "
+    "the #2 crawl image format graduates from container probe to "
+    "exact pixel recovery (r11 verdict #4), the FLAC discipline: the "
+    "codec is lossless, so the oracle recomputes every pixel's "
+    "contribution from the shared md5_pixel_sql formula and demands "
+    "the decoded raster's exact ARGB checksum.  Staged variants cycle "
+    "doc_id%5 over the format's feature surface: plain "
+    "canonical-Huffman literals, the subtract-green transform, "
+    "distance-1 LZ77 backward references over a seeded 17-pixel run, "
+    "a 16-entry color cache, and a 16-color delta-coded palette "
+    "(color-indexing transform with sub-byte index bundling).  The "
+    "decoder additionally handles the predictor (14 modes) and "
+    "cross-color transforms, meta prefix-code groups, and the "
+    "120-entry 2D distance map, pinned by spec-derived unit fixtures "
+    "(tests/test_vp8l.py) — no independent VP8L codec exists in this "
+    "environment, so conformance beyond self-roundtrip is documented "
+    "candidly at the module level.  Lossy VP8 stays the loud seam.  "
+    "Damage (truncated stream, over-subscribed prefix code, backward "
+    "reference before the window, out-of-range cache/palette index) "
+    "raises per record.  Scale: the standard binaryFile + "
+    "Arrow-kernel image-ingest shape, decode cost bounded by each "
+    "file's own bytes, map-side only.",
+)
+def multimodal_webp_lossless_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    path = _stage_media_files(
+        spark, sf_dir, "webp_lossless_files", "webp", _render_webp_lossless
+    )
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.webp")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.webp$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "content",
+        )
+    )
+
+    def op(batches):
+        import pandas as pd
+
+        from ..operators.vp8l import decode_webp_lossless
+
+        for b in batches:
+            out = {
+                "doc_id": [], "width": [], "height": [], "variant": [],
+                "sum_argb": [], "alpha_ok": [],
+            }
+            for doc_id, content in zip(b["doc_id"], b["content"]):
+                did = int(doc_id)
+                w, h, px = decode_webp_lossless(bytes(content))
+                out["doc_id"].append(did)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["variant"].append(did % 5)
+                out["sum_argb"].append(sum(p & 0xFFFFFF for p in px))
+                out["alpha_ok"].append(
+                    1 if all((p >> 24) & 0xFF == 0xFF for p in px) else 0
+                )
+            yield pd.DataFrame(out)
+
+    return bf.mapInPandas(
+        op,
+        schema="doc_id long, width int, height int, variant int, "
+        "sum_argb long, alpha_ok int",
+    )
+
+
 # ------------------------------------------------------- AAC (ADTS) probe
 # The dominant compressed-audio format in crawled MP4/podcast corpora.
 # operators/aac.py walks the ADTS frame structure (14496-3) exactly —

@@ -286,6 +286,9 @@ _CORE_FIRST = (
     # round-12: Avro reader-schema resolution over a two-era shard
     # corpus (r11 verdict #8)
     "multimodal_avro_evolution",
+    # round-12: WebP VP8L lossless decode — exact pixel recovery for
+    # the #2 crawl image format (r11 verdict #4)
+    "multimodal_webp_lossless_ingest",
 )
 
 

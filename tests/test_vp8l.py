@@ -1,0 +1,348 @@
+"""WebP VP8L codec (operators/vp8l.py): encoder↔decoder roundtrips over
+every staged feature combination, hand-built spec-derived streams for
+the decoder-only paths (predictor + cross-color transforms, meta
+prefix-code groups, short-distance 2D neighbor codes), the pinned
+prefix of the spec's 120-entry distance table, and the loud damage
+classes.  No independent VP8L codec exists in this environment (see
+the module docstring's honesty note), so these fixtures are the
+conformance pin."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from etl_pipeline_old_spark.operators.vp8l import (
+    _DIST_MAP,
+    BitWriter,
+    _canonical_codes,
+    _encode_image_stream,
+    _write_prefix_value,
+    decode_vp8l,
+    decode_webp_lossless,
+    encode_vp8l,
+    encode_webp_lossless,
+)
+
+_RND = random.Random(20260816)
+
+
+def _img(w: int, h: int, ncolors: int | None = None) -> list:
+    if ncolors:
+        pal = [_RND.randrange(0, 2 ** 32) | 0xFF000000
+               for _ in range(ncolors)]
+        return [pal[_RND.randrange(ncolors)] for _ in range(w * h)]
+    return [_RND.randrange(0, 2 ** 32) for _ in range(w * h)]
+
+
+@pytest.mark.parametrize("kw", [
+    {}, {"subtract_green": True}, {"use_lz77": True}, {"cache_bits": 4},
+    {"use_lz77": True, "cache_bits": 6},
+    {"subtract_green": True, "use_lz77": True, "cache_bits": 3},
+])
+@pytest.mark.parametrize("dims", [(1, 1), (3, 2), (8, 8), (13, 5)])
+def test_roundtrip_matrix(kw, dims):
+    w, h = dims
+    px = _img(w, h)
+    if kw.get("use_lz77") and w * h > 4:
+        px[2:10] = [px[1]] * len(px[2:10])
+    blob = encode_webp_lossless(w, h, px, **kw)
+    w2, h2, got = decode_webp_lossless(blob)
+    assert (w2, h2) == (w, h) and got == px
+
+
+@pytest.mark.parametrize("ncolors", [2, 3, 4, 9, 16, 17, 200])
+def test_palette_roundtrip_all_bundlings(ncolors):
+    for w, h in [(1, 1), (7, 3), (16, 4)]:
+        px = _img(w, h, ncolors=min(ncolors, max(1, w * h)))
+        blob = encode_webp_lossless(w, h, px, palette=True)
+        assert decode_webp_lossless(blob)[2] == px
+
+
+def test_distance_map_pinned_prefix_and_size():
+    # the first 36 entries of the spec's literal table; the rest follow
+    # the same generative sort (squared distance, nearer rows later,
+    # positive dx first)
+    assert len(_DIST_MAP) == 120
+    assert _DIST_MAP[:36] == [
+        (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+        (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+        (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+        (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+        (4, 2), (-4, 2), (0, 5), (3, 4),
+    ]
+
+
+def test_prefix_value_coding_roundtrips():
+    from etl_pipeline_old_spark.operators.vp8l import BitReader, _prefix_value
+    for v in list(range(1, 20)) + [63, 64, 65, 1000, 4096]:
+        sym, ev, eb = _write_prefix_value(v)
+        bw = BitWriter()
+        bw.write(ev, eb)
+        assert _prefix_value(BitReader(bw.getvalue() + b"\0"), sym) == v
+
+
+def _header(bw: BitWriter, w: int, h: int) -> None:
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(1, 1)
+    bw.write(0, 3)
+
+
+def _sub_image(bw: BitWriter, pixels: list) -> None:
+    _encode_image_stream(bw, pixels, level0=False)
+
+
+def _residuals(pixels: list, w: int, h: int, modes: list,
+               size_bits: int) -> list:
+    """Forward predictor pass: residual = pixel - prediction, where
+    predictions read the FINAL pixels (matching the decoder's
+    progressive reconstruction)."""
+    from etl_pipeline_old_spark.operators.vp8l import _predict
+
+    tw = (w + (1 << size_bits) - 1) >> size_bits
+    out = []
+    for y in range(h):
+        for x in range(w):
+            i = y * w + x
+            if x == 0 and y == 0:
+                pred = 0xFF000000
+            elif y == 0:
+                pred = pixels[i - 1]
+            elif x == 0:
+                pred = pixels[i - w]
+            else:
+                mode = modes[(y >> size_bits) * tw + (x >> size_bits)]
+                tr = pixels[i - w + 1] if x + 1 < w else pixels[i - w]
+                pred = _predict(mode, pixels[i - 1], pixels[i - w],
+                                pixels[i - w - 1], tr)
+            r = 0
+            for shift in (0, 8, 16, 24):
+                r |= ((((pixels[i] >> shift) & 0xFF)
+                       - ((pred >> shift) & 0xFF)) & 0xFF) << shift
+            out.append(r)
+    return out
+
+
+@pytest.mark.parametrize("size_bits", [2, 3])
+def test_predictor_transform_all_modes(size_bits):
+    # 16x16 with 4x4 or 8x8 tiles: every mode 0..13 appears
+    w = h = 16
+    tw = (w + (1 << size_bits) - 1) >> size_bits
+    th = (h + (1 << size_bits) - 1) >> size_bits
+    modes = [(i * 7 + 3) % 14 for i in range(tw * th)]
+    px = _img(w, h)
+    bw = BitWriter()
+    _header(bw, w, h)
+    bw.write(1, 1)              # transform present
+    bw.write(0, 2)              # predictor
+    bw.write(size_bits - 2, 3)
+    _sub_image(bw, [0xFF000000 | (m << 8) for m in modes])
+    bw.write(0, 1)              # end of transforms
+    _encode_image_stream(bw, _residuals(px, w, h, modes, size_bits),
+                         level0=True)
+    w2, h2, got = decode_vp8l(bytes([0x2F]) + bw.getvalue())
+    assert (w2, h2) == (w, h)
+    assert got == px
+
+
+def test_color_transform_roundtrip():
+    from etl_pipeline_old_spark.operators.vp8l import _delta
+
+    w, h, size_bits = 8, 4, 2
+    tw = (w + 3) >> 2
+    th = (h + 3) >> 2
+    # per-tile (green_to_red, green_to_blue, red_to_blue), signed range
+    tes = [(0x10, 0xF0, 0x22), (0x85, 0x05, 0x00)][: tw * th] \
+        + [(0x40, 0x40, 0x40)] * max(0, tw * th - 2)
+    px = _img(w, h)
+    stored = []
+    for y in range(h):
+        for x in range(w):
+            g2r, g2b, r2b = tes[(y >> size_bits) * tw + (x >> size_bits)]
+            p = px[y * w + x]
+            g = (p >> 8) & 0xFF
+            r = (p >> 16) & 0xFF
+            b = p & 0xFF
+            rs = (r - _delta(g2r, g)) & 0xFF
+            bs = (b - _delta(g2b, g) - _delta(r2b, r)) & 0xFF
+            stored.append((p & 0xFF00FF00) | (rs << 16) | bs)
+    bw = BitWriter()
+    _header(bw, w, h)
+    bw.write(1, 1)
+    bw.write(1, 2)              # color transform
+    bw.write(size_bits - 2, 3)
+    _sub_image(bw, [
+        0xFF000000 | (r2b << 16) | (g2b << 8) | g2r
+        for g2r, g2b, r2b in tes
+    ])
+    bw.write(0, 1)
+    _encode_image_stream(bw, stored, level0=True)
+    assert decode_vp8l(bytes([0x2F]) + bw.getvalue())[2] == px
+
+
+def test_meta_prefix_groups_select_per_tile():
+    """Two prefix-code groups: tiles on the left half use group 0,
+    right half group 1 — each group's codes only cover ITS tile's
+    literals, so reading with the wrong group cannot decode."""
+    from etl_pipeline_old_spark.operators.vp8l import (
+        _encoder_codes, _huffman_lengths, _write_prefix_code)
+
+    w, h, hb = 8, 4, 2           # 4-pixel tiles: 2x1 tile grid
+    left = 0xFF102030
+    right = 0xFF405060
+    px = [left if x < 4 else right for _y in range(h) for x in range(w)]
+    bw = BitWriter()
+    _header(bw, w, h)
+    bw.write(0, 1)               # no transforms
+    bw.write(0, 1)               # no cache
+    bw.write(1, 1)               # meta prefix present
+    bw.write(hb - 2, 3)
+    _sub_image(bw, [0xFF000000 | (0 << 8), 0xFF000000 | (1 << 8)])
+    for pix in (left, right):    # group 0 then group 1
+        for chan, size in ((( pix >> 8) & 0xFF, 256 + 24),
+                           ((pix >> 16) & 0xFF, 256),
+                           (pix & 0xFF, 256),
+                           ((pix >> 24) & 0xFF, 256),
+                           (0, 40)):
+            lengths = _huffman_lengths({chan: 1})
+            _write_prefix_code(bw, lengths, size)
+    # all codes are single-symbol (0 bits) — the pixel stream is empty
+    w2, h2, got = decode_vp8l(bytes([0x2F]) + bw.getvalue())
+    assert got == px
+
+
+def test_short_distance_neighbor_code():
+    """A copy with distance CODE 1 maps to (dx=0, dy=1): row 2 copies
+    row 1 through the 2D neighbor table."""
+    from etl_pipeline_old_spark.operators.vp8l import (
+        _encoder_codes, _huffman_lengths, _write_prefix_code)
+
+    w, h = 4, 2
+    row = [0xFF000000 | (10 * i << 8) for i in range(w)]
+    px = row + row
+    bw = BitWriter()
+    _header(bw, w, h)
+    bw.write(0, 1)
+    bw.write(0, 1)               # no cache
+    bw.write(0, 1)               # no meta
+    lit_g = [(p >> 8) & 0xFF for p in row]
+    len_sym, lev, leb = _write_prefix_value(4)      # copy length 4
+    gl = _huffman_lengths({**{g: 1 for g in lit_g}, 256 + len_sym: 1})
+    rl = _huffman_lengths({0: 1})
+    bl = _huffman_lengths({0: 1})
+    al = _huffman_lengths({0xFF: 1})
+    dl = _huffman_lengths({0: 1})  # distance symbol 0 -> code value 1
+    for lengths, size in ((gl, 256 + 24), (rl, 256), (bl, 256),
+                          (al, 256), (dl, 40)):
+        _write_prefix_code(bw, lengths, size)
+    gc = _encoder_codes(gl)
+    for g in lit_g:              # row 1 literals (r=b=0, a=0xff: 0 bits)
+        bw.write_code(*gc[g])
+    bw.write_code(*gc[256 + len_sym])
+    bw.write(lev, leb)           # length extra bits
+    # distance symbol 0 is single-symbol (0 bits); code value 1 -> map
+    w2, h2, got = decode_vp8l(bytes([0x2F]) + bw.getvalue())
+    assert got == px
+
+
+def test_loud_damage_classes():
+    px = _img(4, 3)
+    blob = encode_vp8l(4, 3, px)
+    with pytest.raises(ValueError, match="signature"):
+        decode_vp8l(b"\x30" + blob[1:])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_vp8l(blob[: len(blob) // 2])
+    # reserved version bits
+    bw = BitWriter()
+    bw.write(3, 14)
+    bw.write(2, 14)
+    bw.write(0, 1)
+    bw.write(5, 3)
+    with pytest.raises(ValueError, match="version"):
+        decode_vp8l(bytes([0x2F]) + bw.getvalue() + b"\0" * 8)
+
+
+def test_oversubscribed_prefix_code_is_loud():
+    with pytest.raises(ValueError, match="not complete"):
+        _canonical_codes([1, 1, 1])        # kraft > 1
+    with pytest.raises(ValueError, match="not complete"):
+        _canonical_codes([2, 2, 2])        # kraft < 1
+
+
+def test_backward_reference_before_start_is_loud():
+    from etl_pipeline_old_spark.operators.vp8l import (
+        _encoder_codes, _huffman_lengths, _write_prefix_code)
+
+    bw = BitWriter()
+    _header(bw, 4, 1)
+    bw.write(0, 1)
+    bw.write(0, 1)
+    bw.write(0, 1)
+    len_sym, lev, leb = _write_prefix_value(2)
+    gl = _huffman_lengths({5: 1, 256 + len_sym: 1})
+    one = _huffman_lengths({0: 1})
+    d40 = _huffman_lengths({39: 1})        # large distance symbol
+    for lengths, size in ((gl, 280), (one, 256), (one, 256), (one, 256),
+                          (d40, 40)):
+        _write_prefix_code(bw, lengths, size)
+    gc = _encoder_codes(gl)
+    bw.write_code(*gc[5])                  # one literal
+    bw.write_code(*gc[256 + len_sym])
+    bw.write(lev, leb)
+    bw.write((1 << 17) - 1, 17)            # distance extra bits, huge
+    with pytest.raises(ValueError, match="before start|truncated"):
+        decode_vp8l(bytes([0x2F]) + bw.getvalue() + b"\0\0\0\0")
+
+
+def test_cache_index_without_cache_is_loud():
+    from etl_pipeline_old_spark.operators.vp8l import (
+        _encoder_codes, _huffman_lengths, _write_prefix_code)
+
+    bw = BitWriter()
+    _header(bw, 2, 1)
+    bw.write(0, 1)
+    bw.write(0, 1)               # NO cache
+    bw.write(0, 1)
+    # green alphabet sized without cache; craft lengths that still give
+    # a code to a would-be cache symbol index >= 280: impossible via
+    # alphabet, so instead give length symbol then cache read: use the
+    # simple-code escape with an 8-bit symbol — still < 256.  The
+    # reachable loud path is a cache_bits=0 stream whose green code
+    # contains only symbol 279 (a length) with no distance data.
+    gl = _huffman_lengths({279: 1, 0: 1})
+    one = _huffman_lengths({0: 1})
+    for lengths, size in ((gl, 280), (one, 256), (one, 256), (one, 256),
+                          (one, 40)):
+        _write_prefix_code(bw, lengths, size)
+    gc = _encoder_codes(gl)
+    bw.write_code(*gc[279])      # length symbol with max extra bits
+    with pytest.raises(ValueError, match="truncated|overruns|before start"):
+        decode_vp8l(bytes([0x2F]) + bw.getvalue())
+
+
+def test_palette_index_out_of_range_is_loud():
+    # 17-color palette (no bundling) but a green index beyond it
+    from etl_pipeline_old_spark.operators.vp8l import (
+        _encoder_codes, _huffman_lengths, _write_prefix_code)
+
+    bw = BitWriter()
+    _header(bw, 2, 1)
+    bw.write(1, 1)
+    bw.write(3, 2)               # color indexing
+    bw.write(16, 8)              # 17 colors
+    _sub_image(bw, [0xFF000000 | (i << 8) for i in range(17)])
+    bw.write(0, 1)
+    _encode_image_stream(bw, [0xFF000000 | (200 << 8),
+                              0xFF000000 | (1 << 8)], level0=True)
+    with pytest.raises(ValueError, match="palette index"):
+        decode_vp8l(bytes([0x2F]) + bw.getvalue())
+
+
+def test_container_requires_vp8l_and_flags_lossy():
+    from etl_pipeline_old_spark.operators.webp import (
+        encode_webp_vp8_still)
+
+    with pytest.raises(NotImplementedError, match="VP8L .* natively"):
+        decode_webp_lossless(encode_webp_vp8_still(8, 8))

@@ -138,6 +138,8 @@ REPEAT_QUERIES = (
     "pipeline_docx_aux_extract",
     # r12: staged two-era Avro shards (reader-schema resolution)
     "multimodal_avro_evolution",
+    # r12: staged lossless .webp files (VP8L own codec)
+    "multimodal_webp_lossless_ingest",
     # r11: staged OOXML office documents (.docx text, .xlsx typed cells,
     # .pptx slides), RTF exports, and ZipCrypto-protected archives
     "pipeline_docx_extract",
