@@ -30,10 +30,17 @@ Implemented from the published format:
 - **sqlite_schema**: page 1's table (offset by the 100-byte header)
   maps table names to root pages, so extraction is by NAME.
 
-WAL files, freelist scavenging, and index B-trees are out of scope
-(documented); damage (bad magic, unknown page type, truncated record,
-cyclic overflow chain) raises ValueError — one database costs one
-record, never the job.
+WAL sidecars read natively (r12): a .db copied mid-write ships a -wal
+file whose committed frames hold the newest page images — ``apply_wal``
+validates salts + the spec's cumulative rolling checksum frame by
+frame, stops at the first torn frame (the valid prefix IS the
+snapshot), keeps pages only up to the last commit frame, and overlays
+them onto the main file; cross-validated against CPython's sqlite3
+opening the same db+wal pair (tests/test_sqlite.py).  Freelist
+scavenging and index B-trees stay out of scope (documented); damage
+(bad magic, unknown page type, truncated record, cyclic overflow
+chain, WAL header checksum mismatch, page-size disagreement) raises
+ValueError — one database costs one record, never the job.
 """
 
 from __future__ import annotations
@@ -200,6 +207,117 @@ class SQLiteFile:
             # better read (rowid, values) pairs via walk()).
             out.append((rowid, rec))
         return out
+
+
+# ------------------------------------------------------------------ WAL
+# Write-Ahead Log sidecar (sqlite.org/fileformat2 §The WAL File Format
+# + sqlite.org/wal): a .db snapshotted mid-write ships a -wal file whose
+# COMMITTED frames carry the newest page images — ignoring it reads a
+# stale (or even schema-less) database.  The reader below reconstructs
+# the effective database bytes: walk frames in order, validate each
+# frame's salts against the WAL header and its CUMULATIVE checksum
+# (the spec's two-word rolling sum over the header prefix, then each
+# frame's first 8 header bytes + page content, in the byte order the
+# magic selects), stop at the first invalid frame (a torn tail is
+# expected — that is the snapshot-mid-write case), keep only frames up
+# to the LAST commit frame, and overlay the latest committed image of
+# each page onto the main file at the commit's declared database size.
+
+_WAL_MAGIC_LE = 0x377F0682  # checksum words little-endian
+_WAL_MAGIC_BE = 0x377F0683
+
+
+def _wal_checksum(data: bytes, big_endian: bool, s1: int = 0,
+                  s2: int = 0) -> tuple[int, int]:
+    if len(data) % 8:
+        raise ValueError("sqlite wal: checksum input not 8-byte aligned")
+    fmt = ">I" if big_endian else "<I"
+    for i in range(0, len(data), 8):
+        x0 = struct.unpack_from(fmt, data, i)[0]
+        x1 = struct.unpack_from(fmt, data, i + 4)[0]
+        s1 = (s1 + x0 + s2) & 0xFFFFFFFF
+        s2 = (s2 + x1 + s1) & 0xFFFFFFFF
+    return s1, s2
+
+
+def read_wal_frames(wal: bytes) -> tuple[int, dict, int]:
+    """Parse a -wal sidecar → (page_size, {page_number: page_bytes} for
+    the latest COMMITTED image of each page, db_size_pages from the
+    last commit frame; 0 if no commit frame survives).  Frames stop at
+    the first salt or cumulative-checksum mismatch — the valid prefix
+    is the committed snapshot, per the WAL design."""
+    if len(wal) < 32:
+        raise ValueError("sqlite wal: shorter than its 32-byte header")
+    magic, version, page_size, _ckpt, salt1, salt2, c1, c2 = struct.unpack(
+        ">8I", wal[:32]
+    )
+    if magic == _WAL_MAGIC_BE:
+        big = True
+    elif magic == _WAL_MAGIC_LE:
+        big = False
+    else:
+        raise ValueError(f"sqlite wal: bad magic 0x{magic:08x}")
+    if version != 3007000:
+        raise ValueError(f"sqlite wal: unknown format version {version}")
+    s1, s2 = _wal_checksum(wal[:24], big)
+    if (s1, s2) != (c1, c2):
+        raise ValueError("sqlite wal: header checksum mismatch")
+    pages: dict[int, bytes] = {}
+    pending: dict[int, bytes] = {}
+    db_size = 0
+    at = 32
+    frame_len = 24 + page_size
+    while at + frame_len <= len(wal):
+        pgno, commit_size, fs1, fs2, fc1, fc2 = struct.unpack_from(
+            ">6I", wal, at
+        )
+        if (fs1, fs2) != (salt1, salt2):
+            break  # stale frame from a previous checkpoint cycle
+        s1, s2 = _wal_checksum(wal[at : at + 8], big, s1, s2)
+        s1, s2 = _wal_checksum(
+            wal[at + 24 : at + frame_len], big, s1, s2
+        )
+        if (s1, s2) != (fc1, fc2):
+            break  # torn tail: the valid prefix is the snapshot
+        pending[pgno] = wal[at + 24 : at + frame_len]
+        if commit_size:
+            pages.update(pending)
+            pending.clear()
+            db_size = commit_size
+        at += frame_len
+    return page_size, pages, db_size
+
+
+def apply_wal(db: bytes, wal: bytes) -> bytes:
+    """Overlay a -wal sidecar's committed frames onto the main database
+    bytes, returning the EFFECTIVE database a WAL-aware engine would
+    read.  With no committed frames the main file is returned as-is."""
+    page_size, pages, db_size = read_wal_frames(wal)
+    if not db_size:
+        return db
+    if db[:16] == _MAGIC:
+        main_ps = struct.unpack_from(">H", db, 16)[0]
+        main_ps = 65536 if main_ps == 1 else main_ps
+        if main_ps != page_size:
+            raise ValueError(
+                "sqlite wal: page size disagrees with the main file"
+            )
+    elif 1 not in pages:
+        raise ValueError(
+            "sqlite wal: main file has no header and the WAL does not "
+            "carry page 1"
+        )
+    out = bytearray(db[: db_size * page_size])
+    if len(out) < db_size * page_size:
+        out += b"\x00" * (db_size * page_size - len(out))
+    for pgno, content in pages.items():
+        if not 1 <= pgno <= db_size:
+            # a frame for a page beyond the committed size belongs to a
+            # rolled-back grow — committed truncation wins
+            continue
+        off = (pgno - 1) * page_size
+        out[off : off + page_size] = content
+    return bytes(out)
 
 
 def read_sqlite_table(blob: bytes, table: str, ipk_col: int | None = 0):

@@ -185,6 +185,31 @@ def _stage_media_files(
     return path
 
 
+def _stage_media_files_multi(
+    spark: SparkSession, sf_dir: str, kind: str, render
+) -> str:
+    """Like _stage_media_files, but ``render(doc_id, text)`` returns a
+    LIST of (suffix, bytes) — the sidecar-file shape (a .db plus its
+    -wal, a clip plus its captions) that object stores really hold."""
+    path = os.path.join(cache_root(), f"{kind}_{_tag(sf_dir)}")
+    marker = os.path.join(path, "_STAGED")
+    if not os.path.exists(marker):
+        os.makedirs(path, exist_ok=True)
+        d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+        def write_part(rows):
+            for r in rows:
+                for suffix, payload in render(r.doc_id, r.text):
+                    with open(
+                        os.path.join(path, f"{r.doc_id}.{suffix}"), "wb"
+                    ) as fh:
+                        fh.write(payload)
+
+        d.foreachPartition(write_part)
+        open(marker, "w").close()
+    return path
+
+
 def _render_ppm(doc_id: int, text: str) -> bytes:
     from ..operators.multimodal import encode_ppm_p6, md5_pixels
 
@@ -7702,6 +7727,135 @@ def multimodal_sqlite_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         op,
         schema="doc_id long, n_rows int, body_chars long, "
         "flag_sum_row1 int, null_body_rows int, text_exact int",
+    )
+
+
+def _render_sqlite_wal(doc_id: int, text: str) -> list:
+    import shutil
+    import sqlite3
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    p = os.path.join(d, "x.db")
+    con = sqlite3.connect(p)
+    con.execute("PRAGMA page_size=512")
+    con.execute("CREATE TABLE docs (id INTEGER PRIMARY KEY, body TEXT)")
+    con.execute("INSERT INTO docs VALUES (1, ?)", (text[:40],))
+    con.execute("INSERT INTO docs VALUES (2, ?)", (text[40:80],))
+    con.commit()
+    con.execute("PRAGMA journal_mode=WAL")
+    for i in range(1 + doc_id % 3):
+        con.execute(
+            "INSERT INTO docs VALUES (?, ?)",
+            (3 + i, text[80 + 20 * i : 100 + 20 * i]),
+        )
+        con.commit()
+    # capture BOTH files while the connection is open: closing
+    # checkpoints the WAL into the main file and deletes the sidecar —
+    # which is exactly why a database copied LIVE ships a -wal
+    with open(p, "rb") as fh:
+        db = fh.read()
+    with open(p + "-wal", "rb") as fh:
+        wal = fh.read()
+    con.close()
+    shutil.rmtree(d)
+    return [("db", db), ("wal", wal)]
+
+
+@register(
+    "multimodal_sqlite_wal_ingest",
+    oracle="""
+    SELECT doc_id,
+      CAST(3 + doc_id % 3 AS INT) AS n_rows,
+      CAST(1 + doc_id % 3 AS INT) AS wal_rows,
+      CAST(least(length(text), 80 + 20 * (1 + doc_id % 3)) AS BIGINT)
+        AS body_chars,
+      1 AS text_exact
+    FROM documents
+    """,
+    doc="SQLite WAL-sidecar ingestion (operators/sqlite.py apply_wal, "
+    "r11 verdict #9): a .db snapshotted mid-write — the 'chat backup "
+    "copied live' case — ships a -wal file whose COMMITTED frames "
+    "hold the newest page images; reading the main file alone sees a "
+    "stale base era. Each document stages as a REAL (db, wal) pair "
+    "written by the independent CPython sqlite3 engine: the base two "
+    "rows committed in rollback mode (so they land in the main file), "
+    "then journal_mode=WAL and 1..3 per-row commits captured in the "
+    "sidecar before close (close would checkpoint and delete it). "
+    "Ingestion joins the two binaryFile scans per doc_id, validates "
+    "the WAL header checksum, walks frames with salt matching and the "
+    "spec's CUMULATIVE rolling checksum, keeps pages only through the "
+    "last commit frame, overlays them, and reads the effective "
+    "database with the ordinary B-tree walk. wal_rows counts rows "
+    "visible ONLY through the sidecar — the oracle recomputes it from "
+    "the staging formula, so skipping the WAL (or applying an "
+    "uncommitted tail) flips the hash; byte-exact body recovery is "
+    "demanded per row. Torn tails, salt mismatches, and header damage "
+    "are loud or safely prefix-bounded per the WAL design "
+    "(tests/test_sqlite.py, cross-validated against sqlite3's own "
+    "recovery of the same pair). Scale: the sidecar-join ingest "
+    "shape — two binaryFile listings equi-joined on the key, decode "
+    "map-side, no payload shuffle.",
+)
+def multimodal_sqlite_wal_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    path = _stage_media_files_multi(
+        spark, sf_dir, "sqlite_wal_files", _render_sqlite_wal
+    )
+
+    def scan(ext: str, col: str):
+        return (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", f"*.{ext}")
+            .load(path)
+            .select(
+                F.regexp_extract(F.col("path"), rf"(\d+)\.{ext}$", 1)
+                .cast("long")
+                .alias("doc_id"),
+                F.col("content").alias(col),
+            )
+        )
+
+    bf = scan("db", "db_bytes").join(scan("wal", "wal_bytes"), "doc_id")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    joined = bf.join(docs, "doc_id")
+
+    def op(batches):
+        import pandas as pd
+
+        from ..operators.sqlite import apply_wal, read_sqlite_table
+
+        for b in batches:
+            out = {
+                "doc_id": [], "n_rows": [], "wal_rows": [],
+                "body_chars": [], "text_exact": [],
+            }
+            for doc_id, db, wal, text in zip(
+                b["doc_id"], b["db_bytes"], b["wal_bytes"], b["text"]
+            ):
+                did = int(doc_id)
+                rows = read_sqlite_table(
+                    apply_wal(bytes(db), bytes(wal)), "docs"
+                )
+                base = read_sqlite_table(bytes(db), "docs")
+                bodies = {r[0]: r[1] for r in rows}
+                exp = {1: text[:40], 2: text[40:80]}
+                for i in range(1 + did % 3):
+                    exp[3 + i] = text[80 + 20 * i : 100 + 20 * i]
+                out["doc_id"].append(did)
+                out["n_rows"].append(len(rows))
+                out["wal_rows"].append(len(rows) - len(base))
+                out["body_chars"].append(
+                    sum(len(v) for v in bodies.values())
+                )
+                out["text_exact"].append(1 if bodies == exp else 0)
+            yield pd.DataFrame(out)
+
+    return joined.mapInPandas(
+        op,
+        schema="doc_id long, n_rows int, wal_rows int, body_chars long, "
+        "text_exact int",
     )
 
 

@@ -289,6 +289,9 @@ _CORE_FIRST = (
     # round-12: WebP VP8L lossless decode — exact pixel recovery for
     # the #2 crawl image format (r11 verdict #4)
     "multimodal_webp_lossless_ingest",
+    # round-12: SQLite WAL sidecar read — the live-copied .db case
+    # (r11 verdict #9)
+    "multimodal_sqlite_wal_ingest",
 )
 
 

@@ -140,6 +140,8 @@ REPEAT_QUERIES = (
     "multimodal_avro_evolution",
     # r12: staged lossless .webp files (VP8L own codec)
     "multimodal_webp_lossless_ingest",
+    # r12: staged (db, -wal) sidecar pairs
+    "multimodal_sqlite_wal_ingest",
     # r11: staged OOXML office documents (.docx text, .xlsx typed cells,
     # .pptx slides), RTF exports, and ZipCrypto-protected archives
     "pipeline_docx_extract",

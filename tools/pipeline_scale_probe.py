@@ -74,16 +74,25 @@ def pipelines():
     )
     from etl_pipeline_old_spark.queries.sources_formats import (
         pipeline_code_corpus,
-        pipeline_docx_extract,
         pipeline_document_corpus,
+        pipeline_document_corpus_mixed,
+        pipeline_docx_aux_extract,
+        pipeline_docx_extract,
+        pipeline_epub_extract,
+        pipeline_mail_extract,
         pipeline_pdf_aes_extract,
+        pipeline_pdf_xrefstream_extract,
         pipeline_video_text_pairs,
     )
+    from etl_pipeline_old_spark.queries.web_corpus import web_charset_ingest
 
     # code_near_dedup_winnowing is deliberately NOT probed this way: the
     # k-fold inflation makes every copy of a document a near-dup of its
     # siblings, so the pair OUTPUT grows O(k^2) by construction and the
-    # timing would measure the inflation artifact, not the scan
+    # timing would measure the inflation artifact, not the scan.
+    # multimodal_webp_lossless_ingest is excluded too: its decode is a
+    # per-pixel pure-Python kernel over fixed 8x8 fixtures, so a k-fold
+    # probe measures Python loop throughput, not a Spark plan property.
     return {
         "pipeline_document_corpus": pipeline_document_corpus,
         "pipeline_image_text_pairs_bucketed": pipeline_image_text_pairs_bucketed,
@@ -91,6 +100,14 @@ def pipelines():
         "pipeline_pdf_aes_extract": pipeline_pdf_aes_extract,
         "pipeline_docx_extract": pipeline_docx_extract,
         "pipeline_code_corpus": pipeline_code_corpus,
+        # r11 verdict #7: the r11b families
+        "pipeline_mail_extract": pipeline_mail_extract,
+        "pipeline_epub_extract": pipeline_epub_extract,
+        "web_charset_ingest": web_charset_ingest,
+        "pipeline_document_corpus_mixed": pipeline_document_corpus_mixed,
+        # r12 additions: xref-stream PDFs and DOCX auxiliary parts
+        "pipeline_pdf_xrefstream_extract": pipeline_pdf_xrefstream_extract,
+        "pipeline_docx_aux_extract": pipeline_docx_aux_extract,
     }
 
 
@@ -133,7 +150,9 @@ def main() -> None:
         "(already-staged corpus) — the 100 TB number. Media staged per k: "
         "PDFs (one per doc), image-pair .warc.gz shards, video-text "
         "WebDataset .tar shards, AES-encrypted PDFs, .docx packages, "
-        "and source files (r11b).",
+        "source files (r11b), mbox shards, EPUB books, legacy-charset "
+        "crawl shards, the five-format mixed bucket (r12 probes for the "
+        "r11b families), xref-stream PDFs, and aux-part DOCX (r12).",
         "",
         "| pipeline | metric | " + " | ".join(f"k={k}" for k in FACTORS)
         + " | t(k16)/t(k1) |",
