@@ -191,6 +191,7 @@ def write_pdf_xrefstream(
     objstm: bool = True,
     predictor: bool = False,
     incremental: bool = False,
+    hybrid: bool = False,
 ) -> bytes:
     """Serialize ``pages`` as a PDF 1.5+ document whose cross-reference
     rides as a /Type /XRef STREAM (ISO 32000-1 §7.5.8) instead of a
@@ -204,7 +205,16 @@ def write_pdf_xrefstream(
     revision redefines every page's content object with the true text
     plus a second xref stream whose /Prev links back — so text can only
     be recovered by walking the /Prev chain with newest-entry-wins
-    precedence."""
+    precedence.  ``hybrid`` writes a HYBRID-REFERENCE file (§7.5.8.4,
+    the Acrobat-updated shape): a classic table covering only the
+    page/content objects whose trailer's /XRefStm points at an xref
+    STREAM carrying the catalog, page tree, and font — readable only
+    by walking the bridge."""
+    if hybrid and (objstm or incremental):
+        raise ValueError(
+            "pdf: the fixture writer's hybrid layout stands alone "
+            "(objstm=False, incremental=False)"
+        )
     n_pages = len(pages)
     page_num = [4 + 2 * i for i in range(n_pages)]
     cont_num = [5 + 2 * i for i in range(n_pages)]
@@ -282,6 +292,25 @@ def write_pdf_xrefstream(
             emit(num, dict_objs[num])
     for i in range(n_pages):
         emit(cont_num[i], content_obj(body_pages[i]))
+
+    if hybrid:
+        xref_num = 4 + 2 * n_pages
+        stm_at = len(out)
+        srows = [r for r in rows if r[0] <= 3]
+        srows.append((xref_num, 1, stm_at, 0))
+        out += b"%d 0 obj\n" % xref_num + _xref_stream_obj(
+            srows, xref_num + 1, 1, predictor=predictor
+        ) + b"\nendobj\n"
+        tbl_at = len(out)
+        prows = sorted(r for r in rows if r[0] >= 4)
+        out += b"xref\n%d %d\n" % (4, 2 * n_pages)
+        for _num, _t, off, _g in prows:
+            out += b"%010d 00000 n \n" % off
+        out += (
+            b"trailer\n<< /Size %d /Root 1 0 R /XRefStm %d >>\n"
+            b"startxref\n%d\n%%%%EOF\n" % (xref_num + 1, stm_at, tbl_at)
+        )
+        return bytes(out)
 
     size = xref_num + 1
     xref_at = len(out)

@@ -3882,13 +3882,14 @@ def pipeline_pdf_cid_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _render_pdf_xrefstream(doc_id: int, text: str) -> bytes:
     from ..operators.pdf import write_pdf_xrefstream
 
-    v = doc_id % 4
+    v = doc_id % 5
     return write_pdf_xrefstream(
         _pdf_pages(text),
         compress=doc_id % 2 == 1,
-        objstm=v != 2,        # variant 2: xref stream, objects top-level
-        predictor=v in (1, 2),  # PNG-Up /Predictor 12 on the xref rows
-        incremental=v == 3,   # appended revision + /Prev chain
+        objstm=v not in (2, 4),  # 2: objects top-level; 4: hybrid
+        predictor=v in (1, 2),   # PNG-Up /Predictor 12 on the xref rows
+        incremental=v == 3,      # appended revision + /Prev chain
+        hybrid=v == 4,           # classic table + /XRefStm bridge
     )
 
 
@@ -3907,11 +3908,11 @@ def _render_pdf_xrefstream(doc_id: int, text: str) -> bytes:
       FROM b)
     SELECT doc_id,
       CAST(n_pages AS INT) AS n_pages,
-      CAST(doc_id % 4 AS INT) AS variant,
+      CAST(doc_id % 5 AS INT) AS variant,
       length(text) AS n_chars,
       1 AS text_exact,
-      CAST(CASE WHEN doc_id % 4 = 2 THEN 0 ELSE 3 + n_pages END AS INT)
-        AS n_objstm
+      CAST(CASE WHEN doc_id % 5 IN (2, 4) THEN 0 ELSE 3 + n_pages END
+        AS INT) AS n_objstm
     FROM p
     """,
     doc="PDF 1.5+ cross-reference-stream extraction — the r11 verdict's "
@@ -3920,16 +3921,16 @@ def _render_pdf_xrefstream(doc_id: int, text: str) -> bytes:
     "§7.5.8, binary rows per /W with /Index subsections and usually a "
     "PNG /Predictor 12) and packs small objects into /Type/ObjStm "
     "object streams reached through type-2 entries (§7.5.7); documents "
-    "staged here cycle four shapes by doc_id%4: plain xref-stream + "
+    "staged here cycle five shapes by doc_id%5: plain xref-stream + "
     "ObjStm, predictor-coded rows, no-ObjStm + predictor, and a REAL "
     "incremental update whose base revision carries superseded "
     "placeholder content so byte-exact recovery (text_exact, demanded "
     "per row by the oracle) PROVES the /Prev chain walk with "
     "newest-entry-wins precedence — a reader that skipped /Prev loses "
     "the catalog, one with old-wins precedence returns the stale "
-    "bytes.  n_objstm counts the type-2 entries the chain walk "
+    "bytes — plus a HYBRID-REFERENCE file (§7.5.8.4, the Acrobat-updated shape) whose classic table covers only page/content objects and whose catalog/page-tree/font are reachable ONLY through the trailer's /XRefStm bridge.  n_objstm counts the type-2 entries the chain walk "
     "resolved (3 + n_pages packed dict objects, or 0 for the "
-    "no-ObjStm variant), which the oracle recomputes from the page "
+    "no-ObjStm and hybrid variants), which the oracle recomputes from the page "
     "arithmetic — structural evidence the object-stream indirection "
     "was decoded, not bypassed by a body scan.  Hostile shapes "
     "(cyclic /Prev, overlapping ObjStm mappings, truncated xref data, "
@@ -3975,7 +3976,7 @@ def pipeline_pdf_xrefstream_extract(
                 rebuilt = "".join(ln for pg in pages for ln in pg)
                 out["doc_id"].append(int(doc_id))
                 out["n_pages"].append(len(pages))
-                out["variant"].append(int(doc_id) % 4)
+                out["variant"].append(int(doc_id) % 5)
                 out["n_chars"].append(len(rebuilt))
                 out["text_exact"].append(1 if rebuilt == text else 0)
                 out["n_objstm"].append(prof["objstm"])

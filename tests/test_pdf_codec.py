@@ -480,3 +480,15 @@ def test_hybrid_xrefstm_bridges_missing_entries():
     broken = bytes(out).replace(b" /XRefStm %d" % stm_at, b"")
     with pytest.raises(ValueError, match="missing from xref"):
         extract_pdf_text(broken)
+
+
+def test_hybrid_writer_variant_roundtrip():
+    # the writer's own hybrid layout (classic table + /XRefStm bridge),
+    # complementing the hand-built file above
+    for kw in (dict(), dict(compress=True), dict(predictor=True)):
+        buf = write_pdf_xrefstream(_PAGES, objstm=False, hybrid=True, **kw)
+        assert extract_pdf_text(buf) == _PAGES
+        # startxref points at the classic table; the stream is bridged
+        assert b"/XRefStm" in buf
+    with pytest.raises(ValueError, match="hybrid layout stands alone"):
+        write_pdf_xrefstream(_PAGES, hybrid=True)
