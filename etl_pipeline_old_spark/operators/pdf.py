@@ -337,6 +337,114 @@ def write_pdf_xrefstream(
     return bytes(out)
 
 
+def _esc_code_bytes(data: bytes) -> bytes:
+    """Literal-string escape for raw CODE bytes (an /Encoding font's
+    shown strings are codes, not UTF-8): delimiters backslashed,
+    controls and high bytes octal-escaped."""
+    out = bytearray()
+    for b in data:
+        if b in (0x28, 0x29, 0x5C):
+            out += b"\\" + bytes([b])
+        elif b < 0x20 or b >= 0x7F:
+            out += b"\\%03o" % b
+        else:
+            out.append(b)
+    return bytes(out)
+
+
+def write_pdf_encoded(pages: list, mixed: bool = True,
+                      compress: bool = False) -> bytes:
+    """Serialize ``pages`` as a pre-CID real-world PDF: ONE simple font
+    whose /Encoding dict carries /BaseEncoding /WinAnsiEncoding plus a
+    /Differences array, with the shown strings holding the custom CODE
+    bytes.  ``mixed=True`` is the font-subsetter shape — ASCII
+    printables ride as their own WinAnsi bytes, everything else (the
+    Cyrillic reality of this corpus) through /Differences codes from
+    128 up.  ``mixed=False`` remaps EVERY character through
+    /Differences codes from 33 up (using Standard glyph NAMES where
+    one exists, uniXXXX otherwise), so byte-blind UTF-8 decoding
+    yields pure garbage and recovery PROVES the encoding walk."""
+    chars = sorted({c for pg in pages for ln in pg for c in ln})
+    if mixed:
+        direct = [c for c in chars if 32 <= ord(c) <= 126]
+        diffed = [c for c in chars if not 32 <= ord(c) <= 126]
+        start = 128
+    else:
+        direct, diffed, start = [], chars, 33
+    if start + len(diffed) > 256:
+        raise ValueError(
+            "pdf: too many distinct characters for a one-font "
+            "/Differences encoding — use write_pdf_cid"
+        )
+    code_of = {c: ord(c) for c in direct}
+    for i, c in enumerate(diffed):
+        code_of[c] = start + i
+    rev_std = {v: k for k, v in _STD_GLYPH_NAMES.items()}
+
+    def gname(c: str) -> bytes:
+        if not mixed and c in rev_std:
+            return b"/" + rev_std[c].encode("ascii")
+        return b"/uni%04X" % ord(c)
+
+    diffs = b""
+    if diffed:
+        diffs = b" /Differences [%d %s]" % (
+            start, b" ".join(gname(c) for c in diffed),
+        )
+    font_obj = (
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/Encoding << /BaseEncoding /WinAnsiEncoding%s >> >>" % diffs
+    )
+
+    def content(lines: list) -> bytes:
+        ops = [b"BT /F1 12 Tf 72 720 Td"]
+        for i, line in enumerate(lines):
+            if i:
+                ops.append(b"0 -14 Td")
+            coded = bytes(code_of[c] for c in line)
+            ops.append(b"(" + _esc_code_bytes(coded) + b") Tj")
+        ops.append(b"ET")
+        return b"\n".join(ops)
+
+    objs: list[bytes] = []
+    n_pages = len(pages)
+    kids = b" ".join(b"%d 0 R" % (4 + 2 * i) for i in range(n_pages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(
+        b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % n_pages
+    )
+    objs.append(font_obj)
+    for i, lines in enumerate(pages):
+        objs.append(
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> "
+            b"/Contents %d 0 R >>" % (5 + 2 * i)
+        )
+        data = content(lines)
+        if compress:
+            data = zlib.compress(data, 9)
+            head = b"<< /Length %d /Filter /FlateDecode >>" % len(data)
+        else:
+            head = b"<< /Length %d >>" % len(data)
+        objs.append(head + b"\nstream\n" + data + b"\nendstream")
+
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0]
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref_at)
+    )
+    return bytes(out)
+
+
 def write_pdf_encrypted(
     pages: list,
     user_pw: bytes = b"",
@@ -1351,13 +1459,129 @@ def write_tounicode_cmap(mapping: dict) -> bytes:
     return b"\n".join(lines)
 
 
+# ------------------------------------------- simple-font /Encoding maps
+# Annex D encodings + /Differences (ISO 32000-1 §9.6.6): the pre-CID
+# real-world shape — a simple font's shown bytes are CODES whose
+# meaning rides in the font's /Encoding entry, not UTF-8.  Glyph names
+# resolve per the public Adobe Glyph List conventions: uniXXXX /
+# uXXXX[XX] forms computationally, the Standard-name set for ASCII via
+# the table below (letters and digits are their own names).
+
+_STD_GLYPH_NAMES = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+}
+for _d in "0123456789":
+    _STD_GLYPH_NAMES[
+        ("zero", "one", "two", "three", "four", "five", "six", "seven",
+         "eight", "nine")[int(_d)]
+    ] = _d
+for _c in "abcdefghijklmnopqrstuvwxyz":
+    _STD_GLYPH_NAMES[_c] = _c
+    _STD_GLYPH_NAMES[_c.upper()] = _c.upper()
+
+
+def glyph_to_char(name: str) -> str:
+    """Resolve a glyph NAME (no leading slash) to its character per the
+    AGL conventions; unknown names raise loudly — a silently dropped
+    glyph is corrupted text."""
+    if name.startswith("uni") and len(name) == 7:
+        try:
+            return chr(int(name[3:], 16))
+        except ValueError:
+            pass
+    if name.startswith("u") and 5 <= len(name) <= 7:
+        try:
+            return chr(int(name[1:], 16))
+        except ValueError:
+            pass
+    if name in _STD_GLYPH_NAMES:
+        return _STD_GLYPH_NAMES[name]
+    raise NotImplementedError(
+        f"pdf: glyph name /{name} not in the implemented AGL subset "
+        "(uniXXXX/uXXXXXX forms and the Standard ASCII names)"
+    )
+
+
+def _base_encoding_char(base: str, code: int) -> str:
+    """One byte through a base encoding.  WinAnsi is byte-identical to
+    cp1252 and MacRoman to mac-roman (both public tables, both decoded
+    via CPython's independent codecs so the mapping cannot drift);
+    their undefined slots raise.  Other bases stay loud seams."""
+    if base == "/WinAnsiEncoding":
+        codec = "cp1252"
+    elif base == "/MacRomanEncoding":
+        codec = "mac-roman"
+    else:
+        raise NotImplementedError(
+            f"pdf: base encoding {base} — WinAnsi and MacRoman decode "
+            "natively"
+        )
+    try:
+        return bytes([code]).decode(codec)
+    except UnicodeDecodeError:
+        raise ValueError(
+            f"pdf: code {code} is undefined in {base}"
+        ) from None
+
+
+def _encoding_decoder(doc: _Doc, enc):
+    """Build byte-code → char decoding for a simple font's /Encoding:
+    a bare base-encoding name, or a dict with /BaseEncoding and a
+    /Differences array ([code name name ... code name ...])."""
+    if isinstance(enc, str):
+        base, diffs = enc, None
+    elif isinstance(enc, dict):
+        base = doc.resolve(enc.get("BaseEncoding", "/WinAnsiEncoding"))
+        diffs = doc.resolve(enc.get("Differences"))
+    else:
+        raise ValueError("pdf: /Encoding is neither a name nor a dict")
+    table: dict[int, str] = {}
+    if diffs is not None:
+        if not isinstance(diffs, list):
+            raise ValueError("pdf: /Differences is not an array")
+        code = None
+        for item in diffs:
+            if isinstance(item, int):
+                code = item
+            elif isinstance(item, str) and item.startswith("/"):
+                if code is None or not 0 <= code <= 255:
+                    raise ValueError(
+                        "pdf: /Differences name without a valid code"
+                    )
+                table[code] = glyph_to_char(item[1:])
+                code += 1
+            else:
+                raise ValueError(
+                    f"pdf: /Differences entry {item!r} is neither a "
+                    "code nor a name"
+                )
+
+    def decode(b: bytes) -> str:
+        return "".join(
+            table[c] if c in table else _base_encoding_char(base, c)
+            for c in b
+        )
+
+    return decode
+
+
 def _font_decoder(doc: _Doc, font: dict):
     """Build the shown-bytes → str decoder for one font dict.  Priority:
     an embedded /ToUnicode CMap (the spec's own reverse map — works for
-    simple AND Type0 fonts); a Type0 font without one is the loud seam
-    (recovery would need the embedded font program's cmap table); simple
-    fonts without one decode as UTF-8 bytes (this module's writer
-    convention — PDF strings are byte strings)."""
+    simple AND Type0 fonts); a simple font's /Encoding entry (base
+    encoding + /Differences, §9.6.6 — the pre-CID real-world shape);
+    a Type0 font without a ToUnicode is the loud seam (recovery would
+    need the embedded font program's cmap table); simple fonts with
+    neither decode as UTF-8 bytes (this module's writer convention —
+    PDF strings are byte strings)."""
     tu = font.get("ToUnicode")
     if tu is not None:
         stream = doc.resolve(tu)
@@ -1365,6 +1589,9 @@ def _font_decoder(doc: _Doc, font: dict):
             raise ValueError("pdf: /ToUnicode is not a stream")
         codespace, mapping = parse_tounicode_cmap(doc.stream_data(stream))
         return lambda b: decode_with_cmap(b, codespace, mapping)
+    enc = font.get("Encoding")
+    if enc is not None and font.get("Subtype") != "/Type0":
+        return _encoding_decoder(doc, doc.resolve(enc))
     if font.get("Subtype") == "/Type0":
         raise NotImplementedError(
             "pdf: Type0 (CID) font without /ToUnicode — recovery needs "
@@ -1485,6 +1712,41 @@ def tounicode_entries(payload: bytes) -> int:
             _, mapping = parse_tounicode_cmap(doc.stream_data(stream))
             seen.update(mapping.items())
     return len(seen)
+
+
+def encoding_differences_count(payload: bytes) -> int:
+    """Distinct codes remapped by /Differences across the document's
+    page fonts — structural evidence the /Encoding dict was parsed
+    (the oracle recomputes the expected count from the staged text's
+    character census)."""
+    doc = _Doc(payload)
+    root = doc.resolve(doc.trailer["Root"])
+    pages: list = []
+    _walk_pages(doc, doc.resolve(root["Pages"]), pages)
+    codes: set = set()
+    for _page, res in pages:
+        if res is None:
+            continue
+        rd = doc.resolve(res)
+        fonts = doc.resolve(rd.get("Font")) if isinstance(rd, dict) else None
+        if not isinstance(fonts, dict):
+            continue
+        for f in fonts.values():
+            font = doc.resolve(f)
+            enc = doc.resolve(font.get("Encoding"))
+            if not isinstance(enc, dict):
+                continue
+            diffs = doc.resolve(enc.get("Differences"))
+            if not isinstance(diffs, list):
+                continue
+            code = None
+            for item in diffs:
+                if isinstance(item, int):
+                    code = item
+                elif code is not None:
+                    codes.add(code)
+                    code += 1
+    return len(codes)
 
 
 def extract_pdf_text(payload: bytes, password: bytes = b"") -> list:

@@ -3789,6 +3789,115 @@ def pipeline_pdf_aes_extract(
     )
 
 
+def _render_pdf_encoded(doc_id: int, text: str) -> bytes:
+    from ..operators.pdf import write_pdf_encoded
+
+    return write_pdf_encoded(
+        _pdf_pages(text),
+        mixed=doc_id % 2 == 1,
+        compress=doc_id % 3 == 0,
+    )
+
+
+@register(
+    "pipeline_pdf_encoding_extract",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, text,
+             greatest(1, (length(text) + {_PDF_LINE - 1}) // {_PDF_LINE})
+               AS n_lines,
+             list_distinct(regexp_split_to_array(text, '')) AS dchars
+      FROM documents)
+    SELECT doc_id,
+      CAST((n_lines + {_PDF_PAGE_LINES - 1}) // {_PDF_PAGE_LINES} AS INT)
+        AS n_pages,
+      CAST(doc_id % 2 AS INT) AS mixed,
+      length(text) AS n_chars,
+      1 AS text_exact,
+      CAST(CASE WHEN doc_id % 2 = 1
+           THEN len(list_filter(dchars,
+                    x -> unicode(x) < 32 OR unicode(x) > 126))
+           ELSE len(dchars) END AS INT) AS n_diffs
+    FROM b
+    """,
+    doc="Simple-font /Encoding extraction (ISO 32000-1 §9.6.6 + Annex "
+    "D) — the PRE-CID real-world PDF shape this corpus's domain hits "
+    "constantly: a Type1 font whose shown bytes are CODES defined by "
+    "/BaseEncoding /WinAnsiEncoding plus a /Differences array (the "
+    "font-subsetter output for Cyrillic text), where byte-blind UTF-8 "
+    "decoding yields garbage.  Odd ids stage the subsetter shape "
+    "(ASCII as WinAnsi bytes, every other char through /Differences "
+    "codes from 128); even ids remap EVERY character from code 33 — "
+    "using Standard glyph NAMES (/a /space /comma) where one exists "
+    "and /uniXXXX otherwise — so exact recovery (text_exact, demanded "
+    "per row) PROVES the Differences walk, the AGL name resolution, "
+    "and the cp1252-pinned WinAnsi base (operators/pdf.py "
+    "glyph_to_char/_base_encoding_char; WinAnsi/MacRoman decode "
+    "through CPython's independent codec tables so the mapping "
+    "cannot drift).  n_diffs counts the codes the parsed /Differences "
+    "actually remapped, which the oracle recomputes as the staged "
+    "text's character census.  Unknown glyph names, undefined "
+    "WinAnsi slots, and malformed Differences arrays raise per "
+    "record.  Scale: identical to the other PDF sentinels — "
+    "map-side Arrow kernel, no shuffle before the per-doc frame.",
+)
+def pipeline_pdf_encoding_extract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    path = _stage_media_files(
+        spark, sf_dir, "pdf_encoded_files", "pdf", _render_pdf_encoded
+    )
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.pdf")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.pdf$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "content",
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    joined = bf.join(docs, "doc_id")
+
+    def op(batches):
+        import pandas as pd
+
+        from ..operators.pdf import (
+            encoding_differences_count,
+            extract_pdf_text,
+        )
+
+        for pdf_batch in batches:
+            out = {
+                "doc_id": [], "n_pages": [], "mixed": [],
+                "n_chars": [], "text_exact": [], "n_diffs": [],
+            }
+            for doc_id, content, text in zip(
+                pdf_batch["doc_id"], pdf_batch["content"],
+                pdf_batch["text"],
+            ):
+                payload = bytes(content)
+                pages = extract_pdf_text(payload)
+                rebuilt = "".join(ln for pg in pages for ln in pg)
+                out["doc_id"].append(int(doc_id))
+                out["n_pages"].append(len(pages))
+                out["mixed"].append(int(doc_id) % 2)
+                out["n_chars"].append(len(rebuilt))
+                out["text_exact"].append(1 if rebuilt == text else 0)
+                out["n_diffs"].append(
+                    encoding_differences_count(payload)
+                )
+            yield pd.DataFrame(out)
+
+    return joined.mapInPandas(
+        op,
+        schema="doc_id long, n_pages int, mixed int, n_chars long, "
+        "text_exact int, n_diffs int",
+    )
+
+
 def _render_pdf_cid(doc_id: int, text: str) -> bytes:
     from ..operators.pdf import write_pdf_cid
 

@@ -142,7 +142,7 @@ def main() -> None:
         by_p.setdefault(name, {})[k] = (sr, st)
     lines = [
         "<!-- pipeline-scale:begin -->",
-        "## Capstone pipeline scaling (r11, tools/pipeline_scale_probe.py)",
+        "## Capstone pipeline scaling (r12, tools/pipeline_scale_probe.py)",
         "",
         f"sf0.1 documents inflated k-fold into a temp sf_dir; loadavg at "
         f"start {load1:.1f}/{load5:.1f}. `stage+run` includes the one-time "
