@@ -292,6 +292,9 @@ _CORE_FIRST = (
     # round-12: SQLite WAL sidecar read — the live-copied .db case
     # (r11 verdict #9)
     "multimodal_sqlite_wal_ingest",
+    # round-12: simple-font /Encoding (WinAnsi + /Differences) — the
+    # pre-CID real-world PDF text shape
+    "pipeline_pdf_encoding_extract",
 )
 
 

@@ -492,3 +492,87 @@ def test_hybrid_writer_variant_roundtrip():
         assert b"/XRefStm" in buf
     with pytest.raises(ValueError, match="hybrid layout stands alone"):
         write_pdf_xrefstream(_PAGES, hybrid=True)
+
+
+# ------------------------------------------ simple-font /Encoding (r12)
+
+from etl_pipeline_old_spark.operators.pdf import (  # noqa: E402
+    encoding_differences_count,
+    glyph_to_char,
+    write_pdf_encoded,
+)
+
+
+@pytest.mark.parametrize("mixed", [True, False])
+@pytest.mark.parametrize("compress", [False, True])
+def test_encoded_roundtrip_byte_exact(mixed, compress):
+    pages = [["Привет, мир! Hello.", "строка two"],
+             ["стр 2 (скобки) \\ и \t таб"]]
+    buf = write_pdf_encoded(pages, mixed=mixed, compress=compress)
+    assert extract_pdf_text(buf) == pages
+    # the shown bytes are CODES: the Cyrillic UTF-8 bytes never appear
+    assert "Привет".encode("utf-8") not in buf
+    if not mixed:
+        assert b"(Hello" not in buf  # even ASCII is remapped
+
+
+def test_encoded_differences_census():
+    pages = [["абв ABC"]]
+    full = write_pdf_encoded(pages, mixed=False)
+    mixedb = write_pdf_encoded(pages, mixed=True)
+    # full remap: every distinct char; mixed: only the non-ASCII ones
+    assert encoding_differences_count(full) == len(set("абв ABC"))
+    assert encoding_differences_count(mixedb) == 3
+
+
+def test_glyph_name_resolution_forms():
+    assert glyph_to_char("uni0416") == "Ж"
+    assert glyph_to_char("u1F600") == "\U0001F600"
+    assert glyph_to_char("space") == " "
+    assert glyph_to_char("quotesingle") == "'"
+    assert glyph_to_char("seven") == "7"
+    assert glyph_to_char("A") == "A"
+    with pytest.raises(NotImplementedError, match="AGL subset"):
+        glyph_to_char("afii10017")   # honest seam: afii names untabled
+    with pytest.raises(NotImplementedError, match="AGL subset"):
+        glyph_to_char("uniXYZW")     # malformed hex falls through, loud
+
+
+def test_winansi_base_matches_cp1252_and_undefined_slots_loud():
+    from etl_pipeline_old_spark.operators.pdf import _base_encoding_char
+
+    # spot-check the high range against CPython's independent table
+    for code in (0x80, 0x91, 0xA9, 0xE9, 0xFF):
+        assert _base_encoding_char("/WinAnsiEncoding", code) == \
+            bytes([code]).decode("cp1252")
+    assert _base_encoding_char("/MacRomanEncoding", 0xA5) == \
+        bytes([0xA5]).decode("mac-roman")
+    with pytest.raises(ValueError, match="undefined in /WinAnsiEncoding"):
+        _base_encoding_char("/WinAnsiEncoding", 0x81)
+    with pytest.raises(NotImplementedError, match="WinAnsi and MacRoman"):
+        _base_encoding_char("/PDFDocEncoding", 0x41)
+
+
+def test_plain_base_encoding_name_without_differences():
+    # /Encoding as a bare NAME: WinAnsi bytes decode through cp1252
+    pdf = write_pdf_encoded([["plain ascii"]], mixed=True)
+    # no non-ASCII chars -> no /Differences emitted at all
+    assert b"/Differences" not in pdf
+    assert extract_pdf_text(pdf) == [["plain ascii"]]
+
+
+def test_differences_grammar_damage_is_loud():
+    pdf = write_pdf_encoded([["абв"]], mixed=True)
+    assert b"/Differences [128" in pdf
+    # name before any code: same-length patch replacing the start code
+    broken = pdf.replace(b"/Differences [128", b"/Differences [/u1", 1)
+    with pytest.raises((ValueError, NotImplementedError)):
+        extract_pdf_text(broken)
+
+
+def test_type0_encoding_name_not_misrouted():
+    # a CID font's /Encoding is a CMap NAME (/Identity-H) — it must not
+    # reach the simple-font base-encoding path (ToUnicode wins)
+    pdf = write_pdf_cid([["cid строка"]])
+    assert b"/Identity-H" in pdf
+    assert extract_pdf_text(pdf) == [["cid строка"]]

@@ -142,6 +142,8 @@ REPEAT_QUERIES = (
     "multimodal_webp_lossless_ingest",
     # r12: staged (db, -wal) sidecar pairs
     "multimodal_sqlite_wal_ingest",
+    # r12: staged /Differences-encoded simple-font PDFs
+    "pipeline_pdf_encoding_extract",
     # r11: staged OOXML office documents (.docx text, .xlsx typed cells,
     # .pptx slides), RTF exports, and ZipCrypto-protected archives
     "pipeline_docx_extract",
