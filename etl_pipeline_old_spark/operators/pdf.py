@@ -337,6 +337,74 @@ def write_pdf_xrefstream(
     return bytes(out)
 
 
+def write_pdf_images(images: list, compress_content: bool = False) -> bytes:
+    """Serialize a one-page PDF whose /Resources carry one image
+    XObject per entry of ``images`` — each ``(kind, width, height,
+    payload)`` with kind ``"flate"`` (payload = raw 8-bit DeviceGray
+    samples, FlateDecoded into the stream) or ``"dct"`` (payload = a
+    complete JFIF file, embedded as-is under /DCTDecode, which is how
+    every real producer ships JPEG figures).  The content stream
+    paints each image so the page is a genuine figure page."""
+    objs: list[bytes] = []
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    n = len(images)
+    im_refs = b" ".join(
+        b"/Im%d %d 0 R" % (i, 5 + i) for i in range(n)
+    )
+    objs.append(
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /XObject << " + im_refs + b" >> >> "
+        b"/Contents 4 0 R >>"
+    )
+    ops = []
+    for i in range(n):
+        ops.append(b"q 96 0 0 96 %d 600 cm /Im%d Do Q" % (60 + 120 * i, i))
+    data = b"\n".join(ops)
+    if compress_content:
+        data = zlib.compress(data, 9)
+        objs.append(
+            b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(data)
+            + data + b"\nendstream"
+        )
+    else:
+        objs.append(
+            b"<< /Length %d >>\nstream\n" % len(data) + data + b"\nendstream"
+        )
+    for kind, w, h, payload in images:
+        if kind == "flate":
+            if len(payload) != w * h:
+                raise ValueError("pdf: flate image payload size mismatch")
+            body = zlib.compress(payload, 9)
+            filt = b"/FlateDecode"
+        elif kind == "dct":
+            body = payload
+            filt = b"/DCTDecode"
+        else:
+            raise ValueError(f"pdf: unknown image kind {kind!r}")
+        objs.append(
+            b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+            b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter %s "
+            b"/Length %d >>\nstream\n" % (w, h, filt, len(body))
+            + body + b"\nendstream"
+        )
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0]
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref_at)
+    )
+    return bytes(out)
+
+
 def _esc_code_bytes(data: bytes) -> bytes:
     """Literal-string escape for raw CODE bytes (an /Encoding font's
     shown strings are codes, not UTF-8): delimiters backslashed,
@@ -1712,6 +1780,44 @@ def tounicode_entries(payload: bytes) -> int:
             _, mapping = parse_tounicode_cmap(doc.stream_data(stream))
             seen.update(mapping.items())
     return len(seen)
+
+
+def extract_pdf_images(payload: bytes, password: bytes = b"") -> list:
+    """Extract the image XObjects reachable from the page tree, in
+    (page order, resource name) order: ``[(name, width, height,
+    filter_name, data), ...]``.  FlateDecoded (and unfiltered) images
+    return their RAW SAMPLES; /DCTDecode images return the embedded
+    JPEG FILE bytes verbatim — the standard extractor behavior, since
+    the JPEG stream *is* the interchange file (decode it with
+    operators/jpeg.decode_jpeg).  Other filters raise the documented
+    codec seam."""
+    if payload[:5] != b"%PDF-":
+        raise ValueError("pdf: missing %PDF header")
+    doc = _Doc(payload, password=password)
+    root = doc.resolve(doc.trailer["Root"])
+    pages: list = []
+    _walk_pages(doc, doc.resolve(root["Pages"]), pages)
+    out = []
+    for _page, res in pages:
+        if res is None:
+            continue
+        rd = doc.resolve(res)
+        xd = doc.resolve(rd.get("XObject")) if isinstance(rd, dict) else None
+        if not isinstance(xd, dict):
+            continue
+        for name in sorted(xd):
+            obj = doc.resolve(xd[name])
+            if not isinstance(obj, dict) or obj.get("Subtype") != "/Image":
+                continue
+            w = doc.resolve(obj.get("Width"))
+            h = doc.resolve(obj.get("Height"))
+            filt = doc.resolve(obj.get("Filter"))
+            if filt == "/DCTDecode":
+                data = obj["__stream__"]
+            else:
+                data = doc.stream_data(obj)  # None/Flate; others raise
+            out.append((name, w, h, filt, data))
+    return out
 
 
 def encoding_differences_count(payload: bytes) -> int:

@@ -3898,6 +3898,115 @@ def pipeline_pdf_encoding_extract(
     )
 
 
+def _render_pdf_with_images(doc_id: int, text: str) -> bytes:
+    from ..operators.jpeg import encode_jpeg
+    from ..operators.multimodal import md5_pixels
+    from ..operators.pdf import write_pdf_images
+
+    px = bytes(md5_pixels(text, 64))
+    jpg = encode_jpeg(list(px), 8, 8, quality=90)
+    return write_pdf_images(
+        [("flate", 8, 8, px), ("dct", 8, 8, jpg)],
+        compress_content=doc_id % 2 == 1,
+    )
+
+
+@register(
+    "pipeline_pdf_images_extract",
+    oracle=f"""
+    WITH px AS (
+      SELECT doc_id, [{", ".join(_ppm_pixel_sql(j) for j in range(64))}]
+        AS p
+      FROM documents)
+    SELECT doc_id, 2 AS n_images,
+      CAST(list_sum(p) AS BIGINT) AS flate_sum,
+      8 AS dct_w, 8 AS dct_h,
+      1 AS dct_bytes_exact, 1 AS dct_decoded_ok
+    FROM px
+    """,
+    doc="PDF embedded-IMAGE extraction (operators/pdf.py "
+    "write_pdf_images/extract_pdf_images) — the multimodal half of "
+    "document ingest: figures ride as /XObject /Image streams, and a "
+    "papers/reports corpus recovers them for image-text pairing. Each "
+    "document stages a genuine figure page carrying the SAME "
+    "md5-derived raster twice: once /FlateDecode (raw DeviceGray "
+    "samples — the oracle recomputes their sum from the shared "
+    "md5_pixel_sql formula, exact) and once /DCTDecode holding a real "
+    "JFIF file produced by the engine's own baseline JPEG encoder "
+    "(operators/jpeg.py, the codec already cross-validated against "
+    "javax.imageio). Extraction walks page resources in deterministic "
+    "order, inflates the Flate image to samples, and returns the DCT "
+    "stream's bytes VERBATIM (the JPEG stream IS the interchange "
+    "file — standard extractor behavior); the kernel then proves "
+    "byte-exact recovery by re-rendering the staged JPEG and decodes "
+    "it with the own decoder for the dimension check. Non-image "
+    "filters stay the documented seam. Scale: the usual binaryFile + "
+    "Arrow-kernel shape; figure bytes never shuffle.",
+)
+def pipeline_pdf_images_extract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    path = _stage_media_files(
+        spark, sf_dir, "pdf_image_files", "pdf", _render_pdf_with_images
+    )
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.pdf")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.pdf$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "content",
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    joined = bf.join(docs, "doc_id")
+
+    def op(batches):
+        import pandas as pd
+
+        from ..operators.jpeg import decode_jpeg, encode_jpeg
+        from ..operators.multimodal import md5_pixels
+        from ..operators.pdf import extract_pdf_images
+
+        for pdf_batch in batches:
+            out = {
+                "doc_id": [], "n_images": [], "flate_sum": [],
+                "dct_w": [], "dct_h": [], "dct_bytes_exact": [],
+                "dct_decoded_ok": [],
+            }
+            for doc_id, content, text in zip(
+                pdf_batch["doc_id"], pdf_batch["content"],
+                pdf_batch["text"],
+            ):
+                imgs = extract_pdf_images(bytes(content))
+                by_filt = {f: (w, h, d) for _n, w, h, f, d in imgs}
+                fw, fh, fdata = by_filt["/FlateDecode"]
+                dw, dh, ddata = by_filt["/DCTDecode"]
+                px = bytes(md5_pixels(text, 64))
+                expected_jpg = encode_jpeg(list(px), 8, 8, quality=90)
+                jw, jh, _dec = decode_jpeg(ddata)
+                out["doc_id"].append(int(doc_id))
+                out["n_images"].append(len(imgs))
+                out["flate_sum"].append(sum(fdata))
+                out["dct_w"].append(dw)
+                out["dct_h"].append(dh)
+                out["dct_bytes_exact"].append(
+                    1 if ddata == expected_jpg else 0
+                )
+                out["dct_decoded_ok"].append(
+                    1 if (jw, jh) == (dw, dh) and fdata == px else 0
+                )
+            yield pd.DataFrame(out)
+
+    return joined.mapInPandas(
+        op,
+        schema="doc_id long, n_images int, flate_sum long, dct_w int, "
+        "dct_h int, dct_bytes_exact int, dct_decoded_ok int",
+    )
+
+
 def _render_pdf_cid(doc_id: int, text: str) -> bytes:
     from ..operators.pdf import write_pdf_cid
 

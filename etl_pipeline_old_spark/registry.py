@@ -295,6 +295,9 @@ _CORE_FIRST = (
     # round-12: simple-font /Encoding (WinAnsi + /Differences) — the
     # pre-CID real-world PDF text shape
     "pipeline_pdf_encoding_extract",
+    # round-12: PDF embedded-image extraction (figures for image-text
+    # pairing; /FlateDecode samples + verbatim /DCTDecode JFIF)
+    "pipeline_pdf_images_extract",
 )
 
 

@@ -576,3 +576,51 @@ def test_type0_encoding_name_not_misrouted():
     pdf = write_pdf_cid([["cid строка"]])
     assert b"/Identity-H" in pdf
     assert extract_pdf_text(pdf) == [["cid строка"]]
+
+
+# --------------------------------------------- image XObjects (r12)
+
+from etl_pipeline_old_spark.operators.pdf import (  # noqa: E402
+    extract_pdf_images,
+    write_pdf_images,
+)
+
+
+def test_image_xobjects_flate_and_dct():
+    import numpy as np
+
+    from etl_pipeline_old_spark.operators.jpeg import (
+        decode_jpeg, encode_jpeg)
+
+    px = bytes(range(64))
+    jpg = encode_jpeg(list(px), 8, 8, quality=90)
+    for cc in (False, True):
+        pdf = write_pdf_images(
+            [("flate", 8, 8, px), ("dct", 8, 8, jpg)], compress_content=cc
+        )
+        imgs = extract_pdf_images(pdf)
+        assert [(n, w, h, f) for n, w, h, f, _ in imgs] == [
+            ("Im0", 8, 8, "/FlateDecode"), ("Im1", 8, 8, "/DCTDecode"),
+        ]
+        assert imgs[0][4] == px          # samples inflate exactly
+        assert imgs[1][4] == jpg         # the JPEG file rides verbatim
+        w, h, dec = decode_jpeg(imgs[1][4])
+        assert (w, h) == (8, 8)
+        assert dec.dtype == np.uint8
+
+
+def test_image_payload_size_mismatch_is_loud():
+    with pytest.raises(ValueError, match="payload size mismatch"):
+        write_pdf_images([("flate", 8, 8, b"short")])
+
+
+def test_unknown_image_filter_is_documented_seam():
+    px = bytes(range(64))
+    pdf = write_pdf_images([("flate", 8, 8, px)])
+    broken = pdf.replace(b"/Filter /FlateDecode", b"/Filter /JPXDecode  ", 1)
+    with pytest.raises(NotImplementedError, match="JPXDecode"):
+        extract_pdf_images(broken)
+
+
+def test_text_pages_have_no_images():
+    assert extract_pdf_images(write_pdf(_PAGES)) == []

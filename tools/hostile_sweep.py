@@ -144,6 +144,8 @@ REPEAT_QUERIES = (
     "multimodal_sqlite_wal_ingest",
     # r12: staged /Differences-encoded simple-font PDFs
     "pipeline_pdf_encoding_extract",
+    # r12: staged figure-page PDFs (Flate + DCT image XObjects)
+    "pipeline_pdf_images_extract",
     # r11: staged OOXML office documents (.docx text, .xlsx typed cells,
     # .pptx slides), RTF exports, and ZipCrypto-protected archives
     "pipeline_docx_extract",
