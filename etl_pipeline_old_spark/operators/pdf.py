@@ -984,7 +984,12 @@ def _read_xref_stream(buf: bytes, at: int, entries: dict) -> dict:
     filt = d.get("Filter")
     for f in filt if isinstance(filt, list) else ([filt] if filt else []):
         if f == "/FlateDecode":
-            raw = zlib.decompress(raw)
+            try:
+                raw = zlib.decompress(raw)
+            except zlib.error as exc:
+                raise ValueError(
+                    f"pdf: xref stream inflate failed ({exc})"
+                ) from exc
         else:
             raise NotImplementedError(f"pdf: xref stream filter {f}")
     parms = d.get("DecodeParms")
@@ -1280,7 +1285,12 @@ class _Doc:
         filts = filt if isinstance(filt, list) else [filt]
         for f in filts:
             if f == "/FlateDecode":
-                raw = zlib.decompress(raw)
+                try:
+                    raw = zlib.decompress(raw)
+                except zlib.error as exc:
+                    raise ValueError(
+                        f"pdf: stream inflate failed ({exc})"
+                    ) from exc
             else:
                 raise NotImplementedError(
                     f"pdf: filter {f} needs an external codec — "

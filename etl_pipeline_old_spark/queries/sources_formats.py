@@ -3789,6 +3789,90 @@ def pipeline_pdf_aes_extract(
     )
 
 
+def _render_corrupt_pdf_xrefstream(doc_id: int, text: str) -> bytes:
+    buf = _render_pdf_xrefstream(doc_id, text)
+    if doc_id % _CORRUPT_MOD == 0:
+        # tear INSIDE the newest cross-reference stream's FlateDecoded
+        # payload — the damage class unique to PDF 1.5+ files (every
+        # object may be intact, but the map to them is gone).  The
+        # last "\nstream\n" in the file opens the xref stream in every
+        # variant (endstream cannot suffix-match it).
+        at = buf.rfind(b"\nstream\n") + len(b"\nstream\n")
+        torn = bytearray(buf)
+        for i in range(3):
+            torn[at + 2 + i] ^= 0xFF
+        return bytes(torn)
+    return buf
+
+
+@register(
+    "pdf_xrefstream_quarantine",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN doc_id % {_CORRUPT_MOD} = 0 THEN 'corrupt' ELSE 'ok' END
+             AS status,
+           CASE WHEN doc_id % {_CORRUPT_MOD} = 0 THEN NULL
+                ELSE length(text) END AS n_chars
+    FROM documents
+    """,
+    doc="Per-record QUARANTINE for the xref-stream document corpus — "
+    f"the operational sibling of pipeline_pdf_xrefstream_extract: every "
+    f"{_CORRUPT_MOD}th staged PDF 1.5+ file is torn INSIDE its newest "
+    "cross-reference stream's FlateDecoded payload, the damage class "
+    "unique to compressed cross-references (every object may be "
+    "intact, but the map to them is gone — a truncated or bit-rotted "
+    "tail on a modern PDF lands exactly here). The kernel wraps the "
+    "same parser that pipeline_pdf_xrefstream_extract uses and routes "
+    "failures to a status column; the oracle checks both halves — "
+    "corrupt files quarantine with NULL extraction, every healthy "
+    "file (all five layout variants, /Prev chains included) still "
+    "recovers its text byte-exactly. At 100 TB a curation job cannot "
+    "abort on one rotted document; quarantine rows route to a "
+    "dead-letter table for re-fetch.",
+)
+def pdf_xrefstream_quarantine(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    path = _stage_media_files(
+        spark, sf_dir, "pdf_xrefstream_corrupt", "pdf",
+        _render_corrupt_pdf_xrefstream,
+    )
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.pdf")
+        .load(path)
+        .select("path", "content")
+    )
+
+    def op(batches):
+        import re as _re
+
+        import pandas as pd
+
+        from ..operators.pdf import extract_pdf_text
+
+        for pdf in batches:
+            out = {"doc_id": [], "status": [], "n_chars": []}
+            for p, content in zip(pdf["path"], pdf["content"]):
+                out["doc_id"].append(
+                    int(_re.search(r"(\d+)\.pdf$", p).group(1))
+                )
+                try:
+                    pages = extract_pdf_text(bytes(content))
+                    out["status"].append("ok")
+                    out["n_chars"].append(
+                        sum(len(ln) for pg in pages for ln in pg)
+                    )
+                except (ValueError, NotImplementedError, OSError):
+                    out["status"].append("corrupt")
+                    out["n_chars"].append(None)
+            yield pd.DataFrame(out)
+
+    return bf.mapInPandas(
+        op, schema="doc_id long, status string, n_chars long"
+    )
+
+
 def _render_pdf_encoded(doc_id: int, text: str) -> bytes:
     from ..operators.pdf import write_pdf_encoded
 

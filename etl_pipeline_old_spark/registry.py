@@ -298,6 +298,9 @@ _CORE_FIRST = (
     # round-12: PDF embedded-image extraction (figures for image-text
     # pairing; /FlateDecode samples + verbatim /DCTDecode JFIF)
     "pipeline_pdf_images_extract",
+    # round-12: quarantine for the xref-stream family (torn inside the
+    # compressed cross-reference itself)
+    "pdf_xrefstream_quarantine",
 )
 
 

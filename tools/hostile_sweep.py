@@ -146,6 +146,8 @@ REPEAT_QUERIES = (
     "pipeline_pdf_encoding_extract",
     # r12: staged figure-page PDFs (Flate + DCT image XObjects)
     "pipeline_pdf_images_extract",
+    # r12: staged xref-stream PDFs with torn cross-reference payloads
+    "pdf_xrefstream_quarantine",
     # r11: staged OOXML office documents (.docx text, .xlsx typed cells,
     # .pptx slides), RTF exports, and ZipCrypto-protected archives
     "pipeline_docx_extract",
