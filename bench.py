@@ -176,6 +176,10 @@ HEADLINE = [
     # the compressed-cross-reference parse path beside its classic,
     # CID, and AES siblings above.
     "pipeline_pdf_xrefstream_extract",
+    # r12: the lossless-WebP sentinel — the own VP8L entropy+transform
+    # decode in a per-record Python kernel. Tracks the #2 crawl image
+    # format's decode throughput; a codec regression shows up here.
+    "multimodal_webp_lossless_ingest",
 ]
 
 
@@ -294,6 +298,7 @@ def main() -> None:
         "pipeline_code_corpus",
         "pipeline_document_corpus_mixed",
         "pipeline_pdf_xrefstream_extract",
+        "multimodal_webp_lossless_ingest",
     ]
     staging: dict[str, float] = {}
     for name in PRESTAGE:

@@ -415,13 +415,24 @@ def decode_image_real(payload: bytes) -> tuple[int, int, list[int]]:
         from .tiff import decode_tiff
 
         return decode_tiff(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        # lossless (VP8L) decodes natively via operators/vp8l.py;
+        # lossy VP8 raises its own documented seam inside
+        from .vp8l import decode_webp_lossless
+
+        w, h, argb = decode_webp_lossless(payload)
+        gray = [
+            (((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)) // 3
+            for p in argb
+        ]
+        return w, h, gray
     magic = payload[:2]
     if magic not in (b"P6", b"P5"):
         raise NotImplementedError(
             f"no codec for magic {magic!r}: decode requires an image library "
             "(e.g. PIL.Image.open), not available in this container — "
             "netpbm (P6/P5), PNG, JPEG (baseline + progressive), GIF, BMP, "
-            "and baseline TIFF decode natively"
+            "baseline TIFF, and lossless WebP (VP8L) decode natively"
         )
     (width, height, maxval), off = _pnm_header_tokens(payload, 3, 2)
     if maxval <= 0 or maxval > 255:

@@ -71,10 +71,14 @@ def test_codec_seams():
     jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 16
     with pytest.raises(ValueError):
         decode_image_real(jpeg)
-    # formats with no native codec remain the documented library seam
-    # (WebP here; GIF/BMP/TIFF now decode natively)
+    # WebP now dispatches to the native VP8L decoder (r12): a damaged
+    # lossless stream is a per-record ValueError; lossy VP8 remains the
+    # documented codec seam inside that path (tests/test_vp8l.py); a
+    # magic with no codec at all still raises the library seam
+    with pytest.raises(ValueError):
+        decode_image_real(b"RIFF\x00\x00\x00\x00WEBPVP8L\x04\x00\x00\x00\x00\x00\x00\x00")
     with pytest.raises(NotImplementedError, match="image library"):
-        decode_image_real(b"RIFF\x00\x00\x00\x00WEBP" + b"\x00" * 8)
+        decode_image_real(b"FORM\x00\x00\x00\x00ILBM" + b"\x00" * 8)
 
 
 def test_encode_decode_round_trip():

@@ -346,3 +346,19 @@ def test_container_requires_vp8l_and_flags_lossy():
 
     with pytest.raises(NotImplementedError, match="VP8L .* natively"):
         decode_webp_lossless(encode_webp_vp8_still(8, 8))
+
+
+def test_decode_image_real_dispatches_webp():
+    from etl_pipeline_old_spark.operators.multimodal import (
+        decode_image_real)
+    from etl_pipeline_old_spark.operators.webp import encode_webp_vp8_still
+
+    px = [0xFF000000 | (v << 16) | (v << 8) | v
+          for v in [10 * i for i in range(16)]]
+    blob = encode_webp_lossless(4, 4, px, subtract_green=True)
+    w, h, gray = decode_image_real(blob)
+    assert (w, h) == (4, 4)
+    assert gray == [10 * i for i in range(16)]
+    # lossy VP8 through the same dispatch: the documented seam
+    with pytest.raises(NotImplementedError, match="VP8L .* natively"):
+        decode_image_real(encode_webp_vp8_still(8, 8))
