@@ -333,3 +333,32 @@ def test_zip64_and_aac_probes_are_map_only(spark, sf):
         nodes = nodes_of(plan_of(QUERIES[name].fn(spark, sf)))
         assert nodes.count("MapInPandas") == 1, name
         assert "Exchange" not in nodes, name
+
+
+def test_pdf_xrefstream_extract_plan_is_one_join_one_kernel(spark, sf):
+    # r12: same shape as the other PDF sentinels — binaryFile scan
+    # joined once to the base table, ONE Arrow kernel, no row-python
+    plan = plan_of(QUERIES["pipeline_pdf_xrefstream_extract"].fn(spark, sf))
+    nodes = nodes_of(plan)
+    assert nodes.count("MapInPandas") == 1
+    assert "CartesianProduct" not in nodes
+    assert "BatchEvalPython" not in nodes
+
+
+def test_webp_lossless_ingest_plan_is_map_only(spark, sf):
+    # r12: scan -> VP8L kernel; no join, no shuffle anywhere
+    plan = plan_of(QUERIES["multimodal_webp_lossless_ingest"].fn(spark, sf))
+    nodes = nodes_of(plan)
+    assert nodes.count("MapInPandas") == 1
+    assert "Exchange" not in nodes
+    assert "BatchEvalPython" not in nodes
+
+
+def test_sqlite_wal_ingest_plan_is_sidecar_equi_join(spark, sf):
+    # r12: two binaryFile listings equi-joined on doc_id plus the base
+    # table — joins yes, Cartesian never, decode in ONE kernel
+    plan = plan_of(QUERIES["multimodal_sqlite_wal_ingest"].fn(spark, sf))
+    nodes = nodes_of(plan)
+    assert nodes.count("MapInPandas") == 1
+    assert "CartesianProduct" not in nodes
+    assert "BatchEvalPython" not in nodes
