@@ -3789,6 +3789,114 @@ def pipeline_pdf_aes_extract(
     )
 
 
+@register(
+    "stream_pdf_xrefstream_ingest",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, text,
+             greatest(1, (length(text) + {_PDF_LINE - 1}) // {_PDF_LINE})
+               AS n_lines
+      FROM documents),
+    p AS (
+      SELECT doc_id, text,
+             (n_lines + {_PDF_PAGE_LINES - 1}) // {_PDF_PAGE_LINES}
+               AS n_pages
+      FROM b)
+    SELECT doc_id,
+      CAST(n_pages AS INT) AS n_pages,
+      CAST(doc_id % 5 AS INT) AS variant,
+      length(text) AS n_chars,
+      CAST(CASE WHEN doc_id % 5 IN (2, 4) THEN 0 ELSE 3 + n_pages END
+        AS INT) AS n_objstm
+    FROM p
+    """,
+    doc="STREAMING ingestion for the xref-stream document family — the "
+    "Auto-Loader-shaped counterpart to pipeline_pdf_xrefstream_extract "
+    "completing its operational pair with the quarantine below: the "
+    "same five-variant staged corpus (ObjStm packing, predictor-coded "
+    "rows, /Prev incremental chains, hybrid /XRefStm) consumed through "
+    "readStream binaryFile with maxFilesPerTrigger bounding each "
+    "micro-batch, parsed per batch by the same chain-walking kernel, "
+    "appended to a parquet target whose accumulated content must "
+    "hash-equal the batch extraction (same oracle formulas — n_chars "
+    "equals the source length only if every micro-batch recovered its "
+    "text exactly). Checkpointed listing, bounded batches, restart "
+    "resume — how a continuously-filling modern-PDF bucket is "
+    "operated at 100 TB.",
+)
+def stream_pdf_xrefstream_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+
+    from ..session import ensure_session_confs
+
+    ensure_session_confs(spark)
+    feed = _stage_media_files(
+        spark, sf_dir, "pdf_xrefstream_files", "pdf",
+        _render_pdf_xrefstream,
+    )
+    base = os.path.join(cache_root(), f"pdf_xrefstream_stream_{_tag(sf_dir)}")
+    target, chk = base + "_target", base + "_chk"
+    for p in (target, chk):
+        shutil.rmtree(p, ignore_errors=True)
+
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARYFILE_SCHEMA)
+        .option("pathGlobFilter", "*.pdf")
+        .option("maxFilesPerTrigger", 200)
+        .load(feed)
+        .select("path", "content")
+    )
+
+    def decode(frame: DataFrame) -> DataFrame:
+        def op(batches):
+            import re as _re
+
+            import pandas as pd
+
+            from ..operators.pdf import extract_pdf_text_profiled
+
+            for pdf in batches:
+                out = {
+                    "doc_id": [], "n_pages": [], "variant": [],
+                    "n_chars": [], "n_objstm": [],
+                }
+                for p, content in zip(pdf["path"], pdf["content"]):
+                    did = int(_re.search(r"(\d+)\.pdf$", p).group(1))
+                    pages, prof = extract_pdf_text_profiled(bytes(content))
+                    out["doc_id"].append(did)
+                    out["n_pages"].append(len(pages))
+                    out["variant"].append(did % 5)
+                    out["n_chars"].append(
+                        sum(len(ln) for pg in pages for ln in pg)
+                    )
+                    out["n_objstm"].append(prof["objstm"])
+                yield pd.DataFrame(out)
+
+        return frame.mapInPandas(
+            op,
+            schema="doc_id long, n_pages int, variant int, "
+            "n_chars long, n_objstm int",
+        )
+
+    def ingest(batch_df: DataFrame, _batch_id: int) -> None:
+        decode(batch_df).write.mode("append").parquet(target)
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(target)
+
+
 def _render_corrupt_pdf_xrefstream(doc_id: int, text: str) -> bytes:
     buf = _render_pdf_xrefstream(doc_id, text)
     if doc_id % _CORRUPT_MOD == 0:

@@ -301,6 +301,8 @@ _CORE_FIRST = (
     # round-12: quarantine for the xref-stream family (torn inside the
     # compressed cross-reference itself)
     "pdf_xrefstream_quarantine",
+    # round-12: the family's streaming counterpart
+    "stream_pdf_xrefstream_ingest",
 )
 
 

@@ -148,6 +148,8 @@ REPEAT_QUERIES = (
     "pipeline_pdf_images_extract",
     # r12: staged xref-stream PDFs with torn cross-reference payloads
     "pdf_xrefstream_quarantine",
+    # r12: the xref-stream family's streaming ingest (checkpoint + target)
+    "stream_pdf_xrefstream_ingest",
     # r11: staged OOXML office documents (.docx text, .xlsx typed cells,
     # .pptx slides), RTF exports, and ZipCrypto-protected archives
     "pipeline_docx_extract",
