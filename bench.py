@@ -180,6 +180,10 @@ HEADLINE = [
     # decode in a per-record Python kernel. Tracks the #2 crawl image
     # format's decode throughput; a codec regression shows up here.
     "multimodal_webp_lossless_ingest",
+    # r12: the six-shape PDF capstone — one reader dispatching on
+    # trailer form, font type, and security handler. Tracks the whole
+    # PDF surface in one number beside pipeline_document_corpus_mixed.
+    "pipeline_pdf_corpus_mixed",
 ]
 
 
@@ -299,6 +303,7 @@ def main() -> None:
         "pipeline_document_corpus_mixed",
         "pipeline_pdf_xrefstream_extract",
         "multimodal_webp_lossless_ingest",
+        "pipeline_pdf_corpus_mixed",
     ]
     staging: dict[str, float] = {}
     for name in PRESTAGE:

@@ -3789,6 +3789,108 @@ def pipeline_pdf_aes_extract(
     )
 
 
+_PDF_SHAPES = ("classic", "cid", "rc4", "aes", "xrefstream", "encoded")
+
+
+def _render_pdf_any_shape(doc_id: int, text: str) -> bytes:
+    shape = _PDF_SHAPES[doc_id % 6]
+    if shape == "classic":
+        return _render_pdf(doc_id, text)
+    if shape == "cid":
+        return _render_pdf_cid(doc_id, text)
+    if shape == "rc4":
+        return _render_pdf_encrypted(doc_id, text)
+    if shape == "aes":
+        return _render_pdf_aes(doc_id, text)
+    if shape == "xrefstream":
+        return _render_pdf_xrefstream(doc_id, text)
+    return _render_pdf_encoded(doc_id, text)
+
+
+@register(
+    "pipeline_pdf_corpus_mixed",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, text,
+             greatest(1, (length(text) + {_PDF_LINE - 1}) // {_PDF_LINE})
+               AS n_lines
+      FROM documents)
+    SELECT doc_id,
+      CAST(['classic', 'cid', 'rc4', 'aes', 'xrefstream',
+            'encoded'][doc_id % 6 + 1] AS VARCHAR) AS shape,
+      CAST((n_lines + {_PDF_PAGE_LINES - 1}) // {_PDF_PAGE_LINES} AS INT)
+        AS n_pages,
+      length(text) AS n_chars,
+      1 AS text_exact
+    FROM b
+    """,
+    doc="The modern-PDF capstone — ONE reader over a bucket cycling "
+    "every real-world PDF shape the engine decodes (doc_id%6): "
+    "classic xref tables, CID/Identity-H with embedded ToUnicode "
+    "CMaps, RC4 rev 2/3 owner-locked, AESV2/AESV3 encrypted, PDF "
+    "1.5+ xref streams with ObjStm//Prev/hybrid layouts, and "
+    "WinAnsi+/Differences simple-font encodings. The kernel is a "
+    "single extract_pdf_text call — the point of the capstone: a "
+    "day-one consumer does not know which era or producer wrote each "
+    "document, and the same entry point must recover byte-exact text "
+    "(demanded per row by the oracle) across all six, dispatching "
+    "internally on the trailer form, the font type, and the "
+    "security handler. The per-shape families above remain the "
+    "focused sentinels; this is the mixed-bucket reality check, the "
+    "PDF twin of pipeline_document_corpus_mixed. Scale: identical — "
+    "binaryFile scan, per-document Arrow kernel, no payload shuffle.",
+)
+def pipeline_pdf_corpus_mixed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    path = _stage_media_files(
+        spark, sf_dir, "pdf_mixed_files", "pdf", _render_pdf_any_shape
+    )
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.pdf")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.pdf$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "content",
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    joined = bf.join(docs, "doc_id")
+
+    def op(batches):
+        import pandas as pd
+
+        from ..operators.pdf import extract_pdf_text
+
+        for pdf_batch in batches:
+            out = {
+                "doc_id": [], "shape": [], "n_pages": [],
+                "n_chars": [], "text_exact": [],
+            }
+            for doc_id, content, text in zip(
+                pdf_batch["doc_id"], pdf_batch["content"],
+                pdf_batch["text"],
+            ):
+                did = int(doc_id)
+                pages = extract_pdf_text(bytes(content))
+                rebuilt = "".join(ln for pg in pages for ln in pg)
+                out["doc_id"].append(did)
+                out["shape"].append(_PDF_SHAPES[did % 6])
+                out["n_pages"].append(len(pages))
+                out["n_chars"].append(len(rebuilt))
+                out["text_exact"].append(1 if rebuilt == text else 0)
+            yield pd.DataFrame(out)
+
+    return joined.mapInPandas(
+        op,
+        schema="doc_id long, shape string, n_pages int, n_chars long, "
+        "text_exact int",
+    )
+
+
 @register(
     "stream_pdf_xrefstream_ingest",
     oracle=f"""

@@ -303,6 +303,9 @@ _CORE_FIRST = (
     "pdf_xrefstream_quarantine",
     # round-12: the family's streaming counterpart
     "stream_pdf_xrefstream_ingest",
+    # round-12: the modern-PDF capstone — one reader over all six
+    # staged PDF shapes
+    "pipeline_pdf_corpus_mixed",
 )
 
 

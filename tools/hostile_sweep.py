@@ -150,6 +150,8 @@ REPEAT_QUERIES = (
     "pdf_xrefstream_quarantine",
     # r12: the xref-stream family's streaming ingest (checkpoint + target)
     "stream_pdf_xrefstream_ingest",
+    # r12: the six-shape mixed PDF bucket
+    "pipeline_pdf_corpus_mixed",
     # r11: staged OOXML office documents (.docx text, .xlsx typed cells,
     # .pptx slides), RTF exports, and ZipCrypto-protected archives
     "pipeline_docx_extract",
