@@ -392,6 +392,45 @@ def codec_mode() -> int:
 
     check("pdf_healthy_control", pdf_control, expect_error=False)
 
+    # --- PDF 1.5+ compressed cross-references (r12) ---
+    from etl_pipeline_old_spark.operators.pdf import write_pdf_xrefstream
+
+    xbase = write_pdf_xrefstream(
+        [["hello world", "line two"], ["page 2"]], objstm=True,
+        predictor=True,
+    )
+
+    def xref_stream_torn():
+        at = xbase.rfind(b"\nstream\n") + 10
+        torn = bytearray(xbase)
+        for i in range(3):
+            torn[at + i] ^= 0xFF
+        extract_pdf_text(bytes(torn))
+
+    check("pdf_xrefstream_torn_payload", xref_stream_torn, True)
+
+    def xref_prev_cycle():
+        # an incremental file whose update /Prev is patched to point at
+        # the update itself: the chain walk must refuse, not spin
+        inc = write_pdf_xrefstream([["a"]], incremental=True)
+        m = _re.search(rb"startxref\n(\d+)\n%%EOF\n$", inc)
+        upd_at = int(m.group(1))
+        mp = _re.search(rb"/Prev (\d+)", inc[upd_at:])
+        old_f = b"/Prev " + mp.group(1)
+        new_f = (b"/Prev %d" % upd_at).ljust(len(old_f))
+        if len(new_f) != len(old_f):  # widths differ: pad inside number
+            raise ValueError("fixture width mismatch (expected loud anyway)")
+        extract_pdf_text(inc[:upd_at] + inc[upd_at:].replace(old_f, new_f, 1))
+
+    check("pdf_xrefstream_prev_cycle", xref_prev_cycle, True)
+
+    def xrefstream_control():
+        assert extract_pdf_text(xbase) == [
+            ["hello world", "line two"], ["page 2"],
+        ]
+
+    check("pdf_xrefstream_healthy_control", xrefstream_control, False)
+
     # --- WebVTT: hostile-but-valid shapes must PARSE correctly ---
     def vtt_ws_payload():
         doc = "WEBVTT\n\n00:00.000 --> 00:01.000\nfirst\n \nlast\n"
