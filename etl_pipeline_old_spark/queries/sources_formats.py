@@ -3789,6 +3789,97 @@ def pipeline_pdf_aes_extract(
     )
 
 
+@register(
+    "pipeline_pdf_xrefstream_incremental",
+    oracle="""
+    SELECT CAST(doc_id % 5 AS INT) AS variant,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(length(text)) AS BIGINT) AS n_chars,
+      CAST(count(DISTINCT length(text)) AS BIGINT) AS n_distinct_lens
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="Incremental refresh for the xref-stream family, completing its "
+    "operational trio (extract / quarantine / streaming / incremental): "
+    "per-variant stats computed on a BASE drop (ids not divisible by 3) "
+    "and a DELTA drop separately — each half re-parsed through the "
+    "same chain-walking kernel — then MERGED: docs and recovered-char "
+    "sums add, but the distinct-length count does NOT (the partials "
+    "carry the length SET and the merge unions before counting — the "
+    "sum-the-distincts shortcut every naive refresh ships). The oracle "
+    "is the direct full-corpus SQL, so the driver value-checks "
+    "merge == recompute; a char-sum drift would also expose any "
+    "variant whose re-parse stopped recovering text exactly. At scale "
+    "the length set becomes the mergeable sketch or stored silver "
+    "partials, as in pipeline_document_corpus_incremental.",
+)
+def pipeline_pdf_xrefstream_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    path = _stage_media_files(
+        spark, sf_dir, "pdf_xrefstream_files", "pdf",
+        _render_pdf_xrefstream,
+    )
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.pdf")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.pdf$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "content",
+        )
+    )
+
+    def op(batches):
+        import pandas as pd
+
+        from ..operators.pdf import extract_pdf_text
+
+        for pdf_batch in batches:
+            out = {"doc_id": [], "variant": [], "n_chars": []}
+            for doc_id, content in zip(
+                pdf_batch["doc_id"], pdf_batch["content"]
+            ):
+                did = int(doc_id)
+                pages = extract_pdf_text(bytes(content))
+                out["doc_id"].append(did)
+                out["variant"].append(did % 5)
+                out["n_chars"].append(
+                    sum(len(ln) for pg in pages for ln in pg)
+                )
+            yield pd.DataFrame(out)
+
+    extracted = bf.mapInPandas(
+        op, schema="doc_id long, variant int, n_chars long"
+    )
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("variant").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+            F.collect_set("n_chars").alias("len_set"),
+        )
+
+    base = partial(extracted.where(F.col("doc_id") % 3 != 0))
+    delta = partial(extracted.where(F.col("doc_id") % 3 == 0))
+    return (
+        base.unionByName(delta)
+        .groupBy("variant")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            # the non-additive measure: union the partial SETS before
+            # counting — summing per-drop distincts double-counts any
+            # length present in both drops
+            F.size(
+                F.array_distinct(F.flatten(F.collect_list("len_set")))
+            ).cast("long").alias("n_distinct_lens"),
+        )
+    )
+
+
 _PDF_SHAPES = ("classic", "cid", "rc4", "aes", "xrefstream", "encoded")
 
 

@@ -306,6 +306,8 @@ _CORE_FIRST = (
     # round-12: the modern-PDF capstone — one reader over all six
     # staged PDF shapes
     "pipeline_pdf_corpus_mixed",
+    # round-12: the xref-stream family's incremental leg
+    "pipeline_pdf_xrefstream_incremental",
 )
 
 

@@ -152,6 +152,8 @@ REPEAT_QUERIES = (
     "stream_pdf_xrefstream_ingest",
     # r12: the six-shape mixed PDF bucket
     "pipeline_pdf_corpus_mixed",
+    # r12: the xref-stream family's base+delta merge (shares the staging)
+    "pipeline_pdf_xrefstream_incremental",
     # r11: staged OOXML office documents (.docx text, .xlsx typed cells,
     # .pptx slides), RTF exports, and ZipCrypto-protected archives
     "pipeline_docx_extract",
