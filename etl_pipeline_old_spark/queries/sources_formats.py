@@ -7934,6 +7934,142 @@ def web_feed_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _render_sitemap(doc_id: int, text: str) -> bytes:
+    import gzip
+
+    host = f"https://src{doc_id % 20}.example"
+    if doc_id % 3 == 0:  # sitemap INDEX: points at child sitemaps
+        n = 2 + doc_id % 2
+        body = "".join(
+            f"<sitemap><loc>{host}/sitemap-{doc_id}-{i}.xml.gz</loc>"
+            f"<lastmod>2026-0{1 + i}-01</lastmod></sitemap>"
+            for i in range(n)
+        )
+        xml = (
+            '<sitemapindex xmlns="http://www.sitemaps.org/schemas/'
+            f'sitemap/0.9">{body}</sitemapindex>'
+        )
+    else:
+        n = 1 + doc_id % 4
+        body = "".join(
+            f"<url><loc>{host}/docs/doc{doc_id}-{i}</loc>"
+            f"<lastmod>2026-01-{10 + i:02d}</lastmod>"
+            f"<priority>0.{5 + i}</priority></url>"
+            for i in range(n)
+        )
+        xml = (
+            '<urlset xmlns="http://www.sitemaps.org/schemas/'
+            f'sitemap/0.9">{body}</urlset>'
+        )
+    raw = xml.encode("utf-8")
+    if doc_id % 2 == 1:  # the wire reality: most sitemaps ship gzipped
+        return gzip.compress(raw, mtime=0)
+    return raw
+
+
+_SITEMAP_URLSET_SCHEMA = (
+    "struct<url array<struct<loc string, lastmod string, "
+    "priority double>>>"
+)
+_SITEMAP_INDEX_SCHEMA = (
+    "struct<sitemap array<struct<loc string, lastmod string>>>"
+)
+
+
+@register(
+    "web_sitemap_discovery",
+    oracle="""
+    SELECT doc_id,
+      CASE WHEN doc_id % 3 = 0 THEN 'index' ELSE 'urlset' END AS kind,
+      CAST(doc_id % 2 AS INT) AS gz,
+      CAST(CASE WHEN doc_id % 3 = 0 THEN 2 + doc_id % 2
+           ELSE 1 + doc_id % 4 END AS INT) AS n_entries,
+      CASE WHEN doc_id % 3 = 0
+           THEN 'https://src' || (doc_id % 20)
+                || '.example/sitemap-' || doc_id || '-0.xml.gz'
+           ELSE 'https://src' || (doc_id % 20)
+                || '.example/docs/doc' || doc_id || '-0' END AS first_loc,
+      CAST(CASE WHEN doc_id % 3 = 0 THEN NULL
+           ELSE 0.5 + (doc_id % 4) * 0.1 END AS DOUBLE) AS max_priority
+    FROM documents
+    """,
+    doc="XML SITEMAP discovery (sitemaps.org 0.9 protocol) — the third "
+    "leg of the crawl frontier's pre-fetch surface beside the robots "
+    "REP gate and RSS/Atom feed discovery: real crawls seed from "
+    "sitemaps before anything else, and half the wire reality is "
+    "GZIPPED (.xml.gz, cycled here by parity). The plan is the house "
+    "feed shape: the only Python is a tiny Arrow gunzip kernel "
+    "(magic-dispatched; plain files pass through untouched), then "
+    "BOTH protocol layouts parse pure-JVM via from_xml with explicit "
+    "schemas + coalesce — <sitemapindex> (child sitemap pointers, the "
+    "recursion frontier) and <urlset> (loc/lastmod/priority per URL). "
+    "An unparseable document is loud NULLs in the hash. Every column "
+    "— kind routing, gzip flag, entry counts, first loc, the max "
+    "priority aggregate over the entry array (NULL for indexes) — is "
+    "recomputed by the oracle from the staging formulas. Scale: "
+    "map-side kernel + JVM parse, one row per sitemap; the frontier "
+    "fan-out join happens downstream at crawl scheduling.",
+)
+def web_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_media_files(
+        spark, sf_dir, "sitemap_files", "xml", _render_sitemap
+    )
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.xml")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.xml$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "content",
+        )
+    )
+
+    def gunzip(batches):
+        import gzip
+
+        import pandas as pd
+
+        for b in batches:
+            out = {"doc_id": [], "gz": [], "xml": []}
+            for doc_id, content in zip(b["doc_id"], b["content"]):
+                raw = bytes(content)
+                gz = raw[:2] == b"\x1f\x8b"
+                out["doc_id"].append(int(doc_id))
+                out["gz"].append(1 if gz else 0)
+                out["xml"].append(
+                    (gzip.decompress(raw) if gz else raw).decode("utf-8")
+                )
+            yield pd.DataFrame(out)
+
+    texts = bf.mapInPandas(
+        gunzip, schema="doc_id long, gz int, xml string"
+    )
+    parsed = texts.select(
+        "doc_id",
+        "gz",
+        F.from_xml("xml", _SITEMAP_URLSET_SCHEMA).alias("us"),
+        F.from_xml("xml", _SITEMAP_INDEX_SCHEMA).alias("ix"),
+    )
+    is_index = F.col("ix.sitemap").isNotNull()
+    locs = F.coalesce(
+        F.transform(F.col("ix.sitemap"), lambda s: s["loc"]),
+        F.transform(F.col("us.url"), lambda u: u["loc"]),
+    )
+    return parsed.select(
+        "doc_id",
+        F.when(is_index, F.lit("index")).otherwise(F.lit("urlset"))
+        .alias("kind"),
+        "gz",
+        F.size(locs).cast("int").alias("n_entries"),
+        locs[0].alias("first_loc"),
+        F.array_max(
+            F.transform(F.col("us.url"), lambda u: u["priority"])
+        ).alias("max_priority"),
+    )
+
+
 _AVRO_DOC_SCHEMA = (
     '{"type":"record","name":"doc","fields":['
     '{"name":"doc_id","type":"long"},'

@@ -308,6 +308,9 @@ _CORE_FIRST = (
     "pipeline_pdf_corpus_mixed",
     # round-12: the xref-stream family's incremental leg
     "pipeline_pdf_xrefstream_incremental",
+    # round-12: sitemap discovery — the crawl frontier's third pre-fetch
+    # leg beside the REP gate and feed discovery
+    "web_sitemap_discovery",
 )
 
 

@@ -154,6 +154,8 @@ REPEAT_QUERIES = (
     "pipeline_pdf_corpus_mixed",
     # r12: the xref-stream family's base+delta merge (shares the staging)
     "pipeline_pdf_xrefstream_incremental",
+    # r12: staged sitemap files (plain + gzip)
+    "web_sitemap_discovery",
     # r11: staged OOXML office documents (.docx text, .xlsx typed cells,
     # .pptx slides), RTF exports, and ZipCrypto-protected archives
     "pipeline_docx_extract",
