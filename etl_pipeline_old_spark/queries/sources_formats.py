@@ -8070,6 +8070,125 @@ def web_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _render_bson(doc_id: int, text: str) -> bytes:
+    from ..operators.bson import write_bson_shard
+
+    return write_bson_shard([
+        {
+            "_id": doc_id.to_bytes(12, "big"),
+            "title": text[:15],
+            "body": text,
+            "score": (doc_id % 7) * 0.25,
+            "ok": doc_id % 3 == 0,
+            "views": 2 ** 32 + doc_id,           # forces int64
+            "tags": [f"t{j}" for j in range(doc_id % 3)],
+            "meta": {"lang": "ru", "src": doc_id % 20},
+            "created": ("datetime_ms", 1767225600000 + doc_id * 1000),
+            "nothing": None,
+        },
+        {
+            "_id": (doc_id + 1).to_bytes(12, "big"),
+            "title": text[:5],
+            "body": text[:30],
+            "score": 0.5,
+            "ok": False,
+            "views": doc_id,                     # int32 path
+            "tags": [],
+            "meta": {"lang": "en", "src": 0},
+            "created": ("datetime_ms", 1767225600000),
+            "nothing": None,
+        },
+    ])
+
+
+@register(
+    "multimodal_bson_ingest",
+    oracle="""
+    SELECT doc_id,
+      2 AS n_docs,
+      CAST((doc_id % 7) * 0.25 AS DOUBLE) AS score,
+      CAST(doc_id % 3 AS INT) AS n_tags,
+      CAST(doc_id % 20 AS INT) AS src,
+      CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INT) AS ok_flag,
+      CAST(1767225600000 + doc_id * 1000 AS BIGINT) AS created_ms,
+      1 AS body_exact
+    FROM documents
+    """,
+    doc="BSON shard ingestion (operators/bson.py, own pure-stdlib codec "
+    "from the public bsonspec.org 1.1) — mongodump-style .bson files "
+    "(concatenated documents) are a routine lake ingestion class: app "
+    "exports, chat-log backups, product catalogs. Each document "
+    "stages as a two-record shard exercising the real type surface: "
+    "ObjectId, UTF-8 strings, doubles, booleans, int32 AND int64 "
+    "width routing ('views' crosses 2^31 on record one only), dense "
+    "arrays (re-listed from their '0','1',... document form with "
+    "forged-gap keys refused), embedded documents, UTC datetimes, "
+    "and nulls. No independent BSON implementation exists in this "
+    "container (no pymongo), so the codec is spec-pinned like "
+    "FLAC/VP8L: byte-exact body recovery is demanded by the oracle "
+    "and the hostile classes (document/string length lies, nesting "
+    "bombs both directions, unknown types, boolean byte forgery, "
+    "trailing garbage) are unit-swept loud (tests/test_bson.py). "
+    "Scale: per-record document walk in the Arrow kernel — the same "
+    "shape as the Avro and SQLite ingests.",
+)
+def multimodal_bson_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_media_files(
+        spark, sf_dir, "bson_files", "bson", _render_bson
+    )
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bson")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.bson$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "content",
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    joined = bf.join(docs, "doc_id")
+
+    def op(batches):
+        import pandas as pd
+
+        from ..operators.bson import read_bson_shard
+
+        for b in batches:
+            out = {
+                "doc_id": [], "n_docs": [], "score": [], "n_tags": [],
+                "src": [], "ok_flag": [], "created_ms": [],
+                "body_exact": [],
+            }
+            for doc_id, content, text in zip(
+                b["doc_id"], b["content"], b["text"]
+            ):
+                did = int(doc_id)
+                recs = read_bson_shard(bytes(content))
+                r0, r1 = recs[0], recs[1]
+                out["doc_id"].append(did)
+                out["n_docs"].append(len(recs))
+                out["score"].append(float(r0["score"]))
+                out["n_tags"].append(len(r0["tags"]))
+                out["src"].append(int(r0["meta"]["src"]))
+                out["ok_flag"].append(1 if r0["ok"] else 0)
+                out["created_ms"].append(r0["created"][1])
+                out["body_exact"].append(
+                    1 if r0["body"] == text and r1["body"] == text[:30]
+                    and r0["_id"] == did.to_bytes(12, "big")
+                    and r0["views"] == 2 ** 32 + did
+                    and r1["views"] == did else 0
+                )
+            yield pd.DataFrame(out)
+
+    return joined.mapInPandas(
+        op,
+        schema="doc_id long, n_docs int, score double, n_tags int, "
+        "src int, ok_flag int, created_ms long, body_exact int",
+    )
+
+
 _AVRO_DOC_SCHEMA = (
     '{"type":"record","name":"doc","fields":['
     '{"name":"doc_id","type":"long"},'

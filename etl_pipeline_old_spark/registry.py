@@ -311,6 +311,8 @@ _CORE_FIRST = (
     # round-12: sitemap discovery — the crawl frontier's third pre-fetch
     # leg beside the REP gate and feed discovery
     "web_sitemap_discovery",
+    # round-12: BSON (mongodump) shard ingestion — own spec-pinned codec
+    "multimodal_bson_ingest",
 )
 
 

@@ -156,6 +156,8 @@ REPEAT_QUERIES = (
     "pipeline_pdf_xrefstream_incremental",
     # r12: staged sitemap files (plain + gzip)
     "web_sitemap_discovery",
+    # r12: staged mongodump-style .bson shards
+    "multimodal_bson_ingest",
     # r11: staged OOXML office documents (.docx text, .xlsx typed cells,
     # .pptx slides), RTF exports, and ZipCrypto-protected archives
     "pipeline_docx_extract",
