@@ -675,17 +675,51 @@ def _write_prefix_code(bw: BitWriter, lengths_by_sym: dict[int, int],
         bw.write_code(code, ln)
 
 
+def _forward_predict(pixels: list, w: int, h: int, modes: list,
+                     size_bits: int) -> list:
+    """Forward predictor pass: residual = pixel − prediction per
+    channel mod 256, predictions reading the FINAL pixels (matching
+    the decoder's progressive reconstruction) with the spec's edge
+    rules (top-left black, top row L, left column T)."""
+    tw = _div_round_up(w, 1 << size_bits)
+    out = []
+    for y in range(h):
+        for x in range(w):
+            i = y * w + x
+            if x == 0 and y == 0:
+                pred = 0xFF000000
+            elif y == 0:
+                pred = pixels[i - 1]
+            elif x == 0:
+                pred = pixels[i - w]
+            else:
+                mode = modes[(y >> size_bits) * tw + (x >> size_bits)]
+                tr = pixels[i - w + 1] if x + 1 < w else pixels[i - w]
+                pred = _predict(mode, pixels[i - 1], pixels[i - w],
+                                pixels[i - w - 1], tr)
+            r = 0
+            for shift in (0, 8, 16, 24):
+                r |= ((((pixels[i] >> shift) & 0xFF)
+                       - ((pred >> shift) & 0xFF)) & 0xFF) << shift
+            out.append(r)
+    return out
+
+
 def encode_vp8l(width: int, height: int, pixels: list,
                 subtract_green: bool = False, palette: bool = False,
-                use_lz77: bool = False, cache_bits: int = 0) -> bytes:
+                use_lz77: bool = False, cache_bits: int = 0,
+                predictor_modes: list | None = None,
+                predictor_size_bits: int = 3) -> bytes:
     """Encode row-major ARGB ``pixels`` as a raw VP8L chunk payload.
     Real canonical-Huffman entropy coding over the actual symbol
     histogram; optional subtract-green transform, delta-coded palette
     (with sub-byte bundling when small), distance-1 run-length LZ77,
-    and color cache."""
+    color cache, and the PREDICTOR transform (``predictor_modes``:
+    one mode 0..13 per tile of ``1 << predictor_size_bits`` pixels,
+    residual-coded exactly as the spec's inverse expects)."""
     if len(pixels) != width * height:
         raise ValueError("vp8l: pixel count does not match dimensions")
-    if palette and (subtract_green or use_lz77):
+    if palette and (subtract_green or use_lz77 or predictor_modes):
         raise ValueError("vp8l: fixture encoder palettes stand alone")
     bw = BitWriter()
     bw.write(width - 1, 14)
@@ -695,6 +729,19 @@ def encode_vp8l(width: int, height: int, pixels: list,
 
     work = list(pixels)
     xsize = width
+    if predictor_modes is not None:
+        tw = _div_round_up(width, 1 << predictor_size_bits)
+        th = _div_round_up(height, 1 << predictor_size_bits)
+        if len(predictor_modes) != tw * th:
+            raise ValueError("vp8l: one predictor mode per tile required")
+        bw.write(1, 1)
+        bw.write(0, 2)  # predictor transform
+        bw.write(predictor_size_bits - 2, 3)
+        _encode_image_stream(
+            bw, [0xFF000000 | (m << 8) for m in predictor_modes]
+        )
+        work = _forward_predict(work, width, height, predictor_modes,
+                                predictor_size_bits)
     if subtract_green:
         bw.write(1, 1)
         bw.write(2, 2)

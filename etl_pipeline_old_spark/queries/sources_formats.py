@@ -2613,8 +2613,8 @@ def _webp_lossless_oracle() -> str:
     WITH px AS (
       SELECT doc_id, {_webp_b_sql()} AS b FROM documents)
     SELECT doc_id, 8 AS width, 8 AS height,
-      CAST(doc_id % 5 AS INT) AS variant,
-      CAST(CASE WHEN doc_id % 5 = 4 THEN {pal_sum}
+      CAST(doc_id % 6 AS INT) AS variant,
+      CAST(CASE WHEN doc_id % 6 = 4 THEN {pal_sum}
            ELSE {direct_sum} END AS BIGINT) AS sum_argb,
       1 AS alpha_ok
     FROM px
@@ -2626,7 +2626,7 @@ def _render_webp_lossless(doc_id: int, text: str) -> bytes:
     from ..operators.vp8l import encode_webp_lossless
 
     b = md5_pixels(text, 192)
-    v = doc_id % 5
+    v = doc_id % 6
     if v == 4:  # 16-color palette image (color-indexing transform)
         colors = [
             0xFF000000 | (b[3 * k] << 16) | (b[3 * k + 1] << 8)
@@ -2641,6 +2641,11 @@ def _render_webp_lossless(doc_id: int, text: str) -> bytes:
         px.append(
             0xFF000000 | (b[3 * jj] << 16) | (b[3 * jj + 1] << 8)
             | b[3 * jj + 2]
+        )
+    if v == 5:  # predictor transform: the 8x8 image is one tile at
+        # size_bits=3, cycling all 14 modes across the corpus
+        return encode_webp_lossless(
+            8, 8, px, predictor_modes=[(doc_id // 6) % 14],
         )
     kw = (
         {}, {"subtract_green": True}, {"use_lz77": True},
@@ -2659,13 +2664,15 @@ def _render_webp_lossless(doc_id: int, text: str) -> bytes:
     "codec is lossless, so the oracle recomputes every pixel's "
     "contribution from the shared md5_pixel_sql formula and demands "
     "the decoded raster's exact ARGB checksum.  Staged variants cycle "
-    "doc_id%5 over the format's feature surface: plain "
+    "doc_id%6 over the format's feature surface: plain "
     "canonical-Huffman literals, the subtract-green transform, "
     "distance-1 LZ77 backward references over a seeded 17-pixel run, "
-    "a 16-entry color cache, and a 16-color delta-coded palette "
-    "(color-indexing transform with sub-byte index bundling).  The "
-    "decoder additionally handles the predictor (14 modes) and "
-    "cross-color transforms, meta prefix-code groups, and the "
+    "a 16-entry color cache, a 16-color delta-coded palette "
+    "(color-indexing transform with sub-byte index bundling), and the "
+    "PREDICTOR transform with the corpus cycling ALL 14 modes "
+    "(doc_id//6 picks the tile mode, residual-coded per the spec's "
+    "edge rules).  The decoder additionally handles the cross-color "
+    "transform, meta prefix-code groups, and the "
     "120-entry 2D distance map, pinned by spec-derived unit fixtures "
     "(tests/test_vp8l.py) — no independent VP8L codec exists in this "
     "environment, so conformance beyond self-roundtrip is documented "
@@ -2710,7 +2717,7 @@ def multimodal_webp_lossless_ingest(
                 out["doc_id"].append(did)
                 out["width"].append(w)
                 out["height"].append(h)
-                out["variant"].append(did % 5)
+                out["variant"].append(did % 6)
                 out["sum_argb"].append(sum(p & 0xFFFFFF for p in px))
                 out["alpha_ok"].append(
                     1 if all((p >> 24) & 0xFF == 0xFF for p in px) else 0
@@ -3845,7 +3852,7 @@ def pipeline_pdf_xrefstream_incremental(
                 did = int(doc_id)
                 pages = extract_pdf_text(bytes(content))
                 out["doc_id"].append(did)
-                out["variant"].append(did % 5)
+                out["variant"].append(did % 6)
                 out["n_chars"].append(
                     sum(len(ln) for pg in pages for ln in pg)
                 )
@@ -4061,7 +4068,7 @@ def stream_pdf_xrefstream_ingest(
                     pages, prof = extract_pdf_text_profiled(bytes(content))
                     out["doc_id"].append(did)
                     out["n_pages"].append(len(pages))
-                    out["variant"].append(did % 5)
+                    out["variant"].append(did % 6)
                     out["n_chars"].append(
                         sum(len(ln) for pg in pages for ln in pg)
                     )

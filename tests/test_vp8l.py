@@ -362,3 +362,27 @@ def test_decode_image_real_dispatches_webp():
     # lossy VP8 through the same dispatch: the documented seam
     with pytest.raises(NotImplementedError, match="VP8L .* natively"):
         decode_image_real(encode_webp_vp8_still(8, 8))
+
+
+@pytest.mark.parametrize("mode", list(range(14)))
+def test_encoder_predictor_transform_roundtrip(mode):
+    w = h = 8
+    px = _img(w, h)
+    blob = encode_webp_lossless(w, h, px, predictor_modes=[mode])
+    assert decode_webp_lossless(blob)[2] == px
+
+
+def test_encoder_predictor_multi_tile_and_sg_combo():
+    w, h = 16, 8
+    px = _img(w, h)
+    # 8-pixel tiles: 2x1 grid, two different modes; subtract-green
+    # stacks on the residuals (decoder inverts in reverse order)
+    blob = encode_webp_lossless(
+        w, h, px, predictor_modes=[7, 11], subtract_green=True,
+    )
+    assert decode_webp_lossless(blob)[2] == px
+
+
+def test_encoder_predictor_mode_count_validated():
+    with pytest.raises(ValueError, match="one predictor mode per tile"):
+        encode_webp_lossless(16, 16, _img(16, 16), predictor_modes=[1])
