@@ -337,29 +337,44 @@ def write_pdf_xrefstream(
     return bytes(out)
 
 
-def write_pdf_images(images: list, compress_content: bool = False) -> bytes:
+def write_pdf_images(images: list, captions: list | None = None,
+                     compress_content: bool = False) -> bytes:
     """Serialize a one-page PDF whose /Resources carry one image
     XObject per entry of ``images`` — each ``(kind, width, height,
     payload)`` with kind ``"flate"`` (payload = raw 8-bit DeviceGray
     samples, FlateDecoded into the stream) or ``"dct"`` (payload = a
     complete JFIF file, embedded as-is under /DCTDecode, which is how
     every real producer ships JPEG figures).  The content stream
-    paints each image so the page is a genuine figure page."""
+    paints each image so the page is a genuine figure page; with
+    ``captions`` (one string per image), a caption line is drawn
+    under each figure — the papers-corpus layout figure-caption
+    pairing mines."""
+    if captions is not None and len(captions) != len(images):
+        raise ValueError("pdf: one caption per image required")
     objs: list[bytes] = []
     objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
     objs.append(b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
     n = len(images)
+    first_im = 6 if captions is not None else 5
     im_refs = b" ".join(
-        b"/Im%d %d 0 R" % (i, 5 + i) for i in range(n)
+        b"/Im%d %d 0 R" % (i, first_im + i) for i in range(n)
     )
+    res = b"/XObject << " + im_refs + b" >>"
+    if captions is not None:
+        res += b" /Font << /F1 5 0 R >>"
     objs.append(
         b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-        b"/Resources << /XObject << " + im_refs + b" >> >> "
+        b"/Resources << " + res + b" >> "
         b"/Contents 4 0 R >>"
     )
     ops = []
     for i in range(n):
         ops.append(b"q 96 0 0 96 %d 600 cm /Im%d Do Q" % (60 + 120 * i, i))
+        if captions is not None:
+            ops.append(
+                b"BT /F1 10 Tf %d 585 Td (" % (60 + 120 * i)
+                + _esc(captions[i]) + b") Tj ET"
+            )
     data = b"\n".join(ops)
     if compress_content:
         data = zlib.compress(data, 9)
@@ -370,6 +385,10 @@ def write_pdf_images(images: list, compress_content: bool = False) -> bytes:
     else:
         objs.append(
             b"<< /Length %d >>\nstream\n" % len(data) + data + b"\nendstream"
+        )
+    if captions is not None:
+        objs.append(
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
         )
     for kind, w, h, payload in images:
         if kind == "flate":

@@ -4399,6 +4399,107 @@ def pipeline_pdf_images_extract(
     )
 
 
+def _render_pdf_figures(doc_id: int, text: str) -> bytes:
+    from ..operators.multimodal import md5_pixels
+    from ..operators.pdf import write_pdf_images
+
+    b = bytes(md5_pixels(text, 128))
+    images = [("flate", 8, 8, b[:64])]
+    captions = [f"Fig {doc_id}: {text[:30]}"]
+    if doc_id % 2 == 0:
+        images.append(("flate", 8, 8, b[64:128]))
+        captions.append(f"Fig {doc_id}b: {text[30:55]}")
+    return write_pdf_images(images, captions=captions)
+
+
+@register(
+    "pipeline_pdf_figure_pairs",
+    oracle=f"""
+    WITH px AS (
+      SELECT doc_id, text,
+             [{", ".join(_ppm_pixel_sql(j) for j in range(128))}] AS b
+      FROM documents)
+    SELECT doc_id,
+      CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS INT) AS n_pairs,
+      1 AS cap_exact,
+      CAST(list_sum(b[1:64])
+           + CASE WHEN doc_id % 2 = 0 THEN list_sum(b[65:128])
+             ELSE 0 END AS BIGINT) AS img_sum
+    FROM px
+    """,
+    doc="Figure-caption PAIRING from PDFs — the document-side twin of "
+    "the WARC-based image-text pairing capstones: a papers/reports "
+    "corpus mines (figure raster, caption text) training pairs from "
+    "the SAME page, and both halves must come out of one structural "
+    "parse. Each staged document carries one or two genuine figure "
+    "pages (write_pdf_images with captions: image XObjects painted "
+    "above Helvetica caption lines); the kernel runs BOTH extractors "
+    "over the same payload — extract_pdf_images for the rasters, "
+    "extract_pdf_text for the caption lines — and pairs them by page "
+    "order, the layout heuristic real pipelines start from. The "
+    "oracle recomputes the pair count, demands every caption "
+    "byte-exact against its staging formula (cap_exact), and "
+    "recomputes the paired rasters' sample sum from the shared "
+    "md5_pixel_sql formula — a dropped figure, a swapped caption, or "
+    "a lossy raster all flip the hash. Scale: one binaryFile scan, "
+    "one Arrow kernel doing both extractions per document, no "
+    "payload shuffle; the downstream pair table is rows of "
+    "(caption, figure-hash), never figure bytes.",
+)
+def pipeline_pdf_figure_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    path = _stage_media_files(
+        spark, sf_dir, "pdf_figure_files", "pdf", _render_pdf_figures
+    )
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.pdf")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.pdf$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "content",
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    joined = bf.join(docs, "doc_id")
+
+    def op(batches):
+        import pandas as pd
+
+        from ..operators.pdf import extract_pdf_images, extract_pdf_text
+
+        for pdf_batch in batches:
+            out = {
+                "doc_id": [], "n_pairs": [], "cap_exact": [], "img_sum": [],
+            }
+            for doc_id, content, text in zip(
+                pdf_batch["doc_id"], pdf_batch["content"],
+                pdf_batch["text"],
+            ):
+                did = int(doc_id)
+                payload = bytes(content)
+                imgs = extract_pdf_images(payload)
+                caps = [ln for pg in extract_pdf_text(payload) for ln in pg]
+                exp = [f"Fig {did}: {text[:30]}"]
+                if did % 2 == 0:
+                    exp.append(f"Fig {did}b: {text[30:55]}")
+                out["doc_id"].append(did)
+                out["n_pairs"].append(min(len(imgs), len(caps)))
+                out["cap_exact"].append(1 if caps == exp else 0)
+                out["img_sum"].append(
+                    sum(sum(d) for _n, _w, _h, _f, d in imgs)
+                )
+            yield pd.DataFrame(out)
+
+    return joined.mapInPandas(
+        op,
+        schema="doc_id long, n_pairs int, cap_exact int, img_sum long",
+    )
+
+
 def _render_pdf_cid(doc_id: int, text: str) -> bytes:
     from ..operators.pdf import write_pdf_cid
 

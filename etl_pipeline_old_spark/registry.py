@@ -313,6 +313,9 @@ _CORE_FIRST = (
     "web_sitemap_discovery",
     # round-12: BSON (mongodump) shard ingestion — own spec-pinned codec
     "multimodal_bson_ingest",
+    # round-12: figure-caption pairing from PDFs — the document-side
+    # image-text pairing capstone
+    "pipeline_pdf_figure_pairs",
 )
 
 

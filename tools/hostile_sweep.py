@@ -158,6 +158,8 @@ REPEAT_QUERIES = (
     "web_sitemap_discovery",
     # r12: staged mongodump-style .bson shards
     "multimodal_bson_ingest",
+    # r12: staged figure-page PDFs with caption lines
+    "pipeline_pdf_figure_pairs",
     # r11: staged OOXML office documents (.docx text, .xlsx typed cells,
     # .pptx slides), RTF exports, and ZipCrypto-protected archives
     "pipeline_docx_extract",
