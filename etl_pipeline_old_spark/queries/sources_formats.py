@@ -3852,7 +3852,7 @@ def pipeline_pdf_xrefstream_incremental(
                 did = int(doc_id)
                 pages = extract_pdf_text(bytes(content))
                 out["doc_id"].append(did)
-                out["variant"].append(did % 6)
+                out["variant"].append(did % 5)
                 out["n_chars"].append(
                     sum(len(ln) for pg in pages for ln in pg)
                 )
@@ -4068,7 +4068,7 @@ def stream_pdf_xrefstream_ingest(
                     pages, prof = extract_pdf_text_profiled(bytes(content))
                     out["doc_id"].append(did)
                     out["n_pages"].append(len(pages))
-                    out["variant"].append(did % 6)
+                    out["variant"].append(did % 5)
                     out["n_chars"].append(
                         sum(len(ln) for pg in pages for ln in pg)
                     )
