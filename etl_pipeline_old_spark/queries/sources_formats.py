@@ -8297,6 +8297,123 @@ def multimodal_bson_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pipeline_crawl_frontier",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id % 20 AS hn, 1 + (doc_id % 20) % 4 AS n
+      FROM documents WHERE doc_id % 3 <> 0)
+    SELECT CAST(hn AS INT) AS hn,
+      CAST(sum(n) AS BIGINT) AS n_urls,
+      CAST(sum(CASE WHEN hn % 4 = 2 THEN 1 ELSE 0 END)
+           + sum(CASE WHEN hn % 5 = 4 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_blocked,
+      CAST(sum(n)
+           - sum(CASE WHEN hn % 4 = 2 THEN 1 ELSE 0 END)
+           - sum(CASE WHEN hn % 5 = 4 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_allowed
+    FROM u GROUP BY hn
+    """,
+    doc="Crawl-FRONTIER assembly — the composition the pre-fetch "
+    "surface exists for: URLs DISCOVERED from the staged sitemap "
+    "corpus (urlset documents only; index documents point at child "
+    "sitemaps, not pages) are gated through per-host REP rules with "
+    "RFC 9309 wildcards before anything is fetched. The gate's rule "
+    "set exercises both wildcard forms with real verdict flips: a "
+    "baseline 'Allow: /docs/' everywhere, 'Disallow: /docs/*-2$' on "
+    "hosts ≡2 mod 4 (whose sitemaps list exactly three entries, so "
+    "one of three blocks — prefix matching would block none), and "
+    "'Disallow: /docs/*-0$' on hosts ≡4 mod 5; host 14 carries both. "
+    "Longest-PATTERN-match wins per the RFC's most-octets rule "
+    "(rep_pattern_rx compiles each rule, the same machinery as "
+    "web_robots_gate). The plan is the 100 TB frontier shape: gunzip "
+    "kernel → pure-JVM from_xml → explode → broadcast KB-sized rules "
+    "joined by host with a regexp match filter → per-host verdict "
+    "counts; the oracle recomputes discovery and gating composed "
+    "from both staging formulas, so a drift in EITHER parser breaks "
+    "the hash.",
+)
+def pipeline_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_media_files(
+        spark, sf_dir, "sitemap_files", "xml", _render_sitemap
+    )
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.xml")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.xml$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "content",
+        )
+    )
+
+    def gunzip(batches):
+        import gzip
+
+        import pandas as pd
+
+        for b in batches:
+            out = {"doc_id": [], "xml": []}
+            for doc_id, content in zip(b["doc_id"], b["content"]):
+                raw = bytes(content)
+                if raw[:2] == b"\x1f\x8b":
+                    raw = gzip.decompress(raw)
+                out["doc_id"].append(int(doc_id))
+                out["xml"].append(raw.decode("utf-8"))
+            yield pd.DataFrame(out)
+
+    texts = bf.mapInPandas(gunzip, schema="doc_id long, xml string")
+    urls = (
+        texts.select(
+            F.from_xml("xml", _SITEMAP_URLSET_SCHEMA).alias("us"),
+        )
+        .where(F.col("us.url").isNotNull())
+        .select(F.explode("us.url").alias("u"))
+        .select(
+            F.regexp_extract(
+                F.col("u.loc"), r"https://src(\d+)\.example/", 1
+            ).cast("int").alias("hn"),
+            F.regexp_extract(
+                F.col("u.loc"), r"https://[^/]+(/.*)$", 1
+            ).alias("path"),
+        )
+    )
+    rep = [("/docs/", 0, 1), ("/docs/*-2$", 1, 0), ("/docs/*-0$", 2, 0)]
+    rules_all = spark.createDataFrame(
+        [(p, rep_pattern_rx(p), c, a) for p, c, a in rep],
+        "rule_path string, rule_rx string, cond int, allow int",
+    )
+    hosts = urls.select("hn").distinct()
+    rules = hosts.crossJoin(F.broadcast(rules_all)).where(
+        (F.col("cond") == 0)
+        | ((F.col("cond") == 1) & (F.col("hn") % 4 == 2))
+        | ((F.col("cond") == 2) & (F.col("hn") % 5 == 4))
+    ).select(F.col("hn").alias("rhn"), "rule_path", "rule_rx", "allow")
+    matched = urls.join(
+        F.broadcast(rules),
+        (F.col("hn") == F.col("rhn"))
+        & F.expr("regexp_like(path, rule_rx)"),
+        "left",
+    )
+    verdicts = matched.groupBy("hn", "path").agg(
+        F.when(F.max("rule_path").isNull(), F.lit(1))
+        .otherwise(
+            F.max_by(
+                "allow", F.lit(2) * F.length("rule_path") + F.col("allow")
+            )
+        )
+        .cast("int")
+        .alias("allowed")
+    )
+    return verdicts.groupBy("hn").agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.sum(F.lit(1) - F.col("allowed")).cast("long").alias("n_blocked"),
+        F.sum("allowed").cast("long").alias("n_allowed"),
+    )
+
+
 _AVRO_DOC_SCHEMA = (
     '{"type":"record","name":"doc","fields":['
     '{"name":"doc_id","type":"long"},'

@@ -316,6 +316,9 @@ _CORE_FIRST = (
     # round-12: figure-caption pairing from PDFs — the document-side
     # image-text pairing capstone
     "pipeline_pdf_figure_pairs",
+    # round-12: frontier assembly — sitemap discovery composed with the
+    # wildcard REP gate
+    "pipeline_crawl_frontier",
 )
 
 

@@ -160,6 +160,8 @@ REPEAT_QUERIES = (
     "multimodal_bson_ingest",
     # r12: staged figure-page PDFs with caption lines
     "pipeline_pdf_figure_pairs",
+    # r12: the frontier capstone (shares the sitemap staging)
+    "pipeline_crawl_frontier",
     # r11: staged OOXML office documents (.docx text, .xlsx typed cells,
     # .pptx slides), RTF exports, and ZipCrypto-protected archives
     "pipeline_docx_extract",
