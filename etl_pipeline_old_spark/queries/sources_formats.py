@@ -8297,6 +8297,73 @@ def multimodal_bson_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _render_corrupt_bson(doc_id: int, text: str) -> bytes:
+    blob = _render_bson(doc_id, text)
+    if doc_id % _CORRUPT_MOD == 0:
+        return blob[: len(blob) - len(blob) // 3]  # torn mid-document
+    return blob
+
+
+@register(
+    "bson_ingest_quarantine",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN doc_id % {_CORRUPT_MOD} = 0 THEN 'corrupt' ELSE 'ok' END
+             AS status,
+           CASE WHEN doc_id % {_CORRUPT_MOD} = 0 THEN NULL
+                ELSE length(text) + least(30, length(text)) END AS body_chars
+    FROM documents
+    """,
+    doc="Per-record QUARANTINE for the BSON family — every "
+    f"{_CORRUPT_MOD}th staged mongodump shard is torn mid-document "
+    "(the partial-upload shape), the kernel wraps read_bson_shard per "
+    "record and routes failures to a status column, and the oracle "
+    "checks both halves: torn shards quarantine with NULL accounting, "
+    "every healthy shard still recovers its two bodies byte-exactly "
+    "(combined length checked against the base table). Same parser "
+    "that raises in multimodal_bson_ingest; quarantine rows route to "
+    "a dead-letter table for re-fetch.",
+)
+def bson_ingest_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_media_files(
+        spark, sf_dir, "bson_corrupt", "bson", _render_corrupt_bson
+    )
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bson")
+        .load(path)
+        .select("path", "content")
+    )
+
+    def op(batches):
+        import re as _re
+
+        import pandas as pd
+
+        from ..operators.bson import read_bson_shard
+
+        for b in batches:
+            out = {"doc_id": [], "status": [], "body_chars": []}
+            for p, content in zip(b["path"], b["content"]):
+                out["doc_id"].append(
+                    int(_re.search(r"(\d+)\.bson$", p).group(1))
+                )
+                try:
+                    recs = read_bson_shard(bytes(content))
+                    out["status"].append("ok")
+                    out["body_chars"].append(
+                        sum(len(r["body"]) for r in recs)
+                    )
+                except (ValueError, NotImplementedError):
+                    out["status"].append("corrupt")
+                    out["body_chars"].append(None)
+            yield pd.DataFrame(out)
+
+    return bf.mapInPandas(
+        op, schema="doc_id long, status string, body_chars long"
+    )
+
+
 @register(
     "pipeline_crawl_frontier",
     oracle="""

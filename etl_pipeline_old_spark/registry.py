@@ -319,6 +319,8 @@ _CORE_FIRST = (
     # round-12: frontier assembly — sitemap discovery composed with the
     # wildcard REP gate
     "pipeline_crawl_frontier",
+    # round-12: the BSON family's quarantine leg
+    "bson_ingest_quarantine",
 )
 
 

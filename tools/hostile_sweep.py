@@ -162,6 +162,8 @@ REPEAT_QUERIES = (
     "pipeline_pdf_figure_pairs",
     # r12: the frontier capstone (shares the sitemap staging)
     "pipeline_crawl_frontier",
+    # r12: torn mongodump shards (quarantine staging)
+    "bson_ingest_quarantine",
     # r11: staged OOXML office documents (.docx text, .xlsx typed cells,
     # .pptx slides), RTF exports, and ZipCrypto-protected archives
     "pipeline_docx_extract",
