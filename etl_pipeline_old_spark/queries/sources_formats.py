@@ -8042,6 +8042,168 @@ def web_feed_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _render_robots_txt(doc_id: int, text: str) -> bytes:
+    """A realistic robots.txt: comments, blank lines, a '*' group, on
+    even ids a specific group for our bot (named in MiXeD case, with a
+    second user-agent line sharing the group on ids ≡0 mod 4), empty
+    Disallow values (= no rule, per the RFC), unknown directives, and
+    doc-wide Sitemap lines; CRLF on odd ids."""
+    lines = [
+        "# robots for src%d (doc %d)" % (doc_id % 20, doc_id),
+        "",
+        "User-agent: *",
+        "Disallow: /private/",
+        "Allow: /private/public/",
+        "Crawl-delay: 2",          # unknown to RFC 9309: ignored
+        "Disallow:",               # empty value: not a rule
+    ]
+    if doc_id % 2 == 0:
+        lines += ["", "User-AGENT: SparkGraftBot"]
+        if doc_id % 4 == 0:
+            lines += ["user-agent: OtherBot"]
+        lines += [
+            "Disallow: /tmp/",
+            "Disallow: /docs/*%d$" % (doc_id % 10),
+        ]
+    lines += ["", "Sitemap: https://src%d.example/sitemap.xml"
+              % (doc_id % 20)]
+    if doc_id % 3 == 0:
+        lines += ["Sitemap: https://src%d.example/sitemap-news.xml"
+                  % (doc_id % 20)]
+    sep = "\r\n" if doc_id % 2 == 1 else "\n"
+    return (sep.join(lines) + sep).encode("utf-8")
+
+
+@register(
+    "web_robots_parse",
+    oracle="""
+    SELECT doc_id,
+      CASE WHEN doc_id % 2 = 0 THEN 'specific' ELSE 'star' END
+        AS matched_group,
+      CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 2 END AS INT) AS n_rules,
+      CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS INT)
+        AS n_disallow,
+      CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS INT)
+        AS n_sitemaps,
+      'https://src' || (doc_id % 20) || '.example/sitemap.xml'
+        AS first_sitemap
+    FROM documents
+    """,
+    doc="robots.txt PARSING (RFC 9309 §2.2 grammar) — the half of REP "
+    "the gate queries consume pre-parsed: real crawls fetch the FILE "
+    "and must recover groups and directives from bytes. Parsed "
+    "entirely RELATIONALLY — posexplode lines, comment stripping, "
+    "case-insensitive directive keys, group boundaries detected with "
+    "a lag window (consecutive user-agent lines share one group, the "
+    "RFC rule naive line-scanners break), rules attached to their "
+    "group by a running group-id sum — zero Python anywhere. Group "
+    "selection per the RFC: a group whose user-agent product token "
+    "matches our bot (case-insensitively — the staged files spell it "
+    "MiXeD case) wins over the '*' group; empty Disallow values are "
+    "non-rules; unknown directives (Crawl-delay) are ignored; Sitemap "
+    "lines are doc-wide, outside any group. The staged corpus cycles "
+    "CRLF/LF, comments, shared-UA groups, and group order; every "
+    "output column is recomputed by the oracle from the staging "
+    "formulas. Scale: one scan, one explode, two windows keyed by "
+    "(doc, line) — robots files are KB-sized, so the per-doc frames "
+    "are trivially bounded; the parsed rules table is exactly what "
+    "web_robots_gate/pipeline_crawl_frontier broadcast.",
+)
+def web_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    path = _stage_media_files(
+        spark, sf_dir, "robots_files", "txt", _render_robots_txt
+    )
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.txt$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.decode(F.col("content"), "UTF-8").alias("body"),
+        )
+    )
+    lines = bf.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("body"), "\r?\n")).alias("pos", "raw"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.trim(F.regexp_replace("raw", "#.*$", "")).alias("line"),
+    ).where(F.col("line") != "")
+    kv = lines.select(
+        "doc_id",
+        "pos",
+        F.lower(F.trim(F.regexp_extract("line", r"^([^:]+):", 1)))
+        .alias("key"),
+        F.trim(F.regexp_extract("line", r"^[^:]+:(.*)$", 1)).alias("val"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grouped = kv.withColumn(
+        "is_ua", (F.col("key") == "user-agent").cast("int")
+    ).withColumn(
+        "new_group",
+        (
+            (F.col("key") == "user-agent")
+            & (F.coalesce(F.lag("key").over(w), F.lit("")) != "user-agent")
+        ).cast("int"),
+    ).withColumn("gid", F.sum("new_group").over(w))
+    uas = (
+        grouped.where(F.col("key") == "user-agent")
+        .groupBy("doc_id", "gid")
+        .agg(F.collect_set(F.lower("val")).alias("agents"))
+    )
+    # pick the group per RFC: our product token beats '*'
+    pick = uas.select(
+        "doc_id",
+        "gid",
+        F.when(
+            F.array_contains("agents", "sparkgraftbot"), F.lit(2)
+        ).when(F.array_contains("agents", "*"), F.lit(1))
+        .otherwise(F.lit(0)).alias("rank"),
+    ).where(F.col("rank") > 0)
+    best = pick.groupBy("doc_id").agg(
+        F.max_by("gid", F.col("rank")).alias("gid"),
+        F.max("rank").alias("rank"),
+    )
+    rules = grouped.where(
+        F.col("key").isin("allow", "disallow") & (F.col("val") != "")
+    )
+    rule_counts = (
+        rules.join(best, ["doc_id"])
+        .where(rules["gid"] == best["gid"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_rules"),
+            F.sum((F.col("key") == "disallow").cast("int"))
+            .cast("int").alias("n_disallow"),
+        )
+    )
+    sitemaps = (
+        grouped.where(F.col("key") == "sitemap")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_sitemaps"),
+            F.min_by("val", "pos").alias("first_sitemap"),
+        )
+    )
+    return (
+        best.join(rule_counts, "doc_id").join(sitemaps, "doc_id")
+        .select(
+            "doc_id",
+            F.when(F.col("rank") == 2, F.lit("specific"))
+            .otherwise(F.lit("star")).alias("matched_group"),
+            "n_rules",
+            "n_disallow",
+            "n_sitemaps",
+            "first_sitemap",
+        )
+    )
+
+
 def _render_sitemap(doc_id: int, text: str) -> bytes:
     import gzip
 

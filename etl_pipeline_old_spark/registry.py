@@ -321,6 +321,8 @@ _CORE_FIRST = (
     "pipeline_crawl_frontier",
     # round-12: the BSON family's quarantine leg
     "bson_ingest_quarantine",
+    # round-12: robots.txt FILE parsing (RFC 9309 grammar, relational)
+    "web_robots_parse",
 )
 
 

@@ -164,6 +164,8 @@ REPEAT_QUERIES = (
     "pipeline_crawl_frontier",
     # r12: torn mongodump shards (quarantine staging)
     "bson_ingest_quarantine",
+    # r12: staged robots.txt files (relational parse)
+    "web_robots_parse",
     # r11: staged OOXML office documents (.docx text, .xlsx typed cells,
     # .pptx slides), RTF exports, and ZipCrypto-protected archives
     "pipeline_docx_extract",
