@@ -323,6 +323,8 @@ _CORE_FIRST = (
     "bson_ingest_quarantine",
     # round-12: robots.txt FILE parsing (RFC 9309 grammar, relational)
     "web_robots_parse",
+    # round-12: registrable-domain extraction (PSL algorithm, relational)
+    "web_registrable_domain",
 )
 
 
