@@ -8042,6 +8042,92 @@ def web_feed_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _render_canonical_page(doc_id: int, text: str) -> bytes:
+    own = f"https://src{doc_id % 20}.example/docs/doc{doc_id}"
+    k = doc_id - doc_id % 3
+    canon = f"https://src{k % 20}.example/docs/doc{k}"
+    head = "<title>doc %d</title>" % doc_id
+    # a decoy link that a sloppy regexp would take for the canonical
+    head += '<link rel="stylesheet" href="/style.css">'
+    if doc_id % 3 != 0:
+        if doc_id % 2 == 0:  # attribute order + quote style vary
+            head += f'<link rel="canonical" href="{canon}">'
+        else:
+            head += f"<link href='{canon}' rel='canonical'>"
+    body = f'<p>{text[:40]}</p><a href="{own}?utm=x">self</a>'
+    return (
+        f"<!doctype html><html><head>{head}</head>"
+        f"<body>{body}</body></html>"
+    ).encode("utf-8")
+
+
+@register(
+    "web_canonical_collapse",
+    oracle="""
+    WITH g AS (SELECT doc_id, doc_id - doc_id % 3 AS k FROM documents)
+    SELECT 'https://src' || (k % 20) || '.example/docs/doc' || k
+             AS canon_url,
+      CAST(count(*) AS BIGINT) AS n_pages,
+      CAST(sum(CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_declared
+    FROM g GROUP BY k
+    """,
+    doc="rel=canonical COLLAPSE — the pre-dedup URL step C4-style "
+    "pipelines apply before exact dedup: pages that DECLARE a "
+    "canonical (<link rel=canonical>) collapse onto it, so syndicated "
+    "and parameter-varied copies count as one document. Pure JVM: the "
+    "staged pages vary attribute ORDER (href-before-rel) and quote "
+    "style, and carry a stylesheet <link> decoy plus an <a href> that "
+    "a sloppy one-regex extractor would take for the canonical — the "
+    "extraction first isolates the rel=canonical TAG (either "
+    "attribute order) and only then pulls its href; pages without a "
+    "declaration collapse onto their own URL. Every third document is "
+    "the canonical target of its triple, so group sizes, declared "
+    "counts, and the canonical URLs themselves are all recomputed by "
+    "the oracle. Scale: scan → two regexps → one groupBy on the "
+    "canonical key — the standard pre-dedup projection, map-side "
+    "until the final partial-agg shuffle.",
+)
+def web_canonical_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_media_files(
+        spark, sf_dir, "canonical_files", "html", _render_canonical_page
+    )
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.html")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.html$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.decode(F.col("content"), "UTF-8").alias("html"),
+        )
+    )
+    # isolate the rel=canonical tag first (either attribute order),
+    # then pull its href — one combined regexp per order, decoys never
+    # match because they lack rel=canonical inside the SAME tag
+    tag = F.coalesce(
+        F.regexp_extract(
+            "html", r"""<link[^>]*rel=["']canonical["'][^>]*>""", 0
+        ),
+        F.lit(""),
+    )
+    href = F.regexp_extract(tag, r"""href=["']([^"']+)["']""", 1)
+    own = F.concat(
+        F.lit("https://src"), (F.col("doc_id") % 20).cast("string"),
+        F.lit(".example/docs/doc"), F.col("doc_id").cast("string"),
+    )
+    pages = bf.select(
+        "doc_id",
+        F.when(href != "", href).otherwise(own).alias("canon_url"),
+        (href != "").cast("int").alias("declared"),
+    )
+    return pages.groupBy("canon_url").agg(
+        F.count("*").cast("long").alias("n_pages"),
+        F.sum("declared").cast("long").alias("n_declared"),
+    )
+
+
 # An EXCERPT of the Public Suffix List covering every rule FORM the
 # algorithm must handle (normal, multi-label, wildcard, exception) —
 # the full list is a data file a deployment drops in at this plug

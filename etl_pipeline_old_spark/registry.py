@@ -325,6 +325,8 @@ _CORE_FIRST = (
     "web_robots_parse",
     # round-12: registrable-domain extraction (PSL algorithm, relational)
     "web_registrable_domain",
+    # round-12: rel=canonical collapse (pre-dedup URL step)
+    "web_canonical_collapse",
 )
 
 

@@ -386,3 +386,46 @@ def test_encoder_predictor_multi_tile_and_sg_combo():
 def test_encoder_predictor_mode_count_validated():
     with pytest.raises(ValueError, match="one predictor mode per tile"):
         encode_webp_lossless(16, 16, _img(16, 16), predictor_modes=[1])
+
+
+def test_meta_prefix_groups_with_live_codes():
+    """Unlike the zero-bit single-symbol case above, each group here
+    carries a REAL 2-symbol green code over different literals — a
+    decoder that picks the wrong group reads the other group's code
+    table and produces wrong pixels (or fails), so correct per-tile
+    dispatch is observable in the output."""
+    from etl_pipeline_old_spark.operators.vp8l import (
+        _encoder_codes, _huffman_lengths, _write_prefix_code)
+
+    w, h, hb = 8, 2, 2            # 4-pixel tiles: 2x1 tile grid
+    # group 0 greens alternate 0x10/0x20; group 1 greens 0x30/0x40
+    g0 = [0x10, 0x20, 0x10, 0x20]
+    g1 = [0x30, 0x40, 0x30, 0x40]
+    px = [0xFF000000 | (g << 8) for g in (g0 + g1)] \
+        + [0xFF000000 | (g << 8) for g in (list(reversed(g0))
+                                           + list(reversed(g1)))]
+    bw = BitWriter()
+    _header(bw, w, h)
+    bw.write(0, 1)
+    bw.write(0, 1)                # no cache
+    bw.write(1, 1)                # meta prefix present
+    bw.write(hb - 2, 3)
+    _sub_image(bw, [0xFF000000 | (0 << 8), 0xFF000000 | (1 << 8)])
+    codes = []
+    for pair in ((0x10, 0x20), (0x30, 0x40)):
+        gl = _huffman_lengths({pair[0]: 1, pair[1]: 1})
+        rl = _huffman_lengths({0: 1})
+        al = _huffman_lengths({0xFF: 1})
+        dl = _huffman_lengths({0: 1})
+        for lengths, size in ((gl, 280), (rl, 256), (rl, 256),
+                              (al, 256), (dl, 40)):
+            _write_prefix_code(bw, lengths, size)
+        codes.append(_encoder_codes(gl))
+    for y in range(h):
+        for x in range(w):
+            p = px[y * w + x]
+            group = 0 if x < 4 else 1
+            bw.write_code(*codes[group][(p >> 8) & 0xFF])
+    w2, h2, got = decode_vp8l(bytes([0x2F]) + bw.getvalue())
+    assert (w2, h2) == (w, h)
+    assert got == px

@@ -166,6 +166,8 @@ REPEAT_QUERIES = (
     "bson_ingest_quarantine",
     # r12: staged robots.txt files (relational parse)
     "web_robots_parse",
+    # r12: staged canonical-declaring HTML pages
+    "web_canonical_collapse",
     # r11: staged OOXML office documents (.docx text, .xlsx typed cells,
     # .pptx slides), RTF exports, and ZipCrypto-protected archives
     "pipeline_docx_extract",
