@@ -362,3 +362,16 @@ def test_sqlite_wal_ingest_plan_is_sidecar_equi_join(spark, sf):
     assert nodes.count("MapInPandas") == 1
     assert "CartesianProduct" not in nodes
     assert "BatchEvalPython" not in nodes
+
+
+def test_robots_parse_and_psl_plans_are_pure_jvm(spark, sf):
+    # r12: both relational parsers must stay Python-free — the
+    # robots.txt grammar walk (posexplode + lag windows) and the PSL
+    # suffix-candidate join
+    for name in ("web_robots_parse", "web_registrable_domain",
+                 "web_canonical_collapse"):
+        plan = plan_of(QUERIES[name].fn(spark, sf))
+        nodes = nodes_of(plan)
+        assert "BatchEvalPython" not in nodes, name
+        assert "MapInPandas" not in nodes, name
+        assert "CartesianProduct" not in nodes, name
