@@ -8042,6 +8042,93 @@ def web_feed_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _render_nfkc_doc(doc_id: int, text: str) -> bytes:
+    import unicodedata
+
+    # the base corpus is NFC-clean ASCII/Cyrillic, so normalization
+    # would be unobservable on it alone; the staged file appends a
+    # marker carrying a compatibility ligature, a superscript, and a
+    # composed Å, then ships the WHOLE document NFD-decomposed — the
+    # wire shape crawled text actually arrives in (Mac uploads, old
+    # editors), where naive byte-keyed dedup splits identical texts
+    raw = text + " ﬁ²Å"
+    return unicodedata.normalize("NFD", raw).encode("utf-8")
+
+
+@register(
+    "corpus_nfkc_normalize",
+    oracle="""
+    SELECT doc_id,
+      CAST(length(text) + 5 AS BIGINT) AS n_chars,
+      1 AS text_exact,
+      1 AS changed
+    FROM documents
+    """,
+    doc="Unicode NFKC normalization — the canonicalization step every "
+    "dedup key needs BEFORE hashing: the same text arrives decomposed "
+    "(NFD) from some producers and with compatibility characters "
+    "(ligatures, superscripts) from others, and byte-keyed dedup "
+    "splits what a reader sees as identical. Each staged document "
+    "ships FULLY NFD-DECOMPOSED with an appended marker (U+FB01 'ﬁ', "
+    "a superscript two, a composed Å); the kernel normalizes NFKC, "
+    "which must simultaneously RECOMPOSE the Cyrillic/latin sequences "
+    "byte-exactly back to the base text and FOLD the compatibility "
+    "marker to ' fi2Å' — both demanded by the oracle (text_exact "
+    "recovers text || ' fi2Å' exactly; 'changed' asserts the staged "
+    "bytes really differed, so an identity kernel cannot pass). The "
+    "normalizer is CPython's unicodedata (the UCD tables); DuckDB's "
+    "independent ICU-based nfc_normalize agrees on the composition "
+    "half (tests/test_oracle_parity.py is the differential). Scale: "
+    "map-side kernel, one string op per record — the projection that "
+    "runs immediately before dedup_exact's hash at 100 TB.",
+)
+def corpus_nfkc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_media_files(
+        spark, sf_dir, "nfd_files", "txt", _render_nfkc_doc
+    )
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.txt$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "content",
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    joined = bf.join(docs, "doc_id")
+
+    def op(batches):
+        import unicodedata
+
+        import pandas as pd
+
+        for b in batches:
+            out = {
+                "doc_id": [], "n_chars": [], "text_exact": [],
+                "changed": [],
+            }
+            for doc_id, content, text in zip(
+                b["doc_id"], b["content"], b["text"]
+            ):
+                raw = bytes(content).decode("utf-8")
+                norm = unicodedata.normalize("NFKC", raw)
+                out["doc_id"].append(int(doc_id))
+                out["n_chars"].append(len(norm))
+                out["text_exact"].append(
+                    1 if norm == text + " fi2Å" else 0
+                )
+                out["changed"].append(1 if norm != raw else 0)
+            yield pd.DataFrame(out)
+
+    return joined.mapInPandas(
+        op,
+        schema="doc_id long, n_chars long, text_exact int, changed int",
+    )
+
+
 def _render_canonical_page(doc_id: int, text: str) -> bytes:
     own = f"https://src{doc_id % 20}.example/docs/doc{doc_id}"
     k = doc_id - doc_id % 3

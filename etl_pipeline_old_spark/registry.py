@@ -327,6 +327,8 @@ _CORE_FIRST = (
     "web_registrable_domain",
     # round-12: rel=canonical collapse (pre-dedup URL step)
     "web_canonical_collapse",
+    # round-12: NFKC normalization (the pre-dedup text canonicalization)
+    "corpus_nfkc_normalize",
 )
 
 

@@ -168,6 +168,8 @@ REPEAT_QUERIES = (
     "web_robots_parse",
     # r12: staged canonical-declaring HTML pages
     "web_canonical_collapse",
+    # r12: staged NFD-decomposed text files
+    "corpus_nfkc_normalize",
     # r11: staged OOXML office documents (.docx text, .xlsx typed cells,
     # .pptx slides), RTF exports, and ZipCrypto-protected archives
     "pipeline_docx_extract",
