@@ -8042,6 +8042,68 @@ def web_feed_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_deterministic_split",
+    oracle="""
+    WITH b AS (
+      SELECT lang, n_chars,
+        ('0x' || substr(md5('split-v1:' || doc_id), 1, 4))::INT % 1000
+          AS bucket
+      FROM documents)
+    SELECT lang,
+      CASE WHEN bucket < 900 THEN 'train'
+           WHEN bucket < 950 THEN 'val' ELSE 'test' END AS split,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM b GROUP BY 1, 2
+    """,
+    doc="Deterministic train/val/test SPLIT — the reproducibility "
+    "primitive every training pipeline needs: membership must be a "
+    "pure function of (id, salt), never of partition order or a "
+    "session seed, so re-runs, backfills, and cross-team reproduction "
+    "agree row for row, and changing the salt is the only way to "
+    "re-deal. Bucket = the first 16 bits of md5('split-v1:' || id) "
+    "mod 1000; 900/50/50 → train/val/test. Pure JVM (md5 + conv), "
+    "and the SAME formula evaluates in DuckDB, so the oracle is a "
+    "true cross-engine differential on every row's membership via "
+    "the per-(lang, split) doc and char totals — one misassigned "
+    "document flips a hash. Scale: a stateless projection before a "
+    "partial-agg groupBy; at 100 TB membership is computed where the "
+    "row lives, nothing shuffles but the tiny per-(lang,split) "
+    "partials; the salt-versioned key ('split-v1') is the documented "
+    "re-deal knob.",
+)
+def corpus_deterministic_split(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split-v1:"),
+                               F.col("doc_id").cast("string"))),
+                1, 4,
+            ),
+            16, 10,
+        ).cast("int") % 1000
+    )
+    split = (
+        F.when(bucket < 900, F.lit("train"))
+        .when(bucket < 950, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select("lang", split.alias("split"), "n_chars")
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+
+
 def _render_nfkc_doc(doc_id: int, text: str) -> bytes:
     import unicodedata
 

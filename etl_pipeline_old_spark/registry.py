@@ -329,6 +329,8 @@ _CORE_FIRST = (
     "web_canonical_collapse",
     # round-12: NFKC normalization (the pre-dedup text canonicalization)
     "corpus_nfkc_normalize",
+    # round-12: deterministic hash split (reproducible train/val/test)
+    "corpus_deterministic_split",
 )
 
 
