@@ -8592,6 +8592,174 @@ def web_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pipeline_rep_end_to_end",
+    oracle="""
+    SELECT doc_id,
+      CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END AS INT)
+        AS docs_allowed,
+      CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END AS INT)
+        AS tmp_allowed,
+      CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS INT)
+        AS private_allowed
+    FROM documents
+    """,
+    doc="REP END-TO-END — robots.txt BYTES to fetch verdicts in one "
+    "plan, closing the loop the pieces cover separately (parse: "
+    "web_robots_parse; match: web_robots_gate/frontier): the staged "
+    "files parse relationally into groups, the SELECTED group's rules "
+    "compile to anchored regexes IN PURE SQL (metacharacter escaping "
+    "via one capture-group regexp_replace, '*' to '.*', the trailing "
+    "'$' anchor re-attached), and each host's three probe paths "
+    "(/docs/docN, /tmp/docN, /private/docN) take longest-pattern-wins "
+    "verdicts. The decisive semantics is GROUP ISOLATION (RFC 9309): "
+    "even documents carry a specific-bot group, so ONLY its rules "
+    "apply — their /private probe must come out ALLOWED even though "
+    "the '*' group right above disallows /private/, while their "
+    "/docs probe is blocked by the group's own '/docs/*N$' wildcard "
+    "(which matches every id's own last digit); odd documents fall "
+    "back to the '*' group and invert all three verdicts. A parser "
+    "that leaks rules across groups, a compiler that mis-escapes, or "
+    "a matcher that ignores the anchor each flip a column. Zero "
+    "Python in the plan. Scale: the same broadcast-gate shape as the "
+    "frontier capstone; rule compilation is a per-rule projection "
+    "over a KB-sized table.",
+)
+def pipeline_rep_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    path = _stage_media_files(
+        spark, sf_dir, "robots_files", "txt", _render_robots_txt
+    )
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.txt$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.decode(F.col("content"), "UTF-8").alias("body"),
+        )
+    )
+    lines = bf.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("body"), "\r?\n")).alias("pos", "raw"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.trim(F.regexp_replace("raw", "#.*$", "")).alias("line"),
+    ).where(F.col("line") != "")
+    kv = lines.select(
+        "doc_id",
+        "pos",
+        F.lower(F.trim(F.regexp_extract("line", r"^([^:]+):", 1)))
+        .alias("key"),
+        F.trim(F.regexp_extract("line", r"^[^:]+:(.*)$", 1)).alias("val"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grouped = kv.withColumn(
+        "new_group",
+        (
+            (F.col("key") == "user-agent")
+            & (F.coalesce(F.lag("key").over(w), F.lit("")) != "user-agent")
+        ).cast("int"),
+    ).withColumn("gid", F.sum("new_group").over(w))
+    uas = (
+        grouped.where(F.col("key") == "user-agent")
+        .groupBy("doc_id", "gid")
+        .agg(F.collect_set(F.lower("val")).alias("agents"))
+    )
+    best = (
+        uas.select(
+            "doc_id",
+            "gid",
+            F.when(
+                F.array_contains("agents", "sparkgraftbot"), F.lit(2)
+            ).when(F.array_contains("agents", "*"), F.lit(1))
+            .otherwise(F.lit(0)).alias("rank"),
+        )
+        .where(F.col("rank") > 0)
+        .groupBy("doc_id")
+        .agg(F.max_by("gid", F.col("rank")).alias("bgid"))
+    )
+    # the selected group's rules, compiled to anchored regexes IN SQL:
+    # escape regex metacharacters, '*' -> '.*', trailing '$' anchors
+    rules = (
+        grouped.join(best, "doc_id")
+        .where(
+            (F.col("gid") == F.col("bgid"))
+            & F.col("key").isin("allow", "disallow")
+            & (F.col("val") != "")
+        )
+        .select(
+            "doc_id",
+            "val",
+            (F.col("key") == "allow").cast("int").alias("allow"),
+            F.col("val").rlike("\\$$").cast("int").alias("anchored"),
+        )
+        .withColumn(
+            "core",
+            F.when(F.col("anchored") == 1,
+                   F.expr("substring(val, 1, length(val) - 1)"))
+            .otherwise(F.col("val")),
+        )
+        .withColumn(
+            "esc",
+            F.regexp_replace(
+                "core", r"([.+?(){}\[\]^$|\\])", r"\\$1"
+            ),
+        )
+        .withColumn(
+            "rule_rx",
+            F.concat(
+                F.lit("^"),
+                F.regexp_replace("esc", r"\*", ".*"),
+                F.when(F.col("anchored") == 1, F.lit("$"))
+                .otherwise(F.lit("")),
+            ),
+        )
+        .select(
+            F.col("doc_id").alias("rdoc"), "val", "allow", "rule_rx"
+        )
+    )
+    probes = bf.select("doc_id").select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.concat(F.lit("/docs/doc"), F.col("doc_id")),
+                F.concat(F.lit("/tmp/doc"), F.col("doc_id")),
+                F.concat(F.lit("/private/doc"), F.col("doc_id")),
+            )
+        ).alias("path"),
+    )
+    matched = probes.join(
+        rules,
+        (F.col("doc_id") == F.col("rdoc"))
+        & F.expr("regexp_like(path, rule_rx)"),
+        "left",
+    )
+    verdicts = matched.groupBy("doc_id", "path").agg(
+        F.when(F.max("val").isNull(), F.lit(1))
+        .otherwise(
+            F.max_by("allow", F.lit(2) * F.length("val") + F.col("allow"))
+        )
+        .cast("int")
+        .alias("allowed")
+    )
+    return verdicts.groupBy("doc_id").agg(
+        F.max_by(
+            "allowed", (F.col("path").startswith("/docs/")).cast("int")
+        ).alias("docs_allowed"),
+        F.max_by(
+            "allowed", (F.col("path").startswith("/tmp/")).cast("int")
+        ).alias("tmp_allowed"),
+        F.max_by(
+            "allowed", (F.col("path").startswith("/private/")).cast("int")
+        ).alias("private_allowed"),
+    )
+
+
 def _render_sitemap(doc_id: int, text: str) -> bytes:
     import gzip
 

@@ -331,6 +331,9 @@ _CORE_FIRST = (
     "corpus_nfkc_normalize",
     # round-12: deterministic hash split (reproducible train/val/test)
     "corpus_deterministic_split",
+    # round-12: REP bytes-to-verdicts end-to-end (group isolation +
+    # in-SQL rule compilation)
+    "pipeline_rep_end_to_end",
 )
 
 

@@ -170,6 +170,8 @@ REPEAT_QUERIES = (
     "web_canonical_collapse",
     # r12: staged NFD-decomposed text files
     "corpus_nfkc_normalize",
+    # r12: REP end-to-end (shares the robots.txt staging)
+    "pipeline_rep_end_to_end",
     # r11: staged OOXML office documents (.docx text, .xlsx typed cells,
     # .pptx slides), RTF exports, and ZipCrypto-protected archives
     "pipeline_docx_extract",
