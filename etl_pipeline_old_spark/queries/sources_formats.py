@@ -9082,6 +9082,144 @@ def bson_ingest_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _render_sitemap_tree(doc_id: int, text: str) -> list:
+    """A sitemap INDEX plus its child sitemap FILES, staged side by
+    side the way a host really serves them: the parent's <loc> values
+    name the children, children are gzipped urlsets."""
+    import gzip
+
+    host = f"https://src{doc_id % 20}.example"
+    n_children = 2 + doc_id % 2
+    files = []
+    entries = []
+    for i in range(n_children):
+        fname = f"{doc_id}.c{i}.xml.gz"
+        entries.append(
+            f"<sitemap><loc>{host}/{fname}</loc></sitemap>"
+        )
+        n_urls = 1 + (doc_id + i) % 3
+        body = "".join(
+            f"<url><loc>{host}/docs/doc{doc_id}-{i}-{j}</loc></url>"
+            for j in range(n_urls)
+        )
+        child = (
+            '<urlset xmlns="http://www.sitemaps.org/schemas/'
+            f'sitemap/0.9">{body}</urlset>'
+        ).encode("utf-8")
+        files.append((f"c{i}.xml.gz", gzip.compress(child, mtime=0)))
+    index = (
+        '<sitemapindex xmlns="http://www.sitemaps.org/schemas/'
+        f'sitemap/0.9">{"".join(entries)}</sitemapindex>'
+    ).encode("utf-8")
+    files.append(("idx.xml", index))
+    return files
+
+
+@register(
+    "web_sitemap_recursive",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id, i
+      FROM documents, LATERAL (
+        SELECT unnest(range(2 + doc_id % 2)) AS i))
+    SELECT doc_id,
+      CAST(2 + doc_id % 2 AS INT) AS n_children,
+      CAST(sum(1 + (doc_id + i) % 3) AS BIGINT) AS n_urls,
+      'https://src' || (doc_id % 20) || '.example/docs/doc'
+        || doc_id || '-0-0' AS first_url
+    FROM c GROUP BY doc_id
+    """,
+    doc="RECURSIVE sitemap resolution — the index level real hosts "
+    "actually serve: a <sitemapindex> whose <loc> entries name child "
+    "sitemap FILES (gzipped urlsets), staged side by side like a "
+    "host's document root. Resolution is the manifest-join shape: "
+    "parse the index (pure-JVM from_xml), extract each child's "
+    "basename from its loc, and equi-join against the binaryFile "
+    "listing of child files — payloads never shuffle, only listing "
+    "rows — then gunzip + parse each child and roll URL counts back "
+    "up to the parent. The oracle recomputes children-per-parent, "
+    "total discovered URLs (child sizes vary by (parent, child) "
+    "formula, so a dropped or double-joined child flips the sum), "
+    "and the first URL in deterministic child-then-position order. "
+    "A loc naming a missing child file would simply drop from the "
+    "inner join and fail the count — the loud path. Scale: two "
+    "listings joined on basename, child parse map-side; at a "
+    "billion-URL frontier the index level is KB-sized per host and "
+    "the child fan-out is the parallelism, exactly how crawl seeding "
+    "distributes.",
+)
+def web_sitemap_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_media_files_multi(
+        spark, sf_dir, "sitemap_tree_files", _render_sitemap_tree
+    )
+    idx = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.idx.xml")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.idx\.xml$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.from_xml(
+                F.decode(F.col("content"), "UTF-8"), _SITEMAP_INDEX_SCHEMA
+            ).alias("ix"),
+        )
+    )
+    refs = idx.select(
+        "doc_id",
+        F.posexplode("ix.sitemap").alias("child_pos", "sm"),
+    ).select(
+        "doc_id",
+        "child_pos",
+        F.regexp_extract(F.col("sm.loc"), r"/([^/]+)$", 1)
+        .alias("basename"),
+    )
+    children = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.xml.gz")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"/(\d+\.c\d+\.xml\.gz)$", 1)
+            .alias("basename"),
+            "content",
+        )
+    )
+
+    def gunzip(batches):
+        import gzip
+
+        import pandas as pd
+
+        for b in batches:
+            yield pd.DataFrame({
+                "basename": b["basename"],
+                "xml": [
+                    gzip.decompress(bytes(c)).decode("utf-8")
+                    for c in b["content"]
+                ],
+            })
+
+    child_xml = children.mapInPandas(
+        gunzip, schema="basename string, xml string"
+    )
+    resolved = refs.join(child_xml, "basename").select(
+        "doc_id",
+        "child_pos",
+        F.from_xml("xml", _SITEMAP_URLSET_SCHEMA).alias("us"),
+    )
+    per_child = resolved.select(
+        "doc_id",
+        "child_pos",
+        F.size("us.url").cast("long").alias("n_urls"),
+        F.col("us.url")[0]["loc"].alias("first_loc"),
+    )
+    return per_child.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_children"),
+        F.sum("n_urls").alias("n_urls"),
+        F.min_by("first_loc", "child_pos").alias("first_url"),
+    )
+
+
 @register(
     "pipeline_crawl_frontier",
     oracle="""

@@ -334,6 +334,8 @@ _CORE_FIRST = (
     # round-12: REP bytes-to-verdicts end-to-end (group isolation +
     # in-SQL rule compilation)
     "pipeline_rep_end_to_end",
+    # round-12: recursive sitemap resolution (index -> child files)
+    "web_sitemap_recursive",
 )
 
 

@@ -172,6 +172,8 @@ REPEAT_QUERIES = (
     "corpus_nfkc_normalize",
     # r12: REP end-to-end (shares the robots.txt staging)
     "pipeline_rep_end_to_end",
+    # r12: staged sitemap index + child files
+    "web_sitemap_recursive",
     # r11: staged OOXML office documents (.docx text, .xlsx typed cells,
     # .pptx slides), RTF exports, and ZipCrypto-protected archives
     "pipeline_docx_extract",
