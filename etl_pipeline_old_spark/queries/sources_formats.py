@@ -9015,6 +9015,93 @@ def multimodal_bson_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_bson_ingest",
+    oracle="""
+    SELECT doc_id,
+      2 AS n_docs,
+      CAST(doc_id % 3 AS INT) AS n_tags,
+      CAST(length(text) + least(30, length(text)) AS BIGINT)
+        AS body_chars
+    FROM documents
+    """,
+    doc="STREAMING ingestion for the BSON family — the Auto-Loader "
+    "shape over a continuously-filling dump bucket: the same staged "
+    "mongodump shards consumed through readStream binaryFile with "
+    "maxFilesPerTrigger bounding each micro-batch, decoded per batch "
+    "by the same spec-pinned codec, appended to a checkpointed "
+    "parquet target whose accumulated content must hash-equal the "
+    "batch ingest (body_chars equals the source formula only if "
+    "every micro-batch recovered its bodies byte-exactly).",
+)
+def stream_bson_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..session import ensure_session_confs
+
+    ensure_session_confs(spark)
+    feed = _stage_media_files(
+        spark, sf_dir, "bson_files", "bson", _render_bson
+    )
+    base = os.path.join(cache_root(), f"bson_stream_{_tag(sf_dir)}")
+    target, chk = base + "_target", base + "_chk"
+    for p in (target, chk):
+        shutil.rmtree(p, ignore_errors=True)
+
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARYFILE_SCHEMA)
+        .option("pathGlobFilter", "*.bson")
+        .option("maxFilesPerTrigger", 200)
+        .load(feed)
+        .select("path", "content")
+    )
+
+    def decode(frame: DataFrame) -> DataFrame:
+        def op(batches):
+            import re as _re
+
+            import pandas as pd
+
+            from ..operators.bson import read_bson_shard
+
+            for b in batches:
+                out = {
+                    "doc_id": [], "n_docs": [], "n_tags": [],
+                    "body_chars": [],
+                }
+                for p, content in zip(b["path"], b["content"]):
+                    did = int(_re.search(r"(\d+)\.bson$", p).group(1))
+                    recs = read_bson_shard(bytes(content))
+                    out["doc_id"].append(did)
+                    out["n_docs"].append(len(recs))
+                    out["n_tags"].append(len(recs[0]["tags"]))
+                    out["body_chars"].append(
+                        sum(len(r["body"]) for r in recs)
+                    )
+                yield pd.DataFrame(out)
+
+        return frame.mapInPandas(
+            op,
+            schema="doc_id long, n_docs int, n_tags int, body_chars long",
+        )
+
+    def ingest(batch_df: DataFrame, _batch_id: int) -> None:
+        decode(batch_df).write.mode("append").parquet(target)
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(target)
+
+
 def _render_corrupt_bson(doc_id: int, text: str) -> bytes:
     blob = _render_bson(doc_id, text)
     if doc_id % _CORRUPT_MOD == 0:

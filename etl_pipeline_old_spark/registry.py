@@ -336,6 +336,8 @@ _CORE_FIRST = (
     "pipeline_rep_end_to_end",
     # round-12: recursive sitemap resolution (index -> child files)
     "web_sitemap_recursive",
+    # round-12: the BSON family's streaming leg
+    "stream_bson_ingest",
 )
 
 

@@ -174,6 +174,8 @@ REPEAT_QUERIES = (
     "pipeline_rep_end_to_end",
     # r12: staged sitemap index + child files
     "web_sitemap_recursive",
+    # r12: the BSON family's streaming ingest (checkpoint + target)
+    "stream_bson_ingest",
     # r11: staged OOXML office documents (.docx text, .xlsx typed cells,
     # .pptx slides), RTF exports, and ZipCrypto-protected archives
     "pipeline_docx_extract",
