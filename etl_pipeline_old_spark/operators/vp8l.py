@@ -913,3 +913,116 @@ def encode_webp_lossless(width: int, height: int, pixels: list,
     from .webp import _chunk, _riff
 
     return _riff(_chunk(b"VP8L", encode_vp8l(width, height, pixels, **kw)))
+
+
+# ------------------------------------------------- animation (ANMF)
+
+
+def encode_webp_animation_lossless(
+    width: int, height: int, frames: list, loop_count: int = 0
+) -> bytes:
+    """Animated lossless WebP: VP8X + ANIM + one ANMF per frame, each
+    wrapping a VP8L-coded SUB-RECT — ``frames`` entries are
+    ``(x, y, fw, fh, duration_ms, dispose, pixels)`` with x/y even
+    (the spec stores them in 2-pixel units) and dispose 0 (keep) or 1
+    (dispose to background before the next frame)."""
+    import struct
+
+    from .webp import _chunk, _riff
+
+    flags = (1 << 1) | (1 << 4)  # animation + alpha-capable canvas
+    vp8x = _chunk(
+        b"VP8X",
+        bytes([flags, 0, 0, 0])
+        + (width - 1).to_bytes(3, "little")
+        + (height - 1).to_bytes(3, "little"),
+    )
+    anim = _chunk(b"ANIM", struct.pack("<IH", 0x00000000, loop_count))
+    body = vp8x + anim
+    for fx, fy, fw, fh, dur, dispose, px in frames:
+        if fx % 2 or fy % 2:
+            raise ValueError("webp: ANMF frame origin must be even")
+        if fx + fw > width or fy + fh > height:
+            raise ValueError("webp: ANMF frame exceeds the canvas")
+        sub = _chunk(b"VP8L", encode_vp8l(fw, fh, px))
+        anmf = (
+            (fx // 2).to_bytes(3, "little")
+            + (fy // 2).to_bytes(3, "little")
+            + (fw - 1).to_bytes(3, "little")
+            + (fh - 1).to_bytes(3, "little")
+            + int(dur).to_bytes(3, "little")
+            + bytes([dispose & 1])
+            + sub
+        )
+        body += _chunk(b"ANMF", anmf)
+    return _riff(body)
+
+
+def decode_webp_animation_lossless(blob: bytes):
+    """Decode an animated lossless WebP → (canvas_w, canvas_h,
+    [(duration_ms, composed_canvas_pixels), ...]) with per-frame
+    sub-rects COMPOSED onto the running canvas and the dispose-to-
+    background semantics applied between frames (the same discipline
+    as the animated-GIF decoder: a composition bug is wrong pixels,
+    not a parse error).  Lossy (VP8) frame payloads raise the
+    documented seam; a frame overflowing the canvas raises."""
+    from .webp import _chunks
+
+    canvas_w = canvas_h = None
+    canvas: list | None = None
+    out = []
+    pending_dispose = None  # (x, y, w, h) to clear before next frame
+    for fourcc, payload in _chunks(blob):
+        if fourcc == b"VP8X":
+            canvas_w = int.from_bytes(payload[4:7], "little") + 1
+            canvas_h = int.from_bytes(payload[7:10], "little") + 1
+            canvas = [0] * (canvas_w * canvas_h)  # transparent
+        elif fourcc == b"ANMF":
+            if canvas is None:
+                raise ValueError("webp: ANMF before VP8X")
+            if len(payload) < 16:
+                raise ValueError("webp: ANMF header too short")
+            fx = int.from_bytes(payload[0:3], "little") * 2
+            fy = int.from_bytes(payload[3:6], "little") * 2
+            fw = int.from_bytes(payload[6:9], "little") + 1
+            fh = int.from_bytes(payload[9:12], "little") + 1
+            dur = int.from_bytes(payload[12:15], "little")
+            dispose = payload[15] & 1
+            sub_cc = payload[16:20]
+            sub_len = int.from_bytes(payload[20:24], "little")
+            if sub_cc == b"VP8 ":
+                raise NotImplementedError(
+                    "webp: lossy VP8 animation frames need an external "
+                    "codec — VP8L frames decode natively"
+                )
+            if sub_cc != b"VP8L":
+                raise ValueError(
+                    f"webp: ANMF frame chunk {sub_cc!r} unsupported"
+                )
+            data = payload[24 : 24 + sub_len]
+            if len(data) != sub_len:
+                raise ValueError("webp: ANMF frame payload truncated")
+            w, h, px = decode_vp8l(data)
+            if (w, h) != (fw, fh):
+                raise ValueError(
+                    "webp: ANMF header dims disagree with the frame"
+                )
+            if fx + fw > canvas_w or fy + fh > canvas_h:
+                raise ValueError("webp: ANMF frame exceeds the canvas")
+            if pending_dispose is not None:
+                dx, dy, dw, dh = pending_dispose
+                for y in range(dy, dy + dh):
+                    row = y * canvas_w
+                    for x in range(dx, dx + dw):
+                        canvas[row + x] = 0
+                pending_dispose = None
+            for y in range(fh):
+                row = (fy + y) * canvas_w
+                for x in range(fw):
+                    canvas[row + fx + x] = px[y * fw + x]
+            out.append((dur, list(canvas)))
+            if dispose:
+                pending_dispose = (fx, fy, fw, fh)
+    if canvas_w is None or not out:
+        raise ValueError("webp: no animated lossless frames present")
+    return canvas_w, canvas_h, out

@@ -2731,6 +2731,124 @@ def multimodal_webp_lossless_ingest(
     )
 
 
+def _render_webp_animation(doc_id: int, text: str) -> bytes:
+    from ..operators.multimodal import md5_pixels
+    from ..operators.vp8l import encode_webp_animation_lossless
+
+    b = md5_pixels(text, 192)
+    f0 = [
+        0xFF000000 | (b[3 * j] << 16) | (b[3 * j + 1] << 8) | b[3 * j + 2]
+        for j in range(64)
+    ]
+    f1 = [
+        0xFF000000 | (b[96 + 3 * k] << 16) | (b[97 + 3 * k] << 8)
+        | b[98 + 3 * k]
+        for k in range(16)
+    ]
+    return encode_webp_animation_lossless(8, 8, [
+        (0, 0, 8, 8, 100, doc_id % 2, f0),
+        (4, 2, 4, 4, 50, 0, f1),
+    ])
+
+
+def _webp_anim_oracle() -> str:
+    def d(j: int) -> str:
+        return (f"(b[{3 * j + 1}]*65536 + b[{3 * j + 2}]*256 "
+                f"+ b[{3 * j + 3}])")
+
+    def d1(k: int) -> str:
+        return (f"(b[{97 + 3 * k}]*65536 + b[{98 + 3 * k}]*256 "
+                f"+ b[{99 + 3 * k}])")
+
+    rect = [y * 8 + x for y in range(2, 6) for x in range(4, 8)]
+    sum0 = " + ".join(d(j) for j in range(64))
+    rect0 = " + ".join(d(j) for j in rect)
+    sum1 = " + ".join(d1(k) for k in range(16))
+    return f"""
+    WITH px AS (
+      SELECT doc_id, {_webp_b_sql()} AS b FROM documents)
+    SELECT doc_id, 8 AS width, 8 AS height, 2 AS n_frames,
+      CAST(doc_id % 2 AS INT) AS dispose,
+      CAST({sum0} AS BIGINT) AS sum_canvas0,
+      CAST(CASE WHEN doc_id % 2 = 1 THEN {sum1}
+           ELSE ({sum0}) - ({rect0}) + ({sum1}) END AS BIGINT)
+        AS sum_canvas1
+    FROM px
+    """
+
+
+@register(
+    "multimodal_webp_animation",
+    oracle=_webp_anim_oracle(),
+    doc="ANIMATED lossless WebP — the VP8X/ANIM/ANMF layer composed "
+    "over the own VP8L codec, mirroring the animated-GIF discipline: "
+    "each staged document carries a full-canvas first frame and a "
+    "4x4 SUB-RECT second frame (the spec stores origins in 2-pixel "
+    "units), with dispose-to-background cycling by parity, and the "
+    "decoder must COMPOSE — place sub-rects on the running canvas "
+    "and clear the disposed region before the next frame — because "
+    "the oracle recomputes both composed canvases' exact ARGB sums "
+    "from the shared md5_pixel_sql formula (keep-mode canvases "
+    "subtract exactly the covered cells; dispose-mode canvases keep "
+    "only the new rect). A composition bug is wrong pixels in the "
+    "hash, not a parse error. Lossy VP8 frames raise the documented "
+    "seam; header/frame dimension disagreements and canvas overflow "
+    "raise per record. Scale: map-side kernel like every image "
+    "ingest; frame payloads never shuffle.",
+)
+def multimodal_webp_animation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    path = _stage_media_files(
+        spark, sf_dir, "webp_anim_files", "webp", _render_webp_animation
+    )
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.webp")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.webp$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "content",
+        )
+    )
+
+    def op(batches):
+        import pandas as pd
+
+        from ..operators.vp8l import decode_webp_animation_lossless
+
+        for b in batches:
+            out = {
+                "doc_id": [], "width": [], "height": [], "n_frames": [],
+                "dispose": [], "sum_canvas0": [], "sum_canvas1": [],
+            }
+            for doc_id, content in zip(b["doc_id"], b["content"]):
+                did = int(doc_id)
+                w, h, frames = decode_webp_animation_lossless(
+                    bytes(content)
+                )
+                out["doc_id"].append(did)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(len(frames))
+                out["dispose"].append(did % 2)
+                out["sum_canvas0"].append(
+                    sum(p & 0xFFFFFF for p in frames[0][1])
+                )
+                out["sum_canvas1"].append(
+                    sum(p & 0xFFFFFF for p in frames[1][1])
+                )
+            yield pd.DataFrame(out)
+
+    return bf.mapInPandas(
+        op,
+        schema="doc_id long, width int, height int, n_frames int, "
+        "dispose int, sum_canvas0 long, sum_canvas1 long",
+    )
+
+
 # ------------------------------------------------------- AAC (ADTS) probe
 # The dominant compressed-audio format in crawled MP4/podcast corpora.
 # operators/aac.py walks the ADTS frame structure (14496-3) exactly —

@@ -338,6 +338,8 @@ _CORE_FIRST = (
     "web_sitemap_recursive",
     # round-12: the BSON family's streaming leg
     "stream_bson_ingest",
+    # round-12: animated lossless WebP (ANMF composition over VP8L)
+    "multimodal_webp_animation",
 )
 
 

@@ -429,3 +429,53 @@ def test_meta_prefix_groups_with_live_codes():
     w2, h2, got = decode_vp8l(bytes([0x2F]) + bw.getvalue())
     assert (w2, h2) == (w, h)
     assert got == px
+
+
+def test_animation_composes_subrects_and_dispose():
+    from etl_pipeline_old_spark.operators.vp8l import (
+        decode_webp_animation_lossless, encode_webp_animation_lossless)
+
+    f0 = [0xFF000000 | (10 * i << 8) for i in range(64)]
+    f1 = [0xFF000000 | (7 * i << 16) for i in range(16)]
+    blob = encode_webp_animation_lossless(8, 8, [
+        (0, 0, 8, 8, 100, 0, f0), (4, 2, 4, 4, 50, 0, f1),
+    ])
+    w, h, frames = decode_webp_animation_lossless(blob)
+    assert (w, h) == (8, 8) and [d for d, _ in frames] == [100, 50]
+    assert frames[0][1] == f0
+    c1 = list(f0)
+    for y in range(4):
+        for x in range(4):
+            c1[(2 + y) * 8 + 4 + x] = f1[y * 4 + x]
+    assert frames[1][1] == c1
+    # dispose-to-background clears frame 0's region before frame 1
+    blob2 = encode_webp_animation_lossless(8, 8, [
+        (0, 0, 8, 8, 100, 1, f0), (4, 2, 4, 4, 50, 0, f1),
+    ])
+    c2 = [0] * 64
+    for y in range(4):
+        for x in range(4):
+            c2[(2 + y) * 8 + 4 + x] = f1[y * 4 + x]
+    assert decode_webp_animation_lossless(blob2)[2][1][1] == c2
+
+
+def test_animation_loud_damage():
+    from etl_pipeline_old_spark.operators.vp8l import (
+        decode_webp_animation_lossless, encode_webp_animation_lossless)
+    from etl_pipeline_old_spark.operators.webp import (
+        encode_webp_animation, encode_webp_vp8_still)
+
+    with pytest.raises(ValueError, match="origin must be even"):
+        encode_webp_animation_lossless(
+            8, 8, [(1, 0, 4, 4, 10, 0, [0xFF000000] * 16)])
+    with pytest.raises(ValueError, match="exceeds the canvas"):
+        encode_webp_animation_lossless(
+            8, 8, [(6, 6, 4, 4, 10, 0, [0xFF000000] * 16)])
+    # lossy VP8 frames (the probe-era encoder) are the documented seam
+    lossy = encode_webp_animation(8, 8, [(10, b"")])
+    with pytest.raises(NotImplementedError, match="VP8L frames decode"):
+        decode_webp_animation_lossless(lossy)
+    # a still (non-animated) lossless file has no frames to compose
+    with pytest.raises(ValueError, match="no animated"):
+        decode_webp_animation_lossless(
+            encode_webp_lossless(2, 1, [0, 0]))

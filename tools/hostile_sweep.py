@@ -176,6 +176,8 @@ REPEAT_QUERIES = (
     "web_sitemap_recursive",
     # r12: the BSON family's streaming ingest (checkpoint + target)
     "stream_bson_ingest",
+    # r12: staged animated lossless .webp files
+    "multimodal_webp_animation",
     # r11: staged OOXML office documents (.docx text, .xlsx typed cells,
     # .pptx slides), RTF exports, and ZipCrypto-protected archives
     "pipeline_docx_extract",
