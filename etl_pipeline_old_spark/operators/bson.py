@@ -59,7 +59,12 @@ def _read_document(buf: bytes, at: int, depth: int = 0):
         name, pos = _cstring(buf, pos + 1, end - 1)
         try:
             value, pos = _read_element(buf, pos, end, etype, depth)
-        except struct.error as exc:  # a desynchronized walk ran off
+        except (struct.error, IndexError) as exc:
+            # struct.error: a fixed-width unpack ran off the buffer;
+            # IndexError: a single-byte read (binary subtype, boolean)
+            # did the same — both are the torn-shard class and must
+            # surface as the documented ValueError so quarantine
+            # kernels cost one record, never the job.
             raise ValueError(f"bson: truncated value ({exc})") from exc
         if pos > end - 1:
             raise ValueError("bson: element overruns its document")

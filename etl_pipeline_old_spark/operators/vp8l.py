@@ -248,7 +248,9 @@ def _plane_distance(code: int, xsize: int) -> int:
     if code > 120:
         return code - 120
     dx, dy = _DIST_MAP[code - 1]
-    return max(1, dy * xsize - dx)
+    # spec / libwebp PlaneCodeToDistance: dist = yoffset*xsize + xoffset
+    # (xoffset SIGNED — code 3 (1,1) is xsize+1, code 4 (-1,1) xsize-1)
+    return max(1, dy * xsize + dx)
 
 
 # ----------------------------------------------------------- color cache
@@ -447,7 +449,9 @@ def _predict(mode: int, left: int, top: int, tl: int, tr: int) -> int:
         for shift in (0, 8, 16, 24):
             c = (ave >> shift) & 0xFF
             d = (tl >> shift) & 0xFF
-            out |= _clamp(c + (c - d) // 2) << shift
+            q = c - d  # spec's C division truncates toward zero
+            half = q // 2 if q >= 0 else -((-q) // 2)
+            out |= _clamp(c + half) << shift
         return out
     raise ValueError(f"vp8l: predictor mode {mode} out of range")
 
@@ -923,9 +927,10 @@ def encode_webp_animation_lossless(
 ) -> bytes:
     """Animated lossless WebP: VP8X + ANIM + one ANMF per frame, each
     wrapping a VP8L-coded SUB-RECT — ``frames`` entries are
-    ``(x, y, fw, fh, duration_ms, dispose, pixels)`` with x/y even
-    (the spec stores them in 2-pixel units) and dispose 0 (keep) or 1
-    (dispose to background before the next frame)."""
+    ``(x, y, fw, fh, duration_ms, flags, pixels)`` with x/y even
+    (the spec stores them in 2-pixel units) and ``flags`` the spec's
+    frame-flags byte: bit 0 = dispose-to-background, bit 1 = the
+    blending method B (0 alpha-blend onto the canvas, 1 overwrite)."""
     import struct
 
     from .webp import _chunk, _riff
@@ -951,18 +956,45 @@ def encode_webp_animation_lossless(
             + (fw - 1).to_bytes(3, "little")
             + (fh - 1).to_bytes(3, "little")
             + int(dur).to_bytes(3, "little")
-            + bytes([dispose & 1])
+            + bytes([dispose & 3])
             + sub
         )
         body += _chunk(b"ANMF", anmf)
     return _riff(body)
 
 
+def _blend_over(src: int, dst: int) -> int:
+    """Non-premultiplied 'over' composite of two ARGB pixels, the
+    container spec's blending-method B=0 formula:
+      out.A   = src.A + dst.A*(1 - src.A)
+      out.rgb = (src.rgb*src.A + dst.rgb*dst.A*(1 - src.A)) / out.A
+    Integer math with round-half-up; opaque src returns src exactly
+    (so the opaque fixture corpus is bit-stable either way)."""
+    sa = (src >> 24) & 0xFF
+    if sa == 255:
+        return src
+    if sa == 0:
+        return dst
+    da = (dst >> 24) & 0xFF
+    oa255 = sa * 255 + da * (255 - sa)  # out alpha scaled by 255
+    if oa255 == 0:
+        return 0
+    out = ((oa255 + 127) // 255) << 24
+    for shift in (0, 8, 16):
+        sc = (src >> shift) & 0xFF
+        dc = (dst >> shift) & 0xFF
+        num = sc * sa * 255 + dc * da * (255 - sa)
+        out |= min(255, (num + oa255 // 2) // oa255) << shift
+    return out
+
+
 def decode_webp_animation_lossless(blob: bytes):
     """Decode an animated lossless WebP → (canvas_w, canvas_h,
     [(duration_ms, composed_canvas_pixels), ...]) with per-frame
-    sub-rects COMPOSED onto the running canvas and the dispose-to-
-    background semantics applied between frames (the same discipline
+    sub-rects COMPOSED onto the running canvas — alpha-blended when
+    the frame's blending-method bit B is 0, overwritten when 1 — and
+    the dispose-to-background semantics applied between frames (the
+    same discipline
     as the animated-GIF decoder: a composition bug is wrong pixels,
     not a parse error).  Lossy (VP8) frame payloads raise the
     documented seam; a frame overflowing the canvas raises."""
@@ -988,6 +1020,9 @@ def decode_webp_animation_lossless(blob: bytes):
             fh = int.from_bytes(payload[9:12], "little") + 1
             dur = int.from_bytes(payload[12:15], "little")
             dispose = payload[15] & 1
+            # container spec frame flags: bit 1 is the blending method
+            # B — 0 means ALPHA-BLEND onto the canvas, 1 means overwrite
+            no_blend = (payload[15] >> 1) & 1
             sub_cc = payload[16:20]
             sub_len = int.from_bytes(payload[20:24], "little")
             if sub_cc == b"VP8 ":
@@ -1019,7 +1054,12 @@ def decode_webp_animation_lossless(blob: bytes):
             for y in range(fh):
                 row = (fy + y) * canvas_w
                 for x in range(fw):
-                    canvas[row + fx + x] = px[y * fw + x]
+                    src = px[y * fw + x]
+                    if no_blend:
+                        canvas[row + fx + x] = src
+                    else:
+                        canvas[row + fx + x] = _blend_over(
+                            src, canvas[row + fx + x])
             out.append((dur, list(canvas)))
             if dispose:
                 pending_dispose = (fx, fy, fw, fh)

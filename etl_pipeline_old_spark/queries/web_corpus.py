@@ -356,7 +356,12 @@ def _stage_shard_files(
             pdf = pdf.sort_values("doc_id")
             sid = int(pdf["shard"].iloc[0])
             blob = build(pdf, sid)
-            tmp = os_.path.join(path, f".{sid:05d}.tmp")
+            import uuid as uuid_
+
+            # uuid-keyed tmp: retried / speculative duplicate attempts
+            # for one shard group each write their OWN tmp file and race
+            # only on the atomic os.replace (see image_text.py's writer)
+            tmp = os_.path.join(path, f".{sid:05d}.{uuid_.uuid4().hex}.tmp")
             with open(tmp, "wb") as fh:
                 fh.write(blob)
             os_.replace(tmp, os_.path.join(path, f"{sid:05d}.{suffix}"))

@@ -125,3 +125,16 @@ def test_boolean_byte_validation():
     doc[doc.index(b"\x08b\x00") + 3] = 7
     with pytest.raises(ValueError, match="boolean byte"):
         read_bson_shard(bytes(doc))
+
+
+def test_torn_binary_subtype_is_valueerror_not_indexerror():
+    """A shard torn exactly after a binary element's int32 length (the
+    subtype byte missing) used to escape as IndexError, failing the
+    whole Spark task instead of quarantining one record.  The walk must
+    surface every torn-fixed-width read as the documented ValueError."""
+    # [total=12][0x05]["ab\x00"][int32 n=3] — terminator check passes
+    # (the int32's high byte is 0x00 at index 11), the subtype read at
+    # index 12 is past the buffer.
+    blob = struct.pack("<i", 12) + b"\x05" + b"ab\x00" + struct.pack("<i", 3)
+    with pytest.raises(ValueError, match="truncated value"):
+        read_bson_shard(blob)

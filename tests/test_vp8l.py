@@ -479,3 +479,109 @@ def test_animation_loud_damage():
     with pytest.raises(ValueError, match="no animated"):
         decode_webp_animation_lossless(
             encode_webp_lossless(2, 1, [0, 0]))
+
+
+def test_plane_distance_signed_offsets():
+    """Spec/libwebp PlaneCodeToDistance: dist = dy*xsize + dx with dx
+    SIGNED — code 3 (1,1) must land one LEFT of the up neighbor
+    (xsize+1), its mirror code 4 (-1,1) one RIGHT (xsize-1).  The r12
+    implementation negated dx, resolving every +/- pair to its mirror
+    (caught only on foreign-encoded files: the own encoder emits just
+    (1,0), whose wrong value -1 clamps to the right answer 1)."""
+    from etl_pipeline_old_spark.operators.vp8l import _plane_distance
+
+    xs = 10
+    assert _plane_distance(1, xs) == xs        # (0,1)
+    assert _plane_distance(2, xs) == 1         # (1,0)
+    assert _plane_distance(3, xs) == xs + 1    # (1,1) up-LEFT source
+    assert _plane_distance(4, xs) == xs - 1    # (-1,1) up-RIGHT source
+    assert _plane_distance(5, xs) == 2 * xs    # (0,2)
+    assert _plane_distance(121, xs) == 1       # past the map: code-120
+    assert _plane_distance(2, 1) == 1          # clamp floor stays
+
+
+def test_short_distance_codes_3_and_4_decode():
+    """Hand-built stream: row 2 is [literal E, copy code 3, copy code 4,
+    copy code 1] — code 3 (dist xsize+1) must fetch the TOP-LEFT
+    diagonal, code 4 (dist xsize-1) the TOP-RIGHT."""
+    from etl_pipeline_old_spark.operators.vp8l import (
+        _encoder_codes, _huffman_lengths, _write_prefix_code)
+
+    w, h = 4, 2
+    row = [0xFF000000 | (10 * (i + 1) << 8) for i in range(w)]  # A B C D
+    e = 0xFF000000 | (99 << 8)
+    bw = BitWriter()
+    _header(bw, w, h)
+    bw.write(0, 1)               # no cache
+    bw.write(0, 1)
+    bw.write(0, 1)               # no meta
+    lit_g = [(p >> 8) & 0xFF for p in row] + [99]
+    len1_sym, lev, leb = _write_prefix_value(1)          # copy length 1
+    gl = _huffman_lengths({**{g: 1 for g in lit_g}, 256 + len1_sym: 4})
+    rl = _huffman_lengths({0: 1})
+    bl = _huffman_lengths({0: 1})
+    al = _huffman_lengths({0xFF: 1})
+    # distance code values 1..4 map to symbols 0..3 with no extra bits
+    dl = _huffman_lengths({0: 1, 2: 1, 3: 1})
+    for lengths, size in ((gl, 256 + 24), (rl, 256), (bl, 256),
+                          (al, 256), (dl, 40)):
+        _write_prefix_code(bw, lengths, size)
+    gc, dc = _encoder_codes(gl), _encoder_codes(dl)
+    for g in lit_g[:4]:          # row 1 literals
+        bw.write_code(*gc[g])
+    bw.write_code(*gc[99])       # (0,1) literal E
+    for dist_sym in (2, 3, 0):   # codes 3, 4, 1
+        bw.write_code(*gc[256 + len1_sym])
+        bw.write(lev, leb)
+        bw.write_code(*dc[dist_sym])
+    w2, h2, got = decode_vp8l(bytes([0x2F]) + bw.getvalue())
+    # (1,1) <- code 3 <- index 5-5=0 = A;  (2,1) <- code 4 <- 6-3=3 = D
+    # (3,1) <- code 1 <- 7-4=3 = D
+    assert got == row + [e, row[0], row[3], row[3]]
+
+
+def test_predictor13_truncates_toward_zero():
+    """ClampAddSubtractHalf: the spec's C `(c - d) / 2` truncates toward
+    zero; Python floor division differs for negative odd c-d."""
+    from etl_pipeline_old_spark.operators.vp8l import _predict
+
+    # left == top -> ave == left; green: c=10, tl green d=13 -> q=-3
+    left = top = 0xFF000000 | (10 << 8)
+    tl = 0xFF000000 | (13 << 8)
+    got = _predict(13, left, top, tl, 0)
+    assert (got >> 8) & 0xFF == 9          # 10 + trunc(-3/2) = 9, not 8
+    # positive side unchanged: c=13, d=10 -> 13 + 1 = 14
+    got2 = _predict(13, 0xFF000000 | (13 << 8), 0xFF000000 | (13 << 8),
+                    0xFF000000 | (10 << 8), 0)
+    assert (got2 >> 8) & 0xFF == 14
+
+
+def test_animation_blend_bit_composites_alpha():
+    """Frame flags bit 1 (B): 0 alpha-blends the frame over the canvas,
+    1 overwrites.  A half-transparent green frame over an opaque red
+    canvas must mix under B=0 and replace under B=1."""
+    from etl_pipeline_old_spark.operators.vp8l import (
+        _blend_over, decode_webp_animation_lossless,
+        encode_webp_animation_lossless)
+
+    red = 0xFFFF0000
+    semi = 0x8000FF00  # alpha 128 green
+    base = [red] * 16
+    top_px = [semi] * 4
+    blend_blob = encode_webp_animation_lossless(4, 4, [
+        (0, 0, 4, 4, 10, 0, base), (0, 0, 2, 2, 10, 0, top_px),
+    ])
+    _, _, frames = decode_webp_animation_lossless(blend_blob)
+    mixed = _blend_over(semi, red)
+    assert frames[1][1][0] == mixed and mixed not in (semi, red)
+    # out alpha = 128 + 255*(127/255) = 255; red and green both mixed in
+    assert (mixed >> 24) & 0xFF == 0xFF
+    assert (mixed >> 16) & 0xFF > 0 and (mixed >> 8) & 0xFF > 0
+    # flags bit 1 set -> overwrite, the pre-r13 behavior
+    over_blob = encode_webp_animation_lossless(4, 4, [
+        (0, 0, 4, 4, 10, 0, base), (0, 0, 2, 2, 10, 2, top_px),
+    ])
+    assert decode_webp_animation_lossless(over_blob)[2][1][1][0] == semi
+    # opaque source short-circuits to src exactly (fixture bit-stability)
+    assert _blend_over(0xFF123456, red) == 0xFF123456
+    assert _blend_over(0x00000000, red) == red
