@@ -60,17 +60,76 @@ def encode_warc_record(
 
 
 def encode_http_response(
-    body: bytes, status: int = 200, ctype: str = "text/html; charset=utf-8"
+    body: bytes,
+    status: int = 200,
+    ctype: str = "text/html; charset=utf-8",
+    content_encoding: str | None = None,
 ) -> bytes:
+    """``content_encoding`` stages what RFC-compliant captures actually
+    carry — a body compressed at the HTTP layer, independent of the
+    per-record gzip member:
+
+    - ``"gzip"``    — gzip-wrapped body, ``Content-Encoding: gzip``;
+    - ``"deflate"`` — the RFC 9110 coding (zlib-wrapped, RFC 1950);
+    - ``"deflate-raw"`` — header says ``deflate`` but the bytes are BARE
+      RFC 1951 deflate, the infamous broken-server shape every browser
+      tolerates (decoders must sniff);
+    - ``"verbatim:<name>"`` — emit ``Content-Encoding: <name>`` over the
+      body bytes EXACTLY as given (staging torn compressed streams);
+    - any other value — header emitted verbatim over the UNCOMPRESSED
+      body (e.g. staging an undecodable ``br`` quarantine class).
+    """
+    header_val = None
+    if content_encoding and content_encoding.startswith("verbatim:"):
+        header_val = content_encoding.split(":", 1)[1]
+    elif content_encoding == "gzip":
+        body, header_val = gzip_member(body), "gzip"
+    elif content_encoding == "deflate":
+        body, header_val = zlib.compress(body, 6), "deflate"
+    elif content_encoding == "deflate-raw":
+        c = zlib.compressobj(6, zlib.DEFLATED, -zlib.MAX_WBITS)
+        body, header_val = c.compress(body) + c.flush(), "deflate"
+    elif content_encoding:
+        header_val = content_encoding
     reason = {200: "OK", 404: "Not Found", 500: "Internal Server Error"}.get(
         status, "Unknown"
     )
+    ce = f"Content-Encoding: {header_val}\r\n" if header_val else ""
     head = (
         f"HTTP/1.1 {status} {reason}\r\n"
-        f"Content-Type: {ctype}\r\n"
+        f"Content-Type: {ctype}\r\n{ce}"
         f"Content-Length: {len(body)}\r\n\r\n"
     )
     return head.encode() + body
+
+
+def decode_content_encoding(body: bytes, encoding: str) -> bytes:
+    """Decode an HTTP response body per its Content-Encoding header
+    (RFC 9110 §8.4): identity/gzip/deflate supported, with the
+    browser-standard fallback to BARE deflate when the zlib wrapper is
+    absent.  Torn streams raise ValueError (zlib.error is NOT a
+    ValueError — wrapped here so quarantine kernels see the documented
+    class); ``br``/anything else raises NotImplementedError, the loud
+    seam (no brotli codec exists in this environment)."""
+    enc = encoding.strip().lower()
+    if enc in ("", "identity"):
+        return body
+    if enc in ("gzip", "x-gzip"):
+        try:
+            return zlib.decompress(body, 16 + zlib.MAX_WBITS)
+        except zlib.error as exc:
+            raise ValueError(f"content-encoding gzip: {exc}") from exc
+    if enc == "deflate":
+        try:
+            return zlib.decompress(body)
+        except zlib.error:
+            try:
+                return zlib.decompress(body, -zlib.MAX_WBITS)
+            except zlib.error as exc:
+                raise ValueError(f"content-encoding deflate: {exc}") from exc
+    raise NotImplementedError(
+        f"content-encoding {enc!r} needs an external codec"
+    )
 
 
 def encode_warc_shard(records: list[tuple], shard_id: int) -> bytes:
@@ -190,6 +249,15 @@ def _parse_record_typed(
     ctype = http_headers.get("content-type", "")
     if not full_ctype:
         ctype = ctype.split(";")[0].strip()
+    # Content-Encoding is transport plumbing, not content: every walk
+    # yields the DECODED representation (real RFC-compliant captures
+    # carry compressed bodies constantly; hashing/extracting the raw
+    # bytes would be wrong for all of them). Torn streams raise
+    # ValueError, br NotImplementedError — strict walks abort, the
+    # lenient/encoded walks quarantine the one record.
+    ce = http_headers.get("content-encoding", "")
+    if ce:
+        body = decode_content_encoding(body, ce)
     return headers.get("warc-target-uri", ""), status, ctype, body
 
 
@@ -206,6 +274,46 @@ def iter_warc_responses_raw_ctype(
         parsed = _parse_record_typed(rec, full_ctype=True)
         if parsed is not None:
             yield parsed
+
+
+def iter_warc_responses_encoded(
+    blob: bytes,
+) -> Iterator[tuple[str, int, str, bytes | None, str | None]]:
+    """The Content-Encoding-aware walk with PER-RECORD body quarantine:
+    yields (target_uri, http_status, content_encoding, decoded_body,
+    None) for every decodable response and (uri, status, encoding,
+    None, err) when the body's declared coding cannot be decoded (torn
+    deflate stream, br without a codec) — the WARC framing itself stays
+    strict, so the URI and status survive even when the body does not.
+    This is the walk a real-crawl extractor needs: one bad body costs
+    one record's text, never the shard."""
+    members = (
+        split_gzip_members(blob) if blob[:2] == b"\x1f\x8b" else _split_plain(blob)
+    )
+    for rec in members:
+        if not rec.startswith(b"WARC/"):
+            raise ValueError(f"not a WARC record: {rec[:16]!r}")
+        head, sep, rest = rec.partition(_CRLF * 2)
+        if not sep:
+            raise ValueError("WARC header block not terminated")
+        headers = _parse_headers(head)
+        length = int(headers["content-length"])
+        payload = rest[:length]
+        if len(payload) < length:
+            raise ValueError(
+                f"truncated record: payload {len(payload)} < {length}"
+            )
+        if headers.get("warc-type") != "response":
+            continue
+        status_line, _, _r = payload.partition(_CRLF)
+        status = int(status_line.split(b" ")[1])
+        http_head, _, body = payload.partition(_CRLF * 2)
+        ce = _parse_headers(http_head).get("content-encoding", "")
+        uri = headers.get("warc-target-uri", "")
+        try:
+            yield uri, status, ce, decode_content_encoding(body, ce), None
+        except (ValueError, NotImplementedError) as exc:
+            yield uri, status, ce, None, str(exc)
 
 
 def _parse_record(rec: bytes) -> tuple[str, int, bytes] | None:
@@ -259,7 +367,7 @@ def iter_warc_responses_lenient(
         i += consumed
         try:
             parsed = _parse_record(rec)
-        except (ValueError, IndexError) as exc:
+        except (ValueError, IndexError, NotImplementedError) as exc:
             yield "", 0, b"", f"warc: {exc}"
             continue
         if parsed is not None:

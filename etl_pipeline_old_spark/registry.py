@@ -340,6 +340,9 @@ _CORE_FIRST = (
     "stream_bson_ingest",
     # round-12: animated lossless WebP (ANMF composition over VP8L)
     "multimodal_webp_animation",
+    # round-13: HTTP Content-Encoding in the WARC payload walk (r12
+    # verdict #1) — new queries ride here for a same-round driver row
+    "web_content_encoding",
 )
 
 

@@ -222,3 +222,83 @@ def test_lenient_walk_survives_arbitrary_corruption(n_recs, member_idx, frac, xo
     assert oks[:n_before] == truth[:n_before]    # 3. prefix survives in order
     if not errs:
         assert oks == truth                      # 4. harmless or quarantined
+
+
+# ---------------------------------------------------------------- r13:
+# HTTP Content-Encoding (RFC 9110 §8.4) in the payload walk
+
+
+def test_content_encoding_roundtrips_all_codings():
+    import zlib
+
+    from etl_pipeline_old_spark.operators.warc import (
+        decode_content_encoding,
+        encode_http_response,
+        encode_warc_record,
+        gzip_member,
+        iter_warc_responses,
+    )
+
+    body = "<p>compressed &nbsp; body ж</p>".encode("utf-8") * 4
+    for enc, header in ((None, None), ("gzip", "gzip"),
+                        ("deflate", "deflate"), ("deflate-raw", "deflate")):
+        resp = encode_http_response(body, content_encoding=enc)
+        head, _, wire = resp.partition(b"\r\n\r\n")
+        if header is None:
+            assert b"Content-Encoding" not in head and wire == body
+        else:
+            assert f"Content-Encoding: {header}".encode() in head
+            assert wire != body  # actually compressed on the wire
+            assert decode_content_encoding(wire, header) == body
+        # the strict walk yields the DECODED representation
+        rec = encode_warc_record(
+            "response",
+            {"WARC-Target-URI": "https://e.com/1"},
+            resp,
+        )
+        got = list(iter_warc_responses(gzip_member(rec)))
+        assert got == [("https://e.com/1", 200, body)]
+    # raw-deflate fallback is really exercised: the zlib path must fail
+    raw = encode_http_response(body, content_encoding="deflate-raw")
+    wire = raw.partition(b"\r\n\r\n")[2]
+    with pytest.raises(zlib.error):
+        zlib.decompress(wire)
+
+
+def test_content_encoding_loud_and_quarantined_classes():
+    import zlib
+
+    from etl_pipeline_old_spark.operators.warc import (
+        decode_content_encoding,
+        encode_http_response,
+        encode_warc_record,
+        gzip_member,
+        iter_warc_responses,
+        iter_warc_responses_encoded,
+    )
+
+    body = b"<p>page</p>" * 8
+    torn = zlib.compress(body, 6)[:-6]
+    recs = []
+    for uri, resp in (
+        ("https://e.com/ok", encode_http_response(body, content_encoding="gzip")),
+        ("https://e.com/br", encode_http_response(body, content_encoding="br")),
+        ("https://e.com/torn",
+         encode_http_response(torn, content_encoding="verbatim:deflate")),
+    ):
+        recs.append(gzip_member(encode_warc_record(
+            "response", {"WARC-Target-URI": uri}, resp)))
+    shard = b"".join(recs)
+    # strict walk aborts on the first undecodable body
+    with pytest.raises(NotImplementedError, match="content-encoding 'br'"):
+        list(iter_warc_responses(shard))
+    # torn deflate surfaces as the documented ValueError, not zlib.error
+    with pytest.raises(ValueError, match="content-encoding deflate"):
+        decode_content_encoding(torn, "deflate")
+    # the encoded walk quarantines per record and KEEPS uri + status
+    out = list(iter_warc_responses_encoded(shard))
+    assert out[0] == ("https://e.com/ok", 200, "gzip", body, None)
+    assert out[1][:3] == ("https://e.com/br", 200, "br")
+    assert out[1][3] is None and "external codec" in out[1][4]
+    assert out[2][:3] == ("https://e.com/torn", 200, "deflate")
+    assert out[2][3] is None and "content-encoding deflate" in out[2][4]

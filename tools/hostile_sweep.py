@@ -85,6 +85,8 @@ REPEAT_QUERIES = (
     "web_charset_quarantine",
     "warc_ingest_quarantine",
     "stream_warc_ingest",
+    # r13: staged Content-Encoding crawl shards (gzip/deflate/raw/br/torn)
+    "web_content_encoding",
     "multimodal_audio_resample",
     "multimodal_video_motion",
     "pipeline_web_corpus_incremental",
