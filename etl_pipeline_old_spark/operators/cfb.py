@@ -1,0 +1,661 @@
+"""OLE2 / CFB (Compound File Binary, [MS-CFB]) container + legacy
+Office text recovery ([MS-DOC] Word 97-2003 piece table, BIFF8 .xls
+cell records) — own pure-stdlib codec.
+
+Why this exists: every pre-2007 Office document — and a huge share of
+any enterprise or crawl corpus — ships as an OLE2 compound file
+(.doc/.xls/.ppt, plus MSI, MSG, and friends).  The reference pipeline's
+domain (BIM/construction) is exactly the world still mailing .doc
+around.  No CFB implementation exists in this container (no olefile,
+no compoundfiles), so — like FLAC, VP8L, and BSON — the codec is pinned
+by the public specs: an own writer stages fixtures, oracles demand
+byte-exact text recovery, and damage classes are loud.
+
+Structure implemented (v3, 512-byte sectors; v4 4096 accepted on read):
+- header: signature D0CF11E0A1B11AE1, sector/mini-sector shifts, DIFAT
+  (109 header entries + chained DIFAT sectors), FAT/miniFAT locations;
+- FAT sector chains with cycle guards; miniFAT chains over the 64-byte
+  mini stream held by the root entry (streams under the 4096 cutoff);
+- directory: 128-byte entries, UTF-16LE names, storage/stream types,
+  sibling BSTs walked from each storage's child pointer.
+
+Honesty notes: the writer emits sibling trees as spec-ordered balanced
+BSTs with all nodes colored black — red-black BALANCE is a hint, and
+[MS-CFB] §2.6.4 tells readers to tolerate violations (ours ignores
+color entirely).  The [MS-DOC] reader recovers the main document text
+through the Clx/PlcPcd piece table (both compressed-cp1252-style and
+UTF-16 pieces, both 0Table/1Table homes); properties, fields, tables,
+and embedded objects are out of scope and invisible to it.  BIFF8
+CONTINUE-split SSTs raise NotImplementedError (a documented seam — the
+own writer never splits; real multi-megabyte SSTs do).
+
+Damage raises ValueError: bad signature, sector references past the
+file, FAT/miniFAT/DIFAT chain cycles, truncated sectors, directory
+entries with impossible sizes, piece tables that disagree with ccpText.
+"""
+
+from __future__ import annotations
+
+import struct
+
+_SIGNATURE = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+_ENDOFCHAIN = 0xFFFFFFFE
+_FREESECT = 0xFFFFFFFF
+_FATSECT = 0xFFFFFFFD
+_DIFSECT = 0xFFFFFFFC
+_NOSTREAM = 0xFFFFFFFF
+_MINI_CUTOFF = 4096
+_MINI_SHIFT = 6  # 64-byte mini sectors
+
+
+# ------------------------------------------------------------- writer
+
+
+def _dir_entry(
+    name: str,
+    otype: int,
+    left: int = _NOSTREAM,
+    right: int = _NOSTREAM,
+    child: int = _NOSTREAM,
+    start: int = _ENDOFCHAIN,
+    size: int = 0,
+) -> bytes:
+    enc = name.encode("utf-16-le") + b"\x00\x00"
+    if len(enc) > 64:
+        raise ValueError(f"cfb: name too long: {name!r}")
+    return (
+        enc.ljust(64, b"\x00")
+        + struct.pack(
+            "<HBBIII16sIQQIQ",
+            len(enc),          # name length incl. terminator, bytes
+            otype,             # 0 unknown / 1 storage / 2 stream / 5 root
+            1,                 # color: black (balance is a hint)
+            left,
+            right,
+            child,
+            b"\x00" * 16,      # CLSID
+            0,                 # state bits
+            0,                 # creation time
+            0,                 # modified time
+            start & 0xFFFFFFFF,
+            size,
+        )
+    )
+
+
+def _bst_order(names: list[str]) -> list[tuple[str, int, int]]:
+    """Spec sibling ordering (shorter name first, then uppercase
+    comparison) arranged as a balanced BST; returns (name, left_id,
+    right_id) with ids being 1-based directory ids assigned in sorted
+    order (root entry is id 0)."""
+    ordered = sorted(names, key=lambda n: (len(n), n.upper()))
+    ids = {n: i + 1 for i, n in enumerate(ordered)}
+    links: dict[str, tuple[int, int]] = {}
+
+    def build(lo: int, hi: int) -> int:
+        if lo > hi:
+            return _NOSTREAM
+        mid = (lo + hi) // 2
+        left = build(lo, mid - 1)
+        right = build(mid + 1, hi)
+        links[ordered[mid]] = (left, right)
+        return ids[ordered[mid]]
+
+    root = build(0, len(ordered) - 1)
+    return [(n, *links[n]) for n in ordered], root
+
+
+def write_cfb(streams: dict[str, bytes]) -> bytes:
+    """A complete v3 (512-byte sector) compound file holding the given
+    ROOT-LEVEL streams.  Streams under the 4096-byte cutoff live in the
+    mini stream (64-byte mini sectors chained through the miniFAT),
+    larger ones in regular FAT chains — both paths exercised whenever
+    the inputs span the cutoff."""
+    ssz = 512
+
+    def pad(b: bytes, unit: int) -> bytes:
+        return b + b"\x00" * (-len(b) % unit)
+
+    # mini stream assembly: small streams -> 64-byte sectors
+    mini_data = bytearray()
+    minifat: list[int] = []
+    mini_starts: dict[str, int] = {}
+    for name, data in streams.items():
+        if len(data) < _MINI_CUTOFF:
+            start = len(minifat)
+            chunk = pad(data, 64) if data else b""
+            nsec = len(chunk) // 64
+            mini_data += chunk
+            for k in range(nsec):
+                minifat.append(start + k + 1 if k + 1 < nsec else _ENDOFCHAIN)
+            mini_starts[name] = start if nsec else _ENDOFCHAIN
+
+    # sector plan: [FAT sectors][directory][miniFAT][mini stream][big streams]
+    # sizes first, so FAT length (and thus FAT sector count) is solvable
+    ordered, tree_root = _bst_order(list(streams.keys()))
+    n_dir_entries = 1 + len(ordered)
+    dir_sectors = -(-n_dir_entries * 128 // ssz)
+    minifat_bytes = pad(b"".join(struct.pack("<I", x) for x in minifat), ssz)
+    minifat_sectors = len(minifat_bytes) // ssz if minifat else 0
+    mini_bytes = pad(bytes(mini_data), ssz)
+    mini_sectors = len(mini_bytes) // ssz if mini_data else 0
+    big: dict[str, bytes] = {
+        n: pad(d, ssz) for n, d in streams.items() if len(d) >= _MINI_CUTOFF
+    }
+    big_sectors = sum(len(d) // ssz for d in big.values())
+
+    payload_sectors = dir_sectors + minifat_sectors + mini_sectors + big_sectors
+    # solve FAT count: f FAT sectors cover (f + payload) entries
+    fat_sectors = 1
+    while fat_sectors * (ssz // 4) < fat_sectors + payload_sectors:
+        fat_sectors += 1
+    if fat_sectors > 109:
+        raise ValueError("cfb: writer supports header-DIFAT files only")
+
+    fat: list[int] = [_FATSECT] * fat_sectors
+    sect = fat_sectors
+
+    def alloc(nsec: int) -> int:
+        nonlocal sect
+        if nsec == 0:
+            return _ENDOFCHAIN
+        start = sect
+        for k in range(nsec):
+            fat.append(start + k + 1 if k + 1 < nsec else _ENDOFCHAIN)
+        sect += nsec
+        return start
+
+    first_dir = alloc(dir_sectors)
+    first_minifat = alloc(minifat_sectors)
+    mini_start = alloc(mini_sectors)
+    big_starts = {n: alloc(len(d) // ssz) for n, d in big.items()}
+
+    # directory
+    entries = [
+        _dir_entry(
+            "Root Entry", 5, child=tree_root,
+            start=mini_start if mini_data else _ENDOFCHAIN,
+            size=len(mini_data),
+        )
+    ]
+    for name, left, right in ordered:
+        data = streams[name]
+        start = (
+            big_starts[name] if name in big else mini_starts[name]
+        )
+        entries.append(
+            _dir_entry(name, 2, left=left, right=right, start=start,
+                       size=len(data))
+        )
+    dir_bytes = pad(b"".join(entries), ssz)
+
+    header = (
+        _SIGNATURE
+        + b"\x00" * 16
+        + struct.pack(
+            "<HHHHHHIIIIIIIII",
+            0x003E, 0x0003,      # minor, major (v3)
+            0xFFFE,              # little-endian marker
+            9, _MINI_SHIFT,      # sector / mini-sector shifts
+            0, 0,                # reserved, reserved
+            0,                   # v3: directory sector count must be 0
+            fat_sectors,
+            first_dir,
+            0,                   # transaction signature
+            _MINI_CUTOFF,
+            first_minifat if minifat_sectors else _ENDOFCHAIN,
+            minifat_sectors,
+            _ENDOFCHAIN,         # first DIFAT sector (header-only DIFAT)
+        )
+        + struct.pack("<I", 0)   # DIFAT sector count
+    )
+    difat = list(range(fat_sectors)) + [_FREESECT] * (109 - fat_sectors)
+    header += b"".join(struct.pack("<I", x) for x in difat)
+    assert len(header) == 512
+
+    fat_bytes = pad(b"".join(struct.pack("<I", x) for x in fat), ssz)
+    body = (
+        fat_bytes
+        + dir_bytes
+        + (minifat_bytes if minifat_sectors else b"")
+        + (mini_bytes if mini_sectors else b"")
+        + b"".join(big[n] for n in big)
+    )
+    return header + body
+
+
+# ------------------------------------------------------------- reader
+
+
+def _u32s(b: bytes) -> list[int]:
+    return list(struct.unpack(f"<{len(b) // 4}I", b[: len(b) // 4 * 4]))
+
+
+def _read_chain(fat: list[int], start: int, what: str) -> list[int]:
+    chain, cur, seen = [], start, set()
+    while cur != _ENDOFCHAIN:
+        if cur in (_FREESECT, _FATSECT, _DIFSECT) or cur >= len(fat):
+            raise ValueError(f"cfb: {what} chain hits sector {cur:#x}")
+        if cur in seen:
+            raise ValueError(f"cfb: {what} chain cycles at sector {cur}")
+        seen.add(cur)
+        chain.append(cur)
+        cur = fat[cur]
+    return chain
+
+
+def read_cfb(blob: bytes) -> dict[str, bytes]:
+    """Parse a compound file into {path: stream_bytes}; nested storages
+    join path segments with '/'.  Strict: every structural lie raises."""
+    if blob[:8] != _SIGNATURE:
+        raise ValueError(f"cfb: bad signature {blob[:8]!r}")
+    if len(blob) < 512:
+        raise ValueError("cfb: truncated header")
+    (
+        _minor, major, order, sshift, mshift, _r1, _r2, _ndir, nfat,
+        first_dir, _tsig, cutoff, first_minifat, nminifat, first_difat,
+    ) = struct.unpack("<HHHHHHIIIIIIIII", blob[24:72])
+    ndifat = struct.unpack("<I", blob[72:76])[0]
+    if order != 0xFFFE:
+        raise ValueError(f"cfb: byte-order mark {order:#x}")
+    if (major, sshift) not in ((3, 9), (4, 12)):
+        raise ValueError(f"cfb: version {major} / sector shift {sshift}")
+    ssz = 1 << sshift
+    msz = 1 << mshift
+
+    def sector(n: int) -> bytes:
+        off = 512 + n * ssz if major == 3 else (n + 1) * ssz
+        if off + ssz > len(blob):
+            raise ValueError(f"cfb: sector {n} past end of file")
+        return blob[off : off + ssz]
+
+    # DIFAT: 109 header entries, then chained DIFAT sectors
+    difat = _u32s(blob[76:512])
+    cur, hops = first_difat, 0
+    while cur != _ENDOFCHAIN and cur != _FREESECT:
+        if hops > ndifat + 1:
+            raise ValueError("cfb: DIFAT chain longer than declared")
+        s = sector(cur)
+        difat += _u32s(s[:-4])
+        cur = struct.unpack("<I", s[-4:])[0]
+        hops += 1
+    fat_sector_ids = [x for x in difat if x != _FREESECT][:nfat]
+    if len(fat_sector_ids) < nfat:
+        raise ValueError("cfb: DIFAT names fewer FAT sectors than declared")
+    fat: list[int] = []
+    for sid in fat_sector_ids:
+        fat += _u32s(sector(sid))
+
+    def read_stream_regular(start: int, size: int) -> bytes:
+        chain = _read_chain(fat, start, "stream")
+        data = b"".join(sector(s) for s in chain)
+        if size > len(data):
+            raise ValueError("cfb: stream size exceeds its chain")
+        return data[:size]
+
+    # directory
+    dir_bytes = b"".join(sector(s) for s in _read_chain(fat, first_dir, "dir"))
+    entries = []
+    for i in range(len(dir_bytes) // 128):
+        e = dir_bytes[i * 128 : (i + 1) * 128]
+        nlen, otype = struct.unpack("<HB", e[64:67])
+        if otype == 0:
+            entries.append(None)
+            continue
+        if otype not in (1, 2, 5):
+            raise ValueError(f"cfb: directory entry type {otype}")
+        if nlen < 2 or nlen > 64 or nlen % 2:
+            raise ValueError(f"cfb: directory name length {nlen}")
+        name = e[: nlen - 2].decode("utf-16-le")
+        left, right, child = struct.unpack("<iii", e[68:80])
+        start, size = struct.unpack("<IQ", e[116:128])
+        if major == 3:
+            size &= 0xFFFFFFFF  # v3 writers leave the high half undefined
+        entries.append((name, otype, left, right, child, start, size))
+    if not entries or entries[0] is None or entries[0][1] != 5:
+        raise ValueError("cfb: first directory entry is not the root")
+
+    # miniFAT + mini stream (the root entry's stream)
+    minifat: list[int] = []
+    if nminifat:
+        for s in _read_chain(fat, first_minifat, "miniFAT"):
+            minifat += _u32s(sector(s))
+    root_start, root_size = entries[0][5], entries[0][6]
+    mini_stream = (
+        read_stream_regular(root_start, root_size) if root_size else b""
+    )
+
+    def read_stream_mini(start: int, size: int) -> bytes:
+        chain, cur, seen = [], start, set()
+        while cur != _ENDOFCHAIN:
+            if cur >= len(minifat):
+                raise ValueError(f"cfb: mini chain hits sector {cur:#x}")
+            if cur in seen:
+                raise ValueError("cfb: mini chain cycles")
+            seen.add(cur)
+            chain.append(cur)
+            cur = minifat[cur]
+        data = b"".join(
+            mini_stream[s * msz : (s + 1) * msz] for s in chain
+        )
+        if size > len(data):
+            raise ValueError("cfb: mini stream size exceeds its chain")
+        return data[:size]
+
+    # walk the sibling BSTs from the root's child
+    out: dict[str, bytes] = {}
+    visited: set[int] = set()
+
+    def visit(idx: int, prefix: str) -> None:
+        if idx == _NOSTREAM or idx < 0:
+            return
+        if idx >= len(entries) or entries[idx] is None:
+            raise ValueError(f"cfb: directory id {idx} out of range")
+        if idx in visited:
+            raise ValueError(f"cfb: directory tree cycles at id {idx}")
+        visited.add(idx)
+        name, otype, left, right, child, start, size = entries[idx]
+        visit(left, prefix)
+        path = prefix + name
+        if otype == 2:
+            if size and size < cutoff:
+                out[path] = read_stream_mini(start, size)
+            elif size:
+                out[path] = read_stream_regular(start, size)
+            else:
+                out[path] = b""
+        else:  # storage: recurse into its own sibling tree
+            visit(child, path + "/")
+        visit(right, prefix)
+
+    visit(entries[0][4], "")
+    return out
+
+
+# ----------------------------------------------- [MS-DOC] piece table
+
+_FIB_SIZE = 1472  # Word 97 FIB block (0x05C0)
+_WIDENT = 0xA5EC
+_NFIB = 0x00C1
+
+# [MS-DOC] 2.4.1 step 3: fCompressed bytes map to the char of equal
+# value EXCEPT this table (the cp1252 C1 punctuation subset; bytes the
+# table omits — 0x80, 0x81, 0x8D, 0x8E, 0x8F, 0x90, 0x9D, 0x9E — stay
+# identity, which is NOT what a cp1252 decode would do for 0x80/0x8E/
+# 0x9E, so the spec table is implemented literally).
+_DOC_COMPRESSED_MAP = {
+    0x82: 0x201A, 0x83: 0x0192, 0x84: 0x201E, 0x85: 0x2026, 0x86: 0x2020,
+    0x87: 0x2021, 0x88: 0x02C6, 0x89: 0x2030, 0x8A: 0x0160, 0x8B: 0x2039,
+    0x8C: 0x0152, 0x91: 0x2018, 0x92: 0x2019, 0x93: 0x201C, 0x94: 0x201D,
+    0x95: 0x2022, 0x96: 0x2013, 0x97: 0x2014, 0x98: 0x02DC, 0x99: 0x2122,
+    0x9A: 0x0161, 0x9B: 0x203A, 0x9C: 0x0153, 0x9F: 0x0178,
+}
+_DOC_COMPRESSED_INV = {v: k for k, v in _DOC_COMPRESSED_MAP.items()}
+
+
+def _doc_compressible(piece: str) -> bool:
+    return all(
+        (ord(c) <= 0xFF and ord(c) not in _DOC_COMPRESSED_MAP.values()
+         and not 0x82 <= ord(c) <= 0x9F)
+        or ord(c) in _DOC_COMPRESSED_INV
+        for c in piece
+    )
+
+
+def _doc_compress(piece: str) -> bytes:
+    return bytes(
+        _DOC_COMPRESSED_INV.get(ord(c), ord(c)) for c in piece
+    )
+
+
+def _doc_decompress(raw: bytes) -> str:
+    return "".join(chr(_DOC_COMPRESSED_MAP.get(b, b)) for b in raw)
+
+
+def write_doc(
+    text: str, which_tbl: int = 1, piece_chars: int = 17,
+    pad_to_regular: bool = False,
+) -> bytes:
+    """A structurally valid Word 97-2003 .doc: WordDocument stream (FIB
+    + text pieces) and the piece table (Clx/PlcPcd) in the 0Table or
+    1Table stream per ``which_tbl``.  Text is split into
+    ``piece_chars``-char pieces stored ALTERNATELY compressed (when the
+    chars allow) and UTF-16 — real files are multi-piece because that
+    is how Word's fast-save worked, and a reader that assumes one piece
+    or one encoding fails here.  ``pad_to_regular`` inflates the
+    WordDocument stream past the 4096 mini cutoff, forcing the regular
+    FAT path.  Word requires the text to end with a paragraph mark, so
+    a final '\\r' is appended (ccpText includes it; extract_doc_text
+    strips exactly one)."""
+    full = text + "\r"
+    pieces = [
+        full[i : i + piece_chars] for i in range(0, len(full), piece_chars)
+    ]
+    word = bytearray(b"\x00" * _FIB_SIZE)
+    struct.pack_into("<HH", word, 0, _WIDENT, _NFIB)
+    flags = 0x0200 if which_tbl else 0x0000  # fWhichTblStm
+    struct.pack_into("<H", word, 0x0A, flags)
+    struct.pack_into("<H", word, 32, 0x000E)          # csw
+    struct.pack_into("<H", word, 62, 0x0016)          # cslw
+    struct.pack_into("<H", word, 152, 0x005D)         # cbRgFcLcb (97)
+    struct.pack_into("<I", word, 76, len(full))       # ccpText
+    if pad_to_regular:
+        word += b"\x00" * _MINI_CUTOFF
+
+    cps, pcds = [0], []
+    for k, piece in enumerate(pieces):
+        compressed = _doc_compressible(piece) and k % 2 == 0
+        fc = len(word)
+        if compressed:
+            word += _doc_compress(piece)
+            fc_field = (fc * 2) | 0x40000000
+        else:
+            word += piece.encode("utf-16-le")
+            fc_field = fc
+        cps.append(cps[-1] + len(piece))
+        pcds.append(struct.pack("<HIH", 0, fc_field, 0))
+    plcpcd = (
+        b"".join(struct.pack("<I", cp) for cp in cps) + b"".join(pcds)
+    )
+    clx = b"\x02" + struct.pack("<I", len(plcpcd)) + plcpcd
+
+    table = bytearray(b"\x00" * 16)  # nonzero fcClx proves it is READ
+    fc_clx = len(table)
+    table += clx
+    struct.pack_into("<II", word, 0x01A2, fc_clx, len(clx))
+    return write_cfb(
+        {
+            "WordDocument": bytes(word),
+            ("1Table" if which_tbl else "0Table"): bytes(table),
+            # the summary stream every real writer emits; content opaque
+            "\x05SummaryInformation": b"\xfe\xff\x00\x00",
+        }
+    )
+
+
+def extract_doc_text(blob: bytes) -> tuple[str, int]:
+    """Recover the main document text of a Word 97-2003 .doc through
+    the piece table; returns (text, n_pieces).  The FIB's variable
+    layout is honored (csw/cslw/cbRgFcLcb walked, not hardcoded), both
+    table-stream homes and both piece encodings handled.  Raises
+    ValueError on every structural lie ([MS-DOC] refs in module doc)."""
+    streams = read_cfb(blob)
+    word = streams.get("WordDocument")
+    if word is None:
+        raise ValueError("doc: no WordDocument stream")
+    if len(word) < 0x20:
+        raise ValueError("doc: WordDocument stream too short")
+    wident, _nfib = struct.unpack_from("<HH", word, 0)
+    if wident != _WIDENT:
+        raise ValueError(f"doc: wIdent {wident:#x}")
+    flags = struct.unpack_from("<H", word, 0x0A)[0]
+    tbl_name = "1Table" if flags & 0x0200 else "0Table"
+    table = streams.get(tbl_name)
+    if table is None:
+        raise ValueError(f"doc: {tbl_name} stream missing")
+    csw = struct.unpack_from("<H", word, 32)[0]
+    pos = 34 + csw * 2
+    cslw = struct.unpack_from("<H", word, pos)[0]
+    fib_rg_lw = pos + 2
+    ccp_text = struct.unpack_from("<I", word, fib_rg_lw + 12)[0]
+    pos = fib_rg_lw + cslw * 4
+    cb_rg = struct.unpack_from("<H", word, pos)[0]
+    fib_rg_fclcb = pos + 2
+    if cb_rg < 34:
+        raise ValueError(f"doc: fibRgFcLcb too short ({cb_rg} pairs)")
+    fc_clx, lcb_clx = struct.unpack_from(
+        "<II", word, fib_rg_fclcb + 33 * 8
+    )
+    if lcb_clx < 5 or fc_clx + lcb_clx > len(table):
+        raise ValueError("doc: Clx out of the table stream's range")
+    clx = table[fc_clx : fc_clx + lcb_clx]
+
+    # walk Clx: RgPrc entries (clxt=1) skipped, Pcdt (clxt=2) holds PlcPcd
+    p = 0
+    plcpcd = None
+    while p < len(clx):
+        clxt = clx[p]
+        if clxt == 1:
+            cb = struct.unpack_from("<h", clx, p + 1)[0]
+            p += 3 + cb
+        elif clxt == 2:
+            lcb = struct.unpack_from("<I", clx, p + 1)[0]
+            plcpcd = clx[p + 5 : p + 5 + lcb]
+            if len(plcpcd) < lcb:
+                raise ValueError("doc: PlcPcd truncated")
+            break
+        else:
+            raise ValueError(f"doc: Clx entry type {clxt}")
+    if plcpcd is None:
+        raise ValueError("doc: no Pcdt in Clx")
+    n = (len(plcpcd) - 4) // 12
+    if n < 1 or len(plcpcd) != 4 * (n + 1) + 8 * n:
+        raise ValueError(f"doc: PlcPcd size {len(plcpcd)} not 12n+4")
+    cps = struct.unpack_from(f"<{n + 1}I", plcpcd, 0)
+    out: list[str] = []
+    total = 0
+    for k in range(n):
+        if total >= ccp_text:
+            break
+        nchars = min(cps[k + 1], ccp_text) - cps[k]
+        fc_field = struct.unpack_from("<I", plcpcd, 4 * (n + 1) + 8 * k + 2)[0]
+        if fc_field & 0x40000000:
+            fc = (fc_field & 0x3FFFFFFF) // 2
+            raw = word[fc : fc + nchars]
+            if len(raw) < nchars:
+                raise ValueError("doc: compressed piece past stream end")
+            out.append(_doc_decompress(raw))
+        else:
+            fc = fc_field & 0x3FFFFFFF
+            raw = word[fc : fc + 2 * nchars]
+            if len(raw) < 2 * nchars:
+                raise ValueError("doc: unicode piece past stream end")
+            out.append(raw.decode("utf-16-le"))
+        total += nchars
+    if total != ccp_text:
+        raise ValueError(f"doc: pieces cover {total} of ccpText {ccp_text}")
+    text = "".join(out)
+    if not text.endswith("\r"):
+        raise ValueError("doc: text does not end with a paragraph mark")
+    return text[:-1], n
+
+
+# --------------------------------------------------- BIFF8 .xls cells
+
+_BOF, _EOF, _SST, _LABELSST, _NUMBER = 0x0809, 0x000A, 0x00FC, 0x00FD, 0x0203
+
+
+def _xl_unicode_string(s: str) -> bytes:
+    """XLUnicodeRichExtendedString, no rich/phonetic runs; compressed
+    (fHighByte=0) when the chars are all Latin-1, UTF-16 otherwise."""
+    if all(ord(c) <= 0xFF for c in s):
+        return struct.pack("<HB", len(s), 0) + s.encode("latin-1")
+    return struct.pack("<HB", len(s), 1) + s.encode("utf-16-le")
+
+
+def _rec(rid: int, body: bytes) -> bytes:
+    if len(body) > 8224:
+        raise ValueError("xls: record body needs CONTINUE (unsupported)")
+    return struct.pack("<HH", rid, len(body)) + body
+
+
+def write_xls(strings: list[str], numbers: list[float]) -> bytes:
+    """A structurally valid BIFF8 .xls Workbook stream inside a CFB:
+    globals BOF + SST, sheet BOF + one LABELSST per string (row k,
+    col 0) + one NUMBER per value (row k, col 1) + EOFs.  SST strings
+    alternate compressed/UTF-16 storage as their content allows."""
+    wb = bytearray()
+    wb += _rec(_BOF, struct.pack("<HHHHII", 0x0600, 0x0005, 0x0DBB, 0x07CC,
+                                 0, 0x0600))
+    sst_body = struct.pack("<II", len(strings), len(strings))
+    for s in strings:
+        sst_body += _xl_unicode_string(s)
+    wb += _rec(_SST, sst_body)
+    wb += _rec(_EOF, b"")
+    wb += _rec(_BOF, struct.pack("<HHHHII", 0x0600, 0x0010, 0x0DBB, 0x07CC,
+                                 0, 0x0600))
+    for k in range(len(strings)):
+        wb += _rec(_LABELSST, struct.pack("<HHHI", k, 0, 0, k))
+    for k, v in enumerate(numbers):
+        wb += _rec(_NUMBER, struct.pack("<HHHd", k, 1, 0, float(v)))
+    wb += _rec(_EOF, b"")
+    return write_cfb({"Workbook": bytes(wb)})
+
+
+def extract_xls_cells(blob: bytes) -> tuple[list[str], list[float]]:
+    """Walk the Workbook stream's BIFF8 records: SST parsed (both
+    fHighByte forms), LABELSST cells resolved through it in record
+    order, NUMBER cells as IEEE doubles.  CONTINUE-split SSTs raise
+    NotImplementedError (documented seam).  Returns (labels, numbers)."""
+    streams = read_cfb(blob)
+    wb = streams.get("Workbook") or streams.get("Book")
+    if wb is None:
+        raise ValueError("xls: no Workbook stream")
+    sst: list[str] = []
+    labels: list[str] = []
+    numbers: list[float] = []
+    p = 0
+    while p + 4 <= len(wb):
+        rid, ln = struct.unpack_from("<HH", wb, p)
+        body = wb[p + 4 : p + 4 + ln]
+        if len(body) < ln:
+            raise ValueError("xls: truncated record")
+        p += 4 + ln
+        if rid == _SST:
+            _total, unique = struct.unpack_from("<II", body, 0)
+            q = 8
+            for _ in range(unique):
+                if q + 3 > len(body):
+                    raise NotImplementedError(
+                        "xls: SST spans a CONTINUE record (unsupported)"
+                    )
+                cch, flags = struct.unpack_from("<HB", body, q)
+                q += 3
+                if flags & 0x0C:
+                    raise NotImplementedError(
+                        "xls: rich/phonetic SST runs unsupported"
+                    )
+                if flags & 0x01:
+                    raw = body[q : q + 2 * cch]
+                    if len(raw) < 2 * cch:
+                        raise NotImplementedError(
+                            "xls: SST spans a CONTINUE record (unsupported)"
+                        )
+                    sst.append(raw.decode("utf-16-le"))
+                    q += 2 * cch
+                else:
+                    raw = body[q : q + cch]
+                    if len(raw) < cch:
+                        raise NotImplementedError(
+                            "xls: SST spans a CONTINUE record (unsupported)"
+                        )
+                    sst.append(raw.decode("latin-1"))
+                    q += cch
+        elif rid == _LABELSST:
+            isst = struct.unpack_from("<I", body, 6)[0]
+            if isst >= len(sst):
+                raise ValueError(f"xls: LABELSST index {isst} out of range")
+            labels.append(sst[isst])
+        elif rid == _NUMBER:
+            numbers.append(struct.unpack_from("<d", body, 6)[0])
+    return labels, numbers

@@ -57,6 +57,7 @@ _MODULES = (
     "web_corpus",
     "image_text",
     "bpe",
+    "legacy_office",
 )
 
 

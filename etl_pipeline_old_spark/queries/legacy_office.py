@@ -1,0 +1,261 @@
+"""Legacy binary Office ingestion (OLE2/CFB: .doc and .xls) — the
+pre-2007 half of the document-format story.  Any enterprise or crawl
+corpus older than ~2010 is full of compound files; the OOXML family
+(sources_formats.py) covers 2007+, this module covers what came before
+through operators/cfb.py ([MS-CFB] container, [MS-DOC] piece table,
+BIFF8 cells — own pure-stdlib codec, spec-pinned in tests/test_cfb.py).
+
+Verification shape mirrors the document families: every .doc stages
+with a MULTI-PIECE piece table mixing compressed and UTF-16 pieces
+(the per-doc Cyrillic suffix forces at least one Unicode piece, so a
+reader that assumes one piece or one encoding fails), the table stream
+home alternates 0Table/1Table by doc_id, every third file is padded
+past the 4096 mini-stream cutoff to force the regular-FAT path, and
+the oracle demands exact text recovery plus the closed-form piece
+count.  The .xls stages both SST storage forms per file.  The
+quarantine query tears every 50th container and the kernel must keep
+the damage to one record.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from .sources_formats import _stage_media_files
+
+_DOC_PIECE_CHARS = 17
+_DOC_TORN_MOD = 50
+
+
+def _doc_staged_text(doc_id: int, text: str) -> str:
+    # the Cyrillic suffix guarantees >= 1 UTF-16 piece per file
+    return f"{text} Ж{doc_id}"
+
+
+def _render_doc(doc_id: int, text: str) -> bytes:
+    from ..operators.cfb import write_doc
+
+    return write_doc(
+        _doc_staged_text(doc_id, text),
+        which_tbl=doc_id % 2,
+        piece_chars=_DOC_PIECE_CHARS,
+        pad_to_regular=doc_id % 3 == 0,
+    )
+
+
+# the staged text is text || ' Ж' || doc_id; the piece table covers it
+# plus the final paragraph mark in 17-char pieces
+_DOC_LEN_SQL = "(length(text) + 2 + length(doc_id::VARCHAR))"
+
+
+@register(
+    "pipeline_doc_legacy_extract",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(({_DOC_LEN_SQL} + 1 + {_DOC_PIECE_CHARS - 1})
+                // {_DOC_PIECE_CHARS} AS INT) AS n_pieces,
+           CAST({_DOC_LEN_SQL} AS INT) AS n_chars,
+           1 AS text_exact
+    FROM documents
+    """,
+    doc="Word 97-2003 .doc text extraction (operators/cfb.py, [MS-CFB] "
+    "+ [MS-DOC]) — the pre-2007 document class every enterprise corpus "
+    "carries and the r12 verdict's #2 gap: each document stages as a "
+    "structurally valid compound file (FAT/miniFAT sector chains, "
+    "directory BST, 512-byte v3 sectors) whose WordDocument stream "
+    "holds a Word-97 FIB and MULTI-PIECE text reached through the "
+    "Clx/PlcPcd piece table in the 0Table/1Table stream (home "
+    "alternating by doc_id — the fWhichTblStm bit must be read, not "
+    "assumed). Pieces alternate the compressed byte form ([MS-DOC]'s "
+    "literal table, NOT cp1252 — 0x80 stays U+0080) and UTF-16, and "
+    "the per-doc Cyrillic suffix forces at least one Unicode piece; "
+    "every third file is padded past the 4096 mini cutoff so both "
+    "FAT routings decode. The oracle demands exact text recovery plus "
+    "the closed-form piece count, so a piece-walk, encoding, or "
+    "sector-chain bug cannot hide. Scale: the standard binaryFile + "
+    "Arrow-kernel shape, map-side only, parse cost linear in file "
+    "size.",
+)
+def pipeline_doc_legacy_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import load_table
+
+    path = _stage_media_files(spark, sf_dir, "doc_files", "doc", _render_doc)
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.doc")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.doc$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "content",
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    joined = bf.join(docs, "doc_id")
+
+    def op(batches):
+        import pandas as pd
+
+        from ..operators.cfb import extract_doc_text
+
+        for b in batches:
+            out = {"doc_id": [], "n_pieces": [], "n_chars": [],
+                   "text_exact": []}
+            for doc_id, content, text in zip(
+                b["doc_id"], b["content"], b["text"]
+            ):
+                got, n_pieces = extract_doc_text(bytes(content))
+                out["doc_id"].append(int(doc_id))
+                out["n_pieces"].append(n_pieces)
+                out["n_chars"].append(len(got))
+                out["text_exact"].append(
+                    1 if got == _doc_staged_text(int(doc_id), text) else 0
+                )
+            yield pd.DataFrame(out)
+
+    return joined.mapInPandas(
+        op, schema="doc_id long, n_pieces int, n_chars int, text_exact int"
+    )
+
+
+def _render_xls(doc_id: int, text: str) -> bytes:
+    from ..operators.cfb import write_xls
+
+    words = text.split(" ")[:3]
+    return write_xls(
+        words + [f"я{doc_id}"], [doc_id * 0.5, doc_id % 7]
+    )
+
+
+@register(
+    "pipeline_xls_legacy_cells",
+    oracle="""
+    SELECT doc_id,
+           4 AS n_labels,
+           2 AS n_numbers,
+           round(doc_id * 0.5 + doc_id % 7, 2) AS sum_numbers,
+           CAST(length(split_part(text, ' ', 1))
+              + length(split_part(text, ' ', 2))
+              + length(split_part(text, ' ', 3))
+              + 1 + length(doc_id::VARCHAR) AS INT) AS char_mass
+    FROM documents
+    """,
+    doc="Excel 97-2003 .xls typed-cell extraction (operators/cfb.py, "
+    "BIFF8 over [MS-CFB]) — the legacy twin of multimodal_xlsx_cells: "
+    "each document stages a Workbook stream with a shared-string table "
+    "holding the text's first three words (compressed latin-1 form) "
+    "plus a per-doc Cyrillic marker (UTF-16 form — BOTH fHighByte "
+    "storage layouts decode per file), LABELSST cells resolving "
+    "through the SST by index, and NUMBER cells with IEEE doubles "
+    "derived from doc_id. The oracle recomputes label/number counts, "
+    "the numeric sum, and the recovered string character mass from the "
+    "base table, so an SST walk, index-resolution, or record-framing "
+    "bug flips the hash. CONTINUE-split SSTs are the documented loud "
+    "seam (unit-tested). Same map-only Arrow-kernel scale shape as "
+    "every media family.",
+)
+def pipeline_xls_legacy_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_media_files(spark, sf_dir, "xls_files", "xls", _render_xls)
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.xls")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.xls$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "content",
+        )
+    )
+
+    def op(batches):
+        import pandas as pd
+
+        from ..operators.cfb import extract_xls_cells
+
+        for b in batches:
+            out = {"doc_id": [], "n_labels": [], "n_numbers": [],
+                   "sum_numbers": [], "char_mass": []}
+            for doc_id, content in zip(b["doc_id"], b["content"]):
+                labels, numbers = extract_xls_cells(bytes(content))
+                out["doc_id"].append(int(doc_id))
+                out["n_labels"].append(len(labels))
+                out["n_numbers"].append(len(numbers))
+                out["sum_numbers"].append(round(sum(numbers), 2))
+                out["char_mass"].append(sum(len(s) for s in labels))
+            yield pd.DataFrame(out)
+
+    return bf.mapInPandas(
+        op,
+        schema="doc_id long, n_labels int, n_numbers int, "
+        "sum_numbers double, char_mass int",
+    )
+
+
+def _render_doc_maybe_torn(doc_id: int, text: str) -> bytes:
+    blob = _render_doc(doc_id, text)
+    if doc_id % _DOC_TORN_MOD == 0:
+        # truncation mid-body: the header survives, sector chains point
+        # past the end — the torn-upload shape object stores serve
+        return blob[: max(512, int(len(blob) * 0.6))]
+    return blob
+
+
+@register(
+    "doc_legacy_quarantine",
+    oracle=f"""
+    SELECT doc_id,
+           (doc_id % {_DOC_TORN_MOD} != 0) AS ok,
+           CASE WHEN doc_id % {_DOC_TORN_MOD} != 0
+                THEN CAST({_DOC_LEN_SQL} AS INT) ELSE NULL END AS n_chars
+    FROM documents
+    """,
+    doc="Per-record fault isolation on torn compound files — every "
+    f"{_DOC_TORN_MOD}th staged .doc is truncated to 60% (header "
+    "intact, FAT chains running past the end, the torn-upload shape), "
+    "and the kernel must keep the damage to one record: the codec's "
+    "documented ValueError classes are caught per file, healthy "
+    "documents still recover their exact text (n_chars value-checked "
+    "by the oracle), corrupt ones surface as ok=false rows instead of "
+    "failed tasks. The operational sibling of docx_ingest_quarantine "
+    "and pdf_ingest_quarantine, completing the house trio for the "
+    "legacy-office family.",
+)
+def doc_legacy_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_media_files(
+        spark, sf_dir, "doc_torn", "doc", _render_doc_maybe_torn
+    )
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.doc")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.doc$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "content",
+        )
+    )
+
+    def op(batches):
+        import pandas as pd
+
+        from ..operators.cfb import extract_doc_text
+
+        for b in batches:
+            out = {"doc_id": [], "ok": [], "n_chars": []}
+            for doc_id, content in zip(b["doc_id"], b["content"]):
+                try:
+                    got, _ = extract_doc_text(bytes(content))
+                    out["ok"].append(True)
+                    out["n_chars"].append(len(got))
+                except (ValueError, NotImplementedError):
+                    out["ok"].append(False)
+                    out["n_chars"].append(None)
+                out["doc_id"].append(int(doc_id))
+            yield pd.DataFrame(out)
+
+    return bf.mapInPandas(op, schema="doc_id long, ok boolean, n_chars int")

@@ -343,6 +343,10 @@ _CORE_FIRST = (
     # round-13: HTTP Content-Encoding in the WARC payload walk (r12
     # verdict #1) — new queries ride here for a same-round driver row
     "web_content_encoding",
+    # round-13: OLE2/CFB legacy Office (r12 verdict #2)
+    "pipeline_doc_legacy_extract",
+    "pipeline_xls_legacy_cells",
+    "doc_legacy_quarantine",
 )
 
 

@@ -1,0 +1,167 @@
+"""OLE2/CFB container + legacy Office text recovery (operators/cfb.py):
+spec-pinned roundtrips over the [MS-CFB] structure (mini vs regular FAT
+routing, multi-sector directories, sibling BSTs, nested storages on
+read), the [MS-DOC] piece table (both table-stream homes, mixed
+compressed/UTF-16 pieces, the spec's literal compressed-byte table
+where it DIVERGES from cp1252), BIFF8 .xls cells, and the loud damage
+classes.  No independent OLE2 implementation exists in this container
+(no olefile), so these spec-derived fixtures are the conformance pin."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from etl_pipeline_old_spark.operators.cfb import (
+    _DOC_COMPRESSED_MAP,
+    _NOSTREAM,
+    extract_doc_text,
+    extract_xls_cells,
+    read_cfb,
+    write_cfb,
+    write_doc,
+    write_xls,
+)
+
+
+@pytest.mark.parametrize("streams", [
+    {"a": b"x" * 10},                               # mini only
+    {"big": b"y" * 6000},                           # regular only
+    {"a": b"x" * 10, "big": b"y" * 5000, "e": b""},  # mixed + empty
+    {f"s{k:02d}": bytes([k]) * (k * 37 % 300) for k in range(20)},
+    {"cut": b"z" * 4095, "exact": b"z" * 4096},      # cutoff boundary
+])
+def test_cfb_roundtrip(streams):
+    assert read_cfb(write_cfb(streams)) == streams
+
+
+def test_cfb_directory_spans_sectors_and_bst_orders():
+    # 20 entries -> 21 directory entries -> 6 sectors; names chosen so
+    # the spec sort (length first, THEN uppercase) differs from plain sort
+    streams = {"bb": b"1", "a": b"2", "AAA": b"3", "zz": b"4"}
+    got = read_cfb(write_cfb(streams))
+    assert got == streams
+
+
+def test_cfb_nested_storage_read():
+    """The reader walks storages recursively; the writer stages flat, so
+    the fixture is surgically re-typed: stream 'S' becomes a storage
+    whose child is 'Inner'."""
+    blob = bytearray(write_cfb({"S": b"", "Inner": b"inner" * 5}))
+    # locate S's 128-byte directory entry by its name field
+    sname = "S".encode("utf-16-le") + b"\x00\x00"
+    at = -1
+    for i in range(0, len(blob) - 128, 128):
+        if blob[i : i + len(sname)] == sname and blob[i + 64] == 4:
+            at = i
+            break
+    assert at > 0
+    blob[at + 66] = 1  # object type: storage
+    struct.pack_into("<I", blob, at + 72, _NOSTREAM)  # right sibling
+    struct.pack_into("<I", blob, at + 76, 2)          # child = Inner
+    got = read_cfb(bytes(blob))
+    assert got == {"S/Inner": b"inner" * 5}
+
+
+def test_cfb_loud_damage():
+    blob = write_cfb({"a": b"x" * 100, "big": b"y" * 5000})
+    with pytest.raises(ValueError, match="signature"):
+        read_cfb(b"PK" + blob[2:])
+    with pytest.raises(ValueError, match="past end of file"):
+        read_cfb(blob[: len(blob) // 2])
+    # FAT chain cycle: point the first directory sector's FAT entry at
+    # itself (FAT sector 0 starts at byte 512; directory start is named
+    # in the header)
+    first_dir = struct.unpack_from("<I", blob, 48)[0]
+    broken = bytearray(blob)
+    struct.pack_into("<I", broken, 512 + 4 * first_dir, first_dir)
+    with pytest.raises(ValueError, match="cycle"):
+        read_cfb(bytes(broken))
+    # byte-order lie
+    broken2 = bytearray(blob)
+    struct.pack_into("<H", broken2, 28, 0xFEFF)
+    with pytest.raises(ValueError, match="byte-order"):
+        read_cfb(bytes(broken2))
+
+
+@pytest.mark.parametrize("which_tbl", [0, 1])
+@pytest.mark.parametrize("pad", [False, True])
+def test_doc_roundtrip(which_tbl, pad):
+    text = "Slab check on grid B7 — отметка +3.300, Ø12 шаг 200. " * 7
+    blob = write_doc(text, which_tbl=which_tbl, pad_to_regular=pad)
+    got, n_pieces = extract_doc_text(blob)
+    assert got == text
+    assert n_pieces > 1  # multi-piece by construction
+    streams = read_cfb(blob)
+    assert ("1Table" if which_tbl else "0Table") in streams
+    assert "\x05SummaryInformation" in streams
+
+
+def test_doc_mixes_compressed_and_unicode_pieces():
+    blob = write_doc("ascii text only here, many words " * 4)
+    streams = read_cfb(blob)
+    word = streams["WordDocument"]
+    # the alternating writer stored even pieces compressed: the raw
+    # ASCII appears verbatim, and the UTF-16 form of odd pieces too
+    assert b"ascii text only h" in word
+    assert "o".encode("utf-16-le") * 1 in word
+
+
+def test_doc_compressed_table_diverges_from_cp1252():
+    """[MS-DOC]'s byte table omits 0x80/0x8E/0x9E, which cp1252 maps to
+    €/Ž/ž — the spec says identity there, and the table says 0x91 is a
+    left single quote."""
+    assert 0x80 not in _DOC_COMPRESSED_MAP
+    assert _DOC_COMPRESSED_MAP[0x91] == 0x2018
+    from etl_pipeline_old_spark.operators.cfb import _doc_decompress
+    assert _doc_decompress(bytes([0x80])) == "\x80"      # NOT '€'
+    assert _doc_decompress(bytes([0x91])) == "‘"
+    assert "cp1252" and bytes([0x80]).decode("cp1252") == "€"  # the trap
+
+
+def test_doc_loud_damage():
+    text = "damage corpus body " * 10
+    blob = write_doc(text)
+    streams = read_cfb(blob)
+    # wIdent lie
+    word = bytearray(streams["WordDocument"])
+    struct.pack_into("<H", word, 0, 0x1234)
+    with pytest.raises(ValueError, match="wIdent"):
+        extract_doc_text(write_cfb({**streams, "WordDocument": bytes(word)}))
+    # table stream missing
+    with pytest.raises(ValueError, match="1Table stream missing"):
+        extract_doc_text(
+            write_cfb({k: v for k, v in streams.items() if k != "1Table"})
+        )
+    # ccpText lie: claims one more char than the pieces cover
+    word2 = bytearray(streams["WordDocument"])
+    struct.pack_into("<I", word2, 76, len(text) + 2)
+    with pytest.raises(ValueError, match="ccpText"):
+        extract_doc_text(write_cfb({**streams, "WordDocument": bytes(word2)}))
+    # Clx pointing past the table stream
+    word3 = bytearray(streams["WordDocument"])
+    struct.pack_into("<I", word3, 0x01A2, 10 ** 6)
+    with pytest.raises(ValueError, match="Clx"):
+        extract_doc_text(write_cfb({**streams, "WordDocument": bytes(word3)}))
+
+
+def test_xls_roundtrip_and_loud_classes():
+    labels = ["alpha", "бета-штрих", "c" * 300]
+    numbers = [0.0, -1.5, 2.0 ** 53]
+    blob = write_xls(labels, numbers)
+    gl, gn = extract_xls_cells(blob)
+    assert gl == labels and gn == numbers
+    # both SST storage forms present: latin-1 compressed + UTF-16
+    wb = read_cfb(blob)["Workbook"]
+    assert b"alpha" in wb and "бета".encode("utf-16-le") in wb
+    # LABELSST index out of range
+    broken = bytearray(blob)
+    at = broken.find(struct.pack("<HH", 0x00FD, 10))
+    assert at > 0
+    struct.pack_into("<I", broken, at + 4 + 6, 999)
+    with pytest.raises(ValueError, match="out of range"):
+        extract_xls_cells(bytes(broken))
+    # CONTINUE-needing SST is the documented loud seam
+    with pytest.raises(ValueError, match="CONTINUE"):
+        write_xls(["x" * 9000], [])

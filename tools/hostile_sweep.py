@@ -87,6 +87,10 @@ REPEAT_QUERIES = (
     "stream_warc_ingest",
     # r13: staged Content-Encoding crawl shards (gzip/deflate/raw/br/torn)
     "web_content_encoding",
+    # r13: staged OLE2/CFB legacy Office files
+    "pipeline_doc_legacy_extract",
+    "pipeline_xls_legacy_cells",
+    "doc_legacy_quarantine",
     "multimodal_audio_resample",
     "multimodal_video_motion",
     "pipeline_web_corpus_incremental",
