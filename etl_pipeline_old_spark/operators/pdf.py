@@ -391,6 +391,7 @@ def write_pdf_images(images: list, captions: list | None = None,
             b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
         )
     for kind, w, h, payload in images:
+        bpc, parms = 8, b""
         if kind == "flate":
             if len(payload) != w * h:
                 raise ValueError("pdf: flate image payload size mismatch")
@@ -399,12 +400,29 @@ def write_pdf_images(images: list, captions: list | None = None,
         elif kind == "dct":
             body = payload
             filt = b"/DCTDecode"
+        elif kind == "ccitt":
+            # payload = (bits with 1 = black, BlackIs1 flag); the G4
+            # stream codes black/white runs directly — /BlackIs1 only
+            # declares the DECODED output polarity
+            from .ccitt import encode_g4
+
+            bits, black_is_1 = payload
+            if len(bits) != w * h:
+                raise ValueError("pdf: ccitt raster size mismatch")
+            body = encode_g4(list(bits), w, h)
+            filt = b"/CCITTFaxDecode"
+            bpc = 1
+            parms = (
+                b"/DecodeParms << /K -1 /Columns %d /Rows %d "
+                b"/BlackIs1 %s >> "
+                % (w, h, b"true" if black_is_1 else b"false")
+            )
         else:
             raise ValueError(f"pdf: unknown image kind {kind!r}")
         objs.append(
             b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
-            b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter %s "
-            b"/Length %d >>\nstream\n" % (w, h, filt, len(body))
+            b"/ColorSpace /DeviceGray /BitsPerComponent %d /Filter %s "
+            b"%s/Length %d >>\nstream\n" % (w, h, bpc, filt, parms, len(body))
             + body + b"\nendstream"
         )
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
@@ -1310,10 +1328,37 @@ class _Doc:
                     raise ValueError(
                         f"pdf: stream inflate failed ({exc})"
                     ) from exc
+            elif f == "/CCITTFaxDecode":
+                # scanned-document PDFs are overwhelmingly CCITT G4
+                # (K < 0); G3 stays the documented loud seam
+                from .ccitt import decode_g4, pack_rows
+
+                parms = self.resolve(obj.get("DecodeParms")) or {}
+                if isinstance(parms, list):
+                    parms = self.resolve(parms[0]) or {}
+                k = self.resolve(parms.get("K", 0))
+                if k >= 0:
+                    raise NotImplementedError(
+                        "pdf: CCITT G3 (K >= 0) needs the 1D/mixed "
+                        "decoder — G4 (K < 0) decodes natively"
+                    )
+                if self.resolve(parms.get("EncodedByteAlign", False)):
+                    raise NotImplementedError(
+                        "pdf: CCITT EncodedByteAlign unsupported"
+                    )
+                cols = self.resolve(parms.get("Columns", 1728))
+                rows = self.resolve(parms.get("Rows"))
+                if rows is None:
+                    rows = self.resolve(obj.get("Height"))
+                bits = decode_g4(raw, cols, rows)
+                if not self.resolve(parms.get("BlackIs1", False)):
+                    # PDF default polarity: 0 output bits are BLACK
+                    bits = [1 - b for b in bits]
+                raw = pack_rows(bits, cols)
             else:
                 raise NotImplementedError(
                     f"pdf: filter {f} needs an external codec — "
-                    "FlateDecode decodes natively"
+                    "FlateDecode and CCITTFaxDecode G4 decode natively"
                 )
         return raw
 

@@ -4517,6 +4517,100 @@ def pipeline_pdf_images_extract(
     )
 
 
+def _render_pdf_ccitt(doc_id: int, text: str) -> bytes:
+    from ..operators.multimodal import md5_pixels
+    from ..operators.pdf import write_pdf_images
+
+    bits = [1 if p >= 128 else 0 for p in md5_pixels(text, 256)]
+    return write_pdf_images(
+        [("ccitt", 16, 16, (bits, True)), ("ccitt", 16, 16, (bits, False))],
+        compress_content=doc_id % 2 == 1,
+    )
+
+
+@register(
+    "pipeline_pdf_ccitt_extract",
+    oracle=f"""
+    WITH px AS (
+      SELECT doc_id,
+             [{", ".join(_ppm_pixel_sql(j) for j in range(256))}] AS p
+      FROM documents)
+    SELECT doc_id, 2 AS n_images,
+      CAST(len(list_filter(p, x -> x >= 128)) AS INT) AS black_px,
+      16 AS w, 16 AS h,
+      1 AS polarity_ok
+    FROM px
+    """,
+    doc="PDF CCITTFax G4 image extraction (operators/ccitt.py, ITU-T "
+    "T.6 2D MMR — the compression virtually every SCANNED-document "
+    "PDF carries, and the r12 verdict's #3 gap): each document stages "
+    "a figure page whose raster (the shared md5 pixel formula "
+    "thresholded at 128) rides TWICE as /CCITTFaxDecode XObjects with "
+    "/K -1, once /BlackIs1 true and once false — the decoder must "
+    "honor the polarity flag, so the kernel proves the two decoded "
+    "bitmaps are exact inverses (polarity_ok) and the oracle "
+    "recomputes the black-pixel count from the staging formula "
+    "(black_px), which a mode-table, MH run-length, or "
+    "reference-line bug flips. The G4 decode exercises vertical, "
+    "horizontal, AND pass modes on real thresholded noise (unit-"
+    "pinned vectors in tests/test_ccitt.py cover each mode "
+    "explicitly; torn streams are the loud class there). G3 (K >= 0) "
+    "stays a documented seam. Scale: map-only Arrow kernel, the "
+    "standard media-sentinel shape.",
+)
+def pipeline_pdf_ccitt_extract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    path = _stage_media_files(
+        spark, sf_dir, "pdf_ccitt_files", "pdf", _render_pdf_ccitt
+    )
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.pdf")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.pdf$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "content",
+        )
+    )
+
+    def op(batches):
+        import pandas as pd
+
+        from ..operators.pdf import extract_pdf_images
+
+        for pdf_batch in batches:
+            out = {
+                "doc_id": [], "n_images": [], "black_px": [],
+                "w": [], "h": [], "polarity_ok": [],
+            }
+            for doc_id, content in zip(
+                pdf_batch["doc_id"], pdf_batch["content"]
+            ):
+                imgs = extract_pdf_images(bytes(content))
+                (_, w0, h0, _f0, d0), (_, _w1, _h1, _f1, d1) = imgs
+                # BlackIs1 true -> 1 bits are black; false -> inverted
+                black = sum(bin(b).count("1") for b in d0)
+                inv_ok = all(
+                    a ^ b == 0xFF for a, b in zip(d0, d1)
+                ) and len(d0) == len(d1)
+                out["doc_id"].append(int(doc_id))
+                out["n_images"].append(len(imgs))
+                out["black_px"].append(black)
+                out["w"].append(w0)
+                out["h"].append(h0)
+                out["polarity_ok"].append(1 if inv_ok else 0)
+            yield pd.DataFrame(out)
+
+    return bf.mapInPandas(
+        op,
+        schema="doc_id long, n_images int, black_px int, w int, h int, "
+        "polarity_ok int",
+    )
+
+
 def _render_pdf_figures(doc_id: int, text: str) -> bytes:
     from ..operators.multimodal import md5_pixels
     from ..operators.pdf import write_pdf_images

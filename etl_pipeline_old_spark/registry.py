@@ -347,6 +347,8 @@ _CORE_FIRST = (
     "pipeline_doc_legacy_extract",
     "pipeline_xls_legacy_cells",
     "doc_legacy_quarantine",
+    # round-13: CCITT G4 scanned-page images (r12 verdict #3)
+    "pipeline_pdf_ccitt_extract",
 )
 
 

@@ -1,0 +1,149 @@
+"""CCITT G4 codec (operators/ccitt.py): hand-computed spec vectors for
+each 2D mode (the self-roundtrip blind-spot killers), MH run-length
+table spot pins, encoder↔decoder roundtrips over adversarial rasters,
+and the loud damage classes.  No independent CCITT codec exists in
+this container (no PIL), so these spec-derived fixtures are the
+conformance pin."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from etl_pipeline_old_spark.operators.ccitt import (
+    _BLACK_ALL,
+    _WHITE_ALL,
+    decode_g4,
+    encode_g4,
+    pack_rows,
+)
+
+_RND = random.Random(20260816)
+
+
+def _bits_from(s: str) -> bytes:
+    s += "0" * (-len(s) % 8)
+    return bytes(int(s[i : i + 8], 2) for i in range(0, len(s), 8))
+
+
+_EOFB = "000000000001" * 2
+
+
+def test_mh_table_spot_pins():
+    # ITU-T T.4 literal values — a transposed table decodes garbage
+    assert _WHITE_ALL[0] == "00110101"
+    assert _WHITE_ALL[2] == "0111"
+    assert _WHITE_ALL[64] == "11011"
+    assert _WHITE_ALL[1664] == "011000"
+    assert _BLACK_ALL[1] == "010"
+    assert _BLACK_ALL[2] == "11"
+    assert _BLACK_ALL[4] == "011"
+    assert _BLACK_ALL[64] == "0000001111"
+    assert _BLACK_ALL[2560] == _WHITE_ALL[2560] == "000000011111"
+
+
+def test_horizontal_mode_hand_vector():
+    """Row [1,1,1,1,0,0,0,0] against the imaginary all-white reference:
+    H(001) + white-run-0(00110101) + black-run-4(011), then V0(1)."""
+    want = "001" + "00110101" + "011" + "1"
+    bits = [1, 1, 1, 1, 0, 0, 0, 0]
+    assert encode_g4(bits, 8, 1) == _bits_from(want + _EOFB)
+    assert decode_g4(_bits_from(want + _EOFB), 8, 1) == bits
+
+
+def test_vertical_v0_hand_vector():
+    """A row identical to its reference codes as three V0s: the two
+    copied change positions plus the end-of-row V0 against b1=width."""
+    row = [1, 1, 1, 1, 0, 0, 0, 0]
+    two = encode_g4(row + row, 8, 2)
+    first = "001" + "00110101" + "011" + "1"
+    assert two == _bits_from(first + "111" + _EOFB)
+
+
+def test_vr1_vs_vl1_hand_vectors():
+    """Black run shifted RIGHT by one vs the reference codes VR1(011)
+    twice; shifted LEFT codes VL1(010) — a mirrored mode table fails
+    here (the roundtrip could not see it)."""
+    ref = [0, 0, 1, 1, 0, 0, 0, 0]
+    right = [0, 0, 0, 1, 1, 0, 0, 0]
+    left = [0, 1, 1, 0, 0, 0, 0, 0]
+    first = "001" + "0111" + "11" + "1"  # H + white2 + black2, then V0
+    got_r = encode_g4(ref + right, 8, 2)
+    assert got_r == _bits_from(first + "011" + "011" + "1" + _EOFB)
+    got_l = encode_g4(ref + left, 8, 2)
+    assert got_l == _bits_from(first + "010" + "010" + "1" + _EOFB)
+    assert decode_g4(got_r, 8, 2) == ref + right
+    assert decode_g4(got_l, 8, 2) == ref + left
+
+
+def test_pass_mode_hand_vector():
+    """Reference has a black run the coding row skips entirely:
+    P(0001) consumes it, then V0 closes the row."""
+    ref = [0, 0, 1, 1, 0, 0, 0, 0]
+    blank = [0] * 8
+    first = "001" + "0111" + "11" + "1"
+    got = encode_g4(ref + blank, 8, 2)
+    assert got == _bits_from(first + "0001" + "1" + _EOFB)
+    assert decode_g4(got, 8, 2) == ref + blank
+
+
+def test_makeup_runs_roundtrip():
+    # single row wider than one makeup: white 2600 + black 120 + rest
+    w = 2800
+    row = [0] * 2600 + [1] * 120 + [0] * (w - 2720)
+    enc = encode_g4(row, w, 1)
+    assert decode_g4(enc, w, 1) == row
+
+
+@pytest.mark.parametrize("dims", [(1, 1), (7, 3), (16, 16), (33, 9)])
+@pytest.mark.parametrize("density", [0.05, 0.5, 0.95])
+def test_roundtrip_matrix(dims, density):
+    w, h = dims
+    bits = [1 if _RND.random() < density else 0 for _ in range(w * h)]
+    enc = encode_g4(bits, w, h)
+    assert decode_g4(enc, w, h) == bits
+    assert decode_g4(enc, w) == bits  # until-EOFB walk
+
+
+def test_loud_damage_classes():
+    bits = [1 if _RND.random() < 0.3 else 0 for _ in range(256)]
+    enc = encode_g4(bits, 16, 16)
+    with pytest.raises(ValueError, match="exhausted"):
+        decode_g4(enc[: len(enc) // 3], 16, 16)
+    with pytest.raises(ValueError, match="size disagrees"):
+        encode_g4(bits, 16, 15)
+    with pytest.raises(ValueError, match="width"):
+        decode_g4(enc, 0, 1)
+    # an all-ones byte stream walks V0s off the row or exhausts —
+    # never returns silently wrong dimensions
+    with pytest.raises(ValueError):
+        decode_g4(b"\x00\x00\x00\x00", 8, 4)
+    assert pack_rows([1, 0, 1], 3) == b"\xa0"
+    with pytest.raises(ValueError, match="disagrees"):
+        pack_rows([1, 0, 1], 2)
+
+
+def test_pdf_ccitt_integration_and_seams():
+    from etl_pipeline_old_spark.operators.pdf import (
+        extract_pdf_images,
+        write_pdf_images,
+    )
+
+    bits = [1 if _RND.random() < 0.25 else 0 for _ in range(16 * 16)]
+    pdf = write_pdf_images(
+        [("ccitt", 16, 16, (bits, True)), ("ccitt", 16, 16, (bits, False))]
+    )
+    imgs = extract_pdf_images(pdf)
+    assert imgs[0][4] == pack_rows(bits, 16)
+    assert imgs[1][4] == pack_rows([1 - b for b in bits], 16)
+    # G3 (K >= 0) is the documented loud seam
+    broken = pdf.replace(b"/K -1", b"/K 00", 1)
+    with pytest.raises(NotImplementedError, match="G3"):
+        extract_pdf_images(broken)
+    # torn coded stream inside the XObject is loud per the codec
+    torn = bytearray(pdf)
+    at = torn.find(b"stream\n", torn.find(b"/CCITTFaxDecode")) + 7
+    torn[at + 2] = 0xFF
+    with pytest.raises(ValueError):
+        extract_pdf_images(bytes(torn))

@@ -91,6 +91,8 @@ REPEAT_QUERIES = (
     "pipeline_doc_legacy_extract",
     "pipeline_xls_legacy_cells",
     "doc_legacy_quarantine",
+    # r13: staged CCITT G4 scanned-page PDFs
+    "pipeline_pdf_ccitt_extract",
     "multimodal_audio_resample",
     "multimodal_video_motion",
     "pipeline_web_corpus_incremental",
