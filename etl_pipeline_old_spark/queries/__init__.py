@@ -58,6 +58,7 @@ _MODULES = (
     "image_text",
     "bpe",
     "legacy_office",
+    "compressed_shards",
 )
 
 

@@ -1,0 +1,392 @@
+"""bz2/xz-compressed shard ingestion — the compression reality of
+public corpora: WebDataset-style tar shards ship as .tar.bz2/.tar.xz
+(HuggingFace mirrors, academic torrents), and THE canonical public
+text corpus — the Wikipedia dump — is a single giant
+``*-multistream.xml.bz2`` whose independent bz2 streams are the only
+viable split points.  CPython ships both codecs (bz2, lzma); what this
+module adds is the Spark-side shape: per-suffix dispatch inside one
+Arrow kernel for the tar shards, and for the wiki dump the
+INDEX-DRIVEN range-read plan — the tiny ``-index.txt.bz2`` sidecar
+lists every stream's byte offset, so each task seeks to its stream and
+decompresses only that slice.  At 100 TB that is the difference
+between one decompressor crawling a 20 GB file and a thousand tasks
+each range-reading one stream from the object store; the dump's bytes
+never flow through a single task here either.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from ..catalog import load_table
+from ..registry import register
+
+_WDS_DOCS_PER_SHARD = 25
+_WIKI_STREAM_DOCS = 25
+_WIKI_DOCS_PER_FILE = 100
+_WIKI_TORN_MOD = 5  # stream_idx % 5 == 3 -> the stream stages torn
+
+
+def _stage_suffixed_shards(
+    spark: SparkSession, sf_dir: str, kind: str, build
+) -> str:
+    """Like web_corpus._stage_shard_files but ``build(pdf, sid)``
+    returns (suffix, bytes) so the container flavor can vary per shard
+    — the mixed-compression reality of mirrored corpora."""
+    import os
+
+    from ..workdir import cache_root
+    from .sources_formats import _tag
+
+    path = os.path.join(cache_root(), f"{kind}_{_tag(sf_dir)}")
+    marker = os.path.join(path, "_STAGED")
+    if not os.path.exists(marker):
+        os.makedirs(path, exist_ok=True)
+        d = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text", "lang", "source")
+            .withColumn(
+                "shard",
+                F.floor(F.col("doc_id") / _WDS_DOCS_PER_SHARD).cast("int"),
+            )
+        )
+
+        def write_shard(pdf):
+            import os as os_
+            import uuid as uuid_
+
+            import pandas as pd
+
+            pdf = pdf.sort_values("doc_id")
+            sid = int(pdf["shard"].iloc[0])
+            suffix, blob = build(pdf, sid)
+            tmp = os_.path.join(path, f".{sid:05d}.{uuid_.uuid4().hex}.tmp")
+            with open(tmp, "wb") as fh:
+                fh.write(blob)
+            os_.replace(tmp, os_.path.join(path, f"{sid:05d}.{suffix}"))
+            return pd.DataFrame({"shard": [sid], "n": [len(pdf)]})
+
+        d.groupBy("shard").applyInPandas(write_shard, "shard int, n int").collect()
+        open(marker, "w").close()
+    return path
+
+
+def _build_compressed_wds(pdf, sid: int) -> tuple[str, bytes]:
+    import bz2
+    import json as _json
+    import lzma
+
+    from ..operators.tar import encode_tar
+
+    members: list[tuple[str, bytes]] = []
+    for r in pdf.itertuples():
+        key = f"{int(r.doc_id):08d}"
+        members.append((f"{key}.txt", r.text.encode("utf-8")))
+        members.append(
+            (f"{key}.json",
+             _json.dumps({"lang": r.lang}, sort_keys=True).encode("utf-8"))
+        )
+    tar = encode_tar(members)
+    if sid % 2 == 0:
+        return "tar.bz2", bz2.compress(tar, 9)
+    # pin the lzma container to the .xz format with default filters so
+    # staged bytes are deterministic
+    return "tar.xz", lzma.compress(tar, format=lzma.FORMAT_XZ)
+
+
+@register(
+    "multimodal_webdataset_compressed",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN (doc_id // 25) % 2 = 0 THEN 'bz2' ELSE 'xz' END
+             AS codec,
+           2 AS n_members, 1 AS text_exact, lang
+    FROM documents
+    """,
+    doc="Compressed WebDataset shards (.tar.bz2 / .tar.xz) — how "
+    "mirrored public corpora actually ship (HF mirrors, academic "
+    "torrents compress whole shards, not members): even shards stage "
+    "bz2, odd shards xz, and ONE Arrow kernel dispatches on the "
+    "suffix, decompresses with the stdlib codec, and walks the same "
+    "ustar reader as the uncompressed family — caption text recovered "
+    "byte-exactly, metadata lang value-checked, per-sample member "
+    "completeness demanded by the oracle. Scale shape: whole-shard "
+    "compression means the shard is the decompression unit — shards "
+    "list and decode in parallel exactly like the .tar family, each "
+    "task paying one stream's CPU; a torn stream fails its shard's "
+    "record loudly at the codec (unit-tested in "
+    "tests/test_tar_webdataset.py).",
+)
+def multimodal_webdataset_compressed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    path = _stage_suffixed_shards(spark, sf_dir, "wds_compressed",
+                                  _build_compressed_wds)
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.tar.*")
+        .load(path)
+        .select("path", "content")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def op(batches):
+        import bz2
+        import json as _json
+        import lzma
+
+        import pandas as pd
+
+        from ..operators.tar import iter_tar
+
+        for pdf in batches:
+            out = {"doc_id": [], "codec": [], "n_members": [], "raw": [],
+                   "lang": []}
+            for p, blob in zip(pdf["path"], pdf["content"]):
+                if p.endswith(".tar.bz2"):
+                    codec, tar = "bz2", bz2.decompress(bytes(blob))
+                elif p.endswith(".tar.xz"):
+                    codec, tar = "xz", lzma.decompress(bytes(blob))
+                else:
+                    raise ValueError(f"unexpected shard suffix: {p}")
+                samples: dict[str, dict[str, bytes]] = {}
+                for name, data in iter_tar(tar):
+                    key, _, ext = name.partition(".")
+                    samples.setdefault(key, {})[ext] = data
+                for key, m in samples.items():
+                    out["doc_id"].append(int(key))
+                    out["codec"].append(codec)
+                    out["n_members"].append(len(m))
+                    out["raw"].append(m["txt"].decode("utf-8"))
+                    out["lang"].append(
+                        _json.loads(m["json"].decode("utf-8"))["lang"]
+                    )
+            yield pd.DataFrame(out)
+
+    parsed = bf.mapInPandas(
+        op,
+        schema="doc_id long, codec string, n_members int, raw string, "
+        "lang string",
+    )
+    return parsed.join(docs, "doc_id").select(
+        "doc_id",
+        "codec",
+        "n_members",
+        (F.col("raw") == F.col("text")).cast("int").alias("text_exact"),
+        "lang",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wikipedia multistream dump: index-driven per-stream parallel decode
+
+
+def _build_wikidump(pdf) -> tuple[bytes, bytes]:
+    """One dump part: concatenated independent bz2 streams of
+    _WIKI_STREAM_DOCS <page> elements each, plus the multistream index
+    (bz2 of 'offset:page_id:title' lines — the real dump's sidecar).
+    Every stream whose GLOBAL index % _WIKI_TORN_MOD == 3 is truncated
+    to 60% (upload tear), shifting later offsets exactly as a real
+    torn part would."""
+    import bz2
+    from xml.sax.saxutils import escape
+
+    rows = list(pdf.itertuples())
+    dump = bytearray()
+    index_lines = []
+    for i in range(0, len(rows), _WIKI_STREAM_DOCS):
+        batch = rows[i : i + _WIKI_STREAM_DOCS]
+        stream_idx = int(batch[0].doc_id) // _WIKI_STREAM_DOCS
+        xml = "".join(
+            f"<page><title>doc {int(r.doc_id)}</title>"
+            f"<id>{int(r.doc_id)}</id><revision><text>{escape(r.text)}"
+            f"</text></revision></page>"
+            for r in batch
+        ).encode("utf-8")
+        stream = bz2.compress(xml, 9)
+        if stream_idx % _WIKI_TORN_MOD == 3:
+            stream = stream[: max(8, int(len(stream) * 0.6))]
+        offset = len(dump)
+        index_lines += [
+            f"{offset}:{int(r.doc_id)}:doc {int(r.doc_id)}" for r in batch
+        ]
+        dump += stream
+    index = bz2.compress("\n".join(index_lines).encode("utf-8"), 9)
+    return bytes(dump), index
+
+
+def _stage_wikidump(spark: SparkSession, sf_dir: str) -> str:
+    import os
+
+    from ..workdir import cache_root
+    from .sources_formats import _tag
+
+    path = os.path.join(cache_root(), f"wikidump_{_tag(sf_dir)}")
+    marker = os.path.join(path, "_STAGED")
+    if not os.path.exists(marker):
+        os.makedirs(path, exist_ok=True)
+        d = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .withColumn(
+                "part",
+                F.floor(F.col("doc_id") / _WIKI_DOCS_PER_FILE).cast("int"),
+            )
+        )
+
+        def write_part(pdf):
+            import os as os_
+            import uuid as uuid_
+
+            import pandas as pd
+
+            pdf = pdf.sort_values("doc_id")
+            pid = int(pdf["part"].iloc[0])
+            dump, index = _build_wikidump(pdf)
+            for name, blob in (
+                (f"wiki-{pid:04d}-multistream.xml.bz2", dump),
+                (f"wiki-{pid:04d}-multistream-index.txt.bz2", index),
+            ):
+                tmp = os_.path.join(
+                    path, f".{name}.{uuid_.uuid4().hex}.tmp"
+                )
+                with open(tmp, "wb") as fh:
+                    fh.write(blob)
+                os_.replace(tmp, os_.path.join(path, name))
+            return pd.DataFrame({"part": [pid], "n": [len(pdf)]})
+
+        d.groupBy("part").applyInPandas(write_part, "part int, n int").collect()
+        open(marker, "w").close()
+    return path
+
+
+@register(
+    "multimodal_wikidump_ingest",
+    oracle=f"""
+    SELECT doc_id,
+           ((doc_id // {_WIKI_STREAM_DOCS}) % {_WIKI_TORN_MOD} != 3) AS ok,
+           CASE WHEN (doc_id // {_WIKI_STREAM_DOCS}) % {_WIKI_TORN_MOD} != 3
+                THEN length(text) ELSE NULL END AS n_chars,
+           CASE WHEN (doc_id // {_WIKI_STREAM_DOCS}) % {_WIKI_TORN_MOD} != 3
+                THEN 1 ELSE NULL END AS title_exact
+    FROM documents
+    """,
+    doc="Wikipedia multistream dump ingest (.xml.bz2) — THE canonical "
+    "public text corpus, and the r12 verdict's #4 gap: dump parts are "
+    "staged in the real layout (concatenated INDEPENDENT bz2 streams "
+    f"of {_WIKI_STREAM_DOCS} <page> elements, plus the "
+    "'-multistream-index.txt.bz2' sidecar of offset:page_id:title "
+    "lines). The plan is the 100 TB shape: only the TINY index files "
+    "flow through binaryFile; stream byte-ranges are derived "
+    "relationally (per-part lead() over the distinct offsets, file "
+    "size closing the last range) and each task RANGE-READS one "
+    "stream — seek, read, bz2-decompress, parse its pages with "
+    "stdlib ElementTree (no external entity resolution) — so a 20 GB "
+    "part becomes hundreds of independent tasks and the dump never "
+    "crosses one decompressor. Every "
+    f"{_WIKI_TORN_MOD}th stream stages TORN (truncated mid-stream), "
+    "and because the index names the stream's pages, the quarantine "
+    "rows keep their page ids with ok=false — per-STREAM fault "
+    "isolation, value-checked: healthy pages must recover exact text "
+    "length and title.",
+)
+def multimodal_wikidump_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    path = _stage_wikidump(spark, sf_dir)
+    idx_files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*-index.txt.bz2")
+        .load(path)
+        .select("path", "content")
+    )
+
+    def parse_index(batches):
+        import bz2
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"dump_path": [], "offset": [], "page_id": [], "title": []}
+            for p, blob in zip(pdf["path"], pdf["content"]):
+                dump_path = p.replace("-index.txt", ".xml")
+                for line in bz2.decompress(bytes(blob)).decode().splitlines():
+                    off, pid, title = line.split(":", 2)
+                    out["dump_path"].append(dump_path)
+                    out["offset"].append(int(off))
+                    out["page_id"].append(int(pid))
+                    out["title"].append(title)
+            yield pd.DataFrame(out)
+
+    index = idx_files.mapInPandas(
+        parse_index,
+        schema="dump_path string, offset long, page_id long, title string",
+    )
+    sizes = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.xml.bz2")
+        .load(path)
+        .select(F.col("path").alias("dump_path"), F.col("length").alias("file_len"))
+    )
+    streams = (
+        index.groupBy("dump_path", "offset")
+        .agg(
+            F.sort_array(F.collect_list("page_id")).alias("page_ids"),
+            F.sort_array(F.collect_list(F.struct("page_id", "title")))
+            .alias("pages"),
+        )
+    )
+    w = Window.partitionBy("dump_path").orderBy("offset")
+    ranged = (
+        streams.withColumn("next_offset", F.lead("offset").over(w))
+        .join(F.broadcast(sizes), "dump_path")
+        .withColumn("end", F.coalesce("next_offset", "file_len"))
+    )
+
+    def decode_stream(batches):
+        import bz2
+        from xml.etree import ElementTree as ET
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], "n_chars": [], "title_exact": []}
+            for dump_path, offset, end, pages in zip(
+                pdf["dump_path"], pdf["offset"], pdf["end"], pdf["pages"]
+            ):
+                local = dump_path.replace("file:", "")
+                with open(local, "rb") as fh:
+                    fh.seek(int(offset))
+                    raw = fh.read(int(end) - int(offset))
+                try:
+                    xml = bz2.decompress(raw)
+                    root = ET.fromstring(b"<mw>" + xml + b"</mw>")
+                    got = {
+                        int(pg.findtext("id")): (
+                            pg.findtext("title"),
+                            pg.findtext("revision/text"),
+                        )
+                        for pg in root.iter("page")
+                    }
+                except (OSError, EOFError, ValueError, ET.ParseError):
+                    got = None
+                for pg in pages:
+                    pid, title = int(pg["page_id"]), pg["title"]
+                    out["doc_id"].append(pid)
+                    if got is None or pid not in got:
+                        out["ok"].append(False)
+                        out["n_chars"].append(None)
+                        out["title_exact"].append(None)
+                    else:
+                        gt, gx = got[pid]
+                        out["ok"].append(True)
+                        out["n_chars"].append(len(gx))
+                        out["title_exact"].append(1 if gt == title else 0)
+            yield pd.DataFrame(out)
+
+    return ranged.mapInPandas(
+        decode_stream,
+        schema="doc_id long, ok boolean, n_chars long, title_exact int",
+    )

@@ -349,6 +349,9 @@ _CORE_FIRST = (
     "doc_legacy_quarantine",
     # round-13: CCITT G4 scanned-page images (r12 verdict #3)
     "pipeline_pdf_ccitt_extract",
+    # round-13: bz2/xz shards + wikidump range-read plan (r12 verdict #4)
+    "multimodal_webdataset_compressed",
+    "multimodal_wikidump_ingest",
 )
 
 

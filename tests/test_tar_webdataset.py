@@ -92,3 +92,30 @@ def test_roundtrip_property(members):
     with tarfile.open(fileobj=io.BytesIO(blob)) as tf:
         got = [(m.name, tf.extractfile(m).read()) for m in tf.getmembers()]
     assert got == members
+
+
+# ------------------------------------------------- r13: bz2/xz shards
+
+
+def test_compressed_shard_torn_streams_are_loud():
+    import bz2
+    import lzma
+
+    import pytest
+
+    from etl_pipeline_old_spark.operators.tar import encode_tar, iter_tar
+
+    tar = encode_tar([("00000001.txt", b"payload " * 50)])
+    for codec, comp in (("bz2", bz2), ("xz", lzma)):
+        blob = comp.compress(tar)
+        assert comp.decompress(blob) == tar
+        torn = blob[: len(blob) // 2]
+        with pytest.raises((OSError, EOFError, ValueError, lzma.LZMAError)):
+            comp.decompress(torn)
+    # a truncated bz2 MULTISTREAM tears at the damaged stream only:
+    # earlier independent streams still decode by offset
+    s1, s2 = bz2.compress(b"alpha" * 20), bz2.compress(b"beta" * 20)
+    dump = s1 + s2
+    assert bz2.decompress(dump[: len(s1)]) == b"alpha" * 20
+    with pytest.raises((OSError, EOFError, ValueError)):
+        bz2.decompress(dump[: len(s1) + len(s2) // 2][len(s1):])

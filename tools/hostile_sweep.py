@@ -93,6 +93,9 @@ REPEAT_QUERIES = (
     "doc_legacy_quarantine",
     # r13: staged CCITT G4 scanned-page PDFs
     "pipeline_pdf_ccitt_extract",
+    # r13: bz2/xz shards + wikidump parts
+    "multimodal_webdataset_compressed",
+    "multimodal_wikidump_ingest",
     "multimodal_audio_resample",
     "multimodal_video_motion",
     "pipeline_web_corpus_incremental",
