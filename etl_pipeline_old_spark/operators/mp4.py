@@ -682,3 +682,108 @@ def encode_mp4_aac(
     trak = _box(b"trak", tkhd + mdia)
     moov = _box(b"moov", mvhd + trak)
     return ftyp + mdat + moov
+
+
+# ------------------------------------------------- AVIF / HEIC probe
+# (ISO/IEC 23008-12 image file format over the same BMFF box walk —
+# full AV1/HEVC payload decode genuinely needs external codecs and
+# stays the documented seam; what a corpus pipeline needs BEFORE any
+# codec runs is the probe: brand, dimensions, alpha, EXIF presence.)
+
+_IMAGE_BRANDS = {
+    b"avif": "avif", b"avis": "avif-sequence",
+    b"heic": "heic", b"heix": "heic", b"mif1": "heif",
+}
+_ALPHA_URN = b"urn:mpeg:mpegB:cicp:systems:auxiliary:alpha"
+
+
+def encode_image_bmff(
+    width: int,
+    height: int,
+    brand: str = "avif",
+    alpha: bool = False,
+    exif: bool = False,
+) -> bytes:
+    """A structurally valid single-image HEIF/AVIF shell: ftyp + meta
+    (hdlr 'pict', pitm, iinf with the primary 'av01'/'hvc1' item and
+    optionally an 'Exif' item, iprp/ipco carrying ispe and optionally
+    the alpha auxC) + an opaque mdat stub standing in for the coded
+    payload (the probe never reads it)."""
+    major = brand.encode("ascii")
+    ftyp = _box(b"ftyp", major + struct.pack(">I", 0) + major + b"mif1")
+    hdlr = _full(b"hdlr", 0, 0,
+                 b"\x00" * 4 + b"pict" + b"\x00" * 12 + b"probe\x00")
+    pitm = _full(b"pitm", 0, 0, struct.pack(">H", 1))
+    item_type = b"av01" if brand.startswith("avi") else b"hvc1"
+    infes = [
+        _full(b"infe", 2, 0,
+              struct.pack(">HH", 1, 0) + item_type + b"Image\x00"),
+    ]
+    if exif:
+        infes.append(
+            _full(b"infe", 2, 0,
+                  struct.pack(">HH", 2, 0) + b"Exif" + b"Exif\x00")
+        )
+    iinf = _full(b"iinf", 0, 0,
+                 struct.pack(">H", len(infes)) + b"".join(infes))
+    props = [_full(b"ispe", 0, 0, struct.pack(">II", width, height))]
+    if alpha:
+        props.append(_full(b"auxC", 0, 0, _ALPHA_URN + b"\x00"))
+    ipco = _box(b"ipco", b"".join(props))
+    iprp = _box(b"iprp", ipco)
+    meta = _full(b"meta", 0, 0, hdlr + pitm + iinf + iprp)
+    mdat = _box(b"mdat", b"\x00" * 16)
+    return ftyp + meta + mdat
+
+
+def probe_image_bmff(blob: bytes) -> dict:
+    """Probe an AVIF/HEIC file: ``{'brand', 'width', 'height',
+    'has_alpha', 'has_exif'}``.  Raises ValueError on a non-image
+    brand, a missing/unreadable meta walk, or torn boxes; the CODED
+    payload is never touched (decode is the documented seam)."""
+    brand = None
+    meta_span = None
+    for fc, _h, b0, b1 in walk_boxes(blob):
+        if fc == b"ftyp":
+            major = blob[b0 : b0 + 4]
+            if major not in _IMAGE_BRANDS:
+                raise ValueError(
+                    f"bmff: major brand {major!r} is not an image brand"
+                )
+            brand = _IMAGE_BRANDS[major]
+        elif fc == b"meta":
+            meta_span = (b0 + 4, b1)  # meta is a FullBox
+    if brand is None:
+        raise ValueError("bmff: no ftyp box")
+    if meta_span is None:
+        raise ValueError("bmff: image file carries no meta box")
+    width = height = None
+    has_alpha = has_exif = False
+    for fc, _h, b0, b1 in walk_boxes(blob, *meta_span):
+        if fc == b"iinf":
+            # FullBox version/flags (4) + u16 entry_count, then infes
+            for fc2, _h2, c0, c1 in walk_boxes(blob, b0 + 6, b1):
+                if fc2 == b"infe" and blob[c0 + 8 : c0 + 12] == b"Exif":
+                    has_exif = True
+        elif fc == b"iprp":
+            for fc2, _h2, c0, c1 in walk_boxes(blob, b0, b1):
+                if fc2 != b"ipco":
+                    continue
+                for fc3, _h3, d0, d1 in walk_boxes(blob, c0, c1):
+                    if fc3 == b"ispe":
+                        width, height = struct.unpack_from(
+                            ">II", blob, d0 + 4
+                        )
+                    elif fc3 == b"auxC" and blob[d0 + 4 : d1].startswith(
+                        _ALPHA_URN
+                    ):
+                        has_alpha = True
+    if width is None:
+        raise ValueError("bmff: no ispe property (dimensions unknown)")
+    return {
+        "brand": brand,
+        "width": width,
+        "height": height,
+        "has_alpha": has_alpha,
+        "has_exif": has_exif,
+    }

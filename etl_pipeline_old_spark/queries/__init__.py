@@ -59,6 +59,7 @@ _MODULES = (
     "bpe",
     "legacy_office",
     "compressed_shards",
+    "media_probes",
 )
 
 

@@ -352,6 +352,9 @@ _CORE_FIRST = (
     # round-13: bz2/xz shards + wikidump range-read plan (r12 verdict #4)
     "multimodal_webdataset_compressed",
     "multimodal_wikidump_ingest",
+    # round-13: AVIF/HEIC probe + readability main-content (r12 #7/#8)
+    "multimodal_avif_probe",
+    "web_main_content",
 )
 
 

@@ -96,6 +96,8 @@ REPEAT_QUERIES = (
     # r13: bz2/xz shards + wikidump parts
     "multimodal_webdataset_compressed",
     "multimodal_wikidump_ingest",
+    # r13: staged BMFF image files
+    "multimodal_avif_probe",
     "multimodal_audio_resample",
     "multimodal_video_motion",
     "pipeline_web_corpus_incremental",
