@@ -6,6 +6,8 @@ Own pure-stdlib implementation from the public ITU-T T.4/T.6 specs:
 the modified-Huffman run-length tables (T.4 §2 tables 2/3 plus the
 shared extended makeups) are transcribed literally, and the 2D coding
 modes (vertical V0/VR/VL up to 3, pass, horizontal) follow T.6 §2.2.
+One-dimensional G3 (T.4 MH rows with EOL framing — PDF /K 0) decodes
+through the same tables; mixed 2D G3 (K > 0) stays the loud seam.
 The encoder exists to stage fixtures (as with every codec here); the
 decoder is the product.
 
@@ -364,3 +366,76 @@ def pack_rows(bits: list[int], width: int) -> bytes:
         if n:
             out.append(acc << (8 - n))
     return bytes(out)
+
+
+# --------------------------------------------- T.4 1D (G3, PDF K = 0)
+
+_EOL = "000000000001"
+
+
+def encode_g3_1d(bits: list[int], width: int, height: int) -> bytes:
+    """ITU-T T.4 one-dimensional (MH) encode — the PDF K=0 shape: each
+    row is an alternating white/black run sequence starting with a
+    (possibly zero-length) white run, EOL before every row (the T.4
+    framing real G3 producers emit)."""
+    if len(bits) != width * height:
+        raise ValueError("ccitt: raster size disagrees with dimensions")
+    bw = _BitWriter()
+    for y in range(height):
+        line = bits[y * width : (y + 1) * width]
+        bw.put(_EOL)
+        runs = []
+        cur, n = 0, 0
+        for px in line:
+            if px == cur:
+                n += 1
+            else:
+                runs.append(n)
+                cur, n = px, 1
+        runs.append(n)
+        for i, run in enumerate(runs):
+            _put_run(bw, run, white=i % 2 == 0)
+    return bw.getvalue()
+
+
+def decode_g3_1d(data: bytes, width: int, height: int) -> list[int]:
+    """T.4 1D decode -> 1=black raster.  EOL codes are consumed at row
+    boundaries when present (and required fill bits skipped with them);
+    rows must sum exactly to ``width`` or the stream is torn."""
+    br = _BitReader(data)
+    out: list[int] = []
+
+    def at_eol() -> bool:
+        # an EOL is >= 11 zeros then a 1 (extra zeros are T.4 fill
+        # bits, which ride in front of the EOL and die with it)
+        mark = br.pos
+        zeros = 0
+        try:
+            while (b := br.take()) == "0":
+                zeros += 1
+        except ValueError:
+            br.pos = mark
+            return False
+        if b == "1" and zeros >= 11:
+            return True
+        br.pos = mark
+        return False
+
+    for _y in range(height):
+        # T.4 allows zero-fill before each EOL; consume any EOLs (and
+        # the fill bits they absorb) at the row boundary
+        while at_eol():
+            pass
+        row = [0] * width
+        pos, white = 0, True
+        while pos < width:
+            run = _read_run(br, white=white)
+            if pos + run > width:
+                raise ValueError("ccitt: 1D run overflows the row")
+            if not white:
+                for i in range(pos, pos + run):
+                    row[i] = 1
+            pos += run
+            white = not white
+        out.extend(row)
+    return out

@@ -563,6 +563,41 @@ def extract_doc_text(blob: bytes) -> tuple[str, int]:
 # --------------------------------------------------- BIFF8 .xls cells
 
 _BOF, _EOF, _SST, _LABELSST, _NUMBER = 0x0809, 0x000A, 0x00FC, 0x00FD, 0x0203
+_RK = 0x027E
+
+
+def _rk_encode(v: float) -> int | None:
+    """[MS-XLS] RkNumber: bit0 fX100 (value was multiplied by 100),
+    bit1 fInt (30-bit signed int vs the TOP 30 bits of an IEEE
+    double).  Returns the packed 32-bit value, or None when the number
+    needs a full NUMBER record — real writers emit RK whenever it fits,
+    which is most cells."""
+    import math
+
+    def fits_int(x: float) -> bool:
+        return x == int(x) and -(1 << 29) <= int(x) < (1 << 29)
+
+    if fits_int(v):
+        return ((int(v) & 0x3FFFFFFF) << 2) | 0b10
+    x100 = v * 100
+    if math.isfinite(x100) and abs(x100 - round(x100)) < 1e-9 \
+            and fits_int(float(round(x100))):
+        return ((int(round(x100)) & 0x3FFFFFFF) << 2) | 0b11
+    packed = struct.unpack("<Q", struct.pack("<d", v))[0]
+    if packed & ((1 << 34) - 1) == 0:  # low 34 bits must vanish
+        return ((packed >> 34) << 2) & 0xFFFFFFFF
+    return None
+
+
+def _rk_decode(rk: int) -> float:
+    if rk & 0b10:  # fInt: signed 30-bit
+        n = rk >> 2
+        if n & (1 << 29):
+            n -= 1 << 30
+        v = float(n)
+    else:
+        v = struct.unpack("<d", struct.pack("<Q", (rk >> 2) << 34))[0]
+    return v / 100 if rk & 0b01 else v
 
 
 def _xl_unicode_string(s: str) -> bytes:
@@ -582,8 +617,11 @@ def _rec(rid: int, body: bytes) -> bytes:
 def write_xls(strings: list[str], numbers: list[float]) -> bytes:
     """A structurally valid BIFF8 .xls Workbook stream inside a CFB:
     globals BOF + SST, sheet BOF + one LABELSST per string (row k,
-    col 0) + one NUMBER per value (row k, col 1) + EOFs.  SST strings
-    alternate compressed/UTF-16 storage as their content allows."""
+    col 0) + one numeric cell per value (row k, col 1) + EOFs.  SST
+    strings alternate compressed/UTF-16 storage as their content
+    allows; numerics ship as packed RK records whenever RkNumber can
+    represent them (int, x100, truncated-double — what real writers
+    emit for most cells) and as full 8-byte NUMBER records otherwise."""
     wb = bytearray()
     wb += _rec(_BOF, struct.pack("<HHHHII", 0x0600, 0x0005, 0x0DBB, 0x07CC,
                                  0, 0x0600))
@@ -597,16 +635,25 @@ def write_xls(strings: list[str], numbers: list[float]) -> bytes:
     for k in range(len(strings)):
         wb += _rec(_LABELSST, struct.pack("<HHHI", k, 0, 0, k))
     for k, v in enumerate(numbers):
-        wb += _rec(_NUMBER, struct.pack("<HHHd", k, 1, 0, float(v)))
+        rk = _rk_encode(float(v))
+        if rk is None:
+            wb += _rec(_NUMBER, struct.pack("<HHHd", k, 1, 0, float(v)))
+        else:
+            wb += _rec(_RK, struct.pack("<HHHI", k, 1, 0, rk))
     wb += _rec(_EOF, b"")
     return write_cfb({"Workbook": bytes(wb)})
 
 
-def extract_xls_cells(blob: bytes) -> tuple[list[str], list[float]]:
+def extract_xls_cells(
+    blob: bytes,
+) -> tuple[list[str], list[float], int]:
     """Walk the Workbook stream's BIFF8 records: SST parsed (both
     fHighByte forms), LABELSST cells resolved through it in record
-    order, NUMBER cells as IEEE doubles.  CONTINUE-split SSTs raise
-    NotImplementedError (documented seam).  Returns (labels, numbers)."""
+    order, numerics from BOTH cell forms — packed RK records (int /
+    x100 / truncated-double RkNumber, the form real writers emit for
+    most cells) and full NUMBER doubles.  CONTINUE-split SSTs raise
+    NotImplementedError (documented seam).  Returns (labels, numbers,
+    n_rk) with n_rk counting the cells that arrived packed."""
     streams = read_cfb(blob)
     wb = streams.get("Workbook") or streams.get("Book")
     if wb is None:
@@ -614,6 +661,7 @@ def extract_xls_cells(blob: bytes) -> tuple[list[str], list[float]]:
     sst: list[str] = []
     labels: list[str] = []
     numbers: list[float] = []
+    n_rk = 0
     p = 0
     while p + 4 <= len(wb):
         rid, ln = struct.unpack_from("<HH", wb, p)
@@ -621,6 +669,16 @@ def extract_xls_cells(blob: bytes) -> tuple[list[str], list[float]]:
         if len(body) < ln:
             raise ValueError("xls: truncated record")
         p += 4 + ln
+        try:
+            _dispatch_xls_record(rid, body, sst, labels, numbers)
+        except struct.error as exc:
+            raise ValueError(f"xls: truncated record body ({exc})") from exc
+        if rid == _RK:
+            n_rk += 1
+    return labels, numbers, n_rk
+
+
+def _dispatch_xls_record(rid, body, sst, labels, numbers) -> None:
         if rid == _SST:
             _total, unique = struct.unpack_from("<II", body, 0)
             q = 8
@@ -658,4 +716,5 @@ def extract_xls_cells(blob: bytes) -> tuple[list[str], list[float]]:
             labels.append(sst[isst])
         elif rid == _NUMBER:
             numbers.append(struct.unpack_from("<d", body, 6)[0])
-    return labels, numbers
+        elif rid == _RK:
+            numbers.append(_rk_decode(struct.unpack_from("<I", body, 6)[0]))

@@ -400,22 +400,26 @@ def write_pdf_images(images: list, captions: list | None = None,
         elif kind == "dct":
             body = payload
             filt = b"/DCTDecode"
-        elif kind == "ccitt":
-            # payload = (bits with 1 = black, BlackIs1 flag); the G4
+        elif kind in ("ccitt", "ccitt-g3"):
+            # payload = (bits with 1 = black, BlackIs1 flag); the coded
             # stream codes black/white runs directly — /BlackIs1 only
-            # declares the DECODED output polarity
-            from .ccitt import encode_g4
+            # declares the DECODED output polarity.  "ccitt" = G4
+            # (K -1), "ccitt-g3" = 1D MH (K 0).
+            from .ccitt import encode_g3_1d, encode_g4
 
             bits, black_is_1 = payload
             if len(bits) != w * h:
                 raise ValueError("pdf: ccitt raster size mismatch")
-            body = encode_g4(list(bits), w, h)
+            if kind == "ccitt":
+                body, k_val = encode_g4(list(bits), w, h), -1
+            else:
+                body, k_val = encode_g3_1d(list(bits), w, h), 0
             filt = b"/CCITTFaxDecode"
             bpc = 1
             parms = (
-                b"/DecodeParms << /K -1 /Columns %d /Rows %d "
+                b"/DecodeParms << /K %d /Columns %d /Rows %d "
                 b"/BlackIs1 %s >> "
-                % (w, h, b"true" if black_is_1 else b"false")
+                % (k_val, w, h, b"true" if black_is_1 else b"false")
             )
         else:
             raise ValueError(f"pdf: unknown image kind {kind!r}")
@@ -1336,11 +1340,13 @@ class _Doc:
                 parms = self.resolve(obj.get("DecodeParms")) or {}
                 if isinstance(parms, list):
                     parms = self.resolve(parms[0]) or {}
+                from .ccitt import decode_g3_1d
+
                 k = self.resolve(parms.get("K", 0))
-                if k >= 0:
+                if k > 0:
                     raise NotImplementedError(
-                        "pdf: CCITT G3 (K >= 0) needs the 1D/mixed "
-                        "decoder — G4 (K < 0) decodes natively"
+                        "pdf: CCITT mixed 2D G3 (K > 0) unsupported — "
+                        "G4 (K < 0) and 1D G3 (K = 0) decode natively"
                     )
                 if self.resolve(parms.get("EncodedByteAlign", False)):
                     raise NotImplementedError(
@@ -1350,7 +1356,10 @@ class _Doc:
                 rows = self.resolve(parms.get("Rows"))
                 if rows is None:
                     rows = self.resolve(obj.get("Height"))
-                bits = decode_g4(raw, cols, rows)
+                if k < 0:
+                    bits = decode_g4(raw, cols, rows)
+                else:
+                    bits = decode_g3_1d(raw, cols, rows)
                 if not self.resolve(parms.get("BlackIs1", False)):
                     # PDF default polarity: 0 output bits are BLACK
                     bits = [1 - b for b in bits]

@@ -59,11 +59,31 @@ def encode_warc_record(
     return _CRLF.join(lines) + _CRLF * 2 + payload + _CRLF * 2
 
 
+def encode_chunked(body: bytes, seed: int = 0) -> bytes:
+    """Wrap wire bytes in the RFC 9112 chunked coding with
+    deterministic content-varying chunk sizes (so staged corpora
+    exercise multi-chunk framing) and a chunk extension + trailer on
+    the first/last frames (the parts naive dechunkers choke on)."""
+    out = bytearray()
+    i = 0
+    n = 0
+    while i < len(body):
+        size = 7 + ((seed + n * 13 + body[i]) % 23)
+        chunk = body[i : i + size]
+        ext = b";x=1" if n == 0 else b""
+        out += f"{len(chunk):x}".encode() + ext + _CRLF + chunk + _CRLF
+        i += len(chunk)
+        n += 1
+    out += b"0" + _CRLF + b"X-Trailer: t" + _CRLF + _CRLF
+    return bytes(out)
+
+
 def encode_http_response(
     body: bytes,
     status: int = 200,
     ctype: str = "text/html; charset=utf-8",
     content_encoding: str | None = None,
+    chunked: bool = False,
 ) -> bytes:
     """``content_encoding`` stages what RFC-compliant captures actually
     carry — a body compressed at the HTTP layer, independent of the
@@ -95,12 +115,60 @@ def encode_http_response(
         status, "Unknown"
     )
     ce = f"Content-Encoding: {header_val}\r\n" if header_val else ""
+    if chunked:
+        # Transfer-Encoding applies to the WIRE (after any content
+        # coding); RFC 9112 §6.2 forbids Content-Length with it
+        body = encode_chunked(body, seed=status)
+        framing = "Transfer-Encoding: chunked\r\n"
+    else:
+        framing = f"Content-Length: {len(body)}\r\n"
     head = (
         f"HTTP/1.1 {status} {reason}\r\n"
-        f"Content-Type: {ctype}\r\n{ce}"
-        f"Content-Length: {len(body)}\r\n\r\n"
+        f"Content-Type: {ctype}\r\n{ce}{framing}\r\n"
     )
     return head.encode() + body
+
+
+def decode_chunked(body: bytes) -> bytes:
+    """Decode an RFC 9112 §7.1 chunked transfer coding: hex chunk-size
+    lines (chunk extensions after ';' ignored per spec), CRLF-framed
+    chunk data, the 0-size last chunk, then optional trailer fields up
+    to the final empty line.  Real captures store the WIRE bytes, so a
+    crawl reader that skips this step hashes chunk framing into the
+    document text.  Torn framing raises ValueError: a size line that is
+    not hex, chunk data running past the record, a missing terminating
+    CRLF, or a stream ending before the last chunk."""
+    out = bytearray()
+    i = 0
+    while True:
+        nl = body.find(_CRLF, i)
+        if nl < 0:
+            raise ValueError("chunked: size line not terminated")
+        size_token = body[i:nl].split(b";", 1)[0].strip()
+        try:
+            size = int(size_token, 16)
+        except ValueError as exc:
+            raise ValueError(
+                f"chunked: bad chunk size {size_token!r}"
+            ) from exc
+        i = nl + 2
+        if size == 0:
+            # trailer section: zero or more header lines, then CRLF
+            while True:
+                nl = body.find(_CRLF, i)
+                if nl < 0:
+                    raise ValueError("chunked: trailer not terminated")
+                if nl == i:  # the empty line ends the message
+                    return bytes(out)
+                i = nl + 2
+        chunk = body[i : i + size]
+        if len(chunk) < size:
+            raise ValueError("chunked: chunk data truncated")
+        out += chunk
+        i += size
+        if body[i : i + 2] != _CRLF:
+            raise ValueError("chunked: chunk data not CRLF-terminated")
+        i += 2
 
 
 def decode_content_encoding(body: bytes, encoding: str) -> bytes:
@@ -255,6 +323,13 @@ def _parse_record_typed(
     # bytes would be wrong for all of them). Torn streams raise
     # ValueError, br NotImplementedError — strict walks abort, the
     # lenient/encoded walks quarantine the one record.
+    te = http_headers.get("transfer-encoding", "")
+    if te:
+        if te.strip().lower() != "chunked":
+            raise NotImplementedError(
+                f"transfer-encoding {te!r} not decodable here"
+            )
+        body = decode_chunked(body)
     ce = http_headers.get("content-encoding", "")
     if ce:
         body = decode_content_encoding(body, ce)
@@ -278,15 +353,17 @@ def iter_warc_responses_raw_ctype(
 
 def iter_warc_responses_encoded(
     blob: bytes,
-) -> Iterator[tuple[str, int, str, bytes | None, str | None]]:
-    """The Content-Encoding-aware walk with PER-RECORD body quarantine:
-    yields (target_uri, http_status, content_encoding, decoded_body,
-    None) for every decodable response and (uri, status, encoding,
-    None, err) when the body's declared coding cannot be decoded (torn
-    deflate stream, br without a codec) — the WARC framing itself stays
-    strict, so the URI and status survive even when the body does not.
-    This is the walk a real-crawl extractor needs: one bad body costs
-    one record's text, never the shard."""
+) -> Iterator[tuple[str, int, str, str, bytes | None, str | None]]:
+    """The Transfer-/Content-Encoding-aware walk with PER-RECORD body
+    quarantine: yields (target_uri, http_status, transfer_encoding,
+    content_encoding, decoded_body, None) for every decodable response
+    — chunked framing removed first, then the content coding — and
+    (uri, status, te, ce, None, err) when the body cannot be decoded
+    (torn chunk framing, torn deflate stream, br without a codec) —
+    the WARC framing itself stays strict, so the URI and status
+    survive even when the body does not.  This is the walk a
+    real-crawl extractor needs: one bad body costs one record's text,
+    never the shard."""
     members = (
         split_gzip_members(blob) if blob[:2] == b"\x1f\x8b" else _split_plain(blob)
     )
@@ -308,12 +385,20 @@ def iter_warc_responses_encoded(
         status_line, _, _r = payload.partition(_CRLF)
         status = int(status_line.split(b" ")[1])
         http_head, _, body = payload.partition(_CRLF * 2)
-        ce = _parse_headers(http_head).get("content-encoding", "")
+        hh = _parse_headers(http_head)
+        ce = hh.get("content-encoding", "")
+        te = hh.get("transfer-encoding", "").strip().lower()
         uri = headers.get("warc-target-uri", "")
         try:
-            yield uri, status, ce, decode_content_encoding(body, ce), None
+            if te:
+                if te != "chunked":
+                    raise NotImplementedError(
+                        f"transfer-encoding {te!r} not decodable here"
+                    )
+                body = decode_chunked(body)
+            yield uri, status, te, ce, decode_content_encoding(body, ce), None
         except (ValueError, NotImplementedError) as exc:
-            yield uri, status, ce, None, str(exc)
+            yield uri, status, te, ce, None, str(exc)
 
 
 def _parse_record(rec: bytes) -> tuple[str, int, bytes] | None:

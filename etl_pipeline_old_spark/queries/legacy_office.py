@@ -126,7 +126,10 @@ def _render_xls(doc_id: int, text: str) -> bytes:
 
     words = text.split(" ")[:3]
     return write_xls(
-        words + [f"я{doc_id}"], [doc_id * 0.5, doc_id % 7]
+        words + [f"я{doc_id}"],
+        # RK-int, RK-x100, RK (int or x100 by parity), full NUMBER
+        [doc_id % 7, (doc_id * 100 + 7) / 100, doc_id * 0.5,
+         doc_id + 0.123456789],
     )
 
 
@@ -135,8 +138,10 @@ def _render_xls(doc_id: int, text: str) -> bytes:
     oracle="""
     SELECT doc_id,
            4 AS n_labels,
-           2 AS n_numbers,
-           round(doc_id * 0.5 + doc_id % 7, 2) AS sum_numbers,
+           4 AS n_numbers,
+           3 AS n_rk,
+           round(doc_id % 7 + (doc_id * 100 + 7) / 100 + doc_id * 0.5
+                 + doc_id + 0.123456789, 2) AS sum_numbers,
            CAST(length(split_part(text, ' ', 1))
               + length(split_part(text, ' ', 2))
               + length(split_part(text, ' ', 3))
@@ -149,8 +154,11 @@ def _render_xls(doc_id: int, text: str) -> bytes:
     "holding the text's first three words (compressed latin-1 form) "
     "plus a per-doc Cyrillic marker (UTF-16 form — BOTH fHighByte "
     "storage layouts decode per file), LABELSST cells resolving "
-    "through the SST by index, and NUMBER cells with IEEE doubles "
-    "derived from doc_id. The oracle recomputes label/number counts, "
+    "through the SST by index, and numeric cells in BOTH BIFF8 forms "
+    "— three packed RK records per file (RkNumber int, x100, and the "
+    "parity-dependent third; the form real writers emit for most "
+    "cells) beside one full 8-byte NUMBER double that RkNumber cannot "
+    "represent. The oracle recomputes label/number/RK counts, "
     "the numeric sum, and the recovered string character mass from the "
     "base table, so an SST walk, index-resolution, or record-framing "
     "bug flips the hash. CONTINUE-split SSTs are the documented loud "
@@ -178,19 +186,20 @@ def pipeline_xls_legacy_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for b in batches:
             out = {"doc_id": [], "n_labels": [], "n_numbers": [],
-                   "sum_numbers": [], "char_mass": []}
+                   "n_rk": [], "sum_numbers": [], "char_mass": []}
             for doc_id, content in zip(b["doc_id"], b["content"]):
-                labels, numbers = extract_xls_cells(bytes(content))
+                labels, numbers, n_rk = extract_xls_cells(bytes(content))
                 out["doc_id"].append(int(doc_id))
                 out["n_labels"].append(len(labels))
                 out["n_numbers"].append(len(numbers))
+                out["n_rk"].append(n_rk)
                 out["sum_numbers"].append(round(sum(numbers), 2))
                 out["char_mass"].append(sum(len(s) for s in labels))
             yield pd.DataFrame(out)
 
     return bf.mapInPandas(
         op,
-        schema="doc_id long, n_labels int, n_numbers int, "
+        schema="doc_id long, n_labels int, n_numbers int, n_rk int, "
         "sum_numbers double, char_mass int",
     )
 

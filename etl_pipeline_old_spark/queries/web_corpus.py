@@ -753,8 +753,8 @@ def web_content_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = {"doc_id": [], "content_encoding": [], "quarantined": [],
                    "html": []}
             for blob in pdf["content"]:
-                for uri, _status, ce, body, err in iter_warc_responses_encoded(
-                    bytes(blob)
+                for uri, _status, _te, ce, body, err in (
+                    iter_warc_responses_encoded(bytes(blob))
                 ):
                     out["doc_id"].append(int(uri.rsplit("/", 1)[1]))
                     out["content_encoding"].append(ce)
@@ -1338,4 +1338,127 @@ def web_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.size(F.split("norm", " ")).alias("n_words"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# HTTP Transfer-Encoding: chunked wire framing (RFC 9112 §7.1)
+
+_TE_TORN_SLOT = 17  # doc_id % 25 == 17 -> chunk framing torn mid-wire
+
+
+def _build_te_shard(pdf, sid: int) -> bytes:
+    from ..operators.warc import (
+        encode_http_response,
+        encode_warc_record,
+        gzip_member,
+    )
+
+    members = []
+    for r in pdf.itertuples():
+        doc_id = int(r.doc_id)
+        html = _wrap_html_py(doc_id, r.text, r.lang)
+        slot = doc_id % _WARC_DOCS_PER_SHARD
+        if slot == _TE_TORN_SLOT:
+            whole = encode_http_response(html, chunked=True)
+            head, _, wire = whole.partition(b"\r\n\r\n")
+            resp = head + b"\r\n\r\n" + wire[: int(len(wire) * 0.6)]
+        else:
+            kind = doc_id % 4
+            resp = encode_http_response(
+                html,
+                content_encoding=("gzip" if kind == 2
+                                  else "deflate" if kind == 3 else None),
+                chunked=kind in (1, 2),
+            )
+        members.append(gzip_member(encode_warc_record(
+            "response",
+            {
+                "WARC-Record-ID": f"<urn:uuid:te-{sid}-{doc_id}>",
+                "WARC-Date": "2026-01-01T00:00:00Z",
+                "WARC-Target-URI": _warc_uri(r.source, doc_id),
+                "Content-Type": "application/http; msgtype=response",
+            },
+            resp,
+        )))
+    return b"".join(members)
+
+
+@register(
+    "web_transfer_encoding",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN doc_id % {_WARC_DOCS_PER_SHARD} = {_TE_TORN_SLOT}
+                  THEN 'chunked'
+                WHEN doc_id % 4 IN (1, 2) THEN 'chunked'
+                ELSE '' END AS transfer_encoding,
+           CASE WHEN doc_id % {_WARC_DOCS_PER_SHARD} = {_TE_TORN_SLOT}
+                  THEN ''
+                WHEN doc_id % 4 = 2 THEN 'gzip'
+                WHEN doc_id % 4 = 3 THEN 'deflate'
+                ELSE '' END AS content_encoding,
+           (doc_id % {_WARC_DOCS_PER_SHARD} = {_TE_TORN_SLOT})
+             AS quarantined,
+           CASE WHEN doc_id % {_WARC_DOCS_PER_SHARD} = {_TE_TORN_SLOT}
+                THEN NULL
+                ELSE trim(regexp_replace(text, '\\s+', ' ', 'g')) END
+             AS extracted
+    FROM documents
+    """,
+    doc="HTTP Transfer-Encoding: chunked in the WARC payload walk "
+    "(RFC 9112 §7.1) — the OTHER wire layer real captures store "
+    "verbatim, and the natural sibling of web_content_encoding: a "
+    "reader that skips dechunking hashes hex size lines and CRLF "
+    "framing into the document text. The staged corpus cycles plain / "
+    "chunked / chunked-OVER-gzip (Transfer-Encoding wraps the content "
+    "coding — the composition order RFC 9110 prescribes and naive "
+    "single-pass decoders get backwards) / content-length+deflate; "
+    "chunk frames carry an extension (;x=1) and a trailer field, both "
+    "of which the spec says to ignore. One record per shard stages "
+    "with its chunk framing TORN mid-wire and must quarantine alone "
+    "with its URI preserved (the WARC framing is intact). Exact text "
+    "recovery demanded through the same JVM extraction chain. Scale: "
+    "warc_web_ingest's map-only plan.",
+)
+def web_transfer_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_shard_files(spark, sf_dir, "warc_te", _build_te_shard)
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc.gz")
+        .load(path)
+        .select("content")
+    )
+
+    def op(batches):
+        import pandas as pd
+
+        from ..operators.warc import iter_warc_responses_encoded
+
+        for pdf in batches:
+            out = {"doc_id": [], "transfer_encoding": [],
+                   "content_encoding": [], "quarantined": [], "html": []}
+            for blob in pdf["content"]:
+                for uri, _status, te, ce, body, err in (
+                    iter_warc_responses_encoded(bytes(blob))
+                ):
+                    out["doc_id"].append(int(uri.rsplit("/", 1)[1]))
+                    out["transfer_encoding"].append(te)
+                    out["content_encoding"].append(ce)
+                    out["quarantined"].append(err is not None)
+                    out["html"].append(
+                        body.decode("utf-8") if err is None else None
+                    )
+            yield pd.DataFrame(out)
+
+    parsed = bf.mapInPandas(
+        op,
+        schema="doc_id long, transfer_encoding string, "
+        "content_encoding string, quarantined boolean, html string",
+    )
+    return parsed.select(
+        "doc_id",
+        "transfer_encoding",
+        "content_encoding",
+        "quarantined",
+        extract_html_text(F.col("html")).alias("extracted"),
     )

@@ -355,6 +355,8 @@ _CORE_FIRST = (
     # round-13: AVIF/HEIC probe + readability main-content (r12 #7/#8)
     "multimodal_avif_probe",
     "web_main_content",
+    # round-13 second wave: chunked Transfer-Encoding in the WARC walk
+    "web_transfer_encoding",
 )
 
 

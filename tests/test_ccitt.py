@@ -132,18 +132,49 @@ def test_pdf_ccitt_integration_and_seams():
 
     bits = [1 if _RND.random() < 0.25 else 0 for _ in range(16 * 16)]
     pdf = write_pdf_images(
-        [("ccitt", 16, 16, (bits, True)), ("ccitt", 16, 16, (bits, False))]
+        [("ccitt", 16, 16, (bits, True)), ("ccitt", 16, 16, (bits, False)),
+         ("ccitt-g3", 16, 16, (bits, True))]
     )
     imgs = extract_pdf_images(pdf)
     assert imgs[0][4] == pack_rows(bits, 16)
     assert imgs[1][4] == pack_rows([1 - b for b in bits], 16)
-    # G3 (K >= 0) is the documented loud seam
-    broken = pdf.replace(b"/K -1", b"/K 00", 1)
-    with pytest.raises(NotImplementedError, match="G3"):
+    # 1D G3 (K = 0) decodes natively and must agree with the G4 image
+    assert imgs[2][4] == imgs[0][4]
+    # mixed 2D G3 (K > 0) is the documented loud seam
+    broken = pdf.replace(b"/K -1", b"/K 10", 1)
+    with pytest.raises(NotImplementedError, match="K > 0"):
         extract_pdf_images(broken)
+    # a G4 stream fed to the G3 decoder (forged K) is loud, not wrong
+    forged = pdf.replace(b"/K -1", b"/K 00", 1)
+    with pytest.raises(ValueError):
+        extract_pdf_images(forged)
     # torn coded stream inside the XObject is loud per the codec
     torn = bytearray(pdf)
     at = torn.find(b"stream\n", torn.find(b"/CCITTFaxDecode")) + 7
     torn[at + 2] = 0xFF
     with pytest.raises(ValueError):
         extract_pdf_images(bytes(torn))
+
+
+def test_g3_1d_hand_vector_and_roundtrips():
+    """T.4 1D: row [1,1,1,1,0,0,0,0] codes as EOL + white-run-0
+    (00110101) + black-run-4 (011) + white-run-4 (1011)."""
+    from etl_pipeline_old_spark.operators.ccitt import (
+        decode_g3_1d,
+        encode_g3_1d,
+    )
+
+    bits = [1, 1, 1, 1, 0, 0, 0, 0]
+    want = "000000000001" + "00110101" + "011" + "1011"
+    assert encode_g3_1d(bits, 8, 1) == _bits_from(want)
+    assert decode_g3_1d(_bits_from(want), 8, 1) == bits
+    # fill bits before an EOL are absorbed with it
+    filled = "00000" + want
+    assert decode_g3_1d(_bits_from(filled), 8, 1) == bits
+    for dims, density in (((16, 16), 0.3), ((33, 5), 0.8), ((1, 4), 0.5)):
+        w, h = dims
+        px = [1 if _RND.random() < density else 0 for _ in range(w * h)]
+        assert decode_g3_1d(encode_g3_1d(px, w, h), w, h) == px
+    with pytest.raises(ValueError, match="overflows"):
+        # black-run-7 after white-run-4 overflows an 8-wide row
+        decode_g3_1d(_bits_from("1011" + "00011" + "1011"), 8, 1)

@@ -148,10 +148,11 @@ def test_doc_loud_damage():
 
 def test_xls_roundtrip_and_loud_classes():
     labels = ["alpha", "бета-штрих", "c" * 300]
-    numbers = [0.0, -1.5, 2.0 ** 53]
+    numbers = [0.0, -1.5, 2.0 ** 53, 0.123456789]
     blob = write_xls(labels, numbers)
-    gl, gn = extract_xls_cells(blob)
+    gl, gn, n_rk = extract_xls_cells(blob)
     assert gl == labels and gn == numbers
+    assert n_rk == 3  # 0.123456789 needs the full NUMBER record
     # both SST storage forms present: latin-1 compressed + UTF-16
     wb = read_cfb(blob)["Workbook"]
     assert b"alpha" in wb and "бета".encode("utf-16-le") in wb
@@ -162,6 +163,13 @@ def test_xls_roundtrip_and_loud_classes():
     struct.pack_into("<I", broken, at + 4 + 6, 999)
     with pytest.raises(ValueError, match="out of range"):
         extract_xls_cells(bytes(broken))
+    # RK forms roundtrip through their packed encodings
+    from etl_pipeline_old_spark.operators.cfb import _rk_decode, _rk_encode
+    for v, form in ((7.0, 0b10), (-3.0, 0b10), (12.34, 0b11),
+                    (float(2 ** 40), 0b00)):
+        rk = _rk_encode(v)
+        assert rk is not None and (rk & 0b11) == form and _rk_decode(rk) == v
+    assert _rk_encode(0.123456789) is None
     # CONTINUE-needing SST is the documented loud seam
     with pytest.raises(ValueError, match="CONTINUE"):
         write_xls(["x" * 9000], [])

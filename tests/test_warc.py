@@ -297,8 +297,69 @@ def test_content_encoding_loud_and_quarantined_classes():
         decode_content_encoding(torn, "deflate")
     # the encoded walk quarantines per record and KEEPS uri + status
     out = list(iter_warc_responses_encoded(shard))
-    assert out[0] == ("https://e.com/ok", 200, "gzip", body, None)
-    assert out[1][:3] == ("https://e.com/br", 200, "br")
-    assert out[1][3] is None and "external codec" in out[1][4]
-    assert out[2][:3] == ("https://e.com/torn", 200, "deflate")
-    assert out[2][3] is None and "content-encoding deflate" in out[2][4]
+    assert out[0] == ("https://e.com/ok", 200, "", "gzip", body, None)
+    assert out[1][:4] == ("https://e.com/br", 200, "", "br")
+    assert out[1][4] is None and "external codec" in out[1][5]
+    assert out[2][:4] == ("https://e.com/torn", 200, "", "deflate")
+    assert out[2][4] is None and "content-encoding deflate" in out[2][5]
+
+
+def test_chunked_transfer_encoding_roundtrip_and_composition():
+    import zlib
+
+    from etl_pipeline_old_spark.operators.warc import (
+        decode_chunked,
+        encode_chunked,
+        encode_http_response,
+        encode_warc_record,
+        gzip_member,
+        iter_warc_responses,
+    )
+
+    body = "<p>длинное тело страницы &nbsp; " .encode("utf-8") * 9
+    wire = encode_chunked(body, seed=3)
+    assert wire != body and b";x=1" in wire and b"X-Trailer" in wire
+    assert decode_chunked(wire) == body
+    # chunked OVER gzip: TE wraps the content coding (RFC 9110 order)
+    resp = encode_http_response(body, content_encoding="gzip", chunked=True)
+    head, _, rest = resp.partition(b"\r\n\r\n")
+    assert b"Transfer-Encoding: chunked" in head
+    assert b"Content-Length" not in head  # RFC 9112 §6.2
+    assert zlib.decompress(decode_chunked(rest), 16 + zlib.MAX_WBITS) == body
+    # the strict walk decodes both layers transparently
+    rec = encode_warc_record(
+        "response", {"WARC-Target-URI": "https://e.com/c"}, resp)
+    assert list(iter_warc_responses(gzip_member(rec))) == [
+        ("https://e.com/c", 200, body)
+    ]
+
+
+def test_chunked_torn_framing_is_loud_and_quarantined():
+    import pytest as _pt
+
+    from etl_pipeline_old_spark.operators.warc import (
+        decode_chunked,
+        encode_chunked,
+        encode_http_response,
+        encode_warc_record,
+        gzip_member,
+        iter_warc_responses_encoded,
+    )
+
+    body = b"<p>page body</p>" * 12
+    wire = encode_chunked(body)
+    with _pt.raises(ValueError, match="truncated|not terminated"):
+        decode_chunked(wire[: len(wire) // 2])
+    with _pt.raises(ValueError, match="bad chunk size"):
+        decode_chunked(b"zz\r\nxx\r\n0\r\n\r\n")
+    with _pt.raises(ValueError, match="CRLF-terminated"):
+        decode_chunked(b"3\r\nabcXX0\r\n\r\n")
+    # per-record quarantine with URI preserved through the encoded walk
+    good = encode_http_response(body, chunked=True)
+    head, _, rest = good.partition(b"\r\n\r\n")
+    torn = head + b"\r\n\r\n" + rest[: len(rest) // 2]
+    shard = gzip_member(encode_warc_record(
+        "response", {"WARC-Target-URI": "https://e.com/torn"}, torn))
+    (uri, status, te, ce, got, err), = iter_warc_responses_encoded(shard)
+    assert (uri, te, got) == ("https://e.com/torn", "chunked", None)
+    assert "chunked" in err

@@ -87,6 +87,8 @@ REPEAT_QUERIES = (
     "stream_warc_ingest",
     # r13: staged Content-Encoding crawl shards (gzip/deflate/raw/br/torn)
     "web_content_encoding",
+    # r13: staged chunked Transfer-Encoding crawl shards
+    "web_transfer_encoding",
     # r13: staged OLE2/CFB legacy Office files
     "pipeline_doc_legacy_extract",
     "pipeline_xls_legacy_cells",
