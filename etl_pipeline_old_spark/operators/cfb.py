@@ -718,3 +718,85 @@ def _dispatch_xls_record(rid, body, sst, labels, numbers) -> None:
             numbers.append(struct.unpack_from("<d", body, 6)[0])
         elif rid == _RK:
             numbers.append(_rk_decode(struct.unpack_from("<I", body, 6)[0]))
+
+
+# ------------------------------------------------ [MS-PPT] text atoms
+
+_PPT_DOCUMENT = 0x03E8        # DocumentContainer
+_PPT_SLIDE_LIST = 0x0FF0      # SlideListWithTextContainer
+_PPT_TEXT_CHARS = 0x0FA0      # TextCharsAtom (UTF-16LE)
+_PPT_TEXT_BYTES = 0x0FA8      # TextBytesAtom (low bytes of UTF-16)
+
+
+def _ppt_record(rec_type: int, body: bytes, rec_ver: int = 0,
+                rec_instance: int = 0) -> bytes:
+    """One [MS-PPT] record: 8-byte header (recVer/recInstance packed
+    little-endian, recType, recLen) + body.  Containers use
+    recVer = 0xF per spec."""
+    vi = (rec_instance << 4) | (rec_ver & 0xF)
+    return struct.pack("<HHI", vi, rec_type, len(body)) + body
+
+
+def write_ppt(slides: list[list[str]]) -> bytes:
+    """A structurally valid PowerPoint 97-2003 .ppt: the PowerPoint
+    Document stream holds a DocumentContainer whose
+    SlideListWithTextContainer carries one text atom per paragraph —
+    TextCharsAtom (UTF-16) when the text needs it, TextBytesAtom
+    (the 8-bit form real decks mostly use) otherwise, so readers must
+    handle both.  ``slides`` is a list of paragraph lists."""
+    atoms = bytearray()
+    for slide in slides:
+        for para in slide:
+            if all(ord(c) <= 0xFF for c in para):
+                atoms += _ppt_record(
+                    _PPT_TEXT_BYTES, para.encode("latin-1"))
+            else:
+                atoms += _ppt_record(
+                    _PPT_TEXT_CHARS, para.encode("utf-16-le"))
+    slw = _ppt_record(_PPT_SLIDE_LIST, bytes(atoms), rec_ver=0xF)
+    doc = _ppt_record(_PPT_DOCUMENT, slw, rec_ver=0xF)
+    return write_cfb({
+        "PowerPoint Document": doc,
+        "\x05SummaryInformation": b"\xfe\xff\x00\x00",
+    })
+
+
+def extract_ppt_text(blob: bytes) -> list[str]:
+    """Recover the text atoms of a PowerPoint 97-2003 deck in record
+    order: walk the PowerPoint Document stream's record tree
+    (containers are recVer 0xF and recurse; atoms are leaves), decode
+    TextCharsAtom as UTF-16LE and TextBytesAtom as the low bytes of
+    UTF-16 code units (latin-1 semantics per [MS-PPT] §2.9).  Raises
+    ValueError on torn records (declared length past the scope)."""
+    streams = read_cfb(blob)
+    ppt = streams.get("PowerPoint Document")
+    if ppt is None:
+        raise ValueError("ppt: no PowerPoint Document stream")
+    out: list[str] = []
+
+    def walk(lo: int, hi: int, depth: int = 0) -> None:
+        if depth > 32:
+            raise ValueError("ppt: record tree too deep")
+        pos = lo
+        while pos < hi:
+            if pos + 8 > hi:
+                raise ValueError("ppt: record header runs past scope")
+            vi, rtype, rlen = struct.unpack_from("<HHI", ppt, pos)
+            body_lo = pos + 8
+            body_hi = body_lo + rlen
+            if body_hi > hi:
+                raise ValueError(
+                    f"ppt: record 0x{rtype:04x} runs past its scope"
+                )
+            if vi & 0xF == 0xF:          # container: recurse
+                walk(body_lo, body_hi, depth + 1)
+            elif rtype == _PPT_TEXT_CHARS:
+                if rlen % 2:
+                    raise ValueError("ppt: odd TextCharsAtom length")
+                out.append(ppt[body_lo:body_hi].decode("utf-16-le"))
+            elif rtype == _PPT_TEXT_BYTES:
+                out.append(ppt[body_lo:body_hi].decode("latin-1"))
+            pos = body_hi
+
+    walk(0, len(ppt))
+    return out

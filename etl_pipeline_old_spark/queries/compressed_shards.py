@@ -262,39 +262,12 @@ def _stage_wikidump(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
-@register(
-    "multimodal_wikidump_ingest",
-    oracle=f"""
-    SELECT doc_id,
-           ((doc_id // {_WIKI_STREAM_DOCS}) % {_WIKI_TORN_MOD} != 3) AS ok,
-           CASE WHEN (doc_id // {_WIKI_STREAM_DOCS}) % {_WIKI_TORN_MOD} != 3
-                THEN length(text) ELSE NULL END AS n_chars,
-           CASE WHEN (doc_id // {_WIKI_STREAM_DOCS}) % {_WIKI_TORN_MOD} != 3
-                THEN 1 ELSE NULL END AS title_exact
-    FROM documents
-    """,
-    doc="Wikipedia multistream dump ingest (.xml.bz2) — THE canonical "
-    "public text corpus, and the r12 verdict's #4 gap: dump parts are "
-    "staged in the real layout (concatenated INDEPENDENT bz2 streams "
-    f"of {_WIKI_STREAM_DOCS} <page> elements, plus the "
-    "'-multistream-index.txt.bz2' sidecar of offset:page_id:title "
-    "lines). The plan is the 100 TB shape: only the TINY index files "
-    "flow through binaryFile; stream byte-ranges are derived "
-    "relationally (per-part lead() over the distinct offsets, file "
-    "size closing the last range) and each task RANGE-READS one "
-    "stream — seek, read, bz2-decompress, parse its pages with "
-    "stdlib ElementTree (no external entity resolution) — so a 20 GB "
-    "part becomes hundreds of independent tasks and the dump never "
-    "crosses one decompressor. Every "
-    f"{_WIKI_TORN_MOD}th stream stages TORN (truncated mid-stream), "
-    "and because the index names the stream's pages, the quarantine "
-    "rows keep their page ids with ok=false — per-STREAM fault "
-    "isolation, value-checked: healthy pages must recover exact text "
-    "length and title.",
-)
-def multimodal_wikidump_ingest(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
+def _wikidump_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index-driven stream-range plan shared by the ingest and
+    the corpus capstone: parse the tiny -index sidecars, group pages
+    by (dump, offset), derive each stream's byte range via lead()
+    plus the file size, broadcast-joined — the dump blobs never flow
+    through a scan."""
     path = _stage_wikidump(spark, sf_dir)
     idx_files = (
         spark.read.format("binaryFile")
@@ -344,6 +317,43 @@ def multimodal_wikidump_ingest(
         .join(F.broadcast(sizes), "dump_path")
         .withColumn("end", F.coalesce("next_offset", "file_len"))
     )
+    return ranged
+
+
+@register(
+    "multimodal_wikidump_ingest",
+    oracle=f"""
+    SELECT doc_id,
+           ((doc_id // {_WIKI_STREAM_DOCS}) % {_WIKI_TORN_MOD} != 3) AS ok,
+           CASE WHEN (doc_id // {_WIKI_STREAM_DOCS}) % {_WIKI_TORN_MOD} != 3
+                THEN length(text) ELSE NULL END AS n_chars,
+           CASE WHEN (doc_id // {_WIKI_STREAM_DOCS}) % {_WIKI_TORN_MOD} != 3
+                THEN 1 ELSE NULL END AS title_exact
+    FROM documents
+    """,
+    doc="Wikipedia multistream dump ingest (.xml.bz2) — THE canonical "
+    "public text corpus, and the r12 verdict's #4 gap: dump parts are "
+    "staged in the real layout (concatenated INDEPENDENT bz2 streams "
+    f"of {_WIKI_STREAM_DOCS} <page> elements, plus the "
+    "'-multistream-index.txt.bz2' sidecar of offset:page_id:title "
+    "lines). The plan is the 100 TB shape: only the TINY index files "
+    "flow through binaryFile; stream byte-ranges are derived "
+    "relationally (per-part lead() over the distinct offsets, file "
+    "size closing the last range) and each task RANGE-READS one "
+    "stream — seek, read, bz2-decompress, parse its pages with "
+    "stdlib ElementTree (no external entity resolution) — so a 20 GB "
+    "part becomes hundreds of independent tasks and the dump never "
+    "crosses one decompressor. Every "
+    f"{_WIKI_TORN_MOD}th stream stages TORN (truncated mid-stream), "
+    "and because the index names the stream's pages, the quarantine "
+    "rows keep their page ids with ok=false — per-STREAM fault "
+    "isolation, value-checked: healthy pages must recover exact text "
+    "length and title.",
+)
+def multimodal_wikidump_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ranged = _wikidump_ranged(spark, sf_dir)
 
     def decode_stream(batches):
         import bz2
@@ -389,4 +399,107 @@ def multimodal_wikidump_ingest(
     return ranged.mapInPandas(
         decode_stream,
         schema="doc_id long, ok boolean, n_chars long, title_exact int",
+    )
+
+
+_WIKI_MIN_WORDS = 25
+
+
+def _wiki_corpus_oracle() -> str:
+    from ..operators import text as TX
+    from ..operators.dedup import NORMALIZE_SQL
+
+    norm = NORMALIZE_SQL.format(x="text")
+    hits = {
+        lang: f"len(list_filter(string_split({norm}, ' '), x -> x IN {tuple(words)}))"
+        for lang, words in TX.LANG_STOPWORDS
+    }
+    best = f"greatest({', '.join(hits.values())})"
+    chain = " ".join(
+        f"WHEN {hits[lang]} = best AND best > 0 THEN '{lang}'"
+        for lang, _ in TX.LANG_STOPWORDS
+    )
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, text,
+             len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))
+               AS n_words,
+             {best} AS best
+      FROM documents
+      WHERE (doc_id // {_WIKI_STREAM_DOCS}) % {_WIKI_TORN_MOD} != 3),
+    gated AS (
+      SELECT CASE {chain} ELSE 'und' END AS lang_pred, n_words
+      FROM scored
+      WHERE n_words >= {_WIKI_MIN_WORDS})
+    SELECT lang_pred,
+           count(*)::BIGINT AS n_docs,
+           sum(n_words)::BIGINT AS n_tokens,
+           round(avg(n_words), 2) AS avg_words
+    FROM gated
+    GROUP BY lang_pred
+    """
+
+
+@register(
+    "pipeline_wikidump_corpus",
+    oracle=_wiki_corpus_oracle(),
+    doc="The wiki-dump corpus capstone: the SAME index-driven "
+    "range-read plan as multimodal_wikidump_ingest (tiny index scan, "
+    "relational stream ranges, one bz2 stream per task) feeds the "
+    "standard corpus gates — recovered page text through stopword "
+    "lang-ID, short pages dropped (n_words >= 25), per-language "
+    "docs/tokens/mean-length stats. Torn streams drop their pages "
+    "before the gates (the oracle excludes exactly those page ids via "
+    "the staging formula, so over- OR under-quarantining flips the "
+    "hash). This is what ingesting Wikipedia actually looks like at "
+    "100 TB: the dump never crosses one decompressor, Python touches "
+    "only the per-stream parse, and everything after is map-side "
+    "expressions into one partial-agg groupBy over a handful of "
+    "language keys.",
+)
+def pipeline_wikidump_corpus(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators import text as TX
+
+    ranged = _wikidump_ranged(spark, sf_dir)
+
+    def decode_text(batches):
+        import bz2
+        from xml.etree import ElementTree as ET
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "text": []}
+            for dump_path, offset, end in zip(
+                pdf["dump_path"], pdf["offset"], pdf["end"]
+            ):
+                local = dump_path.replace("file:", "")
+                with open(local, "rb") as fh:
+                    fh.seek(int(offset))
+                    raw = fh.read(int(end) - int(offset))
+                try:
+                    xml = bz2.decompress(raw)
+                    root = ET.fromstring(b"<mw>" + xml + b"</mw>")
+                except (OSError, EOFError, ValueError, ET.ParseError):
+                    continue  # torn stream: its pages drop pre-gate
+                for pg in root.iter("page"):
+                    out["doc_id"].append(int(pg.findtext("id")))
+                    out["text"].append(pg.findtext("revision/text"))
+            yield pd.DataFrame(out)
+
+    pages = ranged.mapInPandas(decode_text, schema="doc_id long, text string")
+    norm = F.trim(F.regexp_replace("text", "\\s+", " "))
+    gated = pages.select(
+        norm.alias("t"), F.size(F.split(norm, " ")).alias("n_words")
+    ).filter(F.col("n_words") >= _WIKI_MIN_WORDS)
+    return (
+        gated.select(TX.lang_id(F.col("t")).alias("lang_pred"), "n_words")
+        .groupBy("lang_pred")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("n_tokens"),
+            F.round(F.avg("n_words"), 2).alias("avg_words"),
+        )
     )

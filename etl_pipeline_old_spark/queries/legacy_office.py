@@ -268,3 +268,93 @@ def doc_legacy_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return bf.mapInPandas(op, schema="doc_id long, ok boolean, n_chars int")
+
+
+_PPT_PARA = 40  # chars per staged paragraph
+
+
+def _render_ppt_legacy(doc_id: int, text: str) -> bytes:
+    from ..operators.cfb import write_ppt
+
+    paras = [text[i : i + _PPT_PARA] for i in range(0, len(text), _PPT_PARA)]
+    # two slides of body paragraphs + a closing Cyrillic marker slide
+    # that forces the UTF-16 TextCharsAtom form
+    mid = (len(paras) + 1) // 2
+    return write_ppt([paras[:mid], paras[mid:], [f"Ж{doc_id}"]])
+
+
+@register(
+    "pipeline_ppt_legacy_extract",
+    oracle=f"""
+    SELECT doc_id,
+           CAST((length(text) + {_PPT_PARA - 1}) // {_PPT_PARA} + 1 AS INT)
+             AS n_paras,
+           length(text) AS n_chars,
+           1 AS text_exact,
+           1 AS marker_exact
+    FROM documents
+    """,
+    doc="PowerPoint 97-2003 .ppt text extraction (operators/cfb.py, "
+    "[MS-PPT] over [MS-CFB]) — the third leg of the legacy Office "
+    "trio the r12 verdict named: each document stages a deck whose "
+    "PowerPoint Document stream is a real record tree "
+    "(DocumentContainer -> SlideListWithTextContainer -> text atoms, "
+    "8-byte recVer/recType/recLen headers with containers at recVer "
+    "0xF), body paragraphs riding as 8-bit TextBytesAtom records and "
+    "a per-doc Cyrillic marker slide as UTF-16 TextCharsAtom — both "
+    "atom forms decode per file. The oracle demands exact "
+    "reassembled-text recovery plus the closed-form paragraph count; "
+    "a record-walk, container-recursion, or atom-decode bug flips a "
+    "value. Torn records (recLen past scope) raise per record "
+    "(unit-tested). Same map-only Arrow-kernel shape as the .doc "
+    "sibling.",
+)
+def pipeline_ppt_legacy_extract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..catalog import load_table
+
+    path = _stage_media_files(
+        spark, sf_dir, "ppt_files", "ppt", _render_ppt_legacy
+    )
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.ppt")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.ppt$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "content",
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    joined = bf.join(docs, "doc_id")
+
+    def op(batches):
+        import pandas as pd
+
+        from ..operators.cfb import extract_ppt_text
+
+        for b in batches:
+            out = {"doc_id": [], "n_paras": [], "n_chars": [],
+                   "text_exact": [], "marker_exact": []}
+            for doc_id, content, text in zip(
+                b["doc_id"], b["content"], b["text"]
+            ):
+                paras = extract_ppt_text(bytes(content))
+                body = "".join(paras[:-1])
+                out["doc_id"].append(int(doc_id))
+                out["n_paras"].append(len(paras))
+                out["n_chars"].append(len(body))
+                out["text_exact"].append(1 if body == text else 0)
+                out["marker_exact"].append(
+                    1 if paras and paras[-1] == f"Ж{int(doc_id)}" else 0
+                )
+            yield pd.DataFrame(out)
+
+    return joined.mapInPandas(
+        op,
+        schema="doc_id long, n_paras int, n_chars long, text_exact int, "
+        "marker_exact int",
+    )

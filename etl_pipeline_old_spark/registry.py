@@ -357,6 +357,9 @@ _CORE_FIRST = (
     "web_main_content",
     # round-13 second wave: chunked Transfer-Encoding in the WARC walk
     "web_transfer_encoding",
+    # round-13 third wave: .ppt legacy trio leg + wikidump corpus capstone
+    "pipeline_ppt_legacy_extract",
+    "pipeline_wikidump_corpus",
 )
 
 

@@ -173,3 +173,29 @@ def test_xls_roundtrip_and_loud_classes():
     # CONTINUE-needing SST is the documented loud seam
     with pytest.raises(ValueError, match="CONTINUE"):
         write_xls(["x" * 9000], [])
+
+
+def test_ppt_roundtrip_and_loud_damage():
+    from etl_pipeline_old_spark.operators.cfb import (
+        extract_ppt_text,
+        write_ppt,
+    )
+
+    slides = [["Title", "Ж-подзаголовок"], ["bullet one", "two"]]
+    blob = write_ppt(slides)
+    assert extract_ppt_text(blob) == [p for s in slides for p in s]
+    # both atom forms present on the wire
+    wb = read_cfb(blob)["PowerPoint Document"]
+    assert b"bullet one" in wb                      # TextBytesAtom
+    assert "Ж".encode("utf-16-le") in wb            # TextCharsAtom
+    # recLen lying past its container scope is loud
+    streams = read_cfb(blob)
+    doc = bytearray(streams["PowerPoint Document"])
+    at = doc.find(b"bullet one") - 8
+    struct.pack_into("<I", doc, at + 4, 10 ** 6)
+    broken = write_cfb({**streams, "PowerPoint Document": bytes(doc)})
+    with pytest.raises(ValueError, match="runs past"):
+        extract_ppt_text(broken)
+    # a deck without the document stream is loud
+    with pytest.raises(ValueError, match="no PowerPoint Document"):
+        extract_ppt_text(write_cfb({"Workbook": b"xx"}))

@@ -98,6 +98,9 @@ REPEAT_QUERIES = (
     # r13: bz2/xz shards + wikidump parts
     "multimodal_webdataset_compressed",
     "multimodal_wikidump_ingest",
+    "pipeline_wikidump_corpus",
+    # r13: staged legacy .ppt decks
+    "pipeline_ppt_legacy_extract",
     # r13: staged BMFF image files
     "multimodal_avif_probe",
     "multimodal_audio_resample",
