@@ -83,44 +83,71 @@ def _dir_entry(
     )
 
 
-def _bst_order(names: list[str]) -> list[tuple[str, int, int]]:
-    """Spec sibling ordering (shorter name first, then uppercase
-    comparison) arranged as a balanced BST; returns (name, left_id,
-    right_id) with ids being 1-based directory ids assigned in sorted
-    order (root entry is id 0)."""
-    ordered = sorted(names, key=lambda n: (len(n), n.upper()))
-    ids = {n: i + 1 for i, n in enumerate(ordered)}
-    links: dict[str, tuple[int, int]] = {}
-
-    def build(lo: int, hi: int) -> int:
-        if lo > hi:
-            return _NOSTREAM
-        mid = (lo + hi) // 2
-        left = build(lo, mid - 1)
-        right = build(mid + 1, hi)
-        links[ordered[mid]] = (left, right)
-        return ids[ordered[mid]]
-
-    root = build(0, len(ordered) - 1)
-    return [(n, *links[n]) for n in ordered], root
-
-
 def write_cfb(streams: dict[str, bytes]) -> bytes:
     """A complete v3 (512-byte sector) compound file holding the given
-    ROOT-LEVEL streams.  Streams under the 4096-byte cutoff live in the
-    mini stream (64-byte mini sectors chained through the miniFAT),
-    larger ones in regular FAT chains — both paths exercised whenever
-    the inputs span the cutoff."""
+    streams; a '/' in a key creates nested STORAGE entries (the .msg
+    layout — recipient/attachment objects are storages).  Streams under
+    the 4096-byte cutoff live in the mini stream (64-byte mini sectors
+    chained through the miniFAT), larger ones in regular FAT chains —
+    both paths exercised whenever the inputs span the cutoff.  Each
+    storage's children form the spec-ordered (name length, then
+    uppercase name) balanced sibling BST."""
     ssz = 512
 
     def pad(b: bytes, unit: int) -> bytes:
         return b + b"\x00" * (-len(b) % unit)
 
+    # path keys -> a tree of {name: bytes | subtree}
+    tree: dict = {}
+    for path, data in streams.items():
+        parts = path.split("/")
+        node = tree
+        for p in parts[:-1]:
+            nxt = node.setdefault(p, {})
+            if not isinstance(nxt, dict):
+                raise ValueError(f"cfb: {p!r} is both a stream and a storage")
+            node = nxt
+        if parts[-1] in node:
+            raise ValueError(f"cfb: duplicate entry {path!r}")
+        node[parts[-1]] = data
+
+    # directory ids in DFS insertion order (root = 0); sibling BSTs per
+    # storage with the spec sort
+    specs: list[dict] = []
+
+    def build_dir(children: dict) -> int:
+        mine = []
+        for name, obj in children.items():
+            sp = {"name": name, "id": len(specs) + 1, "obj": obj,
+                  "left": _NOSTREAM, "right": _NOSTREAM,
+                  "child": _NOSTREAM}
+            specs.append(sp)
+            mine.append(sp)
+            if isinstance(obj, dict):
+                sp["child"] = build_dir(obj)
+        ordered = sorted(
+            mine, key=lambda s: (len(s["name"]), s["name"].upper())
+        )
+
+        def bst(lo: int, hi: int) -> int:
+            if lo > hi:
+                return _NOSTREAM
+            mid = (lo + hi) // 2
+            ordered[mid]["left"] = bst(lo, mid - 1)
+            ordered[mid]["right"] = bst(mid + 1, hi)
+            return ordered[mid]["id"]
+
+        return bst(0, len(ordered) - 1)
+
+    tree_root = build_dir(tree)
+    stream_specs = [s for s in specs if not isinstance(s["obj"], dict)]
+
     # mini stream assembly: small streams -> 64-byte sectors
     mini_data = bytearray()
     minifat: list[int] = []
-    mini_starts: dict[str, int] = {}
-    for name, data in streams.items():
+    mini_starts: dict[int, int] = {}
+    for sp in stream_specs:
+        data = sp["obj"]
         if len(data) < _MINI_CUTOFF:
             start = len(minifat)
             chunk = pad(data, 64) if data else b""
@@ -128,19 +155,20 @@ def write_cfb(streams: dict[str, bytes]) -> bytes:
             mini_data += chunk
             for k in range(nsec):
                 minifat.append(start + k + 1 if k + 1 < nsec else _ENDOFCHAIN)
-            mini_starts[name] = start if nsec else _ENDOFCHAIN
+            mini_starts[sp["id"]] = start if nsec else _ENDOFCHAIN
 
     # sector plan: [FAT sectors][directory][miniFAT][mini stream][big streams]
     # sizes first, so FAT length (and thus FAT sector count) is solvable
-    ordered, tree_root = _bst_order(list(streams.keys()))
-    n_dir_entries = 1 + len(ordered)
+    n_dir_entries = 1 + len(specs)
     dir_sectors = -(-n_dir_entries * 128 // ssz)
     minifat_bytes = pad(b"".join(struct.pack("<I", x) for x in minifat), ssz)
     minifat_sectors = len(minifat_bytes) // ssz if minifat else 0
     mini_bytes = pad(bytes(mini_data), ssz)
     mini_sectors = len(mini_bytes) // ssz if mini_data else 0
-    big: dict[str, bytes] = {
-        n: pad(d, ssz) for n, d in streams.items() if len(d) >= _MINI_CUTOFF
+    big: dict[int, bytes] = {
+        sp["id"]: pad(sp["obj"], ssz)
+        for sp in stream_specs
+        if len(sp["obj"]) >= _MINI_CUTOFF
     }
     big_sectors = sum(len(d) // ssz for d in big.values())
 
@@ -168,7 +196,7 @@ def write_cfb(streams: dict[str, bytes]) -> bytes:
     first_dir = alloc(dir_sectors)
     first_minifat = alloc(minifat_sectors)
     mini_start = alloc(mini_sectors)
-    big_starts = {n: alloc(len(d) // ssz) for n, d in big.items()}
+    big_starts = {i: alloc(len(d) // ssz) for i, d in big.items()}
 
     # directory
     entries = [
@@ -178,15 +206,23 @@ def write_cfb(streams: dict[str, bytes]) -> bytes:
             size=len(mini_data),
         )
     ]
-    for name, left, right in ordered:
-        data = streams[name]
-        start = (
-            big_starts[name] if name in big else mini_starts[name]
-        )
-        entries.append(
-            _dir_entry(name, 2, left=left, right=right, start=start,
-                       size=len(data))
-        )
+    for sp in specs:
+        if isinstance(sp["obj"], dict):
+            entries.append(
+                _dir_entry(sp["name"], 1, left=sp["left"],
+                           right=sp["right"], child=sp["child"])
+            )
+        else:
+            start = (
+                big_starts[sp["id"]]
+                if sp["id"] in big
+                else mini_starts[sp["id"]]
+            )
+            entries.append(
+                _dir_entry(sp["name"], 2, left=sp["left"],
+                           right=sp["right"], start=start,
+                           size=len(sp["obj"]))
+            )
     dir_bytes = pad(b"".join(entries), ssz)
 
     header = (
@@ -219,7 +255,7 @@ def write_cfb(streams: dict[str, bytes]) -> bytes:
         + dir_bytes
         + (minifat_bytes if minifat_sectors else b"")
         + (mini_bytes if mini_sectors else b"")
-        + b"".join(big[n] for n in big)
+        + b"".join(big[i] for i in big)
     )
     return header + body
 
@@ -799,4 +835,108 @@ def extract_ppt_text(blob: bytes) -> list[str]:
             pos = body_hi
 
     walk(0, len(ppt))
+    return out
+
+
+# --------------------------------------------- [MS-OXMSG] Outlook .msg
+
+_MSG_SUBJECT = 0x0037
+_MSG_BODY = 0x1000
+_MSG_SENDER = 0x0C1A
+_MSG_RCPT_NAME = 0x3001
+_MSG_RCPT_EMAIL = 0x3003
+_MSG_ATT_NAME = 0x3704
+_MSG_ATT_DATA = 0x3701
+
+
+def _substg(prop: int, value) -> tuple[str, bytes]:
+    """One __substg1.0_PPPPTTTT stream: UTF-16 strings type 001F,
+    8-bit strings 001E (the pre-Unicode form old mail carries),
+    binary 0102."""
+    if isinstance(value, bytes):
+        return f"__substg1.0_{prop:04X}0102", value
+    if all(ord(c) < 128 for c in value):
+        return f"__substg1.0_{prop:04X}001E", value.encode("ascii")
+    return f"__substg1.0_{prop:04X}001F", value.encode("utf-16-le")
+
+
+def write_msg(
+    subject: str,
+    body: str,
+    sender: str,
+    recipients: list[tuple[str, str]],
+    attachments: list[tuple[str, bytes]] | None = None,
+) -> bytes:
+    """A structurally valid Outlook .msg: top-level property streams
+    plus one STORAGE per recipient (__recip_version1.0_#NNNNNNNN) and
+    attachment (__attach_version1.0_#NNNNNNNN) — the nested-directory
+    layout is the format, not an embellishment.  String properties mix
+    the 001E (8-bit) and 001F (UTF-16) forms by content, so readers
+    must dispatch on the type suffix."""
+    streams: dict[str, bytes] = {}
+    for prop, val in ((_MSG_SUBJECT, subject), (_MSG_BODY, body),
+                      (_MSG_SENDER, sender)):
+        name, data = _substg(prop, val)
+        streams[name] = data
+    streams["__properties_version1.0"] = b"\x00" * 32
+    for i, (rname, email) in enumerate(recipients):
+        base = f"__recip_version1.0_#{i:08X}"
+        for prop, val in ((_MSG_RCPT_NAME, rname),
+                          (_MSG_RCPT_EMAIL, email)):
+            name, data = _substg(prop, val)
+            streams[f"{base}/{name}"] = data
+    for i, (fname, payload) in enumerate(attachments or []):
+        base = f"__attach_version1.0_#{i:08X}"
+        name, data = _substg(_MSG_ATT_NAME, fname)
+        streams[f"{base}/{name}"] = data
+        streams[f"{base}/__substg1.0_{_MSG_ATT_DATA:04X}0102"] = payload
+    return write_cfb(streams)
+
+
+def _msg_prop(streams: dict, prefix: str, prop: int):
+    for suffix, dec in (("001F", "utf-16-le"), ("001E", "ascii")):
+        key = f"{prefix}__substg1.0_{prop:04X}{suffix}"
+        if key in streams:
+            return streams[key].decode(dec)
+    return None
+
+
+def extract_msg(blob: bytes) -> dict:
+    """Recover an Outlook .msg's text surface: subject, body, sender
+    (both string-property forms handled), recipient (name, email)
+    pairs from their storages in index order, attachment
+    (filename, byte count) pairs likewise.  A message with no body
+    property raises — silently empty mail is how extraction bugs
+    hide."""
+    streams = read_cfb(blob)
+    body = _msg_prop(streams, "", _MSG_BODY)
+    if body is None:
+        raise ValueError("msg: no body property stream")
+    out = {
+        "subject": _msg_prop(streams, "", _MSG_SUBJECT),
+        "body": body,
+        "sender": _msg_prop(streams, "", _MSG_SENDER),
+        "recipients": [],
+        "attachments": [],
+    }
+    rids = sorted(
+        {p.split("/")[0] for p in streams if p.startswith("__recip_")}
+    )
+    for rid in rids:
+        out["recipients"].append(
+            (
+                _msg_prop(streams, rid + "/", _MSG_RCPT_NAME),
+                _msg_prop(streams, rid + "/", _MSG_RCPT_EMAIL),
+            )
+        )
+    aids = sorted(
+        {p.split("/")[0] for p in streams if p.startswith("__attach_")}
+    )
+    for aid in aids:
+        data = streams.get(
+            aid + f"/__substg1.0_{_MSG_ATT_DATA:04X}0102", b""
+        )
+        out["attachments"].append(
+            (_msg_prop(streams, aid + "/", _MSG_ATT_NAME), len(data))
+        )
     return out

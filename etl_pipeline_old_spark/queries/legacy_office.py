@@ -358,3 +358,113 @@ def pipeline_ppt_legacy_extract(
         schema="doc_id long, n_paras int, n_chars long, text_exact int, "
         "marker_exact int",
     )
+
+
+def _render_msg(doc_id: int, text: str) -> bytes:
+    import hashlib
+
+    from ..operators.cfb import write_msg
+
+    recipients = [(f"Инженер {k}", f"user{doc_id}.{k}@example.com")
+                  for k in range(1 + doc_id % 2)]
+    attachments = []
+    if doc_id % 3 == 0:
+        attachments.append(
+            (f"model{doc_id}.bin",
+             hashlib.md5(f"att:{doc_id}".encode()).digest())
+        )
+    return write_msg(
+        f"doc {doc_id}", text, f"sender{doc_id}@example.com",
+        recipients, attachments,
+    )
+
+
+@register(
+    "pipeline_msg_extract",
+    oracle="""
+    SELECT doc_id,
+           1 AS subject_exact,
+           1 AS body_exact,
+           1 AS sender_exact,
+           CAST(1 + doc_id % 2 AS INT) AS n_recipients,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INT)
+             AS n_attachments,
+           CASE WHEN doc_id % 3 = 0 THEN 16 ELSE NULL END AS attach_bytes
+    FROM documents
+    """,
+    doc="Outlook .msg extraction (operators/cfb.py, [MS-OXMSG] over "
+    "[MS-CFB]) — enterprise mail's other on-disk shape beside mbox, "
+    "and the consumer that makes the compound-file reader's NESTED "
+    "storages load-bearing: each message stages top-level "
+    "__substg1.0_PPPPTTTT property streams (subject/body/sender, "
+    "MIXING the 8-bit 001E and UTF-16 001F forms by content so the "
+    "type suffix must be dispatched, not assumed) plus one STORAGE "
+    "per recipient and attachment — recipient display names are "
+    "Cyrillic (UTF-16 form) with ASCII addresses (8-bit form) inside "
+    "ONE storage. The oracle demands exact subject/body/sender "
+    "recovery and recomputes recipient/attachment counts and the "
+    "attachment byte size from the staging formulas. A message "
+    "missing its body property raises (silent-empty mail is how "
+    "extraction bugs hide). Same map-only Arrow-kernel shape as the "
+    "rest of the family.",
+)
+def pipeline_msg_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import load_table
+
+    path = _stage_media_files(spark, sf_dir, "msg_files", "msg", _render_msg)
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.msg")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.msg$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "content",
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    joined = bf.join(docs, "doc_id")
+
+    def op(batches):
+        import pandas as pd
+
+        from ..operators.cfb import extract_msg
+
+        for b in batches:
+            out = {"doc_id": [], "subject_exact": [], "body_exact": [],
+                   "sender_exact": [], "n_recipients": [],
+                   "n_attachments": [], "attach_bytes": []}
+            for doc_id, content, text in zip(
+                b["doc_id"], b["content"], b["text"]
+            ):
+                did = int(doc_id)
+                m = extract_msg(bytes(content))
+                out["doc_id"].append(did)
+                out["subject_exact"].append(
+                    1 if m["subject"] == f"doc {did}" else 0
+                )
+                out["body_exact"].append(1 if m["body"] == text else 0)
+                out["sender_exact"].append(
+                    1 if m["sender"] == f"sender{did}@example.com" else 0
+                )
+                want_recips = [
+                    (f"Инженер {k}", f"user{did}.{k}@example.com")
+                    for k in range(1 + did % 2)
+                ]
+                out["n_recipients"].append(
+                    len(m["recipients"])
+                    if m["recipients"] == want_recips else -1
+                )
+                out["n_attachments"].append(len(m["attachments"]))
+                out["attach_bytes"].append(
+                    m["attachments"][0][1] if m["attachments"] else None
+                )
+            yield pd.DataFrame(out)
+
+    return joined.mapInPandas(
+        op,
+        schema="doc_id long, subject_exact int, body_exact int, "
+        "sender_exact int, n_recipients int, n_attachments int, "
+        "attach_bytes int",
+    )

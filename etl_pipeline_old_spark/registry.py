@@ -360,6 +360,7 @@ _CORE_FIRST = (
     # round-13 third wave: .ppt legacy trio leg + wikidump corpus capstone
     "pipeline_ppt_legacy_extract",
     "pipeline_wikidump_corpus",
+    "pipeline_msg_extract",
 )
 
 

@@ -199,3 +199,22 @@ def test_ppt_roundtrip_and_loud_damage():
     # a deck without the document stream is loud
     with pytest.raises(ValueError, match="no PowerPoint Document"):
         extract_ppt_text(write_cfb({"Workbook": b"xx"}))
+
+
+def test_msg_roundtrip_nested_storages_and_loud():
+    from etl_pipeline_old_spark.operators.cfb import extract_msg, write_msg
+
+    m = write_msg("Проект Ж", "body text", "a@e.com",
+                  [("Боб", "b@e.com")], [("f.bin", b"\x00" * 9)])
+    got = extract_msg(m)
+    assert got["subject"] == "Проект Ж" and got["body"] == "body text"
+    assert got["recipients"] == [("Боб", "b@e.com")]
+    assert got["attachments"] == [("f.bin", 9)]
+    # the recipient rides a genuine nested STORAGE with mixed-form
+    # property streams inside it
+    streams = read_cfb(m)
+    assert "__recip_version1.0_#00000000/__substg1.0_3001001F" in streams
+    assert "__recip_version1.0_#00000000/__substg1.0_3003001E" in streams
+    # a message without its body property is loud
+    with pytest.raises(ValueError, match="no body"):
+        extract_msg(write_cfb({"__substg1.0_0037001E": b"subject only"}))

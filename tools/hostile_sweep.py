@@ -101,6 +101,8 @@ REPEAT_QUERIES = (
     "pipeline_wikidump_corpus",
     # r13: staged legacy .ppt decks
     "pipeline_ppt_legacy_extract",
+    # r13: staged Outlook .msg files
+    "pipeline_msg_extract",
     # r13: staged BMFF image files
     "multimodal_avif_probe",
     "multimodal_audio_resample",
