@@ -73,10 +73,14 @@ def _esc(line: str) -> bytes:
     return bytes(out)
 
 
-def write_pdf(pages: list, compress: bool = False) -> bytes:
+def write_pdf(pages: list, compress=False) -> bytes:
     """Serialize ``pages`` (each a list of text lines) into a complete
-    one-font PDF with a correct xref table.  ``compress`` FlateDecodes
-    the content streams."""
+    one-font PDF with a correct xref table.  ``compress`` selects the
+    content-stream coding: False raw, True ``/FlateDecode``, or one of
+    the legacy filter names ``"lzw"``, ``"rl"``, ``"ahx"``, ``"a85"``,
+    or the chain ``"a85+lzw"`` (ASCII85 OVER LZW — the wire order old
+    PostScript exports used, written as the /Filter array
+    [/ASCII85Decode /LZWDecode])."""
     objs: list[bytes] = []  # body of object i+1
 
     def content(lines: list) -> bytes:
@@ -106,9 +110,26 @@ def write_pdf(pages: list, compress: bool = False) -> bytes:
             b"/Contents %d 0 R >>" % (5 + 2 * i)
         )
         data = content(lines)
-        if compress:
+        if compress is True or compress == "flate":
             data = zlib.compress(data, 9)
             head = b"<< /Length %d /Filter /FlateDecode >>" % len(data)
+        elif compress in ("lzw", "rl", "ahx", "a85", "a85+lzw"):
+            from . import pdf_filters as PF
+
+            if compress == "a85+lzw":
+                data = PF.ascii85_encode(PF.lzw_encode(data))
+                filt = b"[/ASCII85Decode /LZWDecode]"
+            else:
+                enc, filt = {
+                    "lzw": (PF.lzw_encode, b"/LZWDecode"),
+                    "rl": (PF.rle_encode, b"/RunLengthDecode"),
+                    "ahx": (PF.ascii_hex_encode, b"/ASCIIHexDecode"),
+                    "a85": (PF.ascii85_encode, b"/ASCII85Decode"),
+                }[compress]
+                data = enc(data)
+            head = b"<< /Length %d /Filter %s >>" % (len(data), filt)
+        elif compress:
+            raise ValueError(f"pdf: unknown coding {compress!r}")
         else:
             head = b"<< /Length %d >>" % len(data)
         objs.append(head + b"\nstream\n" + data + b"\nendstream")
@@ -1364,10 +1385,34 @@ class _Doc:
                     # PDF default polarity: 0 output bits are BLACK
                     bits = [1 - b for b in bits]
                 raw = pack_rows(bits, cols)
+            elif f in ("/ASCIIHexDecode", "/ASCII85Decode",
+                       "/RunLengthDecode", "/LZWDecode"):
+                # the pre-Flate-era filters (Acrobat 1.x-3.x exports,
+                # PostScript conversions) — operators/pdf_filters.py
+                from . import pdf_filters as PF
+
+                if f == "/ASCIIHexDecode":
+                    raw = PF.ascii_hex_decode(raw)
+                elif f == "/ASCII85Decode":
+                    raw = PF.ascii85_decode(raw)
+                elif f == "/RunLengthDecode":
+                    raw = PF.rle_decode(raw)
+                else:
+                    parms = self.resolve(obj.get("DecodeParms")) or {}
+                    if isinstance(parms, list):
+                        parms = self.resolve(parms[0]) or {}
+                    if self.resolve(parms.get("Predictor", 1)) != 1:
+                        raise NotImplementedError(
+                            "pdf: LZW predictors unsupported"
+                        )
+                    raw = PF.lzw_decode(
+                        raw, early=self.resolve(parms.get("EarlyChange", 1))
+                    )
             else:
                 raise NotImplementedError(
                     f"pdf: filter {f} needs an external codec — "
-                    "FlateDecode and CCITTFaxDecode G4 decode natively"
+                    "Flate/LZW/RunLength/ASCIIHex/ASCII85/CCITT-G4 "
+                    "decode natively"
                 )
         return raw
 

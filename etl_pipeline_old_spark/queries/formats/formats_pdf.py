@@ -1396,3 +1396,109 @@ def _render_webm(doc_id: int, text: str) -> bytes:
         [2, 3 + doc_id % 3],
         1000.0 * (1 + doc_id % 10),
     )
+
+
+_LEGACY_CODINGS = ("lzw", "rl", "ahx", "a85", "a85+lzw")
+_LEGACY_FILTER_NAMES = (
+    "/LZWDecode", "/RunLengthDecode", "/ASCIIHexDecode",
+    "/ASCII85Decode", "/ASCII85Decode+/LZWDecode",
+)
+
+
+def _render_pdf_legacy_filters(doc_id: int, text: str) -> bytes:
+    from ...operators.pdf import write_pdf
+
+    return write_pdf(
+        _pdf_pages(text), compress=_LEGACY_CODINGS[doc_id % 5]
+    )
+
+
+@register(
+    "pipeline_pdf_legacy_filters",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, text,
+             greatest(1, (length(text) + {_PDF_LINE - 1}) // {_PDF_LINE})
+               AS n_lines
+      FROM documents)
+    SELECT doc_id,
+      CASE doc_id % 5 WHEN 0 THEN '/LZWDecode'
+           WHEN 1 THEN '/RunLengthDecode' WHEN 2 THEN '/ASCIIHexDecode'
+           WHEN 3 THEN '/ASCII85Decode'
+           ELSE '/ASCII85Decode+/LZWDecode' END AS coding,
+      CAST((n_lines + {_PDF_PAGE_LINES - 1}) // {_PDF_PAGE_LINES} AS INT)
+        AS n_pages,
+      length(text) AS n_chars,
+      1 AS text_exact
+    FROM b
+    """,
+    doc="Legacy PDF stream filters (operators/pdf_filters.py, ISO "
+    "32000-1 §7.4) — what pre-Flate-era documents actually carry "
+    "(Acrobat 1.x-3.x exports, PostScript conversions): the staged "
+    "corpus cycles /LZWDecode (the TIFF/PDF variant — MSB-first "
+    "9..12-bit codes, Clear/EOD, table reset at 4096, and the "
+    "EarlyChange one-code-early width convention, pinned to the "
+    "spec's own published example in tests/test_pdf_filters.py), "
+    "/RunLengthDecode, /ASCIIHexDecode, /ASCII85Decode (z-shortcut, "
+    "partial groups), and the CHAINED [/ASCII85Decode /LZWDecode] "
+    "filter array old PostScript exports used — the multi-filter walk "
+    "is part of what is proven. Byte-exact text recovery through the "
+    "same extractor as every PDF family; torn streams raise the "
+    "documented loud classes per filter. Scale: the standard "
+    "binaryFile + Arrow-kernel sentinel shape.",
+)
+def pipeline_pdf_legacy_filters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    path = _stage_media_files(
+        spark, sf_dir, "pdf_legacy_filter_files", "pdf",
+        _render_pdf_legacy_filters,
+    )
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.pdf")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.pdf$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "content",
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    joined = bf.join(docs, "doc_id")
+
+    def op(batches):
+        import re as _re
+
+        import pandas as pd
+
+        from ...operators.pdf import extract_pdf_text
+
+        for pdf_batch in batches:
+            out = {"doc_id": [], "coding": [], "n_pages": [],
+                   "n_chars": [], "text_exact": []}
+            for doc_id, content, text in zip(
+                pdf_batch["doc_id"], pdf_batch["content"],
+                pdf_batch["text"],
+            ):
+                payload = bytes(content)
+                pages = extract_pdf_text(payload)
+                rebuilt = "".join(ln for pg in pages for ln in pg)
+                names = _re.findall(
+                    rb"/(?:LZW|RunLength|ASCIIHex|ASCII85)Decode", payload
+                )
+                out["doc_id"].append(int(doc_id))
+                out["coding"].append(
+                    "+".join(dict.fromkeys(n.decode() for n in names))
+                )
+                out["n_pages"].append(len(pages))
+                out["n_chars"].append(len(rebuilt))
+                out["text_exact"].append(1 if rebuilt == text else 0)
+            yield pd.DataFrame(out)
+
+    return joined.mapInPandas(
+        op,
+        schema="doc_id long, coding string, n_pages int, n_chars long, "
+        "text_exact int",
+    )

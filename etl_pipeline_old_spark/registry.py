@@ -361,6 +361,8 @@ _CORE_FIRST = (
     "pipeline_ppt_legacy_extract",
     "pipeline_wikidump_corpus",
     "pipeline_msg_extract",
+    # round-13 third wave: pre-Flate-era PDF stream filters
+    "pipeline_pdf_legacy_filters",
 )
 
 

@@ -103,6 +103,8 @@ REPEAT_QUERIES = (
     "pipeline_ppt_legacy_extract",
     # r13: staged Outlook .msg files
     "pipeline_msg_extract",
+    # r13: staged legacy-filter PDFs (LZW/RLE/AHx/A85 + chained)
+    "pipeline_pdf_legacy_filters",
     # r13: staged BMFF image files
     "multimodal_avif_probe",
     "multimodal_audio_resample",
