@@ -373,16 +373,23 @@ def pack_rows(bits: list[int], width: int) -> bytes:
 _EOL = "000000000001"
 
 
-def encode_g3_1d(bits: list[int], width: int, height: int) -> bytes:
+def encode_g3_1d(bits: list[int], width: int, height: int,
+                 byte_align: bool = False) -> bytes:
     """ITU-T T.4 one-dimensional (MH) encode — the PDF K=0 shape: each
     row is an alternating white/black run sequence starting with a
     (possibly zero-length) white run, EOL before every row (the T.4
-    framing real G3 producers emit)."""
+    framing real G3 producers emit).  ``byte_align`` pads each row's
+    EOL to start on a byte boundary — PDF's /EncodedByteAlign, the
+    convention scanner output commonly carries."""
     if len(bits) != width * height:
         raise ValueError("ccitt: raster size disagrees with dimensions")
     bw = _BitWriter()
     for y in range(height):
         line = bits[y * width : (y + 1) * width]
+        if byte_align:
+            fill = -sum(len(c) for c in bw.bits) % 8
+            if fill:
+                bw.put("0" * fill)  # zero fill dies inside the EOL probe
         bw.put(_EOL)
         runs = []
         cur, n = 0, 0
@@ -398,10 +405,13 @@ def encode_g3_1d(bits: list[int], width: int, height: int) -> bytes:
     return bw.getvalue()
 
 
-def decode_g3_1d(data: bytes, width: int, height: int) -> list[int]:
+def decode_g3_1d(data: bytes, width: int, height: int,
+                 byte_align: bool = False) -> list[int]:
     """T.4 1D decode -> 1=black raster.  EOL codes are consumed at row
     boundaries when present (and required fill bits skipped with them);
-    rows must sum exactly to ``width`` or the stream is torn."""
+    with ``byte_align`` (PDF /EncodedByteAlign) each row additionally
+    starts on a byte boundary.  Rows must sum exactly to ``width`` or
+    the stream is torn."""
     br = _BitReader(data)
     out: list[int] = []
 
@@ -422,6 +432,8 @@ def decode_g3_1d(data: bytes, width: int, height: int) -> list[int]:
         return False
 
     for _y in range(height):
+        if byte_align:
+            br.pos += -br.pos % 8
         # T.4 allows zero-fill before each EOL; consume any EOLs (and
         # the fill bits they absorb) at the row boundary
         while at_eol():

@@ -1369,9 +1369,11 @@ class _Doc:
                         "pdf: CCITT mixed 2D G3 (K > 0) unsupported — "
                         "G4 (K < 0) and 1D G3 (K = 0) decode natively"
                     )
-                if self.resolve(parms.get("EncodedByteAlign", False)):
+                eba = bool(self.resolve(parms.get("EncodedByteAlign",
+                                                   False)))
+                if eba and k < 0:
                     raise NotImplementedError(
-                        "pdf: CCITT EncodedByteAlign unsupported"
+                        "pdf: CCITT EncodedByteAlign with G4 unsupported"
                     )
                 cols = self.resolve(parms.get("Columns", 1728))
                 rows = self.resolve(parms.get("Rows"))
@@ -1380,7 +1382,7 @@ class _Doc:
                 if k < 0:
                     bits = decode_g4(raw, cols, rows)
                 else:
-                    bits = decode_g3_1d(raw, cols, rows)
+                    bits = decode_g3_1d(raw, cols, rows, byte_align=eba)
                 if not self.resolve(parms.get("BlackIs1", False)):
                     # PDF default polarity: 0 output bits are BLACK
                     bits = [1 - b for b in bits]

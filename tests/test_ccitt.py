@@ -178,3 +178,32 @@ def test_g3_1d_hand_vector_and_roundtrips():
     with pytest.raises(ValueError, match="overflows"):
         # black-run-7 after white-run-4 overflows an 8-wide row
         decode_g3_1d(_bits_from("1011" + "00011" + "1011"), 8, 1)
+
+
+def test_g3_encoded_byte_align():
+    """PDF /EncodedByteAlign: each row's EOL starts on a byte boundary
+    (the scanner-output convention); the PDF layer routes the flag for
+    K=0 and keeps it a loud seam for G4."""
+    from etl_pipeline_old_spark.operators.ccitt import (
+        decode_g3_1d,
+        encode_g3_1d,
+    )
+    from etl_pipeline_old_spark.operators.pdf import (
+        extract_pdf_images,
+        write_pdf_images,
+    )
+
+    bits = [1 if _RND.random() < 0.4 else 0 for _ in range(16 * 5)]
+    enc = encode_g3_1d(bits, 16, 5, byte_align=True)
+    plain = encode_g3_1d(bits, 16, 5)
+    assert enc != plain  # alignment really padded something
+    assert decode_g3_1d(enc, 16, 5, byte_align=True) == bits
+    # EBA + G4 stays the documented loud seam at the PDF layer — the
+    # patch is LENGTH-PRESERVING so the xref offsets stay valid
+    # (/Rows drops and falls back to /Height, which is also 5)
+    pdf = write_pdf_images([("ccitt", 16, 5, (bits, True))])
+    old = b"/K -1 /Columns 16 /Rows 5 /BlackIs1 true"
+    new = b"/K -1 /Columns 16 /EncodedByteAlign true"
+    assert len(old) == len(new) and old in pdf
+    with pytest.raises(NotImplementedError, match="EncodedByteAlign"):
+        extract_pdf_images(pdf.replace(old, new, 1))

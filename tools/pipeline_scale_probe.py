@@ -108,6 +108,30 @@ def pipelines():
         # r12 additions: xref-stream PDFs and DOCX auxiliary parts
         "pipeline_pdf_xrefstream_extract": pipeline_pdf_xrefstream_extract,
         "pipeline_docx_aux_extract": pipeline_docx_aux_extract,
+        # r13 additions: the legacy-office sentinel and the wikidump
+        # range-read plan (k-fold inflation = k-fold more parts, each
+        # still split into per-stream tasks through the index)
+        "pipeline_doc_legacy_extract": _r13()["doc"],
+        "multimodal_wikidump_ingest": _r13()["wiki"],
+        "web_content_encoding": _r13()["ce"],
+    }
+
+
+def _r13():
+    from etl_pipeline_old_spark.queries.compressed_shards import (
+        multimodal_wikidump_ingest,
+    )
+    from etl_pipeline_old_spark.queries.legacy_office import (
+        pipeline_doc_legacy_extract,
+    )
+    from etl_pipeline_old_spark.queries.web_corpus import (
+        web_content_encoding,
+    )
+
+    return {
+        "doc": pipeline_doc_legacy_extract,
+        "wiki": multimodal_wikidump_ingest,
+        "ce": web_content_encoding,
     }
 
 
