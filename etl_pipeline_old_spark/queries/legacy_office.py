@@ -468,3 +468,90 @@ def pipeline_msg_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sender_exact int, n_recipients int, n_attachments int, "
         "attach_bytes int",
     )
+
+
+def _decode_doc_frame(frame: DataFrame) -> DataFrame:
+    """Shard blobs -> extracted legacy-doc rows; ONE definition shared
+    by the batch quarantine-free path and the streaming ingest."""
+
+    def op(batches):
+        import re as _re
+
+        import pandas as pd
+
+        from ..operators.cfb import extract_doc_text
+
+        for b in batches:
+            out = {"doc_id": [], "n_pieces": [], "n_chars": []}
+            for p, content in zip(b["path"], b["content"]):
+                got, n_pieces = extract_doc_text(bytes(content))
+                out["doc_id"].append(
+                    int(_re.search(r"(\d+)\.doc$", p).group(1))
+                )
+                out["n_pieces"].append(n_pieces)
+                out["n_chars"].append(len(got))
+            yield pd.DataFrame(out)
+
+    return frame.mapInPandas(
+        op, schema="doc_id long, n_pieces int, n_chars long"
+    )
+
+
+@register(
+    "stream_doc_legacy_ingest",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(({_DOC_LEN_SQL} + 1 + {_DOC_PIECE_CHARS - 1})
+                // {_DOC_PIECE_CHARS} AS INT) AS n_pieces,
+           CAST({_DOC_LEN_SQL} AS BIGINT) AS n_chars
+    FROM documents
+    """,
+    doc="STREAMING legacy-office ingestion — the Auto-Loader-shaped "
+    "counterpart to pipeline_doc_legacy_extract, completing the CFB "
+    "family's operational trio beside doc_legacy_quarantine: the same "
+    "staged .doc compound files consume through readStream binaryFile "
+    "with maxFilesPerTrigger-bounded micro-batches, parse per batch "
+    "through the SAME piece-table kernel, append to a parquet target "
+    "through the checkpoint, and the accumulated target must "
+    "hash-equal the batch extraction via the same oracle formulas. "
+    "The operational shape of a continuously-filling share of legacy "
+    "documents at 100 TB.",
+)
+def stream_doc_legacy_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from ..session import ensure_session_confs
+    from ..workdir import cache_root
+    from .sources_formats import _BINARYFILE_SCHEMA, _tag
+
+    ensure_session_confs(spark)
+    feed = _stage_media_files(spark, sf_dir, "doc_files", "doc", _render_doc)
+    base = os.path.join(cache_root(), f"doc_legacy_stream_{_tag(sf_dir)}")
+    target, chk = base + "_target", base + "_chk"
+    for p in (target, chk):
+        shutil.rmtree(p, ignore_errors=True)
+
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARYFILE_SCHEMA)
+        .option("pathGlobFilter", "*.doc")
+        .option("maxFilesPerTrigger", 200)
+        .load(feed)
+        .select("path", "content")
+    )
+
+    def ingest(batch_df: DataFrame, _batch_id: int) -> None:
+        _decode_doc_frame(batch_df).write.mode("append").parquet(target)
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(target)

@@ -363,6 +363,8 @@ _CORE_FIRST = (
     "pipeline_msg_extract",
     # round-13 third wave: pre-Flate-era PDF stream filters
     "pipeline_pdf_legacy_filters",
+    # round-13: the CFB family's streaming leg (operational trio)
+    "stream_doc_legacy_ingest",
 )
 
 

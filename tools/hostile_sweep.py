@@ -105,6 +105,8 @@ REPEAT_QUERIES = (
     "pipeline_msg_extract",
     # r13: staged legacy-filter PDFs (LZW/RLE/AHx/A85 + chained)
     "pipeline_pdf_legacy_filters",
+    # r13: the CFB family streaming leg (checkpoint + target)
+    "stream_doc_legacy_ingest",
     # r13: staged BMFF image files
     "multimodal_avif_probe",
     "multimodal_audio_resample",
