@@ -503,3 +503,197 @@ def pipeline_wikidump_corpus(
             F.round(F.avg("n_words"), 2).alias("avg_words"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# xz -T0 multi-block archives: footer/index-driven per-BLOCK range reads
+
+_XZ_BLOCK_DOCS = 25
+_XZ_TORN_MOD = 6  # global block idx % 6 == 5 -> block stages torn
+
+
+def _stage_xz_blocks(spark: SparkSession, sf_dir: str) -> str:
+    import os
+
+    from ..workdir import cache_root
+    from .sources_formats import _tag
+
+    path = os.path.join(cache_root(), f"xz_blocks_{_tag(sf_dir)}")
+    marker = os.path.join(path, "_STAGED")
+    if not os.path.exists(marker):
+        os.makedirs(path, exist_ok=True)
+        d = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .withColumn(
+                "part",
+                F.floor(F.col("doc_id") / _WIKI_DOCS_PER_FILE).cast("int"),
+            )
+        )
+
+        def write_part(pdf):
+            import json as _json
+            import os as os_
+            import uuid as uuid_
+
+            import pandas as pd
+
+            from ..operators.xz import write_xz_blocks
+
+            pdf = pdf.sort_values("doc_id")
+            pid = int(pdf["part"].iloc[0])
+            payloads, torn = [], set()
+            rows = list(pdf.itertuples())
+            for i in range(0, len(rows), _XZ_BLOCK_DOCS):
+                batch = rows[i : i + _XZ_BLOCK_DOCS]
+                gidx = int(batch[0].doc_id) // _XZ_BLOCK_DOCS
+                if gidx % _XZ_TORN_MOD == 5:
+                    torn.add(len(payloads))
+                payloads.append(
+                    "".join(
+                        _json.dumps(
+                            {"id": int(r.doc_id), "text": r.text},
+                            sort_keys=True,
+                        ) + "\n"
+                        for r in batch
+                    ).encode("utf-8")
+                )
+            blob = write_xz_blocks(payloads, truncate_blocks=torn)
+            name = f"corpus-{pid:04d}.xz"
+            tmp = os_.path.join(path, f".{name}.{uuid_.uuid4().hex}.tmp")
+            with open(tmp, "wb") as fh:
+                fh.write(blob)
+            os_.replace(tmp, os_.path.join(path, name))
+            return pd.DataFrame({"part": [pid], "n": [len(pdf)]})
+
+        d.groupBy("part").applyInPandas(write_part, "part int, n int").collect()
+        open(marker, "w").close()
+    return path
+
+
+@register(
+    "multimodal_xz_blocks_ingest",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(doc_id // {_XZ_BLOCK_DOCS} AS INT) AS block_id,
+           ((doc_id // {_XZ_BLOCK_DOCS}) % {_XZ_TORN_MOD} != 5) AS ok,
+           CASE WHEN (doc_id // {_XZ_BLOCK_DOCS}) % {_XZ_TORN_MOD} != 5
+                THEN length(text) ELSE NULL END AS n_chars
+    FROM documents
+    """,
+    doc="Multi-block .xz ingest by the container's own split points "
+    "(operators/xz.py, Tukaani xz format — the `xz -T0` shape any "
+    "block-parallel compressor writes): the file TAIL alone yields the "
+    "stream footer's backward pointer and the CRC-checked INDEX of "
+    "per-block sizes, so the plan never scans archive bytes — the "
+    "listing carries (path, length) only, kernel A seeks each tail "
+    "and emits block ranges, block doc-ranges derive relationally, "
+    "and kernel B range-reads ONE block per row, decoding it "
+    "standalone via FORMAT_RAW LZMA2 with the filter chain recovered "
+    "from the block's own header. The container writer is "
+    "cross-validated the strong way: stdlib lzma decompresses the "
+    "whole staged multi-block stream byte-exactly "
+    "(tests/test_xz_blocks.py) — a second, independent implementation "
+    "agreeing with the own one. Every 6th global block stages "
+    "truncated (check None carries no payload CRC, so truncation is "
+    "the deterministic loud class) and quarantines BY doc id through "
+    "the relational block-to-ids map. Recovered text lengths value-checked against the base table "
+    "for every healthy page.",
+)
+def multimodal_xz_blocks_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    path = _stage_xz_blocks(spark, sf_dir)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.xz")
+        .load(path)
+        .select(
+            F.col("path"),
+            F.col("length").alias("file_len"),
+            F.regexp_extract(F.col("path"), r"corpus-(\d+)\.xz$", 1)
+            .cast("int")
+            .alias("part"),
+        )
+    )
+
+    def read_index(batches):
+        import pandas as pd
+
+        from ..operators.xz import read_xz_index
+
+        for pdf in batches:
+            out = {"path": [], "part": [], "ordinal": [], "offset": [],
+                   "compressed_len": []}
+            for p, flen, part in zip(pdf["path"], pdf["file_len"],
+                                     pdf["part"]):
+                local = p.replace("file:", "")
+                with open(local, "rb") as fh:
+                    fh.seek(max(0, int(flen) - 8192))
+                    tail = fh.read()
+                for k, rec in enumerate(read_xz_index(tail, int(flen))):
+                    out["path"].append(p)
+                    out["part"].append(int(part))
+                    out["ordinal"].append(k)
+                    out["offset"].append(rec["offset"])
+                    out["compressed_len"].append(rec["compressed_len"])
+            yield pd.DataFrame(out)
+
+    ranges = files.mapInPandas(
+        read_index,
+        schema="path string, part int, ordinal int, offset long, "
+        "compressed_len long",
+    ).withColumn(
+        "first_id",
+        (F.col("part") * _WIKI_DOCS_PER_FILE
+         + F.col("ordinal") * _XZ_BLOCK_DOCS).cast("long"),
+    ).withColumn(
+        "doc_ids",
+        F.sequence(
+            F.col("first_id"),
+            F.col("first_id") + F.lit(_XZ_BLOCK_DOCS - 1),
+        ),
+    )
+
+    def decode_block(batches):
+        import json as _json
+
+        import pandas as pd
+
+        from ..operators.xz import decode_xz_block
+
+        for pdf in batches:
+            out = {"doc_id": [], "block_id": [], "ok": [], "n_chars": []}
+            for p, off, clen, first_id, ids in zip(
+                pdf["path"], pdf["offset"], pdf["compressed_len"],
+                pdf["first_id"], pdf["doc_ids"],
+            ):
+                local = p.replace("file:", "")
+                with open(local, "rb") as fh:
+                    fh.seek(int(off))
+                    block = fh.read(int(clen))
+                bid = int(first_id) // _XZ_BLOCK_DOCS
+                try:
+                    lines = decode_xz_block(block).decode("utf-8")
+                    recs = {
+                        r["id"]: r["text"]
+                        for r in map(_json.loads, lines.splitlines())
+                    }
+                except ValueError:
+                    recs = None
+                for did in ids:
+                    did = int(did)
+                    out["doc_id"].append(did)
+                    out["block_id"].append(bid)
+                    if recs is None or did not in recs:
+                        out["ok"].append(False)
+                        out["n_chars"].append(None)
+                    else:
+                        out["ok"].append(True)
+                        out["n_chars"].append(len(recs[did]))
+            yield pd.DataFrame(out)
+
+    return ranges.mapInPandas(
+        decode_block,
+        schema="doc_id long, block_id int, ok boolean, n_chars long",
+    )

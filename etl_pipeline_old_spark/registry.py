@@ -365,6 +365,9 @@ _CORE_FIRST = (
     "pipeline_pdf_legacy_filters",
     # round-13: the CFB family's streaming leg (operational trio)
     "stream_doc_legacy_ingest",
+    # round-13: xz -T0 multi-block range reads (the index-driven twin
+    # of the wikidump plan for the other public-corpus compressor)
+    "multimodal_xz_blocks_ingest",
 )
 
 

@@ -99,6 +99,7 @@ REPEAT_QUERIES = (
     "multimodal_webdataset_compressed",
     "multimodal_wikidump_ingest",
     "pipeline_wikidump_corpus",
+    "multimodal_xz_blocks_ingest",
     # r13: staged legacy .ppt decks
     "pipeline_ppt_legacy_extract",
     # r13: staged Outlook .msg files
