@@ -83,7 +83,9 @@ def _dir_entry(
     )
 
 
-def write_cfb(streams: dict[str, bytes]) -> bytes:
+def write_cfb(
+    streams: dict[str, bytes], degenerate_siblings: bool = False
+) -> bytes:
     """A complete v3 (512-byte sector) compound file holding the given
     streams; a '/' in a key creates nested STORAGE entries (the .msg
     layout — recipient/attachment objects are storages).  Streams under
@@ -91,7 +93,11 @@ def write_cfb(streams: dict[str, bytes]) -> bytes:
     chained through the miniFAT), larger ones in regular FAT chains —
     both paths exercised whenever the inputs span the cutoff.  Each
     storage's children form the spec-ordered (name length, then
-    uppercase name) balanced sibling BST."""
+    uppercase name) balanced sibling BST — unless
+    ``degenerate_siblings``, which chains them as a right-leaning
+    linked list instead: legal per [MS-CFB] (readers must tolerate
+    unbalanced trees) and the shape that probes a reader's walk for
+    entry-count-scaled recursion."""
     ssz = 512
 
     def pad(b: bytes, unit: int) -> bytes:
@@ -128,6 +134,10 @@ def write_cfb(streams: dict[str, bytes]) -> bytes:
         ordered = sorted(
             mine, key=lambda s: (len(s["name"]), s["name"].upper())
         )
+        if degenerate_siblings:
+            for a, b in zip(ordered, ordered[1:]):
+                a["right"] = b["id"]
+            return ordered[0]["id"] if ordered else _NOSTREAM
 
         def bst(lo: int, hi: int) -> int:
             if lo > hi:
@@ -378,20 +388,27 @@ def read_cfb(blob: bytes) -> dict[str, bytes]:
             raise ValueError("cfb: mini stream size exceeds its chain")
         return data[:size]
 
-    # walk the sibling BSTs from the root's child
+    # walk the sibling BSTs from the root's child — with an EXPLICIT
+    # stack, not recursion: [MS-CFB] tells readers to tolerate
+    # unbalanced trees, so a legal-but-degenerate linked-list sibling
+    # chain must not scale recursion depth with entry count (a ~1000
+    # entry chain would RecursionError past the documented ValueError
+    # quarantine class; r13 ADVICE)
     out: dict[str, bytes] = {}
     visited: set[int] = set()
-
-    def visit(idx: int, prefix: str) -> None:
+    stack: list[tuple[int, str]] = [(entries[0][4], "")]
+    while stack:
+        idx, prefix = stack.pop()
         if idx == _NOSTREAM or idx < 0:
-            return
+            continue
         if idx >= len(entries) or entries[idx] is None:
             raise ValueError(f"cfb: directory id {idx} out of range")
         if idx in visited:
             raise ValueError(f"cfb: directory tree cycles at id {idx}")
         visited.add(idx)
         name, otype, left, right, child, start, size = entries[idx]
-        visit(left, prefix)
+        stack.append((left, prefix))
+        stack.append((right, prefix))
         path = prefix + name
         if otype == 2:
             if size and size < cutoff:
@@ -400,11 +417,8 @@ def read_cfb(blob: bytes) -> dict[str, bytes]:
                 out[path] = read_stream_regular(start, size)
             else:
                 out[path] = b""
-        else:  # storage: recurse into its own sibling tree
-            visit(child, path + "/")
-        visit(right, prefix)
-
-    visit(entries[0][4], "")
+        else:  # storage: its child heads a sibling tree of its own
+            stack.append((child, path + "/"))
     return out
 
 

@@ -80,7 +80,11 @@ def write_pdf(pages: list, compress=False) -> bytes:
     the legacy filter names ``"lzw"``, ``"rl"``, ``"ahx"``, ``"a85"``,
     or the chain ``"a85+lzw"`` (ASCII85 OVER LZW — the wire order old
     PostScript exports used, written as the /Filter array
-    [/ASCII85Decode /LZWDecode])."""
+    [/ASCII85Decode /LZWDecode]).  ``"a85+lzw0"`` is the same chain
+    with /EarlyChange 0 LZW and the PARALLEL /DecodeParms array
+    [null << /EarlyChange 0 >>] — the ISO 32000-1 7.3.8.2 shape where
+    each filter's parms live at ITS index (a reader that grabs
+    parms[0] decodes garbage; r13 ADVICE)."""
     objs: list[bytes] = []  # body of object i+1
 
     def content(lines: list) -> bytes:
@@ -113,10 +117,15 @@ def write_pdf(pages: list, compress=False) -> bytes:
         if compress is True or compress == "flate":
             data = zlib.compress(data, 9)
             head = b"<< /Length %d /Filter /FlateDecode >>" % len(data)
-        elif compress in ("lzw", "rl", "ahx", "a85", "a85+lzw"):
+        elif compress in ("lzw", "rl", "ahx", "a85", "a85+lzw",
+                          "a85+lzw0"):
             from . import pdf_filters as PF
 
-            if compress == "a85+lzw":
+            if compress == "a85+lzw0":
+                data = PF.ascii85_encode(PF.lzw_encode(data, early=0))
+                filt = (b"[/ASCII85Decode /LZWDecode] /DecodeParms "
+                        b"[null << /EarlyChange 0 >>]")
+            elif compress == "a85+lzw":
                 data = PF.ascii85_encode(PF.lzw_encode(data))
                 filt = b"[/ASCII85Decode /LZWDecode]"
             else:
@@ -1345,7 +1354,21 @@ class _Doc:
         if filt is None:
             return raw
         filts = filt if isinstance(filt, list) else [filt]
-        for f in filts:
+        # /DecodeParms is a PARALLEL array when /Filter is one (ISO
+        # 32000-1 7.3.8.2): parms_for(i) is filter i's dict, with null
+        # entries (and a short/absent array) defaulting to {} — never
+        # parms[0] for every filter (r13 ADVICE).
+        all_parms = self.resolve(obj.get("DecodeParms"))
+        if not isinstance(all_parms, list):
+            all_parms = [all_parms] if len(filts) == 1 else [
+                all_parms if i == 0 else None for i in range(len(filts))
+            ]
+
+        def parms_for(i: int) -> dict:
+            p = self.resolve(all_parms[i]) if i < len(all_parms) else None
+            return p if isinstance(p, dict) else {}
+
+        for fi, f in enumerate(filts):
             if f == "/FlateDecode":
                 try:
                     raw = zlib.decompress(raw)
@@ -1358,9 +1381,7 @@ class _Doc:
                 # (K < 0); G3 stays the documented loud seam
                 from .ccitt import decode_g4, pack_rows
 
-                parms = self.resolve(obj.get("DecodeParms")) or {}
-                if isinstance(parms, list):
-                    parms = self.resolve(parms[0]) or {}
+                parms = parms_for(fi)
                 from .ccitt import decode_g3_1d
 
                 k = self.resolve(parms.get("K", 0))
@@ -1400,9 +1421,7 @@ class _Doc:
                 elif f == "/RunLengthDecode":
                     raw = PF.rle_decode(raw)
                 else:
-                    parms = self.resolve(obj.get("DecodeParms")) or {}
-                    if isinstance(parms, list):
-                        parms = self.resolve(parms[0]) or {}
+                    parms = parms_for(fi)
                     if self.resolve(parms.get("Predictor", 1)) != 1:
                         raise NotImplementedError(
                             "pdf: LZW predictors unsupported"

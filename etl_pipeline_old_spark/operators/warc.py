@@ -359,9 +359,10 @@ def iter_warc_responses_encoded(
     content_encoding, decoded_body, None) for every decodable response
     — chunked framing removed first, then the content coding — and
     (uri, status, te, ce, None, err) when the body cannot be decoded
-    (torn chunk framing, torn deflate stream, br without a codec) —
-    the WARC framing itself stays strict, so the URI and status
-    survive even when the body does not.  This is the walk a
+    (torn chunk framing, torn deflate stream, br without a codec) and
+    (uri, 0, '', '', None, err) when the HTTP head itself is garbage —
+    the WARC framing itself stays strict, so the URI survives even
+    when the HTTP payload does not.  This is the walk a
     real-crawl extractor needs: one bad body costs one record's text,
     never the shard."""
     members = (
@@ -382,13 +383,26 @@ def iter_warc_responses_encoded(
             )
         if headers.get("warc-type") != "response":
             continue
-        status_line, _, _r = payload.partition(_CRLF)
-        status = int(status_line.split(b" ")[1])
-        http_head, _, body = payload.partition(_CRLF * 2)
-        hh = _parse_headers(http_head)
+        uri = headers.get("warc-target-uri", "")
+        # the HTTP head is part of the per-record quarantine contract
+        # too: intact WARC framing around a garbage/truncated status
+        # line or header block costs THAT record, never the shard
+        # (r13 ADVICE)
+        try:
+            status_line, _, _r = payload.partition(_CRLF)
+            parts = status_line.split(b" ")
+            if len(parts) < 2 or not parts[0].startswith(b"HTTP/"):
+                raise ValueError(
+                    f"bad HTTP status line {status_line[:40]!r}"
+                )
+            status = int(parts[1])
+            http_head, _, body = payload.partition(_CRLF * 2)
+            hh = _parse_headers(http_head)
+        except (ValueError, IndexError) as exc:
+            yield uri, 0, "", "", None, f"http head unparsable: {exc}"
+            continue
         ce = hh.get("content-encoding", "")
         te = hh.get("transfer-encoding", "").strip().lower()
-        uri = headers.get("warc-target-uri", "")
         try:
             if te:
                 if te != "chunked":

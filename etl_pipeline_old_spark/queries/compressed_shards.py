@@ -558,7 +558,10 @@ def _stage_xz_blocks(spark: SparkSession, sf_dir: str) -> str:
                         for r in batch
                     ).encode("utf-8")
                 )
-            blob = write_xz_blocks(payloads, truncate_blocks=torn)
+            blob = write_xz_blocks(
+                payloads, truncate_blocks=torn,
+                check="crc64", size_fields=True,
+            )
             name = f"corpus-{pid:04d}.xz"
             tmp = os_.path.join(path, f".{name}.{uuid_.uuid4().hex}.tmp")
             with open(tmp, "wb") as fh:
@@ -582,21 +585,24 @@ def _stage_xz_blocks(spark: SparkSession, sf_dir: str) -> str:
     FROM documents
     """,
     doc="Multi-block .xz ingest by the container's own split points "
-    "(operators/xz.py, Tukaani xz format — the `xz -T0` shape any "
-    "block-parallel compressor writes): the file TAIL alone yields the "
+    "(operators/xz.py, Tukaani xz format — staged in the genuine "
+    "`xz -T0` default shape: block headers carrying the optional "
+    "compressed/uncompressed size fields and per-block CRC64 check "
+    "fields, both verified on decode): the file TAIL alone yields the "
     "stream footer's backward pointer and the CRC-checked INDEX of "
     "per-block sizes, so the plan never scans archive bytes — the "
     "listing carries (path, length) only, kernel A seeks each tail "
-    "and emits block ranges, block doc-ranges derive relationally, "
-    "and kernel B range-reads ONE block per row, decoding it "
-    "standalone via FORMAT_RAW LZMA2 with the filter chain recovered "
-    "from the block's own header. The container writer is "
-    "cross-validated the strong way: stdlib lzma decompresses the "
-    "whole staged multi-block stream byte-exactly "
-    "(tests/test_xz_blocks.py) — a second, independent implementation "
-    "agreeing with the own one. Every 6th global block stages "
-    "truncated (check None carries no payload CRC, so truncation is "
-    "the deterministic loud class) and quarantines BY doc id through "
+    "and emits block ranges (plus the stream's check type), block "
+    "doc-ranges derive relationally, and kernel B range-reads ONE "
+    "block per row, decoding it standalone via FORMAT_RAW LZMA2 with "
+    "the filter chain recovered from the block's own header. The "
+    "container writer is cross-validated the strong way: stdlib lzma "
+    "decompresses the whole staged multi-block stream byte-exactly, "
+    "verifying every header CRC, size field, block CRC64 and the "
+    "index (tests/test_xz_blocks.py) — a second, independent "
+    "implementation agreeing with the own one; the reader also reads "
+    "stdlib-written .xz across all four check types. Every 6th global "
+    "block stages truncated and quarantines BY doc id through "
     "the relational block-to-ids map. Recovered text lengths value-checked against the base table "
     "for every healthy page.",
 )
@@ -624,7 +630,7 @@ def multimodal_xz_blocks_ingest(
 
         for pdf in batches:
             out = {"path": [], "part": [], "ordinal": [], "offset": [],
-                   "compressed_len": []}
+                   "compressed_len": [], "check": []}
             for p, flen, part in zip(pdf["path"], pdf["file_len"],
                                      pdf["part"]):
                 local = p.replace("file:", "")
@@ -637,12 +643,13 @@ def multimodal_xz_blocks_ingest(
                     out["ordinal"].append(k)
                     out["offset"].append(rec["offset"])
                     out["compressed_len"].append(rec["compressed_len"])
+                    out["check"].append(rec["check"])
             yield pd.DataFrame(out)
 
     ranges = files.mapInPandas(
         read_index,
         schema="path string, part int, ordinal int, offset long, "
-        "compressed_len long",
+        "compressed_len long, check int",
     ).withColumn(
         "first_id",
         (F.col("part") * _WIKI_DOCS_PER_FILE
@@ -664,9 +671,9 @@ def multimodal_xz_blocks_ingest(
 
         for pdf in batches:
             out = {"doc_id": [], "block_id": [], "ok": [], "n_chars": []}
-            for p, off, clen, first_id, ids in zip(
+            for p, off, clen, check, first_id, ids in zip(
                 pdf["path"], pdf["offset"], pdf["compressed_len"],
-                pdf["first_id"], pdf["doc_ids"],
+                pdf["check"], pdf["first_id"], pdf["doc_ids"],
             ):
                 local = p.replace("file:", "")
                 with open(local, "rb") as fh:
@@ -674,7 +681,9 @@ def multimodal_xz_blocks_ingest(
                     block = fh.read(int(clen))
                 bid = int(first_id) // _XZ_BLOCK_DOCS
                 try:
-                    lines = decode_xz_block(block).decode("utf-8")
+                    lines = decode_xz_block(
+                        block, check=int(check)
+                    ).decode("utf-8")
                     recs = {
                         r["id"]: r["text"]
                         for r in map(_json.loads, lines.splitlines())

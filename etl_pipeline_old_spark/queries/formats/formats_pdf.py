@@ -918,8 +918,8 @@ def _render_pdf_ccitt(doc_id: int, text: str) -> bytes:
     "SAME raster rides a third time as 1D G3 (/K 0, T.4 MH runs with "
     "EOL framing) whose decode must match the G4 image bit-for-bit "
     "(g3_matches_g4) — two independent codings of one picture "
-    "cross-check each other. Mixed 2D G3 (K > 0) and "
-    "EncodedByteAlign stay documented seams. Scale: map-only Arrow "
+    "cross-check each other; EncodedByteAlign decodes natively for "
+    "1D G3 (operators/ccitt.py). Scale: map-only Arrow "
     "kernel, the standard media-sentinel shape.",
 )
 def pipeline_pdf_ccitt_extract(

@@ -44,6 +44,17 @@ def test_cfb_directory_spans_sectors_and_bst_orders():
     assert got == streams
 
 
+def test_cfb_degenerate_sibling_chain_walks_iteratively():
+    """[MS-CFB] readers must tolerate unbalanced sibling trees: a
+    legal right-leaning linked-list chain of ~1500 entries must walk
+    without entry-count-scaled recursion (a recursive visit would
+    RecursionError past the documented ValueError quarantine class;
+    r13 ADVICE)."""
+    streams = {f"s{i:04d}": b"v%d" % i for i in range(1500)}
+    blob = write_cfb(streams, degenerate_siblings=True)
+    assert read_cfb(blob) == streams
+
+
 def test_cfb_nested_storage_read():
     """The reader walks storages recursively; the writer stages flat, so
     the fixture is surgically re-typed: stream 'S' becomes a storage

@@ -99,6 +99,13 @@ def test_pdf_integration_all_codings_and_chain():
         assert extract_pdf_text(blob) == pages, coding
     chained = write_pdf(pages, compress="a85+lzw")
     assert b"[/ASCII85Decode /LZWDecode]" in chained
+    # the PARALLEL /DecodeParms array (ISO 32000-1 7.3.8.2): filter i's
+    # parms live at index i — [null << /EarlyChange 0 >>] must hand the
+    # EarlyChange dict to /LZWDecode, not the null meant for ASCII85
+    # (a parms[0] reader decodes garbage here; r13 ADVICE)
+    par = write_pdf(pages, compress="a85+lzw0")
+    assert b"/DecodeParms [null << /EarlyChange 0 >>]" in par
+    assert extract_pdf_text(par) == pages
     # torn LZW content stream is loud through the extractor
     torn = bytearray(write_pdf(pages, compress="lzw"))
     at = torn.find(b"stream\n") + 7

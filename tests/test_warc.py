@@ -304,6 +304,42 @@ def test_content_encoding_loud_and_quarantined_classes():
     assert out[2][4] is None and "content-encoding deflate" in out[2][5]
 
 
+def test_encoded_walk_quarantines_garbage_http_head():
+    """Intact WARC framing around an unparsable HTTP head costs ONE
+    record (uri kept, status 0), never the shard walk (r13 ADVICE)."""
+    from etl_pipeline_old_spark.operators.warc import (
+        encode_http_response,
+        encode_warc_record,
+        gzip_member,
+        iter_warc_responses_encoded,
+    )
+
+    body = b"<p>fine</p>" * 5
+    shard = b"".join(
+        gzip_member(encode_warc_record(
+            "response", {"WARC-Target-URI": uri}, payload))
+        for uri, payload in (
+            ("https://e.com/a", encode_http_response(body)),
+            # a bare status token: split()[1] would IndexError
+            ("https://e.com/headless", b"HTTP/1.1\r\n\r\nstuff"),
+            # not HTTP at all (e.g. a mislabeled gemini response)
+            ("https://e.com/alien", b"20 text/gemini\r\nhello"),
+            # non-integer status code
+            ("https://e.com/nan", b"HTTP/1.1 OK\r\n\r\nbody"),
+            ("https://e.com/b", encode_http_response(body)),
+        )
+    )
+    out = list(iter_warc_responses_encoded(shard))
+    assert [r[0] for r in out] == [
+        "https://e.com/a", "https://e.com/headless",
+        "https://e.com/alien", "https://e.com/nan", "https://e.com/b",
+    ]
+    assert out[0][4] == body and out[-1][4] == body
+    for bad in out[1:4]:
+        assert bad[1] == 0 and bad[4] is None
+        assert "http head unparsable" in bad[5]
+
+
 def test_chunked_transfer_encoding_roundtrip_and_composition():
     import zlib
 

@@ -59,7 +59,7 @@ def test_torn_blocks_and_loud_damage():
     for k, rec in enumerate(idx):
         block = blob[rec["offset"] : rec["offset"] + rec["compressed_len"]]
         if k in (2, 5):
-            with pytest.raises(ValueError, match="damaged"):
+            with pytest.raises(ValueError, match="damaged|truncated"):
                 decode_xz_block(block)
         else:
             assert decode_xz_block(block) == payloads[k]
@@ -83,6 +83,81 @@ def test_torn_blocks_and_loud_damage():
     # an index that disagrees with the file length
     with pytest.raises(ValueError, match="file length"):
         read_xz_index(good[-200:], len(good) + 4)
+
+
+def test_xz_t0_shape_cross_validates_both_directions():
+    """The genuine ``xz -T0`` default shape (size fields + CRC64): the
+    own writer's container round-trips through stdlib lzma (which
+    verifies every header CRC, size field, block check and the index
+    hash), and the own reader range-decodes it block by block."""
+    payloads = [b"doc %d " % i * (50 + i) for i in range(6)] + [b""]
+    blob = write_xz_blocks(payloads, check="crc64", size_fields=True)
+    assert lzma.decompress(blob) == b"".join(payloads)
+    idx = read_xz_index(blob[-4096:], len(blob))
+    assert all(r["check"] == 0x04 for r in idx)
+    for rec, want in zip(idx, payloads):
+        block = blob[rec["offset"] : rec["offset"] + rec["compressed_len"]]
+        assert decode_xz_block(block, check=rec["check"]) == want
+
+
+@pytest.mark.parametrize(
+    "check", [lzma.CHECK_NONE, lzma.CHECK_CRC32, lzma.CHECK_CRC64,
+              lzma.CHECK_SHA256]
+)
+def test_reads_stdlib_written_xz(check):
+    """The reader accepts containers the INDEPENDENT encoder (stdlib
+    liblzma) writes, across all four check types the spec defines."""
+    data = b"The quick brown fox jumps over the lazy dog. " * 200
+    blob = lzma.compress(data, format=lzma.FORMAT_XZ, check=check)
+    idx = read_xz_index(blob, len(blob))
+    assert len(idx) == 1
+    rec = idx[0]
+    block = blob[rec["offset"] : rec["offset"] + rec["compressed_len"]]
+    assert decode_xz_block(block, check=rec["check"]) == data
+
+
+def test_crc64_known_answer_vector():
+    # CRC-64/XZ check value for b'123456789' (ECMA-182 reflected,
+    # the catalogued standard vector)
+    from etl_pipeline_old_spark.operators.xz import crc64
+
+    assert crc64(b"123456789") == 0x995DC9BBDF1939FA
+    assert crc64(b"") == 0
+
+
+def test_t0_shape_damage_classes_loud():
+    payloads = [b"z" * 500]
+    blob = bytearray(
+        write_xz_blocks(payloads, check="crc64", size_fields=True)
+    )
+    rec = read_xz_index(bytes(blob[-4096:]), len(blob))[0]
+    lo, hi = rec["offset"], rec["offset"] + rec["compressed_len"]
+    # flip a bit in the CRC64 check field (the last 8 bytes of the
+    # block): header CRC still passes, the payload decodes, the check
+    # catches it
+    flipped = bytearray(blob)
+    flipped[hi - 1] ^= 0xFF
+    with pytest.raises(ValueError, match="check mismatch"):
+        decode_xz_block(bytes(flipped[lo:hi]), check=rec["check"])
+    # a lying compressed-size field: rewrite the varint and re-CRC the
+    # header so ONLY the size lie remains
+    hdr_size = (blob[lo] + 1) * 4
+    hdr = bytearray(blob[lo : lo + hdr_size])
+    assert hdr[1] & 0x40
+    hdr[2] ^= 0x01  # first byte of the compressed-size varint
+    hdr[-4:] = struct.pack("<I", __import__("zlib").crc32(bytes(hdr[:-4])))
+    with pytest.raises(ValueError, match="compressed-size"):
+        decode_xz_block(bytes(hdr) + bytes(blob[lo + hdr_size : hi]),
+                        check=rec["check"])
+    # truncated torn block in the -T0 shape
+    torn = write_xz_blocks(payloads, truncate_blocks={0},
+                           check="crc64", size_fields=True)
+    trec = read_xz_index(torn[-4096:], len(torn))[0]
+    with pytest.raises(ValueError, match="damaged|truncated"):
+        decode_xz_block(
+            torn[trec["offset"] : trec["offset"] + trec["compressed_len"]],
+            check=trec["check"],
+        )
 
 
 def test_varints_roundtrip():
