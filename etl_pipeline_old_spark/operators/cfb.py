@@ -26,8 +26,11 @@ color entirely).  The [MS-DOC] reader recovers the main document text
 through the Clx/PlcPcd piece table (both compressed-cp1252-style and
 UTF-16 pieces, both 0Table/1Table homes); properties, fields, tables,
 and embedded objects are out of scope and invisible to it.  BIFF8
-CONTINUE-split SSTs raise NotImplementedError (a documented seam — the
-own writer never splits; real multi-megabyte SSTs do).
+CONTINUE-split SSTs parse natively ([MS-XLS] 2.4.58: headers never
+split, character data splits at character boundaries, each continuing
+fragment re-emits its own fHighByte flag — the shape every
+production-sized .xls ships); rich/phonetic SST runs stay the
+documented NotImplementedError seam.
 
 Damage raises ValueError: bad signature, sector references past the
 file, FAT/miniFAT/DIFAT chain cycles, truncated sectors, directory
@@ -614,6 +617,7 @@ def extract_doc_text(blob: bytes) -> tuple[str, int]:
 
 _BOF, _EOF, _SST, _LABELSST, _NUMBER = 0x0809, 0x000A, 0x00FC, 0x00FD, 0x0203
 _RK = 0x027E
+_CONTINUE = 0x003C
 
 
 def _rk_encode(v: float) -> int | None:
@@ -660,25 +664,75 @@ def _xl_unicode_string(s: str) -> bytes:
 
 def _rec(rid: int, body: bytes) -> bytes:
     if len(body) > 8224:
-        raise ValueError("xls: record body needs CONTINUE (unsupported)")
+        raise ValueError("xls: record body exceeds the BIFF8 8224 cap")
     return struct.pack("<HH", rid, len(body)) + body
 
 
-def write_xls(strings: list[str], numbers: list[float]) -> bytes:
+def _sst_record_bodies(strings: list[str], max_body: int) -> list[bytes]:
+    """The SST record body plus its CONTINUE bodies, per [MS-XLS]
+    2.4.265/2.4.58: string HEADERS (cch+flags) never split across a
+    record boundary (the whole header moves to the CONTINUE), character
+    data splits only on character boundaries, and every fragment that
+    CONTINUES a string re-emits a fresh option-flags byte whose
+    fHighByte is chosen for THAT fragment's characters (real writers
+    recompress, so a UTF-16 string's tail continues compressed when
+    its remaining chars fit Latin-1 — and vice versa)."""
+    bodies: list[bytearray] = [
+        bytearray(struct.pack("<II", len(strings), len(strings)))
+    ]
+    for s in strings:
+        chars = list(s)
+        # header (never split): the whole cch+flags moves to the next
+        # record when fewer than 4 bytes remain
+        if max_body - len(bodies[-1]) < 4:
+            bodies.append(bytearray())
+        pos = 0
+        high = 0 if all(ord(c) <= 0xFF for c in chars) else 1
+        bodies[-1] += struct.pack("<HB", len(chars), high)
+        first = True
+        while pos < len(chars) or (first and not chars):
+            if not first:
+                # continuation fragment: re-emitted option flags,
+                # encoding re-chosen for the remaining characters
+                bodies.append(bytearray())
+                high = (
+                    0 if all(ord(c) <= 0xFF for c in chars[pos:]) else 1
+                )
+                bodies[-1].append(high)
+            first = False
+            unit = 2 if high else 1
+            space = (max_body - len(bodies[-1])) // unit
+            take = min(space, len(chars) - pos)
+            if take <= 0 and pos < len(chars):
+                continue  # no room for even one char: next fragment
+            enc = "utf-16-le" if high else "latin-1"
+            bodies[-1] += "".join(chars[pos : pos + take]).encode(enc)
+            pos += take
+    return [bytes(b) for b in bodies]
+
+
+def write_xls(
+    strings: list[str], numbers: list[float], sst_max_body: int = 8224
+) -> bytes:
     """A structurally valid BIFF8 .xls Workbook stream inside a CFB:
-    globals BOF + SST, sheet BOF + one LABELSST per string (row k,
+    globals BOF + SST (+ CONTINUE records per [MS-XLS] when the shared
+    string table outgrows one record body — every production-sized
+    .xls ships this way), sheet BOF + one LABELSST per string (row k,
     col 0) + one numeric cell per value (row k, col 1) + EOFs.  SST
     strings alternate compressed/UTF-16 storage as their content
-    allows; numerics ship as packed RK records whenever RkNumber can
-    represent them (int, x100, truncated-double — what real writers
-    emit for most cells) and as full 8-byte NUMBER records otherwise."""
+    allows, re-chosen per CONTINUE fragment; numerics ship as packed
+    RK records whenever RkNumber can represent them (int, x100,
+    truncated-double — what real writers emit for most cells) and as
+    full 8-byte NUMBER records otherwise.  ``sst_max_body`` lowers the
+    8224-byte record cap so tests can force multi-CONTINUE tables from
+    small fixtures."""
     wb = bytearray()
     wb += _rec(_BOF, struct.pack("<HHHHII", 0x0600, 0x0005, 0x0DBB, 0x07CC,
                                  0, 0x0600))
-    sst_body = struct.pack("<II", len(strings), len(strings))
-    for s in strings:
-        sst_body += _xl_unicode_string(s)
-    wb += _rec(_SST, sst_body)
+    sst_bodies = _sst_record_bodies(strings, min(sst_max_body, 8224))
+    wb += _rec(_SST, sst_bodies[0])
+    for cont in sst_bodies[1:]:
+        wb += _rec(_CONTINUE, cont)
     wb += _rec(_EOF, b"")
     wb += _rec(_BOF, struct.pack("<HHHHII", 0x0600, 0x0010, 0x0DBB, 0x07CC,
                                  0, 0x0600))
@@ -698,11 +752,16 @@ def extract_xls_cells(
     blob: bytes,
 ) -> tuple[list[str], list[float], int]:
     """Walk the Workbook stream's BIFF8 records: SST parsed (both
-    fHighByte forms), LABELSST cells resolved through it in record
-    order, numerics from BOTH cell forms — packed RK records (int /
-    x100 / truncated-double RkNumber, the form real writers emit for
-    most cells) and full NUMBER doubles.  CONTINUE-split SSTs raise
-    NotImplementedError (documented seam).  Returns (labels, numbers,
+    fHighByte forms) INCLUDING CONTINUE-split tables — the shape every
+    production-sized .xls ships, [MS-XLS] 2.4.58: headers never split,
+    character data splits on character boundaries, every continuing
+    fragment re-emits its own option-flags byte (so one string may mix
+    compressed and UTF-16 storage across fragments).  LABELSST cells
+    resolve through the table in record order, numerics from BOTH cell
+    forms — packed RK records (int / x100 / truncated-double RkNumber,
+    the form real writers emit for most cells) and full NUMBER doubles.
+    Rich/phonetic runs stay the documented NotImplementedError seam;
+    torn CONTINUE chains raise ValueError.  Returns (labels, numbers,
     n_rk) with n_rk counting the cells that arrived packed."""
     streams = read_cfb(blob)
     wb = streams.get("Workbook") or streams.get("Book")
@@ -719,6 +778,19 @@ def extract_xls_cells(
         if len(body) < ln:
             raise ValueError("xls: truncated record")
         p += 4 + ln
+        if rid == _SST:
+            fragments = [body]
+            while p + 4 <= len(wb):
+                nrid, nln = struct.unpack_from("<HH", wb, p)
+                if nrid != _CONTINUE:
+                    break
+                nbody = wb[p + 4 : p + 4 + nln]
+                if len(nbody) < nln:
+                    raise ValueError("xls: truncated CONTINUE record")
+                fragments.append(nbody)
+                p += 4 + nln
+            sst[:] = _parse_sst(fragments)
+            continue
         try:
             _dispatch_xls_record(rid, body, sst, labels, numbers)
         except struct.error as exc:
@@ -728,38 +800,62 @@ def extract_xls_cells(
     return labels, numbers, n_rk
 
 
+def _parse_sst(fragments: list[bytes]) -> list[str]:
+    """XLUnicodeRichExtendedString array across the SST record body and
+    its CONTINUE bodies ([MS-XLS] 2.4.265 + 2.4.58 + 2.5.293): a string
+    whose character data crosses a record boundary resumes after a
+    freshly-emitted option-flags byte whose fHighByte is independent of
+    the previous fragments' (writers recompress each fragment), while a
+    string whose data ENDS at the boundary is followed by the next
+    string's ordinary cch+flags header with no extra byte."""
+    sst: list[str] = []
+    _total, unique = struct.unpack_from("<II", fragments[0], 0)
+    fi, q = 0, 8
+    for _ in range(unique):
+        if q == len(fragments[fi]):
+            if fi + 1 >= len(fragments):
+                raise ValueError("xls: SST truncated before its strings")
+            fi, q = fi + 1, 0
+        if len(fragments[fi]) - q < 3:
+            # [MS-XLS] forbids splitting the header itself
+            raise ValueError("xls: SST string header split by CONTINUE")
+        cch, flags = struct.unpack_from("<HB", fragments[fi], q)
+        q += 3
+        if flags & 0x0C:
+            raise NotImplementedError(
+                "xls: rich/phonetic SST runs unsupported"
+            )
+        high = flags & 0x01
+        parts: list[str] = []
+        need = cch
+        while need:
+            if q == len(fragments[fi]):
+                if fi + 1 >= len(fragments):
+                    raise ValueError(
+                        "xls: SST string torn mid-data (CONTINUE missing)"
+                    )
+                fi, q = fi + 1, 0
+                # the continuing fragment re-emits option flags
+                high = fragments[fi][q] & 0x01
+                q += 1
+                continue
+            unit = 2 if high else 1
+            avail = (len(fragments[fi]) - q) // unit
+            if avail == 0:
+                raise ValueError("xls: SST splits a UTF-16 code unit")
+            take = min(need, avail)
+            raw = fragments[fi][q : q + take * unit]
+            parts.append(
+                raw.decode("utf-16-le" if high else "latin-1")
+            )
+            q += take * unit
+            need -= take
+        sst.append("".join(parts))
+    return sst
+
+
 def _dispatch_xls_record(rid, body, sst, labels, numbers) -> None:
-        if rid == _SST:
-            _total, unique = struct.unpack_from("<II", body, 0)
-            q = 8
-            for _ in range(unique):
-                if q + 3 > len(body):
-                    raise NotImplementedError(
-                        "xls: SST spans a CONTINUE record (unsupported)"
-                    )
-                cch, flags = struct.unpack_from("<HB", body, q)
-                q += 3
-                if flags & 0x0C:
-                    raise NotImplementedError(
-                        "xls: rich/phonetic SST runs unsupported"
-                    )
-                if flags & 0x01:
-                    raw = body[q : q + 2 * cch]
-                    if len(raw) < 2 * cch:
-                        raise NotImplementedError(
-                            "xls: SST spans a CONTINUE record (unsupported)"
-                        )
-                    sst.append(raw.decode("utf-16-le"))
-                    q += 2 * cch
-                else:
-                    raw = body[q : q + cch]
-                    if len(raw) < cch:
-                        raise NotImplementedError(
-                            "xls: SST spans a CONTINUE record (unsupported)"
-                        )
-                    sst.append(raw.decode("latin-1"))
-                    q += cch
-        elif rid == _LABELSST:
+        if rid == _LABELSST:
             isst = struct.unpack_from("<I", body, 6)[0]
             if isst >= len(sst):
                 raise ValueError(f"xls: LABELSST index {isst} out of range")

@@ -161,9 +161,9 @@ def _render_xls(doc_id: int, text: str) -> bytes:
     "represent. The oracle recomputes label/number/RK counts, "
     "the numeric sum, and the recovered string character mass from the "
     "base table, so an SST walk, index-resolution, or record-framing "
-    "bug flips the hash. CONTINUE-split SSTs are the documented loud "
-    "seam (unit-tested). Same map-only Arrow-kernel scale shape as "
-    "every media family.",
+    "bug flips the hash. CONTINUE-split SSTs decode natively — "
+    "pipeline_xls_sst_continue is the dedicated sentinel. Same "
+    "map-only Arrow-kernel scale shape as every media family.",
 )
 def pipeline_xls_legacy_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _stage_media_files(spark, sf_dir, "xls_files", "xls", _render_xls)
@@ -555,3 +555,145 @@ def stream_doc_legacy_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.read.parquet(target)
+
+
+# ------------------------------------------- CONTINUE-split SST .xls
+
+_SST_CHUNK = 19       # chars per SST string (odd, so split phases vary)
+_SST_MAX_BODY = 32    # forces >= 2 CONTINUE records per staged file
+_XLS_TORN_MOD = 50
+
+
+def _render_xls_sst_continue(doc_id: int, text: str) -> bytes:
+    """A .xls whose shared-string table ALWAYS spans CONTINUE records:
+    the staged text (with the Cyrillic marker forcing UTF-16 fragments
+    and per-fragment encoding switches) splits into 19-char SST
+    strings written under a 32-byte record cap, so headers land at
+    every phase relative to the record boundaries.  Every 50th file
+    then drops its final CONTINUE record — intact container, torn
+    record chain: the quarantine shape a mid-upload loss produces."""
+    import struct as _struct
+
+    from ..operators.cfb import read_cfb, write_cfb, write_xls
+
+    staged = _doc_staged_text(doc_id, text)
+    chunks = [
+        staged[i : i + _SST_CHUNK] for i in range(0, len(staged), _SST_CHUNK)
+    ]
+    blob = write_xls(chunks, [], sst_max_body=_SST_MAX_BODY)
+    if doc_id % _XLS_TORN_MOD != 0:
+        return blob
+    wb = read_cfb(blob)["Workbook"]
+    p, last = 0, None
+    while p + 4 <= len(wb):
+        rid, ln = _struct.unpack_from("<HH", wb, p)
+        if rid == 0x003C:
+            last = (p, p + 4 + ln)
+        p += 4 + ln
+    assert last is not None, "staged SST must span CONTINUE records"
+    return write_cfb({"Workbook": wb[: last[0]] + wb[last[1] :]})
+
+
+@register(
+    "pipeline_xls_sst_continue",
+    oracle=f"""
+    SELECT doc_id,
+           (doc_id % {_XLS_TORN_MOD} != 0) AS ok,
+           CASE WHEN doc_id % {_XLS_TORN_MOD} != 0
+                THEN CAST(({_DOC_LEN_SQL} + {_SST_CHUNK - 1})
+                          // {_SST_CHUNK} AS INT)
+                ELSE NULL END AS n_labels,
+           CASE WHEN doc_id % {_XLS_TORN_MOD} != 0
+                THEN CAST({_DOC_LEN_SQL} AS INT)
+                ELSE NULL END AS char_mass,
+           CASE WHEN doc_id % {_XLS_TORN_MOD} != 0
+                THEN 1 ELSE NULL END AS text_exact,
+           CASE WHEN doc_id % {_XLS_TORN_MOD} != 0
+                THEN 1 ELSE NULL END AS multi_continue
+    FROM documents
+    """,
+    doc="BIFF8 CONTINUE-split shared-string tables — the r13 verdict's "
+    "#1 task and the shape every production-sized .xls ships "
+    "(operators/cfb.py, [MS-XLS] 2.4.58/2.5.293): each document's SST "
+    "is forced across >= 2 CONTINUE records (verified in-kernel by "
+    "counting 0x003C records — multi_continue must hold for every "
+    "healthy file), string headers never split, character data splits "
+    "at character boundaries at every phase (19-char strings under a "
+    "32-byte cap), and each continuing fragment re-emits its own "
+    "fHighByte flag with the encoding RE-CHOSEN per fragment — the "
+    "Cyrillic marker makes single strings mix compressed and UTF-16 "
+    "storage across fragments, which a reader that latches the "
+    "header's flag decodes as mojibake. The oracle recomputes label "
+    "count and character mass closed-form and demands exact text "
+    "reassembly. Every 50th file drops its final CONTINUE record "
+    "(intact container, torn record chain): the kernel must keep that "
+    "loss to one record via the codec's documented ValueError class. "
+    "Scale: map-only Arrow kernel over binaryFile, the standard "
+    "media-sentinel shape.",
+)
+def pipeline_xls_sst_continue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..catalog import load_table
+
+    path = _stage_media_files(
+        spark, sf_dir, "xls_sst_cont", "xls", _render_xls_sst_continue
+    )
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.xls")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.xls$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "content",
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    joined = bf.join(docs, "doc_id")
+
+    def op(batches):
+        import struct as _struct
+
+        import pandas as pd
+
+        from ..operators.cfb import extract_xls_cells, read_cfb
+
+        for b in batches:
+            out = {"doc_id": [], "ok": [], "n_labels": [],
+                   "char_mass": [], "text_exact": [], "multi_continue": []}
+            for doc_id, content, text in zip(
+                b["doc_id"], b["content"], b["text"]
+            ):
+                out["doc_id"].append(int(doc_id))
+                try:
+                    labels, _numbers, _n_rk = extract_xls_cells(
+                        bytes(content)
+                    )
+                    wb = read_cfb(bytes(content))["Workbook"]
+                    p = n_cont = 0
+                    while p + 4 <= len(wb):
+                        rid, ln = _struct.unpack_from("<HH", wb, p)
+                        n_cont += rid == 0x003C
+                        p += 4 + ln
+                    got = "".join(labels)
+                    want = _doc_staged_text(int(doc_id), text)
+                    out["ok"].append(True)
+                    out["n_labels"].append(len(labels))
+                    out["char_mass"].append(len(got))
+                    out["text_exact"].append(1 if got == want else 0)
+                    out["multi_continue"].append(1 if n_cont >= 2 else 0)
+                except (ValueError, NotImplementedError):
+                    out["ok"].append(False)
+                    out["n_labels"].append(None)
+                    out["char_mass"].append(None)
+                    out["text_exact"].append(None)
+                    out["multi_continue"].append(None)
+            yield pd.DataFrame(out)
+
+    return joined.mapInPandas(
+        op,
+        schema="doc_id long, ok boolean, n_labels int, char_mass int, "
+        "text_exact int, multi_continue int",
+    )

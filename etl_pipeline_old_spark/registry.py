@@ -368,6 +368,9 @@ _CORE_FIRST = (
     # round-13: xz -T0 multi-block range reads (the index-driven twin
     # of the wikidump plan for the other public-corpus compressor)
     "multimodal_xz_blocks_ingest",
+    # round-14: CONTINUE-split BIFF8 SSTs (r13 verdict #1) — new queries
+    # ride this prefix for a same-round driver CORRECTNESS row
+    "pipeline_xls_sst_continue",
 )
 
 

@@ -181,9 +181,68 @@ def test_xls_roundtrip_and_loud_classes():
         rk = _rk_encode(v)
         assert rk is not None and (rk & 0b11) == form and _rk_decode(rk) == v
     assert _rk_encode(0.123456789) is None
-    # CONTINUE-needing SST is the documented loud seam
-    with pytest.raises(ValueError, match="CONTINUE"):
-        write_xls(["x" * 9000], [])
+    # an SST outgrowing one 8224-byte record body CONTINUE-splits and
+    # roundtrips (the production-sized-file shape)
+    big = ["x" * 9000, "я" * 5000, "tail"]
+    gl2, _, _ = extract_xls_cells(write_xls(big, []))
+    assert gl2 == big
+
+
+def test_xls_sst_continue_split_matrix():
+    """[MS-XLS] 2.4.58 CONTINUE semantics: headers never split,
+    character data splits at character boundaries at every phase, each
+    continuing fragment re-emits its own fHighByte with the encoding
+    RE-CHOSEN per fragment (one string legitimately mixes compressed
+    and UTF-16 storage across fragments)."""
+    import random
+
+    from etl_pipeline_old_spark.operators.cfb import _sst_record_bodies
+
+    rnd = random.Random(20260816)
+    pool = (["ascii %d" % i for i in range(5)]
+            + ["кирилл %d" % i for i in range(5)]
+            + ["mix я z %04d " % i * rnd.randint(1, 40) for i in range(20)]
+            + ["", "x"])
+    for max_body in (16, 23, 32, 64, 257, 8224):
+        strings = [rnd.choice(pool) for _ in range(60)]
+        blob = write_xls(strings, [1.5, -3.0], sst_max_body=max_body)
+        gl, gn, _ = extract_xls_cells(blob)
+        assert gl == strings and gn == [1.5, -3.0], max_body
+    # a single string that switches encodings across fragments both
+    # ways (utf16 -> compressed tail, compressed -> utf16 tail)
+    switchers = ["A" * 30 + "Я" + "B" * 30, "Ю" * 20 + "c" * 40]
+    assert len(_sst_record_bodies(switchers, 24)) > 4
+    gl, _, _ = extract_xls_cells(write_xls(switchers, [], sst_max_body=24))
+    assert gl == switchers
+
+
+def test_xls_sst_torn_continue_is_loud():
+    """Dropping the final CONTINUE record (intact container, torn
+    record chain) raises the documented ValueError class."""
+    blob = write_xls(["long string " * 50], [], sst_max_body=64)
+    wb = read_cfb(blob)["Workbook"]
+    p, last = 0, None
+    while p + 4 <= len(wb):
+        rid, ln = struct.unpack_from("<HH", wb, p)
+        if rid == 0x003C:
+            last = (p, p + 4 + ln)
+        p += 4 + ln
+    assert last is not None
+    torn = write_cfb({"Workbook": wb[: last[0]] + wb[last[1] :]})
+    with pytest.raises(ValueError, match="SST"):
+        extract_xls_cells(torn)
+    # a header split across the boundary is the spec-violation loud
+    # class: hand-build an SST whose first fragment ends mid-header
+    from etl_pipeline_old_spark.operators.cfb import _CONTINUE, _SST, _rec
+
+    frag1 = struct.pack("<II", 1, 1) + struct.pack("<H", 4)[:1]
+    frag2 = (struct.pack("<H", 4)[1:] + b"\x00" + b"abcd")
+    hand = write_cfb({"Workbook": bytes(
+        _rec(0x0809, struct.pack("<HHHHII", 0x0600, 0x0005, 0, 0, 0, 0x0600))
+        + _rec(_SST, frag1) + _rec(_CONTINUE, frag2) + _rec(0x000A, b"")
+    )})
+    with pytest.raises(ValueError, match="header split"):
+        extract_xls_cells(hand)
 
 
 def test_ppt_roundtrip_and_loud_damage():

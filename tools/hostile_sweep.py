@@ -93,6 +93,8 @@ REPEAT_QUERIES = (
     "pipeline_doc_legacy_extract",
     "pipeline_xls_legacy_cells",
     "doc_legacy_quarantine",
+    # r14: staged CONTINUE-split-SST .xls (incl. torn chains)
+    "pipeline_xls_sst_continue",
     # r13: staged CCITT G4 scanned-page PDFs
     "pipeline_pdf_ccitt_extract",
     # r13: bz2/xz shards + wikidump parts
