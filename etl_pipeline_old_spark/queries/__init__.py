@@ -59,6 +59,7 @@ _MODULES = (
     "bpe",
     "legacy_office",
     "compressed_shards",
+    "web_cdx",
     "media_probes",
 )
 

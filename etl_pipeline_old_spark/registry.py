@@ -371,6 +371,8 @@ _CORE_FIRST = (
     # round-14: CONTINUE-split BIFF8 SSTs (r13 verdict #1) — new queries
     # ride this prefix for a same-round driver CORRECTNESS row
     "pipeline_xls_sst_continue",
+    # round-14: CDX-indexed WARC range reads (r13 verdict #2)
+    "web_cdx_range_ingest",
 )
 
 

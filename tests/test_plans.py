@@ -375,3 +375,26 @@ def test_robots_parse_and_psl_plans_are_pure_jvm(spark, sf):
         assert "BatchEvalPython" not in nodes, name
         assert "MapInPandas" not in nodes, name
         assert "CartesianProduct" not in nodes, name
+
+
+def test_cdx_range_ingest_scans_only_the_index(spark, sf):
+    # r14: the CDX plan's 100 TB property — ONLY the tiny .cdx.gz
+    # sidecars enter a scan; the bulk .warc.gz archives appear in NO
+    # FileScan at all (their path reaches the kernel as a derived
+    # string column), and the CDXJ parse is pure JVM ahead of the one
+    # range-reading Arrow kernel
+    import re
+
+    plan = plan_of(QUERIES["web_cdx_range_ingest"].fn(spark, sf))
+    nodes = nodes_of(plan)
+    assert nodes.count("MapInPandas") == 1
+    assert "Exchange" not in nodes
+    assert "BatchEvalPython" not in nodes
+    scans = [n for n in nodes if n.startswith("Scan")]
+    assert scans == ["Scan"], scans  # exactly one source
+    assert plan.count("Scan text") >= 1  # ...and it is the line reader
+    assert "ReadSchema: struct<value:string>" in plan  # one string column
+    locs = [loc for s in re.findall(r"Location:.*\[(.*?)\]", plan)
+            for loc in s.split(",")]
+    assert locs and all("cdx_warc_" in loc for loc in locs), locs
+    assert not any(loc.endswith(".warc.gz") for loc in locs), locs

@@ -95,6 +95,8 @@ REPEAT_QUERIES = (
     "doc_legacy_quarantine",
     # r14: staged CONTINUE-split-SST .xls (incl. torn chains)
     "pipeline_xls_sst_continue",
+    # r14: staged per-record-member .warc.gz + CDXJ sidecars
+    "web_cdx_range_ingest",
     # r13: staged CCITT G4 scanned-page PDFs
     "pipeline_pdf_ccitt_extract",
     # r13: bz2/xz shards + wikidump parts
