@@ -706,3 +706,156 @@ def multimodal_xz_blocks_ingest(
         decode_block,
         schema="doc_id long, block_id int, ok boolean, n_chars long",
     )
+
+
+# --------------------------------------------------------- .7z archives
+
+_7Z_DOCS_PER_FILE = 50
+_7Z_TORN_MOD = 7  # archive (part) idx % 7 == 3 -> header stages torn
+
+
+def _stage_7z(spark: SparkSession, sf_dir: str) -> str:
+    import os
+
+    from ..workdir import cache_root
+    from .sources_formats import _tag
+
+    path = os.path.join(cache_root(), f"sevenzip_{_tag(sf_dir)}")
+    marker = os.path.join(path, "_STAGED")
+    if not os.path.exists(marker):
+        os.makedirs(path, exist_ok=True)
+        d = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .withColumn(
+                "part",
+                F.floor(F.col("doc_id") / _7Z_DOCS_PER_FILE).cast("int"),
+            )
+        )
+
+        def write_part(pdf):
+            import os as os_
+            import uuid as uuid_
+
+            import pandas as pd
+
+            from ..operators.sevenzip import write_7z
+
+            pdf = pdf.sort_values("doc_id")
+            pid = int(pdf["part"].iloc[0])
+            files = {
+                f"doc_{int(r.doc_id):06d}.txt": r.text.encode("utf-8")
+                for r in pdf.itertuples()
+            }
+            blob = write_7z(files, torn_header=pid % _7Z_TORN_MOD == 3)
+            name = f"corpus-{pid:04d}.7z"
+            tmp = os_.path.join(path, f".{name}.{uuid_.uuid4().hex}.tmp")
+            with open(tmp, "wb") as fh:
+                fh.write(blob)
+            os_.replace(tmp, os_.path.join(path, name))
+            return pd.DataFrame({"part": [pid], "n": [len(pdf)]})
+
+        d.groupBy("part").applyInPandas(write_part, "part int, n int").collect()
+        open(marker, "w").close()
+    return path
+
+
+@register(
+    "multimodal_7z_ingest",
+    oracle=f"""
+    SELECT doc_id,
+           ((doc_id // {_7Z_DOCS_PER_FILE}) % {_7Z_TORN_MOD} != 3) AS ok,
+           CASE WHEN (doc_id // {_7Z_DOCS_PER_FILE}) % {_7Z_TORN_MOD} != 3
+                THEN length(text) ELSE NULL END AS n_chars,
+           CASE WHEN (doc_id // {_7Z_DOCS_PER_FILE}) % {_7Z_TORN_MOD} != 3
+                THEN CASE (doc_id % {_7Z_DOCS_PER_FILE}) % 3
+                     WHEN 0 THEN '00' WHEN 1 THEN '030101' ELSE '21' END
+                ELSE NULL END AS coder
+    FROM documents
+    """,
+    doc=".7z archive ingest (operators/sevenzip.py — own codec from "
+    "the public 7zFormat.txt spec; crawl and mirror corpora carry .7z "
+    "constantly and stdlib Python cannot read it, the r13 verdict's "
+    "#3 task): the 32-byte signature header's CRC32-guarded "
+    "next-header triple, the property-ID-driven header tree "
+    "(PackInfo/UnpackInfo/FilesInfo with UTF-16LE names), 7z's "
+    "variable-length NUMBER coding, and per-folder CRC verification "
+    "are all own-parsed; entropy coding stays in stdlib lzma via "
+    "FORMAT_RAW (Copy, LZMA1 with the 5-byte lclppb+dictsize "
+    "properties parsed per spec, LZMA2) — the xz.py split. Staged "
+    "archives cycle ALL THREE coders by member position and the "
+    "oracle recomputes WHICH coder id each doc must have decoded "
+    "through, so a reader that silently falls back to one path fails "
+    "the hash; n_chars is value-checked against the base table. "
+    "Every 7th archive stages with one header byte flipped after the "
+    "signature triple was computed (the directory lives at the TAIL "
+    "— header damage is the realistic loss class) and must "
+    "quarantine as one archive, its doc ids recovered RELATIONALLY "
+    "(sequence over the part number, the xz-blocks discipline). "
+    "Multi-coder folders, solid archives, encoded headers stay "
+    "documented loud seams. Scale: map-only Arrow kernel over "
+    "binaryFile, one archive per row; non-solid 7z keeps folders "
+    "independently decodable, so the tail-header + per-folder "
+    "range-read variant is the same plan the xz family already "
+    "executes.",
+)
+def multimodal_7z_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_7z(spark, sf_dir)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.7z")
+        .load(path)
+        .select(
+            "content",
+            F.regexp_extract(F.col("path"), r"corpus-(\d+)\.7z$", 1)
+            .cast("int")
+            .alias("part"),
+        )
+        .withColumn(
+            "first_id",
+            (F.col("part") * _7Z_DOCS_PER_FILE).cast("long"),
+        )
+        .withColumn(
+            "doc_ids",
+            F.sequence(
+                F.col("first_id"),
+                F.col("first_id") + F.lit(_7Z_DOCS_PER_FILE - 1),
+            ),
+        )
+    )
+
+    def extract(batches):
+        import pandas as pd
+
+        from ..operators.sevenzip import read_7z
+
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], "n_chars": [], "coder": []}
+            for content, ids in zip(pdf["content"], pdf["doc_ids"]):
+                try:
+                    recs, meta = read_7z(bytes(content), with_meta=True)
+                    got = {
+                        int(name[4:10]): (
+                            len(data.decode("utf-8")), meta[name]
+                        )
+                        for name, data in recs.items()
+                    }
+                except (ValueError, NotImplementedError):
+                    got = None
+                for did in ids:
+                    did = int(did)
+                    out["doc_id"].append(did)
+                    if got is None or did not in got:
+                        out["ok"].append(False)
+                        out["n_chars"].append(None)
+                        out["coder"].append(None)
+                    else:
+                        out["ok"].append(True)
+                        out["n_chars"].append(got[did][0])
+                        out["coder"].append(got[did][1])
+            yield pd.DataFrame(out)
+
+    return files.mapInPandas(
+        extract,
+        schema="doc_id long, ok boolean, n_chars long, coder string",
+    )

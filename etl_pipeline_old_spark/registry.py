@@ -373,6 +373,8 @@ _CORE_FIRST = (
     "pipeline_xls_sst_continue",
     # round-14: CDX-indexed WARC range reads (r13 verdict #2)
     "web_cdx_range_ingest",
+    # round-14: .7z container ingest (r13 verdict #3)
+    "multimodal_7z_ingest",
 )
 
 
