@@ -1302,3 +1302,135 @@ def rep_pattern_rx(pat: str) -> str:
     core = pat[:-1] if anchored else pat
     rx = "^" + ".*".join(re.escape(seg) for seg in core.split("*"))
     return rx + ("$" if anchored else "")
+
+
+# ----------------------------------------------- OpenDocument (.odt/.ods)
+
+_ODF_PARA = 41  # chars per staged .odt paragraph (odd: split phases vary)
+
+
+def _render_odf(doc_id: int, text: str) -> list:
+    """One .odt + one .ods per document (the sidecar-pair staging
+    shape).  The .odt splits the text into 41-char paragraphs with
+    every 4th a text:h heading, whitespace ODF-encoded and runs split
+    across nested spans; the .ods stages TYPED cells whose float
+    display strings LIE (the value lives in office:value) plus a
+    two-wide number-columns-repeated empty run."""
+    from ...operators.odf import write_odt, write_ods
+
+    paras = [text[i : i + _ODF_PARA] for i in range(0, len(text), _ODF_PARA)]
+    word1 = text.split(" ")[0] if text else ""
+    rows = [
+        ["id", float(doc_id), doc_id % 2 == 0],
+        [word1, None, None, float(len(text))],
+    ]
+    return [("odt", write_odt(paras)), ("ods", write_ods(rows))]
+
+
+@register(
+    "pipeline_odf_extract",
+    oracle=f"""
+    SELECT doc_id,
+           CAST((length(text) + {_ODF_PARA - 1}) // {_ODF_PARA} AS INT)
+             AS n_paras,
+           CAST(((length(text) + {_ODF_PARA - 1}) // {_ODF_PARA} + 3)
+                // 4 AS INT) AS n_headings,
+           1 AS text_exact,
+           round(doc_id + length(text), 1) AS num_sum,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS INT)
+             AS bool_true,
+           CAST(2 + length(split_part(text, ' ', 1)) AS INT) AS str_mass
+    FROM documents
+    """,
+    doc="OpenDocument extraction (operators/odf.py, OASIS ODF 1.2 / "
+    "ISO 26300 over the engine's own ZIP reader — the r13 verdict's "
+    "#4 task, completing the office story: OOXML + legacy CFB + RTF + "
+    "ODF): each document stages a spec-valid .odt (stored-first "
+    "mimetype per ODF Part 3 §3.3, manifest, paragraphs split across "
+    "nested text:span runs with whitespace ENCODED as text:s/"
+    "text:tab/text:line-break elements — a reader that only joins "
+    "text nodes collapses it) and a .ods whose cells are TYPED "
+    "through attributes: float cells carry a deliberately LYING "
+    "display string with the value only in office:value, booleans in "
+    "office:boolean-value, and a table:number-columns-repeated empty "
+    "run that shifts later columns if ignored. The oracle recomputes "
+    "paragraph/heading counts, exact text reassembly, the float sum, "
+    "boolean truth, and string character mass from the base table. "
+    "Scale: one Arrow kernel over binaryFile dispatching on suffix, "
+    "map-only until the sidecar-pair join on doc_id.",
+)
+def pipeline_odf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .formats_media import _stage_media_files_multi
+
+    path = _stage_media_files_multi(spark, sf_dir, "odf_files", _render_odf)
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.od[ts]")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.od[ts]$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.regexp_extract(F.col("path"), r"\.(od[ts])$", 1)
+            .alias("kind"),
+            "content",
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    joined = bf.join(docs, "doc_id")
+
+    def op(batches):
+        import pandas as pd
+
+        from ...operators.odf import extract_ods_cells, extract_odt_text
+
+        for b in batches:
+            out = {"doc_id": [], "kind": [], "n_paras": [],
+                   "n_headings": [], "text_exact": [], "num_sum": [],
+                   "bool_true": [], "str_mass": []}
+            for doc_id, kind, content, text in zip(
+                b["doc_id"], b["kind"], b["content"], b["text"]
+            ):
+                out["doc_id"].append(int(doc_id))
+                out["kind"].append(kind)
+                if kind == "odt":
+                    paras = extract_odt_text(bytes(content))
+                    got = "".join(t for _k, _l, t in paras)
+                    out["n_paras"].append(len(paras))
+                    out["n_headings"].append(
+                        sum(1 for k, _l, _t in paras if k == "h")
+                    )
+                    out["text_exact"].append(1 if got == text else 0)
+                    out["num_sum"].append(None)
+                    out["bool_true"].append(None)
+                    out["str_mass"].append(None)
+                else:
+                    rows = extract_ods_cells(bytes(content))
+                    nums = [v for row in rows for v in row
+                            if isinstance(v, float)]
+                    bools = [v for row in rows for v in row
+                             if isinstance(v, bool)]
+                    strs = [v for row in rows for v in row
+                            if isinstance(v, str)]
+                    out["n_paras"].append(None)
+                    out["n_headings"].append(None)
+                    out["text_exact"].append(None)
+                    out["num_sum"].append(round(sum(nums), 1))
+                    out["bool_true"].append(
+                        sum(1 for v in bools if v)
+                    )
+                    out["str_mass"].append(sum(len(s) for s in strs))
+            yield pd.DataFrame(out)
+
+    parsed = joined.mapInPandas(
+        op,
+        schema="doc_id long, kind string, n_paras int, n_headings int, "
+        "text_exact int, num_sum double, bool_true int, str_mass int",
+    )
+    odt = parsed.where(F.col("kind") == "odt").select(
+        "doc_id", "n_paras", "n_headings", "text_exact"
+    )
+    ods = parsed.where(F.col("kind") == "ods").select(
+        "doc_id", "num_sum", "bool_true", "str_mass"
+    )
+    return odt.join(ods, "doc_id")

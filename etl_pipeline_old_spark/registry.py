@@ -375,6 +375,8 @@ _CORE_FIRST = (
     "web_cdx_range_ingest",
     # round-14: .7z container ingest (r13 verdict #3)
     "multimodal_7z_ingest",
+    # round-14: OpenDocument extraction (r13 verdict #4)
+    "pipeline_odf_extract",
 )
 
 

@@ -99,6 +99,8 @@ REPEAT_QUERIES = (
     "web_cdx_range_ingest",
     # r14: staged .7z archives (three coders, torn headers)
     "multimodal_7z_ingest",
+    # r14: staged .odt/.ods sidecar pairs
+    "pipeline_odf_extract",
     # r13: staged CCITT G4 scanned-page PDFs
     "pipeline_pdf_ccitt_extract",
     # r13: bz2/xz shards + wikidump parts
