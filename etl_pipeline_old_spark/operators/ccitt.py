@@ -174,6 +174,48 @@ def _changes(line: list[int], w: int) -> list[int]:
     return out
 
 
+def _encode_2d_line(bw: _BitWriter, line: list[int], ref: list[int],
+                    width: int) -> None:
+    """One line's T.4/T.6 two-dimensional coding against ``ref`` —
+    shared verbatim by G4 (T.6, every line) and mixed 2D G3 (T.4 §4.2,
+    the lines a 0 tag bit marks)."""
+    rc = _changes(ref, width)
+    cc = _changes(line, width)
+    a0, color = -1, 0
+    ci = 0  # index into cc of the next change > a0
+    while a0 < width:
+        # a1: next change in the coding line to the right of a0
+        while ci < len(cc) and (cc[ci] <= a0 if a0 >= 0 else False):
+            ci += 1
+        a1 = cc[ci] if ci < len(cc) else width
+        # b1: first ref change > a0 with color opposite to a0's
+        # color (i.e. marking a white->black change iff color==0):
+        # ref changes alternate starting white->black at even index
+        bi = 0
+        while bi < len(rc) and (rc[bi] <= a0 or (bi % 2) != color):
+            bi += 1
+        b1 = rc[bi] if bi < len(rc) else width
+        b2 = rc[bi + 1] if bi + 1 < len(rc) else width
+        if b2 < a1:
+            bw.put(_MODE_PASS)
+            a0 = b2
+        elif abs(a1 - b1) <= 3:
+            d = a1 - b1
+            bw.put(_MODE_V0 if d == 0 else
+                   (_MODE_VR[d] if d > 0 else _MODE_VL[-d]))
+            a0 = a1
+            color ^= 1
+            ci += 1
+        else:
+            a2 = cc[ci + 1] if ci + 1 < len(cc) else width
+            bw.put(_MODE_H)
+            start = max(a0, 0)
+            _put_run(bw, a1 - start, white=color == 0)
+            _put_run(bw, a2 - a1, white=color == 1)
+            a0 = a2
+            ci += 2
+
+
 def encode_g4(bits: list[int], width: int, height: int) -> bytes:
     """T.6 2D (MMR) encode of a 1=black raster; EOFB terminated."""
     if len(bits) != width * height:
@@ -182,41 +224,7 @@ def encode_g4(bits: list[int], width: int, height: int) -> bytes:
     ref = [0] * width
     for y in range(height):
         line = bits[y * width : (y + 1) * width]
-        rc = _changes(ref, width)
-        cc = _changes(line, width)
-        a0, color = -1, 0
-        ci = 0  # index into cc of the next change > a0
-        while a0 < width:
-            # a1: next change in the coding line to the right of a0
-            while ci < len(cc) and (cc[ci] <= a0 if a0 >= 0 else False):
-                ci += 1
-            a1 = cc[ci] if ci < len(cc) else width
-            # b1: first ref change > a0 with color opposite to a0's
-            # color (i.e. marking a white->black change iff color==0):
-            # ref changes alternate starting white->black at even index
-            bi = 0
-            while bi < len(rc) and (rc[bi] <= a0 or (bi % 2) != color):
-                bi += 1
-            b1 = rc[bi] if bi < len(rc) else width
-            b2 = rc[bi + 1] if bi + 1 < len(rc) else width
-            if b2 < a1:
-                bw.put(_MODE_PASS)
-                a0 = b2
-            elif abs(a1 - b1) <= 3:
-                d = a1 - b1
-                bw.put(_MODE_V0 if d == 0 else
-                       (_MODE_VR[d] if d > 0 else _MODE_VL[-d]))
-                a0 = a1
-                color ^= 1
-                ci += 1
-            else:
-                a2 = cc[ci + 1] if ci + 1 < len(cc) else width
-                bw.put(_MODE_H)
-                start = max(a0, 0)
-                _put_run(bw, a1 - start, white=color == 0)
-                _put_run(bw, a2 - a1, white=color == 1)
-                a0 = a2
-                ci += 2
+        _encode_2d_line(bw, line, ref, width)
         ref = line
     bw.put(_EOFB)
     return bw.getvalue()
@@ -274,78 +282,85 @@ def decode_g4(data: bytes, width: int, height: int | None = None) -> list[int]:
             br.pos = mark
             if probe == _EOFB or br.pos >= len(br.data) * 8:
                 break
-        line = [0] * width
-        rc = _changes(ref, width)
-        a0, color = -1, 0
-
-        def fill(frm: int, to: int, col: int) -> None:
-            for i in range(max(frm, 0), min(to, width)):
-                line[i] = col
-
-        while a0 < width:
-            code = br.take()
-            if code == "1":  # V0
-                mode, d = "V", 0
-            else:
-                code += br.take()
-                code += br.take()
-                if code == "011":
-                    mode, d = "V", 1
-                elif code == "010":
-                    mode, d = "V", -1
-                elif code == "001":
-                    mode, d = "H", 0
-                else:  # 000...
-                    code += br.take()
-                    if code == "0001":
-                        mode, d = "P", 0
-                    else:
-                        code += br.take()
-                        code += br.take()
-                        if code == "000011":
-                            mode, d = "V", 2
-                        elif code == "000010":
-                            mode, d = "V", -2
-                        else:
-                            code += br.take()
-                            if code == "0000011":
-                                mode, d = "V", 3
-                            elif code == "0000010":
-                                mode, d = "V", -3
-                            else:
-                                raise ValueError(
-                                    f"ccitt: unknown 2D mode code {code!r}"
-                                )
-            bi = 0
-            while bi < len(rc) and (rc[bi] <= a0 or (bi % 2) != color):
-                bi += 1
-            b1 = rc[bi] if bi < len(rc) else width
-            b2 = rc[bi + 1] if bi + 1 < len(rc) else width
-            if mode == "P":
-                fill(a0, b2, color)
-                a0 = b2
-            elif mode == "V":
-                a1 = b1 + d
-                if a1 < 0 or a1 > width:
-                    raise ValueError("ccitt: vertical move outside the row")
-                fill(a0, a1, color)
-                a0 = a1
-                color ^= 1
-            else:  # horizontal: two MH runs of current then opposite color
-                start = max(a0, 0)
-                r1 = _read_run(br, white=color == 0)
-                r2 = _read_run(br, white=color == 1)
-                if start + r1 + r2 > width:
-                    raise ValueError("ccitt: horizontal runs overflow the row")
-                if r1 + r2 == 0:
-                    raise ValueError("ccitt: empty horizontal pair")
-                fill(start, start + r1, color)
-                fill(start + r1, start + r1 + r2, color ^ 1)
-                a0 = start + r1 + r2
+        line = _decode_2d_line(br, ref, width)
         out.extend(line)
         ref = line
         y += 1
     return out
+
+
+def _decode_2d_line(br: _BitReader, ref: list[int], width: int) -> list[int]:
+    """Decode one two-dimensionally-coded line against ``ref`` —
+    shared by G4 and mixed 2D G3."""
+    line = [0] * width
+    rc = _changes(ref, width)
+    a0, color = -1, 0
+
+    def fill(frm: int, to: int, col: int) -> None:
+        for i in range(max(frm, 0), min(to, width)):
+            line[i] = col
+
+    while a0 < width:
+        code = br.take()
+        if code == "1":  # V0
+            mode, d = "V", 0
+        else:
+            code += br.take()
+            code += br.take()
+            if code == "011":
+                mode, d = "V", 1
+            elif code == "010":
+                mode, d = "V", -1
+            elif code == "001":
+                mode, d = "H", 0
+            else:  # 000...
+                code += br.take()
+                if code == "0001":
+                    mode, d = "P", 0
+                else:
+                    code += br.take()
+                    code += br.take()
+                    if code == "000011":
+                        mode, d = "V", 2
+                    elif code == "000010":
+                        mode, d = "V", -2
+                    else:
+                        code += br.take()
+                        if code == "0000011":
+                            mode, d = "V", 3
+                        elif code == "0000010":
+                            mode, d = "V", -3
+                        else:
+                            raise ValueError(
+                                f"ccitt: unknown 2D mode code {code!r}"
+                            )
+        bi = 0
+        while bi < len(rc) and (rc[bi] <= a0 or (bi % 2) != color):
+            bi += 1
+        b1 = rc[bi] if bi < len(rc) else width
+        b2 = rc[bi + 1] if bi + 1 < len(rc) else width
+        if mode == "P":
+            fill(a0, b2, color)
+            a0 = b2
+        elif mode == "V":
+            a1 = b1 + d
+            if a1 < 0 or a1 > width:
+                raise ValueError("ccitt: vertical move outside the row")
+            fill(a0, a1, color)
+            a0 = a1
+            color ^= 1
+        else:  # horizontal: two MH runs of current then opposite color
+            start = max(a0, 0)
+            r1 = _read_run(br, white=color == 0)
+            r2 = _read_run(br, white=color == 1)
+            if start + r1 + r2 > width:
+                raise ValueError("ccitt: horizontal runs overflow the row")
+            if r1 + r2 == 0:
+                raise ValueError("ccitt: empty horizontal pair")
+            fill(start, start + r1, color)
+            fill(start + r1, start + r1 + r2, color ^ 1)
+            a0 = start + r1 + r2
+    return line
 
 
 def pack_rows(bits: list[int], width: int) -> bytes:
@@ -391,18 +406,39 @@ def encode_g3_1d(bits: list[int], width: int, height: int,
             if fill:
                 bw.put("0" * fill)  # zero fill dies inside the EOL probe
         bw.put(_EOL)
-        runs = []
-        cur, n = 0, 0
-        for px in line:
-            if px == cur:
-                n += 1
-            else:
-                runs.append(n)
-                cur, n = px, 1
-        runs.append(n)
-        for i, run in enumerate(runs):
-            _put_run(bw, run, white=i % 2 == 0)
+        _encode_1d_row(bw, line)
     return bw.getvalue()
+
+
+def _encode_1d_row(bw: _BitWriter, line: list[int]) -> None:
+    """One T.4 MH row: alternating white/black runs, the first white
+    run zero-length when the row starts black."""
+    runs = []
+    cur, n = 0, 0
+    for px in line:
+        if px == cur:
+            n += 1
+        else:
+            runs.append(n)
+            cur, n = px, 1
+    runs.append(n)
+    for i, run in enumerate(runs):
+        _put_run(bw, run, white=i % 2 == 0)
+
+
+def _decode_1d_row(br: _BitReader, width: int) -> list[int]:
+    row = [0] * width
+    pos, white = 0, True
+    while pos < width:
+        run = _read_run(br, white=white)
+        if pos + run > width:
+            raise ValueError("ccitt: 1D run overflows the row")
+        if not white:
+            for i in range(pos, pos + run):
+                row[i] = 1
+        pos += run
+        white = not white
+    return row
 
 
 def decode_g3_1d(data: bytes, width: int, height: int,
@@ -438,16 +474,71 @@ def decode_g3_1d(data: bytes, width: int, height: int,
         # the fill bits they absorb) at the row boundary
         while at_eol():
             pass
-        row = [0] * width
-        pos, white = 0, True
-        while pos < width:
-            run = _read_run(br, white=white)
-            if pos + run > width:
-                raise ValueError("ccitt: 1D run overflows the row")
-            if not white:
-                for i in range(pos, pos + run):
-                    row[i] = 1
-            pos += run
-            white = not white
+        out.extend(_decode_1d_row(br, width))
+    return out
+
+
+# ----------------------------------------- T.4 mixed 2D (G3, PDF K > 0)
+
+
+def encode_g3_2d(bits: list[int], width: int, height: int, k: int,
+                 byte_align: bool = False) -> bytes:
+    """ITU-T T.4 §4.2 two-dimensional (MR) encode — the PDF K>0 fax
+    shape: every row is framed by EOL plus a TAG BIT (1 = the next row
+    is 1D MH coded, 0 = 2D coded against the previous row), every
+    ``k``-th row coded 1D so transmission damage cannot propagate more
+    than k rows — the error-confinement rule fax machines transmit
+    with.  The 2D rows reuse the exact vertical/horizontal/pass mode
+    coder G4 uses (T.6 is T.4's 2D scheme with the framing removed)."""
+    if len(bits) != width * height:
+        raise ValueError("ccitt: raster size disagrees with dimensions")
+    if k < 1:
+        raise ValueError("ccitt: K must be >= 1 for 2D G3")
+    bw = _BitWriter()
+    ref = [0] * width
+    for y in range(height):
+        line = bits[y * width : (y + 1) * width]
+        if byte_align:
+            fill = -sum(len(c) for c in bw.bits) % 8
+            if fill:
+                bw.put("0" * fill)
+        bw.put(_EOL)
+        one_d = y % k == 0
+        bw.put("1" if one_d else "0")
+        if one_d:
+            _encode_1d_row(bw, line)
+        else:
+            _encode_2d_line(bw, line, ref, width)
+        ref = line
+    return bw.getvalue()
+
+
+def decode_g3_2d(data: bytes, width: int, height: int,
+                 byte_align: bool = False) -> list[int]:
+    """T.4 mixed 2D decode -> 1=black raster: each row's EOL is
+    followed by the tag bit that says HOW the row is coded; the
+    decoder follows the tags (K itself never rides in the stream — it
+    is an encoder-side bound on 2D run length)."""
+    br = _BitReader(data)
+    out: list[int] = []
+    ref = [0] * width
+
+    def consume_eol() -> None:
+        zeros = 0
+        while (b := br.take()) == "0":
+            zeros += 1
+        if zeros < 11:
+            raise ValueError("ccitt: expected EOL before a 2D-G3 row")
+
+    for _y in range(height):
+        if byte_align:
+            br.pos += -br.pos % 8
+        consume_eol()
+        tag = br.take()
+        if tag == "1":
+            row = _decode_1d_row(br, width)
+        else:
+            row = _decode_2d_line(br, ref, width)
         out.extend(row)
+        ref = row
     return out

@@ -430,18 +430,21 @@ def write_pdf_images(images: list, captions: list | None = None,
         elif kind == "dct":
             body = payload
             filt = b"/DCTDecode"
-        elif kind in ("ccitt", "ccitt-g3"):
+        elif kind in ("ccitt", "ccitt-g3", "ccitt-g3-2d"):
             # payload = (bits with 1 = black, BlackIs1 flag); the coded
             # stream codes black/white runs directly — /BlackIs1 only
             # declares the DECODED output polarity.  "ccitt" = G4
-            # (K -1), "ccitt-g3" = 1D MH (K 0).
-            from .ccitt import encode_g3_1d, encode_g4
+            # (K -1), "ccitt-g3" = 1D MH (K 0), "ccitt-g3-2d" = mixed
+            # MR (K 2, every 2nd row 1D — the fax-mode T.4 §4.2 shape).
+            from .ccitt import encode_g3_1d, encode_g3_2d, encode_g4
 
             bits, black_is_1 = payload
             if len(bits) != w * h:
                 raise ValueError("pdf: ccitt raster size mismatch")
             if kind == "ccitt":
                 body, k_val = encode_g4(list(bits), w, h), -1
+            elif kind == "ccitt-g3-2d":
+                body, k_val = encode_g3_2d(list(bits), w, h, k=2), 2
             else:
                 body, k_val = encode_g3_1d(list(bits), w, h), 0
             filt = b"/CCITTFaxDecode"
@@ -1377,19 +1380,18 @@ class _Doc:
                         f"pdf: stream inflate failed ({exc})"
                     ) from exc
             elif f == "/CCITTFaxDecode":
-                # scanned-document PDFs are overwhelmingly CCITT G4
-                # (K < 0); G3 stays the documented loud seam
-                from .ccitt import decode_g4, pack_rows
+                # the full /K surface: G4 (K < 0, what scanned PDFs
+                # overwhelmingly carry), 1D MH G3 (K = 0) and mixed
+                # 2D MR G3 (K > 0, the fax-transmission shape)
+                from .ccitt import (
+                    decode_g3_1d,
+                    decode_g3_2d,
+                    decode_g4,
+                    pack_rows,
+                )
 
                 parms = parms_for(fi)
-                from .ccitt import decode_g3_1d
-
                 k = self.resolve(parms.get("K", 0))
-                if k > 0:
-                    raise NotImplementedError(
-                        "pdf: CCITT mixed 2D G3 (K > 0) unsupported — "
-                        "G4 (K < 0) and 1D G3 (K = 0) decode natively"
-                    )
                 eba = bool(self.resolve(parms.get("EncodedByteAlign",
                                                    False)))
                 if eba and k < 0:
@@ -1402,6 +1404,8 @@ class _Doc:
                     rows = self.resolve(obj.get("Height"))
                 if k < 0:
                     bits = decode_g4(raw, cols, rows)
+                elif k > 0:
+                    bits = decode_g3_2d(raw, cols, rows, byte_align=eba)
                 else:
                     bits = decode_g3_1d(raw, cols, rows, byte_align=eba)
                 if not self.resolve(parms.get("BlackIs1", False)):

@@ -884,7 +884,8 @@ def _render_pdf_ccitt(doc_id: int, text: str) -> bytes:
     bits = [1 if p >= 128 else 0 for p in md5_pixels(text, 256)]
     return write_pdf_images(
         [("ccitt", 16, 16, (bits, True)), ("ccitt", 16, 16, (bits, False)),
-         ("ccitt-g3", 16, 16, (bits, True))],
+         ("ccitt-g3", 16, 16, (bits, True)),
+         ("ccitt-g3-2d", 16, 16, (bits, True))],
         compress_content=doc_id % 2 == 1,
     )
 @register(
@@ -894,11 +895,12 @@ def _render_pdf_ccitt(doc_id: int, text: str) -> bytes:
       SELECT doc_id,
              [{", ".join(_ppm_pixel_sql(j) for j in range(256))}] AS p
       FROM documents)
-    SELECT doc_id, 3 AS n_images,
+    SELECT doc_id, 4 AS n_images,
       CAST(len(list_filter(p, x -> x >= 128)) AS INT) AS black_px,
       16 AS w, 16 AS h,
       1 AS polarity_ok,
-      1 AS g3_matches_g4
+      1 AS g3_matches_g4,
+      1 AS g3_2d_matches_g4
     FROM px
     """,
     doc="PDF CCITTFax G4 image extraction (operators/ccitt.py, ITU-T "
@@ -916,10 +918,13 @@ def _render_pdf_ccitt(doc_id: int, text: str) -> bytes:
     "pinned vectors in tests/test_ccitt.py cover each mode "
     "explicitly; torn streams are the loud class there), and the "
     "SAME raster rides a third time as 1D G3 (/K 0, T.4 MH runs with "
-    "EOL framing) whose decode must match the G4 image bit-for-bit "
-    "(g3_matches_g4) — two independent codings of one picture "
-    "cross-check each other; EncodedByteAlign decodes natively for "
-    "1D G3 (operators/ccitt.py). Scale: map-only Arrow "
+    "EOL framing, EncodedByteAlign decoding natively) whose decode "
+    "must match the G4 image bit-for-bit (g3_matches_g4), and a "
+    "FOURTH time as mixed 2D G3 (/K 2, T.4 §4.2 MR — EOL + tag bit "
+    "per row, every 2nd row 1D, 2D rows through the same mode coder "
+    "G4 uses; r13 verdict #5) cross-checked the same way "
+    "(g3_2d_matches_g4) — three independent codings of one picture "
+    "against each other. Scale: map-only Arrow "
     "kernel, the standard media-sentinel shape.",
 )
 def pipeline_pdf_ccitt_extract(
@@ -949,13 +954,14 @@ def pipeline_pdf_ccitt_extract(
             out = {
                 "doc_id": [], "n_images": [], "black_px": [],
                 "w": [], "h": [], "polarity_ok": [], "g3_matches_g4": [],
+                "g3_2d_matches_g4": [],
             }
             for doc_id, content in zip(
                 pdf_batch["doc_id"], pdf_batch["content"]
             ):
                 imgs = extract_pdf_images(bytes(content))
                 (_, w0, h0, _f0, d0), (_, _w1, _h1, _f1, d1), \
-                    (_, _w2, _h2, _f2, d2) = imgs
+                    (_, _w2, _h2, _f2, d2), (_, _w3, _h3, _f3, d3) = imgs
                 # BlackIs1 true -> 1 bits are black; false -> inverted
                 black = sum(bin(b).count("1") for b in d0)
                 inv_ok = all(
@@ -968,12 +974,13 @@ def pipeline_pdf_ccitt_extract(
                 out["h"].append(h0)
                 out["polarity_ok"].append(1 if inv_ok else 0)
                 out["g3_matches_g4"].append(1 if d2 == d0 else 0)
+                out["g3_2d_matches_g4"].append(1 if d3 == d0 else 0)
             yield pd.DataFrame(out)
 
     return bf.mapInPandas(
         op,
         schema="doc_id long, n_images int, black_px int, w int, h int, "
-        "polarity_ok int, g3_matches_g4 int",
+        "polarity_ok int, g3_matches_g4 int, g3_2d_matches_g4 int",
     )
 def _render_pdf_figures(doc_id: int, text: str) -> bytes:
     from ...operators.multimodal import md5_pixels

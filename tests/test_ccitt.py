@@ -140,9 +140,10 @@ def test_pdf_ccitt_integration_and_seams():
     assert imgs[1][4] == pack_rows([1 - b for b in bits], 16)
     # 1D G3 (K = 0) decodes natively and must agree with the G4 image
     assert imgs[2][4] == imgs[0][4]
-    # mixed 2D G3 (K > 0) is the documented loud seam
+    # a G4 stream under a LYING /K 10 routes to the 2D-G3 decoder,
+    # which demands EOL framing G4 never has — loud, not wrong
     broken = pdf.replace(b"/K -1", b"/K 10", 1)
-    with pytest.raises(NotImplementedError, match="K > 0"):
+    with pytest.raises(ValueError, match="EOL"):
         extract_pdf_images(broken)
     # a G4 stream fed to the G3 decoder (forged K) is loud, not wrong
     forged = pdf.replace(b"/K -1", b"/K 00", 1)
@@ -207,3 +208,56 @@ def test_g3_encoded_byte_align():
     assert len(old) == len(new) and old in pdf
     with pytest.raises(NotImplementedError, match="EncodedByteAlign"):
         extract_pdf_images(pdf.replace(old, new, 1))
+
+
+def test_g3_2d_mixed_mode_roundtrips_and_cross_checks():
+    """T.4 §4.2 mixed MR (PDF K > 0): EOL + tag bit per row, every
+    K-th row 1D, 2D rows through the SAME mode coder G4 uses — so one
+    raster coded as G4, 1D G3 and 2D G3 must decode identically."""
+    from etl_pipeline_old_spark.operators.ccitt import (
+        decode_g3_2d,
+        decode_g4,
+        encode_g3_2d,
+        encode_g4,
+    )
+
+    for w, h in ((64, 10), (17, 7), (8, 3)):
+        bits = [1 if _RND.random() < 0.3 else 0 for _ in range(w * h)]
+        for k in (1, 2, 4):
+            for ba in (False, True):
+                enc = encode_g3_2d(bits, w, h, k, byte_align=ba)
+                assert decode_g3_2d(enc, w, h, byte_align=ba) == bits, (
+                    w, h, k, ba,
+                )
+        assert decode_g3_2d(encode_g3_2d(bits, w, h, 2), w, h) == \
+            decode_g4(encode_g4(bits, w, h), w, h)
+    # the tag bits are real: K=1 (all rows 1D) and K=4 (3 of 4 rows
+    # 2D) produce different streams for the same raster
+    bits = [1 if _RND.random() < 0.4 else 0 for _ in range(32 * 8)]
+    assert encode_g3_2d(bits, 32, 8, 1) != encode_g3_2d(bits, 32, 8, 4)
+    # torn stream and missing EOL are loud
+    enc = encode_g3_2d(bits, 32, 8, 2)
+    with pytest.raises(ValueError):
+        decode_g3_2d(enc[: len(enc) // 2], 32, 8)
+    with pytest.raises(ValueError, match="EOL"):
+        decode_g3_2d(b"\xff" + enc, 32, 8)
+
+
+def test_pdf_k_positive_decodes_natively():
+    """A /K 2 /CCITTFaxDecode XObject decodes through decode_g3_2d and
+    matches the G4 coding of the same raster bit-for-bit — the r13
+    verdict #5 acceptance shape."""
+    from etl_pipeline_old_spark.operators.pdf import (
+        extract_pdf_images,
+        write_pdf_images,
+    )
+
+    bits = [1 if _RND.random() < 0.35 else 0 for _ in range(16 * 16)]
+    pdf = write_pdf_images(
+        [("ccitt", 16, 16, (bits, True)),
+         ("ccitt-g3-2d", 16, 16, (bits, True))]
+    )
+    assert b"/K 2" in pdf
+    (_, _w0, _h0, _f0, d_g4), (_, _w1, _h1, _f1, d_mr) = \
+        extract_pdf_images(pdf)
+    assert d_mr == d_g4
