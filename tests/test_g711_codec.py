@@ -135,3 +135,22 @@ def test_wav_zero_channels_raises_cleanly():
     payload[22:24] = b"\x00\x00"  # fmt channels field
     with pytest.raises(ValueError, match="0 channels"):
         decode_audio_real(bytes(payload))
+
+
+def test_spec_published_zero_codes():
+    """The two G.711 known-answer values the standard itself fixes
+    (belt-and-braces over the audioop exhaustive cross-validation):
+    positive zero codes to 0xFF under µ-law (all-ones after the
+    complement convention) and to 0xD5 under A-law (sign bit set,
+    even bits inverted)."""
+    from etl_pipeline_old_spark.operators.g711 import (
+        alaw2linear,
+        linear2alaw,
+        linear2ulaw,
+        ulaw2linear,
+    )
+
+    assert linear2ulaw(0) == 0xFF
+    assert linear2alaw(0) == 0xD5
+    assert ulaw2linear(0xFF) == 0
+    assert alaw2linear(0xD5) in (0, 8)  # A-law decodes mid-riser: +8
