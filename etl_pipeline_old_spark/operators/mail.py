@@ -268,10 +268,16 @@ def _collect_parts(headers: dict, body: bytes, out: list,
 
 def write_message(subject: str, sender: str, text: str,
                   html: str | None = None,
-                  charset: str = "utf-8") -> bytes:
+                  charset: str = "utf-8",
+                  message_id: str | None = None,
+                  in_reply_to: str | None = None,
+                  references: list | None = None) -> bytes:
     """Serialize a spec-valid message: folded + encoded-word headers,
     and either a single QP text/plain body or multipart/alternative
-    with a QP text part and a base64 HTML part."""
+    with a QP text part and a base64 HTML part.  ``message_id`` /
+    ``in_reply_to`` / ``references`` stage the RFC 5322 §3.6.4
+    threading headers (References carries the ancestor chain oldest
+    first, the convention real mailers follow)."""
     boundary = "=_bnd_" + format(abs(hash(subject)) % 10**10, "010d")
     head = [
         f"From: {encode_word(sender, charset)} <noreply@example.invalid>",
@@ -280,6 +286,12 @@ def write_message(subject: str, sender: str, text: str,
         "MIME-Version: 1.0",
         "Date: Thu, 01 Jan 2026 00:00:00 +0000",
     ]
+    if message_id:
+        head.append(f"Message-ID: {message_id}")
+    if in_reply_to:
+        head.append(f"In-Reply-To: {in_reply_to}")
+    if references:
+        head.append("References: " + " ".join(references))
     text_part = (
         f"Content-Type: text/plain; charset={charset}" + _CRLF
         + "Content-Transfer-Encoding: quoted-printable" + _CRLF + _CRLF

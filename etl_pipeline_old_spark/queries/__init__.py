@@ -60,6 +60,7 @@ _MODULES = (
     "legacy_office",
     "compressed_shards",
     "web_cdx",
+    "mail_threads",
     "media_probes",
 )
 

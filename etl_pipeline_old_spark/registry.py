@@ -377,6 +377,8 @@ _CORE_FIRST = (
     "multimodal_7z_ingest",
     # round-14: OpenDocument extraction (r13 verdict #4)
     "pipeline_odf_extract",
+    # round-14: References/In-Reply-To thread reconstruction (r13 #7)
+    "mail_thread_reconstruct",
 )
 
 

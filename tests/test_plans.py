@@ -398,3 +398,13 @@ def test_cdx_range_ingest_scans_only_the_index(spark, sf):
             for loc in s.split(",")]
     assert locs and all("cdx_warc_" in loc for loc in locs), locs
     assert not any(loc.endswith(".warc.gz") for loc in locs), locs
+
+
+def test_mail_thread_reconstruct_plan_is_one_kernel_plus_joins(spark, sf):
+    # r14: thread reconstruction is relational — ONE Arrow kernel (the
+    # header parse), then equi-joins and aggregates only
+    plan = plan_of(QUERIES["mail_thread_reconstruct"].fn(spark, sf))
+    nodes = nodes_of(plan)
+    assert nodes.count("MapInPandas") == 1
+    assert "CartesianProduct" not in nodes
+    assert "BatchEvalPython" not in nodes

@@ -101,6 +101,8 @@ REPEAT_QUERIES = (
     "multimodal_7z_ingest",
     # r14: staged .odt/.ods sidecar pairs
     "pipeline_odf_extract",
+    # r14: staged one-message-per-file thread mboxes
+    "mail_thread_reconstruct",
     # r13: staged CCITT G4 scanned-page PDFs
     "pipeline_pdf_ccitt_extract",
     # r13: bz2/xz shards + wikidump parts
