@@ -29,8 +29,9 @@ and embedded objects are out of scope and invisible to it.  BIFF8
 CONTINUE-split SSTs parse natively ([MS-XLS] 2.4.58: headers never
 split, character data splits at character boundaries, each continuing
 fragment re-emits its own fHighByte flag — the shape every
-production-sized .xls ships); rich/phonetic SST runs stay the
-documented NotImplementedError seam.
+production-sized .xls ships); fRichSt FormatRuns and fExtSt phonetic
+blocks are header-counted and skipped past (non-character
+continuation, which does NOT re-emit the flags byte).
 
 Damage raises ValueError: bad signature, sector references past the
 file, FAT/miniFAT/DIFAT chain cycles, truncated sectors, directory
@@ -668,27 +669,50 @@ def _rec(rid: int, body: bytes) -> bytes:
     return struct.pack("<HH", rid, len(body)) + body
 
 
-def _sst_record_bodies(strings: list[str], max_body: int) -> list[bytes]:
+def _sst_record_bodies(
+    strings: list[str], max_body: int, rich_every: int = 0
+) -> list[bytes]:
     """The SST record body plus its CONTINUE bodies, per [MS-XLS]
-    2.4.265/2.4.58: string HEADERS (cch+flags) never split across a
-    record boundary (the whole header moves to the CONTINUE), character
-    data splits only on character boundaries, and every fragment that
-    CONTINUES a string re-emits a fresh option-flags byte whose
-    fHighByte is chosen for THAT fragment's characters (real writers
-    recompress, so a UTF-16 string's tail continues compressed when
-    its remaining chars fit Latin-1 — and vice versa)."""
+    2.4.265/2.4.58: string HEADERS (cch+flags+cRun) never split across
+    a record boundary (the whole header moves to the CONTINUE),
+    character data splits only on character boundaries, and every
+    fragment that CONTINUES a string's CHARACTER data re-emits a fresh
+    option-flags byte whose fHighByte is chosen for THAT fragment's
+    characters (real writers recompress, so a UTF-16 string's tail
+    continues compressed when its remaining chars fit Latin-1 — and
+    vice versa).  With ``rich_every``, every such string carries
+    fRichSt FormatRun data (two 4-byte runs) AFTER its characters —
+    non-character continuation, which per 2.1.4 does NOT re-emit the
+    flags byte."""
     bodies: list[bytearray] = [
         bytearray(struct.pack("<II", len(strings), len(strings)))
     ]
-    for s in strings:
+
+    def append_raw(data: bytes) -> None:
+        """Non-character payload: splits anywhere, NO re-emitted
+        flags byte on continuation."""
+        at = 0
+        while at < len(data):
+            space = max_body - len(bodies[-1])
+            if space == 0:
+                bodies.append(bytearray())
+                continue
+            bodies[-1] += data[at : at + space]
+            at += space
+
+    for i, s in enumerate(strings):
         chars = list(s)
-        # header (never split): the whole cch+flags moves to the next
-        # record when fewer than 4 bytes remain
-        if max_body - len(bodies[-1]) < 4:
-            bodies.append(bytearray())
-        pos = 0
+        rich = bool(rich_every) and i % rich_every == 2 and chars
+        # header (never split): the whole cch+flags[+cRun] moves to
+        # the next record when it does not fit with >= 1 char byte
         high = 0 if all(ord(c) <= 0xFF for c in chars) else 1
-        bodies[-1] += struct.pack("<HB", len(chars), high)
+        header = struct.pack("<HB", len(chars), high | (0x08 if rich else 0))
+        if rich:
+            header += struct.pack("<H", 2)  # cRun
+        if max_body - len(bodies[-1]) < len(header) + 1:
+            bodies.append(bytearray())
+        bodies[-1] += header
+        pos = 0
         first = True
         while pos < len(chars) or (first and not chars):
             if not first:
@@ -708,11 +732,16 @@ def _sst_record_bodies(strings: list[str], max_body: int) -> list[bytes]:
             enc = "utf-16-le" if high else "latin-1"
             bodies[-1] += "".join(chars[pos : pos + take]).encode(enc)
             pos += take
+        if rich:
+            # two FormatRun structures: (ich, ifnt) each — formatting
+            # metadata the text extraction skips
+            append_raw(struct.pack("<HHHH", 0, 1, len(chars) // 2, 2))
     return [bytes(b) for b in bodies]
 
 
 def write_xls(
-    strings: list[str], numbers: list[float], sst_max_body: int = 8224
+    strings: list[str], numbers: list[float], sst_max_body: int = 8224,
+    rich_every: int = 0,
 ) -> bytes:
     """A structurally valid BIFF8 .xls Workbook stream inside a CFB:
     globals BOF + SST (+ CONTINUE records per [MS-XLS] when the shared
@@ -729,7 +758,9 @@ def write_xls(
     wb = bytearray()
     wb += _rec(_BOF, struct.pack("<HHHHII", 0x0600, 0x0005, 0x0DBB, 0x07CC,
                                  0, 0x0600))
-    sst_bodies = _sst_record_bodies(strings, min(sst_max_body, 8224))
+    sst_bodies = _sst_record_bodies(
+        strings, min(sst_max_body, 8224), rich_every=rich_every
+    )
     wb += _rec(_SST, sst_bodies[0])
     for cont in sst_bodies[1:]:
         wb += _rec(_CONTINUE, cont)
@@ -760,8 +791,8 @@ def extract_xls_cells(
     resolve through the table in record order, numerics from BOTH cell
     forms — packed RK records (int / x100 / truncated-double RkNumber,
     the form real writers emit for most cells) and full NUMBER doubles.
-    Rich/phonetic runs stay the documented NotImplementedError seam;
-    torn CONTINUE chains raise ValueError.  Returns (labels, numbers,
+    fRichSt/fExtSt run data is skipped per its header counts; torn
+    CONTINUE chains raise ValueError.  Returns (labels, numbers,
     n_rk) with n_rk counting the cells that arrived packed."""
     streams = read_cfb(blob)
     wb = streams.get("Workbook") or streams.get("Book")
@@ -821,10 +852,19 @@ def _parse_sst(fragments: list[bytes]) -> list[str]:
             raise ValueError("xls: SST string header split by CONTINUE")
         cch, flags = struct.unpack_from("<HB", fragments[fi], q)
         q += 3
-        if flags & 0x0C:
-            raise NotImplementedError(
-                "xls: rich/phonetic SST runs unsupported"
-            )
+        if flags & 0xF2:
+            raise ValueError(f"xls: reserved SST flag bits set ({flags:#x})")
+        c_run = cb_ext = 0
+        if flags & 0x08:  # fRichSt: FormatRun count rides the header
+            if len(fragments[fi]) - q < 2:
+                raise ValueError("xls: SST string header split by CONTINUE")
+            c_run = struct.unpack_from("<H", fragments[fi], q)[0]
+            q += 2
+        if flags & 0x04:  # fExtSt: ExtRst (phonetic) byte count too
+            if len(fragments[fi]) - q < 4:
+                raise ValueError("xls: SST string header split by CONTINUE")
+            cb_ext = struct.unpack_from("<I", fragments[fi], q)[0]
+            q += 4
         high = flags & 0x01
         parts: list[str] = []
         need = cch
@@ -850,6 +890,22 @@ def _parse_sst(fragments: list[bytes]) -> list[str]:
             )
             q += take * unit
             need -= take
+        # rich-run + ExtRst data trail the characters: formatting
+        # metadata, skipped — NON-character continuation, so no
+        # re-emitted flags byte when it splits ([MS-XLS] 2.1.4)
+        skip = c_run * 4 + cb_ext
+        while skip:
+            if q == len(fragments[fi]):
+                if fi + 1 >= len(fragments):
+                    raise ValueError(
+                        "xls: SST rich/phonetic data torn "
+                        "(CONTINUE missing)"
+                    )
+                fi, q = fi + 1, 0
+                continue
+            step = min(skip, len(fragments[fi]) - q)
+            q += step
+            skip -= step
         sst.append("".join(parts))
     return sst
 

@@ -580,7 +580,8 @@ def _render_xls_sst_continue(doc_id: int, text: str) -> bytes:
     chunks = [
         staged[i : i + _SST_CHUNK] for i in range(0, len(staged), _SST_CHUNK)
     ]
-    blob = write_xls(chunks, [], sst_max_body=_SST_MAX_BODY)
+    blob = write_xls(chunks, [], sst_max_body=_SST_MAX_BODY,
+                     rich_every=5)
     if doc_id % _XLS_TORN_MOD != 0:
         return blob
     wb = read_cfb(blob)["Workbook"]
@@ -623,7 +624,10 @@ def _render_xls_sst_continue(doc_id: int, text: str) -> bytes:
     "fHighByte flag with the encoding RE-CHOSEN per fragment — the "
     "Cyrillic marker makes single strings mix compressed and UTF-16 "
     "storage across fragments, which a reader that latches the "
-    "header's flag decodes as mojibake. The oracle recomputes label "
+    "header's flag decodes as mojibake; every 5th string carries "
+    "fRichSt FormatRun data that must be skipped per its header "
+    "count (non-character continuation — no re-emitted flags byte). "
+    "The oracle recomputes label "
     "count and character mass closed-form and demands exact text "
     "reassembly. Every 50th file drops its final CONTINUE record "
     "(intact container, torn record chain): the kernel must keep that "

@@ -288,3 +288,29 @@ def test_msg_roundtrip_nested_storages_and_loud():
     # a message without its body property is loud
     with pytest.raises(ValueError, match="no body"):
         extract_msg(write_cfb({"__substg1.0_0037001E": b"subject only"}))
+
+
+def test_xls_sst_rich_runs_skip_per_header_counts():
+    """[MS-XLS] fRichSt: the FormatRun count rides the string header
+    and the run data trails the characters — non-character
+    continuation, which must NOT re-emit the flags byte when it
+    splits across a CONTINUE boundary."""
+    from etl_pipeline_old_spark.operators.cfb import _sst_record_bodies
+
+    strings = ["ab", "cd", "RICH STRING " * 4, "кириллица тут", "tail"]
+    for max_body in (16, 24, 8224):
+        blob = write_xls(strings, [], sst_max_body=max_body, rich_every=3)
+        gl, _, _ = extract_xls_cells(blob)
+        assert gl == strings, max_body
+    # the rich flag is really on the wire: the rich string's header
+    # (cch=48, flags fRichSt, cRun=2) appears verbatim in a fragment
+    bodies = _sst_record_bodies(strings, 8224, rich_every=3)
+    rich_header = struct.pack("<HBH", 48, 0x08, 2)
+    assert any(rich_header in b for b in bodies)
+    # reserved flag bits stay loud
+    blob = bytearray(write_xls(["abcd"], []))
+    at = blob.find(struct.pack("<HB", 4, 0))
+    assert at > 0
+    blob[at + 2] = 0x42  # reserved bit 0x40 + fExtSt? 0x02 reserved
+    with pytest.raises(ValueError, match="reserved"):
+        extract_xls_cells(bytes(blob))
