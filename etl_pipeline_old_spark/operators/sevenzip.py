@@ -276,6 +276,24 @@ def write_7z(files: dict[str, bytes], torn_header: bool = False) -> bytes:
     return sig + body + bytes(header)
 
 
+def parse_7z_signature(head: bytes) -> tuple[int, int, int]:
+    """The 32-byte signature header -> (absolute next-header offset,
+    next-header size, next-header CRC32).  This plus one more range
+    read (the header itself, which lives at the archive TAIL) is all a
+    reader needs before it can range-read individual folders — the
+    same two-small-reads discipline as the xz footer/index walk."""
+    if head[:6] != MAGIC:
+        raise ValueError("7z: bad signature magic")
+    if len(head) < 32:
+        raise ValueError("7z: truncated signature header")
+    start_crc = struct.unpack("<I", head[8:12])[0]
+    triple = head[12:32]
+    if zlib.crc32(triple) != start_crc:
+        raise ValueError("7z: signature header CRC mismatch")
+    nh_off, nh_size, nh_crc = struct.unpack("<QQI", triple)
+    return 32 + nh_off, nh_size, nh_crc
+
+
 def read_7z(
     blob: bytes, with_meta: bool = False
 ) -> dict[str, bytes] | tuple[dict[str, bytes], dict[str, str]]:
@@ -286,23 +304,47 @@ def read_7z(
     emits and the common non-solid data archive; solid multi-file
     folders, bind-pair chains and encoded headers raise the documented
     loud classes."""
-    if blob[:6] != MAGIC:
-        raise ValueError("7z: bad signature magic")
-    if len(blob) < 32:
-        raise ValueError("7z: truncated signature header")
-    start_crc = struct.unpack("<I", blob[8:12])[0]
-    triple = blob[12:32]
-    if zlib.crc32(triple) != start_crc:
-        raise ValueError("7z: signature header CRC mismatch")
-    nh_off, nh_size, nh_crc = struct.unpack("<QQI", triple)
-    h0 = 32 + nh_off
+    h0, nh_size, nh_crc = parse_7z_signature(blob[:32])
     header = blob[h0 : h0 + nh_size]
     if len(header) != nh_size:
         raise ValueError("7z: next header runs past the file")
-    if zlib.crc32(header) != nh_crc:
+    entries = parse_7z_header(header, nh_crc)
+    out: dict[str, bytes] = {}
+    meta: dict[str, str] = {}
+    for e in entries:
+        packed = blob[e["offset"] : e["offset"] + e["packed_len"]]
+        if len(packed) != e["packed_len"]:
+            raise ValueError("7z: pack stream runs past the file")
+        out[e["name"]] = decode_7z_folder(packed, e)
+        meta[e["name"]] = e["coder"]
+    return (out, meta) if with_meta else out
+
+
+def decode_7z_folder(packed: bytes, entry: dict) -> bytes:
+    """Decode ONE folder's pack-stream bytes against its header entry
+    (the range-read half of the tail-header plan): the entry's coder/
+    props drive the FORMAT_RAW decode, the declared unpack size bounds
+    it, and the folder CRC (when defined) verifies the result."""
+    data = _decode_payload(
+        packed, bytes.fromhex(entry["coder"]), entry["props"],
+        entry["unpack_len"],
+    )
+    if entry["crc"] is not None and zlib.crc32(data) != entry["crc"]:
+        raise ValueError(f"7z: folder {entry['name']!r} CRC mismatch")
+    return data
+
+
+def parse_7z_header(header: bytes, nh_crc: int | None = None) -> list[dict]:
+    """The next-header tree -> one entry per folder/file:
+    ``{'name', 'offset', 'packed_len', 'unpack_len', 'coder' (hex),
+    'props', 'crc'}`` with ABSOLUTE file offsets, so a caller holding
+    only the 32-byte head and the header bytes (both tiny range reads)
+    can plan per-folder range reads without ever scanning the
+    archive."""
+    if nh_crc is not None and zlib.crc32(header) != nh_crc:
         raise ValueError("7z: next header CRC mismatch")
     if not header:
-        return {}
+        return []
     at = 0
     if header[at] == _K_ENCODED_HEADER:
         raise NotImplementedError(
@@ -444,20 +486,22 @@ def read_7z(
     else:
         names = [f"stream{k}" for k in range(n_folders)]
 
-    # ---- decode folders
-    out: dict[str, bytes] = {}
-    meta: dict[str, str] = {}
+    # ---- assemble per-folder entries with absolute offsets
+    entries: list[dict] = []
     pos = 32 + pack_pos
     for k, ((coder, props), psize, usize, name) in enumerate(
         zip(folders, pack_sizes, unpack_sizes, names)
     ):
-        packed = blob[pos : pos + psize]
-        if len(packed) != psize:
-            raise ValueError("7z: pack stream runs past the file")
+        entries.append(
+            {
+                "name": name,
+                "offset": pos,
+                "packed_len": psize,
+                "unpack_len": usize,
+                "coder": coder.hex(),
+                "props": props,
+                "crc": folder_crcs[k] if folder_crcs is not None else None,
+            }
+        )
         pos += psize
-        data = _decode_payload(packed, coder, props, usize)
-        if folder_crcs is not None and zlib.crc32(data) != folder_crcs[k]:
-            raise ValueError(f"7z: folder {k} CRC mismatch")
-        out[name] = data
-        meta[name] = coder.hex()
-    return (out, meta) if with_meta else out
+    return entries

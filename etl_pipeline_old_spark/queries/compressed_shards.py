@@ -859,3 +859,166 @@ def multimodal_7z_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract,
         schema="doc_id long, ok boolean, n_chars long, coder string",
     )
+
+
+@register(
+    "multimodal_7z_ranged",
+    oracle=f"""
+    SELECT doc_id,
+           ((doc_id // {_7Z_DOCS_PER_FILE}) % {_7Z_TORN_MOD} != 3) AS ok,
+           CASE WHEN (doc_id // {_7Z_DOCS_PER_FILE}) % {_7Z_TORN_MOD} != 3
+                THEN length(text) ELSE NULL END AS n_chars,
+           CASE WHEN (doc_id // {_7Z_DOCS_PER_FILE}) % {_7Z_TORN_MOD} != 3
+                THEN CASE (doc_id % {_7Z_DOCS_PER_FILE}) % 3
+                     WHEN 0 THEN '00' WHEN 1 THEN '030101' ELSE '21' END
+                ELSE NULL END AS coder
+    FROM documents
+    """,
+    doc=".7z ingest by TAIL-HEADER RANGE READS — the 100 TB access "
+    "path for the same staged archives multimodal_7z_ingest walks "
+    "whole (operators/sevenzip.py): non-solid 7z keeps every folder "
+    "independently decodable, and the directory lives at the tail, "
+    "so kernel A reads exactly TWO small ranges per archive (the "
+    "32-byte signature head, then the header range it names) and "
+    "emits per-folder (offset, packed_len, coder, props, crc) rows — "
+    "the archive bytes themselves flow through NO scan (the "
+    "binaryFile listing projects path+length only, plan-locked in "
+    "tests/test_plans.py). Kernel B range-reads ONE folder per row "
+    "and decodes it standalone with the folder CRC verified — the "
+    "xz-blocks/CDX discipline applied to the third container family. "
+    "Torn tail headers quarantine the archive with doc ids recovered "
+    "relationally; results value-match the whole-walk query's oracle "
+    "(same coder-id and length checks), so the two access paths "
+    "cross-check each other.",
+)
+def multimodal_7z_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_7z(spark, sf_dir)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.7z")
+        .load(path)
+        .select(
+            F.col("path"),
+            F.col("length").alias("file_len"),
+            F.regexp_extract(F.col("path"), r"corpus-(\d+)\.7z$", 1)
+            .cast("int")
+            .alias("part"),
+        )
+        .withColumn(
+            "first_id",
+            (F.col("part") * _7Z_DOCS_PER_FILE).cast("long"),
+        )
+        .withColumn(
+            "doc_ids",
+            F.sequence(
+                F.col("first_id"),
+                F.col("first_id") + F.lit(_7Z_DOCS_PER_FILE - 1),
+            ),
+        )
+    )
+
+    def read_headers(batches):
+        import pandas as pd
+
+        from ..operators.sevenzip import (
+            parse_7z_header,
+            parse_7z_signature,
+        )
+
+        for pdf in batches:
+            out = {"doc_id": [], "path": [], "offset": [],
+                   "packed_len": [], "unpack_len": [], "coder": [],
+                   "props": [], "crc": []}
+            for p, ids in zip(pdf["path"], pdf["doc_ids"]):
+                local = p.replace("file:", "")
+                try:
+                    with open(local, "rb") as fh:
+                        h0, nh_size, nh_crc = parse_7z_signature(
+                            fh.read(32)
+                        )
+                        fh.seek(h0)
+                        header = fh.read(nh_size)
+                    if len(header) != nh_size:
+                        raise ValueError("7z: header range past EOF")
+                    entries = {
+                        int(e["name"][4:10]): e
+                        for e in parse_7z_header(header, nh_crc)
+                    }
+                except (ValueError, NotImplementedError):
+                    entries = None
+                for did in ids:
+                    did = int(did)
+                    e = None if entries is None else entries.get(did)
+                    out["doc_id"].append(did)
+                    out["path"].append(p)
+                    out["offset"].append(
+                        None if e is None else e["offset"]
+                    )
+                    out["packed_len"].append(
+                        None if e is None else e["packed_len"]
+                    )
+                    out["unpack_len"].append(
+                        None if e is None else e["unpack_len"]
+                    )
+                    out["coder"].append(
+                        None if e is None else e["coder"]
+                    )
+                    out["props"].append(
+                        None if e is None else e["props"]
+                    )
+                    out["crc"].append(None if e is None else e["crc"])
+            yield pd.DataFrame(out)
+
+    ranges = files.mapInPandas(
+        read_headers,
+        schema="doc_id long, path string, offset long, packed_len long, "
+        "unpack_len long, coder string, props binary, crc long",
+    )
+
+    def decode_folder(batches):
+        import pandas as pd
+
+        from ..operators.sevenzip import decode_7z_folder
+
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], "n_chars": [], "coder": []}
+            for did, p, off, plen, ulen, coder, props, crc in zip(
+                pdf["doc_id"], pdf["path"], pdf["offset"],
+                pdf["packed_len"], pdf["unpack_len"], pdf["coder"],
+                pdf["props"], pdf["crc"],
+            ):
+                out["doc_id"].append(int(did))
+                if coder is None or (
+                    isinstance(off, float) and off != off
+                ) or off is None:
+                    out["ok"].append(False)
+                    out["n_chars"].append(None)
+                    out["coder"].append(None)
+                    continue
+                local = p.replace("file:", "")
+                with open(local, "rb") as fh:
+                    fh.seek(int(off))
+                    packed = fh.read(int(plen))
+                try:
+                    entry = {
+                        "name": f"doc_{int(did):06d}.txt",
+                        "coder": coder,
+                        "props": bytes(props) if props is not None
+                        else b"",
+                        "unpack_len": int(ulen),
+                        "crc": int(crc) if crc is not None else None,
+                    }
+                    data = decode_7z_folder(packed, entry)
+                    out["ok"].append(True)
+                    out["n_chars"].append(len(data.decode("utf-8")))
+                    out["coder"].append(coder)
+                except (ValueError, NotImplementedError):
+                    out["ok"].append(False)
+                    out["n_chars"].append(None)
+                    out["coder"].append(None)
+            yield pd.DataFrame(out)
+
+    return ranges.mapInPandas(
+        decode_folder,
+        schema="doc_id long, ok boolean, n_chars long, coder string",
+    )

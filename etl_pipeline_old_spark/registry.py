@@ -379,6 +379,8 @@ _CORE_FIRST = (
     "pipeline_odf_extract",
     # round-14: References/In-Reply-To thread reconstruction (r13 #7)
     "mail_thread_reconstruct",
+    # round-14: 7z tail-header range reads (the scale twin of #3)
+    "multimodal_7z_ranged",
 )
 
 

@@ -408,3 +408,16 @@ def test_mail_thread_reconstruct_plan_is_one_kernel_plus_joins(spark, sf):
     assert nodes.count("MapInPandas") == 1
     assert "CartesianProduct" not in nodes
     assert "BatchEvalPython" not in nodes
+
+
+def test_7z_ranged_plan_never_scans_archive_bytes(spark, sf):
+    # r14: the tail-header range-read plan — the binaryFile listing
+    # projects path+length ONLY (no content column reaches the plan),
+    # two kernels (header walk, folder decode), no shuffle
+    plan = plan_of(QUERIES["multimodal_7z_ranged"].fn(spark, sf))
+    nodes = nodes_of(plan)
+    assert nodes.count("MapInPandas") == 2
+    assert "Exchange" not in nodes
+    assert "BatchEvalPython" not in nodes
+    read_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schemas and all("content" not in l for l in read_schemas)

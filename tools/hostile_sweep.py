@@ -99,6 +99,7 @@ REPEAT_QUERIES = (
     "web_cdx_range_ingest",
     # r14: staged .7z archives (three coders, torn headers)
     "multimodal_7z_ingest",
+    "multimodal_7z_ranged",
     # r14: staged .odt/.ods sidecar pairs
     "pipeline_odf_extract",
     # r14: staged one-message-per-file thread mboxes
