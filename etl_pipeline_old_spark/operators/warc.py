@@ -275,6 +275,70 @@ def iter_warc_responses_typed(
             yield parsed
 
 
+def encode_warc_revisit(
+    uri: str, refers_to_uri: str, digest: str
+) -> bytes:
+    """A WARC 1.1 ``revisit`` record with the identical-payload-digest
+    profile — what a crawler writes INSTEAD of the body when a re-fetch
+    hashes to a capture it already stores (the storage-dedup mechanism
+    of every real crawl): WARC-Payload-Digest names the shared hash,
+    WARC-Refers-To-Target-URI the capture holding the bytes, and the
+    record block is empty."""
+    return encode_warc_record(
+        "revisit",
+        {
+            "WARC-Target-URI": uri,
+            "WARC-Profile":
+                "http://netpreserve.org/warc/1.1/revisit/"
+                "identical-payload-digest",
+            "WARC-Refers-To-Target-URI": refers_to_uri,
+            "WARC-Payload-Digest": f"sha1:{digest}",
+        },
+        b"",
+    )
+
+
+def iter_warc_captures(
+    blob: bytes,
+) -> Iterator[tuple[str, str, str, str, bytes | None]]:
+    """The dedup-aware walk: yields (rec_type, target_uri,
+    payload_digest, refers_to_uri, body) for response AND revisit
+    records — revisits carry no body (their bytes live at the referred
+    capture; resolving that reference is a corpus-level JOIN, not a
+    per-record lookup).  Other record types are skipped; framing stays
+    strict."""
+    members = (
+        split_gzip_members(blob) if blob[:2] == b"\x1f\x8b"
+        else _split_plain(blob)
+    )
+    for rec in members:
+        if not rec.startswith(b"WARC/"):
+            raise ValueError(f"not a WARC record: {rec[:16]!r}")
+        head, sep, rest = rec.partition(_CRLF * 2)
+        if not sep:
+            raise ValueError("WARC header block not terminated")
+        headers = _parse_headers(head)
+        length = int(headers["content-length"])
+        payload = rest[:length]
+        if len(payload) < length:
+            raise ValueError(
+                f"truncated record: payload {len(payload)} < {length}"
+            )
+        rtype = headers.get("warc-type", "")
+        uri = headers.get("warc-target-uri", "")
+        digest = headers.get("warc-payload-digest", "").removeprefix(
+            "sha1:"
+        )
+        if rtype == "response":
+            _head, _, body = payload.partition(_CRLF * 2)
+            yield rtype, uri, digest, "", body
+        elif rtype == "revisit":
+            yield (
+                rtype, uri, digest,
+                headers.get("warc-refers-to-target-uri", ""), None,
+            )
+
+
 def _split_plain(blob: bytes) -> Iterator[bytes]:
     """Record-split uncompressed WARC bytes by walking Content-Length —
     splitting on the bare 'WARC/1.0' string would corrupt records whose

@@ -332,3 +332,175 @@ def web_cdx_range_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, ok boolean, status int, n_chars int, "
         "digest_ok int, uri_exact int",
     )
+
+
+# ------------------------------------------------- revisit-record dedup
+
+_REVISIT_MOD = 4  # every 4th capture is re-fetched -> revisit record
+
+
+def _stage_revisit_warc(spark: SparkSession, sf_dir: str) -> str:
+    """Per part: ``captures-{pid}.warc.gz`` (one digest-stamped
+    response per doc) plus ``revisit-{pid}.warc.gz`` holding WARC 1.1
+    revisit records for every 4th doc — a SEPARATE file, so resolving
+    a revisit to its payload is forced to be a corpus-level join, the
+    way a real crawl's storage dedup actually reads back."""
+    path = os.path.join(cache_root(), f"revisit_warc_{_tag(sf_dir)}")
+    marker = os.path.join(path, "_STAGED")
+    if not os.path.exists(marker):
+        os.makedirs(path, exist_ok=True)
+        d = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .withColumn(
+                "part",
+                F.floor(F.col("doc_id") / _CDX_DOCS_PER_FILE).cast("int"),
+            )
+        )
+
+        def write_part(pdf):
+            import os as os_
+            import uuid as uuid_
+
+            import pandas as pd
+
+            from ..operators.warc import (
+                encode_http_response,
+                encode_warc_record,
+                encode_warc_revisit,
+                gzip_member,
+            )
+
+            pdf = pdf.sort_values("doc_id")
+            pid = int(pdf["part"].iloc[0])
+            captures = bytearray()
+            revisits = bytearray()
+            for r in pdf.itertuples():
+                did = int(r.doc_id)
+                uri = f"https://example.org/doc/{did}"
+                body = r.text.encode("utf-8")
+                digest = _cdx_digest(body)
+                captures += gzip_member(
+                    encode_warc_record(
+                        "response",
+                        {"WARC-Target-URI": uri,
+                         "WARC-Payload-Digest": f"sha1:{digest}"},
+                        encode_http_response(body),
+                    )
+                )
+                if did % _REVISIT_MOD == 0:
+                    revisits += gzip_member(
+                        encode_warc_revisit(
+                            uri + "?refetch=1", uri, digest
+                        )
+                    )
+            for name, blob in (
+                (f"captures-{pid:04d}.warc.gz", bytes(captures)),
+                (f"revisit-{pid:04d}.warc.gz", bytes(revisits)),
+            ):
+                if not blob:
+                    continue
+                tmp = os_.path.join(path, f".{name}.{uuid_.uuid4().hex}.tmp")
+                with open(tmp, "wb") as fh:
+                    fh.write(blob)
+                os_.replace(tmp, os_.path.join(path, name))
+            return pd.DataFrame({"part": [pid], "n": [len(pdf)]})
+
+        d.groupBy("part").applyInPandas(write_part, "part int, n int").collect()
+        open(marker, "w").close()
+    return path
+
+
+@register(
+    "warc_revisit_dedup",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % {_REVISIT_MOD} = 0 THEN 2 ELSE 1 END
+                AS INT) AS n_captures,
+           CAST(CASE WHEN doc_id % {_REVISIT_MOD} = 0 THEN 1 ELSE 0 END
+                AS INT) AS n_revisits,
+           CASE WHEN doc_id % {_REVISIT_MOD} = 0 THEN 1 ELSE NULL END
+             AS revisit_resolved,
+           length(text) AS n_chars
+    FROM documents
+    """,
+    doc="WARC 1.1 revisit-record dedup — how real crawls store a "
+    "re-fetched page whose bytes they already hold (the "
+    "identical-payload-digest profile): every 4th capture ships a "
+    "bodyless revisit record in a SEPARATE shard, carrying only the "
+    "shared sha1/Base32 payload digest and the referred capture's "
+    "URI. The walk (operators/warc.py iter_warc_captures) surfaces "
+    "responses and revisits as one typed stream; resolution is a "
+    "corpus-level JOIN on the digest — never a per-record lookup — "
+    "with the kernel recomputing each response's digest from its "
+    "recovered body, so a digest, framing, or join bug flips "
+    "revisit_resolved. Per-doc capture/revisit counts and the "
+    "recovered text length are all oracle-recomputed. Scale: the "
+    "resolution join is a hash equi-join on the digest — exactly the "
+    "plan a petabyte crawl's dedup readback needs; revisit records "
+    "are ~200 bytes, so the revisit side is always the small side.",
+)
+def warc_revisit_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_revisit_warc(spark, sf_dir)
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc.gz")
+        .load(path)
+        .select("content")
+    )
+
+    def walk(batches):
+        import pandas as pd
+
+        from ..operators.warc import iter_warc_captures
+
+        for pdf in batches:
+            out = {"rec_type": [], "doc_id": [], "digest": [],
+                   "digest_ok": [], "n_chars": []}
+            for blob in pdf["content"]:
+                for rtype, uri, digest, refers, body in \
+                        iter_warc_captures(bytes(blob)):
+                    target = refers or uri
+                    did = int(target.rsplit("/", 1)[1].split("?")[0])
+                    out["rec_type"].append(rtype)
+                    out["doc_id"].append(did)
+                    out["digest"].append(digest)
+                    if body is None:
+                        out["digest_ok"].append(None)
+                        out["n_chars"].append(None)
+                    else:
+                        out["digest_ok"].append(
+                            1 if _cdx_digest(body) == digest else 0
+                        )
+                        out["n_chars"].append(
+                            len(body.decode("utf-8"))
+                        )
+            yield pd.DataFrame(out)
+
+    captures = bf.mapInPandas(
+        walk,
+        schema="rec_type string, doc_id long, digest string, "
+        "digest_ok int, n_chars long",
+    )
+    originals = captures.where(
+        (F.col("rec_type") == "response") & (F.col("digest_ok") == 1)
+    ).select("digest", F.col("doc_id").alias("orig_doc"),
+             F.col("n_chars").alias("orig_chars"))
+    revisits = captures.where(F.col("rec_type") == "revisit")
+    resolved = (
+        revisits.join(originals, "digest")
+        .where(F.col("doc_id") == F.col("orig_doc"))
+        .groupBy("doc_id")
+        .agg(F.lit(1).alias("revisit_resolved"))
+    )
+    agg = captures.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_captures"),
+        F.sum((F.col("rec_type") == "revisit").cast("int"))
+        .cast("int")
+        .alias("n_revisits"),
+        F.max("n_chars").alias("n_chars"),
+    )
+    return agg.join(resolved, "doc_id", "left").select(
+        "doc_id", "n_captures", "n_revisits", "revisit_resolved",
+        "n_chars",
+    )

@@ -381,6 +381,8 @@ _CORE_FIRST = (
     "mail_thread_reconstruct",
     # round-14: 7z tail-header range reads (the scale twin of #3)
     "multimodal_7z_ranged",
+    # round-14: WARC 1.1 revisit-record dedup (identical-payload-digest)
+    "warc_revisit_dedup",
 )
 
 

@@ -399,3 +399,52 @@ def test_chunked_torn_framing_is_loud_and_quarantined():
     (uri, status, te, ce, got, err), = iter_warc_responses_encoded(shard)
     assert (uri, te, got) == ("https://e.com/torn", "chunked", None)
     assert "chunked" in err
+
+
+def test_revisit_records_roundtrip_and_typed_walk():
+    """WARC 1.1 identical-payload-digest revisits: bodyless records
+    carrying the shared digest + the referred capture's URI, surfaced
+    by iter_warc_captures beside the responses they deduplicate."""
+    from etl_pipeline_old_spark.operators.warc import (
+        encode_http_response,
+        encode_warc_record,
+        encode_warc_revisit,
+        gzip_member,
+        iter_warc_captures,
+    )
+
+    body = "страница <b>x</b> ".encode("utf-8") * 9
+    import base64
+    import hashlib
+
+    digest = base64.b32encode(hashlib.sha1(body).digest()).decode()
+    shard = b"".join(
+        [
+            gzip_member(encode_warc_record(
+                "warcinfo", {"WARC-Filename": "t.warc.gz"}, b"x\r\n")),
+            gzip_member(encode_warc_record(
+                "response",
+                {"WARC-Target-URI": "https://e.com/a",
+                 "WARC-Payload-Digest": f"sha1:{digest}"},
+                encode_http_response(body))),
+            gzip_member(encode_warc_revisit(
+                "https://e.com/a?again", "https://e.com/a", digest)),
+        ]
+    )
+    got = list(iter_warc_captures(shard))
+    assert [g[0] for g in got] == ["response", "revisit"]  # warcinfo skipped
+    rtype, uri, d0, refers, rbody = got[0]
+    assert (uri, d0, refers, rbody) == ("https://e.com/a", digest, "", body)
+    rtype, uri, d1, refers, rbody = got[1]
+    assert (uri, d1, refers, rbody) == (
+        "https://e.com/a?again", digest, "https://e.com/a", None,
+    )
+    # the revisit record is tiny and bodyless — the dedup point
+    assert len(gzip_member(encode_warc_revisit("u", "v", digest))) < 400
+    # framing stays strict
+    with pytest.raises(ValueError, match="truncated"):
+        list(iter_warc_captures(
+            encode_warc_record(
+                "response", {"WARC-Target-URI": "u"},
+                encode_http_response(body))[:-30]
+        ))

@@ -97,6 +97,8 @@ REPEAT_QUERIES = (
     "pipeline_xls_sst_continue",
     # r14: staged per-record-member .warc.gz + CDXJ sidecars
     "web_cdx_range_ingest",
+    # r14: staged capture + revisit shard pairs
+    "warc_revisit_dedup",
     # r14: staged .7z archives (three coders, torn headers)
     "multimodal_7z_ingest",
     "multimodal_7z_ranged",
