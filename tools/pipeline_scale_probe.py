@@ -114,6 +114,12 @@ def pipelines():
         "pipeline_doc_legacy_extract": _r13()["doc"],
         "multimodal_wikidump_ingest": _r13()["wiki"],
         "web_content_encoding": _r13()["ce"],
+        # r14 additions: CONTINUE-split SSTs (k-fold more .xls files),
+        # the 7z three-coder walk, and the CDX sidecar-driven range
+        # reads (k-fold more shards, each still one member per task)
+        "pipeline_xls_sst_continue": _r14()["xls_cont"],
+        "multimodal_7z_ingest": _r14()["sevenz"],
+        "web_cdx_range_ingest": _r14()["cdx"],
     }
 
 
@@ -132,6 +138,22 @@ def _r13():
         "doc": pipeline_doc_legacy_extract,
         "wiki": multimodal_wikidump_ingest,
         "ce": web_content_encoding,
+    }
+
+
+def _r14():
+    from etl_pipeline_old_spark.queries.compressed_shards import (
+        multimodal_7z_ingest,
+    )
+    from etl_pipeline_old_spark.queries.legacy_office import (
+        pipeline_xls_sst_continue,
+    )
+    from etl_pipeline_old_spark.queries.web_cdx import web_cdx_range_ingest
+
+    return {
+        "xls_cont": pipeline_xls_sst_continue,
+        "sevenz": multimodal_7z_ingest,
+        "cdx": web_cdx_range_ingest,
     }
 
 
@@ -176,7 +198,7 @@ def main() -> None:
         "WebDataset .tar shards, AES-encrypted PDFs, .docx packages, "
         "source files (r11b), mbox shards, EPUB books, legacy-charset "
         "crawl shards, the five-format mixed bucket (r12 probes for the "
-        "r11b families), xref-stream PDFs, and aux-part DOCX (r12).",
+        "r11b families), xref-stream PDFs, aux-part DOCX (r12), CONTINUE-split .xls, .7z archives, and CDX-indexed .warc.gz (r14).",
         "",
         "| pipeline | metric | " + " | ".join(f"k={k}" for k in FACTORS)
         + " | t(k16)/t(k1) |",
