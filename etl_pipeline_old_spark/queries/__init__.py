@@ -62,6 +62,8 @@ _MODULES = (
     "web_cdx",
     "mail_threads",
     "media_probes",
+    "lake_footer",
+    "lake_orc",
 )
 
 

@@ -106,6 +106,13 @@ REPEAT_QUERIES = (
     "pipeline_odf_extract",
     # r14: staged one-message-per-file thread mboxes
     "mail_thread_reconstruct",
+    # r14: staged controlled-row-group parquet lake (+ torn-tail copies)
+    "lake_footer_prune_plan",
+    "lake_footer_quarantine",
+    # r14: staged ORC shards (zlib/none/snappy + torn copies) + stripes
+    "multimodal_orc_ingest",
+    "lake_orc_stripe_ranged",
+    "lake_orc_quarantine",
     # r13: staged CCITT G4 scanned-page PDFs
     "pipeline_pdf_ccitt_extract",
     # r13: bz2/xz shards + wikidump parts
