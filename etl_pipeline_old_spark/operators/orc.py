@@ -23,9 +23,11 @@ Implemented from the spec:
   writerVersion(6), magic(8000, "ORC").
 - **Compression chunks**: 3-byte little-endian header, low bit =
   isOriginal, high 23 bits = chunk length; ZLIB chunks are RAW
-  deflate.  NONE and ZLIB decode; SNAPPY/LZO/LZ4/ZSTD raise the loud
-  NotImplementedError class (no independent decoder in-container —
-  fabricating one is against house policy).
+  deflate, SNAPPY chunks decode through the own codec in snappy.py
+  (pure-algorithm spec, cross-validated against the C++ compressor's
+  own output).  LZO/LZ4/ZSTD raise the loud NotImplementedError class
+  (no independent decoder in-container and entropy-table specs not
+  honestly transcribable — fabricating one is against house policy).
 - **Footer**: stripes(3: offset/indexLength/dataLength/footerLength/
   numberOfRows), types(4: kind/subtypes/fieldNames), numberOfRows(6),
   statistics(7: numberOfValues, Int/Double/String/Bucket/Date stats,
@@ -155,10 +157,19 @@ def _decompress(buf: bytes, compression: str) -> bytes:
     """Undo ORC's chunked compression framing over a stream/footer region."""
     if compression == "NONE":
         return buf
-    if compression != "ZLIB":
+    if compression == "ZLIB":
+        def undo(chunk: bytes) -> bytes:
+            try:
+                return zlib.decompress(chunk, wbits=-15)
+            except zlib.error as exc:
+                raise ValueError(f"orc: corrupt deflate chunk ({exc})") from exc
+    elif compression == "SNAPPY":
+        from .snappy import decompress as undo
+    else:
         raise NotImplementedError(
             f"orc: {compression} compression unsupported (no independent "
-            "decoder in-container; ZLIB and NONE decode)"
+            "decoder in-container and its spec is not honestly "
+            "transcribable here; NONE/ZLIB/SNAPPY decode)"
         )
     out = bytearray()
     pos = 0
@@ -173,13 +184,7 @@ def _decompress(buf: bytes, compression: str) -> bytes:
             raise ValueError("orc: compression chunk runs past region end")
         chunk = buf[pos : pos + length]
         pos += length
-        if is_original:
-            out += chunk
-        else:
-            try:
-                out += zlib.decompress(chunk, wbits=-15)
-            except zlib.error as exc:
-                raise ValueError(f"orc: corrupt deflate chunk ({exc})") from exc
+        out += chunk if is_original else undo(chunk)
     return bytes(out)
 
 

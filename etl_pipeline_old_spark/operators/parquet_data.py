@@ -1,0 +1,341 @@
+"""Parquet data pages — own pure-stdlib column reader, completing the
+own parquet stack: parquet_meta.py reads the footer (Thrift compact),
+THIS module reads the pages it points at.  Written from the public
+parquet-format spec (PageHeader/DataPageHeader/DictionaryPageHeader
+Thrift structs, the RLE/bit-packed hybrid, PLAIN and RLE_DICTIONARY
+encodings, per-page block compression).
+
+Why this exists: with snappy.py in hand (parquet-cpp's default codec),
+the REAL driver testdata — snappy-compressed, arrow-written parquet —
+is decodable end-to-end by an independent in-repo implementation.
+That closes the loop the ORC codec already has: the engine can verify
+its own lake bytes without trusting the JVM reader that wrote them,
+and the per-column-chunk range-read shape (footer offsets → one chunk
+per task) is the parquet twin of ORC's stripe unit.
+
+Implemented from the spec:
+
+- **Page stream**: from ``dictionary_page_offset`` (else
+  ``data_page_offset``), ``total_compressed_size`` bytes of
+  back-to-back pages, each a Thrift-compact PageHeader (type 1,
+  uncompressed/compressed sizes 2/3, data_page_header 5,
+  dictionary_page_header 7) followed by its block-compressed payload
+  (UNCOMPRESSED / SNAPPY via the own codec / GZIP member via zlib).
+- **Data page v1** payload: repetition levels (absent at max level 0),
+  definition levels (RLE/bit-packed hybrid behind a 4-byte LE length,
+  bit width ceil(log2(max_def+1)), width 0 = nothing stored), then
+  values.
+- **RLE/bit-packed hybrid**: varint header, LSB 0 → run of
+  ``header>>1`` copies of a ceil(width/8)-byte LE value, LSB 1 →
+  ``(header>>1)*8`` values bit-packed LSB-FIRST (little-endian bit
+  order — the opposite of ORC's, a classic cross-codec trap).
+- **Encodings**: PLAIN (INT32/INT64/FLOAT/DOUBLE little-endian,
+  BYTE_ARRAY 4-byte-LE-length-prefixed, BOOLEAN bit-packed LSB),
+  PLAIN_DICTIONARY/RLE_DICTIONARY (dictionary page PLAIN-decoded, data
+  pages carry a 1-byte bit width + hybrid-coded indexes).
+  DELTA_BINARY_PACKED / DELTA_BYTE_ARRAY / BYTE_STREAM_SPLIT and
+  DATA_PAGE_V2 raise the loud NotImplementedError class (arrow's
+  default writer emits none of them; documented seams, not silent
+  nulls).
+- **Logical views** mirror parquet_meta's stats rendering: INT64
+  timestamps → ISO strings, INT32 DATE → ISO dates, BYTE_ARRAY UTF8 →
+  str — so values join cleanly against SQL-side expectations.
+
+Cross-validated in tests/test_parquet_data.py against TWO independent
+readers of the same arrow-written files — DuckDB and Spark's own JVM
+scan — value-for-value on every supported column of the driver
+testdata, plus pyarrow-written fixtures with nulls, multiple row
+groups and plain-fallback pages.
+
+Damage (truncated page header, payload shorter than the header claims,
+dictionary index past the dictionary, hybrid run overrunning the
+chunk) raises ValueError — one chunk costs one record, never the job.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+from .parquet_meta import _Reader, _read_struct, _civil_from_days, _iso_from_epoch
+
+# Page types (parquet.thrift PageType).
+PT_DATA = 0
+PT_INDEX = 1
+PT_DICTIONARY = 2
+PT_DATA_V2 = 3
+
+# Encodings (parquet.thrift Encoding).
+E_PLAIN = 0
+E_PLAIN_DICTIONARY = 2
+E_RLE = 3
+E_RLE_DICTIONARY = 8
+
+
+def _decompress(payload: bytes, codec: str, uncompressed_size: int) -> bytes:
+    if codec == "UNCOMPRESSED":
+        out = payload
+    elif codec == "SNAPPY":
+        from .snappy import decompress
+
+        out = decompress(payload)
+    elif codec == "GZIP":
+        try:
+            out = zlib.decompress(payload, wbits=31)
+        except zlib.error as exc:
+            raise ValueError(f"parquet page: corrupt gzip member ({exc})") from exc
+    else:
+        raise NotImplementedError(
+            f"parquet page: codec {codec} unsupported (UNCOMPRESSED/SNAPPY/"
+            "GZIP decode; BROTLI/ZSTD/LZ4 entropy tables are not honestly "
+            "transcribable in-container)"
+        )
+    if len(out) != uncompressed_size:
+        raise ValueError(
+            f"parquet page: decompressed {len(out)} bytes, header claims "
+            f"{uncompressed_size}"
+        )
+    return out
+
+
+def _read_hybrid(buf: bytes, pos: int, width: int, n: int) -> tuple[list[int], int]:
+    """The RLE/bit-packed hybrid: n values of `width` bits from buf@pos."""
+    out: list[int] = []
+    if width == 0:
+        return [0] * n, pos
+    byte_width = (width + 7) // 8
+    while len(out) < n:
+        if pos >= len(buf):
+            raise ValueError("parquet page: hybrid run truncated")
+        header = 0
+        shift = 0
+        while True:
+            if pos >= len(buf):
+                raise ValueError("parquet page: hybrid header truncated")
+            b = buf[pos]
+            pos += 1
+            header |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        if header & 1:  # bit-packed groups, LSB-first
+            count = (header >> 1) * 8
+            need = (count * width + 7) // 8
+            if pos + need > len(buf):
+                raise ValueError("parquet page: bit-packed group truncated")
+            bits = int.from_bytes(buf[pos : pos + need], "little")
+            mask = (1 << width) - 1
+            take = min(count, n - len(out))
+            for i in range(take):
+                out.append((bits >> (i * width)) & mask)
+            pos += need
+        else:  # RLE run
+            run = header >> 1
+            if pos + byte_width > len(buf):
+                raise ValueError("parquet page: RLE run value truncated")
+            val = int.from_bytes(buf[pos : pos + byte_width], "little")
+            pos += byte_width
+            out.extend([val] * min(run, n - len(out)))
+    return out[:n], pos
+
+
+def _plain_values(buf: bytes, pos: int, n: int, phys: str) -> tuple[list, int]:
+    if phys == "INT64":
+        end = pos + 8 * n
+        if end > len(buf):
+            raise ValueError("parquet page: PLAIN INT64 values truncated")
+        return list(struct.unpack(f"<{n}q", buf[pos:end])), end
+    if phys == "INT32":
+        end = pos + 4 * n
+        if end > len(buf):
+            raise ValueError("parquet page: PLAIN INT32 values truncated")
+        return list(struct.unpack(f"<{n}i", buf[pos:end])), end
+    if phys == "DOUBLE":
+        end = pos + 8 * n
+        if end > len(buf):
+            raise ValueError("parquet page: PLAIN DOUBLE values truncated")
+        return list(struct.unpack(f"<{n}d", buf[pos:end])), end
+    if phys == "FLOAT":
+        end = pos + 4 * n
+        if end > len(buf):
+            raise ValueError("parquet page: PLAIN FLOAT values truncated")
+        return list(struct.unpack(f"<{n}f", buf[pos:end])), end
+    if phys == "BYTE_ARRAY":
+        out = []
+        for _ in range(n):
+            if pos + 4 > len(buf):
+                raise ValueError("parquet page: BYTE_ARRAY length truncated")
+            ln = struct.unpack("<I", buf[pos : pos + 4])[0]
+            pos += 4
+            if pos + ln > len(buf):
+                raise ValueError("parquet page: BYTE_ARRAY value truncated")
+            out.append(buf[pos : pos + ln])
+            pos += ln
+        return out, pos
+    if phys == "BOOLEAN":
+        need = (n + 7) // 8
+        if pos + need > len(buf):
+            raise ValueError("parquet page: PLAIN BOOLEAN values truncated")
+        bits = int.from_bytes(buf[pos : pos + need], "little")
+        return [bool((bits >> i) & 1) for i in range(n)], pos + need
+    raise NotImplementedError(
+        f"parquet page: PLAIN decode for {phys} unsupported (INT96/FLBA seam)"
+    )
+
+
+def _logical_view(values: list, elem: dict) -> list:
+    phys = elem.get("physical")
+    logical = elem.get("logical")
+    converted = elem.get("converted")
+    if phys == "BYTE_ARRAY" and (
+        logical == "STRING" or converted == 0 or elem.get("utf8", True)
+    ):
+        return [
+            v.decode("utf-8", errors="replace") if v is not None else None
+            for v in values
+        ]
+    if phys == "INT64" and (logical or "").startswith("TIMESTAMP"):
+        scale = {
+            "TIMESTAMP_MILLIS": 1000,
+            "TIMESTAMP_MICROS": 1,
+            "TIMESTAMP_NANOS": None,
+        }[logical]
+        return [
+            None
+            if v is None
+            else _iso_from_epoch(v * scale if scale else v // 1000)
+            for v in values
+        ]
+    if phys == "INT32" and (logical == "DATE" or converted == 6):
+        out = []
+        for v in values:
+            if v is None:
+                out.append(None)
+            else:
+                y, m, d = _civil_from_days(v)
+                out.append(f"{y:04d}-{m:02d}-{d:02d}")
+        return out
+    return values
+
+
+def read_column_chunk(chunk: bytes, col: dict, elem: dict, raw: bool = False) -> list:
+    """Decode one column chunk's pages.  ``chunk`` is the byte slice
+    ``[first_page_offset, +total_compressed_size)``; ``col`` is the cooked
+    ColumnMetaData dict from parquet_meta.parse_file_meta; ``elem`` the
+    matching schema element.  Returns python values with None for nulls
+    (and logical string views unless ``raw``)."""
+    phys = col["physical"]
+    codec = col["codec"]
+    want = col["num_values"]
+    dictionary: list | None = None
+    defs: list[int] = []
+    packed: list = []
+    pos = 0
+    while len(defs) < want:
+        r = _Reader(chunk, pos)
+        header = _read_struct(r)
+        payload_at = r.pos
+        ptype = header.get(1)
+        un_size = header.get(2, 0)
+        c_size = header.get(3, 0)
+        if payload_at + c_size > len(chunk):
+            raise ValueError("parquet page: payload runs past column chunk")
+        if ptype == PT_DATA_V2:
+            # v2 keeps levels uncompressed ahead of the values — refuse
+            # BEFORE decompression so the seam stays a clean loud class
+            raise NotImplementedError(
+                "parquet page: DATA_PAGE_V2 unsupported (arrow default "
+                "writes v1; documented seam)"
+            )
+        payload = _decompress(
+            chunk[payload_at : payload_at + c_size], codec, un_size
+        )
+        pos = payload_at + c_size
+        if ptype == PT_DICTIONARY:
+            dh = header.get(7) or {}
+            n = dh.get(1, 0)
+            dictionary, _ = _plain_values(payload, 0, n, phys)
+            continue
+        if ptype == PT_INDEX:
+            continue
+        if ptype != PT_DATA:
+            raise ValueError(f"parquet page: unknown page type {ptype}")
+        dh = header.get(5) or {}
+        n = dh.get(1, 0)
+        encoding = dh.get(2, E_PLAIN)
+        at = 0
+        # flat column: no repetition levels; definition levels iff optional
+        max_def = 1 if elem.get("optional", True) else 0
+        if max_def:
+            if at + 4 > len(payload):
+                raise ValueError("parquet page: definition level length truncated")
+            dl_len = struct.unpack("<I", payload[at : at + 4])[0]
+            at += 4
+            if at + dl_len > len(payload):
+                raise ValueError("parquet page: definition levels truncated")
+            page_defs, _ = _read_hybrid(payload[: at + dl_len], at, 1, n)
+            at += dl_len
+        else:
+            page_defs = [1] * n
+        n_present = sum(page_defs)
+        if encoding in (E_RLE_DICTIONARY, E_PLAIN_DICTIONARY):
+            if dictionary is None:
+                raise ValueError("parquet page: dictionary page missing")
+            if at >= len(payload):
+                raise ValueError("parquet page: dictionary bit width missing")
+            width = payload[at]
+            idxs, _ = _read_hybrid(payload, at + 1, width, n_present)
+            if any(i >= len(dictionary) for i in idxs):
+                raise ValueError("parquet page: dictionary index out of range")
+            vals = [dictionary[i] for i in idxs]
+        elif encoding == E_PLAIN:
+            vals, _ = _plain_values(payload, at, n_present, phys)
+        else:
+            raise NotImplementedError(
+                f"parquet page: encoding {encoding} unsupported (PLAIN and "
+                "dictionary decode; DELTA_*/BYTE_STREAM_SPLIT are seams)"
+            )
+        defs.extend(page_defs)
+        packed.extend(vals)
+    if len(defs) != want:
+        raise ValueError(
+            f"parquet page: chunk carries {len(defs)} values, footer says {want}"
+        )
+    it = iter(packed)
+    values = [next(it) if d else None for d in defs]
+    return values if raw else _logical_view(values, elem)
+
+
+def read_row_group(path: str, meta: dict, rg_index: int, columns=None) -> dict:
+    """Range-read + decode the requested columns of one row group —
+    each chunk fetched as its own byte range (the task unit)."""
+    rg = meta["row_groups"][rg_index]
+    elems = {e["path"]: e for e in meta["columns"]}
+    out: dict[str, list] = {}
+    with open(path, "rb") as fh:
+        for col in rg["columns"]:
+            name = col["path"]
+            if columns is not None and name not in columns:
+                continue
+            first = col["dictionary_page_offset"]
+            if first is None:
+                first = col["data_page_offset"]
+            fh.seek(first)
+            chunk = fh.read(col["total_compressed_size"])
+            if len(chunk) != col["total_compressed_size"]:
+                raise ValueError("parquet page: short read of column chunk")
+            out[name] = read_column_chunk(chunk, col, elems.get(name, {}))
+    return out
+
+
+def read_parquet_file(path: str, columns=None) -> tuple[dict, dict]:
+    """Whole-file read through the own stack (footer + every row group)."""
+    from .parquet_meta import parse_file_meta, read_footer_tail
+
+    meta = parse_file_meta(read_footer_tail(path))
+    cols: dict[str, list] = {}
+    for i in range(len(meta["row_groups"])):
+        got = read_row_group(path, meta, i, columns)
+        for name, vals in got.items():
+            cols.setdefault(name, []).extend(vals)
+    return meta, cols

@@ -384,6 +384,53 @@ def lake_footer_planned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "lake_parquet_native_read",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, text, lang,
+      CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents
+    """,
+    doc="The REAL driver testdata — snappy-compressed, arrow-written "
+    "parquet — read end-to-end by the own pure-Python stack: footer "
+    "Thrift (parquet_meta.py) → page headers → snappy blocks "
+    "(snappy.py, pure-algorithm codec) → PLAIN / RLE_DICTIONARY values "
+    "with LSB-first hybrid runs (parquet_data.py). One task per row "
+    "group, each range-reading exactly its column chunks' byte ranges "
+    "(the parquet twin of the ORC stripe unit); the driver touches "
+    "only the footer tail. Every doc_id/text/lang/n_chars must come "
+    "back value-exact against the table itself — the engine verifying "
+    "its own lake bytes with zero trust in the JVM reader that wrote "
+    "them, the independence a 100 TB corruption audit needs.",
+)
+def lake_parquet_native_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.parquet_data import read_row_group
+    from ..operators.parquet_meta import parse_file_meta, read_footer_tail
+
+    path = table_path(sf_dir, "documents")
+    # metadata pass: the footer tail only — a few KB of a data file
+    meta = parse_file_meta(read_footer_tail(path))
+    want = ("doc_id", "text", "lang", "n_chars")
+    rgs = spark.createDataFrame(
+        [(path, i) for i in range(len(meta["row_groups"]))],
+        "path string, rg int",
+    ).repartition(min(max(len(meta["row_groups"]), 1), 32))
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                cols = read_row_group(r.path, meta, int(r.rg), set(want))
+                out.extend(zip(*(cols[c] for c in want)))
+            yield pd.DataFrame(out, columns=list(want))
+
+    return rgs.mapInPandas(
+        kernel, "doc_id long, text string, lang string, n_chars long"
+    )
+
+
 def _stage_torn_lake(spark: SparkSession, sf_dir: str) -> str:
     """Corrupt copies of the staged lake, one damage class per file_id%4:
     0 intact, 1 magic clipped, 2 footer length past start-of-file,

@@ -205,12 +205,24 @@ def test_damage_classes_are_loud(tmp_path):
 
 
 def test_unsupported_compression_is_loud(tmp_path):
-    p = str(tmp_path / "sn.orc")
+    p = str(tmp_path / "zs.orc")
     paorc.write_table(
-        pa.table({"x": pa.array(range(50), pa.int64())}), p, compression="snappy"
+        pa.table({"x": pa.array(range(50), pa.int64())}), p, compression="zstd"
     )
-    with pytest.raises(NotImplementedError, match="SNAPPY"):
+    with pytest.raises(NotImplementedError, match="ZSTD"):
         myorc.read_orc(open(p, "rb").read())
+
+
+def test_snappy_compressed_orc_roundtrips(tmp_path):
+    """SNAPPY shards decode through the own snappy codec — real C++
+    compressor output, value-exact."""
+    table = pa.table(
+        {
+            "x": pa.array(range(_N), pa.int64()),
+            "t": pa.array([f"the quick brown fox {i % 37} " * 4 for i in range(_N)]),
+        }
+    )
+    _roundtrip(tmp_path, table, compression="snappy")
 
 
 def test_unsupported_type_is_loud(tmp_path):

@@ -113,6 +113,8 @@ REPEAT_QUERIES = (
     "multimodal_orc_ingest",
     "lake_orc_stripe_ranged",
     "lake_orc_quarantine",
+    # r14: the own full-stack parquet read of the real testdata
+    "lake_parquet_native_read",
     # r13: staged CCITT G4 scanned-page PDFs
     "pipeline_pdf_ccitt_extract",
     # r13: bz2/xz shards + wikidump parts
