@@ -568,90 +568,9 @@ def read_avro(blob: bytes, reader_schema_json: str | None = None):
     return schema_json.decode(), codec, records
 
 
-# ------------------------------------------------------------- snappy
-# Google's Snappy block format (the public format description) — the
-# codec Kafka-era Avro shards actually use.  The DECODER is complete
-# (all four tag types, incl. overlapping copies); the encoder emits the
-# spec's all-literal form (valid Snappy, no compression) because this
-# module's writer exists for fixture staging, not for ratio.  Both
-# directions are cross-validated against the independent snappy-java
-# implementation on Spark's classpath (tests/test_avro.py).
-
-
-def snappy_decompress(data: bytes) -> bytes:
-    # preamble: uncompressed length as LITTLE-endian base-128 varint
-    n, at, shift = 0, 0, 0
-    while True:
-        if at >= len(data):
-            raise ValueError("snappy: truncated length preamble")
-        b = data[at]
-        n |= (b & 0x7F) << shift
-        at += 1
-        shift += 7
-        if not b & 0x80:
-            break
-        if shift > 35:
-            raise ValueError("snappy: length varint too long")
-    out = bytearray()
-    while at < len(data):
-        tag = data[at]
-        at += 1
-        kind = tag & 0x03
-        if kind == 0:  # literal
-            l6 = tag >> 2
-            if l6 < 60:
-                ln = l6 + 1
-            else:  # 60..63 mean 1..4 extra little-endian length bytes
-                extra = l6 - 59
-                ln = int.from_bytes(data[at : at + extra], "little") + 1
-                at += extra
-            chunk = data[at : at + ln]
-            if len(chunk) != ln:
-                raise ValueError("snappy: truncated literal")
-            out += chunk
-            at += ln
-            continue
-        if kind == 1:  # copy, 1-byte offset
-            ln = ((tag >> 2) & 0x07) + 4
-            off = ((tag >> 5) << 8) | data[at]
-            at += 1
-        elif kind == 2:  # copy, 2-byte offset
-            ln = (tag >> 2) + 1
-            off = int.from_bytes(data[at : at + 2], "little")
-            at += 2
-        else:  # copy, 4-byte offset
-            ln = (tag >> 2) + 1
-            off = int.from_bytes(data[at : at + 4], "little")
-            at += 4
-        if off == 0 or off > len(out):
-            raise ValueError("snappy: copy offset out of range")
-        # copies may OVERLAP their own output (run-length style)
-        for _ in range(ln):
-            out.append(out[-off])
-    if len(out) != n:
-        raise ValueError("snappy: uncompressed length mismatch")
-    return bytes(out)
-
-
-def snappy_compress(data: bytes) -> bytes:
-    """Spec-valid all-literal Snappy encoding."""
-    out = bytearray()
-    n = len(data)
-    while True:  # little-endian varint of the uncompressed length
-        b = n & 0x7F
-        n >>= 7
-        out.append(b | (0x80 if n else 0))
-        if not n:
-            break
-    at = 0
-    while at < len(data):
-        chunk = data[at : at + 65536]
-        ln = len(chunk) - 1
-        if ln < 60:
-            out.append(ln << 2)
-        else:
-            out.append(61 << 2)  # tag 61: two extra length bytes follow
-            out += ln.to_bytes(2, "little")
-        out += chunk
-        at += len(chunk)
-    return bytes(out)
+# Snappy lives in operators/snappy.py since r14 (the standalone codec
+# the ORC/parquet readers share); these aliases keep the Avro container's
+# original surface — and the snappy-java cross-validation in
+# tests/test_avro.py now pins that shared module.
+from .snappy import compress as snappy_compress  # noqa: E402
+from .snappy import decompress as snappy_decompress  # noqa: E402
