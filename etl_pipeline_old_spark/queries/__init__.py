@@ -64,6 +64,7 @@ _MODULES = (
     "media_probes",
     "lake_footer",
     "lake_orc",
+    "lake_iceberg",
 )
 
 

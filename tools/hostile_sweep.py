@@ -115,6 +115,9 @@ REPEAT_QUERIES = (
     "lake_orc_quarantine",
     # r14: the own full-stack parquet read of the real testdata
     "lake_parquet_native_read",
+    # r14: staged three-snapshot Iceberg table (+ torn-manifest copy)
+    "lake_iceberg_time_travel",
+    "lake_iceberg_quarantine",
     # r13: staged CCITT G4 scanned-page PDFs
     "pipeline_pdf_ccitt_extract",
     # r13: bz2/xz shards + wikidump parts
