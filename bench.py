@@ -184,6 +184,19 @@ HEADLINE = [
     # trailer form, font type, and security handler. Tracks the whole
     # PDF surface in one number beside pipeline_document_corpus_mixed.
     "pipeline_pdf_corpus_mixed",
+    # r14: the own-stack parquet sentinel — the REAL snappy testdata
+    # decoded end-to-end in pure Python (footer Thrift -> page headers
+    # -> snappy -> PLAIN/dictionary), one range-read task per row
+    # group. Tracks the lake-audit path's decode throughput.
+    "lake_parquet_native_read",
+    # r14: the ORC ingest sentinel — the second columnar format through
+    # the own RLEv2/stripe codec, zlib/none/snappy shards. Tracks the
+    # Hive-handover ingest path beside the parquet sentinel above.
+    "multimodal_orc_ingest",
+    # r14: the table-format sentinel — Iceberg manifest-tree resolution
+    # (own Avro codec) + three snapshot scans with manifest-claim
+    # cross-checks. Tracks the metadata-driven planning path.
+    "lake_iceberg_time_travel",
 ]
 
 
@@ -304,6 +317,10 @@ def main() -> None:
         "pipeline_pdf_xrefstream_extract",
         "multimodal_webp_lossless_ingest",
         "pipeline_pdf_corpus_mixed",
+        # r14 lake sentinels: staging = ORC shard writes / Iceberg
+        # table commits (the parquet sentinel reads the testdata as-is)
+        "multimodal_orc_ingest",
+        "lake_iceberg_time_travel",
     ]
     staging: dict[str, float] = {}
     for name in PRESTAGE:

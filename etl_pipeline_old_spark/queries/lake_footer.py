@@ -408,20 +408,37 @@ def lake_parquet_native_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.parquet_meta import parse_file_meta, read_footer_tail
 
     path = table_path(sf_dir, "documents")
-    # metadata pass: the footer tail only — a few KB of a data file
-    meta = parse_file_meta(read_footer_tail(path))
+    # a lake table is a file OR a directory of part files — handle both
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+    else:
+        files = [path]
+    # metadata pass: footer tails only — a few KB per data file; the
+    # task unit below is (file, row group)
+    rows = []
+    for f in files:
+        meta = parse_file_meta(read_footer_tail(f))
+        rows.extend((f, i) for i in range(len(meta["row_groups"])))
     want = ("doc_id", "text", "lang", "n_chars")
-    rgs = spark.createDataFrame(
-        [(path, i) for i in range(len(meta["row_groups"]))],
-        "path string, rg int",
-    ).repartition(min(max(len(meta["row_groups"]), 1), 32))
+    rgs = spark.createDataFrame(rows, "path string, rg int").repartition(
+        min(max(len(rows), 1), 32)
+    )
 
     def kernel(batches):
         import pandas as pd
 
+        metas: dict[str, dict] = {}
         for pdf in batches:
             out = []
             for r in pdf.itertuples():
+                meta = metas.get(r.path)
+                if meta is None:
+                    meta = parse_file_meta(read_footer_tail(r.path))
+                    metas[r.path] = meta
                 cols = read_row_group(r.path, meta, int(r.rg), set(want))
                 out.extend(zip(*(cols[c] for c in want)))
             yield pd.DataFrame(out, columns=list(want))

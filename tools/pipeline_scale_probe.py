@@ -120,6 +120,14 @@ def pipelines():
         "pipeline_xls_sst_continue": _r14()["xls_cont"],
         "multimodal_7z_ingest": _r14()["sevenz"],
         "web_cdx_range_ingest": _r14()["cdx"],
+        # r14b additions: the own-codec lake families — ORC shard ingest
+        # (k-fold more shards, one kernel call each), the full own-stack
+        # parquet read (k-fold more row groups, one range-read task
+        # each), and Iceberg manifest resolution (k-fold more data files
+        # per manifest; metadata stays manifest-sized)
+        "multimodal_orc_ingest": _r14b()["orc"],
+        "lake_parquet_native_read": _r14b()["pq"],
+        "lake_iceberg_time_travel": _r14b()["ice"],
     }
 
 
@@ -154,6 +162,22 @@ def _r14():
         "xls_cont": pipeline_xls_sst_continue,
         "sevenz": multimodal_7z_ingest,
         "cdx": web_cdx_range_ingest,
+    }
+
+
+def _r14b():
+    from etl_pipeline_old_spark.queries.lake_footer import (
+        lake_parquet_native_read,
+    )
+    from etl_pipeline_old_spark.queries.lake_iceberg import (
+        lake_iceberg_time_travel,
+    )
+    from etl_pipeline_old_spark.queries.lake_orc import multimodal_orc_ingest
+
+    return {
+        "orc": multimodal_orc_ingest,
+        "pq": lake_parquet_native_read,
+        "ice": lake_iceberg_time_travel,
     }
 
 
