@@ -84,10 +84,14 @@ def _decompress(payload: bytes, codec: str, uncompressed_size: int) -> bytes:
             out = zlib.decompress(payload, wbits=31)
         except zlib.error as exc:
             raise ValueError(f"parquet page: corrupt gzip member ({exc})") from exc
+    elif codec == "ZSTD":
+        from .zstd import decompress
+
+        out = decompress(payload)
     else:
         raise NotImplementedError(
             f"parquet page: codec {codec} unsupported (UNCOMPRESSED/SNAPPY/"
-            "GZIP decode; BROTLI/ZSTD/LZ4 entropy tables are not honestly "
+            "GZIP/ZSTD decode; BROTLI/LZ4 entropy tables are not honestly "
             "transcribable in-container)"
         )
     if len(out) != uncompressed_size:

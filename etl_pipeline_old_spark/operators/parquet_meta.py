@@ -276,6 +276,12 @@ def parse_file_meta(footer: bytes) -> dict:
             {
                 "path": ".".join(prefix + [name]),
                 "physical": PHYSICAL_TYPES.get(el.get(1), f"T{el.get(1)}"),
+                # repetition_type REQUIRED=0/OPTIONAL=1/REPEATED=2 —
+                # required leaves (e.g. parquet-mr writing a Spark
+                # non-nullable concat_ws column) carry NO definition
+                # levels in their data pages, which the page reader
+                # must know or it misparses the value section
+                "optional": el.get(3, 1) != 0,
                 "converted": el.get(6),
                 "logical": _logical_kind(el.get(10)),
             }

@@ -65,6 +65,7 @@ _MODULES = (
     "lake_footer",
     "lake_orc",
     "lake_iceberg",
+    "zstd_shards",
 )
 
 

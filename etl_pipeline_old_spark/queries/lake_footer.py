@@ -208,12 +208,15 @@ def lake_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _stage_docs_lake(spark: SparkSession, sf_dir: str) -> str:
+def _stage_docs_lake(
+    spark: SparkSession, sf_dir: str, compression: str = "snappy"
+) -> str:
     """Stage documents as a parquet lake with CONTROLLED physical layout:
     doc_id-sorted files of _DOCS_PER_FILE rows, row groups of
     _DOCS_PER_RG — written from the executors with pyarrow (a THIRD
     parquet producer, independent of both this codec and DuckDB)."""
-    path = os.path.join(cache_root(), f"pqlake_{_tag(sf_dir)}")
+    kind = "pqlake" if compression == "snappy" else f"pqlake_{compression}"
+    path = os.path.join(cache_root(), f"{kind}_{_tag(sf_dir)}")
     marker = os.path.join(path, "_STAGED")
     if not os.path.exists(marker):
         os.makedirs(path, exist_ok=True)
@@ -240,7 +243,7 @@ def _stage_docs_lake(spark: SparkSession, sf_dir: str) -> str:
             )
             tmp = os_.path.join(path, f".{fid:05d}.{uuid_.uuid4().hex}.tmp")
             pq.write_table(
-                tbl, tmp, row_group_size=_DOCS_PER_RG, compression="snappy"
+                tbl, tmp, row_group_size=_DOCS_PER_RG, compression=compression
             )
             os_.replace(tmp, os_.path.join(path, f"{fid:05d}.parquet"))
             return pd.DataFrame({"file_id": [fid], "n": [len(pdf)]})
@@ -445,6 +448,65 @@ def lake_parquet_native_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return rgs.mapInPandas(
         kernel, "doc_id long, text string, lang string, n_chars long"
+    )
+
+
+@register(
+    "lake_parquet_zstd_native",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, 'ZSTD' AS codec, text,
+      CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents
+    """,
+    doc="The documents lake re-staged with parquet's modern default "
+    "codec — zstd — and read end-to-end by the own stack: footer "
+    "Thrift → page headers → RFC 8878 frames (operators/zstd.py, the "
+    "libzstd-cross-validated decoder) → PLAIN / RLE_DICTIONARY "
+    "values. pyarrow (libzstd) writes the pages, this engine decodes "
+    "them: every run is a reference-vs-own differential on real "
+    "column chunks, value-checked to the table. Same plan shape as "
+    "lake_parquet_native_read — footer tails to plan, one (file, row "
+    "group) range-read per task; the codec column comes from each "
+    "chunk's footer entry, so a producer silently drifting codecs "
+    "would fail the oracle, not just slow the scan.",
+)
+def lake_parquet_zstd_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.parquet_data import read_row_group
+    from ..operators.parquet_meta import parse_file_meta, read_footer_tail
+
+    lake = _stage_docs_lake(spark, sf_dir, compression="zstd")
+    rows = []
+    for f in _lake_files(lake):
+        meta = parse_file_meta(read_footer_tail(f))
+        rows.extend((f, i) for i in range(len(meta["row_groups"])))
+    want = ("doc_id", "text", "n_chars")
+    rgs = _paths_df(spark, rows, "path string, rg int")
+
+    def kernel(batches):
+        import pandas as pd
+
+        metas: dict[str, dict] = {}
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                meta = metas.get(r.path)
+                if meta is None:
+                    meta = parse_file_meta(read_footer_tail(r.path))
+                    metas[r.path] = meta
+                codec = meta["row_groups"][int(r.rg)]["columns"][0]["codec"]
+                cols = read_row_group(r.path, meta, int(r.rg), set(want))
+                out.extend(
+                    (d, codec, t, n)
+                    for d, t, n in zip(
+                        cols["doc_id"], cols["text"], cols["n_chars"]
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "codec", "text", "n_chars"]
+            )
+
+    return rgs.mapInPandas(
+        kernel, "doc_id long, codec string, text string, n_chars long"
     )
 
 

@@ -383,6 +383,12 @@ _CORE_FIRST = (
     "multimodal_7z_ranged",
     # round-14: WARC 1.1 revisit-record dedup (identical-payload-digest)
     "warc_revisit_dedup",
+    # round-14b: the own RFC 8878 zstd decoder's three surfaces —
+    # .tar.zst WebDataset shards, seekable-format frame range reads,
+    # and zstd parquet through the own column-chunk stack
+    "multimodal_zstd_shards_ingest",
+    "multimodal_zstd_seekable_ranged",
+    "lake_parquet_zstd_native",
 )
 
 

@@ -113,12 +113,57 @@ def test_data_page_v2_is_loud(tmp_path):
         pdta.read_parquet_file(p)
 
 
-def test_zstd_codec_is_loud(tmp_path):
+def test_zstd_codec_decodes(tmp_path):
+    # the r14 own RFC 8878 decoder closed the former ZSTD loud seam:
+    # libzstd-written pages through the own stack, value-exact
     p = str(tmp_path / "z.parquet")
-    pq.write_table(
-        pa.table({"x": pa.array(range(100), pa.int64())}), p, compression="zstd"
+    t = pa.table(
+        {
+            "x": pa.array(range(2000), pa.int64()),
+            "s": pa.array([f"value {i % 37}" for i in range(2000)]),
+        }
     )
-    with pytest.raises(NotImplementedError, match="ZSTD"):
+    pq.write_table(t, p, compression="zstd", row_group_size=700)
+    _meta, cols = pdta.read_parquet_file(p)
+    assert cols["x"] == list(range(2000))
+    assert cols["s"] == t["s"].to_pylist()
+
+
+def test_required_columns_have_no_def_levels(tmp_path):
+    # parquet-mr writes Spark non-nullable columns (concat_ws, literals)
+    # as REQUIRED — their data pages carry NO definition levels, which
+    # the r14 probe caught the reader misparsing as a hybrid run
+    p = str(tmp_path / "req.parquet")
+    schema = pa.schema(
+        [
+            pa.field("x", pa.int64(), nullable=False),
+            pa.field("s", pa.string(), nullable=False),
+            pa.field("opt", pa.string(), nullable=True),
+        ]
+    )
+    t = pa.table(
+        {
+            "x": pa.array(range(500), pa.int64()),
+            "s": pa.array([f"row {i}" for i in range(500)]),
+            "opt": pa.array([None if i % 3 == 0 else f"o{i}" for i in range(500)]),
+        },
+        schema=schema,
+    )
+    pq.write_table(t, p, compression="snappy", row_group_size=200)
+    _meta, cols = pdta.read_parquet_file(p)
+    assert cols["x"] == list(range(500))
+    assert cols["s"] == t["s"].to_pylist()
+    assert cols["opt"] == t["opt"].to_pylist()
+
+
+def test_brotli_codec_is_loud(tmp_path):
+    # brotli stays the honest loud seam (its static dictionary is not
+    # transcribable in-container)
+    p = str(tmp_path / "b.parquet")
+    pq.write_table(
+        pa.table({"x": pa.array(range(100), pa.int64())}), p, compression="brotli"
+    )
+    with pytest.raises(NotImplementedError, match="BROTLI"):
         pdta.read_parquet_file(p)
 
 

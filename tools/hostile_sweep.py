@@ -118,6 +118,10 @@ REPEAT_QUERIES = (
     # r14: staged three-snapshot Iceberg table (+ torn-manifest copy)
     "lake_iceberg_time_travel",
     "lake_iceberg_quarantine",
+    # r14b: staged .tar.zst shards, seekable archives, zstd parquet lake
+    "multimodal_zstd_shards_ingest",
+    "multimodal_zstd_seekable_ranged",
+    "lake_parquet_zstd_native",
     # r13: staged CCITT G4 scanned-page PDFs
     "pipeline_pdf_ccitt_extract",
     # r13: bz2/xz shards + wikidump parts

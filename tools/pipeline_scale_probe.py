@@ -222,7 +222,7 @@ def main() -> None:
         "WebDataset .tar shards, AES-encrypted PDFs, .docx packages, "
         "source files (r11b), mbox shards, EPUB books, legacy-charset "
         "crawl shards, the five-format mixed bucket (r12 probes for the "
-        "r11b families), xref-stream PDFs, aux-part DOCX (r12), CONTINUE-split .xls, .7z archives, and CDX-indexed .warc.gz (r14).",
+        "r11b families), xref-stream PDFs, aux-part DOCX (r12), CONTINUE-split .xls, .7z archives, CDX-indexed .warc.gz (r14), and the lake trio — ORC shards, own-stack parquet row-group reads, Iceberg table commits (r14b).",
         "",
         "| pipeline | metric | " + " | ".join(f"k={k}" for k in FACTORS)
         + " | t(k16)/t(k1) |",
