@@ -66,6 +66,7 @@ _MODULES = (
     "lake_orc",
     "lake_iceberg",
     "zstd_shards",
+    "lake_delta",
 )
 
 

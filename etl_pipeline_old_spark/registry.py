@@ -389,6 +389,12 @@ _CORE_FIRST = (
     "multimodal_zstd_shards_ingest",
     "multimodal_zstd_seekable_ranged",
     "lake_parquet_zstd_native",
+    # round-14b: Delta Lake transaction-log reading (the other open
+    # table format beside Iceberg): relational log replay, checkpoint
+    # resolution, torn-commit blast radius
+    "lake_delta_time_travel",
+    "lake_delta_checkpoint_scan",
+    "lake_delta_quarantine",
 )
 
 

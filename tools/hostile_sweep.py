@@ -122,6 +122,9 @@ REPEAT_QUERIES = (
     "multimodal_zstd_shards_ingest",
     "multimodal_zstd_seekable_ranged",
     "lake_parquet_zstd_native",
+    # r14b: staged three-commit Delta log (+ torn-commit copy)
+    "lake_delta_time_travel",
+    "lake_delta_quarantine",
     # r13: staged CCITT G4 scanned-page PDFs
     "pipeline_pdf_ccitt_extract",
     # r13: bz2/xz shards + wikidump parts
