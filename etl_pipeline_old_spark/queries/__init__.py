@@ -67,6 +67,7 @@ _MODULES = (
     "lake_iceberg",
     "zstd_shards",
     "lake_delta",
+    "tfrecords",
 )
 
 

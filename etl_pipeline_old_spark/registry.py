@@ -395,6 +395,9 @@ _CORE_FIRST = (
     "lake_delta_time_travel",
     "lake_delta_checkpoint_scan",
     "lake_delta_quarantine",
+    # round-14b: TFRecord training shards through the own crc32c +
+    # protobuf-wire codec
+    "multimodal_tfrecord_ingest",
 )
 
 

@@ -125,6 +125,8 @@ REPEAT_QUERIES = (
     # r14b: staged three-commit Delta log (+ torn-commit copy)
     "lake_delta_time_travel",
     "lake_delta_quarantine",
+    # r14b: staged .tfrecord shards (incl. data-crc-lying records)
+    "multimodal_tfrecord_ingest",
     # r13: staged CCITT G4 scanned-page PDFs
     "pipeline_pdf_ccitt_extract",
     # r13: bz2/xz shards + wikidump parts
