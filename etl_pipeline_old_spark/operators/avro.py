@@ -465,7 +465,7 @@ def write_avro(records: list, schema_json: str, codec: str = "null",
                block_records: int = 1000) -> bytes:
     """Serialize ``records`` (dicts matching the schema) into an Object
     Container File.  ``codec`` is ``null`` or ``deflate``."""
-    if codec not in ("null", "deflate", "snappy"):
+    if codec not in ("null", "deflate", "snappy", "zstandard"):
         raise ValueError(f"avro: unsupported codec {codec!r}")
     schema = json.loads(schema_json)
     sync = hashlib.md5(schema_json.encode("utf-8")).digest()
@@ -490,6 +490,10 @@ def write_avro(records: list, schema_json: str, codec: str = "null",
             # UNCOMPRESSED bytes (spec: Object Container Files, snappy)
             crc = zlib.crc32(bytes(payload)) & 0xFFFFFFFF
             payload = snappy_compress(bytes(payload)) + crc.to_bytes(4, "big")
+        elif codec == "zstandard":
+            # spec codec name "zstandard"; the own raw-block frames are
+            # spec-legal zstd any consumer (incl. libzstd) decodes
+            payload = zstd_compress_raw(bytes(payload))
         write_long(out, len(chunk))
         write_long(out, len(payload))
         out += payload
@@ -522,10 +526,10 @@ def read_avro(blob: bytes, reader_schema_json: str | None = None):
     if not schema_json:
         raise ValueError("avro: container carries no schema")
     codec = meta.get("avro.codec", b"null").decode()
-    if codec not in ("null", "deflate", "snappy"):
+    if codec not in ("null", "deflate", "snappy", "zstandard"):
         raise NotImplementedError(
             f"avro: codec {codec!r} needs an external library — null, "
-            "deflate, and snappy decode natively"
+            "deflate, snappy, and zstandard decode natively"
         )
     schema = json.loads(schema_json)
     rschema = (
@@ -555,6 +559,8 @@ def read_avro(blob: bytes, reader_schema_json: str | None = None):
             ):
                 raise ValueError("avro: snappy block CRC mismatch")
             payload = raw
+        elif codec == "zstandard":
+            payload = zstd_decompress(payload)
         pbuf = io.BytesIO(payload)
         for _ in range(count):
             records.append(
@@ -573,4 +579,6 @@ def read_avro(blob: bytes, reader_schema_json: str | None = None):
 # original surface — and the snappy-java cross-validation in
 # tests/test_avro.py now pins that shared module.
 from .snappy import compress as snappy_compress  # noqa: E402
+from .zstd import compress_raw_frame as zstd_compress_raw  # noqa: E402
+from .zstd import decompress as zstd_decompress  # noqa: E402
 from .snappy import decompress as snappy_decompress  # noqa: E402

@@ -165,11 +165,13 @@ def _decompress(buf: bytes, compression: str) -> bytes:
                 raise ValueError(f"orc: corrupt deflate chunk ({exc})") from exc
     elif compression == "SNAPPY":
         from .snappy import decompress as undo
+    elif compression == "ZSTD":
+        from .zstd import decompress as undo
     else:
         raise NotImplementedError(
             f"orc: {compression} compression unsupported (no independent "
             "decoder in-container and its spec is not honestly "
-            "transcribable here; NONE/ZLIB/SNAPPY decode)"
+            "transcribable here; NONE/ZLIB/SNAPPY/ZSTD decode)"
         )
     out = bytearray()
     pos = 0

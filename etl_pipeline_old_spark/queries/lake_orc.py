@@ -351,8 +351,8 @@ def lake_orc_stripe_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _stage_torn_orc(spark: SparkSession, sf_dir: str) -> str:
     """Damage-class copies of the ORC shards, one class per shard%4:
     0 intact, 1 postscript magic scribbled, 2 truncated to 60% (footer
-    gone), 3 rewritten with ZSTD compression (a REAL shard this codec
-    must refuse loudly — the honest-seam class)."""
+    gone), 3 rewritten with ZSTD compression (since r14b a REAL shard
+    the own RFC 8878 codec DECODES — the seam-closed class)."""
     src = _stage_orc_shards(spark, sf_dir)
     path = os.path.join(cache_root(), f"orclake_torn_{_tag(sf_dir)}")
     marker = os.path.join(path, "_STAGED")
@@ -402,20 +402,20 @@ def _stage_torn_orc(spark: SparkSession, sf_dir: str) -> str:
     SELECT shard,
       CASE CAST(shard % 4 AS INT)
         WHEN 0 THEN 'ok' WHEN 1 THEN 'bad_magic'
-        WHEN 2 THEN 'torn_tail' ELSE 'unsupported_codec' END AS status,
-      CASE WHEN shard % 4 = 0 THEN n END AS n_rows
+        WHEN 2 THEN 'torn_tail' ELSE 'zstd_ok' END AS status,
+      CASE WHEN shard % 4 IN (0, 3) THEN n END AS n_rows
     FROM s
     """,
     doc="ORC damage quarantine: shard copies cycle a scribbled "
     "postscript magic, a 60%-truncation (footer gone — the torn-upload "
     "shape), and a REAL ZSTD-compressed shard. The first two are "
-    "ValueError classes; the third is the honest seam — zstd's FSE "
-    "tables cannot be transcribed honestly in-container (the brotli/VP8 "
-    "class; snappy, being pure algorithm, IS implemented in snappy.py), "
-    "so the codec refuses LOUDLY with NotImplementedError and the "
-    "kernel routes it to its own quarantine class (policy, not gap). "
-    "One bad shard costs one record; intact shards still report their "
-    "footer row counts.",
+    "ValueError classes costing one record each. The third was the "
+    "honest unsupported seam until r14b closed it: the own RFC 8878 "
+    "decoder (operators/zstd.py, libzstd-cross-validated) now decodes "
+    "the libzstd-written shard and must report its exact row count — "
+    "a reference-vs-own differential inside the damage sweep. The "
+    "LOUD NotImplementedError routing stays for genuinely absent "
+    "codecs (LZO/LZ4, unit-tested in tests/test_orc.py).",
 )
 def lake_orc_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.orc import read_orc
@@ -433,7 +433,15 @@ def lake_orc_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 try:
                     with open(r.path, "rb") as fh:
                         tail, _cols = read_orc(fh.read())
-                    out.append((sid, "ok", tail["num_rows"]))
+                    out.append(
+                        (
+                            sid,
+                            "zstd_ok"
+                            if tail["postscript"]["compression"] == "ZSTD"
+                            else "ok",
+                            tail["num_rows"],
+                        )
+                    )
                 except NotImplementedError:
                     out.append((sid, "unsupported_codec", None))
                 except ValueError as exc:

@@ -205,12 +205,25 @@ def test_damage_classes_are_loud(tmp_path):
 
 
 def test_unsupported_compression_is_loud(tmp_path):
-    p = str(tmp_path / "zs.orc")
+    p = str(tmp_path / "l4.orc")
     paorc.write_table(
-        pa.table({"x": pa.array(range(50), pa.int64())}), p, compression="zstd"
+        pa.table({"x": pa.array(range(50), pa.int64())}), p, compression="lz4"
     )
-    with pytest.raises(NotImplementedError, match="ZSTD"):
+    with pytest.raises(NotImplementedError, match="LZ4"):
         myorc.read_orc(open(p, "rb").read())
+
+
+def test_zstd_compressed_orc_decodes(tmp_path):
+    """The r14b own RFC 8878 codec closed the former ZSTD seam: real
+    libzstd-compressed ORC (pyarrow/C++ writer) through the own stack,
+    value-exact."""
+    table = pa.table(
+        {
+            "x": pa.array(range(_N), pa.int64()),
+            "t": pa.array([f"the quick brown fox {i % 37} " * 4 for i in range(_N)]),
+        }
+    )
+    _roundtrip(tmp_path, table, compression="zstd")
 
 
 def test_snappy_compressed_orc_roundtrips(tmp_path):

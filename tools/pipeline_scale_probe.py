@@ -128,6 +128,13 @@ def pipelines():
         "multimodal_orc_ingest": _r14b()["orc"],
         "lake_parquet_native_read": _r14b()["pq"],
         "lake_iceberg_time_travel": _r14b()["ice"],
+        # r14b wave 2: the own-zstd families (k-fold more shards /
+        # seekable frames, one decode task each), Delta log replay
+        # (metadata stays log-sized), and TFRecord shards
+        "multimodal_zstd_shards_ingest": _r14c()["zwds"],
+        "multimodal_zstd_seekable_ranged": _r14c()["zseek"],
+        "lake_delta_time_travel": _r14c()["delta"],
+        "multimodal_tfrecord_ingest": _r14c()["tfr"],
     }
 
 
@@ -181,6 +188,24 @@ def _r14b():
     }
 
 
+def _r14c():
+    from etl_pipeline_old_spark.queries.lake_delta import lake_delta_time_travel
+    from etl_pipeline_old_spark.queries.tfrecords import (
+        multimodal_tfrecord_ingest,
+    )
+    from etl_pipeline_old_spark.queries.zstd_shards import (
+        multimodal_zstd_seekable_ranged,
+        multimodal_zstd_shards_ingest,
+    )
+
+    return {
+        "zwds": multimodal_zstd_shards_ingest,
+        "zseek": multimodal_zstd_seekable_ranged,
+        "delta": lake_delta_time_travel,
+        "tfr": multimodal_tfrecord_ingest,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("pipeline_scale_probe")
@@ -222,7 +247,7 @@ def main() -> None:
         "WebDataset .tar shards, AES-encrypted PDFs, .docx packages, "
         "source files (r11b), mbox shards, EPUB books, legacy-charset "
         "crawl shards, the five-format mixed bucket (r12 probes for the "
-        "r11b families), xref-stream PDFs, aux-part DOCX (r12), CONTINUE-split .xls, .7z archives, CDX-indexed .warc.gz (r14), and the lake trio — ORC shards, own-stack parquet row-group reads, Iceberg table commits (r14b).",
+        "r11b families), xref-stream PDFs, aux-part DOCX (r12), CONTINUE-split .xls, .7z archives, CDX-indexed .warc.gz (r14), the lake trio — ORC shards, own-stack parquet row-group reads, Iceberg table commits (r14b) — plus .tar.zst shards, seekable zstd archives, Delta logs, and .tfrecord shards (r14b wave 2).",
         "",
         "| pipeline | metric | " + " | ".join(f"k={k}" for k in FACTORS)
         + " | t(k16)/t(k1) |",
