@@ -23,11 +23,11 @@ Implemented from the spec:
   writerVersion(6), magic(8000, "ORC").
 - **Compression chunks**: 3-byte little-endian header, low bit =
   isOriginal, high 23 bits = chunk length; ZLIB chunks are RAW
-  deflate, SNAPPY chunks decode through the own codec in snappy.py
-  (pure-algorithm spec, cross-validated against the C++ compressor's
-  own output).  LZO/LZ4/ZSTD raise the loud NotImplementedError class
-  (no independent decoder in-container and entropy-table specs not
-  honestly transcribable — fabricating one is against house policy).
+  deflate, SNAPPY/ZSTD/LZ4 chunks decode through the own codecs in
+  snappy.py / zstd.py / lz4.py (each cross-validated against the
+  reference implementations in-container).  LZO raises the loud
+  NotImplementedError class (nothing in-container writes it and
+  fabricating a codec is against house policy).
 - **Footer**: stripes(3: offset/indexLength/dataLength/footerLength/
   numberOfRows), types(4: kind/subtypes/fieldNames), numberOfRows(6),
   statistics(7: numberOfValues, Int/Double/String/Bucket/Date stats,
@@ -167,11 +167,13 @@ def _decompress(buf: bytes, compression: str) -> bytes:
         from .snappy import decompress as undo
     elif compression == "ZSTD":
         from .zstd import decompress as undo
+    elif compression == "LZ4":
+        from .lz4 import decompress_block as undo
     else:
         raise NotImplementedError(
             f"orc: {compression} compression unsupported (no independent "
-            "decoder in-container and its spec is not honestly "
-            "transcribable here; NONE/ZLIB/SNAPPY/ZSTD decode)"
+            "decoder or honest transcription path in-container; "
+            "NONE/ZLIB/SNAPPY/ZSTD/LZ4 decode)"
         )
     out = bytearray()
     pos = 0

@@ -20,7 +20,7 @@ Implemented from the spec:
   back-to-back pages, each a Thrift-compact PageHeader (type 1,
   uncompressed/compressed sizes 2/3, data_page_header 5,
   dictionary_page_header 7) followed by its block-compressed payload
-  (UNCOMPRESSED / SNAPPY via the own codec / GZIP member via zlib).
+  (UNCOMPRESSED / SNAPPY, ZSTD, LZ4_RAW via the own codecs / GZIP member via zlib).
 - **Data page v1** payload: repetition levels (absent at max level 0),
   definition levels (RLE/bit-packed hybrid behind a 4-byte LE length,
   bit width ceil(log2(max_def+1)), width 0 = nothing stored), then
@@ -88,11 +88,16 @@ def _decompress(payload: bytes, codec: str, uncompressed_size: int) -> bytes:
         from .zstd import decompress
 
         out = decompress(payload)
+    elif codec == "LZ4_RAW":
+        from .lz4 import decompress_block
+
+        out = decompress_block(payload)
     else:
         raise NotImplementedError(
             f"parquet page: codec {codec} unsupported (UNCOMPRESSED/SNAPPY/"
-            "GZIP/ZSTD decode; BROTLI/LZ4 entropy tables are not honestly "
-            "transcribable in-container)"
+            "GZIP/ZSTD/LZ4_RAW decode; BROTLI's static dictionary is not "
+            "honestly transcribable in-container, and legacy Hadoop-framed "
+            "LZ4 stays a loud seam)"
         )
     if len(out) != uncompressed_size:
         raise ValueError(

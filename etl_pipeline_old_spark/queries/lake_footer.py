@@ -510,6 +510,117 @@ def lake_parquet_zstd_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CODEC_CYCLE = ("snappy", "gzip", "zstd", "lz4", "none")
+_CODEC_NAMES = {"snappy": "SNAPPY", "gzip": "GZIP", "zstd": "ZSTD",
+                "lz4": "LZ4_RAW", "none": "UNCOMPRESSED"}
+
+
+def _stage_codec_matrix_lake(spark: SparkSession, sf_dir: str) -> str:
+    """The documents lake with the page codec CYCLED per file — the
+    mixed-producer reality of a long-lived lake (writers upgrade their
+    default codec over the years; the table keeps every era's files)."""
+    path = os.path.join(cache_root(), f"pqlake_matrix_{_tag(sf_dir)}")
+    marker = os.path.join(path, "_STAGED")
+    if not os.path.exists(marker):
+        os.makedirs(path, exist_ok=True)
+        d = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text", "n_chars")
+            .withColumn(
+                "file_id", F.floor(F.col("doc_id") / _DOCS_PER_FILE).cast("long")
+            )
+        )
+
+        def write_file(pdf):
+            import os as os_
+            import uuid as uuid_
+
+            import pandas as pd
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            pdf = pdf.sort_values("doc_id")
+            fid = int(pdf["file_id"].iloc[0])
+            comp = _CODEC_CYCLE[fid % len(_CODEC_CYCLE)]
+            tbl = pa.Table.from_pandas(
+                pdf.drop(columns=["file_id"]), preserve_index=False
+            )
+            tmp = os_.path.join(path, f".{fid:05d}.{uuid_.uuid4().hex}.tmp")
+            pq.write_table(
+                tbl, tmp, row_group_size=_DOCS_PER_RG, compression=comp
+            )
+            os_.replace(tmp, os_.path.join(path, f"{fid:05d}.parquet"))
+            return pd.DataFrame({"file_id": [fid], "n": [len(pdf)]})
+
+        d.groupBy("file_id").applyInPandas(
+            write_file, "file_id long, n long"
+        ).collect()
+        open(marker, "w").close()
+    return path
+
+
+@register(
+    "lake_parquet_codec_matrix",
+    oracle=f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      CASE CAST((doc_id // {_DOCS_PER_FILE}) % 5 AS INT)
+        WHEN 0 THEN 'SNAPPY' WHEN 1 THEN 'GZIP' WHEN 2 THEN 'ZSTD'
+        WHEN 3 THEN 'LZ4_RAW' ELSE 'UNCOMPRESSED' END AS codec,
+      CAST(length(text) AS BIGINT) AS n_chars_read
+    FROM documents
+    """,
+    doc="The whole parquet codec matrix through the own stack in one "
+    "query: the documents lake staged with the page codec CYCLED per "
+    "file (SNAPPY / GZIP / ZSTD / LZ4_RAW / UNCOMPRESSED — the "
+    "mixed-producer reality of a long-lived lake whose writers "
+    "upgraded defaults over the years), every file read end-to-end by "
+    "footer Thrift → page headers → the matching own codec "
+    "(snappy.py / zlib / zstd.py / lz4.py). The codec column comes "
+    "from each chunk's FOOTER entry while the oracle recomputes it "
+    "from the staging formula — so a codec misrouted to the wrong "
+    "decoder cannot survive (the length check would explode first, "
+    "and the label check catches even a silent survivor). One (file, "
+    "row group) range-read per task, same 100 TB shape as the other "
+    "native-read legs.",
+)
+def lake_parquet_codec_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.parquet_data import read_row_group
+    from ..operators.parquet_meta import parse_file_meta, read_footer_tail
+
+    lake = _stage_codec_matrix_lake(spark, sf_dir)
+    rows = []
+    for f in _lake_files(lake):
+        meta = parse_file_meta(read_footer_tail(f))
+        rows.extend((f, i) for i in range(len(meta["row_groups"])))
+    want = ("doc_id", "text")
+    rgs = _paths_df(spark, rows, "path string, rg int")
+
+    def kernel(batches):
+        import pandas as pd
+
+        metas: dict[str, dict] = {}
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                meta = metas.get(r.path)
+                if meta is None:
+                    meta = parse_file_meta(read_footer_tail(r.path))
+                    metas[r.path] = meta
+                codec = meta["row_groups"][int(r.rg)]["columns"][0]["codec"]
+                cols = read_row_group(r.path, meta, int(r.rg), set(want))
+                out.extend(
+                    (d, codec, len(t))
+                    for d, t in zip(cols["doc_id"], cols["text"])
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "codec", "n_chars_read"]
+            )
+
+    return rgs.mapInPandas(
+        kernel, "doc_id long, codec string, n_chars_read long"
+    )
+
+
 def _stage_torn_lake(spark: SparkSession, sf_dir: str) -> str:
     """Corrupt copies of the staged lake, one damage class per file_id%4:
     0 intact, 1 magic clipped, 2 footer length past start-of-file,

@@ -398,6 +398,9 @@ _CORE_FIRST = (
     # round-14b: TFRecord training shards through the own crc32c +
     # protobuf-wire codec
     "multimodal_tfrecord_ingest",
+    # round-14b: the full parquet codec matrix through the own stack
+    # (snappy/gzip/zstd/lz4_raw/uncompressed cycled per file)
+    "lake_parquet_codec_matrix",
 )
 
 

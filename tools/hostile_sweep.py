@@ -127,6 +127,8 @@ REPEAT_QUERIES = (
     "lake_delta_quarantine",
     # r14b: staged .tfrecord shards (incl. data-crc-lying records)
     "multimodal_tfrecord_ingest",
+    # r14b: staged codec-cycled parquet lake
+    "lake_parquet_codec_matrix",
     # r13: staged CCITT G4 scanned-page PDFs
     "pipeline_pdf_ccitt_extract",
     # r13: bz2/xz shards + wikidump parts
