@@ -175,10 +175,12 @@ def decode_content_encoding(body: bytes, encoding: str) -> bytes:
     """Decode an HTTP response body per its Content-Encoding header
     (RFC 9110 §8.4): identity/gzip/deflate supported, with the
     browser-standard fallback to BARE deflate when the zlib wrapper is
-    absent.  Torn streams raise ValueError (zlib.error is NOT a
-    ValueError — wrapped here so quarantine kernels see the documented
-    class); ``br``/anything else raises NotImplementedError, the loud
-    seam (no brotli codec exists in this environment)."""
+    absent.  ``zstd`` (RFC 9878-registered, shipped by Chrome since
+    2024) decodes through the own RFC 8878 codec in zstd.py.  Torn
+    streams raise ValueError (zlib.error is NOT a ValueError — wrapped
+    here so quarantine kernels see the documented class);
+    ``br``/anything else raises NotImplementedError, the loud seam (no
+    brotli codec exists in this environment)."""
     enc = encoding.strip().lower()
     if enc in ("", "identity"):
         return body
@@ -195,6 +197,10 @@ def decode_content_encoding(body: bytes, encoding: str) -> bytes:
                 return zlib.decompress(body, -zlib.MAX_WBITS)
             except zlib.error as exc:
                 raise ValueError(f"content-encoding deflate: {exc}") from exc
+    if enc == "zstd":
+        from .zstd import decompress as zstd_decompress
+
+        return zstd_decompress(body)
     raise NotImplementedError(
         f"content-encoding {enc!r} needs an external codec"
     )

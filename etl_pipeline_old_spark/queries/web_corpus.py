@@ -658,6 +658,7 @@ def warc_ingest_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # gzip / zlib-deflate / BARE-deflate-with-a-`deflate`-header by doc_id%4.
 _CE_BR_SLOT = 24
 _CE_TORN_SLOT = 11
+_CE_ZSTD_SLOT = 18  # Content-Encoding: zstd (libzstd bytes, own decoder)
 
 
 def _build_ce_shard(pdf, sid: int) -> bytes:
@@ -676,6 +677,13 @@ def _build_ce_shard(pdf, sid: int) -> bytes:
         slot = doc_id % _WARC_DOCS_PER_SHARD
         if slot == _CE_BR_SLOT:
             resp = encode_http_response(html, content_encoding="br")
+        elif slot == _CE_ZSTD_SLOT:
+            import pyarrow as pa_
+
+            resp = encode_http_response(
+                bytes(pa_.Codec("zstd").compress(html)),
+                content_encoding="verbatim:zstd",
+            )
         elif slot == _CE_TORN_SLOT:
             torn = zlib_.compress(html, 6)[:-6]  # checksum+tail gone
             resp = encode_http_response(
@@ -705,6 +713,8 @@ def _build_ce_shard(pdf, sid: int) -> bytes:
            CASE WHEN doc_id % {_WARC_DOCS_PER_SHARD} = {_CE_BR_SLOT} THEN 'br'
                 WHEN doc_id % {_WARC_DOCS_PER_SHARD} = {_CE_TORN_SLOT}
                   THEN 'deflate'
+                WHEN doc_id % {_WARC_DOCS_PER_SHARD} = {_CE_ZSTD_SLOT}
+                  THEN 'zstd'
                 WHEN doc_id % 4 = 0 THEN ''
                 WHEN doc_id % 4 = 1 THEN 'gzip'
                 ELSE 'deflate' END AS content_encoding,
@@ -722,7 +732,11 @@ def _build_ce_shard(pdf, sid: int) -> bytes:
     "that hashes/extracts the raw payload is wrong on most of a real "
     "crawl: the staged corpus cycles identity / gzip / RFC-correct "
     "zlib-deflate / the infamous BARE-deflate-under-a-deflate-header "
-    "(the broken-server shape browsers sniff), and the decoder "
+    "(the broken-server shape browsers sniff) — plus, since r14b, "
+    "Content-Encoding: zstd (the RFC-registered coding Chrome ships), "
+    "staged with LIBZSTD bytes and decoded by the own RFC 8878 codec, "
+    "a reference-vs-own differential inside the crawl walk — and the "
+    "decoder "
     "(operators/warc.decode_content_encoding) must recover the EXACT "
     "original text from all four — an identity kernel fails the hash on "
     "three of them by construction. Two hostile classes per shard stay "
