@@ -197,6 +197,14 @@ HEADLINE = [
     # (own Avro codec) + three snapshot scans with manifest-claim
     # cross-checks. Tracks the metadata-driven planning path.
     "lake_iceberg_time_travel",
+    # r14b: the own-zstd sentinel — .tar.zst WebDataset shards through
+    # the RFC 8878 decoder (libzstd frames one way, own raw frames the
+    # other). Tracks the modern-corpus decompression path.
+    "multimodal_zstd_shards_ingest",
+    # r14b: the Delta sentinel — relational JSON-log replay with
+    # per-version stats-vs-scan double checks. Tracks the second
+    # table-format planning path beside Iceberg.
+    "lake_delta_time_travel",
 ]
 
 
@@ -321,6 +329,8 @@ def main() -> None:
         # table commits (the parquet sentinel reads the testdata as-is)
         "multimodal_orc_ingest",
         "lake_iceberg_time_travel",
+        "multimodal_zstd_shards_ingest",
+        "lake_delta_time_travel",
     ]
     staging: dict[str, float] = {}
     for name in PRESTAGE:

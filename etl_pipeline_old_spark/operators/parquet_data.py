@@ -25,6 +25,9 @@ Implemented from the spec:
   definition levels (RLE/bit-packed hybrid behind a 4-byte LE length,
   bit width ceil(log2(max_def+1)), width 0 = nothing stored), then
   values.
+- **Data page v2**: header-carried level byte lengths, levels stored
+  UNCOMPRESSED ahead of the (optionally compressed) values region, no
+  4-byte level-length prefixes — what parquet-mr 2.x writers emit.
 - **RLE/bit-packed hybrid**: varint header, LSB 0 → run of
   ``header>>1`` copies of a ceil(width/8)-byte LE value, LSB 1 →
   ``(header>>1)*8`` values bit-packed LSB-FIRST (little-endian bit
@@ -33,10 +36,11 @@ Implemented from the spec:
   BYTE_ARRAY 4-byte-LE-length-prefixed, BOOLEAN bit-packed LSB),
   PLAIN_DICTIONARY/RLE_DICTIONARY (dictionary page PLAIN-decoded, data
   pages carry a 1-byte bit width + hybrid-coded indexes).
-  DELTA_BINARY_PACKED / DELTA_BYTE_ARRAY / BYTE_STREAM_SPLIT and
-  DATA_PAGE_V2 raise the loud NotImplementedError class (arrow's
-  default writer emits none of them; documented seams, not silent
-  nulls).
+  DELTA_BINARY_PACKED (block/miniblock zigzag-header modular deltas,
+  32- and 64-bit), DELTA_LENGTH_BYTE_ARRAY, DELTA_BYTE_ARRAY (prefix
+  compression) and BYTE_STREAM_SPLIT (byte planes) — the modern v2
+  writer defaults — all decode; anything else raises the loud
+  NotImplementedError class (documented seams, not silent nulls).
 - **Logical views** mirror parquet_meta's stats rendering: INT64
   timestamps → ISO strings, INT32 DATE → ISO dates, BYTE_ARRAY UTF8 →
   str — so values join cleanly against SQL-side expectations.
@@ -69,7 +73,11 @@ PT_DATA_V2 = 3
 E_PLAIN = 0
 E_PLAIN_DICTIONARY = 2
 E_RLE = 3
+E_DELTA_BINARY_PACKED = 5
+E_DELTA_LENGTH_BYTE_ARRAY = 6
+E_DELTA_BYTE_ARRAY = 7
 E_RLE_DICTIONARY = 8
+E_BYTE_STREAM_SPLIT = 9
 
 
 def _decompress(payload: bytes, codec: str, uncompressed_size: int) -> bytes:
@@ -146,6 +154,119 @@ def _read_hybrid(buf: bytes, pos: int, width: int, n: int) -> tuple[list[int], i
             pos += byte_width
             out.extend([val] * min(run, n - len(out)))
     return out[:n], pos
+
+
+def _varint(buf: bytes, pos: int) -> tuple[int, int]:
+    out = 0
+    shift = 0
+    while True:
+        if pos >= len(buf):
+            raise ValueError("parquet page: truncated varint")
+        b = buf[pos]
+        pos += 1
+        out |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return out, pos
+        shift += 7
+
+
+def _zigzag(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+_M64 = (1 << 64) - 1
+
+
+def _delta_binary_packed(buf: bytes, pos: int, bits32: bool) -> tuple[list[int], int]:
+    """DELTA_BINARY_PACKED (parquet spec Encodings.md): block size /
+    miniblock count / total count / zigzag first value header, then per
+    block a zigzag min-delta, one bit-width byte per miniblock, and
+    LSB-first bit-packed unsigned delta offsets.  Arithmetic is modular
+    in the column's width, per the spec."""
+    block_size, pos = _varint(buf, pos)
+    n_mini, pos = _varint(buf, pos)
+    total, pos = _varint(buf, pos)
+    first_z, pos = _varint(buf, pos)
+    if n_mini == 0 or block_size % 128 or block_size % n_mini:
+        raise ValueError("parquet page: invalid DELTA_BINARY_PACKED header")
+    per_mini = block_size // n_mini
+    mask = 0xFFFFFFFF if bits32 else _M64
+    sign_bit = 1 << (31 if bits32 else 63)
+
+    def signed(v: int) -> int:
+        v &= mask
+        return v - (mask + 1) if v & sign_bit else v
+
+    if total == 0:
+        return [], pos
+    out = [signed(_zigzag(first_z))]
+    cur = out[0]
+    while len(out) < total:
+        min_z, pos = _varint(buf, pos)
+        min_delta = _zigzag(min_z)
+        if pos + n_mini > len(buf):
+            raise ValueError("parquet page: DELTA block widths truncated")
+        widths = buf[pos : pos + n_mini]
+        pos += n_mini
+        for w in widths:
+            need = per_mini * w // 8
+            if pos + need > len(buf):
+                raise ValueError("parquet page: DELTA miniblock truncated")
+            if len(out) >= total:
+                pos += need  # fully-padded trailing miniblocks
+                continue
+            bits = int.from_bytes(buf[pos : pos + need], "little")
+            pos += need
+            wmask = (1 << w) - 1
+            for i in range(per_mini):
+                if len(out) >= total:
+                    break
+                cur = signed(cur + min_delta + ((bits >> (i * w)) & wmask))
+                out.append(cur)
+    return out, pos
+
+
+def _delta_length_byte_array(buf: bytes, pos: int, n: int) -> tuple[list[bytes], int]:
+    lengths, pos = _delta_binary_packed(buf, pos, bits32=False)
+    if len(lengths) != n:
+        raise ValueError("parquet page: DELTA_LENGTH count disagrees with page")
+    out = []
+    for ln in lengths:
+        if ln < 0 or pos + ln > len(buf):
+            raise ValueError("parquet page: DELTA_LENGTH bytes truncated")
+        out.append(buf[pos : pos + ln])
+        pos += ln
+    return out, pos
+
+
+def _delta_byte_array(buf: bytes, pos: int, n: int) -> tuple[list[bytes], int]:
+    prefixes, pos = _delta_binary_packed(buf, pos, bits32=False)
+    if len(prefixes) != n:
+        raise ValueError("parquet page: DELTA prefix count disagrees with page")
+    suffixes, pos = _delta_length_byte_array(buf, pos, n)
+    out: list[bytes] = []
+    prev = b""
+    for pre, suf in zip(prefixes, suffixes):
+        if pre < 0 or pre > len(prev):
+            raise ValueError("parquet page: DELTA prefix beyond previous value")
+        prev = prev[:pre] + suf
+        out.append(prev)
+    return out, pos
+
+
+def _byte_stream_split(buf: bytes, pos: int, n: int, phys: str) -> list:
+    width = {"FLOAT": 4, "DOUBLE": 8, "INT32": 4, "INT64": 8}.get(phys)
+    if width is None:
+        raise NotImplementedError(
+            f"parquet page: BYTE_STREAM_SPLIT over {phys} unsupported"
+        )
+    if pos + n * width > len(buf):
+        raise ValueError("parquet page: BYTE_STREAM_SPLIT planes truncated")
+    planes = [buf[pos + k * n : pos + (k + 1) * n] for k in range(width)]
+    fmt = {"FLOAT": "<f", "DOUBLE": "<d", "INT32": "<i", "INT64": "<q"}[phys]
+    return [
+        struct.unpack(fmt, bytes(p[i] for p in planes))[0] for i in range(n)
+    ]
 
 
 def _plain_values(buf: bytes, pos: int, n: int, phys: str) -> tuple[list, int]:
@@ -227,6 +348,57 @@ def _logical_view(values: list, elem: dict) -> list:
     return values
 
 
+def _decode_values(
+    payload: bytes, at: int, encoding: int, n_present: int, phys: str,
+    dictionary: list | None,
+) -> list:
+    """The values region of a data page, v1 or v2, any supported
+    encoding."""
+    if encoding in (E_RLE_DICTIONARY, E_PLAIN_DICTIONARY):
+        if dictionary is None:
+            raise ValueError("parquet page: dictionary page missing")
+        if at >= len(payload) and n_present:
+            raise ValueError("parquet page: dictionary bit width missing")
+        width = payload[at] if at < len(payload) else 0
+        idxs, _ = _read_hybrid(payload, at + 1, width, n_present)
+        if any(i >= len(dictionary) for i in idxs):
+            raise ValueError("parquet page: dictionary index out of range")
+        return [dictionary[i] for i in idxs]
+    if encoding == E_PLAIN:
+        vals, _ = _plain_values(payload, at, n_present, phys)
+        return vals
+    if encoding == E_DELTA_BINARY_PACKED:
+        if phys not in ("INT32", "INT64"):
+            raise ValueError(
+                f"parquet page: DELTA_BINARY_PACKED over {phys}"
+            )
+        if n_present == 0:
+            return []
+        vals, _ = _delta_binary_packed(payload, at, bits32=phys == "INT32")
+        if len(vals) != n_present:
+            raise ValueError(
+                "parquet page: DELTA count disagrees with page header"
+            )
+        return vals
+    if encoding == E_DELTA_LENGTH_BYTE_ARRAY:
+        if phys != "BYTE_ARRAY":
+            raise ValueError(f"parquet page: DELTA_LENGTH over {phys}")
+        vals, _ = _delta_length_byte_array(payload, at, n_present)
+        return vals
+    if encoding == E_DELTA_BYTE_ARRAY:
+        if phys != "BYTE_ARRAY":
+            raise ValueError(f"parquet page: DELTA_BYTE_ARRAY over {phys}")
+        vals, _ = _delta_byte_array(payload, at, n_present)
+        return vals
+    if encoding == E_BYTE_STREAM_SPLIT:
+        return _byte_stream_split(payload, at, n_present, phys)
+    raise NotImplementedError(
+        f"parquet page: encoding {encoding} unsupported (PLAIN, "
+        "dictionary, DELTA_BINARY_PACKED, DELTA_LENGTH/DELTA_BYTE_ARRAY "
+        "and BYTE_STREAM_SPLIT decode)"
+    )
+
+
 def read_column_chunk(chunk: bytes, col: dict, elem: dict, raw: bool = False) -> list:
     """Decode one column chunk's pages.  ``chunk`` is the byte slice
     ``[first_page_offset, +total_compressed_size)``; ``col`` is the cooked
@@ -249,13 +421,49 @@ def read_column_chunk(chunk: bytes, col: dict, elem: dict, raw: bool = False) ->
         c_size = header.get(3, 0)
         if payload_at + c_size > len(chunk):
             raise ValueError("parquet page: payload runs past column chunk")
+        max_def = 1 if elem.get("optional", True) else 0
         if ptype == PT_DATA_V2:
-            # v2 keeps levels uncompressed ahead of the values — refuse
-            # BEFORE decompression so the seam stays a clean loud class
-            raise NotImplementedError(
-                "parquet page: DATA_PAGE_V2 unsupported (arrow default "
-                "writes v1; documented seam)"
+            # v2 layout: [rep levels][def levels] UNCOMPRESSED, then the
+            # values region (compressed iff is_compressed); level runs
+            # are plain hybrid with NO 4-byte length prefix — the
+            # byte lengths live in the header
+            dh2 = header.get(8) or {}
+            n = dh2.get(1, 0)
+            encoding = dh2.get(4, E_PLAIN)
+            dl_len = dh2.get(5, 0)
+            rl_len = dh2.get(6, 0)
+            is_compressed = dh2.get(7, True)
+            if rl_len:
+                raise ValueError(
+                    "parquet page: repetition levels on a flat column"
+                )
+            levels = chunk[payload_at : payload_at + dl_len]
+            if len(levels) < dl_len:
+                raise ValueError("parquet page: v2 levels truncated")
+            if max_def:
+                page_defs, _ = _read_hybrid(levels, 0, 1, n)
+            else:
+                if dl_len:
+                    raise ValueError(
+                        "parquet page: v2 def levels on a required column"
+                    )
+                page_defs = [1] * n
+            vals_comp = chunk[payload_at + dl_len : payload_at + c_size]
+            if len(vals_comp) < c_size - dl_len:
+                raise ValueError("parquet page: v2 values truncated")
+            payload = (
+                _decompress(vals_comp, codec, un_size - dl_len)
+                if is_compressed
+                else bytes(vals_comp)
             )
+            pos = payload_at + c_size
+            n_present = sum(page_defs)
+            vals = _decode_values(
+                payload, 0, encoding, n_present, phys, dictionary
+            )
+            defs.extend(page_defs)
+            packed.extend(vals)
+            continue
         payload = _decompress(
             chunk[payload_at : payload_at + c_size], codec, un_size
         )
@@ -274,7 +482,6 @@ def read_column_chunk(chunk: bytes, col: dict, elem: dict, raw: bool = False) ->
         encoding = dh.get(2, E_PLAIN)
         at = 0
         # flat column: no repetition levels; definition levels iff optional
-        max_def = 1 if elem.get("optional", True) else 0
         if max_def:
             if at + 4 > len(payload):
                 raise ValueError("parquet page: definition level length truncated")
@@ -287,23 +494,9 @@ def read_column_chunk(chunk: bytes, col: dict, elem: dict, raw: bool = False) ->
         else:
             page_defs = [1] * n
         n_present = sum(page_defs)
-        if encoding in (E_RLE_DICTIONARY, E_PLAIN_DICTIONARY):
-            if dictionary is None:
-                raise ValueError("parquet page: dictionary page missing")
-            if at >= len(payload):
-                raise ValueError("parquet page: dictionary bit width missing")
-            width = payload[at]
-            idxs, _ = _read_hybrid(payload, at + 1, width, n_present)
-            if any(i >= len(dictionary) for i in idxs):
-                raise ValueError("parquet page: dictionary index out of range")
-            vals = [dictionary[i] for i in idxs]
-        elif encoding == E_PLAIN:
-            vals, _ = _plain_values(payload, at, n_present, phys)
-        else:
-            raise NotImplementedError(
-                f"parquet page: encoding {encoding} unsupported (PLAIN and "
-                "dictionary decode; DELTA_*/BYTE_STREAM_SPLIT are seams)"
-            )
+        vals = _decode_values(
+            payload, at, encoding, n_present, phys, dictionary
+        )
         defs.extend(page_defs)
         packed.extend(vals)
     if len(defs) != want:

@@ -547,7 +547,12 @@ def _stage_codec_matrix_lake(spark: SparkSession, sf_dir: str) -> str:
             )
             tmp = os_.path.join(path, f".{fid:05d}.{uuid_.uuid4().hex}.tmp")
             pq.write_table(
-                tbl, tmp, row_group_size=_DOCS_PER_RG, compression=comp
+                tbl,
+                tmp,
+                row_group_size=_DOCS_PER_RG,
+                compression=comp,
+                # alternate page versions too — the v1/v2 mixed-era lake
+                data_page_version="2.0" if fid % 2 else "1.0",
             )
             os_.replace(tmp, os_.path.join(path, f"{fid:05d}.parquet"))
             return pd.DataFrame({"file_id": [fid], "n": [len(pdf)]})
@@ -573,7 +578,8 @@ def _stage_codec_matrix_lake(spark: SparkSession, sf_dir: str) -> str:
     "query: the documents lake staged with the page codec CYCLED per "
     "file (SNAPPY / GZIP / ZSTD / LZ4_RAW / UNCOMPRESSED — the "
     "mixed-producer reality of a long-lived lake whose writers "
-    "upgraded defaults over the years), every file read end-to-end by "
+    "upgraded defaults over the years, HALF the files on data page "
+    "v2 — the r14b seam closure), every file read end-to-end by "
     "footer Thrift → page headers → the matching own codec "
     "(snappy.py / zlib / zstd.py / lz4.py). The codec column comes "
     "from each chunk's FOOTER entry while the oracle recomputes it "

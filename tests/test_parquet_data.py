@@ -101,16 +101,78 @@ def test_hybrid_rle_and_bitpacked_lsb_first():
         pdta._read_hybrid(bytes([10]), 0, 1, 5)
 
 
-def test_data_page_v2_is_loud(tmp_path):
-    p = str(tmp_path / "v2.parquet")
-    pq.write_table(
-        pa.table({"x": pa.array(range(100), pa.int64())}),
-        p,
-        data_page_version="2.0",
-        compression="snappy",
+def _check_all_columns(path, table):
+    _meta, cols = pdta.read_parquet_file(path)
+    for c in table.column_names:
+        assert cols[c] == table[c].to_pylist(), c
+
+
+def _modern_table():
+    import random
+
+    rnd = random.Random(11)
+    return pa.table(
+        {
+            "i64": pa.array(
+                [rnd.randrange(-(10**12), 10**12) for _ in range(3000)],
+                pa.int64(),
+            ),
+            "i32": pa.array(
+                [rnd.randrange(-(2**31), 2**31) for _ in range(3000)],
+                pa.int32(),
+            ),
+            "mono": pa.array(list(range(3000)), pa.int64()),
+            "s": pa.array(
+                [f"prefix/common/{i % 50:04d}/{rnd.randrange(1000)}" for i in range(3000)]
+            ),
+            "f": pa.array([rnd.random() * 1e6 for _ in range(3000)], pa.float64()),
+            "ni": pa.array([None if i % 7 == 0 else i for i in range(3000)], pa.int64()),
+            "ns": pa.array([None if i % 5 == 0 else f"s{i}" for i in range(3000)]),
+        }
     )
-    with pytest.raises(NotImplementedError, match="DATA_PAGE_V2"):
-        pdta.read_parquet_file(p)
+
+
+_DELTA_ENCODINGS = {
+    "i64": "DELTA_BINARY_PACKED",
+    "i32": "DELTA_BINARY_PACKED",
+    "mono": "DELTA_BINARY_PACKED",
+    "s": "DELTA_BYTE_ARRAY",
+    "ni": "DELTA_BINARY_PACKED",
+    "ns": "DELTA_LENGTH_BYTE_ARRAY",
+    "f": "BYTE_STREAM_SPLIT",
+}
+
+
+def test_data_page_v2_decodes(tmp_path):
+    # the r14b V2 closure: levels uncompressed ahead of the values,
+    # no 4-byte level-length prefixes — dictionary and delta paths
+    t = _modern_table()
+    for name, kw in (
+        ("dict", dict(data_page_version="2.0", compression="snappy", row_group_size=1000)),
+        ("zstd", dict(data_page_version="2.0", compression="zstd")),
+        ("none", dict(data_page_version="2.0", compression="none")),
+    ):
+        p = str(tmp_path / f"v2_{name}.parquet")
+        pq.write_table(t, p, **kw)
+        _check_all_columns(p, t)
+
+
+def test_delta_and_byte_stream_split_encodings(tmp_path):
+    """The parquet-mr v2 writer's default encodings, cross-validated
+    against pyarrow on both page versions: DELTA_BINARY_PACKED (32- and
+    64-bit modular arithmetic), DELTA_LENGTH/DELTA_BYTE_ARRAY prefix
+    compression, BYTE_STREAM_SPLIT float planes — with nulls and
+    multiple row groups."""
+    t = _modern_table()
+    for name, kw in (
+        ("v1", dict(compression="snappy")),
+        ("v2", dict(data_page_version="2.0", compression="gzip", row_group_size=700)),
+    ):
+        p = str(tmp_path / f"delta_{name}.parquet")
+        pq.write_table(
+            t, p, use_dictionary=False, column_encoding=_DELTA_ENCODINGS, **kw
+        )
+        _check_all_columns(p, t)
 
 
 def test_zstd_codec_decodes(tmp_path):
