@@ -270,6 +270,149 @@ def multimodal_zstd_shards_ingest(
     )
 
 
+def _stage_tar_lz4(spark: SparkSession, sf_dir: str) -> str:
+    """WebDataset ``.tar.lz4`` shards: even shards libzlz4 frames
+    (pyarrow's codec), odd shards the own all-literal frame writer."""
+    import os
+
+    path = os.path.join(cache_root(), f"lz4_wds_{_tag(sf_dir)}")
+    marker = os.path.join(path, "_STAGED")
+    if not os.path.exists(marker):
+        os.makedirs(path, exist_ok=True)
+        d = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text", "lang")
+            .withColumn(
+                "shard",
+                F.floor(F.col("doc_id") / _DOCS_PER_SHARD).cast("int"),
+            )
+        )
+
+        def write_shard(pdf):
+            import json as json_
+            import os as os_
+            import uuid as uuid_
+
+            import pandas as pd
+            import pyarrow as pa_
+
+            from ..operators.lz4 import compress_frame_literal
+            from ..operators.tar import encode_tar
+
+            pdf = pdf.sort_values("doc_id")
+            sid = int(pdf["shard"].iloc[0])
+            members: list[tuple[str, bytes]] = []
+            for r in pdf.itertuples():
+                key = f"{int(r.doc_id):08d}"
+                members.append((f"{key}.txt", r.text.encode("utf-8")))
+                members.append(
+                    (
+                        f"{key}.json",
+                        json_.dumps({"lang": r.lang}, sort_keys=True).encode(),
+                    )
+                )
+            tar = encode_tar(members)
+            if sid % 2 == 0:
+                blob = bytes(pa_.Codec("lz4").compress(tar))
+            else:
+                blob = compress_frame_literal(tar)
+            tmp = os_.path.join(path, f".{sid:05d}.{uuid_.uuid4().hex}.tmp")
+            with open(tmp, "wb") as fh:
+                fh.write(blob)
+            os_.replace(tmp, os_.path.join(path, f"{sid:05d}.tar.lz4"))
+            return pd.DataFrame({"shard": [sid], "n": [len(pdf)]})
+
+        d.groupBy("shard").applyInPandas(write_shard, "shard int, n int").collect()
+        open(marker, "w").close()
+    return path
+
+
+@register(
+    "multimodal_lz4_shards_ingest",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN (doc_id // {_DOCS_PER_SHARD}) % 2 = 0
+                THEN 'liblz4' ELSE 'raw' END AS writer,
+           2 AS n_members, 1 AS text_exact, lang
+    FROM documents
+    """,
+    doc="WebDataset .tar.lz4 shards — the fourth compressed-shard "
+    "container (after .tar.bz2/.tar.xz/.tar.zst), through the own LZ4 "
+    "frame decoder (operators/lz4.py). Staging alternates libzlz4 "
+    "frames (even shards — reference bytes, block-LINKED) with own "
+    "all-literal frames (odd shards — bytes any lz4 consumer reads), "
+    "so every run is the two-way cross-validation in the production "
+    "path; same ustar walk and per-sample oracle as the zstd leg.",
+)
+def multimodal_lz4_shards_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    path = _stage_tar_lz4(spark, sf_dir)
+    shards = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.tar.lz4")
+        .load(path)
+        .select("path", "content")
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("want_text")
+    )
+
+    def kernel(batches):
+        import json as json_
+        import os as os_
+
+        import pandas as pd
+
+        from ..operators.lz4 import decompress_frame
+        from ..operators.tar import iter_tar
+
+        for pdf in batches:
+            out = {"doc_id": [], "writer": [], "n_members": [],
+                   "got_text": [], "lang": []}
+            for p, blob in zip(pdf["path"], pdf["content"]):
+                sid = int(os_.path.basename(p).split(".")[0])
+                writer = "liblz4" if sid % 2 == 0 else "raw"
+                members = {
+                    name: data
+                    for name, data in iter_tar(decompress_frame(bytes(blob)))
+                }
+                for key in sorted({n.split(".")[0] for n in members}):
+                    txt = members.get(f"{key}.txt")
+                    meta = members.get(f"{key}.json")
+                    out["doc_id"].append(int(key))
+                    out["writer"].append(writer)
+                    out["n_members"].append(
+                        int(txt is not None) + int(meta is not None)
+                    )
+                    out["got_text"].append(
+                        txt.decode("utf-8") if txt is not None else None
+                    )
+                    out["lang"].append(
+                        json_.loads(meta)["lang"] if meta is not None else None
+                    )
+            yield pd.DataFrame(out)
+
+    decoded = shards.mapInPandas(
+        kernel,
+        schema="doc_id long, writer string, n_members int, "
+        "got_text string, lang string",
+    )
+    return (
+        decoded.join(F.broadcast(docs), "doc_id")
+        .select(
+            "doc_id",
+            "writer",
+            "n_members",
+            (F.col("got_text") == F.col("want_text"))
+            .cast("int")
+            .alias("text_exact"),
+            "lang",
+        )
+        .orderBy("doc_id")
+    )
+
+
 @register(
     "multimodal_zstd_seekable_ranged",
     oracle=f"""

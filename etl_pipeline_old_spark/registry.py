@@ -401,6 +401,8 @@ _CORE_FIRST = (
     # round-14b: the full parquet codec matrix through the own stack
     # (snappy/gzip/zstd/lz4_raw/uncompressed cycled per file)
     "lake_parquet_codec_matrix",
+    # round-14b: .tar.lz4 WebDataset shards through the own lz4 codec
+    "multimodal_lz4_shards_ingest",
 )
 
 

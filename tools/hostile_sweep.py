@@ -129,6 +129,8 @@ REPEAT_QUERIES = (
     "multimodal_tfrecord_ingest",
     # r14b: staged codec-cycled parquet lake
     "lake_parquet_codec_matrix",
+    # r14b: staged .tar.lz4 shards
+    "multimodal_lz4_shards_ingest",
     # r13: staged CCITT G4 scanned-page PDFs
     "pipeline_pdf_ccitt_extract",
     # r13: bz2/xz shards + wikidump parts
