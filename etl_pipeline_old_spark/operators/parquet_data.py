@@ -408,8 +408,18 @@ def read_column_chunk(chunk: bytes, col: dict, elem: dict, raw: bool = False) ->
     phys = col["physical"]
     codec = col["codec"]
     want = col["num_values"]
+    max_def = elem.get("max_def", 1 if elem.get("optional", True) else 0)
+    max_rep = elem.get("max_rep", 0)
+    if max_rep > 1:
+        raise NotImplementedError(
+            "parquet page: nesting deeper than one repeated level "
+            "(list<list<..>>/map) unsupported — documented seam"
+        )
+    def_w = max_def.bit_length()
+    rep_w = max_rep.bit_length()
     dictionary: list | None = None
     defs: list[int] = []
+    reps: list[int] = []
     packed: list = []
     pos = 0
     while len(defs) < want:
@@ -421,7 +431,6 @@ def read_column_chunk(chunk: bytes, col: dict, elem: dict, raw: bool = False) ->
         c_size = header.get(3, 0)
         if payload_at + c_size > len(chunk):
             raise ValueError("parquet page: payload runs past column chunk")
-        max_def = 1 if elem.get("optional", True) else 0
         if ptype == PT_DATA_V2:
             # v2 layout: [rep levels][def levels] UNCOMPRESSED, then the
             # values region (compressed iff is_compressed); level runs
@@ -433,35 +442,40 @@ def read_column_chunk(chunk: bytes, col: dict, elem: dict, raw: bool = False) ->
             dl_len = dh2.get(5, 0)
             rl_len = dh2.get(6, 0)
             is_compressed = dh2.get(7, True)
-            if rl_len:
-                raise ValueError(
-                    "parquet page: repetition levels on a flat column"
-                )
-            levels = chunk[payload_at : payload_at + dl_len]
-            if len(levels) < dl_len:
+            lvl_bytes = chunk[payload_at : payload_at + rl_len + dl_len]
+            if len(lvl_bytes) < rl_len + dl_len:
                 raise ValueError("parquet page: v2 levels truncated")
+            if max_rep:
+                page_reps, _ = _read_hybrid(lvl_bytes[:rl_len], 0, rep_w, n)
+            else:
+                if rl_len:
+                    raise ValueError(
+                        "parquet page: repetition levels on a flat column"
+                    )
+                page_reps = [0] * n
             if max_def:
-                page_defs, _ = _read_hybrid(levels, 0, 1, n)
+                page_defs, _ = _read_hybrid(lvl_bytes[rl_len:], 0, def_w, n)
             else:
                 if dl_len:
                     raise ValueError(
                         "parquet page: v2 def levels on a required column"
                     )
-                page_defs = [1] * n
-            vals_comp = chunk[payload_at + dl_len : payload_at + c_size]
-            if len(vals_comp) < c_size - dl_len:
+                page_defs = [max_def] * n
+            vals_comp = chunk[payload_at + rl_len + dl_len : payload_at + c_size]
+            if len(vals_comp) < c_size - rl_len - dl_len:
                 raise ValueError("parquet page: v2 values truncated")
             payload = (
-                _decompress(vals_comp, codec, un_size - dl_len)
+                _decompress(vals_comp, codec, un_size - rl_len - dl_len)
                 if is_compressed
                 else bytes(vals_comp)
             )
             pos = payload_at + c_size
-            n_present = sum(page_defs)
+            n_present = sum(1 for d in page_defs if d == max_def)
             vals = _decode_values(
                 payload, 0, encoding, n_present, phys, dictionary
             )
             defs.extend(page_defs)
+            reps.extend(page_reps)
             packed.extend(vals)
             continue
         payload = _decompress(
@@ -481,7 +495,20 @@ def read_column_chunk(chunk: bytes, col: dict, elem: dict, raw: bool = False) ->
         n = dh.get(1, 0)
         encoding = dh.get(2, E_PLAIN)
         at = 0
-        # flat column: no repetition levels; definition levels iff optional
+        # v1 level layout: repetition levels (iff a repeated ancestor),
+        # then definition levels (iff any non-required node), each a
+        # 4-byte-LE-length-prefixed hybrid run
+        if max_rep:
+            if at + 4 > len(payload):
+                raise ValueError("parquet page: repetition level length truncated")
+            rl_len = struct.unpack("<I", payload[at : at + 4])[0]
+            at += 4
+            if at + rl_len > len(payload):
+                raise ValueError("parquet page: repetition levels truncated")
+            page_reps, _ = _read_hybrid(payload[: at + rl_len], at, rep_w, n)
+            at += rl_len
+        else:
+            page_reps = [0] * n
         if max_def:
             if at + 4 > len(payload):
                 raise ValueError("parquet page: definition level length truncated")
@@ -489,23 +516,57 @@ def read_column_chunk(chunk: bytes, col: dict, elem: dict, raw: bool = False) ->
             at += 4
             if at + dl_len > len(payload):
                 raise ValueError("parquet page: definition levels truncated")
-            page_defs, _ = _read_hybrid(payload[: at + dl_len], at, 1, n)
+            page_defs, _ = _read_hybrid(payload[: at + dl_len], at, def_w, n)
             at += dl_len
         else:
-            page_defs = [1] * n
-        n_present = sum(page_defs)
+            page_defs = [max_def] * n
+        n_present = sum(1 for d in page_defs if d == max_def)
         vals = _decode_values(
             payload, at, encoding, n_present, phys, dictionary
         )
         defs.extend(page_defs)
+        reps.extend(page_reps)
         packed.extend(vals)
     if len(defs) != want:
         raise ValueError(
             f"parquet page: chunk carries {len(defs)} values, footer says {want}"
         )
     it = iter(packed)
-    values = [next(it) if d else None for d in defs]
-    return values if raw else _logical_view(values, elem)
+    flat = [next(it) if d == max_def else None for d in defs]
+    if max_rep == 0:
+        return flat if raw else _logical_view(flat, elem)
+    # one repeated level (the standard LIST shape): reassemble records
+    # from (rep, def) — rep 0 starts a record, def relative to the
+    # repeated node's depth decides null list / empty list / slot
+    levels = elem["levels"]
+    idx_rep = levels.index(2)
+    def_above = sum(1 for c in levels[:idx_rep] if c != 0)
+    def_at_rep = def_above + 1
+    values: list = []
+    cur: list | None = None
+    started = False
+    for rep, d, v in zip(reps, defs, flat):
+        if rep == 0:
+            if started:
+                values.append(cur)
+            started = True
+            if d < def_above:
+                cur = None  # the list (or an ancestor) is null
+            elif d < def_at_rep:
+                cur = []  # defined to above the repeated node: empty
+            else:
+                cur = [v]
+        else:
+            if cur is None:
+                raise ValueError(
+                    "parquet page: repetition level continues a null list"
+                )
+            cur.append(v)
+    if started:
+        values.append(cur)
+    if raw:
+        return values
+    return [None if x is None else _logical_view(x, elem) for x in values]
 
 
 def read_row_group(path: str, meta: dict, rg_index: int, columns=None) -> dict:

@@ -262,35 +262,43 @@ def parse_file_meta(footer: bytes) -> dict:
     # groups are walked depth-first so path_in_schema joins still work.
     elems: list[dict] = []
 
-    def walk(idx: int, prefix: list[str], is_root: bool) -> int:
+    def walk(idx: int, prefix: list[str], reps: list[int], is_root: bool) -> int:
         el = schema[idx]
         name = _utf8(el.get(4, b""), "schema element name")
         nchild = el.get(5, 0) or 0
+        # repetition_type REQUIRED=0/OPTIONAL=1/REPEATED=2 — required
+        # leaves (e.g. parquet-mr writing a Spark non-nullable concat_ws
+        # column) carry NO definition levels in their data pages, and
+        # REPEATED ancestors (LIST shapes) add repetition levels — the
+        # page reader must know both or it misparses the value section
+        rep_code = el.get(3, 1)
         if nchild:
             child_prefix = prefix if is_root else prefix + [name]
+            child_reps = reps if is_root else reps + [rep_code]
             idx += 1
             for _ in range(nchild):
-                idx = walk(idx, child_prefix, False)
+                idx = walk(idx, child_prefix, child_reps, False)
             return idx
+        levels = reps + [rep_code]
         elems.append(
             {
                 "path": ".".join(prefix + [name]),
                 "physical": PHYSICAL_TYPES.get(el.get(1), f"T{el.get(1)}"),
-                # repetition_type REQUIRED=0/OPTIONAL=1/REPEATED=2 —
-                # required leaves (e.g. parquet-mr writing a Spark
-                # non-nullable concat_ws column) carry NO definition
-                # levels in their data pages, which the page reader
-                # must know or it misparses the value section
-                "optional": el.get(3, 1) != 0,
+                "optional": rep_code != 0,
+                # the full repetition-code path root-child..leaf: what
+                # the rep/def decoding in parquet_data keys off
+                "levels": levels,
+                "max_def": sum(1 for c in levels if c != 0),
+                "max_rep": sum(1 for c in levels if c == 2),
                 "converted": el.get(6),
                 "logical": _logical_kind(el.get(10)),
             }
         )
         return idx + 1
 
-    nxt = walk(0, [], True)
+    nxt = walk(0, [], [], True)
     while nxt < len(schema):  # tolerate forests (never seen in practice)
-        nxt = walk(nxt, [], False)
+        nxt = walk(nxt, [], [], False)
 
     by_path = {e["path"]: e for e in elems}
 

@@ -510,6 +510,87 @@ def lake_parquet_zstd_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "lake_parquet_embeddings_native",
+    oracle="""
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+      CAST(len(embedding) AS BIGINT) AS n_dims,
+      CASE WHEN len(embedding) > 0 THEN CAST(list_sum(
+        list_transform(embedding,
+          e -> CAST(FLOOR(CAST(e AS DOUBLE) * 1000) AS BIGINT))
+      ) AS BIGINT) END AS floor_sum,
+      CAST(label AS BIGINT) AS label
+    FROM embeddings
+    """,
+    doc="The embeddings table — vec_id, a list<float> vector, label — "
+    "read end-to-end by the own parquet stack, exercising the r14b "
+    "REPETITION-LEVEL support: the standard three-level LIST shape "
+    "(optional group / repeated group / optional element) reassembled "
+    "from rep/def pairs into per-record vectors. This was the one "
+    "driver testdata file the own stack could not read; now every "
+    "table ships through it. The fingerprint is element-exact: "
+    "floor(e*1000) summed per vector must match DuckDB's "
+    "list_transform over the same file (float32→float64 widening and "
+    "the double multiply are IEEE-identical in both), so one "
+    "misplaced rep level — a vector boundary off by one element — "
+    "shifts a fingerprint and flips the hash. One (file, row group) "
+    "range-read per task, the family's standard 100 TB shape.",
+)
+def lake_parquet_embeddings_native(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.parquet_data import read_row_group
+    from ..operators.parquet_meta import parse_file_meta, read_footer_tail
+
+    path = table_path(sf_dir, "embeddings")
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+    else:
+        files = [path]
+    rows = []
+    for f in files:
+        meta = parse_file_meta(read_footer_tail(f))
+        rows.extend((f, i) for i in range(len(meta["row_groups"])))
+    want = ("vec_id", "embedding.list.element", "label")
+    rgs = _paths_df(spark, rows, "path string, rg int")
+
+    def kernel(batches):
+        import math
+
+        import pandas as pd
+
+        metas: dict[str, dict] = {}
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                meta = metas.get(r.path)
+                if meta is None:
+                    meta = parse_file_meta(read_footer_tail(r.path))
+                    metas[r.path] = meta
+                cols = read_row_group(r.path, meta, int(r.rg), set(want))
+                for vid, vec, lbl in zip(
+                    cols["vec_id"], cols["embedding.list.element"], cols["label"]
+                ):
+                    n_dims = None if vec is None else len(vec)
+                    fsum = (
+                        sum(math.floor(e * 1000) for e in vec)
+                        if vec
+                        else None
+                    )
+                    out.append((vid, n_dims, fsum, lbl))
+            yield pd.DataFrame(
+                out, columns=["vec_id", "n_dims", "floor_sum", "label"]
+            )
+
+    return rgs.mapInPandas(
+        kernel, "vec_id long, n_dims long, floor_sum long, label long"
+    )
+
+
 _CODEC_CYCLE = ("snappy", "gzip", "zstd", "lz4", "none")
 _CODEC_NAMES = {"snappy": "SNAPPY", "gzip": "GZIP", "zstd": "ZSTD",
                 "lz4": "LZ4_RAW", "none": "UNCOMPRESSED"}

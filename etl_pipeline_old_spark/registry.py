@@ -403,6 +403,8 @@ _CORE_FIRST = (
     "lake_parquet_codec_matrix",
     # round-14b: .tar.lz4 WebDataset shards through the own lz4 codec
     "multimodal_lz4_shards_ingest",
+    # round-14b: list<float> through the own parquet stack (rep levels)
+    "lake_parquet_embeddings_native",
 )
 
 

@@ -18,11 +18,7 @@ from etl_pipeline_old_spark.operators import parquet_data as pdta
 
 SF_DIR = "/root/testdata/sf0.01"
 
-_TABLES = sorted(
-    p
-    for p in glob.glob(os.path.join(SF_DIR, "*.parquet"))
-    if not p.endswith("embeddings.parquet")  # nested list: documented seam
-)
+_TABLES = sorted(glob.glob(os.path.join(SF_DIR, "*.parquet")))
 
 
 def _norm(e):
@@ -46,10 +42,19 @@ def test_every_testdata_column_matches_duckdb(path):
     (footer Thrift → page headers → snappy → PLAIN/dictionary/hybrid)
     equals DuckDB's independent read, value for value."""
     _meta, cols = pdta.read_parquet_file(path)
-    dd = duckdb.sql(f"select * from read_parquet('{path}')").df()
-    for c in dd.columns:
-        expect = [_norm(e) for e in dd[c].tolist()]
-        assert cols[c] == expect, (os.path.basename(path), c)
+    dd = duckdb.sql(f"select * from read_parquet('{path}')").fetchall()
+    names = [
+        d[0]
+        for d in duckdb.sql(f"describe select * from read_parquet('{path}')").fetchall()
+    ]
+    for i, c in enumerate(names):
+        key = c if c in cols else f"{c}.list.element"  # LIST leaf path
+        expect = [_norm(row[i]) for row in dd]
+        got = cols[key]
+        if key.endswith(".list.element"):
+            got = [None if v is None else list(v) for v in got]
+            expect = [None if e is None else list(e) for e in expect]
+        assert got == expect, (os.path.basename(path), c)
 
 
 def test_nulls_multiple_row_groups_snappy(tmp_path):
@@ -249,3 +254,31 @@ def test_torn_chunk_is_loud():
     scribbled = bytes([0xFF] * 8) + chunk[8:]
     with pytest.raises(ValueError):
         pdta.read_column_chunk(scribbled, col, elem)
+
+
+def test_list_columns_all_shapes(tmp_path):
+    """One-level LIST reassembly from rep/def levels: null lists, empty
+    lists, null elements, long lists — v1 and v2 pages, dictionary and
+    plain, every codec family."""
+    lists = [None, [], [1.5], [None, 2.5, None], [float(i) for i in range(20)]] * 400
+    t = pa.table(
+        {"id": pa.array(range(len(lists))), "v": pa.array(lists, pa.list_(pa.float64()))}
+    )
+    for name, kw in (
+        ("v1", dict(compression="snappy", row_group_size=500)),
+        ("v2", dict(data_page_version="2.0", compression="zstd", row_group_size=700)),
+        ("nodict", dict(use_dictionary=False, compression="gzip")),
+    ):
+        p = str(tmp_path / f"{name}.parquet")
+        pq.write_table(t, p, **kw)
+        _m, cols = pdta.read_parquet_file(p)
+        assert cols["v.list.element"] == lists, name
+        assert cols["id"] == list(range(len(lists))), name
+
+
+def test_deeper_nesting_is_loud(tmp_path):
+    p = str(tmp_path / "nested.parquet")
+    ll = [[[1, 2], [3]], None, [[], [4]]]
+    pq.write_table(pa.table({"v": pa.array(ll, pa.list_(pa.list_(pa.int64())))}), p)
+    with pytest.raises(NotImplementedError, match="repeated level"):
+        pdta.read_parquet_file(p)

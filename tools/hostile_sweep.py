@@ -131,6 +131,8 @@ REPEAT_QUERIES = (
     "lake_parquet_codec_matrix",
     # r14b: staged .tar.lz4 shards
     "multimodal_lz4_shards_ingest",
+    # r14b: the own-stack list<float> read of the real embeddings table
+    "lake_parquet_embeddings_native",
     # r13: staged CCITT G4 scanned-page PDFs
     "pipeline_pdf_ccitt_extract",
     # r13: bz2/xz shards + wikidump parts
