@@ -51,9 +51,12 @@ Implemented from the spec:
   DATE (RLEv2 signed), FLOAT/DOUBLE (IEEE LE), STRING/BINARY in both
   DIRECT_V2 (DATA bytes + LENGTH RLEv2) and DICTIONARY_V2
   (sorted dictionary + index DATA), nullability via PRESENT bit
-  streams at every nesting level.  TIMESTAMP and compound types
-  (LIST/MAP/UNION/DECIMAL) raise the loud class — documented seams,
-  not silent nulls.
+  streams at every nesting level, TIMESTAMP (relative-to-2015 seconds
+  + the trailing-zero-compressed nanos SECONDARY stream, incl. the
+  C-truncation negative-nanos form pre-1970 writers emit) and DECIMAL
+  (unbounded zigzag varints + scale stream).  Compound types
+  (LIST/MAP/UNION) raise the loud class — documented seams, not
+  silent nulls.
 
 Cross-validated against the INDEPENDENT Apache ORC C++ writer
 (pyarrow.orc) in tests/test_orc.py: random/monotonic/skewed/repeated
@@ -104,6 +107,7 @@ SK_PRESENT = 0
 SK_DATA = 1
 SK_LENGTH = 2
 SK_DICTIONARY_DATA = 3
+SK_SECONDARY = 5
 
 # Column encodings (spec).
 ENC_DIRECT = 0
@@ -201,6 +205,8 @@ def _read_schema(foot: pw.Message) -> list[dict]:
                 "kind": TYPE_KINDS.get(kind, f"T{kind}"),
                 "subtypes": pw.get_packed_uints(t, 2),
                 "field_names": pw.get_strs(t, 3),
+                "precision": pw.get_uint(t, 5, 0),
+                "scale": pw.get_uint(t, 6, 0),
             }
         )
     if not types:
@@ -453,6 +459,50 @@ def decode_rlev2(buf: bytes, signed: bool, n: int | None = None) -> list[int]:
 # ------------------------------------------------------------- columns
 
 
+def _iso_ts(epoch_s: int, nanos: int) -> str:
+    """Canonical ISO rendering of (epoch seconds, nanoseconds), micros
+    precision trimmed like the parquet stats renderer."""
+    from .parquet_meta import _civil_from_days
+
+    days, rem = divmod(epoch_s, 86400)
+    y, m, d = _civil_from_days(days)
+    hh, rem2 = divmod(rem, 3600)
+    mm, ss = divmod(rem2, 60)
+    out = f"{y:04d}-{m:02d}-{d:02d} {hh:02d}:{mm:02d}:{ss:02d}"
+    if nanos:
+        frac = f"{nanos:09d}".rstrip("0")
+        out += "." + frac
+    return out
+
+
+def _decode_varints(buf: bytes, n: int) -> list[int]:
+    """n unbounded zigzag varints (the DECIMAL unscaled values)."""
+    out = []
+    pos = 0
+    for _ in range(n):
+        v = 0
+        shift = 0
+        while True:
+            if pos >= len(buf):
+                raise ValueError("orc: truncated decimal varint")
+            b = buf[pos]
+            pos += 1
+            v |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        out.append((v >> 1) ^ -(v & 1))
+    return out
+
+
+def _render_decimal(unscaled: int, scale: int) -> str:
+    if scale <= 0:
+        return str(unscaled * 10 ** (-scale))
+    sign = "-" if unscaled < 0 else ""
+    digits = str(abs(unscaled)).rjust(scale + 1, "0")
+    return f"{sign}{digits[:-scale]}.{digits[-scale:]}"
+
+
 def _iso_date(days: int | None) -> str | None:
     if days is None:
         return None
@@ -549,6 +599,39 @@ def read_stripe_columns(
                 b - 256 if b >= 128 else b
                 for b in decode_byte_rle(data(col, SK_DATA), n_vals)
             ]
+        elif kind == "TIMESTAMP":
+            # spec: DATA = signed seconds relative to 2015-01-01 00:00:00,
+            # SECONDARY = nanos with the trailing-zero scale trick (low
+            # 3 bits = removed zero count; if set, multiply by
+            # 10^(count+1)); a pre-base value with nanos borrows one
+            # second (nanos always count forward)
+            secs = decode_rlev2(data(col, SK_DATA), True, n_vals)
+            nraw = decode_rlev2(data(col, SK_SECONDARY), False, n_vals)
+            vals = []
+            for sec, nr in zip(secs, nraw):
+                # pre-1970 instants store TRUNCATED seconds with
+                # NEGATIVE nanos — the two's-complement value rides the
+                # nominally-unsigned stream (C++ writer semantics,
+                # pinned by the pyarrow differential: -5e8 arrives as
+                # (-5<<3)|7 = -33)
+                v = nr if nr < (1 << 63) else nr - (1 << 64)
+                zeros = v & 7
+                nanos = v >> 3
+                if zeros:
+                    nanos *= 10 ** (zeros + 1)
+                if abs(nanos) > 999_999_999:
+                    raise ValueError("orc: nanoseconds out of range")
+                epoch = sec + 1_420_070_400  # 2015-01-01T00:00:00Z
+                if nanos < 0:
+                    epoch -= 1
+                    nanos += 1_000_000_000
+                vals.append(_iso_ts(epoch, nanos))
+        elif kind == "DECIMAL":
+            # spec: DATA = unbounded zigzag varints of the unscaled
+            # value, SECONDARY = per-value scale (signed RLEv2)
+            mags = _decode_varints(data(col, SK_DATA), n_vals)
+            scales = decode_rlev2(data(col, SK_SECONDARY), True, n_vals)
+            vals = [_render_decimal(m, sc) for m, sc in zip(mags, scales)]
         elif kind in ("STRING", "VARCHAR", "CHAR", "BINARY"):
             as_text = kind != "BINARY"
             if enc == ENC_DICTIONARY_V2:
@@ -583,7 +666,7 @@ def read_stripe_columns(
         else:
             raise NotImplementedError(
                 f"orc: column type {kind} unsupported (documented seam: "
-                "TIMESTAMP/compound decode not claimed)"
+                "compound LIST/MAP/UNION decode not claimed)"
             )
         out[name] = _apply_present(vals, present)
     return out

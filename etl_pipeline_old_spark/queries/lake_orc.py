@@ -452,3 +452,109 @@ def lake_orc_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out, columns=["shard", "status", "n_rows"])
 
     return paths.mapInPandas(kernel, "shard long, status string, n_rows long")
+
+
+def _stage_orc_events(spark: SparkSession, sf_dir: str) -> str:
+    """Events shards as ORC with TIMESTAMP and DECIMAL columns — the
+    Hive-estate schema reality (fact tables are full of timestamps and
+    money columns); zstd/zlib cycled so the r14b codec legs run here."""
+    path = os.path.join(cache_root(), f"orcevents_{_tag(sf_dir)}")
+    marker = os.path.join(path, "_STAGED")
+    if not os.path.exists(marker):
+        os.makedirs(path, exist_ok=True)
+        d = (
+            load_table(spark, sf_dir, "events")
+            .select("event_id", "ts", "event_type", "value")
+            .withColumn(
+                "shard",
+                F.floor(F.col("event_id") / 1000).cast("long"),
+            )
+        )
+
+        def write_shard(pdf):
+            import decimal as decimal_
+            import os as os_
+            import uuid as uuid_
+
+            import pandas as pd
+            import pyarrow as pa
+            import pyarrow.orc as paorc
+
+            pdf = pdf.sort_values("event_id")
+            sid = int(pdf["shard"].iloc[0])
+            amount = [
+                None
+                if v is None
+                else decimal_.Decimal(f"{float(v):.2f}")
+                for v in pdf["value"]
+            ]
+            tbl = pa.table(
+                {
+                    "event_id": pa.array(
+                        [int(v) for v in pdf["event_id"]], pa.int64()
+                    ),
+                    "ts": pa.array(list(pdf["ts"]), pa.timestamp("us")),
+                    "event_type": pa.array(
+                        [str(v) for v in pdf["event_type"]]
+                    ),
+                    "amount": pa.array(amount, pa.decimal128(12, 2)),
+                }
+            )
+            comp = ("zstd", "zlib")[sid % 2]
+            tmp = os_.path.join(path, f".{sid:05d}.{uuid_.uuid4().hex}.tmp")
+            paorc.write_table(tbl, tmp, compression=comp)
+            os_.replace(tmp, os_.path.join(path, f"{sid:05d}.orc"))
+            return pd.DataFrame({"shard": [sid], "n": [len(pdf)]})
+
+        d.groupBy("shard").applyInPandas(write_shard, "shard long, n long").collect()
+        open(marker, "w").close()
+    return path
+
+
+@register(
+    "lake_orc_timestamps",
+    oracle="""
+    SELECT event_id,
+      rtrim(rtrim(strftime(ts, '%Y-%m-%d %H:%M:%S.%f'), '0'), '.') AS ts_iso,
+      event_type,
+      CAST(printf('%.2f', value) AS VARCHAR) AS amount
+    FROM events
+    """,
+    doc="ORC TIMESTAMP + DECIMAL through the own codec — the Hive "
+    "fact-table schema reality: events staged as ORC shards (pyarrow's "
+    "C++ writer, zstd/zlib cycled) with a timestamp('us') column and a "
+    "decimal128(12,2) money column derived from value. The own decoder "
+    "recovers the 2015-relative seconds + trailing-zero-compressed "
+    "nanos SECONDARY stream (incl. the C-truncation negative-nanos "
+    "form) and the unbounded-varint + scale-stream decimals; the "
+    "oracle recomputes both renderings from the source table, so a "
+    "one-second borrow error, a nanos scale slip, or a misplaced "
+    "decimal point flips the hash. Same shard-per-kernel plan as "
+    "multimodal_orc_ingest.",
+)
+def lake_orc_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.orc import read_orc
+
+    lake = _stage_orc_events(spark, sf_dir)
+    paths = _shard_paths(spark, lake)
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                with open(r.path, "rb") as fh:
+                    _tail, cols = read_orc(fh.read())
+                out.extend(
+                    zip(cols["event_id"], cols["ts"], cols["event_type"],
+                        cols["amount"])
+                )
+            yield pd.DataFrame(
+                out, columns=["event_id", "ts_iso", "event_type", "amount"]
+            )
+
+    return paths.mapInPandas(
+        kernel,
+        "event_id long, ts_iso string, event_type string, amount string",
+    ).orderBy("event_id")

@@ -405,6 +405,8 @@ _CORE_FIRST = (
     "multimodal_lz4_shards_ingest",
     # round-14b: list<float> through the own parquet stack (rep levels)
     "lake_parquet_embeddings_native",
+    # round-14b: ORC TIMESTAMP + DECIMAL through the own codec
+    "lake_orc_timestamps",
 )
 
 

@@ -250,15 +250,15 @@ def test_snappy_compressed_orc_roundtrips(tmp_path):
 
 
 def test_unsupported_type_is_loud(tmp_path):
-    p = str(tmp_path / "ts.orc")
+    # compound LIST stays the loud class (TIMESTAMP/DECIMAL decode
+    # since r14b)
+    p = str(tmp_path / "lst.orc")
     paorc.write_table(
-        pa.table(
-            {"t": pa.array([datetime.datetime(2020, 1, 1)], pa.timestamp("us"))}
-        ),
+        pa.table({"t": pa.array([[1, 2], [3]], pa.list_(pa.int64()))}),
         p,
         compression="uncompressed",
     )
-    with pytest.raises(NotImplementedError, match="TIMESTAMP"):
+    with pytest.raises(NotImplementedError, match="LIST"):
         myorc.read_orc(open(p, "rb").read())
 
 
@@ -302,3 +302,51 @@ def test_rlev2_delta_spec_example():
 # sub-encoding is pinned by test_all_four_rlev2_subencodings_zlib, which
 # asserts ON THE WIRE that the C++ writer chose it and then demands
 # value-exact recovery.
+
+
+def test_timestamp_and_decimal_cross_validated(tmp_path):
+    """TIMESTAMP (incl. pre-1970 negative-nanos truncation forms) and
+    DECIMAL decode vs the independent C++ writer/reader pair."""
+    import datetime
+    import decimal
+
+    ts = [
+        datetime.datetime(2026, 8, 16, 12, 34, 56, 789123),
+        datetime.datetime(1999, 12, 31, 23, 59, 59),
+        datetime.datetime(2015, 1, 1, 0, 0, 0),
+        datetime.datetime(1969, 7, 20, 20, 17, 40, 500000),
+        datetime.datetime(2014, 12, 31, 23, 59, 59, 999999),
+        None,
+        datetime.datetime(1955, 11, 5, 6, 15, 0, 123456),
+        datetime.datetime(1970, 1, 1, 0, 0, 0, 1),
+    ] * 150
+    dec = [
+        decimal.Decimal("123.45"),
+        decimal.Decimal("-0.01"),
+        decimal.Decimal("0.00"),
+        decimal.Decimal("99999999.99"),
+        None,
+        decimal.Decimal("-12345678.90"),
+        decimal.Decimal("0.07"),
+        decimal.Decimal("-99999999.99"),
+    ] * 150
+    t = pa.table(
+        {
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "dec": pa.array(dec, pa.decimal128(10, 2)),
+        }
+    )
+    p = str(tmp_path / "td.orc")
+    paorc.write_table(t, p, compression="zlib")
+    _tail, cols = myorc.read_orc(open(p, "rb").read())
+    back = paorc.read_table(p)
+
+    def iso(v):
+        if v is None:
+            return None
+        s = v.isoformat(sep=" ")
+        return s.rstrip("0").rstrip(".") if "." in s else s
+
+    assert cols["ts"] == [iso(v) for v in back["ts"].to_pylist()]
+    got = [None if v is None else decimal.Decimal(v) for v in cols["dec"]]
+    assert got == back["dec"].to_pylist()

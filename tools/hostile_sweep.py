@@ -133,6 +133,8 @@ REPEAT_QUERIES = (
     "multimodal_lz4_shards_ingest",
     # r14b: the own-stack list<float> read of the real embeddings table
     "lake_parquet_embeddings_native",
+    # r14b: staged ORC event shards (timestamp + decimal columns)
+    "lake_orc_timestamps",
     # r13: staged CCITT G4 scanned-page PDFs
     "pipeline_pdf_ccitt_extract",
     # r13: bz2/xz shards + wikidump parts
