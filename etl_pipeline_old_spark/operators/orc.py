@@ -54,9 +54,9 @@ Implemented from the spec:
   streams at every nesting level, TIMESTAMP (relative-to-2015 seconds
   + the trailing-zero-compressed nanos SECONDARY stream, incl. the
   C-truncation negative-nanos form pre-1970 writers emit) and DECIMAL
-  (unbounded zigzag varints + scale stream).  Compound types
-  (LIST/MAP/UNION) raise the loud class — documented seams, not
-  silent nulls.
+  (unbounded zigzag varints + scale stream), and one-level LIST
+  (LENGTH stream + child-column recursion).  MAP/UNION and nested
+  STRUCT raise the loud class — documented seams, not silent nulls.
 
 Cross-validated against the INDEPENDENT Apache ORC C++ writer
 (pyarrow.orc) in tests/test_orc.py: random/monotonic/skewed/repeated
@@ -564,16 +564,15 @@ def read_stripe_columns(
         raw = streams.get((col, kind))
         return b"" if raw is None else _decompress(raw, compression)
 
-    out: dict[str, list] = {}
-    for name, col in zip(root["field_names"], root["subtypes"]):
+    def _decode_one(col: int, n_rows: int) -> list:
         t = schema[col]
         enc, dict_size = encodings.get(col, (ENC_DIRECT, 0))
         present = None
         if (col, SK_PRESENT) in streams:
-            present = decode_bool_rle(data(col, SK_PRESENT), nrows)
+            present = decode_bool_rle(data(col, SK_PRESENT), n_rows)
             n_vals = sum(present)
         else:
-            n_vals = nrows
+            n_vals = n_rows
         kind = t["kind"]
         if kind in ("SHORT", "INT", "LONG"):
             vals = decode_rlev2(data(col, SK_DATA), True, n_vals)
@@ -663,12 +662,29 @@ def read_stripe_columns(
                 )
             if as_text:
                 vals = [v.decode("utf-8", errors="replace") for v in vals]
+        elif kind == "LIST":
+            # spec: the list column carries LENGTH (one count per
+            # present row); the child column holds sum(lengths) slots
+            # with its own PRESENT/DATA streams — recurse
+            lengths = decode_rlev2(data(col, SK_LENGTH), False, n_vals)
+            child = _decode_one(t["subtypes"][0], sum(lengths))
+            vals = []
+            at = 0
+            for ln in lengths:
+                if at + ln > len(child):
+                    raise ValueError("orc: list lengths overrun child column")
+                vals.append(child[at : at + ln])
+                at += ln
         else:
             raise NotImplementedError(
                 f"orc: column type {kind} unsupported (documented seam: "
-                "compound LIST/MAP/UNION decode not claimed)"
+                "MAP/UNION/nested-STRUCT decode not claimed)"
             )
-        out[name] = _apply_present(vals, present)
+        return _apply_present(vals, present)
+
+    out: dict[str, list] = {}
+    for name, col in zip(root["field_names"], root["subtypes"]):
+        out[name] = _decode_one(col, nrows)
     return out
 
 

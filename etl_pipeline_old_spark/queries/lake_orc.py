@@ -558,3 +558,111 @@ def lake_orc_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
         kernel,
         "event_id long, ts_iso string, event_type string, amount string",
     ).orderBy("event_id")
+
+
+def _stage_orc_embeddings(spark: SparkSession, sf_dir: str) -> str:
+    """The embeddings table as ORC shards — list<float> vectors through
+    the LENGTH-stream recursion (zstd/snappy cycled)."""
+    path = os.path.join(cache_root(), f"orcemb_{_tag(sf_dir)}")
+    marker = os.path.join(path, "_STAGED")
+    if not os.path.exists(marker):
+        os.makedirs(path, exist_ok=True)
+        d = (
+            load_table(spark, sf_dir, "embeddings")
+            .select("vec_id", "embedding", "label")
+            .withColumn("shard", F.floor(F.col("vec_id") / 250).cast("long"))
+        )
+
+        def write_shard(pdf):
+            import os as os_
+            import uuid as uuid_
+
+            import pandas as pd
+            import pyarrow as pa
+            import pyarrow.orc as paorc
+
+            pdf = pdf.sort_values("vec_id")
+            sid = int(pdf["shard"].iloc[0])
+            tbl = pa.table(
+                {
+                    "vec_id": pa.array(
+                        [int(v) for v in pdf["vec_id"]], pa.int64()
+                    ),
+                    "embedding": pa.array(
+                        [
+                            None if v is None else [float(x) for x in v]
+                            for v in pdf["embedding"]
+                        ],
+                        pa.list_(pa.float32()),
+                    ),
+                    "label": pa.array(
+                        [None if v is None else int(v) for v in pdf["label"]],
+                        pa.int64(),
+                    ),
+                }
+            )
+            comp = ("zstd", "snappy")[sid % 2]
+            tmp = os_.path.join(path, f".{sid:05d}.{uuid_.uuid4().hex}.tmp")
+            paorc.write_table(tbl, tmp, compression=comp)
+            os_.replace(tmp, os_.path.join(path, f"{sid:05d}.orc"))
+            return pd.DataFrame({"shard": [sid], "n": [len(pdf)]})
+
+        d.groupBy("shard").applyInPandas(write_shard, "shard long, n long").collect()
+        open(marker, "w").close()
+    return path
+
+
+@register(
+    "lake_orc_embeddings",
+    oracle="""
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+      CAST(len(embedding) AS BIGINT) AS n_dims,
+      CASE WHEN len(embedding) > 0 THEN CAST(list_sum(
+        list_transform(embedding,
+          e -> CAST(FLOOR(CAST(e AS DOUBLE) * 1000) AS BIGINT))
+      ) AS BIGINT) END AS floor_sum,
+      CAST(label AS BIGINT) AS label
+    FROM embeddings
+    """,
+    doc="The embeddings table's list<float> vectors through the own "
+    "ORC codec — the ORC twin of lake_parquet_embeddings_native, "
+    "reading one-level LISTs via the LENGTH stream + child-column "
+    "recursion (r14b) from shards the C++ writer staged (zstd/snappy "
+    "cycled). The oracle's element-exact floor-fingerprint recomputes "
+    "every vector from the source table: a LENGTH slip that shifts a "
+    "vector boundary by one element flips the hash. Same "
+    "shard-per-kernel plan as the other ORC legs.",
+)
+def lake_orc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.orc import read_orc
+
+    lake = _stage_orc_embeddings(spark, sf_dir)
+    paths = _shard_paths(spark, lake)
+
+    def kernel(batches):
+        import math
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                with open(r.path, "rb") as fh:
+                    _tail, cols = read_orc(fh.read())
+                for vid, vec, lbl in zip(
+                    cols["vec_id"], cols["embedding"], cols["label"]
+                ):
+                    n_dims = None if vec is None else len(vec)
+                    fsum = (
+                        sum(math.floor(e * 1000) for e in vec)
+                        if vec
+                        else None
+                    )
+                    out.append((vid, n_dims, fsum, lbl))
+            yield pd.DataFrame(
+                out, columns=["vec_id", "n_dims", "floor_sum", "label"]
+            )
+
+    return paths.mapInPandas(
+        kernel, "vec_id long, n_dims long, floor_sum long, label long"
+    ).orderBy("vec_id")

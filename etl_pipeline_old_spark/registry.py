@@ -407,6 +407,8 @@ _CORE_FIRST = (
     "lake_parquet_embeddings_native",
     # round-14b: ORC TIMESTAMP + DECIMAL through the own codec
     "lake_orc_timestamps",
+    # round-14b: ORC list<float> vectors via the LENGTH-stream recursion
+    "lake_orc_embeddings",
 )
 
 

@@ -250,16 +250,44 @@ def test_snappy_compressed_orc_roundtrips(tmp_path):
 
 
 def test_unsupported_type_is_loud(tmp_path):
-    # compound LIST stays the loud class (TIMESTAMP/DECIMAL decode
-    # since r14b)
-    p = str(tmp_path / "lst.orc")
+    # MAP stays the loud class (TIMESTAMP/DECIMAL/LIST decode as of
+    # r14b)
+    p = str(tmp_path / "map.orc")
     paorc.write_table(
-        pa.table({"t": pa.array([[1, 2], [3]], pa.list_(pa.int64()))}),
+        pa.table(
+            {"t": pa.array([{"k": 1}, {"j": 2}], pa.map_(pa.string(), pa.int64()))}
+        ),
         p,
         compression="uncompressed",
     )
-    with pytest.raises(NotImplementedError, match="LIST"):
+    with pytest.raises(NotImplementedError, match="MAP"):
         myorc.read_orc(open(p, "rb").read())
+
+
+def test_list_columns_cross_validated(tmp_path):
+    """One-level LIST via the LENGTH stream + child-column recursion:
+    null lists, empty lists, null elements, string/int/float children."""
+    lists = [None, [], [1.5], [None, 2.5, None], [float(i) for i in range(20)]] * 300
+    ilists = [
+        None if i % 11 == 0 else ([] if i % 7 == 0 else list(range(i % 5)))
+        for i in range(1500)
+    ]
+    slists = [None, ["a", "bb"], [], ["ccc", None], ["dd"]] * 300
+    t = pa.table(
+        {
+            "x": pa.array(range(1500), pa.int64()),
+            "fv": pa.array(lists, pa.list_(pa.float64())),
+            "iv": pa.array(ilists, pa.list_(pa.int64())),
+            "sv": pa.array(slists, pa.list_(pa.string())),
+        }
+    )
+    for comp in ("zlib", "zstd"):
+        p = str(tmp_path / f"{comp}.orc")
+        paorc.write_table(t, p, compression=comp)
+        _tail, cols = myorc.read_orc(open(p, "rb").read())
+        back = paorc.read_table(p)
+        for c in t.column_names:
+            assert cols[c] == back[c].to_pylist(), (comp, c)
 
 
 def test_protobuf_wire_primitives():

@@ -135,6 +135,8 @@ REPEAT_QUERIES = (
     "lake_parquet_embeddings_native",
     # r14b: staged ORC event shards (timestamp + decimal columns)
     "lake_orc_timestamps",
+    # r14b: staged ORC embedding shards (list<float> vectors)
+    "lake_orc_embeddings",
     # r13: staged CCITT G4 scanned-page PDFs
     "pipeline_pdf_ccitt_extract",
     # r13: bz2/xz shards + wikidump parts
