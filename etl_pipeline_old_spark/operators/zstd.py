@@ -25,8 +25,12 @@ value empirically, not by roundtrip.
 Implemented from the spec:
 
 - frame header (window descriptor, single-segment, frame content
-  size, dictionary-ID flags — dictionary frames are a LOUD seam:
-  this reader refuses them rather than guessing),
+  size, dictionary-ID flags),
+- RFC 8878 §5 dictionaries: FORMAT dictionaries (magic 0xEC30A437 —
+  entropy tables preloaded as the frames' initial repeat/treeless
+  targets, starting repeat offsets, content as window prefix) and RAW
+  content dictionaries; a dictionary-keyed frame WITHOUT its
+  dictionary fails loudly, never guesses,
 - raw / RLE / compressed blocks,
 - literals: raw, RLE, Huffman (1- and 4-stream with the jump table),
   treeless (previous table reuse within a frame),
@@ -658,8 +662,45 @@ def _execute_sequences(out: bytearray, literals: bytearray, seqs, rep: list[int]
         raise ValueError("zstd: sequences consume more literals than exist")
 
 
+# ------------------------------------------------- dictionaries
+_DICT_MAGIC = 0xEC30A437
+
+
+def parse_dictionary(blob: bytes) -> dict:
+    """A zstd dictionary (RFC 8878 §5): a FORMAT dictionary (magic
+    ``0xEC30A437``, dictionary id, entropy tables — Huffman literals,
+    then FSE offsets / match-lengths / literals-lengths — three 4-byte
+    repeat offsets, then content) or a RAW dictionary (bare content,
+    id 0).  Returns the state ``_decode_frame`` preloads: the window
+    prefix, the entropy tables as the frames' initial 'repeat'/treeless
+    targets, and the starting repeat offsets."""
+    if len(blob) >= 8 and int.from_bytes(blob[:4], "little") == _DICT_MAGIC:
+        did = int.from_bytes(blob[4:8], "little")
+        pos = 8
+        huff_table, huff_log, used = build_huffman_table(blob[pos:])
+        pos += used
+        state: dict = {"huff": (huff_table, huff_log)}
+        for kind in ("of", "ml", "ll"):
+            counts, acc, used = read_fse_counts(
+                blob[pos:], _MAX_SYM[kind], _MAX_ACC[kind]
+            )
+            state[("fse", kind)] = (build_fse_table(counts, acc), acc)
+            pos += used
+        if pos + 12 > len(blob):
+            raise ValueError("zstd: dictionary truncated before rep offsets")
+        rep = [
+            int.from_bytes(blob[pos + 4 * i : pos + 4 * i + 4], "little")
+            for i in range(3)
+        ]
+        pos += 12
+        if any(r == 0 for r in rep):
+            raise ValueError("zstd: dictionary rep offset of zero")
+        return {"id": did, "content": blob[pos:], "state": state, "rep": rep}
+    return {"id": 0, "content": blob, "state": {}, "rep": [1, 4, 8]}
+
+
 # ------------------------------------------------- frames
-def _decode_frame(blob: bytes, pos: int):
+def _decode_frame(blob: bytes, pos: int, dictionary: dict | None = None):
     """One zstd frame starting at ``pos`` (past the magic).  Returns
     ``(decoded_bytes, next_pos)``."""
     if pos >= len(blob):
@@ -680,12 +721,17 @@ def _decode_frame(blob: bytes, pos: int):
         pos += 1
         window = (1 << (10 + (wd >> 3))) + ((1 << (10 + (wd >> 3))) >> 3) * (wd & 7)
     if dict_flag:
-        # dictionary-keyed frames are a loud seam, not a guess
         size = (0, 1, 2, 4)[dict_flag]
         did = int.from_bytes(blob[pos : pos + size], "little")
         pos += size
-        if did:
-            raise ValueError(f"zstd: dictionary frames unsupported (id {did})")
+        if did and dictionary is None:
+            # dictionary-keyed frames without the dictionary stay a
+            # loud class, never a guess
+            raise ValueError(f"zstd: frame requires dictionary id {did}")
+        if did and dictionary["id"] not in (0, did):
+            raise ValueError(
+                f"zstd: frame wants dictionary {did}, got {dictionary['id']}"
+            )
     fcs_size = (1 if single else 0, 2, 4, 8)[fcs_flag]
     content_size = None
     if fcs_size:
@@ -699,9 +745,15 @@ def _decode_frame(blob: bytes, pos: int):
         window = content_size if content_size is not None else 0
     if window is not None and window > _MAX_WINDOW:
         raise ValueError("zstd: window size beyond the 128 MiB guard")
-    out = bytearray()
-    frame_state: dict = {}
-    rep = [1, 4, 8]
+    if dictionary is not None:
+        out = bytearray(dictionary["content"])
+        frame_state = dict(dictionary["state"])
+        rep = list(dictionary["rep"])
+    else:
+        out = bytearray()
+        frame_state = {}
+        rep = [1, 4, 8]
+    base = len(out)
     while True:
         if pos + 3 > len(blob):
             raise ValueError("zstd: truncated block header")
@@ -737,20 +789,23 @@ def _decode_frame(blob: bytes, pos: int):
             raise ValueError("zstd: truncated content checksum")
         want = int.from_bytes(blob[pos : pos + 4], "little")
         pos += 4
-        got = xxh64(bytes(out)) & 0xFFFFFFFF
+        got = xxh64(bytes(out[base:])) & 0xFFFFFFFF
         if got != want:
             raise ValueError(
                 f"zstd: content checksum mismatch ({got:#x} != {want:#x})"
             )
-    if content_size is not None and len(out) != content_size:
+    if content_size is not None and len(out) - base != content_size:
         raise ValueError(
-            f"zstd: frame content size lied ({len(out)} != {content_size})"
+            f"zstd: frame content size lied ({len(out) - base} != {content_size})"
         )
-    return bytes(out), pos
+    return bytes(out[base:]), pos
 
 
-def decompress(blob: bytes) -> bytes:
-    """All frames in ``blob`` concatenated — skippable frames skipped."""
+def decompress(blob: bytes, dict_data: bytes | None = None) -> bytes:
+    """All frames in ``blob`` concatenated — skippable frames skipped.
+    ``dict_data`` (raw or format dictionary bytes) unlocks
+    dictionary-keyed frames — the Common Crawl ``.warc.zst`` shape."""
+    dictionary = parse_dictionary(dict_data) if dict_data is not None else None
     pos = 0
     parts = []
     while pos < len(blob):
@@ -768,9 +823,36 @@ def decompress(blob: bytes) -> bytes:
             continue
         if magic != _MAGIC:
             raise ValueError(f"zstd: bad frame magic {magic:#x}")
-        part, pos = _decode_frame(blob, pos)
+        part, pos = _decode_frame(blob, pos, dictionary)
         parts.append(part)
     return b"".join(parts)
+
+
+def iter_frames(blob: bytes, dict_data: bytes | None = None):
+    """Yield ``(decoded_bytes, is_skippable, raw_payload)`` per frame —
+    the per-record walk of a ``.warc.zst`` (one WARC record per frame,
+    dictionary in a leading ``0x184D2A5D`` skippable frame)."""
+    dictionary = parse_dictionary(dict_data) if dict_data is not None else None
+    pos = 0
+    while pos < len(blob):
+        if pos + 4 > len(blob):
+            raise ValueError("zstd: truncated frame magic")
+        magic = int.from_bytes(blob[pos : pos + 4], "little")
+        pos += 4
+        if (magic & 0xFFFFFFF0) == _SKIP_MAGIC_LO:
+            if pos + 4 > len(blob):
+                raise ValueError("zstd: truncated skippable frame")
+            size = int.from_bytes(blob[pos : pos + 4], "little")
+            payload = blob[pos + 4 : pos + 4 + size]
+            if len(payload) != size:
+                raise ValueError("zstd: skippable frame overruns input")
+            pos += 4 + size
+            yield None, magic, payload
+            continue
+        if magic != _MAGIC:
+            raise ValueError(f"zstd: bad frame magic {magic:#x}")
+        part, pos = _decode_frame(blob, pos, dictionary)
+        yield part, None, None
 
 
 # ------------------------------------------------- own writer (raw blocks)

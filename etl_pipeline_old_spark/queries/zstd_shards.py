@@ -543,3 +543,208 @@ def multimodal_zstd_seekable_ranged(
         )
         .orderBy("doc_id")
     )
+
+
+_WARC_ZST_DICT_MAGIC = 0x184D2A5D
+
+
+def _stage_warc_zst(spark: SparkSession, sf_dir: str) -> str:
+    """Common Crawl-shape ``.warc.zst`` shards: a shared dictionary
+    TRAINED by the reference zstd CLI over sample records rides in the
+    leading ``0x184D2A5D`` skippable frame; every WARC record is its
+    own dictionary-keyed frame (the random-access contract).  The CLI
+    does the dictionary-side compression — the staged bytes are the
+    reference implementation's, which makes every query run a
+    reference-vs-own differential over format-dictionary frames."""
+    import os
+    import shutil
+    import struct
+    import subprocess
+
+    path = os.path.join(cache_root(), f"warczst_{_tag(sf_dir)}")
+    marker = os.path.join(path, "_STAGED")
+    if not os.path.exists(marker):
+        os.makedirs(path, exist_ok=True)
+        cli = shutil.which("zstd") or "/root/miniconda/bin/zstd"
+        d = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text", "lang", "source")
+            .withColumn(
+                "shard",
+                F.floor(F.col("doc_id") / _DOCS_PER_SHARD).cast("int"),
+            )
+        )
+
+        def record(doc_id: int, source: str, text: str) -> bytes:
+            body = (
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html; "
+                b"charset=utf-8\r\n\r\n" + text.encode("utf-8")
+            )
+            head = (
+                f"WARC/1.1\r\nWARC-Type: response\r\n"
+                f"WARC-Record-ID: <urn:uuid:zst-{doc_id}>\r\n"
+                f"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+                f"WARC-Target-URI: https://{source}.example/{doc_id}\r\n"
+                f"Content-Type: application/http; msgtype=response\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n"
+            ).encode("utf-8")
+            return head + body + b"\r\n\r\n"
+
+        # dictionary: trained ONCE on the driver over the first shard's
+        # records (deterministic inputs -> deterministic dict), shared
+        # by every shard like Common Crawl's per-crawl dictionaries
+        first = (
+            d.where(F.col("shard") == 0)
+            .orderBy("doc_id")
+            .collect()
+        )
+        import tempfile
+        import uuid as uuid_
+
+        tdir = tempfile.mkdtemp()
+        sample_paths = []
+        for r in first:
+            p = os.path.join(tdir, f"s{int(r.doc_id):06d}.bin")
+            with open(p, "wb") as fh:
+                fh.write(record(int(r.doc_id), r.source, r.text))
+            sample_paths.append(p)
+        dict_path = os.path.join(path, "_train.dict")
+        subprocess.run(
+            [cli, "--train", *sample_paths, "-o", dict_path,
+             "--maxdict=4096", "-q"],
+            check=True,
+            capture_output=True,
+        )
+        dict_blob = open(dict_path, "rb").read()
+        os.remove(dict_path)
+        dict_frame = (
+            struct.pack("<II", _WARC_ZST_DICT_MAGIC, len(dict_blob))
+            + dict_blob
+        )
+        # the dictionary travels to executors AS BYTES (broadcast) —
+        # the shape that survives a real cluster, not a shared disk
+        bc = spark.sparkContext.broadcast((dict_frame, dict_blob))
+
+        def write_shard(pdf):
+            import os as os_
+            import subprocess as sp_
+            import tempfile as tf_
+
+            import pandas as pd
+
+            pdf = pdf.sort_values("doc_id")
+            sid = int(pdf["shard"].iloc[0])
+            frame_bytes, dict_bytes = bc.value
+            td = tf_.mkdtemp()
+            dpath = os_.path.join(td, "shared.dict")
+            with open(dpath, "wb") as fh:
+                fh.write(dict_bytes)
+            recs = []
+            for r in pdf.itertuples():
+                p = os_.path.join(td, f"r{int(r.doc_id):06d}.bin")
+                with open(p, "wb") as fh:
+                    fh.write(record(int(r.doc_id), r.source, r.text))
+                recs.append(p)
+            sp_.run(
+                [cli, "-q", "-D", dpath, *recs],
+                check=True,
+                capture_output=True,
+            )
+            blob = bytearray(frame_bytes)
+            for p in recs:
+                with open(p + ".zst", "rb") as fh:
+                    blob += fh.read()
+            tmp = os_.path.join(path, f".{sid:05d}.{uuid_.uuid4().hex}.tmp")
+            with open(tmp, "wb") as fh:
+                fh.write(bytes(blob))
+            os_.replace(tmp, os_.path.join(path, f"{sid:05d}.warc.zst"))
+            return pd.DataFrame({"shard": [sid], "n": [len(pdf)]})
+
+        d.groupBy("shard").applyInPandas(write_shard, "shard int, n int").collect()
+        open(marker, "w").close()
+    return path
+
+
+@register(
+    "warc_zst_ingest",
+    oracle="""
+    SELECT doc_id, 1 AS dict_frame_seen, 1 AS text_exact, lang
+    FROM documents
+    """,
+    doc="Common Crawl's .warc.zst shape through the own RFC 8878 "
+    "decoder WITH dictionary support: each shard leads with the "
+    "0x184D2A5D skippable frame carrying a FORMAT dictionary (trained "
+    "by the reference zstd CLI — entropy tables, rep offsets, content "
+    "prefix all parsed per RFC 8878 §5), and every WARC record is its "
+    "own dictionary-keyed frame, the random-access contract that "
+    "lets a CDX-style index point at one record without touching the "
+    "rest. The staged frames are the REFERENCE implementation's "
+    "dictionary-compressed bytes, so each run differentially validates "
+    "the dictionary decode path (treeless literals against the dict's "
+    "Huffman table, repeat FSE tables, window matches reaching into "
+    "dict content). Text must come back byte-exact through the HTTP "
+    "payload split; frames without the dictionary fail LOUDLY "
+    "(unit-tested), never silently wrong.",
+)
+def warc_zst_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_warc_zst(spark, sf_dir)
+    shards = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc.zst")
+        .load(path)
+        .select("path", "content")
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("text").alias("want_text"),
+        F.col("lang").alias("want_lang"),
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        from ..operators.zstd import iter_frames
+
+        for pdf in batches:
+            out = {"doc_id": [], "dict_frame_seen": [], "got_text": []}
+            for blob in pdf["content"]:
+                blob = bytes(blob)
+                dict_data = None
+                # first pass: find the dictionary skippable frame
+                for part, magic, payload in iter_frames(blob):
+                    if magic == _WARC_ZST_DICT_MAGIC:
+                        dict_data = payload
+                    break
+                if dict_data is None:
+                    raise ValueError("warc.zst: missing dictionary frame")
+                for part, magic, _payload in iter_frames(blob, dict_data):
+                    if part is None:
+                        continue
+                    head, _, rest = part.partition(b"\r\n\r\n")
+                    fields = {}
+                    for line in head.decode("utf-8").split("\r\n")[1:]:
+                        k, _, v = line.partition(": ")
+                        fields[k] = v
+                    doc_id = int(fields["WARC-Target-URI"].rsplit("/", 1)[1])
+                    _http_head, _, body = rest.partition(b"\r\n\r\n")
+                    text = body[: -4] if body.endswith(b"\r\n\r\n") else body
+                    out["doc_id"].append(doc_id)
+                    out["dict_frame_seen"].append(1)
+                    out["got_text"].append(text.decode("utf-8"))
+            yield pd.DataFrame(out)
+
+    decoded = shards.mapInPandas(
+        kernel, "doc_id long, dict_frame_seen int, got_text string"
+    )
+    return (
+        decoded.join(F.broadcast(docs), "doc_id")
+        .select(
+            "doc_id",
+            "dict_frame_seen",
+            (F.col("got_text") == F.col("want_text"))
+            .cast("int")
+            .alias("text_exact"),
+            F.col("want_lang").alias("lang"),
+        )
+        .orderBy("doc_id")
+    )

@@ -409,6 +409,8 @@ _CORE_FIRST = (
     "lake_orc_timestamps",
     # round-14b: ORC list<float> vectors via the LENGTH-stream recursion
     "lake_orc_embeddings",
+    # round-14b: Common Crawl-shape .warc.zst (format dictionaries)
+    "warc_zst_ingest",
 )
 
 

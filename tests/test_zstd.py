@@ -147,3 +147,58 @@ def test_seek_table_damage_is_loud():
     broken[-9] ^= 0x01  # frame count lie -> table length disagrees
     with pytest.raises(ValueError, match="seek"):
         read_seek_table(bytes(broken[-4096:]), len(broken))
+
+
+def test_format_dictionary_frames(tmp_path):
+    """RFC 8878 §5 format dictionaries: train a REAL dictionary with
+    the reference CLI, decode its dictionary-keyed frames with the own
+    decoder (entropy-table preload, rep offsets, window prefix), and
+    demand loudness without the dictionary."""
+    samples = []
+    for i in range(50):
+        doc = (
+            b"WARC/1.1\r\nWARC-Target-URI: https://example.org/p/%d\r\n\r\n"
+            % i
+            + b" ".join(
+                _RND.choice([b"alpha", b"beta", b"gamma", b"delta"])
+                for _ in range(250)
+            )
+        )
+        p = tmp_path / f"s{i:03d}.bin"
+        p.write_bytes(doc)
+        samples.append((str(p), doc))
+    dict_path = str(tmp_path / "t.dict")
+    subprocess.run(
+        [_CLI, "--train", *[p for p, _ in samples], "-o", dict_path,
+         "--maxdict=4096", "-q"],
+        check=True,
+        capture_output=True,
+    )
+    dict_data = open(dict_path, "rb").read()
+    from etl_pipeline_old_spark.operators.zstd import parse_dictionary
+
+    info = parse_dictionary(dict_data)
+    assert info["id"] != 0 and len(info["content"]) > 0
+    for p, doc in samples[:10]:
+        comp = subprocess.run(
+            [_CLI, "-q", "-D", dict_path, "-o", "/dev/stdout", p],
+            capture_output=True,
+            check=True,
+        ).stdout
+        assert decompress(comp, dict_data=dict_data) == doc
+        with pytest.raises(ValueError, match="dictionary"):
+            decompress(comp)
+    # raw (content-only) dictionaries work too: the reference accepts
+    # any file as a raw dict
+    raw_dict = b"the quick brown fox jumps over the lazy dog " * 40
+    payload = raw_dict[100:400] + b" new tail content " * 30
+    rp = tmp_path / "payload.bin"
+    rp.write_bytes(payload)
+    rd = tmp_path / "raw.dict"
+    rd.write_bytes(raw_dict)
+    comp = subprocess.run(
+        [_CLI, "-q", "-D", str(rd), "-o", "/dev/stdout", str(rp)],
+        capture_output=True,
+        check=True,
+    ).stdout
+    assert decompress(comp, dict_data=raw_dict) == payload

@@ -137,6 +137,8 @@ REPEAT_QUERIES = (
     "lake_orc_timestamps",
     # r14b: staged ORC embedding shards (list<float> vectors)
     "lake_orc_embeddings",
+    # r14b: staged .warc.zst shards (CLI-trained shared dictionary)
+    "warc_zst_ingest",
     # r13: staged CCITT G4 scanned-page PDFs
     "pipeline_pdf_ccitt_extract",
     # r13: bz2/xz shards + wikidump parts
