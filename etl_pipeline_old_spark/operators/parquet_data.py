@@ -269,7 +269,9 @@ def _byte_stream_split(buf: bytes, pos: int, n: int, phys: str) -> list:
     ]
 
 
-def _plain_values(buf: bytes, pos: int, n: int, phys: str) -> tuple[list, int]:
+def _plain_values(
+    buf: bytes, pos: int, n: int, phys: str, type_length: int | None = None
+) -> tuple[list, int]:
     if phys == "INT64":
         end = pos + 8 * n
         if end > len(buf):
@@ -302,6 +304,27 @@ def _plain_values(buf: bytes, pos: int, n: int, phys: str) -> tuple[list, int]:
             out.append(buf[pos : pos + ln])
             pos += ln
         return out, pos
+    if phys == "INT96":
+        # legacy Hive/Impala timestamps: 8-byte LE nanos-of-day + 4-byte
+        # LE Julian day — rendered by the logical view
+        end = pos + 12 * n
+        if end > len(buf):
+            raise ValueError("parquet page: PLAIN INT96 values truncated")
+        out = []
+        for i in range(n):
+            nanos, jday = struct.unpack_from("<qi", buf, pos + 12 * i)
+            out.append((jday, nanos))
+        return out, end
+    if phys == "FIXED_LEN_BYTE_ARRAY":
+        if not type_length:
+            raise ValueError("parquet page: FLBA without a type length")
+        end = pos + type_length * n
+        if end > len(buf):
+            raise ValueError("parquet page: PLAIN FLBA values truncated")
+        return (
+            [buf[pos + i * type_length : pos + (i + 1) * type_length] for i in range(n)],
+            end,
+        )
     if phys == "BOOLEAN":
         need = (n + 7) // 8
         if pos + need > len(buf):
@@ -336,6 +359,30 @@ def _logical_view(values: list, elem: dict) -> list:
             else _iso_from_epoch(v * scale if scale else v // 1000)
             for v in values
         ]
+    if phys == "INT96":
+        # Julian day + nanos-of-day -> ISO (legacy Hive timestamps)
+        out = []
+        for v in values:
+            if v is None:
+                out.append(None)
+                continue
+            jday, nanos = v
+            epoch_s = (jday - 2440588) * 86400 + nanos // 1_000_000_000
+            out.append(_iso_from_epoch(epoch_s * 1_000_000 + (nanos % 1_000_000_000) // 1000))
+        return out
+    if logical == "DECIMAL" or converted == 5:
+        scale = elem.get("scale") or 0
+        out = []
+        for v in values:
+            if v is None:
+                out.append(None)
+                continue
+            if isinstance(v, (bytes, bytearray)):  # FLBA/BYTE_ARRAY store
+                unscaled = int.from_bytes(v, "big", signed=True)
+            else:  # INT32/INT64 store
+                unscaled = int(v)
+            out.append(_render_decimal(unscaled, scale))
+        return out
     if phys == "INT32" and (logical == "DATE" or converted == 6):
         out = []
         for v in values:
@@ -350,7 +397,7 @@ def _logical_view(values: list, elem: dict) -> list:
 
 def _decode_values(
     payload: bytes, at: int, encoding: int, n_present: int, phys: str,
-    dictionary: list | None,
+    dictionary: list | None, type_length: int | None = None,
 ) -> list:
     """The values region of a data page, v1 or v2, any supported
     encoding."""
@@ -365,7 +412,7 @@ def _decode_values(
             raise ValueError("parquet page: dictionary index out of range")
         return [dictionary[i] for i in idxs]
     if encoding == E_PLAIN:
-        vals, _ = _plain_values(payload, at, n_present, phys)
+        vals, _ = _plain_values(payload, at, n_present, phys, type_length)
         return vals
     if encoding == E_DELTA_BINARY_PACKED:
         if phys not in ("INT32", "INT64"):
@@ -397,6 +444,14 @@ def _decode_values(
         "dictionary, DELTA_BINARY_PACKED, DELTA_LENGTH/DELTA_BYTE_ARRAY "
         "and BYTE_STREAM_SPLIT decode)"
     )
+
+
+def _render_decimal(unscaled: int, scale: int) -> str:
+    if scale <= 0:
+        return str(unscaled * 10 ** (-scale))
+    sign = "-" if unscaled < 0 else ""
+    digits = str(abs(unscaled)).rjust(scale + 1, "0")
+    return f"{sign}{digits[:-scale]}.{digits[-scale:]}"
 
 
 def read_column_chunk(chunk: bytes, col: dict, elem: dict, raw: bool = False) -> list:
@@ -472,7 +527,8 @@ def read_column_chunk(chunk: bytes, col: dict, elem: dict, raw: bool = False) ->
             pos = payload_at + c_size
             n_present = sum(1 for d in page_defs if d == max_def)
             vals = _decode_values(
-                payload, 0, encoding, n_present, phys, dictionary
+                payload, 0, encoding, n_present, phys, dictionary,
+                elem.get("type_length"),
             )
             defs.extend(page_defs)
             reps.extend(page_reps)
@@ -485,7 +541,9 @@ def read_column_chunk(chunk: bytes, col: dict, elem: dict, raw: bool = False) ->
         if ptype == PT_DICTIONARY:
             dh = header.get(7) or {}
             n = dh.get(1, 0)
-            dictionary, _ = _plain_values(payload, 0, n, phys)
+            dictionary, _ = _plain_values(
+                payload, 0, n, phys, elem.get("type_length")
+            )
             continue
         if ptype == PT_INDEX:
             continue
@@ -522,7 +580,8 @@ def read_column_chunk(chunk: bytes, col: dict, elem: dict, raw: bool = False) ->
             page_defs = [max_def] * n
         n_present = sum(1 for d in page_defs if d == max_def)
         vals = _decode_values(
-            payload, at, encoding, n_present, phys, dictionary
+            payload, at, encoding, n_present, phys, dictionary,
+            elem.get("type_length"),
         )
         defs.extend(page_defs)
         reps.extend(page_reps)

@@ -226,6 +226,8 @@ def _logical_kind(logical: dict | None) -> str | None:
     # LogicalType union field ids per parquet.thrift.
     if 1 in logical:
         return "STRING"
+    if 5 in logical:
+        return "DECIMAL"
     if 6 in logical:
         return "DATE"
     if 8 in logical:
@@ -285,6 +287,9 @@ def parse_file_meta(footer: bytes) -> dict:
                 "path": ".".join(prefix + [name]),
                 "physical": PHYSICAL_TYPES.get(el.get(1), f"T{el.get(1)}"),
                 "optional": rep_code != 0,
+                "type_length": el.get(2),
+                "scale": el.get(7),
+                "precision": el.get(8),
                 # the full repetition-code path root-child..leaf: what
                 # the rep/def decoding in parquet_data keys off
                 "levels": levels,

@@ -282,3 +282,51 @@ def test_deeper_nesting_is_loud(tmp_path):
     pq.write_table(pa.table({"v": pa.array(ll, pa.list_(pa.list_(pa.int64())))}), p)
     with pytest.raises(NotImplementedError, match="repeated level"):
         pdta.read_parquet_file(p)
+
+
+def test_int96_and_decimal_columns(tmp_path):
+    """Legacy-lake types: INT96 timestamps (Julian day + nanos-of-day,
+    what old Hive/Spark writers emit) and decimal128-as-FLBA
+    (big-endian two's complement + declared scale) — both
+    cross-validated against pyarrow."""
+    import datetime
+    import decimal
+
+    ts = [
+        datetime.datetime(2026, 8, 16, 12, 34, 56, 789123),
+        datetime.datetime(1999, 12, 31, 23, 59, 59),
+        None,
+        datetime.datetime(1969, 7, 20, 20, 17, 40, 500000),
+    ] * 250
+    dec = [
+        decimal.Decimal("123.45"),
+        None,
+        decimal.Decimal("-0.01"),
+        decimal.Decimal("99999999.99"),
+    ] * 250
+    t = pa.table(
+        {
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "dec": pa.array(dec, pa.decimal128(10, 2)),
+        }
+    )
+    p = str(tmp_path / "i96.parquet")
+    pq.write_table(
+        t, p, use_deprecated_int96_timestamps=True, compression="snappy",
+        row_group_size=400,
+    )
+    _m, cols = pdta.read_parquet_file(p)
+    back = pq.read_table(p)
+
+    def norm(s):
+        if s is None:
+            return None
+        return s.rstrip("0").rstrip(".") if "." in s else s
+
+    want = [
+        None if v is None else norm(v.isoformat(sep=" "))
+        for v in back["ts"].to_pylist()
+    ]
+    assert [norm(g) for g in cols["ts"]] == want
+    got = [None if v is None else decimal.Decimal(v) for v in cols["dec"]]
+    assert got == back["dec"].to_pylist()
