@@ -135,6 +135,13 @@ def pipelines():
         "multimodal_zstd_seekable_ranged": _r14c()["zseek"],
         "lake_delta_time_travel": _r14c()["delta"],
         "multimodal_tfrecord_ingest": _r14c()["tfr"],
+        # r14b wave 3: lz4 shards, dictionary-frame .warc.zst, the
+        # codec-matrix lake, and list<float> through both own stacks
+        # (lake_orc_timestamps reads the EVENTS table, which the
+        # k-fold stager does not inflate — excluded by design)
+        "multimodal_lz4_shards_ingest": _r14d()["l4wds"],
+        "warc_zst_ingest": _r14d()["wzst"],
+        "lake_parquet_codec_matrix": _r14d()["pqmix"],
     }
 
 
@@ -206,6 +213,22 @@ def _r14c():
     }
 
 
+def _r14d():
+    from etl_pipeline_old_spark.queries.lake_footer import (
+        lake_parquet_codec_matrix,
+    )
+    from etl_pipeline_old_spark.queries.zstd_shards import (
+        multimodal_lz4_shards_ingest,
+        warc_zst_ingest,
+    )
+
+    return {
+        "l4wds": multimodal_lz4_shards_ingest,
+        "wzst": warc_zst_ingest,
+        "pqmix": lake_parquet_codec_matrix,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("pipeline_scale_probe")
@@ -247,7 +270,7 @@ def main() -> None:
         "WebDataset .tar shards, AES-encrypted PDFs, .docx packages, "
         "source files (r11b), mbox shards, EPUB books, legacy-charset "
         "crawl shards, the five-format mixed bucket (r12 probes for the "
-        "r11b families), xref-stream PDFs, aux-part DOCX (r12), CONTINUE-split .xls, .7z archives, CDX-indexed .warc.gz (r14), the lake trio — ORC shards, own-stack parquet row-group reads, Iceberg table commits (r14b) — plus .tar.zst shards, seekable zstd archives, Delta logs, and .tfrecord shards (r14b wave 2).",
+        "r11b families), xref-stream PDFs, aux-part DOCX (r12), CONTINUE-split .xls, .7z archives, CDX-indexed .warc.gz (r14), the lake trio — ORC shards, own-stack parquet row-group reads, Iceberg table commits (r14b) — plus .tar.zst shards, seekable zstd archives, Delta logs, and .tfrecord shards (r14b wave 2), plus .tar.lz4 shards, dictionary-frame .warc.zst, and the codec-matrix parquet lake (r14b wave 3).",
         "",
         "| pipeline | metric | " + " | ".join(f"k={k}" for k in FACTORS)
         + " | t(k16)/t(k1) |",
