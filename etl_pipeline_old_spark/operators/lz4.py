@@ -41,6 +41,7 @@ from __future__ import annotations
 import struct
 
 _MAGIC = 0x184D2204
+_MAX_OUTPUT = 1 << 30  # decompression-bomb ceiling: 1 GiB per call
 
 # ------------------------------------------------------------- xxh32
 _P1 = 2654435761
@@ -139,6 +140,8 @@ def _decode_block_into(out: bytearray, src: bytes, history_floor: int) -> None:
                 match_len += b
                 if b != 255:
                     break
+        if len(out) + match_len > _MAX_OUTPUT:
+            raise ValueError("lz4: output beyond the 1 GiB bomb ceiling")
         if offset >= match_len:
             start = len(out) - offset
             out += out[start : start + match_len]
@@ -229,6 +232,8 @@ def decompress_frame(blob: bytes) -> bytes:
             raise ValueError("lz4: frame header checksum mismatch")
         out = bytearray()
         while True:
+            if len(out) > _MAX_OUTPUT:
+                raise ValueError("lz4: output beyond the 1 GiB bomb ceiling")
             if pos + 4 > len(blob):
                 raise ValueError("lz4: truncated block header")
             bh = int.from_bytes(blob[pos : pos + 4], "little")

@@ -65,6 +65,7 @@ _SKIP_MAGIC_LO = 0x184D2A50  # ..5F all skippable
 _SEEK_SKIP_MAGIC = 0x184D2A5E
 _SEEK_FOOT_MAGIC = 0x8F92EAB1
 _MAX_WINDOW = 1 << 27  # 128 MiB guard — larger windows are hostile here
+_MAX_OUTPUT = 1 << 30  # decompression-bomb ceiling: 1 GiB per decompress call
 
 # ------------------------------------------------------------------ XXH64
 _P1 = 11400714785074694791
@@ -762,6 +763,8 @@ def _decode_frame(blob: bytes, pos: int, dictionary: dict | None = None):
         last = bh & 1
         btype = (bh >> 1) & 3
         bsize = bh >> 3
+        if len(out) - base > _MAX_OUTPUT:
+            raise ValueError("zstd: output beyond the 1 GiB bomb ceiling")
         if btype == 0:  # raw
             if pos + bsize > len(blob):
                 raise ValueError("zstd: truncated raw block")
@@ -804,10 +807,14 @@ def _decode_frame(blob: bytes, pos: int, dictionary: dict | None = None):
 def decompress(blob: bytes, dict_data: bytes | None = None) -> bytes:
     """All frames in ``blob`` concatenated — skippable frames skipped.
     ``dict_data`` (raw or format dictionary bytes) unlocks
-    dictionary-keyed frames — the Common Crawl ``.warc.zst`` shape."""
+    dictionary-keyed frames — the Common Crawl ``.warc.zst`` shape.
+    Total output is capped at 1 GiB: a kilobyte-sized hostile frame of
+    RLE blocks can otherwise demand unbounded memory (the
+    decompression-bomb class), and corpus shards are never that big."""
     dictionary = parse_dictionary(dict_data) if dict_data is not None else None
     pos = 0
     parts = []
+    total = 0
     while pos < len(blob):
         if pos + 4 > len(blob):
             raise ValueError("zstd: truncated frame magic")
@@ -824,6 +831,9 @@ def decompress(blob: bytes, dict_data: bytes | None = None) -> bytes:
         if magic != _MAGIC:
             raise ValueError(f"zstd: bad frame magic {magic:#x}")
         part, pos = _decode_frame(blob, pos, dictionary)
+        total += len(part)
+        if total > _MAX_OUTPUT:
+            raise ValueError("zstd: output beyond the 1 GiB bomb ceiling")
         parts.append(part)
     return b"".join(parts)
 

@@ -697,6 +697,60 @@ def codec_mode() -> int:
 
     check("sqlite_cyclic_overflow_is_loud", sqlite_cyclic_overflow, True)
 
+    # r14b codecs: decompression bombs and framing lies must be loud
+    import struct as _st2
+
+    from etl_pipeline_old_spark.operators.lz4 import (
+        decompress_frame as lz4_frame,
+    )
+    from etl_pipeline_old_spark.operators.tfrecord import iter_tfrecords
+    from etl_pipeline_old_spark.operators.zstd import (
+        decompress as zstd_decompress,
+        xxh64 as _xxh64,
+    )
+
+    def zstd_rle_bomb():
+        # single-segment frame of endless max-size RLE blocks: ~13 bytes
+        # of header demand gigabytes of output — the ceiling must trip
+        frame = bytearray(_st2.pack("<I", 0xFD2FB528))
+        frame.append(0x20)  # single-segment, fcs_flag 0 -> 1-byte FCS
+        frame.append(0xFF)  # claimed content size (lies, irrelevant)
+        n_blocks = 2048  # 2048 * 2 MiB > 1 GiB
+        for i in range(n_blocks):
+            last = 1 if i == n_blocks - 1 else 0
+            frame += (last | (1 << 1) | (((1 << 21) - 1) << 3)).to_bytes(3, "little")
+            frame.append(0x41)
+        zstd_decompress(bytes(frame))
+
+    check("zstd_rle_bomb_hits_ceiling", zstd_rle_bomb, True)
+
+    def zstd_window_bomb():
+        # window descriptor demanding 2 GiB is refused before any block
+        frame = _st2.pack("<I", 0xFD2FB528) + bytes([0x00, 0xA8]) + b"\x01\x00\x00"
+        zstd_decompress(frame)
+
+    check("zstd_window_bomb_is_loud", zstd_window_bomb, True)
+
+    def lz4_match_bomb_many():
+        from etl_pipeline_old_spark.operators.lz4 import decompress_block
+
+        # repeated long matches re-reference grown history: exponential
+        block = bytearray([0x10, 0x41])
+        for _ in range(64):
+            block += bytes([0x0F, 0x01, 0x00]) + b"\xff" * 120 + b"\x00"
+        block += bytes([0x10, 0x42])
+        decompress_block(bytes(block))
+
+    check("lz4_match_bomb_hits_ceiling", lz4_match_bomb_many, True)
+
+    def tfrecord_length_lie():
+        blob = _st2.pack("<Q", 1 << 40)
+        blob += _st2.pack("<I", 0)  # wrong masked crc -> framing lost
+        blob += b"x" * 64
+        list(iter_tfrecords(blob))
+
+    check("tfrecord_length_crc_lie_is_loud", tfrecord_length_lie, True)
+
     print(f"TOTAL {time.time() - t00:.0f}s FAILURES: {fails}")
     return 1 if fails else 0
 
