@@ -549,3 +549,304 @@ def lake_iceberg_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.sum("n_files").cast("long"))
         .alias("n_files"),
     )
+
+
+_DELETE_MOD = 7  # doc_id % 7 == 3 -> positionally deleted in the v2 table
+
+_DELETE_MANIFEST_SCHEMA = json.dumps(
+    {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": "long"},
+            {
+                "name": "data_file",
+                "type": {
+                    "type": "record",
+                    "name": "delete_file",
+                    "fields": [
+                        {"name": "content", "type": "int"},
+                        {"name": "file_path", "type": "string"},
+                        {"name": "file_format", "type": "string"},
+                        {"name": "record_count", "type": "long"},
+                        {"name": "file_size_in_bytes", "type": "long"},
+                    ],
+                },
+            },
+        ],
+    }
+)
+
+
+def _stage_iceberg_v2_table(spark: SparkSession, sf_dir: str) -> str:
+    """An Iceberg FORMAT V2 merge-on-read table: one append snapshot of
+    lang-partitioned data files, then a delete snapshot whose
+    POSITIONAL DELETE files (spec §Position Delete Files: parquet of
+    file_path + pos, ordered) tombstone every doc_id % _DELETE_MOD == 3
+    row — no data file rewritten.  Delete manifests carry content=1 so
+    readers route them to the anti-join side."""
+    root = os.path.join(cache_root(), f"iceberg_v2_{_tag(sf_dir)}")
+    marker = os.path.join(root, "_STAGED")
+    if os.path.exists(marker):
+        return root
+    from ..operators.avro import write_avro
+
+    meta_dir = os.path.join(root, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "lang", "n_chars")
+    )
+
+    def write_data_file(pdf):
+        import os as os_
+        import uuid as uuid_
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pdf = pdf.sort_values("doc_id")
+        lang = str(pdf["lang"].iloc[0])
+        part_dir = os_.path.join(root, "data", f"lang={lang}")
+        os_.makedirs(part_dir, exist_ok=True)
+        final = os_.path.join(part_dir, "part-00000.parquet")
+        tmp = f"{final}.{uuid_.uuid4().hex}.tmp"
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False),
+            tmp,
+            compression="snappy",
+        )
+        os_.replace(tmp, final)
+        # positional deletes computed HERE, where file order is known:
+        # row position = rank within the doc_id-sorted file
+        positions = [
+            i
+            for i, did in enumerate(pdf["doc_id"])
+            if int(did) % _DELETE_MOD == 3
+        ]
+        return pd.DataFrame(
+            {
+                "lang": [lang],
+                "path": [final],
+                "n": [len(pdf)],
+                "size": [os_.path.getsize(final)],
+                "del_positions": [positions],
+            }
+        )
+
+    files = (
+        d.groupBy("lang")
+        .applyInPandas(
+            write_data_file,
+            "lang string, path string, n long, size long, "
+            "del_positions array<int>",
+        )
+        .collect()
+    )
+
+    # the delete file: ONE parquet of (file_path, pos), ordered per spec
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    del_rows = sorted(
+        (r.path, int(p))
+        for r in files
+        for p in r.del_positions
+    )
+    del_path = os.path.join(root, "data", "deletes-00000.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "file_path": pa.array([p for p, _ in del_rows]),
+                "pos": pa.array([p for _, p in del_rows], pa.int64()),
+            }
+        ),
+        del_path,
+        compression="snappy",
+    )
+
+    s1, s2 = _SNAP_BASE + 10, _SNAP_BASE + 11
+    data_entries = [
+        {
+            "status": _ST_ADDED,
+            "snapshot_id": s1,
+            "data_file": {
+                "file_path": r.path,
+                "file_format": "PARQUET",
+                "partition": {"lang": r.lang},
+                "record_count": r.n,
+                "file_size_in_bytes": r.size,
+            },
+        }
+        for r in sorted(files, key=lambda r: r.lang)
+    ]
+    m_data = write_avro(data_entries, _MANIFEST_SCHEMA, codec="deflate")
+    m_data_path = os.path.join(meta_dir, "m-data.avro")
+    open(m_data_path, "wb").write(m_data)
+    del_entries = [
+        {
+            "status": _ST_ADDED,
+            "snapshot_id": s2,
+            "data_file": {
+                "content": 1,  # POSITION_DELETES per the v2 spec
+                "file_path": del_path,
+                "file_format": "PARQUET",
+                "record_count": len(del_rows),
+                "file_size_in_bytes": os.path.getsize(del_path),
+            },
+        }
+    ]
+    m_del = write_avro(del_entries, _DELETE_MANIFEST_SCHEMA, codec="deflate")
+    m_del_path = os.path.join(meta_dir, "m-deletes.avro")
+    open(m_del_path, "wb").write(m_del)
+
+    def mlist(name: str, manifests: list[tuple[str, bytes, int, int]]) -> str:
+        recs = [
+            {
+                "manifest_path": p,
+                "manifest_length": ln,
+                "partition_spec_id": 0,
+                "added_snapshot_id": snap,
+                "partitions": [],
+                "content": content,
+            }
+            for p, ln, snap, content in manifests
+        ]
+        schema = json.loads(_MANIFEST_LIST_SCHEMA)
+        schema["fields"].append({"name": "content", "type": "int"})
+        blob = write_avro(recs, json.dumps(schema), codec="deflate")
+        path = os.path.join(meta_dir, name)
+        open(path, "wb").write(blob)
+        return path
+
+    l1 = mlist("snap-v2-1.avro", [(m_data_path, len(m_data), s1, 0)])
+    l2 = mlist(
+        "snap-v2-2.avro",
+        [(m_data_path, len(m_data), s1, 0), (m_del_path, len(m_del), s2, 1)],
+    )
+    meta = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-0000000000v2",
+        "location": root,
+        "current-snapshot-id": s2,
+        "snapshots": [
+            {
+                "snapshot-id": s1,
+                "timestamp-ms": _TS_BASE + 11,
+                "manifest-list": l1,
+                "summary": {"operation": "append"},
+            },
+            {
+                "snapshot-id": s2,
+                "timestamp-ms": _TS_BASE + 12,
+                "manifest-list": l2,
+                "summary": {"operation": "delete"},
+            },
+        ],
+    }
+    with open(os.path.join(meta_dir, "v2.metadata.json"), "w") as fh:
+        json.dump(meta, fh, sort_keys=True)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("2")
+    open(marker, "w").close()
+    return root
+
+
+@register(
+    "lake_iceberg_positional_deletes",
+    oracle=f"""
+    SELECT lang,
+      CAST(COUNT(*) FILTER (WHERE doc_id % {_DELETE_MOD} != 3) AS BIGINT)
+        AS n_visible,
+      CAST(COUNT(*) FILTER (WHERE doc_id % {_DELETE_MOD} = 3) AS BIGINT)
+        AS n_deleted,
+      CAST(SUM(n_chars) FILTER (WHERE doc_id % {_DELETE_MOD} != 3)
+        AS BIGINT) AS sum_chars_visible
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    doc="Iceberg FORMAT V2 merge-on-read: the current snapshot carries "
+    "a data manifest (content=0) AND a positional-delete manifest "
+    "(content=1) whose delete file is plain parquet of (file_path, "
+    "pos) rows — the spec's Position Delete Files. The reader routes "
+    "manifests by content flag, scans data files with Spark's "
+    "_metadata.row_index hidden column for true row positions, and "
+    "anti-joins tombstones relationally — zero data files rewritten, "
+    "the v2 contract. The oracle recomputes visibility from the "
+    "deletion formula, so a position off by one (the classic "
+    "sort-order bug) or a delete row applied to the wrong file flips "
+    "per-language counts AND the character sum. Scale: delete files "
+    "are metadata-sized; the anti-join shuffles tombstones, never "
+    "data.",
+)
+def lake_iceberg_positional_deletes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.avro import read_avro
+
+    root = _stage_iceberg_v2_table(spark, sf_dir)
+    with open(os.path.join(root, "metadata", "version-hint.text")) as fh:
+        v = fh.read().strip()
+    with open(os.path.join(root, "metadata", f"v{v}.metadata.json")) as fh:
+        meta = json.load(fh)
+    current = max(meta["snapshots"], key=lambda s: s["timestamp-ms"])
+    with open(current["manifest-list"], "rb") as fh:
+        _s, _c, manifests = read_avro(fh.read())
+    data_paths, delete_paths = [], []
+    for m in manifests:
+        with open(m["manifest_path"], "rb") as fh:
+            _s2, _c2, entries = read_avro(fh.read())
+        for e in entries:
+            if e["status"] == _ST_DELETED:
+                continue
+            df_ = e["data_file"]
+            if m.get("content", 0) == 1 or df_.get("content", 0) == 1:
+                delete_paths.append(df_["file_path"])
+            else:
+                data_paths.append(df_["file_path"])
+    data = spark.read.parquet(*sorted(data_paths)).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.col("_metadata.file_path").alias("file_path"),
+        F.col("_metadata.row_index").alias("pos"),
+    )
+    deletes = spark.read.parquet(*sorted(set(delete_paths))).select(
+        F.col("file_path").alias("del_file"), F.col("pos").alias("del_pos")
+    )
+    # normalize file path schemes (file:/ prefix vs raw path)
+    norm = F.regexp_replace(F.col("file_path"), "^file:/*", "/")
+    tagged = data.withColumn("file_norm", norm)
+    dnorm = deletes.withColumn(
+        "del_norm", F.regexp_replace(F.col("del_file"), "^file:/*", "/")
+    )
+    visible = tagged.join(
+        F.broadcast(dnorm),
+        (F.col("file_norm") == F.col("del_norm"))
+        & (F.col("pos") == F.col("del_pos")),
+        "left_anti",
+    )
+    deleted_count = tagged.join(
+        F.broadcast(dnorm),
+        (F.col("file_norm") == F.col("del_norm"))
+        & (F.col("pos") == F.col("del_pos")),
+        "left_semi",
+    )
+    vis = visible.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_visible"),
+        F.sum("n_chars").cast("long").alias("sum_chars_visible"),
+    )
+    dele = deleted_count.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_deleted")
+    )
+    return (
+        vis.join(dele, "lang", "left")
+        .select(
+            "lang",
+            "n_visible",
+            F.coalesce("n_deleted", F.lit(0)).cast("long").alias("n_deleted"),
+            "sum_chars_visible",
+        )
+        .orderBy("lang")
+    )

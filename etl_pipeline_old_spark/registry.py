@@ -411,6 +411,8 @@ _CORE_FIRST = (
     "lake_orc_embeddings",
     # round-14b: Common Crawl-shape .warc.zst (format dictionaries)
     "warc_zst_ingest",
+    # round-14b: Iceberg format v2 merge-on-read positional deletes
+    "lake_iceberg_positional_deletes",
 )
 
 

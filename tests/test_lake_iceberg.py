@@ -79,3 +79,34 @@ def test_metadata_tree_is_spec_shaped(spark):
         assert summary["lower_bound"] == b"de"
         assert summary["upper_bound"] == b"zh"
         assert os.path.getsize(m["manifest_path"]) == m["manifest_length"]
+
+
+def test_v2_positional_deletes_apply_exactly(spark):
+    """Format v2 MOR: tombstoned rows vanish, everything else survives
+    with exact counts; no data file was rewritten (the delete file is
+    the only new data object)."""
+    rows = {
+        r.lang: r
+        for r in li.lake_iceberg_positional_deletes(spark, SF_DIR).collect()
+    }
+    import duckdb
+
+    want = {
+        r[0]: (r[1], r[2])
+        for r in duckdb.sql(
+            f"""SELECT lang,
+              COUNT(*) FILTER (WHERE doc_id % 7 != 3),
+              COUNT(*) FILTER (WHERE doc_id % 7 = 3)
+            FROM '{SF_DIR}/documents.parquet' GROUP BY lang"""
+        ).fetchall()
+    }
+    assert set(rows) == set(want)
+    for lang, (nv, nd) in want.items():
+        assert rows[lang].n_visible == nv, lang
+        assert rows[lang].n_deleted == nd, lang
+    root = li._stage_iceberg_v2_table(spark, SF_DIR)
+    import glob as _glob
+
+    data_files = _glob.glob(os.path.join(root, "data", "lang=*", "*.parquet"))
+    assert data_files
+    assert all("tmp" not in os.path.basename(f) for f in data_files)

@@ -139,6 +139,8 @@ REPEAT_QUERIES = (
     "lake_orc_embeddings",
     # r14b: staged .warc.zst shards (CLI-trained shared dictionary)
     "warc_zst_ingest",
+    # r14b: staged Iceberg v2 MOR table (positional delete files)
+    "lake_iceberg_positional_deletes",
     # r13: staged CCITT G4 scanned-page PDFs
     "pipeline_pdf_ccitt_extract",
     # r13: bz2/xz shards + wikidump parts
