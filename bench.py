@@ -205,6 +205,10 @@ HEADLINE = [
     # per-version stats-vs-scan double checks. Tracks the second
     # table-format planning path beside Iceberg.
     "lake_delta_time_travel",
+    # r14b: the codec-matrix sentinel — SNAPPY/GZIP/ZSTD/LZ4_RAW/
+    # UNCOMPRESSED parquet files through the own stack in one query.
+    # Tracks the whole own-codec decode surface in one number.
+    "lake_parquet_codec_matrix",
 ]
 
 
@@ -331,6 +335,7 @@ def main() -> None:
         "lake_iceberg_time_travel",
         "multimodal_zstd_shards_ingest",
         "lake_delta_time_travel",
+        "lake_parquet_codec_matrix",
     ]
     staging: dict[str, float] = {}
     for name in PRESTAGE:
