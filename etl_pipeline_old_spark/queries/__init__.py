@@ -68,6 +68,7 @@ _MODULES = (
     "zstd_shards",
     "lake_delta",
     "tfrecords",
+    "sequencefiles",
 )
 
 

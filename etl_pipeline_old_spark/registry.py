@@ -413,6 +413,8 @@ _CORE_FIRST = (
     "warc_zst_ingest",
     # round-14b: Iceberg format v2 merge-on-read positional deletes
     "lake_iceberg_positional_deletes",
+    # round-14b: Hadoop SequenceFile estates (JVM-written, own-decoded)
+    "multimodal_sequencefile_ingest",
 )
 
 

@@ -141,6 +141,8 @@ REPEAT_QUERIES = (
     "warc_zst_ingest",
     # r14b: staged Iceberg v2 MOR table (positional delete files)
     "lake_iceberg_positional_deletes",
+    # r14b: staged SequenceFile estates (JVM writer, three codecs)
+    "multimodal_sequencefile_ingest",
     # r13: staged CCITT G4 scanned-page PDFs
     "pipeline_pdf_ccitt_extract",
     # r13: bz2/xz shards + wikidump parts
