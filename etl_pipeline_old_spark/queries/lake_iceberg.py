@@ -571,6 +571,10 @@ _DELETE_MANIFEST_SCHEMA = json.dumps(
                         {"name": "file_format", "type": "string"},
                         {"name": "record_count", "type": "long"},
                         {"name": "file_size_in_bytes", "type": "long"},
+                        {
+                            "name": "equality_ids",
+                            "type": ["null", {"type": "array", "items": "int"}],
+                        },
                     ],
                 },
             },
@@ -667,7 +671,7 @@ def _stage_iceberg_v2_table(spark: SparkSession, sf_dir: str) -> str:
         compression="snappy",
     )
 
-    s1, s2 = _SNAP_BASE + 10, _SNAP_BASE + 11
+    s1, s2, s3 = _SNAP_BASE + 10, _SNAP_BASE + 11, _SNAP_BASE + 12
     data_entries = [
         {
             "status": _ST_ADDED,
@@ -695,6 +699,7 @@ def _stage_iceberg_v2_table(spark: SparkSession, sf_dir: str) -> str:
                 "file_format": "PARQUET",
                 "record_count": len(del_rows),
                 "file_size_in_bytes": os.path.getsize(del_path),
+                "equality_ids": None,
             },
         }
     ]
@@ -721,10 +726,42 @@ def _stage_iceberg_v2_table(spark: SparkSession, sf_dir: str) -> str:
         open(path, "wb").write(blob)
         return path
 
+    # s3: an EQUALITY delete file (content=2, equality_ids=[lang's
+    # field id 3]) removing every lang='zh' row still visible
+    eq_path = os.path.join(root, "data", "eq-deletes-00000.parquet")
+    pq.write_table(
+        pa.table({"lang": pa.array(["zh"])}), eq_path, compression="snappy"
+    )
+    eq_entries = [
+        {
+            "status": _ST_ADDED,
+            "snapshot_id": s3,
+            "data_file": {
+                "content": 2,  # EQUALITY_DELETES per the v2 spec
+                "file_path": eq_path,
+                "file_format": "PARQUET",
+                "record_count": 1,
+                "file_size_in_bytes": os.path.getsize(eq_path),
+                "equality_ids": [3],
+            },
+        }
+    ]
+    m_eq = write_avro(eq_entries, _DELETE_MANIFEST_SCHEMA, codec="deflate")
+    m_eq_path = os.path.join(meta_dir, "m-eq-deletes.avro")
+    open(m_eq_path, "wb").write(m_eq)
+
     l1 = mlist("snap-v2-1.avro", [(m_data_path, len(m_data), s1, 0)])
     l2 = mlist(
         "snap-v2-2.avro",
         [(m_data_path, len(m_data), s1, 0), (m_del_path, len(m_del), s2, 1)],
+    )
+    l3 = mlist(
+        "snap-v2-3.avro",
+        [
+            (m_data_path, len(m_data), s1, 0),
+            (m_del_path, len(m_del), s2, 1),
+            (m_eq_path, len(m_eq), s3, 1),
+        ],
     )
     meta = {
         "format-version": 2,
@@ -742,6 +779,12 @@ def _stage_iceberg_v2_table(spark: SparkSession, sf_dir: str) -> str:
                 "snapshot-id": s2,
                 "timestamp-ms": _TS_BASE + 12,
                 "manifest-list": l2,
+                "summary": {"operation": "delete"},
+            },
+            {
+                "snapshot-id": s3,
+                "timestamp-ms": _TS_BASE + 13,
+                "manifest-list": l3,
                 "summary": {"operation": "delete"},
             },
         ],
@@ -790,8 +833,10 @@ def lake_iceberg_positional_deletes(
         v = fh.read().strip()
     with open(os.path.join(root, "metadata", f"v{v}.metadata.json")) as fh:
         meta = json.load(fh)
-    current = max(meta["snapshots"], key=lambda s: s["timestamp-ms"])
-    with open(current["manifest-list"], "rb") as fh:
+    # TIME TRAVEL to the positional-delete snapshot (ordinal 2): the
+    # equality-delete commit after it must not leak in
+    snaps = sorted(meta["snapshots"], key=lambda s: s["timestamp-ms"])
+    with open(snaps[1]["manifest-list"], "rb") as fh:
         _s, _c, manifests = read_avro(fh.read())
     data_paths, delete_paths = [], []
     for m in manifests:
@@ -801,8 +846,10 @@ def lake_iceberg_positional_deletes(
             if e["status"] == _ST_DELETED:
                 continue
             df_ = e["data_file"]
-            if m.get("content", 0) == 1 or df_.get("content", 0) == 1:
+            if df_.get("content", 0) == 1:
                 delete_paths.append(df_["file_path"])
+            elif df_.get("content", 0) == 2:
+                raise ValueError("iceberg: equality delete at the wrong snapshot")
             else:
                 data_paths.append(df_["file_path"])
     data = spark.read.parquet(*sorted(data_paths)).select(
@@ -847,6 +894,99 @@ def lake_iceberg_positional_deletes(
             "n_visible",
             F.coalesce("n_deleted", F.lit(0)).cast("long").alias("n_deleted"),
             "sum_chars_visible",
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "lake_iceberg_equality_deletes",
+    oracle=f"""
+    SELECT lang,
+      CAST(COUNT(*) FILTER (WHERE doc_id % {_DELETE_MOD} != 3) AS BIGINT)
+        AS n_visible,
+      CAST(SUM(n_chars) FILTER (WHERE doc_id % {_DELETE_MOD} != 3)
+        AS BIGINT) AS sum_chars_visible
+    FROM documents WHERE lang <> 'zh' GROUP BY lang ORDER BY lang
+    """,
+    doc="Iceberg v2 EQUALITY deletes stacked on positional deletes: "
+    "the third snapshot's delete manifest carries a content=2 file "
+    "with equality_ids naming the lang field — 'delete every row "
+    "whose key columns match any delete row', the DELETE-WHERE shape "
+    "engines write when positions are unknown. Resolution composes "
+    "RELATIONALLY: positional tombstones anti-join on (file, pos), "
+    "equality tombstones anti-join on the key columns, both broadcast "
+    "(delete files are metadata-sized). zh rows survive the "
+    "positional pass and vanish in the equality pass; the oracle "
+    "recomputes the composed visibility per language, so routing an "
+    "equality file down the positional path (or vice versa) flips "
+    "the hash. Old snapshots stay intact — the positional query time-"
+    "travels to ordinal 2 and must NOT see the equality commit.",
+)
+def lake_iceberg_equality_deletes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.avro import read_avro
+
+    root = _stage_iceberg_v2_table(spark, sf_dir)
+    with open(os.path.join(root, "metadata", "version-hint.text")) as fh:
+        v = fh.read().strip()
+    with open(os.path.join(root, "metadata", f"v{v}.metadata.json")) as fh:
+        meta = json.load(fh)
+    current = max(meta["snapshots"], key=lambda s: s["timestamp-ms"])
+    with open(current["manifest-list"], "rb") as fh:
+        _s, _c, manifests = read_avro(fh.read())
+    data_paths, pos_paths, eq_paths = [], [], []
+    for m in manifests:
+        with open(m["manifest_path"], "rb") as fh:
+            _s2, _c2, entries = read_avro(fh.read())
+        for e in entries:
+            if e["status"] == _ST_DELETED:
+                continue
+            df_ = e["data_file"]
+            content = df_.get("content", 0)
+            if content == 2:
+                eq_paths.append(df_["file_path"])
+            elif content == 1:
+                pos_paths.append(df_["file_path"])
+            else:
+                data_paths.append(df_["file_path"])
+    data = spark.read.parquet(*sorted(data_paths)).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/").alias(
+            "file_norm"
+        ),
+        F.col("_metadata.row_index").alias("pos"),
+    )
+    pos_del = spark.read.parquet(*sorted(set(pos_paths))).select(
+        F.regexp_replace(F.col("file_path"), "^file:/*", "/").alias(
+            "del_norm"
+        ),
+        F.col("pos").alias("del_pos"),
+    )
+    eq_del = spark.read.parquet(*sorted(set(eq_paths))).select(
+        F.col("lang").alias("del_lang")
+    )
+    visible = (
+        data.join(
+            F.broadcast(pos_del),
+            (F.col("file_norm") == F.col("del_norm"))
+            & (F.col("pos") == F.col("del_pos")),
+            "left_anti",
+        )
+        .join(
+            F.broadcast(eq_del),
+            F.col("lang") == F.col("del_lang"),
+            "left_anti",
+        )
+    )
+    return (
+        visible.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_visible"),
+            F.sum("n_chars").cast("long").alias("sum_chars_visible"),
         )
         .orderBy("lang")
     )

@@ -415,6 +415,8 @@ _CORE_FIRST = (
     "lake_iceberg_positional_deletes",
     # round-14b: Hadoop SequenceFile estates (JVM-written, own-decoded)
     "multimodal_sequencefile_ingest",
+    # round-14b: Iceberg v2 equality deletes stacked on positional
+    "lake_iceberg_equality_deletes",
 )
 
 

@@ -143,6 +143,8 @@ REPEAT_QUERIES = (
     "lake_iceberg_positional_deletes",
     # r14b: staged SequenceFile estates (JVM writer, three codecs)
     "multimodal_sequencefile_ingest",
+    # r14b: the v2 MOR table's equality-delete snapshot
+    "lake_iceberg_equality_deletes",
     # r13: staged CCITT G4 scanned-page PDFs
     "pipeline_pdf_ccitt_extract",
     # r13: bz2/xz shards + wikidump parts
