@@ -16,8 +16,9 @@ Implemented from the spec:
 - **Object Container File** (spec §Object Container Files): ``Obj\\x01``
   magic, a file-metadata map carrying ``avro.schema`` (JSON) and
   ``avro.codec``, a 16-byte sync marker, then blocks of
-  ``count, byte-size, payload, sync`` — payload raw or
-  deflate-compressed (RAW zlib stream, no zlib header, per spec).
+  ``count, byte-size, payload, sync`` — payload raw, deflate (RAW
+  zlib stream per spec), snappy (+ big-endian CRC32 suffix),
+  zstandard (own RFC 8878 codec), bzip2, or xz.
 - **Binary encoding**: zigzag varint int/long (the part naive readers
   get wrong — a negative long is NOT two's-complement here),
   little-endian IEEE float/double, length-prefixed bytes/string,
@@ -465,7 +466,7 @@ def write_avro(records: list, schema_json: str, codec: str = "null",
                block_records: int = 1000) -> bytes:
     """Serialize ``records`` (dicts matching the schema) into an Object
     Container File.  ``codec`` is ``null`` or ``deflate``."""
-    if codec not in ("null", "deflate", "snappy", "zstandard"):
+    if codec not in ("null", "deflate", "snappy", "zstandard", "bzip2", "xz"):
         raise ValueError(f"avro: unsupported codec {codec!r}")
     schema = json.loads(schema_json)
     sync = hashlib.md5(schema_json.encode("utf-8")).digest()
@@ -494,6 +495,14 @@ def write_avro(records: list, schema_json: str, codec: str = "null",
             # spec codec name "zstandard"; the own raw-block frames are
             # spec-legal zstd any consumer (incl. libzstd) decodes
             payload = zstd_compress_raw(bytes(payload))
+        elif codec == "bzip2":
+            import bz2 as _bz2
+
+            payload = _bz2.compress(bytes(payload), 9)
+        elif codec == "xz":
+            import lzma as _lzma
+
+            payload = _lzma.compress(bytes(payload), format=_lzma.FORMAT_XZ)
         write_long(out, len(chunk))
         write_long(out, len(payload))
         out += payload
@@ -526,10 +535,10 @@ def read_avro(blob: bytes, reader_schema_json: str | None = None):
     if not schema_json:
         raise ValueError("avro: container carries no schema")
     codec = meta.get("avro.codec", b"null").decode()
-    if codec not in ("null", "deflate", "snappy", "zstandard"):
+    if codec not in ("null", "deflate", "snappy", "zstandard", "bzip2", "xz"):
         raise NotImplementedError(
             f"avro: codec {codec!r} needs an external library — null, "
-            "deflate, snappy, and zstandard decode natively"
+            "deflate, snappy, zstandard, bzip2 and xz decode natively"
         )
     schema = json.loads(schema_json)
     rschema = (
@@ -561,6 +570,20 @@ def read_avro(blob: bytes, reader_schema_json: str | None = None):
             payload = raw
         elif codec == "zstandard":
             payload = zstd_decompress(payload)
+        elif codec == "bzip2":
+            import bz2 as _bz2
+
+            try:
+                payload = _bz2.decompress(payload)
+            except OSError as exc:
+                raise ValueError(f"avro: corrupt bzip2 block ({exc})") from exc
+        elif codec == "xz":
+            import lzma as _lzma
+
+            try:
+                payload = _lzma.decompress(payload)
+            except _lzma.LZMAError as exc:
+                raise ValueError(f"avro: corrupt xz block ({exc})") from exc
         pbuf = io.BytesIO(payload)
         for _ in range(count):
             records.append(

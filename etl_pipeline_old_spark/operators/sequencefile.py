@@ -53,6 +53,7 @@ _SYNC_ESCAPE = 0xFFFFFFFF
 _DEFAULT_CODEC = "org.apache.hadoop.io.compress.DefaultCodec"
 _SNAPPY_CODEC = "org.apache.hadoop.io.compress.SnappyCodec"
 _GZIP_CODEC = "org.apache.hadoop.io.compress.GzipCodec"
+_BZIP2_CODEC = "org.apache.hadoop.io.compress.BZip2Codec"
 
 
 def read_vint(buf: bytes, pos: int) -> tuple[int, int]:
@@ -97,6 +98,13 @@ def _decompress(codec: str | None, blob: bytes) -> bytes:
             return zlib.decompress(blob, wbits=31)
         except zlib.error as exc:
             raise ValueError(f"sequencefile: corrupt gzip stream ({exc})") from exc
+    if codec == _BZIP2_CODEC:
+        import bz2
+
+        try:
+            return bz2.decompress(blob)
+        except OSError as exc:
+            raise ValueError(f"sequencefile: corrupt bzip2 stream ({exc})") from exc
     if codec == _SNAPPY_CODEC:
         # Hadoop snappy framing: u32 BE total uncompressed size, then
         # u32-BE-length-prefixed raw snappy chunks
@@ -120,8 +128,8 @@ def _decompress(codec: str | None, blob: bytes) -> bytes:
             raise ValueError("sequencefile: snappy framing size lied")
         return bytes(out)
     raise NotImplementedError(
-        f"sequencefile: codec {codec} unsupported (Default/Gzip/Snappy "
-        "decode natively; LZO/BZip2 have no honest in-container path)"
+        f"sequencefile: codec {codec} unsupported (Default/Gzip/Snappy/"
+        "BZip2 decode natively; LZO has no honest in-container path)"
     )
 
 

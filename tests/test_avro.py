@@ -52,7 +52,7 @@ def test_zigzag_varints():
         assert read_long(io.BytesIO(bytes(out))) == v
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate", "zstandard"])
+@pytest.mark.parametrize("codec", ["null", "deflate", "zstandard", "bzip2", "xz"])
 def test_container_roundtrip(codec):
     blob = write_avro(_RECS, _SCHEMA, codec=codec)
     schema, got_codec, back = read_avro(blob)

@@ -45,6 +45,7 @@ def test_jvm_written_layouts_decode(spark, tmp_path):
         ("org.apache.hadoop.io.compress.DefaultCodec", "z"),
         ("org.apache.hadoop.io.compress.SnappyCodec", "s"),
         ("org.apache.hadoop.io.compress.GzipCodec", "g"),
+        ("org.apache.hadoop.io.compress.BZip2Codec", "b"),
     ):
         p = str(tmp_path / label)
         rdd.saveAsSequenceFile(p, compressionCodecClass=codec)
