@@ -212,12 +212,17 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 16) -> DataFrame:
     hashing per-seed, and exactly reproducible in the DuckDB oracle with
     the same integer constants.
     """
-    base = md5_int32(F.col("sh"))
+    # project the digest into a real column FIRST: the k min-aggregates
+    # then derive from one shared md5 per row by construction, instead of
+    # each embedding its own md5(sh) call and relying on runtime
+    # subexpression elimination to dedup k digests (r14; also keeps the
+    # aggregate's expression tree k small terms instead of k digest trees)
+    based = sh.select("id", md5_int32(F.col("sh")).alias("__h32"))
     aggs = [
-        F.min((F.lit(a) * base + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"h{i}")
+        F.min((F.lit(a) * F.col("__h32") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"h{i}")
         for i, (a, b) in enumerate(minhash_seeds(num_hashes))
     ]
-    return sh.groupBy("id").agg(*aggs)
+    return based.groupBy("id").agg(*aggs)
 
 
 def lsh_bands(sig: DataFrame, bands: int = 4, rows: int = 4) -> DataFrame:
@@ -405,11 +410,15 @@ def ppjoin_dedup(
 
     sh = shingle_sets(df, text_col, id_col, shingle_n).persist()
     sh.count()  # eager: df/size/prefix builds + both verify sides hit the cache
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     df_ = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    # n_sh as a count-over-window sharing the ranking window's id
+    # partitioning: the former groupBy(id) aggregate + join shuffled the
+    # shingle relation by id a second time for a value the id-partitioned
+    # window already has in hand (guide §2.4) — one Exchange removed, same
+    # n_sh per row (count of the id's distinct shingles)
     ranked = (
         sh.join(df_, "sh")
-        .join(sizes, "id")
+        .withColumn("n_sh", F.count("*").over(W.partitionBy("id")))
         .withColumn(
             "rn",
             F.row_number().over(W.partitionBy("id").orderBy("df", "sh")),
@@ -460,9 +469,18 @@ def minhash_lsh_dedup(
     sh = shingle_sets(df, text_col, id_col, shingle_n).persist()
     sh.count()  # eager: signature + both verify sides reuse the cache
     sig = minhash_signatures(sh, num_hashes)
-    cand = lsh_candidate_pairs(sig, bands, rows, bucket_cap=bucket_cap, reps=reps)
+    # banding is persisted (the candidate self-join scans it twice) but the
+    # candidate PAIRS stay lazy: they feed exactly one consumer (the verify
+    # join), so materializing them bought nothing — fusing candidate
+    # generation and verification into the final materialization saves one
+    # full localCheckpoint job per call (r14; ~1-2 s at sf0.1, and one
+    # fewer pass over the pair set at any scale). Both caches release at
+    # the end instead of banded releasing mid-pipeline.
+    banded = lsh_bands(sig, bands, rows).persist()
+    banded.count()  # eager: both self-join sides must HIT the cache, not race it
+    cand = banded_candidate_pairs(banded, bucket_cap=bucket_cap, reps=reps)
     verified = jaccard_pairs(sh, candidates=cand).filter(F.col("jaccard") >= threshold)
-    return materialize_release(verified, sh)
+    return materialize_release(verified, sh, banded)
 
 
 # ---------------------------------------------------------------------------
@@ -484,19 +502,21 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 48) -> DataFr
     )
     tok_counts = toks.groupBy("id", "tok").agg(F.count("*").alias("cnt"))
     hashed = tok_counts.withColumn("h", md5_long(F.col("tok")))
+    # the vote aggregates and the fold-up chain are parsed from SQL text:
+    # identical expression trees to the Column-API form, but ~10 py4j
+    # round-trips total instead of ~10 per bit (r14 driver-time trim)
     votes = hashed.groupBy("id").agg(
         *[
-            F.sum(
-                (F.shiftright(F.col("h"), p).bitwiseAND(F.lit(1)) * 2 - 1) * F.col("cnt")
-            ).alias(f"v{p}")
+            F.expr(f"sum(((shiftright(h, {p}) & 1) * 2 - 1) * cnt)").alias(f"v{p}")
             for p in range(bits)
         ]
     )
-    fingerprint = None
-    for p in range(bits):
-        term = F.when(F.col(f"v{p}") > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
-        fingerprint = term if fingerprint is None else fingerprint + term
-    return votes.select("id", fingerprint.alias("simhash"))
+    fingerprint = " + ".join(
+        f"(CASE WHEN v{p} > 0 THEN CAST({1 << p} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+        for p in range(bits)
+    )
+    return votes.select("id", F.expr(fingerprint).alias("simhash"))
 
 
 # ---------------------------------------------------------------------------

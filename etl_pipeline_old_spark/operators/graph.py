@@ -67,11 +67,17 @@ def connected_components(
     """
     _truncate = _make_truncate(edges, checkpoint_dir)
 
-    # symmetric adjacency, persisted: reused every iteration
+    # symmetric adjacency, persisted: reused every iteration. Repartitioned
+    # by the JOIN key "v" before the persist: distinct() leaves the cache
+    # hash-partitioned by (u, v), which does NOT satisfy the per-iteration
+    # join on v — without this every iteration re-shuffles the static
+    # adjacency (guide §2.4: operations keyed the same way should share one
+    # exchange; one up-front shuffle replaces one per iteration).
     adj = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
+        .repartition("v")
         .persist()
     )
     labels = _truncate(
@@ -145,7 +151,11 @@ def pagerank(
     """
     _truncate = _make_truncate(edges, checkpoint_dir)
 
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).persist()
+    # partitioned by the contribution-join key "u" before the persist: the
+    # out-degree aggregate AND every iteration's edges⋈ranks join then reuse
+    # the cached partitioning instead of re-shuffling the static edge set
+    # once per iteration (guide §2.4)
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).repartition("u").persist()
     nodes = (
         e.select(F.col("u").alias("node"))
         .union(e.select(F.col("v").alias("node")))
@@ -219,33 +229,39 @@ def connected_components_star(
     """
     _truncate = _make_truncate(edges, checkpoint_dir)
 
+    # Both stars need, per node u, m = min(N(u) ∪ {u}) attached back to
+    # every edge of u. A groupBy + self-join does that with TWO shuffles of
+    # the edge set per star (the aggregate, then re-shuffling the edges to
+    # meet it); a min-over-window partitioned by u computes the identical
+    # value with ONE shuffle (guide §2.4: a window partitioned like the
+    # aggregation needs no second exchange). Row-level results are
+    # identical — the window min over the whole u-partition IS the joined
+    # group min. (The union arm of small_star now carries one (u, m) row
+    # per EDGE rather than per node; the final distinct() collapses them,
+    # exactly as it collapsed the join arm's duplicates before.)
     def large_star(e: DataFrame) -> DataFrame:
+        from pyspark.sql import Window as W
+
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        mins = (
-            sym.groupBy("u")
-            .agg(F.min("v").alias("mn"))
-            .select("u", F.least("mn", F.col("u")).alias("m"))
-        )
+        m = F.least(F.min("v").over(W.partitionBy("u")), F.col("u"))
         return (
-            sym.join(mins, "u")
+            sym.withColumn("m", m)
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .distinct()
         )
 
     def small_star(e: DataFrame) -> DataFrame:
+        from pyspark.sql import Window as W
+
         dir_e = e.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         ).distinct()
-        mins = (
-            dir_e.groupBy("u")
-            .agg(F.min("v").alias("mn"))
-            .select("u", F.least("mn", F.col("u")).alias("m"))
+        dm = dir_e.withColumn(
+            "m", F.least(F.min("v").over(W.partitionBy("u")), F.col("u"))
         )
-        rewired = (
-            dir_e.join(mins, "u")
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .union(mins.select(F.col("u"), F.col("m").alias("v")))
+        rewired = dm.select(F.col("v").alias("u"), F.col("m").alias("v")).union(
+            dm.select(F.col("u"), F.col("m").alias("v"))
         )
         return rewired.filter(F.col("u") != F.col("v")).distinct()
 

@@ -41,6 +41,33 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _lit_arr(vals) -> Column:
+    """One array literal in ONE py4j call.
+
+    ``F.array(*[F.lit(v) for v in vals])`` costs 2·len(vals) py4j
+    round-trips per plane row; with 6 tables x 5 bits x 64 dims that is
+    ~4 s of driver-side plan construction per ANN query (measured r14).
+    ``F.lit(list)`` builds the same array-of-foldable-literals expression
+    JVM-side in one call; element types match the scalar form (int ->
+    IntegerType, float -> DoubleType), so the arithmetic — and the
+    oracle-checked values — are unchanged.
+    """
+    return F.lit(list(vals))
+
+
+def cosine_with_norms(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    """``dot(a,b) / (norm_a * norm_b)`` with the norms precomputed.
+
+    Identical IEEE result to :func:`cosine` when ``norm_a``/``norm_b``
+    carry ``norm(a)``/``norm(b)`` (same fold, same multiply order) — but
+    computed once per VECTOR instead of once per candidate PAIR: in a
+    probe joining q queries against c candidates the norm folds drop from
+    2·q·c to q + c evaluations (guide §2.3 "don't recompute in the pair
+    stage what is per-row").
+    """
+    return dot(a, b) / (norm_a * norm_b)
+
+
 def brute_force_topk(
     vectors: DataFrame,
     query_ids: list[int],
@@ -55,14 +82,25 @@ def brute_force_topk(
     products, embarrassingly parallel across partitions.
     """
     q = vectors.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        norm(F.col(vec_col)).alias("__qn"),
     )
-    cand = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    cand = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        norm(F.col(vec_col)).alias("__cn"),
+    )
     pairs = cand.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"), "inner")
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim"),
+        F.round(
+            cosine_with_norms(
+                F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+            ),
+            6,
+        ).alias("cos_sim"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -85,37 +123,73 @@ def quantize_planes(planes: np.ndarray, scale: int) -> np.ndarray:
 
 
 def _bucket_expr(
-    vec_col: str, n_bits: int, dim: int, seed: int, quantize_scale: int | None
+    vec_col: str,
+    n_bits: int,
+    dim: int,
+    seed: int,
+    quantize_scale: int | None,
+    quantized_col: Column | None = None,
 ) -> Column:
-    """Bit-string bucket for one LSH table (one plane set)."""
+    """Bit-string bucket for one LSH table (one plane set).
+
+    Plane rows enter the plan as single array literals (:func:`_lit_arr`)
+    — same values, ~130x fewer py4j calls per bit. When
+    ``quantized_col`` is given it must carry the floor(x*scale + 0.5)
+    quantization of ``vec_col``; passing it pre-projected means the
+    quantization transform is evaluated once per row instead of once per
+    BIT (the fold is a CodegenFallback expression, so common-subexpression
+    elimination never rescues the inline form).
+    """
     if quantize_scale is None:
         planes = lsh_planes(n_bits, dim, seed)
         bits = [
             F.when(
-                dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in planes[i]])) >= 0,
+                dot(F.col(vec_col), _lit_arr(float(x) for x in planes[i])) >= 0,
                 "1",
             ).otherwise("0")
             for i in range(n_bits)
         ]
-    else:
-        iplanes = quantize_planes(lsh_planes(n_bits, dim, seed), quantize_scale)
-        qv = F.transform(
-            F.col(vec_col),
-            lambda x: F.floor(x.cast("double") * quantize_scale + F.lit(0.5)),
+        return F.concat(*bits)
+    iplanes = quantize_planes(lsh_planes(n_bits, dim, seed), quantize_scale)
+    if quantized_col is not None:
+        # one F.expr parse for the WHOLE bucket: building the n_bits folds
+        # through the Column API costs hundreds of py4j round-trips per
+        # table (lambda plumbing); the parser builds the identical
+        # ArrayAggregate/ZipWith tree from one string in ~1 ms
+        return F.expr(_quant_bucket_sql("__q", iplanes))
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * quantize_scale + F.lit(0.5)),
+    )
+
+    def int_dot(plane_row: np.ndarray) -> Column:
+        arr = _lit_arr(int(p) for p in plane_row)
+        return F.aggregate(
+            F.zip_with(qv, arr, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
         )
 
-        def int_dot(plane_row: np.ndarray) -> Column:
-            arr = F.array(*[F.lit(int(p)) for p in plane_row])
-            return F.aggregate(
-                F.zip_with(qv, arr, lambda x, y: x * y),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-
-        bits = [
-            F.when(int_dot(iplanes[i]) >= 0, "1").otherwise("0") for i in range(n_bits)
-        ]
+    bits = [
+        F.when(int_dot(iplanes[i]) >= 0, "1").otherwise("0") for i in range(n_bits)
+    ]
     return F.concat(*bits)
+
+
+def _quant_bucket_sql(q_ident: str, iplanes: np.ndarray) -> str:
+    """SQL text of the integer sign-bucket over the pre-quantized array
+    column ``q_ident`` — parses to exactly the expression tree the Column
+    API built: per bit, aggregate(zip_with(q, array(planes), (x,y)->x*y),
+    0L, (acc,x)->acc+x) >= 0 mapped to '1'/'0', concatenated."""
+    bits = []
+    for row in iplanes:
+        arr = ",".join(str(int(p)) for p in row)
+        bits.append(
+            f"(CASE WHEN aggregate(zip_with({q_ident}, array({arr}), "
+            f"(x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x) >= 0 "
+            f"THEN '1' ELSE '0' END)"
+        )
+    return "concat(" + ", ".join(bits) + ")"
 
 
 def hyperplane_lsh_buckets(
@@ -147,16 +221,33 @@ def hyperplane_lsh_buckets(
     reproducible in a SQL oracle. Semantically it's still random-hyperplane
     LSH, just with planes rounded to 1/scale.
     """
+    d = 64 if dim is None else dim
+    if quantize_scale is not None:
+        # project the quantization ONCE per row; every table's bit exprs
+        # fold over the materialized __q column instead of re-quantizing
+        # per bit (n_bits x n_tables times per row)
+        base = vectors.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.floor(x.cast("double") * quantize_scale + F.lit(0.5)),
+            ).alias("__q"),
+        )
+        qcol = F.col("__q")
+    else:
+        base = vectors.select(F.col(id_col), F.col(vec_col))
+        qcol = None
     table_structs = [
         F.struct(
             F.lit(t).alias("tbl"),
-            _bucket_expr(vec_col, n_bits, 64 if dim is None else dim, seed + t, quantize_scale).alias(
-                "bucket"
-            ),
+            _bucket_expr(
+                vec_col, n_bits, d, seed + t, quantize_scale, quantized_col=qcol
+            ).alias("bucket"),
         )
         for t in range(n_tables)
     ]
-    return vectors.select(
+    return base.select(
         F.col(id_col),
         F.col(vec_col),
         F.explode(F.array(*table_structs)).alias("__b"),
@@ -195,7 +286,7 @@ def ivf_topk(
     )
 
     def center_dist(c_idx: int) -> Column:
-        arr = F.array(*[F.lit(float(x)) for x in centers[c_idx]])
+        arr = _lit_arr(float(x) for x in centers[c_idx])
         return F.aggregate(
             F.zip_with(F.col(vec_col), arr, lambda a, b: (a.cast("double") - b) ** 2),
             F.lit(0.0),
@@ -220,13 +311,18 @@ def ivf_topk(
     cand = assigned.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"), "cluster"
     )
-    pairs = cand.join(F.broadcast(q), "cluster").filter(
-        F.col("neighbor_id") != F.col("query_id")
-    )
+    pairs = cand.join(
+        F.broadcast(q.withColumn("__qn", norm(F.col("__qv")))), "cluster"
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim"),
+        F.round(
+            cosine_with_norms(
+                F.col("__qv"), F.col("__cv"), F.col("__qn"), norm(F.col("__cv"))
+            ),
+            6,
+        ).alias("cos_sim"),
     ).dropDuplicates(["query_id", "neighbor_id"])
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -254,26 +350,28 @@ def _dist_structs(cents: list[tuple[str, int, list[int]]]) -> Column:
     """Array of (distance, cluster) structs over the ``__q`` quantized
     vector: sum((n·q_d - s_d)²)/n² with exact integer numerators converted
     to double — IEEE conversion + division are correctly rounded, hence
-    engine-independent."""
+    engine-independent.
 
-    def dist_to(n: int, sums: list[int]) -> Column:
-        s_arr = F.array(*[F.lit(s) for s in sums])
-        num = F.aggregate(
-            F.zip_with(
-                F.col("__q"), s_arr, lambda x, s: (F.lit(n) * x - s) * (F.lit(n) * x - s)
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
+    Built as ONE parsed SQL expression: the Column-API form cost ~20 py4j
+    round-trips per centroid (lambda plumbing for each fold) — ~0.7 s of
+    driver time per call with 16 centroids; the parser builds the
+    identical tree (named_struct of the fold, int literals, exact casts)
+    from one string.
+    """
+    terms = []
+    for g, n, sums in cents:
+        arr = ",".join(str(s) for s in sums)
+        num = (
+            f"aggregate(zip_with(__q, array({arr}), "
+            f"(x, s) -> ({n} * x - s) * ({n} * x - s)), "
+            f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
         )
-        return num.cast("double") / F.lit(float(n * n))
-
-    # struct ordering = (d, c): double distance first, bitstring tiebreak
-    return F.array(
-        *[
-            F.struct(dist_to(n, sums).alias("d"), F.lit(g).alias("c"))
-            for g, n, sums in cents
-        ]
-    )
+        # struct ordering = (d, c): double distance first, bitstring tiebreak
+        terms.append(
+            f"named_struct('d', CAST({num} AS DOUBLE) / CAST({n * n} AS DOUBLE), "
+            f"'c', '{g}')"
+        )
+    return F.expr("array(" + ", ".join(terms) + ")")
 
 
 def ivf_assign_quantized(
@@ -295,8 +393,15 @@ def ivf_assign_quantized(
     q_expr = F.transform(
         F.col(vec_col), lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long")
     )
-    grp = _bucket_expr(vec_col, grp_bits, dim, grp_seed, scale).alias("grp")
-    base = vectors.select(F.col(id_col), F.col(vec_col), q_expr.alias("__q"), grp)
+    # __q is projected first and the group bucket folds over the COLUMN:
+    # one quantization per row (not per bit) and the single-parse SQL
+    # bucket path (grp referenced >1x, so CollapseProject cannot re-inline)
+    base = vectors.select(F.col(id_col), F.col(vec_col), q_expr.alias("__q")).withColumn(
+        "grp",
+        _bucket_expr(
+            vec_col, grp_bits, dim, grp_seed, scale, quantized_col=F.col("__q")
+        ),
+    )
     cent0 = _collect_centroids(base, "grp", dim)
     return base.select(
         F.col(id_col),
@@ -355,13 +460,18 @@ def ivf_topk_quantized(
     cand = assigned.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"), "cluster"
     )
-    pairs = cand.join(F.broadcast(q), "cluster").filter(
-        F.col("neighbor_id") != F.col("query_id")
-    )
+    pairs = cand.join(
+        F.broadcast(q.withColumn("__qn", norm(F.col("__qv")))), "cluster"
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim"),
+        F.round(
+            cosine_with_norms(
+                F.col("__qv"), F.col("__cv"), F.col("__qn"), norm(F.col("__cv"))
+            ),
+            6,
+        ).alias("cos_sim"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -428,8 +538,15 @@ def bucketed_probe(
             .filter(F.col("__occ") <= bucket_cap)
             .drop("__occ")
         )
+    # query-side norms are precomputed (each query row is reused across all
+    # its candidate pairs); the candidate norm is computed once per SCORED
+    # pair — NOT pre-projected on the index side, where at scale most rows
+    # join zero queries and a pre-projected norm would be wasted work
     pairs = (
-        index.join(F.broadcast(queries), ["tbl", "bucket"])
+        index.join(
+            F.broadcast(queries.withColumn("__qn", norm(F.col("__qv")))),
+            ["tbl", "bucket"],
+        )
         .filter(F.col("neighbor_id") != F.col("query_id"))
         # a pair colliding in several tables must be scored once
         .dropDuplicates(["query_id", "neighbor_id"])
@@ -437,7 +554,12 @@ def bucketed_probe(
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim"),
+        F.round(
+            cosine_with_norms(
+                F.col("__qv"), F.col("__cv"), F.col("__qn"), norm(F.col("__cv"))
+            ),
+            6,
+        ).alias("cos_sim"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -466,15 +588,30 @@ def semantic_dedup(
     partition; the keep-min rule is deterministic, so reruns are stable.
     """
     a = ivf_assign_quantized(vectors, scale, dim, grp_bits, grp_seed, id_col, vec_col)
-    left = a.select(F.col(id_col).alias("ia"), F.col(vec_col).alias("__va"), "cluster")
-    right = a.select(F.col(id_col).alias("ib"), F.col(vec_col).alias("__vb"), "cluster")
+    left = a.select(
+        F.col(id_col).alias("ia"),
+        F.col(vec_col).alias("__va"),
+        "cluster",
+        norm(F.col(vec_col)).alias("__na"),
+    )
+    right = a.select(
+        F.col(id_col).alias("ib"),
+        F.col(vec_col).alias("__vb"),
+        "cluster",
+        norm(F.col(vec_col)).alias("__nb"),
+    )
     pairs = (
         left.join(right, "cluster")
         .filter(F.col("ia") < F.col("ib"))
         .select(
             "ia",
             "ib",
-            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cs"),
+            F.round(
+                cosine_with_norms(
+                    F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")
+                ),
+                6,
+            ).alias("cs"),
         )
         .filter(F.col("cs") >= tau)
     )
@@ -547,14 +684,19 @@ def lsh_topk_bucketed(
         "query_id long, __qv array<float>, tbl int, bucket string",
     )
     pairs = (
-        cand.join(F.broadcast(q), ["tbl", "bucket"])
+        cand.join(F.broadcast(q.withColumn("__qn", norm(F.col("__qv")))), ["tbl", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim"),
+        F.round(
+            cosine_with_norms(
+                F.col("__qv"), F.col("__cv"), F.col("__qn"), norm(F.col("__cv"))
+            ),
+            6,
+        ).alias("cos_sim"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -412,22 +412,29 @@ def pipeline_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = tables[0]
     for frame in tables[1:]:
         b = b.unionByName(frame)
-    is_query = F.col("doc_id") % RAG_QMOD == 0
-    qq = b.filter(is_query & (F.col("chunk_idx") == 0)).select(
-        F.col("doc_id").alias("query_doc_id"), F.col("e").alias("qe"), "tbl", "bucket"
-    )
-    cand = (
-        b.filter(~is_query)
-        .join(F.broadcast(qq), ["tbl", "bucket"])
-        # identical (qe, e) payloads on every duplicate row -> dedup is safe
-        .dropDuplicates(["query_doc_id", "doc_id", "chunk_idx"])
-    )
     # NOT SIM.cosine: the oracle divides by sqrt(na2*nb2) (ONE sqrt), and
     # sqrt(a)*sqrt(b) differs from sqrt(a*b) in the last ulp — the round-6
     # contract requires the exact same float op sequence in both engines.
     # The long accumulator keeps every dot product exact (|dot| < 2^53).
     dot = lambda a, bb: F.aggregate(  # noqa: E731
         F.zip_with(a, bb, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    is_query = F.col("doc_id") % RAG_QMOD == 0
+    # the query self-dot rides the broadcast side: one exact-int fold per
+    # QUERY row instead of one per scored pair (r14; the per-candidate
+    # self-dot stays per-pair — most index rows join zero queries at scale)
+    qq = b.filter(is_query & (F.col("chunk_idx") == 0)).select(
+        F.col("doc_id").alias("query_doc_id"),
+        F.col("e").alias("qe"),
+        "tbl",
+        "bucket",
+        dot(F.col("e"), F.col("e")).alias("__qn2"),
+    )
+    cand = (
+        b.filter(~is_query)
+        .join(F.broadcast(qq), ["tbl", "bucket"])
+        # identical (qe, e, __qn2) payloads on every duplicate row -> dedup is safe
+        .dropDuplicates(["query_doc_id", "doc_id", "chunk_idx"])
     )
     scored = cand.select(
         "query_doc_id",
@@ -436,7 +443,7 @@ def pipeline_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             dot(F.col("qe"), F.col("e")).cast("double")
             / F.sqrt(
-                dot(F.col("qe"), F.col("qe")).cast("double")
+                F.col("__qn2").cast("double")
                 * dot(F.col("e"), F.col("e")).cast("double")
             ),
             6,

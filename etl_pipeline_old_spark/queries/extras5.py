@@ -924,15 +924,33 @@ def ann_knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("src"), F.col("c.vec_id").alias("dst"))
         .distinct()
     )
-    ea = emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("va"))
-    eb = emb.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("vb"))
+    # norms ride the (tiny) vector sides of the join: in a kNN GRAPH every
+    # vector scores against ~K·collisions partners, so precomputing the
+    # norm per VECTOR instead of per PAIR removes two of the three
+    # interpreted folds per scored edge (same IEEE values — same fold,
+    # same multiply order as SIM.cosine)
+    ea = emb.select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("va"),
+        SIM.norm(F.col("embedding")).alias("__na"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("vb"),
+        SIM.norm(F.col("embedding")).alias("__nb"),
+    )
     scored = (
         cand.join(ea, "src")
         .join(eb, "dst")
         .select(
             "src",
             "dst",
-            F.round(SIM.cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+            F.round(
+                SIM.cosine_with_norms(
+                    F.col("va"), F.col("vb"), F.col("__na"), F.col("__nb")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
     )
     return (
