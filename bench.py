@@ -274,8 +274,13 @@ def main() -> None:
     # a session pays one-time costs (state-store/offset-log init, the
     # Python STREAMING DataSource worker path) that are session
     # infrastructure, not per-query work (pipeline_streaming_corpus read
-    # ~20s cold vs ~5s warm at sf0.1). A 2-row paged feed drains in one
-    # micro-batch and touches exactly those paths.
+    # ~20s cold vs ~5s warm at sf0.1). The feed is 32 one-row pages (r14;
+    # previously one 2-row page): a 1-partition warm batch only spins up
+    # ONE datasource worker, so the first streaming headline entry still
+    # absorbed the other ~31 workers' ramp inside ITS measurement
+    # (measured ~0.9 s of pipeline_streaming_corpus's first batch). Same
+    # contract as the pandas-UDF warmup above, which already uses 32
+    # partitions for exactly this reason.
     import shutil
     import tempfile
 
@@ -284,9 +289,9 @@ def main() -> None:
     python_datasource.register(spark)
     warm_dir = tempfile.mkdtemp(prefix="bench_stream_warm_")
     try:
-        spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string").coalesce(
-            1
-        ).write.mode("overwrite").json(os.path.join(warm_dir, "feed"))
+        spark.createDataFrame(
+            [(i, "a") for i in range(32)], "doc_id long, text string"
+        ).repartition(32).write.mode("overwrite").json(os.path.join(warm_dir, "feed"))
         wq = (
             spark.readStream.format("paged_json")
             .schema("doc_id long, text string")

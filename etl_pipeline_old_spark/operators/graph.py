@@ -80,7 +80,12 @@ def connected_components(
         .repartition("v")
         .persist()
     )
-    labels = _truncate(
+    # the INITIAL labels are not checkpointed (r14): iteration 1 references
+    # them twice, but both references are one distinct() over the cached
+    # adjacency — cheaper than a dedicated materialization job. Lineage is
+    # truncated at iteration 1's own checkpoint, so the doubling never
+    # compounds.
+    labels = (
         adj.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
@@ -164,7 +169,11 @@ def pagerank(
     )
     n = float(nodes.count())
     deg = e.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("outdeg")).persist()
-    ranks = _truncate(nodes.select("node", F.lit(1.0 / n).alias("rank")))
+    # initial ranks are a constant projection of the persisted node set —
+    # re-evaluating that per reference in iteration 1 is cheaper than a
+    # dedicated materialization job; lineage truncates at iteration 1's
+    # own checkpoint (r14)
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(n_iter):
         wd = ranks.join(deg, "node", "left")
         dang = wd.filter(F.col("outdeg").isNull()).agg(

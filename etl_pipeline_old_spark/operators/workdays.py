@@ -213,25 +213,25 @@ def calendar_dim(
     working days ≤ d. ``delta(a, b] = cum[b] - cum[a]``.
 
     Cached per SparkSession (persisted MEMORY_ONLY): the dim is static, so
-    the 40k-day explode + prefix-sum window executes at most once per
-    session; every later workdays query broadcast-joins the in-memory
-    relation directly. ``persist()`` is lazy, so plan construction still
-    launches zero jobs (tests/test_workdays.py::test_frame_build_triggers_no_job).
+    it is built at most once per session; every later workdays query
+    broadcast-joins the in-memory relation directly. ``persist()`` is
+    lazy, so plan construction still launches zero jobs
+    (tests/test_workdays.py::test_frame_build_triggers_no_job).
 
-    Built entirely JVM-side: only the exception-date lists (weekday holidays
-    and working Saturdays, ~1.5k short strings for the full range) enter the
-    plan as array literals; the 40k-day ``sequence`` explode, the working-day
-    flag, and the running counter are whole-stage-codegen expressions. This
-    avoids shipping 40k Python rows through ``createDataFrame`` (measured
-    ~5 s of driver-side pickling on first use). A FIXED range also means the
-    operator never needs to scan the fact table for bounds, keeping
-    :func:`workdays_diff_frame` a pure lazy transform.
-
-    The single-partition window is deliberate: this is a broadcast dimension
-    (~40k rows ≈ 1 MB); computing its prefix sum on one task is trivial and
-    keeps the dim deterministic.
+    Built driver-side from :func:`_calendar_rows` (the same Python
+    calendar the pandas-UDF twin uses — the two paths are
+    equality-tested) and shipped through the ARROW ``createDataFrame``
+    path: 40k (date, bool, int) rows are one Arrow batch, ~0.1 s. The
+    r2-era JVM-side build (sequence-explode + exception broadcast-join +
+    single-partition prefix-sum window) existed to dodge ~5 s of
+    row-pickling in the pre-Arrow ``createDataFrame``; with Arrow
+    conversion on (session default here) it was the slower path — its
+    one-task explode+window materialization measured 3.0 s per session
+    (r14), i.e. the dominant cost of the first workdays query. A FIXED
+    range still means the operator never scans the fact table for
+    bounds, keeping :func:`workdays_diff_frame` a pure lazy transform.
     """
-    from pyspark.sql.window import Window
+    import pandas as pd
 
     # per-session memo, stored ON the session object so its lifetime (and the
     # persisted block's) is tied to the session, not to a module global that
@@ -243,29 +243,16 @@ def calendar_dim(
     req = (start, end)
 
     start = start - timedelta(days=1)  # need cum[] at the day before start
-    # only the exception dates cross the Python->JVM boundary (~1.6k rows);
-    # inlining them as array literals instead blows up the codegen'd
-    # expression and costs seconds to compile
-    exceptions = [
-        (d, False) for d in ru_non_working_weekdays(start.year, end.year)
-    ] + [(d, True) for d in ru_working_saturdays(start.year, end.year)]
-    exc = spark.createDataFrame(exceptions, "d date, forced_working boolean")
-    days = spark.range(1).select(
-        F.explode(F.sequence(F.lit(start), F.lit(end))).alias("d")
+    pdf = pd.DataFrame(
+        _calendar_rows(start, end), columns=["d", "is_working", "cum_working"]
     )
-    weekday = F.dayofweek("d")  # 1 = Sunday ... 7 = Saturday
-    # mirrors is_working_date(): decreed exceptions win (working Saturdays
-    # forced on, weekday holidays/transfers forced off), else Mon-Fri
-    is_working = F.coalesce(F.col("forced_working"), ~weekday.isin(1, 7))
-    win = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # coalesce(1): createDataFrame slices into defaultParallelism tiny
+    # partitions; every later broadcast build would collect 32 shards of a
+    # 1 MB dim (measured +0.2 s per warm query) — one partition is right
+    # for a broadcast dimension
     dim = (
-        days.join(F.broadcast(exc), "d", "left")
-        .withColumn("is_working", is_working)
-        .withColumn(
-            "cum_working", F.sum(F.col("is_working").cast("int")).over(win).cast("int")
-        )
-        .drop("forced_working")
-        # lazy; ~1 MB once materialized, lives with the session
+        spark.createDataFrame(pdf, schema="d date, is_working boolean, cum_working int")
+        .coalesce(1)
         .persist(StorageLevel.MEMORY_ONLY)
     )
     cache[req] = dim

@@ -72,25 +72,46 @@ DSIR_TARGET_LANG = "en"
 )
 def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    grams = DD.shingle_sets(d, "text", "doc_id", n=2, distinct=False)
-    gb = grams.join(
-        d.select(F.col("doc_id").alias("id"), "lang"), "id"
-    ).select(
-        F.col("id").alias("doc_id"),
-        "lang",
-        (DD.md5_long(F.col("sh")) % DSIR_BUCKETS).alias("bucket"),
+    # lang rides THROUGH the explode instead of being joined back onto the
+    # gram stream (r14): the former grams⋈documents join re-shuffled the
+    # full gram stream against the full doc table — at 100 TB that join is
+    # corpus-sized on both sides; carrying the column costs nothing
+    # (guide §2.4: remove shuffles outright). Same gram multiset and
+    # bucket values (same tokenize/explode/md5 algebra as shingle_sets
+    # with distinct=False).
+    toks = d.select(
+        "doc_id", "lang", F.split(DD.normalize_text("text"), " ").alias("__toks")
     )
-    cr = gb.groupBy("bucket").agg(F.count("*").alias("cr_n"))
-    ct = (
-        gb.filter(F.col("lang") == DSIR_TARGET_LANG)
-        .groupBy("bucket")
-        .agg(F.count("*").alias("ct_n"))
+    positions = F.explode(
+        F.when(
+            F.size("__toks") >= 2, F.sequence(F.lit(1), F.size("__toks") - 1)
+        ).otherwise(F.array().cast("array<int>"))
+    )
+    with_pos = toks.select("doc_id", "lang", "__toks", positions.alias("__i"))
+    sh = F.concat_ws(
+        " ", F.element_at("__toks", F.col("__i")), F.element_at("__toks", F.col("__i") + 1)
+    )
+    gb = with_pos.select(
+        "doc_id", "lang", (DD.md5_long(sh) % DSIR_BUCKETS).alias("bucket")
+    )
+    # ONE map-combined aggregate produces both the raw and the target
+    # bucket counts (the target count as a conditional sum — identical to
+    # the former separate filtered aggregate left-joined back with
+    # coalesce-0): the gram stream is now evaluated twice total (weights
+    # pass + apply pass), the minimum without materializing it.
+    counts = gb.groupBy("bucket").agg(
+        F.count("*").alias("cr_n"),
+        # when/otherwise (NOT a bare boolean cast): a NULL lang must count
+        # 0 exactly like the former filter-then-count path dropped it
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("ct_n"),
     )
     whole = W.partitionBy()
     wb = (
-        cr.join(ct, "bucket", "left")
-        .select("bucket", "cr_n", F.coalesce("ct_n", F.lit(0)).alias("ct_n"))
-        .withColumn("nr", F.sum("cr_n").over(whole))
+        counts.withColumn("nr", F.sum("cr_n").over(whole))
         .withColumn("nt", F.sum("ct_n").over(whole))
         .select(
             "bucket",

@@ -279,7 +279,15 @@ def er_pairwise_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     "become the component labels of their pairs by construction.",
 )
 def er_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    m = _matched(_records(spark, sf_dir)).select("rec_id_a", "rec_id_b")
+    # materialize the (match-pair-sized) edge list before the components
+    # loop: connected_components unions its input twice to symmetrize, so
+    # a lazy edge frame runs the WHOLE blocking + levenshtein-scoring
+    # pipeline twice inside the adjacency build (r14)
+    m = (
+        _matched(_records(spark, sf_dir))
+        .select("rec_id_a", "rec_id_b")
+        .localCheckpoint(eager=True)
+    )
     return connected_components(m, src="rec_id_a", dst="rec_id_b")
 
 
@@ -398,8 +406,13 @@ def link_delta(delta: DataFrame, base: DataFrame) -> DataFrame:
 )
 def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     records = _records(spark, sf_dir)
+    # eager checkpoint of the (tiny) match edge list: see er_entity_clusters
+    # — without it the blocking + scoring pipeline evaluates twice inside
+    # connected_components' symmetrizing union (r14)
     comp = connected_components(
-        _matched(records).select("rec_id_a", "rec_id_b"),
+        _matched(records)
+        .select("rec_id_a", "rec_id_b")
+        .localCheckpoint(eager=True),
         src="rec_id_a",
         dst="rec_id_b",
     )

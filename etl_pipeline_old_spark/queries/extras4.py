@@ -392,9 +392,12 @@ def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id_d").alias("id_a"), F.col("id_o").alias("id_b"))
         .distinct()
     )
-    # materialize the (tiny) candidate set so the verify joins plan against
-    # a known-small broadcast side, and release the band cache with it
-    cand = DD.materialize_release(cand, banded)
+    # the candidate set stays LAZY (r14): it feeds exactly one consumer
+    # (the verify join), and the former localCheckpoint bought no plan
+    # advantage — a checkpointed LogicalRDD carries no size stats, so the
+    # "known-small broadcast side" rationale never actually fired; AQE
+    # picks the broadcast at runtime either way. Dropping it saves one
+    # full job per probe; the band cache now releases with the result.
     matches = (
         DD.jaccard_pairs(sh, candidates=cand)
         .filter(F.col("jaccard") >= 0.5)
@@ -413,7 +416,7 @@ def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "matched_id",
         )
     )
-    return DD.materialize_release(out, sh)
+    return DD.materialize_release(out, sh, banded)
 
 
 def incremental_probe_matches_bronze(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -252,9 +252,11 @@ def k9_dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(root, "fact")
 
     ev = load_table(spark, sf_dir, "events")
-    ev.withColumn("day", F.to_date("ts")).write.partitionBy("day").mode(
-        "overwrite"
-    ).parquet(path)
+    # day-keyed exchange: one file per day directory instead of one per
+    # (task, day) — see k7_partitioned_write_prune (guide §6 small-files)
+    ev.withColumn("day", F.to_date("ts")).repartition("day").write.partitionBy(
+        "day"
+    ).mode("overwrite").parquet(path)
     fact = spark.read.parquet(path)
 
     # dim = Filter over an aggregate: DPP-eligible. A scalar-join dim

@@ -67,13 +67,16 @@ def k8_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFram
         cache_root(),
         f"events_dyn_overwrite_{os.path.basename(os.path.normpath(sf_dir))}",
     )
-    ev.write.mode("overwrite").partitionBy("day").parquet(path)
+    # day-keyed exchange: one file per day directory instead of one per
+    # (task, day) — see k7_partitioned_write_prune (guide §6 small-files)
+    ev.repartition("day").write.mode("overwrite").partitionBy("day").parquet(path)
 
     corrections = ev.filter(F.col("day") == FIX_DAY).withColumn(
         "value", F.col("value") * 2
     )
     (
-        corrections.write.mode("overwrite")
+        corrections.repartition("day")
+        .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("day")
         .parquet(path)

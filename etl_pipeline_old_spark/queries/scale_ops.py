@@ -71,7 +71,12 @@ def k7_partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     path = os.path.join(cache_root(), f"events_by_day_{_tag(sf_dir)}")
     (
+        # cluster by the partition column before the write: un-clustered,
+        # every one of the 32 input tasks opens a file in (nearly) every
+        # day directory — ~32 small files per day; one day-keyed exchange
+        # makes it one file per day (guide §6 small-files)
         ev.withColumn("day", F.to_date("ts"))
+        .repartition("day")
         .write.mode("overwrite")
         .partitionBy("day")
         .parquet(path)
@@ -222,6 +227,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # pairs is <= n_nations^2 rows but its subtree is the FULL fact join —
+    # referenced lazily by tot AND the three triangle legs, the plan ran
+    # the lineitem⋈orders join FOUR times (48 parquet scans / 4
+    # SortMergeJoins in the r14 before-plan). One eager localCheckpoint
+    # (~625 rows) runs the fact join once; everything downstream scans it.
+    pairs = pairs.localCheckpoint(eager=True)
     tot = pairs.agg(F.count("*").alias("n"), F.sum("rev_cents").alias("total"))
     edges = (
         pairs.crossJoin(F.broadcast(tot))
@@ -277,7 +288,10 @@ def layout_retention_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     path = os.path.join(cache_root(), f"events_retention_{_tag(sf_dir)}")
     (
+        # day-keyed exchange before the write: one file per day directory
+        # instead of one per (task, day) — see k7 (guide §6 small-files)
         ev.withColumn("day", F.to_date("ts"))
+        .repartition("day")
         .write.mode("overwrite")
         .partitionBy("day")
         .parquet(path)

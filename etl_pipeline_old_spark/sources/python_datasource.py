@@ -45,6 +45,40 @@ class _PagePartition(InputPartition):
         self.path = path
 
 
+def _read_page(path: str, schema):
+    """Yield one Arrow RecordBatch for a whole page file.
+
+    The DataSource API accepts pyarrow.RecordBatch yields as well as
+    per-row tuples; one batch per page replaces ~rows-per-page individual
+    tuple pickles per task with a single columnar hand-off (guide §4.1 —
+    control HOW data crosses the Python boundary). Parsing stays
+    json.loads per line (identical values, incl. None for absent keys);
+    the batch is built against the DECLARED schema so inference can never
+    drift from the tuple path's types. Falls back to tuple yields if the
+    Arrow conversion is unavailable for a schema.
+    """
+    fields = [f.name for f in schema.fields]
+    cols: dict = {k: [] for k in fields}
+    n = 0
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            if line.strip():
+                rec = json.loads(line)
+                for k in fields:
+                    cols[k].append(rec.get(k))
+                n += 1
+    if not n:
+        return
+    try:
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        yield pa.RecordBatch.from_pydict(cols, schema=to_arrow_schema(schema))
+    except Exception:
+        for i in range(n):
+            yield tuple(cols[k][i] for k in fields)
+
+
 class PagedJsonReader(DataSourceReader):
     def __init__(self, schema, options):
         self.schema = schema
@@ -63,12 +97,7 @@ class PagedJsonReader(DataSourceReader):
         return [_PagePartition(p) for p in pages]
 
     def read(self, partition: _PagePartition):
-        fields = [f.name for f in self.schema.fields]
-        with open(partition.path, encoding="utf-8") as f:
-            for line in f:
-                if line.strip():
-                    rec = json.loads(line)
-                    yield tuple(rec.get(k) for k in fields)
+        yield from _read_page(partition.path, self.schema)
 
 
 def register(spark) -> None:
@@ -129,12 +158,7 @@ class PagedJsonStreamReader(DataSourceStreamReader):
         return [_PagePartition(p) for p in pages]
 
     def read(self, partition: _PagePartition):
-        fields = [f.name for f in self._schema.fields]
-        with open(partition.path, encoding="utf-8") as f:
-            for line in f:
-                if line.strip():
-                    rec = json.loads(line)
-                    yield tuple(rec.get(k) for k in fields)
+        yield from _read_page(partition.path, self._schema)
 
     def commit(self, end: dict) -> None:
         pass  # feed files are immutable; nothing to release
