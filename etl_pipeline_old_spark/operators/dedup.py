@@ -130,10 +130,32 @@ def jaccard_pairs(sh: DataFrame, candidates: DataFrame | None = None) -> DataFra
     O(|candidates| · shingles/doc), NOT the all-pairs co-shingle blowup.
     Without, every co-shingle pair is scored — the quadratic-in-collisions
     baseline.
+
+    SIZED candidates — carrying ``n_a``/``n_b`` (each side's shingle-set
+    size, e.g. from the signature aggregate via
+    ``minhash_signatures(with_count=True)`` → ``lsh_bands`` →
+    ``banded_candidate_pairs``, or from PPJoin's ranked prefix relation) —
+    skip the sizes aggregate AND both size joins entirely: the former
+    re-shuffled the whole (id, sh) relation by id a second time for a
+    count the candidate generator already had in hand (guide §2.3/§2.4).
+    Same integer arithmetic, same rounding — values identical.
     """
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("id").alias("id_a"), "sh")
     b = sh.select(F.col("id").alias("id_b"), "sh")
+    jac = lambda: F.round(  # noqa: E731
+        F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4
+    ).alias("jaccard")
+    if candidates is not None and {"n_a", "n_b"} <= set(candidates.columns):
+        inter = (
+            candidates.join(a, "id_a")
+            .join(b, ["id_b", "sh"])
+            # n_a/n_b are functionally dependent on the ids — grouping by
+            # them changes no group
+            .groupBy("id_a", "id_b", "n_a", "n_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
+        return inter.select("id_a", "id_b", jac())
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     if candidates is not None:
         # candidates-first: attach a's shingles, keep only those b shares
         inter = (
@@ -152,13 +174,7 @@ def jaccard_pairs(sh: DataFrame, candidates: DataFrame | None = None) -> DataFra
     return (
         inter.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
         .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4
-            ).alias("jaccard"),
-        )
+        .select("id_a", "id_b", jac())
     )
 
 
@@ -204,13 +220,23 @@ def materialize_release(result: DataFrame, *cached: DataFrame) -> DataFrame:
     return out
 
 
-def minhash_signatures(sh: DataFrame, num_hashes: int = 16) -> DataFrame:
+def minhash_signatures(
+    sh: DataFrame, num_hashes: int = 16, with_count: bool = False
+) -> DataFrame:
     """k-min-value signature per id.
 
     One md5 per shingle, then k universal-hash derivations
     h_i = (a_i·h + b_i) mod (2^61-1) — 16x fewer digest computations than
     hashing per-seed, and exactly reproducible in the DuckDB oracle with
     the same integer constants.
+
+    ``with_count=True`` adds ``n_sh`` (the id's shingle-set size) to the
+    SAME aggregate — free map-side work here, whereas the downstream
+    Jaccard verify would otherwise re-shuffle the whole (id, sh) relation
+    by id a second time just to count it (guide §2.4: operations keyed
+    the same way share one exchange). ``lsh_bands`` carries the column
+    through to the candidate pairs, and :func:`jaccard_pairs` then skips
+    its sizes aggregate + both size joins.
     """
     # project the digest into a real column FIRST: the k min-aggregates
     # then derive from one shared md5 per row by construction, instead of
@@ -222,6 +248,8 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 16) -> DataFrame:
         F.min((F.lit(a) * F.col("__h32") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"h{i}")
         for i, (a, b) in enumerate(minhash_seeds(num_hashes))
     ]
+    if with_count:
+        aggs.append(F.count("*").alias("n_sh"))
     return based.groupBy("id").agg(*aggs)
 
 
@@ -232,6 +260,11 @@ def lsh_bands(sig: DataFrame, bands: int = 4, rows: int = 4) -> DataFrame:
     small columns regardless of ``rows`` — this is the relation a
     production deployment PERSISTS (bucketed by (band, bkey)) as the
     near-dup index that incremental probes join against.
+
+    A signature carrying ``n_sh`` (minhash_signatures ``with_count=True``)
+    keeps it: one extra BIGINT per band row, which lets the candidate
+    self-join hand the verify both pair sizes for free (see
+    :func:`jaccard_pairs`).
     """
     band_structs = [
         F.struct(
@@ -242,9 +275,10 @@ def lsh_bands(sig: DataFrame, bands: int = 4, rows: int = 4) -> DataFrame:
         )
         for bid in range(bands)
     ]
+    extra = ["n_sh"] if "n_sh" in sig.columns else []
     return sig.select(
-        "id", F.explode(F.array(*band_structs)).alias("b")
-    ).select("id", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey"))
+        "id", *extra, F.explode(F.array(*band_structs)).alias("b")
+    ).select("id", *extra, F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey"))
 
 
 def lsh_candidate_pairs(
@@ -315,11 +349,29 @@ def banded_candidate_pairs(
     When ``banded`` is hash-partitioned by (band, bkey) — a bucketed scan —
     the cap's window and every self-join below reuse that partitioning:
     the whole candidate stage stays Exchange-free.
+
+    A banded relation carrying ``n_sh`` yields SIZED pairs
+    (id_a, id_b, n_a, n_b): the verify then needs no sizes aggregate or
+    size joins (see :func:`jaccard_pairs`). The distinct() keys widen by
+    the two BIGINTs, but n_sh is functionally dependent on the id, so the
+    pair cardinality — and the dedup semantics — are unchanged.
     """
+    sized = "n_sh" in banded.columns
 
     def _hinted(df: DataFrame) -> DataFrame:
         return df.hint(self_join_hint) if self_join_hint else df
 
+    out_cols = ["id_a", "id_b", "n_a", "n_b"] if sized else ["id_a", "id_b"]
+    a_cols = (
+        [F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")]
+        if sized
+        else [F.col("id").alias("id_a")]
+    )
+    b_cols = (
+        [F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")]
+        if sized
+        else [F.col("id").alias("id_b")]
+    )
     if bucket_cap is not None:
         from pyspark.sql import Window as W
 
@@ -327,6 +379,12 @@ def banded_candidate_pairs(
         stats = banded.withColumn("__n", F.count("*").over(w)).withColumn(
             "__rep", F.min("id").over(w)
         )
+        if sized:
+            # the representative's n_sh, needed by the star arm below:
+            # min_by over the same window — no extra exchange (ids are
+            # unique within a bucket, so min_by(n_sh, id) is the n_sh of
+            # __rep exactly)
+            stats = stats.withColumn("__rep_n", F.min_by("n_sh", "id").over(w))
         small = stats.filter(F.col("__n") <= bucket_cap)
         big = stats.filter(F.col("__n") > bucket_cap)
         n_star = big.count()
@@ -340,18 +398,20 @@ def banded_candidate_pairs(
                 n_star,
                 bucket_cap,
             )
-        a = small.select(F.col("id").alias("id_a"), "band", "bkey")
-        b = small.select(F.col("id").alias("id_b"), "band", "bkey")
+        a = small.select(*a_cols, "band", "bkey")
+        b = small.select(*b_cols, "band", "bkey")
         all_pairs = (
             _hinted(a)
             .join(b, ["band", "bkey"])
             .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
+            .select(*out_cols)
         )
         if reps <= 1:
-            star = big.filter(F.col("id") != F.col("__rep")).select(
-                F.col("__rep").alias("id_a"), F.col("id").alias("id_b")
-            )
+            star_cols = [
+                F.col("__rep").alias("id_a"),
+                F.col("id").alias("id_b"),
+            ] + ([F.col("__rep_n").alias("n_a"), F.col("n_sh").alias("n_b")] if sized else [])
+            star = big.filter(F.col("id") != F.col("__rep")).select(*star_cols).select(*out_cols)
         else:
             # the bucket's `reps` smallest ids each star against every
             # member: reps·(n-1) edges, still linear per bucket
@@ -359,25 +419,25 @@ def banded_candidate_pairs(
                 "__rk", F.row_number().over(w.orderBy("id"))
             )
             rep_rows = ranked.filter(F.col("__rk") <= reps).select(
-                "band", "bkey", F.col("id").alias("id_a")
+                "band", "bkey", *a_cols
             )
             star = (
                 _hinted(rep_rows)
                 .join(
-                    big.select("band", "bkey", F.col("id").alias("id_b")),
+                    big.select("band", "bkey", *b_cols),
                     ["band", "bkey"],
                 )
                 .filter(F.col("id_a") < F.col("id_b"))
-                .select("id_a", "id_b")
+                .select(*out_cols)
             )
         return all_pairs.unionByName(star).distinct()
-    a = banded.select(F.col("id").alias("id_a"), "band", "bkey")
-    b = banded.select(F.col("id").alias("id_b"), "band", "bkey")
+    a = banded.select(*a_cols, "band", "bkey")
+    b = banded.select(*b_cols, "band", "bkey")
     return (
         _hinted(a)
         .join(b, ["band", "bkey"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        .select(*out_cols)
         .distinct()
     )
 
@@ -436,7 +496,15 @@ def ppjoin_dedup(
             & (20000 * F.col("a.n_sh") >= 13999 * F.col("b.n_sh"))
             & (20000 * F.col("b.n_sh") >= 13999 * F.col("a.n_sh")),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            # SIZED candidates: the ranked prefix relation already holds
+            # each side's shingle count, so the verify skips its sizes
+            # aggregate + joins (see jaccard_pairs; values identical)
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
         .distinct()
     )
     out = jaccard_pairs(sh, candidates=cand).filter(F.col("jaccard") >= 0.7)
@@ -468,7 +536,10 @@ def minhash_lsh_dedup(
     """
     sh = shingle_sets(df, text_col, id_col, shingle_n).persist()
     sh.count()  # eager: signature + both verify sides reuse the cache
-    sig = minhash_signatures(sh, num_hashes)
+    # with_count: the signature aggregate (already grouped by id) also
+    # emits n_sh, which rides the banding into SIZED candidate pairs — the
+    # verify then skips its sizes re-shuffle of the shingle relation (r14)
+    sig = minhash_signatures(sh, num_hashes, with_count=True)
     # banding is persisted (the candidate self-join scans it twice) but the
     # candidate PAIRS stay lazy: they feed exactly one consumer (the verify
     # join), so materializing them bought nothing — fusing candidate

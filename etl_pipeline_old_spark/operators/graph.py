@@ -157,9 +157,9 @@ def pagerank(
     _truncate = _make_truncate(edges, checkpoint_dir)
 
     # partitioned by the contribution-join key "u" before the persist: the
-    # out-degree aggregate AND every iteration's edges⋈ranks join then reuse
-    # the cached partitioning instead of re-shuffling the static edge set
-    # once per iteration (guide §2.4)
+    # out-degree aggregate AND the static degree-attach join below then
+    # reuse the cached partitioning instead of re-shuffling the static edge
+    # set (guide §2.4)
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).repartition("u").persist()
     nodes = (
         e.select(F.col("u").alias("node"))
@@ -168,22 +168,33 @@ def pagerank(
         .persist()
     )
     n = float(nodes.count())
-    deg = e.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("outdeg")).persist()
+    deg = e.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("outdeg"))
+    # EVERYTHING rank-independent is hoisted out of the loop (r14, guide
+    # §2.4/§1.2): the out-degree rides the persisted edge set (one static
+    # u-partitioned join — deg and e share the cache partitioning, so this
+    # adds no exchange), and the dangling-node SET is static (nodes with no
+    # out-edges). The former loop joined ranks⋈deg per iteration TWICE (the
+    # dangling-mass leg and the contribution leg) — two node-sized joins
+    # per iteration replaced by one semi-join against the small static
+    # dangling set. Per-edge arithmetic (rank/outdeg, summed per dst) and
+    # the dangling-mass sum are over exactly the same values as before.
+    ed = (
+        e.join(deg.withColumnRenamed("node", "u"), "u")
+        .select("u", "v", "outdeg")
+        .persist()
+    )
+    dang_nodes = nodes.join(deg, "node", "left_anti").persist()
     # initial ranks are a constant projection of the persisted node set —
     # re-evaluating that per reference in iteration 1 is cheaper than a
     # dedicated materialization job; lineage truncates at iteration 1's
     # own checkpoint (r14)
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(n_iter):
-        wd = ranks.join(deg, "node", "left")
-        dang = wd.filter(F.col("outdeg").isNull()).agg(
+        dang = ranks.join(dang_nodes, "node", "left_semi").agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
         )
         contrib = (
-            e.join(
-                wd.filter(F.col("outdeg").isNotNull()).withColumnRenamed("node", "u"),
-                "u",
-            )
+            ed.join(ranks.withColumnRenamed("node", "u"), "u")
             .select(
                 F.col("v").alias("node"),
                 (F.col("rank") / F.col("outdeg")).alias("c"),
@@ -205,7 +216,8 @@ def pagerank(
         )
     e.unpersist()
     nodes.unpersist()
-    deg.unpersist()
+    ed.unpersist()
+    dang_nodes.unpersist()
     return ranks
 
 

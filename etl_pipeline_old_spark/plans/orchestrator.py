@@ -94,14 +94,31 @@ def _build_one(
                     _LAST_SCRIPTS_CACHE.pop(dead).unpersist()
                 src = df.persist()
                 _LAST_SCRIPTS_CACHE[tid] = src
-        for half, pred in (
+        halves = (
             ("scripts_bim", F.col("is_bim") == 1),
             ("scripts_designers", F.col("is_bim") == 0),
-        ):
-            split = src.filter(pred)
-            if out_dir is not None:
+        )
+        if out_dir is not None:
+            # the two split writes are independent jobs over independent
+            # sinks (both scan the just-written main table) — submit them
+            # concurrently so the wall is max, not sum (guide §2.6:
+            # overlap independent jobs; the second write's tasks back-fill
+            # cores freed by the first's tail)
+            from concurrent.futures import ThreadPoolExecutor
+
+            def _write_half(half_pred):
+                half, pred = half_pred
+                split = src.filter(pred)
                 full_refresh(split, os.path.join(out_dir, half))
-            out[half] = split
+                return half, split
+
+            with ThreadPoolExecutor(max_workers=2) as split_pool:
+                done = dict(split_pool.map(_write_half, halves))
+            for half, _ in halves:  # fixed insertion order for callers
+                out[half] = done[half]
+        else:
+            for half, pred in halves:
+                out[half] = src.filter(pred)
     LAST_TIMINGS[name] = round(time.perf_counter() - t0, 3)
     return out
 

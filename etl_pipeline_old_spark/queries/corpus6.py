@@ -402,16 +402,37 @@ def pipeline_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" ", F.slice("__toks", F.col("start"), RAG_CHUNK)).alias("chunk_text"),
     )
     emb = ch.select("doc_id", "chunk_idx", F.array(*_rag_emb_cols()).alias("e"))
-    tables = [
-        emb.select(
-            "doc_id", "chunk_idx", "e",
-            F.lit(t).alias("tbl"), _rag_bucket_col(t).alias("bucket"),
-        )
-        for t in range(RAG_TABLES)
-    ]
-    b = tables[0]
-    for frame in tables[1:]:
-        b = b.unionByName(frame)
+    # ONE explode over (tbl, bucket) structs instead of a UNION of
+    # RAG_TABLES full re-evaluations of the scan -> chunk-explode -> embed
+    # subtree (guide §2.4 — the union arms each repeated the corpus scan
+    # and the md5 embedding; the explode computes them once per consumer).
+    # Same rows (interleaved instead of concatenated — every downstream
+    # step is order-insensitive: dropDuplicates over identical payloads,
+    # exact-int scoring, deterministically tie-broken ranking).
+    # bucket columns are projected BELOW the generate (the generator
+    # re-evaluates its collection expression per emitted row — see
+    # shingle_sets), so each table's bucket is computed once per chunk
+    with_buckets = emb.select(
+        "doc_id",
+        "chunk_idx",
+        "e",
+        *[_rag_bucket_col(t).alias(f"__b{t}") for t in range(RAG_TABLES)],
+    )
+    tbl_structs = F.array(
+        *[
+            F.struct(F.lit(t).alias("tbl"), F.col(f"__b{t}").alias("bucket"))
+            for t in range(RAG_TABLES)
+        ]
+    )
+    b = with_buckets.select(
+        "doc_id", "chunk_idx", "e", F.explode(tbl_structs).alias("tb")
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        "e",
+        F.col("tb.tbl").alias("tbl"),
+        F.col("tb.bucket").alias("bucket"),
+    )
     # NOT SIM.cosine: the oracle divides by sqrt(na2*nb2) (ONE sqrt), and
     # sqrt(a)*sqrt(b) differs from sqrt(a*b) in the last ulp — the round-6
     # contract requires the exact same float op sequence in both engines.

@@ -398,7 +398,12 @@ def dedup_bucketed_bronze(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     sh = DD.shingle_sets(d, "text", "doc_id", 3).persist()
     sh.count()  # eager: banding + both verify sides reuse one corpus scan
-    banded = DD.lsh_bands(DD.minhash_signatures(sh))
+    # with_count: n_sh rides the banding into the bronze index (one extra
+    # BIGINT per band row — the value every probe's verify needs), so the
+    # verify skips its sizes re-shuffle of the shingle relation (r14; the
+    # capped candidate stage carries it through bucket-locally, see
+    # banded_candidate_pairs/jaccard_pairs)
+    banded = DD.lsh_bands(DD.minhash_signatures(sh, with_count=True))
 
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     reap_warehouse(spark)
@@ -487,7 +492,10 @@ def dedup_bronze_delta_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and both verify sides
     sh = DD.shingle_sets(d, "text", "doc_id", 3).persist()
     sh.count()
-    banded = DD.lsh_bands(DD.minhash_signatures(sh))
+    # with_count: see dedup_bucketed_bronze — n_sh rides the banding into
+    # the bronze index and the delta probe, skipping the verify's sizes
+    # re-shuffle (r14)
+    banded = DD.lsh_bands(DD.minhash_signatures(sh, with_count=True))
     is_delta = F.col("id") % DELTA_MOD_BRONZE == 0
 
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
@@ -496,10 +504,10 @@ def dedup_bronze_delta_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         write_bronze_bands(spark, banded.filter(~is_delta), t)
         delta_b = banded.filter(is_delta).select(
-            F.col("id").alias("delta_id"), "band", "bkey"
+            F.col("id").alias("delta_id"), F.col("n_sh").alias("n_a"), "band", "bkey"
         )
         base_b = spark.table(t).select(
-            F.col("id").alias("base_id"), "band", "bkey"
+            F.col("id").alias("base_id"), F.col("n_sh").alias("n_b"), "band", "bkey"
         )
         # merge hint as in dedup_bucketed_bronze: the bucketed base side
         # contributes its layout, the delta side alone shuffles to it
@@ -507,7 +515,10 @@ def dedup_bronze_delta_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             delta_b.hint("merge")
             .join(base_b, ["band", "bkey"])
             .select(
-                F.col("delta_id").alias("id_a"), F.col("base_id").alias("id_b")
+                F.col("delta_id").alias("id_a"),
+                F.col("base_id").alias("id_b"),
+                "n_a",
+                "n_b",
             )
             .distinct()
         )

@@ -374,13 +374,18 @@ def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     sh = DD.shingle_sets(d, "text", "doc_id").persist()
     sh.count()  # eager: signature + both verify sides reuse the cache
-    banded = DD.lsh_bands(DD.minhash_signatures(sh)).persist()
+    # with_count: n_sh rides the banding into SIZED candidates, so the
+    # verify skips its sizes re-shuffle of the shingle relation (r14; see
+    # jaccard_pairs)
+    banded = DD.lsh_bands(DD.minhash_signatures(sh, with_count=True)).persist()
     banded.count()  # eager: probe consumes the banding twice
     is_delta = F.col("id") % DELTA_MOD == 0
     delta_b = banded.filter(is_delta).select(
-        F.col("id").alias("id_d"), "band", "bkey"
+        F.col("id").alias("id_d"), F.col("n_sh").alias("n_a"), "band", "bkey"
     )
-    other_b = banded.select(F.col("id").alias("id_o"), "band", "bkey")
+    other_b = banded.select(
+        F.col("id").alias("id_o"), F.col("n_sh").alias("n_b"), "band", "bkey"
+    )
     cand = (
         delta_b.join(other_b, ["band", "bkey"])
         .filter(
@@ -389,7 +394,9 @@ def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             & (F.col("id_o") != F.col("id_d"))
         )
-        .select(F.col("id_d").alias("id_a"), F.col("id_o").alias("id_b"))
+        .select(
+            F.col("id_d").alias("id_a"), F.col("id_o").alias("id_b"), "n_a", "n_b"
+        )
         .distinct()
     )
     # the candidate set stays LAZY (r14): it feeds exactly one consumer
@@ -444,7 +451,11 @@ def incremental_probe_matches_bronze(spark: SparkSession, sf_dir: str) -> DataFr
     d = load_table(spark, sf_dir, "documents")
     sh = DD.shingle_sets(d, "text", "doc_id").persist()
     sh.count()  # eager: banding + both verify sides reuse one corpus scan
-    banded = DD.lsh_bands(DD.minhash_signatures(sh))
+    # with_count: n_sh rides the banding — INTO the bronze index (one
+    # BIGINT per band row; every future probe's verify needs exactly this
+    # value) and through the delta banding, so the verify below skips its
+    # sizes re-shuffle of the shingle relation (r14; see jaccard_pairs)
+    banded = DD.lsh_bands(DD.minhash_signatures(sh, with_count=True))
     is_delta = F.col("id") % DELTA_MOD == 0
 
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
@@ -461,28 +472,37 @@ def incremental_probe_matches_bronze(spark: SparkSession, sf_dir: str) -> DataFr
         # so neither join plans its own band Exchange)
         delta_b = (
             banded.filter(is_delta)
-            .select(F.col("id").alias("id_d"), "band", "bkey")
+            .select(F.col("id").alias("id_d"), F.col("n_sh").alias("n_d"), "band", "bkey")
             .repartition(BRONZE_BUCKETS, "band", "bkey")
             .persist()
         )
         delta_b.count()  # eager: deterministic cache hits for both joins
-        base_b = spark.table(t).select(F.col("id").alias("id_o"), "band", "bkey")
+        base_b = spark.table(t).select(
+            F.col("id").alias("id_o"), F.col("n_sh").alias("n_o"), "band", "bkey"
+        )
         cand_base = delta_b.hint("merge").join(base_b, ["band", "bkey"]).select(
-            "id_d", "id_o"
+            "id_d", "id_o", "n_d", "n_o"
         )
         cand_intra = (
             delta_b.hint("merge")
             .join(
-                delta_b.select(F.col("id_d").alias("id_o"), "band", "bkey"),
+                delta_b.select(
+                    F.col("id_d").alias("id_o"), F.col("n_d").alias("n_o"), "band", "bkey"
+                ),
                 ["band", "bkey"],
             )
             .filter(F.col("id_o") < F.col("id_d"))
-            .select("id_d", "id_o")
+            .select("id_d", "id_o", "n_d", "n_o")
         )
         cand = (
             cand_base.union(cand_intra)
             .distinct()
-            .select(F.col("id_d").alias("id_a"), F.col("id_o").alias("id_b"))
+            .select(
+                F.col("id_d").alias("id_a"),
+                F.col("id_o").alias("id_b"),
+                F.col("n_d").alias("n_a"),
+                F.col("n_o").alias("n_b"),
+            )
         )
         matches = (
             DD.jaccard_pairs(sh, candidates=cand)

@@ -52,8 +52,7 @@ def run_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(out_dir, ignore_errors=True)
     run_pipeline(spark, sf_dir, out_dir)
-    parts = []
-    for name in (
+    names = (
         "scripts",
         "scripts_bim",
         "scripts_designers",
@@ -61,7 +60,16 @@ def run_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "projectsync",
         "yougile",
         "logs",
-    ):
-        n = spark.read.parquet(os.path.join(out_dir, name)).count()
-        parts.append((name, n))
+    )
+    # the seven read-back counts are independent metadata-cheap jobs over
+    # independent sinks — run them concurrently (guide §2.6); output order
+    # stays the reference's fixed dataset order
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _count(name: str) -> int:
+        return spark.read.parquet(os.path.join(out_dir, name)).count()
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        counts = list(pool.map(_count, names))
+    parts = list(zip(names, counts))
     return spark.createDataFrame(parts, "dataset string, n_rows long")
