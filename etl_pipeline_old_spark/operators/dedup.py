@@ -470,14 +470,16 @@ def ppjoin_dedup(
 
     sh = shingle_sets(df, text_col, id_col, shingle_n).persist()
     sh.count()  # eager: df/size/prefix builds + both verify sides hit the cache
-    df_ = sh.groupBy("sh").agg(F.count("*").alias("df"))
-    # n_sh as a count-over-window sharing the ranking window's id
-    # partitioning: the former groupBy(id) aggregate + join shuffled the
-    # shingle relation by id a second time for a value the id-partitioned
-    # window already has in hand (guide §2.4) — one Exchange removed, same
-    # n_sh per row (count of the id's distinct shingles)
+    # BOTH per-row statistics ride count-over-windows instead of
+    # aggregate+join-back (guide §2.4 — operations keyed the same way
+    # share one exchange): the document frequency `df` was a
+    # groupBy(sh) aggregate joined back onto the shingle relation (TWO
+    # sh-keyed exchanges of the corpus-sized relation), now ONE sh-keyed
+    # window; `n_sh` shares the ranking window's id partitioning (r14).
+    # Identical values: count of rows per sh / per id over the distinct
+    # (id, sh) relation.
     ranked = (
-        sh.join(df_, "sh")
+        sh.withColumn("df", F.count("*").over(W.partitionBy("sh")))
         .withColumn("n_sh", F.count("*").over(W.partitionBy("id")))
         .withColumn(
             "rn",

@@ -260,6 +260,19 @@ def connected_components_star(
     # group min. (The union arm of small_star now carries one (u, m) row
     # per EDGE rather than per node; the final distinct() collapses them,
     # exactly as it collapsed the join arm's duplicates before.)
+    # Exchange budget per round (r14): only the FINAL distinct dedups.
+    # large_star's output-distinct and small_star's input-distinct were
+    # redundant for set-correctness — every computation between them (a
+    # min over a window, greatest/least remaps, the union arms) is
+    # duplicate-insensitive, and the round's final distinct() collapses
+    # whatever multiplicity flows through. Dropping them removes two
+    # (u, v)-keyed exchange+aggregate pairs per round: the round is now
+    # window-Exchange(u) [large] → window-Exchange(u) [small] → one
+    # (u, v) distinct — 3 exchanges instead of 5. Inter-stage row counts
+    # are bounded by the symmetric edge count (duplicates only from m
+    # collisions), so the window exchanges carry at most what the
+    # dropped aggregates would have; at scale one fewer shuffle+agg pass
+    # per stage wins.
     def large_star(e: DataFrame) -> DataFrame:
         from pyspark.sql import Window as W
 
@@ -269,7 +282,6 @@ def connected_components_star(
             sym.withColumn("m", m)
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .distinct()
         )
 
     def small_star(e: DataFrame) -> DataFrame:
@@ -277,7 +289,7 @@ def connected_components_star(
 
         dir_e = e.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        ).distinct()
+        )
         dm = dir_e.withColumn(
             "m", F.least(F.min("v").over(W.partitionBy("u")), F.col("u"))
         )
@@ -297,17 +309,24 @@ def connected_components_star(
         .distinct()
     )
     converged = False
+    # the previous round's edge count is remembered driver-side (one
+    # integer) instead of re-counting the checkpointed frame every round
+    # (r14: one fewer job per round; counts of distinct sets + one-sided
+    # exceptAll still prove set equality exactly)
+    e_count = e.count()
     for _ in range(max_iterations):
         new_e = _truncate(small_star(large_star(e)))
+        new_count = new_e.count()
         # fixpoint: identical edge sets (both are distinct sets)
         if (
-            new_e.count() == e.count()
+            new_count == e_count
             and new_e.exceptAll(e).limit(1).count() == 0
         ):
             e = new_e
             converged = True
             break
         e = new_e
+        e_count = new_count
     if not converged:
         raise RuntimeError(
             f"connected_components_star did not converge within "

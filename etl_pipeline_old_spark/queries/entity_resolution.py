@@ -405,7 +405,14 @@ def link_delta(delta: DataFrame, base: DataFrame) -> DataFrame:
     "size.",
 )
 def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
-    records = _records(spark, sf_dir)
+    from ..operators.dedup import materialize_release
+
+    # the derived dirty registry is referenced FIVE times in this query
+    # (blocking self-join ×2, scoring ×2, golden-record assignment ×1) —
+    # persist it so the union + md5 seeding runs once (r14, guide §5:
+    # reuse > recompute here at any scale); released with the result via
+    # materialize_release, the repo's standard cache-lifetime pattern
+    records = _records(spark, sf_dir).persist()
     # eager checkpoint of the (tiny) match edge list: see er_entity_clusters
     # — without it the blocking + scoring pipeline evaluates twice inside
     # connected_components' symmetrizing union (r14)
@@ -421,11 +428,12 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = records.join(
         F.broadcast(comp), records["rec_id"] == comp["node"], "left"
     ).withColumn("entity_id", F.coalesce(F.col("component"), F.col("rec_id")))
-    return assigned.groupBy("entity_id").agg(
+    golden = assigned.groupBy("entity_id").agg(
         F.count("*").alias("n_records"),
         F.min_by("name", "rec_id").alias("canonical_name"),
         (F.max("bal_cents") - F.min("bal_cents")).alias("bal_cents_span"),
     )
+    return materialize_release(golden, records)
 
 
 @register(

@@ -43,9 +43,14 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split(DD.normalize_text("text"), " ")).alias("term")
     )
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = d.count()  # scalar, driver-side (one metadata-cheap action)
-    scored = tf.join(F.broadcast(df), "term").select(
+    # df rides a count-over-window on the AGGREGATED tf relation (exactly
+    # one row per (doc, term), so rows-per-term == countDistinct docs):
+    # the former separate groupBy(term) aggregate re-evaluated the whole
+    # exploded token stream a second time and joined back (r14, guide
+    # §2.3/§2.4 — one pass over the corpus-sized token stream instead of
+    # two, and no join). Identical values and rounding.
+    scored = tf.withColumn("df", F.count("*").over(W.partitionBy("term"))).select(
         "doc_id",
         "term",
         F.round(

@@ -191,12 +191,33 @@ def test_er_incremental_link_plan_no_product(spark, sf):
     assert "BroadcastNestedLoopJoin" not in nodes
 
 
-def test_er_golden_record_assignment_join_broadcasts(spark, sf):
+def test_er_golden_record_assignment_join_broadcasts(spark, sf, monkeypatch):
     """The registry-side assignment join must broadcast the comp map —
     without the explicit hint the localCheckpoint'ed comp has no stats
-    and Spark falls back to shuffling the full registry."""
-    plan = plan_of(QUERIES["er_golden_record"].fn(spark, sf))
-    assert "BroadcastHashJoin" in plan
+    and Spark falls back to shuffling the full registry.
+
+    r14: the query materializes its result (materialize_release, so the
+    persisted records cache can be released), which makes the RETURNED
+    frame's plan a bare ExistingRDD scan — so the lock intercepts the
+    pre-materialization frame and asserts on ITS plan, which is the plan
+    the query actually executes."""
+    from etl_pipeline_old_spark.operators import dedup as DD
+    from etl_pipeline_old_spark.queries import entity_resolution as ER
+
+    captured = []
+    orig = DD.materialize_release
+
+    def capture(result, *cached):
+        captured.append(plan_of(result))
+        return orig(result, *cached)
+
+    monkeypatch.setattr(ER, "materialize_release", capture, raising=False)
+    # the query imports materialize_release locally from operators.dedup —
+    # patch the source module attribute it resolves at call time
+    monkeypatch.setattr(DD, "materialize_release", capture)
+    QUERIES["er_golden_record"].fn(spark, sf)
+    assert captured, "er_golden_record no longer materializes via materialize_release"
+    assert "BroadcastHashJoin" in captured[-1]
 
 
 def test_shuffle_hash_hint_selects_shuffled_hash_join(spark, sf):
