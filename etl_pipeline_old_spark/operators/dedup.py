@@ -536,8 +536,13 @@ def minhash_lsh_dedup(
     stars each over-cap member against that many representatives when
     capped buckets may mix distinct clusters.
     """
+    # LAZY persist (r14): the banding materialization below evaluates the
+    # signature, which scans sh and fills this cache in passing — a
+    # dedicated sh.count() job would only add a full extra pass. The
+    # verify's two sh references run strictly AFTER banded.count(), so
+    # they hit a fully-populated cache (the cache-race hazard only exists
+    # for same-job multi-references, like ppjoin_dedup's single-job shape).
     sh = shingle_sets(df, text_col, id_col, shingle_n).persist()
-    sh.count()  # eager: signature + both verify sides reuse the cache
     # with_count: the signature aggregate (already grouped by id) also
     # emits n_sh, which rides the banding into SIZED candidate pairs — the
     # verify then skips its sizes re-shuffle of the shingle relation (r14)

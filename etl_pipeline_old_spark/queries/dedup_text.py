@@ -396,8 +396,10 @@ def dedup_bucketed_bronze(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..workdir import reap_warehouse, table_name
 
     d = load_table(spark, sf_dir, "documents")
+    # LAZY persist: the bronze write below evaluates the banding over sh
+    # and fills this cache in passing (one fewer materialization job,
+    # r14); the verify's references run after the write completes
     sh = DD.shingle_sets(d, "text", "doc_id", 3).persist()
-    sh.count()  # eager: banding + both verify sides reuse one corpus scan
     # with_count: n_sh rides the banding into the bronze index (one extra
     # BIGINT per band row — the value every probe's verify needs), so the
     # verify skips its sizes re-shuffle of the shingle relation (r14; the
@@ -490,8 +492,8 @@ def dedup_bronze_delta_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     # one shingle pass over ALL docs: feeds base banding, delta banding,
     # and both verify sides
+    # LAZY persist: filled by the bronze write (see dedup_bucketed_bronze)
     sh = DD.shingle_sets(d, "text", "doc_id", 3).persist()
-    sh.count()
     # with_count: see dedup_bucketed_bronze — n_sh rides the banding into
     # the bronze index and the delta probe, skipping the verify's sizes
     # re-shuffle (r14)

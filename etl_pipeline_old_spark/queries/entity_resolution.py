@@ -279,15 +279,20 @@ def er_pairwise_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     "become the component labels of their pairs by construction.",
 )
 def er_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the derived registry is referenced 4× by the blocking + scoring
+    # pipeline — persist it for the one eager edge-checkpoint job and
+    # release immediately after (nothing downstream reads it), r14
+    records = _records(spark, sf_dir).persist()
     # materialize the (match-pair-sized) edge list before the components
     # loop: connected_components unions its input twice to symmetrize, so
     # a lazy edge frame runs the WHOLE blocking + levenshtein-scoring
     # pipeline twice inside the adjacency build (r14)
     m = (
-        _matched(_records(spark, sf_dir))
+        _matched(records)
         .select("rec_id_a", "rec_id_b")
         .localCheckpoint(eager=True)
     )
+    records.unpersist()
     return connected_components(m, src="rec_id_a", dst="rec_id_b")
 
 
