@@ -220,6 +220,11 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+    # the core count is part of a record's identity (the driver benches at
+    # more than one): stamp it, and never let a record at one count seed
+    # med_vs_prev for a run at another (r14 — an 8-core local validation
+    # run would otherwise silently become the 32-core round baseline)
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
     from etl_pipeline_old_spark.registry import QUERIES, _ensure_loaded
     from etl_pipeline_old_spark.session import get_spark
@@ -428,9 +433,15 @@ def main() -> None:
     try:
         with open(full_path, encoding="utf-8") as fh:
             prev = json.load(fh)
-        # only comparable at the same scale factor (a local sf0.001 smoke
-        # run must not poison the driver's sf0.1 round-over-round signal)
-        prev_q = prev.get("queries", {}) if prev.get("sf") == sf else {}
+        # only comparable at the same scale factor AND core count (a local
+        # sf0.001 smoke run or an 8-core scaling probe must not poison the
+        # driver's sf0.1/full-core round-over-round signal; records from
+        # before the cpus stamp carry None and stay comparable)
+        prev_q = (
+            prev.get("queries", {})
+            if prev.get("sf") == sf and prev.get("cpus") in (None, cpus)
+            else {}
+        )
         ratios = sorted(
             timings[k] / prev_q[k]
             for k in timings
@@ -446,6 +457,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "sf": sf,
+        "cpus": cpus,
         "n_headline": len(names),
         "loadavg_start": [round(v, 2) for v in load_start],
         "loadavg": [round(load1, 2), round(load5, 2), round(load15, 2)],
