@@ -262,6 +262,13 @@ def er_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "engine-stable.",
 )
 def er_pairwise_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # stays LAZY deliberately (r14): this step-2 entry is the declared
+    # window into the scoring PLAN (test_plans locks its JVM purity —
+    # levenshtein codegen, no cartesian), which an eager
+    # persist+materialize conversion would reduce to an RDD scan. The 4×
+    # registry re-evaluation it pays is the documented cost; the heavy
+    # consumers (er_golden_record, er_entity_clusters) persist the
+    # registry themselves.
     return _matched(_records(spark, sf_dir))
 
 
