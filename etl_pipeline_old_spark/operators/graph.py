@@ -67,17 +67,19 @@ def connected_components(
     """
     _truncate = _make_truncate(edges, checkpoint_dir)
 
-    # symmetric adjacency, persisted: reused every iteration. Repartitioned
-    # by the JOIN key "v" before the persist: distinct() leaves the cache
-    # hash-partitioned by (u, v), which does NOT satisfy the per-iteration
-    # join on v — without this every iteration re-shuffles the static
-    # adjacency (guide §2.4: operations keyed the same way should share one
-    # exchange; one up-front shuffle replaces one per iteration).
+    # symmetric adjacency, persisted: reused every iteration, partitioned
+    # by the per-iteration JOIN key "v". ONE exchange builds it (r14):
+    # repartition("v") FIRST, then dropDuplicates — HashPartitioning(v)
+    # satisfies the (u, v) dedup's clustered distribution (same v ⇒ same
+    # partition ⇒ same (u, v) co-located), so the aggregate adds no
+    # second exchange, and the cache keeps the v-partitioning every
+    # iteration's join reuses (guide §2.4; the former distinct-then-
+    # repartition shape shuffled the edge set twice).
     adj = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .distinct()
         .repartition("v")
+        .dropDuplicates(["u", "v"])
         .persist()
     )
     # the INITIAL labels are not checkpointed (r14): iteration 1 references
