@@ -220,17 +220,21 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
-    # the core count is part of a record's identity (the driver benches at
-    # more than one): stamp it, and never let a record at one count seed
-    # med_vs_prev for a run at another (r14 — an 8-core local validation
-    # run would otherwise silently become the 32-core round baseline)
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
-
     from etl_pipeline_old_spark.registry import QUERIES, _ensure_loaded
     from etl_pipeline_old_spark.session import get_spark
 
     _ensure_loaded()
     spark = get_spark("bench")
+    # the core count is part of a record's identity (the driver benches at
+    # more than one): stamp it, and never let a record at one count seed
+    # med_vs_prev for a run at another (r14 — an 8-core local validation
+    # run would otherwise silently become the 32-core round baseline).
+    # $SPARK_GRAFT_CPUS is authoritative when set; otherwise stamp the
+    # session's ACTUAL parallelism, not os.cpu_count() — a local[8] session
+    # on a 32-core host must not stamp 32 (r14 ADVICE).
+    cpus = int(
+        os.environ.get("SPARK_GRAFT_CPUS", 0)
+    ) or spark.sparkContext.defaultParallelism
 
     names = [n for n in HEADLINE if n in QUERIES]
     # warm the JVM/codegen path with a cheap NON-headline query so no
@@ -435,11 +439,13 @@ def main() -> None:
             prev = json.load(fh)
         # only comparable at the same scale factor AND core count (a local
         # sf0.001 smoke run or an 8-core scaling probe must not poison the
-        # driver's sf0.1/full-core round-over-round signal; records from
-        # before the cpus stamp carry None and stay comparable)
+        # driver's sf0.1/full-core round-over-round signal). Records from
+        # before the cpus stamp carry None and are treated as INCOMPARABLE:
+        # one transition round without a med_vs_prev beats seeding it from
+        # a record at an unknown core count (r14 ADVICE).
         prev_q = (
             prev.get("queries", {})
-            if prev.get("sf") == sf and prev.get("cpus") in (None, cpus)
+            if prev.get("sf") == sf and prev.get("cpus") == cpus
             else {}
         )
         ratios = sorted(
@@ -478,27 +484,44 @@ def main() -> None:
     except OSError as exc:  # read-only checkout: stderr copy still has it
         print(f"bench full file write failed: {exc}", file=sys.stderr)
 
-    slowest = sorted(timings, key=lambda q: timings[q], reverse=True)[:10]
     doc = {
         "metric": "headline_suite_wall_seconds",
         "value": total,
         "unit": "sec",
         "sf": sf,
-        # n_headline counts suite entries; "queries" below is the top-10
-        # slowest SAMPLE of them (full dict: BENCH_FULL_LAST.json/stderr),
-        # and rest_s is the summed wall of the entries not shown.
+        # n_headline counts suite entries; "queries" below is as many of
+        # them as fit under the driver's ~2000-byte stdout tail cap,
+        # slowest first — a strict superset of the old top-10 (additions
+        # only). r14 verdict #2: with only the top-10 visible, the driver's
+        # cross-core scaling probe could sample nothing but job-overhead-
+        # bound dedup/graph entries and concluded the core count was
+        # ignored; filling the line to the cap (~50+ entries, everything
+        # over ~0.5 s, i.e. every CPU-bound kernel) makes that probe
+        # representative. Full dict: BENCH_FULL_LAST.json/stderr; rest_s
+        # is the summed wall of the entries that did not fit.
         "n_headline": len(names),
         "loadavg_start": [round(v, 1) for v in load_start],
         "loadavg": [round(load1, 1), round(load5, 1), round(load15, 1)],
         "uptime_s": round(uptime_s) if uptime_s is not None else None,
         "med_vs_prev": med_vs_prev,
-        "rest_s": round(sum(timings[q] for q in timings if q not in slowest), 2),
+        "rest_s": 0.0,
         "full": "BENCH_FULL_LAST.json",
-        "queries": {q: round(timings[q], 2) for q in slowest},
+        "queries": {},
     }
+    shown: dict[str, float] = {}
+    doc["queries"] = shown
+    for q in sorted(timings, key=lambda q: timings[q], reverse=True):
+        shown[q] = round(timings[q], 2)
+        doc["rest_s"] = round(sum(v for k, v in timings.items() if k not in shown), 2)
+        if len(json.dumps(doc, separators=(",", ":"))) > 1870:
+            # over the cap: drop this entry and keep trying the faster ones
+            # (names vary in length, so a shorter-named entry may still fit)
+            del shown[q]
+    doc["rest_s"] = round(sum(v for k, v in timings.items() if k not in shown), 2)
     line = json.dumps(doc, separators=(",", ":"))
-    # safety net: the compact line is ~700 bytes by construction, but if a
-    # future edit inflates it the shrink order still protects the timings.
+    # safety net: the fill loop keeps the line under the cap by
+    # construction, but if a future edit inflates the fixed fields the
+    # shrink order still protects the timings.
     for drop in ("full", "uptime_s", "loadavg", "med_vs_prev", "loadavg_start"):
         if len(line) <= 1900:
             break

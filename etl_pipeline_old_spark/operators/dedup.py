@@ -139,6 +139,12 @@ def jaccard_pairs(sh: DataFrame, candidates: DataFrame | None = None) -> DataFra
     re-shuffled the whole (id, sh) relation by id a second time for a
     count the candidate generator already had in hand (guide §2.3/§2.4).
     Same integer arithmetic, same rounding — values identical.
+
+    CONTRACT for sized candidates: ``n_a``/``n_b`` MUST be the DISTINCT
+    shingle counts of ``id_a``/``id_b`` computed over this very ``sh``
+    relation (same n-gram width, same dedup). The fast path trusts them
+    unconditionally — sizes computed over a different shingle relation
+    (another n, a non-distinct bag) yield silently wrong jaccard values.
     """
     a = sh.select(F.col("id").alias("id_a"), "sh")
     b = sh.select(F.col("id").alias("id_b"), "sh")

@@ -93,17 +93,21 @@ def connected_components(
         .withColumn("component", F.col("node"))
     )
 
+    from pyspark.sql import Observation
+
     converged = False
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
         # candidate label per node: min over own label and neighbors' labels
         neighbor_labels = (
             adj.join(labels, adj["v"] == labels["node"])
             .select(F.col("u").alias("node"), F.col("component"))
         )
-        # the changed flag rides IN the materialized frame (labels propagate
-        # monotonically downward, so changed ⇔ new < old): the convergence
-        # probe is then a limit-1 scan of already-checkpointed blocks, not a
-        # separate shuffle join of the old and new label frames per round
+        # the changed count rides IN the checkpoint job as an observed
+        # metric (labels propagate monotonically downward, so changed ⇔
+        # new < old): CollectMetrics evaluates while the checkpoint
+        # materializes, so convergence costs ZERO extra jobs per round
+        # (r15; the r14 shape still ran a limit-1 scan job per iteration)
+        obs = Observation(f"cc_shrunk_{it}")
         new_labels = _truncate(
             labels.select(
                 "node", F.col("component").alias("__lab"), F.lit(True).alias("__own")
@@ -121,9 +125,10 @@ def connected_components(
                     F.min("__lab") < F.min(F.when(F.col("__own"), F.col("__lab")))
                 ).alias("__shrunk"),
             )
+            .observe(obs, F.sum(F.col("__shrunk").cast("long")).alias("n_shrunk"))
         )
         labels = new_labels
-        if new_labels.filter("__shrunk").limit(1).isEmpty():
+        if obs.get["n_shrunk"] == 0:
             converged = True
             break
     adj.unpersist()
@@ -310,15 +315,23 @@ def connected_components_star(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
+    from pyspark.sql import Observation
+
     converged = False
     # the previous round's edge count is remembered driver-side (one
     # integer) instead of re-counting the checkpointed frame every round
     # (r14: one fewer job per round; counts of distinct sets + one-sided
-    # exceptAll still prove set equality exactly)
+    # exceptAll still prove set equality exactly). The new round's count
+    # rides the checkpoint job as an observed metric (r15: the dedicated
+    # count job per round is gone too — same zero-extra-job pattern as
+    # connected_components above).
     e_count = e.count()
-    for _ in range(max_iterations):
-        new_e = _truncate(small_star(large_star(e)))
-        new_count = new_e.count()
+    for it in range(max_iterations):
+        obs = Observation(f"ccstar_n_{it}")
+        new_e = _truncate(
+            small_star(large_star(e)).observe(obs, F.count(F.lit(1)).alias("n"))
+        )
+        new_count = obs.get["n"]
         # fixpoint: identical edge sets (both are distinct sets)
         if (
             new_count == e_count

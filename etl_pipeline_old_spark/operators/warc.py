@@ -41,6 +41,11 @@ def split_gzip_members(blob: bytes) -> Iterator[bytes]:
     while i < len(blob):
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
         out = d.decompress(blob[i:]) + d.flush()
+        if not d.eof:
+            # zlib yields partial output without error (and skips the CRC
+            # check) when the deflate stream lacks its terminator; surface
+            # that as the framing error it is instead of silent truncation.
+            raise ValueError(f"gzip member at offset {i} not terminated")
         yield out
         consumed = len(blob) - i - len(d.unused_data)
         if consumed <= 0:
@@ -523,6 +528,13 @@ def iter_warc_responses_lenient(
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
         try:
             rec = d.decompress(blob[i:]) + d.flush()
+            if not d.eof:
+                # The deflate stream never reached its end-of-stream code
+                # (e.g. a flipped byte turned the final block's terminator
+                # into more literals): zlib returns partial output WITHOUT
+                # error and never verifies the CRC trailer, so without this
+                # check a torn tail would surface as a fabricated record.
+                raise zlib.error("member not terminated")
             consumed = n - i - len(d.unused_data)
             if consumed <= 0:
                 raise zlib.error("member consumed no bytes")

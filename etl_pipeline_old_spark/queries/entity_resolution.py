@@ -262,14 +262,17 @@ def er_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "engine-stable.",
 )
 def er_pairwise_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # stays LAZY deliberately (r14): this step-2 entry is the declared
-    # window into the scoring PLAN (test_plans locks its JVM purity —
-    # levenshtein codegen, no cartesian), which an eager
-    # persist+materialize conversion would reduce to an RDD scan. The 4×
-    # registry re-evaluation it pays is the documented cost; the heavy
-    # consumers (er_golden_record, er_entity_clusters) persist the
-    # registry themselves.
-    return _matched(_records(spark, sf_dir))
+    from ..operators.dedup import materialize_release
+
+    # the derived registry is referenced 4× by the blocking + scoring
+    # pipeline (both block arms, then ra/rb); persist it so the customer
+    # scan + md5 derivation run ONCE, and release the cache right after
+    # the one materialization job (r15, closing r14 verdict #5 — the plan
+    # lock in test_plans now intercepts the pre-materialization frame via
+    # the same monkeypatch recipe as er_golden_record, so JVM purity of
+    # the scoring plan stays asserted).
+    records = _records(spark, sf_dir).persist()
+    return materialize_release(_matched(records), records)
 
 
 @register(

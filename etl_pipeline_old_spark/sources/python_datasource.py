@@ -45,19 +45,45 @@ class _PagePartition(InputPartition):
         self.path = path
 
 
+# rows per emitted RecordBatch: large enough that the per-batch Arrow
+# hand-off overhead vanishes, small enough that one out-of-contract giant
+# page file cannot spike executor Python memory (r14 ADVICE — the
+# whole-file buffering this replaces was O(page size))
+_BATCH_ROWS = 10_000
+
+
 def _read_page(path: str, schema):
-    """Yield one Arrow RecordBatch for a whole page file.
+    """Yield Arrow RecordBatches for a page file, ``_BATCH_ROWS`` at a time.
 
     The DataSource API accepts pyarrow.RecordBatch yields as well as
-    per-row tuples; one batch per page replaces ~rows-per-page individual
-    tuple pickles per task with a single columnar hand-off (guide §4.1 —
-    control HOW data crosses the Python boundary). Parsing stays
-    json.loads per line (identical values, incl. None for absent keys);
-    the batch is built against the DECLARED schema so inference can never
-    drift from the tuple path's types. Falls back to tuple yields if the
-    Arrow conversion is unavailable for a schema.
+    per-row tuples; batched columnar hand-off replaces ~rows-per-page
+    individual tuple pickles per task (guide §4.1 — control HOW data
+    crosses the Python boundary), while the bounded batch size keeps
+    memory flat regardless of page size. Parsing stays json.loads per
+    line (identical values, incl. None for absent keys); batches are
+    built against the DECLARED schema so inference can never drift from
+    the tuple path's types. Falls back to tuple yields if the Arrow
+    conversion is unavailable for a schema.
     """
     fields = [f.name for f in schema.fields]
+    try:
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(schema)
+    except Exception:
+        pa = None
+
+    def flush(cols):
+        if pa is not None:
+            try:
+                yield pa.RecordBatch.from_pydict(cols, schema=arrow_schema)
+                return
+            except Exception:
+                pass
+        for i in range(len(cols[fields[0]]) if fields else 0):
+            yield tuple(cols[k][i] for k in fields)
+
     cols: dict = {k: [] for k in fields}
     n = 0
     with open(path, encoding="utf-8") as f:
@@ -67,16 +93,12 @@ def _read_page(path: str, schema):
                 for k in fields:
                     cols[k].append(rec.get(k))
                 n += 1
-    if not n:
-        return
-    try:
-        import pyarrow as pa
-        from pyspark.sql.pandas.types import to_arrow_schema
-
-        yield pa.RecordBatch.from_pydict(cols, schema=to_arrow_schema(schema))
-    except Exception:
-        for i in range(n):
-            yield tuple(cols[k][i] for k in fields)
+                if n >= _BATCH_ROWS:
+                    yield from flush(cols)
+                    cols = {k: [] for k in fields}
+                    n = 0
+    if n:
+        yield from flush(cols)
 
 
 class PagedJsonReader(DataSourceReader):

@@ -168,11 +168,29 @@ def test_partitioned_readback_prunes_partitions(spark, sf):
     assert all("day" not in l for l in pushed)
 
 
-def test_er_scoring_stays_jvm_and_scales_by_candidates(spark, sf):
+def test_er_scoring_stays_jvm_and_scales_by_candidates(spark, sf, monkeypatch):
     """The ER hot path must be pure JVM (levenshtein is a codegen builtin)
     and must score only blocked candidates: the plan joins on the exploded
-    block key, never a cross/nested-loop product of the registry."""
-    plan = plan_of(QUERIES["er_pairwise_match"].fn(spark, sf))
+    block key, never a cross/nested-loop product of the registry.
+
+    r15: the query persists the registry and materializes its result
+    (materialize_release, releasing the cache), so the RETURNED frame's
+    plan is a bare ExistingRDD scan — the lock intercepts the
+    pre-materialization frame (same recipe as the er_golden_record lock
+    below) and asserts on the plan the query actually executes."""
+    from etl_pipeline_old_spark.operators import dedup as DD
+
+    captured = []
+    orig = DD.materialize_release
+
+    def capture(result, *cached):
+        captured.append(plan_of(result))
+        return orig(result, *cached)
+
+    monkeypatch.setattr(DD, "materialize_release", capture)
+    QUERIES["er_pairwise_match"].fn(spark, sf)
+    assert captured, "er_pairwise_match no longer materializes via materialize_release"
+    plan = captured[-1]
     assert "EvalPython" not in plan
     assert "levenshtein" in plan
     nodes = nodes_of(plan)

@@ -180,7 +180,7 @@ def test_lenient_walk_corrupt_first_member_recovers_rest():
 #   4. either the damage was harmless (all records recovered, no errors)
 #      or at least one error row marks the quarantined span.
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 
@@ -191,6 +191,10 @@ from hypothesis import strategies as st
     frac=st.floats(min_value=0.0, max_value=0.999),
     xor=st.integers(min_value=1, max_value=255),
 )
+# r14 driver counterexample: a flip near the tail of the LAST member
+# removed the deflate end-of-stream code, so zlib returned partial output
+# without error (CRC never checked) and the walk fabricated '<p>body 1</pg'.
+@example(n_recs=2, member_idx=2, frac=0.953125, xor=9).via("discovered failure")
 def test_lenient_walk_survives_arbitrary_corruption(n_recs, member_idx, frac, xor):
     from etl_pipeline_old_spark.operators.warc import iter_warc_responses_lenient
 
