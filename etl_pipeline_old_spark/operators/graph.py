@@ -54,12 +54,20 @@ def connected_components(
     dst: str = "id_b",
     max_iterations: int = 20,
     checkpoint_dir: str | None = None,
+    edges_distinct: bool = False,
 ) -> DataFrame:
     """(node, component) where component = min node id reachable.
 
     ``edges`` is an undirected pair list (src < dst by convention, but not
     required). Isolated nodes (absent from edges) are the caller's concern
     — dedup treats them as their own singleton cluster implicitly.
+
+    ``edges_distinct=True`` is the caller's guarantee that the pair list
+    is row-distinct with ``src < dst`` on every row (the shape every
+    dedup/ER verify emits): the two directed arms of the symmetrizing
+    union then cannot collide, so the adjacency dedup aggregate is
+    skipped (r15 — one hash-aggregate pass less over the edge set at any
+    scale; the v-repartition the loop reuses stays).
 
     Raises ``RuntimeError`` if ``max_iterations`` is reached before the
     fixpoint: min-label propagation needs iterations proportional to the
@@ -75,13 +83,12 @@ def connected_components(
     # second exchange, and the cache keeps the v-partitioning every
     # iteration's join reuses (guide §2.4; the former distinct-then-
     # repartition shape shuffled the edge set twice).
-    adj = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .repartition("v")
-        .dropDuplicates(["u", "v"])
-        .persist()
-    )
+    adj = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    ).repartition("v")
+    if not edges_distinct:
+        adj = adj.dropDuplicates(["u", "v"])
+    adj = adj.persist()
     # the INITIAL labels are not checkpointed (r14): iteration 1 references
     # them twice, but both references are one distinct() over the cached
     # adjacency — cheaper than a dedicated materialization job. Lineage is
@@ -234,6 +241,7 @@ def connected_components_star(
     dst: str = "id_b",
     max_iterations: int = 25,
     checkpoint_dir: str | None = None,
+    edges_distinct: bool = False,
 ) -> DataFrame:
     """(node, component) via alternating large-star / small-star rounds.
 
@@ -310,11 +318,20 @@ def connected_components_star(
         .union(edges.select(F.col(dst).alias("n")))
         .distinct()
     )
-    e = _truncate(
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-    )
+    if edges_distinct:
+        # caller guarantees row-distinct pairs with src < dst (so u != v),
+        # already materialized (every dedup/ER verify hands over a
+        # localCheckpoint'ed pair list): the input filter + distinct
+        # shuffle + dedicated truncate job are pure overhead (r15). Round
+        # 1 references e twice (the symmetrizing union) — both hit the
+        # caller's checkpoint blocks.
+        e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    else:
+        e = _truncate(
+            edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
     from pyspark.sql import Observation
 
     converged = False

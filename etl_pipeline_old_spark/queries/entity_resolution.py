@@ -303,7 +303,9 @@ def er_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     records.unpersist()
-    return connected_components(m, src="rec_id_a", dst="rec_id_b")
+    # matched pairs are row-distinct with rec_id_a < rec_id_b (candidates
+    # are a distinct ordered self-join) — skip CC's input dedup (r15)
+    return connected_components(m, src="rec_id_a", dst="rec_id_b", edges_distinct=True)
 
 
 _INC_LINK_ORACLE = f"""
@@ -437,6 +439,8 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True),
         src="rec_id_a",
         dst="rec_id_b",
+        # distinct ordered match pairs — skip CC's input dedup (r15)
+        edges_distinct=True,
     )
     # localCheckpoint output has no size stats — hint the broadcast the doc
     # promises (comp ≤ 2 × matched pairs, always dwarfed by the registry)

@@ -151,7 +151,8 @@ def dedup_span_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_apply_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     pairs = DD.minhash_lsh_dedup(d, "text", "doc_id").select("id_a", "id_b")
-    comp = connected_components(pairs)
+    # distinct a<b pairs, already checkpointed — skip CC's input dedup (r15)
+    comp = connected_components(pairs, edges_distinct=True)
     members = comp.join(
         d.select(F.col("doc_id").alias("node"), "n_chars"), "node"
     )

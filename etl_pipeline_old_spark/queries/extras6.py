@@ -423,7 +423,9 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     pairs = DD.minhash_lsh_dedup(d, "text", "doc_id").select("id_a", "id_b")
-    return connected_components_star(pairs)
+    # verified pairs are row-distinct with id_a < id_b and already
+    # checkpointed — skip the star loop's input distinct + truncate (r15)
+    return connected_components_star(pairs, edges_distinct=True)
 
 
 # identical SQL text for both engines (the sql_api family contract):

@@ -69,8 +69,10 @@ def _fold_key(physical: str, rendered: str):
 
 
 def _paths_df(spark: SparkSession, rows: list[tuple], schema: str) -> DataFrame:
+    from ..session import scan_partitions
+
     df = spark.createDataFrame(rows, schema)
-    return df.repartition(min(max(len(rows), 1), 32))
+    return df.repartition(scan_partitions(spark, len(rows)))
 
 
 @register(
@@ -427,8 +429,10 @@ def lake_parquet_native_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         meta = parse_file_meta(read_footer_tail(f))
         rows.extend((f, i) for i in range(len(meta["row_groups"])))
     want = ("doc_id", "text", "lang", "n_chars")
+    from ..session import scan_partitions
+
     rgs = spark.createDataFrame(rows, "path string, rg int").repartition(
-        min(max(len(rows), 1), 32)
+        scan_partitions(spark, len(rows))
     )
 
     def kernel(batches):

@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import register
+from ..session import scan_partitions
 from ..workdir import cache_root
 from .sources_formats import _tag
 
@@ -289,7 +290,7 @@ def _entries_frame(spark: SparkSession, manifest_rows: list[tuple]) -> DataFrame
     the executors through the own Avro codec."""
     rel = spark.createDataFrame(
         manifest_rows, "snapshot_ord int, manifest_path string"
-    ).repartition(min(max(len(manifest_rows), 1), 32))
+    ).repartition(scan_partitions(spark, len(manifest_rows)))
 
     def kernel(batches):
         import pandas as pd
@@ -512,7 +513,7 @@ def lake_iceberg_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = _snapshot_manifests(meta)
     rel = spark.createDataFrame(
         rows, "snapshot_ord int, manifest_path string"
-    ).repartition(min(max(len(rows), 1), 32))
+    ).repartition(scan_partitions(spark, len(rows)))
 
     def kernel(batches):
         import pandas as pd

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import register
+from ..session import scan_partitions
 from ..workdir import cache_root
 from .sources_formats import _tag
 
@@ -85,7 +86,7 @@ def _shard_paths(spark: SparkSession, path: str) -> DataFrame:
         os.path.join(path, f) for f in os.listdir(path) if f.endswith(".orc")
     )
     df = spark.createDataFrame([(p,) for p in files], "path string")
-    return df.repartition(min(max(len(files), 1), 32))
+    return df.repartition(scan_partitions(spark, len(files)))
 
 
 @register(
@@ -318,7 +319,7 @@ def lake_orc_stripe_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
         stripes,
         "path string, stripe int, offset long, index_length long, "
         "data_length long, footer_length long, num_rows long",
-    ).repartition(min(max(len(stripes), 1), 32))
+    ).repartition(scan_partitions(spark, len(stripes)))
 
     def kernel(batches):
         import pandas as pd

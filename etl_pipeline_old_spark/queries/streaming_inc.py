@@ -101,7 +101,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     from ..catalog import restore_ts, table_path
-    from ..session import ensure_session_confs
+    from ..session import ensure_session_confs, no_data_batches_disabled
 
     ensure_session_confs(spark)
     path = table_path(sf_dir, "events")
@@ -118,13 +118,15 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"))
     )
     name = f"sessions_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
+    # complete mode: the no-data batch re-emits the identical state (r15)
+    with no_data_batches_disabled(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
     try:
         q.processAllAvailable()
     finally:

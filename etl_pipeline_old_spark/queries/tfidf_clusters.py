@@ -79,7 +79,9 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     pairs = DD.minhash_lsh_dedup(d, "text", "doc_id").select("id_a", "id_b")
-    return connected_components(pairs)
+    # verified pairs are row-distinct with id_a < id_b and already
+    # checkpointed (materialize_release) — skip CC's input dedup (r15)
+    return connected_components(pairs, edges_distinct=True)
 
 
 @register(
@@ -97,7 +99,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     pairs = DD.minhash_lsh_dedup(d, "text", "doc_id").select("id_a", "id_b")
-    comp = connected_components(pairs)
+    # distinct a<b pairs, already checkpointed — skip CC's input dedup (r15)
+    comp = connected_components(pairs, edges_distinct=True)
     losers = comp.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
     )

@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table, restore_ts, table_path
 from ..registry import register
-from ..session import ensure_session_confs
+from ..session import ensure_session_confs, no_data_batches_disabled
 
 
 @register(
@@ -132,13 +132,19 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "signup_event_id")
 
     name = f"ss_join_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
+    # INNER stream-stream join: matches emit in the batch where both sides
+    # have arrived; the watermark-advance no-data batch only evicts state
+    # (~2.3 s of pure state re-scan here) and cannot add or remove output
+    # rows (r15, see session.no_data_batches_disabled — an OUTER join
+    # variant must NOT do this)
+    with no_data_batches_disabled(spark):
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
     try:
         q.processAllAvailable()
     finally:

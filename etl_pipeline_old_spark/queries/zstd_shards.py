@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import register
+from ..session import scan_partitions
 from ..workdir import cache_root
 
 _DOCS_PER_SHARD = 25
@@ -452,7 +453,7 @@ def multimodal_zstd_seekable_ranged(
     )
     paths = spark.createDataFrame(
         [(p, os.path.getsize(p)) for p in files], "path string, file_len long"
-    ).repartition(min(max(len(files), 1), 32))
+    ).repartition(scan_partitions(spark, len(files)))
 
     def read_tails(batches):
         import pandas as pd
@@ -482,7 +483,7 @@ def multimodal_zstd_seekable_ranged(
         read_tails,
         schema="path string, frame_index int, offset long, "
         "compressed_len long, first_doc long",
-    ).repartition(32)
+    ).repartition(scan_partitions(spark))
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import restore_ts, table_path
-from ..session import ensure_session_confs
+from ..session import ensure_session_confs, no_data_batches_disabled
 
 
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -55,13 +55,17 @@ def tumbling_window_counts(
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
     )
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
+    # complete mode: the last data batch already emitted the full answer —
+    # the watermark-advance no-data batch would re-scan the window state
+    # and rewrite the identical sink table (r15, see session helper)
+    with no_data_batches_disabled(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
     try:
         q.processAllAvailable()
     finally:
@@ -132,13 +136,15 @@ def sliding_window_counts(
         )
     )
     name = f"stream_slide_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
+    # complete mode: no-data batch result-invariant (see tumbling above)
+    with no_data_batches_disabled(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
     try:
         q.processAllAvailable()
     finally:

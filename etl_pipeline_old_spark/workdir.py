@@ -32,7 +32,30 @@ import time
 
 _now = time.time  # seam: tests monkeypatch to simulate idle age
 
-_BASE = "/tmp/etl_pipeline_old_spark_cache"
+
+def _pick_base() -> str:
+    """Scratch base: RAM-backed when available (r15, guide §6).
+
+    Everything under here is per-process, reaped, and atexit-removed —
+    staged feeds, streaming checkpoints/state, media fixtures — i.e.
+    scratch in the strict sense, never a durability surface. Putting it
+    on tmpfs takes the disk out of the streaming offset/commit-log and
+    state-store write path (each micro-batch writes
+    shuffle-partition-many state files plus WAL entries). Production
+    checkpoints that must survive the process go through the explicit
+    ``checkpoint_dir`` parameters / ``SPARK_GRAFT_SCRATCH_BASE`` env
+    override instead.
+    """
+    env = os.environ.get("SPARK_GRAFT_SCRATCH_BASE")
+    if env:
+        return env
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        return os.path.join(shm, "etl_pipeline_old_spark_cache")
+    return "/tmp/etl_pipeline_old_spark_cache"
+
+
+_BASE = _pick_base()
 _LEGACY_REAP_AGE_S = 3600.0
 _SESS_RE = re.compile(r"^sess_(\d+)$")
 _TABLE_RE = re.compile(r"_p(\d+)$")

@@ -47,3 +47,33 @@ def test_star_matches_on_random_graph_beyond_diameter_cap(spark):
     }
     b = {(r.node, r.component) for r in connected_components_star(df).collect()}
     assert a == b
+
+
+def test_edges_distinct_fast_path_matches_default(spark):
+    """edges_distinct=True (the dedup/ER caller contract: row-distinct
+    pairs with src < dst) must label identically to the default path in
+    BOTH implementations — it only skips the input dedup work (r15)."""
+    random.seed(11)
+    pairs = sorted(
+        {
+            (min(a, b), max(a, b))
+            for a, b in (
+                (random.randint(0, 80), random.randint(0, 80)) for _ in range(120)
+            )
+            if a != b
+        }
+    )
+    df = spark.createDataFrame(pairs, "id_a long, id_b long").localCheckpoint()
+    base = {(r.node, r.component) for r in connected_components(df).collect()}
+    fast = {
+        (r.node, r.component)
+        for r in connected_components(df, edges_distinct=True).collect()
+    }
+    sbase = {
+        (r.node, r.component) for r in connected_components_star(df).collect()
+    }
+    sfast = {
+        (r.node, r.component)
+        for r in connected_components_star(df, edges_distinct=True).collect()
+    }
+    assert base == fast == sbase == sfast

@@ -15,6 +15,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 STREAM_ENTRIES = [
     "stream_tumbling_window_counts",
     "stream_stateful_dedup",
