@@ -97,6 +97,23 @@ _M11 = [gmul(x, 0x0B) for x in range(256)]
 _M13 = [gmul(x, 0x0D) for x in range(256)]
 _M14 = [gmul(x, 0x0E) for x in range(256)]
 
+# Inverse T-tables for the equivalent inverse cipher (FIPS-197 §5.3.5):
+# D0[x] packs InvS[x] * (0e,09,0d,0b) as one big-endian word; D1..D3 are
+# byte rotations — derived from the derived INV_SBOX and field tables,
+# exactly like the forward T-tables above. r15: decryption used to take
+# the byte-wise InvCipher path ("only short payloads"), but the AES-PDF
+# corpus kernels decrypt ~20 blocks per document per run, which made
+# decrypt_block 60% of the extraction kernel's profile.
+_D0 = [0] * 256
+for _x in range(256):
+    _y = INV_SBOX[_x]
+    _D0[_x] = (
+        (_M14[_y] << 24) | (_M9[_y] << 16) | (_M13[_y] << 8) | _M11[_y]
+    )
+_D1 = [((t >> 8) | ((t & 0xFF) << 24)) & 0xFFFFFFFF for t in _D0]
+_D2 = [((t >> 16) | ((t & 0xFFFF) << 16)) & 0xFFFFFFFF for t in _D0]
+_D3 = [((t >> 24) | ((t & 0xFFFFFF) << 8)) & 0xFFFFFFFF for t in _D0]
+
 
 def _expand_key(key: bytes) -> list:
     """FIPS-197 §5.2 key expansion → list of 4(Nr+1) 32-bit words."""
@@ -137,6 +154,28 @@ class AES:
     def __init__(self, key: bytes):
         self._w = _expand_key(key)
         self._nr = len(key) // 4 + 6
+        self._dw = None  # decryption round keys, built on first decrypt
+
+    def _dec_keys(self) -> list:
+        """Equivalent-inverse-cipher round keys: the middle rounds' words
+        pass through InvMixColumns so decryption can run the same
+        T-table structure as encryption (FIPS-197 §5.3.5)."""
+        if self._dw is None:
+            w = self._w
+            dw = list(w)
+            for i in range(4, 4 * self._nr):
+                t = w[i]
+                a0, a1, a2, a3 = (
+                    (t >> 24) & 0xFF, (t >> 16) & 0xFF, (t >> 8) & 0xFF, t & 0xFF,
+                )
+                dw[i] = (
+                    ((_M14[a0] ^ _M11[a1] ^ _M13[a2] ^ _M9[a3]) << 24)
+                    | ((_M9[a0] ^ _M14[a1] ^ _M11[a2] ^ _M13[a3]) << 16)
+                    | ((_M13[a0] ^ _M9[a1] ^ _M14[a2] ^ _M11[a3]) << 8)
+                    | (_M11[a0] ^ _M13[a1] ^ _M9[a2] ^ _M14[a3])
+                )
+            self._dw = dw
+        return self._dw
 
     def encrypt_block(self, block: bytes) -> bytes:
         if len(block) != 16:
@@ -188,37 +227,49 @@ class AES:
             raise ValueError("aes: block must be 16 bytes")
         w = self._w
         nr = self._nr
-        # state as a 16-byte column-major list
-        st = list(block)
-        rk = b"".join(x.to_bytes(4, "big") for x in w[4 * nr : 4 * nr + 4])
-        st = [b ^ k for b, k in zip(st, rk)]
-        inv = INV_SBOX
+        dw = self._dec_keys()
+        d0, d1, d2, d3 = _D0, _D1, _D2, _D3
+        k = 4 * nr
+        s0 = int.from_bytes(block[0:4], "big") ^ w[k]
+        s1 = int.from_bytes(block[4:8], "big") ^ w[k + 1]
+        s2 = int.from_bytes(block[8:12], "big") ^ w[k + 2]
+        s3 = int.from_bytes(block[12:16], "big") ^ w[k + 3]
         for rnd in range(nr - 1, 0, -1):
-            # InvShiftRows: row r rotates right by r (byte i = col*4+row
-            # in flat index i%4 == row)
-            ns = st[:]
-            for r in range(1, 4):
-                for c in range(4):
-                    ns[((c + r) % 4) * 4 + r] = st[c * 4 + r]
-            # InvSubBytes + AddRoundKey
-            rk = b"".join(
-                x.to_bytes(4, "big") for x in w[4 * rnd : 4 * rnd + 4]
+            k = 4 * rnd
+            # inverse rows rotate the OTHER way: column j reads s_{j},
+            # s_{j-1}, s_{j-2}, s_{j-3} (mod 4) — the mirror of encrypt
+            u0 = (
+                d0[(s0 >> 24) & 0xFF] ^ d1[(s3 >> 16) & 0xFF]
+                ^ d2[(s2 >> 8) & 0xFF] ^ d3[s1 & 0xFF] ^ dw[k]
             )
-            ns = [inv[b] ^ k for b, k in zip(ns, rk)]
-            # InvMixColumns
-            st = [0] * 16
-            for c in range(4):
-                a0, a1, a2, a3 = ns[4 * c : 4 * c + 4]
-                st[4 * c] = _M14[a0] ^ _M11[a1] ^ _M13[a2] ^ _M9[a3]
-                st[4 * c + 1] = _M9[a0] ^ _M14[a1] ^ _M11[a2] ^ _M13[a3]
-                st[4 * c + 2] = _M13[a0] ^ _M9[a1] ^ _M14[a2] ^ _M11[a3]
-                st[4 * c + 3] = _M11[a0] ^ _M13[a1] ^ _M9[a2] ^ _M14[a3]
-        ns = st[:]
-        for r in range(1, 4):
-            for c in range(4):
-                ns[((c + r) % 4) * 4 + r] = st[c * 4 + r]
-        rk = b"".join(x.to_bytes(4, "big") for x in w[0:4])
-        return bytes(inv[b] ^ k for b, k in zip(ns, rk))
+            u1 = (
+                d0[(s1 >> 24) & 0xFF] ^ d1[(s0 >> 16) & 0xFF]
+                ^ d2[(s3 >> 8) & 0xFF] ^ d3[s2 & 0xFF] ^ dw[k + 1]
+            )
+            u2 = (
+                d0[(s2 >> 24) & 0xFF] ^ d1[(s1 >> 16) & 0xFF]
+                ^ d2[(s0 >> 8) & 0xFF] ^ d3[s3 & 0xFF] ^ dw[k + 2]
+            )
+            u3 = (
+                d0[(s3 >> 24) & 0xFF] ^ d1[(s2 >> 16) & 0xFF]
+                ^ d2[(s1 >> 8) & 0xFF] ^ d3[s0 & 0xFF] ^ dw[k + 3]
+            )
+            s0, s1, s2, s3 = u0, u1, u2, u3
+        inv = INV_SBOX
+        out = bytearray(16)
+        for j, (a, b, c, d) in enumerate(
+            ((s0, s3, s2, s1), (s1, s0, s3, s2),
+             (s2, s1, s0, s3), (s3, s2, s1, s0))
+        ):
+            # final round: InvShiftRows + InvSubBytes + AddRoundKey w[0..3]
+            word = (
+                (inv[(a >> 24) & 0xFF] << 24)
+                | (inv[(b >> 16) & 0xFF] << 16)
+                | (inv[(c >> 8) & 0xFF] << 8)
+                | inv[d & 0xFF]
+            ) ^ w[j]
+            out[4 * j : 4 * j + 4] = word.to_bytes(4, "big")
+        return bytes(out)
 
 
 # ---------------------------------------------------------------- modes

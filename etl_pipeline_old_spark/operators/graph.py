@@ -132,7 +132,14 @@ def connected_components(
                     F.min("__lab") < F.min(F.when(F.col("__own"), F.col("__lab")))
                 ).alias("__shrunk"),
             )
-            .observe(obs, F.sum(F.col("__shrunk").cast("long")).alias("n_shrunk"))
+            .observe(
+                obs,
+                # coalesce: sum over an EMPTY label frame is NULL, which
+                # must read as converged (zero shrunk), not as never-true
+                F.coalesce(
+                    F.sum(F.col("__shrunk").cast("long")), F.lit(0)
+                ).alias("n_shrunk"),
+            )
         )
         labels = new_labels
         if obs.get["n_shrunk"] == 0:
@@ -168,6 +175,8 @@ def pagerank(
     once and reused every iteration; each iteration is then one
     edges⋈ranks join + one sum-aggregate, the minimal shuffle shape.
     """
+    from pyspark.sql import Observation
+
     _truncate = _make_truncate(edges, checkpoint_dir)
 
     # partitioned by the contribution-join key "u" before the persist: the
@@ -175,40 +184,47 @@ def pagerank(
     # reuse the cached partitioning instead of re-shuffling the static edge
     # set (guide §2.4)
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).repartition("u").persist()
-    nodes = (
-        e.select(F.col("u").alias("node"))
-        .union(e.select(F.col("v").alias("node")))
-        .distinct()
-        .persist()
-    )
-    n = float(nodes.count())
     deg = e.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("outdeg"))
     # EVERYTHING rank-independent is hoisted out of the loop (r14, guide
     # §2.4/§1.2): the out-degree rides the persisted edge set (one static
     # u-partitioned join — deg and e share the cache partitioning, so this
-    # adds no exchange), and the dangling-node SET is static (nodes with no
-    # out-edges). The former loop joined ranks⋈deg per iteration TWICE (the
-    # dangling-mass leg and the contribution leg) — two node-sized joins
-    # per iteration replaced by one semi-join against the small static
-    # dangling set. Per-edge arithmetic (rank/outdeg, summed per dst) and
-    # the dangling-mass sum are over exactly the same values as before.
+    # adds no exchange). r15 goes further: the dangling FLAG is attached
+    # once to the persisted node set, and each iteration's dangling mass
+    # rides the PREVIOUS iteration's checkpoint job as an observed metric
+    # (sum(rank) where dangling) that enters the next update as a scalar
+    # literal — the per-iteration semi-join + aggregate job AND the
+    # per-iteration broadcast of the one-row dm frame are both gone.
+    # Addend multisets are unchanged (same ranks summed over the same
+    # dangling nodes; double-sum order was already scheduling-dependent).
     ed = (
         e.join(deg.withColumnRenamed("node", "u"), "u")
         .select("u", "v", "outdeg")
         .persist()
     )
-    dang_nodes = nodes.join(deg, "node", "left_anti").persist()
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+        .join(deg.select("node", F.lit(True).alias("__out")), "node", "left")
+        .select("node", F.col("__out").isNull().alias("__dang"))
+        .persist()
+    )
+    n = float(nodes.count())
     # initial ranks are a constant projection of the persisted node set —
     # re-evaluating that per reference in iteration 1 is cheaper than a
     # dedicated materialization job; lineage truncates at iteration 1's
-    # own checkpoint (r14)
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
-    for _ in range(n_iter):
-        dang = ranks.join(dang_nodes, "node", "left_semi").agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
-        )
+    # own checkpoint (r14). Iteration 1's dangling mass is the one
+    # aggregate job the observation scheme cannot absorb (there is no
+    # prior checkpoint to observe) — one job total, vs one per iteration.
+    ranks = nodes.select("node", "__dang", F.lit(1.0 / n).alias("rank"))
+    dm = (
+        ranks.filter("__dang").agg(F.coalesce(F.sum("rank"), F.lit(0.0))).collect()[0][0]
+    )
+    for it in range(n_iter):
         contrib = (
-            ed.join(ranks.withColumnRenamed("node", "u"), "u")
+            ed.join(
+                ranks.select(F.col("node").alias("u"), "rank"), "u"
+            )
             .select(
                 F.col("v").alias("node"),
                 (F.col("rank") / F.col("outdeg")).alias("c"),
@@ -216,23 +232,31 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("c"))
         )
+        obs = Observation(f"pr_dm_{it}")
         ranks = _truncate(
             nodes.join(contrib, "node", "left")
-            .crossJoin(F.broadcast(dang))
             .select(
                 "node",
+                "__dang",
                 (
                     (1.0 - damping) / n
                     + damping
-                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("dm") / n)
+                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dm) / n)
                 ).alias("rank"),
             )
+            .observe(
+                obs,
+                F.coalesce(
+                    F.sum(F.when(F.col("__dang"), F.col("rank"))), F.lit(0.0)
+                ).alias("dm"),
+            )
         )
+        if it < n_iter - 1:
+            dm = obs.get["dm"]
     e.unpersist()
     nodes.unpersist()
     ed.unpersist()
-    dang_nodes.unpersist()
-    return ranks
+    return ranks.select("node", "rank")
 
 
 def connected_components_star(

@@ -61,14 +61,18 @@ class BitReader:
         self.pos = 0  # bit position
 
     def read(self, n: int) -> int:
-        v = 0
-        for i in range(n):
-            byte = self.pos >> 3
-            if byte >= len(self.data):
-                raise ValueError("vp8l: truncated stream")
-            v |= ((self.data[byte] >> (self.pos & 7)) & 1) << i
-            self.pos += 1
-        return v
+        # batched LSB-first extraction (r15): one int.from_bytes per call
+        # instead of one mask/shift per BIT — same values, same
+        # truncation rule (any needed bit's byte out of range raises)
+        if n <= 0:
+            return 0
+        pos = self.pos
+        last_byte = (pos + n - 1) >> 3
+        if last_byte >= len(self.data):
+            raise ValueError("vp8l: truncated stream")
+        chunk = int.from_bytes(self.data[pos >> 3 : last_byte + 1], "little")
+        self.pos = pos + n
+        return (chunk >> (pos & 7)) & ((1 << n) - 1)
 
 
 class BitWriter:
@@ -124,22 +128,52 @@ def _canonical_codes(lengths: list[int]) -> dict[int, tuple[int, int]]:
 
 
 class _Decoder:
-    """Bit-by-bit canonical decoder (fixture-scale images are tiny, so
-    a table walk is unnecessary)."""
+    """Canonical decoder with a one-level 8-bit lookup table (r15; the
+    bit-by-bit walk made symbol decode the hottest frame in the corpus
+    kernel's profile). Codes ≤ 8 bits — all of them on fixture-scale
+    images — resolve in one table probe; longer codes fall back to the
+    original walk. Identical symbol stream, identical error surface:
+    the LUT index is a zero-padded peek, codes are prefix-free, and a
+    hit whose code extends past the data raises the same 'truncated
+    stream' the per-bit reader raised."""
 
-    __slots__ = ("by_len", "single")
+    __slots__ = ("by_len", "single", "lut")
 
     def __init__(self, codes: dict[int, tuple[int, int]]):
         self.by_len: dict[tuple[int, int], int] = {}
         self.single: int | None = None
+        lut: list[tuple[int, int] | None] = [None] * 256
         for sym, (code, length) in codes.items():
             if length == 0:
                 self.single = sym
             self.by_len[(length, code)] = sym
+            if 0 < length <= 8:
+                # prefix-code bits arrive MSB-of-code first, so stream
+                # bit i of the index is code bit (length-1-i)
+                base = 0
+                for i in range(length):
+                    base |= ((code >> (length - 1 - i)) & 1) << i
+                entry = (sym, length)
+                for high in range(1 << (8 - length)):
+                    lut[base | (high << length)] = entry
+        self.lut = lut
 
     def read(self, br: BitReader) -> int:
         if self.single is not None:
             return self.single
+        data = br.data
+        pos = br.pos
+        byte = pos >> 3
+        # zero-padded 8-bit peek: pad bits only ever select an entry the
+        # truncation check below rejects
+        window = int.from_bytes(data[byte : byte + 2], "little") >> (pos & 7)
+        hit = self.lut[window & 0xFF]
+        if hit is not None:
+            sym, length = hit
+            if (pos + length - 1) >> 3 >= len(data):
+                raise ValueError("vp8l: truncated stream")
+            br.pos = pos + length
+            return sym
         code = 0
         for length in range(1, 16):
             code = (code << 1) | br.read(1)
